@@ -1,13 +1,396 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Conform, Dedup}
+import graft.pipelines.Pipelines
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ §7.5 extensions), each with DuckDB oracle SQL over the
+  * same parquet tables.
+  *
+  * Float discipline (so value-hash compare is deterministic across
+  * engines): money/quantity sums are computed as exact DECIMAL sums (order-
+  * independent) and cast back to double; ratios are identical-bit divisions
+  * of identical inputs, rounded to 6; small sums of 2-decimal data are
+  * rounded to 2 (the true sum is a 2-decimal value, never at a rounding
+  * midpoint). Timestamps are emitted as strings (engines disagree on
+  * tz-awareness), dates as DATE.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.load(s, dir, name)
+
+  /** sum(col) as exact decimal, back to double — order-independent. */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(20, scale))).cast(DoubleType)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipelines.performance(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ===== reference pipelines E1-E4 (SURVEY §3) =====
+    "e1_dimension" -> ((s, dir) => Pipelines.dimension(s, dir)),
+
+    "e2_performance" -> ((s, dir) =>
+      Pipelines.performance(s, dir)
+        .withColumn("date_start", date_format(col("date_start"), "yyyy-MM-dd"))
+        .withColumn("cpc", round(col("cpc"), 6))
+        .withColumn("ctr", round(col("ctr"), 6))
+        .withColumn("cpl", round(col("cpl"), 6))),
+
+    "e3_leads" -> ((s, dir) => Pipelines.leads(s, dir)
+      .withColumn("date_start", date_format(col("date_start"), "yyyy-MM-dd"))),
+
+    "e4_raw_leads" -> ((s, dir) => Pipelines.rawLeads(s, dir)
+      .withColumn("created_time", date_format(col("created_time"), "yyyy-MM-dd"))),
+
+    // ===== core relational operators (SURVEY §2) =====
+    // A2 agg + F2 pushdown filter: TPC-H Q1-shaped pricing summary.
+    "q01_pricing_summary" -> { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val charge = disc * (lit(1.0) + col("l_tax"))
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(disc, 6).as("sum_disc_price"),
+        dsum(charge, 8).as("sum_charge"),
+        round(dsum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        round(dsum(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"),
+        count(lit(1)).as("count_order"))
+    },
+
+    // J2 star join: broadcast small dims, one shuffle for the agg.
+    "q02_region_revenue" -> { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+      val sup = T(s, dir, "supplier")
+      val nat = T(s, dir, "nation")
+      val reg = T(s, dir, "region")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // F1 isin + F2 between + deterministic top-k (sort + limit).
+    "q03_orders_topk" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .filter(col("o_orderstatus").isin("O", "F") &&
+          col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"), col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
+    // left_semi (EXISTS): orders having a >45-quantity line item.
+    "q04_semi_join" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .join(T(s, dir, "lineitem").filter(col("l_quantity") > 45)
+            .select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+    },
+
+    // left_anti (NOT EXISTS): customers with no 400k+ order.
+    "q05_anti_join" -> { (s, dir) =>
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("sum_acctbal"))
+    },
+
+    // A4 keep-last dedup with explicit order (SURVEY §2.6 A4, §7.4-1).
+    "q06_keep_last" -> { (s, dir) =>
+      Dedup.keepLast(
+        T(s, dir, "events")
+          .select("user_id", "event_id", "event_type", "value", "ts"),
+        Seq("user_id"), "ts", tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"))
+    },
+
+    // A1 group-first: per (user, day) first non-null per column in
+    // ingestion order (pandas GroupBy.first semantics).
+    "q07_group_first" -> { (s, dir) =>
+      Dedup.groupFirst(
+        T(s, dir, "events")
+          .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+            col("event_type"), col("value"), col("event_id")),
+        Seq("user_id", "event_date"), "event_id")
+        .select(col("user_id"), col("event_date"),
+          col("event_type").as("first_event_type"),
+          col("value").as("first_value"))
+    },
+
+    // §2.9 unionByName(allowMissingColumns) over shape-divergent frames.
+    "q08_union_conform" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "props")
+      Conform.unionConform(Seq(clicks, signups))
+    },
+
+    // window top-k per group (row_number, deterministic tiebreak).
+    "q09_window_topk" -> { (s, dir) =>
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      T(s, dir, "part")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rk")
+    },
+
+    // tumbling-window agg (batch restatement of SURVEY §2.11).
+    "q10_tumbling_window" -> { (s, dir) =>
+      T(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(coalesce(sum("value"), lit(0.0)), 2).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    },
+
+    // §2.4 pivot analog directly over events: fixed-contract conditional
+    // aggregation (schema-stable — no dynamic pivot distinct-scan).
+    "q11_pivot_events" -> { (s, dir) =>
+      def n(t: String) = count_if(col("event_type") === lit(t))
+      T(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+        .agg(n("click").as("n_click"), n("view").as("n_view"),
+          n("purchase").as("n_purchase"), n("signup").as("n_signup"),
+          n("error").as("n_error"),
+          round(coalesce(
+            sum(when(col("event_type") === "purchase", col("value"))),
+            lit(0.0)), 2).as("purchase_value"))
+    },
+
+    // K3/§1.2 JSON handling: get_json_object over free-form props.
+    "q12_json_extract" -> { (s, dir) =>
+      T(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy("user_id")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n_events"))
+    })
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** Shared SQL fragments for the Meta-fixture derivation (must stay in
+    * lockstep with [[graft.sources.MetaFixtures]]). */
+  private val adCols =
+    """'ad_'||user_id AS ad_id, 'as_'||(user_id%7) AS adset_id,
+       'c_'||(user_id%3) AS campaign_id"""
+
+  def oracleSql: Map[String, String] = Map(
+    "e1_dimension" ->
+      s"""WITH raw AS (
+            SELECT 'ad_'||user_id AS ad_id,
+                   'ad '||user_id||' v'||(event_id%3) AS ad_name,
+                   'as_'||(user_id%7) AS adset_id,
+                   'adset '||(user_id%7) AS adset_name,
+                   'c_'||(user_id%3) AS campaign_id,
+                   'campaign '||(user_id%3) AS campaign_name,
+                   event_id,
+                   CASE event_type WHEN 'error' THEN 'DISAPPROVED'
+                        WHEN 'click' THEN 'PAUSED'
+                        WHEN 'signup' THEN 'PENDING_REVIEW'
+                        ELSE 'ACTIVE' END AS status
+            FROM events),
+          f AS (
+            SELECT *, row_number() OVER
+              (PARTITION BY ad_id ORDER BY event_id DESC) AS rn
+            FROM raw
+            WHERE status IN ('ACTIVE','PAUSED','PENDING_REVIEW'))
+          SELECT ad_id, ad_name, adset_id, adset_name, campaign_id,
+                 campaign_name
+          FROM f WHERE rn = 1""",
+
+    "e2_performance" ->
+      s"""WITH base AS (
+            SELECT CAST(ts AS DATE) AS date_start, $adCols,
+                   count(*) FILTER (WHERE event_type='view') AS n_view,
+                   count(*) FILTER (WHERE event_type='click') AS n_click,
+                   round(coalesce(sum(value) FILTER (WHERE event_type='click'), 0), 2) AS spend,
+                   count(*) FILTER (WHERE event_type='signup') AS n_signup
+            FROM events GROUP BY 1,2,3,4)
+          SELECT strftime(date_start, '%Y-%m-%d') AS date_start,
+                 ad_id, adset_id, campaign_id,
+                 n_view AS total_impressions, n_click AS total_clicks,
+                 spend AS total_spend, n_signup AS total_leads,
+                 CAST(0 AS BIGINT) AS total_successes,
+                 round(CASE WHEN n_click=0 THEN 0 ELSE spend/n_click END, 6) AS cpc,
+                 round(CASE WHEN n_view=0 THEN 0 ELSE n_click*1.0/n_view END, 6) AS ctr,
+                 round(CASE WHEN n_signup=0 THEN 0 ELSE spend/n_signup END, 6) AS cpl
+          FROM base""",
+
+    "e3_leads" ->
+      s"""WITH demo AS (
+            SELECT CAST(ts AS DATE) AS date_start, $adCols,
+                   CASE event_id%4 WHEN 0 THEN '18-24' WHEN 1 THEN '25-34'
+                        WHEN 2 THEN '35-44' ELSE '45+' END AS age,
+                   CASE event_id%2 WHEN 0 THEN 'male' ELSE 'female' END AS gender,
+                   round(coalesce(sum(value) FILTER (WHERE event_type='click'), 0), 2) AS spend,
+                   count(*) FILTER (WHERE event_type='signup') AS leads,
+                   count(*) FILTER (WHERE event_type='purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type='error') AS n_error
+            FROM events WHERE event_type <> 'error'
+            GROUP BY 1,2,3,4,5,6),
+          geo AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS date_start, $adCols,
+                   CASE event_id%3 WHEN 0 THEN 'north' WHEN 1 THEN 'south'
+                        ELSE 'east' END AS region
+            FROM events)
+          SELECT strftime(coalesce(d.date_start, g.date_start), '%Y-%m-%d') AS date_start,
+                 coalesce(d.ad_id, g.ad_id) AS ad_id,
+                 coalesce(d.adset_id, g.adset_id) AS adset_id,
+                 coalesce(d.campaign_id, g.campaign_id) AS campaign_id,
+                 d.age AS age, d.gender AS gender, g.region AS region,
+                 coalesce(d.spend, 0) AS total_spend,
+                 coalesce(d.leads, 0) AS total_leads,
+                 coalesce(d.n_purchase, 0) AS purchase,
+                 coalesce(d.n_error, 0) AS offsite_conversion_fb_pixel_lead
+          FROM demo d
+          FULL OUTER JOIN geo g
+            ON d.date_start=g.date_start AND d.ad_id=g.ad_id
+           AND d.adset_id=g.adset_id AND d.campaign_id=g.campaign_id""",
+
+    "e4_raw_leads" ->
+      """SELECT 'lead_'||event_id AS lead_id,
+                strftime(ts, '%Y-%m-%d') AS created_time,
+                'ad_'||user_id AS ad_id,
+                'c_'||(user_id%3) AS campaign_id,
+                'as_'||(user_id%7) AS adset_id,
+                'form_'||(user_id%5) AS form_id,
+                props AS field_data,
+                CAST(NULL AS VARCHAR) AS ad_platform_data
+         FROM events WHERE event_type = 'signup'""",
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(20,8))) AS DOUBLE) AS sum_charge,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)/count(*), 6) AS avg_qty,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)/count(*), 6) AS avg_price,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q02_region_revenue" ->
+      """SELECT r_name, n_name,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+
+    "q03_orders_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority
+         FROM orders
+         WHERE o_orderstatus IN ('O','F')
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         ORDER BY o_totalprice DESC, o_orderkey ASC
+         LIMIT 10""",
+
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+         GROUP BY o_orderpriority""",
+
+    "q05_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS sum_acctbal
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 400000.0)
+         GROUP BY c_mktsegment""",
+
+    "q06_keep_last" ->
+      """SELECT user_id, event_id AS last_event_id,
+                event_type AS last_event_type, value AS last_value
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1""",
+
+    "q07_group_first" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d') AS event_date,
+                min_by(event_type, CASE WHEN event_type IS NOT NULL THEN event_id END) AS first_event_type,
+                min_by(value, CASE WHEN value IS NOT NULL THEN event_id END) AS first_value
+         FROM events
+         GROUP BY user_id, strftime(ts, '%Y-%m-%d')""",
+
+    "q08_union_conform" ->
+      """SELECT event_id, user_id, value, CAST(NULL AS VARCHAR) AS props
+         FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value, props
+         FROM events WHERE event_type = 'signup'""",
+
+    "q09_window_topk" ->
+      """SELECT p_brand, p_partkey, p_name, p_retailprice, rk
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY p_brand
+                  ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+               FROM part)
+         WHERE rk <= 2""",
+
+    "q10_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, count(*) AS n_events,
+                round(coalesce(sum(value), 0), 2) AS sum_value
+         FROM events
+         GROUP BY 1, 2""",
+
+    "q11_pivot_events" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+                count(*) FILTER (WHERE event_type='click') AS n_click,
+                count(*) FILTER (WHERE event_type='view') AS n_view,
+                count(*) FILTER (WHERE event_type='purchase') AS n_purchase,
+                count(*) FILTER (WHERE event_type='signup') AS n_signup,
+                count(*) FILTER (WHERE event_type='error') AS n_error,
+                round(coalesce(sum(value) FILTER (WHERE event_type='purchase'), 0), 2) AS purchase_value
+         FROM events
+         GROUP BY 1""",
+
+    "q12_json_extract" ->
+      """SELECT user_id,
+                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                count(*) AS n_events
+         FROM events
+         GROUP BY user_id""")
 }

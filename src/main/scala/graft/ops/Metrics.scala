@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Derived-metric layer (`_recalculate_metrics`, reference
+  * src/transform.py:66-89; SURVEY §2.7).
+  *
+  * Renames the base metrics to their `total_*` contract names
+  * (src/transform.py:71-75), force-creates `total_successes = 0`
+  * (src/transform.py:78-79), computes the three ratios, and applies the
+  * div-by-zero policy: pandas produces ±inf for x/0 and NaN for 0/0, both
+  * replaced with 0 (src/transform.py:87). Spark `try_divide` yields null for
+  * /0, so `coalesce(try_divide(a,b), 0)` reproduces the end state exactly —
+  * a pure scalar projection, codegen'd, no shuffle.
+  */
+object Metrics {
+
+  /** x/0 → 0, 0/0 → 0, null inputs → 0 (reference src/transform.py:82-87). */
+  def safeDiv(num: Column, den: Column): Column =
+    coalesce(try_divide(num.cast(DoubleType), den.cast(DoubleType)), lit(0.0))
+
+  /** Metric renames applied before ratio computation
+    * (reference src/transform.py:71-75). */
+  val MetricRenames: Map[String, String] = Map(
+    "impressions" -> "total_impressions",
+    "clicks" -> "total_clicks",
+    "spend" -> "total_spend",
+    "lead" -> "total_leads")
+
+  /** P4 renames + P5 constant + M1-M3 ratios + M4 policy. */
+  def recalcMetrics(df: DataFrame): DataFrame = {
+    val renamed = MetricRenames.foldLeft(df) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+    val withSucc =
+      if (renamed.columns.contains("total_successes")) renamed
+      else renamed.withColumn("total_successes", lit(0L))
+    withSucc
+      .withColumn("cpc", safeDiv(col("total_spend"), col("total_clicks")))
+      .withColumn("cpl", safeDiv(col("total_spend"), col("total_leads")))
+      .withColumn("ctr", safeDiv(col("total_clicks"), col("total_impressions")))
+  }
+
+  /** Blanket numeric 0-fill (reference src/transform.py:87 `fillna(0)` —
+    * pandas only affects numeric cells there; Spark `na.fill(0)` likewise
+    * only touches numeric columns, SURVEY §2.7 M4). */
+  def fillNumericZeros(df: DataFrame): DataFrame = df.na.fill(0)
+}

@@ -1,0 +1,105 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Contracts
+
+/** Keyed UPSERT sink — the reference's `INSERT … ON CONFLICT (keys) DO
+  * UPDATE` merge (K2, src/load.py:94-119), with the staging lifecycle
+  * (K1 stage, K5 drop, K6 empty guard; src/load.py:29-46,121-133).
+  *
+  * Spark has no native JDBC upsert, and no Delta jars ship in this image,
+  * so the merge is expressed against a parquet "table" directory:
+  *
+  *  - un-partitioned: `target ⟕̸ source-keys (left_anti) ∪ source` — the
+  *    classic merge rewrite. Correct anywhere, but rewrites the whole
+  *    target: fine for dimensions, wrong for 100 TB facts.
+  *  - partitioned (`partitionBy` non-empty, e.g. `date_start`): dynamic
+  *    partition overwrite — only the partitions present in `source` are
+  *    read, merged, and replaced. At 1000-executor scale this touches
+  *    O(days-in-batch) partitions instead of O(history), which is the same
+  *    access pattern a Delta `MERGE INTO` with partition pruning produces.
+  *    The reference's daily 3-hour-lookback batch (src/extract.py:39-41)
+  *    maps exactly onto this: each run re-emits 1-2 date partitions.
+  *
+  * Idempotence (load twice ≡ once) is the contract the reference relies on
+  * for safe daily re-runs (SURVEY §5) — pinned by UpsertSpec.
+  */
+object Upsert {
+
+  /** Upsert `source` into the parquet table at `path` on `keys`.
+    * Last-write-wins within `source` is the caller's responsibility
+    * (the reference dedups to grain before loading).
+    */
+  def upsert(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String], partitionCols: Seq[String] = Nil): Unit = {
+    if (source.isEmpty) return // K6 empty-input guard (src/load.py:29-31)
+    val exists = Files.exists(Paths.get(path))
+    if (!exists) {
+      write(source, path, partitionCols, SaveMode.ErrorIfExists)
+      return
+    }
+    if (partitionCols.nonEmpty) {
+      // Dynamic partition overwrite: replace only source's partitions with
+      // (old-rows-losing-on-key ∪ source) within those partitions.
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val target = spark.read.parquet(path)
+      val srcParts = source.select(partitionCols.map(col).toIndexedSeq: _*)
+        .distinct()
+      val affected = target.join(broadcast(srcParts),
+        partitionCols.toIndexedSeq, "left_semi")
+      val kept = affected.join(
+        source.select(keys.map(col).toIndexedSeq: _*).distinct(),
+        keys.toIndexedSeq, "left_anti")
+      val merged = kept.unionByName(source.select(target.columns.toIndexedSeq
+        .map(col): _*))
+      // Stage to avoid reading and overwriting the same files in one job.
+      val staging = path + "__staging"
+      merged.write.mode(SaveMode.Overwrite).parquet(staging)
+      spark.read.parquet(staging).write
+        .partitionBy(partitionCols.toIndexedSeq: _*)
+        .mode(SaveMode.Overwrite).parquet(path)
+      deleteRecursively(staging)
+    } else {
+      val target = spark.read.parquet(path)
+      val kept = target.join(
+        source.select(keys.map(col).toIndexedSeq: _*).distinct(),
+        keys.toIndexedSeq, "left_anti")
+      val merged = kept.unionByName(
+        source.select(target.columns.toIndexedSeq.map(col): _*))
+      val staging = path + "__staging"
+      merged.write.mode(SaveMode.Overwrite).parquet(staging)
+      deleteRecursively(path)
+      Files.move(Paths.get(staging), Paths.get(path))
+    }
+  }
+
+  /** Upsert using the reference's per-table key map (src/load.py:49-63);
+    * unknown table → error, matching src/load.py:62-63. */
+  def upsertTable(spark: SparkSession, baseDir: String, table: String,
+      source: DataFrame): Unit = {
+    val keys = Contracts.UpsertKeys.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"no upsert keys declared for table '$table'"))
+    val partCols = if (keys.contains("date_start")) Seq("date_start") else Nil
+    upsert(spark, s"$baseDir/$table", source, keys, partCols)
+  }
+
+  private def write(df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: SaveMode): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols.toIndexedSeq: _*)
+     else w).parquet(path)
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.delete(f))
+  }
+}

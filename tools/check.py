@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (NOT part of the sbt
+build; uses driver-side-only python deps).
+
+Runs each SparkEntry query output (already dumped by graft.Verify into
+OUTDIR) against its DuckDB oracle SQL over the same parquet tables, then
+compares: column names, row count, and exact values after sorting columns
+by name and rows by all columns — the strictest reading of the driver's
+hash-match.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+"""
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    # normalize dtypes for compare
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        got = canon(pd.read_parquet(d))
+        if name not in oracle:
+            print(f"  ~ {name}: no oracle (rows-only) rows={len(got)}")
+            continue
+        try:
+            want = canon(con.execute(oracle[name]).df())
+        except Exception as e:
+            print(f"  ✗ {name}: ORACLE SQL ERROR {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"  ✗ {name}: COLUMNS got={list(got.columns)} want={list(want.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(want):
+            print(f"  ✗ {name}: ROWS got={len(got)} want={len(want)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                          check_exact=True)
+            print(f"  ✓ {name} rows={len(got)}")
+            n_pass += 1
+        except AssertionError as e:
+            print(f"  ✗ {name}: VALUES {str(e).splitlines()[-1][:200]}")
+            n_fail += 1
+    print(f"{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
