@@ -35,7 +35,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ extQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ===== reference pipelines E1-E4 (SURVEY §3) =====
     "e1_dimension" -> ((s, dir) => Pipelines.dimension(s, dir)),
 
@@ -197,6 +200,71 @@ object SparkEntry {
         .agg(sum("k").as("sum_k"), count(lit(1)).as("n_events"))
     })
 
+  /** North-star extension operators (SURVEY §7.5): dedup, similarity
+    * search, text analysis, multimodal plumbing over documents/embeddings.
+    */
+  private def extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_dedup_exact" -> ((s, dir) =>
+      graft.ext.DedupOps.exactDedup(T(s, dir, "documents"), "text", "doc_id")),
+
+    "x02_ngram_jaccard" -> ((s, dir) =>
+      graft.ext.DedupOps.ngramJaccardPairs(
+        T(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.5)),
+
+    // xxhash64-based sketches aren't SQL-replicable → rows-only check.
+    "x03_minhash_pairs" -> ((s, dir) =>
+      graft.ext.DedupOps.minhashPairs(
+        T(s, dir, "documents"), "doc_id", "text",
+        n = 3, bands = 16, rows = 4, threshold = 0.5)),
+
+    "x04_simhash_pairs" -> ((s, dir) =>
+      graft.ext.DedupOps.simhashPairs(
+        T(s, dir, "documents"), "doc_id", "text", maxHamming = 8)),
+
+    "x05_cosine_topk" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      graft.ext.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+    },
+
+    "x06_cosine_dups" -> ((s, dir) =>
+      graft.ext.DedupOps.cosineDupPairs(
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, signBits = 6)),
+
+    "x07_ivf_topk" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      graft.ext.Similarity.ivfTopK(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, bits = 4)
+    },
+
+    "x08_lang_id" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.ext.TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "x09_quality" -> ((s, dir) =>
+      graft.ext.TextAnalysis.qualityScore(T(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "n_punct", "n_stopwords",
+          "punct_ratio", "stopword_ratio", "quality_score")),
+
+    "x10_token_count" -> ((s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+        graft.ext.TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
+
+    "x11_fingerprint" -> ((s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    "x12_multimodal_meta" -> ((s, dir) =>
+      graft.ext.Multimodal.mediaMeta(
+        graft.ext.Multimodal.withPayload(
+          T(s, dir, "documents"), "doc_id", "text"), "doc_id", stride = 64)))
+
   // ------------------------------------------------------------ oracle SQL
 
   /** Shared SQL fragments for the Meta-fixture derivation (must stay in
@@ -205,7 +273,9 @@ object SparkEntry {
     """'ad_'||user_id AS ad_id, 'as_'||(user_id%7) AS adset_id,
        'c_'||(user_id%3) AS campaign_id"""
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracles ++ extOracles
+
+  private def coreOracles: Map[String, String] = Map(
     "e1_dimension" ->
       s"""WITH raw AS (
             SELECT 'ad_'||user_id AS ad_id,
@@ -393,4 +463,167 @@ object SparkEntry {
                 count(*) AS n_events
          FROM events
          GROUP BY user_id""")
+
+  /** DuckDB oracles for the extension queries. x03/x04 (xxhash64-based
+    * sketches) are intentionally omitted — rows-only check. The FP-bearing
+    * oracles force the same sequential left-fold order as Spark's
+    * `aggregate` via list_reduce over a 0-prepended list. */
+  private def extOracles: Map[String, String] = {
+    val dotProd =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_zip(a.e, b.e), p -> p[1]*p[2])),
+           (acc, x) -> acc + x)"""
+    def norm(t: String) =
+      s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform($t.e, x -> x*x)), (acc, x) -> acc + x))"""
+    val vecs =
+      """SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+         FROM embeddings"""
+    val cosPairExpr = s"round($dotProd / (${norm("a")} * ${norm("b")}), 6)"
+
+    Map(
+      "x01_dedup_exact" ->
+        """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+           FROM documents GROUP BY text""",
+
+      "x02_ngram_jaccard" ->
+        """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                      FROM documents),
+           s AS (SELECT doc_id,
+                   list_distinct([array_to_string(toks[i+1:i+5], ' ')
+                                  for i in range(len(toks)-4)]) AS sh
+                 FROM t WHERE len(toks) >= 5),
+           e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+           sz AS (SELECT doc_id, len(sh) AS z FROM s),
+           p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        count(*) AS shared
+                 FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+           SELECT doc_a, doc_b,
+                  round(shared*1.0/(x.z + y.z - shared), 6) AS jaccard
+           FROM p JOIN sz x ON p.doc_a = x.doc_id
+                  JOIN sz y ON p.doc_b = y.doc_id
+           WHERE round(shared*1.0/(x.z + y.z - shared), 6) >= 0.5""",
+
+      "x05_cosine_topk" ->
+        s"""WITH v AS ($vecs),
+            scored AS (
+              SELECT a.vec_id AS query_id, b.vec_id, $cosPairExpr AS cos
+              FROM v a JOIN v b ON b.vec_id <> a.vec_id
+              WHERE a.vec_id < 8)
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+            FROM (SELECT query_id, vec_id, cos, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+                    AS rank
+                  FROM scored)
+            WHERE rank <= 5""",
+
+      "x06_cosine_dups" ->
+        s"""WITH v AS ($vecs),
+            b AS (SELECT vec_id, e,
+                    (CASE WHEN e[1]>=0 THEN 1 ELSE 0 END
+                   + CASE WHEN e[2]>=0 THEN 2 ELSE 0 END
+                   + CASE WHEN e[3]>=0 THEN 4 ELSE 0 END
+                   + CASE WHEN e[4]>=0 THEN 8 ELSE 0 END
+                   + CASE WHEN e[5]>=0 THEN 16 ELSE 0 END
+                   + CASE WHEN e[6]>=0 THEN 32 ELSE 0 END)::BIGINT AS b0
+                  FROM v)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   $cosPairExpr AS cos
+            FROM b a JOIN b b
+              ON a.vec_id < b.vec_id
+             AND bit_count(xor(a.b0, b.b0)) <= 1
+            WHERE $cosPairExpr >= 0.35""",
+
+      "x07_ivf_topk" ->
+        s"""WITH v AS ($vecs),
+            b AS (SELECT vec_id, e,
+                    (CASE WHEN e[1]>=0 THEN 1 ELSE 0 END
+                   + CASE WHEN e[2]>=0 THEN 2 ELSE 0 END
+                   + CASE WHEN e[3]>=0 THEN 4 ELSE 0 END
+                   + CASE WHEN e[4]>=0 THEN 8 ELSE 0 END)::BIGINT AS bucket
+                  FROM v)
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+            FROM (SELECT a.vec_id AS query_id, b.vec_id,
+                         $cosPairExpr AS cos,
+                         row_number() OVER (PARTITION BY a.vec_id
+                           ORDER BY $cosPairExpr DESC, b.vec_id ASC) AS rank
+                  FROM b a JOIN b b ON a.bucket = b.bucket
+                       AND b.vec_id <> a.vec_id
+                  WHERE a.vec_id < 8)
+            WHERE rank <= 5""",
+
+      "x08_lang_id" -> {
+        def hits(words: Seq[String]) =
+          s"""len(list_filter(toks, x -> x IN (${
+            words.map(w => s"'$w'").mkString(",")})))"""
+        val profiles = graft.ext.TextAnalysis.StopwordProfiles
+        val scores = profiles.map { case (l, ws) => s"${hits(ws)} AS s_$l" }
+          .mkString(", ")
+        val gr = s"greatest(${profiles.map(p => "s_" + p._1).mkString(",")})"
+        val cases = profiles.map { case (l, _) =>
+          s"WHEN s_$l = $gr THEN '$l'"
+        }.mkString(" ")
+        s"""WITH t AS (SELECT doc_id, lang,
+                string_split(lower(trim(text)), ' ') AS toks FROM documents),
+            s AS (SELECT doc_id, lang, $scores FROM t)
+            SELECT doc_id, lang,
+                   CASE WHEN $gr = 0 THEN 'und' $cases END AS lang_pred
+            FROM s"""
+      },
+
+      "x09_quality" ->
+        """WITH s AS (
+             SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+                 AS n_punct,
+               CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                 x -> x IN ('the','a','of','and','to','in','is','it')))
+                 AS BIGINT) AS n_stopwords
+             FROM documents),
+           r AS (
+             SELECT doc_id, n_tokens, n_punct, n_stopwords,
+               round(CASE WHEN n_chars = 0 THEN 0
+                     ELSE n_punct*1.0/n_chars END, 6) AS punct_ratio,
+               round(CASE WHEN n_tokens = 0 THEN 0
+                     ELSE n_stopwords*1.0/n_tokens END, 6) AS stopword_ratio
+             FROM s)
+           SELECT doc_id, n_tokens, n_punct, n_stopwords, punct_ratio,
+                  stopword_ratio,
+                  round(CASE WHEN n_tokens < 5 THEN 0.1
+                        ELSE 0.4*least(n_tokens/50.0, 1.0)
+                           + 0.4*least(stopword_ratio*10.0, 1.0)
+                           + 0.2*(CASE WHEN punct_ratio > 0.2 THEN 0.0
+                                  ELSE 1.0 END) END, 6) AS quality_score
+           FROM r""",
+
+      "x10_token_count" ->
+        """SELECT doc_id,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                    AS n_ws_tokens,
+                  CAST(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+           FROM documents""",
+
+      "x11_fingerprint" ->
+        """SELECT doc_id,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(trim(text), ' '),
+                        t -> (ascii(t)*131 + length(t)*137
+                              + ascii(right(t,1))*139) % 2147483647)),
+                    (acc, x) -> (acc*31 + x) % 2147483647) AS fp
+           FROM documents""",
+
+      "x12_multimodal_meta" ->
+        """SELECT doc_id,
+                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                       ELSE 'video' END AS media_kind,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                  CAST(ceil(octet_length(encode(text))/64.0) AS BIGINT)
+                    AS n_frames
+           FROM documents""")
+  }
 }

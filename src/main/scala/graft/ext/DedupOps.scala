@@ -1,0 +1,214 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication at training-data scale (SURVEY §7.5): exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. Design notes for 100 TB:
+  *
+  *  - Exact dedup shuffles a 64-bit content hash, never the document body.
+  *  - Near-dup methods all follow the sketch → band → bucket-join →
+  *    verify shape: the only shuffle moves (bucket-key, doc_id, sketch)
+  *    tuples, and candidate verification happens per bucket — no O(n²)
+  *    cross join ever materializes.
+  *  - Everything is built-in expressions (codegen'd); the MinHash
+  *    signature is a single `transform` over a literal seed array.
+  */
+object DedupOps {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact dedup: one winner (min id) per distinct key value, with the
+    * duplicate count. At scale, group on xxhash64(text) so the shuffle
+    * carries 8 bytes per row instead of the document; collisions are
+    * resolved by the (vanishingly rare) per-bucket exact compare. */
+  def exactDedup(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Scale variant: pre-hash the key so the exchange is fixed-width. */
+  def exactDedupHashed(df: DataFrame, keyCol: String, idCol: String)
+      : DataFrame =
+    df.withColumn("_h", xxhash64(col(keyCol)))
+      .groupBy(col("_h"), col(keyCol)) // keep exact compare for collisions
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  // ------------------------------------------------- n-gram Jaccard
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(c)
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs with similarity ≥ threshold.
+    * Shape: explode shingles → self-join on shingle (the bucket join) →
+    * count shared per pair → Jaccard from the three ints. The join key is
+    * a shingle hash, so the shuffle never carries text bodies. Documents
+    * shorter than n words have no shingles and can't pair. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+        shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val e = sh.select(col("doc_id"),
+      explode(col("sh")).as("s")).withColumn("s", xxhash64(col("s")))
+    val shared = e.as("a").join(e.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "sz" -> "sz_a")),
+        "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "sz" -> "sz_b")),
+        "doc_b")
+      .withColumn("jaccard",
+        round(col("shared").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("shared")).cast(DoubleType), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ------------------------------------------------------- MinHash LSH
+
+  /** Deterministic MinHash signature (k permutations of xxhash64 shingle
+    * hashes via (a_i·h + b_i) mod p). One narrow pass per document. */
+  def minhashSignature(c: Column, n: Int, k: Int): Column = {
+    // p ≈ 2^30 keeps a·h + b far below int64 overflow (ANSI-safe):
+    // h < 2^30, a < 2^8 → product < 2^38.
+    val p = lit(1000000007L)
+    val hashes = transform(shingles(c, n), s => pmod(xxhash64(s), p))
+    // Per-permutation min. Seeds are a deterministic literal table.
+    val seeds = (0 until k).map(i => (2 * i + 1).toLong)
+    array(seeds.map { a =>
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(a * 31 + 7), p)))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-dup candidate pairs, verified on signature overlap.
+    * `bands` bands of `rows` rows (k = bands·rows): a pair collides if any
+    * band signature matches; estimated Jaccard = matching positions / k.
+    * The only shuffle is the band-bucket join. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 16, rows: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val k = bands * rows
+    val sig = df
+      .select(col(idCol).as("doc_id"),
+        minhashSignature(col(textCol), n, k).as("sig"))
+      .filter(size(col("sig")) > 0 && !array_contains(
+        transform(col("sig"), x => x.isNull), lit(true)))
+    // band key = hash of the band's slice of the signature
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket",
+        xxhash64(col("band"),
+          slice(col("sig"), col("band") * rows + 1, lit(rows)).cast(StringType)))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast(DoubleType) / lit(k.toDouble), 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  // ----------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 across token
+    * hashes; bit = 1 when the sum is positive. Expressed as 64 parallel
+    * aggregates inside one `transform` — still a single narrow pass. */
+  def simhash(c: Column): Column = {
+    val toks = transform(TextAnalysis.tokens(c), t => xxhash64(t))
+    val bits = transform(sequence(lit(0), lit(63)), i =>
+      when(aggregate(toks, lit(0L),
+        (acc, h) => acc + when(call_function("shiftright", h, i)
+          .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+        > 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(63)),
+        (b, i) => call_function("shiftleft", b, i)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks
+    * (any-chunk-equal → candidate), verify with exact Hamming distance. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val sig = df.select(col(idCol).as("doc_id"),
+      simhash(col(textCol)).as("sh"))
+    val banded = sig.select(col("doc_id"), col("sh"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("chunk", call_function("shiftright", col("sh"),
+        col("band") * 16).bitwiseAND(lit(0xFFFFL)))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast(LongType)
+        .as("hamming"))
+  }
+
+  // ------------------------------------------- embedding near-dup
+
+  /** Cosine similarity of two double-array columns — sequential left-fold
+    * dot product (deterministic FP order, reproducible by an oracle). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+      (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0),
+      (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0),
+      (acc, x) => acc + x))
+    coalesce(try_divide(dot, na * nb), lit(0.0))
+  }
+
+  /** Embedding cosine near-dup pairs above `threshold`, bucketed by the
+    * sign pattern of the leading dims plus its 1-bit-flip neighbors
+    * (multi-probe) so near-identical vectors collide without an O(n²)
+    * cross join. Exact for pairs whose sign patterns differ in ≤1 of the
+    * leading `b` dims — document the recall contract. */
+  def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, signBits: Int = 6): DataFrame = {
+    val vecd = df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+    val bucketOf = (0 until signBits).map { i =>
+      when(element_at(col("v"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val base = vecd.withColumn("b0", bucketOf)
+    // multi-probe: emit own bucket + each 1-bit flip
+    val probes = base.select(col("vec_id"), col("v"), col("b0"),
+      explode(array((lit(-1) +: (0 until signBits).map(lit)): _*))
+        .as("flip"))
+      .withColumn("bucket",
+        when(col("flip") === -1, col("b0"))
+          .otherwise(col("b0").bitwiseXOR(call_function("shiftleft",
+            lit(1L), col("flip")))))
+    val own = base.select(col("vec_id"), col("v"), col("b0").as("bucket"))
+    val cand = own.as("a").join(probes.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand.withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY §7.5).
+  *
+  * 100 TB design: the query set is small and broadcast; the corpus streams
+  * through one narrow pass per query batch. Brute force is the exactness
+  * baseline (scan × |Q| dot products, then a per-query top-k — shuffle
+  * carries only (query_id, vec_id, sim) triples). The IVF variant buckets
+  * the corpus by a coarse deterministic quantizer so each query probes one
+  * bucket — the classic inverted-file trade: recall bounded by the
+  * quantizer, scan cost divided by the bucket count.
+  */
+object Similarity {
+
+  private def asDouble(c: org.apache.spark.sql.Column) =
+    transform(c, x => x.cast(DoubleType))
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding itself), rank-ordered with vec_id
+    * tiebreak. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(DedupOps.cosine(col("qv"), col("v")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), col("cos"))
+  }
+
+  /** Coarse deterministic quantizer: sign bits of the leading dims. */
+  def signBucket(vec: org.apache.spark.sql.Column, bits: Int)
+      : org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      when(element_at(vec, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** IVF-style bucketed top-k: corpus pre-bucketed by [[signBucket]];
+    * each query probes only its own bucket. Approximate by construction —
+    * neighbors in other buckets are unseen (the recall/cost dial is
+    * `bits`). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, bits: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", signBucket(col("v"), bits))
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", signBucket(col("qv"), bits))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(DedupOps.cosine(col("qv"), col("v")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), col("cos"))
+  }
+}
