@@ -54,21 +54,23 @@ object DedupOps {
     * shorter than n words have no shingles and can't pair. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"),
-        shingles(col(textCol), n).as("sh"))
+    // Carry |shingles| through the explode so set sizes ride along with
+    // the exploded rows — no separate sizes branch, no extra joins. The
+    // shingle hashing is the native TextHashExprs expression: one tight
+    // loop per row instead of per-element interpreted lambdas.
+    graft.functions.TextHashExprs.register(df.sparkSession)
+    val e = df.select(col(idCol).as("doc_id"),
+        graft.functions.TextHashExprs.shingleHashes(col(textCol), n)
+          .as("sh"))
       .filter(size(col("sh")) > 0)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-    val e = sh.select(col("doc_id"),
-      explode(col("sh")).as("s")).withColumn("s", xxhash64(col("s")))
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("s"))
     val shared = e.as("a").join(e.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("shared"))
     shared
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "sz" -> "sz_a")),
-        "doc_a")
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "sz" -> "sz_b")),
-        "doc_b")
       .withColumn("jaccard",
         round(col("shared").cast(DoubleType) /
           (col("sz_a") + col("sz_b") - col("shared")).cast(DoubleType), 6))
@@ -80,17 +82,32 @@ object DedupOps {
 
   /** Deterministic MinHash signature (k permutations of xxhash64 shingle
     * hashes via (a_i·h + b_i) mod p). One narrow pass per document. */
-  def minhashSignature(c: Column, n: Int, k: Int): Column = {
-    // p ≈ 2^30 keeps a·h + b far below int64 overflow (ANSI-safe):
-    // h < 2^30, a < 2^8 → product < 2^38.
-    val p = lit(1000000007L)
-    val hashes = transform(shingles(c, n), s => pmod(xxhash64(s), p))
-    // Per-permutation min. Seeds are a deterministic literal table.
+  // p ≈ 2^30 keeps a·h + b far below int64 overflow (ANSI-safe):
+  // h < 2^30, a < 2^8 → product < 2^38.
+  private val MinhashP = 1000000007L
+
+  /** Per-permutation minima over a pre-computed shingle-hash array.
+    * Seeds are a deterministic literal table. */
+  private def minhashFromHashes(hashes: Column, k: Int): Column = {
+    val p = lit(MinhashP)
     val seeds = (0 until k).map(i => (2 * i + 1).toLong)
     array(seeds.map { a =>
       array_min(transform(hashes, h => pmod(h * lit(a) + lit(a * 31 + 7), p)))
     }: _*)
   }
+
+  /** Deterministic MinHash signature (k permutations of xxhash64 shingle
+    * hashes via (a_i·h + b_i) mod p).
+    *
+    * PERF: higher-order functions run interpreted (CodegenFallback), and a
+    * sub-expression inlined into k lambdas is re-evaluated k times — at
+    * sf0.1 that made the one-Column formulation ~60× slower than staging.
+    * Always materialize the shingle-hash array in a projection first (as
+    * [[minhashPairs]] does); this one-Column form exists for tests/ad-hoc
+    * use on small data. */
+  def minhashSignature(c: Column, n: Int, k: Int): Column =
+    minhashFromHashes(
+      transform(shingles(c, n), s => pmod(xxhash64(s), lit(MinhashP))), k)
 
   /** MinHash+LSH near-dup candidate pairs, verified on signature overlap.
     * `bands` bands of `rows` rows (k = bands·rows): a pair collides if any
@@ -100,11 +117,16 @@ object DedupOps {
       n: Int = 3, bands: Int = 16, rows: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val k = bands * rows
+    // Native expressions: shingle-hash once per row, then the k
+    // permutation-minima in a primitive loop (see TextHashExprs scaladoc
+    // for the measured 50x over the higher-order-function formulation).
+    graft.functions.TextHashExprs.register(df.sparkSession)
     val sig = df
       .select(col(idCol).as("doc_id"),
-        minhashSignature(col(textCol), n, k).as("sig"))
-      .filter(size(col("sig")) > 0 && !array_contains(
-        transform(col("sig"), x => x.isNull), lit(true)))
+        graft.functions.TextHashExprs.minhashSig(
+          graft.functions.TextHashExprs.shingleHashes(col(textCol), n), k)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
     // band key = hash of the band's slice of the signature
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
@@ -127,11 +149,9 @@ object DedupOps {
 
   // ----------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 across token
-    * hashes; bit = 1 when the sum is positive. Expressed as 64 parallel
-    * aggregates inside one `transform` — still a single narrow pass. */
-  def simhash(c: Column): Column = {
-    val toks = transform(TextAnalysis.tokens(c), t => xxhash64(t))
+  /** 64-bit SimHash from a pre-computed token-hash array: per bit, sum ±1
+    * across token hashes; bit = 1 when the sum is positive. */
+  private def simhashFromHashes(toks: Column): Column = {
     val bits = transform(sequence(lit(0), lit(63)), i =>
       when(aggregate(toks, lit(0L),
         (acc, h) => acc + when(call_function("shiftright", h, i)
@@ -143,12 +163,20 @@ object DedupOps {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** One-Column SimHash (convenience/tests). PERF: like
+    * [[minhashSignature]], the tokenization here is re-evaluated per bit
+    * when inlined — [[simhashPairs]] stages the token-hash array first. */
+  def simhash(c: Column): Column =
+    simhashFromHashes(transform(TextAnalysis.tokens(c), t => xxhash64(t)))
+
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks
     * (any-chunk-equal → candidate), verify with exact Hamming distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8): DataFrame = {
-    val sig = df.select(col(idCol).as("doc_id"),
-      simhash(col(textCol)).as("sh"))
+    graft.functions.TextHashExprs.register(df.sparkSession)
+    val sig = df
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextHashExprs.simhash64(col(textCol)).as("sh"))
     val banded = sig.select(col("doc_id"), col("sh"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("chunk", call_function("shiftright", col("sh"),

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.sinks.Upsert
+
+/** Structured-Streaming restatement of the reference's incremental-batch
+  * contract (SURVEY §2.11): the reference re-pulls a 3-hour window daily
+  * (src/extract.py:39-41) and UPSERTs on stable keys (src/load.py:49-63) —
+  * i.e. late data is tolerated by overwrite-by-key. In streaming terms
+  * that is: watermark = allowed lateness, windowed aggregation = the daily
+  * grain, `foreachBatch` + keyed upsert = the idempotent sink.
+  *
+  * At scale this is the same plan Catalyst runs for the batch pipeline,
+  * executed incrementally: partial aggregation state lives in the state
+  * store keyed by (window, ad), and only touched date partitions are
+  * rewritten by the sink (dynamic partition overwrite).
+  */
+object EventStream {
+
+  /** Schema of `events.parquet` as a stream source (ts arrives as nanos —
+    * same nanos handling as [[graft.sources.Tables]]). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based event stream with proper timestamps. `eventsDir` is a
+    * directory of event parquet files (the streaming layout: files land,
+    * the source picks them up incrementally). */
+  def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(EventSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Windowed per-ad performance aggregation with watermark: the streaming
+    * equivalent of the E2 daily grain (1-day tumbling window ≈
+    * time_increment=1; 3-hour watermark ≈ the reference's lookback). */
+  def performanceAgg(events: DataFrame,
+      window_ : String = "1 day",
+      lateness: String = "3 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(
+        window(col("ts"), window_).as("w"),
+        concat(lit("ad_"), col("user_id")).as("ad_id"))
+      .agg(
+        count_if(col("event_type") === "view").as("total_impressions"),
+        count_if(col("event_type") === "click").as("total_clicks"),
+        round(coalesce(sum(when(col("event_type") === "click", col("value"))),
+          lit(0.0)), 2).as("total_spend"),
+        count_if(col("event_type") === "signup").as("total_leads"))
+      .select(to_date(col("w.start")).as("date_start"), col("ad_id"),
+        col("total_impressions"), col("total_clicks"), col("total_spend"),
+        col("total_leads"))
+
+  /** Sink: every micro-batch upserts on (date_start, ad_id) — the exact
+    * key contract of `ads_campaign_performance` (src/load.py:51-52),
+    * making replays and late re-emits idempotent. */
+  def upsertWriter(agg: DataFrame, targetDir: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Upsert.upsert(batch.sparkSession, targetDir, batch,
+          Seq("date_start", "ad_id"))
+      }
+      .trigger(Trigger.AvailableNow())
+}
