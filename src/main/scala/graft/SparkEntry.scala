@@ -198,6 +198,37 @@ object SparkEntry {
         .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
         .groupBy("user_id")
         .agg(sum("k").as("sum_k"), count(lit(1)).as("n_events"))
+    },
+
+    // as-of join: view-through attribution — for each click, the most
+    // recent view of the same user (union/window formulation, one shuffle).
+    "q13_asof_attribution" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id"), col("ts"))
+      graft.ops.AsOf.asofJoin(clicks, views, Seq("user_id"), "ts", "ts",
+        Map("v_id" -> "attr_view_id", "ts" -> "attr_view_ts"),
+        tieBreak = Some("attr_view_id"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("attr_view_id"),
+          date_format(col("attr_view_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("attr_view_ts"))
+    },
+
+    // sessionization: inactivity-gap sessions + per-session rollup.
+    "q14_sessionize" -> { (s, dir) =>
+      graft.ops.AsOf.sessionStats(
+        T(s, dir, "events").select("user_id", "ts"),
+        Seq("user_id"), "ts", gapSeconds = 1800L)
+        .select(col("user_id"), col("session_seq"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_end"),
+          col("duration_sec"), col("n_events"))
     })
 
   /** North-star extension operators (SURVEY §7.5): dedup, similarity
@@ -462,7 +493,44 @@ object SparkEntry {
                 sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
                 count(*) AS n_events
          FROM events
-         GROUP BY user_id""")
+         GROUP BY user_id""",
+
+    "q13_asof_attribution" ->
+      """WITH a AS (
+           SELECT c.event_id, c.user_id, c.ts,
+                  (SELECT v.event_id FROM events v
+                   WHERE v.user_id = c.user_id AND v.event_type = 'view'
+                     AND v.ts <= c.ts
+                   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1)
+                    AS attr_view_id
+           FROM events c WHERE c.event_type = 'click')
+         SELECT a.event_id, a.user_id,
+                strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                a.attr_view_id,
+                strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS attr_view_ts
+         FROM a LEFT JOIN events v ON v.event_id = a.attr_view_id""",
+
+    "q14_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+         g AS (
+           SELECT user_id, ts, sec,
+                  CASE WHEN lag(sec) OVER w IS NULL
+                         OR sec - lag(sec) OVER w > 1800
+                       THEN 1 ELSE 0 END AS ns
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts, sec,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM g)
+         SELECT user_id, session_seq,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                max(sec) - min(sec) AS duration_sec,
+                count(*) AS n_events
+         FROM s GROUP BY user_id, session_seq""")
 
   /** DuckDB oracles for the extension queries. x03/x04 (xxhash64-based
     * sketches) are intentionally omitted — rows-only check. The FP-bearing
