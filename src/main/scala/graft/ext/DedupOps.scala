@@ -214,28 +214,36 @@ object DedupOps {
     * leading `b` dims — document the recall contract. */
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, signBits: Int = 6): DataFrame = {
+    // Native dot product + norms staged once per vector (not per pair).
+    graft.functions.VectorExprs.register(df.sparkSession)
+    import graft.functions.VectorExprs.dotF64
     val vecd = df.select(col(idCol).as("vec_id"),
-      transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+        transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+      .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
     val bucketOf = (0 until signBits).map { i =>
       when(element_at(col("v"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     val base = vecd.withColumn("b0", bucketOf)
     // multi-probe: emit own bucket + each 1-bit flip
-    val probes = base.select(col("vec_id"), col("v"), col("b0"),
+    val probes = base.select(col("vec_id"), col("v"), col("nrm"), col("b0"),
       explode(array((lit(-1) +: (0 until signBits).map(lit)): _*))
         .as("flip"))
       .withColumn("bucket",
         when(col("flip") === -1, col("b0"))
           .otherwise(col("b0").bitwiseXOR(call_function("shiftleft",
             lit(1L), col("flip")))))
-    val own = base.select(col("vec_id"), col("v"), col("b0").as("bucket"))
+    val own = base.select(col("vec_id"), col("v"), col("nrm"),
+      col("b0").as("bucket"))
     val cand = own.as("a").join(probes.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+        col("a.v").as("va"), col("b.v").as("vb"),
+        col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b"))
       .dropDuplicates("vec_a", "vec_b")
-    cand.withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+    cand.withColumn("cos", round(coalesce(
+        try_divide(graft.functions.VectorExprs.dotF64(col("va"), col("vb")),
+          col("nrm_a") * col("nrm_b")), lit(0.0)), 6))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }

@@ -26,12 +26,18 @@ object Similarity {
     * tiebreak. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    import graft.functions.VectorExprs.dotF64
     val c = corpus.select(col(idCol).as("vec_id"),
-      asDouble(col(vecCol)).as("v"))
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
     val q = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"))
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnrm", sqrt(dotF64(col("qv"), col("qv"))))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(DedupOps.cosine(col("qv"), col("v")), 6))
+      .withColumn("cos", round(coalesce(
+        try_divide(dotF64(col("qv"), col("v")), col("qnrm") * col("nrm")),
+        lit(0.0)), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -53,15 +59,21 @@ object Similarity {
     * `bits`). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, bits: Int = 4): DataFrame = {
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    import graft.functions.VectorExprs.dotF64
     val c = corpus.select(col(idCol).as("vec_id"),
         asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", signBucket(col("v"), bits))
+      .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
     val q = queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", signBucket(col("qv"), bits))
+      .withColumn("qnrm", sqrt(dotF64(col("qv"), col("qv"))))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(DedupOps.cosine(col("qv"), col("v")), 6))
+      .withColumn("cos", round(coalesce(
+        try_divide(dotF64(col("qv"), col("v")), col("qnrm") * col("nrm")),
+        lit(0.0)), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))

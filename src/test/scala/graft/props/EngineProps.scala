@@ -1,0 +1,121 @@
+package graft.props
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.model.Contracts
+import graft.ops.{Actions, Conform, Metrics}
+import graft.sinks.Upsert
+
+/** Property-based invariants (SURVEY §5.3): upsert idempotence, pivot
+  * round-trip, metric invariants, conformance totality. Kept at small
+  * generator sizes — each property materializes Spark jobs. */
+object EngineProps extends Properties("graft") {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-props")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val genKv: Gen[List[(Long, String)]] =
+    Gen.listOfN(8, for {
+      k <- Gen.choose(0L, 5L)
+      v <- Gen.alphaStr.map(_.take(6))
+    } yield (k, v)).map(_.distinctBy(_._1))
+
+  property("upsert idempotence: load twice == once") = forAll(genKv) { kv =>
+    kv.isEmpty || {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_prop").resolve("t").toString
+      val src = kv.toDF("k", "v")
+      Upsert.upsert(spark, dir, src, Seq("k"))
+      Upsert.upsert(spark, dir, src, Seq("k"))
+      val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+      got == kv.toSet
+    }
+  }
+
+  private val genActions: Gen[List[(String, List[(String, Int)])]] =
+    Gen.listOfN(6, for {
+      id <- Gen.identifier.map(_.take(4))
+      acts <- Gen.listOfN(3, for {
+        t <- Gen.oneOf("lead", "purchase", "video.view", "comment")
+        v <- Gen.choose(0, 50)
+      } yield (t, v)).map(_.distinctBy(_._1))
+    } yield (id, acts))
+
+  property("pivot preserves per-type sums (explode∘pivot round-trip)") =
+    forAll(genActions) { rows =>
+      rows.isEmpty || {
+        import spark.implicits._
+        val df = rows.toDF("ad_id", "raw")
+          .withColumn("actions", expr(
+            "transform(raw, x -> named_struct('action_type', x._1, 'value', CAST(x._2 AS STRING)))"))
+          .drop("raw")
+        val types = Seq("lead", "purchase", "video.view", "comment")
+        val norm = Actions.normalizeActions(df, types)
+        // sum over wide columns == sum over exploded raw values per type
+        types.map(Actions.sanitize).forall { t =>
+          val wide = norm.agg(sum(col(t))).head.getLong(0)
+          val tall = rows.flatMap(_._2)
+            .filter(x => Actions.sanitize(x._1) == t).map(_._2.toLong).sum
+          wide == tall
+        }
+      }
+    }
+
+  private val genMetrics: Gen[List[(Double, Long, Long, Long)]] =
+    Gen.listOfN(6, for {
+      spend <- Gen.choose(0, 10000).map(_ / 100.0)
+      clicks <- Gen.choose(0L, 100L)
+      imps <- Gen.choose(0L, 1000L)
+      leads <- Gen.choose(0L, 20L)
+    } yield (spend, clicks, imps, leads))
+
+  property("metric invariant: cpc*clicks == spend; div-zero -> 0") =
+    forAll(genMetrics) { rows =>
+      rows.isEmpty || {
+        import spark.implicits._
+        val df = rows.toDF("spend", "clicks", "impressions", "lead")
+        Metrics.recalcMetrics(df).collect().forall { r =>
+          val cpc = r.getAs[Double]("cpc")
+          val clicks = r.getAs[Long]("total_clicks")
+          val spend = r.getAs[Double]("total_spend")
+          if (clicks == 0L) cpc == 0.0
+          else math.abs(cpc * clicks - spend) < 1e-6
+        }
+      }
+    }
+
+  private val genSchema: Gen[List[String]] =
+    Gen.someOf(Contracts.AdsDimension.fieldNames.toSeq ++ Seq("junk1", "junk2"))
+      .map(_.toList.distinct)
+
+  property("conformance totality: any column subset -> exact contract") =
+    forAll(genSchema) { cols =>
+      cols.isEmpty || {
+        val df = spark.createDataFrame(
+          java.util.List.of[org.apache.spark.sql.Row](),
+          StructType(cols.map(c => StructField(c, StringType))))
+        val out = Conform.conformToSchema(df, Contracts.AdsDimension)
+        out.schema.map(f => (f.name, f.dataType)) ==
+          Contracts.AdsDimension.map(f => (f.name, f.dataType))
+      }
+    }
+}
