@@ -218,6 +218,34 @@ object SparkEntry {
             .as("attr_view_ts"))
     },
 
+    // exact distinct counts (reach-style metrics, SURVEY §2.6 note).
+    "q15_distinct_counts" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count_distinct(to_date(col("ts"))).as("n_days"),
+          count(lit(1)).as("n_events"))),
+
+    // approx_count_distinct (HLL) — sketch differs from DuckDB's →
+    // rows-only check; the exact twin above is the oracle-checked one.
+    "x13_approx_distinct" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+
+    // skew-safe salted join matches the plain join (demonstrated on the
+    // events->dimension lookup; deterministic salt).
+    "q16_salted_join" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val dims = ev.select(col("user_id")).distinct()
+        .withColumn("ad_id", concat(lit("ad_"), col("user_id")))
+      graft.ops.Skew.saltedJoin(
+        ev.select("event_id", "user_id", "event_type"), dims,
+        Seq("user_id"), salts = 8)
+        .groupBy("ad_id")
+        .agg(count(lit(1)).as("n_events"))
+    },
+
     // sessionization: inactivity-gap sessions + per-session rollup.
     "q14_sessionize" -> { (s, dir) =>
       graft.ops.AsOf.sessionStats(
@@ -530,7 +558,18 @@ object SparkEntry {
                 strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
                 max(sec) - min(sec) AS duration_sec,
                 count(*) AS n_events
-         FROM s GROUP BY user_id, session_seq""")
+         FROM s GROUP BY user_id, session_seq""",
+
+    "q15_distinct_counts" ->
+      """SELECT event_type,
+                count(DISTINCT user_id) AS n_users,
+                count(DISTINCT CAST(ts AS DATE)) AS n_days,
+                count(*) AS n_events
+         FROM events GROUP BY event_type""",
+
+    "q16_salted_join" ->
+      """SELECT 'ad_'||user_id AS ad_id, count(*) AS n_events
+         FROM events GROUP BY user_id""")
 
   /** DuckDB oracles for the extension queries. x03/x04 (xxhash64-based
     * sketches) are intentionally omitted — rows-only check. The FP-bearing

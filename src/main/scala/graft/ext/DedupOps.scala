@@ -133,13 +133,18 @@ object DedupOps {
       .withColumn("bucket",
         xxhash64(col("band"),
           slice(col("sig"), col("band") * rows + 1, lit(rows)).cast(StringType)))
+    // Distinct the candidate id pairs FIRST (hash aggregate over longs),
+    // then re-attach signatures — never sorts array payloads.
     val cand = banded.as("a").join(banded.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     cand
+      .join(sig.withColumnsRenamed(Map("doc_id" -> "doc_a", "sig" -> "sig_a")),
+        "doc_a")
+      .join(sig.withColumnsRenamed(Map("doc_id" -> "doc_b", "sig" -> "sig_b")),
+        "doc_b")
       .withColumn("est_jaccard", round(
         size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), b => b)).cast(DoubleType) / lit(k.toDouble), 6))
@@ -232,16 +237,22 @@ object DedupOps {
         when(col("flip") === -1, col("b0"))
           .otherwise(col("b0").bitwiseXOR(call_function("shiftleft",
             lit(1L), col("flip")))))
-    val own = base.select(col("vec_id"), col("v"), col("nrm"),
-      col("b0").as("bucket"))
-    val cand = own.as("a").join(probes.as("b"),
+    val own = base.select(col("vec_id"), col("b0").as("bucket"))
+    val probeKeys = probes.select(col("vec_id"), col("bucket"))
+    // Distinct candidate id pairs first (hash agg over longs), then
+    // re-attach vectors + precomputed norms for verification.
+    val cand = own.as("a").join(probeKeys.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.v").as("va"), col("b.v").as("vb"),
-        col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b"))
-      .dropDuplicates("vec_a", "vec_b")
-    cand.withColumn("cos", round(coalesce(
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val side = vecd.select(col("vec_id"), col("v"), col("nrm"))
+    cand
+      .join(side.withColumnsRenamed(
+        Map("vec_id" -> "vec_a", "v" -> "va", "nrm" -> "nrm_a")), "vec_a")
+      .join(side.withColumnsRenamed(
+        Map("vec_id" -> "vec_b", "v" -> "vb", "nrm" -> "nrm_b")), "vec_b")
+      .withColumn("cos", round(coalesce(
         try_divide(graft.functions.VectorExprs.dotF64(col("va"), col("vb")),
           col("nrm_a") * col("nrm_b")), lit(0.0)), 6))
       .filter(col("cos") >= threshold)
