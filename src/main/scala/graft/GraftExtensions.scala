@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{TextHashExprs, VectorExprs}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * functions so any session built with
+  * `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.GraftExtensions`) can call them from SQL
+  * directly — the idiomatic registration path for a library
+  * (SURVEY §7.3; the per-DataFrame `register()` calls remain for
+  * sessions we don't construct).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes",
+        "graft_shingle_hashes(text, n) - hashes of distinct word n-grams"),
+      (es: Seq[Expression]) => TextHashExprs.ShingleHashes(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig",
+        "graft_minhash_sig(hashes, k) - k-permutation MinHash signature"),
+      (es: Seq[Expression]) => TextHashExprs.MinHashSig(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(text) - 64-bit SimHash"),
+      (es: Seq[Expression]) => TextHashExprs.SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_dot_f64"),
+      info("graft_dot_f64",
+        "graft_dot_f64(a, b) - sequential double-array dot product"),
+      (es: Seq[Expression]) => VectorExprs.DotF64(es.head, es(1))))
+  }
+}

@@ -246,6 +246,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
     },
 
+    // DSv2 connector scan (S1/S4-S6): status filter pushed server-side,
+    // nested structs flattened, dimension built via keep-last dedup —
+    // E1 running through the real connector stack instead of fixtures.
+    "q17_dsv2_dimension" -> { (s, dir) =>
+      val raw = s.read.format("graft-meta")
+        .option("rows", 5000).option("pageSize", 1000).load()
+        .filter(col("effective_status")
+          .isin("ACTIVE", "PAUSED", "PENDING_REVIEW"))
+      val flat = raw
+        .withColumnsRenamed(Map("id" -> "ad_id", "name" -> "ad_name"))
+        .withColumn("adset_name", col("adset.name"))
+        .withColumn("adset_id", col("adset.id"))
+        .withColumn("campaign_name", col("campaign.name"))
+        .withColumn("campaign_id", col("campaign.id"))
+        .drop("adset", "campaign")
+      Conform.conformToSchema(
+        Dedup.keepLast(flat, Seq("ad_id"), "_ingest_order"),
+        graft.model.Contracts.AdsDimension)
+    },
+
     // sessionization: inactivity-gap sessions + per-session rollup.
     "q14_sessionize" -> { (s, dir) =>
       graft.ops.AsOf.sessionStats(
@@ -569,7 +589,29 @@ object SparkEntry {
 
     "q16_salted_join" ->
       """SELECT 'ad_'||user_id AS ad_id, count(*) AS n_events
-         FROM events GROUP BY user_id""")
+         FROM events GROUP BY user_id""",
+
+    "q17_dsv2_dimension" ->
+      """WITH raw AS (
+           SELECT 'ad_'||(i%150) AS ad_id,
+                  'ad '||(i%150)||' v'||(i%3) AS ad_name,
+                  'as_'||((i%150)%7) AS adset_id,
+                  'adset '||((i%150)%7) AS adset_name,
+                  'c_'||((i%150)%3) AS campaign_id,
+                  'campaign '||((i%150)%3) AS campaign_name,
+                  i AS ingest_order,
+                  CASE i%4 WHEN 0 THEN 'ACTIVE' WHEN 1 THEN 'PAUSED'
+                       WHEN 2 THEN 'PENDING_REVIEW'
+                       ELSE 'DISAPPROVED' END AS status
+           FROM range(0, 5000) t(i)),
+         f AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY ad_id ORDER BY ingest_order DESC) AS rn
+           FROM raw
+           WHERE status IN ('ACTIVE','PAUSED','PENDING_REVIEW'))
+         SELECT ad_id, ad_name, adset_id, adset_name, campaign_id,
+                campaign_name
+         FROM f WHERE rn = 1""")
 
   /** DuckDB oracles for the extension queries. x03/x04 (xxhash64-based
     * sketches) are intentionally omitted — rows-only check. The FP-bearing
