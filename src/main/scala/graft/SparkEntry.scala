@@ -266,6 +266,23 @@ object SparkEntry {
         graft.model.Contracts.AdsDimension)
     },
 
+    // S7/A2 aggregate pushdown through the DSv2 connector: the GROUP BY is
+    // answered "server-side" (SupportsPushDownAggregates complete
+    // pushdown) — the engine restatement of the reference asking the API
+    // to pre-aggregate via level/time_increment/breakdowns params.
+    "q18_dsv2_pushagg" -> { (s, dir) =>
+      s.read.format("graft-meta")
+        .option("rows", 5000).option("pageSize", 1000).load()
+        .filter(col("effective_status")
+          .isin("ACTIVE", "PAUSED", "PENDING_REVIEW"))
+        .groupBy("effective_status")
+        .agg(count(lit(1)).as("n_ads"),
+          count_distinct(col("id")).as("n_distinct_ads"),
+          min(col("_ingest_order")).as("first_ingest"),
+          max(col("_ingest_order")).as("last_ingest"),
+          sum(col("_ingest_order")).as("sum_ingest"))
+    },
+
     // sessionization: inactivity-gap sessions + per-session rollup.
     "q14_sessionize" -> { (s, dir) =>
       graft.ops.AsOf.sessionStats(
@@ -611,7 +628,21 @@ object SparkEntry {
            WHERE status IN ('ACTIVE','PAUSED','PENDING_REVIEW'))
          SELECT ad_id, ad_name, adset_id, adset_name, campaign_id,
                 campaign_name
-         FROM f WHERE rn = 1""")
+         FROM f WHERE rn = 1""",
+
+    "q18_dsv2_pushagg" ->
+      """WITH raw AS (
+           SELECT 'ad_'||(i%150) AS id, i,
+                  CASE i%4 WHEN 0 THEN 'ACTIVE' WHEN 1 THEN 'PAUSED'
+                       WHEN 2 THEN 'PENDING_REVIEW'
+                       ELSE 'DISAPPROVED' END AS status
+           FROM range(0, 5000) t(i))
+         SELECT status AS effective_status, count(*) AS n_ads,
+                count(DISTINCT id) AS n_distinct_ads,
+                min(i) AS first_ingest, max(i) AS last_ingest,
+                CAST(sum(i) AS BIGINT) AS sum_ingest
+         FROM raw WHERE status IN ('ACTIVE','PAUSED','PENDING_REVIEW')
+         GROUP BY 1""")
 
   /** DuckDB oracles for the extension queries. x03/x04 (xxhash64-based
     * sketches) are intentionally omitted — rows-only check. The FP-bearing

@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, FieldReference, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types._
@@ -30,7 +31,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    and evaluated "server-side" (inside the reader, before rows are
   *    emitted) — the DSv2 restatement of the API's filtering param;
   *  - **SupportsPushDownRequiredColumns**: the reader materializes only
-  *    requested fields — the `fields=` list.
+  *    requested fields — the `fields=` list;
+  *  - **SupportsPushDownLimit**: page scans stop emitting once the limit
+  *    is satisfied — the cursor is never advanced past what the query
+  *    needs (per-partition cap; Spark re-applies the global limit);
+  *  - **SupportsPushDownAggregates** (complete pushdown): GROUP BY +
+  *    COUNT/COUNT DISTINCT/MIN/MAX/SUM over flat columns are answered by
+  *    the "server" — the DSv2 restatement of the reference's
+  *    `level`/`time_increment`/`breakdowns` params asking the API to
+  *    pre-aggregate (extract.py:199-207, SURVEY §4 "aggregate pushdown").
   *
   * The "remote API" itself is a deterministic generator (pure arithmetic
   * on the row index — this environment has no egress), so query results
@@ -85,12 +94,39 @@ class MetaAdsTable(rows: Long, pageSize: Int) extends Table
       : ScanBuilder = new MetaScanBuilder(rows, pageSize)
 }
 
+/** One pushed-down aggregate function over a flat column. `col = None` is
+  * COUNT(*). Result types follow the evaluation: counts → Long, SUM(Long)
+  * → Long, MIN/MAX → the column's own type (Spark casts the scan output to
+  * the Catalyst result type itself for complete pushdown). */
+private[v2] case class PushedAggFunc(kind: String, col: Option[String],
+    distinct: Boolean) {
+  def resultType: DataType = kind match {
+    case "count" => LongType
+    case "sum" => LongType
+    case _ => // min/max preserve the column type
+      MetaSource.AdsSchema(col.get).dataType
+  }
+  override def toString: String =
+    s"$kind(${if (distinct) "DISTINCT " else ""}${col.getOrElse("*")})"
+}
+
+private[v2] case class PushedAggregation(groupCols: Seq[String],
+    funcs: Seq[PushedAggFunc]) {
+  def outputSchema: StructType = StructType(
+    groupCols.map(c => MetaSource.AdsSchema(c)) ++
+      funcs.zipWithIndex.map { case (f, i) =>
+        StructField(s"agg_$i(${f.toString})", f.resultType) })
+}
+
 class MetaScanBuilder(rows: Long, pageSize: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var required: StructType = MetaSource.AdsSchema
   private var statusFilter: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+  private var agg: Option[PushedAggregation] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -114,32 +150,96 @@ class MetaScanBuilder(rows: Long, pageSize: Int) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // after a complete aggregate pushdown the output schema is fixed by
+    // the aggregation; column pruning no longer applies
+    if (agg.isEmpty) required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  // each page caps its own cursor at n; Spark re-applies the global limit
+  override def isPartiallyPushed: Boolean = true
+
+  /** Flat (non-struct) column name, or None if unsupported. */
+  private def flatCol(e: V2Expression): Option[String] = e match {
+    case ref: NamedReference if ref.fieldNames.length == 1 &&
+        MetaSource.AdsSchema.fieldNames.contains(ref.fieldNames.head) &&
+        !MetaSource.AdsSchema(ref.fieldNames.head).dataType
+          .isInstanceOf[StructType] =>
+      Some(ref.fieldNames.head)
+    case _ => None
+  }
+
+  private def translate(a: Aggregation): Option[PushedAggregation] = {
+    val groups = a.groupByExpressions.toSeq.map(flatCol)
+    val funcs = a.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(PushedAggFunc("count", None, distinct = false))
+      case c: Count =>
+        flatCol(c.column).map(n =>
+          PushedAggFunc("count", Some(n), c.isDistinct))
+      case m: Min => flatCol(m.column).map(c =>
+        PushedAggFunc("min", Some(c), distinct = false))
+      case m: Max => flatCol(m.column).map(c =>
+        PushedAggFunc("max", Some(c), distinct = false))
+      case s: Sum if !s.isDistinct => flatCol(s.column).collect {
+        // SUM only over the long cursor column — string sums stay unpushed
+        case c if MetaSource.AdsSchema(c).dataType == LongType =>
+          PushedAggFunc("sum", Some(c), distinct = false)
+      }
+      case _ => None
+    }
+    if (groups.forall(_.isDefined) && funcs.forall(_.isDefined) &&
+        funcs.nonEmpty)
+      Some(PushedAggregation(groups.flatten, funcs.flatten))
+    else None
+  }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    translate(a).isDefined
+
+  override def pushAggregation(a: Aggregation): Boolean =
+    translate(a) match {
+      case some @ Some(_) => agg = some; true
+      case None => false
+    }
 
   override def build(): Scan = new MetaScan(rows, pageSize, required,
-    statusFilter)
+    statusFilter, limit, agg)
 }
 
 class MetaScan(rows: Long, pageSize: Int, required: StructType,
-    statusFilter: Option[Set[String]]) extends Scan with Batch {
+    statusFilter: Option[Set[String]], limit: Option[Int] = None,
+    agg: Option[PushedAggregation] = None) extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    agg.map(_.outputSchema).getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-meta ads scan, PushedStatusFilter=${statusFilter.getOrElse("-")}" +
-      s", ReadSchema=${required.fieldNames.mkString(",")}"
+      s", ReadSchema=${readSchema().fieldNames.mkString(",")}" +
+      limit.map(n => s", PushedLimit=$n").getOrElse("") +
+      agg.map(a => s", PushedAggregation=[${a.groupCols.mkString(",")} -> " +
+        s"${a.funcs.mkString(",")}]").getOrElse("")
 
-  override def planInputPartitions(): Array[InputPartition] =
-    (0L until rows by pageSize.toLong)
-      .map(s => MetaAdsPage(s, math.min(s + pageSize, rows)))
-      .toArray[InputPartition]
+  override def planInputPartitions(): Array[InputPartition] = agg match {
+    // complete aggregate pushdown: the "server" answers with one page of
+    // pre-aggregated rows (exactly what /insights does with level/
+    // breakdowns params) — a single partition carrying group rows, whose
+    // count is bounded by the key-space, not the cursor length
+    case Some(_) => Array(MetaAdsPage(0L, rows))
+    case None =>
+      (0L until rows by pageSize.toLong)
+        .map(s => MetaAdsPage(s, math.min(s + pageSize, rows)))
+        .toArray[InputPartition]
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MetaReaderFactory(required, statusFilter)
+    new MetaReaderFactory(required, statusFilter, limit, agg)
 
   /** Test/inspection hooks. */
   def pushedStatusFilter: Option[Set[String]] = statusFilter
   def requiredColumns: Seq[String] = required.fieldNames.toSeq
+  def pushedLimit: Option[Int] = limit
+  def pushedAggregation: Option[String] =
+    agg.map(a => s"${a.groupCols.mkString(",")} -> ${a.funcs.mkString(",")}")
 }
 
 /** One cursor page. */
@@ -162,13 +262,107 @@ object MetaAdsPage {
 }
 
 class MetaReaderFactory(required: StructType,
-    statusFilter: Option[Set[String]]) extends PartitionReaderFactory {
+    statusFilter: Option[Set[String]], limit: Option[Int] = None,
+    agg: Option[PushedAggregation] = None) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val page = partition.asInstanceOf[MetaAdsPage]
+    agg match {
+      case Some(a) => aggReader(page, a)
+      case None => rowReader(page)
+    }
+  }
+
+  /** Complete-pushdown reader: the emulated server scans its own store,
+    * applies the pushed filter, aggregates per group key, and returns one
+    * page of group rows (insertion-ordered for determinism). */
+  private def aggReader(page: MetaAdsPage, a: PushedAggregation)
+      : PartitionReader[InternalRow] = {
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Any], Array[Any]]
+    var i = page.start
+    while (i < page.end) {
+      val rec = MetaAdsPage.record(i)
+      if (statusFilter.forall(_.contains(
+          rec("effective_status").asInstanceOf[String]))) {
+        val key = a.groupCols.map(rec)
+        val accs = groups.getOrElseUpdate(key,
+          a.funcs.map(f => f.kind match {
+            case "count" if f.distinct =>
+              scala.collection.mutable.HashSet.empty[Any]
+            case "count" | "sum" => java.lang.Long.valueOf(0L)
+            case _ => null // min/max start empty
+          }).toArray[Any])
+        a.funcs.zipWithIndex.foreach { case (f, j) =>
+          val v = f.col.map(rec).orNull
+          f.kind match {
+            case "count" if f.distinct =>
+              accs(j).asInstanceOf[scala.collection.mutable.HashSet[Any]] += v
+            case "count" =>
+              accs(j) = java.lang.Long.valueOf(
+                accs(j).asInstanceOf[java.lang.Long] + 1L)
+            case "sum" =>
+              accs(j) = java.lang.Long.valueOf(
+                accs(j).asInstanceOf[java.lang.Long] + v.asInstanceOf[Long])
+            case "min" | "max" =>
+              val better = accs(j) == null || ((v, accs(j)) match {
+                case (x: String, cur: String) =>
+                  if (f.kind == "min") x < cur else x > cur
+                case (x: Long, cur: Long) =>
+                  if (f.kind == "min") x < cur else x > cur
+                case _ => false
+              })
+              if (better) accs(j) = v
+          }
+        }
+      }
+      i += 1
+    }
+    // a global aggregate (no GROUP BY) over zero matching rows still
+    // returns one row: count = 0, sum/min/max = null (ANSI semantics)
+    if (a.groupCols.isEmpty && groups.isEmpty)
+      groups(Nil) = a.funcs.map(f => f.kind match {
+        case "count" if f.distinct =>
+          scala.collection.mutable.HashSet.empty[Any]
+        case "count" => java.lang.Long.valueOf(0L)
+        case _ => null // sum/min/max over empty input
+      }).toArray[Any]
+    val out = groups.iterator.map { case (key, accs) =>
+      val groupVals = key.map {
+        case s: String => UTF8String.fromString(s)
+        case l: Long => java.lang.Long.valueOf(l)
+        case other => other
+      }
+      val aggVals = a.funcs.zipWithIndex.map { case (f, j) =>
+        f.kind match {
+          case "count" if f.distinct => java.lang.Long.valueOf(
+            accs(j).asInstanceOf[scala.collection.mutable.HashSet[Any]]
+              .size.toLong)
+          case "count" | "sum" => accs(j)
+          case _ => accs(j) match {
+            case s: String => UTF8String.fromString(s)
+            case other => other
+          }
+        }
+      }
+      new GenericInternalRow(
+        (groupVals ++ aggVals).toArray[Any]): InternalRow
+    }
+    val capped = limit.map(out.take).getOrElse(out)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        capped.hasNext && { current = capped.next(); true }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+
+  private def rowReader(page: MetaAdsPage): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var i = page.start - 1
+      private var emitted = 0
       private var current: InternalRow = _
 
       private def toRow(rec: Map[String, Any]): InternalRow = {
@@ -191,6 +385,9 @@ class MetaReaderFactory(required: StructType,
       }
 
       override def next(): Boolean = {
+        // pushed limit: stop advancing the cursor once this page has
+        // yielded enough rows (Spark re-applies the global limit)
+        if (limit.exists(emitted >= _)) return false
         var found = false
         while (!found && i + 1 < page.end) {
           i += 1
@@ -199,6 +396,7 @@ class MetaReaderFactory(required: StructType,
           if (statusFilter.forall(_.contains(
               rec("effective_status").asInstanceOf[String]))) {
             current = toRow(rec)
+            emitted += 1
             found = true
           }
         }
@@ -207,5 +405,4 @@ class MetaReaderFactory(required: StructType,
       override def get(): InternalRow = current
       override def close(): Unit = ()
     }
-  }
 }

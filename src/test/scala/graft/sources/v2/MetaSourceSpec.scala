@@ -1,7 +1,7 @@
 package graft.sources.v2
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -12,10 +12,11 @@ class MetaSourceSpec extends SparkSpec {
     spark.read.format("graft-meta")
       .option("rows", rows).option("pageSize", pageSize).load()
 
+  // the optimized logical plan (pushdown already applied) is AQE-agnostic
   private def scanOf(df: DataFrame): MetaScan =
-    df.queryExecution.executedPlan.collectFirst {
-      case b: BatchScanExec => b.scan.asInstanceOf[MetaScan]
-    }.getOrElse(fail("no BatchScanExec in plan"))
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r.scan.asInstanceOf[MetaScan]
+    }.getOrElse(fail("no DataSourceV2ScanRelation in plan"))
 
   test("short name resolves and pages become input partitions") {
     val df = read(rows = 1000, pageSize = 100)
@@ -51,5 +52,58 @@ class MetaSourceSpec extends SparkSpec {
       .select(col("adset.name").as("an"), col("campaign.id").as("ci"))
       .head
     assert(r.getString(0) == "adset 0" && r.getString(1) == "c_0")
+  }
+
+  test("limit is pushed into the page cursor") {
+    val df = read(rows = 1000, pageSize = 100).limit(7)
+    assert(scanOf(df).pushedLimit.contains(7))
+    assert(df.count() == 7)
+  }
+
+  test("group-by count is answered server-side (complete agg pushdown)") {
+    val df = read(rows = 1000, pageSize = 100)
+      .groupBy("effective_status").count()
+    val scan = scanOf(df)
+    assert(scan.pushedAggregation.isDefined,
+      "aggregation was not pushed to the source")
+    // one pre-aggregated server page, not 10 cursor pages
+    assert(df.rdd.getNumPartitions == 1)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == MetaSource.Statuses.map(_ -> 250L).toMap)
+  }
+
+  test("pushed filter feeds the pushed aggregate (server-side compose)") {
+    val df = read(rows = 1000, pageSize = 100)
+      .filter(col("effective_status").isin("ACTIVE", "PAUSED"))
+      .groupBy("effective_status").count()
+    val scan = scanOf(df)
+    assert(scan.pushedStatusFilter.contains(Set("ACTIVE", "PAUSED")))
+    assert(scan.pushedAggregation.isDefined)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ACTIVE" -> 250L, "PAUSED" -> 250L))
+  }
+
+  test("global min/max/sum/count-distinct push complete") {
+    val df = read(rows = 1000, pageSize = 100).agg(
+      min("_ingest_order").as("lo"), max("_ingest_order").as("hi"),
+      sum("_ingest_order").as("tot"), count_distinct(col("id")).as("ads"))
+    assert(scanOf(df).pushedAggregation.isDefined)
+    val r = df.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 999L)
+    assert(r.getLong(2) == 999L * 1000L / 2 && r.getLong(3) == 150L)
+  }
+
+  test("avg is pushed via Spark's sum/count rewrite") {
+    val df = read(rows = 1000, pageSize = 100)
+      .agg(avg("_ingest_order").as("mean"))
+    assert(scanOf(df).pushedAggregation
+      .contains(" -> sum(_ingest_order),count(_ingest_order)"))
+    assert(df.head.getDouble(0) == 499.5)
+  }
+
+  test("struct group-by stays unpushed and still correct") {
+    val df = read(rows = 1000, pageSize = 100).groupBy("adset").count()
+    assert(scanOf(df).pushedAggregation.isEmpty)
+    assert(df.count() == 7) // user%7 adsets
   }
 }
