@@ -555,7 +555,8 @@ object SparkEntry {
 
     "q12_json_extract" ->
       """SELECT user_id,
-                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS BIGINT) AS sum_k,
                 count(*) AS n_events
          FROM events
          GROUP BY user_id""",
@@ -587,8 +588,9 @@ object SparkEntry {
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
          s AS (
            SELECT user_id, ts, sec,
-                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS session_seq
+                  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS session_seq
            FROM g)
          SELECT user_id, session_seq,
                 strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

@@ -296,7 +296,9 @@ class MetaReaderFactory(required: StructType,
           }).toArray[Any])
         a.funcs.zipWithIndex.foreach { case (f, j) =>
           val v = f.col.map(rec).orNull
-          f.kind match {
+          // SQL semantics: COUNT(col)/COUNT(DISTINCT col)/SUM/MIN/MAX
+          // ignore nulls; only COUNT(*) (f.col empty) counts every row.
+          if (v != null || f.col.isEmpty) f.kind match {
             case "count" if f.distinct =>
               accs(j).asInstanceOf[scala.collection.mutable.HashSet[Any]] += v
             case "count" =>
@@ -308,7 +310,11 @@ class MetaReaderFactory(required: StructType,
             case "min" | "max" =>
               val better = accs(j) == null || ((v, accs(j)) match {
                 case (x: String, cur: String) =>
-                  if (f.kind == "min") x < cur else x > cur
+                  // UTF-8 binary order, matching Spark's UTF8String
+                  // comparison (not UTF-16 code-unit order).
+                  val c = UTF8String.fromString(x)
+                    .compareTo(UTF8String.fromString(cur))
+                  if (f.kind == "min") c < 0 else c > 0
                 case (x: Long, cur: Long) =>
                   if (f.kind == "min") x < cur else x > cur
                 case _ => false

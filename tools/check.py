@@ -62,6 +62,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"  ✗ {name}: ROWS got={len(got)} want={len(want)}")
             n_fail += 1
             continue
+        # kind-strict: the driver hashes raw values, so int64 vs float64
+        # (e.g. DuckDB HUGEINT sums) is a real mismatch even when values
+        # compare equal under pandas coercion.
+        kinds_got = [df.dtypes[c].kind for c, df in
+                     ((c, got) for c in got.columns)]
+        kinds_want = [want.dtypes[c].kind for c in want.columns]
+        if kinds_got != kinds_want:
+            print(f"  ✗ {name}: DTYPES got={dict(got.dtypes.astype(str))} "
+                  f"want={dict(want.dtypes.astype(str))}")
+            n_fail += 1
+            continue
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=True)
