@@ -294,7 +294,105 @@ object SparkEntry {
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
             .as("session_end"),
           col("duration_sec"), col("n_events"))
-    })
+    },
+
+    // K1/K2/K5 upsert sink run end-to-end: an initial load (old pipeline
+    // version, purchases missing) then a corrected overlapping re-load;
+    // the partitioned dynamic-overwrite merge path is exercised for real,
+    // and the final table read back is the query result.
+    "q19_upsert_merge" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      def grain(df: DataFrame): DataFrame =
+        df.groupBy(to_date(col("ts")).as("event_date"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(coalesce(sum("value"), lit(0.0)), 2).as("sum_value"))
+      val oldBatch = grain(ev.filter(
+        col("ts") < lit("2024-01-15").cast(TimestampType) &&
+          col("event_type") =!= "purchase"))
+      val newBatch = grain(ev.filter(
+        col("ts") >= lit("2024-01-10").cast(TimestampType)))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_upsert").toString + "/t"
+      graft.sinks.Upsert.upsert(s, tmp, oldBatch,
+        Seq("event_date", "user_id"), Seq("event_date"))
+      graft.sinks.Upsert.upsert(s, tmp, newBatch,
+        Seq("event_date", "user_id"), Seq("event_date"))
+      s.read.parquet(tmp)
+        .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+          col("user_id"), col("n_events"), col("sum_value"))
+    },
+
+    // §2.11 Structured Streaming for real: file stream → watermark →
+    // 1-day tumbling window agg → foreachBatch keyed upsert
+    // (Trigger.AvailableNow), then the sink table is the result.
+    "q20_stream_tumbling" -> { (s, dir) =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream").toString
+      // glob, not bare file: the file stream source requires a directory
+      // or glob path (it infers basePath from it)
+      val events = graft.streaming.EventStream
+        .readEvents(s, dir + "/events*.parquet")
+      val agg = graft.streaming.EventStream.performanceAgg(events)
+      val q = graft.streaming.EventStream.upsertWriter(agg, base + "/perf")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      s.read.parquet(base + "/perf")
+        .select(date_format(col("date_start"), "yyyy-MM-dd").as("date_start"),
+          col("ad_id"), col("total_impressions"), col("total_clicks"),
+          col("total_spend"), col("total_leads"))
+    },
+
+    // multi-level aggregation: ROLLUP with grouping_id.
+    "q21_rollup" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_items")
+    },
+
+    // multi-level aggregation: CUBE over orders.
+    "q22_cube" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders",
+          "sum_price")
+    },
+
+    // interval (range) join, bucketized: clicks in the hour before each
+    // purchase — O(window/bucket) work per row, no per-key cross product.
+    "q23_range_join" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      graft.ops.RangeJoin.intervalJoin(purchases, clicks, Seq("user_id"),
+        "p_ts", "c_ts", before = 3600L * 1000000L, after = 0L,
+        tick = unix_micros)
+        .groupBy("purchase_id", "user_id")
+        .agg(count(lit(1)).as("n_clicks_1h"),
+          max(col("c_ts")).as("last_click_ts"))
+        .select(col("purchase_id"), col("user_id"), col("n_clicks_1h"),
+          date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("last_click_ts"))
+    },
+
+    // exact percentiles (interpolated), per group.
+    "q24_percentiles" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          count(col("value")).as("n_valued"))))
 
   /** North-star extension operators (SURVEY §7.5): dedup, similarity
     * search, text analysis, multimodal plumbing over documents/embeddings.
@@ -631,6 +729,81 @@ object SparkEntry {
          SELECT ad_id, ad_name, adset_id, adset_name, campaign_id,
                 campaign_name
          FROM f WHERE rn = 1""",
+
+    "q19_upsert_merge" ->
+      """WITH o AS (
+           SELECT CAST(ts AS DATE) AS d, user_id, count(*) AS n_events,
+                  round(coalesce(sum(value), 0), 2) AS sum_value
+           FROM events
+           WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+             AND event_type <> 'purchase'
+           GROUP BY 1, 2),
+         n AS (
+           SELECT CAST(ts AS DATE) AS d, user_id, count(*) AS n_events,
+                  round(coalesce(sum(value), 0), 2) AS sum_value
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           GROUP BY 1, 2),
+         m AS (
+           SELECT * FROM n
+           UNION ALL
+           SELECT o.* FROM o
+           WHERE NOT EXISTS (SELECT 1 FROM n
+                             WHERE n.d = o.d AND n.user_id = o.user_id))
+         SELECT strftime(d, '%Y-%m-%d') AS event_date, user_id, n_events,
+                sum_value
+         FROM m""",
+
+    "q20_stream_tumbling" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date_start,
+                'ad_'||user_id AS ad_id,
+                count(*) FILTER (WHERE event_type='view')
+                  AS total_impressions,
+                count(*) FILTER (WHERE event_type='click') AS total_clicks,
+                round(coalesce(sum(value) FILTER (WHERE event_type='click'),
+                  0), 2) AS total_spend,
+                count(*) FILTER (WHERE event_type='signup') AS total_leads
+         FROM events
+         GROUP BY 1, 2""",
+
+    "q21_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_qty,
+                count(*) AS n_items
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q22_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+                  AS gid,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_price
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    "q23_range_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+                count(*) AS n_clicks_1h,
+                strftime(max(c.ts), '%Y-%m-%d %H:%M:%S') AS last_click_ts
+         FROM events p
+         JOIN events c
+           ON c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         WHERE p.event_type = 'purchase'
+         GROUP BY 1, 2""",
+
+    "q24_percentiles" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.25), 6) AS p25,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.9), 6) AS p90,
+                count(value) AS n_valued
+         FROM events
+         GROUP BY event_type""",
 
     "q18_dsv2_pushagg" ->
       """WITH raw AS (
