@@ -392,7 +392,45 @@ object SparkEntry {
           round(expr("percentile(value, 0.25)"), 6).as("p25"),
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.9)"), 6).as("p90"),
-          count(col("value")).as("n_valued"))))
+          count(col("value")).as("n_valued"))),
+
+    // running aggregates: cumulative sum (integer-exact cents — immune to
+    // fold-order fp drift), inter-event gap (lag), next event (lead).
+    "q25_running_total" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          sum(floor(coalesce(col("value"), lit(0.0)) * 100).cast(LongType))
+            .over(run).as("running_cents"),
+          (col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w))
+            .as("gap_sec"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+    },
+
+    // SCD Type-2 history build: collapse per-user event_type runs into
+    // validity intervals [valid_from, valid_to) with an is_current flag —
+    // the standard dimension-history op the reference's daily UPSERT
+    // flattens away.
+    "q26_scd2" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val changes = T(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("_prev", lag(col("event_type"), 1).over(w))
+        .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      changes
+        .withColumn("valid_to_ts", lead(col("ts"), 1).over(w2))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"))
+    })
 
   /** North-star extension operators (SURVEY §7.5): dedup, similarity
     * search, text analysis, multimodal plumbing over documents/embeddings.
@@ -804,6 +842,41 @@ object SparkEntry {
                 count(value) AS n_valued
          FROM events
          GROUP BY event_type""",
+
+    "q25_running_total" ->
+      """SELECT user_id, event_id,
+                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                CAST(sum(CAST(floor(coalesce(value, 0)*100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS running_cents,
+                CAST(floor(epoch(ts)) AS BIGINT)
+                  - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS gap_sec,
+                lead(event_type, 1)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS next_type
+         FROM events""",
+
+    "q26_scd2" ->
+      """WITH c AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lag(event_type, 1) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         runs AS (
+           SELECT user_id, event_type, ts, event_id
+           FROM c WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type,
+                strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                strftime(lead(ts, 1) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id),
+                  '%Y-%m-%d %H:%M:%S') AS valid_to,
+                (lead(ts, 1) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+                  AS is_current
+         FROM runs""",
 
     "q18_dsv2_pushagg" ->
       """WITH raw AS (

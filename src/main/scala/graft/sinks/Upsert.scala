@@ -56,6 +56,10 @@ object Upsert {
         keys.toIndexedSeq, "left_anti")
       val merged = kept.unionByName(source.select(target.columns.toIndexedSeq
         .map(col): _*))
+        // one shuffle partition per table partition → one file per
+        // partition per write, instead of shuffle.partitions small files
+        // accumulating under every date dir (the 100 TB small-files trap)
+        .repartition(partitionCols.map(col).toIndexedSeq: _*)
       // Stage to avoid reading and overwriting the same files in one job.
       val staging = path + "__staging"
       merged.write.mode(SaveMode.Overwrite).parquet(staging)
@@ -90,7 +94,9 @@ object Upsert {
 
   private def write(df: DataFrame, path: String, partitionCols: Seq[String],
       mode: SaveMode): Unit = {
-    val w = df.write.mode(mode)
+    val d = if (partitionCols.nonEmpty)
+      df.repartition(partitionCols.map(col).toIndexedSeq: _*) else df
+    val w = d.write.mode(mode)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols.toIndexedSeq: _*)
      else w).parquet(path)
   }
