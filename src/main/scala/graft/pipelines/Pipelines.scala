@@ -68,6 +68,11 @@ object Pipelines {
     // geo subset = region + keys only, full-row distinct (src/transform.py:137)
     val geoSub = Dedup.dropDupes(
       geo.select(("region" +: joinKeys).map(col).toIndexedSeq: _*))
+    // J1 full-outer: both inputs here are post-aggregation (already
+    // shuffled + reduced), so the built-in SMJ only exchanges agg output —
+    // the right plan. Joins.fullOuterViaBroadcast is the alternative when
+    // the left side is a raw un-shuffled scan (it would re-evaluate this
+    // pipeline's agg twice — measured slower).
     val joined = demo.join(geoSub, joinKeys, "full_outer")
     val filled = Metrics.fillNumericZeros(joined)
     val recalced = Metrics.recalcMetrics(filled)

@@ -103,6 +103,30 @@ object EngineProps extends Properties("graft") {
       }
     }
 
+  // (key, payload) rows with nullable keys — nulls must behave exactly
+  // like the built-in full_outer (never match, null-extend).
+  private val genSide: Gen[List[(Option[Long], Long)]] =
+    Gen.listOfN(10, for {
+      k <- Gen.option(Gen.choose(0L, 4L))
+      v <- Gen.choose(0L, 99L)
+    } yield (k, v))
+
+  property("fullOuterViaBroadcast == built-in full_outer (incl null keys)") =
+    forAll(genSide, genSide) { (l, r) =>
+      import spark.implicits._
+      val left = l.toDF("k", "lv")
+      val right = r.toDF("k", "rv")
+      val got = graft.ops.Joins.fullOuterViaBroadcast(left, right, Seq("k"))
+        .select("k", "lv", "rv")
+        .collect().map(x => (Option(x.get(0)), Option(x.get(1)),
+          Option(x.get(2)))).toSeq.sortBy(_.toString)
+      val want = left.join(right, Seq("k"), "full_outer")
+        .select("k", "lv", "rv")
+        .collect().map(x => (Option(x.get(0)), Option(x.get(1)),
+          Option(x.get(2)))).toSeq.sortBy(_.toString)
+      got == want
+    }
+
   private val genSchema: Gen[List[String]] =
     Gen.someOf(Contracts.AdsDimension.fieldNames.toSeq ++ Seq("junk1", "junk2"))
       .map(_.toList.distinct)
