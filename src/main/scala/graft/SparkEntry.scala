@@ -495,7 +495,21 @@ object SparkEntry {
     "x12_multimodal_meta" -> ((s, dir) =>
       graft.ext.Multimodal.mediaMeta(
         graft.ext.Multimodal.withPayload(
-          T(s, dir, "documents"), "doc_id", "text"), "doc_id", stride = 64)))
+          T(s, dir, "documents"), "doc_id", "text"), "doc_id", stride = 64)),
+
+    // the multimodal decode path end-to-end: mapPartitions decode (stub
+    // codec) → frame-sample every 2nd. The deterministic stub makes the
+    // distributed decode pipeline oracle-checkable; resize is pinned by
+    // MultimodalSpec.
+    "x14_frames" -> { (s, dir) =>
+      val frames = graft.ext.Multimodal.extractFrames(s,
+        graft.ext.Multimodal.withPayload(
+          T(s, dir, "documents"), "doc_id", "text"), "doc_id", stride = 64)
+      graft.ext.Multimodal.sampleFrames(frames, everyN = 2L)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("feature")).cast(LongType).as("raw_len"))
+    })
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -1052,6 +1066,16 @@ object SparkEntry {
                   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                   CAST(ceil(octet_length(encode(text))/64.0) AS BIGINT)
                     AS n_frames
-           FROM documents""")
+           FROM documents""",
+
+      "x14_frames" ->
+        """WITH d AS (
+             SELECT doc_id, octet_length(encode(text)) AS len,
+                    unnest(range(0, CAST(ceil(octet_length(encode(text))/64.0)
+                                         AS BIGINT))) AS i
+             FROM documents)
+           SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+                  CAST(least(64, len - i*64) AS BIGINT) AS raw_len
+           FROM d WHERE i % 2 = 0""")
   }
 }

@@ -70,4 +70,23 @@ object Multimodal {
         MediaCodec.decodeStub(id, payload, stride)
       })
   }
+
+  /** Frame sampling: keep every `everyN`-th frame — the standard decimation
+    * step before feature extraction (video at 30 fps → 1 fps). Narrow op,
+    * no shuffle. */
+  def sampleFrames(frames: Dataset[Frame], everyN: Long): Dataset[Frame] =
+    frames.filter(f => f.frame_idx % everyN == 0L)
+
+  /** Resize stub: a real implementation re-encodes pixels; the stub
+    * truncates/pads the feature buffer to `targetBytes` deterministically —
+    * same batch shape and schema as a real resize kernel. */
+  def resizeFrames(frames: Dataset[Frame], targetBytes: Int)
+      : Dataset[Frame] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.mapPartitions(_.map { f =>
+      Frame(f.doc_id, f.frame_idx, java.util.Arrays.copyOf(f.feature,
+        targetBytes))
+    })
+  }
 }
