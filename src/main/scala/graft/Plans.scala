@@ -20,15 +20,28 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
+    // optional first arg: an sf dir — then each query is also executed
+    // against it (noop sink) and timed
+    val (dir, time) = args.headOption match {
+      case Some(d) if d.startsWith("/") => (d, true)
+      case _ => ("/root/testdata/sf0.001", false)
+    }
+    val names = if (time) args.tail else args
     val wanted =
-      if (args.nonEmpty) args.toSet else SparkEntry.queries.keySet
+      if (names.nonEmpty) names.toSet else SparkEntry.queries.keySet
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => wanted.contains(q._1))
       .foreach { case (name, fn) =>
         println(s"\n========== $name ==========")
-        try fn(spark, dir).explain("formatted")
-        catch { case e: Throwable => println(s"explain failed: $e") }
+        try {
+          val df = fn(spark, dir)
+          df.explain("formatted")
+          if (time) {
+            val t0 = System.nanoTime()
+            df.write.mode("overwrite").format("noop").save()
+            println(f"elapsed: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          }
+        } catch { case e: Throwable => println(s"explain failed: $e") }
       }
     spark.stop()
   }
