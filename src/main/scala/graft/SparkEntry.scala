@@ -509,7 +509,29 @@ object SparkEntry {
         .toDF()
         .select(col("doc_id"), col("frame_idx"),
           octet_length(col("feature")).cast(LongType).as("raw_len"))
-    })
+    },
+
+    // incremental-load dedup: admit only docs whose text is unseen in the
+    // existing corpus — anti-join on a 32-byte content digest.
+    "x15_incremental_dedup" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      graft.ext.Corpus.incrementalDedup(incoming, corpus, "text")
+        .select("doc_id")
+    },
+
+    // deterministic content-hashed train/val/test split — stable across
+    // re-runs, partitioning, and corpus growth.
+    "x16_split_assign" -> ((s, dir) =>
+      graft.ext.Corpus.assignSplit(T(s, dir, "documents"), "text")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))),
+
+    // sequence-length bucketing for batch packing.
+    "x17_length_buckets" -> ((s, dir) =>
+      graft.ext.Corpus.lengthBuckets(T(s, dir, "documents"), "text")))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -1067,6 +1089,45 @@ object SparkEntry {
                   CAST(ceil(octet_length(encode(text))/64.0) AS BIGINT)
                     AS n_frames
            FROM documents""",
+
+      "x15_incremental_dedup" ->
+        """SELECT i.doc_id
+           FROM documents i
+           WHERE i.doc_id % 5 = 4
+             AND NOT EXISTS (SELECT 1 FROM documents c
+                             WHERE c.doc_id % 5 < 4 AND c.text = i.text)""",
+
+      "x16_split_assign" -> {
+        val fp =
+          """list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(trim(text), ' '),
+                   t -> (ascii(t)*131 + length(t)*137
+                         + ascii(right(t,1))*139) % 2147483647)),
+               (acc, x) -> (acc*31 + x) % 2147483647)"""
+        s"""WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN $fp % 100 < 80 THEN 'train'
+                          WHEN $fp % 100 < 90 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents)
+            SELECT split, count(*) AS n_docs,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM s GROUP BY split"""
+      },
+
+      "x17_length_buckets" ->
+        """WITH t AS (
+             SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+             FROM documents)
+           SELECT CASE WHEN n < 16 THEN 'lt16'
+                       WHEN n < 64 THEN 'lt64'
+                       WHEN n < 256 THEN 'lt256'
+                       WHEN n < 1024 THEN 'lt1024'
+                       ELSE 'ge1024' END AS bucket,
+                  count(*) AS n_docs,
+                  CAST(sum(n) AS BIGINT) AS total_tokens
+           FROM t GROUP BY 1""",
 
       "x14_frames" ->
         """WITH d AS (

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-management operators for incremental training-data pipelines:
+  * admitting new batches against an existing corpus, deterministic split
+  * assignment, and sequence-length bucketing for batch packing.
+  *
+  * 100 TB notes: incremental dedup anti-joins on a fixed-width content
+  * digest instead of raw text — shuffle keys are 32 bytes regardless of
+  * document size, and the corpus side carries digests only (a fraction of
+  * corpus bytes). Split assignment is a pure projection (no shuffle, no
+  * RNG state): content-hashed so membership is stable across re-runs and
+  * re-partitioning — the property that keeps eval sets leak-free as the
+  * corpus grows. Length bucketing is a narrow projection + one partial-agg
+  * shuffle.
+  */
+object Corpus {
+
+  /** 256-bit content digest — collision-safe stand-in for text equality. */
+  def digest(textCol: Column): Column = sha2(textCol, 256)
+
+  /** Rows of `incoming` whose text does not occur in `corpus` (exact
+    * match). Anti-join on the digest; corpus side reduced to distinct
+    * digests before the shuffle. */
+  def incrementalDedup(incoming: DataFrame, corpus: DataFrame,
+      textCol: String): DataFrame = {
+    val seen = corpus.select(digest(col(textCol)).as("_graft_digest"))
+      .distinct()
+    incoming
+      .withColumn("_graft_digest", digest(col(textCol)))
+      .join(seen, Seq("_graft_digest"), "left_anti")
+      .drop("_graft_digest")
+  }
+
+  /** Deterministic train/val/test assignment from the document
+    * fingerprint (content-stable: same text → same split, independent of
+    * partitioning, ordering, or corpus growth). `trainPct`+`valPct` out of
+    * 100; remainder is test. */
+  def assignSplit(df: DataFrame, textCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct <= 100)
+    val bucket = pmod(TextAnalysis.fingerprint(col(textCol)), lit(100L))
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Power-of-two-ish length buckets for sequence packing. Explicit
+    * threshold ladder (not log2) so the bucketing is bit-identical across
+    * engines. */
+  def lengthBucket(nTokens: Column): Column =
+    when(nTokens < 16, "lt16")
+      .when(nTokens < 64, "lt64")
+      .when(nTokens < 256, "lt256")
+      .when(nTokens < 1024, "lt1024")
+      .otherwise("ge1024")
+
+  /** Per-bucket corpus shape: document count and total tokens. */
+  def lengthBuckets(df: DataFrame, textCol: String): DataFrame =
+    df.select(TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("bucket", lengthBucket(col("n_tokens")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast(LongType).as("total_tokens"))
+}
