@@ -25,9 +25,17 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(s, dir, name)
 
-  /** sum(col) as exact decimal, back to double — order-independent. */
+  /** sum(col) as exact decimal, back to double — order-independent.
+    *
+    * The cast goes through StringType deliberately: Spark quantizes a
+    * double→decimal cast from the EXACT binary expansion
+    * (`new BigDecimal(double)`), DuckDB from the shortest decimal repr —
+    * they disagree on rows where the two round differently at the target
+    * scale (measured: sum_charge at scale 8 diverged at sf0.1). Casting
+    * double→string→decimal makes Spark quantize the shortest repr too,
+    * matching the oracle per-row by construction. */
   private def dsum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(20, scale))).cast(DoubleType)
+    sum(c.cast(StringType).cast(DecimalType(20, scale))).cast(DoubleType)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
@@ -632,7 +640,11 @@ object SparkEntry {
                 CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
                 CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
-                CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(20,8))) AS DOUBLE) AS sum_charge,
+                -- VARCHAR hop: DuckDB's decimal->double divides int128 by
+                -- 10^scale in double space (double-rounds at 18 sig
+                -- digits); parsing the decimal string is correctly rounded
+                -- and matches Spark's BigDecimal.doubleValue
+                CAST(CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS sum_charge,
                 round(CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)/count(*), 6) AS avg_qty,
                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)/count(*), 6) AS avg_price,
                 count(*) AS count_order
