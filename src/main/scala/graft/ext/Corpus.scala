@@ -38,15 +38,22 @@ object Corpus {
   /** Deterministic train/val/test assignment from the document
     * fingerprint (content-stable: same text → same split, independent of
     * partitioning, ordering, or corpus growth). `trainPct`+`valPct` out of
-    * 100; remainder is test. */
+    * 100; remainder is test.
+    *
+    * Branchless lookup (`element_at` over a 100-slot label array) rather
+    * than a when-ladder: the optimizer inlines projected columns into
+    * every CASE branch, and the fingerprint is an interpreted higher-order
+    * expression with no subexpression elimination — a ladder evaluates it
+    * per branch (measured 3× slower). */
   def assignSplit(df: DataFrame, textCol: String,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct + valPct <= 100)
+    val labels = array(
+      (Seq.fill(trainPct)("train") ++ Seq.fill(valPct)("val") ++
+        Seq.fill(100 - trainPct - valPct)("test")).map(lit): _*)
     val bucket = pmod(TextAnalysis.fingerprint(col(textCol)), lit(100L))
     df.withColumn("split",
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + valPct, "val")
-        .otherwise("test"))
+      element_at(labels, (bucket + 1L).cast(IntegerType)))
   }
 
   /** Power-of-two-ish length buckets for sequence packing. Explicit
@@ -59,11 +66,17 @@ object Corpus {
       .when(nTokens < 1024, "lt1024")
       .otherwise("ge1024")
 
-  /** Per-bucket corpus shape: document count and total tokens. */
+  /** Per-bucket corpus shape: document count and total tokens.
+    *
+    * Pre-aggregates by exact length first so the bucket ladder runs on
+    * the (small) distinct-length key space after the shuffle, not on
+    * every row with the tokenization re-evaluated per CASE branch. */
   def lengthBuckets(df: DataFrame, textCol: String): DataFrame =
     df.select(TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .groupBy("n_tokens")
+      .agg(count(lit(1)).as("n"))
       .withColumn("bucket", lengthBucket(col("n_tokens")))
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tokens").cast(LongType).as("total_tokens"))
+      .agg(sum("n").cast(LongType).as("n_docs"),
+        sum(col("n_tokens") * col("n")).cast(LongType).as("total_tokens"))
 }
