@@ -418,6 +418,29 @@ object SparkEntry {
           lead(col("event_type"), 1).over(w).as("next_type"))
     },
 
+    // sliding (overlapping) windows: 1-hour span, 30-minute slide — each
+    // event lands in 2 windows (the hopping-window streaming surface;
+    // q10 is the tumbling special case).
+    "q27_sliding_window" -> { (s, dir) =>
+      T(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(coalesce(sum("value"), lit(0.0)), 2).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    },
+
+    // DSv2 limit pushdown: the cursor stops paging once the limit is
+    // satisfied (deterministic page order → first-n semantics).
+    "q28_dsv2_limit" -> ((s, dir) =>
+      s.read.format("graft-meta")
+        .option("rows", 5000).option("pageSize", 1000).load()
+        .limit(7)
+        .select("id", "name", "effective_status", "_ingest_order")),
+
     // SCD Type-2 history build: collapse per-user event_type runs into
     // validity intervals [valid_from, valid_to) with an is_current flag —
     // the standard dimension-history op the reference's daily UPSERT
@@ -815,6 +838,28 @@ object SparkEntry {
          SELECT ad_id, ad_name, adset_id, adset_name, campaign_id,
                 campaign_name
          FROM f WHERE rn = 1""",
+
+    "q27_sliding_window" ->
+      """WITH c AS (
+           SELECT event_type, value,
+                  unnest([time_bucket(INTERVAL '30 minutes', ts),
+                          time_bucket(INTERVAL '30 minutes', ts)
+                            - INTERVAL '30 minutes']) AS ws
+           FROM events)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, count(*) AS n_events,
+                round(coalesce(sum(value), 0), 2) AS sum_value
+         FROM c
+         GROUP BY 1, 2""",
+
+    "q28_dsv2_limit" ->
+      """SELECT 'ad_'||(i%150) AS id,
+                'ad '||(i%150)||' v'||(i%3) AS name,
+                CASE i%4 WHEN 0 THEN 'ACTIVE' WHEN 1 THEN 'PAUSED'
+                     WHEN 2 THEN 'PENDING_REVIEW'
+                     ELSE 'DISAPPROVED' END AS effective_status,
+                i AS _ingest_order
+         FROM range(0, 7) t(i)""",
 
     "q19_upsert_merge" ->
       """WITH o AS (
