@@ -179,7 +179,8 @@ object SparkEntry {
       T(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          round(coalesce(sum("value"), lit(0.0)), 2).as("sum_value"))
+          round(coalesce(graft.ops.Metrics.moneySum(col("value")),
+            lit(0.0)), 2).as("sum_value"))
         .select(
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
             .as("window_start"),
@@ -195,8 +196,8 @@ object SparkEntry {
         .agg(n("click").as("n_click"), n("view").as("n_view"),
           n("purchase").as("n_purchase"), n("signup").as("n_signup"),
           n("error").as("n_error"),
-          round(coalesce(
-            sum(when(col("event_type") === "purchase", col("value"))),
+          round(coalesce(graft.ops.Metrics.moneySum(
+            when(col("event_type") === "purchase", col("value"))),
             lit(0.0)), 2).as("purchase_value"))
     },
 
@@ -313,7 +314,8 @@ object SparkEntry {
       def grain(df: DataFrame): DataFrame =
         df.groupBy(to_date(col("ts")).as("event_date"), col("user_id"))
           .agg(count(lit(1)).as("n_events"),
-            round(coalesce(sum("value"), lit(0.0)), 2).as("sum_value"))
+            round(coalesce(graft.ops.Metrics.moneySum(col("value")),
+            lit(0.0)), 2).as("sum_value"))
       val oldBatch = grain(ev.filter(
         col("ts") < lit("2024-01-15").cast(TimestampType) &&
           col("event_type") =!= "purchase"))
@@ -426,7 +428,8 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          round(coalesce(sum("value"), lit(0.0)), 2).as("sum_value"))
+          round(coalesce(graft.ops.Metrics.moneySum(col("value")),
+            lit(0.0)), 2).as("sum_value"))
         .select(
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
             .as("window_start"),
@@ -603,7 +606,7 @@ object SparkEntry {
             SELECT CAST(ts AS DATE) AS date_start, $adCols,
                    count(*) FILTER (WHERE event_type='view') AS n_view,
                    count(*) FILTER (WHERE event_type='click') AS n_click,
-                   round(coalesce(sum(value) FILTER (WHERE event_type='click'), 0), 2) AS spend,
+                   round(coalesce(CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type='click') AS DOUBLE), 0), 2) AS spend,
                    count(*) FILTER (WHERE event_type='signup') AS n_signup
             FROM events GROUP BY 1,2,3,4)
           SELECT strftime(date_start, '%Y-%m-%d') AS date_start,
@@ -622,7 +625,7 @@ object SparkEntry {
                    CASE event_id%4 WHEN 0 THEN '18-24' WHEN 1 THEN '25-34'
                         WHEN 2 THEN '35-44' ELSE '45+' END AS age,
                    CASE event_id%2 WHEN 0 THEN 'male' ELSE 'female' END AS gender,
-                   round(coalesce(sum(value) FILTER (WHERE event_type='click'), 0), 2) AS spend,
+                   round(coalesce(CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type='click') AS DOUBLE), 0), 2) AS spend,
                    count(*) FILTER (WHERE event_type='signup') AS leads,
                    count(*) FILTER (WHERE event_type='purchase') AS n_purchase,
                    count(*) FILTER (WHERE event_type='error') AS n_error
@@ -745,7 +748,7 @@ object SparkEntry {
     "q10_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                 event_type, count(*) AS n_events,
-                round(coalesce(sum(value), 0), 2) AS sum_value
+                round(coalesce(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 0), 2) AS sum_value
          FROM events
          GROUP BY 1, 2""",
 
@@ -756,7 +759,7 @@ object SparkEntry {
                 count(*) FILTER (WHERE event_type='purchase') AS n_purchase,
                 count(*) FILTER (WHERE event_type='signup') AS n_signup,
                 count(*) FILTER (WHERE event_type='error') AS n_error,
-                round(coalesce(sum(value) FILTER (WHERE event_type='purchase'), 0), 2) AS purchase_value
+                round(coalesce(CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type='purchase') AS DOUBLE), 0), 2) AS purchase_value
          FROM events
          GROUP BY 1""",
 
@@ -848,7 +851,7 @@ object SparkEntry {
            FROM events)
          SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
                 event_type, count(*) AS n_events,
-                round(coalesce(sum(value), 0), 2) AS sum_value
+                round(coalesce(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 0), 2) AS sum_value
          FROM c
          GROUP BY 1, 2""",
 
@@ -864,14 +867,14 @@ object SparkEntry {
     "q19_upsert_merge" ->
       """WITH o AS (
            SELECT CAST(ts AS DATE) AS d, user_id, count(*) AS n_events,
-                  round(coalesce(sum(value), 0), 2) AS sum_value
+                  round(coalesce(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 0), 2) AS sum_value
            FROM events
            WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
              AND event_type <> 'purchase'
            GROUP BY 1, 2),
          n AS (
            SELECT CAST(ts AS DATE) AS d, user_id, count(*) AS n_events,
-                  round(coalesce(sum(value), 0), 2) AS sum_value
+                  round(coalesce(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 0), 2) AS sum_value
            FROM events
            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
            GROUP BY 1, 2),
@@ -891,8 +894,7 @@ object SparkEntry {
                 count(*) FILTER (WHERE event_type='view')
                   AS total_impressions,
                 count(*) FILTER (WHERE event_type='click') AS total_clicks,
-                round(coalesce(sum(value) FILTER (WHERE event_type='click'),
-                  0), 2) AS total_spend,
+                round(coalesce(CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type='click') AS DOUBLE), 0), 2) AS total_spend,
                 count(*) FILTER (WHERE event_type='signup') AS total_leads
          FROM events
          GROUP BY 1, 2""",

@@ -91,7 +91,8 @@ object MetaFixtures {
     val agged = base.groupBy(keys.map(col).toIndexedSeq: _*).agg(
       n("view").as("n_view"),
       n("click").as("n_click"),
-      round(coalesce(sum(when(col("event_type") === "click", col("value"))),
+      round(coalesce(graft.ops.Metrics.moneySum(
+        when(col("event_type") === "click", col("value"))),
         lit(0.0)), 2).as("spend_raw"),
       n("signup").as("n_signup"),
       n("purchase").as("n_purchase"),

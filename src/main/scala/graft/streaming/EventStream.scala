@@ -56,7 +56,8 @@ object EventStream {
       .agg(
         count_if(col("event_type") === "view").as("total_impressions"),
         count_if(col("event_type") === "click").as("total_clicks"),
-        round(coalesce(sum(when(col("event_type") === "click", col("value"))),
+        round(coalesce(graft.ops.Metrics.moneySum(
+          when(col("event_type") === "click", col("value"))),
           lit(0.0)), 2).as("total_spend"),
         count_if(col("event_type") === "signup").as("total_leads"))
       .select(to_date(col("w.start")).as("date_start"), col("ad_id"),
