@@ -127,6 +127,55 @@ object EngineProps extends Properties("graft") {
       got == want
     }
 
+  // (key, id, tick) event lists for the time-join properties
+  private val genEvents: Gen[List[(String, Long, Long)]] =
+    Gen.listOfN(12, for {
+      k <- Gen.oneOf("a", "b")
+      id <- Gen.choose(0L, 999L)
+      t <- Gen.choose(0L, 500L)
+    } yield (k, id, t)).map(_.distinctBy(_._2))
+
+  property("intervalJoin == naive equi-join + range filter") =
+    forAll(genEvents, genEvents, Gen.choose(1L, 120L),
+      Gen.choose(0L, 60L), Gen.choose(1L, 200L)) { (l, r, before, after, bkt) =>
+      l.isEmpty || r.isEmpty || {
+        import spark.implicits._
+        val left = l.toDF("k", "lid", "lt")
+        val right = r.toDF("k", "rid", "rt")
+        val got = graft.ops.RangeJoin.intervalJoin(left, right, Seq("k"),
+          "lt", "rt", before, after, bucketTicks = bkt,
+          tick = c => c) // ticks are already longs here
+          .select("lid", "rid").as[(Long, Long)].collect().toSet
+        val want = (for {
+          (lk, lid, lt) <- l
+          (rk, rid, rt) <- r
+          if lk == rk && rt >= lt - before && rt <= lt + after
+        } yield (lid, rid)).toSet
+        got == want
+      }
+    }
+
+  property("asofJoin == naive latest-right-at-or-before per left row") =
+    forAll(genEvents, genEvents) { (l, r) =>
+      l.isEmpty || {
+        import spark.implicits._
+        val left = l.toDF("k", "lid", "t")
+        val right = r.toDF("k", "rid", "t")
+        val got = graft.ops.AsOf.asofJoin(left, right, Seq("k"), "t", "t",
+          Map("rid" -> "attr"), tieBreak = Some("attr"))
+          .select("lid", "attr").collect()
+          .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+        val want = l.map { case (lk, lid, lt) =>
+          val best = r.filter(x => x._1 == lk && x._3 <= lt)
+          lid -> (if (best.isEmpty) None
+                  // latest tick; ties broken by highest id (tieBreak asc →
+                  // last non-null carried forward)
+                  else Some(best.maxBy(x => (x._3, x._2))._2))
+        }.toMap
+        got == want
+      }
+    }
+
   private val genSchema: Gen[List[String]] =
     Gen.someOf(Contracts.AdsDimension.fieldNames.toSeq ++ Seq("junk1", "junk2"))
       .map(_.toList.distinct)
