@@ -444,6 +444,15 @@ object SparkEntry {
         .limit(7)
         .select("id", "name", "effective_status", "_ingest_order")),
 
+    // DSv2 top-N pushdown: ORDER BY the cursor column DESC LIMIT n clamps
+    // the scan to the tail of the range server-side.
+    "q29_dsv2_topn" -> ((s, dir) =>
+      s.read.format("graft-meta")
+        .option("rows", 5000).option("pageSize", 1000).load()
+        .orderBy(col("_ingest_order").desc)
+        .limit(5)
+        .select("id", "name", "effective_status", "_ingest_order")),
+
     // SCD Type-2 history build: collapse per-user event_type runs into
     // validity intervals [valid_from, valid_to) with an is_current flag —
     // the standard dimension-history op the reference's daily UPSERT
@@ -863,6 +872,15 @@ object SparkEntry {
                      ELSE 'DISAPPROVED' END AS effective_status,
                 i AS _ingest_order
          FROM range(0, 7) t(i)""",
+
+    "q29_dsv2_topn" ->
+      """SELECT 'ad_'||(i%150) AS id,
+                'ad '||(i%150)||' v'||(i%3) AS name,
+                CASE i%4 WHEN 0 THEN 'ACTIVE' WHEN 1 THEN 'PAUSED'
+                     WHEN 2 THEN 'PENDING_REVIEW'
+                     ELSE 'DISAPPROVED' END AS effective_status,
+                i AS _ingest_order
+         FROM range(4995, 5000) t(i)""",
 
     "q19_upsert_merge" ->
       """WITH o AS (

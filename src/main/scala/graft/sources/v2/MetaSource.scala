@@ -120,12 +120,14 @@ private[v2] case class PushedAggregation(groupCols: Seq[String],
 
 class MetaScanBuilder(rows: Long, pageSize: Int) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownAggregates {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
 
   private var required: StructType = MetaSource.AdsSchema
   private var statusFilter: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var topN: Option[(Boolean, Int)] = None // (descending, n)
   private var agg: Option[PushedAggregation] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -157,6 +159,23 @@ class MetaScanBuilder(rows: Long, pageSize: Int) extends ScanBuilder
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   // each page caps its own cursor at n; Spark re-applies the global limit
   override def isPartiallyPushed: Boolean = true
+
+  /** ORDER BY _ingest_order [ASC|DESC] LIMIT n — the cursor column is the
+    * scan's own emission order, so the "server" answers a top-n by
+    * clamping the cursor to the head (asc) or tail (desc) of the range.
+    * Spark still re-sorts the n returned rows (isPartiallyPushed). */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector
+      .expressions.SortOrder], n: Int): Boolean = orders match {
+    case Array(o) => flatCol(o.expression()) match {
+      case Some("_ingest_order") if statusFilter.isEmpty =>
+        topN = Some((o.direction() ==
+          org.apache.spark.sql.connector.expressions.SortDirection
+            .DESCENDING, n))
+        true
+      case _ => false
+    }
+    case _ => false
+  }
 
   /** Flat (non-struct) column name, or None if unsupported. */
   private def flatCol(e: V2Expression): Option[String] = e match {
@@ -202,12 +221,24 @@ class MetaScanBuilder(rows: Long, pageSize: Int) extends ScanBuilder
     }
 
   override def build(): Scan = new MetaScan(rows, pageSize, required,
-    statusFilter, limit, agg)
+    statusFilter, limit, agg, topN)
 }
 
 class MetaScan(rows: Long, pageSize: Int, required: StructType,
     statusFilter: Option[Set[String]], limit: Option[Int] = None,
-    agg: Option[PushedAggregation] = None) extends Scan with Batch {
+    agg: Option[PushedAggregation] = None,
+    topN: Option[(Boolean, Int)] = None) extends Scan with Batch
+    with SupportsReportStatistics {
+
+  /** Size/row estimates so the planner can make broadcast decisions about
+    * this source the way parquet relations get them from file sizes. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = agg.map(_ => rows).getOrElse(scanEnd - scanStart)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * 96L) // ~row width of the ads record
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n)
+  }
 
   override def readSchema(): StructType =
     agg.map(_.outputSchema).getOrElse(required)
@@ -216,8 +247,18 @@ class MetaScan(rows: Long, pageSize: Int, required: StructType,
     s"graft-meta ads scan, PushedStatusFilter=${statusFilter.getOrElse("-")}" +
       s", ReadSchema=${readSchema().fieldNames.mkString(",")}" +
       limit.map(n => s", PushedLimit=$n").getOrElse("") +
+      topN.map { case (desc, n) =>
+        s", PushedTopN=[_ingest_order ${if (desc) "DESC" else "ASC"}, $n]"
+      }.getOrElse("") +
       agg.map(a => s", PushedAggregation=[${a.groupCols.mkString(",")} -> " +
         s"${a.funcs.mkString(",")}]").getOrElse("")
+
+  // topN on the cursor column clamps the scanned range itself
+  private val (scanStart, scanEnd) = topN match {
+    case Some((false, n)) => (0L, math.min(n.toLong, rows)) // head
+    case Some((true, n)) => (math.max(0L, rows - n), rows)  // tail
+    case None => (0L, rows)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = agg match {
     // complete aggregate pushdown: the "server" answers with one page of
@@ -226,8 +267,8 @@ class MetaScan(rows: Long, pageSize: Int, required: StructType,
     // count is bounded by the key-space, not the cursor length
     case Some(_) => Array(MetaAdsPage(0L, rows))
     case None =>
-      (0L until rows by pageSize.toLong)
-        .map(s => MetaAdsPage(s, math.min(s + pageSize, rows)))
+      (scanStart until scanEnd by pageSize.toLong)
+        .map(s => MetaAdsPage(s, math.min(s + pageSize, scanEnd)))
         .toArray[InputPartition]
   }
 

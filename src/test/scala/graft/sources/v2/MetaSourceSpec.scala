@@ -106,4 +106,33 @@ class MetaSourceSpec extends SparkSpec {
     assert(scanOf(df).pushedAggregation.isEmpty)
     assert(df.count() == 7) // user%7 adsets
   }
+
+  test("topN on the cursor column clamps the scan to head/tail") {
+    val desc = read(rows = 1000, pageSize = 100)
+      .orderBy(col("_ingest_order").desc).limit(3)
+    assert(scanOf(desc).description().contains(
+      "PushedTopN=[_ingest_order DESC, 3]"))
+    assert(desc.select("_ingest_order").collect().map(_.getLong(0)).toSeq
+      == Seq(999L, 998L, 997L))
+
+    val asc = read(rows = 1000, pageSize = 100)
+      .orderBy(col("_ingest_order").asc).limit(2)
+    assert(asc.select("_ingest_order").collect().map(_.getLong(0)).toSeq
+      == Seq(0L, 1L))
+
+    // with a pushed filter, topN is refused (range clamp would be wrong)
+    val filtered = read(rows = 1000, pageSize = 100)
+      .filter(col("effective_status") === "ACTIVE")
+      .orderBy(col("_ingest_order").desc).limit(3)
+    assert(!scanOf(filtered).description().contains("PushedTopN"))
+    assert(filtered.select("_ingest_order").collect().map(_.getLong(0)).toSeq
+      == Seq(996L, 992L, 988L))
+  }
+
+  test("scan reports row-count statistics") {
+    val df = read(rows = 1000, pageSize = 100)
+    val stats = scanOf(df).estimateStatistics()
+    assert(stats.numRows().getAsLong == 1000L)
+    assert(stats.sizeInBytes().getAsLong > 0L)
+  }
 }
