@@ -574,7 +574,21 @@ object SparkEntry {
 
     // sequence-length bucketing for batch packing.
     "x17_length_buckets" -> ((s, dir) =>
-      graft.ext.Corpus.lengthBuckets(T(s, dir, "documents"), "text")))
+      graft.ext.Corpus.lengthBuckets(T(s, dir, "documents"), "text")),
+
+    // boilerplate detection: most document-frequent 3-grams.
+    "x18_common_ngrams" -> ((s, dir) =>
+      graft.ext.Corpus.commonNgrams(T(s, dir, "documents"), "text",
+        n = 3, topK = 20)),
+
+    // eval-set decontamination: train docs sharing a 5-gram with eval.
+    "x19_decontaminate" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      graft.ext.Corpus.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "text", "doc_id", n = 5)
+    })
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -1166,6 +1180,34 @@ object SparkEntry {
                   CAST(ceil(octet_length(encode(text))/64.0) AS BIGINT)
                     AS n_frames
            FROM documents""",
+
+      "x18_common_ngrams" ->
+        """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                      FROM documents),
+           s AS (SELECT doc_id,
+                   unnest(list_distinct(
+                     [array_to_string(toks[i+1:i+3], ' ')
+                      for i in range(len(toks)-2)])) AS g
+                 FROM t WHERE len(toks) >= 3)
+           SELECT g AS ngram, count(*) AS n_docs
+           FROM s GROUP BY 1
+           ORDER BY n_docs DESC, ngram ASC
+           LIMIT 20""",
+
+      "x19_decontaminate" ->
+        """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                      FROM documents),
+           s AS (SELECT doc_id,
+                   list_distinct([array_to_string(toks[i+1:i+5], ' ')
+                                  for i in range(len(toks)-4)]) AS sh
+                 FROM t WHERE len(toks) >= 5),
+           ed AS (SELECT DISTINCT unnest(sh) AS g FROM s
+                  WHERE doc_id % 97 = 0),
+           tr AS (SELECT doc_id, unnest(sh) AS g FROM s
+                  WHERE doc_id % 97 <> 0)
+           SELECT tr.doc_id, count(DISTINCT tr.g) AS n_shared
+           FROM tr JOIN ed ON tr.g = ed.g
+           GROUP BY 1""",
 
       "x15_incremental_dedup" ->
         """SELECT i.doc_id

@@ -56,6 +56,36 @@ object Corpus {
       element_at(labels, (bucket + 1L).cast(IntegerType)))
   }
 
+  /** Corpus-wide boilerplate detection: the most document-frequent word
+    * n-grams (each doc's shingle set is distinct, so counts are document
+    * frequencies). One explode + one partial-agg shuffle + a top-k sort of
+    * the (small) aggregated n-gram table. */
+  def commonNgrams(df: DataFrame, textCol: String, n: Int = 3,
+      topK: Int = 20): DataFrame =
+    df.select(explode(DedupOps.shingles(col(textCol), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("ngram").asc)
+      .limit(topK)
+
+  /** Eval-set decontamination: training docs sharing at least one word
+    * n-gram with any eval document, with the count of distinct shared
+    * n-grams. Eval sets are small by construction → the distinct eval
+    * shingle set broadcasts; the train side is one explode + broadcast
+    * semi-ish join + per-doc distinct count, never an all-pairs stage. */
+  def decontaminate(train: DataFrame, eval: DataFrame, textCol: String,
+      idCol: String, n: Int = 5): DataFrame = {
+    val evalShingles = eval
+      .select(explode(DedupOps.shingles(col(textCol), n)).as("_graft_g"))
+      .distinct()
+    train
+      .select(col(idCol), explode(DedupOps.shingles(col(textCol), n))
+        .as("_graft_g"))
+      .join(broadcast(evalShingles), Seq("_graft_g"))
+      .groupBy(idCol)
+      .agg(count_distinct(col("_graft_g")).as("n_shared"))
+  }
+
   /** Power-of-two-ish length buckets for sequence packing. Explicit
     * threshold ladder (not log2) so the bucketing is bit-identical across
     * engines. */
