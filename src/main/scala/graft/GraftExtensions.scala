@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "graft_simhash64(text) - 64-bit SimHash"),
       (es: Seq[Expression]) => TextHashExprs.SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_strings"),
+      info("graft_shingle_strings",
+        "graft_shingle_strings(text, n) - distinct word n-gram strings"),
+      (es: Seq[Expression]) => TextHashExprs.ShingleStrings(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((FunctionIdentifier("graft_dot_f64"),
       info("graft_dot_f64",
         "graft_dot_f64(a, b) - sequential double-array dot product"),

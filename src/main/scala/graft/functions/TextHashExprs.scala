@@ -84,6 +84,38 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** `shingle_strings(text, n)` → array<string>: the distinct word n-gram
+    * shingles themselves, first-occurrence order — the string twin of
+    * [[ShingleHashes]] for operators that must output or join on the
+    * n-gram text (boilerplate stats, decontamination). One tokenize + one
+    * linear pass; the interpreted HOF formulation
+    * (`transform(sequence…, slice+concat_ws)` + `array_distinct`)
+    * re-walks the token array per position and measured ~3× slower. */
+  case class ShingleStrings(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    private val space = UTF8String.fromString(" ")
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      val m = toks.length - n + 1
+      if (m <= 0) return new GenericArrayData(Array.empty[AnyRef])
+      val seen = new java.util.HashSet[UTF8String](m * 2)
+      val out = new Array[AnyRef](m)
+      var k = 0
+      var i = 0
+      while (i < m) {
+        val s = UTF8String.concatWs(space,
+          java.util.Arrays.copyOfRange(toks, i, i + n).toIndexedSeq: _*)
+        if (seen.add(s)) { out(k) = s; k += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, k))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** `minhash_sig(hashes, k)` → array<long>: k permutation-minima
     * ((a_i·h + b_i) mod 2^61-1) over a shingle-hash array. */
   case class MinHashSig(child: Expression, k: Int)
@@ -158,10 +190,16 @@ object TextHashExprs {
         es(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_strings",
+      es => ShingleStrings(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
   def shingleHashes(c: Column, n: Int): Column =
     call_function("graft_shingle_hashes", c,
+      org.apache.spark.sql.functions.lit(n))
+  def shingleStrings(c: Column, n: Int): Column =
+    call_function("graft_shingle_strings", c,
       org.apache.spark.sql.functions.lit(n))
   def minhashSig(c: Column, k: Int): Column =
     call_function("graft_minhash_sig", c,
