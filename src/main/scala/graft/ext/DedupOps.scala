@@ -136,7 +136,11 @@ object DedupOps {
         xxhash64(col("band"),
           slice(col("sig"), col("band") * rows + 1, lit(rows)).cast(StringType)))
     // Distinct the candidate id pairs FIRST (hash aggregate over longs),
-    // then re-attach signatures — never sorts array payloads.
+    // then re-attach signatures. Measured: carrying signature arrays
+    // through the join + a first-matching-band filter (the dropDuplicates
+    // avoidance that wins for simhash's scalar sketch) is SLOWER here —
+    // the interpreted per-pair slice comparisons on 64-long arrays cost
+    // more than re-evaluating the (native, cheap) sig pipeline per side.
     val cand = banded.as("a").join(banded.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -188,13 +192,22 @@ object DedupOps {
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("chunk", call_function("shiftright", col("sh"),
         col("band") * 16).bitwiseAND(lit(0xFFFFL)))
-    val cand = banded.as("a").join(banded.as("b"),
+    // keep a multi-band collision only at its first matching chunk — a
+    // pure long-arithmetic filter instead of a dropDuplicates shuffle
+    def chunkOf(sh: Column, i: Column) =
+      call_function("shiftright", sh, i * 16).bitwiseAND(lit(0xFFFFL))
+    val firstBand = array_min(filter(
+      transform(sequence(lit(0), lit(3)),
+        i => when(chunkOf(col("sh_a"), i) === chunkOf(col("sh_b"), i), i)),
+      x => x.isNotNull))
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cand.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"),
+        col("a.band").as("band"))
+      .filter(col("band") === firstBand)
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast(LongType)
         .as("hamming"))
