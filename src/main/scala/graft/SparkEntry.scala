@@ -453,6 +453,23 @@ object SparkEntry {
         .limit(5)
         .select("id", "name", "effective_status", "_ingest_order")),
 
+    // built-in session_window (the streaming-native session abstraction;
+    // q14 is the explicit window formulation). Spark semantics: a session
+    // extends `gap` past each event, end = last event + gap, and an event
+    // landing exactly at the boundary starts a NEW session (strict <).
+    "q30_session_window" -> { (s, dir) =>
+      T(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_end"),
+          col("n_events"))
+    },
+
     // SCD Type-2 history build: collapse per-user event_type runs into
     // validity intervals [valid_from, valid_to) with an is_current flag —
     // the standard dimension-history op the reference's daily UPSERT
@@ -985,6 +1002,28 @@ object SparkEntry {
                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   AS next_type
          FROM events""",
+
+    "q30_session_window" ->
+      """WITH e AS (
+           SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+         g AS (
+           SELECT user_id, ts, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w >= 1800000000
+                       THEN 1 ELSE 0 END AS ns
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts,
+                  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS seq
+           FROM g)
+         SELECT user_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(max(ts) + INTERVAL '30 minutes',
+                         '%Y-%m-%d %H:%M:%S') AS session_end,
+                count(*) AS n_events
+         FROM s GROUP BY user_id, seq""",
 
     "q26_scd2" ->
       """WITH c AS (
