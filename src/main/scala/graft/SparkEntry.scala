@@ -352,23 +352,32 @@ object SparkEntry {
           col("total_spend"), col("total_leads"))
     },
 
-    // multi-level aggregation: ROLLUP with grouping_id.
+    // multi-level aggregation: ROLLUP with grouping_id. The decimal
+    // quantization is projected BEFORE the rollup so Expand replicates a
+    // ready decimal value per grouping set instead of re-running the
+    // string-hop cast per expanded row.
     "q21_rollup" -> { (s, dir) =>
       T(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast(StringType).cast(DecimalType(20, 4))
+            .as("_qty_dec"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(grouping_id().as("gid"),
-          dsum(col("l_quantity")).as("sum_qty"),
+          sum(col("_qty_dec")).cast(DoubleType).as("sum_qty"),
           count(lit(1)).as("n_items"))
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_items")
     },
 
-    // multi-level aggregation: CUBE over orders.
+    // multi-level aggregation: CUBE over orders (same pre-cast shape).
     "q22_cube" -> { (s, dir) =>
       T(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice").cast(StringType).cast(DecimalType(20, 4))
+            .as("_price_dec"))
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(grouping_id().as("gid"),
           count(lit(1)).as("n_orders"),
-          dsum(col("o_totalprice")).as("sum_price"))
+          sum(col("_price_dec")).cast(DoubleType).as("sum_price"))
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders",
           "sum_price")
     },
