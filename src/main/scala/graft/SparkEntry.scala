@@ -35,7 +35,21 @@ object SparkEntry {
     * double→string→decimal makes Spark quantize the shortest repr too,
     * matching the oracle per-row by construction. */
   private def dsum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(StringType).cast(DecimalType(20, scale))).cast(DoubleType)
+    sum(graft.ops.Metrics.decQuantize(c, scale)).cast(DoubleType)
+
+  /** Per-query scratch dir, wiped on entry so repeated Verify/Bench runs
+    * don't accumulate orphaned temp data. */
+  private def scratchDir(tag: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_$tag")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
@@ -321,8 +335,7 @@ object SparkEntry {
           col("event_type") =!= "purchase"))
       val newBatch = grain(ev.filter(
         col("ts") >= lit("2024-01-10").cast(TimestampType)))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_upsert").toString + "/t"
+      val tmp = scratchDir("upsert") + "/t"
       graft.sinks.Upsert.upsert(s, tmp, oldBatch,
         Seq("event_date", "user_id"), Seq("event_date"))
       graft.sinks.Upsert.upsert(s, tmp, newBatch,
@@ -336,8 +349,7 @@ object SparkEntry {
     // 1-day tumbling window agg → foreachBatch keyed upsert
     // (Trigger.AvailableNow), then the sink table is the result.
     "q20_stream_tumbling" -> { (s, dir) =>
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_stream").toString
+      val base = scratchDir("stream")
       // glob, not bare file: the file stream source requires a directory
       // or glob path (it infers basePath from it)
       val events = graft.streaming.EventStream
@@ -359,8 +371,7 @@ object SparkEntry {
     "q21_rollup" -> { (s, dir) =>
       T(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"),
-          col("l_quantity").cast(StringType).cast(DecimalType(20, 4))
-            .as("_qty_dec"))
+          graft.ops.Metrics.decQuantize(col("l_quantity"), 4).as("_qty_dec"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(grouping_id().as("gid"),
           sum(col("_qty_dec")).cast(DoubleType).as("sum_qty"),
@@ -372,7 +383,7 @@ object SparkEntry {
     "q22_cube" -> { (s, dir) =>
       T(s, dir, "orders")
         .select(col("o_orderstatus"), col("o_orderpriority"),
-          col("o_totalprice").cast(StringType).cast(DecimalType(20, 4))
+          graft.ops.Metrics.decQuantize(col("o_totalprice"), 4)
             .as("_price_dec"))
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(grouping_id().as("gid"),

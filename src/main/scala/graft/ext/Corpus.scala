@@ -61,12 +61,14 @@ object Corpus {
     * frequencies). One explode + one partial-agg shuffle + a top-k sort of
     * the (small) aggregated n-gram table. */
   def commonNgrams(df: DataFrame, textCol: String, n: Int = 3,
-      topK: Int = 20): DataFrame =
+      topK: Int = 20): DataFrame = {
+    graft.functions.TextHashExprs.register(df.sparkSession)
     df.select(explode(DedupOps.shingles(col(textCol), n)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("ngram").asc)
       .limit(topK)
+  }
 
   /** Eval-set decontamination: training docs sharing at least one word
     * n-gram with any eval document, with the count of distinct shared
@@ -75,6 +77,7 @@ object Corpus {
     * semi-ish join + per-doc distinct count, never an all-pairs stage. */
   def decontaminate(train: DataFrame, eval: DataFrame, textCol: String,
       idCol: String, n: Int = 5): DataFrame = {
+    graft.functions.TextHashExprs.register(train.sparkSession)
     val evalShingles = eval
       .select(explode(DedupOps.shingles(col(textCol), n)).as("_graft_g"))
       .distinct()

@@ -42,10 +42,16 @@ object DedupOps {
   /** Distinct word n-gram shingles of a text column (first-occurrence
     * order) — native one-pass expression; the HOF formulation
     * (`transform(sequence…)` + `array_distinct`) evaluates interpreted
-    * per position and measured ~3× slower on document-scale text. */
+    * per position and measured ~3× slower on document-scale text.
+    *
+    * Registers on the ACTIVE session as a fallback (a bare Column can't
+    * see its DataFrame's session) — operators that have the DataFrame
+    * must call `TextHashExprs.register(df.sparkSession)` first, as the
+    * ops in this file and [[Corpus]] do, so multi-session apps resolve
+    * the function in the right registry. */
   def shingles(c: Column, n: Int): Column = {
-    graft.functions.TextHashExprs.register(
-      org.apache.spark.sql.SparkSession.active)
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.TextHashExprs.register)
     graft.functions.TextHashExprs.shingleStrings(c, n)
   }
 

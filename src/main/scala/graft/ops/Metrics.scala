@@ -21,15 +21,21 @@ object Metrics {
   def safeDiv(num: Column, den: Column): Column =
     coalesce(try_divide(num.cast(DoubleType), den.cast(DoubleType)), lit(0.0))
 
+  /** Quantize a double to DECIMAL(20, scale) from its SHORTEST decimal
+    * repr (the string hop). Spark's direct double→decimal cast quantizes
+    * the exact binary expansion, which can round differently from
+    * DuckDB's shortest-repr quantization on the same value — a per-row
+    * 1-ulp divergence that surfaces in large sums. Every
+    * correctness-gated decimal cast of a double must go through here. */
+  def decQuantize(c: Column, scale: Int): Column =
+    c.cast(StringType).cast(DecimalType(20, scale))
+
   /** Order-independent, engine-independent money sum: quantize each value
-    * to DECIMAL(20,6) from its shortest decimal repr (string hop — Spark's
-    * direct double→decimal cast quantizes the exact binary expansion,
-    * which can differ from DuckDB's shortest-repr rounding), sum exactly
-    * in decimal, return double. A plain `sum(double)` is fold-order
-    * dependent and breaks hash comparison across engines/partitionings at
-    * scale. */
+    * via [[decQuantize]], sum exactly in decimal, return double. A plain
+    * `sum(double)` is fold-order dependent and breaks hash comparison
+    * across engines/partitionings at scale. */
   def moneySum(c: Column): Column =
-    sum(c.cast(StringType).cast(DecimalType(20, 6))).cast(DoubleType)
+    sum(decQuantize(c, 6)).cast(DoubleType)
 
   /** Metric renames applied before ratio computation
     * (reference src/transform.py:71-75). */

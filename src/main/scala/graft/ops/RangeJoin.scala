@@ -33,6 +33,14 @@ object RangeJoin {
       bucketTicks: Long = 0L,
       tick: Column => Column = _.cast("long")): DataFrame = {
     require(before >= 0 && after >= 0, "before/after must be >= 0")
+    // post-join references to the two timestamp columns must be
+    // unambiguous; both sides survive in the output
+    require(leftTs != rightTs,
+      s"leftTs and rightTs must have distinct names (both '$leftTs'); " +
+        "rename one side before joining")
+    require(!left.columns.contains("_graft_bkt") &&
+      !right.columns.contains("_graft_bkt"),
+      "column name _graft_bkt is reserved by intervalJoin")
     val bucket = if (bucketTicks > 0) bucketTicks
       else math.max(before + after, 1L)
     val lSec: Column = tick(col(leftTs))

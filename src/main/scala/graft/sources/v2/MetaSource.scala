@@ -231,9 +231,23 @@ class MetaScan(rows: Long, pageSize: Int, required: StructType,
     with SupportsReportStatistics {
 
   /** Size/row estimates so the planner can make broadcast decisions about
-    * this source the way parquet relations get them from file sizes. */
+    * this source the way parquet relations get them from file sizes.
+    * Accounts for everything pushed: the topN/limit row caps and the
+    * status filter's selectivity (statuses are uniform quarters of the
+    * cursor) — a limited/filtered scan must not report the full cursor
+    * or the planner will refuse a broadcast that is actually correct. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val n = agg.map(_ => rows).getOrElse(scanEnd - scanStart)
+    private val n: Long = {
+      val scanned = scanEnd - scanStart
+      val filtered = statusFilter match {
+        case Some(s) => scanned *
+          s.count(MetaSource.Statuses.contains).toLong /
+          MetaSource.Statuses.length
+        case None => scanned
+      }
+      val capped = limit.fold(filtered)(l => math.min(filtered, l.toLong))
+      agg.map(_ => math.min(rows, capped)).getOrElse(capped)
+    }
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(n * 96L) // ~row width of the ads record
     override def numRows(): java.util.OptionalLong =

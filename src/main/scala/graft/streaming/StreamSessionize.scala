@@ -42,19 +42,30 @@ object StreamSessionize {
     val closed = Seq.newBuilder[SessionOut]
     sorted.foreach { e =>
       open match {
-        case Some(s) if e.sec - s.end <= gapSeconds =>
-          open = Some(OpenSession(s.start, math.max(s.end, e.sec), s.n + 1))
-        case Some(s) =>
+        // within gap of either session edge (a cross-batch late event can
+        // precede the open session's start): merge and extend BOTH bounds
+        case Some(s) if e.sec >= s.start - gapSeconds &&
+            e.sec <= s.end + gapSeconds =>
+          open = Some(OpenSession(math.min(s.start, e.sec),
+            math.max(s.end, e.sec), s.n + 1))
+        case Some(s) if e.sec > s.end + gapSeconds =>
           closed += SessionOut(userId, s.start, s.end, s.end - s.start, s.n)
           open = Some(OpenSession(e.sec, e.sec, 1))
+        case Some(_) =>
+          // more than gap BEFORE the open session: its own session, in a
+          // past the state can no longer merge with — emit immediately
+          // (best-effort for events later than the configured lateness)
+          closed += SessionOut(userId, e.sec, e.sec, 0L, 1L)
         case None =>
           open = Some(OpenSession(e.sec, e.sec, 1))
       }
     }
     open.foreach { s =>
       state.update(s)
-      // close when the watermark passes end-of-session + gap
-      state.setTimeoutTimestamp((s.end + gapSeconds) * 1000L)
+      // close when the watermark passes end-of-session + gap; clamp above
+      // the current watermark — Spark rejects timeouts at/behind it
+      state.setTimeoutTimestamp(math.max((s.end + gapSeconds) * 1000L,
+        state.getCurrentWatermarkMs() + 1L))
     }
     closed.result().iterator
   }

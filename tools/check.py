@@ -65,8 +65,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         # kind-strict: the driver hashes raw values, so int64 vs float64
         # (e.g. DuckDB HUGEINT sums) is a real mismatch even when values
         # compare equal under pandas coercion.
-        kinds_got = [df.dtypes[c].kind for c, df in
-                     ((c, got) for c in got.columns)]
+        kinds_got = [got.dtypes[c].kind for c in got.columns]
         kinds_want = [want.dtypes[c].kind for c in want.columns]
         if kinds_got != kinds_want:
             print(f"  ✗ {name}: DTYPES got={dict(got.dtypes.astype(str))} "
