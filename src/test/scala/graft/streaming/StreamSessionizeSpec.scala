@@ -63,15 +63,64 @@ class StreamSessionizeSpec extends SparkSpec {
   }
 }
 
+/** Cross-batch state behavior of the handler (the part a single-batch
+  * parity test can't see). */
+class StreamSessionizeBatchesSpec extends SparkSpec {
+
+  private def run(batches: Seq[Seq[Long]], gap: Long)
+      : (List[(Long, Long, Long, Long, Long)],
+         Option[StreamSessionize.OpenSession]) = {
+    val st = new TestGroupState[StreamSessionize.OpenSession]
+    val out = batches.flatMap { b =>
+      StreamSessionize.handle(1L,
+        b.iterator.map(s => StreamSessionize.Ev(1L, s)), st, gap).toList
+        .map(s => (s.user_id, s.session_start, s.session_end,
+          s.duration_sec, s.n_events))
+    }
+    (out.toList, st.value)
+  }
+
+  test("in-order events across batches continue the open session") {
+    val (closed, open) = run(Seq(Seq(100L, 200L), Seq(250L, 3000L)), 300L)
+    // 250 continues the session; 3000 opens a new one, closing the first
+    assert(closed == List((1L, 100L, 250L, 150L, 3L)))
+    assert(open.contains(StreamSessionize.OpenSession(3000L, 3000L, 1L)))
+  }
+
+  test("late event within gap of open session merges and extends start") {
+    val (closed, open) = run(Seq(Seq(1000L), Seq(900L)), 300L)
+    assert(closed.isEmpty)
+    assert(open.contains(StreamSessionize.OpenSession(900L, 1000L, 2L)))
+  }
+
+  test("event older than gap before the open session emits standalone") {
+    val (closed, open) = run(Seq(Seq(1000L), Seq(100L)), 300L)
+    assert(closed == List((1L, 100L, 100L, 0L, 1L)))
+    assert(open.contains(StreamSessionize.OpenSession(1000L, 1000L, 1L)))
+  }
+
+  test("timeout emits the open session and clears state") {
+    val st = new TestGroupState[StreamSessionize.OpenSession]
+    StreamSessionize.handle(1L,
+      Iterator(StreamSessionize.Ev(1L, 100L)), st, 300L).toList
+    st.timedOut = true
+    val out = StreamSessionize.handle(1L, Iterator.empty, st, 300L).toList
+    assert(out.map(s => (s.session_start, s.session_end, s.n_events))
+      == List((100L, 100L, 1L)))
+    assert(st.value.isEmpty)
+  }
+}
+
 /** Minimal GroupState stub for driving the handler outside a stream. */
 class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
   var value: Option[S] = None
+  var timedOut: Boolean = false
   override def exists: Boolean = value.isDefined
   override def get: S = value.get
   override def getOption: Option[S] = value
   override def update(s: S): Unit = value = Some(s)
   override def remove(): Unit = value = None
-  override def hasTimedOut: Boolean = false
+  override def hasTimedOut: Boolean = timedOut
   override def setTimeoutDuration(d: Long): Unit = ()
   override def setTimeoutDuration(d: String): Unit = ()
   override def setTimeoutTimestamp(t: Long): Unit = ()
