@@ -625,7 +625,14 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(97)) === 0),
         "text", "doc_id", n = 5)
-    })
+    },
+
+    // deterministic hash-addressed ~25% downsample (reproducible across
+    // runs/partitionings/engines, unlike RNG-seeded df.sample).
+    "x20_hash_sample" -> ((s, dir) =>
+      graft.ext.Corpus.deterministicSample(
+        T(s, dir, "documents"), col("doc_id"))
+        .select("doc_id", "lang")))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -1239,6 +1246,10 @@ object SparkEntry {
                   CAST(ceil(octet_length(encode(text))/64.0) AS BIGINT)
                     AS n_frames
            FROM documents""",
+
+      "x20_hash_sample" ->
+        """SELECT doc_id, lang FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'""",
 
       "x18_common_ngrams" ->
         """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks

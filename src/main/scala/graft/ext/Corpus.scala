@@ -56,6 +56,22 @@ object Corpus {
       element_at(labels, (bucket + 1L).cast(IntegerType)))
   }
 
+  /** Deterministic hash-based downsampling: keep rows whose md5(key)
+    * prefix falls below a hex threshold. Content/key-addressed (same key
+    * → same decision across runs, partitionings, and engines — md5 of
+    * UTF-8 bytes is universal), so samples are reproducible and
+    * composable, unlike `df.sample`'s RNG-seeded split which changes with
+    * partitioning. `hexThreshold` of "4000" ≈ 25% (of the 16^4 prefix
+    * space). Narrow op, no shuffle. */
+  def deterministicSample(df: DataFrame, keyCol: Column,
+      hexThreshold: String = "4000"): DataFrame = {
+    require(hexThreshold.matches("[0-9a-f]{4}"),
+      "hexThreshold must be 4 lowercase hex digits")
+    df.filter(
+      substring(md5(keyCol.cast(StringType).cast(BinaryType)), 1, 4)
+        < hexThreshold)
+  }
+
   /** Corpus-wide boilerplate detection: the most document-frequent word
     * n-grams (each doc's shingle set is distinct, so counts are document
     * frequencies). One explode + one partial-agg shuffle + a top-k sort of

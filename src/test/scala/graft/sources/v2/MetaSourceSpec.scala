@@ -135,4 +135,19 @@ class MetaSourceSpec extends SparkSpec {
     assert(stats.numRows().getAsLong == 1000L)
     assert(stats.sizeInBytes().getAsLong > 0L)
   }
+
+  test("statistics reflect pushed limit and filter selectivity") {
+    val limited = read(rows = 1000, pageSize = 100).limit(7)
+    assert(scanOf(limited).estimateStatistics().numRows().getAsLong == 7L)
+
+    // 2 of 4 statuses pushed → half the cursor
+    val filtered = read(rows = 1000, pageSize = 100)
+      .filter(col("effective_status").isin("ACTIVE", "PAUSED"))
+    assert(scanOf(filtered).estimateStatistics().numRows().getAsLong
+      == 500L)
+
+    val topn = read(rows = 1000, pageSize = 100)
+      .orderBy(col("_ingest_order").desc).limit(3)
+    assert(scanOf(topn).estimateStatistics().numRows().getAsLong == 3L)
+  }
 }
