@@ -355,9 +355,16 @@ object SparkEntry {
       val events = graft.streaming.EventStream
         .readEvents(s, dir + "/events*.parquet")
       val agg = graft.streaming.EventStream.performanceAgg(events)
-      val q = graft.streaming.EventStream.upsertWriter(agg, base + "/perf")
-        .option("checkpointLocation", base + "/ckpt").start()
-      q.awaitTermination()
+      // state-store sizing: the day×ad key space is small — a handful of
+      // state partitions beats the session default (a real knob: state
+      // partition count is fixed per checkpoint at first run)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.EventStream.upsertWriter(agg, base + "/perf")
+          .option("checkpointLocation", base + "/ckpt").start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(base + "/perf")
         .select(date_format(col("date_start"), "yyyy-MM-dd").as("date_start"),
           col("ad_id"), col("total_impressions"), col("total_clicks"),
