@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incrementalDedup admits only unseen text, keeps all columns") {
+    val corpus = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    val incoming = Seq((10L, "a b c"), (11L, "x y z"), (12L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = Corpus.incrementalDedup(incoming, corpus, "text")
+    assert(got.columns.toSeq == Seq("doc_id", "text"))
+    // both copies of the novel text are admitted (dedup-within-batch is a
+    // separate op); the corpus duplicate is rejected
+    assert(got.select("doc_id").as[Long].collect().toSet == Set(10L, 11L, 12L)
+      - 10L)
+  }
+
+  test("incrementalDedup with empty corpus admits everything") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val incoming = Seq((1L, "a")).toDF("doc_id", "text")
+    assert(Corpus.incrementalDedup(incoming, corpus, "text").count() == 1L)
+  }
+
+  test("assignSplit is content-stable and respects percentages") {
+    val docs = (0L until 200L).map(i => (i, s"doc number $i text body"))
+      .toDF("doc_id", "text")
+    val s1 = Corpus.assignSplit(docs, "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // re-run on a repartitioned frame → identical assignment
+    val s2 = Corpus.assignSplit(docs.repartition(7), "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1 == s2)
+    assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
+    // roughly 80/10/10 (content-hashed, not exact)
+    assert(s1.values.count(_ == "train") > 100)
+  }
+
+  test("lengthBucket thresholds are half-open [lo, hi)") {
+    val got = Seq(15L, 16L, 63L, 64L, 255L, 256L, 1023L, 1024L)
+      .toDF("n")
+      .select(Corpus.lengthBucket(col("n")).as("b")).as[String].collect()
+    assert(got.toSeq == Seq("lt16", "lt64", "lt64", "lt256", "lt256",
+      "lt1024", "lt1024", "ge1024"))
+  }
+
+  test("deterministicSample is stable and rejects bad thresholds") {
+    val docs = (0L until 500L).map(i => (i, "t")).toDF("doc_id", "text")
+    val a = Corpus.deterministicSample(docs, col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    val b = Corpus.deterministicSample(docs.repartition(5), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    assert(a.nonEmpty && a.size < 500) // ~25%
+    intercept[IllegalArgumentException] {
+      Corpus.deterministicSample(docs, col("doc_id"), "ZZZZ")
+    }
+  }
+
+  test("decontaminate finds only true n-gram overlaps") {
+    val train = Seq(
+      (1L, "one two three four five six"),   // shares 5-gram with eval
+      (2L, "totally different words here now")) // no overlap
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "zero one two three four five"))
+      .toDF("doc_id", "text")
+    val got = Corpus.decontaminate(train, eval, "text", "doc_id", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L)) // "one two three four five" only
+  }
+}
