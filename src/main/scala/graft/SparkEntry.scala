@@ -639,7 +639,15 @@ object SparkEntry {
     "x20_hash_sample" -> ((s, dir) =>
       graft.ext.Corpus.deterministicSample(
         T(s, dir, "documents"), col("doc_id"))
-        .select("doc_id", "lang")))
+        .select("doc_id", "lang")),
+
+    // sequence packing: batches of ~512 tokens per split, offset-based,
+    // integer-exact end to end.
+    "x21_pack_batches" -> ((s, dir) =>
+      graft.ext.Corpus.packBatches(
+        graft.ext.Corpus.assignSplit(T(s, dir, "documents"), "text"),
+        "text", "doc_id", capacity = 512L, partitionCols = Seq("split"))
+        .select("doc_id", "split", "n_tokens", "batch_id")))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -1108,6 +1116,18 @@ object SparkEntry {
       """SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
          FROM embeddings"""
     val cosPairExpr = s"round($dotProd / (${norm("a")} * ${norm("b")}), 6)"
+    // rolling-hash fingerprint (must mirror TextAnalysis.fingerprint)
+    val fp =
+      """list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(trim(text), ' '),
+               t -> (ascii(t)*131 + length(t)*137
+                     + ascii(right(t,1))*139) % 2147483647)),
+           (acc, x) -> (acc*31 + x) % 2147483647)"""
+    val splitCase =
+      s"""CASE WHEN $fp % 100 < 80 THEN 'train'
+               WHEN $fp % 100 < 90 THEN 'val'
+               ELSE 'test' END"""
 
     Map(
       "x01_dedup_exact" ->
@@ -1293,24 +1313,26 @@ object SparkEntry {
              AND NOT EXISTS (SELECT 1 FROM documents c
                              WHERE c.doc_id % 5 < 4 AND c.text = i.text)""",
 
-      "x16_split_assign" -> {
-        val fp =
-          """list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                 list_transform(string_split(trim(text), ' '),
-                   t -> (ascii(t)*131 + length(t)*137
-                         + ascii(right(t,1))*139) % 2147483647)),
-               (acc, x) -> (acc*31 + x) % 2147483647)"""
+      "x16_split_assign" ->
         s"""WITH s AS (
-              SELECT doc_id,
-                     CASE WHEN $fp % 100 < 80 THEN 'train'
-                          WHEN $fp % 100 < 90 THEN 'val'
-                          ELSE 'test' END AS split
+              SELECT doc_id, $splitCase AS split
               FROM documents)
             SELECT split, count(*) AS n_docs,
                    min(doc_id) AS min_id, max(doc_id) AS max_id
-            FROM s GROUP BY split"""
-      },
+            FROM s GROUP BY split""",
+
+      "x21_pack_batches" ->
+        s"""WITH s AS (
+              SELECT doc_id, $splitCase AS split,
+                     CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                       AS n_tokens
+              FROM documents)
+            SELECT doc_id, split, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER
+                       (PARTITION BY split ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0)
+                     AS BIGINT) AS batch_id
+            FROM s""",
 
       "x17_length_buckets" ->
         """WITH t AS (

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -114,6 +115,30 @@ object Corpus {
       .when(nTokens < 256, "lt256")
       .when(nTokens < 1024, "lt1024")
       .otherwise("ge1024")
+
+  /** Sequence packing: assign documents to training batches of
+    * ~`capacity` tokens each, in deterministic `idCol` order within each
+    * partition group (e.g. the split). `batch_id = floor(start_offset /
+    * capacity)` — offset-based, so a document straddling a boundary opens
+    * the next batch; integer arithmetic end-to-end (engine-exact).
+    *
+    * Scale note: one sort per partition group. For 100 TB, pack per
+    * (split, shard) with a shard column in `partitionCols` so no single
+    * group needs a global sort. */
+  def packBatches(df: DataFrame, textCol: String, idCol: String,
+      capacity: Long, partitionCols: Seq[String]): DataFrame = {
+    require(capacity > 0)
+    val w = Window
+      .partitionBy(partitionCols.map(col).toIndexedSeq: _*)
+      .orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("_graft_cum", sum("n_tokens").over(w))
+      .withColumn("batch_id",
+        floor((col("_graft_cum") - col("n_tokens")) / capacity)
+          .cast(LongType))
+      .drop("_graft_cum")
+  }
 
   /** Per-bucket corpus shape: document count and total tokens.
     *
