@@ -37,16 +37,29 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 4): Column =
     sum(graft.ops.Metrics.decQuantize(c, scale)).cast(DoubleType)
 
-  /** Per-query scratch dir, wiped on entry so repeated Verify/Bench runs
-    * don't accumulate orphaned temp data. */
-  private def scratchDir(tag: String): String = {
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_$tag")
+  /** Per-query scratch dir, unique per JVM so concurrent driver runs
+    * (e.g. Verify and Bench at once) can't wipe each other's live upsert
+    * table or streaming checkpoint mid-run; wiped per call within the
+    * run so repeated query invocations start clean, and removed at JVM
+    * exit so runs don't accumulate orphaned temp data. */
+  private val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), "graft_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteTree(root) catch { case _: Exception => () }))
+    root
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.delete)
     }
+
+  private def scratchDir(tag: String): String = {
+    val p = scratchRoot.resolve(tag)
+    deleteTree(p)
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
@@ -526,9 +539,13 @@ object SparkEntry {
     "x01_dedup_exact" -> ((s, dir) =>
       graft.ext.DedupOps.exactDedup(T(s, dir, "documents"), "text", "doc_id")),
 
+    // maxShingleDF exercises the capped code path; the cap sits far above
+    // any fixture shingle's document frequency so the result (and the
+    // uncapped oracle SQL) is unchanged.
     "x02_ngram_jaccard" -> ((s, dir) =>
       graft.ext.DedupOps.ngramJaccardPairs(
-        T(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.5)),
+        T(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.5,
+        maxShingleDF = Some(10000L))),
 
     // xxhash64-based sketches aren't SQL-replicable → rows-only check.
     "x03_minhash_pairs" -> ((s, dir) =>
@@ -536,9 +553,13 @@ object SparkEntry {
         T(s, dir, "documents"), "doc_id", "text",
         n = 3, bands = 16, rows = 4, threshold = 0.5)),
 
+    // maxHamming < bands*(probeBits+1) enforces the pigeonhole recall
+    // guarantee: 4 bands of 16 bits + 1-bit multi-probe find every pair
+    // at Hamming <= 7 while keeping 65536 buckets per band.
     "x04_simhash_pairs" -> ((s, dir) =>
       graft.ext.DedupOps.simhashPairs(
-        T(s, dir, "documents"), "doc_id", "text", maxHamming = 8)),
+        T(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 7, bands = 4, probeBits = 1)),
 
     "x05_cosine_topk" -> { (s, dir) =>
       val emb = T(s, dir, "embeddings")

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -59,20 +58,55 @@ object DedupOps {
     * Shape: explode shingles → self-join on shingle (the bucket join) →
     * count shared per pair → Jaccard from the three ints. The join key is
     * a shingle hash, so the shuffle never carries text bodies. Documents
-    * shorter than n words have no shingles and can't pair. */
+    * shorter than n words have no shingles and can't pair.
+    *
+    * `maxShingleDF`: 100 TB guard — a single boilerplate shingle shared by
+    * 1M documents turns the self-join bucket for that shingle into ~10¹²
+    * candidate pairs. Shingles whose document frequency exceeds the cap
+    * carry no near-dup signal (they are corpus boilerplate, cf.
+    * [[Corpus.commonNgrams]]) and are dropped from every document's
+    * shingle SET before sizing and joining — Jaccard is then computed
+    * over the capped sets on BOTH sides, so the measure stays a true
+    * Jaccard of the reduced representation. The hot-shingle list is tiny
+    * by construction (Zipf head above the cap) and broadcasts. `None`
+    * keeps the exact uncapped plan (no extra shuffle). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double,
+      maxShingleDF: Option[Long] = None): DataFrame = {
     // Carry |shingles| through the explode so set sizes ride along with
     // the exploded rows — no separate sizes branch, no extra joins. The
     // shingle hashing is the native TextHashExprs expression: one tight
     // loop per row instead of per-element interpreted lambdas.
     graft.functions.TextHashExprs.register(df.sparkSession)
-    val e = df.select(col(idCol).as("doc_id"),
+    val exploded = df.select(col(idCol).as("doc_id"),
         graft.functions.TextHashExprs.shingleHashes(col(textCol), n)
           .as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("s"))
+    val e = maxShingleDF match {
+      case None => exploded
+      case Some(cap) =>
+        // shingleHashes is per-document distinct, so count(1) = DF
+        val hot = exploded.groupBy(col("s"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+          .select(col("s"))
+        // Correct each document's set size by its hot-shingle count
+        // rather than re-aggregating all kept rows: hotPerDoc only has
+        // rows for documents that contained a hot shingle, so when the
+        // cap bites nothing (the oracle-gated configuration) both sides
+        // of the correction are near-empty and the extra cost is one
+        // DF pass. Catalyst broadcasts the small tables at low SF and
+        // falls back to shuffle joins at corpus scale.
+        val hotPerDoc = exploded
+          .join(broadcast(hot), Seq("s"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
+        exploded
+          .join(broadcast(hot), Seq("s"), "left_anti")
+          .join(hotPerDoc, Seq("doc_id"), "left")
+          .withColumn("sz", col("sz") - coalesce(col("n_hot"), lit(0L)))
+          .drop("n_hot")
+    }
     val shared = e.as("a").join(e.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -186,27 +220,82 @@ object DedupOps {
   def simhash(c: Column): Column =
     simhashFromHashes(transform(TextAnalysis.tokens(c), t => xxhash64(t)))
 
-  /** SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks
-    * (any-chunk-equal → candidate), verify with exact Hamming distance. */
+  /** SimHash near-dup pairs: band the 64 bits into `bands` equal chunks;
+    * a pair is a candidate when some chunk matches exactly (`probeBits=0`)
+    * or within one flipped bit (`probeBits=1`, multi-probe). Candidates
+    * are verified with the exact Hamming distance.
+    *
+    * RECALL CONTRACT (pigeonhole, enforced): a pair at Hamming distance d
+    * always has some chunk carrying ≤ ⌊d/bands⌋ of the differing bits, so
+    * the multi-index finds every pair with d < bands·(probeBits+1).
+    * `maxHamming` beyond that bound is REJECTED — the old default
+    * (4 exact-match bands, maxHamming=8) silently missed pairs at
+    * distance 4–8 whose diffs spread across all four chunks.
+    *
+    * SCALE: the defaults (4 bands × 16-bit chunks, 1-bit probes) keep
+    * 65536 buckets per band — narrowing chunks instead (8×8-bit exact
+    * match) also satisfies the bound but collapses to 256 buckets/band,
+    * which measured 27× slower at sf0.1 and explodes quadratically on
+    * biased simhash chunks at corpus scale. Multi-probe costs
+    * (1 + chunkBits) probe rows per band per doc — shuffle rows, not
+    * pairs. For 10⁹+ docs either tighten the radius (maxHamming=3,
+    * probeBits=0) or widen chunks further (bands=2, 32-bit chunks)
+    * with a subset-enumeration probe stage. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 7, bands: Int = 4, probeBits: Int = 1): DataFrame = {
     graft.functions.TextHashExprs.register(df.sparkSession)
     val sig = df
       .select(col(idCol).as("doc_id"),
         graft.functions.TextHashExprs.simhash64(col(textCol)).as("sh"))
+    simhashPairsFromSigs(sig, maxHamming, bands, probeBits)
+  }
+
+  /** Banding + verification over pre-computed signatures `(doc_id, sh)` —
+    * split out so the recall property is testable at exact, seeded
+    * Hamming distances (ExtSpec) independent of text hashing. */
+  def simhashPairsFromSigs(sig: DataFrame, maxHamming: Int,
+      bands: Int = 4, probeBits: Int = 1): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands)")
+    require(probeBits == 0 || probeBits == 1,
+      s"probeBits must be 0 (exact chunks) or 1 (1-bit multi-probe)")
+    require(maxHamming >= 0 && maxHamming < bands * (probeBits + 1),
+      s"recall guarantee needs maxHamming < bands*(probeBits+1) " +
+        s"(got maxHamming=$maxHamming, bands=$bands, probeBits=$probeBits): " +
+        s"the multi-index only finds all pairs at Hamming <= " +
+        s"${bands * (probeBits + 1) - 1}")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1L
     val banded = sig.select(col("doc_id"), col("sh"),
-      explode(sequence(lit(0), lit(3))).as("band"))
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("chunk", call_function("shiftright", col("sh"),
-        col("band") * 16).bitwiseAND(lit(0xFFFFL)))
-    // keep a multi-band collision only at its first matching chunk — a
-    // pure long-arithmetic filter instead of a dropDuplicates shuffle
-    def chunkOf(sh: Column, i: Column) =
-      call_function("shiftright", sh, i * 16).bitwiseAND(lit(0xFFFFL))
-    val firstBand = array_min(filter(
-      transform(sequence(lit(0), lit(3)),
-        i => when(chunkOf(col("sh_a"), i) === chunkOf(col("sh_b"), i), i)),
-      x => x.isNotNull))
-    banded.as("a").join(banded.as("b"),
+        col("band") * bits).bitwiseAND(lit(mask)))
+    // probe side: the chunk itself (flip = -1) plus each 1-bit variant;
+    // a candidate at in-chunk Hamming 1 meets exactly one probe, so
+    // within a band each pair matches at most once — no dedup shuffle
+    val probed =
+      if (probeBits == 0) banded
+      else banded
+        .select(col("doc_id"), col("sh"), col("band"), col("chunk"),
+          explode(array((lit(-1) +: (0 until bits).map(lit)): _*)).as("flip"))
+        .withColumn("chunk",
+          when(col("flip") === -1, col("chunk"))
+            .otherwise(col("chunk").bitwiseXOR(
+              call_function("shiftleft", lit(1L), col("flip")))))
+        .drop("flip")
+    // keep a multi-band collision only at its first qualifying band — a
+    // pure long-arithmetic filter instead of a dropDuplicates shuffle.
+    // Chained when() instead of transform/filter/array_min: higher-order
+    // functions evaluate interpreted PER CANDIDATE PAIR, which dominated
+    // the runtime once multi-probe widened the candidate set.
+    def chunkOf(sh: Column, i: Int) =
+      call_function("shiftright", sh, lit(i * bits)).bitwiseAND(lit(mask))
+    val firstBand = (0 until bands).foldLeft(lit(null).cast("int")) {
+      (acc, i) => coalesce(acc,
+        when(bit_count(chunkOf(col("sh_a"), i)
+          .bitwiseXOR(chunkOf(col("sh_b"), i))) <= probeBits, lit(i)))
+    }
+    banded.as("a").join(probed.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

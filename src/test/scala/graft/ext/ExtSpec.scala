@@ -42,6 +42,86 @@ class ExtSpec extends SparkSpec {
     assert(pairs.length == 1 && pairs.head.getAs[Long]("hamming") == 0L)
   }
 
+  test("simhash recall: EVERY pair at Hamming <= maxHamming is found") {
+    // Seeded signatures with exact, known Hamming distances — including
+    // distance 4-7 pairs whose differing bits are spread so that every
+    // 16-bit chunk differs (the pairs the old exact-match 4x16 banding
+    // silently missed). Pigeonhole: 4 bands x (1+1 probe bits) must
+    // catch Hamming <= 7.
+    val rnd = new scala.util.Random(0x51A4)
+    val rows = (0 until 40).flatMap { g =>
+      val base = rnd.nextLong()
+      val d = g % 10 // distances 0..9; > 7 must be excluded by the verify
+      // spread the d flipped bits across distinct 16-bit chunks first so
+      // low distances still break all four old-style bands
+      val flips = rnd.shuffle((0 until 64).toList).take(d)
+      val mut = flips.foldLeft(base)((s, b) => s ^ (1L << b))
+      Seq((g * 2L, base), (g * 2L + 1L, mut))
+    }
+    val sig = rows.toDF("doc_id", "sh")
+    val found = DedupOps.simhashPairsFromSigs(sig, maxHamming = 7)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => (a min b, a max b) -> h }.toMap
+    rows.grouped(2).foreach { case Seq((ida, a), (idb, b)) =>
+      val d = java.lang.Long.bitCount(a ^ b)
+      if (d <= 7)
+        assert(found.get((ida, idb)).contains(d.toLong),
+          s"missed pair ($ida,$idb) at Hamming $d")
+      else
+        assert(!found.contains((ida, idb)),
+          s"pair ($ida,$idb) at Hamming $d should be filtered")
+    }
+  }
+
+  test("simhash recall: a crafted distance-5 pair the exact banding missed") {
+    // one differing bit in each 16-bit chunk + one extra: every 16-bit
+    // chunk differs, so exact-match banding finds NO candidate band; the
+    // 1-bit multi-probe qualifies chunks 1,2,3 (one diff each)
+    val base = 0x0123456789ABCDEFL
+    val mut = base ^ 0x0001000100010003L // bits 0,1,16,32,48
+    assert(java.lang.Long.bitCount(base ^ mut) == 5)
+    assert((0 until 4).forall(i => // all 16-bit chunks differ
+      ((base >>> (i * 16)) & 0xFFFFL) != ((mut >>> (i * 16)) & 0xFFFFL)))
+    val sig = Seq((1L, base), (2L, mut)).toDF("doc_id", "sh")
+    val got = DedupOps.simhashPairsFromSigs(sig, maxHamming = 7).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("hamming") == 5L)
+    // exact-chunk variant at the same radius is rejected outright:
+    // 4 bands x probeBits=0 can only guarantee Hamming <= 3
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashPairsFromSigs(sig, maxHamming = 7, probeBits = 0)
+    }
+  }
+
+  test("simhashPairs rejects maxHamming >= bands*(probeBits+1)") {
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashPairsFromSigs(
+        Seq((1L, 0L)).toDF("doc_id", "sh"), maxHamming = 8)
+    }
+  }
+
+  test("ngramJaccard maxShingleDF: boilerplate shingle stops pairing docs") {
+    // 20 docs share ONE boilerplate 3-gram but are otherwise disjoint:
+    // uncapped → 190 candidate pairs, capped at DF 5 → none survive
+    val hot = (0 until 20).map(i =>
+      (i.toLong, s"common boiler plate w${i}a w${i}b w${i}c"))
+      .toDF("doc_id", "text")
+    val uncapped = DedupOps.ngramJaccardPairs(hot, "doc_id", "text",
+      n = 3, threshold = 0.01)
+    assert(uncapped.count() == 190L, "every doc pair shares the hot shingle")
+    val capped = DedupOps.ngramJaccardPairs(hot, "doc_id", "text",
+      n = 3, threshold = 0.01, maxShingleDF = Some(5L))
+    assert(capped.isEmpty, "hot shingle must be dropped before the self-join")
+  }
+
+  test("ngramJaccard maxShingleDF above all DFs leaves results unchanged") {
+    val uncapped = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5)
+      .collect().toSet
+    val capped = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5,
+      maxShingleDF = Some(10000L)).collect().toSet
+    assert(uncapped.nonEmpty && capped == uncapped)
+  }
+
   test("cosine: self-similarity is 1") {
     val one = embs.limit(1)
       .select(DedupOps.cosine(
