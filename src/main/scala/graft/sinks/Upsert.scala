@@ -33,40 +33,59 @@ object Upsert {
   /** Upsert `source` into the parquet table at `path` on `keys`.
     * Last-write-wins within `source` is the caller's responsibility
     * (the reference dedups to grain before loading).
+    * `writeSalt` bounds writer-task fan-out AND files written per table
+    * partition — see the repartition note below.
     */
   def upsert(spark: SparkSession, path: String, source: DataFrame,
-      keys: Seq[String], partitionCols: Seq[String] = Nil): Unit = {
+      keys: Seq[String], partitionCols: Seq[String] = Nil,
+      writeSalt: Int = 8): Unit = {
     if (source.isEmpty) return // K6 empty-input guard (src/load.py:29-31)
     val exists = Files.exists(Paths.get(path))
     if (!exists) {
-      write(source, path, partitionCols, SaveMode.ErrorIfExists)
+      write(source, path, keys, partitionCols, writeSalt, SaveMode.ErrorIfExists)
       return
     }
     if (partitionCols.nonEmpty) {
       // Dynamic partition overwrite: replace only source's partitions with
       // (old-rows-losing-on-key ∪ source) within those partitions.
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      val target = spark.read.parquet(path)
-      val srcParts = source.select(partitionCols.map(col).toIndexedSeq: _*)
-        .distinct()
-      val affected = target.join(broadcast(srcParts),
-        partitionCols.toIndexedSeq, "left_semi")
-      val kept = affected.join(
-        source.select(keys.map(col).toIndexedSeq: _*).distinct(),
-        keys.toIndexedSeq, "left_anti")
-      val merged = kept.unionByName(source.select(target.columns.toIndexedSeq
-        .map(col): _*))
-        // one shuffle partition per table partition → one file per
-        // partition per write, instead of shuffle.partitions small files
-        // accumulating under every date dir (the 100 TB small-files trap)
-        .repartition(partitionCols.map(col).toIndexedSeq: _*)
-      // Stage to avoid reading and overwriting the same files in one job.
-      val staging = path + "__staging"
-      merged.write.mode(SaveMode.Overwrite).parquet(staging)
-      spark.read.parquet(staging).write
-        .partitionBy(partitionCols.toIndexedSeq: _*)
-        .mode(SaveMode.Overwrite).parquet(path)
-      deleteRecursively(staging)
+      // Session conf is restored afterwards — a shared session must not
+      // keep overwrite=dynamic past this sink (try/finally, same shape as
+      // the shuffle-partitions override in SparkEntry q20).
+      val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
+      val prior = spark.conf.getOption(overwriteKey)
+      spark.conf.set(overwriteKey, "dynamic")
+      try {
+        val target = spark.read.parquet(path)
+        val srcParts = source.select(partitionCols.map(col).toIndexedSeq: _*)
+          .distinct()
+        val affected = target.join(broadcast(srcParts),
+          partitionCols.toIndexedSeq, "left_semi")
+        val kept = affected.join(
+          source.select(keys.map(col).toIndexedSeq: _*).distinct(),
+          keys.toIndexedSeq, "left_anti")
+        val merged = kept.unionByName(source.select(target.columns.toIndexedSeq
+          .map(col): _*))
+          // bounded salt from the upsert keys: caps files per table
+          // partition at `writeSalt` (vs shuffle.partitions small files —
+          // the 100 TB small-files trap) while still fanning a hot date
+          // across `writeSalt` writer tasks instead of one (skew/OOM trap
+          // of repartition(partitionCols) alone)
+          .repartition((partitionCols.map(col) :+
+            pmod(xxhash64(keys.map(col).toIndexedSeq: _*),
+              lit(writeSalt))).toIndexedSeq: _*)
+        // Stage to avoid reading and overwriting the same files in one job.
+        val staging = path + "__staging"
+        merged.write.mode(SaveMode.Overwrite).parquet(staging)
+        spark.read.parquet(staging).write
+          .partitionBy(partitionCols.toIndexedSeq: _*)
+          .mode(SaveMode.Overwrite).parquet(path)
+        deleteRecursively(staging)
+      } finally {
+        prior match {
+          case Some(v) => spark.conf.set(overwriteKey, v)
+          case None => spark.conf.unset(overwriteKey)
+        }
+      }
     } else {
       val target = spark.read.parquet(path)
       val kept = target.join(
@@ -92,10 +111,13 @@ object Upsert {
     upsert(spark, s"$baseDir/$table", source, keys, partCols)
   }
 
-  private def write(df: DataFrame, path: String, partitionCols: Seq[String],
-      mode: SaveMode): Unit = {
+  private def write(df: DataFrame, path: String, keys: Seq[String],
+      partitionCols: Seq[String], writeSalt: Int, mode: SaveMode): Unit = {
     val d = if (partitionCols.nonEmpty)
-      df.repartition(partitionCols.map(col).toIndexedSeq: _*) else df
+      df.repartition((partitionCols.map(col) :+
+        pmod(xxhash64(keys.map(col).toIndexedSeq: _*),
+          lit(writeSalt))).toIndexedSeq: _*)
+    else df
     val w = d.write.mode(mode)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols.toIndexedSeq: _*)
      else w).parquet(path)

@@ -62,4 +62,64 @@ class UpsertSpec extends SparkSpec {
       Upsert.upsertTable(spark, tmp(), "nope", Seq((1L, "a")).toDF("k", "v"))
     }
   }
+
+  test("partitioned upsert restores partitionOverwriteMode afterwards") {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(key)
+    val p = tmp()
+    val df = Seq(("2024-01-01", 1L, "a")).toDF("date_start", "k", "v")
+    Upsert.upsert(spark, p, df, Seq("date_start", "k"), Seq("date_start"))
+    Upsert.upsert(spark, p, df, Seq("date_start", "k"), Seq("date_start"))
+    assert(spark.conf.getOption(key) == prior,
+      "sink must not leave the session in dynamic-overwrite mode")
+  }
+
+  test("jdbc upsert SQL: ads_dimension (load.py:102-119)") {
+    val s = JdbcUpsert.forContractTable("ads_dimension")
+    assert(s.tempTable == "temp_ads_dimension")
+    assert(s.upsert ==
+      """INSERT INTO ads_dimension ("ad_id", "ad_name", "adset_id", "adset_name", "campaign_id", "campaign_name")
+        |SELECT "ad_id", "ad_name", "adset_id", "adset_name", "campaign_id", "campaign_name" FROM temp_ads_dimension
+        |ON CONFLICT (ad_id)
+        |DO UPDATE SET "ad_name" = EXCLUDED."ad_name", "adset_id" = EXCLUDED."adset_id", "adset_name" = EXCLUDED."adset_name", "campaign_id" = EXCLUDED."campaign_id", "campaign_name" = EXCLUDED."campaign_name";""".stripMargin)
+    assert(s.dropTemp == "DROP TABLE temp_ads_dimension;")
+  }
+
+  test("jdbc upsert SQL: composite-key fact tables") {
+    val perf = JdbcUpsert.forContractTable("ads_campaign_performance")
+    assert(perf.upsert.contains("ON CONFLICT (date_start, ad_id)"))
+    assert(!perf.upsert.contains("\"date_start\" = EXCLUDED"),
+      "key columns must not be updated")
+    assert(perf.upsert.contains("\"total_spend\" = EXCLUDED.\"total_spend\""))
+    val leads = JdbcUpsert.forContractTable("ads_lead_insights")
+    assert(leads.upsert.contains(
+      "ON CONFLICT (date_start, ad_id, age, gender, region)"))
+    // whitelisted action columns ride along in insert + update lists
+    assert(leads.upsert.contains("\"lead\" = EXCLUDED.\"lead\""))
+    assert(leads.upsert.contains(
+      "\"offsite_conversion_fb_pixel_lead\" = EXCLUDED.\"offsite_conversion_fb_pixel_lead\""))
+  }
+
+  test("jdbc upsert SQL: ads_raw_leads casts field_data to JSONB in place") {
+    val s = JdbcUpsert.forContractTable("ads_raw_leads")
+    assert(s.upsert.contains(
+      """CASE WHEN "field_data" IS NULL THEN NULL ELSE "field_data"::JSONB END AS "field_data""""))
+    assert(s.upsert.contains(""""field_data" = EXCLUDED."field_data"::JSONB"""))
+    assert(s.upsert.contains("ON CONFLICT (lead_id)"))
+    // INSERT and SELECT lists must stay positionally aligned: the cast
+    // replaces field_data at its own position (cf. scaladoc divergence
+    // note vs load.py:77-81), with ad_platform_data still last on both
+    val insertLine = s.upsert.linesIterator.next()
+    assert(insertLine.endsWith("\"field_data\", \"ad_platform_data\")"))
+    val selectLine = s.upsert.linesIterator.drop(1).next()
+    assert(selectLine.endsWith(
+      """AS "field_data", "ad_platform_data" FROM temp_ads_raw_leads"""))
+  }
+
+  test("jdbc upsert SQL: unknown table / missing key column errors") {
+    intercept[IllegalArgumentException] { JdbcUpsert.forContractTable("nope") }
+    intercept[IllegalArgumentException] {
+      JdbcUpsert.statements("ads_dimension", Seq("ad_name")) // no ad_id
+    }
+  }
 }
