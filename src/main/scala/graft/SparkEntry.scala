@@ -662,13 +662,17 @@ object SparkEntry {
         T(s, dir, "documents"), col("doc_id"))
         .select("doc_id", "lang")),
 
-    // sequence packing: batches of ~512 tokens per split, offset-based,
-    // integer-exact end to end.
+    // sequence packing: batches of ~512 tokens per (split, shard),
+    // offset-based, integer-exact end to end. The shard key (doc_id % 8,
+    // engine-portable) is what makes the sort scale: per-split-only
+    // packing funnels the 80% train split through ONE sort partition.
     "x21_pack_batches" -> ((s, dir) =>
       graft.ext.Corpus.packBatches(
-        graft.ext.Corpus.assignSplit(T(s, dir, "documents"), "text"),
-        "text", "doc_id", capacity = 512L, partitionCols = Seq("split"))
-        .select("doc_id", "split", "n_tokens", "batch_id")))
+        graft.ext.Corpus.assignSplit(T(s, dir, "documents"), "text")
+          .withColumn("shard", pmod(col("doc_id"), lit(8L))),
+        "text", "doc_id", capacity = 512L,
+        partitionCols = Seq("split", "shard"))
+        .select("doc_id", "split", "shard", "n_tokens", "batch_id")))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -1141,7 +1145,7 @@ object SparkEntry {
     val fp =
       """list_reduce(
            list_prepend(CAST(0 AS BIGINT),
-             list_transform(string_split(trim(text), ' '),
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
                t -> (ascii(t)*131 + length(t)*137
                      + ascii(right(t,1))*139) % 2147483647)),
            (acc, x) -> (acc*31 + x) % 2147483647)"""
@@ -1156,7 +1160,7 @@ object SparkEntry {
            FROM documents GROUP BY text""",
 
       "x02_ngram_jaccard" ->
-        """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                       FROM documents),
            s AS (SELECT doc_id,
                    list_distinct([array_to_string(toks[i+1:i+5], ' ')
@@ -1234,7 +1238,7 @@ object SparkEntry {
           s"WHEN s_$l = $gr THEN '$l'"
         }.mkString(" ")
         s"""WITH t AS (SELECT doc_id, lang,
-                string_split(lower(trim(text)), ' ') AS toks FROM documents),
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
             s AS (SELECT doc_id, lang, $scores FROM t)
             SELECT doc_id, lang,
                    CASE WHEN $gr = 0 THEN 'und' $cases END AS lang_pred
@@ -1244,11 +1248,11 @@ object SparkEntry {
       "x09_quality" ->
         """WITH s AS (
              SELECT doc_id,
-               CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
                CAST(length(text) AS BIGINT) AS n_chars,
                CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
                  AS n_punct,
-               CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+               CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
                  x -> x IN ('the','a','of','and','to','in','is','it')))
                  AS BIGINT) AS n_stopwords
              FROM documents),
@@ -1270,7 +1274,7 @@ object SparkEntry {
 
       "x10_token_count" ->
         """SELECT doc_id,
-                  CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
                     AS n_ws_tokens,
                   CAST(len(regexp_extract_all(lower(text),
                     '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
@@ -1280,7 +1284,7 @@ object SparkEntry {
         """SELECT doc_id,
                   list_reduce(
                     list_prepend(CAST(0 AS BIGINT),
-                      list_transform(string_split(trim(text), ' '),
+                      list_transform(regexp_split_to_array(trim(text), '\s+'),
                         t -> (ascii(t)*131 + length(t)*137
                               + ascii(right(t,1))*139) % 2147483647)),
                     (acc, x) -> (acc*31 + x) % 2147483647) AS fp
@@ -1300,7 +1304,7 @@ object SparkEntry {
            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'""",
 
       "x18_common_ngrams" ->
-        """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                       FROM documents),
            s AS (SELECT doc_id,
                    unnest(list_distinct(
@@ -1313,7 +1317,7 @@ object SparkEntry {
            LIMIT 20""",
 
       "x19_decontaminate" ->
-        """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                       FROM documents),
            s AS (SELECT doc_id,
                    list_distinct([array_to_string(toks[i+1:i+5], ' ')
@@ -1345,19 +1349,20 @@ object SparkEntry {
       "x21_pack_batches" ->
         s"""WITH s AS (
               SELECT doc_id, $splitCase AS split,
-                     CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                     doc_id % 8 AS shard,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
                        AS n_tokens
               FROM documents)
-            SELECT doc_id, split, n_tokens,
-                   CAST(floor((sum(n_tokens) OVER
-                       (PARTITION BY split ORDER BY doc_id
-                        ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0)
+            SELECT doc_id, split, shard, n_tokens,
+                   CAST((sum(n_tokens) OVER
+                       (PARTITION BY split, shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) // 512
                      AS BIGINT) AS batch_id
             FROM s""",
 
       "x17_length_buckets" ->
         """WITH t AS (
-             SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+             SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
              FROM documents)
            SELECT CASE WHEN n < 16 THEN 'lt16'
                        WHEN n < 64 THEN 'lt64'

@@ -118,13 +118,18 @@ object Corpus {
 
   /** Sequence packing: assign documents to training batches of
     * ~`capacity` tokens each, in deterministic `idCol` order within each
-    * partition group (e.g. the split). `batch_id = floor(start_offset /
-    * capacity)` — offset-based, so a document straddling a boundary opens
-    * the next batch; integer arithmetic end-to-end (engine-exact).
+    * partition group. `batch_id = start_offset div capacity` — offset-
+    * based, so a document straddling a boundary opens the next batch.
+    * The division is `div` on longs (NOT a double divide, which is only
+    * exact while the group's cumulative token count stays below 2^53),
+    * so the result is engine-exact over the full long range.
     *
-    * Scale note: one sort per partition group. For 100 TB, pack per
-    * (split, shard) with a shard column in `partitionCols` so no single
-    * group needs a global sort. */
+    * Scale note: one sort per partition group — `partitionCols` must
+    * therefore include a shard key alongside the split (the gated x21
+    * packs per (split, doc_id%8)): with the split alone, an 80% train
+    * split is ONE sort partition, which cannot work at 100 TB. Batches
+    * never cross shards, so shards can be packed (and consumed)
+    * independently. */
   def packBatches(df: DataFrame, textCol: String, idCol: String,
       capacity: Long, partitionCols: Seq[String]): DataFrame = {
     require(capacity > 0)
@@ -135,8 +140,8 @@ object Corpus {
     df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .withColumn("_graft_cum", sum("n_tokens").over(w))
       .withColumn("batch_id",
-        floor((col("_graft_cum") - col("n_tokens")) / capacity)
-          .cast(LongType))
+        call_function("div", col("_graft_cum") - col("n_tokens"),
+          lit(capacity)).cast(LongType))
       .drop("_graft_cum")
   }
 

@@ -326,7 +326,14 @@ object DedupOps {
     * sign pattern of the leading dims plus its 1-bit-flip neighbors
     * (multi-probe) so near-identical vectors collide without an O(n²)
     * cross join. Exact for pairs whose sign patterns differ in ≤1 of the
-    * leading `b` dims — document the recall contract. */
+    * leading `b` dims — the recall contract.
+    *
+    * SIZING (the default is fixture-sized, NOT a scale setting): 2^signBits
+    * buckets and (signBits+1) probe rows per vector; in-bucket pair cost
+    * is ~N²/2^signBits · (signBits+1)/2 across the corpus. Pick
+    * `signBits = ceil(log2(N / targetBucketSize))` with a target bucket
+    * of ~1-4k vectors — e.g. 10⁹ vectors → signBits ≈ 20 (needs
+    * embedding dim ≥ signBits). See SCALE.md "LSH knob sizing". */
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, signBits: Int = 6): DataFrame = {
     // Native dot product + norms staged once per vector (not per pair).

@@ -56,7 +56,13 @@ object Similarity {
   /** IVF-style bucketed top-k: corpus pre-bucketed by [[signBucket]];
     * each query probes only its own bucket. Approximate by construction —
     * neighbors in other buckets are unseen (the recall/cost dial is
-    * `bits`). */
+    * `bits`).
+    *
+    * SIZING (the default is fixture-sized, NOT a scale setting): 2^bits
+    * buckets, so each probe scans ~N/2^bits corpus vectors. Pick
+    * `bits = ceil(log2(N / targetScanSize))` — e.g. 10⁹ vectors with a
+    * ~64k-vector probe budget → bits = 14. Raising bits trades recall
+    * for probe cost; see SCALE.md "LSH knob sizing". */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, bits: Int = 4): DataFrame = {
     graft.functions.VectorExprs.register(corpus.sparkSession)

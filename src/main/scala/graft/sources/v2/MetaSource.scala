@@ -61,6 +61,19 @@ class MetaSource extends TableProvider
       properties: util.Map[String, String]): Table = {
     // option keys arrive case-preserved here (unlike inferSchema's map)
     val opts = properties.asScala.map { case (k, v) => k.toLowerCase -> v }
+    // S1 credential check (reference extract.py:22-24): targeting the
+    // live endpoint requires the full credential set up front — fail the
+    // table resolution, not the first task, and name what's missing.
+    // The deterministic generator (the default) needs none.
+    if (opts.get("live").exists(_.toBoolean)) {
+      val required =
+        Seq("app_id", "app_secret", "access_token", "ad_account_id")
+      val missing = required.filter(k => opts.get(k).forall(_.isEmpty))
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"graft-meta: live=true but credential option(s) missing: " +
+            missing.mkString(", "))
+    }
     new MetaAdsTable(
       opts.getOrElse("rows", "5000").toLong,
       opts.getOrElse("pagesize", "1000").toInt)

@@ -16,7 +16,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * sessions so state size is bounded by active keys, not history. This is
   * the standard production shape for 100 TB-scale clickstreams — the batch
   * window formulation (one sort per key) and this incremental one return
-  * identical sessions, which `StreamingSpec` pins.
+  * identical sessions for every event within the configured lateness
+  * (`StreamSessionizeSpec` pins this, including cross-batch late-event
+  * coalescing); events beyond the watermark are handled best-effort.
   */
 object StreamSessionize {
 
@@ -37,37 +39,40 @@ object StreamSessionize {
       state.remove()
       return Iterator(SessionOut(userId, s.start, s.end, s.end - s.start, s.n))
     }
-    val sorted = events.toArray.sortBy(_.sec)
-    var open = state.getOption
-    val closed = Seq.newBuilder[SessionOut]
-    sorted.foreach { e =>
-      open match {
-        // within gap of either session edge (a cross-batch late event can
-        // precede the open session's start): merge and extend BOTH bounds
-        case Some(s) if e.sec >= s.start - gapSeconds &&
-            e.sec <= s.end + gapSeconds =>
-          open = Some(OpenSession(math.min(s.start, e.sec),
-            math.max(s.end, e.sec), s.n + 1))
-        case Some(s) if e.sec > s.end + gapSeconds =>
-          closed += SessionOut(userId, s.start, s.end, s.end - s.start, s.n)
-          open = Some(OpenSession(e.sec, e.sec, 1))
-        case Some(_) =>
-          // more than gap BEFORE the open session: its own session, in a
-          // past the state can no longer merge with — emit immediately
-          // (best-effort for events later than the configured lateness)
-          closed += SessionOut(userId, e.sec, e.sec, 0L, 1L)
-        case None =>
-          open = Some(OpenSession(e.sec, e.sec, 1))
+    // Interval sweep: the open session from state plus each event (as a
+    // width-0 interval), in start order, gap-merged left to right. This
+    // makes cross-batch late events behave exactly like the batch
+    // formulation: consecutive too-late events coalesce into their own
+    // session instead of degenerating to singletons, and an event that
+    // bridges a past session and the open one merges all three.
+    val all = (state.getOption.toArray ++
+        events.map(e => OpenSession(e.sec, e.sec, 1L)))
+      .sortBy(s => (s.start, s.end))
+    val merged = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+    all.foreach { s =>
+      merged.lastOption match {
+        case Some(c) if s.start <= c.end + gapSeconds =>
+          merged(merged.size - 1) =
+            OpenSession(c.start, math.max(c.end, s.end), c.n + s.n)
+        case _ => merged += s
       }
     }
-    open.foreach { s =>
+    // every interval but the last sits more than a gap before a later
+    // one — closed; the last stays open in state awaiting the watermark.
+    // A session closed here cannot be reopened by a yet-later event, so
+    // sessions are identical to the batch formulation for all events
+    // within the configured lateness (beyond it, the engine may drop the
+    // event or it lands after its session was emitted — best effort).
+    val closed = merged.dropRight(1).map(s =>
+      SessionOut(userId, s.start, s.end, s.end - s.start, s.n))
+    merged.lastOption.foreach { s =>
       state.update(s)
       // close when the watermark passes end-of-session + gap; clamp above
       // the current watermark — Spark rejects timeouts at/behind it
       state.setTimeoutTimestamp(math.max((s.end + gapSeconds) * 1000L,
         state.getCurrentWatermarkMs() + 1L))
     }
-    closed.result().iterator
+    closed.iterator
   }
 
   /** Wire the handler over a streaming (or batch) events frame with

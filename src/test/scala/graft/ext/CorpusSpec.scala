@@ -60,6 +60,48 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("packBatches: offset-based assignment, shard-independent packing") {
+    // 10 docs of 5 tokens each per shard → capacity 12 packs docs at
+    // offsets 0,5,10,15,... into batches 0,0,0,1,1,2,2,2,3,3
+    val docs = (0L until 20L).map(i => (i, "t1 t2 t3 t4 t5"))
+      .toDF("doc_id", "text")
+      .withColumn("shard", pmod(col("doc_id"), lit(2L)))
+    val got = Corpus.packBatches(docs, "text", "doc_id", capacity = 12L,
+        partitionCols = Seq("shard"))
+      .select("doc_id", "shard", "batch_id")
+      .as[(Long, Long, Long)].collect()
+    // recompute expected per shard in plain Scala
+    val expected = got.map(_._1).sorted.map { id =>
+      val posInShard = id / 2 // ids alternate shards 0,1,0,1,...
+      (id, id % 2, (posInShard * 5) / 12)
+    }.map(t => t._1 -> t._3).toMap
+    got.foreach { case (id, _, b) =>
+      assert(b == expected(id), s"doc $id: batch $b != ${expected(id)}")
+    }
+    // packing one shard alone yields the same batches — batches never
+    // cross shards, so shards pack (and consume) independently
+    val solo = Corpus.packBatches(docs.filter(col("shard") === 0L),
+        "text", "doc_id", capacity = 12L, partitionCols = Seq("shard"))
+      .select("doc_id", "batch_id").as[(Long, Long)].collect().toMap
+    got.filter(_._2 == 0L).foreach { case (id, _, b) =>
+      assert(solo(id) == b)
+    }
+  }
+
+  test("packBatches plan sorts within (split, shard), not one partition") {
+    val docs = (0L until 40L).map(i => (i, s"w$i body"))
+      .toDF("doc_id", "text")
+    val sharded = Corpus.assignSplit(docs, "text")
+      .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+    val plan = Corpus.packBatches(sharded, "text", "doc_id", 512L,
+      Seq("split", "shard")).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(split") &&
+      plan.contains("shard"),
+      s"window exchange must partition by (split, shard):\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      "no stage of the pack may collapse to one partition")
+  }
+
   test("decontaminate finds only true n-gram overlaps") {
     val train = Seq(
       (1L, "one two three four five six"),   // shares 5-gram with eval

@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Exactness gates for the two sketch operators whose driver check is
+  * rows-only (x03 MinHash estimated Jaccard, x13 HLL distinct counts):
+  * the sketches can't be replicated in the DuckDB oracle, so their
+  * accuracy contracts are pinned here instead — estimation error bounded
+  * against the EXACT twin computed by the engine itself.
+  */
+class SketchGatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.load(spark, Sf0001, "documents")
+
+  test("x03 precision: minhash est_jaccard within eps of exact jaccard") {
+    // k = bands*rows = 64 permutations → stderr ~ sqrt(J(1-J)/64) <= 0.0625;
+    // bound each pair at 4 sigma and the mean at ~1.5 sigma.
+    val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .select($"doc_a", $"doc_b", $"jaccard".as("exact_j"))
+    val est = DedupOps.minhashPairs(docs, "doc_id", "text",
+        n = 3, bands = 16, rows = 4, threshold = 0.3)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+    val joined = exact.join(est, Seq("doc_a", "doc_b"))
+      .select($"exact_j", $"est_jaccard").as[(Double, Double)].collect()
+    assert(joined.length >= 20, "fixture should contain near-dup pairs")
+    val errs = joined.map { case (e, g) => math.abs(e - g) }
+    assert(errs.max <= 0.25,
+      s"worst estimation error ${errs.max} exceeds 4-sigma bound")
+    val mean = errs.sum / errs.length
+    assert(mean <= 0.10, s"mean estimation error $mean exceeds bound")
+  }
+
+  test("x03 precision on seeded corpus with known overlap structure") {
+    // doc i shares its first 100-5i words with doc 0 out of 100 each —
+    // graded overlap; exact jaccard from the engine's exact operator is
+    // the ground truth the estimator must track
+    val words = (0 until 120).map(i => s"tok$i")
+    val seeded = (0 until 8).map { i =>
+      val drop = 5 * i
+      (i.toLong, (words.slice(drop, 100 + drop)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = DedupOps.ngramJaccardPairs(seeded, "doc_id", "text", 3, 0.01)
+      .select($"doc_a", $"doc_b", $"jaccard".as("exact_j"))
+    val est = DedupOps.minhashPairs(seeded, "doc_id", "text",
+        n = 3, bands = 16, rows = 4, threshold = 0.01)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+    val joined = exact.join(est, Seq("doc_a", "doc_b"))
+      .select($"exact_j", $"est_jaccard").as[(Double, Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (e, g) =>
+      assert(math.abs(e - g) <= 0.25, s"exact=$e est=$g drift > 4 sigma")
+    }
+  }
+
+  test("x13: approx_count_distinct within rtol of q15's exact counts") {
+    // default HLL rsd = 0.05 → assert within 3*rsd of the exact count
+    val ev = Tables.load(spark, Sf0001, "events")
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    val approx = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+    val both = exact.join(approx, "event_type")
+      .select($"event_type", $"n_users", $"approx_users")
+      .as[(String, Long, Long)].collect()
+    assert(both.length == 5)
+    both.foreach { case (et, ex, ap) =>
+      val rtol = math.abs(ap - ex).toDouble / ex
+      assert(rtol <= 0.15, s"$et: approx=$ap exact=$ex rtol=$rtol > 0.15")
+    }
+  }
+}

@@ -150,4 +150,25 @@ class MetaSourceSpec extends SparkSpec {
       .orderBy(col("_ingest_order").desc).limit(3)
     assert(scanOf(topn).estimateStatistics().numRows().getAsLong == 3L)
   }
+
+  test("live=true without credentials fails table resolution (S1)") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-meta").option("live", "true").load()
+    }
+    assert(e.getMessage.contains("app_id") &&
+      e.getMessage.contains("access_token") &&
+      e.getMessage.contains("ad_account_id"))
+    // partial credentials name only the gaps
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-meta").option("live", "true")
+        .option("access_token", "tok").option("app_id", "a").load()
+    }
+    assert(!e2.getMessage.contains("access_token") &&
+      e2.getMessage.contains("app_secret"))
+    // the deterministic generator needs none (live absent or false)
+    assert(spark.read.format("graft-meta").option("rows", 10).load()
+      .count() == 10L)
+    assert(spark.read.format("graft-meta").option("live", "false")
+      .option("rows", 10).load().count() == 10L)
+  }
 }

@@ -99,6 +99,21 @@ class StreamSessionizeBatchesSpec extends SparkSpec {
     assert(open.contains(StreamSessionize.OpenSession(1000L, 1000L, 1L)))
   }
 
+  test("consecutive too-late events within gap coalesce into one session") {
+    // both precede the open session by more than the gap but are within
+    // the gap of each other: one 2-event past session, not two singletons
+    val (closed, open) = run(Seq(Seq(5000L), Seq(100L, 200L)), 300L)
+    assert(closed == List((1L, 100L, 200L, 100L, 2L)))
+    assert(open.contains(StreamSessionize.OpenSession(5000L, 5000L, 1L)))
+  }
+
+  test("late event bridging past and open sessions merges everything") {
+    // 700 is within gap of both 400 and 1000 → single 3-event session
+    val (closed, open) = run(Seq(Seq(1000L), Seq(400L, 700L)), 300L)
+    assert(closed.isEmpty)
+    assert(open.contains(StreamSessionize.OpenSession(400L, 1000L, 3L)))
+  }
+
   test("timeout emits the open session and clears state") {
     val st = new TestGroupState[StreamSessionize.OpenSession]
     StreamSessionize.handle(1L,
