@@ -78,10 +78,13 @@ object DedupOps {
     // shingle hashing is the native TextHashExprs expression: one tight
     // loop per row instead of per-element interpreted lambdas.
     graft.functions.TextHashExprs.register(df.sparkSession)
+    // No size(sh) > 0 pre-filter: explode drops empty arrays itself, and
+    // a filter on the projected array gets pushed BELOW the projection,
+    // re-evaluating the shingle pipeline per predicate reference (the
+    // formatted plan showed shinglehashes computed 3x per row).
     val exploded = df.select(col(idCol).as("doc_id"),
         graft.functions.TextHashExprs.shingleHashes(col(textCol), n)
           .as("sh"))
-      .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("s"))
     val e = maxShingleDF match {
@@ -163,12 +166,16 @@ object DedupOps {
     // permutation-minima in a primitive loop (see TextHashExprs scaladoc
     // for the measured 50x over the higher-order-function formulation).
     graft.functions.TextHashExprs.register(df.sparkSession)
+    // Cheap tokenize-only pre-filter instead of filter(sig.isNotNull):
+    // a predicate on the projected signature pushes below the projection
+    // and re-evaluates the whole shingle+minhash pipeline per reference.
+    // sig is null exactly when there are no shingles, i.e. < n tokens.
     val sig = df
+      .filter(size(split(trim(col(textCol)), "\\s+")) >= n)
       .select(col(idCol).as("doc_id"),
         graft.functions.TextHashExprs.minhashSig(
           graft.functions.TextHashExprs.shingleHashes(col(textCol), n), k)
           .as("sig"))
-      .filter(col("sig").isNotNull)
     // band key = hash of the band's slice of the signature
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
