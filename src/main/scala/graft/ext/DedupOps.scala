@@ -247,7 +247,10 @@ object DedupOps {
     * (1 + chunkBits) probe rows per band per doc — shuffle rows, not
     * pairs. For 10⁹+ docs either tighten the radius (maxHamming=3,
     * probeBits=0) or widen chunks further (bands=2, 32-bit chunks)
-    * with a subset-enumeration probe stage. */
+    * with a subset-enumeration probe stage. Near-empty documents all
+    * collapse onto a handful of signatures (one hot bucket): run exact
+    * dedup first and drop sub-n-token docs with a cheap tokenize-only
+    * pre-filter before sketching a web-scale corpus. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 7, bands: Int = 4, probeBits: Int = 1): DataFrame = {
     graft.functions.TextHashExprs.register(df.sparkSession)
