@@ -57,6 +57,41 @@ class DecQuantizeSpec extends SparkSpec {
       9.007199254740994e15), 0)
   }
 
+  test("JVM-level: fast path == shortest-repr HALF_UP on raw bit patterns") {
+    // The expression's correctness claim, checked off-Spark so it can run
+    // 400k cases per scale: for EVERY double, quantize(d) must equal the
+    // pure shortest-repr HALF_UP quantization (the semantics the oracle
+    // equivalence was proven against). Raw 64-bit patterns cover
+    // subnormals, extreme exponents and NaN payloads; the scaled
+    // generator concentrates on money-like magnitudes where the fast
+    // path actually runs.
+    import graft.functions.DecimalExprs.DecQuantize
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val rnd = new scala.util.Random(0xB17B17)
+    def reference(d: Double, scale: Int): Any =
+      if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) null
+      else {
+        val bd = java.math.BigDecimal.valueOf(d)
+          .setScale(scale, java.math.RoundingMode.HALF_UP)
+        if (bd.precision > 20) null
+        else org.apache.spark.sql.types.Decimal(bd, 20, scale)
+      }
+    for (scale <- Seq(0, 2, 6, 9)) {
+      val q = DecQuantize(Literal(0.0), 20, scale)
+      var i = 0
+      while (i < 400000) {
+        val d =
+          if (i % 2 == 0) java.lang.Double.longBitsToDouble(rnd.nextLong())
+          else (rnd.nextDouble() - 0.5) * math.pow(10d, (i % 19) - 6)
+        val got = q.quantize(d)
+        val want = reference(d, scale)
+        assert(got == want,
+          s"scale=$scale d=$d (bits=${java.lang.Double.doubleToRawLongBits(d)}): got $got want $want")
+        i += 1
+      }
+    }
+  }
+
   test("non-finite and precision-overflow input quantizes to null") {
     import spark.implicits._
     val vals = Seq(Double.NaN, Double.PositiveInfinity,
