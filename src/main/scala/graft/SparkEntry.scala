@@ -27,13 +27,12 @@ object SparkEntry {
 
   /** sum(col) as exact decimal, back to double — order-independent.
     *
-    * The cast goes through StringType deliberately: Spark quantizes a
-    * double→decimal cast from the EXACT binary expansion
-    * (`new BigDecimal(double)`), DuckDB from the shortest decimal repr —
-    * they disagree on rows where the two round differently at the target
-    * scale (measured: sum_charge at scale 8 diverged at sf0.1). Casting
-    * double→string→decimal makes Spark quantize the shortest repr too,
-    * matching the oracle per-row by construction. */
+    * Quantizes from the SHORTEST decimal repr (native `DecQuantize` via
+    * [[graft.ops.Metrics.decQuantize]]): Spark's direct double→decimal
+    * cast quantizes the exact binary expansion, DuckDB the shortest
+    * repr — they disagree on rows where the two round differently at the
+    * target scale (measured: sum_charge at scale 8 diverged at sf0.1),
+    * so a plain decimal cast would break the oracle hash match. */
   private def dsum(c: Column, scale: Int = 4): Column =
     sum(graft.ops.Metrics.decQuantize(c, scale)).cast(DoubleType)
 
