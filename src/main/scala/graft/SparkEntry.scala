@@ -509,6 +509,30 @@ object SparkEntry {
           col("n_events"))
     },
 
+    // Bucketed big-big join (SURVEY §7 "co-locate joins via bucketing"):
+    // both sides written bucketed+sorted by the join key, then joined
+    // with zero Exchange on either side (BucketedSpec plan-asserts; at
+    // 100 TB the write-time shuffle is amortized over every downstream
+    // join on the key). The oracle is the plain join — bucketing is
+    // physical layout only.
+    "q31_bucketed_join" -> { (s, dir) =>
+      val scratch = scratchDir("bucketed")
+      graft.sinks.Bucketed.write(
+        T(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        "graft_bkt_lineitem", s"$scratch/lineitem", 8, Seq("l_orderkey"))
+      graft.sinks.Bucketed.write(
+        T(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        "graft_bkt_orders", s"$scratch/orders", 8, Seq("l_orderkey"))
+      graft.sinks.Bucketed.coLocatedJoin(s, "graft_bkt_lineitem",
+          "graft_bkt_orders", Seq("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
     // SCD Type-2 history build: collapse per-user event_type runs into
     // validity intervals [valid_from, valid_to) with an is_current flag —
     // the standard dimension-history op the reference's daily UPSERT
@@ -783,6 +807,13 @@ object SparkEntry {
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
+
+    "q31_bucketed_join" ->
+      """SELECT o_orderpriority,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
 
     "q02_region_revenue" ->
       """SELECT r_name, n_name,
