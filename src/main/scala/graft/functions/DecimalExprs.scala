@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -45,10 +45,13 @@ object DecimalExprs {
 
   /** `dec_quantize(d, precision, scale)` → decimal(precision, scale). */
   case class DecQuantize(child: Expression, precision: Int, scale: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
     require(scale >= 0 && scale <= 18 && precision >= scale,
       s"unsupported decimal($precision,$scale)")
 
+    // analysis-time contract: a non-double argument (e.g. via the SQL
+    // surface) gets an implicit cast instead of a per-row CCE at runtime
+    override def inputTypes = Seq(DoubleType) // AbstractDataType is private[sql]
     override def dataType: DataType = DecimalType(precision, scale)
     override def nullable: Boolean = true
 

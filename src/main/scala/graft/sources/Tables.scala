@@ -17,6 +17,14 @@ import org.apache.spark.sql.types._
 object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Register the engine's native functions on the session that will
+    // run the query (idempotent). The Column wrappers can only fall back
+    // to the thread-active session — which in a multi-session app may
+    // not be the one executing — so the canonical reader, which every
+    // gated query goes through with the real session in hand, pins them.
+    graft.functions.TextHashExprs.register(spark)
+    graft.functions.VectorExprs.register(spark)
+    graft.functions.DecimalExprs.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {

@@ -65,7 +65,7 @@ class MetaSource extends TableProvider
     // live endpoint requires the full credential set up front — fail the
     // table resolution, not the first task, and name what's missing.
     // The deterministic generator (the default) needs none.
-    if (opts.get("live").exists(_.toBoolean)) {
+    if (opts.get("live").exists(v => "true".equalsIgnoreCase(v.trim))) {
       val required =
         Seq("app_id", "app_secret", "access_token", "ad_account_id")
       val missing = required.filter(k => opts.get(k).forall(_.isEmpty))

@@ -10,11 +10,9 @@ trait SparkSpec extends AnyFunSuite {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
-    // InferFiltersFromGenerate re-derives a Generate's input under the
-    // projection that computes it — 3x eval of the native sketch arrays
-    // (mirrors the Bench/Verify engine sessions; see SCALE.md).
+    // shared engine optimizer settings — see graft.EngineConf
     .config("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      graft.EngineConf.ExcludedOptimizerRules)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")

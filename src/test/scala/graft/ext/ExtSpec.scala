@@ -52,9 +52,12 @@ class ExtSpec extends SparkSpec {
     val rows = (0 until 40).flatMap { g =>
       val base = rnd.nextLong()
       val d = g % 10 // distances 0..9; > 7 must be excluded by the verify
-      // spread the d flipped bits across distinct 16-bit chunks first so
-      // low distances still break all four old-style bands
-      val flips = rnd.shuffle((0 until 64).toList).take(d)
+      // spread the d flipped bits round-robin across the 16-bit chunks
+      // (chunk i%4, random distinct bit inside), so every d >= 4 pair
+      // BY CONSTRUCTION breaks all four exact-match bands
+      val flips = scala.collection.mutable.LinkedHashSet.empty[Int]
+      while (flips.size < d)
+        flips += 16 * (flips.size % 4) + rnd.nextInt(16)
       val mut = flips.foldLeft(base)((s, b) => s ^ (1L << b))
       Seq((g * 2L, base), (g * 2L + 1L, mut))
     }
