@@ -695,7 +695,28 @@ object SparkEntry {
           .withColumn("shard", pmod(col("doc_id"), lit(8L))),
         "text", "doc_id", capacity = 512L,
         partitionCols = Seq("split", "shard"))
-        .select("doc_id", "split", "shard", "n_tokens", "batch_id")))
+        .select("doc_id", "split", "shard", "n_tokens", "batch_id")),
+
+    // streaming exactly-once admission: state-store-backed distinct over
+    // the key tuple, run as a real stream (AvailableNow) with the
+    // admission log as the result. Emitting only key columns makes the
+    // output arrival-order independent → oracle = SELECT DISTINCT.
+    "x22_stream_dedup" -> { (s, dir) =>
+      val base = scratchDir("streamdedup")
+      val events = graft.streaming.EventStream
+        .readEvents(s, dir + "/events*.parquet")
+      val admitted = graft.streaming.StreamDedup.exactDistinct(
+        events, Seq("user_id", "event_type"))
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.StreamDedup
+          .appendWriter(admitted, base + "/keys")
+          .option("checkpointLocation", base + "/ckpt").start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(base + "/keys")
+    })
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -1389,6 +1410,9 @@ object SparkEntry {
                         ROWS UNBOUNDED PRECEDING) - n_tokens) // 512
                      AS BIGINT) AS batch_id
             FROM s""",
+
+      "x22_stream_dedup" ->
+        """SELECT DISTINCT user_id, event_type FROM events""",
 
       "x17_length_buckets" ->
         """WITH t AS (
