@@ -697,6 +697,13 @@ object SparkEntry {
         partitionCols = Seq("split", "shard"))
         .select("doc_id", "split", "shard", "n_tokens", "batch_id")),
 
+    // fixed-token-window chunking with stride: the long-doc → training
+    // window step ahead of sequence packing. Narrow op, no shuffle.
+    "x23_chunk_docs" -> ((s, dir) =>
+      graft.ext.Corpus.chunkDocuments(
+        T(s, dir, "documents"), "text", "doc_id",
+        chunkTokens = 64, stride = 48)),
+
     // streaming exactly-once admission: state-store-backed distinct over
     // the key tuple, run as a real stream (AvailableNow) with the
     // admission log as the result. Emitting only key columns makes the
@@ -1413,6 +1420,16 @@ object SparkEntry {
 
       "x22_stream_dedup" ->
         """SELECT DISTINCT user_id, event_type FROM events""",
+
+      "x23_chunk_docs" ->
+        """WITH t AS (
+             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             FROM documents)
+           SELECT doc_id, CAST(u.s AS BIGINT) AS chunk_pos,
+                  array_to_string(toks[u.s+1 : u.s+64], ' ') AS chunk_text,
+                  CAST(len(toks[u.s+1 : u.s+64]) AS BIGINT)
+                    AS n_chunk_tokens
+           FROM t CROSS JOIN unnest(range(0, len(toks), 48)) AS u(s)""",
 
       "x17_length_buckets" ->
         """WITH t AS (

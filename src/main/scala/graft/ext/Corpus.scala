@@ -145,6 +145,30 @@ object Corpus {
       .drop("_graft_cum")
   }
 
+  /** Fixed-token-window chunking with stride — the step that turns long
+    * documents into training-window rows (feeding [[packBatches]]).
+    * Emits one row per window start `s ∈ {0, stride, 2·stride, …} < n`:
+    * `(id, chunk_pos = s, chunk_text = tokens[s, s+chunkTokens),
+    * n_chunk_tokens)`. The final windows may be shorter than
+    * `chunkTokens`; with `stride < chunkTokens` a trailing short window
+    * can be a sub-span of its predecessor — pick `stride = chunkTokens`
+    * for exact partitioning. Built-ins only (`sequence`/`explode`/
+    * `slice`/`array_join` are codegen'd — no interpreted lambda), and a
+    * narrow op: no shuffle, output rows ≈ n/stride per doc. */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0)
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0), size(col("_toks")) - 1, lit(stride)))
+          .as("chunk_pos"))
+      .withColumn("_chunk",
+        slice(col("_toks"), col("chunk_pos") + 1, lit(chunkTokens)))
+      .select(col(idCol), col("chunk_pos").cast(LongType).as("chunk_pos"),
+        array_join(col("_chunk"), " ").as("chunk_text"),
+        size(col("_chunk")).cast(LongType).as("n_chunk_tokens"))
+  }
+
   /** Per-bucket corpus shape: document count and total tokens.
     *
     * Pre-aggregates by exact length first so the bucket ladder runs on

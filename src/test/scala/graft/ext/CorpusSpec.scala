@@ -102,6 +102,24 @@ class CorpusSpec extends SparkSpec {
       "no stage of the pack may collapse to one partition")
   }
 
+  test("chunkDocuments: stride windows with short tail, exact positions") {
+    val doc = Seq((7L, (0 until 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Corpus.chunkDocuments(doc, "text", "doc_id",
+        chunkTokens = 4, stride = 3)
+      .select("chunk_pos", "chunk_text", "n_chunk_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, "w0 w1 w2 w3", 4L),
+      (3L, "w3 w4 w5 w6", 4L),
+      (6L, "w6 w7 w8 w9", 4L),
+      (9L, "w9", 1L)))
+    // stride == chunkTokens partitions exactly: every token in one chunk
+    val exact = Corpus.chunkDocuments(doc, "text", "doc_id", 5, 5)
+      .agg(sum("n_chunk_tokens")).head.getLong(0)
+    assert(exact == 10L)
+  }
+
   test("decontaminate finds only true n-gram overlaps") {
     val train = Seq(
       (1L, "one two three four five six"),   // shares 5-gram with eval
