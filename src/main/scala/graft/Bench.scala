@@ -21,7 +21,6 @@ object Bench {
       .config("spark.sql.optimizer.excludedRules",
         graft.EngineConf.ExcludedOptimizerRules)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -19,7 +19,6 @@ object Plans {
       .config("spark.sql.optimizer.excludedRules",
         graft.EngineConf.ExcludedOptimizerRules)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -44,15 +44,30 @@ object TextAnalysis {
 
   /** Heuristic language-ID: argmax of stopword hits, ties broken by
     * profile order (en first), "und" (undetermined) when no profile hits.
-    */
+    *
+    * Single-evaluation by construction (the [[graft.ext.Corpus.assignSplit]]
+    * lesson): higher-order functions run interpreted with no subexpression
+    * elimination, so the old argmax-over-when-ladder re-evaluated the five
+    * tokenize+filter subtrees up to ~30×/row. Here every expensive subtree
+    * is referenced exactly once: ONE tokenize pass feeds ONE fold that
+    * bumps all five per-language counters per token, and the argmax is a
+    * second fold over the tiny 5-slot array — strictly-greater keeps the
+    * earlier profile (en-first tie-break), and the 0/"und" seed makes
+    * no-hits rows undetermined. */
   def langId(c: Column): Column = {
-    val scored = StopwordProfiles.map { case (lang, _) =>
-      (lang, stopwordHits(c, lang))
-    }
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    scored.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
+    val profiles = StopwordProfiles
+    val init = array(profiles.map(_ => lit(0L)): _*)
+    val counts = aggregate(tokens(lower(c)), init, (acc, t) =>
+      array(profiles.zipWithIndex.map { case ((_, words), i) =>
+        element_at(acc, i + 1) +
+          when(t.isInCollection(words), lit(1L)).otherwise(lit(0L))
+      }: _*))
+    val langs = array(profiles.map(p => lit(p._1)): _*)
+    aggregate(
+      zip_with(counts, langs, (s, l) => struct(s.as("s"), l.as("l"))),
+      struct(lit(0L).as("s"), lit("und").as("l")),
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+      .getField("l")
   }
 
   /** Quality-scoring signals (length, punctuation ratio, stopword ratio,

@@ -16,12 +16,15 @@ import graft.model.Contracts
   * double (src/transform.py:51-54) and every non-dimensional column to
   * nullable Int64 filled 0 (src/transform.py:56-61).
   *
-  * Spark-first formulation: **schema-stable map projection** — build
-  * `map_from_entries(transform(actions, …))` once per row and project each
-  * requested action type via `element_at`. One narrow pass, fixed output
-  * schema (no dynamic pivot → no extra distinct-scan job, no
-  * nondeterministic columns), fully whole-stage-codegen'd, zero shuffle —
-  * this is what survives a 100 TB scan, unlike groupBy().pivot().
+  * Spark-first formulation: **schema-stable wide projection** — each
+  * requested action type is projected as the LAST matching entry of the
+  * `actions` array (`try_element_at(filter(...), -1)`, matching the
+  * reference's dict-assignment last-wins semantics) in one narrow pass.
+  * Fixed output schema (no dynamic pivot → no extra distinct-scan job, no
+  * nondeterministic columns), zero shuffle, zero session-conf dependence —
+  * no `mapKeyDedupPolicy` mutation, so concurrent queries on the shared
+  * session are unaffected. This is what survives a 100 TB scan, unlike
+  * groupBy().pivot().
   */
 object Actions {
 
@@ -29,14 +32,16 @@ object Actions {
     * (src/transform.py:35): dots become underscores. */
   def sanitize(actionType: String): String = actionType.replace('.', '_')
 
-  private def actionMap(actionsCol: Column): Column =
-    map_from_entries(transform(
-      coalesce(actionsCol, array().cast(ArrayType(StructType(Seq(
-        StructField("action_type", StringType),
-        StructField("value", StringType)))))),
-      a => struct(
-        translate(a.getField("action_type"), ".", "_").as("key"),
-        a.getField("value").as("value"))))
+  /** Last `value` in `actionsCol` whose sanitized action_type equals
+    * `sanitizedType` — dict-assignment semantics (a duplicate action_type
+    * within one row keeps the last occurrence, reference
+    * src/transform.py:33-35); null when absent or the array is null. */
+  private def lastActionValue(actionsCol: Column, sanitizedType: String)
+      : Column =
+    try_element_at(
+      filter(actionsCol, a =>
+        translate(a.getField("action_type"), ".", "_") === lit(sanitizedType)),
+      lit(-1)).getField("value")
 
   /** Normalize the `actions` column of `df` into wide metric columns.
     *
@@ -47,20 +52,18 @@ object Actions {
     * @return df with: dimension columns untouched; `spend` → double
     *         null-coerced and 0-filled; every other pre-existing scalar
     *         column → long 0-filled; one long 0-filled column per
-    *         sanitized action type; `actions`/`action_values` dropped.
+    *         sanitized action type; `actions` dropped. `action_values`,
+    *         when present, survives as a 0-filled long column — faithful
+    *         to the reference's rule-3 coercion (src/transform.py:56-61
+    *         coerces the array column to numeric, yielding all-NaN → 0;
+    *         deliberately lossy, the values inside the array are
+    *         discarded exactly as the reference discards them).
     *         The core metrics `spend, clicks, impressions, lead, purchase`
     *         are force-created as 0 when absent (src/transform.py:45-49).
     */
   def normalizeActions(df: DataFrame,
       actionTypes: Seq[String],
       dims: Set[String] = Contracts.DimensionCols): DataFrame = {
-    // Duplicate action_type entries within one row: reference dict
-    // assignment keeps the last occurrence — match with LAST_WIN.
-    df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-
-    val amap = "_graft_amap"
-    val withMap = df.withColumn(amap, actionMap(col("actions")))
-
     val passthroughDims = df.columns.filter(c => dims.contains(c) && c != "spend")
     val scalarMetrics = df.columns.filterNot(dims.contains)
       .filterNot(Set("actions", "action_values").contains)
@@ -76,11 +79,17 @@ object Actions {
       scalarMetrics.toSeq.map(c =>
         coalesce(col(c).try_cast(DoubleType).try_cast(LongType), lit(0L))
           .as(c)) ++
+      // rule-3 coercion of the action_values ARRAY column: pandas
+      // to_numeric over a column of lists is all-NaN, filled 0 → the
+      // reference ships a 0-filled Int64 column (src/transform.py:56-61)
+      (if (df.columns.contains("action_values"))
+         Seq(lit(0L).as("action_values"))
+       else Nil) ++
       sanitized.map(t =>
-        coalesce(try_element_at(col(amap), lit(t)).try_cast(DoubleType)
+        coalesce(lastActionValue(col("actions"), t).try_cast(DoubleType)
           .try_cast(LongType), lit(0L)).as(t))
 
-    val out = withMap.select(cols: _*)
+    val out = df.select(cols: _*)
     // Force-create the core metrics if still missing (src/transform.py:45-49).
     val core = Seq("clicks", "impressions", "lead", "purchase")
     core.foldLeft(out) { (d, c) =>

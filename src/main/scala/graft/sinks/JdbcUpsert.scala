@@ -63,7 +63,7 @@ object JdbcUpsert {
     val upsert =
       s"""INSERT INTO $table ($insertList)
          |SELECT $selectList FROM $tempTable
-         |ON CONFLICT (${keys.mkString(", ")})
+         |ON CONFLICT (${keys.map(q).mkString(", ")})
          |$conflictAction;""".stripMargin
     UpsertStatements(tempTable, upsert, s"DROP TABLE $tempTable;")
   }

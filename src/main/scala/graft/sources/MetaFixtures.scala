@@ -113,7 +113,12 @@ object MetaFixtures {
         col("n_click").cast(StringType).as("clicks"),
         col("spend_raw").cast(StringType).as("spend"),
         when(size(actionsRaw) === 0, lit(null)).otherwise(actionsRaw)
-          .as("actions"))).toIndexedSeq: _*)
+          .as("actions"),
+        // the API returns a sibling `action_values` array (monetary value
+        // per action type, extract.py fields list) — same shape as
+        // `actions`; the normalizer's rule-3 coercion zeroes it out
+        when(size(actionsRaw) === 0, lit(null)).otherwise(actionsRaw)
+          .as("action_values"))).toIndexedSeq: _*)
   }
 
   /** `raw_leads` — emulates the forms→leads scan (reference

@@ -68,7 +68,9 @@ class MetaSource extends TableProvider
     if (opts.get("live").exists(v => "true".equalsIgnoreCase(v.trim))) {
       val required =
         Seq("app_id", "app_secret", "access_token", "ad_account_id")
-      val missing = required.filter(k => opts.get(k).forall(_.isEmpty))
+      // trim before the emptiness check so a whitespace-only credential
+      // fails fast like a missing one (consistent with live's trimming)
+      val missing = required.filter(k => opts.get(k).forall(_.trim.isEmpty))
       if (missing.nonEmpty)
         throw new IllegalArgumentException(
           s"graft-meta: live=true but credential option(s) missing: " +

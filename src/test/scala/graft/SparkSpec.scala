@@ -15,7 +15,6 @@ trait SparkSpec extends AnyFunSuite {
       graft.EngineConf.ExcludedOptimizerRules)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     .getOrCreate()
 
   val Sf0001 = "/root/testdata/sf0.001"

@@ -57,4 +57,37 @@ class ActionsSpec extends SparkSpec {
     val out = Actions.normalizeActions(df, Seq("lead"))
     assert(out.head.getAs[Long]("lead") == 9L)
   }
+
+  test("session conf is untouched — no mapKeyDedupPolicy mutation") {
+    val key = "spark.sql.mapKeyDedupPolicy"
+    val before = spark.conf.getOption(key)
+    // last-wins semantics must hold under the strict default policy too
+    spark.conf.set(key, "EXCEPTION")
+    try {
+      val df = Seq(("a1", Seq(("lead", "1"), ("lead", "9"))))
+        .toDF("ad_id", "actions")
+        .withColumn("actions",
+          org.apache.spark.sql.functions.expr(
+            "transform(actions, x -> named_struct('action_type', x._1, 'value', x._2))"))
+      assert(Actions.normalizeActions(df, Seq("lead"))
+        .head.getAs[Long]("lead") == 9L)
+      assert(spark.conf.get(key) == "EXCEPTION",
+        "normalizeActions must not mutate session config")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("action_values survives as the reference's 0-filled long column") {
+    val df = raw.withColumn("action_values",
+      org.apache.spark.sql.functions.col("actions"))
+    val out = Actions.normalizeActions(df, types)
+    assert(out.schema("action_values").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(out.select("action_values").collect().forall(_.getLong(0) == 0L))
+    // absent on input → absent on output (select-only-if-present fidelity)
+    assert(!Actions.normalizeActions(raw, types)
+      .columns.contains("action_values"))
+  }
 }

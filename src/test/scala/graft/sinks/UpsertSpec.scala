@@ -80,20 +80,20 @@ class UpsertSpec extends SparkSpec {
     assert(s.upsert ==
       """INSERT INTO ads_dimension ("ad_id", "ad_name", "adset_id", "adset_name", "campaign_id", "campaign_name")
         |SELECT "ad_id", "ad_name", "adset_id", "adset_name", "campaign_id", "campaign_name" FROM temp_ads_dimension
-        |ON CONFLICT (ad_id)
+        |ON CONFLICT ("ad_id")
         |DO UPDATE SET "ad_name" = EXCLUDED."ad_name", "adset_id" = EXCLUDED."adset_id", "adset_name" = EXCLUDED."adset_name", "campaign_id" = EXCLUDED."campaign_id", "campaign_name" = EXCLUDED."campaign_name";""".stripMargin)
     assert(s.dropTemp == "DROP TABLE temp_ads_dimension;")
   }
 
   test("jdbc upsert SQL: composite-key fact tables") {
     val perf = JdbcUpsert.forContractTable("ads_campaign_performance")
-    assert(perf.upsert.contains("ON CONFLICT (date_start, ad_id)"))
+    assert(perf.upsert.contains("""ON CONFLICT ("date_start", "ad_id")"""))
     assert(!perf.upsert.contains("\"date_start\" = EXCLUDED"),
       "key columns must not be updated")
     assert(perf.upsert.contains("\"total_spend\" = EXCLUDED.\"total_spend\""))
     val leads = JdbcUpsert.forContractTable("ads_lead_insights")
     assert(leads.upsert.contains(
-      "ON CONFLICT (date_start, ad_id, age, gender, region)"))
+      """ON CONFLICT ("date_start", "ad_id", "age", "gender", "region")"""))
     // whitelisted action columns ride along in insert + update lists
     assert(leads.upsert.contains("\"lead\" = EXCLUDED.\"lead\""))
     assert(leads.upsert.contains(
@@ -105,7 +105,7 @@ class UpsertSpec extends SparkSpec {
     assert(s.upsert.contains(
       """CASE WHEN "field_data" IS NULL THEN NULL ELSE "field_data"::JSONB END AS "field_data""""))
     assert(s.upsert.contains(""""field_data" = EXCLUDED."field_data"::JSONB"""))
-    assert(s.upsert.contains("ON CONFLICT (lead_id)"))
+    assert(s.upsert.contains("""ON CONFLICT ("lead_id")"""))
     // INSERT and SELECT lists must stay positionally aligned: the cast
     // replaces field_data at its own position (cf. scaladoc divergence
     // note vs load.py:77-81), with ad_platform_data still last on both

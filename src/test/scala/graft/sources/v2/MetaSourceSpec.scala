@@ -165,6 +165,13 @@ class MetaSourceSpec extends SparkSpec {
     }
     assert(!e2.getMessage.contains("access_token") &&
       e2.getMessage.contains("app_secret"))
+    // whitespace-only credentials fail like missing ones (trimmed check)
+    val e3 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-meta").option("live", "true")
+        .option("access_token", "  ").option("app_id", "a")
+        .option("app_secret", "s").option("ad_account_id", "act").load()
+    }
+    assert(e3.getMessage.contains("access_token"))
     // the deterministic generator needs none (live absent or false)
     assert(spark.read.format("graft-meta").option("rows", 10).load()
       .count() == 10L)
