@@ -433,7 +433,11 @@ object SparkEntry {
             .as("last_click_ts"))
     },
 
-    // exact percentiles (interpolated), per group.
+    // exact percentiles (interpolated), per group. SCALE NOTE: exact
+    // `percentile` buffers every distinct value per group — correct and
+    // oracle-checkable here, but an executor-memory wall on a continuous
+    // domain at 100 TB. x24 below is the scale-safe twin (fixed-size
+    // sketch); this query stays as its exactness baseline.
     "q24_percentiles" -> ((s, dir) =>
       T(s, dir, "events")
         .groupBy("event_type")
@@ -441,6 +445,21 @@ object SparkEntry {
           round(expr("percentile(value, 0.25)"), 6).as("p25"),
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          count(col("value")).as("n_valued"))),
+
+    // scale-safe percentile twin: approx_percentile's bounded-size
+    // KLL-style summary (O(accuracy) memory per group, mergeable partial
+    // aggs) replaces q24's unbounded per-group value buffer — the variant
+    // that survives a continuous domain at 100 TB. The sketch isn't
+    // replicable in DuckDB → rows-only driver check; the rank-error
+    // contract vs q24's exact twin is pinned in SketchGatesSpec.
+    "x24_approx_percentiles" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("approx_percentile(value, 0.25, 1000)"), 6).as("p25"),
+          round(expr("approx_percentile(value, 0.5, 1000)"), 6).as("p50"),
+          round(expr("approx_percentile(value, 0.9, 1000)"), 6).as("p90"),
           count(col("value")).as("n_valued"))),
 
     // running aggregates: cumulative sum (integer-exact cents — immune to
@@ -722,7 +741,69 @@ object SparkEntry {
           .option("checkpointLocation", base + "/ckpt").start()
         q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.read.parquet(base + "/keys")
+      // batch=<id> is the sink's idempotence partition, not payload
+      s.read.parquet(base + "/keys").select("user_id", "event_type")
+    },
+
+    // watermark-evicted streaming dedup — the tier that scales to an
+    // unbounded firehose (state tracks the lateness horizon, not history).
+    // Four hand-sequenced micro-batches (maxFilesPerTrigger=1, mtime
+    // order) pin the full contract deterministically:
+    //   b1: every distinct key at T0            → admitted
+    //   b2: sentinel at T0+10h                  → advances the watermark
+    //       to T0+9h (visible from the NEXT batch on)
+    //   b3: second sentinel at T0+10h           → end-of-batch cleanup
+    //       under the advanced watermark evicts every b1 key's state
+    //       (expiry T0+1h) — eviction lags the advance by one batch
+    //   b4: each key TWICE at T0+10h            → first copy re-admitted
+    //       (beyond-horizon duplicate), second dropped (within-horizon)
+    // Result = every key twice + both sentinels once, arrival-order
+    // independent → exactly SQL-expressible (DISTINCT × 2 ∪ sentinels).
+    "x25_stream_horizon_dedup" -> { (s, dir) =>
+      val base = scratchDir("streamhorizon")
+      val keys = T(s, dir, "events").select("user_id", "event_type")
+        .distinct()
+      val t0 = 1717200000L // 2024-06-01 00:00:00 UTC
+      def sentinel(id: Long, tag: String): DataFrame =
+        s.range(1).select(lit(id).as("user_id"), lit(tag).as("event_type"),
+          timestamp_seconds(lit(t0 + 36000L)).as("ts"))
+      val b1 = keys.withColumn("ts", timestamp_seconds(lit(t0)))
+      val b2 = sentinel(-1L, "wm")
+      val b3 = sentinel(-2L, "wm2")
+      val b4 = keys.union(keys)
+        .withColumn("ts", timestamp_seconds(lit(t0 + 36000L)))
+      def writeBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val dest = java.nio.file.Paths.get(s"$base/in", s"$name.parquet")
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(part.toPath, dest)
+        dest.toFile.setLastModified(mtime)
+      }
+      val now = System.currentTimeMillis()
+      writeBatch(b1, "b1", now - 240000L)
+      writeBatch(b2, "b2", now - 180000L)
+      writeBatch(b3, "b3", now - 120000L)
+      writeBatch(b4, "b4", now - 60000L)
+      val src = s.readStream
+        .schema("user_id BIGINT, event_type STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/in")
+      val admitted = graft.streaming.StreamDedup
+        .horizonDedup(src, Seq("user_id", "event_type"), lateness = "1 hour")
+        .select("user_id", "event_type")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.StreamDedup
+          .appendWriter(admitted, base + "/keys")
+          .option("checkpointLocation", base + "/ckpt").start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(base + "/keys").select("user_id", "event_type")
     })
 
   // ------------------------------------------------------------ oracle SQL
@@ -1279,7 +1360,8 @@ object SparkEntry {
                          $cosPairExpr AS cos,
                          row_number() OVER (PARTITION BY a.vec_id
                            ORDER BY $cosPairExpr DESC, b.vec_id ASC) AS rank
-                  FROM b a JOIN b b ON a.bucket = b.bucket
+                  FROM b a JOIN b b
+                    ON bit_count(xor(a.bucket, b.bucket)) <= 1
                        AND b.vec_id <> a.vec_id
                   WHERE a.vec_id < 8)
             WHERE rank <= 5""",
@@ -1420,6 +1502,15 @@ object SparkEntry {
 
       "x22_stream_dedup" ->
         """SELECT DISTINCT user_id, event_type FROM events""",
+
+      "x25_stream_horizon_dedup" ->
+        """SELECT d.user_id, d.event_type
+           FROM (SELECT DISTINCT user_id, event_type FROM events) d
+           CROSS JOIN (VALUES (1),(2)) t(i)
+           UNION ALL
+           SELECT CAST(-1 AS BIGINT) AS user_id, 'wm' AS event_type
+           UNION ALL
+           SELECT CAST(-2 AS BIGINT) AS user_id, 'wm2' AS event_type""",
 
       "x23_chunk_docs" ->
         """WITH t AS (

@@ -54,27 +54,50 @@ object Similarity {
     }.reduce(_ + _)
 
   /** IVF-style bucketed top-k: corpus pre-bucketed by [[signBucket]];
-    * each query probes only its own bucket. Approximate by construction —
-    * neighbors in other buckets are unseen (the recall/cost dial is
-    * `bits`).
+    * each query probes its own bucket plus (with `probeBits = 1`, the
+    * default) every 1-bit-flip neighbor bucket — multi-probe, same
+    * machinery as [[DedupOps.cosineDupPairs]]. Single-probe recall falls
+    * off a cliff for vectors near a quantizer boundary (a leading dim
+    * close to 0 flips the neighbor into an unseen bucket); probing the
+    * `bits` Hamming-1 neighbors recovers exactly those, at (bits+1)×
+    * probe cost. Still approximate: neighbors ≥2 sign flips away remain
+    * unseen (the recall/cost dial is `bits` and `probeBits`).
+    *
+    * Each corpus vector lives in exactly ONE bucket and a query's probe
+    * buckets are distinct, so no (query, vector) pair can match twice —
+    * no dedup shuffle needed.
     *
     * SIZING (the default is fixture-sized, NOT a scale setting): 2^bits
-    * buckets, so each probe scans ~N/2^bits corpus vectors. Pick
-    * `bits = ceil(log2(N / targetScanSize))` — e.g. 10⁹ vectors with a
-    * ~64k-vector probe budget → bits = 14. Raising bits trades recall
-    * for probe cost; see SCALE.md "LSH knob sizing". */
+    * buckets, so each query scans ~(bits+1)·N/2^bits corpus vectors with
+    * multi-probe. Pick `bits = ceil(log2(N·(bits+1) / scanBudget))` —
+    * e.g. 10⁹ vectors with a ~64k-vector probe budget → bits ≈ 18.
+    * Raising bits trades recall for probe cost; see SCALE.md "LSH knob
+    * sizing". */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, bits: Int = 4): DataFrame = {
+      idCol: String, vecCol: String, k: Int, bits: Int = 4,
+      probeBits: Int = 1): DataFrame = {
+    require(probeBits == 0 || probeBits == 1,
+      s"probeBits must be 0 (own bucket) or 1 (1-bit multi-probe)")
     graft.functions.VectorExprs.register(corpus.sparkSession)
     import graft.functions.VectorExprs.dotF64
     val c = corpus.select(col(idCol).as("vec_id"),
         asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", signBucket(col("v"), bits))
       .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
-    val q = queries.select(col(idCol).as("query_id"),
+    val q0 = queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", signBucket(col("qv"), bits))
+      .withColumn("b0", signBucket(col("qv"), bits))
       .withColumn("qnrm", sqrt(dotF64(col("qv"), col("qv"))))
+    val q =
+      if (probeBits == 0) q0.withColumnRenamed("b0", "bucket")
+      else q0
+        .select(col("query_id"), col("qv"), col("qnrm"), col("b0"),
+          explode(array((lit(-1) +: (0 until bits).map(lit)): _*)).as("flip"))
+        .withColumn("bucket",
+          when(col("flip") === -1, col("b0"))
+            .otherwise(col("b0").bitwiseXOR(
+              call_function("shiftleft", lit(1L), col("flip")))))
+        .drop("flip", "b0")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(coalesce(

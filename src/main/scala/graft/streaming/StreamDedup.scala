@@ -36,21 +36,36 @@ object StreamDedup {
 
   /** Watermark-bounded dedup: duplicates within `lateness` of the first
     * copy are dropped, state beyond the horizon is evicted. Requires an
-    * event-time column named `ts` on `events`. */
+    * event-time column named `ts` on `events`.
+    *
+    * Eviction timing (pinned by StreamDedupSpec): the watermark computed
+    * from batch N's data is visible from batch N+1 on, and a key's state
+    * is removed by end-of-batch cleanup — so a beyond-horizon duplicate is
+    * re-admitted starting TWO batches after the watermark-advancing data,
+    * not one. At firehose scale this lag is irrelevant (watermarks advance
+    * continuously); it only shows up in hand-sequenced fixtures. */
   def horizonDedup(events: DataFrame, keys: Seq[String],
       lateness: String = "3 hours"): DataFrame =
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keys)
 
-  /** Append each micro-batch's newly admitted keys to a parquet dir —
-    * with [[exactDistinct]] every key lands exactly once across the
-    * stream's lifetime (the admission log). */
+  /** Append each micro-batch's newly admitted keys to a parquet dir (the
+    * admission log), one `batch=<id>` partition per micro-batch.
+    *
+    * foreachBatch is at-least-once: on failure between the sink write and
+    * the checkpoint commit, the batch REPLAYS with the same batchId. A
+    * blind append would duplicate the replayed keys; writing each batch to
+    * its own `batch=<id>` partition with Overwrite makes the replay an
+    * idempotent rewrite, so the log as a whole is effectively-once — with
+    * [[exactDistinct]] every key then lands exactly once across the
+    * stream's lifetime. Readers see `batch` as a partition column; select
+    * the key columns. */
   def appendWriter(admitted: DataFrame, targetDir: String)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     admitted.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(targetDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$targetDir/batch=$batchId")
       }
       .trigger(Trigger.AvailableNow())
 }

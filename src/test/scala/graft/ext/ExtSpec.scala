@@ -151,8 +151,29 @@ class ExtSpec extends SparkSpec {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val ivf = Similarity.ivfTopK(embs, embs.filter($"vec_id" < 3),
       "vec_id", "embedding", 5, bits = 4)
-    // every IVF neighbor shares the query's sign-bucket by construction
+    // every IVF neighbor is within 1 sign-flip of the query's bucket
     assert(ivf.count() > 0)
+  }
+
+  test("ivfTopK multi-probe recall@5 beats single-probe vs exact top-k") {
+    val queries = embs.filter($"vec_id" < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(embs, queries,
+      "vec_id", "embedding", 5))
+    val single = pairs(Similarity.ivfTopK(embs, queries,
+      "vec_id", "embedding", 5, bits = 4, probeBits = 0))
+    val multi = pairs(Similarity.ivfTopK(embs, queries,
+      "vec_id", "embedding", 5, bits = 4, probeBits = 1))
+    val rSingle = (single & exact).size.toDouble / exact.size
+    val rMulti = (multi & exact).size.toDouble / exact.size
+    // multi-probe sees a strict superset of single-probe's candidates →
+    // recall can only improve; on this fixture it must improve strictly
+    // (boundary vectors exist) and clear a floor single-probe misses
+    assert(rMulti >= rSingle, s"multi $rMulti < single $rSingle")
+    assert(rMulti > rSingle,
+      s"fixture should exercise boundary buckets: multi=$rMulti single=$rSingle")
+    assert(rMulti >= 0.5, s"multi-probe recall@5 too low: $rMulti")
   }
 
   test("langId: deterministic, known-stopword text → en") {

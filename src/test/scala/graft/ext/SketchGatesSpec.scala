@@ -56,6 +56,32 @@ class SketchGatesSpec extends SparkSpec {
     }
   }
 
+  test("x24: approx_percentile rank error bounded vs q24's exact values") {
+    // approx_percentile(_, q, acc) guarantees the returned value's rank is
+    // within n*(q ± 1/acc); assert that directly per (group, quantile):
+    // the fraction of values strictly below the approx answer must not
+    // exceed q + eps, and the fraction at-or-below must reach q - eps.
+    val ev = Tables.load(spark, Sf0001, "events")
+    val approx = ev.groupBy("event_type").agg(
+      expr("approx_percentile(value, 0.25, 1000)").as("p25"),
+      expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+      expr("approx_percentile(value, 0.9, 1000)").as("p90"))
+      .as[(String, Double, Double, Double)].collect()
+    val eps = 0.01 // 10x the 1/1000 contract bound — slack for ties
+    approx.foreach { case (et, p25, p50, p90) =>
+      val vals = ev.filter($"event_type" === et && $"value".isNotNull)
+        .select($"value").as[Double].collect().sorted
+      val n = vals.length.toDouble
+      Seq(0.25 -> p25, 0.5 -> p50, 0.9 -> p90).foreach { case (q, ap) =>
+        val below = vals.count(_ < ap) / n
+        val atOrBelow = vals.count(_ <= ap) / n
+        assert(below <= q + eps && atOrBelow >= q - eps,
+          s"$et q=$q: approx=$ap ranks [${below}, ${atOrBelow}] " +
+            s"outside ${q - eps}..${q + eps}")
+      }
+    }
+  }
+
   test("x13: approx_count_distinct within rtol of q15's exact counts") {
     // default HLL rsd = 0.05 → assert within 3*rsd of the exact count
     val ev = Tables.load(spark, Sf0001, "events")
