@@ -581,13 +581,14 @@ object SparkEntry {
     "x01_dedup_exact" -> ((s, dir) =>
       graft.ext.DedupOps.exactDedup(T(s, dir, "documents"), "text", "doc_id")),
 
-    // maxShingleDF exercises the capped code path; the cap sits far above
-    // any fixture shingle's document frequency so the result (and the
-    // uncapped oracle SQL) is unchanged.
+    // maxShingleDF + sampled detection exercise the guard's scale
+    // configuration; the cap sits far above any fixture shingle's DF, so
+    // the runtime plan selection takes the exact uncapped branch and the
+    // result (and the uncapped oracle SQL) is unchanged.
     "x02_ngram_jaccard" -> ((s, dir) =>
       graft.ext.DedupOps.ngramJaccardPairs(
         T(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.5,
-        maxShingleDF = Some(10000L))),
+        maxShingleDF = Some(10000L), hotSampleMod = 20L)),
 
     // xxhash64-based sketches aren't SQL-replicable → rows-only check.
     "x03_minhash_pairs" -> ((s, dir) =>

@@ -69,10 +69,31 @@ object DedupOps {
     * over the capped sets on BOTH sides, so the measure stays a true
     * Jaccard of the reduced representation. The hot-shingle list is tiny
     * by construction (Zipf head above the cap) and broadcasts. `None`
-    * keeps the exact uncapped plan (no extra shuffle). */
+    * keeps the exact uncapped plan (no extra shuffle).
+    *
+    * `hotSampleMod`: detection cost control. Exact DF detection is a full
+    * shuffle of the shingle universe — it doubled the query at sf0.1.
+    * With `hotSampleMod = m > 1`, DF is counted over the deterministic
+    * 1/m doc sample `xxhash64(id) % m == 0` against threshold `cap/m`:
+    * a shingle at the 10⁴-DF cap has ~cap/m expected sampled hits
+    * (σ = √(cap/m)), so boilerplate far above the cap is flagged with
+    * near certainty and shingles near the cap flip by sampling noise —
+    * acceptable for a blowup guard, NOT an exact DF threshold (keep
+    * m = 1 when the cap itself is a semantic contract). Flagging stays
+    * fully deterministic (hash sample, no RNG).
+    *
+    * Runtime plan selection (AQE-style, on a bounded statistic): the hot
+    * list is ≤ |corpus|/cap entries by construction, so it is checked for
+    * emptiness up front; when no shingle exceeds the cap — the common
+    * case for a deduped corpus, and the oracle-gated configuration — the
+    * query runs the EXACT uncapped plan and the guard costs only the
+    * sampled detection scan (measured ≤ ~15% at sf0.1, fixed job
+    * overhead that amortizes to ~m⁻¹ of a scan at scale). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
-      maxShingleDF: Option[Long] = None): DataFrame = {
+      maxShingleDF: Option[Long] = None,
+      hotSampleMod: Long = 1L): DataFrame = {
+    require(hotSampleMod >= 1L, s"hotSampleMod must be >= 1")
     // Carry |shingles| through the explode so set sizes ride along with
     // the exploded rows — no separate sizes branch, no extra joins. The
     // shingle hashing is the native TextHashExprs expression: one tight
@@ -91,27 +112,32 @@ object DedupOps {
       case None => exploded
       case Some(cap) =>
         // shingleHashes is per-document distinct, so count(1) = DF
-        val hot = exploded.groupBy(col("s"))
-          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+        val sampled =
+          if (hotSampleMod == 1L) df
+          else df.filter(
+            pmod(xxhash64(col(idCol)), lit(hotSampleMod)) === 0L)
+        val hot = sampled
+          .select(col(idCol).as("doc_id"),
+            explode(graft.functions.TextHashExprs
+              .shingleHashes(col(textCol), n)).as("s"))
+          .groupBy(col("s"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap / hotSampleMod)
           .select(col("s"))
-        // Correct each document's set size by its hot-shingle count
-        // rather than re-aggregating all kept rows: hotPerDoc only has
-        // rows for documents that contained a hot shingle, so when the
-        // cap bites nothing (the oracle-gated configuration) both sides
-        // of the correction are near-empty. The DF aggregate is an
-        // extra pass over the shingle lineage per reference (cheap
-        // aggregate, broadcast result; exchange reuse collapses the
-        // identical broadcast subtrees at runtime) — the price of the
-        // quadratic-candidate guard, measured ~1.6x the uncapped plan
-        // at sf0.1 and linear, not quadratic, at corpus scale.
-        val hotPerDoc = exploded
-          .join(broadcast(hot), Seq("s"), "left_semi")
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
-        exploded
-          .join(broadcast(hot), Seq("s"), "left_anti")
-          .join(hotPerDoc, Seq("doc_id"), "left")
-          .withColumn("sz", col("sz") - coalesce(col("n_hot"), lit(0L)))
-          .drop("n_hot")
+        if (hot.isEmpty) exploded // guard not needed → exact uncapped plan
+        else {
+          // Correct each document's set size by its hot-shingle count
+          // rather than re-aggregating all kept rows; hot is tiny (Zipf
+          // head above the cap) and broadcasts to both joins.
+          val hotPerDoc = exploded
+            .join(broadcast(hot), Seq("s"), "left_semi")
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
+          exploded
+            .join(broadcast(hot), Seq("s"), "left_anti")
+            .join(hotPerDoc, Seq("doc_id"), "left")
+            .withColumn("sz", col("sz") - coalesce(col("n_hot"), lit(0L)))
+            .drop("n_hot")
+        }
     }
     val shared = e.as("a").join(e.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

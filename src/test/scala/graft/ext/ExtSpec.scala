@@ -125,6 +125,34 @@ class ExtSpec extends SparkSpec {
     assert(uncapped.nonEmpty && capped == uncapped)
   }
 
+  test("ngramJaccard non-biting cap runs the exact uncapped plan") {
+    // runtime plan selection: an empty hot list (checked up front, a
+    // bounded AQE-style statistic) must leave ZERO correction joins in
+    // the executed plan — the guard then costs only the detection scan
+    val capped = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5,
+      maxShingleDF = Some(10000L), hotSampleMod = 20L)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti") && !plan.contains("LeftSemi"),
+      s"non-biting cap must select the uncapped plan, got:\n$plan")
+    assert(capped.collect().toSet ==
+      DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5)
+        .collect().toSet)
+  }
+
+  test("ngramJaccard sampled hot detection flags universal boilerplate") {
+    // every doc carries the same boilerplate 3-gram; the deterministic
+    // 1/2 doc sample sees it in every sampled doc, far above cap/mod,
+    // so it is flagged and pairing through it stops — while each doc's
+    // unique shingles (DF 1) stay unflagged
+    val hot = (0 until 40).map(i =>
+      (i.toLong, s"common boiler plate w${i}a w${i}b w${i}c"))
+      .toDF("doc_id", "text")
+    val capped = DedupOps.ngramJaccardPairs(hot, "doc_id", "text",
+      n = 3, threshold = 0.01, maxShingleDF = Some(2L), hotSampleMod = 2L)
+    assert(capped.isEmpty,
+      "sampled detection must flag the boilerplate shingle")
+  }
+
   test("cosine: self-similarity is 1") {
     val one = embs.limit(1)
       .select(DedupOps.cosine(
