@@ -724,6 +724,57 @@ object SparkEntry {
         T(s, dir, "documents"), "text", "doc_id",
         chunkTokens = 64, stride = 48)),
 
+    // canonical text normalization (case/whitespace) — the pass that
+    // makes near-identical docs collapse under exact dedup. Narrow op.
+    "x26_normalize_text" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        graft.ext.TextAnalysis.normalizeText(col("text"))
+          .as("norm_text"))),
+
+    // PII redaction with engine-portable (RE2-safe) patterns. The
+    // fixture text carries no PII, so each doc gets a deterministic
+    // email/phone/IP suffix injected first — the redaction path is
+    // genuinely exercised and the oracle replays the same injection.
+    "x27_redact_pii" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        graft.ext.TextAnalysis.redactPii(concat_ws(" ", col("text"),
+          concat(lit("contact u"), col("doc_id"),
+            lit("@mail.example.org")),
+          lit("tel 555-867-5309"),
+          concat(lit("ip 10.0."), pmod(col("doc_id"), lit(256L)),
+            lit(".7")))).as("redacted"))),
+
+    // intra-document repetition ratio (quality signal): share of
+    // repeated 3-grams per doc. Narrow op over the native shingle expr.
+    "x28_repetition" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        graft.ext.TextAnalysis.repetitionRatio(col("text"), 3)
+          .as("rep_ratio"))),
+
+    // JSONL interchange surface: write the corpus as zstd JSON Lines,
+    // read it back schema-on-read (NO inference pass), full-fidelity
+    // round trip checked against the parquet source of truth.
+    "x29_jsonl_roundtrip" -> { (s, dir) =>
+      val base = scratchDir("jsonl")
+      graft.sources.JsonLines.write(
+        T(s, dir, "documents").select("doc_id", "lang", "text"),
+        base + "/docs")
+      graft.sources.JsonLines.read(s, base + "/docs", StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("text", StringType))))
+    },
+
+    // stratified deterministic sampling: per-language keep rates on the
+    // md5 address space (rebalance the language mix, reproducibly).
+    "x30_stratified_sample" -> ((s, dir) =>
+      graft.ext.Corpus.stratifiedSample(
+        T(s, dir, "documents"), col("lang"), col("doc_id"),
+        Map("en" -> "8000", "de" -> "4000", "fr" -> "4000"),
+        defaultThreshold = "1000")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))),
+
     // streaming exactly-once admission: state-store-backed distinct over
     // the key tuple, run as a real stream (AvailableNow) with the
     // admission log as the result. Emitting only key columns makes the
@@ -1500,6 +1551,51 @@ object SparkEntry {
                         ROWS UNBOUNDED PRECEDING) - n_tokens) // 512
                      AS BIGINT) AS batch_id
             FROM s""",
+
+      "x26_normalize_text" ->
+        """SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                    AS norm_text
+           FROM documents""",
+
+      "x27_redact_pii" ->
+        """SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    text || ' contact u' || doc_id
+                         || '@mail.example.org tel 555-867-5309 ip 10.0.'
+                         || (doc_id % 256) || '.7',
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+                    AS redacted
+           FROM documents""",
+
+      "x28_repetition" ->
+        """WITH t AS (
+             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             FROM documents)
+           SELECT doc_id,
+                  round(CASE WHEN len(toks) < 3 THEN 0
+                        ELSE 1.0 - len(list_distinct(
+                               [array_to_string(toks[i+1:i+3], ' ')
+                                for i in range(len(toks)-2)])) * 1.0
+                             / (len(toks)-2) END, 6) AS rep_ratio
+           FROM t""",
+
+      "x29_jsonl_roundtrip" ->
+        """SELECT doc_id, lang, text FROM documents""",
+
+      "x30_stratified_sample" ->
+        """SELECT lang, count(*) AS n_docs,
+                  min(doc_id) AS min_id, max(doc_id) AS max_id
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                 CASE lang WHEN 'en' THEN '8000'
+                           WHEN 'de' THEN '4000'
+                           WHEN 'fr' THEN '4000'
+                           ELSE '1000' END
+           GROUP BY lang""",
 
       "x22_stream_dedup" ->
         """SELECT DISTINCT user_id, event_type FROM events""",

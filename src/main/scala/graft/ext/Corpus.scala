@@ -73,6 +73,28 @@ object Corpus {
         < hexThreshold)
   }
 
+  /** Stratified deterministic sampling: per-stratum keep rates over the
+    * same md5-prefix address space as [[deterministicSample]], so strata
+    * quotas compose with (and stay consistent under) the global sampler —
+    * the "rebalance the language mix" op of a corpus pipeline. Rows whose
+    * stratum has no declared threshold keep `defaultThreshold` (default
+    * "0000" = drop). Narrow projection, no shuffle, no RNG: membership is
+    * stable across runs, partitionings, and engines. */
+  def stratifiedSample(df: DataFrame, strataCol: Column, keyCol: Column,
+      thresholds: Map[String, String],
+      defaultThreshold: String = "0000"): DataFrame = {
+    (thresholds.values.toSeq :+ defaultThreshold).foreach(t =>
+      require(t.matches("[0-9a-f]{4}"),
+        s"thresholds must be 4 lowercase hex digits (got '$t')"))
+    val cutoff = thresholds.foldLeft(lit(defaultThreshold)) {
+      case (acc, (stratum, t)) =>
+        when(strataCol === stratum, lit(t)).otherwise(acc)
+    }
+    df.filter(
+      substring(md5(keyCol.cast(StringType).cast(BinaryType)), 1, 4)
+        < cutoff)
+  }
+
   /** Corpus-wide boilerplate detection: the most document-frequent word
     * n-grams (each doc's shingle set is distinct, so counts are document
     * frequencies). One explode + one partial-agg shuffle + a top-k sort of

@@ -104,6 +104,52 @@ object TextAnalysis {
             lit(0.2) * when(col("punct_ratio") > 0.2, lit(0.0))
               .otherwise(lit(1.0))), 6))
 
+  /** Canonical text normalization ahead of dedup/fingerprinting:
+    * lowercase, collapse every whitespace run to one space, trim. A
+    * narrow codegen'd projection — at 100 TB it rides the parquet scan.
+    * Normalizing BEFORE exact/near dedup is what makes "same text modulo
+    * spacing/case" collapse to one digest (cf. [[Corpus.digest]]). */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** PII pattern redaction: emails, North-American phone shapes, and
+    * IPv4 literals replaced by stable placeholder tokens. Patterns stay
+    * in the RE2-compatible subset (no lookarounds) so the same regexes
+    * run in Spark (java.util.regex) and the DuckDB oracle (RE2) — and,
+    * at scale, in whatever engine sits next to this one. Narrow
+    * projection, no shuffle; order matters (emails first, so their
+    * digit runs are gone before the phone pass). */
+  def redactPii(c: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, email, "<EMAIL>"),
+        phone, "<PHONE>"),
+      ipv4, "<IP>")
+  }
+
+  /** Intra-document repetition ratio (Gopher-style quality signal):
+    * 1 − |distinct n-grams| / |n-grams|. 0 for documents shorter than n
+    * tokens (no n-grams → nothing repeated). High values flag
+    * boilerplate/spam documents that repeat the same phrases. One narrow
+    * pass: the distinct count reuses the native shingle expression, the
+    * total is arithmetic on the token count. */
+  def repetitionRatio(c: Column, n: Int): Column = {
+    // active-session fallback registration, same contract as
+    // DedupOps.shingles: operators holding the DataFrame register first
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.TextHashExprs.register)
+    val total = greatest(tokenCount(c) - lit(n - 1), lit(0L))
+    val distinctN =
+      size(graft.functions.TextHashExprs.shingleHashes(c, n)).cast(LongType)
+    round(coalesce(
+      lit(1.0) - try_divide(distinctN.cast(DoubleType),
+        total.cast(DoubleType)),
+      lit(0.0)), 6)
+  }
+
   /** Rolling polynomial fingerprint over whitespace tokens, mod 2^31-1.
     * Per-token hash uses only SQL-expressible primitives (first/last char
     * code points + length) so a DuckDB oracle can replay it exactly; the

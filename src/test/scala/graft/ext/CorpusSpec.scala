@@ -60,6 +60,32 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSample applies per-stratum rates on the shared " +
+      "md5 address space") {
+    val docs = (0L until 600L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zz"))
+      .toDF("doc_id", "lang")
+    val out = Corpus.stratifiedSample(docs, col("lang"), col("doc_id"),
+      Map("en" -> "ffff", "de" -> "4000"), defaultThreshold = "0000")
+    val byLang = out.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(byLang.getOrElse("en", 0L) == 200L, "ffff keeps every en row")
+    assert(!byLang.contains("zz"), "default 0000 drops undeclared strata")
+    val de = byLang.getOrElse("de", 0L)
+    assert(de > 0L && de < 200L, s"de should be a strict subset, got $de")
+    // per-stratum selection == the global sampler at the same threshold
+    // (the address space is shared, so quotas compose)
+    val global = Corpus.deterministicSample(
+      docs.filter(col("lang") === "de"), col("doc_id"), "4000")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.filter(col("lang") === "de")
+      .select("doc_id").as[Long].collect().toSet == global)
+    intercept[IllegalArgumentException] {
+      Corpus.stratifiedSample(docs, col("lang"), col("doc_id"),
+        Map("en" -> "XY"))
+    }
+  }
+
   test("packBatches: offset-based assignment, shard-independent packing") {
     // 10 docs of 5 tokens each per shard → capacity 12 packs docs at
     // offsets 0,5,10,15,... into batches 0,0,0,1,1,2,2,2,3,3

@@ -211,6 +211,31 @@ class ExtSpec extends SparkSpec {
     assert(out == Seq("en", "und"))
   }
 
+  test("normalizeText collapses case and whitespace runs") {
+    val out = Seq("  A \t B\nc  ", "already clean").toDF("text")
+      .select(TextAnalysis.normalizeText(col("text")).as("n"))
+      .as[String].collect().toSeq
+    assert(out == Seq("a b c", "already clean"))
+  }
+
+  test("redactPii replaces emails, phones, and IPv4 literals") {
+    val out = Seq(
+      "mail a@b.co or x.y-z@sub.domain.org call 555-123-4567 " +
+        "from 192.168.0.1 ok")
+      .toDF("text").select(TextAnalysis.redactPii(col("text")).as("r"))
+      .as[String].head()
+    assert(out == "mail <EMAIL> or <EMAIL> call <PHONE> from <IP> ok")
+  }
+
+  test("repetitionRatio: repeated n-grams counted, short docs score 0") {
+    val out = Seq("a b a b a b", "a", "x y z").toDF("text")
+      .select(TextAnalysis.repetitionRatio(col("text"), 2).as("r"))
+      .as[Double].collect().toSeq
+    // "a b a b a b": 5 bigrams, 2 distinct → 0.6; "a": no bigrams → 0;
+    // "x y z": 2 distinct bigrams of 2 → 0
+    assert(out == Seq(0.6, 0.0, 0.0))
+  }
+
   test("fingerprint: deterministic and order-sensitive") {
     val fps = Seq("a b c", "c b a", "a b c").toDF("text")
       .select(TextAnalysis.fingerprint(col("text")).as("f"))
