@@ -775,6 +775,47 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_docs"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))),
 
+    // near-dup clusters: pair detection → connected components → one
+    // cluster id per doc (min id in the component; docs with no
+    // near-duplicate are their own singleton cluster). The label
+    // propagation iterates HERE (driver-paced Pregel-style loop over
+    // checkpointed frames); the returned frame is the final labels
+    // joined back onto the corpus.
+    "x31_dedup_clusters" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val pairs = graft.ext.DedupOps.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 5, threshold = 0.5,
+        maxShingleDF = Some(10000L), hotSampleMod = 20L)
+      val lbl = graft.ext.DedupOps.dedupClusters(pairs, "doc_a", "doc_b")
+      docs.select(col("doc_id"))
+        .join(lbl, docs("doc_id") === lbl("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    },
+
+    // canonical selection: one keep-doc per near-dup cluster, highest
+    // quality score wins (min doc_id tie-break) — detection → clusters
+    // → decision, the complete dedup pipeline as one query.
+    "x32_canonical_docs" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val pairs = graft.ext.DedupOps.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 5, threshold = 0.5,
+        maxShingleDF = Some(10000L), hotSampleMod = 20L)
+      val lbl = graft.ext.DedupOps.dedupClusters(pairs, "doc_a", "doc_b")
+      val scored = graft.ext.TextAnalysis.qualityScore(docs, "text")
+        .select(col("doc_id"), col("quality_score"))
+      val clustered = scored
+        .join(lbl, scored("doc_id") === lbl("id"), "left")
+        .select(col("doc_id"), col("quality_score"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      clustered.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"),
+          col("quality_score"))
+    },
+
     // streaming exactly-once admission: state-store-backed distinct over
     // the key tuple, run as a real stream (AvailableNow) with the
     // admission log as the result. Emitting only key columns makes the
@@ -1344,6 +1385,64 @@ object SparkEntry {
       s"""CASE WHEN $fp % 100 < 80 THEN 'train'
                WHEN $fp % 100 < 90 THEN 'val'
                ELSE 'test' END"""
+    // x02's exact Jaccard pairs → undirected edges → recursive min-label
+    // closure: `lbl` maps every paired doc to its component's min id
+    // (shared by the x31/x32 oracles; queries prefix WITH RECURSIVE)
+    val pairClosure =
+      """t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([array_to_string(toks[i+1:i+5], ' ')
+                                for i in range(len(toks)-4)]) AS sh
+               FROM t WHERE len(toks) >= 5),
+         e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+         sz AS (SELECT doc_id, len(sh) AS z FROM s),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      count(*) AS shared
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pr AS (SELECT doc_a, doc_b
+                FROM p JOIN sz x ON p.doc_a = x.doc_id
+                       JOIN sz y ON p.doc_b = y.doc_id
+                WHERE round(shared*1.0/(x.z + y.z - shared), 6) >= 0.5),
+         ed AS (SELECT doc_a AS eu, doc_b AS ev FROM pr
+                UNION SELECT doc_b, doc_a FROM pr),
+         reach(ru, rv) AS (
+           SELECT eu, ev FROM ed
+           UNION
+           SELECT r.ru, e2.ev FROM reach r JOIN ed e2 ON r.rv = e2.eu),
+         lbl AS (SELECT ru AS lid, least(ru, min(rv)) AS lcluster
+                 FROM reach GROUP BY ru)"""
+    // quality score per doc (must mirror TextAnalysis.qualityScore;
+    // body lifted from the x09 oracle)
+    val qualityCte =
+      """qs AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+               AS n_punct,
+             CAST(len(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> x IN ('the','a','of','and','to','in','is','it')))
+               AS BIGINT) AS n_stopwords
+           FROM documents),
+         qr AS (
+           SELECT doc_id, n_tokens,
+             round(CASE WHEN n_chars = 0 THEN 0
+                   ELSE n_punct*1.0/n_chars END, 6) AS punct_ratio,
+             round(CASE WHEN n_tokens = 0 THEN 0
+                   ELSE n_stopwords*1.0/n_tokens END, 6) AS stopword_ratio
+           FROM qs),
+         q AS (
+           SELECT doc_id,
+             round(CASE WHEN n_tokens < 5 THEN 0.1
+                   ELSE 0.4*least(n_tokens/50.0, 1.0)
+                      + 0.4*least(stopword_ratio*10.0, 1.0)
+                      + 0.2*(CASE WHEN punct_ratio > 0.2 THEN 0.0
+                             ELSE 1.0 END) END, 6) AS quality_score
+           FROM qr)"""
 
     Map(
       "x01_dedup_exact" ->
@@ -1596,6 +1695,22 @@ object SparkEntry {
                            WHEN 'fr' THEN '4000'
                            ELSE '1000' END
            GROUP BY lang""",
+
+      "x31_dedup_clusters" ->
+        s"""WITH RECURSIVE $pairClosure
+            SELECT d.doc_id, coalesce(l.lcluster, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN lbl l ON d.doc_id = l.lid""",
+
+      "x32_canonical_docs" ->
+        s"""WITH RECURSIVE $pairClosure, $qualityCte,
+            c AS (SELECT q.doc_id, q.quality_score,
+                         coalesce(l.lcluster, q.doc_id) AS cluster_id
+                  FROM q LEFT JOIN lbl l ON q.doc_id = l.lid)
+            SELECT cluster_id, doc_id AS keep_id, quality_score
+            FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY quality_score DESC, doc_id ASC) AS rn
+                  FROM c)
+            WHERE rn = 1""",
 
       "x22_stream_dedup" ->
         """SELECT DISTINCT user_id, event_type FROM events""",

@@ -414,4 +414,67 @@ object DedupOps {
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
+
+  // ------------------------------------------- cluster + canonicalize
+
+  /** Connected-component clustering of near-dup pairs: every document in
+    * a component gets the component's minimum id as `cluster_id` — the
+    * step that turns pair DETECTION ([[ngramJaccardPairs]],
+    * [[minhashPairs]], [[cosineDupPairs]]) into a dedup DECISION (keep
+    * one doc per cluster). Output: (`id`, `cluster_id`) for every node
+    * that appears in a pair; callers left-join onto the corpus and
+    * coalesce to the doc's own id for singletons.
+    *
+    * Algorithm: min-label propagation to fixpoint — each round every
+    * node takes the min of its own label and its neighbors' labels.
+    * Rounds needed = the graph's diameter. Near-dup graphs are
+    * near-clique components (similarity ≥ t is nearly transitive), so
+    * real corpora converge in 2–4 rounds; `maxIters` guards the
+    * pathological chain, and non-convergence throws rather than
+    * returning splintered clusters. (For adversarially long chains the
+    * alternating two-phase star algorithm bounds rounds at O(log n);
+    * swap it in behind this signature if a corpus ever trips the guard.)
+    *
+    * 100 TB discipline:
+    *  - Each round shuffles only the EDGE list joined with 16-byte
+    *    (id, label) rows — document bodies never enter the loop, and the
+    *    near-dup edge list is orders of magnitude smaller than the
+    *    corpus (it holds only docs with a near-duplicate).
+    *  - `localCheckpoint` every round truncates lineage — mandatory for
+    *    iterative DataFrame algorithms; without it the plan doubles per
+    *    round and the driver re-optimizes an exponentially growing tree.
+    *  - The per-round `count` is a convergence probe over the already-
+    *    materialized checkpoint (sum of per-partition counters), not a
+    *    data collect; this is the Pregel-style "active vertex count".
+    */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast(LongType).as("u"),
+      col(bCol).cast(LongType).as("v"))
+    val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint() // materialized once, scanned each round
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxIters) {
+      val nbrMin = edges.join(labels, edges("v") === labels("id"))
+        .groupBy(col("u")).agg(min("cluster_id").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"),
+            col("cluster_id"))).as("cluster_id"),
+          coalesce(col("nbr_min") < col("cluster_id"), lit(false))
+            .as("_changed"))
+        .localCheckpoint()
+      changed = next.filter(col("_changed")).count()
+      labels = next.drop("_changed")
+      round += 1
+    }
+    require(changed == 0L,
+      s"dedupClusters: not converged after $maxIters rounds — component " +
+        "diameter exceeds the guard; raise maxIters or switch to the " +
+        "O(log n) alternating-star variant")
+    labels
+  }
 }

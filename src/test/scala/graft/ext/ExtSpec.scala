@@ -256,4 +256,28 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.MediaCodec.decodeStub(1L, Array.empty, 64).isEmpty)
     assert(Multimodal.MediaCodec.decodeStub(1L, null, 64).isEmpty)
   }
+
+  test("dedupClusters: components get min-id labels; chains converge") {
+    // component {1,2,3} (path), component {7,9}, and a 10-node path
+    // 20-21-...-29 whose diameter forces multiple propagation rounds
+    val pairs = (Seq((1L, 2L), (2L, 3L), (9L, 7L)) ++
+      (20L until 29L).map(i => (i + 1, i))).toDF("a", "b")
+    val got = DedupOps.dedupClusters(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(7L) == 7L && got(9L) == 7L)
+    assert((20L to 29L).forall(got(_) == 20L))
+    assert(got.size == 15)
+    // non-convergence guard: the 10-node path needs 9 rounds
+    intercept[IllegalArgumentException] {
+      DedupOps.dedupClusters(
+        (20L until 29L).map(i => (i + 1, i)).toDF("a", "b"),
+        "a", "b", maxIters = 3)
+    }
+  }
+
+  test("dedupClusters: empty pair set yields empty labels") {
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(DedupOps.dedupClusters(pairs, "a", "b").count() == 0L)
+  }
 }
