@@ -816,6 +816,26 @@ object SparkEntry {
           col("quality_score"))
     },
 
+    // symmetric int8 embedding quantization: the 4× storage cut for an
+    // ANN corpus, with an exact-IEEE determinism contract (floor-based
+    // half-up rounding, no float accumulation) so the oracle hash-matches.
+    // The gate emits levels as CSV text — the driver's row sort can't
+    // order array cells; the library API keeps the typed array.
+    "x33_quantize_embeddings" -> ((s, dir) =>
+      graft.ext.Similarity.quantizeInt8(
+        T(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"),
+          concat_ws(",", col("q")).as("q_csv"), col("scale"))),
+
+    // quantized ANN flat scan: top-k by int8 dot product — x33's
+    // consumer; scores are exact integer arithmetic in doubles, so the
+    // oracle hash-matches bit-for-bit.
+    "x34_quantized_topk" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      graft.ext.Similarity.quantizedTopK(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+    },
+
     // streaming exactly-once admission: state-store-backed distinct over
     // the key tuple, run as a real stream (AvailableNow) with the
     // admission log as the result. Emitting only key columns makes the
@@ -1711,6 +1731,53 @@ object SparkEntry {
                     ORDER BY quality_score DESC, doc_id ASC) AS rn
                   FROM c)
             WHERE rn = 1""",
+
+      "x33_quantize_embeddings" ->
+        """WITH v AS (SELECT vec_id,
+                        [CAST(x AS DOUBLE) for x in embedding] AS e
+                      FROM embeddings),
+           s AS (SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) / 127.0
+                     AS scale
+                 FROM v)
+           SELECT vec_id,
+                  array_to_string(
+                    CASE WHEN scale = 0 THEN [0 for x in e]
+                         ELSE [CAST(floor(x / scale + 0.5) AS INTEGER)
+                               for x in e] END, ',') AS q_csv,
+                  scale
+           FROM s""",
+
+      "x34_quantized_topk" ->
+        """WITH v AS (SELECT vec_id,
+                        [CAST(x AS DOUBLE) for x in embedding] AS e
+                      FROM embeddings),
+           s AS (SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) / 127.0
+                     AS scale
+                 FROM v),
+           z AS (SELECT vec_id, scale,
+                   CASE WHEN scale = 0
+                        THEN [CAST(0 AS DOUBLE) for x in e]
+                        ELSE [CAST(CAST(floor(x / scale + 0.5) AS INTEGER)
+                                   AS DOUBLE) for x in e] END AS qd
+                 FROM s),
+           scored AS (
+             SELECT a.vec_id AS query_id, b.vec_id,
+                    a.scale * b.scale * list_reduce(
+                      list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(list_zip(a.qd, b.qd),
+                          p -> p[1]*p[2])),
+                      (acc, x) -> acc + x) AS score
+             FROM z a JOIN z b ON b.vec_id <> a.vec_id
+             WHERE a.vec_id < 8)
+           SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+                  round(score, 6) AS score
+           FROM (SELECT query_id, vec_id, score, row_number() OVER
+                   (PARTITION BY query_id ORDER BY score DESC, vec_id ASC)
+                   AS rank
+                 FROM scored)
+           WHERE rank <= 5""",
 
       "x22_stream_dedup" ->
         """SELECT DISTINCT user_id, event_type FROM events""",

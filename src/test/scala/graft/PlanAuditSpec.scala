@@ -18,10 +18,11 @@ import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
   */
 class PlanAuditSpec extends SparkSpec {
 
-  // x05 brute-force cosine top-k is the DOCUMENTED exactness baseline:
-  // a tiny broadcast query set against the corpus scan is a
+  // x05 brute-force cosine top-k is the DOCUMENTED exactness baseline,
+  // and x34 the int8 flat scan sharing its scan×|Q| shape: a tiny
+  // broadcast query set against the corpus scan is a
   // BroadcastNestedLoopJoin by construction (see Similarity scaladoc).
-  private val nestedLoopBaseline = Set("x05_cosine_topk")
+  private val nestedLoopBaseline = Set("x05_cosine_topk", "x34_quantized_topk")
 
   test("no query plan contains a cartesian product, stray NLJ, or " +
       "single-partition window") {

@@ -280,4 +280,48 @@ class ExtSpec extends SparkSpec {
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(DedupOps.dedupClusters(pairs, "a", "b").count() == 0L)
   }
+
+  test("quantizedTopK: high dot-product agreement with exact cosine " +
+      "top-k on unit-ish vectors") {
+    val queries = embs.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(embs, queries,
+      "vec_id", "embedding", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(embs, queries,
+      "vec_id", "embedding", 5)
+    val qpairs = quant.select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    // int8 quantization perturbs each element by ≤ scale/2 — on this
+    // fixture the top-5 sets should overlap strongly (dot-product vs
+    // cosine ranking AND quantization noise both in play)
+    val recall = (qpairs & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"quantized recall@5 vs exact: $recall")
+    // contract shape: 5 per query, no self-match
+    assert(quant.groupBy("query_id").count().as[(Long, Long)]
+      .collect().forall(_._2 == 5L))
+    assert(quant.filter($"query_id" === $"vec_id").isEmpty)
+  }
+
+  test("quantizeInt8: levels in [-127,127], reconstruction within " +
+      "scale/2, zero vector → zeros") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(-2.0f, 2.0f, 1.0f, -0.001f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .as[(Long, Array[Int], Double)].collect().sortBy(_._1)
+    val orig = vecs.as[(Long, Array[Float])].collect().toMap
+    out.foreach { case (id, q, scale) =>
+      assert(q.forall(l => l >= -127 && l <= 127), s"vec $id level range")
+      if (id == 2L) { assert(scale == 0.0 && q.forall(_ == 0)) }
+      else {
+        // max|x| must land exactly on ±127
+        assert(q.map(math.abs).max == 127, s"vec $id peak level")
+        orig(id).map(_.toDouble).zip(q).foreach { case (x, l) =>
+          assert(math.abs(x - l * scale) <= scale / 2 + 1e-12,
+            s"vec $id: $x vs ${l * scale}")
+        }
+      }
+    }
+  }
 }

@@ -175,6 +175,35 @@ object EngineProps extends Properties("graft") {
       }
     }
 
+  private val genEdges: Gen[List[(Long, Long)]] =
+    Gen.listOfN(12, for {
+      a <- Gen.choose(0L, 9L)
+      b <- Gen.choose(0L, 9L) if a != b
+    } yield (a, b))
+
+  property("dedupClusters == brute-force union-find on random graphs") =
+    forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        import spark.implicits._
+        // reference: in-memory union-find with min-id canonical roots
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.map(n => n -> find(n)).toMap
+        val got = graft.ext.DedupOps
+          .dedupClusters(edges.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        got == want
+      }
+    }
+
   private val genSchema: Gen[List[String]] =
     Gen.someOf(Contracts.AdsDimension.fieldNames.toSeq ++ Seq("junk1", "junk2"))
       .map(_.toList.distinct)
