@@ -836,6 +836,40 @@ object SparkEntry {
         emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
     },
 
+    // corpus pipeline integration gate: normalize → exact-dedup on the
+    // normalized text → deterministic split → per-(split, lang) stats.
+    // Composition is the product being tested; the dedup shuffle carries
+    // the 32-byte digest (never text), all per-doc signals are computed
+    // in the narrow stage before it and ride along via min_by.
+    "x35_corpus_pipeline" -> { (s, dir) =>
+      val staged = T(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        graft.ext.TextAnalysis.normalizeText(col("text")).as("text"))
+      val signals = graft.ext.Corpus.assignSplit(staged, "text")
+        .select(col("doc_id"), col("lang"), col("split"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("n_toks"),
+          graft.ext.Corpus.digest(col("text")).as("d"))
+      val deduped = signals.groupBy("d").agg(
+        min("doc_id").as("doc_id"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("split"), col("doc_id")).as("split"),
+        min_by(col("n_toks"), col("doc_id")).as("n_toks"))
+      deduped.groupBy("split", "lang").agg(
+        count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    },
+
+    // markup-strip extraction: tags out, entities decoded, whitespace
+    // re-collapsed. The fixture text carries no markup, so each doc is
+    // wrapped in a deterministic HTML shell first (same trick as x27) —
+    // the oracle replays the identical injection.
+    "x36_strip_markup" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        graft.ext.TextAnalysis.stripMarkup(concat(
+          lit("<html><body class=\"d\"><h1>T&amp;C &lt;draft&gt;</h1><p>"),
+          col("text"),
+          lit("</p><script>var x = 1;</script>&nbsp;&#39;end&#39;</body></html>")))
+          .as("clean_text"))),
+
     // streaming exactly-once admission: state-store-backed distinct over
     // the key tuple, run as a real stream (AvailableNow) with the
     // admission log as the result. Emitting only key columns makes the
@@ -1778,6 +1812,47 @@ object SparkEntry {
                    AS rank
                  FROM scored)
            WHERE rank <= 5""",
+
+      "x35_corpus_pipeline" ->
+        s"""WITH n AS (SELECT doc_id, lang,
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                           AS text
+                       FROM documents),
+            sg AS (SELECT doc_id, lang, $splitCase AS split,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS BIGINT) AS n_toks,
+                     text
+                   FROM n),
+            d AS (SELECT min(doc_id) AS doc_id,
+                    arg_min(lang, doc_id) AS lang,
+                    arg_min(split, doc_id) AS split,
+                    arg_min(n_toks, doc_id) AS n_toks
+                  FROM sg GROUP BY text)
+            SELECT split, lang, count(*) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS n_tokens
+            FROM d GROUP BY 1, 2""",
+
+      "x36_strip_markup" ->
+        """WITH w AS (
+             SELECT doc_id,
+               '<html><body class="d"><h1>T&amp;C &lt;draft&gt;</h1><p>'
+                 || text ||
+                 '</p><script>var x = 1;</script>&nbsp;&#39;end&#39;</body></html>'
+                 AS h
+             FROM documents),
+           st AS (SELECT doc_id,
+                    regexp_replace(h, '<[^>]+>', ' ', 'g') AS t FROM w),
+           de AS (SELECT doc_id,
+                    regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(regexp_replace(regexp_replace(
+                        t,
+                        '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+                        '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+                        '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t
+                  FROM st)
+           SELECT doc_id,
+                  trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text
+           FROM de""",
 
       "x22_stream_dedup" ->
         """SELECT DISTINCT user_id, event_type FROM events""",

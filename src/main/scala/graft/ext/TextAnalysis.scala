@@ -130,6 +130,24 @@ object TextAnalysis {
       ipv4, "<IP>")
   }
 
+  /** Markup stripping (the extraction stage of a web-corpus pipeline):
+    * drop tags, decode the common HTML entities, collapse the whitespace
+    * runs the removals leave behind. RE2-safe patterns (cf.
+    * [[redactPii]]); `&amp;` decodes LAST so `&amp;lt;` yields the
+    * literal `&lt;` rather than double-decoding. Tag contents are NOT
+    * preserved — script/style bodies survive only as their text, which
+    * is the documented trade of regex-tier extraction vs a real DOM
+    * parser (plug one in via mapPartitions where fidelity matters). */
+  def stripMarkup(c: Column): Column = {
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(regexp_replace(c, "<[^>]+>", " ")) {
+        case (acc, (ent, ch)) => regexp_replace(acc, ent, ch)
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Intra-document repetition ratio (Gopher-style quality signal):
     * 1 − |distinct n-grams| / |n-grams|. 0 for documents shorter than n
     * tokens (no n-grams → nothing repeated). High values flag

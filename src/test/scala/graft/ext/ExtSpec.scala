@@ -227,6 +227,18 @@ class ExtSpec extends SparkSpec {
     assert(out == "mail <EMAIL> or <EMAIL> call <PHONE> from <IP> ok")
   }
 
+  test("stripMarkup: tags dropped, entities decoded once, spacing " +
+      "collapsed") {
+    val out = Seq(
+      "<p>a <b>b</b></p>c",
+      "x &amp;lt; y &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;z",
+      "plain")
+      .toDF("text").select(TextAnalysis.stripMarkup(col("text")).as("t"))
+      .as[String].collect().toSeq
+    // &amp;lt; must decode to the LITERAL "&lt;", not to "<"
+    assert(out == Seq("a b c", "x &lt; y <tag> \"q\" 's' z", "plain"))
+  }
+
   test("repetitionRatio: repeated n-grams counted, short docs score 0") {
     val out = Seq("a b a b a b", "a", "x y z").toDF("text")
       .select(TextAnalysis.repetitionRatio(col("text"), 2).as("r"))

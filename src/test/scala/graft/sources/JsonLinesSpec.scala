@@ -33,4 +33,24 @@ class JsonLinesSpec extends SparkSpec {
     val back = JsonLines.read(spark, s"$base/d", schema)
     assert(back.schema == schema)
   }
+
+  test("corrupt lines don't kill the scan (PERMISSIVE) and are " +
+      "countable via _corrupt_record") {
+    val base = Files.createTempDirectory("graft_jsonl3")
+    Files.writeString(base.resolve("part-0.json"),
+      """{"doc_id": 1, "text": "good"}
+        |{not json at all
+        |{"doc_id": 2, "text": "also good"}
+        |""".stripMargin)
+    val clean = JsonLines.read(spark, base.toString, schema)
+      .filter($"doc_id".isNotNull)
+    assert(clean.count() == 2L)
+    // Spark refuses plans that read ONLY _corrupt_record from raw JSON
+    // (the parse that fills it would be pruned away) — cache first, per
+    // the engine's own guidance
+    val audit = JsonLines.read(spark, base.toString,
+      schema.add("_corrupt_record", StringType)).cache()
+    try assert(audit.filter($"_corrupt_record".isNotNull).count() == 1L)
+    finally audit.unpersist()
+  }
 }
