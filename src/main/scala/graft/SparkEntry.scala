@@ -840,7 +840,11 @@ object SparkEntry {
     // normalized text → deterministic split → per-(split, lang) stats.
     // Composition is the product being tested; the dedup shuffle carries
     // the 32-byte digest (never text), all per-doc signals are computed
-    // in the narrow stage before it and ride along via min_by.
+    // in the narrow stage before it and ride along via min_by. Plan
+    // note: min_by's string payload forces a sort-based aggregate —
+    // a deliberate trade: ONE digest-keyed shuffle with per-partition
+    // sorts beats the hash-only alternative (digest agg + two more
+    // doc_id-keyed join shuffles to re-attach lang/split).
     "x35_corpus_pipeline" -> { (s, dir) =>
       val staged = T(s, dir, "documents").select(
         col("doc_id"), col("lang"),
