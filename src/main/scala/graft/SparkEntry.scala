@@ -736,13 +736,14 @@ object SparkEntry {
     // email/phone/IP suffix injected first — the redaction path is
     // genuinely exercised and the oracle replays the same injection.
     "x27_redact_pii" -> ((s, dir) =>
+      // concat (not concat_ws): NULL text must propagate exactly like
+      // the oracle's `||` chain, not be silently skipped
       T(s, dir, "documents").select(col("doc_id"),
-        graft.ext.TextAnalysis.redactPii(concat_ws(" ", col("text"),
-          concat(lit("contact u"), col("doc_id"),
-            lit("@mail.example.org")),
-          lit("tel 555-867-5309"),
-          concat(lit("ip 10.0."), pmod(col("doc_id"), lit(256L)),
-            lit(".7")))).as("redacted"))),
+        graft.ext.TextAnalysis.redactPii(concat(col("text"),
+          lit(" contact u"), col("doc_id").cast(StringType),
+          lit("@mail.example.org tel 555-867-5309 ip 10.0."),
+          pmod(col("doc_id"), lit(256L)).cast(StringType),
+          lit(".7"))).as("redacted"))),
 
     // intra-document repetition ratio (quality signal): share of
     // repeated 3-grams per doc. Narrow op over the native shingle expr.
@@ -751,7 +752,7 @@ object SparkEntry {
         graft.ext.TextAnalysis.repetitionRatio(col("text"), 3)
           .as("rep_ratio"))),
 
-    // JSONL interchange surface: write the corpus as zstd JSON Lines,
+    // JSONL interchange surface: write the corpus as gzip JSON Lines,
     // read it back schema-on-read (NO inference pass), full-fidelity
     // round trip checked against the parquet source of truth.
     "x29_jsonl_roundtrip" -> { (s, dir) =>
@@ -932,7 +933,11 @@ object SparkEntry {
         val dest = java.nio.file.Paths.get(s"$base/in", s"$name.parquet")
         java.nio.file.Files.createDirectories(dest.getParent)
         java.nio.file.Files.move(part.toPath, dest)
-        dest.toFile.setLastModified(mtime)
+        // batch order rides on mtime (maxFilesPerTrigger=1 picks files
+        // oldest-first) — a silent setLastModified failure would make
+        // the 4-batch sequence nondeterministic
+        require(dest.toFile.setLastModified(mtime),
+          s"cannot set mtime on $dest — x25 batch sequencing needs it")
       }
       val now = System.currentTimeMillis()
       writeBatch(b1, "b1", now - 240000L)

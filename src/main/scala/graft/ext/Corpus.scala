@@ -79,7 +79,12 @@ object Corpus {
     * the "rebalance the language mix" op of a corpus pipeline. Rows whose
     * stratum has no declared threshold keep `defaultThreshold` (default
     * "0000" = drop). Narrow projection, no shuffle, no RNG: membership is
-    * stable across runs, partitionings, and engines. */
+    * stable across runs, partitionings, and engines.
+    *
+    * Thresholds are EXCLUSIVE upper bounds on the first-4-hex-digit md5
+    * space: "8000" keeps ≈ 32768/65536 of keys; the maximum "ffff" keeps
+    * all but the ~1/65536 of keys whose prefix is exactly "ffff" — a
+    * true keep-everything stratum should simply not be sampled. */
   def stratifiedSample(df: DataFrame, strataCol: Column, keyCol: Column,
       thresholds: Map[String, String],
       defaultThreshold: String = "0000"): DataFrame = {

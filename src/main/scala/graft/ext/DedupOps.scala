@@ -88,7 +88,11 @@ object DedupOps {
     * case for a deduped corpus, and the oracle-gated configuration — the
     * query runs the EXACT uncapped plan and the guard costs only the
     * sampled detection scan (measured ≤ ~15% at sf0.1, fixed job
-    * overhead that amortizes to ~m⁻¹ of a scan at scale). */
+    * overhead that amortizes to ~m⁻¹ of a scan at scale). NOTE the
+    * statistic job runs EAGERLY at DataFrame-construction time and the
+    * plan choice is frozen against that snapshot — build the frame when
+    * the input is settled (the batch-pipeline norm), not ahead of
+    * late-arriving files. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       maxShingleDF: Option[Long] = None,
@@ -111,6 +115,10 @@ object DedupOps {
     val e = maxShingleDF match {
       case None => exploded
       case Some(cap) =>
+        // the sampled threshold cap/m is integer-truncated: with
+        // cap < m it is 0 and EVERY sampled shingle would be flagged
+        require(hotSampleMod == 1L || cap >= hotSampleMod,
+          s"maxShingleDF ($cap) must be >= hotSampleMod ($hotSampleMod)")
         // shingleHashes is per-document distinct, so count(1) = DF
         val sampled =
           if (hotSampleMod == 1L) df

@@ -63,11 +63,13 @@ object TextAnalysis {
           when(t.isInCollection(words), lit(1L)).otherwise(lit(0L))
       }: _*))
     val langs = array(profiles.map(p => lit(p._1)): _*)
-    aggregate(
+    // coalesce: NULL text folds to NULL through aggregate — the
+    // documented contract is "und" for anything without a profile hit
+    coalesce(aggregate(
       zip_with(counts, langs, (s, l) => struct(s.as("s"), l.as("l"))),
       struct(lit(0L).as("s"), lit("und").as("l")),
       (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
-      .getField("l")
+      .getField("l"), lit("und"))
   }
 
   /** Quality-scoring signals (length, punctuation ratio, stopword ratio,

@@ -69,6 +69,9 @@ object Actions {
       .filterNot(Set("actions", "action_values").contains)
     val sanitized = actionTypes.map(sanitize).distinct
       .filterNot(scalarMetrics.contains)
+      // an action type sanitizing to "action_values" would collide with
+      // the rule-3 column emitted below → duplicate output name
+      .filterNot(_ == "action_values")
 
     val cols: Seq[Column] =
       passthroughDims.toSeq.map(col) ++

@@ -34,11 +34,12 @@ object JsonLines {
     df.write.mode("overwrite").option("compression", "gzip").json(path)
 
   /** Read JSON Lines with an explicit schema (no inference pass).
-    * Corrupt lines land in no row rather than killing the scan
-    * (PERMISSIVE, Spark's default) — count them by reading with a
-    * `_corrupt_record` column if the drop rate matters (cache the
-    * parsed frame first: Spark refuses plans that prune down to only
-    * the corrupt column, see JsonLinesSpec). */
+    * Corrupt lines become all-null rows rather than killing the scan
+    * (PERMISSIVE, Spark's default) — filter on a required column's
+    * nullity, or count them by reading with a `_corrupt_record` column
+    * if the drop rate matters (cache the parsed frame first: Spark
+    * refuses plans that prune down to only the corrupt column, see
+    * JsonLinesSpec). */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 }

@@ -69,7 +69,9 @@ class CorpusSpec extends SparkSpec {
       Map("en" -> "ffff", "de" -> "4000"), defaultThreshold = "0000")
     val byLang = out.groupBy("lang").count().as[(String, Long)]
       .collect().toMap
-    assert(byLang.getOrElse("en", 0L) == 200L, "ffff keeps every en row")
+    // "ffff" is an exclusive bound: keeps every key whose md5 prefix
+    // < "ffff" — all 200 en rows in this fixture (none hash to ffff)
+    assert(byLang.getOrElse("en", 0L) == 200L, "ffff keeps en rows")
     assert(!byLang.contains("zz"), "default 0000 drops undeclared strata")
     val de = byLang.getOrElse("de", 0L)
     assert(de > 0L && de < 200L, s"de should be a strict subset, got $de")

@@ -211,6 +211,13 @@ class ExtSpec extends SparkSpec {
     assert(out == Seq("en", "und"))
   }
 
+  test("langId: NULL and empty text → und, not NULL") {
+    val out = Seq(Some("the a of"), None, Some(""))
+      .toDF("text").select(TextAnalysis.langId(col("text")).as("l"))
+      .as[String].collect().toSeq
+    assert(out == Seq("en", "und", "und"))
+  }
+
   test("normalizeText collapses case and whitespace runs") {
     val out = Seq("  A \t B\nc  ", "already clean").toDF("text")
       .select(TextAnalysis.normalizeText(col("text")).as("n"))

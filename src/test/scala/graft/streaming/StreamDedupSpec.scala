@@ -66,7 +66,9 @@ class StreamDedupSpec extends SparkSpec {
       val dest = java.nio.file.Paths.get(s"$base/in", s"$name.parquet")
       java.nio.file.Files.createDirectories(dest.getParent)
       java.nio.file.Files.move(part.toPath, dest)
-      dest.toFile.setLastModified(mtime)
+      // batch order rides on mtime; fail loudly if it can't be set
+      require(dest.toFile.setLastModified(mtime),
+        s"cannot set mtime on $dest")
     }
     val now = System.currentTimeMillis()
     mk(Seq((1L, "a", t0), (2L, "b", t0)), "b1", now - 240000)
