@@ -817,6 +817,22 @@ object SparkEntry {
           col("quality_score"))
     },
 
+    // x31's twin on the alternating large-star/small-star algorithm —
+    // same pair detection, same (id, cluster_id) contract, same oracle;
+    // rounds bounded O(log n) regardless of component diameter, the
+    // variant for chain-shaped near-dup graphs at corpus scale.
+    "x37_star_clusters" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val pairs = graft.ext.DedupOps.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 5, threshold = 0.5,
+        maxShingleDF = Some(10000L), hotSampleMod = 20L)
+      val lbl = graft.ext.DedupOps.dedupClustersStar(pairs, "doc_a", "doc_b")
+      docs.select(col("doc_id"))
+        .join(lbl, docs("doc_id") === lbl("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    },
+
     // symmetric int8 embedding quantization: the 4× storage cut for an
     // ANN corpus, with an exact-IEEE determinism contract (floor-based
     // half-up rounding, no float accumulation) so the oracle hash-matches.
@@ -1774,6 +1790,13 @@ object SparkEntry {
                     ORDER BY quality_score DESC, doc_id ASC) AS rn
                   FROM c)
             WHERE rn = 1""",
+
+      // identical to x31's oracle: the star variant must produce the
+      // same labeling, only the distributed algorithm differs
+      "x37_star_clusters" ->
+        s"""WITH RECURSIVE $pairClosure
+            SELECT d.doc_id, coalesce(l.lcluster, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN lbl l ON d.doc_id = l.lid""",
 
       "x33_quantize_embeddings" ->
         """WITH v AS (SELECT vec_id,

@@ -481,8 +481,101 @@ object DedupOps {
     }
     require(changed == 0L,
       s"dedupClusters: not converged after $maxIters rounds — component " +
-        "diameter exceeds the guard; raise maxIters or switch to the " +
-        "O(log n) alternating-star variant")
+        "diameter exceeds the guard; raise maxIters or switch to " +
+        "dedupClustersStar (O(log n) rounds, diameter-independent)")
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star — the
+    * diameter-independent variant of [[dedupClusters]] (same output
+    * contract: (`id`, `cluster_id`) with the component min as label).
+    * Published algorithm (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): each round rewires every node's
+    * larger neighbors (large-star) then its smaller-or-equal neighbors
+    * (small-star) to the neighborhood minimum; the edge set converges to
+    * star graphs centered on each component's min in O(log n) rounds
+    * REGARDLESS of diameter — the right choice when components can be
+    * long chains (reference-chain graphs, linked near-dups over time)
+    * rather than the near-cliques similarity thresholds produce.
+    *
+    * Cost per round: two grouped-min shuffles + two joins (vs one of
+    * each for a [[dedupClusters]] round) over 16-byte edges, checkpoint-
+    * truncated like every iterative frame here. Convergence = edge
+    * set unchanged across a full round, checked as (count,
+    * xor-of-xxhash64) — a 2⁻⁶⁴-collision probabilistic equality,
+    * documented trade for not running two except() shuffles per round;
+    * a star-forest assertion at exit catches a pseudo-converged state. */
+  def dedupClustersStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 30): DataFrame = {
+    // canonical undirected form: (min, max), deduped, no self-loops
+    val raw = pairs.select(col(aCol).cast(LongType).as("u"),
+      col(bCol).cast(LongType).as("v"))
+    var edges = raw
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+
+    // one star phase: group the symmetrized edges by u, rewire either
+    // the strictly-larger (large star) or the ≤ (small star, plus u
+    // itself) neighbors to m = min(neighbors ∪ {u})
+    def starPhase(e: DataFrame, large: Boolean): DataFrame = {
+      val b = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = b.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val joined = b.join(m, "u")
+      val rewired =
+        if (large) joined.filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        else joined.filter(col("v") <= col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(m.select(col("u"), col("m").as("v")))
+      rewired
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    def signature(e: DataFrame): (Long, Long) = {
+      // bit_xor is commutative, overflow-free under ANSI, and the edge
+      // set is distinct so duplicate-cancellation cannot mask a change
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIters) {
+      val next = starPhase(starPhase(edges, large = true), large = false)
+        .localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      round += 1
+    }
+    require(converged,
+      s"dedupClustersStar: not converged after $maxIters rounds")
+    // converged edge set is star graphs: (center=u, satellite=v) in
+    // canonical order since center = component min < satellite. Guard
+    // against the signature check converging on a non-star fixpoint
+    // (would silently mislabel): in a star forest no node is both a
+    // center and a satellite — cheap on the converged (tiny) edge set.
+    require(edges.select(col("u"))
+      .intersect(edges.select(col("v").as("u"))).isEmpty,
+      "dedupClustersStar: converged edge set is not a star forest")
+    val centers = edges.select(col("u").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    val labeled = edges.select(col("v").as("id"), col("u").as("cluster_id"))
+      .union(centers).distinct()
+    // contract parity with dedupClusters: every node appearing in the
+    // input gets a row — self-loop-only nodes (dropped by the no-self-
+    // loop canonicalization) label themselves
+    val nodes = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id"))).distinct()
+    nodes.join(labeled, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 }

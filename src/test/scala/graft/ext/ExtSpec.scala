@@ -295,6 +295,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("dedupClustersStar: long chain converges in O(log n) rounds; " +
+      "self-loops label themselves") {
+    // a 40-node path has diameter 39 — min-label propagation needs 39
+    // rounds, the star variant must finish well inside maxIters = 12
+    val chain = (100L until 139L).map(i => (i + 1, i))
+    val pairs = (chain ++ Seq((1L, 2L), (2L, 3L), (50L, 50L)))
+      .toDF("a", "b")
+    val got = DedupOps.dedupClustersStar(pairs, "a", "b", maxIters = 12)
+      .as[(Long, Long)].collect().toMap
+    assert((100L to 139L).forall(got(_) == 100L))
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(50L) == 50L) // self-loop-only node keeps its own label
+    assert(got.size == 44)
+  }
+
+  test("dedupClustersStar: empty pair set yields empty labels") {
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(DedupOps.dedupClustersStar(pairs, "a", "b").count() == 0L)
+  }
+
   test("dedupClusters: empty pair set yields empty labels") {
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(DedupOps.dedupClusters(pairs, "a", "b").count() == 0L)

@@ -204,6 +204,19 @@ object EngineProps extends Properties("graft") {
       }
     }
 
+  property("dedupClustersStar == dedupClusters on random graphs") =
+    forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        import spark.implicits._
+        val df = edges.toDF("a", "b")
+        val want = graft.ext.DedupOps.dedupClusters(df, "a", "b")
+          .as[(Long, Long)].collect().toMap
+        val got = graft.ext.DedupOps.dedupClustersStar(df, "a", "b")
+          .as[(Long, Long)].collect().toMap
+        got == want
+      }
+    }
+
   private val genSchema: Gen[List[String]] =
     Gen.someOf(Contracts.AdsDimension.fieldNames.toSeq ++ Seq("junk1", "junk2"))
       .map(_.toList.distinct)
