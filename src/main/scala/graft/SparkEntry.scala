@@ -833,6 +833,12 @@ object SparkEntry {
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     },
 
+    // duplicate-span coverage: per doc, maximal spans whose every
+    // 8-token window appears in ≥2 docs — sub-document dedup signal.
+    "x38_dup_spans" -> ((s, dir) =>
+      graft.ext.DedupOps.duplicateSpans(
+        T(s, dir, "documents"), "doc_id", "text", w = 8, minDocs = 2)),
+
     // symmetric int8 embedding quantization: the 4× storage cut for an
     // ANN corpus, with an exact-IEEE determinism contract (floor-based
     // half-up rounding, no float accumulation) so the oracle hash-matches.
@@ -1797,6 +1803,43 @@ object SparkEntry {
         s"""WITH RECURSIVE $pairClosure
             SELECT d.doc_id, coalesce(l.lcluster, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN lbl l ON d.doc_id = l.lid""",
+
+      // windows compared by literal text here vs 64-bit hashes in the
+      // engine — the 2^-64 collision trade is the engine's scale design,
+      // and the oracle checks it never fires on the test corpus
+      "x38_dup_spans" ->
+        """WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\s+') AS toks
+                      FROM documents),
+           tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS total_tokens
+                   FROM t),
+           w AS (SELECT doc_id,
+                   unnest([{'p': i,
+                            'g': array_to_string(toks[i+1:i+8], ' ')}
+                           for i in range(len(toks)-7)],
+                          recursive := true)
+                 FROM t),
+           sh AS (SELECT g FROM w
+                  GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+           mk AS (SELECT w.doc_id, w.p FROM w JOIN sh USING (g)),
+           isl AS (SELECT doc_id, p,
+                     CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                                ORDER BY p) <= 8
+                          THEN 0 ELSE 1 END AS st
+                   FROM mk),
+           gi AS (SELECT doc_id, p,
+                    sum(st) OVER (PARTITION BY doc_id ORDER BY p) AS island
+                  FROM isl),
+           sp AS (SELECT doc_id, island, min(p) AS s, max(p) + 8 AS e
+                  FROM gi GROUP BY 1, 2),
+           agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+                          CAST(sum(e - s) AS BIGINT) AS dup_tokens
+                   FROM sp GROUP BY 1)
+           SELECT tot.doc_id, coalesce(dup_spans, 0) AS dup_spans,
+                  coalesce(dup_tokens, 0) AS dup_tokens, total_tokens,
+                  round(coalesce(dup_tokens, 0) * 1.0 / total_tokens, 6)
+                    AS dup_fraction
+           FROM tot LEFT JOIN agg USING (doc_id)""",
 
       "x33_quantize_embeddings" ->
         """WITH v AS (SELECT vec_id,

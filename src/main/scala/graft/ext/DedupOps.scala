@@ -578,4 +578,71 @@ object DedupOps {
       .select(col("id"),
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
+
+  // ----------------------------------------------------- span-level dedup
+
+  /** Duplicate-span detection: per document, the maximal token spans
+    * whose every w-token window also appears in at least `minDocs - 1`
+    * other documents — the span-granular analogue of exact-substring
+    * training-data dedup (cf. Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22; reference has no sub-document
+    * dedup at all). Where [[exactDedup]] drops whole duplicate documents
+    * and [[ngramJaccardPairs]] pairs near-identical ones, this measures
+    * HOW MUCH of each document is copied text — the quality signal for
+    * filtering boilerplate-heavy or partially-plagiarized docs.
+    *
+    * Output, one row per input doc: (`doc_id`, `dup_spans` = count of
+    * maximal duplicated spans, `dup_tokens` = tokens covered by those
+    * spans, `total_tokens`, `dup_fraction` = round(dup/total, 6)).
+    * Adjacent/overlapping duplicated windows merge: windows at start
+    * positions p and p' (p < p') overlap iff p' - p ≤ w, so a doc whose
+    * whole body is copied yields ONE span, not tokens-w+1 of them.
+    *
+    * 100 TB design:
+    *  - The only wide exchanges carry (window-hash, doc_id, pos) tuples —
+    *    8-byte [[graft.functions.TextHashExprs.ShingleWindowHashes]]
+    *    hashes, never window text (2⁻⁶⁴ per-pair collision trade, same as
+    *    every sketch op here; a collision can only over-mark one window).
+    *  - Shared-window detection is a two-phase count-distinct per hash;
+    *    marking is a LEFT SEMI join (no fan-out on boilerplate windows
+    *    shared by millions of docs — the x02 failure mode can't occur).
+    *  - Span merging is a per-doc window function partitioned by doc_id:
+    *    parallelism = docs, state = one lag value.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(w >= 1, s"window width must be >= 1 (got $w)")
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    graft.functions.TextHashExprs.register(df.sparkSession)
+    val wins = df.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextHashExprs
+          .shingleWindowHashes(col(textCol), w)))
+      .toDF("doc_id", "pos", "h")
+    val shared = wins.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs).select("h")
+    val marked = wins.join(shared, Seq("h"), "left_semi")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spans = marked
+      .withColumn("st",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= w, 0).otherwise(1))
+      .withColumn("island", sum("st").over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), (max("pos") + lit(w)).as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("e") - col("s")).cast(LongType).as("dup_tokens"))
+    val totals = df.select(col(idCol).as("doc_id"),
+      graft.ext.TextAnalysis.tokenCount(col(textCol)).as("total_tokens"))
+    totals.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("total_tokens"),
+        round(coalesce(try_divide(
+          coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType),
+          col("total_tokens").cast(DoubleType)), lit(0.0)), 6)
+          .as("dup_fraction"))
+  }
 }

@@ -116,6 +116,38 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** `shingle_window_hashes(text, n)` → array<long>: hash of EVERY word
+    * n-gram window in positional order (index = start-token offset), NOT
+    * deduplicated — the positional twin of [[ShingleHashes]] for span-
+    * level operators that need to know WHERE a window sits in the doc
+    * (duplicate-span detection, coverage stats). Same FNV-1a+splitmix64
+    * construction, so window hashes are comparable with nothing shuffled
+    * but 8-byte longs. */
+  case class ShingleWindowHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      val m = toks.length - n + 1
+      if (m <= 0) return new GenericArrayData(Array.empty[Long])
+      val tokHashes = new Array[Long](toks.length)
+      var i = 0
+      while (i < toks.length) { tokHashes(i) = hashToken(toks(i)); i += 1 }
+      val out = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        var h = 0x9e3779b97f4a7c15L
+        var j = 0
+        while (j < n) { h = mix(h * 0x100000001b3L ^ tokHashes(i + j)); j += 1 }
+        out(i) = h
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** `minhash_sig(hashes, k)` → array<long>: k permutation-minima
     * ((a_i·h + b_i) mod 2^61-1) over a shingle-hash array. */
   case class MinHashSig(child: Expression, k: Int)
@@ -193,6 +225,9 @@ object TextHashExprs {
     reg.createOrReplaceTempFunction("graft_shingle_strings",
       es => ShingleStrings(es.head,
         es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_window_hashes",
+      es => ShingleWindowHashes(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
   def shingleHashes(c: Column, n: Int): Column =
@@ -205,4 +240,7 @@ object TextHashExprs {
     call_function("graft_minhash_sig", c,
       org.apache.spark.sql.functions.lit(k))
   def simhash64(c: Column): Column = call_function("graft_simhash64", c)
+  def shingleWindowHashes(c: Column, n: Int): Column =
+    call_function("graft_shingle_window_hashes", c,
+      org.apache.spark.sql.functions.lit(n))
 }

@@ -310,6 +310,35 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 44)
   }
 
+  test("duplicateSpans: overlapping shared windows merge into maximal " +
+      "spans; unique docs report zero coverage") {
+    // doc 1 and 2 share tokens a1..a6 (w=4 → shared windows at doc-1
+    // positions 0..2, merging into ONE span covering 6 tokens); doc 3
+    // is disjoint text
+    val d1 = "a1 a2 a3 a4 a5 a6 u1 u2 u3 u4"   // 10 tokens
+    val d2 = "z1 z2 a1 a2 a3 a4 a5 a6"          //  8 tokens
+    val d3 = "b1 b2 b3 b4 b5 b6 b7 b8"          //  8 tokens
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val got = DedupOps.duplicateSpans(docs, "doc_id", "text", w = 4)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((1L, 6L, 10L, 0.6)))
+    assert(got(2L) == ((1L, 6L, 8L, 0.75)))
+    assert(got(3L) == ((0L, 0L, 8L, 0.0)))
+  }
+
+  test("duplicateSpans: disjoint shared regions stay separate spans") {
+    // docs share windows at positions 0 and 6 of doc 1 (gap 6 > w=4)
+    val d1 = "c1 c2 c3 c4 x1 x2 d1 d2 d3 d4"
+    val d2 = "c1 c2 c3 c4 y1 y2 d1 d2 d3 d4"
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val got = DedupOps.duplicateSpans(docs, "doc_id", "text", w = 4)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((2L, 8L)))
+    assert(got(2L) == ((2L, 8L)))
+  }
+
   test("dedupClustersStar: empty pair set yields empty labels") {
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(DedupOps.dedupClustersStar(pairs, "a", "b").count() == 0L)
