@@ -933,6 +933,31 @@ object SparkEntry {
     //       (beyond-horizon duplicate), second dropped (within-horizon)
     // Result = every key twice + both sentinels once, arrival-order
     // independent → exactly SQL-expressible (DISTINCT × 2 ∪ sentinels).
+    // stream-stream interval join: view→click attribution within 2h,
+    // run as a real watermarked stream; inner-join output set is
+    // arrival-order independent → oracle = the same join in batch SQL
+    // (compared at microsecond precision, matching the engine's ts).
+    "x39_stream_interval_join" -> { (s, dir) =>
+      val base = scratchDir("streamjoin")
+      val views = graft.streaming.EventStream
+        .readEvents(s, dir + "/events*.parquet")
+      val clicks = graft.streaming.EventStream
+        .readEvents(s, dir + "/events*.parquet")
+      val joined = graft.streaming.StreamJoin.intervalJoin(
+        views, clicks, "view", "click",
+        horizon = "2 hours", lateness = "3 hours")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.StreamDedup
+          .appendWriter(joined, base + "/pairs")
+          .option("checkpointLocation", base + "/ckpt").start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(base + "/pairs")
+        .select("left_id", "right_id", "user_id", "lag_us")
+    },
+
     "x25_stream_horizon_dedup" -> { (s, dir) =>
       val base = scratchDir("streamhorizon")
       val keys = T(s, dir, "events").select("user_id", "event_type")
@@ -1931,6 +1956,16 @@ object SparkEntry {
 
       "x22_stream_dedup" ->
         """SELECT DISTINCT user_id, event_type FROM events""",
+
+      "x39_stream_interval_join" ->
+        """SELECT v.event_id AS left_id, c.event_id AS right_id,
+                  v.user_id,
+                  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+           FROM events v JOIN events c
+             ON v.user_id = c.user_id
+            AND v.event_type = 'view' AND c.event_type = 'click'
+            AND epoch_us(c.ts) >= epoch_us(v.ts)
+            AND epoch_us(c.ts) <= epoch_us(v.ts) + 7200000000""",
 
       "x25_stream_horizon_dedup" ->
         """SELECT d.user_id, d.event_type

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class StreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming intervalJoin == batch interval join on the same events") {
+    val base = Files.createTempDirectory("graft_sjoin").toString
+    val views = EventStream.readEvents(spark, Sf0001 + "/events*.parquet")
+    val clicks = EventStream.readEvents(spark, Sf0001 + "/events*.parquet")
+    val q = StreamDedup
+      .appendWriter(StreamJoin.intervalJoin(
+        views, clicks, "view", "click", "2 hours", "3 hours"),
+        s"$base/pairs")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$base/pairs")
+      .select("left_id", "right_id", "user_id", "lag_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    val ev = Tables.load(spark, Sf0001, "events")
+    val v = ev.filter($"event_type" === "view")
+      .select($"event_id".as("left_id"), $"user_id", $"ts".as("l_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("right_id"), $"user_id".as("r_user"),
+        $"ts".as("r_ts"))
+    val batch = v.join(c,
+        $"user_id" === $"r_user" && $"r_ts" >= $"l_ts" &&
+          $"r_ts" <= $"l_ts" + org.apache.spark.sql.functions
+            .expr("INTERVAL 2 hours"))
+      .select($"left_id", $"right_id", $"user_id",
+        (org.apache.spark.sql.functions.unix_micros($"r_ts") -
+          org.apache.spark.sql.functions.unix_micros($"l_ts"))
+          .as("lag_us"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    assert(streamed.nonEmpty, "fixture must produce at least one pair")
+    assert(streamed.toSet == batch)
+    // inner join emits each qualifying pair exactly once
+    assert(streamed.length == streamed.toSet.size)
+    // every lag is inside the horizon
+    assert(streamed.forall(p => p._4 >= 0L && p._4 <= 7200000000L))
+  }
+}
