@@ -833,6 +833,13 @@ object SparkEntry {
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     },
 
+    // per-doc distinctive keywords: rational tf-idf (tf·N/df — exact
+    // integer product + one IEEE division, bit-stable across engines),
+    // top-5 per doc with total score/term ordering.
+    "x40_tfidf_terms" -> ((s, dir) =>
+      graft.ext.TextAnalysis.tfidfTopTerms(
+        T(s, dir, "documents"), "doc_id", "text", k = 5)),
+
     // duplicate-span coverage: per doc, maximal spans whose every
     // 8-token window appears in ≥2 docs — sub-document dedup signal.
     "x38_dup_spans" -> ((s, dir) =>
@@ -1828,6 +1835,28 @@ object SparkEntry {
         s"""WITH RECURSIVE $pairClosure
             SELECT d.doc_id, coalesce(l.lcluster, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN lbl l ON d.doc_id = l.lid""",
+
+      "x40_tfidf_terms" ->
+        """WITH nn AS (SELECT count(*) AS n FROM documents),
+           t AS (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS term
+                 FROM documents),
+           ft AS (SELECT doc_id, term FROM t WHERE len(term) >= 1),
+           tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                  FROM ft GROUP BY 1, 2),
+           dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t
+                   FROM tf GROUP BY 1),
+           sc AS (SELECT doc_id, tf.term, tf, df_t,
+                    round(CAST(tf * (SELECT n FROM nn) AS DOUBLE) / df_t, 6)
+                      AS score
+                  FROM tf JOIN dft ON tf.term = dft.term),
+           rk AS (SELECT *,
+                    CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+                  FROM sc)
+           SELECT doc_id, term, tf, df_t, score, rank
+           FROM rk WHERE rank <= 5""",
 
       // windows compared by literal text here vs 64-bit hashes in the
       // engine — the 2^-64 collision trade is the engine's scale design,

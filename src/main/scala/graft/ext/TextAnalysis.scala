@@ -186,4 +186,43 @@ object TextAnalysis {
       lit(0L),
       (acc, x) => (acc * lit(31L) + x) % p)
   }
+
+  /** Per-document top-k distinctive terms by rational tf-idf:
+    * `score = tf · N / df_t` (term frequency × corpus size / document
+    * frequency) — the linear-idf variant chosen deliberately over
+    * `tf · ln(N/df)`: the score is ONE integer product (< 2⁵³, exact)
+    * and ONE IEEE division, both correctly rounded identically in every
+    * engine, so ranking and the rounded score are bit-stable across
+    * engines — a log idf diverges in the last ulp between libm
+    * implementations and can flip near-tied ranks (see SCALE.md's exact-
+    * IEEE tier). Ranking order is total and engine-independent:
+    * score DESC, then term ASC (terms are unique per doc).
+    *
+    * Scale shape: explode → two hash aggregations (tf by (doc, term),
+    * df by term) → shuffle join on term → per-doc top-k window. The join
+    * carries (term, counts) tuples only; `N` is one scalar count action.
+    * Terms are lowercased whitespace tokens; empty tokens drop. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val n = df.count()
+    val terms = df.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) >= 1)
+    val tf = terms.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, term): counting them per term IS df
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val scored = tf.join(dft, Seq("term"))
+      .withColumn("score",
+        round((col("tf") * lit(n)).cast(DoubleType) /
+          col("df_t").cast(DoubleType), 6))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df_t"),
+        col("score"), col("rank").cast(LongType).as("rank"))
+  }
 }

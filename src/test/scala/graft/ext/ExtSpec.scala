@@ -310,6 +310,24 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 44)
   }
 
+  test("tfidfTopTerms: rare terms outrank common ones; rank capped at k") {
+    // "rare" appears once, only in doc 1 → score 1·3/1 = 3.0;
+    // "shared" is in all 3 docs → df=3, score tf·3/3 = tf
+    val docs = Seq(
+      (1L, "shared rare shared"),
+      (2L, "shared other other"),
+      (3L, "shared")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._6) -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got((1L, 1L)) == (("rare", 1L, 1L, 3.0)))
+    assert(got((1L, 2L)) == (("shared", 2L, 3L, 2.0)))
+    assert(got((2L, 1L)) == (("other", 2L, 1L, 6.0)))
+    assert(got((2L, 2L)) == (("shared", 1L, 3L, 1.0)))
+    assert(got((3L, 1L)) == (("shared", 1L, 3L, 1.0)))
+    assert(got.size == 5) // doc 3 has a single term — rank stops there
+  }
+
   test("duplicateSpans: overlapping shared windows merge into maximal " +
       "spans; unique docs report zero coverage") {
     // doc 1 and 2 share tokens a1..a6 (w=4 → shared windows at doc-1
