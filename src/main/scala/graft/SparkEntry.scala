@@ -833,6 +833,13 @@ object SparkEntry {
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     },
 
+    // token-budget data mixing: fill per-language token budgets in
+    // hash-addressed admission order; es has no budget → dropped.
+    "x41_token_budget_mix" -> ((s, dir) =>
+      graft.ext.Corpus.tokenBudgetMix(
+        T(s, dir, "documents"), "lang", "doc_id", "text",
+        Map("en" -> 6000L, "de" -> 2000L, "fr" -> 1500L, "zh" -> 1000L))),
+
     // per-doc distinctive keywords: rational tf-idf (tf·N/df — exact
     // integer product + one IEEE division, bit-stable across engines),
     // top-5 per doc with total score/term ordering.
@@ -1835,6 +1842,25 @@ object SparkEntry {
         s"""WITH RECURSIVE $pairClosure
             SELECT d.doc_id, coalesce(l.lcluster, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN lbl l ON d.doc_id = l.lid""",
+
+      "x41_token_budget_mix" ->
+        """WITH d AS (SELECT doc_id, lang,
+                        CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                          AS BIGINT) AS n_tokens,
+                        md5(CAST(doc_id AS VARCHAR)) AS addr
+                      FROM documents),
+           c AS (SELECT doc_id, lang, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY lang
+                     ORDER BY addr, doc_id) AS cum_tokens
+                 FROM d)
+           SELECT doc_id, lang, n_tokens,
+                  CAST(cum_tokens AS BIGINT) AS cum_tokens
+           FROM c
+           WHERE cum_tokens <= CASE lang WHEN 'en' THEN 6000
+                                         WHEN 'de' THEN 2000
+                                         WHEN 'fr' THEN 1500
+                                         WHEN 'zh' THEN 1000
+                                         ELSE 0 END""",
 
       "x40_tfidf_terms" ->
         """WITH nn AS (SELECT count(*) AS n FROM documents),

@@ -209,4 +209,45 @@ object Corpus {
       .groupBy("bucket")
       .agg(sum("n").cast(LongType).as("n_docs"),
         sum(col("n_tokens") * col("n")).cast(LongType).as("total_tokens"))
+
+  /** Token-budget corpus mixing — the "data mixing" op of a training
+    * pipeline: fill a per-group token budget (e.g. tokens per language)
+    * by admitting documents in a deterministic hash-addressed order
+    * until the group's running total would exceed its budget. Groups
+    * with no declared budget are dropped (budget 0).
+    *
+    * Determinism contract (same tier as [[deterministicSample]] /
+    * [[stratifiedSample]]): admission order is (md5(id), id) — content-
+    * addressed, so the SELECTION is stable across runs, partitionings,
+    * and engines, and REBALANCING is incremental: raising one group's
+    * budget only ADDS that group's next docs in hash order, it never
+    * reshuffles what was already admitted (unlike fraction-based
+    * sampling, where changing the rate moves the whole cut line).
+    *
+    * Admission is whole-document: a doc is kept iff the running total
+    * INCLUDING it fits the budget (`cum ≤ budget`); no document is
+    * split. Note this is first-fit in hash order, not bin packing — one
+    * oversized doc at the line can leave budget unused (bounded by that
+    * doc's length); callers who need exact fills chunk first (x23).
+    *
+    * Scale shape: one narrow projection (token count + md5 address),
+    * one running-sum window partitioned by group — parallelism = groups,
+    * which is the op's semantic unit; no join, no driver state. */
+  def tokenBudgetMix(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "at least one group budget required")
+    budgets.foreach { case (g, b) =>
+      require(b >= 0L, s"budget for '$g' must be >= 0 (got $b)") }
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (g, b)) =>
+      when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    val byGroup = Window.partitionBy(groupCol)
+      .orderBy(col("addr").asc, col(idCol).asc)
+    df.select(col(idCol), col(groupCol),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+        md5(col(idCol).cast(StringType).cast(BinaryType)).as("addr"))
+      .withColumn("cum_tokens", sum("n_tokens").over(byGroup))
+      .filter(col("cum_tokens") <= budget)
+      .drop("addr")
+  }
 }

@@ -148,6 +148,39 @@ class CorpusSpec extends SparkSpec {
     assert(exact == 10L)
   }
 
+  test("tokenBudgetMix: fills budgets in hash order; undeclared groups " +
+      "drop; raising a budget only adds rows") {
+    // per-doc token counts are all 4; budget 9 admits the first 2 docs
+    // of the group in (md5(id), id) order
+    val docs = (1L to 10L).map(i =>
+      (i, if (i <= 6) "g1" else "g2", "t t t t")).toDF("doc_id", "lang", "text")
+    def run(b: Map[String, Long]): Set[Long] =
+      Corpus.tokenBudgetMix(docs, "lang", "doc_id", "text", b)
+        .select("doc_id").as[Long].collect().toSet
+    val small = run(Map("g1" -> 9L))
+    assert(small.size == 2 && small.subsetOf((1L to 6L).toSet),
+      "budget 9 admits exactly two 4-token g1 docs; g2 undeclared drops")
+    // admission order matches md5-hex ordering of the ids
+    val expectOrder = (1L to 6L).sortBy(i => (md5Hex(i.toString), i))
+    assert(small == expectOrder.take(2).toSet)
+    // monotone rebalancing: a larger budget strictly extends the set
+    val bigger = run(Map("g1" -> 13L, "g2" -> 4L))
+    assert(small.subsetOf(bigger))
+    assert(bigger.count(_ <= 6L) == 3 && bigger.count(_ > 6L) == 1)
+    // cum_tokens is the running total in admission order
+    val cums = Corpus.tokenBudgetMix(docs, "lang", "doc_id", "text",
+        Map("g1" -> 13L)).select("doc_id", "cum_tokens")
+      .as[(Long, Long)].collect().toMap
+    assert(expectOrder.take(3).zip(Seq(4L, 8L, 12L))
+      .forall { case (id, c) => cums(id) == c })
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
   test("decontaminate finds only true n-gram overlaps") {
     val train = Seq(
       (1L, "one two three four five six"),   // shares 5-gram with eval
