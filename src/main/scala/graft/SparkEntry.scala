@@ -552,6 +552,12 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     },
 
+    // ordered funnel: earliest view → click-after-view → purchase-after-
+    // click per user, deepest stage reached; exact-µs time compares.
+    "q32_event_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.ordered(T(s, dir, "events"),
+        Seq("view", "click", "purchase"))),
+
     // SCD Type-2 history build: collapse per-user event_type runs into
     // validity intervals [valid_from, valid_to) with an is_current flag —
     // the standard dimension-history op the reference's daily UPSERT
@@ -1140,6 +1146,31 @@ object SparkEntry {
                 count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+
+    // all time math in exact integer microseconds (epoch_us) so stage
+    // filters and minima match the engine's µs timestamps bit-for-bit
+    "q32_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                    FROM events),
+         u AS (SELECT DISTINCT user_id FROM e),
+         s1 AS (SELECT user_id, min(ts_us) AS t1_us FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts_us) AS t2_us
+                FROM e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts_us >= s1.t1_us
+                GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts_us) AS t3_us
+                FROM e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts_us >= s2.t2_us
+                GROUP BY 1)
+         SELECT u.user_id, t1_us, t2_us, t3_us,
+                CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+                          WHEN t2_us IS NOT NULL THEN 2
+                          WHEN t1_us IS NOT NULL THEN 1
+                          ELSE 0 END AS BIGINT) AS stage
+         FROM u LEFT JOIN s1 USING (user_id)
+                LEFT JOIN s2 USING (user_id)
+                LEFT JOIN s3 USING (user_id)""",
 
     "q02_region_revenue" ->
       """SELECT r_name, n_name,

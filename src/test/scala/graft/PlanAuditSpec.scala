@@ -8,13 +8,15 @@ import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
   * (JoinsSpec broadcast rewrite, CorpusSpec window sharding) with a
   * blanket check that runs on each suite run, not each judge round.
   *
-  * SCOPE caveat for the streaming queries (q20, x22, x25): their query
-  * function RUNS the stream and returns a read of the sink, so the plan
-  * audited here is the final parquet scan — the micro-batch plan itself
-  * is not swept. That plan is asserted where it is built instead:
-  * StreamDedupSpec pins the dedup admission behavior and EventStreamSpec
-  * the windowed agg; both are single-input stateful pipelines with no
-  * join surface for a cartesian/NLJ to hide in.
+  * SCOPE caveat for the streaming queries (q20, x22, x25, x39): their
+  * query function RUNS the stream and returns a read of the sink, so the
+  * plan audited here is the final parquet scan — the micro-batch plan
+  * itself is not swept. That plan is asserted where it is built instead:
+  * StreamDedupSpec pins the dedup admission behavior, EventStreamSpec
+  * the windowed agg, and StreamJoinSpec pins x39's interval join (the
+  * one streaming plan WITH a join surface) to exact batch-join
+  * equivalence — an accidental cartesian there would surface as extra
+  * pairs in that equality.
   */
 class PlanAuditSpec extends SparkSpec {
 
