@@ -978,6 +978,65 @@ object SparkEntry {
         .select("left_id", "right_id", "user_id", "lag_us")
     },
 
+    // LEFT-OUTER stream-stream interval join: unmatched views emit with
+    // null click once the watermark passes their deadline. Bounded replay
+    // needs the watermark pushed past every real deadline, so two
+    // sentinel batches (filtered back out by user_id < 0) are staged
+    // after the data; batch sequencing rides on file mtimes like x25.
+    "x42_stream_outer_join" -> { (s, dir) =>
+      val base = scratchDir("streamouter")
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+      val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      // deadline of the latest view = max_ts + 2h; watermark after the
+      // sentinel batch = s_ts - 3h, so s1 > max_ts + 5h flushes all
+      def sentinel(tag: Long, usOffset: Long): DataFrame =
+        s.range(2).select(
+          (lit(-100L) - col("id") - lit(tag * 10L)).as("event_id"),
+          lit(-1L).as("user_id"),
+          when(col("id") === 0L, "view").otherwise("click")
+            .as("event_type"),
+          timestamp_micros(lit(maxTs + usOffset)).as("ts"))
+      def writeBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val dest = java.nio.file.Paths.get(s"$base/in", s"$name.parquet")
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(part.toPath, dest)
+        require(dest.toFile.setLastModified(mtime),
+          s"cannot set mtime on $dest — x42 batch sequencing needs it")
+      }
+      val now = System.currentTimeMillis()
+      val hourUs = 3600L * 1000000L
+      writeBatch(ev, "b1", now - 180000L)
+      writeBatch(sentinel(1L, 6L * hourUs), "b2", now - 120000L)
+      writeBatch(sentinel(2L, 7L * hourUs), "b3", now - 60000L)
+      def src() = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+          "ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/in")
+      val joined = graft.streaming.StreamJoin.intervalJoin(
+        src(), src(), "view", "click",
+        horizon = "2 hours", lateness = "3 hours",
+        joinType = "leftOuter")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.StreamDedup
+          .appendWriter(joined, base + "/pairs")
+          .option("checkpointLocation", base + "/ckpt").start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(base + "/pairs")
+        .filter(col("user_id") >= 0L)
+        .select("left_id", "right_id", "user_id", "lag_us")
+    },
+
     "x25_stream_horizon_dedup" -> { (s, dir) =>
       val base = scratchDir("streamhorizon")
       val keys = T(s, dir, "events").select("user_id", "event_type")
@@ -2052,6 +2111,17 @@ object SparkEntry {
             AND v.event_type = 'view' AND c.event_type = 'click'
             AND epoch_us(c.ts) >= epoch_us(v.ts)
             AND epoch_us(c.ts) <= epoch_us(v.ts) + 7200000000""",
+
+      "x42_stream_outer_join" ->
+        """SELECT v.event_id AS left_id, c.event_id AS right_id,
+                  v.user_id,
+                  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+           FROM events v LEFT JOIN events c
+             ON v.user_id = c.user_id
+            AND c.event_type = 'click'
+            AND epoch_us(c.ts) >= epoch_us(v.ts)
+            AND epoch_us(c.ts) <= epoch_us(v.ts) + 7200000000
+           WHERE v.event_type = 'view'""",
 
       "x25_stream_horizon_dedup" ->
         """SELECT d.user_id, d.event_type

@@ -42,11 +42,24 @@ object StreamJoin {
     * `event_type`); pass two INDEPENDENT stream readers over the same
     * source, not two filters of one DataFrame, so the two scans progress
     * as separate sources. Output: (`left_id`, `right_id`, `user_id`,
-    * `lag_us`). */
+    * `lag_us`).
+    *
+    * `joinType = "leftOuter"` additionally emits each UNMATCHED left
+    * event with null `right_id`/`lag_us` — but only once the watermark
+    * passes that event's deadline (`l.ts + horizon`), because until then
+    * a match could still arrive. Consequence for finite runs: left rows
+    * whose deadline the final watermark never passes are simply not
+    * emitted, so a bounded replay must append watermark-advancing
+    * sentinel batches to flush the tail (the x42 gate stages exactly
+    * that; an unbounded production stream advances past every deadline
+    * on its own). */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftType: String, rightType: String,
       horizon: String = "2 hours",
-      lateness: String = "3 hours"): DataFrame = {
+      lateness: String = "3 hours",
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "leftOuter")(joinType),
+      s"joinType must be inner or leftOuter (got '$joinType')")
     val l = left.filter(col("event_type") === leftType)
       .select(col("event_id").as("left_id"), col("user_id"),
         col("ts").as("l_ts"))
@@ -58,7 +71,8 @@ object StreamJoin {
     l.join(r,
         col("user_id") === col("r_user") &&
           col("r_ts") >= col("l_ts") &&
-          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col("left_id"), col("right_id"), col("user_id"),
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
           .as("lag_us"))

@@ -45,4 +45,33 @@ class StreamJoinSpec extends SparkSpec {
     // every lag is inside the horizon
     assert(streamed.forall(p => p._4 >= 0L && p._4 <= 7200000000L))
   }
+
+  test("leftOuter without watermark-advancing data holds back unmatched " +
+      "rows (nulls only emit once the deadline is provably past)") {
+    val base = Files.createTempDirectory("graft_sjoin_o").toString
+    val t0 = 1717200000L
+    // one matched pair, one unmatched view; no later data ever arrives
+    Seq((1L, 10L, "view", t0), (2L, 10L, "click", t0 + 60L),
+        (3L, 20L, "view", t0))
+      .toDF("event_id", "user_id", "event_type", "sec")
+      .select($"event_id", $"user_id", $"event_type",
+        org.apache.spark.sql.functions.timestamp_seconds($"sec").as("ts"))
+      .coalesce(1).write.parquet(s"$base/in")
+    def src() = spark.readStream
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+        "ts TIMESTAMP")
+      .parquet(s"$base/in")
+    val q = StreamDedup.appendWriter(
+        StreamJoin.intervalJoin(src(), src(), "view", "click",
+          "2 hours", "3 hours", joinType = "leftOuter"),
+        s"$base/pairs")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$base/pairs")
+      .select("left_id", "right_id", "user_id")
+      .as[(Long, Option[Long], Long)].collect().toSet
+    // the match emits; the unmatched view's deadline was never passed by
+    // a watermark, so its null row is (correctly) withheld
+    assert(got == Set((1L, Some(2L), 10L)))
+  }
 }
