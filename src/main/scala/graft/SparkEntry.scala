@@ -552,6 +552,22 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     },
 
+    // incremental aggregate maintenance: state(history) merged with
+    // state(delta) must equal a direct full aggregation — the oracle IS
+    // the direct form, so the gate proves the merge is lossless.
+    "q33_incremental_agg" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val cut = lit("2024-01-20 00:00:00").cast(TimestampType)
+      val hist = graft.ops.IncrementalAgg.state(
+        ev.filter(col("ts") < cut), Seq("user_id", "event_type"), "value")
+      val delta = graft.ops.IncrementalAgg.state(
+        ev.filter(col("ts") >= cut), Seq("user_id", "event_type"), "value")
+      graft.ops.IncrementalAgg.present(
+        graft.ops.IncrementalAgg.merge(hist, delta,
+          Seq("user_id", "event_type")),
+        Seq("user_id", "event_type"))
+    },
+
     // ordered funnel: earliest view → click-after-view → purchase-after-
     // click per user, deepest stage reached; exact-µs time compares.
     "q32_event_funnel" -> ((s, dir) =>
@@ -1205,6 +1221,16 @@ object SparkEntry {
                 count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+
+    // the direct full aggregation — deliberately NOT split/merged: a
+    // lossy merge in the engine could not hash-match this
+    "q33_incremental_agg" ->
+      """SELECT user_id, event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                  AS sum_value,
+                min(value) AS mn, max(value) AS mx
+         FROM events GROUP BY 1, 2""",
 
     // all time math in exact integer microseconds (epoch_us) so stage
     // filters and minima match the engine's µs timestamps bit-for-bit

@@ -217,6 +217,36 @@ object EngineProps extends Properties("graft") {
       }
     }
 
+  private val genFacts: Gen[List[(Long, Double, Boolean)]] =
+    Gen.listOfN(30, for {
+      k <- Gen.choose(0L, 4L)
+      v <- Gen.choose(-1000.0, 1000.0)
+      side <- Gen.oneOf(true, false)
+    } yield (k, v, side))
+
+  property("IncrementalAgg: merge(state(A), state(B)) == state(A ∪ B)") =
+    forAll(genFacts) { facts =>
+      facts.isEmpty || {
+        import spark.implicits._
+        val all = facts.map { case (k, v, _) => (k, v) }
+          .toDF("k", "value")
+        val a = facts.filter(_._3).map { case (k, v, _) => (k, v) }
+          .toDF("k", "value")
+        val b = facts.filterNot(_._3).map { case (k, v, _) => (k, v) }
+          .toDF("k", "value")
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          graft.ops.IncrementalAgg.present(df, Seq("k"))
+            .as[(Long, Long, Double, Double, Double)].collect().toSet
+        val direct = canon(graft.ops.IncrementalAgg
+          .state(all, Seq("k"), "value"))
+        val merged = canon(graft.ops.IncrementalAgg.merge(
+          graft.ops.IncrementalAgg.state(a, Seq("k"), "value"),
+          graft.ops.IncrementalAgg.state(b, Seq("k"), "value"),
+          Seq("k")))
+        merged == direct
+      }
+    }
+
   private val genSchema: Gen[List[String]] =
     Gen.someOf(Contracts.AdsDimension.fieldNames.toSeq ++ Seq("junk1", "junk2"))
       .map(_.toList.distinct)
