@@ -552,6 +552,21 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     },
 
+    // CDC snapshot diff: synthetic old/new customer snapshots (modular
+    // membership + a deterministic balance bump) → insert/delete/update
+    // change set; unchanged rows must NOT appear.
+    "q34_snapshot_diff" -> { (s, dir) =>
+      val cust = T(s, dir, "customer")
+      val oldSnap = cust.filter(col("c_custkey") % 5 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val newSnap = cust.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + lit(1.0))
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+      graft.ops.Cdc.snapshotDiff(oldSnap, newSnap,
+        Seq("c_custkey"), Seq("c_acctbal"))
+    },
+
     // incremental aggregate maintenance: state(history) merged with
     // state(delta) must equal a direct full aggregation — the oracle IS
     // the direct form, so the gate proves the merge is lossless.
@@ -1221,6 +1236,21 @@ object SparkEntry {
                 count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+
+    "q34_snapshot_diff" ->
+      """WITH o AS (SELECT c_custkey, c_acctbal FROM customer
+                    WHERE c_custkey % 5 != 0),
+         n AS (SELECT c_custkey,
+                 CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.0
+                      ELSE c_acctbal END AS c_acctbal
+               FROM customer WHERE c_custkey % 7 != 0)
+         SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+                CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                     WHEN n.c_custkey IS NULL THEN 'delete'
+                     ELSE 'update' END AS change_type
+         FROM o FULL JOIN n ON o.c_custkey = n.c_custkey
+         WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+            OR o.c_acctbal IS DISTINCT FROM n.c_acctbal""",
 
     // the direct full aggregation — deliberately NOT split/merged: a
     // lossy merge in the engine could not hash-match this

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture between two table snapshots: classify every key as
+  * `insert` (new only), `delete` (old only), or `update` (present in both
+  * with at least one compared column differing) — the diff that feeds a
+  * downstream UPSERT/merge ([[graft.sinks.Upsert]]) or an audit trail.
+  * The reference's nightly full-refresh UPSERT implicitly recomputes this
+  * diff row-by-row on the database server (ON CONFLICT DO UPDATE); this
+  * is the engine-side form that also yields the delete set, which ON
+  * CONFLICT alone can never detect.
+  *
+  * Semantics: comparison is null-safe per column (`<=>` — a NULL→value
+  * transition IS an update); unchanged rows are dropped from the output,
+  * so the result is exactly the change set.
+  *
+  * Scale shape: one full-outer shuffle join on the key columns carrying
+  * only keys + compared columns (project before calling for wide
+  * tables). For snapshots that are 99% unchanged the output is small
+  * even though the join is big — at 100 TB pair this with partition
+  * pruning (diff only partitions whose files changed) upstream.
+  */
+object Cdc {
+
+  /** Diff `newDf` against `oldDf` on `keys`, comparing `compare` columns.
+    * Output: key columns + `change_type` ∈ {insert, delete, update};
+    * unchanged keys are omitted. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String], compare: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
+    val o = oldDf.select((keys ++ compare).map(col): _*)
+      .withColumn("_o", lit(1))
+    val n = newDf.select((keys ++ compare).map(c =>
+        col(c).as(if (keys.contains(c)) c else s"_n_$c")): _*)
+      .withColumn("_n", lit(1))
+    val changed = compare
+      .map(c => !(col(c) <=> col(s"_n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_o").isNull, "insert")
+          .when(col("_n").isNull, "delete")
+          .when(changed, "update"))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
+}
