@@ -870,6 +870,12 @@ object SparkEntry {
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     },
 
+    // exact Hamming-≤1 string pair join via position-masked hash
+    // blocking (deletion-neighborhood); verify is the true byte distance.
+    "x43_hamming_pairs" -> ((s, dir) =>
+      graft.ext.DedupOps.hammingPairs(
+        T(s, dir, "customer"), "c_custkey", "c_name")),
+
     // token-budget data mixing: fill per-language token budgets in
     // hash-addressed admission order; es has no budget → dropped.
     "x41_token_budget_mix" -> ((s, dir) =>
@@ -1988,6 +1994,16 @@ object SparkEntry {
         s"""WITH RECURSIVE $pairClosure
             SELECT d.doc_id, coalesce(l.lcluster, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN lbl l ON d.doc_id = l.lid""",
+
+      // brute-force n² here (fine at oracle scale); the engine must get
+      // the same set from its position-masked blocking
+      "x43_hamming_pairs" ->
+        """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                  CAST(hamming(a.c_name, b.c_name) AS BIGINT) AS dist
+           FROM customer a JOIN customer b
+             ON a.c_custkey < b.c_custkey
+            AND len(a.c_name) = len(b.c_name)
+            AND hamming(a.c_name, b.c_name) <= 1""",
 
       "x41_token_budget_mix" ->
         """WITH d AS (SELECT doc_id, lang,

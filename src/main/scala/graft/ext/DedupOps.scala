@@ -579,6 +579,53 @@ object DedupOps {
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  // -------------------------------------------------- string similarity
+
+  /** Exact Hamming-distance-≤1 pair join (record linkage / fuzzy key
+    * matching): all id pairs whose strings are equal length and differ
+    * in at most one byte. Blocking is the deletion-neighborhood trick
+    * (cf. SymSpell's symmetric-delete index): each string emits one
+    * [[graft.functions.StringExprs.MaskedPosHashes]] key per position,
+    * and any ≤1-substitution pair must share the key of the differing
+    * position — exact recall, no similarity threshold tuning.
+    *
+    * WHY not (k+1)-segment pigeonhole blocking: with a corpus-wide
+    * shared prefix (every "Customer#…"), the shared segment puts ALL
+    * rows in one bucket — the quadratic blowup x02 guards against.
+    * Position-masked keys keep buckets tiny because keys still differ
+    * wherever the variable region is; a fully-identical-duplicate
+    * cluster is the only way to grow a bucket, which is real signal.
+    *
+    * Verification re-computes the true byte Hamming distance on the
+    * candidate's strings, so a 2⁻⁶⁴ mask-hash collision costs a wasted
+    * verify, never a wrong pair. The candidate shuffle carries the
+    * strings themselves — right for keys/names/titles; for long
+    * documents block on a digest and join bodies back by id.
+    *
+    * k > 1 would need C(len, k) masked keys per row (combinatorial) —
+    * out of scope; chain with [[simhashPairs]] for long-text near-dup. */
+  def hammingPairs(df: DataFrame, idCol: String, strCol: String)
+      : DataFrame = {
+    graft.functions.StringExprs.register(df.sparkSession)
+    val keyed = df.select(col(idCol).cast(LongType).as("id"),
+        col(strCol).as("s"))
+      .select(col("id"), col("s"),
+        explode(graft.functions.StringExprs.maskedPosHashes(col("s")))
+          .as("mh"))
+    val cand = keyed.select(col("mh"), col("id").as("id_a"),
+        col("s").as("s_a"))
+      .join(keyed.select(col("mh"), col("id").as("id_b"),
+        col("s").as("s_b")), Seq("mh"))
+      .filter(col("id_a") < col("id_b"))
+      // identical strings share EVERY positional key — dedupe before
+      // the (cheap) verify, not after
+      .select("id_a", "id_b", "s_a", "s_b").distinct()
+    cand.select(col("id_a"), col("id_b"),
+        graft.functions.StringExprs.hammingDist(col("s_a"), col("s_b"))
+          .as("dist"))
+      .filter(col("dist") <= 1L)
+  }
+
   // ----------------------------------------------------- span-level dedup
 
   /** Duplicate-span detection: per document, the maximal token spans

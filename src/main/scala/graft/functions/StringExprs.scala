@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for string-similarity joins (the record-linkage /
+  * fuzzy-matching family). Same design rules as [[TextHashExprs]]: one
+  * tight JVM loop per row, public-domain hash constructions (FNV-1a +
+  * splitmix64), deterministic, null-intolerant, CodegenFallback.
+  */
+object StringExprs {
+
+  import TextHashExprs.{mix => mix64}
+
+  /** `masked_pos_hashes(s)` → array<long>: for each byte position i of s,
+    * a hash identifying (i, s with position i wildcarded) — the
+    * deletion-neighborhood blocking key of SymSpell-style similarity
+    * search: two EQUAL-LENGTH strings share the key for position i iff
+    * they are identical everywhere except possibly at i, so any pair
+    * within Hamming distance ≤ 1 shares ≥ 1 key. Computed in O(len) via
+    * rolling prefix hashes (FNV-1a forward) and suffix hashes (FNV-1a
+    * backward) — NOT by materializing len masked copies (that is
+    * O(len²) bytes/row and was the naive alternative). Buckets stay tiny
+    * even under a corpus-wide shared prefix (the segment-blocking
+    * failure mode: every "Customer#…" name shares its first half —
+    * position-masked keys still differ wherever the variable region is).
+    * Operates on UTF-8 BYTES: a masked multi-byte codepoint masks one
+    * byte, which only ever SPLITS buckets (never merges wrong pairs) —
+    * recall for ≤1 SUBSTITUTION holds for 1-byte-wide diffs; the verify
+    * step is exact regardless. */
+  case class MaskedPosHashes(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[UTF8String].getBytes
+      val n = b.length
+      if (n == 0) return new GenericArrayData(Array.empty[Long])
+      // prefix(i) = FNV-1a of bytes [0, i); suffix(i) = FNV-1a of bytes
+      // (n-1 .. i] processed right-to-left (a deterministic identity of
+      // the suffix — direction only changes the value, not injectivity
+      // of the rolling construction)
+      val pre = new Array[Long](n + 1)
+      pre(0) = 0xcbf29ce484222325L
+      var i = 0
+      while (i < n) {
+        pre(i + 1) = (pre(i) ^ (b(i) & 0xffL)) * 0x100000001b3L
+        i += 1
+      }
+      val suf = new Array[Long](n + 1)
+      suf(n) = 0x84222325cbf29ce4L
+      i = n - 1
+      while (i >= 0) {
+        suf(i) = (suf(i + 1) ^ (b(i) & 0xffL)) * 0x100000001b3L
+        i -= 1
+      }
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        out(i) = mix64(mix64(pre(i)) ^ mix64(suf(i + 1)) ^
+          mix64(0x9e3779b97f4a7c15L + i) ^ (n.toLong << 32))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** `hamming_dist(a, b)` → long: number of differing byte positions for
+    * equal-length strings; `Long.MaxValue` when lengths differ (total
+    * function — a length mismatch is "infinitely far", never an error,
+    * so it composes with hash-blocked candidate streams). */
+  case class HammingDist(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[UTF8String].getBytes
+      val b = r.asInstanceOf[UTF8String].getBytes
+      if (a.length != b.length) return java.lang.Long.MAX_VALUE
+      var d = 0L
+      var i = 0
+      while (i < a.length) { if (a(i) != b(i)) d += 1L; i += 1 }
+      java.lang.Long.valueOf(d)
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  /** Register in the session (idempotent); required before the Column
+    * wrappers below. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_masked_pos_hashes",
+      es => MaskedPosHashes(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_hamming_dist",
+      es => HammingDist(es.head, es(1)), "built-in")
+  }
+
+  def maskedPosHashes(c: Column): Column =
+    call_function("graft_masked_pos_hashes", c)
+  def hammingDist(a: Column, b: Column): Column =
+    call_function("graft_hamming_dist", a, b)
+}

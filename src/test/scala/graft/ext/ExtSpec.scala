@@ -310,6 +310,36 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 44)
   }
 
+  test("hammingPairs: finds exactly the ≤1-substitution pairs, " +
+      "including identical strings, despite a shared prefix") {
+    val rows = Seq(
+      (1L, "prefix-AAAA"), (2L, "prefix-AAAB"),  // dist 1
+      (3L, "prefix-AAAA"),                        // dup of 1 (dist 0)
+      (4L, "prefix-ABBA"),                        // dist 2 from 1 → out
+      (5L, "prefix-AAAAX"),                       // longer → out
+      (6L, "other-YYYYY")).toDF("doc_id", "name")
+    val got = DedupOps.hammingPairs(rows, "doc_id", "name")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L)))
+  }
+
+  test("hammingPairs == brute force on random digit strings") {
+    val rng = new scala.util.Random(42)
+    val strs = (0L until 60L).map(i =>
+      i -> ("ID" + (0 until 6).map(_ => rng.nextInt(3)).mkString))
+    val want = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs
+      if ia < ib && sa.length == sb.length &&
+        sa.zip(sb).count(p => p._1 != p._2) <= 1
+    } yield (ia, ib,
+      sa.zip(sb).count(p => p._1 != p._2).toLong)).toSet
+    val got = DedupOps.hammingPairs(
+        strs.toDF("doc_id", "name"), "doc_id", "name")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must generate some close pairs")
+  }
+
   test("tfidfTopTerms: rare terms outrank common ones; rank capped at k") {
     // "rare" appears once, only in doc 1 → score 1·3/1 = 3.0;
     // "shared" is in all 3 docs → df=3, score tf·3/3 = tf
