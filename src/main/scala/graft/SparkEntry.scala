@@ -870,6 +870,17 @@ object SparkEntry {
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     },
 
+    // range-sorted data-skipping layout: write orders range-partitioned
+    // + sorted on o_orderkey, then emit the layout invariants (row
+    // conservation, zero overlapping file ranges, file count) — the
+    // disjointness precondition for file-level skipping IS the gate.
+    "x44_range_sorted_write" -> { (s, dir) =>
+      val base = scratchDir("rangesorted")
+      graft.sinks.SortedWrite.writeRangeSorted(
+        T(s, dir, "orders"), base, "o_orderkey", numFiles = 8)
+      graft.sinks.SortedWrite.layoutInvariants(s, base, "o_orderkey")
+    },
+
     // exact Hamming-≤1 string pair join via position-masked hash
     // blocking (deletion-neighborhood); verify is the true byte distance.
     "x43_hamming_pairs" -> ((s, dir) =>
@@ -1994,6 +2005,15 @@ object SparkEntry {
         s"""WITH RECURSIVE $pairClosure
             SELECT d.doc_id, coalesce(l.lcluster, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN lbl l ON d.doc_id = l.lid""",
+
+      // the invariants are constants by contract: overlap count must be
+      // 0 and the file count must equal the requested 8; only row
+      // conservation depends on the data
+      "x44_range_sorted_write" ->
+        """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+                  CAST(0 AS BIGINT) AS overlapping_pairs,
+                  CAST(8 AS BIGINT) AS n_files
+           FROM orders""",
 
       // brute-force n² here (fine at oracle scale); the engine must get
       // the same set from its position-masked blocking
