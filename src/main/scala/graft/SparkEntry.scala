@@ -552,6 +552,13 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     },
 
+    // per-type z-score outliers: decimal-exact moments, broadcast stats,
+    // facts never shuffle; |z| > 3 on the rounded score.
+    "q35_zscore_outliers" -> ((s, dir) =>
+      graft.ops.Outliers.zscoreFlag(
+        T(s, dir, "events"), "event_type", "value", threshold = 3.0)
+        .select(col("event_id"), col("event_type"), col("zscore"))),
+
     // CDC snapshot diff: synthetic old/new customer snapshots (modular
     // membership + a deterministic balance bump) → insert/delete/update
     // change set; unchanged rows must NOT appear.
@@ -1253,6 +1260,24 @@ object SparkEntry {
                 count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+
+    // decimal sums mirror decQuantize; every later float step is one
+    // correctly-rounded IEEE op, so z-scores hash-match bit-for-bit
+    "q35_zscore_outliers" ->
+      """WITH st AS (SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+                       sum(CAST(value AS DECIMAL(20,6))) AS s1,
+                       sum(CAST(value*value AS DECIMAL(20,6))) AS s2
+                     FROM events GROUP BY 1),
+         m AS (SELECT event_type, n,
+                 CAST(s1 AS DOUBLE)/n AS mu,
+                 sqrt(greatest(CAST(s2 AS DOUBLE)/n -
+                   (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 0))
+                   AS sd
+               FROM st)
+         SELECT e.event_id, e.event_type,
+                round((e.value - m.mu)/m.sd, 6) AS zscore
+         FROM events e JOIN m USING (event_type)
+         WHERE m.sd > 0 AND abs(round((e.value - m.mu)/m.sd, 6)) > 3""",
 
     "q34_snapshot_diff" ->
       """WITH o AS (SELECT c_custkey, c_acctbal FROM customer
