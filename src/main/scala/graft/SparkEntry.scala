@@ -877,6 +877,22 @@ object SparkEntry {
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     },
 
+    // bounded-heap top-k aggregate: same result contract as q09's window
+    // top-k, but partial k-entry heaps merge map-side — no per-group
+    // sort, k rows per group shuffled. The scale path for huge groups.
+    "x45_topk_agg" -> { (s, dir) =>
+      graft.functions.TopKAgg.register(s)
+      T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKAgg.topKByScore(
+          col("o_totalprice"), col("o_orderkey"), 3).as("tk"))
+        .select(col("o_custkey"), posexplode(col("tk")))
+        .select(col("o_custkey"),
+          (col("pos") + 1).cast(LongType).as("rank"),
+          col("col.id").as("o_orderkey"),
+          col("col.score").as("o_totalprice"))
+    },
+
     // range-sorted data-skipping layout: write orders range-partitioned
     // + sorted on o_orderkey, then emit the layout invariants (row
     // conservation, zero overlapping file ranges, file count) — the
@@ -2030,6 +2046,15 @@ object SparkEntry {
         s"""WITH RECURSIVE $pairClosure
             SELECT d.doc_id, coalesce(l.lcluster, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN lbl l ON d.doc_id = l.lid""",
+
+      "x45_topk_agg" ->
+        """SELECT o_custkey, CAST(rn AS BIGINT) AS rank, o_orderkey,
+                  o_totalprice
+           FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                 FROM orders)
+           WHERE rn <= 3""",
 
       // the invariants are constants by contract: overlap count must be
       // 0 and the file count must equal the requested 8; only row
