@@ -877,6 +877,11 @@ object SparkEntry {
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     },
 
+    // training-sequence assembly: per-user event history as one ordered
+    // type@µs string (struct-sort → render, partitioning-independent).
+    "x46_event_sequences" -> ((s, dir) =>
+      graft.ext.Corpus.eventSequences(T(s, dir, "events"), "user_id")),
+
     // bounded-heap top-k aggregate: same result contract as q09's window
     // top-k, but partial k-entry heaps merge map-side — no per-group
     // sort, k rows per group shuffled. The scale path for huge groups.
@@ -2046,6 +2051,12 @@ object SparkEntry {
         s"""WITH RECURSIVE $pairClosure
             SELECT d.doc_id, coalesce(l.lcluster, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN lbl l ON d.doc_id = l.lid""",
+
+      "x46_event_sequences" ->
+        """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                  string_agg(event_type || '@' || epoch_us(ts), ','
+                    ORDER BY epoch_us(ts), event_id) AS seq
+           FROM events GROUP BY user_id""",
 
       "x45_topk_agg" ->
         """SELECT o_custkey, CAST(rn AS BIGINT) AS rank, o_orderkey,

@@ -210,6 +210,35 @@ object Corpus {
       .agg(sum("n").cast(LongType).as("n_docs"),
         sum(col("n_tokens") * col("n")).cast(LongType).as("total_tokens"))
 
+  /** Per-key ordered sequence assembly — the "build training sequences
+    * from an event log" op: each user's events, sorted by event time
+    * (event_id tiebreak), rendered as one `type@µs,type@µs,…` string.
+    * The behavioral-sequence export that session-based models train on.
+    *
+    * Determinism: `collect_list` order is partition-dependent, so the
+    * list is collected as (ts_us, event_id, event_type) structs and
+    * `array_sort`ed — struct ordering is field-lexicographic and
+    * event_id makes it total, so the rendered string is identical under
+    * any partitioning/engine. The per-element `transform` render is
+    * interpreted, but runs once per event over an already-grouped array
+    * (bounded by a user's history) — not a corpus-wide hot loop.
+    *
+    * Scale: one hash aggregation; state per key is that key's event
+    * structs — the irreducible cost of sequence assembly (any engine
+    * must co-locate a user's events to order them). Skew guard: a
+    * degenerate key (bot traffic) concentrates its history in one task;
+    * cap with an upstream per-key limit ([[graft.functions.TopKAgg]] /
+    * x45 keeps the k most relevant) when histories are unbounded. */
+  def eventSequences(events: DataFrame, userCol: String): DataFrame =
+    events.select(col(userCol),
+        struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type")).as("e"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).cast(LongType).as("n_events"),
+        array_join(transform(array_sort(collect_list(col("e"))),
+          x => concat(x.getField("event_type"), lit("@"),
+            x.getField("ts_us").cast(StringType))), ",").as("seq"))
+
   /** Token-budget corpus mixing — the "data mixing" op of a training
     * pipeline: fill a per-group token budget (e.g. tokens per language)
     * by admitting documents in a deterministic hash-addressed order

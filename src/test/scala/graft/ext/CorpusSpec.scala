@@ -181,6 +181,25 @@ class CorpusSpec extends SparkSpec {
     d.map("%02x".format(_)).mkString
   }
 
+  test("eventSequences: event-time order with id tiebreak, stable " +
+      "under repartitioning") {
+    val events = Seq(
+      (3L, 1L, "click", 20L), (1L, 1L, "view", 10L),
+      (2L, 1L, "view", 20L),   // same ts as event 3 → id order: 2 then 3
+      (4L, 2L, "purchase", 5L))
+      .toDF("event_id", "user_id", "event_type", "sec")
+      .select($"event_id", $"user_id", $"event_type",
+        timestamp_seconds($"sec").as("ts"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.eventSequences(df, "user_id")
+        .as[(Long, Long, String)].collect().toSet
+    val got = run(events)
+    assert(got == Set(
+      (1L, 3L, "view@10000000,view@20000000,click@20000000"),
+      (2L, 1L, "purchase@5000000")))
+    assert(run(events.repartition(7)) == got)
+  }
+
   test("decontaminate finds only true n-gram overlaps") {
     val train = Seq(
       (1L, "one two three four five six"),   // shares 5-gram with eval
