@@ -877,6 +877,12 @@ object SparkEntry {
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     },
 
+    // exact heavy-hitter terms: Misra-Gries prunes the vocabulary to
+    // ≤64 candidates, exact re-count keeps terms with freq·64 > N.
+    "x47_heavy_terms" -> ((s, dir) =>
+      graft.ext.TextAnalysis.heavyTerms(
+        T(s, dir, "documents"), "text", k = 64)),
+
     // training-sequence assembly: per-user event history as one ordered
     // type@µs string (struct-sort → render, partitioning-independent).
     "x46_event_sequences" -> ((s, dir) =>
@@ -2051,6 +2057,18 @@ object SparkEntry {
         s"""WITH RECURSIVE $pairClosure
             SELECT d.doc_id, coalesce(l.lcluster, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN lbl l ON d.doc_id = l.lid""",
+
+      // exact-by-construction: the engine's sketch only PRUNES; this
+      // direct GROUP BY/HAVING is the definitional form
+      "x47_heavy_terms" ->
+        """WITH t AS (SELECT unnest(regexp_split_to_array(
+                        trim(lower(text)), '\s+')) AS term
+                      FROM documents),
+           ft AS (SELECT term FROM t WHERE len(term) >= 1),
+           tot AS (SELECT count(*) AS n FROM ft)
+           SELECT term, CAST(count(*) AS BIGINT) AS term_count
+           FROM ft GROUP BY term
+           HAVING count(*) * 64 > (SELECT n FROM tot)""",
 
       "x46_event_sequences" ->
         """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

@@ -187,6 +187,34 @@ object TextAnalysis {
       (acc, x) => (acc * lit(31L) + x) % p)
   }
 
+  /** Exact corpus heavy hitters (terms with frequency > N/k) via
+    * Misra-Gries pruning: one pass computes N and the ≤ k sketch
+    * candidates ([[graft.functions.FreqAgg.MisraGries]] — its survival
+    * guarantee makes the candidate set a SUPERSET of every > N/k term),
+    * then only the candidates are re-counted exactly over the term
+    * stream. The full-vocabulary aggregation never materializes: at
+    * corpus scale that is the difference between shuffling |vocab|
+    * (billions of n-grams) and shuffling k counters per partition.
+    * Output is exact — the sketch's merge-order-dependent counters are
+    * used only to prune, never emitted — so a plain GROUP BY/HAVING
+    * oracle hash-matches. Threshold compares as `count·k > N` in exact
+    * integer arithmetic (no division). */
+  def heavyTerms(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    graft.functions.FreqAgg.register(df.sparkSession)
+    val terms = df.select(explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) >= 1)
+    val head = terms.agg(count(lit(1)),
+      graft.functions.FreqAgg.misraGries(col("term"), k)).head()
+    val n = head.getLong(0)
+    val cand = head.getSeq[String](1)
+    if (cand.isEmpty)
+      return terms.limit(0).withColumn("term_count", lit(0L))
+    terms.filter(col("term").isin(cand: _*))
+      .groupBy("term").agg(count(lit(1)).as("term_count"))
+      .filter(col("term_count") * lit(k.toLong) > lit(n))
+  }
+
   /** Per-document top-k distinctive terms by rational tf-idf:
     * `score = tf · N / df_t` (term frequency × corpus size / document
     * frequency) — the linear-idf variant chosen deliberately over
