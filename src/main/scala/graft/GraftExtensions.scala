@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{TextHashExprs, VectorExprs}
+import graft.functions.{FreqAgg, StringExprs, TextHashExprs, TopKAgg, VectorExprs}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions so any session built with
@@ -42,5 +42,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_dot_f64",
         "graft_dot_f64(a, b) - sequential double-array dot product"),
       (es: Seq[Expression]) => VectorExprs.DotF64(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_window_hashes"),
+      info("graft_shingle_window_hashes",
+        "graft_shingle_window_hashes(text, n) - positional window hashes"),
+      (es: Seq[Expression]) => TextHashExprs.ShingleWindowHashes(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("graft_masked_pos_hashes"),
+      info("graft_masked_pos_hashes",
+        "graft_masked_pos_hashes(s) - per-position masked blocking keys"),
+      (es: Seq[Expression]) => StringExprs.MaskedPosHashes(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_hamming_dist"),
+      info("graft_hamming_dist",
+        "graft_hamming_dist(a, b) - byte Hamming distance (MaxValue on " +
+          "length mismatch)"),
+      (es: Seq[Expression]) => StringExprs.HammingDist(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_topk_by_score"),
+      info("graft_topk_by_score",
+        "graft_topk_by_score(score, id, k) - bounded-heap top-k aggregate"),
+      (es: Seq[Expression]) => TopKAgg.TopKByScore(es.head, es(1),
+        es(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("graft_misra_gries"),
+      info("graft_misra_gries",
+        "graft_misra_gries(item, k) - Misra-Gries frequent-item candidates"),
+      (es: Seq[Expression]) => FreqAgg.MisraGries(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
   }
 }

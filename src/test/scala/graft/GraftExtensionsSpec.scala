@@ -32,4 +32,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Int]("sig_len") == 8)
     assert(r.getAs[Long]("sh") != 0L)
   }
+
+  test("extension registers the round-4 scalar and aggregate functions") {
+    applyExtensions()
+    val r = spark.sql(
+      """SELECT size(graft_shingle_window_hashes('a b c d', 2)) AS n_win,
+                size(graft_masked_pos_hashes('abc')) AS n_mask,
+                graft_hamming_dist('abcd', 'abxd') AS hd,
+                graft_hamming_dist('ab', 'abc') AS hd_len""").head
+    assert(r.getAs[Int]("n_win") == 3)   // positional, not distinct
+    assert(r.getAs[Int]("n_mask") == 3)
+    assert(r.getAs[Long]("hd") == 1L)
+    assert(r.getAs[Long]("hd_len") == Long.MaxValue)
+    val agg = spark.sql(
+      """SELECT graft_topk_by_score(s, id, 2) AS tk,
+                graft_misra_gries(t, 2) AS mg
+         FROM VALUES (1.0d, 1L, 'a'), (3.0d, 2L, 'a'), (2.0d, 3L, 'b')
+           AS v(s, id, t)""").head
+    assert(agg.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1))
+      == Seq(2L, 3L))
+    assert(agg.getSeq[String](1).toSet == Set("a", "b"))
+  }
 }
