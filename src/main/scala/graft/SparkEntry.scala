@@ -63,6 +63,47 @@ object SparkEntry {
     p.toString
   }
 
+  /** Shared near-dup pair detection for the clustering gates (x31, x32,
+    * x37) — these parameters must stay in lockstep with the pairClosure
+    * oracle fragment, so they are defined ONCE; a tuning change cannot
+    * desynchronize one gate from the others. */
+  private def docNearDupPairs(docs: DataFrame): DataFrame =
+    graft.ext.DedupOps.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 5, threshold = 0.5,
+      maxShingleDF = Some(10000L), hotSampleMod = 20L)
+
+  /** Cluster every document id with the given connected-components
+    * implementation (x31 min-propagation / x37 alternating star — same
+    * output contract, same oracle). */
+  private def clusteredDocIds(s: SparkSession, dir: String,
+      cluster: (DataFrame, String, String) => DataFrame): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val lbl = cluster(docNearDupPairs(docs), "doc_a", "doc_b")
+    docs.select(col("doc_id"))
+      .join(lbl, docs("doc_id") === lbl("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Stage a single-file parquet batch with a controlled mtime — the
+    * file-source sequencing harness shared by the multi-batch streaming
+    * gates (x25, x42): `maxFilesPerTrigger=1` picks files oldest-first,
+    * so batch order rides on mtime, and a silent setLastModified failure
+    * would make the batch sequence nondeterministic. */
+  private def stageBatchFile(df: DataFrame, base: String, name: String,
+      mtime: Long): Unit = {
+    val tmp = s"$base/tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    val dest = java.nio.file.Paths.get(s"$base/in", s"$name.parquet")
+    java.nio.file.Files.createDirectories(dest.getParent)
+    java.nio.file.Files.move(part.toPath, dest)
+    require(dest.toFile.setLastModified(mtime),
+      s"cannot set mtime on $dest — streaming batch sequencing needs it")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
     Pipelines.performance(spark, "/root/testdata/sf0.001")
@@ -826,27 +867,16 @@ object SparkEntry {
     // propagation iterates HERE (driver-paced Pregel-style loop over
     // checkpointed frames); the returned frame is the final labels
     // joined back onto the corpus.
-    "x31_dedup_clusters" -> { (s, dir) =>
-      val docs = T(s, dir, "documents")
-      val pairs = graft.ext.DedupOps.ngramJaccardPairs(
-        docs, "doc_id", "text", n = 5, threshold = 0.5,
-        maxShingleDF = Some(10000L), hotSampleMod = 20L)
-      val lbl = graft.ext.DedupOps.dedupClusters(pairs, "doc_a", "doc_b")
-      docs.select(col("doc_id"))
-        .join(lbl, docs("doc_id") === lbl("id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    },
+    "x31_dedup_clusters" -> ((s, dir) =>
+      clusteredDocIds(s, dir, graft.ext.DedupOps.dedupClusters(_, _, _))),
 
     // canonical selection: one keep-doc per near-dup cluster, highest
     // quality score wins (min doc_id tie-break) — detection → clusters
     // → decision, the complete dedup pipeline as one query.
     "x32_canonical_docs" -> { (s, dir) =>
       val docs = T(s, dir, "documents")
-      val pairs = graft.ext.DedupOps.ngramJaccardPairs(
-        docs, "doc_id", "text", n = 5, threshold = 0.5,
-        maxShingleDF = Some(10000L), hotSampleMod = 20L)
-      val lbl = graft.ext.DedupOps.dedupClusters(pairs, "doc_a", "doc_b")
+      val lbl = graft.ext.DedupOps.dedupClusters(
+        docNearDupPairs(docs), "doc_a", "doc_b")
       val scored = graft.ext.TextAnalysis.qualityScore(docs, "text")
         .select(col("doc_id"), col("quality_score"))
       val clustered = scored
@@ -865,17 +895,8 @@ object SparkEntry {
     // same pair detection, same (id, cluster_id) contract, same oracle;
     // rounds bounded O(log n) regardless of component diameter, the
     // variant for chain-shaped near-dup graphs at corpus scale.
-    "x37_star_clusters" -> { (s, dir) =>
-      val docs = T(s, dir, "documents")
-      val pairs = graft.ext.DedupOps.ngramJaccardPairs(
-        docs, "doc_id", "text", n = 5, threshold = 0.5,
-        maxShingleDF = Some(10000L), hotSampleMod = 20L)
-      val lbl = graft.ext.DedupOps.dedupClustersStar(pairs, "doc_a", "doc_b")
-      docs.select(col("doc_id"))
-        .join(lbl, docs("doc_id") === lbl("id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    },
+    "x37_star_clusters" -> ((s, dir) =>
+      clusteredDocIds(s, dir, graft.ext.DedupOps.dedupClustersStar(_, _, _))),
 
     // exact heavy-hitter terms: Misra-Gries prunes the vocabulary to
     // ≤64 candidates, exact re-count keeps terms with freq·64 > N.
@@ -1080,23 +1101,11 @@ object SparkEntry {
           when(col("id") === 0L, "view").otherwise("click")
             .as("event_type"),
           timestamp_micros(lit(maxTs + usOffset)).as("ts"))
-      def writeBatch(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = s"$base/tmp_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).head
-        val dest = java.nio.file.Paths.get(s"$base/in", s"$name.parquet")
-        java.nio.file.Files.createDirectories(dest.getParent)
-        java.nio.file.Files.move(part.toPath, dest)
-        require(dest.toFile.setLastModified(mtime),
-          s"cannot set mtime on $dest — x42 batch sequencing needs it")
-      }
       val now = System.currentTimeMillis()
       val hourUs = 3600L * 1000000L
-      writeBatch(ev, "b1", now - 180000L)
-      writeBatch(sentinel(1L, 6L * hourUs), "b2", now - 120000L)
-      writeBatch(sentinel(2L, 7L * hourUs), "b3", now - 60000L)
+      stageBatchFile(ev, base, "b1", now - 180000L)
+      stageBatchFile(sentinel(1L, 6L * hourUs), base, "b2", now - 120000L)
+      stageBatchFile(sentinel(2L, 7L * hourUs), base, "b3", now - 60000L)
       def src() = s.readStream
         .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
           "ts TIMESTAMP")
@@ -1132,26 +1141,11 @@ object SparkEntry {
       val b3 = sentinel(-2L, "wm2")
       val b4 = keys.union(keys)
         .withColumn("ts", timestamp_seconds(lit(t0 + 36000L)))
-      def writeBatch(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = s"$base/tmp_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).head
-        val dest = java.nio.file.Paths.get(s"$base/in", s"$name.parquet")
-        java.nio.file.Files.createDirectories(dest.getParent)
-        java.nio.file.Files.move(part.toPath, dest)
-        // batch order rides on mtime (maxFilesPerTrigger=1 picks files
-        // oldest-first) — a silent setLastModified failure would make
-        // the 4-batch sequence nondeterministic
-        require(dest.toFile.setLastModified(mtime),
-          s"cannot set mtime on $dest — x25 batch sequencing needs it")
-      }
       val now = System.currentTimeMillis()
-      writeBatch(b1, "b1", now - 240000L)
-      writeBatch(b2, "b2", now - 180000L)
-      writeBatch(b3, "b3", now - 120000L)
-      writeBatch(b4, "b4", now - 60000L)
+      stageBatchFile(b1, base, "b1", now - 240000L)
+      stageBatchFile(b2, base, "b2", now - 180000L)
+      stageBatchFile(b3, base, "b3", now - 120000L)
+      stageBatchFile(b4, base, "b4", now - 60000L)
       val src = s.readStream
         .schema("user_id BIGINT, event_type STRING, ts TIMESTAMP")
         .option("maxFilesPerTrigger", 1)
@@ -2096,13 +2090,17 @@ object SparkEntry {
 
       // brute-force n² here (fine at oracle scale); the engine must get
       // the same set from its position-masked blocking
+      // hamming() is CASE-guarded: DuckDB errors on unequal lengths and
+      // SQL does not promise AND short-circuit order
       "x43_hamming_pairs" ->
-        """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-                  CAST(hamming(a.c_name, b.c_name) AS BIGINT) AS dist
-           FROM customer a JOIN customer b
-             ON a.c_custkey < b.c_custkey
-            AND len(a.c_name) = len(b.c_name)
-            AND hamming(a.c_name, b.c_name) <= 1""",
+        """WITH p AS (
+             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                    CASE WHEN len(a.c_name) = len(b.c_name)
+                         THEN CAST(hamming(a.c_name, b.c_name) AS BIGINT)
+                         END AS dist
+             FROM customer a JOIN customer b
+               ON a.c_custkey < b.c_custkey)
+           SELECT id_a, id_b, dist FROM p WHERE dist <= 1""",
 
       "x41_token_budget_mix" ->
         """WITH d AS (SELECT doc_id, lang,

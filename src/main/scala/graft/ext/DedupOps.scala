@@ -598,29 +598,33 @@ object DedupOps {
     *
     * Verification re-computes the true byte Hamming distance on the
     * candidate's strings, so a 2⁻⁶⁴ mask-hash collision costs a wasted
-    * verify, never a wrong pair. The candidate shuffle carries the
-    * strings themselves — right for keys/names/titles; for long
-    * documents block on a digest and join bodies back by id.
+    * verify, never a wrong pair. The blocking exchange carries ONLY
+    * (id, masked-hash) pairs — 16 bytes per position, NOT a copy of the
+    * string per position (that would be O(len²) bytes/row, the very
+    * materialization [[graft.functions.StringExprs.MaskedPosHashes]]
+    * avoids); strings join back by id onto the deduped candidate pairs
+    * for the verify step.
     *
     * k > 1 would need C(len, k) masked keys per row (combinatorial) —
     * out of scope; chain with [[simhashPairs]] for long-text near-dup. */
   def hammingPairs(df: DataFrame, idCol: String, strCol: String)
       : DataFrame = {
     graft.functions.StringExprs.register(df.sparkSession)
-    val keyed = df.select(col(idCol).cast(LongType).as("id"),
-        col(strCol).as("s"))
-      .select(col("id"), col("s"),
-        explode(graft.functions.StringExprs.maskedPosHashes(col("s")))
-          .as("mh"))
-    val cand = keyed.select(col("mh"), col("id").as("id_a"),
-        col("s").as("s_a"))
-      .join(keyed.select(col("mh"), col("id").as("id_b"),
-        col("s").as("s_b")), Seq("mh"))
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+      col(strCol).as("s"))
+    val keyed = base.select(col("id"),
+      explode(graft.functions.StringExprs.maskedPosHashes(col("s")))
+        .as("mh"))
+    val cand = keyed.select(col("mh"), col("id").as("id_a"))
+      .join(keyed.select(col("mh"), col("id").as("id_b")), Seq("mh"))
       .filter(col("id_a") < col("id_b"))
       // identical strings share EVERY positional key — dedupe before
-      // the (cheap) verify, not after
-      .select("id_a", "id_b", "s_a", "s_b").distinct()
-    cand.select(col("id_a"), col("id_b"),
+      // rejoining bodies and verifying
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
         graft.functions.StringExprs.hammingDist(col("s_a"), col("s_b"))
           .as("dist"))
       .filter(col("dist") <= 1L)

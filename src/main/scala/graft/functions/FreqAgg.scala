@@ -147,11 +147,16 @@ object FreqAgg {
     override def prettyName: String = "graft_misra_gries"
   }
 
+  /** name → builder, single source for both registration paths. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_misra_gries" -> ((es: Seq[Expression]) =>
+      MisraGries(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_misra_gries",
-      es => MisraGries(es.head,
-        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
 
   /** `misraGries(item, k)` → array<string>: candidate frequent items. */
   def misraGries(item: Column, k: Int): Column =

@@ -91,15 +91,20 @@ object StringExprs {
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  /** name → builder, single source for both registration paths. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_masked_pos_hashes" -> ((es: Seq[Expression]) =>
+      MaskedPosHashes(es.head)),
+    "graft_hamming_dist" -> ((es: Seq[Expression]) =>
+      HammingDist(es.head, es(1))))
+
   /** Register in the session (idempotent); required before the Column
     * wrappers below. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_masked_pos_hashes",
-      es => MaskedPosHashes(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_hamming_dist",
-      es => HammingDist(es.head, es(1)), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
 
   def maskedPosHashes(c: Column): Column =
     call_function("graft_masked_pos_hashes", c)

@@ -210,25 +210,28 @@ object TextHashExprs {
 
   // -------------------------------------------------- Column surface
 
+  /** name → expression builder: the SINGLE source for both registration
+    * paths (per-session [[register]] and the `GraftExtensions` SQL
+    * extension) — duplicated builders drift. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_shingle_hashes" -> ((es: Seq[Expression]) =>
+      ShingleHashes(es.head, es(1).eval().asInstanceOf[Number].intValue())),
+    "graft_minhash_sig" -> ((es: Seq[Expression]) =>
+      MinHashSig(es.head, es(1).eval().asInstanceOf[Number].intValue())),
+    "graft_simhash64" -> ((es: Seq[Expression]) => SimHash64(es.head)),
+    "graft_shingle_strings" -> ((es: Seq[Expression]) =>
+      ShingleStrings(es.head, es(1).eval().asInstanceOf[Number].intValue())),
+    "graft_shingle_window_hashes" -> ((es: Seq[Expression]) =>
+      ShingleWindowHashes(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
+
   /** Register the functions in the session (idempotent); required before
     * using the Column wrappers below. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_shingle_hashes",
-      es => ShingleHashes(es.head,
-        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_sig",
-      es => MinHashSig(es.head,
-        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash64",
-      es => SimHash64(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingle_strings",
-      es => ShingleStrings(es.head,
-        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingle_window_hashes",
-      es => ShingleWindowHashes(es.head,
-        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
 
   def shingleHashes(c: Column, n: Int): Column =
     call_function("graft_shingle_hashes", c,

@@ -114,12 +114,18 @@ object TopKAgg {
     override def prettyName: String = "graft_topk_by_score"
   }
 
+  /** name → builder, single source for both registration paths. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_topk_by_score" -> ((es: Seq[Expression]) =>
+      TopKByScore(es.head, es(1),
+        es(2).eval().asInstanceOf[Number].intValue())))
+
   /** Register in the session (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_topk_by_score",
-      es => TopKByScore(es.head, es(1),
-        es(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
 
   /** `topKByScore(score, id, k)` → array<struct<score,id>> best-first. */
   def topKByScore(score: Column, id: Column, k: Int): Column =

@@ -37,10 +37,16 @@ object VectorExprs {
         r: Expression): Expression = copy(left = l, right = r)
   }
 
+  /** name → builder, single source for both registration paths. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot_f64" -> ((es: Seq[Expression]) => DotF64(es.head, es(1))))
+
   /** Register in the session (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot_f64", es => DotF64(es.head, es(1)), "built-in")
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
 
   def dotF64(a: Column, b: Column): Column =
     call_function("graft_dot_f64", a, b)

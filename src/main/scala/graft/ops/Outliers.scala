@@ -39,8 +39,9 @@ object Outliers {
     val m2 = col("_s2").cast(DoubleType) / col("_n")
     df.join(broadcast(stats), Seq(groupCol))
       .withColumn("_sd", sqrt(greatest(m2 - mu * mu, lit(0.0))))
-      .withColumn("zscore",
-        round(try_divide(v - mu, when(col("_sd") > 0, col("_sd"))), 6))
+      // try_divide alone implements the σ=0 → NULL contract (the
+      // divisor is never negative or NaN after the greatest clamp)
+      .withColumn("zscore", round(try_divide(v - mu, col("_sd")), 6))
       .filter(abs(col("zscore")) > threshold)
       .drop("_n", "_s1", "_s2", "_sd")
   }
