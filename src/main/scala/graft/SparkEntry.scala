@@ -1081,6 +1081,32 @@ object SparkEntry {
         .select("left_id", "right_id", "user_id", "lag_us")
     },
 
+    // stream-static enrichment: event stream joined to the customer
+    // dimension (broadcast per micro-batch, stateless) — inner join ⇒
+    // arrival-order independent ⇒ oracle = the batch join.
+    "x48_stream_enrich" -> { (s, dir) =>
+      val base = scratchDir("streamenrich")
+      val events = graft.streaming.EventStream
+        .readEvents(s, dir + "/events*.parquet")
+      val dim = graft.sources.Tables.load(s, dir, "customer")
+      val enriched = graft.streaming.StreamJoin.enrich(
+          events, dim, "user_id", "c_custkey",
+          Seq("c_name", "c_mktsegment"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_name"), col("c_mktsegment"))
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.StreamDedup
+          .appendWriter(enriched, base + "/rows")
+          .option("checkpointLocation", base + "/ckpt").start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(base + "/rows")
+        .select("event_id", "user_id", "event_type", "c_name",
+          "c_mktsegment")
+    },
+
     // LEFT-OUTER stream-stream interval join: unmatched views emit with
     // null click once the watermark passes their deadline. Bounded replay
     // needs the watermark pushed past every real deadline, so two
@@ -2280,6 +2306,11 @@ object SparkEntry {
             AND v.event_type = 'view' AND c.event_type = 'click'
             AND epoch_us(c.ts) >= epoch_us(v.ts)
             AND epoch_us(c.ts) <= epoch_us(v.ts) + 7200000000""",
+
+      "x48_stream_enrich" ->
+        """SELECT e.event_id, e.user_id, e.event_type,
+                  c.c_name, c.c_mktsegment
+           FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
 
       "x42_stream_outer_join" ->
         """SELECT v.event_id AS left_id, c.event_id AS right_id,

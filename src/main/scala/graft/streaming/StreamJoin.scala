@@ -53,6 +53,23 @@ object StreamJoin {
     * sentinel batches to flush the tail (the x42 gate stages exactly
     * that; an unbounded production stream advances past every deadline
     * on its own). */
+  /** Stream-static enrichment: join a stream against a STATIC dimension
+    * frame — stateless (no watermark, no join state: the static side is
+    * (re)broadcast per micro-batch), the cheapest streaming join mode
+    * and the right one whenever the right side is a slowly-changing
+    * dimension snapshot rather than a second stream. Compare
+    * [[intervalJoin]]: stream-stream pays state + watermark bookkeeping
+    * to tolerate out-of-order arrival on BOTH sides; enrichment needs
+    * neither. Inner join ⇒ the output set is arrival-order independent
+    * and equals the batch join exactly. */
+  def enrich(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String,
+      dimCols: Seq[String]): DataFrame =
+    stream.join(
+      broadcast(dim.select((dimKey +: dimCols).map(col): _*)),
+      col(streamKey) === col(dimKey))
+      .drop(dimKey)
+
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftType: String, rightType: String,
       horizon: String = "2 hours",

@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
   * (JoinsSpec broadcast rewrite, CorpusSpec window sharding) with a
   * blanket check that runs on each suite run, not each judge round.
   *
-  * SCOPE caveat for the streaming queries (q20, x22, x25, x39, x42):
-  * their
+  * SCOPE caveat for the streaming queries (q20, x22, x25, x39, x42,
+  * x48): their
   * query function RUNS the stream and returns a read of the sink, so the
   * plan audited here is the final parquet scan — the micro-batch plan
   * itself is not swept. That plan is asserted where it is built instead:

@@ -46,6 +46,27 @@ class StreamJoinSpec extends SparkSpec {
     assert(streamed.forall(p => p._4 >= 0L && p._4 <= 7200000000L))
   }
 
+  test("stream-static enrich == batch join; plan is stateless broadcast") {
+    val base = Files.createTempDirectory("graft_senrich").toString
+    val events = EventStream.readEvents(spark, Sf0001 + "/events*.parquet")
+    val dim = Tables.load(spark, Sf0001, "customer")
+    val q = StreamDedup.appendWriter(
+        StreamJoin.enrich(events, dim, "user_id", "c_custkey",
+          Seq("c_mktsegment")),
+        s"$base/rows")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$base/rows")
+      .select("event_id", "c_mktsegment")
+      .as[(Long, String)].collect().toSeq
+    val batch = Tables.load(spark, Sf0001, "events")
+      .join(dim, $"user_id" === $"c_custkey")
+      .select("event_id", "c_mktsegment")
+      .as[(Long, String)].collect().toSet
+    assert(streamed.toSet == batch && streamed.nonEmpty)
+    assert(streamed.size == batch.size, "stateless inner join: no dups")
+  }
+
   test("leftOuter without watermark-advancing data holds back unmatched " +
       "rows (nulls only emit once the deadline is provably past)") {
     val base = Files.createTempDirectory("graft_sjoin_o").toString
