@@ -898,6 +898,12 @@ object SparkEntry {
     "x37_star_clusters" -> ((s, dir) =>
       clusteredDocIds(s, dir, graft.ext.DedupOps.dedupClustersStar(_, _, _))),
 
+    // asymmetric containment pairs: |A∩B|/min(|A|,|B|) ≥ 0.8 — catches
+    // small docs quoted inside large ones (Jaccard-invisible).
+    "x49_containment_pairs" -> ((s, dir) =>
+      graft.ext.DedupOps.containmentPairs(
+        T(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8)),
+
     // exact heavy-hitter terms: Misra-Gries prunes the vocabulary to
     // ≤64 candidates, exact re-count keeps terms with freq·64 > N.
     "x47_heavy_terms" -> ((s, dir) =>
@@ -1747,7 +1753,9 @@ object SparkEntry {
     // x02's exact Jaccard pairs → undirected edges → recursive min-label
     // closure: `lbl` maps every paired doc to its component's min id
     // (shared by the x31/x32 oracles; queries prefix WITH RECURSIVE)
-    val pairClosure =
+    // shared shingle-set pair machinery (t/s/e/sz/p) for every 5-gram
+    // pair oracle (x31/x32/x37 closure, x49 containment)
+    val pairClosureBase =
       """t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
               FROM documents),
          s AS (SELECT doc_id,
@@ -1759,7 +1767,9 @@ object SparkEntry {
          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                       count(*) AS shared
                FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
+               GROUP BY 1, 2)"""
+    val pairClosure =
+      s"""$pairClosureBase,
          pr AS (SELECT doc_a, doc_b
                 FROM p JOIN sz x ON p.doc_a = x.doc_id
                        JOIN sz y ON p.doc_b = y.doc_id
@@ -2077,6 +2087,14 @@ object SparkEntry {
         s"""WITH RECURSIVE $pairClosure
             SELECT d.doc_id, coalesce(l.lcluster, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN lbl l ON d.doc_id = l.lid""",
+
+      "x49_containment_pairs" ->
+        s"""WITH $pairClosureBase
+           SELECT doc_a, doc_b,
+                  round(shared*1.0/least(x.z, y.z), 6) AS containment
+           FROM p JOIN sz x ON p.doc_a = x.doc_id
+                  JOIN sz y ON p.doc_b = y.doc_id
+           WHERE round(shared*1.0/least(x.z, y.z), 6) >= 0.8""",
 
       // exact-by-construction: the engine's sketch only PRUNES; this
       // direct GROUP BY/HAVING is the definitional form

@@ -160,6 +160,40 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Asymmetric containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|)
+    * ≥ threshold over n-gram shingle sets — the measure that catches a
+    * SMALL document quoted inside a LARGE one, which symmetric Jaccard
+    * structurally cannot (a 100-shingle doc fully contained in a
+    * 10000-shingle doc has Jaccard 0.01 but containment 1.0). The
+    * subset/quotation detector of a dedup pipeline; run it alongside
+    * [[ngramJaccardPairs]], not instead of it.
+    *
+    * Same bucket-join shape and shuffle discipline as Jaccard (8-byte
+    * shingle hashes, sizes riding along, no all-pairs stage). No
+    * boilerplate-DF cap here: containment is asymmetric, so dropping hot
+    * shingles from the MIN side changes the measure's meaning — strip
+    * boilerplate upstream ([[graft.ext.TextAnalysis.stripMarkup]],
+    * [[Corpus.commonNgrams]]) before containment detection. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    graft.functions.TextHashExprs.register(df.sparkSession)
+    val e = df.select(col(idCol).as("doc_id"),
+        graft.functions.TextHashExprs.shingleHashes(col(textCol), n)
+          .as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("s"))
+    e.as("a").join(e.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment",
+        round(col("shared").cast(DoubleType) /
+          least(col("sz_a"), col("sz_b")).cast(DoubleType), 6))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   // ------------------------------------------------------- MinHash LSH
 
   /** Deterministic MinHash signature (k permutations of xxhash64 shingle

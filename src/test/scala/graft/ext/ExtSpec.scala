@@ -310,6 +310,23 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 44)
   }
 
+  test("containmentPairs: detects a small doc quoted inside a large " +
+      "one that Jaccard misses") {
+    val small = (1 to 8).map(i => s"w$i").mkString(" ")           // 8 toks
+    val large = (small +: (9 to 80).map(i => s"w$i")).mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, large), (3L, other))
+      .toDF("doc_id", "text")
+    val cont = DedupOps.containmentPairs(docs, "doc_id", "text",
+      n = 5, threshold = 0.8).as[(Long, Long, Double)].collect()
+    assert(cont.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(cont.head._3 == 1.0) // every small-doc shingle is in large
+    // the same pair is invisible to symmetric Jaccard at any sane bar
+    val jac = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 5, threshold = 0.5)
+    assert(jac.count() == 0L)
+  }
+
   test("hammingPairs: finds exactly the ≤1-substitution pairs, " +
       "including identical strings, despite a shared prefix") {
     val rows = Seq(
