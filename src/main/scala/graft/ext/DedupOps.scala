@@ -646,8 +646,13 @@ object DedupOps {
     graft.functions.StringExprs.register(df.sparkSession)
     val base = df.select(col(idCol).cast(LongType).as("id"),
       col(strCol).as("s"))
+    // MaskedPosHashes emits one key per byte position, so a length-0
+    // string emits none and a pair of empty strings (distance 0) would
+    // never become a candidate — give empties a single sentinel key. A
+    // 2^-64 collision with a real masked hash just wastes one verify.
     val keyed = base.select(col("id"),
-      explode(graft.functions.StringExprs.maskedPosHashes(col("s")))
+      explode(when(length(col("s")) === 0, array(lit(Long.MinValue)))
+        .otherwise(graft.functions.StringExprs.maskedPosHashes(col("s"))))
         .as("mh"))
     val cand = keyed.select(col("mh"), col("id").as("id_a"))
       .join(keyed.select(col("mh"), col("id").as("id_b")), Seq("mh"))

@@ -198,7 +198,12 @@ object TextAnalysis {
     * Output is exact — the sketch's merge-order-dependent counters are
     * used only to prune, never emitted — so a plain GROUP BY/HAVING
     * oracle hash-matches. Threshold compares as `count·k > N` in exact
-    * integer arithmetic (no division). */
+    * integer arithmetic (no division).
+    *
+    * Eager statistic job: N and the sketch run AT CALL TIME (same
+    * contract as [[ngramJaccardPairs]]) — the returned plan snapshots
+    * them, so build this after the input is settled, not over a frame
+    * that late-arriving data will change. */
   def heavyTerms(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     graft.functions.FreqAgg.register(df.sparkSession)
@@ -229,7 +234,12 @@ object TextAnalysis {
     * Scale shape: explode → two hash aggregations (tf by (doc, term),
     * df by term) → shuffle join on term → per-doc top-k window. The join
     * carries (term, counts) tuples only; `N` is one scalar count action.
-    * Terms are lowercased whitespace tokens; empty tokens drop. */
+    * Terms are lowercased whitespace tokens; empty tokens drop.
+    *
+    * Eager statistic job: `N` is counted AT CALL TIME (same contract as
+    * [[ngramJaccardPairs]] / [[heavyTerms]]) — the returned plan
+    * snapshots it, so build this after the input is settled, not over a
+    * frame that late-arriving data will change. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")

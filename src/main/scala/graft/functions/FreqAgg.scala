@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.call_function
@@ -70,10 +70,13 @@ object FreqAgg {
   case class MisraGries(child: Expression, k: Int,
       override val mutableAggBufferOffset: Int = 0,
       override val inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[Sketch] {
+      extends TypedImperativeAggregate[Sketch] with ImplicitCastInputTypes {
     require(k >= 1, s"k must be >= 1 (got $k)")
 
     override def children: Seq[Expression] = Seq(child)
+    // non-string SQL arguments coerce (or fail) at analysis time, not as
+    // an executor ClassCastException mid-job
+    override def inputTypes = Seq(StringType) // AbstractDataType is private[sql]
     override def nullable: Boolean = false
     override def dataType: DataType =
       ArrayType(StringType, containsNull = false)
@@ -150,7 +153,8 @@ object FreqAgg {
   /** name → builder, single source for both registration paths. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_misra_gries" -> ((es: Seq[Expression]) =>
-      MisraGries(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+      MisraGries(es.head,
+        AggBuilders.literalK("graft_misra_gries", es, arity = 2))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

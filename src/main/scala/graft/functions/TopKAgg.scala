@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.call_function
@@ -50,10 +50,13 @@ object TopKAgg {
   case class TopKByScore(scoreExpr: Expression, idExpr: Expression, k: Int,
       override val mutableAggBufferOffset: Int = 0,
       override val inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[Buf] {
+      extends TypedImperativeAggregate[Buf] with ImplicitCastInputTypes {
     require(k >= 1, s"k must be >= 1 (got $k)")
 
     override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+    // SQL callers passing int/decimal get an analysis-time implicit cast
+    // (or a clear analysis error), never an executor ClassCastException.
+    override def inputTypes = Seq(DoubleType, LongType) // AbstractDataType is private[sql]
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("score", DoubleType, nullable = false),
@@ -118,7 +121,7 @@ object TopKAgg {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_topk_by_score" -> ((es: Seq[Expression]) =>
       TopKByScore(es.head, es(1),
-        es(2).eval().asInstanceOf[Number].intValue())))
+        AggBuilders.literalK("graft_topk_by_score", es, arity = 3))))
 
   /** Register in the session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -36,6 +36,34 @@ import org.apache.spark.sql.functions._
   */
 object StreamJoin {
 
+  /** Stream-static enrichment: join a stream against a STATIC dimension
+    * frame — stateless (no watermark, no join state: the static side is
+    * (re)broadcast per micro-batch), the cheapest streaming join mode
+    * and the right one whenever the right side is a slowly-changing
+    * dimension snapshot rather than a second stream. Compare
+    * [[intervalJoin]]: stream-stream pays state + watermark bookkeeping
+    * to tolerate out-of-order arrival on BOTH sides; enrichment needs
+    * neither. Inner join ⇒ the output set is arrival-order independent
+    * and equals the batch join exactly.
+    *
+    * Output = every stream column plus `dimCols` (the dim key is not
+    * emitted — the stream key carries the same value). The two sides are
+    * aliased so `streamKey == dimKey` (both called `user_id`, say) still
+    * resolves unambiguously; `dimCols` must not collide with stream
+    * column names, or the output would carry duplicate names. */
+  def enrich(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String,
+      dimCols: Seq[String]): DataFrame = {
+    val clash = dimCols.toSet.intersect(stream.columns.toSet)
+    require(clash.isEmpty,
+      s"dimCols collide with stream columns: ${clash.mkString(", ")}")
+    stream.as("s").join(
+        broadcast(dim.select((dimKey +: dimCols).map(col): _*).as("d")),
+        col(s"s.$streamKey") === col(s"d.$dimKey"))
+      .select(stream.columns.map(c => col(s"s.$c")) ++
+        dimCols.map(c => col(s"d.$c")): _*)
+  }
+
   /** Pair left-type events with same-user right-type events that occur
     * within `horizon` after them. Inputs are event streams shaped like
     * [[EventStream.readEvents]] (must expose `event_id`, `user_id`, `ts`,
@@ -53,23 +81,6 @@ object StreamJoin {
     * sentinel batches to flush the tail (the x42 gate stages exactly
     * that; an unbounded production stream advances past every deadline
     * on its own). */
-  /** Stream-static enrichment: join a stream against a STATIC dimension
-    * frame — stateless (no watermark, no join state: the static side is
-    * (re)broadcast per micro-batch), the cheapest streaming join mode
-    * and the right one whenever the right side is a slowly-changing
-    * dimension snapshot rather than a second stream. Compare
-    * [[intervalJoin]]: stream-stream pays state + watermark bookkeeping
-    * to tolerate out-of-order arrival on BOTH sides; enrichment needs
-    * neither. Inner join ⇒ the output set is arrival-order independent
-    * and equals the batch join exactly. */
-  def enrich(stream: DataFrame, dim: DataFrame,
-      streamKey: String, dimKey: String,
-      dimCols: Seq[String]): DataFrame =
-    stream.join(
-      broadcast(dim.select((dimKey +: dimCols).map(col): _*)),
-      col(streamKey) === col(dimKey))
-      .drop(dimKey)
-
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftType: String, rightType: String,
       horizon: String = "2 hours",

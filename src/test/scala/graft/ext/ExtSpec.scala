@@ -340,6 +340,15 @@ class ExtSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L)))
   }
 
+  test("hammingPairs: two empty strings pair at distance 0") {
+    val rows = Seq((1L, ""), (2L, ""), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "name")
+    val got = DedupOps.hammingPairs(rows, "doc_id", "name")
+      .as[(Long, Long, Long)].collect().toSet
+    // empties pair with each other (dist 0); "x" vs "" differ in length
+    assert(got == Set((1L, 2L, 0L), (1L, 4L, 0L), (2L, 4L, 0L)))
+  }
+
   test("hammingPairs == brute force on random digit strings") {
     val rng = new scala.util.Random(42)
     val strs = (0L until 60L).map(i =>

@@ -59,4 +59,32 @@ class TopKAggSpec extends SparkSpec {
       s"expected an aggregate-based plan, got:\n$plan")
     assert(!plan.contains("Window"), "heap top-k must not plan a Window")
   }
+
+  test("SQL surface: int/decimal args coerce at analysis time; " +
+      "non-literal k is an analysis error, not an executor NPE") {
+    TopKAgg.register(spark)
+    FreqAgg.register(spark)
+    // int score + int id implicitly cast to (double, long) — this used
+    // to ClassCastException on the executor
+    val coerced = Seq((1, 5, 10), (1, 7, 20), (1, 6, 30))
+      .toDF("g", "score", "id")
+    coerced.createOrReplaceTempView("topk_coerce_in")
+    val got = spark.sql(
+      "SELECT g, graft_topk_by_score(score, id, 2) AS tk " +
+        "FROM topk_coerce_in GROUP BY g")
+      .select($"g", $"tk").as[(Int, Seq[(Double, Long)])].collect().toMap
+    assert(got(1) == Seq((7.0, 20L), (6.0, 30L)))
+    // misra-gries over a non-string column coerces to string too
+    val mg = spark.sql(
+      "SELECT graft_misra_gries(id, 10) AS c FROM topk_coerce_in")
+      .as[Seq[String]].head()
+    assert(mg.toSet == Set("10", "20", "30"))
+    // k must be a literal: a column reference fails during analysis
+    val e = intercept[Exception] {
+      spark.sql("SELECT g, graft_topk_by_score(score, id, id) " +
+        "FROM topk_coerce_in GROUP BY g").collect()
+    }
+    assert(e.getMessage.contains("integer literal"),
+      s"expected a k-must-be-literal analysis error, got: ${e.getMessage}")
+  }
 }

@@ -95,4 +95,25 @@ class StreamJoinSpec extends SparkSpec {
     // a watermark, so its null row is (correctly) withheld
     assert(got == Set((1L, Some(2L), 10L)))
   }
+
+  test("enrich: stream and dim sharing the key column name resolve " +
+      "unambiguously; colliding dimCols are rejected up front") {
+    // the join logic is identical for batch frames — exercise the
+    // ambiguous-name shape without spinning up a stream
+    val events = Seq((1L, 10L), (2L, 20L), (3L, 99L))
+      .toDF("event_id", "user_id")
+    val dim = Seq((10L, "A"), (20L, "B"))
+      .toDF("user_id", "segment") // SAME key name as the stream side
+    val got = StreamJoin.enrich(events, dim, "user_id", "user_id",
+        Seq("segment"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 10L, "A"), (2L, 20L, "B")))
+    // a dim column that collides with a stream column name would emit
+    // duplicate output names — rejected with a clear message
+    val e = intercept[IllegalArgumentException] {
+      StreamJoin.enrich(events, dim.withColumnRenamed("segment", "event_id"),
+        "user_id", "user_id", Seq("event_id"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
 }
