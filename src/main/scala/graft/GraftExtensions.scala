@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{FreqAgg, StringExprs, TextHashExprs, TopKAgg, VectorExprs}
+import graft.functions.{BloomExprs, FreqAgg, StringExprs, TextHashExprs, TopKAgg, VectorExprs}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions so any session built with
@@ -40,11 +40,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "graft_topk_by_score" ->
       "graft_topk_by_score(score, id, k) - bounded-heap top-k aggregate",
     "graft_misra_gries" ->
-      "graft_misra_gries(item, k) - Misra-Gries frequent-item candidates")
+      "graft_misra_gries(item, k) - Misra-Gries frequent-item candidates",
+    "graft_bloom_agg" ->
+      "graft_bloom_agg(xxhash64(key), items, bits) - Bloom filter build",
+    "graft_bloom_contains" ->
+      "graft_bloom_contains(filter, xxhash64(key)) - no-false-negative probe")
 
   override def apply(ext: SparkSessionExtensions): Unit =
     (TextHashExprs.builders ++ VectorExprs.builders ++
-      StringExprs.builders ++ TopKAgg.builders ++ FreqAgg.builders)
+      StringExprs.builders ++ TopKAgg.builders ++ FreqAgg.builders ++
+      BloomExprs.builders)
       .foreach { case (name, builder) =>
         ext.injectFunction((FunctionIdentifier(name),
           new ExpressionInfo(classOf[GraftExtensions].getName, name,
