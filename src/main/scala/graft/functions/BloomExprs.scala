@@ -27,7 +27,8 @@ object BloomExprs {
     "graft_bloom_agg" -> ((es: Seq[Expression]) => {
       require(es.length == 3,
         s"graft_bloom_agg expects 3 arguments (got ${es.length})")
-      BloomFilterAggregate(es(0), es(1), es(2))
+      BloomFilterAggregate(es(0), es(1), es(2),
+        mutableAggBufferOffset = 0, inputAggBufferOffset = 0)
     }),
     "graft_bloom_contains" -> ((es: Seq[Expression]) => {
       require(es.length == 2,
