@@ -637,6 +637,98 @@ object SparkEntry {
       graft.ops.Funnel.ordered(T(s, dir, "events"),
         Seq("view", "click", "purchase"))),
 
+    // GROUPING SETS: the explicit multi-level aggregate (rollup/cube's
+    // general form) — (flag, status), (flag), and grand total in ONE
+    // pass over lineitem (Spark expands to a single Expand + hash agg,
+    // not three scans).
+    "q36_grouping_sets" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          graft.ops.Metrics.decQuantize(col("l_quantity"), 4).as("_qty_dec"))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          sum(col("_qty_dec")).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty",
+          "n_items")
+    },
+
+    // UNPIVOT (wide → long): per-flag metric columns melted to
+    // (metric, value) rows — the narrow reshape op, zero shuffle beyond
+    // the feeding aggregate.
+    "q37_unpivot" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          graft.ops.Metrics.decQuantize(col("l_quantity"), 4)
+            .as("_qty_dec"),
+          graft.ops.Metrics.decQuantize(col("l_extendedprice"), 4)
+            .as("_price_dec"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("_qty_dec")).cast(DoubleType).as("sum_qty"),
+          sum(col("_price_dec")).cast(DoubleType).as("sum_price"),
+          count(lit(1)).cast(DoubleType).as("n_items"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_items")),
+          "metric", "value")
+    },
+
+    // windowed quantile binning: ntile quartiles per nation over account
+    // balance — partitioned window (parallelism = nations), decimal-
+    // exact per-bin sums.
+    "q38_ntile_quartiles" -> { (s, dir) =>
+      val byNation = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      T(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          graft.ops.Metrics.decQuantize(col("c_acctbal"), 2)
+            .as("_bal_dec"))
+        .withColumn("tile", ntile(4).over(byNation))
+        .groupBy(col("c_nationkey"), col("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          sum(col("_bal_dec")).cast(DoubleType).as("sum_bal"))
+    },
+
+    // set operators with SQL bag-to-set semantics: customers ordering in
+    // BOTH 1995 and 1996 (INTERSECT), minus any customer with a
+    // low-priority order (EXCEPT) — distinct-key inputs keep the
+    // intersect/except shuffles narrow.
+    "q39_set_ops" -> { (s, dir) =>
+      val o = T(s, dir, "orders")
+      def keysIn(lo: String, hi: String) = o
+        .filter(col("o_orderdate") >= lit(lo).cast(TimestampType) &&
+          col("o_orderdate") < lit(hi).cast(TimestampType))
+        .select(col("o_custkey")).distinct()
+      val lowPrio = o.filter(col("o_orderpriority") === "5-LOW")
+        .select(col("o_custkey")).distinct()
+      keysIn("1995-01-01", "1996-01-01")
+        .intersect(keysIn("1996-01-01", "1997-01-01"))
+        .except(lowPrio)
+    },
+
+    // null-aware NOT IN: events whose (nullable) key is NOT IN the
+    // purchase-user list — three-valued logic (outer NULL → never
+    // qualifies) planned as Spark's null-aware anti join, a broadcast
+    // hash join with the NULL-existence check, not a nested loop.
+    "q40_not_in_nullsafe" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+        .withColumn("uid_n",
+          when(col("value") < lit(1.0d), lit(null).cast(LongType))
+            .otherwise(col("user_id")))
+      ev.createOrReplaceTempView("graft_q40_events")
+      s.sql("""
+        SELECT event_type, count(*) AS n
+        FROM graft_q40_events
+        WHERE uid_n NOT IN (SELECT user_id FROM graft_q40_events
+                            WHERE event_type = 'purchase' AND value > 300.0)
+        GROUP BY event_type""")
+    },
+
     // SCD Type-2 history build: collapse per-user event_type runs into
     // validity intervals [valid_from, valid_to) with an is_current flag —
     // the standard dimension-history op the reference's daily UPSERT
@@ -1062,6 +1154,55 @@ object SparkEntry {
     //       (beyond-horizon duplicate), second dropped (within-horizon)
     // Result = every key twice + both sentinels once, arrival-order
     // independent → exactly SQL-expressible (DISTINCT × 2 ∪ sentinels).
+    // per-source document cap: at most 15 docs per source, admitted in
+    // deterministic (md5(id), id) order — the "no domain dominates the
+    // corpus" rule of a crawl pipeline.
+    "x50_source_caps" -> ((s, dir) =>
+      graft.ext.Corpus.sourceCap(
+        T(s, dir, "documents"), "source", "doc_id", cap = 15)
+        .select("doc_id", "source")),
+
+    // weighted sampling without replacement (A-Res): inclusion odds ∝
+    // document length, yet fully deterministic (md5-addressed u) — the
+    // "oversample long documents" knob of a data-mix pipeline.
+    "x51_weighted_sample" -> ((s, dir) =>
+      graft.ext.Corpus.weightedSample(
+        T(s, dir, "documents"), "doc_id", col("n_chars").cast(DoubleType),
+        k = 100)
+        .select("doc_id", "source", "sample_key")),
+
+    // semantic dedup (SemDeDup): drop every embedding with a lower-id
+    // cosine near-duplicate — detection shares x06's sign-LSH candidate
+    // join, decision is one anti-join; survivors keep full rows.
+    "x52_semantic_dedup" -> ((s, dir) =>
+      graft.ext.DedupOps.semanticDedup(
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, signBits = 6)
+        .select(col("vec_id"), col("label").cast(LongType).as("label"))),
+
+    // k-means (Lloyd's) over the embedding corpus: 2 driver-paced
+    // iterations from the k lowest-id seeds, then the final nearest-
+    // centroid assignment — the trainer for IVF/ANN partition layouts
+    // (x07 consumes buckets like these).
+    "x53_kmeans_assign" -> ((s, dir) =>
+      graft.ext.Clustering.kmeansAssign(
+        T(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+        .select("vec_id", "cluster", "dist")),
+
+    // bloom-prefiltered incremental dedup: x15's exact admission with the
+    // corpus digest set sketched into a broadcast Bloom filter — misses
+    // are provably new and skip the anti-join; only hits (dups + the FP
+    // sliver) pay the shuffle. Same result as x15, so the same oracle
+    // shape gates it.
+    "x54_bloom_dedup" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      graft.ext.Corpus.bloomDedup(incoming, corpus, "text",
+        expectedItems = 10000L, numBits = 131072L)
+        .select("doc_id", "source")
+    },
+
     // stream-stream interval join: view→click attribution within 2h,
     // run as a real watermarked stream; inner-join output set is
     // arrival-order independent → oracle = the same join in batch SQL
@@ -1381,6 +1522,63 @@ object SparkEntry {
          FROM u LEFT JOIN s1 USING (user_id)
                 LEFT JOIN s2 USING (user_id)
                 LEFT JOIN s3 USING (user_id)""",
+
+    "q36_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_qty,
+                count(*) AS n_items
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())""",
+
+    "q37_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+                CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_price,
+                CAST(count(*) AS DOUBLE) AS n_items
+              FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+         UNION ALL
+         SELECT l_returnflag, 'sum_price', sum_price FROM a
+         UNION ALL
+         SELECT l_returnflag, 'n_items', n_items FROM a""",
+
+    "q38_ntile_quartiles" ->
+      """WITH t AS (SELECT c_nationkey, c_acctbal,
+                CAST(c_acctbal AS DECIMAL(20,2)) AS bal_dec,
+                ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal, c_custkey) AS tile
+              FROM customer)
+         SELECT c_nationkey, CAST(tile AS INT) AS tile, count(*) AS n,
+                min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+                CAST(sum(bal_dec) AS DOUBLE) AS sum_bal
+         FROM t GROUP BY 1, 2""",
+
+    "q39_set_ops" ->
+      """SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1996-01-01'
+         INTERSECT
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""",
+
+    "q40_not_in_nullsafe" ->
+      """WITH ev AS (SELECT event_type, value,
+                CASE WHEN value < 1.0 THEN NULL ELSE user_id END AS uid_n
+              FROM events)
+         SELECT event_type, count(*) AS n
+         FROM ev
+         WHERE uid_n NOT IN (SELECT user_id FROM events
+                             WHERE event_type = 'purchase'
+                               AND value > 300.0)
+         GROUP BY 1""",
 
     "q02_region_revenue" ->
       """SELECT r_name, n_name,
@@ -1738,6 +1936,42 @@ object SparkEntry {
       """SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
          FROM embeddings"""
     val cosPairExpr = s"round($dotProd / (${norm("a")} * ${norm("b")}), 6)"
+    // Lloyd's k-means, unrolled to SQL CTEs (must mirror
+    // graft.ext.Clustering.kmeansAssign: k=8 lowest-id seeds, 2 update
+    // rounds, squared-L2 argmin with lowest-seed tiebreak, empty
+    // clusters drop out via GROUP BY). Distances are the same
+    // left-fold-from-zero sum as the engine's `aggregate`, so argmin
+    // compares identical doubles; only the centroid means carry
+    // summation-order wiggle (~1 ulp, far below any argmin gap).
+    val kmeansOracle: String = {
+      val (dim, k, iters) = (64, 8, 2)
+      def d2 =
+        """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(v.e, c.e),
+               p -> (p[1]-p[2])*(p[1]-p[2]))),
+             (acc, x) -> acc + x)"""
+      def assign(i: Int, cPrev: String, last: Boolean) =
+        s"""a$i AS (SELECT vec_id, cl${if (last) ", d" else ""} FROM (
+              SELECT vec_id, cl, d, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d, cl) AS rn
+              FROM (SELECT v.vec_id, c.cl, $d2 AS d
+                    FROM v, $cPrev c))
+            WHERE rn = 1)"""
+      def centroid(i: Int) =
+        s"""c$i AS (SELECT cl, list(m ORDER BY i) AS e FROM (
+              SELECT a.cl, g.i, avg(v.e[g.i]) AS m
+              FROM a$i a JOIN v USING (vec_id),
+                   generate_series(1, $dim) AS g(i)
+              GROUP BY a.cl, g.i) GROUP BY cl)"""
+      val ctes = (1 to iters).flatMap(i =>
+        Seq(assign(i, s"c${i - 1}", last = false), centroid(i))) :+
+        assign(iters + 1, s"c$iters", last = true)
+      s"""WITH v AS ($vecs),
+          c0 AS (SELECT vec_id AS cl, e FROM v ORDER BY vec_id LIMIT $k),
+          ${ctes.mkString(",\n")}
+          SELECT vec_id, cl AS cluster, round(d, 6) AS dist
+          FROM a${iters + 1}"""
+    }
     // rolling-hash fingerprint (must mirror TextAnalysis.fingerprint)
     val fp =
       """list_reduce(
@@ -2359,6 +2593,56 @@ object SparkEntry {
                   CAST(len(toks[u.s+1 : u.s+64]) AS BIGINT)
                     AS n_chunk_tokens
            FROM t CROSS JOIN unnest(range(0, len(toks), 48)) AS u(s)""",
+
+      "x50_source_caps" ->
+        """SELECT doc_id, source FROM (
+             SELECT doc_id, source, row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             FROM documents) WHERE rk <= 15""",
+
+      // same ln(u)/w scoring as the engine: u = (first-8-md5-hex + 1) /
+      // 2^32, identical double arithmetic on both sides
+      "x51_weighted_sample" ->
+        """WITH s AS (SELECT doc_id, source,
+                ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      ::BIGINT + 1) / 4294967296.0)
+                  / CAST(n_chars AS DOUBLE) AS key
+              FROM documents WHERE n_chars > 0)
+           SELECT doc_id, source, round(key, 6) AS sample_key
+           FROM s ORDER BY key DESC, doc_id ASC LIMIT 100""",
+
+      // x06's candidate+verify pair set, then the greedy decision:
+      // survivors are rows never appearing on a pair's high side
+      "x52_semantic_dedup" ->
+        s"""WITH v AS ($vecs),
+            b AS (SELECT vec_id, e,
+                    (CASE WHEN e[1]>=0 THEN 1 ELSE 0 END
+                   + CASE WHEN e[2]>=0 THEN 2 ELSE 0 END
+                   + CASE WHEN e[3]>=0 THEN 4 ELSE 0 END
+                   + CASE WHEN e[4]>=0 THEN 8 ELSE 0 END
+                   + CASE WHEN e[5]>=0 THEN 16 ELSE 0 END
+                   + CASE WHEN e[6]>=0 THEN 32 ELSE 0 END)::BIGINT AS b0
+                  FROM v),
+            p AS (SELECT b.vec_id AS vec_b
+                  FROM b a JOIN b b
+                    ON a.vec_id < b.vec_id
+                   AND bit_count(xor(a.b0, b.b0)) <= 1
+                  WHERE $cosPairExpr >= 0.35)
+            SELECT vec_id, CAST(label AS BIGINT) AS label
+            FROM embeddings
+            WHERE vec_id NOT IN (SELECT vec_b FROM p)""",
+
+      "x53_kmeans_assign" -> kmeansOracle,
+
+      // exactly x15's admission predicate — the bloom pass is a plan
+      // optimization, not a semantics change, and the oracle proves it
+      "x54_bloom_dedup" ->
+        """SELECT i.doc_id, i.source FROM documents i
+           WHERE i.doc_id % 5 = 4
+             AND NOT EXISTS (SELECT 1 FROM documents c
+                             WHERE c.doc_id % 5 < 4
+                               AND c.text = i.text)""",
 
       "x17_length_buckets" ->
         """WITH t AS (

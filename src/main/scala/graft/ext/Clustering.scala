@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed Lloyd's k-means over an embedding column — the centroid
+  * trainer behind IVF-style ANN partitioning (x07 probes buckets; this op
+  * LEARNS data-adapted buckets instead of sign-LSH's data-oblivious ones).
+  *
+  * Architecture is the canonical Spark shape (same as MLlib's KMeans):
+  * centroids live on the DRIVER (k × dim doubles — bytes, not data),
+  * assignments are a pure projection against centroid LITERALS folded
+  * into whole-stage codegen (no join, no shuffle for the assign step),
+  * and the centroid update is one partial-agg shuffle of k × dim cells
+  * per partition. Per iteration the data is touched once; nothing wider
+  * than k × dim ever moves. That plan is invariant to corpus size — at
+  * 100 TB the only growth is the scan.
+  *
+  * Determinism contract: seeds are the k lowest-id rows (content-
+  * addressed, no RNG), ties in the nearest-centroid argmin break to the
+  * lowest seed id, and a cluster that empties simply drops out of the
+  * next round (both engines' GROUP BY semantics — mirrored by the
+  * oracle). Distances compare as exact sums of squares; the only cross-
+  * engine wiggle is the 1-ulp tail of the centroid means, far below any
+  * realistic argmin gap.
+  */
+object Clustering {
+
+  /** Assign every row to its nearest centroid after `iters` Lloyd
+    * updates. Output: (idCol, cluster, dist) — cluster is the SEED row's
+    * id, dist the final squared Euclidean distance rounded to 6. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
+    val vecs = df.select(col(idCol),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("_v"))
+
+    // seeds: the k lowest ids — deterministic, engine-portable init
+    var centroids: Seq[(Long, Seq[Double])] = vecs
+      .orderBy(col(idCol).asc).limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+    val dim = centroids.head._2.length
+    require(centroids.forall(_._2.length == dim),
+      "ragged embedding column")
+
+    // squared L2 to one centroid literal: codegen'd zip_with/aggregate,
+    // evaluated entirely inside the row projection
+    def dist2(c: Seq[Double]) = aggregate(
+      zip_with(col("_v"), typedLit(c), (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, x) => acc + x)
+
+    def assignOnce = {
+      val ds = array(centroids.map(c => dist2(c._2)): _*)
+      val ids = typedLit(centroids.map(_._1))
+      vecs.withColumn("_d", ds)
+        .withColumn("dist", array_min(col("_d")))
+        .withColumn("cluster",
+          element_at(ids, array_position(col("_d"), col("dist"))
+            .cast(IntegerType)))
+        .select(col(idCol), col("_v"), col("cluster"), col("dist"))
+    }
+
+    for (_ <- 0 until iters) {
+      // one shuffle of (cluster, pos) cells — k*dim per partition after
+      // the map-side partial agg, regardless of row count
+      val cells = assignOnce
+        .select(col("cluster"), posexplode(col("_v")).as(Seq("_p", "_x")))
+        .groupBy(col("cluster"), col("_p"))
+        .agg(avg(col("_x")).as("_m"))
+        .collect()
+      centroids = cells.groupBy(_.getLong(0)).toSeq
+        .map { case (cl, rows) =>
+          val m = new Array[Double](dim)
+          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+          (cl, m.toSeq)
+        }
+        .sortBy(_._1)
+    }
+
+    assignOnce.select(col(idCol), col("cluster"),
+      round(col("dist"), 6).as("dist"))
+  }
+}

@@ -279,4 +279,90 @@ object Corpus {
       .filter(col("cum_tokens") <= budget)
       .drop("addr")
   }
+
+  /** Per-source document cap: keep at most `cap` docs per source, admitted
+    * in deterministic (md5(id), id) order — the web-corpus "no domain may
+    * contribute more than K documents" rule. Unlike [[stratifiedSample]]
+    * (a keep-RATE per stratum), this is an exact COUNT bound, which needs
+    * a per-group total order.
+    *
+    * Scale shape: one rank window partitioned by source — parallelism =
+    * #sources, and a mega-domain funnels its group through one task's
+    * sort. That is inherent to an exact cap; at crawl scale, pre-filter
+    * hot domains with the hash-threshold sampler first (rate ≈
+    * cap/domain_count from a frequency sketch), then apply the exact cap
+    * to the survivors — the window then sorts O(cap) rows per domain. */
+  def sourceCap(df: DataFrame, groupCol: String, idCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive (got $cap)")
+    val byGroup = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast(StringType).cast(BinaryType)).asc,
+        col(idCol).asc)
+    df.withColumn("_graft_rk", row_number().over(byGroup))
+      .filter(col("_graft_rk") <= cap)
+      .drop("_graft_rk")
+  }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis A-Res, Inf. Process. Lett. 97(5), 2006): each row draws a
+    * reproducible uniform u ∈ (0,1] from its md5 address and scores
+    * key = ln(u) / w — taking the global top-k by key is an exact
+    * weighted sample (inclusion probability ∝ weight), yet fully
+    * deterministic: same ids + same weights → same sample, across runs,
+    * partitionings, and engines.
+    *
+    * Scale shape: narrow projection + TakeOrderedAndProject (per-partition
+    * k-heaps, driver merges k rows) — no shuffle of the data, no RNG
+    * state, no total sort. Rows with non-positive weight are excluded. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    // first 8 md5 hex digits → integer in [0, 2^32) → u in (0, 1]
+    val u = (conv(substring(
+        md5(col(idCol).cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+      .cast(DoubleType) + 1.0d) / 4294967296.0d
+    df.filter(weightCol > 0d)
+      .withColumn("_graft_key", log(u) / weightCol)
+      .orderBy(col("_graft_key").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("sample_key", round(col("_graft_key"), 6))
+      .drop("_graft_key")
+  }
+
+  /** [[incrementalDedup]] with a Bloom-filter pre-filter: build a bloom
+    * sketch of the corpus digests ONE pass (mergeable partial filters,
+    * driver holds numBits/8 bytes), broadcast it, and split incoming on
+    * `might_contain`. Misses are PROVABLY new (no false negatives) and are
+    * admitted with zero shuffle; only the hit fraction — true duplicates
+    * plus the ~(items/bits-tuned) false-positive sliver — pays the exact
+    * digest anti-join. Result is EXACTLY [[incrementalDedup]]'s (the FP
+    * sliver is re-checked), which is what makes this oracle-checkable.
+    *
+    * At 100 TB this is the canonical shape: the anti-join's shuffle
+    * shrinks from |incoming| to |dup ∪ fp|, usually orders of magnitude,
+    * for one broadcast of a few MB.
+    *
+    * Eager statistic job: building the filter runs a Spark job at
+    * DataFrame-construction time (same plan-freezing behavior as
+    * `ngramJaccardPairs`' hot-list scan) — build when the corpus side is
+    * settled. */
+  def bloomDedup(incoming: DataFrame, corpus: DataFrame, textCol: String,
+      expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
+    import graft.functions.BloomExprs
+    BloomExprs.register(incoming.sparkSession)
+    val filterBytes = corpus
+      .agg(BloomExprs.bloomAgg(xxhash64(digest(col(textCol))),
+        expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (filterBytes == null) incoming // empty corpus: everything is new
+    else {
+      val hit = BloomExprs.mightContain(lit(filterBytes),
+        xxhash64(digest(col(textCol))))
+      val tagged = incoming.withColumn("_graft_hit", hit)
+      val certainlyNew = tagged.filter(!col("_graft_hit"))
+        .drop("_graft_hit")
+      val suspects = tagged.filter(col("_graft_hit")).drop("_graft_hit")
+      certainlyNew.unionByName(incrementalDedup(suspects, corpus, textCol))
+    }
+  }
 }

@@ -735,4 +735,26 @@ object DedupOps {
           col("total_tokens").cast(DoubleType)), lit(0.0)), 6)
           .as("dup_fraction"))
   }
+
+  /** Semantic (embedding-space) deduplication, SemDeDup-style (Abbas et
+    * al., arXiv:2303.09540): a row survives iff NO lower-id row lies
+    * within cosine `threshold` of it — detection via [[cosineDupPairs]]'
+    * sign-LSH multi-probe candidates, decision via a greedy
+    * lowest-id-wins anti-join on the pair list's high side.
+    *
+    * This is the pairwise greedy rule, NOT connected components: a row
+    * paired only with already-dropped rows is still dropped (its lower
+    * near-dup existed in the corpus). The components variant — keep one
+    * per transitive cluster — is [[dedupClusters]] + canonical selection
+    * (x31/x32); this op is the cheap single-shuffle decision used when
+    * the pair graph is shallow, the common case at tight thresholds.
+    *
+    * Scale shape: inherits cosineDupPairs' bucketed candidate join (no
+    * all-pairs), then ONE anti-join keyed on an 8-byte id. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, signBits: Int = 6): DataFrame = {
+    val dropped = cosineDupPairs(df, idCol, vecCol, threshold, signBits)
+      .select(col("vec_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
 }

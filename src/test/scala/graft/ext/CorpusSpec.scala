@@ -211,4 +211,69 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L)) // "one two three four five" only
   }
+
+  test("sourceCap: exact per-group bound, deterministic, partition-stable") {
+    val docs = (0L until 100L).map(i => (i, s"g${i % 3}"))
+      .toDF("doc_id", "grp")
+    val got = Corpus.sourceCap(docs, "grp", "doc_id", cap = 10)
+      .select("doc_id", "grp").as[(Long, String)].collect().toSet
+    val perGroup = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perGroup == Map("g0" -> 10, "g1" -> 10, "g2" -> 10))
+    // same admission set under a different physical layout
+    val again = Corpus.sourceCap(docs.repartition(7), "grp", "doc_id", 10)
+      .select("doc_id", "grp").as[(Long, String)].collect().toSet
+    assert(again == got)
+    // a group under its cap is passed through whole
+    val small = Corpus.sourceCap(docs.filter($"doc_id" < 5L), "grp",
+      "doc_id", 10)
+    assert(small.count() == 5L)
+    assertThrows[IllegalArgumentException](
+      Corpus.sourceCap(docs, "grp", "doc_id", 0))
+  }
+
+  test("weightedSample: k rows, positive weights only, biased to weight") {
+    // two strata: ids 0-99 weight 1, ids 100-199 weight 50; a weighted
+    // sample of 40 must draw overwhelmingly from the heavy stratum
+    val docs = (0L until 200L)
+      .map(i => (i, if (i < 100) 1.0d else 50.0d))
+      .toDF("doc_id", "w")
+    val got = Corpus.weightedSample(docs, "doc_id", col("w"), k = 40)
+    assert(got.count() == 40L)
+    val heavy = got.filter($"doc_id" >= 100L).count()
+    assert(heavy >= 30L, s"heavy stratum drew only $heavy of 40")
+    // deterministic: same frame, different partitioning → same sample
+    val again = Corpus.weightedSample(docs.repartition(9), "doc_id",
+      col("w"), k = 40).select("doc_id").as[Long].collect().toSet
+    assert(again ==
+      got.select("doc_id").as[Long].collect().toSet)
+    // zero/negative weights are never sampled
+    val withZero = docs.withColumn("w",
+      when($"doc_id" === 7L, lit(0.0d)).otherwise($"w"))
+    assert(!Corpus.weightedSample(withZero, "doc_id", col("w"), 200)
+      .select("doc_id").as[Long].collect().contains(7L))
+  }
+
+  test("bloomDedup is exactly incrementalDedup (FP sliver re-verified)") {
+    val corpus = (0L until 300L).map(i => (i, s"corpus text $i"))
+      .toDF("doc_id", "text")
+    val incoming = (0L until 300L)
+      .map(i => (1000L + i, if (i % 3 == 0) s"corpus text $i"
+                            else s"fresh text $i"))
+      .toDF("doc_id", "text")
+    // deliberately undersized filter → real false positives → the exact
+    // re-check path is genuinely exercised
+    val viaBloom = Corpus.bloomDedup(incoming, corpus, "text",
+      expectedItems = 50L, numBits = 256L)
+      .select("doc_id").as[Long].collect().toSet
+    val exact = Corpus.incrementalDedup(incoming, corpus, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaBloom == exact)
+    assert(exact.size == 200) // the 2/3 fresh slice
+  }
+
+  test("bloomDedup with empty corpus admits everything") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val incoming = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Corpus.bloomDedup(incoming, corpus, "text").count() == 2L)
+  }
 }

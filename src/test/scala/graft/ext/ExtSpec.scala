@@ -204,6 +204,19 @@ class ExtSpec extends SparkSpec {
     assert(rMulti >= 0.5, s"multi-probe recall@5 too low: $rMulti")
   }
 
+  test("semanticDedup: drops exactly the pair-list high sides") {
+    val survivors = DedupOps.semanticDedup(embs, "vec_id", "embedding",
+        threshold = 0.35, signBits = 6)
+      .select("vec_id").as[Long].collect().toSet
+    val all = embs.select("vec_id").as[Long].collect().toSet
+    val highSides = DedupOps.cosineDupPairs(embs, "vec_id", "embedding",
+        threshold = 0.35, signBits = 6)
+      .select("vec_b").as[Long].collect().toSet
+    assert(survivors == all -- highSides)
+    // greedy rule sanity: the globally lowest id always survives
+    assert(survivors.contains(all.min))
+  }
+
   test("langId: deterministic, known-stopword text → en") {
     val out = Seq("the a of and x", "zzz qqq")
       .toDF("text").select(TextAnalysis.langId(col("text")).as("l"))
