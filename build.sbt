@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` inherits stdout directly: Bench's one-line JSON metric
+// must reach the caller unprefixed (sbt's logger would wrap it in
+// "[info] ", which breaks line-oriented JSON parsing downstream).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
