@@ -729,6 +729,50 @@ object SparkEntry {
         GROUP BY event_type""")
     },
 
+    // correlated scalar subquery, decorrelated: small-quantity orders vs
+    // 0.2 × that part's average quantity (TPC-H Q17 shape) — the
+    // correlation becomes ONE per-key pre-aggregate re-joined to the
+    // facts; the brand dimension broadcasts. Threshold math is exact-
+    // decimal sums divided as identical doubles on both engines.
+    "q41_correlated_avg" -> { (s, dir) =>
+      val li = T(s, dir, "lineitem").select(col("l_partkey"),
+        col("l_quantity"),
+        graft.ops.Metrics.decQuantize(col("l_extendedprice"), 6)
+          .as("_price_dec"),
+        graft.ops.Metrics.decQuantize(col("l_quantity"), 4).as("_qty_dec"))
+      val thr = li.groupBy("l_partkey")
+        .agg((sum(col("_qty_dec")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType) * lit(0.2d)).as("_thr"))
+      val brands = T(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      li.join(thr, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("_thr"))
+        .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg((sum(col("_price_dec")).cast(DoubleType) / lit(7.0d))
+            .as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // event-time RANGE window frame: per-user trailing-1h running sum —
+    // value-based frame bounds (not row counts), exact-µs arithmetic,
+    // decimal-exact window sums; parallelism = users.
+    "q42_range_frame" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          graft.ops.Metrics.decQuantize(col("value"), 6).as("_val_dec"))
+        .withColumn("trailing_1h_sum",
+          sum(col("_val_dec")).over(w).cast(DoubleType))
+        .withColumn("trailing_1h_n",
+          count(lit(1)).over(w))
+        .select("event_id", "user_id", "ts_us", "trailing_1h_sum",
+          "trailing_1h_n")
+    },
+
     // SCD Type-2 history build: collapse per-user event_type runs into
     // validity intervals [valid_from, valid_to) with an is_current flag —
     // the standard dimension-history op the reference's daily UPSERT
@@ -1203,6 +1247,24 @@ object SparkEntry {
         .select("doc_id", "source")
     },
 
+    // bigram LM statistics: top-50 bigrams with P(w2|w1) — integer
+    // counts, one hash agg, vocabulary-partitioned denominator window.
+    "x55_bigram_lm" -> ((s, dir) =>
+      graft.ext.TextAnalysis.bigramStats(
+        T(s, dir, "documents"), "text", k = 50)),
+
+    // character-entropy quality proxy (bits/char): distributional
+    // degenerate-text signal next to x28's repetition ratio.
+    "x56_char_entropy" -> ((s, dir) =>
+      graft.ext.TextAnalysis.charEntropy(
+        T(s, dir, "documents"), "doc_id", "text")),
+
+    // in-batch negative sampling for contrastive training: hash-bucket
+    // "batches", md5-ring successors, same-source neighbors rejected.
+    "x57_inbatch_negatives" -> ((s, dir) =>
+      graft.ext.Corpus.inBatchNegatives(
+        T(s, dir, "documents"), "doc_id", "source", k = 3, buckets = 8)),
+
     // stream-stream interval join: view→click attribution within 2h,
     // run as a real watermarked stream; inner-join output set is
     // arrival-order independent → oracle = the same join in batch SQL
@@ -1579,6 +1641,30 @@ object SparkEntry {
                              WHERE event_type = 'purchase'
                                AND value > 300.0)
          GROUP BY 1""",
+
+    "q41_correlated_avg" ->
+      """WITH thr AS (SELECT l_partkey,
+                CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+                  / count(*) * 0.2 AS t
+              FROM lineitem GROUP BY 1)
+         SELECT p_brand,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+                  / 7.0 AS avg_yearly,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN thr USING (l_partkey)
+         JOIN part ON p_partkey = l_partkey
+         WHERE l_quantity < t
+         GROUP BY 1""",
+
+    "q42_range_frame" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
+                  AS trailing_1h_sum,
+                count(*) OVER w AS trailing_1h_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
 
     "q02_region_revenue" ->
       """SELECT r_name, n_name,
@@ -2643,6 +2729,61 @@ object SparkEntry {
              AND NOT EXISTS (SELECT 1 FROM documents c
                              WHERE c.doc_id % 5 < 4
                                AND c.text = i.text)""",
+
+      "x55_bigram_lm" ->
+        """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+')
+                        AS toks FROM documents),
+           bg AS (SELECT unnest([{'w1': toks[i+1], 'w2': toks[i+2]}
+                                 for i in range(len(toks)-1)],
+                                recursive := true)
+                  FROM t),
+           c AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+           d AS (SELECT w1, w2, c12,
+                   CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+                 FROM c)
+           SELECT w1, w2, c12, c1, round(c12 * 1.0 / c1, 6) AS p
+           FROM d ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 50""",
+
+      "x56_char_entropy" ->
+        """WITH ch AS (SELECT doc_id,
+                unnest([substr(text, CAST(i + 1 AS INT), 1)
+                        for i in range(length(text))]) AS ch
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0),
+           c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+           p AS (SELECT doc_id, c * 1.0 /
+                   sum(c) OVER (PARTITION BY doc_id) AS p
+                 FROM c)
+           SELECT doc_id, round(-sum(p * log2(p)), 6) AS entropy,
+                  count(*) AS n_distinct_chars
+           FROM p GROUP BY doc_id""",
+
+      "x57_inbatch_negatives" ->
+        """WITH s AS (SELECT doc_id, source,
+                md5(CAST(doc_id AS VARCHAR)) AS addr,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                  ::BIGINT % 8 AS bucket
+              FROM documents),
+           n AS (SELECT doc_id, source, bucket,
+                   lead(doc_id, 1) OVER w AS n1,
+                   lead(source, 1) OVER w AS g1,
+                   lead(doc_id, 2) OVER w AS n2,
+                   lead(source, 2) OVER w AS g2,
+                   lead(doc_id, 3) OVER w AS n3,
+                   lead(source, 3) OVER w AS g3
+                 FROM s
+                 WINDOW w AS (PARTITION BY bucket
+                              ORDER BY addr ASC, doc_id ASC)),
+           u AS (SELECT doc_id, source, bucket,
+                   unnest([{'neg_id': n1, 'neg_grp': g1, 'neg_rank': 1},
+                           {'neg_id': n2, 'neg_grp': g2, 'neg_rank': 2},
+                           {'neg_id': n3, 'neg_grp': g3, 'neg_rank': 3}],
+                          recursive := true)
+                 FROM n)
+           SELECT doc_id, bucket, neg_id,
+                  CAST(neg_rank AS BIGINT) AS neg_rank
+           FROM u
+           WHERE neg_id IS NOT NULL AND neg_grp <> source""",
 
       "x17_length_buckets" ->
         """WITH t AS (

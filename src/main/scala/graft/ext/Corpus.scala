@@ -365,4 +365,42 @@ object Corpus {
       certainlyNew.unionByName(incrementalDedup(suspects, corpus, textCol))
     }
   }
+
+  /** In-batch negative sampling for contrastive training: hash every doc
+    * into one of `buckets` pseudo-random "batches", order each batch on
+    * the md5 ring, and pair each doc with its next `k` ring successors as
+    * negatives — dropping successors that share the doc's `groupCol`
+    * (a same-source neighbor is not a valid negative). Deterministic end
+    * to end: same corpus → same negatives, no RNG state.
+    *
+    * Scale shape: one narrow projection (bucket + ring address) and one
+    * window partitioned by bucket (parallelism = buckets; size them to
+    * ~batch size × shard count). Ring ends emit fewer than k negatives —
+    * the documented boundary loss, bounded by k per bucket. */
+  def inBatchNegatives(df: DataFrame, idCol: String, groupCol: String,
+      k: Int = 3, buckets: Int = 8): DataFrame = {
+    require(k >= 1 && buckets >= 1,
+      s"need k >= 1, buckets >= 1 (got $k, $buckets)")
+    val addr = md5(col(idCol).cast(StringType).cast(BinaryType))
+    val ring = Window.partitionBy(col("bucket"))
+      .orderBy(col("addr").asc, col(idCol).asc)
+    val staged = df.select(col(idCol), col(groupCol),
+        addr.as("addr"),
+        (conv(substring(addr, 1, 2), 16, 10).cast(LongType) %
+          buckets).as("bucket"))
+    val withNegs = (1 to k).foldLeft(staged) { (acc, i) =>
+      acc.withColumn(s"_nid_$i", lead(col(idCol), i).over(ring))
+        .withColumn(s"_ngrp_$i", lead(col(groupCol), i).over(ring))
+    }
+    val negs = array((1 to k).map(i =>
+      struct(col(s"_nid_$i").as("neg_id"), col(s"_ngrp_$i").as("neg_grp"),
+        lit(i).cast(LongType).as("neg_rank"))): _*)
+    withNegs
+      .select(col(idCol), col(groupCol), col("bucket"),
+        explode(negs).as("n"))
+      .filter(col("n.neg_id").isNotNull &&
+        col("n.neg_grp") =!= col(groupCol))
+      .select(col(idCol), col("bucket"), col("n.neg_id").as("neg_id"),
+        col("n.neg_rank").as("neg_rank"))
+  }
 }

@@ -263,4 +263,59 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df_t"),
         col("score"), col("rank").cast(LongType).as("rank"))
   }
+
+  /** Corpus bigram language-model statistics: the top-k (w1, w2) pairs by
+    * count, with the conditional probability P(w2|w1) = c(w1 w2)/c(w1 ·) —
+    * the classic n-gram LM estimation step (and the input to pointwise
+    * mutual information / collocation mining).
+    *
+    * Shapes for scale: bigrams come from a narrow zip of two slices (no
+    * index join), counts are ONE hash agg with map-side combine, the
+    * denominator is a window over the w1 partition (parallelism =
+    * vocabulary, no second shuffle of the raw pairs), and the top-k is
+    * TakeOrdered (per-partition heaps), never a global sort. Counts are
+    * integers; the probability is one IEEE division — engine-exact. */
+  def bigramStats(df: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val toks = tokens(col(textCol))
+    val pairs = df
+      .select(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))).as("bg"))
+      .select(explode(col("bg")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val byW1 = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    counts
+      .withColumn("c1", sum(col("c12")).over(byW1))
+      .withColumn("p", round(col("c12").cast(DoubleType) /
+        col("c1").cast(DoubleType), 6))
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** Per-document character-unigram Shannon entropy (bits/char) — the
+    * cheap perplexity proxy that separates natural text from repetitive
+    * or degenerate content (complements [[repetitionRatio]]'s n-gram
+    * view with a distributional one).
+    *
+    * Scale shape: the per-char explode fans out, but the very next hash
+    * agg's map-side combine collapses it back to ≤ |alphabet| rows per
+    * (doc, partition) before any shuffle; the shuffle key is (doc_id,
+    * char). Documents with no characters produce no row (mirrored by the
+    * oracle's length > 0 guard). */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), ""))
+        .as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .withColumn("p", col("c").cast(DoubleType) /
+        sum(col("c")).over(byDoc).cast(DoubleType))
+      .groupBy("doc_id")
+      .agg(round(-sum(col("p") * log(2.0, col("p"))), 6).as("entropy"),
+        count(lit(1)).as("n_distinct_chars"))
+  }
 }

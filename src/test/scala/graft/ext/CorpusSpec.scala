@@ -271,6 +271,30 @@ class CorpusSpec extends SparkSpec {
     assert(exact.size == 200) // the 2/3 fresh slice
   }
 
+  test("inBatchNegatives: ring successors, same-group rejected, " +
+      "deterministic") {
+    val docs = (0L until 64L).map(i => (i, s"g${i % 4}"))
+      .toDF("doc_id", "grp")
+    val got = Corpus.inBatchNegatives(docs, "doc_id", "grp", k = 3,
+        buckets = 4)
+      .select("doc_id", "neg_id", "neg_rank")
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // no self-negatives, at most k per doc, ranks in 1..k
+    assert(got.forall { case (d, n, _) => d != n })
+    assert(got.groupBy(_._1).values.forall(_.length <= 3))
+    assert(got.forall { case (_, _, r) => r >= 1 && r <= 3 })
+    // a negative never shares the anchor's group
+    val grpOf = (0L until 64L).map(i => i -> s"g${i % 4}").toMap
+    assert(got.forall { case (d, n, _) => grpOf(d) != grpOf(n) })
+    // partition-layout invariant
+    val again = Corpus.inBatchNegatives(docs.repartition(7), "doc_id",
+        "grp", 3, 4)
+      .select("doc_id", "neg_id", "neg_rank")
+      .as[(Long, Long, Long)].collect()
+    assert(again.toSet == got.toSet)
+  }
+
   test("bloomDedup with empty corpus admits everything") {
     val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val incoming = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")

@@ -217,6 +217,42 @@ class ExtSpec extends SparkSpec {
     assert(survivors.contains(all.min))
   }
 
+  test("bigramStats: hand-computed counts and conditionals") {
+    val docs = Seq("a b a b c", "a b").toDF("text")
+    // bigrams: (a,b)×3, (b,a)×1, (b,c)×1 → c1(a·)=3, c1(b·)=2
+    val got = TextAnalysis.bigramStats(docs, "text", k = 10)
+      .select("w1", "w2", "c12", "c1", "p")
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("a", "b", 3L, 3L, 1.0),
+      ("b", "a", 1L, 2L, 0.5),
+      ("b", "c", 1L, 2L, 0.5)))
+    // k truncates on (count desc, w1, w2)
+    val top1 = TextAnalysis.bigramStats(docs, "text", k = 1)
+      .select("w1", "w2").as[(String, String)].collect().toSeq
+    assert(top1 == Seq(("a", "b")))
+  }
+
+  test("bigramStats: single-token and empty docs contribute nothing") {
+    val docs = Seq("solo", "", "x y").toDF("text")
+    val got = TextAnalysis.bigramStats(docs, "text", 10)
+      .select("w1", "w2").as[(String, String)].collect().toSet
+    assert(got == Set(("x", "y")))
+  }
+
+  test("charEntropy: exact bits for uniform and degenerate alphabets") {
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .select("doc_id", "entropy", "n_distinct_chars")
+      .as[(Long, Double, Long)].collect()
+      .map { case (a, b, c) => a -> ((b, c)) }.toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // empty doc: no row
+    assert(math.abs(got(1L)._1 - 0.0) < 1e-12 && got(1L)._2 == 1L)
+    assert(math.abs(got(2L)._1 - 1.0) < 1e-12 && got(2L)._2 == 2L)
+    assert(math.abs(got(3L)._1 - 2.0) < 1e-12 && got(3L)._2 == 4L)
+  }
+
   test("langId: deterministic, known-stopword text → en") {
     val out = Seq("the a of and x", "zzz qqq")
       .toDF("text").select(TextAnalysis.langId(col("text")).as("l"))
