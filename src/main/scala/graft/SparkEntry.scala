@@ -773,6 +773,21 @@ object SparkEntry {
           "trailing_1h_n")
     },
 
+    // COUNT(DISTINCT) as a window function — Spark doesn't support
+    // distinct window aggregates, so the engine rewrites to the standard
+    // dense_rank-max identity (two windows over ONE shuffle of the same
+    // partition key); the oracle runs the literal distinct window.
+    "q43_window_count_distinct" -> { (s, dir) =>
+      val byType = Window.partitionBy(col("event_type"))
+      T(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .withColumn("_dr", dense_rank().over(
+          byType.orderBy(col("user_id").asc)))
+        .withColumn("n_distinct_users",
+          max(col("_dr")).over(byType).cast(LongType))
+        .drop("_dr")
+    },
+
     // SCD Type-2 history build: collapse per-user event_type runs into
     // validity intervals [valid_from, valid_to) with an is_current flag —
     // the standard dimension-history op the reference's daily UPSERT
@@ -1265,6 +1280,27 @@ object SparkEntry {
       graft.ext.Corpus.inBatchNegatives(
         T(s, dir, "documents"), "doc_id", "source", k = 3, buckets = 8)),
 
+    // fixed-weight logistic quality scoring: model inference as a pure
+    // codegen projection over the x09 signals — no UDF, no model server.
+    "x58_quality_classifier" -> ((s, dir) =>
+      graft.ext.TextAnalysis.qualityLogit(T(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+          "quality_prob")),
+
+    // dataset-card summary: the one-row corpus profile (docs, tokens,
+    // languages, sources, exact-dup count via digest distinct) a
+    // training-data release ships with. All-integer → engine-exact.
+    "x59_corpus_card" -> ((s, dir) =>
+      T(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.ext.TextAnalysis.tokenCount(col("text")))
+          .as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        (count(lit(1)) -
+          countDistinct(graft.ext.Corpus.digest(col("text"))))
+          .as("n_exact_dups"))),
+
     // stream-stream interval join: view→click attribution within 2h,
     // run as a real watermarked stream; inner-join output set is
     // arrival-order independent → oracle = the same join in batch SQL
@@ -1665,6 +1701,12 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
+    "q43_window_count_distinct" ->
+      """SELECT event_id, event_type, user_id,
+                count(DISTINCT user_id)
+                  OVER (PARTITION BY event_type) AS n_distinct_users
+         FROM events""",
 
     "q02_region_revenue" ->
       """SELECT r_name, n_name,
@@ -2784,6 +2826,44 @@ object SparkEntry {
                   CAST(neg_rank AS BIGINT) AS neg_rank
            FROM u
            WHERE neg_id IS NOT NULL AND neg_grp <> source""",
+
+      // replays x09's signal derivation, then the same left-associated
+      // logit chain over the ROUNDED ratios
+      "x58_quality_classifier" ->
+        """WITH s AS (
+             SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+                 AS n_punct,
+               CAST(len(list_filter(
+                 regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','it')))
+                 AS BIGINT) AS n_stopwords
+             FROM documents),
+           r AS (
+             SELECT doc_id, n_tokens,
+               round(CASE WHEN n_chars = 0 THEN 0
+                     ELSE n_punct*1.0/n_chars END, 6) AS punct_ratio,
+               round(CASE WHEN n_tokens = 0 THEN 0
+                     ELSE n_stopwords*1.0/n_tokens END, 6) AS stopword_ratio
+             FROM s)
+           SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+                  round(1.0 / (1.0 + exp(-(-1.0 + 2.5*stopword_ratio
+                                           - 4.0*punct_ratio
+                                           + 0.35*ln(1.0 + n_tokens)))), 6)
+                    AS quality_prob
+           FROM r""",
+
+      "x59_corpus_card" ->
+        """SELECT count(*) AS n_docs,
+                  CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                    AS BIGINT) AS total_tokens,
+                  count(DISTINCT lang) AS n_langs,
+                  count(DISTINCT source) AS n_sources,
+                  count(*) - count(DISTINCT text) AS n_exact_dups
+           FROM documents""",
 
       "x17_length_buckets" ->
         """WITH t AS (

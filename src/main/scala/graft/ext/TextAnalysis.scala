@@ -106,6 +106,23 @@ object TextAnalysis {
             lit(0.2) * when(col("punct_ratio") > 0.2, lit(0.0))
               .otherwise(lit(1.0))), 6))
 
+  /** Fixed-weight logistic quality classifier: P(keep) from the x09
+    * signal columns — the "model scoring as a codegen projection"
+    * pattern. The weights are illustrative public heuristics (stopwords
+    * up, punctuation soup down, log-length up); swapping in trained
+    * weights changes literals, not the plan. Inputs are the ROUNDED
+    * ratio columns, so the logit is a short chain of correctly-rounded
+    * IEEE ops over engine-identical values — deterministic across
+    * engines to well inside the 1e-6 output rounding. */
+  def qualityLogit(df: DataFrame, textCol: String): DataFrame = {
+    val z = lit(-1.0d) + lit(2.5d) * col("stopword_ratio") -
+      lit(4.0d) * col("punct_ratio") +
+      lit(0.35d) * log(lit(1.0d) + col("n_tokens").cast(DoubleType))
+    qualitySignals(df, textCol)
+      .withColumn("quality_prob",
+        round(lit(1.0d) / (lit(1.0d) + exp(-z)), 6))
+  }
+
   /** Canonical text normalization ahead of dedup/fingerprinting:
     * lowercase, collapse every whitespace run to one space, trim. A
     * narrow codegen'd projection — at 100 TB it rides the parquet scan.

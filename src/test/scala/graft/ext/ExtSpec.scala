@@ -253,6 +253,19 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(got(3L)._1 - 2.0) < 1e-12 && got(3L)._2 == 4L)
   }
 
+  test("qualityLogit: probability bounds and signal monotonicity") {
+    val docs = Seq(
+      (1L, "the a of and to in is it plain natural text"), // stopword-rich
+      (2L, ";;;; .... !!!! ,,,, :::: ????"))               // punct soup
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityLogit(docs, "text")
+      .select("doc_id", "quality_prob").as[(Long, Double)]
+      .collect().toMap
+    assert(got.values.forall(p => p > 0.0 && p < 1.0))
+    assert(got(1L) > got(2L),
+      s"stopword-rich text must outscore punctuation soup: $got")
+  }
+
   test("langId: deterministic, known-stopword text → en") {
     val out = Seq("the a of and x", "zzz qqq")
       .toDF("text").select(TextAnalysis.langId(col("text")).as("l"))
