@@ -788,6 +788,41 @@ object SparkEntry {
         .drop("_dr")
     },
 
+    // CDC apply (MERGE replay): the value-carrying change set from q34's
+    // old/new snapshots replayed onto the old snapshot must reproduce
+    // the new one — the roundtrip law `apply(old, diff(old,new)) == new`,
+    // gated against the DIRECT new-snapshot oracle. The unchanged bulk
+    // never shuffles; only churn moves.
+    "q44_cdc_apply" -> { (s, dir) =>
+      val cust = T(s, dir, "customer")
+      val oldSnap = cust.filter(col("c_custkey") % 5 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val newSnap = cust.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + lit(1.0))
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+      val changes = graft.ops.Cdc.snapshotDiffWithValues(oldSnap, newSnap,
+        Seq("c_custkey"), Seq("c_acctbal"))
+      graft.ops.Cdc.applyChanges(oldSnap, changes,
+        Seq("c_custkey"), Seq("c_acctbal"))
+    },
+
+    // null-safe equi-join (IS NOT DISTINCT FROM): NULL keys are a match
+    // group of their own, planned as a broadcast HASH join on the
+    // null-safe key — not a nested loop, not silently dropped nulls.
+    "q45_nullsafe_join" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      def key = when(pmod(col("user_id"), lit(89L)) === 0L,
+        lit(null).cast(LongType)).otherwise(pmod(col("user_id"), lit(89L)))
+      val dim = ev.filter(col("event_type") === "purchase")
+        .select(key.as("dk"))
+        .groupBy("dk").agg(count(lit(1)).as("purchase_n"))
+      ev.filter(col("event_type") === "view")
+        .select(col("event_id"), key.as("k"))
+        .join(broadcast(dim), col("k") <=> col("dk"))
+        .select("event_id", "k", "purchase_n")
+    },
+
     // SCD Type-2 history build: collapse per-user event_type runs into
     // validity intervals [valid_from, valid_to) with an is_current flag —
     // the standard dimension-history op the reference's daily UPSERT
@@ -1262,6 +1297,21 @@ object SparkEntry {
         .select("doc_id", "source")
     },
 
+    // percentile length trimming: drop each language's shortest/longest
+    // 5% by token count (percent_rank, partitioned by lang — exact
+    // rational ranks, engine-identical doubles).
+    "x60_length_trim" -> { (s, dir) =>
+      val byLang = Window.partitionBy(col("lang"))
+        .orderBy(col("n_tokens").asc)
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("pr", percent_rank().over(byLang))
+        .filter(col("pr") >= 0.05 && col("pr") <= 0.95)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          round(col("pr"), 6).as("pr"))
+    },
+
     // bigram LM statistics: top-50 bigrams with P(w2|w1) — integer
     // counts, one hash agg, vocabulary-partitioned denominator window.
     "x55_bigram_lm" -> ((s, dir) =>
@@ -1707,6 +1757,25 @@ object SparkEntry {
                 count(DISTINCT user_id)
                   OVER (PARTITION BY event_type) AS n_distinct_users
          FROM events""",
+
+    // the roundtrip law: apply(old, diff(old,new)) == new, so the oracle
+    // is the NEW snapshot's direct definition
+    "q44_cdc_apply" ->
+      """SELECT c_custkey,
+                CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.0
+                     ELSE c_acctbal END AS c_acctbal
+         FROM customer WHERE c_custkey % 7 <> 0""",
+
+    "q45_nullsafe_join" ->
+      """WITH ky AS (SELECT event_id, event_type,
+                CASE WHEN user_id % 89 = 0 THEN NULL
+                     ELSE user_id % 89 END AS k
+              FROM events),
+         d AS (SELECT k AS dk, count(*) AS purchase_n FROM ky
+               WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT e.event_id, e.k, d.purchase_n
+         FROM ky e JOIN d ON e.k IS NOT DISTINCT FROM d.dk
+         WHERE e.event_type = 'view'""",
 
     "q02_region_revenue" ->
       """SELECT r_name, n_name,
@@ -2771,6 +2840,18 @@ object SparkEntry {
              AND NOT EXISTS (SELECT 1 FROM documents c
                              WHERE c.doc_id % 5 < 4
                                AND c.text = i.text)""",
+
+      "x60_length_trim" ->
+        """WITH t AS (SELECT doc_id, lang,
+                CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                  AS BIGINT) AS n_tokens
+              FROM documents),
+           r AS (SELECT doc_id, lang, n_tokens,
+                   percent_rank() OVER (PARTITION BY lang
+                                        ORDER BY n_tokens ASC) AS pr
+                 FROM t)
+           SELECT doc_id, lang, n_tokens, round(pr, 6) AS pr
+           FROM r WHERE pr >= 0.05 AND pr <= 0.95""",
 
       "x55_bigram_lm" ->
         """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+')

@@ -46,4 +46,56 @@ object Cdc {
       .filter(col("change_type").isNotNull)
       .select(keys.map(col) :+ col("change_type"): _*)
   }
+
+  /** [[snapshotDiff]] carrying the NEW values for insert/update rows
+    * (NULL-filled for deletes) — the self-contained change set a
+    * downstream [[applyChanges]] can replay without access to the new
+    * snapshot. Same full-outer shuffle shape as [[snapshotDiff]]. */
+  def snapshotDiffWithValues(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String], compare: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
+    val o = oldDf.select((keys ++ compare).map(c =>
+        col(c).as(if (keys.contains(c)) c else s"_o_$c")): _*)
+      .withColumn("_o", lit(1))
+    val n = newDf.select((keys ++ compare).map(c =>
+        col(c).as(if (keys.contains(c)) c else s"_n_$c")): _*)
+      .withColumn("_n", lit(1))
+    val changed = compare
+      .map(c => !(col(s"_o_$c") <=> col(s"_n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_o").isNull, "insert")
+          .when(col("_n").isNull, "delete")
+          .when(changed, "update"))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) ++
+        compare.map(c => when(col("change_type") =!= "delete",
+          col(s"_n_$c")).as(c)) :+ col("change_type"): _*)
+  }
+
+  /** Replay a [[snapshotDiffWithValues]] change set onto the old
+    * snapshot: delete/update keys leave, insert/update rows (with their
+    * carried new values) enter. By construction
+    * `applyChanges(old, snapshotDiffWithValues(old, new)) == new` — the
+    * roundtrip law the q44 gate pins against the direct new-snapshot
+    * oracle.
+    *
+    * Scale shape: one anti-join keyed on the (small) change set — which
+    * broadcasts when the day's churn fits — plus a union; the unchanged
+    * bulk of the snapshot never shuffles. This is the file-compaction-
+    * free MERGE a data lake runs nightly. */
+  def applyChanges(oldDf: DataFrame, changes: DataFrame,
+      keys: Seq[String], compare: Seq[String]): DataFrame = {
+    val outCols = (keys ++ compare).map(col)
+    val removed = changes
+      .filter(col("change_type").isin("delete", "update"))
+      .select(keys.map(col): _*)
+    val incoming = changes
+      .filter(col("change_type").isin("insert", "update"))
+      .select(outCols: _*)
+    oldDf.select(outCols: _*)
+      .join(removed, keys, "left_anti")
+      .unionByName(incoming)
+  }
 }

@@ -34,4 +34,36 @@ class CdcSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "update"))
   }
+
+  test("snapshotDiffWithValues carries new values; deletes are NULL") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val newSnap = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
+    val got = Cdc.snapshotDiffWithValues(oldSnap, newSnap,
+        Seq("k"), Seq("v"))
+      .as[(Long, Option[String], String)].collect().toSet
+    assert(got == Set(
+      (2L, Some("B"), "update"),
+      (3L, None, "delete"),
+      (4L, Some("d"), "insert")))
+  }
+
+  test("applyChanges roundtrip law: apply(old, diff(old, new)) == new") {
+    val oldSnap = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (4L, None: Option[String]), (5L, Some("e"))).toDF("k", "v")
+    val newSnap = Seq(
+      (1L, Some("a")), (2L, Some("B")), (4L, Some("d")),
+      (5L, None: Option[String]), (6L, Some("f"))).toDF("k", "v")
+    val changes = Cdc.snapshotDiffWithValues(oldSnap, newSnap,
+      Seq("k"), Seq("v"))
+    val applied = Cdc.applyChanges(oldSnap, changes, Seq("k"), Seq("v"))
+      .as[(Long, Option[String])].collect().toSet
+    assert(applied ==
+      newSnap.as[(Long, Option[String])].collect().toSet)
+    // empty change set: old passes through untouched
+    val idle = Cdc.applyChanges(oldSnap,
+      Cdc.snapshotDiffWithValues(oldSnap, oldSnap, Seq("k"), Seq("v")),
+      Seq("k"), Seq("v")).as[(Long, Option[String])].collect().toSet
+    assert(idle == oldSnap.as[(Long, Option[String])].collect().toSet)
+  }
 }

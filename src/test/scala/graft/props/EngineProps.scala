@@ -217,6 +217,35 @@ object EngineProps extends Properties("graft") {
       }
     }
 
+  private val genCorpus: Gen[(List[(Long, String)], List[(Long, String)])] =
+    for {
+      // tiny vocabulary → guaranteed cross-set text collisions
+      corpus <- Gen.listOfN(12, for {
+        id <- Gen.choose(0L, 1000L)
+        t <- Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+      } yield (id, t))
+      incoming <- Gen.listOfN(12, for {
+        id <- Gen.choose(2000L, 3000L)
+        t <- Gen.oneOf("aa", "bb", "cc", "xx", "yy", "zz")
+      } yield (id, t))
+    } yield (corpus.distinctBy(_._1), incoming.distinctBy(_._1))
+
+  property("bloomDedup == incrementalDedup on random corpora (tiny " +
+      "filter, forced FPs)") = forAll(genCorpus) { case (corpus, inc) =>
+    corpus.isEmpty || inc.isEmpty || {
+      import spark.implicits._
+      val c = corpus.toDF("doc_id", "text")
+      val i = inc.toDF("doc_id", "text")
+      // 64 bits for up to 12 items → dense filter, plenty of FPs
+      val viaBloom = graft.ext.Corpus.bloomDedup(i, c, "text",
+          expectedItems = 8L, numBits = 64L)
+        .as[(Long, String)].collect().toSet
+      val exact = graft.ext.Corpus.incrementalDedup(i, c, "text")
+        .as[(Long, String)].collect().toSet
+      viaBloom == exact
+    }
+  }
+
   private val genFacts: Gen[List[(Long, Double, Boolean)]] =
     Gen.listOfN(30, for {
       k <- Gen.choose(0L, 4L)
