@@ -1312,6 +1312,18 @@ object SparkEntry {
           round(col("pr"), 6).as("pr"))
     },
 
+    // partition-pruned read: events staged date-partitioned, one day
+    // read back — the filter rides as a PartitionFilter (directory
+    // pruning before file listing; PartitionedWriteSpec asserts the
+    // plan), and the pruned rows must equal the raw filter's rows.
+    "x61_partition_pruning" -> { (s, dir) =>
+      val base = scratchDir("partwrite")
+      graft.sinks.PartitionedWrite.prunedDay(s,
+          T(s, dir, "events"), base + "/events", "2024-01-03")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
+    },
+
     // bigram LM statistics: top-50 bigrams with P(w2|w1) — integer
     // counts, one hash agg, vocabulary-partitioned denominator window.
     "x55_bigram_lm" -> ((s, dir) =>
@@ -2840,6 +2852,12 @@ object SparkEntry {
              AND NOT EXISTS (SELECT 1 FROM documents c
                              WHERE c.doc_id % 5 < 4
                                AND c.text = i.text)""",
+
+      "x61_partition_pruning" ->
+        """SELECT event_id, user_id, event_type,
+                  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date
+           FROM events
+           WHERE CAST(ts AS DATE) = DATE '2024-01-03'""",
 
       "x60_length_trim" ->
         """WITH t AS (SELECT doc_id, lang,

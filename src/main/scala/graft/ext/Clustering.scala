@@ -29,7 +29,13 @@ object Clustering {
 
   /** Assign every row to its nearest centroid after `iters` Lloyd
     * updates. Output: (idCol, cluster, dist) — cluster is the SEED row's
-    * id, dist the final squared Euclidean distance rounded to 6. */
+    * id, dist the final squared Euclidean distance rounded to 6.
+    *
+    * Eager statistic jobs: the seed collect and each centroid update run
+    * Spark jobs at DataFrame-CONSTRUCTION time (same plan-freezing
+    * behavior as `ngramJaccardPairs`/`heavyTerms`) — build when the
+    * input is settled. Each job rescans the input; for iters > 1 cache
+    * the input frame first (MLlib's own contract for its KMeans). */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
