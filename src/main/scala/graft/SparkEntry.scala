@@ -823,6 +823,61 @@ object SparkEntry {
         .select("event_id", "k", "purchase_n")
     },
 
+    // fill-forward (last observation carried forward): per-user latest
+    // purchase value carried onto every later event — the telemetry
+    // gap-filling op, `last(..., ignoreNulls)` over a per-key ROWS
+    // frame; NULL until the key's first observation.
+    "q46_fill_forward" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"),
+          col("value"))
+        .withColumn("_pv",
+          when(col("event_type") === "purchase", col("value")))
+        .withColumn("last_purchase_value",
+          last(col("_pv"), ignoreNulls = true).over(w))
+        .select("event_id", "user_id", "ts_us", "last_purchase_value")
+    },
+
+    // cohort retention: users bucketed by first-seen day, distinct
+    // active users per (cohort, day-offset) — the product-analytics
+    // matrix; one min-agg plus one distinct-count agg, all integers.
+    "q47_cohort_retention" -> { (s, dir) =>
+      val ed = T(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val cohort = ed.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+      ed.join(cohort, Seq("user_id"))
+        .withColumn("day_offset",
+          datediff(col("d"), col("cohort_day")).cast(LongType))
+        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd")
+          .as("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // linear multi-touch attribution: each purchase's value split
+    // equally across the user's views in the prior 2h — the bucketized
+    // interval join (q23's machinery) plus a per-purchase credit window.
+    "q48_linear_attribution" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("v_ts"))
+      val byPurchase = Window.partitionBy(col("purchase_id"))
+      graft.ops.RangeJoin.intervalJoin(purchases, views, Seq("user_id"),
+          "p_ts", "v_ts", before = 2L * 3600L * 1000000L, after = 0L,
+          tick = unix_micros)
+        .withColumn("n_touches", count(lit(1)).over(byPurchase))
+        .select(col("purchase_id"), col("view_id"), col("n_touches"),
+          round(col("value") / col("n_touches").cast(DoubleType), 6)
+            .as("credit"))
+    },
+
     // SCD Type-2 history build: collapse per-user event_type runs into
     // validity intervals [valid_from, valid_to) with an is_current flag —
     // the standard dimension-history op the reference's daily UPSERT
@@ -1788,6 +1843,43 @@ object SparkEntry {
          SELECT e.event_id, e.k, d.purchase_n
          FROM ky e JOIN d ON e.k IS NOT DISTINCT FROM d.dk
          WHERE e.event_type = 'view'""",
+
+    "q46_fill_forward" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                last_value(CASE WHEN event_type = 'purchase' THEN value END
+                           IGNORE NULLS)
+                  OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS last_purchase_value
+         FROM events""",
+
+    "q47_cohort_retention" ->
+      """WITH ed AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                     FROM events),
+         c AS (SELECT user_id, min(d) AS cohort_day FROM ed GROUP BY 1)
+         SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+                CAST(date_diff('day', cohort_day, d) AS BIGINT)
+                  AS day_offset,
+                count(DISTINCT ed.user_id) AS n_users
+         FROM ed JOIN c USING (user_id)
+         GROUP BY 1, 2""",
+
+    "q48_linear_attribution" ->
+      """WITH t AS (
+           SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+                  p.value
+           FROM events p JOIN events v
+             ON p.user_id = v.user_id
+            AND p.event_type = 'purchase' AND v.event_type = 'view'
+            AND epoch_us(v.ts) >= epoch_us(p.ts) - 7200000000
+            AND epoch_us(v.ts) <= epoch_us(p.ts)),
+         n AS (SELECT purchase_id, view_id, value,
+                 count(*) OVER (PARTITION BY purchase_id) AS n_touches
+               FROM t)
+         SELECT purchase_id, view_id, n_touches,
+                round(value / n_touches, 6) AS credit
+         FROM n""",
 
     "q02_region_revenue" ->
       """SELECT r_name, n_name,
