@@ -1516,6 +1516,45 @@ object SparkEntry {
         .select("left_id", "right_id", "user_id", "lag_us")
     },
 
+    // stateful streaming sessionization (flatMapGroupsWithState) run as
+    // a REAL watermarked stream: all events in batch 1, then two
+    // far-future sentinel batches (filtered back out) push the watermark
+    // past every session deadline so event-time timeouts flush the open
+    // sessions. Session set is arrival-order independent → oracle = the
+    // batch gaps-and-islands formulation (q14's, in epoch seconds).
+    "x62_stream_sessionize" -> { (s, dir) =>
+      val base = scratchDir("streamsess")
+      val ev = T(s, dir, "events").select(col("user_id"), col("ts"))
+      val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      def sentinel(usOffset: Long): DataFrame =
+        s.range(1).select(lit(-1L).as("user_id"),
+          timestamp_micros(lit(maxTs + usOffset)).as("ts"))
+      val now = System.currentTimeMillis()
+      val hourUs = 3600L * 1000000L
+      stageBatchFile(ev, base, "b1", now - 180000L)
+      stageBatchFile(sentinel(10L * hourUs), base, "b2", now - 120000L)
+      stageBatchFile(sentinel(11L * hourUs), base, "b3", now - 60000L)
+      val src = s.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/in")
+      val sess = graft.streaming.StreamSessionize
+        .sessions(src, gapSeconds = 1800L, lateness = "30 minutes")
+        .toDF()
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.StreamDedup
+          .appendWriter(sess, base + "/sessions")
+          .option("checkpointLocation", base + "/ckpt").start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(base + "/sessions")
+        .filter(col("user_id") >= 0L)
+        .select("user_id", "session_start", "session_end",
+          "duration_sec", "n_events")
+    },
+
     "x25_stream_horizon_dedup" -> { (s, dir) =>
       val base = scratchDir("streamhorizon")
       val keys = T(s, dir, "events").select("user_id", "event_type")
@@ -2875,6 +2914,27 @@ object SparkEntry {
             AND epoch_us(c.ts) >= epoch_us(v.ts)
             AND epoch_us(c.ts) <= epoch_us(v.ts) + 7200000000
            WHERE v.event_type = 'view'""",
+
+      "x62_stream_sessionize" ->
+        """WITH e AS (
+             SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+             FROM events),
+           g AS (
+             SELECT user_id, ts, sec,
+                    CASE WHEN lag(sec) OVER w IS NULL
+                           OR sec - lag(sec) OVER w > 1800
+                         THEN 1 ELSE 0 END AS ns
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           s AS (
+             SELECT user_id, sec,
+                    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+             FROM g)
+           SELECT user_id, min(sec) AS session_start,
+                  max(sec) AS session_end,
+                  max(sec) - min(sec) AS duration_sec,
+                  count(*) AS n_events
+           FROM s GROUP BY user_id, session_seq""",
 
       "x25_stream_horizon_dedup" ->
         """SELECT d.user_id, d.event_type
