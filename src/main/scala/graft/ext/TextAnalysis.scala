@@ -317,22 +317,23 @@ object TextAnalysis {
     * or degenerate content (complements [[repetitionRatio]]'s n-gram
     * view with a distributional one).
     *
-    * Scale shape: the per-char explode fans out, but the very next hash
-    * agg's map-side combine collapses it back to ≤ |alphabet| rows per
-    * (doc, partition) before any shuffle; the shuffle key is (doc_id,
-    * char). Documents with no characters produce no row (mirrored by the
-    * oracle's length > 0 guard). */
+    * Scale shape: entropy is a per-row quantity, so it is computed by
+    * the native [[graft.functions.StringExprs.CharEntropyStats]]
+    * expression in ONE pass inside the scan projection — zero shuffles.
+    * (The builtin-only formulation — explode chars, two grouped
+    * aggregations — shuffles a (doc, char) cell per distinct char of
+    * every document: corpus-proportional shuffle for a scan-computable
+    * value. Measured 3× slower at sf0.1 before the rewrite.) Documents
+    * with no characters produce no row (mirrored by the oracle's
+    * length > 0 guard). */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id")
+    graft.functions.StringExprs.register(df.sparkSession)
     df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), ""))
-        .as("ch"))
-      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-      .withColumn("p", col("c").cast(DoubleType) /
-        sum(col("c")).over(byDoc).cast(DoubleType))
-      .groupBy("doc_id")
-      .agg(round(-sum(col("p") * log(2.0, col("p"))), 6).as("entropy"),
-        count(lit(1)).as("n_distinct_chars"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.StringExprs.charEntropyStats(col(textCol))
+          .as("_st"))
+      .select(col("doc_id"),
+        round(col("_st.entropy"), 6).as("entropy"),
+        col("_st.n_distinct").as("n_distinct_chars"))
   }
 }
