@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "graft_hamming_dist" ->
       ("graft_hamming_dist(a, b) - byte Hamming distance (MaxValue on " +
         "length mismatch)"),
+    "graft_char_entropy_stats" ->
+      ("graft_char_entropy_stats(s) - struct(entropy, n_distinct): " +
+        "one-pass char-unigram Shannon entropy"),
     "graft_topk_by_score" ->
       "graft_topk_by_score(score, id, k) - bounded-heap top-k aggregate",
     "graft_misra_gries" ->

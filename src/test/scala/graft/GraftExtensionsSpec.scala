@@ -53,4 +53,19 @@ class GraftExtensionsSpec extends SparkSpec {
       == Seq(2L, 3L))
     assert(agg.getSeq[String](1).toSet == Set("a", "b"))
   }
+
+  test("extension registers the round-5 bloom and entropy functions") {
+    applyExtensions()
+    val r = spark.sql(
+      """SELECT graft_char_entropy_stats('abab') AS st,
+                graft_char_entropy_stats('') AS st_empty,
+                graft_bloom_contains(
+                  (SELECT graft_bloom_agg(xxhash64(x), 4L, 64L)
+                   FROM VALUES ('k1'), ('k2') AS v(x)),
+                  xxhash64('k1')) AS hit""").head
+    val st = r.getAs[org.apache.spark.sql.Row]("st")
+    assert(math.abs(st.getDouble(0) - 1.0) < 1e-12 && st.getLong(1) == 2L)
+    assert(r.isNullAt(1)) // empty string: no distribution
+    assert(r.getAs[Boolean]("hit")) // no false negatives
+  }
 }
