@@ -1379,6 +1379,41 @@ object SparkEntry {
           date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
     },
 
+    // preference-pair mining (RLHF/DPO data construction): per source,
+    // the highest- vs lowest-quality document as a (chosen, rejected)
+    // pair — ONE min_by/max_by hash agg over the x09 scores, no sort,
+    // no window; deterministic id tie-breaks.
+    "x63_preference_pairs" -> { (s, dir) =>
+      val scored = graft.ext.TextAnalysis.qualityScore(
+        T(s, dir, "documents"), "text")
+      scored.groupBy(col("source"))
+        .agg(
+          max_by(col("doc_id"),
+            struct(col("quality_score"), -col("doc_id"))).as("chosen_id"),
+          max(col("quality_score")).as("chosen_score"),
+          min_by(col("doc_id"),
+            struct(col("quality_score"), col("doc_id"))).as("rejected_id"),
+          min(col("quality_score")).as("rejected_score"))
+        .filter(col("chosen_id") =!= col("rejected_id"))
+        .withColumn("margin",
+          round(col("chosen_score") - col("rejected_score"), 6))
+    },
+
+    // small-file compaction: events staged as 64 shard files, rewritten
+    // to byte-sized-targeted files (CompactSpec pins the count); the
+    // oracle pins content identity — compaction must not change a row.
+    "x64_compact_files" -> { (s, dir) =>
+      val base = scratchDir("compact")
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(base + "/small")
+      graft.sinks.Compact.compact(s, base + "/small", base + "/big",
+        targetBytes = 64L * 1024L * 1024L)
+      graft.sinks.Compact.read(s, base + "/big")
+        .select("event_id", "user_id", "event_type")
+    },
+
     // bigram LM statistics: top-50 bigrams with P(w2|w1) — integer
     // counts, one hash agg, vocabulary-partitioned denominator window.
     "x55_bigram_lm" -> ((s, dir) =>
@@ -3022,6 +3057,52 @@ object SparkEntry {
                  FROM t)
            SELECT doc_id, lang, n_tokens, round(pr, 6) AS pr
            FROM r WHERE pr >= 0.05 AND pr <= 0.95""",
+
+      // x09's quality derivation (with source), then best-vs-worst per
+      // source with the engine's id tie-breaks
+      "x63_preference_pairs" ->
+        """WITH s AS (
+             SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+                 AS n_punct,
+               CAST(len(list_filter(
+                 regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','it')))
+                 AS BIGINT) AS n_stopwords
+             FROM documents),
+           r AS (
+             SELECT doc_id, source,
+               round(CASE WHEN n_tokens < 5 THEN 0.1
+                     ELSE 0.4*least(n_tokens/50.0, 1.0)
+                        + 0.4*least(round(CASE WHEN n_tokens = 0 THEN 0
+                            ELSE n_stopwords*1.0/n_tokens END, 6)*10.0, 1.0)
+                        + 0.2*(CASE WHEN round(CASE WHEN n_chars = 0 THEN 0
+                            ELSE n_punct*1.0/n_chars END, 6) > 0.2
+                            THEN 0.0 ELSE 1.0 END) END, 6)
+                 AS quality_score
+             FROM s),
+           w AS (
+             SELECT source, doc_id, quality_score,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY quality_score DESC, doc_id ASC) AS rc,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY quality_score ASC, doc_id ASC) AS rr
+             FROM r)
+           SELECT c.source, c.doc_id AS chosen_id,
+                  c.quality_score AS chosen_score,
+                  j.doc_id AS rejected_id,
+                  j.quality_score AS rejected_score,
+                  round(c.quality_score - j.quality_score, 6) AS margin
+           FROM (SELECT * FROM w WHERE rc = 1) c
+           JOIN (SELECT * FROM w WHERE rr = 1) j USING (source)
+           WHERE c.doc_id <> j.doc_id""",
+
+      // compaction must not change a row — identity oracle
+      "x64_compact_files" ->
+        """SELECT event_id, user_id, event_type FROM events""",
 
       "x55_bigram_lm" ->
         """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+')
