@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_shingle_window_hashes(text, n) - positional window hashes",
     "graft_dot_f64" ->
       "graft_dot_f64(a, b) - sequential double-array dot product",
+    "graft_sqdist_f64" ->
+      "graft_sqdist_f64(a, b) - sequential squared Euclidean distance",
     "graft_masked_pos_hashes" ->
       "graft_masked_pos_hashes(s) - per-position masked blocking keys",
     "graft_hamming_dist" ->

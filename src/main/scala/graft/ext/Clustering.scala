@@ -39,6 +39,7 @@ object Clustering {
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
+    graft.functions.VectorExprs.register(df.sparkSession)
     val vecs = df.select(col(idCol),
       transform(col(vecCol), x => x.cast(DoubleType)).as("_v"))
 
@@ -52,11 +53,13 @@ object Clustering {
     require(centroids.forall(_._2.length == dim),
       "ragged embedding column")
 
-    // squared L2 to one centroid literal: codegen'd zip_with/aggregate,
-    // evaluated entirely inside the row projection
-    def dist2(c: Seq[Double]) = aggregate(
-      zip_with(col("_v"), typedLit(c), (a, b) => (a - b) * (a - b)),
-      lit(0.0d), (acc, x) => acc + x)
+    // squared L2 to one centroid literal: native one-loop expression —
+    // the zip_with/aggregate formulation evaluates interpreted per
+    // element, k × dim times per row (the x08-class hazard); SqDistF64
+    // is the same left fold in one primitive loop, bit-identical to the
+    // list_reduce oracle
+    def dist2(c: Seq[Double]) =
+      graft.functions.VectorExprs.sqDistF64(col("_v"), typedLit(c))
 
     def assignOnce = {
       val ds = array(centroids.map(c => dist2(c._2)): _*)

@@ -59,6 +59,8 @@ class GraftExtensionsSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT graft_char_entropy_stats('abab') AS st,
                 graft_char_entropy_stats('') AS st_empty,
+                graft_sqdist_f64(array(1.0d, 2.0d),
+                                 array(4.0d, 6.0d)) AS sq,
                 graft_bloom_contains(
                   (SELECT graft_bloom_agg(xxhash64(x), 4L, 64L)
                    FROM VALUES ('k1'), ('k2') AS v(x)),
@@ -66,6 +68,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val st = r.getAs[org.apache.spark.sql.Row]("st")
     assert(math.abs(st.getDouble(0) - 1.0) < 1e-12 && st.getLong(1) == 2L)
     assert(r.isNullAt(1)) // empty string: no distribution
+    assert(r.getAs[Double]("sq") == 25.0)
     assert(r.getAs[Boolean]("hit")) // no false negatives
   }
 }
