@@ -777,6 +777,9 @@ object SparkEntry {
     // distinct window aggregates, so the engine rewrites to the standard
     // dense_rank-max identity (two windows over ONE shuffle of the same
     // partition key); the oracle runs the literal distinct window.
+    // SQL's COUNT(DISTINCT) ignores NULLs but dense_rank ranks them
+    // (nulls first), so a partition containing any NULL key subtracts
+    // that rank back out.
     "q43_window_count_distinct" -> { (s, dir) =>
       val byType = Window.partitionBy(col("event_type"))
       T(s, dir, "events")
@@ -784,7 +787,9 @@ object SparkEntry {
         .withColumn("_dr", dense_rank().over(
           byType.orderBy(col("user_id").asc)))
         .withColumn("n_distinct_users",
-          max(col("_dr")).over(byType).cast(LongType))
+          (max(col("_dr")).over(byType) -
+            max(when(col("user_id").isNull, 1).otherwise(0))
+              .over(byType)).cast(LongType))
         .drop("_dr")
     },
 
@@ -2311,6 +2316,35 @@ object SparkEntry {
       """SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
          FROM embeddings"""
     val cosPairExpr = s"round($dotProd / (${norm("a")} * ${norm("b")}), 6)"
+    // x09's quality-signal derivation + score formula — defined ONCE and
+    // shared by the x09/x32/x58/x63 oracles (same rule as
+    // docNearDupPairs / pairClosureBase: a formula tweak cannot
+    // desynchronize one gate from the others). `passthrough` carries
+    // extra columns (", source").
+    def qualityCteSignals(passthrough: String) =
+      s"""qs AS (
+             SELECT doc_id$passthrough,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+                 AS n_punct,
+               CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','it')))
+                 AS BIGINT) AS n_stopwords
+             FROM documents),
+           qr AS (
+             SELECT doc_id$passthrough, n_tokens, n_punct, n_stopwords,
+               round(CASE WHEN n_chars = 0 THEN 0
+                     ELSE n_punct*1.0/n_chars END, 6) AS punct_ratio,
+               round(CASE WHEN n_tokens = 0 THEN 0
+                     ELSE n_stopwords*1.0/n_tokens END, 6) AS stopword_ratio
+             FROM qs)"""
+    val qualityScoreExpr =
+      """round(CASE WHEN n_tokens < 5 THEN 0.1
+                        ELSE 0.4*least(n_tokens/50.0, 1.0)
+                           + 0.4*least(stopword_ratio*10.0, 1.0)
+                           + 0.2*(CASE WHEN punct_ratio > 0.2 THEN 0.0
+                                  ELSE 1.0 END) END, 6)"""
     // Lloyd's k-means, unrolled to SQL CTEs (must mirror
     // graft.ext.Clustering.kmeansAssign: k=8 lowest-id seeds, 2 update
     // rounds, squared-L2 argmin with lowest-seed tiebreak, empty
@@ -2391,35 +2425,12 @@ object SparkEntry {
            SELECT r.ru, e2.ev FROM reach r JOIN ed e2 ON r.rv = e2.eu),
          lbl AS (SELECT ru AS lid, least(ru, min(rv)) AS lcluster
                  FROM reach GROUP BY ru)"""
-    // quality score per doc (must mirror TextAnalysis.qualityScore;
-    // body lifted from the x09 oracle)
+    // quality score per doc (mirrors TextAnalysis.qualityScore) — the
+    // signal body and formula come from the SHARED fragments above
     val qualityCte =
-      """qs AS (
-           SELECT doc_id,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-               AS n_tokens,
-             CAST(length(text) AS BIGINT) AS n_chars,
-             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
-               AS n_punct,
-             CAST(len(list_filter(
-               regexp_split_to_array(lower(trim(text)), '\s+'),
-               x -> x IN ('the','a','of','and','to','in','is','it')))
-               AS BIGINT) AS n_stopwords
-           FROM documents),
-         qr AS (
-           SELECT doc_id, n_tokens,
-             round(CASE WHEN n_chars = 0 THEN 0
-                   ELSE n_punct*1.0/n_chars END, 6) AS punct_ratio,
-             round(CASE WHEN n_tokens = 0 THEN 0
-                   ELSE n_stopwords*1.0/n_tokens END, 6) AS stopword_ratio
-           FROM qs),
+      s"""${qualityCteSignals("")},
          q AS (
-           SELECT doc_id,
-             round(CASE WHEN n_tokens < 5 THEN 0.1
-                   ELSE 0.4*least(n_tokens/50.0, 1.0)
-                      + 0.4*least(stopword_ratio*10.0, 1.0)
-                      + 0.2*(CASE WHEN punct_ratio > 0.2 THEN 0.0
-                             ELSE 1.0 END) END, 6) AS quality_score
+           SELECT doc_id, $qualityScoreExpr AS quality_score
            FROM qr)"""
 
     Map(
@@ -2515,31 +2526,11 @@ object SparkEntry {
       },
 
       "x09_quality" ->
-        """WITH s AS (
-             SELECT doc_id,
-               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
-                 AS n_punct,
-               CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-                 x -> x IN ('the','a','of','and','to','in','is','it')))
-                 AS BIGINT) AS n_stopwords
-             FROM documents),
-           r AS (
-             SELECT doc_id, n_tokens, n_punct, n_stopwords,
-               round(CASE WHEN n_chars = 0 THEN 0
-                     ELSE n_punct*1.0/n_chars END, 6) AS punct_ratio,
-               round(CASE WHEN n_tokens = 0 THEN 0
-                     ELSE n_stopwords*1.0/n_tokens END, 6) AS stopword_ratio
-             FROM s)
+        s"""WITH ${qualityCteSignals("")}
            SELECT doc_id, n_tokens, n_punct, n_stopwords, punct_ratio,
                   stopword_ratio,
-                  round(CASE WHEN n_tokens < 5 THEN 0.1
-                        ELSE 0.4*least(n_tokens/50.0, 1.0)
-                           + 0.4*least(stopword_ratio*10.0, 1.0)
-                           + 0.2*(CASE WHEN punct_ratio > 0.2 THEN 0.0
-                                  ELSE 1.0 END) END, 6) AS quality_score
-           FROM r""",
+                  $qualityScoreExpr AS quality_score
+           FROM qr""",
 
       "x10_token_count" ->
         """SELECT doc_id,
@@ -3058,39 +3049,20 @@ object SparkEntry {
            SELECT doc_id, lang, n_tokens, round(pr, 6) AS pr
            FROM r WHERE pr >= 0.05 AND pr <= 0.95""",
 
-      // x09's quality derivation (with source), then best-vs-worst per
+      // x09's shared quality CTE (with source), then best-vs-worst per
       // source with the engine's id tie-breaks
       "x63_preference_pairs" ->
-        """WITH s AS (
-             SELECT doc_id, source,
-               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-                 AS n_tokens,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
-                 AS n_punct,
-               CAST(len(list_filter(
-                 regexp_split_to_array(lower(trim(text)), '\s+'),
-                 x -> x IN ('the','a','of','and','to','in','is','it')))
-                 AS BIGINT) AS n_stopwords
-             FROM documents),
-           r AS (
-             SELECT doc_id, source,
-               round(CASE WHEN n_tokens < 5 THEN 0.1
-                     ELSE 0.4*least(n_tokens/50.0, 1.0)
-                        + 0.4*least(round(CASE WHEN n_tokens = 0 THEN 0
-                            ELSE n_stopwords*1.0/n_tokens END, 6)*10.0, 1.0)
-                        + 0.2*(CASE WHEN round(CASE WHEN n_chars = 0 THEN 0
-                            ELSE n_punct*1.0/n_chars END, 6) > 0.2
-                            THEN 0.0 ELSE 1.0 END) END, 6)
-                 AS quality_score
-             FROM s),
+        s"""WITH ${qualityCteSignals(", source")},
+           q AS (SELECT doc_id, source,
+                   $qualityScoreExpr AS quality_score
+                 FROM qr),
            w AS (
              SELECT source, doc_id, quality_score,
                row_number() OVER (PARTITION BY source
                  ORDER BY quality_score DESC, doc_id ASC) AS rc,
                row_number() OVER (PARTITION BY source
                  ORDER BY quality_score ASC, doc_id ASC) AS rr
-             FROM r)
+             FROM q)
            SELECT c.source, c.doc_id AS chosen_id,
                   c.quality_score AS chosen_score,
                   j.doc_id AS rejected_id,
@@ -3159,34 +3131,16 @@ object SparkEntry {
            FROM u
            WHERE neg_id IS NOT NULL AND neg_grp <> source""",
 
-      // replays x09's signal derivation, then the same left-associated
-      // logit chain over the ROUNDED ratios
+      // x09's shared signal CTE, then the same left-associated logit
+      // chain over the ROUNDED ratios
       "x58_quality_classifier" ->
-        """WITH s AS (
-             SELECT doc_id,
-               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-                 AS n_tokens,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
-                 AS n_punct,
-               CAST(len(list_filter(
-                 regexp_split_to_array(lower(trim(text)), '\s+'),
-                 x -> x IN ('the','a','of','and','to','in','is','it')))
-                 AS BIGINT) AS n_stopwords
-             FROM documents),
-           r AS (
-             SELECT doc_id, n_tokens,
-               round(CASE WHEN n_chars = 0 THEN 0
-                     ELSE n_punct*1.0/n_chars END, 6) AS punct_ratio,
-               round(CASE WHEN n_tokens = 0 THEN 0
-                     ELSE n_stopwords*1.0/n_tokens END, 6) AS stopword_ratio
-             FROM s)
+        s"""WITH ${qualityCteSignals("")}
            SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
                   round(1.0 / (1.0 + exp(-(-1.0 + 2.5*stopword_ratio
                                            - 4.0*punct_ratio
                                            + 0.35*ln(1.0 + n_tokens)))), 6)
                     AS quality_prob
-           FROM r""",
+           FROM qr""",
 
       "x59_corpus_card" ->
         """SELECT count(*) AS n_docs,

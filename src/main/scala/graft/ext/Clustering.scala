@@ -34,14 +34,21 @@ object Clustering {
     * Eager statistic jobs: the seed collect and each centroid update run
     * Spark jobs at DataFrame-CONSTRUCTION time (same plan-freezing
     * behavior as `ngramJaccardPairs`/`heavyTerms`) — build when the
-    * input is settled. Each job rescans the input; for iters > 1 cache
-    * the input frame first (MLlib's own contract for its KMeans). */
+    * input is settled. The projected (id, vector) frame is cached for
+    * the iteration jobs and released before returning, so the data is
+    * read from source once plus once for the final assignment.
+    *
+    * Precondition: vectors must share one dimensionality. The k seeds
+    * are require-checked; a ragged vector elsewhere gets a NULL
+    * distance from `SqDistF64` (never a silently truncated one). */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
     graft.functions.VectorExprs.register(df.sparkSession)
     val vecs = df.select(col(idCol),
       transform(col(vecCol), x => x.cast(DoubleType)).as("_v"))
+    if (iters > 0)
+      vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // seeds: the k lowest ids — deterministic, engine-portable init
     var centroids: Seq[(Long, Seq[Double])] = vecs
@@ -49,9 +56,11 @@ object Clustering {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .toSeq
+    require(centroids.nonEmpty,
+      s"kmeansAssign: input has no rows to seed from")
     val dim = centroids.head._2.length
     require(centroids.forall(_._2.length == dim),
-      "ragged embedding column")
+      "ragged embedding column (seed rows disagree on dimensionality)")
 
     // squared L2 to one centroid literal: native one-loop expression —
     // the zip_with/aggregate formulation evaluates interpreted per
@@ -88,6 +97,10 @@ object Clustering {
         }
         .sortBy(_._1)
     }
+
+    // release the iteration cache; the final (lazy) assignment below
+    // re-reads the source once when the caller materializes it
+    if (iters > 0) vecs.unpersist(blocking = false)
 
     assignOnce.select(col(idCol), col("cluster"),
       round(col("dist"), 6).as("dist"))

@@ -345,7 +345,15 @@ object Corpus {
     * Eager statistic job: building the filter runs a Spark job at
     * DataFrame-construction time (same plan-freezing behavior as
     * `ngramJaccardPairs`' hot-list scan) — build when the corpus side is
-    * settled. */
+    * settled.
+    *
+    * The split consumes `incoming` twice (miss branch + hit branch) —
+    * two SCANS, deliberately: the alternative single-scan shapes either
+    * shuffle every incoming row into the anti-join (exactly what the
+    * bloom exists to avoid) or cache the tagged frame (caller's call —
+    * cache `incoming` first if its source is expensive to re-read).
+    * Scans are the cheap resource here; the saved shuffle is the
+    * expensive one. */
   def bloomDedup(incoming: DataFrame, corpus: DataFrame, textCol: String,
       expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
     import graft.functions.BloomExprs

@@ -43,17 +43,21 @@ object VectorExprs {
     * DuckDB `list_reduce` oracle — bit-identical results, one primitive
     * loop instead of ~190 interpreted evals per pair. (Deliberately NOT
     * the |a|²-2a·b+|b|² expansion: that changes the floating-point
-    * result and would unpin the k-means oracle.) */
+    * result and would unpin the k-means oracle.) NULL on a length
+    * mismatch — matching the oracle formulation, where `list_zip` pads
+    * the shorter list with NULL and the fold yields NULL; a truncated
+    * distance would be a confidently wrong answer. */
   case class SqDistF64(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // length mismatch → NULL
     override def nullSafeEval(a: Any, b: Any): Any = {
       val xs = a.asInstanceOf[ArrayData].toDoubleArray()
       val ys = b.asInstanceOf[ArrayData].toDoubleArray()
-      val n = math.min(xs.length, ys.length)
+      if (xs.length != ys.length) return null
       var acc = 0.0
       var i = 0
-      while (i < n) { val d = xs(i) - ys(i); acc += d * d; i += 1 }
+      while (i < xs.length) { val d = xs(i) - ys(i); acc += d * d; i += 1 }
       java.lang.Double.valueOf(acc)
     }
     override protected def withNewChildrenInternal(l: Expression,

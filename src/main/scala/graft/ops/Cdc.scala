@@ -26,50 +26,62 @@ object Cdc {
 
   /** Diff `newDf` against `oldDf` on `keys`, comparing `compare` columns.
     * Output: key columns + `change_type` ∈ {insert, delete, update};
-    * unchanged keys are omitted. */
+    * unchanged keys are omitted. Keys match NULL-SAFELY (`<=>`): a NULL
+    * key is a key value like any other — present in both snapshots it
+    * compares, not insert+delete. Keys must be unique per snapshot
+    * (under null-safe equality). */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
       keys: Seq[String], compare: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "at least one key column required")
-    val o = oldDf.select((keys ++ compare).map(col): _*)
-      .withColumn("_o", lit(1))
-    val n = newDf.select((keys ++ compare).map(c =>
-        col(c).as(if (keys.contains(c)) c else s"_n_$c")): _*)
-      .withColumn("_n", lit(1))
+    val o = oldDf.select(
+      (keys ++ compare).map(c => col(c).as(s"_o_$c")) :+
+        lit(1).as("_o"): _*)
+    val n = newDf.select(
+      (keys ++ compare).map(c => col(c).as(s"_n_$c")) :+
+        lit(1).as("_n"): _*)
+    val keyCond = keys.map(k => col(s"_o_$k") <=> col(s"_n_$k"))
+      .reduce(_ && _)
     val changed = compare
-      .map(c => !(col(c) <=> col(s"_n_$c")))
+      .map(c => !(col(s"_o_$c") <=> col(s"_n_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    o.join(n, keys, "full_outer")
+    o.join(n, keyCond, "full_outer")
       .withColumn("change_type",
         when(col("_o").isNull, "insert")
           .when(col("_n").isNull, "delete")
           .when(changed, "update"))
       .filter(col("change_type").isNotNull)
-      .select(keys.map(col) :+ col("change_type"): _*)
+      .select(keys.map(k =>
+        coalesce(col(s"_n_$k"), col(s"_o_$k")).as(k)) :+
+        col("change_type"): _*)
   }
 
   /** [[snapshotDiff]] carrying the NEW values for insert/update rows
     * (NULL-filled for deletes) — the self-contained change set a
     * downstream [[applyChanges]] can replay without access to the new
-    * snapshot. Same full-outer shuffle shape as [[snapshotDiff]]. */
+    * snapshot. Same full-outer shuffle shape and null-safe key
+    * semantics as [[snapshotDiff]]. */
   def snapshotDiffWithValues(oldDf: DataFrame, newDf: DataFrame,
       keys: Seq[String], compare: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "at least one key column required")
-    val o = oldDf.select((keys ++ compare).map(c =>
-        col(c).as(if (keys.contains(c)) c else s"_o_$c")): _*)
-      .withColumn("_o", lit(1))
-    val n = newDf.select((keys ++ compare).map(c =>
-        col(c).as(if (keys.contains(c)) c else s"_n_$c")): _*)
-      .withColumn("_n", lit(1))
+    val o = oldDf.select(
+      (keys ++ compare).map(c => col(c).as(s"_o_$c")) :+
+        lit(1).as("_o"): _*)
+    val n = newDf.select(
+      (keys ++ compare).map(c => col(c).as(s"_n_$c")) :+
+        lit(1).as("_n"): _*)
+    val keyCond = keys.map(k => col(s"_o_$k") <=> col(s"_n_$k"))
+      .reduce(_ && _)
     val changed = compare
       .map(c => !(col(s"_o_$c") <=> col(s"_n_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    o.join(n, keys, "full_outer")
+    o.join(n, keyCond, "full_outer")
       .withColumn("change_type",
         when(col("_o").isNull, "insert")
           .when(col("_n").isNull, "delete")
           .when(changed, "update"))
       .filter(col("change_type").isNotNull)
-      .select(keys.map(col) ++
+      .select(keys.map(k =>
+        coalesce(col(s"_n_$k"), col(s"_o_$k")).as(k)) ++
         compare.map(c => when(col("change_type") =!= "delete",
           col(s"_n_$c")).as(c)) :+ col("change_type"): _*)
   }
@@ -90,12 +102,15 @@ object Cdc {
     val outCols = (keys ++ compare).map(col)
     val removed = changes
       .filter(col("change_type").isin("delete", "update"))
-      .select(keys.map(col): _*)
+      .select(keys.map(k => col(k).as(s"_r_$k")): _*)
     val incoming = changes
       .filter(col("change_type").isin("insert", "update"))
       .select(outCols: _*)
+    // null-safe anti join: a NULL-key change row must remove the
+    // NULL-key old row (mirrors the diff's null-safe matching)
+    val keyCond = keys.map(k => col(k) <=> col(s"_r_$k")).reduce(_ && _)
     oldDf.select(outCols: _*)
-      .join(removed, keys, "left_anti")
+      .join(removed, keyCond, "left_anti")
       .unionByName(incoming)
   }
 }

@@ -57,10 +57,13 @@ class ClusteringSpec extends SparkSpec {
     assert(run(blobs) == run(blobs.repartition(7)))
   }
 
-  test("kmeansAssign rejects bad parameters") {
+  test("kmeansAssign rejects bad parameters and empty input") {
     assertThrows[IllegalArgumentException](
       Clustering.kmeansAssign(blobs, "vec_id", "embedding", 0, 1))
     assertThrows[IllegalArgumentException](
       Clustering.kmeansAssign(blobs, "vec_id", "embedding", 3, -1))
+    assertThrows[IllegalArgumentException](
+      Clustering.kmeansAssign(blobs.filter($"vec_id" < 0L),
+        "vec_id", "embedding", 3, 1))
   }
 }

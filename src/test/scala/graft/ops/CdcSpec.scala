@@ -47,6 +47,26 @@ class CdcSpec extends SparkSpec {
       (4L, Some("d"), "insert")))
   }
 
+  test("NULL keys match null-safely: unchanged NULL-key row stays out " +
+      "of the diff and the roundtrip holds") {
+    val oldSnap = Seq((Option(1L), "a"), (None: Option[Long], "n"))
+      .toDF("k", "v")
+    val newSnap = Seq((Option(1L), "a"), (None: Option[Long], "n2"))
+      .toDF("k", "v")
+    // NULL key present in both with a changed value → ONE update row,
+    // not insert+delete
+    val diff = Cdc.snapshotDiffWithValues(oldSnap, newSnap,
+      Seq("k"), Seq("v"))
+    assert(diff.as[(Option[Long], Option[String], String)].collect()
+      .toSet == Set((None, Some("n2"), "update")))
+    val applied = Cdc.applyChanges(oldSnap, diff, Seq("k"), Seq("v"))
+      .as[(Option[Long], String)].collect().toSet
+    assert(applied == Set((Option(1L), "a"), (None, "n2")))
+    // identical snapshots with a NULL key: empty diff
+    assert(Cdc.snapshotDiff(oldSnap, oldSnap, Seq("k"), Seq("v"))
+      .isEmpty)
+  }
+
   test("applyChanges roundtrip law: apply(old, diff(old, new)) == new") {
     val oldSnap = Seq(
       (1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
