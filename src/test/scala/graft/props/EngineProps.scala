@@ -246,6 +246,26 @@ object EngineProps extends Properties("graft") {
     }
   }
 
+  private val genSnapshot: Gen[List[(Option[Long], String)]] =
+    Gen.listOfN(10, for {
+      k <- Gen.option(Gen.choose(0L, 6L))
+      v <- Gen.oneOf("a", "b", "c", "d")
+    } yield (k, v)).map(_.distinctBy(_._1)) // unique keys incl ≤1 NULL
+
+  property("CDC roundtrip: apply(old, diff(old,new)) == new, with NULL " +
+      "keys") = forAll(genSnapshot, genSnapshot) { (oldS, newS) =>
+    (oldS.isEmpty && newS.isEmpty) || {
+      import spark.implicits._
+      val o = oldS.toDF("k", "v")
+      val n = newS.toDF("k", "v")
+      val applied = graft.ops.Cdc.applyChanges(o,
+          graft.ops.Cdc.snapshotDiffWithValues(o, n, Seq("k"), Seq("v")),
+          Seq("k"), Seq("v"))
+        .as[(Option[Long], String)].collect().toSet
+      applied == newS.toSet
+    }
+  }
+
   private val genFacts: Gen[List[(Long, Double, Boolean)]] =
     Gen.listOfN(30, for {
       k <- Gen.choose(0L, 4L)
