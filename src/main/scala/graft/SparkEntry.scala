@@ -883,6 +883,47 @@ object SparkEntry {
             .as("credit"))
     },
 
+    // ratio-to-report: each nation's share of its region's revenue —
+    // the BI percent-of-total. The window total sums the DECIMAL
+    // column (order-independent), so the share is one IEEE division of
+    // engine-identical doubles.
+    "q49_ratio_to_report" -> { (s, dir) =>
+      val byRegion = Window.partitionBy(col("r_name"))
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(T(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"),
+          graft.ops.Metrics.decQuantize(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("_rev_dec"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("_rev_dec")).as("_rev_sum"))
+        .withColumn("revenue", col("_rev_sum").cast(DoubleType))
+        .withColumn("region_share",
+          round(col("revenue") /
+            sum(col("_rev_sum")).over(byRegion).cast(DoubleType), 6))
+        .select("r_name", "n_name", "revenue", "region_share")
+    },
+
+    // native PIVOT (PivotFirst): order counts by status, one column per
+    // priority — explicit value list keeps the schema static (no
+    // distinct-collect pass); absent cells coalesce to 0 like the
+    // oracle's CASE-sums.
+    "q50_native_pivot" -> { (s, dir) =>
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val pivoted = T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+      pivoted.select(col("o_orderstatus") +:
+        prios.zipWithIndex.map { case (p, i) =>
+          coalesce(col(s"`$p`"), lit(0L)).as(s"p${i + 1}") }: _*)
+    },
+
     // SCD Type-2 history build: collapse per-user event_type runs into
     // validity intervals [valid_from, valid_to) with an is_current flag —
     // the standard dimension-history op the reference's daily UPSERT
@@ -1922,6 +1963,31 @@ object SparkEntry {
          SELECT e.event_id, e.k, d.purchase_n
          FROM ky e JOIN d ON e.k IS NOT DISTINCT FROM d.dk
          WHERE e.event_type = 'view'""",
+
+    "q49_ratio_to_report" ->
+      """WITH a AS (
+           SELECT r_name, n_name,
+                  sum(CAST(l_extendedprice*(1.0-l_discount)
+                    AS DECIMAL(20,6))) AS rev_sum
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2)
+         SELECT r_name, n_name, CAST(rev_sum AS DOUBLE) AS revenue,
+                round(CAST(rev_sum AS DOUBLE) /
+                  CAST(sum(rev_sum) OVER (PARTITION BY r_name) AS DOUBLE),
+                  6) AS region_share
+         FROM a""",
+
+    "q50_native_pivot" ->
+      """SELECT o_orderstatus,
+                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+                CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+                CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+                CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+                CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
+         FROM orders GROUP BY 1""",
 
     "q46_fill_forward" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
