@@ -1460,6 +1460,13 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type")
     },
 
+    // full single-edit fuzzy pair join (SymSpell deletion-variant
+    // blocking + exact levenshtein verify) — substitutions AND
+    // insertions/deletions, vs x43's equal-length Hamming family.
+    "x65_edit1_pairs" -> ((s, dir) =>
+      graft.ext.DedupOps.editOnePairs(
+        T(s, dir, "customer"), "c_custkey", "c_name")),
+
     // bigram LM statistics: top-50 bigrams with P(w2|w1) — integer
     // counts, one hash agg, vocabulary-partitioned denominator window.
     "x55_bigram_lm" -> ((s, dir) =>
@@ -3141,6 +3148,14 @@ object SparkEntry {
       // compaction must not change a row — identity oracle
       "x64_compact_files" ->
         """SELECT event_id, user_id, event_type FROM events""",
+
+      // brute-force n² oracle over the exact same verify metric
+      "x65_edit1_pairs" ->
+        """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+           FROM customer a JOIN customer b
+             ON a.c_custkey < b.c_custkey
+           WHERE levenshtein(a.c_name, b.c_name) <= 1""",
 
       "x55_bigram_lm" ->
         """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+')

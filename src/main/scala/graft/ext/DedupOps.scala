@@ -757,4 +757,41 @@ object DedupOps {
       .select(col("vec_b").as(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** Exact edit-distance-≤1 pair join (SymSpell, Garbe 2012): all id
+    * pairs whose strings differ by at most one SUBSTITUTION, INSERTION,
+    * or DELETION — the full single-edit family ([[hammingPairs]] covers
+    * equal-length substitutions only). Blocking: two strings within one
+    * edit share a deletion-variant string, so candidates are pairs
+    * sharing a [[graft.functions.StringExprs.DeletionHashes]] key;
+    * verification is the exact `levenshtein` built-in (codegen'd,
+    * identical semantics in the DuckDB oracle).
+    *
+    * Scale shape: keys shuffle as 8-byte hashes (~len per row), bucket
+    * sizes track true near-dup density (a shared corpus-wide prefix
+    * still differs in the variable region for most split points), and
+    * the O(n²) verify only ever runs inside a candidate bucket — never
+    * across the corpus. Same candidate-distinct-then-verify shape as
+    * [[hammingPairs]]. */
+  def editOnePairs(df: DataFrame, idCol: String, strCol: String)
+      : DataFrame = {
+    graft.functions.StringExprs.register(df.sparkSession)
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+      col(strCol).as("s"))
+    // the empty string emits its own full-string hash, so empty-empty
+    // and empty-vs-1-char pairs are found without a sentinel
+    val keyed = base.select(col("id"),
+      explode(graft.functions.StringExprs.deletionHashes(col("s")))
+        .as("dh"))
+    val cand = keyed.select(col("dh"), col("id").as("id_a"))
+      .join(keyed.select(col("dh"), col("id").as("id_b")), Seq("dh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast(LongType).as("dist"))
+      .filter(col("dist") <= 1L)
+  }
 }

@@ -91,6 +91,52 @@ object StringExprs {
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  /** `deletion_hashes(s)` → array<long>: FNV-1a hashes of the string
+    * itself plus every single-byte-deletion variant, deduped — the
+    * SymSpell blocking key set for edit distance ≤ 1 INCLUDING
+    * insertions and deletions (MaskedPosHashes covers substitutions
+    * only): two strings within one edit share a variant STRING, so they
+    * share a key. Unlike the masked keys, variant equality must hold
+    * ACROSS split points ("ab" as a full string == "aab" minus byte 0),
+    * so each variant is hashed over its actual bytes — O(len²/2) byte
+    * folds per row via prefix-state restarts (prefix states precomputed
+    * once), the honest cost of cross-length matching; fine for the
+    * name/title-length keys this join is for, not for documents. */
+  case class DeletionHashes(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[UTF8String].getBytes
+      val n = b.length
+      val fnvInit = 0xcbf29ce484222325L
+      // pre(i) = FNV-1a state after bytes [0, i)
+      val pre = new Array[Long](n + 1)
+      pre(0) = fnvInit
+      var i = 0
+      while (i < n) {
+        pre(i + 1) = (pre(i) ^ (b(i) & 0xffL)) * 0x100000001b3L
+        i += 1
+      }
+      val seen = new java.util.LinkedHashSet[java.lang.Long](n + 2)
+      seen.add(mix64(pre(n))) // the string itself
+      i = 0
+      while (i < n) { // delete byte i: restart from pre(i), fold the tail
+        var h = pre(i)
+        var j = i + 1
+        while (j < n) { h = (h ^ (b(j) & 0xffL)) * 0x100000001b3L; j += 1 }
+        seen.add(mix64(h))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** `char_entropy_stats(s)` → struct<entropy double, n_distinct long>:
     * character-unigram Shannon entropy (bits/char) and distinct-char
     * count, per code point, in one pass per row.
@@ -140,6 +186,8 @@ object StringExprs {
       MaskedPosHashes(es.head)),
     "graft_hamming_dist" -> ((es: Seq[Expression]) =>
       HammingDist(es.head, es(1))),
+    "graft_deletion_hashes" -> ((es: Seq[Expression]) =>
+      DeletionHashes(es.head)),
     "graft_char_entropy_stats" -> ((es: Seq[Expression]) =>
       CharEntropyStats(es.head)))
 
@@ -157,4 +205,6 @@ object StringExprs {
     call_function("graft_hamming_dist", a, b)
   def charEntropyStats(c: Column): Column =
     call_function("graft_char_entropy_stats", c)
+  def deletionHashes(c: Column): Column =
+    call_function("graft_deletion_hashes", c)
 }
