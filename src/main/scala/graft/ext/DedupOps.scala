@@ -759,13 +759,20 @@ object DedupOps {
   }
 
   /** Exact edit-distance-≤1 pair join (SymSpell, Garbe 2012): all id
-    * pairs whose strings differ by at most one SUBSTITUTION, INSERTION,
-    * or DELETION — the full single-edit family ([[hammingPairs]] covers
-    * equal-length substitutions only). Blocking: two strings within one
-    * edit share a deletion-variant string, so candidates are pairs
-    * sharing a [[graft.functions.StringExprs.DeletionHashes]] key;
-    * verification is the exact `levenshtein` built-in (codegen'd,
-    * identical semantics in the DuckDB oracle).
+    * pairs whose strings differ by at most one BYTE substitution,
+    * insertion, or deletion — the full single-edit family
+    * ([[hammingPairs]] covers equal-length substitutions only).
+    * Blocking: two strings within one byte edit share a deletion-
+    * variant string, so candidates are pairs sharing a
+    * [[graft.functions.StringExprs.DeletionHashes]] key; verification
+    * is the native byte-level
+    * [[graft.functions.StringExprs.EditDistLE1]] — the SAME metric as
+    * the blocking and as DuckDB's byte-based `levenshtein` oracle, so
+    * the contract is consistent end to end. Byte semantics (the
+    * [[graft.functions.StringExprs.MaskedPosHashes]] caveat): an edit
+    * inside a multi-byte codepoint counts per byte — é→e is distance 2
+    * and NOT a pair; recall of "one user-perceived edit" holds for
+    * 1-byte-wide diffs.
     *
     * Scale shape: keys shuffle as 8-byte hashes (~len per row), bucket
     * sizes track true near-dup density (a shared corpus-wide prefix
@@ -791,7 +798,8 @@ object DedupOps {
       .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).cast(LongType).as("dist"))
+        graft.functions.StringExprs.editDistLE1(col("s_a"), col("s_b"))
+          .as("dist"))
       .filter(col("dist") <= 1L)
   }
 }

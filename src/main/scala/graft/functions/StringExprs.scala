@@ -137,6 +137,48 @@ object StringExprs {
       copy(child = c)
   }
 
+  /** `edit_dist_le1(a, b)` → long: BYTE-level edit distance when it is
+    * ≤ 1, else `Long.MaxValue` (total function, like [[HammingDist]]).
+    * O(len) two-pointer walk — no DP table: equal lengths reduce to a
+    * Hamming check, lengths off by one to a single-gap walk. Byte
+    * semantics match [[DeletionHashes]]' blocking keys and DuckDB's
+    * byte-based `levenshtein`, making the x65 gate metric-consistent
+    * end to end; a multi-byte codepoint edit counts per BYTE (distance
+    * 2 for é→e), same caveat as [[MaskedPosHashes]]. */
+  case class EditDistLE1(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[UTF8String].getBytes
+      val b = r.asInstanceOf[UTF8String].getBytes
+      val out: Long =
+        if (a.length == b.length) {
+          var d = 0L
+          var i = 0
+          while (i < a.length && d <= 1L) {
+            if (a(i) != b(i)) d += 1L
+            i += 1
+          }
+          if (d <= 1L) d else java.lang.Long.MAX_VALUE
+        } else if (math.abs(a.length - b.length) == 1) {
+          val (lo, hi) = if (a.length < b.length) (a, b) else (b, a)
+          var i = 0
+          var j = 0
+          var skipped = false
+          var ok = true
+          while (ok && i < lo.length) {
+            if (lo(i) == hi(j)) { i += 1; j += 1 }
+            else if (!skipped) { skipped = true; j += 1 } // gap in hi
+            else ok = false
+          }
+          if (ok) 1L else java.lang.Long.MAX_VALUE
+        } else java.lang.Long.MAX_VALUE
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   /** `char_entropy_stats(s)` → struct<entropy double, n_distinct long>:
     * character-unigram Shannon entropy (bits/char) and distinct-char
     * count, per code point, in one pass per row.
@@ -188,6 +230,8 @@ object StringExprs {
       HammingDist(es.head, es(1))),
     "graft_deletion_hashes" -> ((es: Seq[Expression]) =>
       DeletionHashes(es.head)),
+    "graft_edit_dist_le1" -> ((es: Seq[Expression]) =>
+      EditDistLE1(es.head, es(1))),
     "graft_char_entropy_stats" -> ((es: Seq[Expression]) =>
       CharEntropyStats(es.head)))
 
@@ -207,4 +251,6 @@ object StringExprs {
     call_function("graft_char_entropy_stats", c)
   def deletionHashes(c: Column): Column =
     call_function("graft_deletion_hashes", c)
+  def editDistLE1(a: Column, b: Column): Column =
+    call_function("graft_edit_dist_le1", a, b)
 }

@@ -253,22 +253,21 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(got(3L)._1 - 2.0) < 1e-12 && got(3L)._2 == 4L)
   }
 
-  test("editOnePairs: full single-edit family == brute-force levenshtein") {
-    val rows = Seq(
-      (1L, "kitten"), (2L, "mitten"),   // substitution
-      (3L, "kittens"),                  // insertion vs 1
-      (4L, "kitte"),                    // deletion vs 1
-      (5L, "kitten"),                   // identical to 1 (distance 0)
-      (6L, "sitting"),                  // distance 3 from kitten — out
-      (7L, ""), (8L, "x"), (9L, ""))    // empty family
-      .toDF("id", "s")
-    val got = DedupOps.editOnePairs(rows, "id", "s")
+  test("editOnePairs: full single-edit family == brute-force BYTE " +
+      "levenshtein (incl multi-byte caveat)") {
+    val data = Seq(
+      1L -> "kitten", 2L -> "mitten",   // substitution
+      3L -> "kittens",                  // insertion vs 1
+      4L -> "kitte",                    // deletion vs 1
+      5L -> "kitten",                   // identical to 1 (distance 0)
+      6L -> "sitting",                  // distance 3 from kitten — out
+      7L -> "", 8L -> "x", 9L -> "",    // empty family
+      10L -> "kittén")                  // é is 2 BYTES from e → NOT a pair
+    val got = DedupOps.editOnePairs(data.toDF("id", "s"), "id", "s")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // brute force over the same metric
-    val data = Seq(1L -> "kitten", 2L -> "mitten", 3L -> "kittens",
-      4L -> "kitte", 5L -> "kitten", 6L -> "sitting", 7L -> "", 8L -> "x",
-      9L -> "")
-    def lev(a: String, b: String): Int = {
+    // brute-force reference over the SAME byte-level metric
+    def lev(x: String, y: String): Int = {
+      val (a, b) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
         if (i == 0) j else if (j == 0) i else 0 }
       for (i <- 1 to a.length; j <- 1 to b.length)
@@ -285,6 +284,8 @@ class ExtSpec extends SparkSpec {
     assert(got.contains((1L, 3L)) && got.contains((1L, 4L)) &&
       got.contains((7L, 8L)) && got.contains((7L, 9L)))
     assert(!got.exists(p => p._1 == 6L || p._2 == 6L))
+    // byte semantics: the multi-byte substitution is distance 2 — out
+    assert(!got.exists(p => p._1 == 10L || p._2 == 10L))
   }
 
   test("qualityLogit: probability bounds and signal monotonicity") {
