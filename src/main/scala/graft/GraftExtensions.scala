@@ -42,6 +42,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "graft_char_entropy_stats" ->
       ("graft_char_entropy_stats(s) - struct(entropy, n_distinct): " +
         "one-pass char-unigram Shannon entropy"),
+    "graft_deletion_hashes" ->
+      ("graft_deletion_hashes(s) - SymSpell deletion-variant blocking " +
+        "keys (self + every single-byte deletion)"),
+    "graft_edit_dist_le1" ->
+      ("graft_edit_dist_le1(a, b) - byte edit distance if <= 1, else " +
+        "MaxValue (O(len) two-pointer)"),
     "graft_topk_by_score" ->
       "graft_topk_by_score(score, id, k) - bounded-heap top-k aggregate",
     "graft_misra_gries" ->
