@@ -1467,6 +1467,13 @@ object SparkEntry {
       graft.ext.DedupOps.editOnePairs(
         T(s, dir, "customer"), "c_custkey", "c_name")),
 
+    // vocabulary coverage: per-doc OOV rate against the corpus
+    // top-500 term list — the "does this vocab cover the corpus"
+    // diagnostic; single lazy plan, vocab broadcasts.
+    "x66_vocab_coverage" -> ((s, dir) =>
+      graft.ext.TextAnalysis.vocabCoverage(
+        T(s, dir, "documents"), "doc_id", "text", vocabSize = 500)),
+
     // bigram LM statistics: top-50 bigrams with P(w2|w1) — integer
     // counts, one hash agg, vocabulary-partitioned denominator window.
     "x55_bigram_lm" -> ((s, dir) =>
@@ -3156,6 +3163,24 @@ object SparkEntry {
            FROM customer a JOIN customer b
              ON a.c_custkey < b.c_custkey
            WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+
+      "x66_vocab_coverage" ->
+        """WITH tok AS (
+             SELECT doc_id,
+                    unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                      AS term
+             FROM documents),
+           v AS (SELECT term FROM (
+                   SELECT term, count(*) AS c FROM tok
+                   GROUP BY 1 ORDER BY c DESC, term ASC LIMIT 500)),
+           d AS (SELECT tok.doc_id, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_oov
+                 FROM tok LEFT JOIN v USING (term)
+                 GROUP BY 1)
+           SELECT doc_id, n_tokens, n_oov,
+                  round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
+           FROM d""",
 
       "x55_bigram_lm" ->
         """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+')

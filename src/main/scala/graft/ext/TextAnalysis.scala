@@ -312,6 +312,35 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Vocabulary coverage: build the corpus top-`vocabSize` term list and
+    * score every document's out-of-vocabulary rate against it — the
+    * "will this tokenizer vocabulary cover this corpus" diagnostic run
+    * before committing to a vocab.
+    *
+    * Scale shape: the vocab is one hash agg + TakeOrdered (k terms on
+    * the driver-side of the plan, broadcast back); the per-doc score is
+    * an explode whose (doc_id) re-aggregation collapses map-side — doc
+    * rows are colocated with their tokens, so the shuffle carries one
+    * row per document, not per token. All-lazy single plan (no eager
+    * statistic job): the vocab subtree rides inside the broadcast. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1 (got $vocabSize)")
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("_in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6))
+  }
+
   /** Per-document character-unigram Shannon entropy (bits/char) — the
     * cheap perplexity proxy that separates natural text from repetitive
     * or degenerate content (complements [[repetitionRatio]]'s n-gram
