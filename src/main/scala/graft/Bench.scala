@@ -5,8 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, forcing full materialization through the noop sink
   * (count() would let Catalyst prune the projections we mean to measure).
-  * Prints ONE JSON line: {"metric":...,"value":N,"unit":"sec",
-  * "queries":{...},"sf":...}.
+  * Prints the full JSON line {"metric":...,"value":N,"unit":"sec",
+  * "queries":{...},"sf":...} followed by a compact total-only repeat of
+  * the same metric as the final stdout line (tail-capture safe).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,6 +45,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The per-query line above exceeds tail-capture limits at 120+
+    // queries; repeat the headline as a short final line so a tail of
+    // stdout always contains one complete, parseable JSON object.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -336,11 +336,24 @@ object Corpus {
     * admitted with zero shuffle; only the hit fraction — true duplicates
     * plus the ~(items/bits-tuned) false-positive sliver — pays the exact
     * digest anti-join. Result is EXACTLY [[incrementalDedup]]'s (the FP
-    * sliver is re-checked), which is what makes this oracle-checkable.
+    * sliver is re-checked, and NULL-text probes route to the miss branch,
+    * matching the anti-join's NULL-key pass-through), which is what makes
+    * this oracle-checkable.
     *
     * At 100 TB this is the canonical shape: the anti-join's shuffle
-    * shrinks from |incoming| to |dup ∪ fp|, usually orders of magnitude,
-    * for one broadcast of a few MB.
+    * shrinks from |incoming| to |dup ∪ fp|, usually orders of magnitude.
+    *
+    * SIZING — be honest about the filter's own weight. A target FP rate p
+    * costs ≈ 1.44·log2(1/p) bits per key: ~10 bits/key at p=1%. So 10^8
+    * corpus keys → ~120 MB, and a 10^10-key corpus (100 TB at ~10 KB/doc)
+    * → ~12 GB. The filter ships as an explicit `Broadcast` variable, NOT
+    * a plan literal — the plan carries only the handle; bytes move once
+    * per executor via torrent broadcast (Spark's own
+    * `BloomFilterMightContain` forces a foldable filter and would re-ship
+    * the sketch inside every serialized task). An UNDERSIZED filter
+    * degrades gracefully (FP→1 → every row pays the anti-join — plain
+    * [[incrementalDedup]], never wrong). Past executor-memory scale,
+    * shard by digest range instead — see SCALE.md "Sharded bloom".
     *
     * Eager statistic job: building the filter runs a Spark job at
     * DataFrame-construction time (same plan-freezing behavior as
@@ -364,12 +377,18 @@ object Corpus {
       .head().getAs[Array[Byte]](0)
     if (filterBytes == null) incoming // empty corpus: everything is new
     else {
-      val hit = BloomExprs.mightContain(lit(filterBytes),
+      val bc = incoming.sparkSession.sparkContext.broadcast(filterBytes)
+      val hit = BloomExprs.mightContainBroadcast(bc,
         xxhash64(digest(col(textCol))))
       val tagged = incoming.withColumn("_graft_hit", hit)
-      val certainlyNew = tagged.filter(!col("_graft_hit"))
+      // NULL text → NULL digest → NULL probe: coalesce routes it to the
+      // miss branch, exactly as incrementalDedup's anti-join keeps
+      // NULL-digest rows (a NULL key never matches).
+      val certainlyNew = tagged
+        .filter(!coalesce(col("_graft_hit"), lit(false)))
         .drop("_graft_hit")
-      val suspects = tagged.filter(col("_graft_hit")).drop("_graft_hit")
+      val suspects = tagged.filter(col("_graft_hit") === true)
+        .drop("_graft_hit")
       certainlyNew.unionByName(incrementalDedup(suspects, corpus, textCol))
     }
   }

@@ -1,9 +1,13 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{AbstractDataType, BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
 
 /** SQL-surface registration for Spark's OWN Bloom-filter expressions
   * (`BloomFilterAggregate` / `BloomFilterMightContain`,
@@ -52,4 +56,49 @@ object BloomExprs {
   /** `mightContain(filter, xxh64Col)` — filter must be foldable. */
   def mightContain(filter: Column, xxh64: Column): Column =
     call_function("graft_bloom_contains", filter, xxh64)
+
+  /** Bloom probe against a BROADCAST filter instead of a plan literal.
+    *
+    * WHY: Spark's `BloomFilterMightContain` demands a foldable filter, so
+    * the serialized sketch rides inside the plan and is re-shipped with
+    * every task. Fine for MB-scale filters; at 100 TB corpus scale
+    * (~10^10 keys × ~10 bits/key at 1% FP ≈ 12 GB) a plan literal is a
+    * non-starter. This expression carries only the `Broadcast` HANDLE in
+    * the plan; the bytes move once per executor over torrent broadcast
+    * and deserialize lazily executor-side. Same probe semantics as
+    * [[mightContain]]: no false negatives, `true` needs verification. */
+  case class BroadcastBloomContains(bf: Broadcast[Array[Byte]],
+      child: Expression) extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = BooleanType
+    override def inputTypes = Seq(LongType) // AbstractDataType is private[sql]
+    override def prettyName: String = "graft_bloom_contains_bc"
+
+    @transient private lazy val filter: BloomFilter =
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(bf.value))
+
+    /** Executor-side probe; also the codegen entry point. */
+    def test(v: Long): Boolean = filter.mightContainLong(v)
+
+    override def nullSafeEval(v: Any): Any = test(v.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      // Reference `this` (holds only the small broadcast handle — the
+      // filter field is @transient), so codegen stays in the whole-stage
+      // span without embedding the sketch bytes in the task binary.
+      val ref = ctx.addReferenceObj("graftBloomBc", this,
+        classOf[BroadcastBloomContains].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.test($v);")
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  /** Probe a broadcast bloom filter: `mightContainBroadcast(bc, xxh64)`. */
+  def mightContainBroadcast(bf: Broadcast[Array[Byte]],
+      xxh64: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      BroadcastBloomContains(bf,
+        org.apache.spark.sql.GraftColumnBridge.expression(xxh64)))
 }

@@ -22,13 +22,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * file-count + content assertions. */
 object Compact {
 
-  /** Total bytes of the parquet data files under `path`. */
-  private[sinks] def dataBytes(path: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(walk).sum
-      else if (f.getName.endsWith(".parquet")) f.length()
-      else 0L
-    walk(new java.io.File(path))
+  /** Total bytes of the parquet data files under `path`, probed through
+    * the Hadoop FileSystem API so the same call works on local disk,
+    * HDFS, S3A, or any other Hadoop-compatible store — `path` may be a
+    * bare local path or a full `hdfs://`/`s3a://` URI. A missing or
+    * unreadable directory raises a clear error instead of an NPE. */
+  private[sinks] def dataBytes(spark: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"Compact: no such path: $path")
+    val it = fs.listFiles(p, /*recursive=*/ true)
+    var total = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        total += st.getLen
+    }
+    total
   }
 
   /** Rewrite `path` into ceil(totalBytes/targetBytes) files at `out`.
@@ -36,7 +47,7 @@ object Compact {
   def compact(spark: SparkSession, path: String, out: String,
       targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive")
-    val total = dataBytes(path)
+    val total = dataBytes(spark, path)
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(out)

@@ -300,4 +300,21 @@ class CorpusSpec extends SparkSpec {
     val incoming = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     assert(Corpus.bloomDedup(incoming, corpus, "text").count() == 2L)
   }
+
+  test("bloomDedup keeps NULL-text rows, exactly like incrementalDedup") {
+    val corpus = (0L until 50L).map(i => (i, s"corpus text $i"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, "corpus text 1"),    // true dup — dropped
+      (101L, "brand new"),        // fresh — kept
+      (102L, null.asInstanceOf[String]), // NULL probe — must be kept
+      (103L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val viaBloom = Corpus.bloomDedup(incoming, corpus, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val exact = Corpus.incrementalDedup(incoming, corpus, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaBloom == exact)
+    assert(viaBloom == Set(101L, 102L, 103L))
+  }
 }
