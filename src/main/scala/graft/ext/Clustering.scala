@@ -38,14 +38,23 @@ object Clustering {
     * the iteration jobs and released before returning, so the data is
     * read from source once plus once for the final assignment.
     *
-    * Precondition: vectors must share one dimensionality. The k seeds
-    * are require-checked; a ragged vector elsewhere gets a NULL
-    * distance from `SqDistF64` (never a silently truncated one). */
+    * Preconditions: `idCol` must be an integral type (validated up
+    * front — coerced to long, so int ids work; a string id is a clear
+    * error, not a ClassCastException at seed collection). Vectors must
+    * share one dimensionality: the k seeds are require-checked, and any
+    * OTHER row whose vector disagrees with the seed dimensionality is
+    * EXCLUDED from the output (filtered by `size(v) = dim`) — never a
+    * silently truncated distance, and never a NULL-distance row whose
+    * cross-engine ordering is undefined. */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
+    val idType = df.schema(idCol).dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(idType),
+      s"kmeansAssign: $idCol must be an integral id column (got $idType)")
     graft.functions.VectorExprs.register(df.sparkSession)
-    val vecs = df.select(col(idCol),
+    val vecs = df.select(col(idCol).cast(LongType).as(idCol),
       transform(col(vecCol), x => x.cast(DoubleType)).as("_v"))
     if (iters > 0)
       vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -73,7 +82,10 @@ object Clustering {
     def assignOnce = {
       val ds = array(centroids.map(c => dist2(c._2)): _*)
       val ids = typedLit(centroids.map(_._1))
-      vecs.withColumn("_d", ds)
+      // ragged vectors are excluded, not emitted with NULL distances —
+      // see the precondition contract in the scaladoc
+      vecs.filter(size(col("_v")) === lit(dim))
+        .withColumn("_d", ds)
         .withColumn("dist", array_min(col("_d")))
         .withColumn("cluster",
           element_at(ids, array_position(col("_d"), col("dist"))

@@ -33,13 +33,17 @@ object PartitionedWrite {
 
   /** Read the layout back; filters on `partCols` become
     * PartitionFilters (directory pruning, no data IO for pruned
-    * partitions). */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    * partitions). `basePath` pins partition discovery to the layout
+    * ROOT, so the call works identically whether `path` is the root or
+    * a partition subdirectory (`.../event_date=2024-01-02`) — without
+    * it, a subdirectory read silently loses the partition column from
+    * the schema. */
+  def read(spark: SparkSession, path: String,
+      basePath: Option[String] = None): DataFrame =
+    spark.read.option("basePath", basePath.getOrElse(path)).parquet(path)
 
   /** The gated shape: events staged by event_date, then one selected
-    * day read back through the pruned path. `basePath` keeps the
-    * partition column in the schema. */
+    * day read back through the pruned path. */
   def prunedDay(spark: SparkSession, events: DataFrame, path: String,
       day: String): DataFrame = {
     write(events.withColumn("event_date", to_date(col("ts"))),

@@ -57,6 +57,29 @@ class ClusteringSpec extends SparkSpec {
     assert(run(blobs) == run(blobs.repartition(7)))
   }
 
+  test("kmeansAssign: int ids coerce to long; string ids are a clear " +
+      "error") {
+    val intIds = blobs.withColumn("vec_id", $"vec_id".cast("int"))
+    val got = Clustering.kmeansAssign(intIds, "vec_id", "embedding",
+        k = 3, iters = 1)
+      .select("vec_id", "cluster").as[(Long, Long)].collect()
+    assert(got.length == 24)
+    val strIds = blobs.withColumn("vec_id", $"vec_id".cast("string"))
+    val e = intercept[IllegalArgumentException](
+      Clustering.kmeansAssign(strIds, "vec_id", "embedding", 3, 1))
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("kmeansAssign: ragged non-seed vectors are excluded, not NULL") {
+    val ragged = blobs.unionByName(
+      Seq((100L, Seq(1.0d, 2.0d))).toDF("vec_id", "embedding"))
+    val got = Clustering.kmeansAssign(ragged, "vec_id", "embedding",
+        k = 3, iters = 1)
+    assert(got.count() == 24)
+    assert(got.filter($"vec_id" === 100L).isEmpty)
+    assert(got.filter($"cluster".isNull || $"dist".isNull).isEmpty)
+  }
+
   test("kmeansAssign rejects bad parameters and empty input") {
     assertThrows[IllegalArgumentException](
       Clustering.kmeansAssign(blobs, "vec_id", "embedding", 0, 1))

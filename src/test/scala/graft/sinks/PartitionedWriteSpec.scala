@@ -41,6 +41,15 @@ class PartitionedWriteSpec extends SparkSpec {
       files.forall(_.contains("event_date=2024-01-02")), files.toSeq)
   }
 
+  test("subdirectory read with basePath keeps the partition column") {
+    val dir = stage()
+    val sub = PartitionedWrite.read(spark,
+      dir + "/event_date=2024-01-02", basePath = Some(dir))
+    assert(sub.columns.contains("event_date"),
+      s"partition column lost: ${sub.columns.toSeq}")
+    assert(sub.select("event_id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
   test("layout roundtrip: partition column survives with correct values") {
     val dir = stage()
     val got = PartitionedWrite.read(spark, dir)
