@@ -1474,6 +1474,15 @@ object SparkEntry {
       graft.ext.TextAnalysis.vocabCoverage(
         T(s, dir, "documents"), "doc_id", "text", vocabSize = 500)),
 
+    // learned-centroid IVF: the x53→x07 composition — k-means cells as
+    // the inverted file, each query probing its 2 nearest centroids.
+    "x67_ivf_learned_topk" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      graft.ext.Similarity.ivfLearnedTopK(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, kCentroids = 8, iters = 2, nprobe = 2)
+    },
+
     // bigram LM statistics: top-50 bigrams with P(w2|w1) — integer
     // counts, one hash agg, vocabulary-partitioned denominator window.
     "x55_bigram_lm" -> ((s, dir) =>
@@ -2432,18 +2441,23 @@ object SparkEntry {
     // left-fold-from-zero sum as the engine's `aggregate`, so argmin
     // compares identical doubles; only the centroid means carry
     // summation-order wiggle (~1 ulp, far below any argmin gap).
-    val kmeansOracle: String = {
+    // squared-L2 between aliases v and c — the same left-fold-from-zero
+    // order as the engine's SqDistF64 (shared by the Lloyd's CTEs and
+    // the x67 probe selection)
+    val kmeansD2 =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_zip(v.e, c.e),
+             p -> (p[1]-p[2])*(p[1]-p[2]))),
+           (acc, x) -> acc + x)"""
+    // Lloyd's k-means unrolled to CTEs, shared by x53 and x67: ends at
+    // a3 (final assignment: vec_id, cl, d) and c2 (final centroids).
+    val kmeansCtes: String = {
       val (dim, k, iters) = (64, 8, 2)
-      def d2 =
-        """list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list_transform(list_zip(v.e, c.e),
-               p -> (p[1]-p[2])*(p[1]-p[2]))),
-             (acc, x) -> acc + x)"""
       def assign(i: Int, cPrev: String, last: Boolean) =
         s"""a$i AS (SELECT vec_id, cl${if (last) ", d" else ""} FROM (
               SELECT vec_id, cl, d, row_number() OVER (
                 PARTITION BY vec_id ORDER BY d, cl) AS rn
-              FROM (SELECT v.vec_id, c.cl, $d2 AS d
+              FROM (SELECT v.vec_id, c.cl, $kmeansD2 AS d
                     FROM v, $cPrev c))
             WHERE rn = 1)"""
       def centroid(i: Int) =
@@ -2455,12 +2469,14 @@ object SparkEntry {
       val ctes = (1 to iters).flatMap(i =>
         Seq(assign(i, s"c${i - 1}", last = false), centroid(i))) :+
         assign(iters + 1, s"c$iters", last = true)
-      s"""WITH v AS ($vecs),
+      s"""v AS ($vecs),
           c0 AS (SELECT vec_id AS cl, e FROM v ORDER BY vec_id LIMIT $k),
-          ${ctes.mkString(",\n")}
-          SELECT vec_id, cl AS cluster, round(d, 6) AS dist
-          FROM a${iters + 1}"""
+          ${ctes.mkString(",\n")}"""
     }
+    val kmeansOracle: String =
+      s"""WITH $kmeansCtes
+          SELECT vec_id, cl AS cluster, round(d, 6) AS dist
+          FROM a3"""
     // rolling-hash fingerprint (must mirror TextAnalysis.fingerprint)
     val fp =
       """list_reduce(
@@ -3181,6 +3197,30 @@ object SparkEntry {
            SELECT doc_id, n_tokens, n_oov,
                   round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
            FROM d""",
+
+      // the Lloyd's CTEs (shared with x53) + exact per-bucket top-k:
+      // probes = each query's 2 nearest FINAL centroids (same squared-L2
+      // fold, centroid-id tiebreak), candidates = a3's cell members
+      "x67_ivf_learned_topk" ->
+        s"""WITH $kmeansCtes,
+            probes AS (
+              SELECT query_id, cl AS bucket FROM (
+                SELECT v.vec_id AS query_id, c.cl,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY $kmeansD2, c.cl) AS rn
+                FROM v, c2 c
+                WHERE v.vec_id < 8)
+              WHERE rn <= 2)
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+            FROM (SELECT p.query_id, b.vec_id, $cosPairExpr AS cos,
+                         row_number() OVER (PARTITION BY p.query_id
+                           ORDER BY $cosPairExpr DESC, b.vec_id ASC) AS rank
+                  FROM probes p
+                       JOIN a3 s ON s.cl = p.bucket
+                       JOIN v b ON b.vec_id = s.vec_id
+                       JOIN v a ON a.vec_id = p.query_id
+                  WHERE b.vec_id <> p.query_id)
+            WHERE rank <= 5""",
 
       "x55_bigram_lm" ->
         """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+')

@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Distributed Lloyd's k-means over an embedding column — the centroid
-  * trainer behind IVF-style ANN partitioning (x07 probes buckets; this op
-  * LEARNS data-adapted buckets instead of sign-LSH's data-oblivious ones).
+  * trainer behind IVF-style ANN partitioning (x07 probes data-oblivious
+  * sign buckets; this op LEARNS data-adapted buckets, and
+  * `Similarity.ivfLearnedTopK` composes the two into a learned-centroid
+  * inverted-file search).
   *
   * Architecture is the canonical Spark shape (same as MLlib's KMeans):
   * centroids live on the DRIVER (k × dim doubles — bytes, not data),
@@ -27,35 +29,65 @@ import org.apache.spark.sql.types._
   */
 object Clustering {
 
-  /** Assign every row to its nearest centroid after `iters` Lloyd
-    * updates. Output: (idCol, cluster, dist) — cluster is the SEED row's
-    * id, dist the final squared Euclidean distance rounded to 6.
-    *
-    * Eager statistic jobs: the seed collect and each centroid update run
-    * Spark jobs at DataFrame-CONSTRUCTION time (same plan-freezing
-    * behavior as `ngramJaccardPairs`/`heavyTerms`) — build when the
-    * input is settled. The projected (id, vector) frame is cached for
-    * the iteration jobs and released before returning, so the data is
-    * read from source once plus once for the final assignment.
-    *
-    * Preconditions: `idCol` must be an integral type (validated up
-    * front — coerced to long, so int ids work; a string id is a clear
-    * error, not a ClassCastException at seed collection). Vectors must
-    * share one dimensionality: the k seeds are require-checked, and any
-    * OTHER row whose vector disagrees with the seed dimensionality is
-    * EXCLUDED from the output (filtered by `size(v) = dim`) — never a
-    * silently truncated distance, and never a NULL-distance row whose
-    * cross-engine ordering is undefined. */
-  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
-    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
+  /** Validated narrow projection: (idCol as long, `_v` as double array).
+    * Integral id required up front — coerced to long, so int ids work; a
+    * string id is a clear error, not a ClassCastException at seed
+    * collection. */
+  private[ext] def project(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val idType = df.schema(idCol).dataType
     require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
         .contains(idType),
-      s"kmeansAssign: $idCol must be an integral id column (got $idType)")
-    graft.functions.VectorExprs.register(df.sparkSession)
-    val vecs = df.select(col(idCol).cast(LongType).as(idCol),
+      s"kmeans: $idCol must be an integral id column (got $idType)")
+    df.select(col(idCol).cast(LongType).as(idCol),
       transform(col(vecCol), x => x.cast(DoubleType)).as("_v"))
+  }
+
+  /** Nearest-centroid assignment projection: appends (cluster, dist) to
+    * a projected frame (must carry `_v`). Pure projection against
+    * centroid literals — no join, no shuffle; argmin ties break to the
+    * FIRST (lowest-id) centroid because `centroids` is id-sorted and
+    * `array_position` returns the first match. Rows whose vectors
+    * disagree with the centroid dimensionality are EXCLUDED — never a
+    * silently truncated distance, and never a NULL-distance row whose
+    * cross-engine ordering is undefined. */
+  private[ext] def assignTo(vecs: DataFrame,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    graft.functions.VectorExprs.register(vecs.sparkSession)
+    val dim = centroids.head._2.length
+    // squared L2 to one centroid literal: native one-loop expression —
+    // the zip_with/aggregate formulation evaluates interpreted per
+    // element, k × dim times per row (the x08-class hazard); SqDistF64
+    // is the same left fold in one primitive loop, bit-identical to the
+    // list_reduce oracle
+    val ds = array(centroids.map(c =>
+      graft.functions.VectorExprs.sqDistF64(col("_v"), typedLit(c._2))): _*)
+    val ids = typedLit(centroids.map(_._1))
+    vecs.filter(size(col("_v")) === lit(dim))
+      .withColumn("_d", ds)
+      .withColumn("dist", array_min(col("_d")))
+      .withColumn("cluster",
+        element_at(ids, array_position(col("_d"), col("dist"))
+          .cast(IntegerType)))
+      .drop("_d")
+  }
+
+  /** Train and return the final centroids after `iters` Lloyd updates:
+    * id-sorted (seedRowId, mean vector) pairs, driver-held (k × dim
+    * doubles). This is the reusable half of [[kmeansAssign]] — ANN
+    * index builds (`Similarity.ivfLearnedTopK`) consume the centroids
+    * directly as probe targets.
+    *
+    * Eager statistic jobs: the seed collect and each centroid update run
+    * Spark jobs at CALL time (same plan-freezing behavior as
+    * `ngramJaccardPairs`/`heavyTerms`) — call when the input is settled.
+    * The projected (id, vector) frame is cached for the iteration jobs
+    * and released before returning. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
+    graft.functions.VectorExprs.register(df.sparkSession)
+    val vecs = project(df, idCol, vecCol)
     if (iters > 0)
       vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -66,37 +98,15 @@ object Clustering {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .toSeq
     require(centroids.nonEmpty,
-      s"kmeansAssign: input has no rows to seed from")
+      s"kmeansCentroids: input has no rows to seed from")
     val dim = centroids.head._2.length
     require(centroids.forall(_._2.length == dim),
       "ragged embedding column (seed rows disagree on dimensionality)")
 
-    // squared L2 to one centroid literal: native one-loop expression —
-    // the zip_with/aggregate formulation evaluates interpreted per
-    // element, k × dim times per row (the x08-class hazard); SqDistF64
-    // is the same left fold in one primitive loop, bit-identical to the
-    // list_reduce oracle
-    def dist2(c: Seq[Double]) =
-      graft.functions.VectorExprs.sqDistF64(col("_v"), typedLit(c))
-
-    def assignOnce = {
-      val ds = array(centroids.map(c => dist2(c._2)): _*)
-      val ids = typedLit(centroids.map(_._1))
-      // ragged vectors are excluded, not emitted with NULL distances —
-      // see the precondition contract in the scaladoc
-      vecs.filter(size(col("_v")) === lit(dim))
-        .withColumn("_d", ds)
-        .withColumn("dist", array_min(col("_d")))
-        .withColumn("cluster",
-          element_at(ids, array_position(col("_d"), col("dist"))
-            .cast(IntegerType)))
-        .select(col(idCol), col("_v"), col("cluster"), col("dist"))
-    }
-
     for (_ <- 0 until iters) {
       // one shuffle of (cluster, pos) cells — k*dim per partition after
       // the map-side partial agg, regardless of row count
-      val cells = assignOnce
+      val cells = assignTo(vecs, centroids)
         .select(col("cluster"), posexplode(col("_v")).as(Seq("_p", "_x")))
         .groupBy(col("cluster"), col("_p"))
         .agg(avg(col("_x")).as("_m"))
@@ -110,11 +120,24 @@ object Clustering {
         .sortBy(_._1)
     }
 
-    // release the iteration cache; the final (lazy) assignment below
-    // re-reads the source once when the caller materializes it
+    // release the iteration cache; later consumers re-read the source
     if (iters > 0) vecs.unpersist(blocking = false)
+    centroids
+  }
 
-    assignOnce.select(col(idCol), col("cluster"),
-      round(col("dist"), 6).as("dist"))
+  /** Assign every row to its nearest centroid after `iters` Lloyd
+    * updates. Output: (idCol, cluster, dist) — cluster is the SEED row's
+    * id, dist the final squared Euclidean distance rounded to 6.
+    *
+    * Preconditions: see [[project]] (integral id) and [[assignTo]]
+    * (uniform dimensionality; ragged non-seed rows are excluded). */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val centroids = kmeansCentroids(df, idCol, vecCol, k, iters)
+    // the final (lazy) assignment re-reads the source once when the
+    // caller materializes it
+    assignTo(project(df, idCol, vecCol), centroids)
+      .select(col(idCol), col("cluster"),
+        round(col("dist"), 6).as("dist"))
   }
 }

@@ -111,6 +111,71 @@ object Similarity {
         col("vec_id"), col("cos"))
   }
 
+  /** Learned-centroid IVF top-k — the composition [[ivfTopK]]'s scaladoc
+    * promises and x53 trains for: bucket the corpus by nearest
+    * k-means centroid ([[Clustering.kmeansCentroids]], data-ADAPTED
+    * cells instead of [[signBucket]]'s data-oblivious sign cuts), then
+    * have each query probe its `nprobe` nearest centroids by exact
+    * centroid distance and rank candidates by cosine.
+    *
+    * Scale shape: centroids are driver-held (kCentroids × dim doubles);
+    * BOTH the corpus bucketing and the query probe list are pure
+    * projections against centroid literals (same whole-stage-codegen
+    * fold as k-means assignment — no join, no shuffle to build the
+    * index). The only join is corpus ⋈ broadcast(queries × nprobe) on
+    * the bucket id, so each query scans ~nprobe·N/kCentroids vectors.
+    * Recall beats sign-LSH at equal probe cost because Lloyd cells
+    * track the data's actual density (gated in ExtSpec); exactness
+    * within probed cells is total, so the oracle replays the same
+    * unrolled-Lloyd's CTEs plus an exact per-bucket top-k.
+    *
+    * Determinism: probe selection compares exact squared-L2 folds with
+    * centroid-id tiebreak (`array_sort` over (dist, id) structs — the
+    * same order as the oracle's `row_number`); each corpus vector lives
+    * in exactly ONE cell and a query's probe cells are distinct, so no
+    * pair can match twice. Eager statistic jobs at call time: the
+    * k-means training runs Spark jobs (plan-freezing, as
+    * [[Clustering.kmeansCentroids]] documents). */
+  def ivfLearnedTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, kCentroids: Int = 8,
+      iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    import graft.functions.VectorExprs.{dotF64, sqDistF64}
+    val centroids = Clustering.kmeansCentroids(corpus, idCol, vecCol,
+      kCentroids, iters)
+    val c = Clustering.assignTo(
+        corpus.select(col(idCol).as("vec_id"),
+          asDouble(col(vecCol)).as("_v")), centroids)
+      .withColumn("nrm", sqrt(dotF64(col("_v"), col("_v"))))
+      .select(col("vec_id"), col("_v").as("v"),
+        col("cluster").as("bucket"), col("nrm"))
+    // nprobe nearest centroids per query: array_sort over (dist, id)
+    // structs is lexicographic — exact distance first, centroid id as
+    // the tiebreak — then slice + explode into one probe row per cell
+    val probeList = slice(array_sort(array(centroids.map { case (id, v) =>
+      struct(sqDistF64(col("qv"), typedLit(v)).as("d"),
+        lit(id).as("cl")) }: _*)), 1, nprobe)
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnrm", sqrt(dotF64(col("qv"), col("qv"))))
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        explode(probeList).as("_pr"))
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        col("_pr.cl").as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(coalesce(
+        try_divide(dotF64(col("qv"), col("v")), col("qnrm") * col("nrm")),
+        lit(0.0)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), col("cos"))
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max|x| / 127, levels = round-half-up(x / scale) ∈ [-127,
     * 127]. The 4× storage/bandwidth cut that makes a 100 TB ANN corpus

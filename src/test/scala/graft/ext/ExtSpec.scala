@@ -204,6 +204,28 @@ class ExtSpec extends SparkSpec {
     assert(rMulti >= 0.5, s"multi-probe recall@5 too low: $rMulti")
   }
 
+  test("ivfLearnedTopK: k rows per query, recall@5 >= sign-LSH ivfTopK") {
+    val queries = embs.filter($"vec_id" < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(embs, queries,
+      "vec_id", "embedding", 5))
+    val learned = Similarity.ivfLearnedTopK(embs, queries,
+      "vec_id", "embedding", k = 5, kCentroids = 8, iters = 2, nprobe = 2)
+    val byQ = learned.groupBy("query_id").count().collect()
+    assert(byQ.length == 8 && byQ.forall(_.getLong(1) == 5L))
+    assert(learned.filter($"query_id" === $"vec_id").isEmpty)
+    val signLsh = pairs(Similarity.ivfTopK(embs, queries,
+      "vec_id", "embedding", 5, bits = 4, probeBits = 1))
+    val rLearned = (pairs(learned) & exact).size.toDouble / exact.size
+    val rSign = (signLsh & exact).size.toDouble / exact.size
+    // data-adapted Lloyd cells must not lose to data-oblivious sign cuts
+    // at comparable probe cost on this fixture
+    assert(rLearned >= rSign,
+      s"learned-centroid recall $rLearned < sign-LSH $rSign")
+    assert(rLearned >= 0.5, s"learned-centroid recall@5 too low: $rLearned")
+  }
+
   test("semanticDedup: drops exactly the pair-list high sides") {
     val survivors = DedupOps.semanticDedup(embs, "vec_id", "embedding",
         threshold = 0.35, signBits = 6)
