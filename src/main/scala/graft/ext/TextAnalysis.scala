@@ -317,25 +317,31 @@ object TextAnalysis {
     * "will this tokenizer vocabulary cover this corpus" diagnostic run
     * before committing to a vocab.
     *
-    * Scale shape: the vocab is one hash agg + TakeOrdered (k terms on
-    * the driver-side of the plan, broadcast back); the per-doc score is
-    * an explode whose (doc_id) re-aggregation collapses map-side — doc
-    * rows are colocated with their tokens, so the shuffle carries one
-    * row per document, not per token. All-lazy single plan (no eager
-    * statistic job): the vocab subtree rides inside the broadcast. */
+    * Scale shape: the corpus is TOKENIZED ONCE — both the vocab and the
+    * per-doc score derive from a single `(doc_id, term, count)`
+    * aggregate, whose shuffle both subtrees share (the physical planner
+    * dedupes the identical Exchange into a ReusedExchange, asserted in
+    * ExtSpec — one executed Generate, one tokenization scan). The vocab
+    * is a re-agg of it + TakeOrdered (k terms on the driver side of the
+    * plan, broadcast back); the per-doc score re-aggregates it by
+    * doc_id, so the second shuffle carries one row per document, not
+    * per token. All-lazy single plan (no eager statistic job): the
+    * vocab subtree rides inside the broadcast. */
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be >= 1 (got $vocabSize)")
-    val toks = df.select(col(idCol).as("doc_id"),
-      explode(tokens(lower(col(textCol)))).as("term"))
-    val vocab = toks.groupBy("term").agg(count(lit(1)).as("_c"))
+    val termCounts = df.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("_tc"))
+    val vocab = termCounts.groupBy("term").agg(sum(col("_tc")).as("_c"))
       .orderBy(col("_c").desc, col("term").asc)
       .limit(vocabSize)
       .select(col("term"), lit(1).as("_in_vocab"))
-    toks.join(broadcast(vocab), Seq("term"), "left")
+    termCounts.join(broadcast(vocab), Seq("term"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum(col("_tc")).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, col("_tc")).otherwise(0L))
+          .as("n_oov"))
       .withColumn("oov_rate",
         round(col("n_oov").cast(DoubleType) /
           col("n_tokens").cast(DoubleType), 6))

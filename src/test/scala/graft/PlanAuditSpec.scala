@@ -27,8 +27,20 @@ class PlanAuditSpec extends SparkSpec {
   // BroadcastNestedLoopJoin by construction (see Similarity scaladoc).
   private val nestedLoopBaseline = Set("x05_cosine_topk", "x34_quantized_topk")
 
-  test("no query plan contains a cartesian product, stray NLJ, or " +
-      "single-partition window") {
+  // conservative per-literal size estimate: exact for the classes that
+  // can actually get big (binary sketches, strings, array literals)
+  private def litBytes(v: Any): Long = v match {
+    case null => 0L
+    case b: Array[Byte] => b.length.toLong
+    case s: org.apache.spark.unsafe.types.UTF8String => s.numBytes.toLong
+    case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+      a.numElements().toLong * 8L
+    case _ => 8L
+  }
+  private val MaxLiteralBytes = 16L * 1024 * 1024
+
+  test("no query plan contains a cartesian product, stray NLJ, " +
+      "single-partition window, or oversized literal") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
       val qe = q(spark, Sf0001).queryExecution
       val plan = qe.executedPlan.toString
@@ -45,6 +57,19 @@ class PlanAuditSpec extends SparkSpec {
       }
       assert(globalWindows.isEmpty,
         s"$name: Window with empty partition spec (single-task sort) in plan")
+      // an embedded literal beyond ~16 MB rides the serialized plan to
+      // EVERY task — the bloom/centroid-literal growth class. Big
+      // payloads belong in Broadcast variables (BloomExprs
+      // .mightContainBroadcast), not the plan.
+      val bigLits = qe.optimizedPlan.collectWithSubqueries { case node =>
+        node.expressions.flatMap(_.collect {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal
+              if litBytes(l.value) > MaxLiteralBytes => l
+        })
+      }.flatten
+      assert(bigLits.isEmpty,
+        s"$name: plan embeds ${bigLits.size} literal(s) above " +
+          s"$MaxLiteralBytes bytes — use a broadcast variable instead")
     }
   }
 }

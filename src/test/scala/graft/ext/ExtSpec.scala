@@ -226,6 +226,37 @@ class ExtSpec extends SparkSpec {
     assert(rLearned >= 0.5, s"learned-centroid recall@5 too low: $rLearned")
   }
 
+  test("vocabCoverage: tokenizes the corpus ONCE (reused exchange), " +
+      "rates are exact") {
+    val docs4 = Seq(
+      (1L, "the cat sat"),
+      (2L, "the the dog"),
+      (3L, "zebra quokka the"),
+      (4L, "cat")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs4, "doc_id", "text",
+      vocabSize = 3)
+    // vocab by count desc, term asc: the(5) > cat(2) > dog(1) — dog wins
+    // the count-1 tie alphabetically; sat/zebra/quokka are OOV
+    val got = out.select("doc_id", "n_tokens", "n_oov")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == Map(1L -> ((3L, 1L)), 2L -> ((3L, 0L)),
+      3L -> ((3L, 2L)), 4L -> ((1L, 0L))))
+    // single-tokenize contract: both subtrees derive from ONE
+    // (doc_id, term, count) aggregate, so the physical planner reuses
+    // its Exchange — the executed plan carries exactly one live
+    // Generate and a ReusedExchange marker
+    out.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — audit
+    // only the final (executed) section
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ReusedExchange"),
+      s"termCounts exchange not reused:\n$plan")
+    val generates = "(?m)^.*Generate .*$".r.findAllIn(plan).size
+    assert(generates == 1, s"expected 1 live Generate, got $generates:\n$plan")
+  }
+
   test("semanticDedup: drops exactly the pair-list high sides") {
     val survivors = DedupOps.semanticDedup(embs, "vec_id", "embedding",
         threshold = 0.35, signBits = 6)
