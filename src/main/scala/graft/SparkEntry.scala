@@ -1483,6 +1483,15 @@ object SparkEntry {
         k = 5, kCentroids = 8, iters = 2, nprobe = 2)
     },
 
+    // native image-header decode: spec-layout PNG/GIF/JPEG headers built
+    // from the id by pure expressions, parsed back by the magic-bytes
+    // Expression — build∘parse must be the identity the oracle computes
+    // directly from doc_id.
+    "x68_image_header_meta" -> ((s, dir) =>
+      graft.ext.Multimodal.imageMeta(
+        graft.ext.Multimodal.withImageHeaderPayload(
+          T(s, dir, "documents"), "doc_id"), "doc_id")),
+
     // bigram LM statistics: top-50 bigrams with P(w2|w1) — integer
     // counts, one hash agg, vocabulary-partitioned denominator window.
     "x55_bigram_lm" -> ((s, dir) =>
@@ -3221,6 +3230,17 @@ object SparkEntry {
                        JOIN v a ON a.vec_id = p.query_id
                   WHERE b.vec_id <> p.query_id)
             WHERE rank <= 5""",
+
+      // the engine routes through real header BYTES (build → parse);
+      // the oracle computes the same expected metadata straight from
+      // doc_id — the gate proves build∘parse is the identity
+      "x68_image_header_meta" ->
+        """SELECT doc_id,
+                  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+                       WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+                  CAST(16 + doc_id % 512 AS INT) AS width,
+                  CAST(16 + doc_id % 307 AS INT) AS height
+           FROM documents""",
 
       "x55_bigram_lm" ->
         """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+')

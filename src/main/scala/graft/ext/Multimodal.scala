@@ -58,6 +58,57 @@ object Multimodal {
       ceil(octet_length(col("payload")).cast(DoubleType) / lit(stride))
         .cast(LongType).as("n_frames"))
 
+  /** Deterministic synthetic image-header payloads for the x68 gate:
+    * REAL byte-level PNG/GIF/JPEG headers (signature + dimension fields
+    * laid out exactly per spec) built from pure expressions —
+    * `hex`/`unhex`/`concat`, no UDF — with width/height derived from the
+    * id. The driver testdata has no binary blobs, so the gate proves the
+    * parser on bytes built to the published layouts; real-file headers
+    * are pinned in ImageExprsSpec. */
+  def withImageHeaderPayload(df: DataFrame, idCol: String): DataFrame = {
+    def be16(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 4, "0"))
+    def be32(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+    def le16(c: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(c), 4, "0")
+      unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+    }
+    val w = (lit(16) + pmod(col(idCol), lit(512))).cast(IntegerType)
+    val h = (lit(16) + pmod(col(idCol), lit(307))).cast(IntegerType)
+    // PNG: signature + IHDR length/tag, then width/height BE32, then
+    // bit-depth 8 / color-type 6 (truecolor+alpha)
+    val png = concat(
+      lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+        0, 0, 0, 0x0d, 'I', 'H', 'D', 'R')),
+      be32(w), be32(h), lit(Array[Byte](8, 6)))
+    // GIF89a: logical screen descriptor is width/height LE16 right
+    // after the version tag
+    val gif = concat(lit("GIF89a".getBytes("US-ASCII")),
+      le16(w), le16(h), lit(Array[Byte](0xf7.toByte, 0, 0)))
+    // JPEG: SOI, a full APP0/JFIF segment (len 0x10), then SOF0 with
+    // precision 8 and height-then-width BE16
+    val jpg = concat(
+      lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte,
+        0x00, 0x10, 'J', 'F', 'I', 'F', 0x00, 0x01, 0x02, 0x00,
+        0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+        0xff.toByte, 0xc0.toByte, 0x00, 0x11, 0x08)),
+      be16(h), be16(w), lit(Array[Byte](3)))
+    df.withColumn("payload",
+      when(pmod(col(idCol), lit(3)) === 0, png)
+        .when(pmod(col(idCol), lit(3)) === 1, gif)
+        .otherwise(jpg))
+  }
+
+  /** Decode image-header metadata from the payload column via the
+    * native magic-bytes parser ([[graft.functions.ImageExprs]]) — a
+    * pure scan projection; unrecognized payloads surface as NULLs. */
+  def imageMeta(df: DataFrame, idCol: String): DataFrame = {
+    graft.functions.ImageExprs.register(df.sparkSession)
+    df.select(col(idCol),
+        graft.functions.ImageExprs.imageHeaderMeta(col("payload")).as("_m"))
+      .select(col(idCol), col("_m.format").as("format"),
+        col("_m.width").as("width"), col("_m.height").as("height"))
+  }
+
   /** Batched frame extraction (decode stage): `mapPartitions` so each task
     * streams its blobs through the codec. The decode itself is the stub
     * above. */
