@@ -962,7 +962,6 @@ object SparkEntry {
         T(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.5,
         maxShingleDF = Some(10000L), hotSampleMod = 20L)),
 
-    // xxhash64-based sketches aren't SQL-replicable → rows-only check.
     "x03_minhash_pairs" -> ((s, dir) =>
       graft.ext.DedupOps.minhashPairs(
         T(s, dir, "documents"), "doc_id", "text",
@@ -2398,10 +2397,13 @@ object SparkEntry {
          FROM raw WHERE status IN ('ACTIVE','PAUSED','PENDING_REVIEW')
          GROUP BY 1""")
 
-  /** DuckDB oracles for the extension queries. x03/x04 (xxhash64-based
-    * sketches) are intentionally omitted — rows-only check. The FP-bearing
-    * oracles force the same sequential left-fold order as Spark's
-    * `aggregate` via list_reduce over a 0-prepended list. */
+  /** DuckDB oracles for the extension queries — including full SQL
+    * recomputations of the x03 minhash and x04 simhash sketches (the
+    * wrap-arithmetic scaffolding below); only the genuinely randomized-
+    * merge sketches (x13 HLL, x24 approx-percentile) stay rows-only,
+    * gated by SketchGatesSpec instead. The FP-bearing oracles force the
+    * same sequential left-fold order as Spark's `aggregate` via
+    * list_reduce over a 0-prepended list. */
   private def extOracles: Map[String, String] = {
     val dotProd =
       """list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -2486,6 +2488,128 @@ object SparkEntry {
       s"""WITH $kmeansCtes
           SELECT vec_id, cl AS cluster, round(d, 6) AS dist
           FROM a3"""
+    // --- Wrapping 64-bit arithmetic in DuckDB, for the FNV-1a +
+    // splitmix64 token hashing behind x03/x04 (TextHashExprs.hashToken).
+    // DuckDB's checked BIGINT refuses overflow, so values live as
+    // UBIGINT and every wrap-multiply decomposes into 32-bit halves in
+    // HUGEINT space —
+    //   x*C mod 2^64 = ((hi32(x)*C mod 2^32)·2^32 + lo32(x)*C) mod 2^64
+    // (the hi product would overflow HUGEINT if taken un-split). Token
+    // bytes come from hex(encode(tok)) pairs, so multi-byte UTF-8
+    // matches the engine's byte-level fold.
+    val wrapW = "18446744073709551616"
+    def wrapmul(x: String, c: String) =
+      s"""CAST((((($x)::HUGEINT // 4294967296) * $c % 4294967296)
+          * 4294967296 + (($x)::HUGEINT % 4294967296) * $c) % $wrapW
+          AS UBIGINT)"""
+    def wrapadd(x: String, c: String) =
+      s"CAST((($x)::HUGEINT + $c) % $wrapW AS UBIGINT)"
+    def splitmix(u: String) = {
+      val x1 = wrapadd(u, "11400714819323198485")
+      val x2 = wrapmul(s"xor($x1, ($x1) >> 30)", "13787848793156543929")
+      val x3 = wrapmul(s"xor($x2, ($x2) >> 27)", "10723151780598845931")
+      s"xor($x3, ($x3) >> 31)"
+    }
+    // splitmix64 on the Scala side (JVM longs wrap natively) — for
+    // embedding the engine's DERIVED constants (minhash seeds) as SQL
+    // literals rather than re-deriving them in SQL
+    def mixS(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    def u64(v: Long) = java.lang.Long.toUnsignedString(v)
+    val hashFromHex: String = {
+      val bytesExpr =
+        """list_transform(range(length(hx) // 2), i ->
+           CAST((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1))-1)*16
+              + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1))-1
+             AS UBIGINT))"""
+      val fnv =
+        s"""list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
+            $bytesExpr), (acc, b) -> ${wrapmul("xor(acc, b)", "1099511628211")})"""
+      splitmix(fnv)
+    }
+    // token-hash array per doc (shared CTE body for x03/x04)
+    def tokenHashCtes(filter: String) =
+      s"""t AS (SELECT doc_id,
+                regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents$filter),
+          th AS (SELECT doc_id,
+                   list_transform(list_transform(toks,
+                       tok -> hex(encode(tok))),
+                     hx -> $hashFromHex) AS th
+                 FROM t)"""
+    // x04: full SimHash recomputation, then brute-force ALL Hamming<=7
+    // pairs — equal to the engine's banded+verified output BY THE
+    // ENFORCED RECALL CONTRACT (maxHamming < bands*(probeBits+1)
+    // rejects configs where banding could miss).
+    val simhashOracle: String = {
+      val pows = (0 until 64).map(b =>
+        s"CAST(${u64(1L << b)} AS UBIGINT)").mkString(", ")
+      s"""WITH ${tokenHashCtes("")},
+          sh AS (SELECT doc_id,
+                   CAST(list_sum(list_transform([$pows], p ->
+                     CASE WHEN list_sum(list_transform(th, h ->
+                            CASE WHEN (h & p) != CAST(0 AS UBIGINT)
+                                 THEN 1 ELSE -1 END)) > 0
+                          THEN p ELSE CAST(0 AS UBIGINT) END))
+                     AS UBIGINT) AS sh
+                 FROM th)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sh, b.sh)) <= 7"""
+    }
+    // x03: full MinHash-LSH recomputation — 3-gram window hashes staged
+    // LEVEL BY LEVEL (nesting the fold textually would duplicate each
+    // level ~16x), the engine's 64 (a_i·h + b_i) mod (2^61-1)
+    // permutation minima with the a/b seeds precomputed HERE via the
+    // same splitmix64, then band-slice equality joins (the engine
+    // buckets on xxhash64 OF the slice; equality of slices is the same
+    // relation modulo hash collisions) and the exact est_jaccard
+    // verify. Duplicate windows (the engine's ShingleHashes dedupes)
+    // are harmless: permutation MINIMA ignore multiplicity.
+    val minhashOracle: String = {
+      val fnvP = "1099511628211"
+      val c0 = u64(0x9e3779b97f4a7c15L * 0x100000001b3L) // h0·prime
+      val p61 = "2305843009213693951"
+      val seeds = (0 until 64).map(i =>
+        (mixS(0x517cc1b727220a95L + i) | 1L, mixS(0x2545f4914f6cdd1dL + i)))
+      val sigElems = seeds.map { case (a, b) =>
+        s"""list_min(list_transform(wh, h -> CAST(${
+          wrapadd(wrapmul("h", u64(a)), u64(b))} % $p61 AS BIGINT)))"""
+      }.mkString(", ")
+      val lvl1 = splitmix(s"xor(CAST($c0 AS UBIGINT), th[i+1])")
+      val lvl2 = splitmix(s"xor(${wrapmul("l1[i+1]", fnvP)}, th[i+2])")
+      val lvl3 = splitmix(s"xor(${wrapmul("l2[i+1]", fnvP)}, th[i+3])")
+      s"""WITH ${tokenHashCtes(
+            " WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3")},
+          w1 AS (SELECT doc_id, th,
+                   list_transform(range(len(th)-2), i -> $lvl1) AS l1
+                 FROM th),
+          w2 AS (SELECT doc_id, th,
+                   list_transform(range(len(th)-2), i -> $lvl2) AS l2
+                 FROM w1),
+          w3 AS (SELECT doc_id,
+                   list_transform(range(len(th)-2), i -> $lvl3) AS wh
+                 FROM w2),
+          sig AS (SELECT doc_id, [$sigElems] AS sig FROM w3),
+          banded AS (SELECT doc_id, sig, b, sig[4*b+1:4*b+4] AS sl
+                     FROM sig, range(16) AS r(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM banded a JOIN banded b
+                     ON a.b = b.b AND a.sl = b.sl
+                        AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+                 round(len(list_filter(list_zip(sa.sig, sb.sig),
+                   p -> p[1] = p[2])) / 64.0, 6) AS est_jaccard
+          FROM cand JOIN sig sa ON sa.doc_id = doc_a
+               JOIN sig sb ON sb.doc_id = doc_b
+          WHERE round(len(list_filter(list_zip(sa.sig, sb.sig),
+                  p -> p[1] = p[2])) / 64.0, 6) >= 0.5"""
+    }
     // rolling-hash fingerprint (must mirror TextAnalysis.fingerprint)
     val fp =
       """list_reduce(
@@ -2561,6 +2685,10 @@ object SparkEntry {
            FROM p JOIN sz x ON p.doc_a = x.doc_id
                   JOIN sz y ON p.doc_b = y.doc_id
            WHERE round(shared*1.0/(x.z + y.z - shared), 6) >= 0.5""",
+
+      "x03_minhash_pairs" -> minhashOracle,
+
+      "x04_simhash_pairs" -> simhashOracle,
 
       "x05_cosine_topk" ->
         s"""WITH v AS ($vecs),
