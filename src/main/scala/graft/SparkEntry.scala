@@ -1491,6 +1491,12 @@ object SparkEntry {
         graft.ext.Multimodal.withImageHeaderPayload(
           T(s, dir, "documents"), "doc_id"), "doc_id")),
 
+    // corpus-self bigram-LM scoring: the perplexity-proxy quality
+    // signal — x55's counts re-joined onto each doc's own bigrams.
+    "x69_lm_doc_score" -> ((s, dir) =>
+      graft.ext.TextAnalysis.lmDocScore(
+        T(s, dir, "documents"), "doc_id", "text")),
+
     // bigram LM statistics: top-50 bigrams with P(w2|w1) — integer
     // counts, one hash agg, vocabulary-partitioned denominator window.
     "x55_bigram_lm" -> ((s, dir) =>
@@ -3369,6 +3375,26 @@ object SparkEntry {
                   CAST(16 + doc_id % 512 AS INT) AS width,
                   CAST(16 + doc_id % 307 AS INT) AS height
            FROM documents""",
+
+      "x69_lm_doc_score" ->
+        """WITH t AS (SELECT doc_id,
+                regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents),
+           bg AS (SELECT doc_id,
+                    unnest([{'w1': toks[i+1], 'w2': toks[i+2]}
+                            for i in range(len(toks)-1)],
+                           recursive := true)
+                  FROM t),
+           c AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+           u AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+                 FROM c GROUP BY 1),
+           vv AS (SELECT count(DISTINCT w1) AS v FROM c),
+           d AS (SELECT bg.doc_id,
+                   ln((c.c12 + 1.0) / (u.c1 + vv.v)) AS lp
+                 FROM bg JOIN c USING (w1, w2) JOIN u USING (w1), vv)
+           SELECT doc_id, count(*) AS n_bigrams,
+                  round(avg(lp), 6) AS avg_logp
+           FROM d GROUP BY 1""",
 
       "x55_bigram_lm" ->
         """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+')

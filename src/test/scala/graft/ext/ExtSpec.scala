@@ -226,6 +226,29 @@ class ExtSpec extends SparkSpec {
     assert(rLearned >= 0.5, s"learned-centroid recall@5 too low: $rLearned")
   }
 
+  test("lmDocScore: add-one bigram log-probs, hand-checked") {
+    val docs3 = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, "z q")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmDocScore(docs3, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // c12: (a,b)=3 (b,a)=1 (z,q)=1; c1: a=3 b=1 z=1; V=3
+    // lp(a,b)=ln(4/6), lp(b,a)=ln(2/4), lp(z,q)=ln(2/4)
+    val lpAB = math.log(4.0 / 6.0); val lpHalf = math.log(0.5)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, r6((2 * lpAB + lpHalf) / 3))))
+    assert(got(2L) == ((1L, r6(lpAB))))
+    assert(got(3L) == ((1L, r6(lpHalf))))
+    // the corpus-typical doc outscores the rare-sequence doc
+    assert(got(2L)._2 > got(3L)._2)
+    // single-token docs have no bigrams → no row
+    val one = TextAnalysis.lmDocScore(
+      docs3.unionByName(Seq((9L, "solo")).toDF("doc_id", "text")),
+      "doc_id", "text")
+    assert(one.filter($"doc_id" === 9L).isEmpty)
+  }
+
   test("vocabCoverage: tokenizes the corpus ONCE (reused exchange), " +
       "rates are exact") {
     val docs4 = Seq(
