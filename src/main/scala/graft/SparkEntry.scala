@@ -3376,6 +3376,8 @@ object SparkEntry {
                   CAST(16 + doc_id % 307 AS INT) AS height
            FROM documents""",
 
+      // weighted by per-doc multiplicity, matching the engine's
+      // single-tokenize (doc_id, w1, w2, cnt) derivation exactly
       "x69_lm_doc_score" ->
         """WITH t AS (SELECT doc_id,
                 regexp_split_to_array(trim(text), '\s+') AS toks
@@ -3385,15 +3387,18 @@ object SparkEntry {
                             for i in range(len(toks)-1)],
                            recursive := true)
                   FROM t),
-           c AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+           dc AS (SELECT doc_id, w1, w2, count(*) AS cnt
+                  FROM bg GROUP BY 1, 2, 3),
+           c AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c12
+                 FROM dc GROUP BY 1, 2),
            u AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
                  FROM c GROUP BY 1),
            vv AS (SELECT count(DISTINCT w1) AS v FROM c),
-           d AS (SELECT bg.doc_id,
+           d AS (SELECT dc.doc_id, dc.cnt,
                    ln((c.c12 + 1.0) / (u.c1 + vv.v)) AS lp
-                 FROM bg JOIN c USING (w1, w2) JOIN u USING (w1), vv)
-           SELECT doc_id, count(*) AS n_bigrams,
-                  round(avg(lp), 6) AS avg_logp
+                 FROM dc JOIN c USING (w1, w2) JOIN u USING (w1), vv)
+           SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                  round(sum(cnt * lp) / sum(cnt), 6) AS avg_logp
            FROM d GROUP BY 1""",
 
       "x55_bigram_lm" ->

@@ -325,41 +325,54 @@ object TextAnalysis {
     * where c12/c1 are corpus bigram/continuation counts and V the
     * distinct-w1 vocabulary size.
     *
-    * Scale shape: counts are ONE hash agg over (w1, w2) — integers, so
-    * engine-exact; the per-doc join keys are (w1, w2) token pairs and
-    * the per-doc re-agg collapses map-side (a row per document crosses
-    * the wire, not per bigram). V is a bounded eager scalar (one
-    * statistic job at call time, the `heavyTerms`/bloom pattern) folded
-    * in as a literal — NOT a 1-row cross join, which would plan as a
-    * nested-loop. Docs with fewer than 2 tokens emit no row (they have
-    * no bigrams to score — mirrored by the oracle). Float discipline:
-    * the only non-integer steps are one exact IEEE division, `ln`, and
-    * the mean, rounded to 6. */
+    * Scale shape: the corpus is TOKENIZED ONCE — the LM counts and the
+    * per-doc scoring both derive from a single per-doc
+    * `(doc_id, w1, w2, cnt)` aggregate (the x66 vocabCoverage rule:
+    * shared subtrees dedupe into a ReusedExchange, asserted in
+    * ExtSpec). Counts are integers, so engine-exact; the per-doc
+    * re-agg weights each distinct bigram by its multiplicity, and a
+    * row per (doc, distinct bigram) crosses the join, not per token.
+    * V is a bounded eager scalar (one statistic job at call time, the
+    * `heavyTerms`/bloom pattern) folded in as a literal — NOT a 1-row
+    * cross join, which would plan as a nested-loop. Docs with fewer
+    * than 2 tokens emit no row (they have no bigrams to score —
+    * mirrored by the oracle). Float discipline: the only non-integer
+    * steps are one exact IEEE division, `ln`, and the
+    * multiplicity-weighted mean, rounded to 6 (the oracle aggregates
+    * with the identical weighted formula). */
   def lmDocScore(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val toks = tokens(col(textCol))
-    val docBigrams = df
+    val docCounts = df
       .select(col(idCol).as("doc_id"),
         zip_with(
           slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
           slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
           (a, b) => struct(a.as("w1"), b.as("w2"))).as("bg"))
       .select(col("doc_id"), explode(col("bg")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val counts = docBigrams.groupBy("w1", "w2")
-      .agg(count(lit(1)).as("c12"))
+      // explicit null guard so every consumer (counts, uni, the join)
+      // sees the IDENTICAL canonical subtree: without it the joins
+      // infer different isnotnull filters per branch and the exchange
+      // stops being reusable (tokens are never null; this filters
+      // nothing)
+      .filter(col("b.w1").isNotNull && col("b.w2").isNotNull)
+      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val counts = docCounts.groupBy("w1", "w2")
+      .agg(sum(col("cnt")).as("c12"))
     val uni = counts.groupBy("w1").agg(sum(col("c12")).as("c1"))
     // eager bounded scalar: the vocabulary size (distinct bigram heads)
     val v = counts.agg(countDistinct(col("w1"))).head().getLong(0)
-    docBigrams
+    docCounts
       .join(counts, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
       .withColumn("_lp", log(
         (col("c12") + lit(1)).cast(DoubleType) /
           (col("c1") + lit(v)).cast(DoubleType)))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(col("_lp")), 6).as("avg_logp"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        round(sum(col("cnt").cast(DoubleType) * col("_lp")) /
+          sum(col("cnt")).cast(DoubleType), 6).as("avg_logp"))
   }
 
   /** Vocabulary coverage: build the corpus top-`vocabSize` term list and

@@ -247,6 +247,17 @@ class ExtSpec extends SparkSpec {
       docs3.unionByName(Seq((9L, "solo")).toDF("doc_id", "text")),
       "doc_id", "text")
     assert(one.filter($"doc_id" === 9L).isEmpty)
+    // single-tokenize contract (the x66 rule): LM counts and scoring
+    // both derive from the per-doc (doc_id, w1, w2, cnt) aggregate —
+    // its exchange must be reused, leaving one live Generate
+    val out = TextAnalysis.lmDocScore(docs3, "doc_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ReusedExchange"),
+      s"docCounts exchange not reused:\n$plan")
+    val generates = "(?m)^.*Generate .*$".r.findAllIn(plan).size
+    assert(generates == 1, s"expected 1 live Generate, got $generates:\n$plan")
   }
 
   test("vocabCoverage: tokenizes the corpus ONCE (reused exchange), " +
