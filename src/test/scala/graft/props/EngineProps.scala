@@ -311,4 +311,76 @@ object EngineProps extends Properties("graft") {
           Contracts.AdsDimension.map(f => (f.name, f.dataType))
       }
     }
+
+  // independent header construction (plain Scala, NOT the engine's
+  // expression builder) → the parser must invert it for any dims
+  private val genHeader: Gen[(String, Int, Int)] = for {
+    fmt <- Gen.oneOf("png", "gif", "jpeg")
+    w <- Gen.choose(0, 65535)
+    h <- Gen.choose(0, 65535)
+  } yield (fmt, w, h)
+
+  property("ImageHeaderMeta inverts any spec-layout header") =
+    forAll(Gen.listOfN(4, genHeader)) { hdrs =>
+      hdrs.isEmpty || {
+        import spark.implicits._
+        def be32(v: Int) = Array[Byte]((v >>> 24).toByte,
+          (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+        def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+        def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+        def build(fmt: String, w: Int, h: Int): Array[Byte] = fmt match {
+          case "png" => Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d,
+            0x0a, 0x1a, 0x0a, 0, 0, 0, 0x0d, 'I', 'H', 'D', 'R') ++
+            be32(w) ++ be32(h)
+          case "gif" => "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h)
+          case _ => Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+            0xe0.toByte, 0x00, 0x04, 0, 0, 0xff.toByte, 0xc0.toByte,
+            0x00, 0x11, 0x08) ++ be16(h) ++ be16(w) ++ Array[Byte](3)
+        }
+        graft.functions.ImageExprs.register(spark)
+        val rows = hdrs.zipWithIndex.map { case ((f, w, h), i) =>
+          (i.toLong, build(f, w, h))
+        }
+        val got = rows.toDF("id", "p")
+          .select($"id", graft.functions.ImageExprs
+            .imageHeaderMeta($"p").as("m"))
+          .select($"id", $"m.format", $"m.width", $"m.height")
+          .as[(Long, String, Int, Int)].collect()
+          .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+        hdrs.zipWithIndex.forall { case ((f, w, h), i) =>
+          got(i.toLong) == ((f, w, h))
+        }
+      }
+    }
+
+  private val genVecs: Gen[List[(Long, Seq[Double])]] =
+    Gen.listOfN(14, for {
+      id <- Gen.choose(0L, 30L)
+      v <- Gen.listOfN(4, Gen.choose(-4.0, 4.0))
+    } yield (id, v: Seq[Double])).map(_.distinctBy(_._1))
+      .suchThat(_.size >= 6)
+
+  property("ivfLearnedTopK: ranks well-formed, scores EXACTLY equal " +
+      "brute force on the returned pairs") = forAll(genVecs) { vecs =>
+    import spark.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.limit(2)
+    val learned = graft.ext.Similarity.ivfLearnedTopK(df, queries,
+        "vec_id", "embedding", k = 3, kCentroids = 3, iters = 1,
+        nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    // all pairs with their exact cos: k = corpus size
+    val exact = graft.ext.Similarity.bruteForceTopK(df, queries,
+        "vec_id", "embedding", k = vecs.size)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    val perQ = learned.groupBy(_._1)
+    perQ.values.forall { rs =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      ranks == (1L to rs.length).toSeq // dense ranks from 1
+    } &&
+    learned.forall { case (q, _, v, cos) =>
+      q != v && exact((q, v)) == cos // scoring within buckets is exact
+    }
+  }
 }
