@@ -1,7 +1,6 @@
 package graft.sinks
 
-import java.nio.file.{Files, Paths}
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,7 +39,12 @@ object Upsert {
       keys: Seq[String], partitionCols: Seq[String] = Nil,
       writeSalt: Int = 8): Unit = {
     if (source.isEmpty) return // K6 empty-input guard (src/load.py:29-31)
-    val exists = Files.exists(Paths.get(path))
+    // all table-directory probes/moves go through the Hadoop FileSystem
+    // API (same rule as Compact.dataBytes): the sink must run unchanged
+    // against hdfs:// / s3a:// table paths, not just local disk
+    val fs = new Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val exists = fs.exists(new Path(path))
     if (!exists) {
       write(source, path, keys, partitionCols, writeSalt, SaveMode.ErrorIfExists)
       return
@@ -79,7 +83,7 @@ object Upsert {
         spark.read.parquet(staging).write
           .partitionBy(partitionCols.toIndexedSeq: _*)
           .mode(SaveMode.Overwrite).parquet(path)
-        deleteRecursively(staging)
+        fs.delete(new Path(staging), true)
       } finally {
         prior match {
           case Some(v) => spark.conf.set(overwriteKey, v)
@@ -95,8 +99,10 @@ object Upsert {
         source.select(target.columns.toIndexedSeq.map(col): _*))
       val staging = path + "__staging"
       merged.write.mode(SaveMode.Overwrite).parquet(staging)
-      deleteRecursively(path)
-      Files.move(Paths.get(staging), Paths.get(path))
+      fs.delete(new Path(path), true)
+      // rename is atomic on HDFS; on object stores it is a copy — the
+      // standard parquet-table swap caveat, same as any non-Delta sink
+      fs.rename(new Path(staging), new Path(path))
     }
   }
 
@@ -123,11 +129,4 @@ object Upsert {
      else w).parquet(path)
   }
 
-  private def deleteRecursively(path: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val p = Paths.get(path)
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.delete(f))
-  }
 }
