@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BloomExprs, FreqAgg, StringExprs, TextHashExprs, TopKAgg, VectorExprs}
+import graft.functions.{BloomExprs, FreqAgg, ImageExprs, StringExprs, TextHashExprs, TopKAgg, VectorExprs}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions so any session built with
@@ -55,12 +55,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "graft_bloom_agg" ->
       "graft_bloom_agg(xxhash64(key), items, bits) - Bloom filter build",
     "graft_bloom_contains" ->
-      "graft_bloom_contains(filter, xxhash64(key)) - no-false-negative probe")
+      "graft_bloom_contains(filter, xxhash64(key)) - no-false-negative probe",
+    "graft_image_header_meta" ->
+      ("graft_image_header_meta(binary) - struct(format, width, height) " +
+        "from PNG/JPEG/GIF magic bytes; NULL when no header parses"))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     (TextHashExprs.builders ++ VectorExprs.builders ++
       StringExprs.builders ++ TopKAgg.builders ++ FreqAgg.builders ++
-      BloomExprs.builders)
+      BloomExprs.builders ++ ImageExprs.builders)
       .foreach { case (name, builder) =>
         ext.injectFunction((FunctionIdentifier(name),
           new ExpressionInfo(classOf[GraftExtensions].getName, name,

@@ -71,4 +71,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Double]("sq") == 25.0)
     assert(r.getAs[Boolean]("hit")) // no false negatives
   }
+
+  test("extension registers the round-6 image-header function") {
+    applyExtensions()
+    val r = spark.sql(
+      """SELECT graft_image_header_meta(
+                  concat(unhex('474946383961'),  -- 'GIF89a'
+                         unhex('4001'), unhex('C800'))) AS m,
+                graft_image_header_meta(unhex('DEADBEEF')) AS bad""").head
+    val m = r.getAs[org.apache.spark.sql.Row]("m")
+    assert(m.getString(0) == "gif" && m.getInt(1) == 320 && m.getInt(2) == 200)
+    assert(r.isNullAt(1))
+  }
 }
