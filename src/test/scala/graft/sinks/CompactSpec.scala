@@ -41,4 +41,23 @@ class CompactSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Compact.compact(spark, base + "/small", base + "/bad", 0L))
   }
+
+  test("compact sizes tables through the Hadoop FileSystem API: URI " +
+      "paths work, missing paths are a clear error") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_compact_uri").toString
+    val rows = (0L until 500L).map(i => (i, s"v$i"))
+    rows.toDF("k", "v").repartition(8)
+      .write.mode("overwrite").parquet(base + "/small")
+    // file: URI form — the java.io.File regression this guards against
+    // returned 0 bytes for any non-bare path
+    val n = Compact.compact(spark, "file://" + base + "/small",
+      "file://" + base + "/big", targetBytes = 1L << 30)
+    assert(n == 1)
+    assert(Compact.read(spark, base + "/big")
+      .as[(Long, String)].collect().toSet == rows.toSet)
+    val e = intercept[IllegalArgumentException](
+      Compact.compact(spark, base + "/nope", base + "/out", 1L << 20))
+    assert(e.getMessage.contains("no such path"))
+  }
 }
