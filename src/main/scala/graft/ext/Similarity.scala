@@ -138,12 +138,23 @@ object Similarity {
     * [[Clustering.kmeansCentroids]] documents). */
   def ivfLearnedTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, kCentroids: Int = 8,
-      iters: Int = 2, nprobe: Int = 2): DataFrame = {
+      iters: Int = 2, nprobe: Int = 2): DataFrame =
+    ivfLearnedTopKWith(corpus, queries, idCol, vecCol, k,
+      Clustering.kmeansCentroids(corpus, idCol, vecCol, kCentroids, iters),
+      nprobe)
+
+  /** [[ivfLearnedTopK]] against PRECOMPUTED centroids — the index-reuse
+    * path: train once ([[Clustering.kmeansCentroids]]), serve many query
+    * batches without re-touching the corpus for training. Centroids must
+    * be id-sorted (as `kmeansCentroids` returns them) for the tiebreak
+    * contract. */
+  def ivfLearnedTopKWith(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Seq[(Long, Seq[Double])], nprobe: Int = 2): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    require(centroids.nonEmpty, "ivfLearnedTopKWith: no centroids")
     graft.functions.VectorExprs.register(corpus.sparkSession)
     import graft.functions.VectorExprs.{dotF64, sqDistF64}
-    val centroids = Clustering.kmeansCentroids(corpus, idCol, vecCol,
-      kCentroids, iters)
     val c = Clustering.assignTo(
         corpus.select(col(idCol).as("vec_id"),
           asDouble(col(vecCol)).as("_v")), centroids)

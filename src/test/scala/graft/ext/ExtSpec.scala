@@ -224,6 +224,12 @@ class ExtSpec extends SparkSpec {
     assert(rLearned >= rSign,
       s"learned-centroid recall $rLearned < sign-LSH $rSign")
     assert(rLearned >= 0.5, s"learned-centroid recall@5 too low: $rLearned")
+    // index reuse: serving from precomputed centroids is the SAME result
+    val centroids = Clustering.kmeansCentroids(embs, "vec_id",
+      "embedding", k = 8, iters = 2)
+    val reused = Similarity.ivfLearnedTopKWith(embs, queries,
+      "vec_id", "embedding", k = 5, centroids, nprobe = 2)
+    assert(pairs(reused) == pairs(learned))
   }
 
   test("lmDocScore: add-one bigram log-probs, hand-checked") {
