@@ -1397,6 +1397,19 @@ object SparkEntry {
         .select("doc_id", "source")
     },
 
+    // sharded bloom admission: x54's prefilter with the digest space
+    // split across 3 sequential right-sized filters (bounded peak
+    // memory) — same admission predicate, same oracle shape.
+    "x70_sharded_bloom_dedup" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      graft.ext.Corpus.bloomDedupSharded(incoming, corpus, "text",
+        shards = 3, expectedItemsPerShard = 4000L,
+        numBitsPerShard = 65536L)
+        .select("doc_id", "source")
+    },
+
     // percentile length trimming: drop each language's shortest/longest
     // 5% by token count (percent_rank, partitioned by lang — exact
     // rational ranks, engine-identical doubles).
@@ -3264,6 +3277,14 @@ object SparkEntry {
       // exactly x15's admission predicate — the bloom pass is a plan
       // optimization, not a semantics change, and the oracle proves it
       "x54_bloom_dedup" ->
+        """SELECT i.doc_id, i.source FROM documents i
+           WHERE i.doc_id % 5 = 4
+             AND NOT EXISTS (SELECT 1 FROM documents c
+                             WHERE c.doc_id % 5 < 4
+                               AND c.text = i.text)""",
+
+      // sharding is also only a plan optimization — identical predicate
+      "x70_sharded_bloom_dedup" ->
         """SELECT i.doc_id, i.source FROM documents i
            WHERE i.doc_id % 5 = 4
              AND NOT EXISTS (SELECT 1 FROM documents c

@@ -393,6 +393,36 @@ object Corpus {
     }
   }
 
+  /** [[bloomDedup]] sharded by digest range — the documented escalation
+    * path once ONE filter outgrows executor memory (≈10 bits/key at 1%
+    * FP → ~12 GB at 10^10 keys; see SCALE.md "Sharded bloom"): split the
+    * digest space into `shards` by `xxhash64(digest) mod shards`, build
+    * one RIGHT-SIZED filter per shard, and run the passes SEQUENTIALLY —
+    * only one broadcast is live at a time, so peak filter memory is
+    * totalBits/shards regardless of corpus size. A duplicate's digest
+    * lands in the same shard on both sides by construction, so the union
+    * of the per-shard results is EXACTLY [[incrementalDedup]]'s output —
+    * the same oracle gates all three admission ops. NULL-text rows
+    * (NULL digest → NULL shard) route to shard 0, whose inner
+    * [[bloomDedup]] admits them through its miss branch.
+    *
+    * Cost shape: the corpus is scanned once per shard with a pushed
+    * shard filter (S narrow scans — the price of bounded memory), and
+    * each incoming shard pays [[bloomDedup]]'s two-scan split. Eager
+    * statistic jobs: S filter builds run at call time. */
+  def bloomDedupSharded(incoming: DataFrame, corpus: DataFrame,
+      textCol: String, shards: Int = 4, expectedItemsPerShard: Long = 250000L,
+      numBitsPerShard: Long = 2097152L): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1 (got $shards)")
+    def shardOf = coalesce(
+      pmod(xxhash64(digest(col(textCol))), lit(shards.toLong)), lit(0L))
+    (0 until shards).map { s =>
+      bloomDedup(incoming.filter(shardOf === s.toLong),
+        corpus.filter(shardOf === s.toLong), textCol,
+        expectedItemsPerShard, numBitsPerShard)
+    }.reduce(_.unionByName(_))
+  }
+
   /** In-batch negative sampling for contrastive training: hash every doc
     * into one of `buckets` pseudo-random "batches", order each batch on
     * the md5 ring, and pair each doc with its next `k` ring successors as

@@ -301,6 +301,28 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.bloomDedup(incoming, corpus, "text").count() == 2L)
   }
 
+  test("bloomDedupSharded == incrementalDedup (undersized shards, " +
+      "NULL text, shard invariance)") {
+    val corpus = (0L until 200L).map(i => (i, s"corpus text $i"))
+      .toDF("doc_id", "text")
+    val incoming = ((0L until 200L).map(i =>
+        (1000L + i, if (i % 4 == 0) s"corpus text $i" else s"new text $i")) :+
+        (2000L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val exact = Corpus.incrementalDedup(incoming, corpus, "text")
+      .select("doc_id").as[Long].collect().toSet
+    // tiny per-shard filters → forced FPs exercise the re-check path
+    for (shards <- Seq(1, 3, 5)) {
+      val got = Corpus.bloomDedupSharded(incoming, corpus, "text",
+          shards = shards, expectedItemsPerShard = 16L,
+          numBitsPerShard = 128L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == exact, s"shards=$shards")
+    }
+    assert(exact.contains(2000L)) // the NULL-text row is admitted
+    assert(exact.size == 151) // 150 fresh + the NULL row
+  }
+
   test("bloomDedup keeps NULL-text rows, exactly like incrementalDedup") {
     val corpus = (0L until 50L).map(i => (i, s"corpus text $i"))
       .toDF("doc_id", "text")
