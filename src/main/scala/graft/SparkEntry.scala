@@ -1398,8 +1398,9 @@ object SparkEntry {
     },
 
     // sharded bloom admission: x54's prefilter with the digest space
-    // split across 3 sequential right-sized filters (bounded peak
-    // memory) — same admission predicate, same oracle shape.
+    // split across 3 right-sized filters, ALL built in one corpus pass
+    // (digest shuffle + per-shard bloom agg; bounded peak memory) —
+    // same admission predicate, same oracle shape.
     "x70_sharded_bloom_dedup" -> { (s, dir) =>
       val docs = T(s, dir, "documents")
       val corpus = docs.filter(pmod(col("doc_id"), lit(5)) < 4)

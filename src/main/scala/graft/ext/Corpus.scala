@@ -378,14 +378,22 @@ object Corpus {
     if (filterBytes == null) incoming // empty corpus: everything is new
     else {
       val bc = incoming.sparkSession.sparkContext.broadcast(filterBytes)
+      // The broadcast must outlive every action on the returned (lazy)
+      // DataFrame — the engine never unpersists it; long-lived sessions
+      // that churn many filters should materialize the result and drop
+      // the frame to let the handle be GC'd.
       val hit = BloomExprs.mightContainBroadcast(bc,
         xxhash64(digest(col(textCol))))
       val tagged = incoming.withColumn("_graft_hit", hit)
-      // NULL text → NULL digest → NULL probe: coalesce routes it to the
-      // miss branch, exactly as incrementalDedup's anti-join keeps
-      // NULL-digest rows (a NULL key never matches).
+      // NULL text hashes to xxhash64's SEED (42) — never to NULL — so
+      // the probe is a real bit test on both sides. If the corpus holds
+      // any NULL-text row, 42 is in the filter and NULL incoming rows
+      // take the suspect branch, where the anti-join's NULL-digest key
+      // never matches and admits them — exactly incrementalDedup.
+      // Otherwise they (almost surely) ride the miss branch. Same answer
+      // either way.
       val certainlyNew = tagged
-        .filter(!coalesce(col("_graft_hit"), lit(false)))
+        .filter(!col("_graft_hit"))
         .drop("_graft_hit")
       val suspects = tagged.filter(col("_graft_hit") === true)
         .drop("_graft_hit")
@@ -396,31 +404,78 @@ object Corpus {
   /** [[bloomDedup]] sharded by digest range — the documented escalation
     * path once ONE filter outgrows executor memory (≈10 bits/key at 1%
     * FP → ~12 GB at 10^10 keys; see SCALE.md "Sharded bloom"): split the
-    * digest space into `shards` by `xxhash64(digest) mod shards`, build
-    * one RIGHT-SIZED filter per shard, and run the passes SEQUENTIALLY —
-    * only one broadcast is live at a time, so peak filter memory is
-    * totalBits/shards regardless of corpus size. A duplicate's digest
-    * lands in the same shard on both sides by construction, so the union
-    * of the per-shard results is EXACTLY [[incrementalDedup]]'s output —
-    * the same oracle gates all three admission ops. NULL-text rows
-    * (NULL digest → NULL shard) route to shard 0, whose inner
-    * [[bloomDedup]] admits them through its miss branch.
+    * digest space into `shards` by `xxhash64(digest) mod shards` and
+    * build one RIGHT-SIZED filter per shard.
     *
-    * Cost shape: the corpus is scanned once per shard with a pushed
-    * shard filter (S narrow scans — the price of bounded memory), and
-    * each incoming shard pays [[bloomDedup]]'s two-scan split. Eager
-    * statistic jobs: S filter builds run at call time. */
+    * ONE corpus pass builds every filter: the corpus is projected to its
+    * 8-byte digest + shard id, that 16-byte stream (never the text) is
+    * shuffled by shard, and `graft_bloom_agg` builds each shard's filter
+    * where its digests land. The pre-`repartition` by shard matters: it
+    * already satisfies the aggregate's required distribution, so there
+    * is no second exchange AND no map-side partial aggregation holding
+    * S filters per task — a task materializes filters only for the (~1)
+    * shards resident in its partition, keeping peak build memory at
+    * ≈ totalBits/shards. (The previous shape — S sequential
+    * [[bloomDedup]] calls over `corpus.filter(shard === s)` — had the
+    * same peak memory but re-scanned the FULL corpus once per shard:
+    * 400 TB of IO for one dedup at S=4 on a 100 TB corpus.)
+    *
+    * Probing stays per-shard so a TASK only ever touches its own shard's
+    * broadcast — executor-resident filter bytes stay ≈ totalBits/shards,
+    * which is the memory contract that justifies sharding. Suspects from
+    * all shards then pay ONE global exact anti-join: a duplicate's
+    * digest lands in the same shard on both sides by construction, so
+    * checking every suspect against the full corpus in one join is
+    * exactly the per-shard check — the union of results is EXACTLY
+    * [[incrementalDedup]]'s output and the same oracle gates all three
+    * admission ops. NULL-text rows hash to xxhash64's seed (42) on both
+    * sides, land deterministically in shard `42 % shards`, and are
+    * admitted via the anti-join's NULL-digest pass-through.
+    *
+    * Cost shape: 2 corpus scans total (filter build + anti-join right
+    * side) regardless of S, one 16-byte-per-row digest shuffle, and 2S
+    * narrow scans of the (small, incremental) `incoming` side. Eager
+    * statistic job: ONE `collect()` of S serialized filters runs at call
+    * time; the S broadcasts then live until the returned frame's last
+    * action. */
   def bloomDedupSharded(incoming: DataFrame, corpus: DataFrame,
       textCol: String, shards: Int = 4, expectedItemsPerShard: Long = 250000L,
       numBitsPerShard: Long = 2097152L): DataFrame = {
     require(shards >= 1, s"shards must be >= 1 (got $shards)")
-    def shardOf = coalesce(
-      pmod(xxhash64(digest(col(textCol))), lit(shards.toLong)), lit(0L))
-    (0 until shards).map { s =>
-      bloomDedup(incoming.filter(shardOf === s.toLong),
-        corpus.filter(shardOf === s.toLong), textCol,
-        expectedItemsPerShard, numBitsPerShard)
-    }.reduce(_.unionByName(_))
+    import graft.functions.BloomExprs
+    val spark = incoming.sparkSession
+    BloomExprs.register(spark)
+    val h = xxhash64(digest(col(textCol)))
+    val shardOf = pmod(h, lit(shards.toLong))
+    val filters: Map[Long, Array[Byte]] = corpus
+      .select(h.as("_graft_h"), shardOf.as("_graft_shard"))
+      .repartition(shards, col("_graft_shard"))
+      .groupBy("_graft_shard")
+      .agg(BloomExprs.bloomAgg(col("_graft_h"), expectedItemsPerShard,
+        numBitsPerShard).as("bf"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    if (filters.isEmpty) incoming // empty corpus: everything is new
+    else {
+      val sc = spark.sparkContext
+      // (certainly-new, suspects) per shard; a shard absent from the
+      // corpus needs no filter — nothing to collide with, all new.
+      val branches = (0 until shards).map { s =>
+        val inShard = incoming.filter(shardOf === s.toLong)
+        filters.get(s.toLong) match {
+          case None => (inShard, None)
+          case Some(bytes) =>
+            val bc = sc.broadcast(bytes)
+            val hit = BloomExprs.mightContainBroadcast(bc, h)
+            (inShard.filter(!hit), Some(inShard.filter(hit)))
+        }
+      }
+      val certainlyNew = branches.map(_._1).reduce(_.unionByName(_))
+      val suspects = branches.flatMap(_._2)
+      if (suspects.isEmpty) certainlyNew
+      else certainlyNew.unionByName(
+        incrementalDedup(suspects.reduce(_.unionByName(_)), corpus, textCol))
+    }
   }
 
   /** In-batch negative sampling for contrastive training: hash every doc

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expec
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{AbstractDataType, BooleanType, DataType, LongType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** SQL-surface registration for Spark's OWN Bloom-filter expressions
@@ -66,7 +66,14 @@ object BloomExprs {
     * non-starter. This expression carries only the `Broadcast` HANDLE in
     * the plan; the bytes move once per executor over torrent broadcast
     * and deserialize lazily executor-side. Same probe semantics as
-    * [[mightContain]]: no false negatives, `true` needs verification. */
+    * [[mightContain]]: no false negatives, `true` needs verification.
+    *
+    * LIFETIME: the broadcast must stay valid for as long as any action
+    * runs on a plan holding this expression — callers own the handle and
+    * may `destroy()` it once the result is materialized; the engine's
+    * dedup ops deliberately never unpersist (the returned frames are
+    * lazy and re-executable), trading filter-bytes residency per call
+    * for replayability. */
   case class BroadcastBloomContains(bf: Broadcast[Array[Byte]],
       child: Expression) extends UnaryExpression with ExpectsInputTypes {
     override def dataType: DataType = BooleanType

@@ -323,6 +323,58 @@ class CorpusSpec extends SparkSpec {
     assert(exact.size == 151) // 150 fresh + the NULL row
   }
 
+  test("bloomDedupSharded scans the corpus ONCE in the returned plan " +
+      "and runs ONE eager build action") {
+    // Distinguishable corpus leaf: an extra column incoming lacks.
+    val corpus = (0L until 100L).map(i => (i, s"corpus text $i", "c"))
+      .toDF("doc_id", "text", "corpus_tag")
+    val incoming = (0L until 50L).map(i =>
+        (1000L + i, if (i % 2 == 0) s"corpus text $i" else s"new text $i"))
+      .toDF("doc_id", "text")
+    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val id = js.properties.getProperty("spark.sql.execution.id")
+        if (id != null) execIds.add(id)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try Corpus.bloomDedupSharded(incoming, corpus, "text", shards = 4,
+        expectedItemsPerShard = 64L, numBitsPerShard = 512L)
+      finally {
+        // listener delivery is async; events for jobs started inside the
+        // call are posted in order — poll until the count stabilizes
+        var last = -1
+        var stable = 0
+        while (stable < 6) { // 300 ms of no change
+          Thread.sleep(50)
+          val now = execIds.size
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    // ONE eager action (the single collect of all shard filters) — the
+    // round-6 shape ran S of them, one full corpus scan per shard.
+    assert(execIds.size == 1,
+      s"expected 1 eager build execution, saw ${execIds.size}")
+    // The lazy remainder re-reads the corpus exactly once (the global
+    // suspect anti-join). In the ANALYZED plan (optimization may prune/
+    // collapse outputs) each corpus subtree surfaces the tag column in
+    // exactly one node — the rename Project over the raw relation — so
+    // the node count equals the corpus scan count.
+    val corpusScans = got.queryExecution.analyzed.collect {
+      case p if p.output.exists(_.name == "corpus_tag") => p
+    }.length
+    assert(corpusScans == 1,
+      s"expected exactly 1 corpus scan in the plan, saw $corpusScans")
+    // and it still computes the right answer
+    val exact = Corpus.incrementalDedup(incoming, corpus.drop("corpus_tag"),
+      "text").select("doc_id").as[Long].collect().toSet
+    assert(got.select("doc_id").as[Long].collect().toSet == exact)
+  }
+
   test("bloomDedup keeps NULL-text rows, exactly like incrementalDedup") {
     val corpus = (0L until 50L).map(i => (i, s"corpus text $i"))
       .toDF("doc_id", "text")
