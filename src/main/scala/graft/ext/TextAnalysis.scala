@@ -332,14 +332,25 @@ object TextAnalysis {
     * ExtSpec). Counts are integers, so engine-exact; the per-doc
     * re-agg weights each distinct bigram by its multiplicity, and a
     * row per (doc, distinct bigram) crosses the join, not per token.
-    * V is a bounded eager scalar (one statistic job at call time, the
-    * `heavyTerms`/bloom pattern) folded in as a literal — NOT a 1-row
-    * cross join, which would plan as a nested-loop. Docs with fewer
-    * than 2 tokens emit no row (they have no bigrams to score —
+    * V rides IN-PLAN as a single-row broadcast aggregate cross-joined
+    * onto the scored rows — fully lazy, so the whole pipeline executes
+    * ONCE per action. (An eager `.head()` scalar — the round-6 shape —
+    * re-planned and re-executed the tokenize→bigram aggregate as a
+    * separate action: shuffle reuse does not cross actions, a
+    * measured 2× on the op's batch cost. The resulting
+    * BroadcastNestedLoopJoin is against a PROVABLY 1-row build side —
+    * a per-row constant lookup, the same documented shape as x05's
+    * broadcast query set; whitelisted in PlanAuditSpec.) Docs with
+    * fewer than 2 tokens emit no row (they have no bigrams to score —
     * mirrored by the oracle). Float discipline: the only non-integer
     * steps are one exact IEEE division, `ln`, and the
     * multiplicity-weighted mean, rounded to 6 (the oracle aggregates
-    * with the identical weighted formula). */
+    * with the identical weighted formula). The weighted mean sums
+    * doubles in partial-aggregation visit order while the oracle sums
+    * in its own scan order — an ACCEPTED unordered-FP gate (like the
+    * repo's other unordered-sum gates): a flake needs the true mean
+    * within ~1 ulp-accumulated error (≈1e-13 relative) of a 5e-7
+    * rounding boundary. */
   def lmDocScore(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val toks = tokens(col(textCol))
@@ -361,14 +372,22 @@ object TextAnalysis {
     val counts = docCounts.groupBy("w1", "w2")
       .agg(sum(col("cnt")).as("c12"))
     val uni = counts.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    // eager bounded scalar: the vocabulary size (distinct bigram heads)
-    val v = counts.agg(countDistinct(col("w1"))).head().getLong(0)
+    // vocabulary size (distinct bigram heads) as a LAZY single-row
+    // aggregate: broadcast-cross-joined in-plan so the shared
+    // tokenize→bigram subtree executes once per action, not once per
+    // statistic. V = |uni| (one row per distinct w1); the c1 >= 0 guard
+    // is always true — referencing c1 keeps this branch's column-pruned
+    // subtree CANONICALLY IDENTICAL to the main uni subtree, which is
+    // what lets the physical planner dedupe the exchange (the x66 rule:
+    // a pruned-away column silently breaks ReusedExchange)
+    val vocab = uni.agg(count(when(col("c1") >= 0, 1)).as("_v"))
     docCounts
       .join(counts, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
       .withColumn("_lp", log(
         (col("c12") + lit(1)).cast(DoubleType) /
-          (col("c1") + lit(v)).cast(DoubleType)))
+          (col("c1") + col("_v")).cast(DoubleType)))
       .groupBy("doc_id")
       .agg(sum(col("cnt")).as("n_bigrams"),
         round(sum(col("cnt").cast(DoubleType) * col("_lp")) /

@@ -25,7 +25,11 @@ class PlanAuditSpec extends SparkSpec {
   // and x34 the int8 flat scan sharing its scan×|Q| shape: a tiny
   // broadcast query set against the corpus scan is a
   // BroadcastNestedLoopJoin by construction (see Similarity scaladoc).
-  private val nestedLoopBaseline = Set("x05_cosine_topk", "x34_quantized_topk")
+  // x69 folds its vocabulary size in-plan as a PROVABLY 1-row broadcast
+  // aggregate cross join — a per-row constant lookup, not a quadratic
+  // pairing (see TextAnalysis.lmDocScore scaladoc).
+  private val nestedLoopBaseline =
+    Set("x05_cosine_topk", "x34_quantized_topk", "x69_lm_doc_score")
 
   // conservative per-literal size estimate: exact for the classes that
   // can actually get big (binary sketches, strings, array literals)
