@@ -44,6 +44,17 @@ object Upsert {
     // against hdfs:// / s3a:// table paths, not just local disk
     val fs = new Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // CRASH RECOVERY (the delete→rename swap below is not atomic as a
+    // pair, and rename itself is a copy on object stores): a run that
+    // died mid-swap leaves the fully-merged table stranded in __staging
+    // and no live table at `path`. Detect that state and complete the
+    // swap BEFORE merging, so the interrupted upsert's result is never
+    // lost and the new source merges against it. Pinned by UpsertSpec
+    // ("recovers a table stranded mid-swap").
+    val stagingP = new Path(path + "__staging")
+    if (!fs.exists(new Path(path)) && fs.exists(stagingP))
+      require(fs.rename(stagingP, new Path(path)),
+        s"crash-recovery rename failed: $stagingP -> $path")
     val exists = fs.exists(new Path(path))
     if (!exists) {
       write(source, path, keys, partitionCols, writeSalt, SaveMode.ErrorIfExists)
@@ -83,7 +94,11 @@ object Upsert {
         spark.read.parquet(staging).write
           .partitionBy(partitionCols.toIndexedSeq: _*)
           .mode(SaveMode.Overwrite).parquet(path)
-        fs.delete(new Path(staging), true)
+        // Hadoop FileSystems signal failure by RETURNING FALSE, not
+        // throwing — an unchecked delete leaves stale staging silently
+        require(fs.delete(new Path(staging), true) ||
+            !fs.exists(new Path(staging)),
+          s"staging cleanup failed: $staging")
       } finally {
         prior match {
           case Some(v) => spark.conf.set(overwriteKey, v)
@@ -99,10 +114,19 @@ object Upsert {
         source.select(target.columns.toIndexedSeq.map(col): _*))
       val staging = path + "__staging"
       merged.write.mode(SaveMode.Overwrite).parquet(staging)
-      fs.delete(new Path(path), true)
+      // Hadoop FileSystems signal failure by RETURNING FALSE, not
+      // throwing: an unchecked delete would leave the stale table (and
+      // a later Overwrite of staging would silently drop this merge);
+      // an unchecked rename would "succeed" with no live table at all.
+      require(fs.delete(new Path(path), true) || !fs.exists(new Path(path)),
+        s"pre-swap delete failed: $path")
       // rename is atomic on HDFS; on object stores it is a copy — the
-      // standard parquet-table swap caveat, same as any non-Delta sink
-      fs.rename(new Path(staging), new Path(path))
+      // standard parquet-table swap caveat, same as any non-Delta sink.
+      // A crash between the delete above and this rename leaves the
+      // merged table in __staging only; the recovery probe at the top
+      // of this method completes the swap on the next call.
+      require(fs.rename(new Path(staging), new Path(path)),
+        s"swap rename failed: $staging -> $path")
     }
   }
 

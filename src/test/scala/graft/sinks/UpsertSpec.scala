@@ -57,6 +57,24 @@ class UpsertSpec extends SparkSpec {
       ("2024-01-03", 3L, "c")))
   }
 
+  test("recovers a table stranded mid-swap (crash between delete and " +
+      "rename)") {
+    val p = tmp()
+    Upsert.upsert(spark, p, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    // simulate the documented non-atomic window: the merged table sits
+    // fully written in __staging, the live table is already deleted
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(p),
+      new org.apache.hadoop.fs.Path(p + "__staging")))
+    // the next upsert must first complete the interrupted swap, then
+    // merge against the RECOVERED table — no rows lost
+    Upsert.upsert(spark, p, Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    val got = spark.read.parquet(p).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p + "__staging")))
+  }
+
   test("unknown table name errors (load.py:62-63)") {
     intercept[IllegalArgumentException] {
       Upsert.upsertTable(spark, tmp(), "nope", Seq((1L, "a")).toDF("k", "v"))
