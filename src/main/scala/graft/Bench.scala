@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
   * Prints the full JSON line {"metric":...,"value":N,"unit":"sec",
   * "queries":{...},"sf":...} followed by a compact total-only repeat of
   * the same metric as the final stdout line (tail-capture safe).
+  *
+  * The full per-query JSON is ALSO written to SPARK_GRAFT_BENCH_OUT
+  * (default ./BENCH_QUERIES.json): the stdout tail truncates at 120+
+  * queries, and the per-query numbers must survive the round without a
+  * re-run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,7 +49,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    // durable per-query artifact (java.nio is fine here: Bench is a
+    // harness-local main, not engine code — same sanction as Verify's
+    // output dir)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     // The per-query line above exceeds tail-capture limits at 120+
     // queries; repeat the headline as a short final line so a tail of
     // stdout always contains one complete, parseable JSON object.
