@@ -1496,6 +1496,20 @@ object SparkEntry {
         k = 5, kCentroids = 8, iters = 2, nprobe = 2)
     },
 
+    // persisted-IVF lifecycle (x71): TRAIN once → SAVE centroids + the
+    // bucket-partitioned corpus to parquet → cold-RELOAD → serve. Must
+    // reproduce x67's answer exactly (same oracle); at scale the serve
+    // join hits only the probed cell directories.
+    "x71_ivf_index_serve" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivf_index")
+      graft.ext.Similarity.saveIvfIndex(emb, "vec_id", "embedding", idx,
+        kCentroids = 8, iters = 2)
+      graft.ext.Similarity.queryIvfIndex(s, idx,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+    },
+
     // native image-header decode: spec-layout PNG/GIF/JPEG headers built
     // from the id by pure expressions, parsed back by the magic-bytes
     // Expression — build∘parse must be the identity the oracle computes
@@ -2508,6 +2522,31 @@ object SparkEntry {
       s"""WITH $kmeansCtes
           SELECT vec_id, cl AS cluster, round(d, 6) AS dist
           FROM a3"""
+    // the Lloyd's CTEs (shared with x53) + exact per-bucket top-k:
+    // probes = each query's 2 nearest FINAL centroids (same squared-L2
+    // fold, centroid-id tiebreak), candidates = a3's cell members.
+    // Shared verbatim by x67 (train-per-call) and x71 (persisted index,
+    // cold reload): the lifecycle differs, the answer must not.
+    val ivfLearnedOracle: String =
+      s"""WITH $kmeansCtes,
+          probes AS (
+            SELECT query_id, cl AS bucket FROM (
+              SELECT v.vec_id AS query_id, c.cl,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY $kmeansD2, c.cl) AS rn
+              FROM v, c2 c
+              WHERE v.vec_id < 8)
+            WHERE rn <= 2)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+          FROM (SELECT p.query_id, b.vec_id, $cosPairExpr AS cos,
+                       row_number() OVER (PARTITION BY p.query_id
+                         ORDER BY $cosPairExpr DESC, b.vec_id ASC) AS rank
+                FROM probes p
+                     JOIN a3 s ON s.cl = p.bucket
+                     JOIN v b ON b.vec_id = s.vec_id
+                     JOIN v a ON a.vec_id = p.query_id
+                WHERE b.vec_id <> p.query_id)
+          WHERE rank <= 5"""
     // --- Wrapping 64-bit arithmetic in DuckDB, for the FNV-1a +
     // splitmix64 token hashing behind x03/x04 (TextHashExprs.hashToken).
     // DuckDB's checked BIGINT refuses overflow, so values live as
@@ -3363,29 +3402,11 @@ object SparkEntry {
                   round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
            FROM d""",
 
-      // the Lloyd's CTEs (shared with x53) + exact per-bucket top-k:
-      // probes = each query's 2 nearest FINAL centroids (same squared-L2
-      // fold, centroid-id tiebreak), candidates = a3's cell members
-      "x67_ivf_learned_topk" ->
-        s"""WITH $kmeansCtes,
-            probes AS (
-              SELECT query_id, cl AS bucket FROM (
-                SELECT v.vec_id AS query_id, c.cl,
-                       row_number() OVER (PARTITION BY v.vec_id
-                         ORDER BY $kmeansD2, c.cl) AS rn
-                FROM v, c2 c
-                WHERE v.vec_id < 8)
-              WHERE rn <= 2)
-            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
-            FROM (SELECT p.query_id, b.vec_id, $cosPairExpr AS cos,
-                         row_number() OVER (PARTITION BY p.query_id
-                           ORDER BY $cosPairExpr DESC, b.vec_id ASC) AS rank
-                  FROM probes p
-                       JOIN a3 s ON s.cl = p.bucket
-                       JOIN v b ON b.vec_id = s.vec_id
-                       JOIN v a ON a.vec_id = p.query_id
-                  WHERE b.vec_id <> p.query_id)
-            WHERE rank <= 5""",
+      "x67_ivf_learned_topk" -> ivfLearnedOracle,
+
+      // identical oracle to x67 BY DESIGN: persistence is a lifecycle
+      // optimization (train once, serve many), never a result change
+      "x71_ivf_index_serve" -> ivfLearnedOracle,
 
       // the engine routes through real header BYTES (build → parse);
       // the oracle computes the same expected metadata straight from

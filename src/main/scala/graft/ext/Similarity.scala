@@ -151,16 +151,27 @@ object Similarity {
   def ivfLearnedTopKWith(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       centroids: Seq[(Long, Seq[Double])], nprobe: Int = 2): DataFrame = {
-    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
     require(centroids.nonEmpty, "ivfLearnedTopKWith: no centroids")
     graft.functions.VectorExprs.register(corpus.sparkSession)
-    import graft.functions.VectorExprs.{dotF64, sqDistF64}
+    import graft.functions.VectorExprs.dotF64
     val c = Clustering.assignTo(
         corpus.select(col(idCol).as("vec_id"),
           asDouble(col(vecCol)).as("_v")), centroids)
       .withColumn("nrm", sqrt(dotF64(col("_v"), col("_v"))))
       .select(col("vec_id"), col("_v").as("v"),
         col("cluster").as("bucket"), col("nrm"))
+    serveBuckets(c, queries, idCol, vecCol, k, centroids, nprobe)
+  }
+
+  /** Serving core shared by [[ivfLearnedTopKWith]] (in-memory bucketing)
+    * and [[queryIvfIndex]] (bucketing persisted by [[saveIvfIndex]]):
+    * `c` must carry (vec_id, v, bucket, nrm). */
+  private def serveBuckets(c: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Seq[(Long, Seq[Double])], nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    graft.functions.VectorExprs.register(queries.sparkSession)
+    import graft.functions.VectorExprs.{dotF64, sqDistF64}
     // nprobe nearest centroids per query: array_sort over (dist, id)
     // structs is lexicographic — exact distance first, centroid id as
     // the tiebreak — then slice + explode into one probe row per cell
@@ -185,6 +196,70 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),
         col("vec_id"), col("cos"))
+  }
+
+  /** Persist a trained learned-centroid IVF index — the train-once /
+    * query-many lifecycle a production 100 TB index needs (x67 trains
+    * per call; this writes the training output once). Two parquet
+    * datasets under `path`:
+    *
+    *  - `path/centroids`: (cluster_id, centroid) — the k × dim driver
+    *    payload, one small file;
+    *  - `path/corpus`: (vec_id, v, nrm) PARTITIONED BY `bucket` — every
+    *    vector in its nearest-centroid cell with its norm precomputed,
+    *    laid out so one cell = one directory.
+    *
+    * At serve time ([[queryIvfIndex]]) the probe joins a broadcast
+    * query set against the PARTITION column, so Spark's dynamic
+    * partition pruning reads the ~nprobe·|Q| probed cell directories,
+    * not the corpus — the index file layout IS the inverted file.
+    * Training is [[Clustering.kmeansCentroids]] (deterministic,
+    * RNG-free), so save → load → serve reproduces [[ivfLearnedTopK]]
+    * bit-for-bit (ExtSpec pins the equality; gated x71 replays x67's
+    * oracle from a cold reload). */
+  def saveIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, kCentroids: Int = 8, iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    import graft.functions.VectorExprs.dotF64
+    import spark.implicits._
+    val centroids = Clustering.kmeansCentroids(corpus, idCol, vecCol,
+      kCentroids, iters)
+    centroids.toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Clustering.assignTo(
+        corpus.select(col(idCol).as("vec_id"),
+          asDouble(col(vecCol)).as("_v")), centroids)
+      .select(col("vec_id"), col("_v").as("v"),
+        sqrt(dotF64(col("_v"), col("_v"))).as("nrm"),
+        col("cluster").as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/corpus")
+  }
+
+  /** Reload the k-row centroid file of a [[saveIvfIndex]] index,
+    * id-sorted (the [[ivfLearnedTopKWith]] tiebreak contract). */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Seq[Double])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/centroids")
+      .select(col("cluster_id"), col("centroid"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+  }
+
+  /** Serve query batches from a persisted [[saveIvfIndex]] index: no
+    * retraining, no re-bucketing — the centroid reload is k rows, and
+    * the corpus scan is bounded to the probed cell directories. Result
+    * is exactly [[ivfLearnedTopK]] on the same (corpus, queries). */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val centroids = loadIvfCentroids(spark, path)
+    require(centroids.nonEmpty, s"queryIvfIndex: empty index at $path")
+    val c = spark.read.parquet(s"$path/corpus")
+      .select(col("vec_id"), col("v"),
+        col("bucket").cast(LongType).as("bucket"), col("nrm"))
+    serveBuckets(c, queries, idCol, vecCol, k, centroids, nprobe)
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector

@@ -232,6 +232,36 @@ class ExtSpec extends SparkSpec {
     assert(pairs(reused) == pairs(learned))
   }
 
+  test("persisted IVF index: save → cold reload → serve reproduces " +
+      "ivfLearnedTopK exactly; serve join hits the bucket partitions") {
+    val queries = embs.filter($"vec_id" < 8)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf").resolve("idx").toString
+    Similarity.saveIvfIndex(embs, "vec_id", "embedding", idx,
+      kCentroids = 8, iters = 2)
+    // index layout: one small centroid file + bucket=<cell> directories
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cells = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/corpus"))
+      .map(_.getPath.getName).filter(_.startsWith("bucket="))
+    assert(cells.nonEmpty && cells.length <= 8,
+      s"expected <=8 cell directories, got ${cells.mkString(",")}")
+    val served = Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    val trained = Similarity.ivfLearnedTopK(embs, queries,
+      "vec_id", "embedding", k = 5, kCentroids = 8, iters = 2, nprobe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "cos")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(rows(served) == rows(trained))
+    // the serving scan is the PARTITIONED corpus (bucket is a partition
+    // column, not a data column) — the layout that lets a 100 TB probe
+    // read nprobe directories instead of the corpus
+    val scan = served.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || scan.contains("bucket#"),
+      s"expected a partitioned corpus scan:\n$scan")
+  }
+
   test("lmDocScore: add-one bigram log-probs, hand-checked") {
     val docs3 = Seq(
       (1L, "a b a b"), (2L, "a b"), (3L, "z q")).toDF("doc_id", "text")
