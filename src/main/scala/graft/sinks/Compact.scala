@@ -57,4 +57,46 @@ object Compact {
   /** Read a compacted table back. */
   def read(spark: SparkSession, out: String): DataFrame =
     spark.read.parquet(out)
+
+  /** Per-partition compaction driver — the 100 TB shape the [[compact]]
+    * scaladoc promises: a Hive-layout table (`base/col=value/…`)
+    * compacts one PARTITION DIRECTORY at a time. Directories come from
+    * one Hadoop FS listing (works on local/HDFS/S3A alike); each then
+    * runs [[compact]] as an independent BOUNDED job — size its own
+    * bytes, one round-robin shuffle, write `ceil(bytes/targetBytes)`
+    * files under `out/<dir>`. At most `concurrency` partition jobs are
+    * in flight at once (Spark's scheduler interleaves concurrent jobs
+    * from driver threads), so peak cluster footprint is `concurrency`
+    * partitions, never the table — a 100 TB × 1000-day table is 1000
+    * small jobs draining through a bounded window, and an incremental
+    * run compacts only the partitions a streaming sink touched today
+    * instead of one table-wide shuffle. Output keeps the Hive layout:
+    * `out` reads back as the same partitioned table, row-for-row (gated
+    * x72, same identity-oracle discipline as x64).
+    *
+    * Returns partition-directory → files written, sorted by name. */
+  def compactPartitioned(spark: SparkSession, base: String, out: String,
+      targetBytes: Long, concurrency: Int = 8): Seq[(String, Int)] = {
+    import org.apache.hadoop.fs.Path
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    require(targetBytes > 0, s"targetBytes must be positive")
+    require(concurrency > 0, s"concurrency must be positive")
+    val p = new Path(base)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"Compact: no such path: $base")
+    val parts = fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath.getName).sorted
+    require(parts.nonEmpty,
+      s"Compact: no Hive-layout partition directories under $base")
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(concurrency, parts.length))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      parts.toSeq
+        .map(d => Future(d -> compact(spark, s"$base/$d", s"$out/$d", targetBytes)))
+        .map(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
+  }
 }

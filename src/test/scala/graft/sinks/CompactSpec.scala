@@ -42,6 +42,38 @@ class CompactSpec extends SparkSpec {
       Compact.compact(spark, base + "/small", base + "/bad", 0L))
   }
 
+  test("compactPartitioned: one bounded job per Hive directory, layout " +
+      "and rows preserved") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_compact_part").toString
+    val rows = (0L until 3000L).map(i => (i, s"d${i % 3}", s"v$i"))
+    rows.toDF("k", "day", "v").repartition(12)
+      .write.mode("overwrite").partitionBy("day")
+      .parquet(base + "/small")
+    // fixture really is multi-file per partition
+    assert(parquetFiles(base + "/small/day=d0").length > 1)
+
+    val res = Compact.compactPartitioned(spark, base + "/small",
+      base + "/big", targetBytes = 1L << 30)
+    // every partition directory compacted independently to 1 file
+    assert(res.map(_._1) == Seq("day=d0", "day=d1", "day=d2"))
+    assert(res.forall(_._2 == 1))
+    for (d <- Seq("d0", "d1", "d2"))
+      assert(parquetFiles(base + s"/big/day=$d").length == 1)
+    // reads back as the SAME partitioned table, row-for-row
+    val got = spark.read.parquet(base + "/big")
+      .selectExpr("k", "CAST(day AS STRING) AS day", "v")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == rows.toSet)
+    // non-partitioned layout is a clear error, not a silent no-op
+    rows.toDF("k", "day", "v").write.mode("overwrite")
+      .parquet(base + "/flat")
+    val e = intercept[IllegalArgumentException](
+      Compact.compactPartitioned(spark, base + "/flat", base + "/out",
+        1L << 20))
+    assert(e.getMessage.contains("partition directories"))
+  }
+
   test("compact sizes tables through the Hadoop FileSystem API: URI " +
       "paths work, missing paths are a clear error") {
     val base = java.nio.file.Files
