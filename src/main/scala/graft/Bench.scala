@@ -31,14 +31,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional comma-separated query filter for single-query iteration
+    // (dev-loop only; the driver never sets it, so round benches stay full).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None        => SparkEntry.queries
+    }
+
     // JVM/codegen warmup on the tiny sf so measured times are steady-state.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop")
         .mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -56,10 +65,12 @@ object Bench {
     // harness-local main, not engine code — same sanction as Verify's
     // output dir)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    if (only.isEmpty) { // a filtered dev run must not clobber the artifact
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+      }
     }
     // The per-query line above exceeds tail-capture limits at 120+
     // queries; repeat the headline as a short final line so a tail of
