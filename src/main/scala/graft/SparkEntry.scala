@@ -1473,6 +1473,55 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type")
     },
 
+    // per-partition compaction (x72): one week of events staged
+    // Hive-partitioned by day with small shard files, each date
+    // directory compacted as its own bounded job with a
+    // bounded-concurrency window (the 100 TB maintenance shape — at
+    // most K partitions' footprint in flight), read back as the same
+    // partitioned table. The WEEK slice is the point, not a shortcut:
+    // incremental maintenance compacts the partitions the sinks
+    // touched recently, never the whole table (compacting all history
+    // every night is the anti-pattern the per-partition driver exists
+    // to avoid).
+    "x72_compact_partitioned" -> { (s, dir) =>
+      val base = scratchDir("compactpart")
+      T(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08").cast(TimestampType))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+        .repartition(4)
+        .write.mode("overwrite").partitionBy("event_date")
+        .parquet(base + "/small")
+      graft.sinks.Compact.compactPartitioned(s, base + "/small",
+        base + "/big", targetBytes = 64L * 1024L * 1024L)
+      s.read.parquet(base + "/big")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("event_date").cast(StringType).as("event_date"))
+    },
+
+    // the FULL reference loop as an incremental stream (x73): raw
+    // insight pulls staged as one file per date range, each replayed as
+    // its own micro-batch through the COMPLETE E2 transform and
+    // upserted on the reference grain — the daily-rerun loop end to
+    // end. Gated against e2's full-batch oracle: streamed-incremental
+    // and one-shot-batch must land the identical table.
+    "x73_stream_e2_loop" -> { (s, dir) =>
+      val base = scratchDir("streame2")
+      graft.sources.MetaFixtures.rawInsights(s, dir)
+        .repartitionByRange(3, col("date_start"))
+        .write.mode("overwrite").parquet(base + "/pulls")
+      val schema = s.read.parquet(base + "/pulls").schema
+      val q = graft.streaming.EventStream
+        .e2LoopWriter(s, base + "/pulls", schema, base + "/perf")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      s.read.parquet(base + "/perf")
+        .select(col("date_start"), col("ad_id"), col("adset_id"),
+          col("campaign_id"), col("total_impressions"),
+          col("total_clicks"), col("total_spend"), col("total_leads"),
+          col("total_successes"), col("cpc"), col("ctr"), col("cpl"))
+    },
+
     // full single-edit fuzzy pair join (SymSpell deletion-variant
     // blocking + exact levenshtein verify) — substitutions AND
     // insertions/deletions, vs x43's equal-length Hamming family.
@@ -1745,6 +1794,29 @@ object SparkEntry {
     """'ad_'||user_id AS ad_id, 'as_'||(user_id%7) AS adset_id,
        'c_'||(user_id%3) AS campaign_id"""
 
+  /** E2's full-batch oracle — shared by `e2_performance` and
+    * `x73_stream_e2_loop`: the streamed loop upserts per-pull batches
+    * into the SAME final table the one-shot batch computes, so one SQL
+    * gates both (that equivalence IS the reference's daily-rerun
+    * contract). */
+  private lazy val e2OracleSql =
+    s"""WITH base AS (
+          SELECT CAST(ts AS DATE) AS date_start, $adCols,
+                 count(*) FILTER (WHERE event_type='view') AS n_view,
+                 count(*) FILTER (WHERE event_type='click') AS n_click,
+                 round(coalesce(CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type='click') AS DOUBLE), 0), 2) AS spend,
+                 count(*) FILTER (WHERE event_type='signup') AS n_signup
+          FROM events GROUP BY 1,2,3,4)
+        SELECT strftime(date_start, '%Y-%m-%d') AS date_start,
+               ad_id, adset_id, campaign_id,
+               n_view AS total_impressions, n_click AS total_clicks,
+               spend AS total_spend, n_signup AS total_leads,
+               CAST(0 AS BIGINT) AS total_successes,
+               round(CASE WHEN n_click=0 THEN 0 ELSE spend/n_click END, 6) AS cpc,
+               round(CASE WHEN n_view=0 THEN 0 ELSE n_click*1.0/n_view END, 6) AS ctr,
+               round(CASE WHEN n_signup=0 THEN 0 ELSE spend/n_signup END, 6) AS cpl
+        FROM base"""
+
   def oracleSql: Map[String, String] = coreOracles ++ extOracles
 
   private def coreOracles: Map[String, String] = Map(
@@ -1771,23 +1843,7 @@ object SparkEntry {
                  campaign_name
           FROM f WHERE rn = 1""",
 
-    "e2_performance" ->
-      s"""WITH base AS (
-            SELECT CAST(ts AS DATE) AS date_start, $adCols,
-                   count(*) FILTER (WHERE event_type='view') AS n_view,
-                   count(*) FILTER (WHERE event_type='click') AS n_click,
-                   round(coalesce(CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type='click') AS DOUBLE), 0), 2) AS spend,
-                   count(*) FILTER (WHERE event_type='signup') AS n_signup
-            FROM events GROUP BY 1,2,3,4)
-          SELECT strftime(date_start, '%Y-%m-%d') AS date_start,
-                 ad_id, adset_id, campaign_id,
-                 n_view AS total_impressions, n_click AS total_clicks,
-                 spend AS total_spend, n_signup AS total_leads,
-                 CAST(0 AS BIGINT) AS total_successes,
-                 round(CASE WHEN n_click=0 THEN 0 ELSE spend/n_click END, 6) AS cpc,
-                 round(CASE WHEN n_view=0 THEN 0 ELSE n_click*1.0/n_view END, 6) AS ctr,
-                 round(CASE WHEN n_signup=0 THEN 0 ELSE spend/n_signup END, 6) AS cpl
-          FROM base""",
+    "e2_performance" -> e2OracleSql,
 
     "e3_leads" ->
       s"""WITH demo AS (
@@ -3375,6 +3431,17 @@ object SparkEntry {
       // compaction must not change a row — identity oracle
       "x64_compact_files" ->
         """SELECT event_id, user_id, event_type FROM events""",
+
+      // per-partition compaction is still an identity — every row of
+      // the week slice survives with its partition value intact
+      "x72_compact_partitioned" ->
+        """SELECT event_id, user_id, event_type,
+                  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date
+           FROM events
+           WHERE ts < TIMESTAMP '2024-01-08 00:00:00'""",
+
+      // the streamed loop must land EXACTLY the one-shot batch table
+      "x73_stream_e2_loop" -> e2OracleSql,
 
       // brute-force n² oracle over the exact same verify metric
       "x65_edit1_pairs" ->

@@ -40,8 +40,14 @@ object Pipelines {
   /** E2 — campaign performance (src/main.py:24-26 → src/transform.py:101-117):
     * insights scan → action-array normalize (§2.4) → group-first grain
     * enforcement (A1) → derived metrics (M1-M4) → 12-column contract. */
-  def performance(spark: SparkSession, dir: String): DataFrame = {
-    val raw = MetaFixtures.rawInsights(spark, dir)
+  def performance(spark: SparkSession, dir: String): DataFrame =
+    performanceFromRaw(MetaFixtures.rawInsights(spark, dir))
+
+  /** The E2 transform from an already-scanned raw insights frame —
+    * shared by the batch entry point above and the streaming
+    * restatement ([[graft.streaming.EventStream.e2LoopWriter]]), which
+    * replays exactly this transform once per micro-batch pull. */
+  def performanceFromRaw(raw: DataFrame): DataFrame = {
     val norm = Actions.normalizeActions(raw, ActionTypes)
     // A1: the API already returns ≤1 row per day×ad (time_increment=1);
     // group-first is grain enforcement, not summation (src/transform.py:105).

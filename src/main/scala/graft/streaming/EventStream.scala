@@ -76,4 +76,44 @@ object EventStream {
           Seq("date_start", "ad_id"))
       }
       .trigger(Trigger.AvailableNow())
+
+  /** The FULL reference loop (src/main.py:24-26 run daily) as one
+    * incremental stream: staged raw-insight pull files arrive, each
+    * becomes its own micro-batch (`maxFilesPerTrigger=1` — one file ≈
+    * one daily API pull), the batch runs the COMPLETE E2 transform
+    * (normalize → grain enforcement → metrics → contract,
+    * [[graft.pipelines.Pipelines.performanceFromRaw]]) and upserts on
+    * the reference's exact key grain (src/load.py:51-52). Re-pulled
+    * days RESTATE by key instead of duplicating — the reference's
+    * 3-day-lookback rerun semantics, verbatim.
+    *
+    * Deliberately STATELESS as a stream: the relay plan carries no
+    * aggregation, so there is no state store to size or watermark —
+    * durable state lives in the upserted TABLE, exactly where the
+    * reference keeps it (Postgres, src/load.py). At 100 TB that is the
+    * difference between replaying a checkpoint and just re-pulling a
+    * window: any day can be restated years later at the cost of one
+    * partition's upsert. Gated x73 vs e2's full-batch oracle. */
+  def e2LoopWriter(spark: SparkSession, pullsDir: String,
+      schema: StructType, targetDir: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(pullsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val out = graft.pipelines.Pipelines.performanceFromRaw(batch)
+          // same gate projection as the e2 entry: ISO date string +
+          // 6-dp ratio rounding (the driver-compare canonical form)
+          .withColumn("date_start",
+            date_format(col("date_start"), "yyyy-MM-dd"))
+          .withColumn("cpc", round(col("cpc"), 6))
+          .withColumn("ctr", round(col("ctr"), 6))
+          .withColumn("cpl", round(col("cpl"), 6))
+        Upsert.upsert(batch.sparkSession, targetDir, out,
+          Seq("date_start", "ad_id", "adset_id", "campaign_id"))
+      }
+      .trigger(Trigger.AvailableNow())
 }
