@@ -18,4 +18,5 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   val Sf0001 = "/root/testdata/sf0.001"
+  val Sf001 = "/root/testdata/sf0.01"
 }

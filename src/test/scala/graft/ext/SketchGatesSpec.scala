@@ -10,28 +10,38 @@ import graft.sources.Tables
   * the sketches can't be replicated in the DuckDB oracle, so their
   * accuracy contracts are pinned here instead — estimation error bounded
   * against the EXACT twin computed by the engine itself.
+  *
+  * Every data-driven gate runs at TWO scale factors (sf0.001 and
+  * sf0.01): sketch error bounds are distribution properties, not
+  * point facts — asserting them at both scales pins the accuracy
+  * contract as scale-invariant (a bound that only holds at one SF is a
+  * fixture coincidence, not a contract).
   */
 class SketchGatesSpec extends SparkSpec {
   import spark.implicits._
 
-  lazy val docs = Tables.load(spark, Sf0001, "documents")
+  private val scales = Seq("sf0.001" -> Sf0001, "sf0.01" -> Sf001)
 
-  test("x03 precision: minhash est_jaccard within eps of exact jaccard") {
-    // k = bands*rows = 64 permutations → stderr ~ sqrt(J(1-J)/64) <= 0.0625;
-    // bound each pair at 4 sigma and the mean at ~1.5 sigma.
-    val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
-      .select($"doc_a", $"doc_b", $"jaccard".as("exact_j"))
-    val est = DedupOps.minhashPairs(docs, "doc_id", "text",
-        n = 3, bands = 16, rows = 4, threshold = 0.3)
-      .select($"doc_a", $"doc_b", $"est_jaccard")
-    val joined = exact.join(est, Seq("doc_a", "doc_b"))
-      .select($"exact_j", $"est_jaccard").as[(Double, Double)].collect()
-    assert(joined.length >= 20, "fixture should contain near-dup pairs")
-    val errs = joined.map { case (e, g) => math.abs(e - g) }
-    assert(errs.max <= 0.25,
-      s"worst estimation error ${errs.max} exceeds 4-sigma bound")
-    val mean = errs.sum / errs.length
-    assert(mean <= 0.10, s"mean estimation error $mean exceeds bound")
+  for ((sfName, sfDir) <- scales) {
+    test(s"x03 precision @ $sfName: minhash est_jaccard within eps of " +
+        "exact jaccard") {
+      val docs = Tables.load(spark, sfDir, "documents")
+      // k = bands*rows = 64 permutations → stderr ~ sqrt(J(1-J)/64) <=
+      // 0.0625; bound each pair at 4 sigma and the mean at ~1.5 sigma.
+      val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+        .select($"doc_a", $"doc_b", $"jaccard".as("exact_j"))
+      val est = DedupOps.minhashPairs(docs, "doc_id", "text",
+          n = 3, bands = 16, rows = 4, threshold = 0.3)
+        .select($"doc_a", $"doc_b", $"est_jaccard")
+      val joined = exact.join(est, Seq("doc_a", "doc_b"))
+        .select($"exact_j", $"est_jaccard").as[(Double, Double)].collect()
+      assert(joined.length >= 20, "fixture should contain near-dup pairs")
+      val errs = joined.map { case (e, g) => math.abs(e - g) }
+      assert(errs.max <= 0.25,
+        s"worst estimation error ${errs.max} exceeds 4-sigma bound")
+      val mean = errs.sum / errs.length
+      assert(mean <= 0.10, s"mean estimation error $mean exceeds bound")
+    }
   }
 
   test("x03 precision on seeded corpus with known overlap structure") {
@@ -56,46 +66,51 @@ class SketchGatesSpec extends SparkSpec {
     }
   }
 
-  test("x24: approx_percentile rank error bounded vs q24's exact values") {
-    // approx_percentile(_, q, acc) guarantees the returned value's rank is
-    // within n*(q ± 1/acc); assert that directly per (group, quantile):
-    // the fraction of values strictly below the approx answer must not
-    // exceed q + eps, and the fraction at-or-below must reach q - eps.
-    val ev = Tables.load(spark, Sf0001, "events")
-    val approx = ev.groupBy("event_type").agg(
-      expr("approx_percentile(value, 0.25, 1000)").as("p25"),
-      expr("approx_percentile(value, 0.5, 1000)").as("p50"),
-      expr("approx_percentile(value, 0.9, 1000)").as("p90"))
-      .as[(String, Double, Double, Double)].collect()
-    val eps = 0.01 // 10x the 1/1000 contract bound — slack for ties
-    approx.foreach { case (et, p25, p50, p90) =>
-      val vals = ev.filter($"event_type" === et && $"value".isNotNull)
-        .select($"value").as[Double].collect().sorted
-      val n = vals.length.toDouble
-      Seq(0.25 -> p25, 0.5 -> p50, 0.9 -> p90).foreach { case (q, ap) =>
-        val below = vals.count(_ < ap) / n
-        val atOrBelow = vals.count(_ <= ap) / n
-        assert(below <= q + eps && atOrBelow >= q - eps,
-          s"$et q=$q: approx=$ap ranks [${below}, ${atOrBelow}] " +
-            s"outside ${q - eps}..${q + eps}")
+  for ((sfName, sfDir) <- scales) {
+    test(s"x24 @ $sfName: approx_percentile rank error bounded vs exact " +
+        "values") {
+      // approx_percentile(_, q, acc) guarantees the returned value's
+      // rank is within n*(q ± 1/acc); assert that directly per (group,
+      // quantile): the fraction of values strictly below the approx
+      // answer must not exceed q + eps, and the fraction at-or-below
+      // must reach q - eps.
+      val ev = Tables.load(spark, sfDir, "events")
+      val approx = ev.groupBy("event_type").agg(
+        expr("approx_percentile(value, 0.25, 1000)").as("p25"),
+        expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+        expr("approx_percentile(value, 0.9, 1000)").as("p90"))
+        .as[(String, Double, Double, Double)].collect()
+      val eps = 0.01 // 10x the 1/1000 contract bound — slack for ties
+      approx.foreach { case (et, p25, p50, p90) =>
+        val vals = ev.filter($"event_type" === et && $"value".isNotNull)
+          .select($"value").as[Double].collect().sorted
+        val n = vals.length.toDouble
+        Seq(0.25 -> p25, 0.5 -> p50, 0.9 -> p90).foreach { case (q, ap) =>
+          val below = vals.count(_ < ap) / n
+          val atOrBelow = vals.count(_ <= ap) / n
+          assert(below <= q + eps && atOrBelow >= q - eps,
+            s"$et q=$q: approx=$ap ranks [${below}, ${atOrBelow}] " +
+              s"outside ${q - eps}..${q + eps}")
+        }
       }
     }
-  }
 
-  test("x13: approx_count_distinct within rtol of q15's exact counts") {
-    // default HLL rsd = 0.05 → assert within 3*rsd of the exact count
-    val ev = Tables.load(spark, Sf0001, "events")
-    val exact = ev.groupBy("event_type")
-      .agg(count_distinct(col("user_id")).as("n_users"))
-    val approx = ev.groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
-    val both = exact.join(approx, "event_type")
-      .select($"event_type", $"n_users", $"approx_users")
-      .as[(String, Long, Long)].collect()
-    assert(both.length == 5)
-    both.foreach { case (et, ex, ap) =>
-      val rtol = math.abs(ap - ex).toDouble / ex
-      assert(rtol <= 0.15, s"$et: approx=$ap exact=$ex rtol=$rtol > 0.15")
+    test(s"x13 @ $sfName: approx_count_distinct within rtol of exact " +
+        "counts") {
+      // default HLL rsd = 0.05 → assert within 3*rsd of the exact count
+      val ev = Tables.load(spark, sfDir, "events")
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_users"))
+      val approx = ev.groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      val both = exact.join(approx, "event_type")
+        .select($"event_type", $"n_users", $"approx_users")
+        .as[(String, Long, Long)].collect()
+      assert(both.length == 5)
+      both.foreach { case (et, ex, ap) =>
+        val rtol = math.abs(ap - ex).toDouble / ex
+        assert(rtol <= 0.15, s"$et: approx=$ap exact=$ex rtol=$rtol > 0.15")
+      }
     }
   }
 }
