@@ -1559,6 +1559,17 @@ object SparkEntry {
         k = 5, nprobe = 2)
     },
 
+    // product-quantization ADC top-k (x74): per-subspace k-means
+    // codebooks, corpus as m codebook slots, queries full-precision
+    // with one per-subspace LUT — the flat ANN scan that survives when
+    // the corpus no longer fits as floats.
+    "x74_pq_topk" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      graft.ext.Similarity.pqTopK(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, m = 4, ks = 8, iters = 2)
+    },
+
     // native image-header decode: spec-layout PNG/GIF/JPEG headers built
     // from the id by pure expressions, parsed back by the magic-bytes
     // Expression — build∘parse must be the identity the oracle computes
@@ -2550,30 +2561,37 @@ object SparkEntry {
            list_transform(list_zip(v.e, c.e),
              p -> (p[1]-p[2])*(p[1]-p[2]))),
            (acc, x) -> acc + x)"""
-    // Lloyd's k-means unrolled to CTEs, shared by x53 and x67: ends at
-    // a3 (final assignment: vec_id, cl, d) and c2 (final centroids).
-    val kmeansCtes: String = {
-      val (dim, k, iters) = (64, 8, 2)
-      def assign(i: Int, cPrev: String, last: Boolean) =
-        s"""a$i AS (SELECT vec_id, cl${if (last) ", d" else ""} FROM (
+    // Lloyd's k-means unrolled to CTEs over a source CTE `${p}v`
+    // (vec_id, e): emits ${p}c0 (seeds = k lowest ids) through
+    // ${p}a{iters+1} (final assignment: vec_id, cl[, d]) and
+    // ${p}c{iters} (final centroids). Parameterized over a name prefix
+    // so the PQ oracle (x74) can run one independent Lloyd's per
+    // SUBSPACE with the identical machinery x53/x67 are gated by.
+    def lloydCtes(p: String, dim: Int, k: Int, iters: Int): String = {
+      def assign(i: Int, last: Boolean) =
+        s"""${p}a$i AS (SELECT vec_id, cl${if (last) ", d" else ""} FROM (
               SELECT vec_id, cl, d, row_number() OVER (
                 PARTITION BY vec_id ORDER BY d, cl) AS rn
               FROM (SELECT v.vec_id, c.cl, $kmeansD2 AS d
-                    FROM v, $cPrev c))
+                    FROM ${p}v v, ${p}c${i - 1} c))
             WHERE rn = 1)"""
       def centroid(i: Int) =
-        s"""c$i AS (SELECT cl, list(m ORDER BY i) AS e FROM (
+        s"""${p}c$i AS (SELECT cl, list(m ORDER BY i) AS e FROM (
               SELECT a.cl, g.i, avg(v.e[g.i]) AS m
-              FROM a$i a JOIN v USING (vec_id),
+              FROM ${p}a$i a JOIN ${p}v v USING (vec_id),
                    generate_series(1, $dim) AS g(i)
               GROUP BY a.cl, g.i) GROUP BY cl)"""
       val ctes = (1 to iters).flatMap(i =>
-        Seq(assign(i, s"c${i - 1}", last = false), centroid(i))) :+
-        assign(iters + 1, s"c$iters", last = true)
-      s"""v AS ($vecs),
-          c0 AS (SELECT vec_id AS cl, e FROM v ORDER BY vec_id LIMIT $k),
+        Seq(assign(i, last = false), centroid(i))) :+
+        assign(iters + 1, last = true)
+      s"""${p}c0 AS (SELECT vec_id AS cl, e FROM ${p}v
+            ORDER BY vec_id LIMIT $k),
           ${ctes.mkString(",\n")}"""
     }
+    // the x53/x67 instance: one Lloyd's over the full 64-dim vectors
+    val kmeansCtes: String =
+      s"""v AS ($vecs),
+          ${lloydCtes("", 64, 8, 2)}"""
     val kmeansOracle: String =
       s"""WITH $kmeansCtes
           SELECT vec_id, cl AS cluster, round(d, 6) AS dist
@@ -2603,6 +2621,42 @@ object SparkEntry {
                      JOIN v a ON a.vec_id = p.query_id
                 WHERE b.vec_id <> p.query_id)
           WHERE rank <= 5"""
+    // x74 product quantization: one INDEPENDENT Lloyd's per 16-dim
+    // subspace (prefixes s0..s3 over sliced copies of v), then the
+    // asymmetric distance d̂(q,x) = Σ_m ‖q_m − c_{m,code_m(x)}‖² —
+    // per-subspace folds in the engine's exact left-fold order, summed
+    // in fixed subspace order (d0+d1+d2+d3 left-assoc, mirroring the
+    // engine's LUT-lookup sum).
+    val pqOracle: String = {
+      val (pqM, pqSub) = (4, 16)
+      val slices = (0 until pqM).map(mm =>
+        s"""s${mm}v AS (SELECT vec_id,
+              e[${mm * pqSub + 1}:${(mm + 1) * pqSub}] AS e FROM v)""")
+      val lloyds = (0 until pqM).map(mm => lloydCtes(s"s$mm", pqSub, 8, 2))
+      def subD2(mm: Int) =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(
+               q.e[${mm * pqSub + 1}:${(mm + 1) * pqSub}], c${mm}x.e),
+               p -> (p[1]-p[2])*(p[1]-p[2]))),
+             (acc, x) -> acc + x)"""
+      val encJoins = (0 until pqM).map(mm =>
+        s"""JOIN s${mm}a3 e$mm ON e$mm.vec_id = x.vec_id
+            JOIN s${mm}c2 c${mm}x ON c${mm}x.cl = e$mm.cl""").mkString("\n")
+      s"""WITH v AS ($vecs),
+          ${slices.mkString(",\n")},
+          ${lloyds.mkString(",\n")},
+          q AS (SELECT vec_id, e FROM v WHERE vec_id < 8)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+                 round(ad, 6) AS adist
+          FROM (SELECT query_id, vec_id, ad, row_number() OVER (
+                  PARTITION BY query_id ORDER BY ad, vec_id) AS rank
+                FROM (SELECT q.vec_id AS query_id, x.vec_id,
+                             ${(0 until pqM).map(subD2).mkString(" + ")} AS ad
+                      FROM q, v x
+                      $encJoins
+                      WHERE x.vec_id <> q.vec_id))
+          WHERE rank <= 5"""
+    }
     // --- Wrapping 64-bit arithmetic in DuckDB, for the FNV-1a +
     // splitmix64 token hashing behind x03/x04 (TextHashExprs.hashToken).
     // DuckDB's checked BIGINT refuses overflow, so values live as
@@ -3474,6 +3528,8 @@ object SparkEntry {
       // identical oracle to x67 BY DESIGN: persistence is a lifecycle
       // optimization (train once, serve many), never a result change
       "x71_ivf_index_serve" -> ivfLearnedOracle,
+
+      "x74_pq_topk" -> pqOracle,
 
       // the engine routes through real header BYTES (build → parse);
       // the oracle computes the same expected metadata straight from

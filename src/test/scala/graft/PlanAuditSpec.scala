@@ -27,9 +27,12 @@ class PlanAuditSpec extends SparkSpec {
   // BroadcastNestedLoopJoin by construction (see Similarity scaladoc).
   // x69 folds its vocabulary size in-plan as a PROVABLY 1-row broadcast
   // aggregate cross join — a per-row constant lookup, not a quadratic
-  // pairing (see TextAnalysis.lmDocScore scaladoc).
+  // pairing (see TextAnalysis.lmDocScore scaladoc). x74 is the PQ ADC
+  // flat scan — the same sanctioned scan×|Q| shape as x05/x34; its win
+  // is per-row cost (m code lookups vs a dim-float dot), not scan count.
   private val nestedLoopBaseline =
-    Set("x05_cosine_topk", "x34_quantized_topk", "x69_lm_doc_score")
+    Set("x05_cosine_topk", "x34_quantized_topk", "x69_lm_doc_score",
+      "x74_pq_topk")
 
   // conservative per-literal size estimate: exact for the classes that
   // can actually get big (binary sketches, strings, array literals)
