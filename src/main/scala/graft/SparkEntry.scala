@@ -1585,6 +1585,36 @@ object SparkEntry {
       graft.ext.TextAnalysis.lmDocScore(
         T(s, dir, "documents"), "doc_id", "text")),
 
+    // term-distribution drift between two corpus snapshots (x75):
+    // even/odd doc_id halves stand in for old/new crawls; top movers
+    // by smoothed rational odds ratio (no logs — the x40 bit-stability
+    // rule), totals folded in-plan as a 1-row broadcast.
+    "x75_term_drift" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      graft.ext.TextAnalysis.termDrift(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "text", minCount = 3L, topN = 30)
+    },
+
+    // IVF index append lifecycle (x76): train+save on the first 400
+    // vectors, APPEND the rest against the frozen centroids (no
+    // retrain — only touched cell directories grow), serve. The oracle
+    // trains Lloyd's on the subset but assigns/scans the FULL corpus —
+    // exactly what the appended index must answer.
+    "x76_ivf_index_append" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivf_append")
+      graft.ext.Similarity.saveIvfIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", idx,
+        kCentroids = 8, iters = 2)
+      graft.ext.Similarity.appendToIvfIndex(s, idx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding")
+      graft.ext.Similarity.queryIvfIndex(s, idx,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+    },
+
     // bigram LM statistics: top-50 bigrams with P(w2|w1) — integer
     // counts, one hash agg, vocabulary-partitioned denominator window.
     "x55_bigram_lm" -> ((s, dir) =>
@@ -2621,6 +2651,38 @@ object SparkEntry {
                      JOIN v a ON a.vec_id = p.query_id
                 WHERE b.vec_id <> p.query_id)
           WHERE rank <= 5"""
+    // x76 appended index: Lloyd's trained on the vec_id < 400 SUBSET
+    // (prefix t over tv), every vector — original and appended alike —
+    // assigned to those frozen centroids, probes and candidates over
+    // the full corpus. Train rarely, append often, serve always.
+    val ivfAppendOracle: String =
+      s"""WITH v AS ($vecs),
+          tv AS (SELECT vec_id, e FROM v WHERE vec_id < 400),
+          ${lloydCtes("t", 64, 8, 2)},
+          allasg AS (
+            SELECT vec_id, cl FROM (
+              SELECT v.vec_id, c.cl, row_number() OVER (
+                PARTITION BY v.vec_id ORDER BY $kmeansD2, c.cl) AS rn
+              FROM v v, tc2 c)
+            WHERE rn = 1),
+          probes AS (
+            SELECT query_id, cl AS bucket FROM (
+              SELECT v.vec_id AS query_id, c.cl,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY $kmeansD2, c.cl) AS rn
+              FROM v v, tc2 c
+              WHERE v.vec_id < 8)
+            WHERE rn <= 2)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+          FROM (SELECT p.query_id, b.vec_id, $cosPairExpr AS cos,
+                       row_number() OVER (PARTITION BY p.query_id
+                         ORDER BY $cosPairExpr DESC, b.vec_id ASC) AS rank
+                FROM probes p
+                     JOIN allasg s ON s.cl = p.bucket
+                     JOIN v b ON b.vec_id = s.vec_id
+                     JOIN v a ON a.vec_id = p.query_id
+                WHERE b.vec_id <> p.query_id)
+          WHERE rank <= 5"""
     // x74 product quantization: one INDEPENDENT Lloyd's per 16-dim
     // subspace (prefixes s0..s3 over sliced copies of v), then the
     // asymmetric distance d̂(q,x) = Σ_m ‖q_m − c_{m,code_m(x)}‖² —
@@ -3530,6 +3592,39 @@ object SparkEntry {
       "x71_ivf_index_serve" -> ivfLearnedOracle,
 
       "x74_pq_topk" -> pqOracle,
+
+      "x76_ivf_index_append" -> ivfAppendOracle,
+
+      // add-one-smoothed rational odds ratio per union-vocab term,
+      // symmetric via greatest(r, 1/r) computed as two independent
+      // exact divisions; totals from the same joined counts
+      "x75_term_drift" ->
+        """WITH ta AS (SELECT term, CAST(count(*) AS BIGINT) AS ca FROM (
+                SELECT unnest(regexp_split_to_array(
+                  trim(lower(text)), '\s+')) AS term
+                FROM documents WHERE doc_id % 2 = 0)
+              WHERE len(term) >= 1 GROUP BY term),
+           tb AS (SELECT term, CAST(count(*) AS BIGINT) AS cb FROM (
+                SELECT unnest(regexp_split_to_array(
+                  trim(lower(text)), '\s+')) AS term
+                FROM documents WHERE doc_id % 2 = 1)
+              WHERE len(term) >= 1 GROUP BY term),
+           j AS (SELECT coalesce(ta.term, tb.term) AS term,
+                        coalesce(ca, CAST(0 AS BIGINT)) AS cnt_a,
+                        coalesce(cb, CAST(0 AS BIGINT)) AS cnt_b
+                 FROM ta FULL OUTER JOIN tb ON ta.term = tb.term),
+           tot AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb,
+                          count(*) AS v FROM j),
+           sc AS (SELECT term, cnt_a, cnt_b,
+                    greatest(
+                      CAST((cnt_a+1)*(nb+v) AS DOUBLE)
+                        / CAST((cnt_b+1)*(na+v) AS DOUBLE),
+                      CAST((cnt_b+1)*(na+v) AS DOUBLE)
+                        / CAST((cnt_a+1)*(nb+v) AS DOUBLE)) AS d
+                  FROM j, tot
+                  WHERE cnt_a + cnt_b >= 3)
+           SELECT term, cnt_a, cnt_b, round(d, 6) AS drift
+           FROM sc ORDER BY d DESC, term ASC LIMIT 30""",
 
       // the engine routes through real header BYTES (build → parse);
       // the oracle computes the same expected metadata straight from

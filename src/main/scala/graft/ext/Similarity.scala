@@ -247,6 +247,35 @@ object Similarity {
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
   }
 
+  /** Append new vectors to a persisted [[saveIvfIndex]] index WITHOUT
+    * retraining: assign each against the existing centroids (k-row
+    * reload) and append to the bucket-partitioned corpus — only the
+    * touched cell directories grow. This is the daily-ingest half of
+    * the index lifecycle: train rarely, append often, serve always;
+    * the result is exactly an index whose centroids were trained on
+    * the ORIGINAL corpus but whose inverted file holds everything
+    * (ExtSpec pins that equivalence; gated x76). The accepted drift:
+    * appended vectors don't move the centroids, so cell balance decays
+    * as the distribution shifts — monitor (e.g. [[graft.ext
+    * .TextAnalysis.termDrift]]'s embedding-space analogue is cell-size
+    * skew) and retrain when probe cost degrades. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVecs: DataFrame, idCol: String,
+      vecCol: String): Unit = {
+    val centroids = loadIvfCentroids(spark, path)
+    require(centroids.nonEmpty, s"appendToIvfIndex: empty index at $path")
+    graft.functions.VectorExprs.register(spark)
+    import graft.functions.VectorExprs.dotF64
+    Clustering.assignTo(
+        newVecs.select(col(idCol).as("vec_id"),
+          asDouble(col(vecCol)).as("_v")), centroids)
+      .select(col("vec_id"), col("_v").as("v"),
+        sqrt(dotF64(col("_v"), col("_v"))).as("nrm"),
+        col("cluster").as("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/corpus")
+  }
+
   /** Serve query batches from a persisted [[saveIvfIndex]] index: no
     * retraining, no re-bucketing — the centroid reload is k rows, and
     * the corpus scan is bounded to the probed cell directories. Result

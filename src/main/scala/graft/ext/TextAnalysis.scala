@@ -453,4 +453,59 @@ object TextAnalysis {
         round(col("_st.entropy"), 6).as("entropy"),
         col("_st.n_distinct").as("n_distinct_chars"))
   }
+
+  /** Term-distribution drift between two corpus snapshots — the
+    * monitoring op that catches a crawl/source shift before it trains
+    * in: for every term in the union vocabulary, the add-one-smoothed
+    * odds ratio between snapshots, reported as the top-`topN` movers.
+    *
+    * `drift(t) = max(r, r⁻¹)` with
+    * `r = ((c_a+1)·(N_b+V)) / ((c_b+1)·(N_a+V))` — the RATIONAL form
+    * deliberately (the x40 rule): integer products (< 2⁵³ at any
+    * realistic vocabulary) and one IEEE division per direction are
+    * correctly rounded identically in every engine, where a log-odds
+    * ln() can drift in the last ulp between libm implementations and
+    * flip near-tied ranks. Symmetric, ≥ 1; a term present only in one
+    * snapshot gets the maximal ratio for its count.
+    *
+    * Scale shape: one tokenize+count aggregate per snapshot (shuffles
+    * carry (term, count)), a full-outer merge on term, and the totals
+    * (N_a, N_b, V) folded in-plan as a broadcast 1-row aggregate over
+    * the SAME joined subtree (the x69 rule — no eager scalar, no
+    * second tokenize; the `length(term) >= 0` guard keeps the totals
+    * branch's pruned subtree canonically identical so the exchanges
+    * dedupe). Final order is a TakeOrdered of the top `topN` by
+    * (drift DESC, term ASC) — a total, engine-independent order. */
+  def termDrift(a: DataFrame, b: DataFrame, textCol: String,
+      minCount: Long, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1 (got $topN)")
+    def termCounts(df: DataFrame, cname: String) =
+      df.select(explode(tokens(lower(col(textCol)))).as("term"))
+        .filter(length(col("term")) >= 1)
+        .groupBy("term").agg(count(lit(1)).as(cname))
+    val j = termCounts(a, "_ca")
+      .join(termCounts(b, "_cb"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("_ca"), lit(0L)).as("cnt_a"),
+        coalesce(col("_cb"), lit(0L)).as("cnt_b"))
+    // totals as a LAZY 1-row broadcast: V = |union vocab| = rows of j;
+    // the always-true term guard keeps this branch column-identical to
+    // the main branch (a pruned-away column silently breaks exchange
+    // reuse — the x66/x69 lesson)
+    val tot = j.agg(sum(col("cnt_a")).as("_na"), sum(col("cnt_b")).as("_nb"),
+      count(when(length(col("term")) >= 0, 1)).as("_v"))
+    val rAB = ((col("cnt_a") + 1) * (col("_nb") + col("_v")))
+      .cast(DoubleType) /
+      ((col("cnt_b") + 1) * (col("_na") + col("_v"))).cast(DoubleType)
+    val rBA = ((col("cnt_b") + 1) * (col("_na") + col("_v")))
+      .cast(DoubleType) /
+      ((col("cnt_a") + 1) * (col("_nb") + col("_v"))).cast(DoubleType)
+    j.crossJoin(broadcast(tot))
+      .filter(col("cnt_a") + col("cnt_b") >= minCount)
+      .withColumn("_drift", greatest(rAB, rBA))
+      .orderBy(col("_drift").desc, col("term").asc)
+      .limit(topN)
+      .select(col("term"), col("cnt_a"), col("cnt_b"),
+        round(col("_drift"), 6).as("drift"))
+  }
 }

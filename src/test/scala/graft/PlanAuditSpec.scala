@@ -30,9 +30,11 @@ class PlanAuditSpec extends SparkSpec {
   // pairing (see TextAnalysis.lmDocScore scaladoc). x74 is the PQ ADC
   // flat scan — the same sanctioned scan×|Q| shape as x05/x34; its win
   // is per-row cost (m code lookups vs a dim-float dot), not scan count.
+  // x75 folds its corpus totals (N_a, N_b, V) in-plan the same way x69
+  // does: a PROVABLY 1-row broadcast aggregate cross join.
   private val nestedLoopBaseline =
     Set("x05_cosine_topk", "x34_quantized_topk", "x69_lm_doc_score",
-      "x74_pq_topk")
+      "x74_pq_topk", "x75_term_drift")
 
   // conservative per-literal size estimate: exact for the classes that
   // can actually get big (binary sketches, strings, array literals)

@@ -389,6 +389,58 @@ class ExtSpec extends SparkSpec {
     assert(generates == 1, s"expected 1 live Generate, got $generates:\n$plan")
   }
 
+  test("termDrift: smoothed rational odds hand-checked; one tokenize " +
+      "per snapshot (reused exchanges), totals in-plan") {
+    val a = Seq((0L, "x x x common common"), (2L, "common"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "y y y common common"), (3L, "common"))
+      .toDF("doc_id", "text")
+    // counts — A: x=3, common=3; B: y=3, common=3. Na=Nb=6, V=3.
+    // drift(x) = (3+1)(6+3) / (0+1)(6+3) = 4; y symmetric; common = 1.
+    val out = TextAnalysis.termDrift(a, b, "text", minCount = 1L,
+      topN = 10)
+    val got = out.collect().toList
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == List(("x", 3L, 0L, 4.0), ("y", 0L, 3L, 4.0),
+      ("common", 3L, 3L, 1.0)))
+    // each snapshot is tokenized ONCE even though the joined counts
+    // feed both the totals aggregate and the scoring branch: the
+    // term-count exchanges are reused, leaving one live Generate per
+    // snapshot
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ReusedExchange"),
+      s"term-count exchanges not reused:\n$plan")
+    val generates = "(?m)^.*Generate .*$".r.findAllIn(plan).size
+    assert(generates == 2, s"expected 2 live Generates, got $generates:\n$plan")
+  }
+
+  test("appendToIvfIndex: appended index == subset-trained centroids " +
+      "served over the full corpus; empty append is a no-op") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_app").resolve("idx").toString
+    val subset = embs.filter($"vec_id" < 300)
+    Similarity.saveIvfIndex(subset, "vec_id", "embedding", idx,
+      kCentroids = 8, iters = 2)
+    Similarity.appendToIvfIndex(spark, idx,
+      embs.filter($"vec_id" >= 300), "vec_id", "embedding")
+    val queries = embs.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "cos")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val served = rows(Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2))
+    val centroids = Clustering.kmeansCentroids(subset, "vec_id",
+      "embedding", k = 8, iters = 2)
+    val direct = rows(Similarity.ivfLearnedTopKWith(embs, queries,
+      "vec_id", "embedding", k = 5, centroids, nprobe = 2))
+    assert(served == direct)
+    Similarity.appendToIvfIndex(spark, idx,
+      embs.filter($"vec_id" < 0), "vec_id", "embedding")
+    assert(rows(Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) == served)
+  }
+
   test("semanticDedup: drops exactly the pair-list high sides") {
     val survivors = DedupOps.semanticDedup(embs, "vec_id", "embedding",
         threshold = 0.35, signBits = 6)
