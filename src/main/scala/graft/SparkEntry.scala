@@ -1515,8 +1515,12 @@ object SparkEntry {
         .e2LoopWriter(s, base + "/pulls", schema, base + "/perf")
         .option("checkpointLocation", base + "/ckpt").start()
       q.awaitTermination()
+      // date_start is a PARTITION column of the upserted table —
+      // inference may type the directory values as dates; the gate
+      // shape is the ISO string
       s.read.parquet(base + "/perf")
-        .select(col("date_start"), col("ad_id"), col("adset_id"),
+        .select(date_format(col("date_start"), "yyyy-MM-dd")
+            .as("date_start"), col("ad_id"), col("adset_id"),
           col("campaign_id"), col("total_impressions"),
           col("total_clicks"), col("total_spend"), col("total_leads"),
           col("total_successes"), col("cpc"), col("ctr"), col("cpl"))

@@ -112,8 +112,14 @@ object EventStream {
           .withColumn("cpc", round(col("cpc"), 6))
           .withColumn("ctr", round(col("ctr"), 6))
           .withColumn("cpl", round(col("cpl"), 6))
+        // date-partitioned upsert: a pull's batch touches only its own
+        // date directories (dynamic partition overwrite), so per-batch
+        // cost scales with the PULL, not with table history — the
+        // "only touched date partitions are rewritten" contract from
+        // this file's header, made literal
         Upsert.upsert(batch.sparkSession, targetDir, out,
-          Seq("date_start", "ad_id", "adset_id", "campaign_id"))
+          Seq("date_start", "ad_id", "adset_id", "campaign_id"),
+          partitionCols = Seq("date_start"))
       }
       .trigger(Trigger.AvailableNow())
 }
