@@ -986,6 +986,17 @@ object SparkEntry {
         T(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35, signBits = 6)),
 
+    // hard-negative mining (x77): per query, the top-3 most similar
+    // vectors with a DIFFERENT label — the confusable negatives a
+    // contrastive trainer actually learns from (x57 is the cheap
+    // in-batch tier of the same pipeline).
+    "x77_hard_negatives" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      graft.ext.Similarity.hardNegatives(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        "label", k = 3)
+    },
+
     "x07_ivf_topk" -> { (s, dir) =>
       val emb = T(s, dir, "embeddings")
       graft.ext.Similarity.ivfTopK(
@@ -2937,6 +2948,26 @@ object SparkEntry {
                     AS rank
                   FROM scored)
             WHERE rank <= 5""",
+
+      // x05's scan with the different-label predicate in the pairing —
+      // filter-then-rank is the hard-negative definition
+      "x77_hard_negatives" ->
+        s"""WITH v AS ($vecs),
+            l AS (SELECT vec_id, label FROM embeddings),
+            scored AS (
+              SELECT a.vec_id AS query_id, b.vec_id,
+                     lb.label AS neg_label, $cosPairExpr AS cos
+              FROM v a JOIN l la ON la.vec_id = a.vec_id
+                   JOIN v b ON b.vec_id <> a.vec_id
+                   JOIN l lb ON lb.vec_id = b.vec_id
+              WHERE a.vec_id < 8 AND lb.label <> la.label)
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+                   neg_label, cos
+            FROM (SELECT query_id, vec_id, neg_label, cos, row_number()
+                    OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, vec_id ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 3""",
 
       "x06_cosine_dups" ->
         s"""WITH v AS ($vecs),

@@ -291,6 +291,46 @@ object Similarity {
     serveBuckets(c, queries, idCol, vecCol, k, centroids, nprobe)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the `k` MOST similar corpus vectors carrying a DIFFERENT
+    * label — maximally confusable, maximally informative negatives
+    * (random negatives quickly become trivial; x57's in-batch
+    * negatives are the cheap tier, these are the expensive-and-better
+    * tier of the same pipeline).
+    *
+    * Exact by construction: the label filter rides the same sanctioned
+    * scan × |Q| broadcast-nested-loop baseline as [[bruteForceTopK]]
+    * (whitelisted in PlanAuditSpec). At corpus scale, generate
+    * candidates with the IVF/PQ paths instead ([[ivfLearnedTopKWith]]
+    * probes or [[pqTopK]]'s ADC scan) and apply the same
+    * different-label filter before the per-query top-k window — the
+    * definition is filter-then-rank either way, which is what this
+    * exact form pins. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int)
+      : DataFrame = {
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    import graft.functions.VectorExprs.dotF64
+    val c = corpus.select(col(idCol).as("vec_id"),
+        asDouble(col(vecCol)).as("v"), col(labelCol).as("neg_label"))
+      .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"), col(labelCol).as("_qlabel"))
+      .withColumn("qnrm", sqrt(dotF64(col("qv"), col("qv"))))
+    val scored = c.join(broadcast(q),
+        col("vec_id") =!= col("query_id") &&
+          col("neg_label") =!= col("_qlabel"))
+      .withColumn("cos", round(coalesce(
+        try_divide(dotF64(col("qv"), col("v")), col("qnrm") * col("nrm")),
+        lit(0.0)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), col("neg_label"), col("cos"))
+  }
+
   /** Product-quantization codebooks: split the embedding space into `m`
     * contiguous subspaces and train an independent k-means codebook
     * ([[Clustering.kmeansCentroids]] — deterministic, RNG-free) in each.

@@ -32,9 +32,10 @@ class PlanAuditSpec extends SparkSpec {
   // is per-row cost (m code lookups vs a dim-float dot), not scan count.
   // x75 folds its corpus totals (N_a, N_b, V) in-plan the same way x69
   // does: a PROVABLY 1-row broadcast aggregate cross join.
+  // x77 is x05's scan with a label-inequality predicate in the pairing.
   private val nestedLoopBaseline =
     Set("x05_cosine_topk", "x34_quantized_topk", "x69_lm_doc_score",
-      "x74_pq_topk", "x75_term_drift")
+      "x74_pq_topk", "x75_term_drift", "x77_hard_negatives")
 
   // conservative per-literal size estimate: exact for the classes that
   // can actually get big (binary sketches, strings, array literals)

@@ -389,6 +389,36 @@ class ExtSpec extends SparkSpec {
     assert(generates == 1, s"expected 1 live Generate, got $generates:\n$plan")
   }
 
+  test("hardNegatives: top-k different-label vectors, consistent with " +
+      "the exact full ranking") {
+    val queries = embs.filter($"vec_id" < 8)
+    val neg = Similarity.hardNegatives(embs, queries, "vec_id",
+      "embedding", "label", k = 3)
+    val byQ = neg.groupBy("query_id").count().collect()
+    assert(byQ.length == 8 && byQ.forall(_.getLong(1) == 3L))
+    // no negative carries its query's label
+    val labels = embs.select($"vec_id", $"label").as[(Long, Int)]
+      .collect().toMap
+    neg.select("query_id", "vec_id").as[(Long, Long)].collect()
+      .foreach { case (q, v) =>
+        assert(labels(q) != labels(v), s"negative $v shares label of $q")
+      }
+    // consistency with the exact scan: the negatives are exactly the
+    // first 3 different-label entries of the full cosine ranking
+    val full = Similarity.bruteForceTopK(embs, queries, "vec_id",
+        "embedding", k = embs.count().toInt)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Long, Long)].collect()
+    val got = neg.select("query_id", "rank", "vec_id")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList)
+    full.groupBy(_._1).foreach { case (q, rows) =>
+      val want = rows.sortBy(_._2).map(_._3)
+        .filter(v => labels(v) != labels(q)).take(3).toList
+      assert(got(q) == want, s"query $q: got ${got(q)}, want $want")
+    }
+  }
+
   test("termDrift: smoothed rational odds hand-checked; one tokenize " +
       "per snapshot (reused exchanges), totals in-plan") {
     val a = Seq((0L, "x x x common common"), (2L, "common"))
