@@ -986,6 +986,21 @@ object SparkEntry {
         T(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35, signBits = 6)),
 
+    // reciprocal-rank fusion (x78): the exact scan's list and the
+    // sign-LSH list fused by 1/(60+rank) contributions — calibration-
+    // free retriever combination; the fusion join is |Q|·k rows no
+    // matter the corpus size.
+    "x78_rrf_fusion" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      graft.ext.Similarity.rrfFuse(
+        graft.ext.Similarity.bruteForceTopK(emb, q, "vec_id",
+          "embedding", k = 5),
+        graft.ext.Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+          k = 5),
+        k = 5)
+    },
+
     // hard-negative mining (x77): per query, the top-3 most similar
     // vectors with a DIFFERENT label — the confusable negatives a
     // contrastive trainer actually learns from (x57 is the cheap
@@ -2666,6 +2681,38 @@ object SparkEntry {
                      JOIN v a ON a.vec_id = p.query_id
                 WHERE b.vec_id <> p.query_id)
           WHERE rank <= 5"""
+    // x05 exact and x07 sign-LSH retriever lists — shared as derived
+    // tables by the x78 fusion oracle
+    val x05Sql: String =
+      s"""WITH v AS ($vecs),
+          scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id, $cosPairExpr AS cos
+            FROM v a JOIN v b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < 8)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+          FROM (SELECT query_id, vec_id, cos, row_number() OVER
+                  (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+                  AS rank
+                FROM scored)
+          WHERE rank <= 5"""
+    val x07Sql: String =
+      s"""WITH v AS ($vecs),
+          b AS (SELECT vec_id, e,
+                  (CASE WHEN e[1]>=0 THEN 1 ELSE 0 END
+                 + CASE WHEN e[2]>=0 THEN 2 ELSE 0 END
+                 + CASE WHEN e[3]>=0 THEN 4 ELSE 0 END
+                 + CASE WHEN e[4]>=0 THEN 8 ELSE 0 END)::BIGINT AS bucket
+                FROM v)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+          FROM (SELECT a.vec_id AS query_id, b.vec_id,
+                       $cosPairExpr AS cos,
+                       row_number() OVER (PARTITION BY a.vec_id
+                         ORDER BY $cosPairExpr DESC, b.vec_id ASC) AS rank
+                FROM b a JOIN b b
+                  ON bit_count(xor(a.bucket, b.bucket)) <= 1
+                     AND b.vec_id <> a.vec_id
+                WHERE a.vec_id < 8)
+          WHERE rank <= 5"""
     // x76 appended index: Lloyd's trained on the vec_id < 400 SUBSET
     // (prefix t over tv), every vector — original and appended alike —
     // assigned to those frozen centroids, probes and candidates over
@@ -2936,18 +2983,7 @@ object SparkEntry {
 
       "x04_simhash_pairs" -> simhashOracle,
 
-      "x05_cosine_topk" ->
-        s"""WITH v AS ($vecs),
-            scored AS (
-              SELECT a.vec_id AS query_id, b.vec_id, $cosPairExpr AS cos
-              FROM v a JOIN v b ON b.vec_id <> a.vec_id
-              WHERE a.vec_id < 8)
-            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
-            FROM (SELECT query_id, vec_id, cos, row_number() OVER
-                    (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
-                    AS rank
-                  FROM scored)
-            WHERE rank <= 5""",
+      "x05_cosine_topk" -> x05Sql,
 
       // x05's scan with the different-label predicate in the pairing —
       // filter-then-rank is the hard-negative definition
@@ -2986,23 +3022,28 @@ object SparkEntry {
              AND bit_count(xor(a.b0, b.b0)) <= 1
             WHERE $cosPairExpr >= 0.35""",
 
-      "x07_ivf_topk" ->
-        s"""WITH v AS ($vecs),
-            b AS (SELECT vec_id, e,
-                    (CASE WHEN e[1]>=0 THEN 1 ELSE 0 END
-                   + CASE WHEN e[2]>=0 THEN 2 ELSE 0 END
-                   + CASE WHEN e[3]>=0 THEN 4 ELSE 0 END
-                   + CASE WHEN e[4]>=0 THEN 8 ELSE 0 END)::BIGINT AS bucket
-                  FROM v)
-            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
-            FROM (SELECT a.vec_id AS query_id, b.vec_id,
-                         $cosPairExpr AS cos,
-                         row_number() OVER (PARTITION BY a.vec_id
-                           ORDER BY $cosPairExpr DESC, b.vec_id ASC) AS rank
-                  FROM b a JOIN b b
-                    ON bit_count(xor(a.bucket, b.bucket)) <= 1
-                       AND b.vec_id <> a.vec_id
-                  WHERE a.vec_id < 8)
+      "x07_ivf_topk" -> x07Sql,
+
+      // rank-based fusion of the two retrievers above: each list as a
+      // derived table, contributions summed in fixed (exact, ivf)
+      // order — one exact IEEE division per present rank
+      "x78_rrf_fusion" ->
+        s"""SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+                   round(rrf, 6) AS rrf
+            FROM (SELECT query_id, vec_id, rrf, row_number() OVER
+                    (PARTITION BY query_id ORDER BY rrf DESC, vec_id ASC)
+                    AS rank
+                  FROM (SELECT
+                          coalesce(a.query_id, b.query_id) AS query_id,
+                          coalesce(a.vec_id, b.vec_id) AS vec_id,
+                          coalesce(CAST(1 AS DOUBLE)
+                              / CAST(a.rank + 60 AS DOUBLE), 0)
+                            + coalesce(CAST(1 AS DOUBLE)
+                              / CAST(b.rank + 60 AS DOUBLE), 0) AS rrf
+                        FROM ($x05Sql) a
+                        FULL OUTER JOIN ($x07Sql) b
+                          ON a.query_id = b.query_id
+                         AND a.vec_id = b.vec_id))
             WHERE rank <= 5""",
 
       "x08_lang_id" -> {

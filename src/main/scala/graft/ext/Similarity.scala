@@ -291,6 +291,44 @@ object Similarity {
     serveBuckets(c, queries, idCol, vecCol, k, centroids, nprobe)
   }
 
+  /** Reciprocal-rank fusion of two retriever result lists (Cormack et
+    * al., SIGIR 2009): `rrf(v) = Σ_lists 1/(c + rank_list(v))`, summed
+    * in fixed (a, b) order — a vector missing from a list contributes
+    * 0. Rank-based fusion needs no score calibration between
+    * retrievers (cosine vs ADC distance vs BM25 are incomparable;
+    * ranks always compare), which is why it's the standard way to
+    * combine an exact/semantic retriever with a cheap approximate one.
+    *
+    * Inputs are (query_id, rank, vec_id, …) lists as every retriever
+    * here emits ([[bruteForceTopK]], [[ivfTopK]], [[pqTopK]], …).
+    * Scale shape: top-k lists are |Q|·k rows — vanishing next to the
+    * corpus — so the fusion join/window is driver-trivial at any
+    * corpus size; the cost lives in the retrievers. Bit-stable: ranks
+    * are integers, each contribution is one exact IEEE division, the
+    * two-term sum has a fixed order, and ties break on vec_id. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(c >= 0, s"rrf constant must be >= 0 (got $c)")
+    val ra = a.select(col("query_id"), col("vec_id"),
+      col("rank").as("_ra"))
+    val rb = b.select(col("query_id"), col("vec_id"),
+      col("rank").as("_rb"))
+    val score =
+      coalesce(lit(1.0) / (col("_ra") + lit(c.toLong)).cast(DoubleType),
+        lit(0.0)) +
+      coalesce(lit(1.0) / (col("_rb") + lit(c.toLong)).cast(DoubleType),
+        lit(0.0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_rrf").desc, col("vec_id").asc)
+    ra.join(rb, Seq("query_id", "vec_id"), "full_outer")
+      .withColumn("_rrf", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), round(col("_rrf"), 6).as("rrf"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the `k` MOST similar corpus vectors carrying a DIFFERENT
     * label — maximally confusable, maximally informative negatives

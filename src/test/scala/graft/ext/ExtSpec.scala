@@ -389,6 +389,26 @@ class ExtSpec extends SparkSpec {
     assert(generates == 1, s"expected 1 live Generate, got $generates:\n$plan")
   }
 
+  test("rrfFuse: hand-checked fusion — both-list vectors outrank " +
+      "single-list ones; missing entries contribute zero") {
+    val a = Seq((1L, 1L, 10L), (1L, 2L, 11L))
+      .toDF("query_id", "rank", "vec_id")
+    val b = Seq((1L, 1L, 11L), (1L, 2L, 12L))
+      .toDF("query_id", "rank", "vec_id")
+    val got = Similarity.rrfFuse(a, b, k = 5).collect().toList
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // v11 appears in both lists (ranks 2 and 1); v10 and v12 in one
+    assert(got == List(
+      (1L, 1L, 11L, r6(1.0 / 62 + 1.0 / 61)),
+      (1L, 2L, 10L, r6(1.0 / 61)),
+      (1L, 3L, 12L, r6(1.0 / 62))))
+    // fused against itself, a list keeps its own order
+    val self = Similarity.rrfFuse(a, a, k = 5)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toList
+    assert(self == List((1L, 10L), (2L, 11L)))
+  }
+
   test("hardNegatives: top-k different-label vectors, consistent with " +
       "the exact full ranking") {
     val queries = embs.filter($"vec_id" < 8)
