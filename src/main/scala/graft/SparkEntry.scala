@@ -1525,6 +1525,32 @@ object SparkEntry {
           col("event_date").cast(StringType).as("event_date"))
     },
 
+    // CDC feed replayed as a stream (x79): q44's change set split into
+    // per-batch files, each applied incrementally WITH delete support
+    // (CdcSink — the merge Upsert's ON CONFLICT shape can't express),
+    // landing exactly the one-shot apply's table.
+    "x79_stream_cdc_apply" -> { (s, dir) =>
+      val base = scratchDir("streamcdc")
+      val cust = T(s, dir, "customer")
+      val oldSnap = cust.filter(col("c_custkey") % 5 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val newSnap = cust.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + lit(1.0))
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+      val changes = graft.ops.Cdc.snapshotDiffWithValues(oldSnap, newSnap,
+        Seq("c_custkey"), Seq("c_acctbal"))
+      oldSnap.write.mode("overwrite").parquet(base + "/table")
+      changes.repartition(3, col("c_custkey"))
+        .write.mode("overwrite").parquet(base + "/changes")
+      val schema = s.read.parquet(base + "/changes").schema
+      val q = graft.streaming.StreamCdc.applyWriter(s, base + "/changes",
+          schema, base + "/table", Seq("c_custkey"), Seq("c_acctbal"))
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      s.read.parquet(base + "/table")
+    },
+
     // the FULL reference loop as an incremental stream (x73): raw
     // insight pulls staged as one file per date range, each replayed as
     // its own micro-batch through the COMPLETE E2 transform and
@@ -1865,6 +1891,16 @@ object SparkEntry {
     """'ad_'||user_id AS ad_id, 'as_'||(user_id%7) AS adset_id,
        'c_'||(user_id%3) AS campaign_id"""
 
+  /** q44's one-shot CDC-apply oracle — shared with `x79_stream_cdc
+    * _apply`: replaying the change set incrementally (one batch per
+    * file, deletes included) must land the same table as the one-shot
+    * apply, i.e. the new snapshot itself. */
+  private lazy val cdcOracleSql =
+    """SELECT c_custkey,
+              CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.0
+                   ELSE c_acctbal END AS c_acctbal
+       FROM customer WHERE c_custkey % 7 <> 0"""
+
   /** E2's full-batch oracle — shared by `e2_performance` and
     * `x73_stream_e2_loop`: the streamed loop upserts per-pull batches
     * into the SAME final table the one-shot batch computes, so one SQL
@@ -2139,11 +2175,7 @@ object SparkEntry {
 
     // the roundtrip law: apply(old, diff(old,new)) == new, so the oracle
     // is the NEW snapshot's direct definition
-    "q44_cdc_apply" ->
-      """SELECT c_custkey,
-                CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.0
-                     ELSE c_acctbal END AS c_acctbal
-         FROM customer WHERE c_custkey % 7 <> 0""",
+    "q44_cdc_apply" -> cdcOracleSql,
 
     "q45_nullsafe_join" ->
       """WITH ky AS (SELECT event_id, event_type,
@@ -3634,6 +3666,9 @@ object SparkEntry {
 
       // the streamed loop must land EXACTLY the one-shot batch table
       "x73_stream_e2_loop" -> e2OracleSql,
+
+      // incremental CDC replay must land the one-shot apply's table
+      "x79_stream_cdc_apply" -> cdcOracleSql,
 
       // brute-force n² oracle over the exact same verify metric
       "x65_edit1_pairs" ->

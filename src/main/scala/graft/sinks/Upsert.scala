@@ -50,11 +50,9 @@ object Upsert {
     // and no live table at `path`. Detect that state and complete the
     // swap BEFORE merging, so the interrupted upsert's result is never
     // lost and the new source merges against it. Pinned by UpsertSpec
-    // ("recovers a table stranded mid-swap").
-    val stagingP = new Path(path + "__staging")
-    if (!fs.exists(new Path(path)) && fs.exists(stagingP))
-      require(fs.rename(stagingP, new Path(path)),
-        s"crash-recovery rename failed: $stagingP -> $path")
+    // ("recovers a table stranded mid-swap"); shared with CdcSink via
+    // TableSwap.
+    TableSwap.recoverStranded(fs, path)
     val exists = fs.exists(new Path(path))
     if (!exists) {
       write(source, path, keys, partitionCols, writeSalt, SaveMode.ErrorIfExists)
@@ -112,21 +110,11 @@ object Upsert {
         keys.toIndexedSeq, "left_anti")
       val merged = kept.unionByName(
         source.select(target.columns.toIndexedSeq.map(col): _*))
-      val staging = path + "__staging"
-      merged.write.mode(SaveMode.Overwrite).parquet(staging)
-      // Hadoop FileSystems signal failure by RETURNING FALSE, not
-      // throwing: an unchecked delete would leave the stale table (and
-      // a later Overwrite of staging would silently drop this merge);
-      // an unchecked rename would "succeed" with no live table at all.
-      require(fs.delete(new Path(path), true) || !fs.exists(new Path(path)),
-        s"pre-swap delete failed: $path")
-      // rename is atomic on HDFS; on object stores it is a copy — the
-      // standard parquet-table swap caveat, same as any non-Delta sink.
-      // A crash between the delete above and this rename leaves the
-      // merged table in __staging only; the recovery probe at the top
-      // of this method completes the swap on the next call.
-      require(fs.rename(new Path(staging), new Path(path)),
-        s"swap rename failed: $staging -> $path")
+      merged.write.mode(SaveMode.Overwrite)
+        .parquet(TableSwap.stagingPath(path).toString)
+      // checked delete→rename; crash window and recovery are
+      // TableSwap's documented contract
+      TableSwap.swapStaged(fs, path)
     }
   }
 
