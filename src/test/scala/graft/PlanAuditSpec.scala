@@ -33,9 +33,13 @@ class PlanAuditSpec extends SparkSpec {
   // x75 folds its corpus totals (N_a, N_b, V) in-plan the same way x69
   // does: a PROVABLY 1-row broadcast aggregate cross join.
   // x77 is x05's scan with a label-inequality predicate in the pairing.
+  // x78 fuses two retriever lists, and its exact branch IS
+  // bruteForceTopK — the same sanctioned scan×|Q| shape; the fusion
+  // join itself is a keyed full-outer over |Q|·k rows.
   private val nestedLoopBaseline =
     Set("x05_cosine_topk", "x34_quantized_topk", "x69_lm_doc_score",
-      "x74_pq_topk", "x75_term_drift", "x77_hard_negatives")
+      "x74_pq_topk", "x75_term_drift", "x77_hard_negatives",
+      "x78_rrf_fusion")
 
   // conservative per-literal size estimate: exact for the classes that
   // can actually get big (binary sketches, strings, array literals)
