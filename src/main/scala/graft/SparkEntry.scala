@@ -1274,6 +1274,14 @@ object SparkEntry {
       graft.ext.TextAnalysis.tfidfTopTerms(
         T(s, dir, "documents"), "doc_id", "text", k = 5)),
 
+    // BM25 ranked retrieval (x80): the lexical side of hybrid search
+    // (fuse with the vector retrievers via x78's RRF) — rational idf,
+    // decimal-exact per-doc sums, single-tokenize shared aggregate.
+    "x80_bm25_topk" -> ((s, dir) =>
+      graft.ext.TextAnalysis.bm25TopK(
+        T(s, dir, "documents"), "doc_id", "text",
+        Seq("hash", "join", "merge"), k = 10)),
+
     // duplicate-span coverage: per doc, maximal spans whose every
     // 8-token window appears in ≥2 docs — sub-document dedup signal.
     "x38_dup_spans" -> ((s, dir) =>
@@ -3336,6 +3344,44 @@ object SparkEntry {
                                          WHEN 'fr' THEN 1500
                                          WHEN 'zh' THEN 1000
                                          ELSE 0 END""",
+
+      // BM25 with rational idf: every step is integer-exact or one
+      // correctly-rounded IEEE op mirrored textually from the engine;
+      // per-term scores quantize to DECIMAL(20,9) (DuckDB's
+      // double→decimal cast == DecQuantize's shortest-repr rule) so the
+      // per-doc sum is order-independent; VARCHAR hop on the way back
+      // to double (the q01 decimal→double double-rounding rule).
+      "x80_bm25_topk" ->
+        """WITH t AS (SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  AS BIGINT) AS dl,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  AS term
+              FROM documents),
+           tf AS (SELECT doc_id, dl, term,
+                    CAST(count(*) AS BIGINT) AS tf
+                  FROM t WHERE term IN ('hash', 'join', 'merge')
+                  GROUP BY 1, 2, 3),
+           tfd AS (SELECT *, CAST(count(*) OVER (PARTITION BY term)
+                     AS BIGINT) AS df_t FROM tf),
+           st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(
+                      len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                        AS BIGINT)) AS BIGINT) AS total_len
+                  FROM documents),
+           sc AS (SELECT doc_id,
+                    CAST(((n - df_t + 0.5) / (df_t + 0.5))
+                      * (tf * (1.2 + 1.0))
+                      / (tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                          (CAST(dl * n AS DOUBLE)
+                            / CAST(total_len AS DOUBLE))))
+                      AS DECIMAL(20,9)) AS s
+                  FROM tfd, st)
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                  round(CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE), 6)
+                    AS score
+           FROM sc GROUP BY 1
+           ORDER BY score DESC, doc_id ASC LIMIT 10""",
 
       "x40_tfidf_terms" ->
         """WITH nn AS (SELECT count(*) AS n FROM documents),

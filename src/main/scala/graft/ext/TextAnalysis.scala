@@ -508,4 +508,73 @@ object TextAnalysis {
       .select(col("term"), col("cnt_a"), col("cnt_b"),
         round(col("_drift"), 6).as("drift"))
   }
+
+  /** BM25 ranked retrieval (Robertson & Zaragoza 2009, eq. 3.15) — the
+    * lexical retriever that completes the hybrid-search pair with the
+    * vector side ([[Similarity.bruteForceTopK]]/ivf; fuse the two lists
+    * with [[Similarity.rrfFuse]]): the `k` highest-scoring documents
+    * for a bag of query terms,
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    *
+    * idf is the RATIONAL variant `(N − df + 0.5)/(df + 0.5)` — the
+    * ln(·) of the classic form deliberately dropped, same reasoning as
+    * [[tfidfTopTerms]]'s linear idf: every remaining step is integer
+    * arithmetic (< 2⁵³, exact) or one correctly-rounded IEEE op, so
+    * scores are bit-identical in every engine, while the ranking it
+    * induces is the same monotone-in-df order. dl/avgdl is computed as
+    * the exact integer product `dl·N` over the total token count (one
+    * division instead of two — one rounding, identical both engines).
+    *
+    * Scale shape: the full vocabulary is NEVER aggregated — the query-
+    * term `isin` pushes all the way to the scan under the explode, so
+    * the tf pipeline only materializes and shuffles rows for the ≤|q|
+    * query terms (a corpus-wide (doc, term) aggregate, the obvious
+    * build, shuffles every token of 100 TB to answer a 3-term query).
+    * The document's raw token count rides THROUGH that aggregate as a
+    * grouping key (functionally determined by doc_id), and df_t is a
+    * window count over the term partition of the already-tiny tf rows —
+    * no self-join, no second tokenize. Corpus stats (N, total token
+    * count) come from a separate NARROW scan (size(split), no explode —
+    * scan-speed) and ride in-plan as a lazy 1-row broadcast aggregate
+    * (the x69 shape — its BroadcastNestedLoopJoin is a per-row constant
+    * lookup, whitelisted in PlanAuditSpec). Per-term scores quantize to
+    * DECIMAL(20,9) via the native [[graft.functions.DecimalExprs]]
+    * expression and sum EXACTLY, so the per-doc total is independent of
+    * partial-aggregation order — no unordered-FP flake window. The
+    * final top-k is orderBy+limit (TakeOrdered per-partition heaps,
+    * never a single-task global window), total-ordered by
+    * (score DESC, doc_id ASC). Document length is the RAW whitespace
+    * token count ([[tokenCount]] semantics); N counts every corpus doc. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val qset = queryTerms.map(_.toLowerCase)
+    val toks = tokens(lower(col(textCol)))
+    val tfq = df.select(col(idCol).as("doc_id"),
+        size(toks).cast(LongType).as("dl"),
+        explode(toks).as("term"))
+      .filter(col("term").isin(qset: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("df_t", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+    val stats = df.select(size(toks).cast(LongType).as("_dl"))
+      .agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_len"))
+    val idf = (col("_n") - col("df_t") + lit(0.5)) /
+      (col("df_t") + lit(0.5))
+    val norm = lit(k1) * (lit(1.0) - lit(b) + lit(b) *
+      ((col("dl") * col("_n")).cast(DoubleType) /
+        col("_len").cast(DoubleType)))
+    val tscore = idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + norm)
+    tfq.crossJoin(broadcast(stats))
+      .withColumn("_s", graft.ops.Metrics.decQuantize(tscore, 9))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("_s")).cast(DoubleType), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -36,10 +36,12 @@ class PlanAuditSpec extends SparkSpec {
   // x78 fuses two retriever lists, and its exact branch IS
   // bruteForceTopK — the same sanctioned scan×|Q| shape; the fusion
   // join itself is a keyed full-outer over |Q|·k rows.
+  // x80 folds its corpus stats (N, total tokens) in-plan the x69 way:
+  // a PROVABLY 1-row broadcast aggregate cross join.
   private val nestedLoopBaseline =
     Set("x05_cosine_topk", "x34_quantized_topk", "x69_lm_doc_score",
       "x74_pq_topk", "x75_term_drift", "x77_hard_negatives",
-      "x78_rrf_fusion")
+      "x78_rrf_fusion", "x80_bm25_topk")
 
   // conservative per-literal size estimate: exact for the classes that
   // can actually get big (binary sketches, strings, array literals)

@@ -439,6 +439,55 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopK: hand-checked scores and ranking; explode is query-" +
+      "term-filtered at the scan, top-k is TakeOrdered not a global window") {
+    val docs5 = Seq(
+      (1L, "hash join hash"),
+      (2L, "scan scan scan scan"),
+      (3L, "join"),
+      (4L, "hash merge")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs5, "doc_id", "text",
+      Seq("hash", "join", "merge"), k = 10)
+    val got = out.select("doc_id", "n_terms", "score")
+      .as[(Long, Long, Double)].collect().toList
+    // N=4, total_len=10 (avgdl 2.5); df: hash=2, join=2, merge=1.
+    // Rational idf: hash/join (4-2+.5)/2.5 = 1, merge (4-1+.5)/1.5.
+    // norm(dl) = 1.2*(0.25 + 0.75*dl/2.5).
+    def score(terms: Seq[(Double, Long)], dl: Long): Double = {
+      val norm = 1.2 * (1.0 - 0.75 + 0.75 * (dl * 4L).toDouble / 10.0)
+      val s = terms.map { case (idf, tf) =>
+        BigDecimal.valueOf(idf * (tf * (1.2 + 1.0)) / (tf + norm))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      s.toDouble // exact decimal sum; values far from round-6 edges
+    }
+    val idfM = (4L - 1L + 0.5) / (1L + 0.5)
+    val exp = List(
+      (4L, 2L, score(Seq((1.0, 1L), (idfM, 1L)), 2L)),
+      (1L, 2L, score(Seq((1.0, 2L), (1.0, 1L)), 3L)),
+      (3L, 1L, score(Seq((1.0, 1L)), 1L)))
+    assert(got.map(t => (t._1, t._2)) == exp.map(t => (t._1, t._2)))
+    got.zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-6, s"doc ${g._1}: $g vs $e") }
+    // doc 2 has no query term — absent, not zero-scored
+    assert(!got.exists(_._1 == 2L))
+    // scale-shape contract: ONE explode, filtered to query terms BELOW
+    // it (the full vocabulary is never aggregated or shuffled); the
+    // stats branch is a narrow no-explode scan
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val generates = "(?m)^.*Generate .*$".r.findAllIn(plan).size
+    assert(generates == 1, s"expected 1 live Generate, got $generates:\n$plan")
+    // the query-term IN filter sits directly on the exploded output,
+    // BELOW the tf aggregate's exchange — only query-term rows shuffle
+    assert(plan.contains("IN (hash,join,merge)"),
+      s"query-term filter not pushed below the aggregate:\n$plan")
+    // global top-k must be per-partition heaps, not a 1-task window
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k is not TakeOrdered:\n$plan")
+  }
+
   test("termDrift: smoothed rational odds hand-checked; one tokenize " +
       "per snapshot (reused exchanges), totals in-plan") {
     val a = Seq((0L, "x x x common common"), (2L, "common"))
