@@ -1182,6 +1182,17 @@ object SparkEntry {
     "x31_dedup_clusters" -> ((s, dir) =>
       clusteredDocIds(s, dir, graft.ext.DedupOps.dedupClusters(_, _, _))),
 
+    // leakage-safe splits (x81): whole near-dup clusters assigned to
+    // one split by hashing the canonical member's text — near-copies
+    // can never straddle train/test (x16 alone lets ~34% of pairs do).
+    "x81_cluster_safe_split" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val lbl = graft.ext.DedupOps.dedupClusters(
+        docNearDupPairs(docs), "doc_a", "doc_b")
+      graft.ext.Corpus.clusterSafeSplit(docs, "doc_id", "text", lbl)
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+    },
+
     // canonical selection: one keep-doc per near-dup cluster, highest
     // quality score wins (min doc_id tie-break) — detection → clusters
     // → decision, the complete dedup pipeline as one query.
@@ -3249,6 +3260,17 @@ object SparkEntry {
         s"""WITH RECURSIVE $pairClosure
             SELECT d.doc_id, coalesce(l.lcluster, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN lbl l ON d.doc_id = l.lid""",
+
+      // x31's closure + x16's split case applied to the CANONICAL
+      // member's text (aliased AS text so the shared fp fragment binds)
+      "x81_cluster_safe_split" ->
+        s"""WITH RECURSIVE $pairClosure,
+            c AS (SELECT d.doc_id, coalesce(l.lcluster, d.doc_id)
+                    AS cluster_id
+                  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.lid),
+            cc AS (SELECT c.doc_id, c.cluster_id, cd.text
+                   FROM c JOIN documents cd ON c.cluster_id = cd.doc_id)
+            SELECT doc_id, cluster_id, $splitCase AS split FROM cc""",
 
       "x32_canonical_docs" ->
         s"""WITH RECURSIVE $pairClosure, $qualityCte,

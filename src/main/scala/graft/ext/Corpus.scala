@@ -57,6 +57,45 @@ object Corpus {
       element_at(labels, (bucket + 1L).cast(IntegerType)))
   }
 
+  /** Leakage-safe train/val/test split: every near-duplicate CLUSTER
+    * lands wholly in one split, so a model can never be evaluated on a
+    * near-copy of its own training document — the classic contamination
+    * [[assignSplit]] alone cannot prevent (two near-dups hash to
+    * independent buckets; at 80/10/10 an expected ~34% of near-dup
+    * pairs straddle splits).
+    *
+    * `labels` is a [[DedupOps.dedupClusters]]/[[DedupOps
+    * .dedupClustersStar]] output — (`id`, `cluster_id`) for every doc
+    * that HAS a near-duplicate; unpaired docs default to their own id.
+    * The split decision hashes the CANONICAL member's text
+    * (cluster_id = component-min doc id), so it stays content-stable
+    * like [[assignSplit]] — corpus growth or re-partitioning never
+    * reassigns an existing cluster, and a singleton doc gets exactly
+    * the split [[assignSplit]] would give it.
+    *
+    * Scale shape: the canonical side is reduced to (id, split) BEFORE
+    * the join — split labels are computed scan-side and only 16-byte
+    * id pairs plus a 5-char label cross the shuffle, never document
+    * text. A mega-cluster makes its canonical id a hot join key; the
+    * build side is one row per doc, so AQE's skew split handles it
+    * (same contract as the x31 loop that produced the labels). */
+  def clusterSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      labels: DataFrame, trainPct: Int = 80, valPct: Int = 10)
+      : DataFrame = {
+    val lbl = labels.select(col("id").as("_lid"),
+      col("cluster_id").as("_lcl"))
+    val canon = assignSplit(
+      df.select(col(idCol).as("_cid"), col(textCol).as("_ctext")),
+      "_ctext", trainPct, valPct)
+      .select(col("_cid"), col("split"))
+    df.join(lbl, col(idCol) === col("_lid"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("_lcl"), col(idCol).cast(LongType)))
+      .drop("_lid", "_lcl")
+      .join(canon, col("cluster_id") === col("_cid"))
+      .drop("_cid")
+  }
+
   /** Deterministic hash-based downsampling: keep rows whose md5(key)
     * prefix falls below a hex threshold. Content/key-addressed (same key
     * → same decision across runs, partitionings, and engines — md5 of

@@ -39,6 +39,37 @@ class CorpusSpec extends SparkSpec {
     assert(s1.values.count(_ == "train") > 100)
   }
 
+  test("clusterSafeSplit: clusters never straddle splits; singletons " +
+      "get exactly their assignSplit label; content-stable") {
+    val docs = (0L until 60L).map(i => (i, s"doc number $i text body"))
+      .toDF("doc_id", "text")
+    // clusters {0,1,2} (min 0) and {10,11} (min 10); rest singletons
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    val got = Corpus.clusterSafeSplit(docs, "doc_id", "text", labels)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 60)
+    // one split per cluster
+    val byCluster = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byCluster.values.forall(_.size == 1),
+      s"cluster with mixed splits: ${byCluster.filter(_._2.size > 1)}")
+    // clustered docs carry the CANONICAL member's split
+    val own = Corpus.assignSplit(docs, "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val gotM = got.map(t => t._1 -> t._3).toMap
+    assert(gotM(1L) == own(0L) && gotM(2L) == own(0L) &&
+      gotM(11L) == own(10L))
+    // singletons keep their own content split (assignSplit equality)
+    (got.map(_._1).toSet -- Set(0L, 1L, 2L, 10L, 11L)).foreach { id =>
+      assert(gotM(id) == own(id), s"singleton $id diverged") }
+    // content-stable under repartitioning
+    val re = Corpus.clusterSafeSplit(docs.repartition(7), "doc_id",
+      "text", labels.repartition(3))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(re == gotM)
+  }
+
   test("lengthBucket thresholds are half-open [lo, hi)") {
     val got = Seq(15L, 16L, 63L, 64L, 255L, 256L, 1023L, 1024L)
       .toDF("n")
