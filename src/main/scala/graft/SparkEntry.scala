@@ -1182,6 +1182,24 @@ object SparkEntry {
     "x31_dedup_clusters" -> ((s, dir) =>
       clusteredDocIds(s, dir, graft.ext.DedupOps.dedupClusters(_, _, _))),
 
+    // integer PageRank (x82): link analysis over the supplier↔part
+    // bipartite graph (both directions, so the graph is closed and no
+    // mass leaks) — exact fixed-point arithmetic, 4 power rounds, top-25.
+    "x82_pagerank" -> { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+      val fwd = li.select((col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ext.Graph.pageRank(edges, "src", "dst", iters = 4)
+        .select(
+          when(col("id") % 2 === 0, lit("supplier"))
+            .otherwise(lit("part")).as("kind"),
+          expr("id div 2").as("key"), col("rank"))
+        .orderBy(col("rank").desc, col("kind").asc, col("key").asc)
+        .limit(25)
+    },
+
     // leakage-safe splits (x81): whole near-dup clusters assigned to
     // one split by hashing the canonical member's text — near-copies
     // can never straddle train/test (x16 alone lets ~34% of pairs do).
@@ -3006,6 +3024,20 @@ object SparkEntry {
            SELECT doc_id, $qualityScoreExpr AS quality_score
            FROM qr)"""
 
+    // x82's unrolled integer power rounds (mirrors Graph.pageRank:
+    // rank0 = scale, contrib = rank // outdeg, rank' = base + 85·Σ//100
+    // — all BIGINT, so the unroll is bit-exact, not approximate)
+    val prRounds = (1 to 4).map { i =>
+      s"""c$i AS (SELECT e.dst AS id, sum(r.rank // od.outdeg) AS s
+                 FROM e JOIN r${i - 1} r ON e.src = r.id
+                        JOIN od ON e.src = od.src
+                 GROUP BY 1),
+         r$i AS (SELECT n.id,
+                   CAST(150000000 + (85 * coalesce(c.s, 0)) // 100
+                     AS BIGINT) AS rank
+                 FROM n LEFT JOIN c$i c ON n.id = c.id)"""
+    }.mkString(",\n         ")
+
     Map(
       "x01_dedup_exact" ->
         """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -3260,6 +3292,23 @@ object SparkEntry {
         s"""WITH RECURSIVE $pairClosure
             SELECT d.doc_id, coalesce(l.lcluster, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN lbl l ON d.doc_id = l.lid""",
+
+      "x82_pagerank" ->
+        s"""WITH e AS (SELECT DISTINCT l_suppkey*2 AS src,
+                         l_partkey*2+1 AS dst FROM lineitem
+                       UNION
+                       SELECT DISTINCT l_partkey*2+1 AS src,
+                         l_suppkey*2 AS dst FROM lineitem),
+            od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                   FROM e GROUP BY 1),
+            n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM n),
+            $prRounds
+            SELECT CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'part' END
+                     AS kind,
+                   id // 2 AS key, rank
+            FROM r4
+            ORDER BY rank DESC, kind ASC, key ASC LIMIT 25""",
 
       // x31's closure + x16's split case applied to the CANONICAL
       // member's text (aliased AS text so the shared fp fragment binds)

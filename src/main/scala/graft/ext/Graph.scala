@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Iterative graph analytics beyond connected components
+  * ([[DedupOps.dedupClusters]] / [[DedupOps.dedupClustersStar]]): link
+  * analysis over graphs derived from corpus/warehouse tables.
+  */
+object Graph {
+
+  /** PageRank in EXACT integer arithmetic (Page et al. 1999, the
+    * power-iteration form): ranks are maintained as fixed-point longs
+    * (`scale` = 1.0), each node's contribution is `rank DIV outdeg`
+    * (floor division), and the update is
+    *
+    *   rank' = ((100−damp)·scale) DIV 100 + (damp · Σ in-contribs) DIV 100
+    *
+    * — every step is 64-bit integer arithmetic, so the result is
+    * bit-identical in every engine and independent of partial-
+    * aggregation order (the floating-point formulation sums doubles in
+    * visit order — unreproducible across runs, engines, and cluster
+    * sizes; at fixed-point the only cost is ≤1 unit of floor-rounding
+    * per edge per round, far below any ranking-relevant difference).
+    * Dangling nodes (no out-edges) keep only the teleport base and
+    * their surplus mass LEAKS (the non-normalized variant) — totals are
+    * not conserved, rankings are; callers wanting conservation should
+    * close the graph (add reverse edges) as the gated x82 bipartite
+    * construction does.
+    *
+    * Fixed `iters` power rounds, NOT convergence-probed: a fixed
+    * iteration count is what makes the output a pure function of the
+    * edge list (the oracle unrolls the same rounds), and in practice
+    * rank ORDER stabilizes in a handful of rounds long before values do.
+    *
+    * Scale shape (the [[DedupOps.dedupClusters]] iterative discipline):
+    * the edge list joined each round carries only (src, dst, outdeg) —
+    * 24-byte rows, hash-partitioned ONCE on the join key and
+    * `localCheckpoint`ed, so every round's join shuffles only the
+    * node-rank side (8+8 bytes per NODE, not per edge) and the
+    * per-round lineage is truncated (without it the plan doubles per
+    * round). Contributions aggregate partial+final on dst. Driver holds
+    * nothing — no collect anywhere.
+    *
+    * Overflow contract: callers must pick `scale` so that
+    * `nodes · scale · damp` stays far below 2⁶³ — at 10⁹ nodes use
+    * `scale = 10⁷` (default 10⁹ is sized for ≤10⁸ nodes). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, damp: Long = 85L,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    require(damp >= 0L && damp <= 100L, s"damp must be in [0,100] (got $damp)")
+    require(scale >= 1L, s"scale must be >= 1 (got $scale)")
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst")).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // (src, dst, outdeg) partitioned on the per-round join key and
+    // materialized once — rounds shuffle only the rank side
+    val eo = e.join(outdeg, Seq("src"))
+      .repartition(col("src")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val base = (100L - damp) * scale / 100L
+    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val contribs = eo.join(ranks, eo("src") === ranks("id"))
+        .select(col("dst"), expr("rank div outdeg").as("_c"))
+        .groupBy("dst").agg(sum(col("_c")).as("_s"))
+      ranks = nodes.join(contribs, nodes("id") === contribs("dst"), "left")
+        .select(col("id"),
+          // SQL div: exact 64-bit floor division (Column./ on longs
+          // silently promotes to double — the determinism killer here)
+          (lit(base) + expr(s"($damp * coalesce(_s, 0)) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}
