@@ -1182,6 +1182,25 @@ object SparkEntry {
     "x31_dedup_clusters" -> ((s, dir) =>
       clusteredDocIds(s, dir, graft.ext.DedupOps.dedupClusters(_, _, _))),
 
+    // declarative data-quality audit (x83): the pre-promotion gate a
+    // 100 TB ingest runs — row-level rules fold into ONE scan-pass
+    // aggregate; uniqueness and referential integrity get their own
+    // shapes; exact violation counts, one row per rule.
+    "x83_quality_rules" -> { (s, dir) =>
+      import graft.ops.Audit._
+      val li = T(s, dir, "lineitem")
+      val ev = T(s, dir, "events")
+      audit(li, Seq(
+        NotNull("l_shipdate"),
+        InRange("l_quantity", 1.0, 45.0),
+        AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        RefIntegrity("l_orderkey", T(s, dir, "orders"), "o_orderkey")))
+        .unionByName(audit(ev, Seq(
+          InRange("value", 0.0, 100.0),
+          RefIntegrity("user_id", T(s, dir, "customer"), "c_custkey"))))
+    },
+
     // integer PageRank (x82): link analysis over the supplier↔part
     // bipartite graph (both directions, so the graph is closed and no
     // mass leaks) — exact fixed-point arithmetic, 4 power rounds, top-25.
@@ -3292,6 +3311,71 @@ object SparkEntry {
         s"""WITH RECURSIVE $pairClosure
             SELECT d.doc_id, coalesce(l.lcluster, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN lbl l ON d.doc_id = l.lid""",
+
+      // every rule is an exact integer count; NULLs pass validity
+      // rules (only not_null counts them — the Audit contract)
+      "x83_quality_rules" ->
+        """SELECT 'not_null(l_shipdate)' AS rule,
+                  CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT)
+                    AS violations,
+                  CAST(count(*) AS BIGINT) AS total,
+                  count(*) FILTER (l_shipdate IS NULL) = 0 AS pass
+           FROM lineitem
+           UNION ALL
+           SELECT 'in_range(l_quantity,1.0,45.0)',
+                  CAST(count(*) FILTER (l_quantity IS NOT NULL AND NOT
+                    (CAST(l_quantity AS DOUBLE) >= 1.0
+                     AND CAST(l_quantity AS DOUBLE) <= 45.0)) AS BIGINT),
+                  CAST(count(*) AS BIGINT),
+                  count(*) FILTER (l_quantity IS NOT NULL AND NOT
+                    (CAST(l_quantity AS DOUBLE) >= 1.0
+                     AND CAST(l_quantity AS DOUBLE) <= 45.0)) = 0
+           FROM lineitem
+           UNION ALL
+           SELECT 'accepted_values(l_returnflag)',
+                  CAST(count(*) FILTER (l_returnflag IS NOT NULL AND
+                    l_returnflag NOT IN ('A','N','R')) AS BIGINT),
+                  CAST(count(*) AS BIGINT),
+                  count(*) FILTER (l_returnflag IS NOT NULL AND
+                    l_returnflag NOT IN ('A','N','R')) = 0
+           FROM lineitem
+           UNION ALL
+           SELECT 'unique(l_orderkey,l_linenumber)',
+                  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                    AS BIGINT),
+                  CAST(count(*) AS BIGINT),
+                  count(*) = count(DISTINCT (l_orderkey, l_linenumber))
+           FROM lineitem
+           UNION ALL
+           SELECT 'ref_integrity(l_orderkey->o_orderkey)',
+                  CAST(count(*) FILTER (l_orderkey IS NOT NULL
+                    AND o_orderkey IS NULL) AS BIGINT),
+                  CAST(count(*) AS BIGINT),
+                  count(*) FILTER (l_orderkey IS NOT NULL
+                    AND o_orderkey IS NULL) = 0
+           FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey
+                                    FROM orders) o
+             ON l_orderkey = o_orderkey
+           UNION ALL
+           SELECT 'in_range(value,0.0,100.0)',
+                  CAST(count(*) FILTER (value IS NOT NULL AND NOT
+                    (CAST(value AS DOUBLE) >= 0.0
+                     AND CAST(value AS DOUBLE) <= 100.0)) AS BIGINT),
+                  CAST(count(*) AS BIGINT),
+                  count(*) FILTER (value IS NOT NULL AND NOT
+                    (CAST(value AS DOUBLE) >= 0.0
+                     AND CAST(value AS DOUBLE) <= 100.0)) = 0
+           FROM events
+           UNION ALL
+           SELECT 'ref_integrity(user_id->c_custkey)',
+                  CAST(count(*) FILTER (user_id IS NOT NULL
+                    AND c_custkey IS NULL) AS BIGINT),
+                  CAST(count(*) AS BIGINT),
+                  count(*) FILTER (user_id IS NOT NULL
+                    AND c_custkey IS NULL) = 0
+           FROM events LEFT JOIN (SELECT DISTINCT c_custkey
+                                  FROM customer) c
+             ON user_id = c_custkey""",
 
       "x82_pagerank" ->
         s"""WITH e AS (SELECT DISTINCT l_suppkey*2 AS src,
