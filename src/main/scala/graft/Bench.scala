@@ -40,11 +40,23 @@ object Bench {
       case None        => SparkEntry.queries
     }
 
+    // Per-query session isolation: a query that caches / localCheckpoints
+    // (PageRank rounds, CC labels, k-means projections) must not leave
+    // blocks pinned into the NEXT query's measurement — without this the
+    // full-suite numbers for late-alphabet queries drift 2-6x above their
+    // isolated cost (storage pressure + GC, not plan cost).
+    def clearSessionState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     // JVM/codegen warmup on the tiny sf so measured times are steady-state.
     selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop")
         .mode("overwrite").save()
       catch { case _: Throwable => () }
+      clearSessionState()
     }
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -53,7 +65,9 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      clearSessionState()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -1,0 +1,38 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Block hygiene for iterative `localCheckpoint` loops.
+  *
+  * `Dataset.localCheckpoint()` materializes the plan into a persisted
+  * `RDD[InternalRow]` wrapped in a [[LogicalRDD]]. The blocks live until
+  * the RDD is unpersisted or the driver GCs the reference — in an
+  * iterative algorithm that checkpoints every round (PageRank, connected
+  * components) each round's blocks SUPERSEDE the previous round's, but
+  * nothing releases them, so a long session accumulates dead storage
+  * memory proportional to rounds × frame size. At the 100 TB maintenance
+  * sessions these ops target that is a real leak (executor storage
+  * pressure evicting live blocks); in a shared bench session it inflates
+  * every later query's times.
+  *
+  * The loop discipline: after round N+1's checkpoint has materialized
+  * (localCheckpoint is eager by default), call [[release]] on round N's
+  * frame. The final frame handed to the caller keeps its blocks — the
+  * caller owns that lifetime (Bench clears all persistent RDDs between
+  * queries for the same reason).
+  */
+object Checkpoints {
+
+  /** The persisted RDD(s) behind a `localCheckpoint()`ed frame (or a
+    * narrow projection of one). Empty for non-checkpointed frames —
+    * release on such a frame is a safe no-op. */
+  private def checkpointRdds(df: DataFrame) =
+    df.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd }
+
+  /** Unpersist the checkpoint blocks behind `df` once a successor has
+    * materialized. Non-blocking: removal proceeds while the next round
+    * runs. */
+  def release(df: DataFrame): Unit =
+    checkpointRdds(df).foreach(_.unpersist(blocking = false))
+}

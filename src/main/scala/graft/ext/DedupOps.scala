@@ -510,9 +510,14 @@ object DedupOps {
             .as("_changed"))
         .localCheckpoint()
       changed = next.filter(col("_changed")).count()
+      // next is materialized — the superseded round's blocks are dead
+      Checkpoints.release(labels)
       labels = next.drop("_changed")
       round += 1
     }
+    // the returned labels frame is a standalone checkpoint; the edge
+    // list's blocks are no longer reachable from it
+    Checkpoints.release(edges)
     require(changed == 0L,
       s"dedupClusters: not converged after $maxIters rounds — component " +
         "diameter exceeds the guard; raise maxIters or switch to " +
@@ -585,6 +590,8 @@ object DedupOps {
         .localCheckpoint()
       val nextSig = signature(next)
       converged = nextSig == sig
+      // next is materialized — the superseded edge set's blocks are dead
+      Checkpoints.release(edges)
       edges = next
       sig = nextSig
       round += 1

@@ -67,14 +67,22 @@ object Graph {
       val contribs = eo.join(ranks, eo("src") === ranks("id"))
         .select(col("dst"), expr("rank div outdeg").as("_c"))
         .groupBy("dst").agg(sum(col("_c")).as("_s"))
-      ranks = nodes.join(contribs, nodes("id") === contribs("dst"), "left")
+      val next = nodes.join(contribs, nodes("id") === contribs("dst"), "left")
         .select(col("id"),
           // SQL div: exact 64-bit floor division (Column./ on longs
           // silently promotes to double — the determinism killer here)
           (lit(base) + expr(s"($damp * coalesce(_s, 0)) div 100"))
             .as("rank"))
         .localCheckpoint()
+      // next is materialized (eager checkpoint) — the previous round's
+      // blocks are dead; release them before they pile up round-on-round
+      Checkpoints.release(ranks)
+      ranks = next
     }
+    // the loop inputs are dead too: the returned frame is a standalone
+    // checkpoint referencing neither
+    Checkpoints.release(eo)
+    Checkpoints.release(nodes)
     ranks
   }
 }

@@ -62,6 +62,9 @@ object SortedWrite {
         col("mn_a") <= col("mx_b") && col("mn_b") <= col("mx_a"))
       .count()
     val total = r.agg(sum("n_rows").cast(LongType), count(lit(1))).head()
+    // both consumers of the checkpoint have run; the returned frame is a
+    // driver-local literal, so the blocks are dead
+    graft.ext.Checkpoints.release(r)
     import spark.implicits._
     Seq((total.getLong(0), overlaps, total.getLong(1)))
       .toDF("total_rows", "overlapping_pairs", "n_files")

@@ -1,0 +1,74 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the iterative-checkpoint block-hygiene contract: after an
+  * iterative op returns, only the blocks reachable from the RETURNED
+  * frame remain persisted — every superseded round and every loop-input
+  * checkpoint has been unpersisted. Without this, a long maintenance
+  * session (exactly the 100 TB use these ops target) accumulates dead
+  * storage memory proportional to rounds × frame size, and a shared
+  * bench session charges later queries for earlier queries' garbage.
+  */
+class CheckpointHygieneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def persistedCount: Int = {
+    // unpersist(blocking=false) completes asynchronously; settle first
+    System.gc()
+    Thread.sleep(50)
+    spark.sparkContext.getPersistentRDDs.size
+  }
+
+  private def clearAll(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  test("pageRank leaves only the returned frame's blocks persisted") {
+    clearAll()
+    val before = persistedCount
+    assert(before == 0, s"pre-existing persisted RDDs: $before")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L))
+      .toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, "src", "dst", iters = 4)
+    // 4 rounds × 1 checkpoint + eo + nodes + initial ranks = 7 created;
+    // only the final round's frame may remain
+    assert(persistedCount == 1,
+      s"expected 1 persisted RDD (the result), got $persistedCount")
+    assert(ranks.count() == 3L) // result still readable after the releases
+    Checkpoints.release(ranks)
+    assert(persistedCount == 0)
+  }
+
+  test("dedupClusters leaves only the returned labels persisted") {
+    clearAll()
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val labels = DedupOps.dedupClusters(pairs, "a", "b")
+    assert(persistedCount == 1,
+      s"expected 1 persisted RDD (the labels), got $persistedCount")
+    assert(labels.count() == 5L)
+    Checkpoints.release(labels)
+    assert(persistedCount == 0)
+  }
+
+  test("dedupClustersStar retains only the converged edge set") {
+    clearAll()
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a", "b")
+    val labels = DedupOps.dedupClustersStar(pairs, "a", "b")
+    // the returned plan reads the converged checkpoint — exactly one
+    assert(persistedCount == 1,
+      s"expected 1 persisted RDD (converged edges), got $persistedCount")
+    assert(labels.count() == 6L)
+    clearAll()
+  }
+
+  test("release is a safe no-op on a non-checkpointed frame") {
+    val df = Seq(1, 2, 3).toDF("x")
+    Checkpoints.release(df) // must not throw
+    assert(df.count() == 3L)
+  }
+}
