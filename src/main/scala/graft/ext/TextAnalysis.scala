@@ -535,8 +535,18 @@ object TextAnalysis {
     * grouping key (functionally determined by doc_id), and df_t is a
     * window count over the term partition of the already-tiny tf rows —
     * no self-join, no second tokenize. Corpus stats (N, total token
-    * count) come from a separate NARROW scan (size(split), no explode —
-    * scan-speed) and ride in-plan as a lazy 1-row broadcast aggregate
+    * count) derive from the SAME per-doc aggregate as the tf rows —
+    * the corpus is tokenized ONCE (x66/x69 ReusedExchange discipline,
+    * plan-asserted in ExtSpec): `explode_outer` keeps every document in
+    * the shared aggregate (a doc with no query terms contributes one
+    * sentinel row — `''` can never be a whitespace token matching a
+    * non-empty query term), the no-match docs are dropped AFTER the
+    * per-doc aggregation by a having-filter on an aggregated column
+    * (non-pushable, so it cannot sink into the shared subtree and break
+    * exchange reuse — the null-filter-inference gotcha), and the stats
+    * branch references `tf` through an always-true guard so column
+    * pruning leaves both branches' exchange subtrees canonically
+    * identical. Stats ride in-plan as a lazy 1-row broadcast aggregate
     * (the x69 shape — its BroadcastNestedLoopJoin is a per-row constant
     * lookup, whitelisted in PlanAuditSpec). Per-term scores quantize to
     * DECIMAL(20,9) via the native [[graft.functions.DecimalExprs]]
@@ -551,17 +561,31 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.forall(_.nonEmpty),
+      "queryTerms must be non-empty strings (the empty string is the " +
+        "no-match sentinel)")
     val qset = queryTerms.map(_.toLowerCase)
     val toks = tokens(lower(col(textCol)))
-    val tfq = df.select(col(idCol).as("doc_id"),
+    // the ONE tokenize: per-doc (doc_id, dl, term, tf) over query terms
+    // only, with every doc retained — a no-match doc carries one ''
+    // sentinel row (explode_outer of its empty filtered array)
+    val base = df.select(col(idCol).as("doc_id"),
         size(toks).cast(LongType).as("dl"),
-        explode(toks).as("term"))
-      .filter(col("term").isin(qset: _*))
+        explode_outer(filter(toks, t => t.isin(qset: _*))).as("_t0"))
+      .select(col("doc_id"), col("dl"),
+        coalesce(col("_t0"), lit("")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("df_t", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
-    val stats = df.select(size(toks).cast(LongType).as("_dl"))
-      .agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_len"))
+    // corpus stats off the SAME aggregate: one row per doc (the ''
+    // sentinel guarantees no-match docs appear), then a 1-row global
+    // fold. The tf >= 1 guard is always true — referencing tf keeps
+    // this branch's pruned subtree canonically identical to the tf
+    // branch's, which is what lets the planner dedupe the exchange.
+    val stats = base.groupBy("doc_id", "dl")
+      .agg(count(when(col("tf") >= 1, 1)).as("_t"))
+      .agg(count(when(col("_t") >= 0, 1)).as("_n"),
+        sum(col("dl")).as("_len"))
+    val tfq = base.withColumn("df_t", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
     val idf = (col("_n") - col("df_t") + lit(0.5)) /
       (col("df_t") + lit(0.5))
     val norm = lit(k1) * (lit(1.0) - lit(b) + lit(b) *
@@ -569,11 +593,17 @@ object TextAnalysis {
         col("_len").cast(DoubleType)))
     val tscore = idf * (col("tf") * (lit(k1) + lit(1.0))) /
       (col("tf") + norm)
+    // sentinel rows score NULL (guarded out of both aggregates); docs
+    // with NO real query term drop at the HAVING — an aggregate-output
+    // predicate Catalyst cannot push below the shared exchange
+    val real = col("term") =!= lit("")
     tfq.crossJoin(broadcast(stats))
-      .withColumn("_s", graft.ops.Metrics.decQuantize(tscore, 9))
+      .withColumn("_s",
+        when(real, graft.ops.Metrics.decQuantize(tscore, 9)))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"),
+      .agg(count(when(real, 1)).as("n_terms"),
         round(sum(col("_s")).cast(DoubleType), 6).as("score"))
+      .filter(col("n_terms") >= 1)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }

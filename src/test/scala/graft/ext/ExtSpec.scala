@@ -471,18 +471,18 @@ class ExtSpec extends SparkSpec {
       assert(math.abs(g._3 - e._3) < 1e-6, s"doc ${g._1}: $g vs $e") }
     // doc 2 has no query term — absent, not zero-scored
     assert(!got.exists(_._1 == 2L))
-    // scale-shape contract: ONE explode, filtered to query terms BELOW
-    // it (the full vocabulary is never aggregated or shuffled); the
-    // stats branch is a narrow no-explode scan
+    // scale-shape contract: the corpus is tokenized ONCE — tf rows and
+    // corpus stats both derive from the per-doc (doc_id, dl, term, tf)
+    // aggregate, whose exchange the planner must dedupe (ReusedExchange,
+    // one live Generate); the query-term filter runs INSIDE the array
+    // below the explode, so only query-term (+1 sentinel) rows shuffle
     out.collect()
     val plan = out.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
+    assert(plan.contains("ReusedExchange"),
+      s"per-doc tf exchange not reused by the stats branch:\n$plan")
     val generates = "(?m)^.*Generate .*$".r.findAllIn(plan).size
     assert(generates == 1, s"expected 1 live Generate, got $generates:\n$plan")
-    // the query-term IN filter sits directly on the exploded output,
-    // BELOW the tf aggregate's exchange — only query-term rows shuffle
-    assert(plan.contains("IN (hash,join,merge)"),
-      s"query-term filter not pushed below the aggregate:\n$plan")
     // global top-k must be per-partition heaps, not a 1-task window
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k is not TakeOrdered:\n$plan")
