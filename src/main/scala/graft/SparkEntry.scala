@@ -3929,10 +3929,10 @@ object SparkEntry {
                           count(*) AS v FROM j),
            sc AS (SELECT term, cnt_a, cnt_b,
                     greatest(
-                      CAST((cnt_a+1)*(nb+v) AS DOUBLE)
-                        / CAST((cnt_b+1)*(na+v) AS DOUBLE),
-                      CAST((cnt_b+1)*(na+v) AS DOUBLE)
-                        / CAST((cnt_a+1)*(nb+v) AS DOUBLE)) AS d
+                      (CAST(cnt_a+1 AS DOUBLE) * CAST(nb+v AS DOUBLE))
+                        / (CAST(cnt_b+1 AS DOUBLE) * CAST(na+v AS DOUBLE)),
+                      (CAST(cnt_b+1 AS DOUBLE) * CAST(na+v AS DOUBLE))
+                        / (CAST(cnt_a+1 AS DOUBLE) * CAST(nb+v AS DOUBLE))) AS d
                   FROM j, tot
                   WHERE cnt_a + cnt_b >= 3)
            SELECT term, cnt_a, cnt_b, round(d, 6) AS drift

@@ -47,14 +47,20 @@ object Corpus {
     * expression with no subexpression elimination — a ladder evaluates it
     * per branch (measured 3× slower). */
   def assignSplit(df: DataFrame, textCol: String,
-      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    df.withColumn("split", splitLabel(col(textCol), trainPct, valPct))
+
+  /** The content-hash split label as a column expression — the shared
+    * decision of [[assignSplit]] and [[clusterSafeSplit]]'s own-text
+    * fallback. */
+  private def splitLabel(text: Column, trainPct: Int, valPct: Int)
+      : Column = {
     require(trainPct + valPct <= 100)
     val labels = array(
       (Seq.fill(trainPct)("train") ++ Seq.fill(valPct)("val") ++
         Seq.fill(100 - trainPct - valPct)("test")).map(lit): _*)
-    val bucket = pmod(TextAnalysis.fingerprint(col(textCol)), lit(100L))
-    df.withColumn("split",
-      element_at(labels, (bucket + 1L).cast(IntegerType)))
+    val bucket = pmod(TextAnalysis.fingerprint(text), lit(100L))
+    element_at(labels, (bucket + 1L).cast(IntegerType))
   }
 
   /** Leakage-safe train/val/test split: every near-duplicate CLUSTER
@@ -78,7 +84,14 @@ object Corpus {
     * id pairs plus a 5-char label cross the shuffle, never document
     * text. A mega-cluster makes its canonical id a hot join key; the
     * build side is one row per doc, so AQE's skew split handles it
-    * (same contract as the x31 loop that produced the labels). */
+    * (same contract as the x31 loop that produced the labels).
+    *
+    * Coverage contract: a SPLIT function must never lose rows. The
+    * canonical lookup is a LEFT join; a doc whose canonical member is
+    * absent from `df` (stale or superset labels) or whose cluster_id is
+    * null (id failed the long cast) falls back to its OWN text's
+    * [[assignSplit]] decision — evaluated lazily per row (CaseWhen), so
+    * covered rows never pay the second fingerprint. */
   def clusterSafeSplit(df: DataFrame, idCol: String, textCol: String,
       labels: DataFrame, trainPct: Int = 80, valPct: Int = 10)
       : DataFrame = {
@@ -87,13 +100,15 @@ object Corpus {
     val canon = assignSplit(
       df.select(col(idCol).as("_cid"), col(textCol).as("_ctext")),
       "_ctext", trainPct, valPct)
-      .select(col("_cid"), col("split"))
+      .select(col("_cid"), col("split").as("_csplit"))
     df.join(lbl, col(idCol) === col("_lid"), "left")
       .withColumn("cluster_id",
         coalesce(col("_lcl"), col(idCol).cast(LongType)))
       .drop("_lid", "_lcl")
-      .join(canon, col("cluster_id") === col("_cid"))
-      .drop("_cid")
+      .join(canon, col("cluster_id") === col("_cid"), "left")
+      .withColumn("split", coalesce(col("_csplit"),
+        splitLabel(col(textCol), trainPct, valPct)))
+      .drop("_cid", "_csplit")
   }
 
   /** Deterministic hash-based downsampling: keep rows whose md5(key)

@@ -384,8 +384,11 @@ object Similarity {
     require(m >= 1, s"need at least one subspace (got $m)")
     val head = corpus.select(col(idCol).cast(LongType).as("_id"),
         asDouble(col(vecCol)).as("_v"))
-      .orderBy(col("_id").asc).select(size(col("_v"))).head()
-    val dim = head.getInt(0)
+      .orderBy(col("_id").asc).select(size(col("_v"))).limit(1)
+      .collect().headOption
+    require(head.nonEmpty, "pqCodebooks: empty corpus (no vectors to " +
+      "train codebooks on)")
+    val dim = head.get.getInt(0)
     require(dim % m == 0,
       s"embedding dim $dim not divisible into $m subspaces")
     val sub = dim / m

@@ -461,12 +461,16 @@ object TextAnalysis {
     *
     * `drift(t) = max(r, r⁻¹)` with
     * `r = ((c_a+1)·(N_b+V)) / ((c_b+1)·(N_a+V))` — the RATIONAL form
-    * deliberately (the x40 rule): integer products (< 2⁵³ at any
-    * realistic vocabulary) and one IEEE division per direction are
-    * correctly rounded identically in every engine, where a log-odds
-    * ln() can drift in the last ulp between libm implementations and
-    * flip near-tied ranks. Symmetric, ≥ 1; a term present only in one
-    * snapshot gets the maximal ratio for its count.
+    * deliberately (the x40 rule): no log-odds ln(), which can drift in
+    * the last ulp between libm implementations and flip near-tied
+    * ranks. Each factor converts to double BEFORE the multiply (long→
+    * double conversion and the multiply are each one correctly-rounded
+    * IEEE op, identical in every engine) — the all-integer product
+    * would overflow 2⁶³ once N reaches corpus-total token counts
+    * (~10¹⁰ tokens × counts), where engines disagree on wrap-vs-throw;
+    * three correctly-rounded ops per side are engine-exact at EVERY
+    * scale. Symmetric, ≥ 1; a term present only in one snapshot gets
+    * the maximal ratio for its count.
     *
     * Scale shape: one tokenize+count aggregate per snapshot (shuffles
     * carry (term, count)), a full-outer merge on term, and the totals
@@ -494,12 +498,18 @@ object TextAnalysis {
     // reuse — the x66/x69 lesson)
     val tot = j.agg(sum(col("cnt_a")).as("_na"), sum(col("cnt_b")).as("_nb"),
       count(when(length(col("term")) >= 0, 1)).as("_v"))
-    val rAB = ((col("cnt_a") + 1) * (col("_nb") + col("_v")))
-      .cast(DoubleType) /
-      ((col("cnt_b") + 1) * (col("_na") + col("_v"))).cast(DoubleType)
-    val rBA = ((col("cnt_b") + 1) * (col("_na") + col("_v")))
-      .cast(DoubleType) /
-      ((col("cnt_a") + 1) * (col("_nb") + col("_v"))).cast(DoubleType)
+    // per-factor double conversion: overflow-proof at any corpus size
+    // (an integer product of count x total-token-count exceeds 2^63 at
+    // ~10 TB of text; each conversion + multiply is one correctly-
+    // rounded IEEE op, mirrored exactly by the oracle)
+    val rAB = ((col("cnt_a") + 1).cast(DoubleType) *
+      (col("_nb") + col("_v")).cast(DoubleType)) /
+      ((col("cnt_b") + 1).cast(DoubleType) *
+        (col("_na") + col("_v")).cast(DoubleType))
+    val rBA = ((col("cnt_b") + 1).cast(DoubleType) *
+      (col("_na") + col("_v")).cast(DoubleType)) /
+      ((col("cnt_a") + 1).cast(DoubleType) *
+        (col("_nb") + col("_v")).cast(DoubleType))
     j.crossJoin(broadcast(tot))
       .filter(col("cnt_a") + col("cnt_b") >= minCount)
       .withColumn("_drift", greatest(rAB, rBA))

@@ -48,9 +48,14 @@ object Audit {
   case class Unique(cols: Seq[String]) extends Rule {
     val name = s"unique(${cols.mkString(",")})"
   }
-  /** Non-NULL `col` values must exist in `dim.dimCol`. */
-  case class RefIntegrity(col: String, dim: DataFrame, dimCol: String)
-      extends Rule {
+  /** Non-NULL `col` values must exist in `dim.dimCol`. `smallDim`
+    * (default) asserts the DISTINCT dimension keys fit in an executor —
+    * the join is forced broadcast (plan-asserted for x83), never a
+    * silent degradation to shuffling the full fact FK column. Set
+    * `smallDim = false` for a genuinely large dimension: the check then
+    * runs as a documented shuffle join on the FK. */
+  case class RefIntegrity(col: String, dim: DataFrame, dimCol: String,
+      smallDim: Boolean = true) extends Rule {
     val name = s"ref_integrity($col->$dimCol)"
   }
 
@@ -81,13 +86,19 @@ object Audit {
       case r: Unique => {
         val g = df.groupBy(r.cols.map(col): _*)
           .agg(count(lit(1)).as("_c"))
-        g.agg((sum(col("_c")) - count(lit(1))).as("violations"),
-            sum(col("_c")).as("total"))
+        // coalesce: an EMPTY table has zero duplicate rows — the sum
+        // over zero groups is NULL, which would otherwise surface as
+        // pass = NULL while every other rule reports 0/true
+        g.agg(coalesce(sum(col("_c")) - count(lit(1)), lit(0L))
+              .as("violations"),
+            coalesce(sum(col("_c")), lit(0L)).as("total"))
           .select(lit(r.name).as("rule"), col("violations"),
             col("total"))
       }
       case r: RefIntegrity => {
-        val keys = r.dim.select(col(r.dimCol).as("_k")).distinct()
+        val distinctKeys = r.dim.select(col(r.dimCol).as("_k")).distinct()
+        val keys =
+          if (r.smallDim) broadcast(distinctKeys) else distinctKeys
         df.select(col(r.col).as("_fk"))
           .join(keys, col("_fk") === col("_k"), "left")
           .agg(count(lit(1)).as("total"),

@@ -74,7 +74,16 @@ object Compact {
     * `out` reads back as the same partitioned table, row-for-row (gated
     * x72, same identity-oracle discipline as x64).
     *
-    * Returns partition-directory → files written, sorted by name. */
+    * Returns partition-directory → files written, sorted by name.
+    *
+    * Failure contract: if any partition job throws, queued partitions
+    * are cancelled, in-flight ones are interrupted, and the pool is
+    * DRAINED before the error propagates — no worker is still writing
+    * under `out/` when the caller handles the failure. Completed
+    * `out/<dir>` directories are left in place (each is internally
+    * complete; rerunning overwrites them); an interrupted job aborts
+    * into Spark's uncommitted `_temporary` staging, never a committed
+    * dir — so a failed run leaves a partial but non-corrupt `out`. */
   def compactPartitioned(spark: SparkSession, base: String, out: String,
       targetBytes: Long, concurrency: Int = 8): Seq[(String, Int)] = {
     import org.apache.hadoop.fs.Path
@@ -94,9 +103,24 @@ object Compact {
       .newFixedThreadPool(math.min(concurrency, parts.length))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      parts.toSeq
+      val inFlight = parts.toSeq
         .map(d => Future(d -> compact(spark, s"$base/$d", s"$out/$d", targetBytes)))
-        .map(Await.result(_, Duration.Inf))
-    } finally pool.shutdown()
+      try inFlight.map(Await.result(_, Duration.Inf))
+      catch { case first: Throwable =>
+        // discard queued partitions, interrupt in-flight ones, and wait
+        // for the pool to drain: no worker may still be writing under
+        // out/ when the failure reaches the caller. (Await the POOL,
+        // not the futures — a discarded queued task never completes
+        // its promise.)
+        pool.shutdownNow()
+        pool.awaitTermination(Long.MaxValue,
+          java.util.concurrent.TimeUnit.NANOSECONDS)
+        throw first
+      }
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(Long.MaxValue,
+        java.util.concurrent.TimeUnit.NANOSECONDS)
+    }
   }
 }

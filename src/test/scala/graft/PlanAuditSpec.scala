@@ -88,4 +88,18 @@ class PlanAuditSpec extends SparkSpec {
           s"$MaxLiteralBytes bytes — use a broadcast variable instead")
     }
   }
+
+  test("x83 ref-integrity joins broadcast the dimension side (never a " +
+      "shuffle of the full fact FK column)") {
+    val plan = SparkEntry.queries("x83_quality_rules")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    // Audit.RefIntegrity(smallDim = true) forces broadcast(distinct dim
+    // keys); a SortMergeJoin/ShuffledHashJoin here means the hint was
+    // lost and 100 TB of FK values would shuffle to check a dimension
+    assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
+      s"x83: ref-integrity degraded to a shuffle join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"x83: expected a broadcast ref-integrity join:\n$plan")
+  }
 }

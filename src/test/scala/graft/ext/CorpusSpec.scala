@@ -70,6 +70,24 @@ class CorpusSpec extends SparkSpec {
     assert(re == gotM)
   }
 
+  test("clusterSafeSplit: never loses rows — stale labels whose " +
+      "canonical member is absent fall back to the doc's own split") {
+    val docs = (0L until 10L).map(i => (i, s"doc number $i text body"))
+      .toDF("doc_id", "text")
+    // doc 5's canonical member 999 does not exist in docs (stale /
+    // superset labels) — a silent inner join would drop doc 5
+    val stale = Seq((5L, 999L)).toDF("id", "cluster_id")
+    val got = Corpus.clusterSafeSplit(docs, "doc_id", "text", stale)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 10, s"split lost rows: ${got.keySet}")
+    // the orphaned doc gets its OWN content split
+    val own = Corpus.assignSplit(docs, "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got(5L) == own(5L))
+    assert(got.view.filterKeys(_ != 5L).toMap ==
+      own.view.filterKeys(_ != 5L).toMap)
+  }
+
   test("lengthBucket thresholds are half-open [lo, hi)") {
     val got = Seq(15L, 16L, 63L, 64L, 255L, 256L, 1023L, 1024L)
       .toDF("n")
