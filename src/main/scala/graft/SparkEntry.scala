@@ -1682,6 +1682,18 @@ object SparkEntry {
         k = 5, m = 4, ks = 8, iters = 2)
     },
 
+    // IVFPQ (x84): x67's learned cells x x74's PQ codes — queries probe
+    // their 2 nearest cells and ADC-scan ONLY those cells' codes (the
+    // billion-vector serving shape). The probe is a broadcast HASH join
+    // on the cell id, not the flat-scan NLJ.
+    "x84_ivfpq_topk" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      graft.ext.Similarity.ivfPqTopK(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, kCentroids = 8, coarseIters = 2, nprobe = 2,
+        m = 4, ks = 8, pqIters = 2)
+    },
+
     // native image-header decode: spec-layout PNG/GIF/JPEG headers built
     // from the id by pure expressions, parsed back by the magic-bytes
     // Expression — build∘parse must be the identity the oracle computes
@@ -2839,36 +2851,72 @@ object SparkEntry {
     // per-subspace folds in the engine's exact left-fold order, summed
     // in fixed subspace order (d0+d1+d2+d3 left-assoc, mirroring the
     // engine's LUT-lookup sum).
-    val pqOracle: String = {
-      val (pqM, pqSub) = (4, 16)
-      val slices = (0 until pqM).map(mm =>
-        s"""s${mm}v AS (SELECT vec_id,
-              e[${mm * pqSub + 1}:${(mm + 1) * pqSub}] AS e FROM v)""")
-      val lloyds = (0 until pqM).map(mm => lloydCtes(s"s$mm", pqSub, 8, 2))
-      def subD2(mm: Int) =
-        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list_transform(list_zip(
-               q.e[${mm * pqSub + 1}:${(mm + 1) * pqSub}], c${mm}x.e),
-               p -> (p[1]-p[2])*(p[1]-p[2]))),
-             (acc, x) -> acc + x)"""
-      val encJoins = (0 until pqM).map(mm =>
-        s"""JOIN s${mm}a3 e$mm ON e$mm.vec_id = x.vec_id
-            JOIN s${mm}c2 c${mm}x ON c${mm}x.cl = e$mm.cl""").mkString("\n")
+    // shared PQ scaffolding (x74 flat ADC + x84 IVFPQ — one definition,
+    // the docNearDupPairs de-sync rule): per-subspace slices of v, one
+    // independent Lloyd's per subspace, the per-subspace ADC fold, and
+    // the encode joins mapping each corpus vector to its codeword
+    val (pqM, pqSub) = (4, 16)
+    val pqSlices = (0 until pqM).map(mm =>
+      s"""s${mm}v AS (SELECT vec_id,
+            e[${mm * pqSub + 1}:${(mm + 1) * pqSub}] AS e FROM v)""")
+      .mkString(",\n")
+    val pqLloyds = (0 until pqM).map(mm => lloydCtes(s"s$mm", pqSub, 8, 2))
+      .mkString(",\n")
+    def pqSubD2(mm: Int) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_zip(
+             q.e[${mm * pqSub + 1}:${(mm + 1) * pqSub}], c${mm}x.e),
+             p -> (p[1]-p[2])*(p[1]-p[2]))),
+           (acc, x) -> acc + x)"""
+    val pqAdSum = (0 until pqM).map(pqSubD2).mkString(" + ")
+    val pqEncJoins = (0 until pqM).map(mm =>
+      s"""JOIN s${mm}a3 e$mm ON e$mm.vec_id = x.vec_id
+          JOIN s${mm}c2 c${mm}x ON c${mm}x.cl = e$mm.cl""").mkString("\n")
+    val pqOracle: String =
       s"""WITH v AS ($vecs),
-          ${slices.mkString(",\n")},
-          ${lloyds.mkString(",\n")},
+          $pqSlices,
+          $pqLloyds,
           q AS (SELECT vec_id, e FROM v WHERE vec_id < 8)
           SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
                  round(ad, 6) AS adist
           FROM (SELECT query_id, vec_id, ad, row_number() OVER (
                   PARTITION BY query_id ORDER BY ad, vec_id) AS rank
                 FROM (SELECT q.vec_id AS query_id, x.vec_id,
-                             ${(0 until pqM).map(subD2).mkString(" + ")} AS ad
+                             $pqAdSum AS ad
                       FROM q, v x
-                      $encJoins
+                      $pqEncJoins
                       WHERE x.vec_id <> q.vec_id))
           WHERE rank <= 5"""
-    }
+    // x84 IVFPQ: the coarse Lloyd's CTEs (x53/x67's, prefix "") give
+    // cells (a3) and final centroids (c2); the PQ CTEs (x74's) give
+    // codes; probes = 2 nearest final centroids per query (x67's CTE
+    // verbatim); ADC pairing restricted to probed cells via JOIN a3.
+    val ivfPqOracle: String =
+      s"""WITH $kmeansCtes,
+          $pqSlices,
+          $pqLloyds,
+          q AS (SELECT vec_id, e FROM v WHERE vec_id < 8),
+          probes AS (
+            SELECT query_id, cl AS bucket FROM (
+              SELECT v.vec_id AS query_id, c.cl,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY $kmeansD2, c.cl) AS rn
+              FROM v, c2 c
+              WHERE v.vec_id < 8)
+            WHERE rn <= 2)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+                 round(ad, 6) AS adist
+          FROM (SELECT query_id, vec_id, ad, row_number() OVER (
+                  PARTITION BY query_id ORDER BY ad, vec_id) AS rank
+                FROM (SELECT q.vec_id AS query_id, x.vec_id,
+                             $pqAdSum AS ad
+                      FROM probes p
+                           JOIN a3 s ON s.cl = p.bucket
+                           JOIN v x ON x.vec_id = s.vec_id
+                           JOIN q ON q.vec_id = p.query_id
+                      $pqEncJoins
+                      WHERE x.vec_id <> q.vec_id))
+          WHERE rank <= 5"""
     // --- Wrapping 64-bit arithmetic in DuckDB, for the FNV-1a +
     // splitmix64 token hashing behind x03/x04 (TextHashExprs.hashToken).
     // DuckDB's checked BIGINT refuses overflow, so values live as
@@ -3904,6 +3952,7 @@ object SparkEntry {
       "x71_ivf_index_serve" -> ivfLearnedOracle,
 
       "x74_pq_topk" -> pqOracle,
+      "x84_ivfpq_topk" -> ivfPqOracle,
 
       "x76_ivf_index_append" -> ivfAppendOracle,
 

@@ -479,6 +479,110 @@ object Similarity {
         col("vec_id"), round(col("_ad"), 6).as("adist"))
   }
 
+  /** IVFPQ — the composition [[ivfLearnedTopKWith]] (inverted file of
+    * learned cells) × [[pqTopK]] (PQ-compressed residents, asymmetric
+    * distance): the actual 100 TB ANN architecture (Jégou et al.,
+    * TPAMI 2011 — "IVFADC"). The corpus is bucketed by nearest coarse
+    * centroid AND stored as `m` codebook slots; a query probes its
+    * `nprobe` nearest cells and ADC-scans ONLY those cells' codes.
+    *
+    * Why the composition wins at scale: x67's inverted file divides the
+    * scan (each query reads ~nprobe/kCentroids of the corpus) but still
+    * reads dim floats per candidate; x74's ADC reads m bytes per
+    * candidate but scans everything. IVFPQ divides BOTH — probe-bounded
+    * scan of m-byte codes. Cost per query ≈ nprobe·N/kCentroids rows ×
+    * (m lookups + m−1 adds), memory per vector m codes — the FAISS
+    * default shape for billion-vector serving.
+    *
+    * Plan shape: corpus side is ONE projection (cell assignment + m
+    * code argmins against centroid literals — no join, no shuffle,
+    * whole-stage codegen); the probe is a broadcast HASH join on the
+    * cell id (the x67 shape — NOT x74's sanctioned scan×|Q| NLJ: the
+    * inverted file turns the pairing into an equi-join). Candidate
+    * scoring, tiebreaks, and the top-k window follow [[pqTopK]]
+    * exactly: d̂ sums exact per-subspace folds in fixed order, ranks
+    * break ties on vec_id, TakeOrdered-style per-query window.
+    *
+    * Approximation contract: with `nprobe = kCentroids` (probe every
+    * cell) the output EQUALS [[pqTopK]] trained with the same
+    * codebooks (pinned in ExtSpec); smaller nprobe trades the x67
+    * recall bound on top. Codes are trained on the RAW vectors (not
+    * cell residuals): residual encoding couples the codebook to the
+    * coarse quantizer (retraining both on every centroid drift) for a
+    * precision gain that matters below the recall the gates pin —
+    * the decoupled form composes with the frozen-centroid append
+    * lifecycle ([[appendToIvfIndex]]). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, kCentroids: Int = 8,
+      coarseIters: Int = 2, nprobe: Int = 2, m: Int = 4, ks: Int = 8,
+      pqIters: Int = 2): DataFrame = {
+    val coarse = Clustering.kmeansCentroids(corpus, idCol, vecCol,
+      kCentroids, coarseIters)
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ks, pqIters)
+    ivfPqTopKWith(corpus, queries, idCol, vecCol, k, coarse, cbs, nprobe)
+  }
+
+  /** [[ivfPqTopK]] against PRECOMPUTED coarse centroids and PQ
+    * codebooks — train once, serve many (both payloads are small
+    * driver-held literals: kCentroids×dim + m×ks×dim/m doubles). */
+  def ivfPqTopKWith(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Long, Seq[Double])]], nprobe: Int)
+      : DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    require(centroids.nonEmpty, "ivfPqTopKWith: no coarse centroids")
+    require(codebooks.nonEmpty, "ivfPqTopKWith: no PQ codebooks")
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    import graft.functions.VectorExprs.sqDistF64
+    val m = codebooks.length
+    val sub = codebooks.head.head._2.length
+    // corpus → (vec_id, bucket, code_0..code_{m-1}): one scan-side
+    // projection, centroid + codebook literals in codegen
+    val enc = codebooks.zipWithIndex.foldLeft(
+      Clustering.assignTo(
+          corpus.select(col(idCol).cast(LongType).as("vec_id"),
+            asDouble(col(vecCol)).as("_v")), centroids)
+        .select(col("vec_id"), col("_v"), col("cluster").as("bucket"))
+    ) { case (df, (cents, i)) =>
+      val ds = array(cents.map(c =>
+        sqDistF64(slice(col("_v"), i * sub + 1, sub),
+          typedLit(c._2))): _*)
+      df.withColumn("_ds", ds)
+        .withColumn(s"code_$i",
+          array_position(col("_ds"), array_min(col("_ds")))
+            .cast(IntegerType))
+        .drop("_ds")
+    }.drop("_v")
+    // query → nprobe probe cells (exact centroid distance, id tiebreak
+    // — the serveBuckets rule) + one ADC lookup table per subspace
+    val probeList = slice(array_sort(array(centroids.map { case (id, v) =>
+      struct(sqDistF64(col("_qv"), typedLit(v)).as("d"),
+        lit(id).as("cl")) }: _*)), 1, nprobe)
+    val luts = (0 until m).map(i => col(s"_lut$i"))
+    val q = codebooks.zipWithIndex.foldLeft(
+      queries.select(col(idCol).cast(LongType).as("query_id"),
+        asDouble(col(vecCol)).as("_qv"))) { case (df, (cents, i)) =>
+      df.withColumn(s"_lut$i", array(cents.map(c =>
+        sqDistF64(slice(col("_qv"), i * sub + 1, sub),
+          typedLit(c._2))): _*))
+    }
+      .select(col("query_id") +: luts :+ explode(probeList).as("_pr"): _*)
+      .select(col("query_id") +: luts :+ col("_pr.cl").as("bucket"): _*)
+    val ad = (0 until m).map(i =>
+        element_at(col(s"_lut$i"), col(s"code_$i")))
+      .reduceLeft(_ + _)
+    val scored = enc.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("_ad", ad)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_ad").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), round(col("_ad"), 6).as("adist"))
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max|x| / 127, levels = round-half-up(x / scale) ∈ [-127,
     * 127]. The 4× storage/bandwidth cut that makes a 100 TB ANN corpus

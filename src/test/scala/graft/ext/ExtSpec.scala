@@ -324,6 +324,63 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.8, s"PQ recall@5 on clustered corpus: $recall")
   }
 
+  test("ivfPqTopK: full probe equals flat ADC; probe join is a hash " +
+      "join; clustered recall@5 >= flat PQ") {
+    val queries = embs.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "adist")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // probing EVERY cell degenerates to x74's flat ADC scan over the
+    // same deterministic codebooks — exact output equality, the
+    // composition's correctness anchor
+    val coarse = Clustering.kmeansCentroids(embs, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val cbs = Similarity.pqCodebooks(embs, "vec_id", "embedding",
+      m = 4, ks = 8, iters = 2)
+    val full = Similarity.ivfPqTopKWith(embs, queries, "vec_id",
+      "embedding", 5, coarse, cbs, nprobe = 8)
+    val flat = Similarity.pqTopK(embs, queries, "vec_id", "embedding",
+      k = 5, m = 4, ks = 8, iters = 2)
+    assert(rows(full) == rows(flat),
+      "nprobe = kCentroids must reproduce the flat ADC scan")
+    // the inverted file turns x74's scan x |Q| NLJ into an equi-join on
+    // the cell id — the plan must be a broadcast HASH join
+    full.collect()
+    val plan = full.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe should be a broadcast hash join on bucket:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"IVFPQ must not fall back to the flat-scan NLJ:\n$plan")
+    // clustered fixture: probe-bounded ADC keeps (here: beats) flat-PQ
+    // recall — cell pruning removes far-cell vectors that quantization
+    // error could otherwise rank into the top-k
+    val clustered = (0 until 200).map { id =>
+      val cl = id % 8
+      val v = (0 until 64).map(d =>
+        (if (d == cl * 8) 4.0 else 0.0) +
+          ((id * 31 + d * 7) % 11) * 0.02)
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cq = clustered.filter($"vec_id" < 8)
+    val exact = pairs(Similarity.bruteForceTopK(clustered, cq,
+      "vec_id", "embedding", 5))
+    val flatC = pairs(Similarity.pqTopK(clustered, cq,
+      "vec_id", "embedding", k = 5, m = 4, ks = 8, iters = 2))
+    val ivfpq = Similarity.ivfPqTopK(clustered, cq, "vec_id",
+      "embedding", k = 5, kCentroids = 8, coarseIters = 2, nprobe = 2,
+      m = 4, ks = 8, pqIters = 2)
+    val byQ = ivfpq.groupBy("query_id").count().collect()
+    assert(byQ.length == 8 && byQ.forall(_.getLong(1) == 5L))
+    val rIvfPq = (pairs(ivfpq) & exact).size.toDouble / exact.size
+    val rFlat = (flatC & exact).size.toDouble / exact.size
+    assert(rIvfPq >= rFlat,
+      s"IVFPQ recall $rIvfPq < flat PQ recall $rFlat")
+    assert(rIvfPq >= 0.8, s"IVFPQ recall@5 on clustered corpus: $rIvfPq")
+  }
+
   test("lmDocScore: add-one bigram log-probs, hand-checked") {
     val docs3 = Seq(
       (1L, "a b a b"), (2L, "a b"), (3L, "z q")).toDF("doc_id", "text")
