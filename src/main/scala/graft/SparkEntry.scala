@@ -1694,6 +1694,24 @@ object SparkEntry {
         m = 4, ks = 8, pqIters = 2)
     },
 
+    // hybrid retrieval (x85): BM25 lexical list + exact-cosine + sign-
+    // LSH vector lists for the same query, fused by N-way reciprocal
+    // rank — the production hybrid-search shape x78+x80 imply.
+    // documents.doc_id and embeddings.vec_id share the id space.
+    "x85_hybrid_retrieval" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val q0 = emb.filter(col("vec_id") === 0)
+      graft.ext.Similarity.rrfFuseN(Seq(
+        graft.ext.TextAnalysis.bm25RankedList(docs, "doc_id", "text",
+          Seq("hash", "join", "merge"), k = 10, queryId = 0L),
+        graft.ext.Similarity.bruteForceTopK(emb, q0, "vec_id",
+          "embedding", k = 5),
+        graft.ext.Similarity.ivfTopK(emb, q0, "vec_id", "embedding",
+          k = 5)),
+        k = 10)
+    },
+
     // native image-header decode: spec-layout PNG/GIF/JPEG headers built
     // from the id by pure expressions, parsed back by the magic-bytes
     // Expression — build∘parse must be the identity the oracle computes
@@ -2813,6 +2831,78 @@ object SparkEntry {
                      AND b.vec_id <> a.vec_id
                 WHERE a.vec_id < 8)
           WHERE rank <= 5"""
+    // x80 BM25 — a val (not a map literal) because the x85 hybrid
+    // oracle re-ranks this exact list as its lexical leg
+    val x80Sql: String =
+      """WITH t AS (SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  AS BIGINT) AS dl,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  AS term
+              FROM documents),
+           tf AS (SELECT doc_id, dl, term,
+                    CAST(count(*) AS BIGINT) AS tf
+                  FROM t WHERE term IN ('hash', 'join', 'merge')
+                  GROUP BY 1, 2, 3),
+           tfd AS (SELECT *, CAST(count(*) OVER (PARTITION BY term)
+                     AS BIGINT) AS df_t FROM tf),
+           st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(
+                      len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                        AS BIGINT)) AS BIGINT) AS total_len
+                  FROM documents),
+           sc AS (SELECT doc_id,
+                    CAST(((n - df_t + 0.5) / (df_t + 0.5))
+                      * (tf * (1.2 + 1.0))
+                      / (tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                          (CAST(dl * n AS DOUBLE)
+                            / CAST(total_len AS DOUBLE))))
+                      AS DECIMAL(20,9)) AS s
+                  FROM tfd, st)
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                  round(CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE), 6)
+                    AS score
+           FROM sc GROUP BY 1
+           ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    // x85 hybrid retrieval: the BM25 lexical list (x80, re-ranked into
+    // retriever-list form) fused with the exact-cosine (x05) and
+    // sign-LSH (x07) vector lists for query 0 — a 3-way reciprocal-rank
+    // fusion. Contribution sum is the same FIXED left-assoc order as
+    // the engine's rrfFuseN fold (lex + exact + ivf); the chained FULL
+    // OUTER joins key the third leg on the coalesced first two.
+    val hybridOracle: String =
+      s"""WITH lex AS (
+            SELECT CAST(0 AS BIGINT) AS query_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS rank,
+                   doc_id AS vec_id
+            FROM ($x80Sql)),
+          ex AS (SELECT query_id, rank, vec_id FROM ($x05Sql)
+                 WHERE query_id = 0),
+          iv AS (SELECT query_id, rank, vec_id FROM ($x07Sql)
+                 WHERE query_id = 0),
+          j AS (SELECT
+                  coalesce(l.query_id, e.query_id, i.query_id) AS query_id,
+                  coalesce(l.vec_id, e.vec_id, i.vec_id) AS vec_id,
+                  coalesce(CAST(1 AS DOUBLE)
+                      / CAST(l.rank + 60 AS DOUBLE), 0)
+                    + coalesce(CAST(1 AS DOUBLE)
+                      / CAST(e.rank + 60 AS DOUBLE), 0)
+                    + coalesce(CAST(1 AS DOUBLE)
+                      / CAST(i.rank + 60 AS DOUBLE), 0) AS rrf
+                FROM lex l
+                FULL OUTER JOIN ex e
+                  ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+                FULL OUTER JOIN iv i
+                  ON i.query_id = coalesce(l.query_id, e.query_id)
+                 AND i.vec_id = coalesce(l.vec_id, e.vec_id))
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+                 round(rrf, 6) AS rrf
+          FROM (SELECT query_id, vec_id, rrf, row_number() OVER
+                  (PARTITION BY query_id ORDER BY rrf DESC, vec_id ASC)
+                  AS rank
+                FROM j)
+          WHERE rank <= 10"""
     // x76 appended index: Lloyd's trained on the vec_id < 400 SUBSET
     // (prefix t over tv), every vector — original and appended alike —
     // assigned to those frozen centroids, probes and candidates over
@@ -3554,37 +3644,7 @@ object SparkEntry {
       // double→decimal cast == DecQuantize's shortest-repr rule) so the
       // per-doc sum is order-independent; VARCHAR hop on the way back
       // to double (the q01 decimal→double double-rounding rule).
-      "x80_bm25_topk" ->
-        """WITH t AS (SELECT doc_id,
-                CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
-                  AS BIGINT) AS dl,
-                unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
-                  AS term
-              FROM documents),
-           tf AS (SELECT doc_id, dl, term,
-                    CAST(count(*) AS BIGINT) AS tf
-                  FROM t WHERE term IN ('hash', 'join', 'merge')
-                  GROUP BY 1, 2, 3),
-           tfd AS (SELECT *, CAST(count(*) OVER (PARTITION BY term)
-                     AS BIGINT) AS df_t FROM tf),
-           st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                    CAST(sum(CAST(
-                      len(regexp_split_to_array(trim(lower(text)), '\s+'))
-                        AS BIGINT)) AS BIGINT) AS total_len
-                  FROM documents),
-           sc AS (SELECT doc_id,
-                    CAST(((n - df_t + 0.5) / (df_t + 0.5))
-                      * (tf * (1.2 + 1.0))
-                      / (tf + 1.2 * (1.0 - 0.75 + 0.75 *
-                          (CAST(dl * n AS DOUBLE)
-                            / CAST(total_len AS DOUBLE))))
-                      AS DECIMAL(20,9)) AS s
-                  FROM tfd, st)
-           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-                  round(CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE), 6)
-                    AS score
-           FROM sc GROUP BY 1
-           ORDER BY score DESC, doc_id ASC LIMIT 10""",
+      "x80_bm25_topk" -> x80Sql,
 
       "x40_tfidf_terms" ->
         """WITH nn AS (SELECT count(*) AS n FROM documents),
@@ -3953,6 +4013,7 @@ object SparkEntry {
 
       "x74_pq_topk" -> pqOracle,
       "x84_ivfpq_topk" -> ivfPqOracle,
+      "x85_hybrid_retrieval" -> hybridOracle,
 
       "x76_ivf_index_append" -> ivfAppendOracle,
 

@@ -291,37 +291,46 @@ object Similarity {
     serveBuckets(c, queries, idCol, vecCol, k, centroids, nprobe)
   }
 
-  /** Reciprocal-rank fusion of two retriever result lists (Cormack et
+  /** Reciprocal-rank fusion of two retriever result lists — the 2-list
+    * form of [[rrfFuseN]] kept for the common exact+approximate pair. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60)
+      : DataFrame = rrfFuseN(Seq(a, b), k, c)
+
+  /** Reciprocal-rank fusion of N retriever result lists (Cormack et
     * al., SIGIR 2009): `rrf(v) = Σ_lists 1/(c + rank_list(v))`, summed
-    * in fixed (a, b) order — a vector missing from a list contributes
-    * 0. Rank-based fusion needs no score calibration between
-    * retrievers (cosine vs ADC distance vs BM25 are incomparable;
-    * ranks always compare), which is why it's the standard way to
-    * combine an exact/semantic retriever with a cheap approximate one.
+    * in FIXED list-declaration order — a vector missing from a list
+    * contributes 0. Rank-based fusion needs no score calibration
+    * between retrievers (cosine vs ADC distance vs BM25 are
+    * incomparable; ranks always compare), which is why it's the
+    * standard way to combine a lexical retriever with one or more
+    * vector retrievers — the production hybrid-search shape
+    * ([[graft.ext.TextAnalysis.bm25RankedList]] + [[bruteForceTopK]] /
+    * [[ivfTopK]] / [[pqTopK]], gated x85).
     *
     * Inputs are (query_id, rank, vec_id, …) lists as every retriever
-    * here emits ([[bruteForceTopK]], [[ivfTopK]], [[pqTopK]], …).
-    * Scale shape: top-k lists are |Q|·k rows — vanishing next to the
-    * corpus — so the fusion join/window is driver-trivial at any
-    * corpus size; the cost lives in the retrievers. Bit-stable: ranks
-    * are integers, each contribution is one exact IEEE division, the
-    * two-term sum has a fixed order, and ties break on vec_id. */
-  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60)
-      : DataFrame = {
+    * here emits. Scale shape: top-k lists are |Q|·k rows — vanishing
+    * next to the corpus — so the N−1 fusion joins and the window are
+    * driver-trivial at any corpus size; the cost lives in the
+    * retrievers. Bit-stable: ranks are integers, each contribution is
+    * one exact IEEE division, the N-term sum is a left fold in list
+    * order, and ties break on vec_id. */
+  def rrfFuseN(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(lists.length >= 2,
+      s"rrfFuseN needs at least 2 lists (got ${lists.length})")
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(c >= 0, s"rrf constant must be >= 0 (got $c)")
-    val ra = a.select(col("query_id"), col("vec_id"),
-      col("rank").as("_ra"))
-    val rb = b.select(col("query_id"), col("vec_id"),
-      col("rank").as("_rb"))
-    val score =
-      coalesce(lit(1.0) / (col("_ra") + lit(c.toLong)).cast(DoubleType),
-        lit(0.0)) +
-      coalesce(lit(1.0) / (col("_rb") + lit(c.toLong)).cast(DoubleType),
-        lit(0.0))
+    val renamed = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col("query_id"), col("vec_id"), col("rank").as(s"_r$i"))
+    }
+    val joined = renamed.reduce(
+      (a, b) => a.join(b, Seq("query_id", "vec_id"), "full_outer"))
+    val score = lists.indices.map(i =>
+        coalesce(lit(1.0) / (col(s"_r$i") + lit(c.toLong))
+          .cast(DoubleType), lit(0.0)))
+      .reduceLeft(_ + _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_rrf").desc, col("vec_id").asc)
-    ra.join(rb, Seq("query_id", "vec_id"), "full_outer")
+    joined
       .withColumn("_rrf", score)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -617,4 +617,20 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** [[bm25TopK]] as a retriever result list — (query_id, rank,
+    * vec_id), the schema [[Similarity.rrfFuseN]] fuses: the lexical
+    * side of hybrid search. `queryId` labels which query this term bag
+    * answers; rank is the BM25 order (score DESC, doc_id ASC) as a
+    * per-query window over the k-row list (never a global sort). */
+  def bm25RankedList(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, queryId: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    bm25TopK(df, idCol, textCol, queryTerms, k)
+      .withColumn("query_id", lit(queryId))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .select(col("query_id"), col("rank"), col("doc_id").as("vec_id"))
+  }
 }

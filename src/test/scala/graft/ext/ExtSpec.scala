@@ -466,6 +466,45 @@ class ExtSpec extends SparkSpec {
     assert(self == List((1L, 10L), (2L, 11L)))
   }
 
+  test("rrfFuseN: three-list fusion hand-checked; 2-list form is the " +
+      "N-ary fold; contributions sum in fixed list order") {
+    val a = Seq((1L, 1L, 10L), (1L, 2L, 11L))
+      .toDF("query_id", "rank", "vec_id")
+    val b = Seq((1L, 1L, 11L), (1L, 2L, 12L))
+      .toDF("query_id", "rank", "vec_id")
+    val c = Seq((1L, 1L, 12L), (1L, 2L, 10L))
+      .toDF("query_id", "rank", "vec_id")
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = Similarity.rrfFuseN(Seq(a, b, c), k = 5).collect().toList
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // v10: a@1 + c@2; v11: a@2 + b@1; v12: b@2 + c@1 — all two-list
+    // ties on value break on vec_id
+    assert(got == List(
+      (1L, 1L, 10L, r6(1.0 / 61 + 1.0 / 62)),
+      (1L, 2L, 11L, r6(1.0 / 62 + 1.0 / 61)),
+      (1L, 3L, 12L, r6(1.0 / 62 + 1.0 / 61))))
+    // the 2-list entry point delegates to the same fold
+    val two = Similarity.rrfFuse(a, b, k = 5).collect().toList
+    val twoN = Similarity.rrfFuseN(Seq(a, b), k = 5).collect().toList
+    assert(two == twoN)
+    // degenerate list count rejected
+    intercept[IllegalArgumentException](
+      Similarity.rrfFuseN(Seq(a), k = 5))
+  }
+
+  test("bm25RankedList: retriever-list schema carrying the BM25 order") {
+    val docs5 = Seq(
+      (1L, "hash join hash"),
+      (2L, "scan scan scan scan"),
+      (3L, "join"),
+      (4L, "hash merge")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25RankedList(docs5, "doc_id", "text",
+        Seq("hash", "join", "merge"), k = 10, queryId = 7L)
+      .as[(Long, Long, Long)].collect().toList
+    // same ranking as the bm25TopK test: doc4 > doc1 > doc3; doc2 absent
+    assert(got == List((7L, 1L, 4L), (7L, 2L, 1L), (7L, 3L, 3L)))
+  }
+
   test("hardNegatives: top-k different-label vectors, consistent with " +
       "the exact full ranking") {
     val queries = embs.filter($"vec_id" < 8)
