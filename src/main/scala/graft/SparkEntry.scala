@@ -1219,6 +1219,27 @@ object SparkEntry {
         .limit(25)
     },
 
+    // weighted integer PageRank (x86): the same closed supplier↔part
+    // graph as x82 but each edge weighted by its lineitem count —
+    // rank distributes PROPORTIONALLY to relationship strength
+    // ((rank·w) div outw, exact fixed-point).
+    "x86_pagerank_weighted" -> { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+      val fwd = li.groupBy((col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      graft.ext.Graph.pageRankWeighted(edges, "src", "dst", "w",
+          iters = 4)
+        .select(
+          when(col("id") % 2 === 0, lit("supplier"))
+            .otherwise(lit("part")).as("kind"),
+          expr("id div 2").as("key"), col("rank"))
+        .orderBy(col("rank").desc, col("kind").asc, col("key").asc)
+        .limit(25)
+    },
+
     // leakage-safe splits (x81): whole near-dup clusters assigned to
     // one split by hashing the canonical member's text — near-copies
     // can never straddle train/test (x16 alone lets ~34% of pairs do).
@@ -3194,6 +3215,20 @@ object SparkEntry {
                      AS BIGINT) AS rank
                  FROM n LEFT JOIN c$i c ON n.id = c.id)"""
     }.mkString(",\n         ")
+    // x86's weighted rounds: contributions are (rank·w) // outw — the
+    // proportional-distribution form of prRounds (same base/damp/CAST
+    // discipline; integer products bounded by the engine's enforced
+    // overflow contract)
+    val prWRounds = (1 to 4).map { i =>
+      s"""c$i AS (SELECT e.dst AS id, sum((r.rank * e.w) // ow.outw) AS s
+                 FROM e JOIN r${i - 1} r ON e.src = r.id
+                        JOIN ow ON e.src = ow.src
+                 GROUP BY 1),
+         r$i AS (SELECT n.id,
+                   CAST(150000000 + (85 * coalesce(c.s, 0)) // 100
+                     AS BIGINT) AS rank
+                 FROM n LEFT JOIN c$i c ON n.id = c.id)"""
+    }.mkString(",\n         ")
 
     Map(
       "x01_dedup_exact" ->
@@ -3526,6 +3561,24 @@ object SparkEntry {
             n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
             r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM n),
             $prRounds
+            SELECT CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'part' END
+                     AS kind,
+                   id // 2 AS key, rank
+            FROM r4
+            ORDER BY rank DESC, kind ASC, key ASC LIMIT 25""",
+
+      "x86_pagerank_weighted" ->
+        s"""WITH fwd AS (SELECT l_suppkey*2 AS src, l_partkey*2+1 AS dst,
+                           CAST(count(*) AS BIGINT) AS w
+                         FROM lineitem GROUP BY 1, 2),
+            e AS (SELECT src, dst, w FROM fwd
+                  UNION ALL
+                  SELECT dst AS src, src AS dst, w FROM fwd),
+            ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw
+                   FROM e GROUP BY 1),
+            n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM n),
+            $prWRounds
             SELECT CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'part' END
                      AS kind,
                    id // 2 AS key, rank

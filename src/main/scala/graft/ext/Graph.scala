@@ -27,7 +27,7 @@ object Graph {
     * their surplus mass LEAKS (the non-normalized variant) — totals are
     * not conserved, rankings are; callers wanting conservation should
     * close the graph (add reverse edges) as the gated x82 bipartite
-    * construction does.
+    * construction does. Duplicate edges count once.
     *
     * Fixed `iters` power rounds, NOT convergence-probed: a fixed
     * iteration count is what makes the output a pure function of the
@@ -41,31 +41,78 @@ object Graph {
     * node-rank side (8+8 bytes per NODE, not per edge) and the
     * per-round lineage is truncated (without it the plan doubles per
     * round). Contributions aggregate partial+final on dst. Driver holds
-    * nothing — no collect anywhere.
-    *
-    * Overflow contract: callers must pick `scale` so that
-    * `nodes · scale · damp` stays far below 2⁶³ — at 10⁹ nodes use
-    * `scale = 10⁷` (default 10⁹ is sized for ≤10⁸ nodes). */
+    * nothing beyond two bounded statistics (node count, max weight —
+    * one cheap job each over the already-materialized checkpoints) that
+    * ENFORCE the overflow contract: total rank mass never exceeds
+    * `nodes · scale` (teleport equilibrium), so the guard requires
+    * `nodes · scale · max(100, wmax)` to stay below 2⁶² — at 10⁹ nodes
+    * use `scale = 10⁷` (default 10⁹ is sized for ≤4·10⁷ nodes). A
+    * violated contract is a require() at call time, never a silent
+    * 64-bit wrap mid-iteration. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, damp: Long = 85L,
       scale: Long = 1000000000L): DataFrame = {
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst")).distinct()
+      .withColumn("w", lit(1L))
+    pageRankCore(e, iters, damp, scale)
+  }
+
+  /** Weighted-edge PageRank: each node distributes its rank
+    * PROPORTIONALLY to positive integer edge weights —
+    * `contrib(u→v) = (rank(u) · w(u,v)) DIV Σ_x w(u,x)` — the citation-
+    * count / co-occurrence-strength form. Same exact-integer contract,
+    * iteration shape, and enforced overflow guard as [[pageRank]]
+    * (which is this op at w ≡ 1); parallel (src, dst) rows MERGE by
+    * summing their weights. Rows with NULL or non-positive weight are
+    * excluded (documented contract — pre-validate with
+    * [[graft.ops.Audit]] when that must be an error, not a filter). */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int = 5, damp: Long = 85L,
+      scale: Long = 1000000000L): DataFrame = {
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"),
+        col(weightCol).cast(LongType).as("w"))
+      .filter(col("w") > 0L)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    pageRankCore(e, iters, damp, scale)
+  }
+
+  /** Shared power-iteration core over a prepared (src, dst, w) edge
+    * frame (w > 0, parallel edges pre-merged). */
+  private def pageRankCore(e: DataFrame, iters: Int, damp: Long,
+      scale: Long): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     require(damp >= 0L && damp <= 100L, s"damp must be in [0,100] (got $damp)")
     require(scale >= 1L, s"scale must be >= 1 (got $scale)")
-    val e = edges.select(col(srcCol).cast(LongType).as("src"),
-      col(dstCol).cast(LongType).as("dst")).distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg) partitioned on the per-round join key and
+    val outw = e.groupBy("src").agg(sum(col("w")).as("outw"))
+    // (src, dst, w, outw) partitioned on the per-round join key and
     // materialized once — rounds shuffle only the rank side
-    val eo = e.join(outdeg, Seq("src"))
+    val eo = e.join(outw, Seq("src"))
       .repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    // overflow contract, ENFORCED: rank mass is bounded by the teleport
+    // equilibrium n·scale (M_t <= n·(1−d)·scale + d·M_{t−1}, fixpoint
+    // n·scale, leak only shrinks it), so the largest intermediates are
+    // damp·Σcontribs <= 100·n·scale and rank·w <= n·scale·wmax. Both
+    // statistics are bounded driver reads over materialized checkpoints
+    // (a count and a 1-row max), not data collects.
+    val n = nodes.count()
+    val wmax = eo.agg(coalesce(max(col("w")), lit(1L))).head().getLong(0)
+    val mass = BigInt(math.max(n, 1L)) * BigInt(scale)
+    val headroom = BigInt(Long.MaxValue) / 2
+    require(mass * 100 <= headroom,
+      s"pageRank overflow contract: nodes($n) x scale($scale) x 100 " +
+        s"exceeds 2^62 — lower scale (10^7 suffices for 10^9 nodes)")
+    require(mass * BigInt(math.max(wmax, 1L)) <= headroom,
+      s"pageRank overflow contract: nodes($n) x scale($scale) x " +
+        s"max_weight($wmax) exceeds 2^62 — lower scale or rescale weights")
     val base = (100L - damp) * scale / 100L
     var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint()
     (1 to iters).foreach { _ =>
       val contribs = eo.join(ranks, eo("src") === ranks("id"))
-        .select(col("dst"), expr("rank div outdeg").as("_c"))
+        .select(col("dst"), expr("(rank * w) div outw").as("_c"))
         .groupBy("dst").agg(sum(col("_c")).as("_s"))
       val next = nodes.join(contribs, nodes("id") === contribs("dst"), "left")
         .select(col("id"),

@@ -37,4 +37,49 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRank(e, "src", "dst", damp = 101L))
     intercept[IllegalArgumentException](Graph.pageRank(e, "src", "dst", scale = 0L))
   }
+
+  test("pageRank: overflow contract is a require at call time, not a " +
+      "silent wrap — for scale and for edge weights") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    // nodes(2) x scale x 100 beyond 2^62
+    val err = intercept[IllegalArgumentException](
+      Graph.pageRank(e, "src", "dst", scale = Long.MaxValue / 150))
+    assert(err.getMessage.contains("overflow contract"))
+    // a huge weight trips the rank*w bound even at a safe scale
+    val we = Seq((1L, 2L, Long.MaxValue / 4), (2L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val werr = intercept[IllegalArgumentException](
+      Graph.pageRankWeighted(we, "src", "dst", "w"))
+    assert(werr.getMessage.contains("max_weight"))
+  }
+
+  test("pageRankWeighted: proportional distribution hand-checked; " +
+      "parallel edges merge; w=1 equals unweighted") {
+    // 1→2 (w3), 1→3 (w1, as two parallel rows w2+w(-ignored)), closed
+    val we = Seq((1L, 2L, 2L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (2L, 1L, 5L), (3L, 1L, 7L)).toDF("src", "dst", "w")
+    val got = Graph.pageRankWeighted(we, "src", "dst", "w", iters = 1,
+        scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    // merged w(1→2)=3, w(1→3)=1, outw(1)=4; single out-edges pass all.
+    // contribs: →2: (1e6·3) div 4 = 750000; →3: 250000; →1: 2000000.
+    // r1(1)=150000+1700000; r1(2)=150000+637500; r1(3)=150000+212500
+    assert(got == Map(1L -> 1850000L, 2L -> 787500L, 3L -> 362500L))
+    // nonpositive/null weights are excluded by contract
+    val dirty = Seq((1L, 2L, 1L), (1L, 3L, 0L), (2L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val d = Graph.pageRankWeighted(dirty, "src", "dst", "w", iters = 1,
+      scale = 1000000L).as[(Long, Long)].collect().toMap
+    // the 1→3 edge vanishes; node 3 never appears
+    assert(!d.contains(3L))
+    // w ≡ 1 reproduces the unweighted op exactly
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+    val uw = Graph.pageRank(e.toDF("src", "dst"), "src", "dst",
+      iters = 3, scale = 1000000L).as[(Long, Long)].collect().toMap
+    val w1 = Graph.pageRankWeighted(
+      e.map(t => (t._1, t._2, 1L)).toDF("src", "dst", "w"),
+      "src", "dst", "w", iters = 3, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(uw == w1)
+  }
 }

@@ -181,6 +181,39 @@ object EngineProps extends Properties("graft") {
       b <- Gen.choose(0L, 9L) if a != b
     } yield (a, b))
 
+  private val genWeightedEdges: Gen[List[(Long, Long, Long)]] =
+    Gen.listOfN(12, for {
+      a <- Gen.choose(0L, 7L)
+      b <- Gen.choose(0L, 7L) if a != b
+      w <- Gen.choose(1L, 5L)
+    } yield (a, b, w))
+
+  property("pageRank: exact-integer ranks invariant under edge " +
+      "permutation + partition count; w=1 == unweighted") =
+    forAll(genWeightedEdges) { edges =>
+      edges.isEmpty || {
+        import spark.implicits._
+        import graft.ext.Graph
+        val df = edges.toDF("src", "dst", "w")
+        def ranks(d: org.apache.spark.sql.DataFrame) =
+          Graph.pageRankWeighted(d, "src", "dst", "w", iters = 3,
+            scale = 1000000L).as[(Long, Long)].collect().toMap
+        val base = ranks(df)
+        // row order and partitioning must not move a single fixed-point
+        // unit (the floating-point formulation fails exactly here)
+        val permuted = ranks(df.orderBy(desc("dst"), asc("src"))
+          .repartition(7))
+        // unweighted == weighted at w ≡ 1 over the deduped edge set
+        val dedup = edges.map(e => (e._1, e._2)).distinct
+        val uw = Graph.pageRank(dedup.toDF("src", "dst"), "src", "dst",
+          iters = 3, scale = 1000000L)
+          .as[(Long, Long)].collect().toMap
+        val w1 = ranks(dedup.map(e => (e._1, e._2, 1L))
+          .toDF("src", "dst", "w"))
+        base == permuted && uw == w1
+      }
+    }
+
   property("dedupClusters == brute-force union-find on random graphs") =
     forAll(genEdges) { edges =>
       edges.isEmpty || {
