@@ -27,11 +27,21 @@ object Verify {
         SparkEntry.queries.view.filterKeys(keep).toMap
       case None => SparkEntry.queries
     }
+    // Failures must be FIRST-CLASS in the artifact: a query that throws
+    // writes its error text to _errors/<name>.txt (and a rollup json), so
+    // the driver/judge sees an `err` row instead of a silent absence —
+    // r9's ten vanished queries looked like never-declared queries.
+    val errDir = Paths.get(outDir, "_errors")
+    Files.createDirectories(errDir)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        Files.writeString(errDir.resolve(s"$name.txt"), msg + "\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -49,6 +59,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
   }
 }

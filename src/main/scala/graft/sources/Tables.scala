@@ -6,13 +6,21 @@ import org.apache.spark.sql.types._
 
 /** Canonical readers for the driver's parquet tables (TESTDATA.md).
   *
-  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-  * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as
-  * long (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a microsecond
-  * TimestampType via integer division — floor semantics, identical to how
-  * DuckDB truncates ns → µs, so oracle comparisons agree. Integer `div` is
-  * essential: a double roundtrip would lose precision on 1.7e18-scale
-  * nanosecond values.
+  * The driver has shipped `events.parquet` with two different `ts`
+  * encodings across regenerations, and this boundary normalizes BOTH to a
+  * session-TZ `TimestampType` so every downstream query sees one type:
+  *
+  *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+  *    ([PARQUET_TYPE_ILLEGAL]), so we read nanos as long
+  *    (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild microseconds
+  *    via integer `div` — floor semantics, identical to how DuckDB
+  *    truncates ns → µs, so oracle comparisons agree. Integer `div` is
+  *    essential: a double roundtrip would lose precision on 1.7e18-scale
+  *    nanosecond values.
+  *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads it
+  *    as `TimestampNTZType`. All gated sessions pin the session TZ to
+  *    UTC, so `cast(TimestampType)` reinterprets the naive micros with a
+  *    zero offset — value-identical to DuckDB's naive read.
   */
 object Tables {
 
@@ -27,10 +35,17 @@ object Tables {
     graft.functions.DecimalExprs.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
-    }
+    normalizeTs(df)
   }
+
+  /** Normalize a `ts` column of either fixture encoding to TimestampType.
+    * No-op for frames without `ts` or with `ts` already TimestampType. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => // nanos-as-long fixtures
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) => // micros-NTZ fixtures (UTC sessions)
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 }

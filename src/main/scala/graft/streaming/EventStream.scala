@@ -21,25 +21,45 @@ import graft.sinks.Upsert
   */
 object EventStream {
 
-  /** Schema of `events.parquet` as a stream source (ts arrives as nanos —
-    * same nanos handling as [[graft.sources.Tables]]). */
-  val EventSchema: StructType = StructType(Seq(
+  /** Schema of `events.parquet` as a stream source, parameterized on how
+    * the fixture files encode `ts` — the driver has shipped both
+    * TIMESTAMP(NANOS) (read as long) and TIMESTAMP(MICROS, NTZ). The rest
+    * of the columns are stable. */
+  def eventSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Back-compat alias: the historical nanos-as-long stream schema. */
+  val EventSchema: StructType = eventSchema(LongType)
+
   /** File-based event stream with proper timestamps. `eventsDir` is a
     * directory of event parquet files (the streaming layout: files land,
-    * the source picks them up incrementally). */
+    * the source picks them up incrementally).
+    *
+    * Streaming sources need a declared schema, so we sniff the `ts`
+    * encoding from the directory's parquet footers with one driver-side
+    * batch-schema read (metadata only — no data scan), then declare the
+    * matching stream schema and normalize exactly as
+    * [[graft.sources.Tables.normalizeTs]] does for batch: nanos-long →
+    * `div 1000` → micros; micros-NTZ → cast (UTC-pinned sessions). */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(EventSchema)
+    val tsType = spark.read.parquet(eventsDir).schema
+      .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
+    val raw = spark.readStream
+      .schema(eventSchema(tsType))
       .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Windowed per-ad performance aggregation with watermark: the streaming
