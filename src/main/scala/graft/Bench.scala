@@ -44,11 +44,22 @@ object Bench {
     // (PageRank rounds, CC labels, k-means projections) must not leave
     // blocks pinned into the NEXT query's measurement — without this the
     // full-suite numbers for late-alphabet queries drift 2-6x above their
-    // isolated cost (storage pressure + GC, not plan cost).
+    // isolated cost (storage pressure + GC, not plan cost). releaseAll
+    // additionally frees dead shuffle state + broadcast blocks that the
+    // GC-fed ContextCleaner would otherwise hold until a rare full GC
+    // (r8/r9 suite-vs-isolated inflation); it clears cache/persisted RDDs
+    // itself first so no live plan can reference a destroyed broadcast.
+    val benchDebug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
     def clearSessionState(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      val before =
+        if (benchDebug) org.apache.spark.graft.BenchHygiene.held(spark.sparkContext)
+        else null
+      org.apache.spark.graft.BenchHygiene.releaseAll(spark.sparkContext)
+      if (benchDebug) {
+        val after = org.apache.spark.graft.BenchHygiene.held(spark.sparkContext)
+        System.err.println(s"[bench] hygiene held(shuffles,broadcasts): " +
+          s"$before -> $after")
+      }
     }
 
     // JVM/codegen warmup on the tiny sf so measured times are steady-state.

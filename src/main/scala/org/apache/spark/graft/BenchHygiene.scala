@@ -1,6 +1,7 @@
 package org.apache.spark.graft
 
-import org.apache.spark.{MapOutputTrackerMaster, SparkContext, SparkEnv}
+import org.apache.spark.{MapOutputTrackerMaster, SparkContext}
+import org.apache.spark.internal.Logging
 import org.apache.spark.storage.BroadcastBlockId
 
 /** Deterministic release of the cross-query state a long single-JVM
@@ -24,11 +25,11 @@ import org.apache.spark.storage.BroadcastBlockId
   * ContextCleaner paths the GC would eventually trigger (blocking, so
   * the memory is free before the next measurement starts).
   */
-object BenchHygiene {
+object BenchHygiene extends Logging {
 
   /** Count of (shuffles, broadcastBlocks) currently held — telemetry. */
   def held(sc: SparkContext): (Int, Int) = {
-    val tracker = SparkEnv.get.mapOutputTracker.asInstanceOf[MapOutputTrackerMaster]
+    val tracker = sc.env.mapOutputTracker.asInstanceOf[MapOutputTrackerMaster]
     val nShuffle = tracker.shuffleStatuses.size
     val nBroadcast = sc.env.blockManager.master
       .getMatchingBlockIds(_.isInstanceOf[BroadcastBlockId], askStorageEndpoints = true)
@@ -37,20 +38,48 @@ object BenchHygiene {
   }
 
   /** Release all registered shuffles (map-output state + shuffle files)
-    * and all broadcast blocks. Safe between independent queries; must
-    * not be called while a job that reuses them is running.
+    * and all broadcast blocks. Only call between independent queries —
+    * never while a job that reuses them is running.
+    *
+    * Destroying a broadcast is NOT recoverable the way shuffle cleanup is
+    * (a destroyed shuffle just recomputes its stage; a live plan holding
+    * a destroyed broadcast fails hard with "Failed to get broadcast_X").
+    * So before touching broadcasts this drops every cached plan and
+    * persisted RDD on the session that could still reference one — the
+    * precondition is enforced here, not left to the caller.
     */
   def releaseAll(sc: SparkContext): Unit = {
+    // enforce the no-live-referents precondition
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(_.catalog.clearCache())
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+
     val cleaner = sc.cleaner
-    val tracker = SparkEnv.get.mapOutputTracker.asInstanceOf[MapOutputTrackerMaster]
+    if (cleaner.isEmpty) {
+      // spark.cleaner.referenceTracking=false: the GC-driven path is also
+      // absent, so silence here would defeat the helper exactly where it
+      // matters most — say so, then free what the public API can reach.
+      logWarning("BenchHygiene.releaseAll: sc.cleaner is None " +
+        "(spark.cleaner.referenceTracking=false); falling back to " +
+        "unregisterShuffle + removeBroadcast")
+    }
+    val tracker = sc.env.mapOutputTracker.asInstanceOf[MapOutputTrackerMaster]
     tracker.shuffleStatuses.keySet.toSeq.foreach { id =>
-      cleaner.foreach(_.doCleanupShuffle(id, blocking = true))
+      cleaner match {
+        case Some(c) => c.doCleanupShuffle(id, blocking = true)
+        case None    => tracker.unregisterShuffle(id)
+      }
     }
     val bids = sc.env.blockManager.master
       .getMatchingBlockIds(_.isInstanceOf[BroadcastBlockId], askStorageEndpoints = true)
       .collect { case BroadcastBlockId(id, _) => id }.distinct
     bids.foreach { id =>
-      cleaner.foreach(_.doCleanupBroadcast(id, blocking = true))
+      cleaner match {
+        case Some(c) => c.doCleanupBroadcast(id, blocking = true)
+        case None => sc.env.blockManager.master
+          .removeBroadcast(id, removeFromMaster = true, blocking = true)
+      }
     }
   }
 }
