@@ -1715,6 +1715,32 @@ object SparkEntry {
         m = 4, ks = 8, pqIters = 2)
     },
 
+    // sampled-training IVF (x87): centroids from a deterministic md5
+    // 50% sample of the corpus, serving (cell assignment + probes) over
+    // EVERYTHING — the build-vs-serve split that makes Lloyd's viable
+    // at 100 TB: training cost scales with the sample, not the corpus,
+    // and the sample is content-addressed so the oracle replays it.
+    "x87_ivf_sampled_train" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      graft.ext.Similarity.ivfLearnedTopK(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, kCentroids = 8, iters = 2, nprobe = 2,
+        trainSample = Some("8000"))
+    },
+
+    // sampled-training IVFPQ (x88): coarse centroids AND all m PQ
+    // codebooks trained on the same 50% sample; the full corpus is
+    // still encoded and served. x84's training is 5 sequential
+    // full-corpus scans per Lloyd's stage — this variant is the shape
+    // that survives when the corpus is 1000x the trainable budget.
+    "x88_ivfpq_sampled_train" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      graft.ext.Similarity.ivfPqTopK(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, kCentroids = 8, coarseIters = 2, nprobe = 2,
+        m = 4, ks = 8, pqIters = 2, trainSample = Some("8000"))
+    },
+
     // hybrid retrieval (x85): BM25 lexical list + exact-cosine + sign-
     // LSH vector lists for the same query, fused by N-way reciprocal
     // rank — the production hybrid-search shape x78+x80 imply.
@@ -3028,6 +3054,101 @@ object SparkEntry {
                       $pqEncJoins
                       WHERE x.vec_id <> q.vec_id))
           WHERE rank <= 5"""
+    // x87/x88 sampled training: tv = the engine's deterministicSample
+    // (md5 prefix of the id, threshold 8000 = 50%); training CTEs run
+    // over tv, every serving CTE (cell assignment, probes, PQ encode)
+    // over the FULL v — the trainSample contract, replayed.
+    val sampledTv =
+      """tv AS (SELECT vec_id, e FROM v
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '8000')"""
+    val ivfSampledOracle: String =
+      s"""WITH v AS ($vecs),
+          $sampledTv,
+          ${lloydCtes("t", 64, 8, 2)},
+          allasg AS (
+            SELECT vec_id, cl FROM (
+              SELECT v.vec_id, c.cl, row_number() OVER (
+                PARTITION BY v.vec_id ORDER BY $kmeansD2, c.cl) AS rn
+              FROM v v, tc2 c)
+            WHERE rn = 1),
+          probes AS (
+            SELECT query_id, cl AS bucket FROM (
+              SELECT v.vec_id AS query_id, c.cl,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY $kmeansD2, c.cl) AS rn
+              FROM v v, tc2 c
+              WHERE v.vec_id < 8)
+            WHERE rn <= 2)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+          FROM (SELECT p.query_id, b.vec_id, $cosPairExpr AS cos,
+                       row_number() OVER (PARTITION BY p.query_id
+                         ORDER BY $cosPairExpr DESC, b.vec_id ASC) AS rank
+                FROM probes p
+                     JOIN allasg s ON s.cl = p.bucket
+                     JOIN v b ON b.vec_id = s.vec_id
+                     JOIN v a ON a.vec_id = p.query_id
+                WHERE b.vec_id <> p.query_id)
+          WHERE rank <= 5"""
+    // x88: coarse Lloyd's + all m subspace Lloyd's over tv; the encode
+    // is a FRESH full-corpus argmin against the sampled codebooks
+    // (pqEncode's rule: nearest sub-centroid, lowest-cl tiebreak) —
+    // x84's pqEncJoins can't be reused because its s{m}a3 assignment
+    // only covers the training rows.
+    val sampledPqSlices = (0 until pqM).map(mm =>
+      s"""ts${mm}v AS (SELECT vec_id,
+            e[${mm * pqSub + 1}:${(mm + 1) * pqSub}] AS e FROM tv)""")
+      .mkString(",\n")
+    val sampledPqLloyds = (0 until pqM).map(mm =>
+      lloydCtes(s"ts$mm", pqSub, 8, 2)).mkString(",\n")
+    val sampledEncCtes = (0 until pqM).map(mm =>
+      s"""enc$mm AS (SELECT vec_id, cl FROM (
+            SELECT fv.vec_id, c.cl, row_number() OVER (
+              PARTITION BY fv.vec_id ORDER BY
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(list_zip(
+                    fv.e[${mm * pqSub + 1}:${(mm + 1) * pqSub}], c.e),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))),
+                  (acc, x) -> acc + x), c.cl) AS rn
+            FROM v fv, ts${mm}c2 c)
+          WHERE rn = 1)""").mkString(",\n")
+    val sampledEncJoins = (0 until pqM).map(mm =>
+      s"""JOIN enc$mm e$mm ON e$mm.vec_id = x.vec_id
+          JOIN ts${mm}c2 c${mm}x ON c${mm}x.cl = e$mm.cl""").mkString("\n")
+    val ivfPqSampledOracle: String =
+      s"""WITH v AS ($vecs),
+          $sampledTv,
+          ${lloydCtes("t", 64, 8, 2)},
+          $sampledPqSlices,
+          $sampledPqLloyds,
+          $sampledEncCtes,
+          q AS (SELECT vec_id, e FROM v WHERE vec_id < 8),
+          allasg AS (
+            SELECT vec_id, cl FROM (
+              SELECT v.vec_id, c.cl, row_number() OVER (
+                PARTITION BY v.vec_id ORDER BY $kmeansD2, c.cl) AS rn
+              FROM v v, tc2 c)
+            WHERE rn = 1),
+          probes AS (
+            SELECT query_id, cl AS bucket FROM (
+              SELECT v.vec_id AS query_id, c.cl,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY $kmeansD2, c.cl) AS rn
+              FROM v v, tc2 c
+              WHERE v.vec_id < 8)
+            WHERE rn <= 2)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+                 round(ad, 6) AS adist
+          FROM (SELECT query_id, vec_id, ad, row_number() OVER (
+                  PARTITION BY query_id ORDER BY ad, vec_id) AS rank
+                FROM (SELECT q.vec_id AS query_id, x.vec_id,
+                             $pqAdSum AS ad
+                      FROM probes p
+                           JOIN allasg s ON s.cl = p.bucket
+                           JOIN v x ON x.vec_id = s.vec_id
+                           JOIN q ON q.vec_id = p.query_id
+                      $sampledEncJoins
+                      WHERE x.vec_id <> q.vec_id))
+          WHERE rank <= 5"""
     // --- Wrapping 64-bit arithmetic in DuckDB, for the FNV-1a +
     // splitmix64 token hashing behind x03/x04 (TextHashExprs.hashToken).
     // DuckDB's checked BIGINT refuses overflow, so values live as
@@ -4066,6 +4187,8 @@ object SparkEntry {
 
       "x74_pq_topk" -> pqOracle,
       "x84_ivfpq_topk" -> ivfPqOracle,
+      "x87_ivf_sampled_train" -> ivfSampledOracle,
+      "x88_ivfpq_sampled_train" -> ivfPqSampledOracle,
       "x85_hybrid_retrieval" -> hybridOracle,
 
       "x76_ivf_index_append" -> ivfAppendOracle,

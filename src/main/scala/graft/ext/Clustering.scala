@@ -82,12 +82,27 @@ object Clustering {
     * Spark jobs at CALL time (same plan-freezing behavior as
     * `ngramJaccardPairs`/`heavyTerms`) — call when the input is settled.
     * The projected (id, vector) frame is cached for the iteration jobs
-    * and released before returning. */
+    * and released before returning.
+    *
+    * `trainSample`: optional [[Corpus.deterministicSample]] hex
+    * threshold applied to the TRAINING scan only (md5 of the id — same
+    * content-addressed space as every other sampler, so the sampled run
+    * is oracle-replayable). Centroid quality degrades ~O(1/√n) in the
+    * sample size while the training cost drops linearly — at 100 TB
+    * training on the full corpus is 5 full scans per Lloyd's round for
+    * centroids that a 1% sample estimates within noise. Serving paths
+    * (assignment, probes) are unaffected: they run against whatever
+    * corpus the caller gives them. */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+      k: Int, iters: Int, trainSample: Option[String] = None)
+      : Seq[(Long, Seq[Double])] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
     graft.functions.VectorExprs.register(df.sparkSession)
-    val vecs = project(df, idCol, vecCol)
+    val training = trainSample match {
+      case Some(hex) => Corpus.deterministicSample(df, col(idCol), hex)
+      case None      => df
+    }
+    val vecs = project(training, idCol, vecCol)
     if (iters > 0)
       vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

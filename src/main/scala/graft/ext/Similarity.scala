@@ -138,9 +138,11 @@ object Similarity {
     * [[Clustering.kmeansCentroids]] documents). */
   def ivfLearnedTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, kCentroids: Int = 8,
-      iters: Int = 2, nprobe: Int = 2): DataFrame =
+      iters: Int = 2, nprobe: Int = 2,
+      trainSample: Option[String] = None): DataFrame =
     ivfLearnedTopKWith(corpus, queries, idCol, vecCol, k,
-      Clustering.kmeansCentroids(corpus, idCol, vecCol, kCentroids, iters),
+      Clustering.kmeansCentroids(corpus, idCol, vecCol, kCentroids, iters,
+        trainSample),
       nprobe)
 
   /** [[ivfLearnedTopK]] against PRECOMPUTED centroids — the index-reuse
@@ -389,21 +391,30 @@ object Similarity {
     * row; vectors of any other length are excluded by the per-subspace
     * trainer (the [[Clustering.assignTo]] contract). */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, ks: Int, iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
+      m: Int, ks: Int, iters: Int, trainSample: Option[String] = None)
+      : Seq[Seq[(Long, Seq[Double])]] = {
     require(m >= 1, s"need at least one subspace (got $m)")
-    val head = corpus.select(col(idCol).cast(LongType).as("_id"),
+    // sample ONCE here (not per-subspace): every subspace trains on the
+    // same id set, mirroring one sampled scan feeding m trainers
+    val training = trainSample match {
+      case Some(hex) => Corpus.deterministicSample(corpus, col(idCol), hex)
+      case None      => corpus
+    }
+    val head = training.select(col(idCol).cast(LongType).as("_id"),
         asDouble(col(vecCol)).as("_v"))
       .orderBy(col("_id").asc).select(size(col("_v"))).limit(1)
       .collect().headOption
-    require(head.nonEmpty, "pqCodebooks: empty corpus (no vectors to " +
-      "train codebooks on)")
+    require(head.nonEmpty, "pqCodebooks: empty training corpus (no " +
+      "vectors to train codebooks on" +
+      trainSample.fold("")(h => s"; trainSample=$h filtered all rows") +
+      ")")
     val dim = head.get.getInt(0)
     require(dim % m == 0,
       s"embedding dim $dim not divisible into $m subspaces")
     val sub = dim / m
     (0 until m).map { i =>
       Clustering.kmeansCentroids(
-        corpus.select(col(idCol),
+        training.select(col(idCol),
           slice(asDouble(col(vecCol)), i * sub + 1, sub).as("_sv")),
         idCol, "_sv", ks, iters)
     }
@@ -524,10 +535,11 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, kCentroids: Int = 8,
       coarseIters: Int = 2, nprobe: Int = 2, m: Int = 4, ks: Int = 8,
-      pqIters: Int = 2): DataFrame = {
+      pqIters: Int = 2, trainSample: Option[String] = None): DataFrame = {
     val coarse = Clustering.kmeansCentroids(corpus, idCol, vecCol,
-      kCentroids, coarseIters)
-    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ks, pqIters)
+      kCentroids, coarseIters, trainSample)
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ks, pqIters,
+      trainSample)
     ivfPqTopKWith(corpus, queries, idCol, vecCol, k, coarse, cbs, nprobe)
   }
 

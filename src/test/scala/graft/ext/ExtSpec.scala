@@ -995,4 +995,55 @@ class ExtSpec extends SparkSpec {
       }
     }
   }
+
+  test("sampled training (x87/x88): trains on the md5 sample only, " +
+      "serves everything, recall floor holds on the clustered corpus") {
+    // same well-separated fixture as the PQ clustered-recall gate: the
+    // contract is that a 50% training sample still finds cluster
+    // structure, so sampled-trained IVF/IVFPQ keep a recall floor while
+    // the training scan halves
+    val clustered = (0 until 200).map { id =>
+      val cl = id % 8
+      val v = (0 until 64).map(d =>
+        (if (d == cl * 8) 4.0 else 0.0) +
+          ((id * 31 + d * 7) % 11) * 0.02)
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.filter($"vec_id" < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(clustered, queries,
+      "vec_id", "embedding", 5))
+
+    // the training set really is the deterministic sample: centroids
+    // from trainSample equal centroids from pre-filtering by hand
+    val sampled = Corpus.deterministicSample(clustered, col("vec_id"),
+      "8000")
+    val nSampled = sampled.count()
+    assert(nSampled > 8 && nSampled < 200,
+      s"fixture must sample a strict subset (got $nSampled of 200)")
+    assert(Clustering.kmeansCentroids(clustered, "vec_id", "embedding",
+        8, 2, trainSample = Some("8000")) ==
+      Clustering.kmeansCentroids(sampled, "vec_id", "embedding", 8, 2))
+
+    // serving covers the FULL corpus: every query still gets k rows and
+    // candidates outside the training sample are reachable
+    val ivf = Similarity.ivfLearnedTopK(clustered, queries, "vec_id",
+      "embedding", k = 5, kCentroids = 8, iters = 2, nprobe = 2,
+      trainSample = Some("8000"))
+    val byQ = ivf.groupBy("query_id").count().collect()
+    assert(byQ.length == 8 && byQ.forall(_.getLong(1) == 5L))
+    val sampledIds = sampled.select("vec_id").as[Long].collect().toSet
+    assert(pairs(ivf).exists { case (_, v) => !sampledIds.contains(v) },
+      "no out-of-sample candidate served — training filter leaked into " +
+        "the serve path")
+    val rIvf = (pairs(ivf) & exact).size.toDouble / exact.size
+    assert(rIvf >= 0.8, s"sampled-trained IVF recall@5: $rIvf")
+
+    val ivfpq = Similarity.ivfPqTopK(clustered, queries, "vec_id",
+      "embedding", k = 5, kCentroids = 8, coarseIters = 2, nprobe = 2,
+      m = 4, ks = 8, pqIters = 2, trainSample = Some("8000"))
+    val rPq = (pairs(ivfpq) & exact).size.toDouble / exact.size
+    assert(rPq >= 0.8, s"sampled-trained IVFPQ recall@5: $rPq")
+  }
 }
