@@ -1759,6 +1759,39 @@ object SparkEntry {
         k = 10)
     },
 
+    // persisted-postings BM25 (x89): build the inverted file once
+    // (saveBm25Index), serve x80's exact answer from it — the serve
+    // plan reads the query terms' postings + a 1-row stats table, never
+    // re-tokenizing the corpus (x80 recomputes corpus stats per call;
+    // at 100 TB that is a rebuild-per-query serving path).
+    "x89_bm25_index_topk" -> { (s, dir) =>
+      val idx = scratchDir("bm25idx")
+      graft.ext.TextAnalysis.saveBm25Index(
+        T(s, dir, "documents"), "doc_id", "text", idx)
+      graft.ext.TextAnalysis.queryBm25Index(s, idx,
+        Seq("hash", "join", "merge"), k = 10)
+    },
+
+    // hybrid retrieval served from the persisted index (x90): x85's
+    // fusion with its lexical leg swapped to the postings index — the
+    // BM25 corpus-stat rebuild disappears from the serve plan while the
+    // fused answer must stay byte-identical (same oracle as x85).
+    "x90_hybrid_index_retrieval" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val q0 = emb.filter(col("vec_id") === 0)
+      val idx = scratchDir("bm25idx90")
+      graft.ext.TextAnalysis.saveBm25Index(docs, "doc_id", "text", idx)
+      graft.ext.Similarity.rrfFuseN(Seq(
+        graft.ext.TextAnalysis.bm25IndexRankedList(s, idx,
+          Seq("hash", "join", "merge"), k = 10, queryId = 0L),
+        graft.ext.Similarity.bruteForceTopK(emb, q0, "vec_id",
+          "embedding", k = 5),
+        graft.ext.Similarity.ivfTopK(emb, q0, "vec_id", "embedding",
+          k = 5)),
+        k = 10)
+    },
+
     // native image-header decode: spec-layout PNG/GIF/JPEG headers built
     // from the id by pure expressions, parsed back by the magic-bytes
     // Expression — build∘parse must be the identity the oracle computes
@@ -4190,6 +4223,9 @@ object SparkEntry {
       "x87_ivf_sampled_train" -> ivfSampledOracle,
       "x88_ivfpq_sampled_train" -> ivfPqSampledOracle,
       "x85_hybrid_retrieval" -> hybridOracle,
+      // persisted-index twins: lifecycle differs, the answer must not
+      "x89_bm25_index_topk" -> x80Sql,
+      "x90_hybrid_index_retrieval" -> hybridOracle,
 
       "x76_ivf_index_append" -> ivfAppendOracle,
 

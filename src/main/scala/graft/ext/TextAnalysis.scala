@@ -633,4 +633,159 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast(LongType))
       .select(col("query_id"), col("rank"), col("doc_id").as("vec_id"))
   }
+
+  /** Persist a BM25 postings index — the build-vs-serve split
+    * [[bm25TopK]] deliberately skips (it tokenizes the corpus per call,
+    * the right shape for a one-shot gate, the wrong one for a serving
+    * path: at 100 TB every query would re-read every document). Three
+    * parquet datasets under `path`:
+    *
+    *  - `path/postings`: (term, doc_id, tf, dl) — one row per distinct
+    *    (doc, term), REPARTITIONED BY term and sorted on it within
+    *    partitions, so a `term IN (...)` serve filter prunes by parquet
+    *    row-group min/max stats and reads ~|q| terms' postings, not the
+    *    corpus. This file layout IS the inverted file (the
+    *    [[graft.ext.Similarity.saveIvfIndex]] analogue for text).
+    *  - `path/termstats`: (term, df_t) — vocabulary-sized, same
+    *    term-pruned layout.
+    *  - `path/stats`: one row (n_docs, total_len) — the corpus
+    *    constants N and Σdl.
+    *
+    * Determinism: tokenization, dl ([[tokenCount]] raw whitespace
+    * count), and every statistic match [[bm25TopK]]'s exactly, so
+    * build → serve reproduces the per-call scores bit-for-bit (gated
+    * x89 replays x80's oracle from the index; BM25IndexSpec pins the
+    * equality). */
+  def saveBm25Index(df: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val toks = tokens(lower(col(textCol)))
+    val base = df.select(col(idCol).cast(LongType).as("doc_id"),
+        size(toks).cast(LongType).as("dl"), explode(toks).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    base.repartition(col("term")).sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    // df_t from the postings we just wrote — one index-sized pass, no
+    // second tokenize
+    val spark = df.sparkSession
+    spark.read.parquet(s"$path/postings")
+      .groupBy("term").agg(count(lit(1)).as("df_t"))
+      .repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/termstats")
+    df.select(col(idCol).cast(LongType).as("doc_id"),
+        tokenCount(col(textCol)).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Serve a BM25 top-k from a persisted [[saveBm25Index]] index: the
+    * scan reads ONLY the query terms' postings (term `isin` pushed to
+    * the parquet reader, pruned by the build's term-sorted row groups)
+    * plus the 1-row stats — per-query cost scales with the query's
+    * posting lists, never the corpus. Scoring is [[bm25TopK]]'s
+    * verbatim: rational idf, DECIMAL(20,9)-exact per-doc sums, k1/b
+    * norm on raw-token dl, (score DESC, doc_id ASC) TakeOrdered. */
+  def queryBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.forall(_.nonEmpty),
+      "queryTerms must be non-empty strings (empty/whitespace-only " +
+        "docs post an '' token row)")
+    val qset = queryTerms.map(_.toLowerCase)
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(qset: _*))
+    val termstats = spark.read.parquet(s"$path/termstats")
+      .filter(col("term").isin(qset: _*))
+    val stats = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs").as("_n"), col("total_len").as("_len"))
+    val idf = (col("_n") - col("df_t") + lit(0.5)) /
+      (col("df_t") + lit(0.5))
+    val norm = lit(k1) * (lit(1.0) - lit(b) + lit(b) *
+      ((col("dl") * col("_n")).cast(DoubleType) /
+        col("_len").cast(DoubleType)))
+    val tscore = idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + norm)
+    postings.join(termstats, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_s", graft.ops.Metrics.decQuantize(tscore, 9))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("_s")).cast(DoubleType), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** [[queryBm25Index]] as a [[bm25RankedList]]-shaped retriever list —
+    * the persisted lexical leg of hybrid fusion (gated x90). */
+  def bm25IndexRankedList(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryTerms: Seq[String], k: Int, queryId: Long)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    queryBm25Index(spark, path, queryTerms, k)
+      .withColumn("query_id", lit(queryId))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .select(col("query_id"), col("rank"), col("doc_id").as("vec_id"))
+  }
+
+  /** Append new documents to a persisted [[saveBm25Index]] index
+    * WITHOUT re-tokenizing the existing corpus — the daily-ingest half
+    * of the lifecycle (the [[graft.ext.Similarity.appendToIvfIndex]]
+    * analogue): new postings append to the inverted file, term df and
+    * the corpus constants merge incrementally (cost ∝ new docs +
+    * vocabulary, never the indexed corpus). The merged termstats/stats
+    * go through the staged-swap ([[graft.sinks.TableSwap]]) so a crash
+    * mid-update never leaves a half-written statistics table; postings
+    * append last so a crash before it leaves stats counting docs whose
+    * postings are absent — conservative (idf dips), never corrupt, and
+    * the re-run converges. Caller contract: `newDocs` ids must be
+    * disjoint from the indexed ids (same as the IVF append). */
+  def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, idCol: String, textCol: String)
+      : Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.TableSwap.recoverStranded(fs, s"$path/termstats")
+    graft.sinks.TableSwap.recoverStranded(fs, s"$path/stats")
+    val toks = tokens(lower(col(textCol)))
+    val newBase = newDocs.select(
+        col(idCol).cast(LongType).as("doc_id"),
+        size(toks).cast(LongType).as("dl"), explode(toks).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // termstats merge: old ⋈ delta full-outer, summed — writes to
+      // __staging, then swaps into place
+      val delta = newBase.groupBy("term").agg(count(lit(1)).as("_ddf"))
+      spark.read.parquet(s"$path/termstats")
+        .join(delta, Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df_t"), lit(0L)) + coalesce(col("_ddf"), lit(0L)))
+            .as("df_t"))
+        .repartition(col("term")).sortWithinPartitions("term")
+        .write.parquet(
+          graft.sinks.TableSwap.stagingPath(s"$path/termstats").toString)
+      graft.sinks.TableSwap.swapStaged(fs, s"$path/termstats")
+      // corpus constants: tiny driver-side read + rewrite via staging
+      val old = spark.read.parquet(s"$path/stats")
+        .select(col("n_docs"), col("total_len")).head()
+      val add = newDocs.select(
+          count(lit(1)).as("n"),
+          coalesce(sum(tokenCount(col(textCol))), lit(0L)).as("len"))
+        .head()
+      spark.range(1).select(
+          lit(old.getLong(0) + add.getLong(0)).as("n_docs"),
+          lit(old.getLong(1) + add.getLong(1)).as("total_len"))
+        .coalesce(1).write.parquet(
+          graft.sinks.TableSwap.stagingPath(s"$path/stats").toString)
+      graft.sinks.TableSwap.swapStaged(fs, s"$path/stats")
+      // inverted-file append last (see ordering contract above)
+      newBase.repartition(col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("append").parquet(s"$path/postings")
+    } finally newBase.unpersist(blocking = false)
+  }
 }

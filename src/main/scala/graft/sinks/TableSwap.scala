@@ -13,7 +13,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * swap on the next call, so the interrupted run's merge is never lost
   * (pinned by UpsertSpec "recovers a table stranded mid-swap").
   */
-private[sinks] object TableSwap {
+private[graft] object TableSwap {
 
   def stagingPath(path: String): Path = new Path(path + "__staging")
 
