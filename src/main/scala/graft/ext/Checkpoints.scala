@@ -32,7 +32,39 @@ object Checkpoints {
 
   /** Unpersist the checkpoint blocks behind `df` once a successor has
     * materialized. Non-blocking: removal proceeds while the next round
-    * runs. */
+    * runs. For RELIABLE checkpoints the backing files are deleted too —
+    * a superseded round's files are pure garbage, and an iterative op
+    * that leaves rounds × frame-size behind in the checkpoint dir has
+    * just moved the leak from memory to storage. */
   def release(df: DataFrame): Unit =
-    checkpointRdds(df).foreach(_.unpersist(blocking = false))
+    checkpointRdds(df).foreach { r =>
+      r.unpersist(blocking = false)
+      r.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try p.getFileSystem(r.context.hadoopConfiguration)
+          .delete(p, true)
+        catch { case _: java.io.IOException => () } // best-effort
+      }
+    }
+
+  /** Round materialization for iterative loops: `reliable = false`
+    * (default) is `localCheckpoint` — executor-memory/disk blocks, the
+    * fast path, but an executor loss mid-run kills the job because the
+    * truncated lineage cannot recompute. `reliable = true` routes to
+    * `checkpoint()` — each round lands in the fault-tolerant checkpoint
+    * dir (HDFS/object store), so a 100 TB multi-hour PageRank or CC run
+    * survives executor churn at the cost of a filesystem write per
+    * round (SCALE.md quantifies the trade). Requires
+    * `sc.setCheckpointDir` up front; checked here so a misconfigured
+    * reliable run fails at round 1 with a clear message, not an
+    * org.apache.spark.SparkException mid-loop. */
+  def materialize(df: DataFrame, reliable: Boolean): DataFrame =
+    if (!reliable) df.localCheckpoint()
+    else {
+      require(
+        df.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
+        "reliable=true needs a fault-tolerant checkpoint dir: call " +
+          "spark.sparkContext.setCheckpointDir(<hdfs/s3 path>) first")
+      df.checkpoint()
+    }
 }

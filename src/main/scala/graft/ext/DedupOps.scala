@@ -490,25 +490,26 @@ object DedupOps {
     *    data collect; this is the Pregel-style "active vertex count".
     */
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, reliable: Boolean = false): DataFrame = {
+    def mat(df: DataFrame): DataFrame = Checkpoints.materialize(df, reliable)
     val fwd = pairs.select(col(aCol).cast(LongType).as("u"),
       col(bCol).cast(LongType).as("v"))
-    val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint() // materialized once, scanned each round
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).localCheckpoint()
+    val edges = mat(fwd // materialized once, scanned each round
+      .union(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
+    var labels = mat(edges.select(col("u").as("id")).distinct()
+      .withColumn("cluster_id", col("id")))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxIters) {
       val nbrMin = edges.join(labels, edges("v") === labels("id"))
         .groupBy(col("u")).agg(min("cluster_id").as("nbr_min"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
+      val next = mat(labels
+        .join(nbrMin, labels("id") === nbrMin("u"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"),
             col("cluster_id"))).as("cluster_id"),
           coalesce(col("nbr_min") < col("cluster_id"), lit(false))
-            .as("_changed"))
-        .localCheckpoint()
+            .as("_changed")))
       changed = next.filter(col("_changed")).count()
       // next is materialized — the superseded round's blocks are dead
       Checkpoints.release(labels)
@@ -545,14 +546,15 @@ object DedupOps {
     * documented trade for not running two except() shuffles per round;
     * a star-forest assertion at exit catches a pseudo-converged state. */
   def dedupClustersStar(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 30): DataFrame = {
+      maxIters: Int = 30, reliable: Boolean = false): DataFrame = {
+    def mat(df: DataFrame): DataFrame = Checkpoints.materialize(df, reliable)
     // canonical undirected form: (min, max), deduped, no self-loops
     val raw = pairs.select(col(aCol).cast(LongType).as("u"),
       col(bCol).cast(LongType).as("v"))
-    var edges = raw
+    var edges = mat(raw
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct())
 
     // one star phase: group the symmetrized edges by u, rewire either
     // the strictly-larger (large star) or the ≤ (small star, plus u
@@ -586,8 +588,8 @@ object DedupOps {
     var converged = false
     var round = 0
     while (!converged && round < maxIters) {
-      val next = starPhase(starPhase(edges, large = true), large = false)
-        .localCheckpoint()
+      val next = mat(
+        starPhase(starPhase(edges, large = true), large = false))
       val nextSig = signature(next)
       converged = nextSig == sig
       // next is materialized — the superseded edge set's blocks are dead

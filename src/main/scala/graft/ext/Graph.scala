@@ -51,11 +51,11 @@ object Graph {
     * 64-bit wrap mid-iteration. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, damp: Long = 85L,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L, reliable: Boolean = false): DataFrame = {
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst")).distinct()
       .withColumn("w", lit(1L))
-    pageRankCore(e, iters, damp, scale)
+    pageRankCore(e, iters, damp, scale, reliable)
   }
 
   /** Weighted-edge PageRank: each node distributes its rank
@@ -69,29 +69,29 @@ object Graph {
     * [[graft.ops.Audit]] when that must be an error, not a filter). */
   def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, iters: Int = 5, damp: Long = 85L,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L, reliable: Boolean = false): DataFrame = {
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"),
         col(weightCol).cast(LongType).as("w"))
       .filter(col("w") > 0L)
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-    pageRankCore(e, iters, damp, scale)
+    pageRankCore(e, iters, damp, scale, reliable)
   }
 
   /** Shared power-iteration core over a prepared (src, dst, w) edge
     * frame (w > 0, parallel edges pre-merged). */
   private def pageRankCore(e: DataFrame, iters: Int, damp: Long,
-      scale: Long): DataFrame = {
+      scale: Long, reliable: Boolean): DataFrame = {
+    def mat(df: DataFrame): DataFrame = Checkpoints.materialize(df, reliable)
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     require(damp >= 0L && damp <= 100L, s"damp must be in [0,100] (got $damp)")
     require(scale >= 1L, s"scale must be >= 1 (got $scale)")
     val outw = e.groupBy("src").agg(sum(col("w")).as("outw"))
     // (src, dst, w, outw) partitioned on the per-round join key and
     // materialized once — rounds shuffle only the rank side
-    val eo = e.join(outw, Seq("src"))
-      .repartition(col("src")).localCheckpoint()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val eo = mat(e.join(outw, Seq("src")).repartition(col("src")))
+    val nodes = mat(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
     // overflow contract, ENFORCED: rank mass is bounded by the teleport
     // equilibrium n·scale (M_t <= n·(1−d)·scale + d·M_{t−1}, fixpoint
     // n·scale, leak only shrinks it), so the largest intermediates are
@@ -109,18 +109,18 @@ object Graph {
       s"pageRank overflow contract: nodes($n) x scale($scale) x " +
         s"max_weight($wmax) exceeds 2^62 — lower scale or rescale weights")
     val base = (100L - damp) * scale / 100L
-    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint()
+    var ranks = mat(nodes.withColumn("rank", lit(scale)))
     (1 to iters).foreach { _ =>
       val contribs = eo.join(ranks, eo("src") === ranks("id"))
         .select(col("dst"), expr("(rank * w) div outw").as("_c"))
         .groupBy("dst").agg(sum(col("_c")).as("_s"))
-      val next = nodes.join(contribs, nodes("id") === contribs("dst"), "left")
+      val next = mat(nodes
+        .join(contribs, nodes("id") === contribs("dst"), "left")
         .select(col("id"),
           // SQL div: exact 64-bit floor division (Column./ on longs
           // silently promotes to double — the determinism killer here)
           (lit(base) + expr(s"($damp * coalesce(_s, 0)) div 100"))
-            .as("rank"))
-        .localCheckpoint()
+            .as("rank")))
       // next is materialized (eager checkpoint) — the previous round's
       // blocks are dead; release them before they pile up round-on-round
       Checkpoints.release(ranks)

@@ -71,4 +71,73 @@ class CheckpointHygieneSpec extends SparkSpec {
     Checkpoints.release(df) // must not throw
     assert(df.count() == 3L)
   }
+
+  private def rddDirs(dir: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (!f.isDirectory) Seq.empty
+      else f.listFiles().toSeq.flatMap(walk) :+ f
+    walk(new java.io.File(dir)).filter(_.getName.startsWith("rdd-"))
+      .map(_.getName)
+  }
+
+  test("reliable=true: same answers, rounds checkpoint to the dir, " +
+      "superseded rounds' files are deleted") {
+    clearAll()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L))
+        .toDF("src", "dst")
+      val fast = Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      clearAll()
+      val durable = Graph.pageRank(edges, "src", "dst", iters = 3,
+        reliable = true)
+      // superseded rounds + loop inputs are gone from the checkpoint
+      // dir; only the returned frame's files may remain
+      assert(rddDirs(ckpt).size == 1,
+        s"expected 1 surviving checkpoint, got ${rddDirs(ckpt)}")
+      assert(durable.orderBy("id").as[(Long, Long)].collect().toSeq ==
+        fast)
+      Checkpoints.release(durable)
+      assert(rddDirs(ckpt).isEmpty, s"leftovers: ${rddDirs(ckpt)}")
+
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+      val fastCc = DedupOps.dedupClusters(pairs, "a", "b")
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      clearAll()
+      val durableCc = DedupOps.dedupClusters(pairs, "a", "b",
+        reliable = true)
+      assert(durableCc.orderBy("id").as[(Long, Long)].collect().toSeq
+        == fastCc)
+      clearAll()
+      val fastStar = DedupOps.dedupClustersStar(pairs, "a", "b")
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      clearAll()
+      val durableStar = DedupOps.dedupClustersStar(pairs, "a", "b",
+        reliable = true)
+      assert(durableStar.orderBy("id").as[(Long, Long)].collect().toSeq
+        == fastStar)
+      clearAll()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(ckpt))
+    }
+  }
+
+  test("reliable=true without a checkpoint dir fails fast and clearly") {
+    // this suite may run after the reliable test set a dir on the
+    // SHARED session — only assert when no dir is configured
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val edges = Seq((1L, 2L)).toDF("src", "dst")
+      val e = intercept[IllegalArgumentException] {
+        Graph.pageRank(edges, "src", "dst", iters = 1, reliable = true)
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+  }
 }
