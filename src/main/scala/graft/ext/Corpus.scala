@@ -90,8 +90,13 @@ object Corpus {
     * canonical lookup is a LEFT join; a doc whose canonical member is
     * absent from `df` (stale or superset labels) or whose cluster_id is
     * null (id failed the long cast) falls back to its OWN text's
-    * [[assignSplit]] decision — evaluated lazily per row (CaseWhen), so
-    * covered rows never pay the second fingerprint. */
+    * [[assignSplit]] decision. The fallback label is computed
+    * SCAN-SIDE, before the joins: a post-join `coalesce` over the raw
+    * text column would pin `text` into both join shuffles (column
+    * pruning cannot drop a referenced column — measured 3.4× on the
+    * x81 gate when this op briefly did exactly that), whereas the
+    * precomputed label adds one codegen'd fingerprint per row at scan
+    * speed and only the 5-char label crosses. */
   def clusterSafeSplit(df: DataFrame, idCol: String, textCol: String,
       labels: DataFrame, trainPct: Int = 80, valPct: Int = 10)
       : DataFrame = {
@@ -101,14 +106,15 @@ object Corpus {
       df.select(col(idCol).as("_cid"), col(textCol).as("_ctext")),
       "_ctext", trainPct, valPct)
       .select(col("_cid"), col("split").as("_csplit"))
-    df.join(lbl, col(idCol) === col("_lid"), "left")
+    df.withColumn("_ownsplit",
+        splitLabel(col(textCol), trainPct, valPct))
+      .join(lbl, col(idCol) === col("_lid"), "left")
       .withColumn("cluster_id",
         coalesce(col("_lcl"), col(idCol).cast(LongType)))
       .drop("_lid", "_lcl")
       .join(canon, col("cluster_id") === col("_cid"), "left")
-      .withColumn("split", coalesce(col("_csplit"),
-        splitLabel(col(textCol), trainPct, valPct)))
-      .drop("_cid", "_csplit")
+      .withColumn("split", coalesce(col("_csplit"), col("_ownsplit")))
+      .drop("_cid", "_csplit", "_ownsplit")
   }
 
   /** Deterministic hash-based downsampling: keep rows whose md5(key)
