@@ -40,17 +40,25 @@ class PlanAuditSpec extends SparkSpec {
   // a PROVABLY 1-row broadcast aggregate cross join.
   // x85's lexical leg IS x80 and its exact leg IS bruteForceTopK — both
   // sanctioned shapes above; the fusion joins themselves are keyed.
+  // x89/x90 serve x80's scoring from the persisted postings index: the
+  // 1-row stats table crossJoins in the same PROVABLY-1-row broadcast
+  // shape (the postings/termstats joins themselves are keyed hash
+  // joins with the term filter pushed to the scan — Bm25IndexSpec
+  // asserts the pushdown); x90's vector legs are x85's.
   private val nestedLoopBaseline =
     Set("x05_cosine_topk", "x34_quantized_topk", "x69_lm_doc_score",
       "x74_pq_topk", "x75_term_drift", "x77_hard_negatives",
-      "x78_rrf_fusion", "x80_bm25_topk", "x85_hybrid_retrieval")
+      "x78_rrf_fusion", "x80_bm25_topk", "x85_hybrid_retrieval",
+      "x89_bm25_index_topk", "x90_hybrid_index_retrieval")
 
   // x85's lexical leg ranks bm25TopK's ALREADY-LIMITED k-row list with
   // a per-query window whose query_id is a literal — Catalyst folds the
   // constant partition key away, leaving an empty spec. The window
   // input is <= k rows by construction (it sits above the TakeOrdered
   // limit), so the single task sorts a bounded list, never the corpus.
-  private val boundedGlobalWindowBaseline = Set("x85_hybrid_retrieval")
+  // x90's lexical leg is the same wrapper over the index serve path.
+  private val boundedGlobalWindowBaseline =
+    Set("x85_hybrid_retrieval", "x90_hybrid_index_retrieval")
 
   // conservative per-literal size estimate: exact for the classes that
   // can actually get big (binary sketches, strings, array literals)
