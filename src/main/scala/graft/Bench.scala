@@ -60,6 +60,10 @@ object Bench {
         System.err.println(s"[bench] hygiene held(shuffles,broadcasts): " +
           s"$before -> $after")
       }
+      // settle the heap OUTSIDE the measured window: without this an
+      // occasional mid-query full GC charges one victim query 2-3x its
+      // cost (observed as run-to-run outliers on the iterative queries)
+      System.gc()
     }
 
     // JVM/codegen warmup on the tiny sf so measured times are steady-state.
