@@ -1741,6 +1741,28 @@ object SparkEntry {
         m = 4, ks = 8, pqIters = 2, trainSample = Some("8000"))
     },
 
+    // kNN graph from the learned inverted file (x91): every vector
+    // queries its probed cells — candidates ~nprobe·N/kCentroids per
+    // node, never N², and the bucket join is a shuffle join because
+    // the query side IS the corpus (broadcasting N rows is the
+    // small-batch serve path's trick, not this one's).
+    "x91_knn_graph" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      graft.ext.Similarity.knnGraph(emb, "vec_id", "embedding",
+        k = 3, kCentroids = 8, iters = 2, nprobe = 2)
+    },
+
+    // embedding-space clustering (x92): connected components of the
+    // MUTUAL kNN graph — x91's edges symmetrized by a keyed self-join,
+    // components via the diameter-independent alternating-star CC
+    // (mutual-kNN components can be chains), singletons labeled
+    // themselves. The semantic-cluster op behind diversity pruning.
+    "x92_mutual_knn_clusters" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      graft.ext.Similarity.mutualKnnClusters(emb, "vec_id", "embedding",
+        k = 3, kCentroids = 8, iters = 2, nprobe = 2)
+    },
+
     // hybrid retrieval (x85): BM25 lexical list + exact-cosine + sign-
     // LSH vector lists for the same query, fused by N-way reciprocal
     // rank — the production hybrid-search shape x78+x80 imply.
@@ -3182,6 +3204,47 @@ object SparkEntry {
                       $sampledEncJoins
                       WHERE x.vec_id <> q.vec_id))
           WHERE rank <= 5"""
+    // x91/x92: the x67 serving CTEs with EVERY vector as a query (no
+    // vec_id filter in probes), k=3; x92 symmetrizes to mutual edges
+    // and closes them with the x31-style recursive min-label closure,
+    // labeling singletons with their own id.
+    val knnGraphCtes =
+      s"""probes AS (
+            SELECT query_id, cl AS bucket FROM (
+              SELECT v.vec_id AS query_id, c.cl,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY $kmeansD2, c.cl) AS rn
+              FROM v v, c2 c)
+            WHERE rn <= 2),
+          knn AS (
+            SELECT query_id AS src, vec_id AS dst, rank, cos
+            FROM (SELECT p.query_id, b.vec_id, $cosPairExpr AS cos,
+                         row_number() OVER (PARTITION BY p.query_id
+                           ORDER BY $cosPairExpr DESC, b.vec_id ASC)
+                           AS rank
+                  FROM probes p
+                       JOIN a3 s ON s.cl = p.bucket
+                       JOIN v b ON b.vec_id = s.vec_id
+                       JOIN v a ON a.vec_id = p.query_id
+                  WHERE b.vec_id <> p.query_id)
+            WHERE rank <= 3)"""
+    val knnGraphOracle: String =
+      s"""WITH $kmeansCtes,
+          $knnGraphCtes
+          SELECT src, dst, CAST(rank AS BIGINT) AS rank, cos FROM knn"""
+    val mutualKnnOracle: String =
+      s"""WITH RECURSIVE $kmeansCtes,
+          $knnGraphCtes,
+          mu AS (SELECT a.src AS eu, a.dst AS ev FROM knn a
+                 JOIN knn b ON b.src = a.dst AND b.dst = a.src),
+          reach(ru, rv) AS (
+            SELECT eu, ev FROM mu
+            UNION
+            SELECT r.ru, e2.ev FROM reach r JOIN mu e2 ON r.rv = e2.eu),
+          lbl AS (SELECT ru AS lid, least(ru, min(rv)) AS lcluster
+                  FROM reach GROUP BY ru)
+          SELECT v.vec_id, coalesce(l.lcluster, v.vec_id) AS cluster_id
+          FROM v LEFT JOIN lbl l ON v.vec_id = l.lid"""
     // --- Wrapping 64-bit arithmetic in DuckDB, for the FNV-1a +
     // splitmix64 token hashing behind x03/x04 (TextHashExprs.hashToken).
     // DuckDB's checked BIGINT refuses overflow, so values live as
@@ -4222,6 +4285,8 @@ object SparkEntry {
       "x84_ivfpq_topk" -> ivfPqOracle,
       "x87_ivf_sampled_train" -> ivfSampledOracle,
       "x88_ivfpq_sampled_train" -> ivfPqSampledOracle,
+      "x91_knn_graph" -> knnGraphOracle,
+      "x92_mutual_knn_clusters" -> mutualKnnOracle,
       "x85_hybrid_retrieval" -> hybridOracle,
       // persisted-index twins: lifecycle differs, the answer must not
       "x89_bm25_index_topk" -> x80Sql,

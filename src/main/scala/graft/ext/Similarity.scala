@@ -152,7 +152,14 @@ object Similarity {
     * contract. */
   def ivfLearnedTopKWith(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      centroids: Seq[(Long, Seq[Double])], nprobe: Int = 2): DataFrame = {
+      centroids: Seq[(Long, Seq[Double])], nprobe: Int = 2): DataFrame =
+    ivfServe(corpus, queries, idCol, vecCol, k, centroids, nprobe,
+      broadcastQueries = true)
+
+  private def ivfServe(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Seq[(Long, Seq[Double])], nprobe: Int,
+      broadcastQueries: Boolean): DataFrame = {
     require(centroids.nonEmpty, "ivfLearnedTopKWith: no centroids")
     graft.functions.VectorExprs.register(corpus.sparkSession)
     import graft.functions.VectorExprs.dotF64
@@ -162,15 +169,72 @@ object Similarity {
       .withColumn("nrm", sqrt(dotF64(col("_v"), col("_v"))))
       .select(col("vec_id"), col("_v").as("v"),
         col("cluster").as("bucket"), col("nrm"))
-    serveBuckets(c, queries, idCol, vecCol, k, centroids, nprobe)
+    serveBuckets(c, queries, idCol, vecCol, k, centroids, nprobe,
+      broadcastQueries)
+  }
+
+  /** kNN graph over an embedding corpus, served from the learned
+    * inverted file: EVERY vector is a query probing its `nprobe`
+    * nearest cells, so candidates per node are ~nprobe·N/kCentroids —
+    * the all-pairs-free construction behind embedding-space clustering
+    * and diversity pruning (an N² pairing is exactly what this op
+    * exists to avoid). Because the query side IS the corpus, the
+    * bucket join is a SHUFFLE join on the cell id (both sides
+    * hash-partition; broadcasting N query rows would be the
+    * anti-pattern the small-batch serve path rightly uses).
+    * Output: (src, dst, rank, cos) — k rows per node, exact cosine
+    * within probed cells, [[ivfLearnedTopK]]'s determinism contract;
+    * `trainSample` composes for the build-vs-serve split (x87). */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 3, kCentroids: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      trainSample: Option[String] = None): DataFrame =
+    ivfServe(corpus, corpus, idCol, vecCol, k,
+      Clustering.kmeansCentroids(corpus, idCol, vecCol, kCentroids,
+        iters, trainSample),
+      nprobe, broadcastQueries = false)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"),
+        col("rank"), col("cos"))
+
+  /** Embedding-space clusters = connected components of the MUTUAL
+    * kNN graph (an edge iff each endpoint is in the other's top-k —
+    * the standard symmetrization that keeps hub nodes from fusing
+    * unrelated regions). Composition: [[knnGraph]] (inverted-file
+    * candidates, no N²) → mutual filter (one keyed self-join on the
+    * 16-byte edge pair) → [[DedupOps.dedupClustersStar]] (alternating
+    * star — mutual-kNN components CAN be chains, so the
+    * diameter-independent CC is the right one, not min-propagation).
+    * Every corpus vector gets a label; vectors with no mutual
+    * neighbor are their own singleton cluster (the split-coverage
+    * rule). Output: (vec_id, cluster_id = component min). */
+  def mutualKnnClusters(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 3, kCentroids: Int = 8, iters: Int = 2,
+      nprobe: Int = 2, trainSample: Option[String] = None): DataFrame = {
+    val g = knnGraph(corpus, idCol, vecCol, k, kCentroids, iters,
+      nprobe, trainSample).select(col("src"), col("dst"))
+    val mutual = g.join(
+      g.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"))
+    val labels = DedupOps.dedupClustersStar(mutual, "src", "dst")
+    corpus.select(col(idCol).cast(LongType).as("vec_id"))
+      .join(labels, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
   }
 
   /** Serving core shared by [[ivfLearnedTopKWith]] (in-memory bucketing)
     * and [[queryIvfIndex]] (bucketing persisted by [[saveIvfIndex]]):
-    * `c` must carry (vec_id, v, bucket, nrm). */
+    * `c` must carry (vec_id, v, bucket, nrm).
+    *
+    * `broadcastQueries = true` (the serve default) is right when |Q| is
+    * a query batch — the probe join builds a small hash relation. When
+    * the QUERY SIDE IS THE CORPUS ([[knnGraph]]: every vector queries),
+    * broadcasting N rows is the anti-pattern; `false` leaves the
+    * bucket-keyed join to Catalyst/AQE, which shuffles both sides on
+    * the bucket id. */
   private def serveBuckets(c: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      centroids: Seq[(Long, Seq[Double])], nprobe: Int): DataFrame = {
+      centroids: Seq[(Long, Seq[Double])], nprobe: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
     graft.functions.VectorExprs.register(queries.sparkSession)
     import graft.functions.VectorExprs.{dotF64, sqDistF64}
@@ -187,7 +251,8 @@ object Similarity {
         explode(probeList).as("_pr"))
       .select(col("query_id"), col("qv"), col("qnrm"),
         col("_pr.cl").as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(if (broadcastQueries) broadcast(q) else q,
+        Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(coalesce(
         try_divide(dotF64(col("qv"), col("v")), col("qnrm") * col("nrm")),

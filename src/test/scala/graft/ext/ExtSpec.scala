@@ -1046,4 +1046,43 @@ class ExtSpec extends SparkSpec {
     val rPq = (pairs(ivfpq) & exact).size.toDouble / exact.size
     assert(rPq >= 0.8, s"sampled-trained IVFPQ recall@5: $rPq")
   }
+
+  test("kNN graph (x91/x92): k per node, corpus-as-queries is not " +
+      "broadcast, mutual-kNN clusters are pure and min-labeled") {
+    val clustered = (0 until 200).map { id =>
+      val cl = id % 8
+      val v = (0 until 64).map(d =>
+        (if (d == cl * 8) 4.0 else 0.0) +
+          ((id * 31 + d * 7) % 11) * 0.02)
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(clustered, "vec_id", "embedding", k = 3)
+    val perNode = g.groupBy("src").count().collect()
+    assert(perNode.length == 200 && perNode.forall(_.getLong(1) == 3L))
+    // the query side IS the corpus — the plan must not carry a
+    // broadcast hint (the small-batch serve path keeps its hint)
+    assert(!g.queryExecution.analyzed.toString
+      .toLowerCase.contains("broadcast"))
+    val served = Similarity.ivfLearnedTopK(clustered,
+      clustered.filter($"vec_id" < 8), "vec_id", "embedding", k = 3)
+    assert(served.queryExecution.analyzed.toString
+      .toLowerCase.contains("broadcast"))
+
+    val cl = Similarity.mutualKnnClusters(clustered, "vec_id",
+      "embedding", k = 3)
+    val rows = cl.as[(Long, Long)].collect()
+    assert(rows.length == 200, "coverage: every vector must be labeled")
+    // label invariant: the cluster id is the component's min member
+    rows.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.map(_._1).min == label,
+        s"cluster $label is not its members' min")
+    }
+    // purity on the separated fixture: no multi-member cluster mixes
+    // home dimensions (near-certain separation by construction)
+    rows.groupBy(_._2).filter(_._2.length > 1).foreach {
+      case (label, members) =>
+        assert(members.map(_._1 % 8).distinct.length == 1,
+          s"cluster $label mixes home dims: ${members.map(_._1).toSeq}")
+    }
+  }
 }
