@@ -28,10 +28,14 @@ object Verify {
       case None => SparkEntry.queries
     }
     // Failures must be FIRST-CLASS in the artifact: a query that throws
-    // writes its error text to _errors/<name>.txt (and a rollup json), so
-    // the driver/judge sees an `err` row instead of a silent absence —
-    // r9's ten vanished queries looked like never-declared queries.
-    val errDir = Paths.get(outDir, "_errors")
+    // writes its error text to <outDir>_errors/<name>.txt (and a rollup
+    // json), so the driver/judge sees an `err` row instead of a silent
+    // absence — r9's ten vanished queries looked like never-declared
+    // queries. The marker dir lives as a SIBLING of outDir: anything
+    // inside outDir is scanned as a query result, so an in-tree marker
+    // showed up as a 147th pseudo-query "_errors" in CORRECTNESS_r10.
+    val outPath = Paths.get(outDir).toAbsolutePath
+    val errDir = outPath.resolveSibling(outPath.getFileName.toString + "_errors")
     Files.createDirectories(errDir)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>

@@ -45,6 +45,15 @@ object Tables {
       case Some(LongType) => // nanos-as-long fixtures
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case Some(TimestampNTZType) => // micros-NTZ fixtures (UTC sessions)
+        // The NTZ→TZ cast reinterprets naive micros in the SESSION zone;
+        // it is only value-identical to DuckDB's naive read when that
+        // zone is UTC. A non-UTC session would silently shift every ts,
+        // so fail loudly instead (all gated sessions pin UTC).
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+          s"normalizeTs: TIMESTAMP_NTZ fixtures require a UTC session " +
+          s"time zone (found '$tz') — the naive-micros reinterpretation " +
+          s"would silently offset every value otherwise")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }

@@ -48,8 +48,15 @@ object EventStream {
     * `div 1000` → micros; micros-NTZ → cast (UTC-pinned sessions). */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(eventsDir).schema
-      .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
+    // The sniff throws "Unable to infer schema" on an empty directory —
+    // the common streaming pattern of starting the stream before the
+    // first file lands. Fall back to the historical nanos-long schema in
+    // that case (what every fixture generation before the NTZ switch
+    // shipped); a caller that knows better can pre-create a file first.
+    val tsType = scala.util.Try(spark.read.parquet(eventsDir).schema)
+      .toOption
+      .flatMap(_.find(_.name == "ts").map(_.dataType))
+      .getOrElse(LongType)
     val raw = spark.readStream
       .schema(eventSchema(tsType))
       .parquet(eventsDir)
