@@ -667,7 +667,7 @@ object TextAnalysis {
     // df_t from the postings we just wrote — one index-sized pass, no
     // second tokenize
     val spark = df.sparkSession
-    spark.read.parquet(s"$path/postings")
+    readPostings(spark, path)
       .groupBy("term").agg(count(lit(1)).as("df_t"))
       .repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$path/termstats")
@@ -693,7 +693,7 @@ object TextAnalysis {
       "queryTerms must be non-empty strings (empty/whitespace-only " +
         "docs post an '' token row)")
     val qset = queryTerms.map(_.toLowerCase)
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = readPostings(spark, path)
       .filter(col("term").isin(qset: _*))
     val termstats = spark.read.parquet(s"$path/termstats")
       .filter(col("term").isin(qset: _*))
@@ -730,26 +730,58 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"), col("doc_id").as("vec_id"))
   }
 
+  /** Read the full postings dataset of a [[saveBm25Index]] index. The
+    * inverted file is the base build's flat part-files PLUS one
+    * `delta_<batchId>/` subdirectory per [[appendToBm25Index]] batch, so
+    * listing must recurse (`recursiveFileLookup` — plain file listing,
+    * row-group min/max pruning on the term-sorted files still applies). */
+  private def readPostings(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$path/postings")
+
   /** Append new documents to a persisted [[saveBm25Index]] index
     * WITHOUT re-tokenizing the existing corpus — the daily-ingest half
     * of the lifecycle (the [[graft.ext.Similarity.appendToIvfIndex]]
-    * analogue): new postings append to the inverted file, term df and
-    * the corpus constants merge incrementally (cost ∝ new docs +
-    * vocabulary, never the indexed corpus). The merged termstats/stats
-    * go through the staged-swap ([[graft.sinks.TableSwap]]) so a crash
-    * mid-update never leaves a half-written statistics table; postings
-    * append last so a crash before it leaves stats counting docs whose
-    * postings are absent — conservative (idf dips), never corrupt, and
-    * the re-run converges. Caller contract: `newDocs` ids must be
-    * disjoint from the indexed ids (same as the IVF append). */
+    * analogue): new postings land as a per-batch `delta_<batchId>/`
+    * subdirectory of the inverted file, term df and the corpus
+    * constants merge incrementally (cost ∝ new docs + vocabulary,
+    * never the indexed corpus).
+    *
+    * Crash-safety + IDEMPOTENT RETRY, keyed on `batchId`:
+    *
+    *  - termstats/stats merges go through the staged-swap
+    *    ([[graft.sinks.TableSwap]]); each staged table carries an
+    *    `_applied_<batchId>` marker file INSIDE the directory, so the
+    *    marker becomes visible atomically with the swap. A retry skips
+    *    any table whose marker is already present — a crash after the
+    *    termstats swap but before the stats swap (or postings) can
+    *    never double-count the delta on re-run.
+    *  - delta postings are written to a staging sibling and renamed
+    *    into `postings/delta_<batchId>` LAST, so a crash before the
+    *    rename leaves stats counting docs whose postings are absent —
+    *    conservative (idf dips), never corrupt — and readers never see
+    *    a half-written delta. If the delta directory already exists the
+    *    whole batch was applied and the call is a no-op.
+    *
+    * Caller contract: `newDocs` ids must be disjoint from the indexed
+    * ids (same as the IVF append), and `batchId` must uniquely name
+    * this delta (a stream's micro-batch id, an ingest date, ...) —
+    * reusing an applied id skips the append. */
   def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
-      path: String, newDocs: DataFrame, idCol: String, textCol: String)
-      : Unit = {
+      path: String, newDocs: DataFrame, idCol: String, textCol: String,
+      batchId: String): Unit = {
     import org.apache.hadoop.fs.Path
+    require(batchId.nonEmpty && batchId.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"batchId must be a filesystem-safe token (got '$batchId')")
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     graft.sinks.TableSwap.recoverStranded(fs, s"$path/termstats")
     graft.sinks.TableSwap.recoverStranded(fs, s"$path/stats")
+    val deltaDir = new Path(s"$path/postings/delta_$batchId")
+    if (fs.exists(deltaDir)) return // postings land last ⇒ fully applied
+    val marker = s"_applied_$batchId"
     val toks = tokens(lower(col(textCol)))
     val newBase = newDocs.select(
         col(idCol).cast(LongType).as("doc_id"),
@@ -758,34 +790,70 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // termstats merge: old ⋈ delta full-outer, summed — writes to
-      // __staging, then swaps into place
-      val delta = newBase.groupBy("term").agg(count(lit(1)).as("_ddf"))
-      spark.read.parquet(s"$path/termstats")
-        .join(delta, Seq("term"), "full_outer")
-        .select(col("term"),
-          (coalesce(col("df_t"), lit(0L)) + coalesce(col("_ddf"), lit(0L)))
-            .as("df_t"))
-        .repartition(col("term")).sortWithinPartitions("term")
-        .write.parquet(
-          graft.sinks.TableSwap.stagingPath(s"$path/termstats").toString)
-      graft.sinks.TableSwap.swapStaged(fs, s"$path/termstats")
+      // __staging (Overwrite: a crashed attempt's partial staging dir
+      // must not fail the retry), then swaps into place
+      if (!fs.exists(new Path(s"$path/termstats/$marker"))) {
+        val delta = newBase.groupBy("term").agg(count(lit(1)).as("_ddf"))
+        val staging =
+          graft.sinks.TableSwap.stagingPath(s"$path/termstats")
+        spark.read.parquet(s"$path/termstats")
+          .join(delta, Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("df_t"), lit(0L)) +
+              coalesce(col("_ddf"), lit(0L))).as("df_t"))
+          .repartition(col("term")).sortWithinPartitions("term")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(staging.toString)
+        carryAppliedMarkers(fs, s"$path/termstats", staging, marker)
+        graft.sinks.TableSwap.swapStaged(fs, s"$path/termstats")
+      }
       // corpus constants: tiny driver-side read + rewrite via staging
-      val old = spark.read.parquet(s"$path/stats")
-        .select(col("n_docs"), col("total_len")).head()
-      val add = newDocs.select(
-          count(lit(1)).as("n"),
-          coalesce(sum(tokenCount(col(textCol))), lit(0L)).as("len"))
-        .head()
-      spark.range(1).select(
-          lit(old.getLong(0) + add.getLong(0)).as("n_docs"),
-          lit(old.getLong(1) + add.getLong(1)).as("total_len"))
-        .coalesce(1).write.parquet(
-          graft.sinks.TableSwap.stagingPath(s"$path/stats").toString)
-      graft.sinks.TableSwap.swapStaged(fs, s"$path/stats")
-      // inverted-file append last (see ordering contract above)
+      if (!fs.exists(new Path(s"$path/stats/$marker"))) {
+        val old = spark.read.parquet(s"$path/stats")
+          .select(col("n_docs"), col("total_len")).head()
+        val add = newDocs.select(
+            count(lit(1)).as("n"),
+            coalesce(sum(tokenCount(col(textCol))), lit(0L)).as("len"))
+          .head()
+        val staging = graft.sinks.TableSwap.stagingPath(s"$path/stats")
+        spark.range(1).select(
+            lit(old.getLong(0) + add.getLong(0)).as("n_docs"),
+            lit(old.getLong(1) + add.getLong(1)).as("total_len"))
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(staging.toString)
+        carryAppliedMarkers(fs, s"$path/stats", staging, marker)
+        graft.sinks.TableSwap.swapStaged(fs, s"$path/stats")
+      }
+      // inverted-file delta last (see ordering contract above): staged
+      // write OUTSIDE postings/ (readers never see a partial delta),
+      // then one rename into place
+      val deltaStaging =
+        new Path(s"$path/postings__delta_${batchId}__staging")
       newBase.repartition(col("term"))
         .sortWithinPartitions("term", "doc_id")
-        .write.mode("append").parquet(s"$path/postings")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(deltaStaging.toString)
+      require(fs.rename(deltaStaging, deltaDir),
+        s"delta rename failed: $deltaStaging -> $deltaDir")
     } finally newBase.unpersist(blocking = false)
+  }
+
+  /** Copy the live table's `_applied_*` markers into the staged dir and
+    * add this batch's — underscore-prefixed files are invisible to
+    * parquet readers, and living inside the swapped directory makes the
+    * marker set change atomically with the table contents. */
+  private def carryAppliedMarkers(fs: org.apache.hadoop.fs.FileSystem,
+      live: String, staging: org.apache.hadoop.fs.Path,
+      newMarker: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val prior =
+      if (fs.exists(new Path(live)))
+        fs.listStatus(new Path(live)).map(_.getPath.getName)
+          .filter(_.startsWith("_applied_"))
+      else Array.empty[String]
+    (prior :+ newMarker).distinct.foreach { m =>
+      fs.create(new Path(staging, m), true).close()
+    }
   }
 }

@@ -46,7 +46,8 @@ class Bm25IndexSpec extends SparkSpec {
     val lo = docs.filter(col("doc_id") < 250)
     val hi = docs.filter(col("doc_id") >= 250)
     TextAnalysis.saveBm25Index(lo, "doc_id", "text", half)
-    TextAnalysis.appendToBm25Index(spark, half, hi, "doc_id", "text")
+    TextAnalysis.appendToBm25Index(spark, half, hi, "doc_id", "text",
+      batchId = "b1")
     TextAnalysis.saveBm25Index(docs, "doc_id", "text", full)
     assert(rows(TextAnalysis.queryBm25Index(spark, half, terms, 10)) ==
       rows(TextAnalysis.queryBm25Index(spark, full, terms, 10)))
@@ -61,6 +62,62 @@ class Bm25IndexSpec extends SparkSpec {
     val tFull = spark.read.parquet(s"$full/termstats")
       .as[(String, Long)].collect().sortBy(_._1).toSeq
     assert(tHalf == tFull)
+  }
+
+  test("append retry with the same batchId is idempotent") {
+    val half = scratch()
+    val full = scratch()
+    val lo = docs.filter(col("doc_id") < 250)
+    val hi = docs.filter(col("doc_id") >= 250)
+    TextAnalysis.saveBm25Index(lo, "doc_id", "text", half)
+    TextAnalysis.appendToBm25Index(spark, half, hi, "doc_id", "text",
+      batchId = "b1")
+    TextAnalysis.saveBm25Index(docs, "doc_id", "text", full)
+    def stats(p: String) =
+      spark.read.parquet(s"$p/stats").as[(Long, Long)].head()
+    def termstats(p: String) =
+      spark.read.parquet(s"$p/termstats").as[(String, Long)]
+        .collect().sortBy(_._1).toSeq
+    // full retry after success: delta dir exists ⇒ no-op
+    TextAnalysis.appendToBm25Index(spark, half, hi, "doc_id", "text",
+      batchId = "b1")
+    assert(stats(half) == stats(full))
+    // the r10-ADVICE crash window: stats/termstats swapped, postings
+    // delta not yet landed. Simulate by deleting the delta dir; the
+    // retry must re-land postings WITHOUT re-merging the statistics
+    // (the _applied_b1 markers gate the merges).
+    val fs = new org.apache.hadoop.fs.Path(half).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$half/postings/delta_b1"), true))
+    TextAnalysis.appendToBm25Index(spark, half, hi, "doc_id", "text",
+      batchId = "b1")
+    assert(stats(half) == stats(full))
+    assert(termstats(half) == termstats(full))
+    assert(rows(TextAnalysis.queryBm25Index(spark, half, terms, 10)) ==
+      rows(TextAnalysis.queryBm25Index(spark, full, terms, 10)))
+  }
+
+  test("streamed appends converge to the one-shot build (x97)") {
+    val base = scratch()
+    val full = scratch()
+    TextAnalysis.saveBm25Index(docs.filter(col("doc_id") < 150),
+      "doc_id", "text", s"$base/idx")
+    docs.filter(col("doc_id") >= 150)
+      .repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$base/newdocs")
+    val schema = spark.read.parquet(s"$base/newdocs").schema
+    val q = graft.streaming.StreamIndex.bm25AppendWriter(spark,
+        s"$base/newdocs", schema, s"$base/idx", "doc_id", "text")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.awaitTermination()
+    TextAnalysis.saveBm25Index(docs, "doc_id", "text", full)
+    assert(rows(TextAnalysis.queryBm25Index(spark, s"$base/idx", terms,
+      10)) == rows(TextAnalysis.queryBm25Index(spark, full, terms, 10)))
+    // statistics converge exactly, not just the served top-k
+    assert(spark.read.parquet(s"$base/idx/stats").as[(Long, Long)]
+      .head() == spark.read.parquet(s"$full/stats").as[(Long, Long)]
+      .head())
   }
 
   test("serve plan pushes the term filter to the postings scan") {
