@@ -195,6 +195,32 @@ object Similarity {
       .select(col("query_id").as("src"), col("vec_id").as("dst"),
         col("rank"), col("cos"))
 
+  /** [[knnGraph]] served from a persisted [[saveIvfIndex]] index — the
+    * train-once/serve-many twin that retires the one rebuild-per-call
+    * path left after x71/x89: no k-means training, no re-bucketing; the
+    * query side is the index's own bucket-partitioned corpus (vectors +
+    * precomputed norms), probe cells come from the k-row centroid
+    * reload, and the bucket join is the same shuffle join (the query
+    * side IS the corpus — broadcasting N rows would be the
+    * anti-pattern). Reproduces [[knnGraph]] on the indexed corpus
+    * bit-for-bit when the index was trained with the same
+    * (kCentroids, iters) (ExtSpec pins it; gated x93 replays x91's
+    * oracle from a cold reload). */
+  def knnGraphFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val centroids = loadIvfCentroids(spark, path)
+    require(centroids.nonEmpty, s"knnGraphFromIndex: empty index at $path")
+    val c = spark.read.parquet(s"$path/corpus")
+      .select(col("vec_id"), col("v"),
+        col("bucket").cast(LongType).as("bucket"), col("nrm"))
+    val q = spark.read.parquet(s"$path/corpus")
+      .select(col("vec_id"), col("v"))
+    serveBuckets(c, q, "vec_id", "v", k, centroids, nprobe,
+      broadcastQueries = false)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"),
+        col("rank"), col("cos"))
+  }
+
   /** Embedding-space clusters = connected components of the MUTUAL
     * kNN graph (an edge iff each endpoint is in the other's top-k —
     * the standard symmetrization that keeps hub nodes from fusing
@@ -205,18 +231,49 @@ object Similarity {
     * diameter-independent CC is the right one, not min-propagation).
     * Every corpus vector gets a label; vectors with no mutual
     * neighbor are their own singleton cluster (the split-coverage
-    * rule). Output: (vec_id, cluster_id = component min). */
+    * rule). Output: (vec_id, cluster_id = component min).
+    *
+    * `trainSample` composes into the k-means training (x87's
+    * build-vs-serve split); `reliable` threads through to the star-CC
+    * loop so the iterative component state can live in fault-tolerant
+    * checkpoint storage ([[Checkpoints.materialize]]) — both knobs a
+    * 100 TB run wants at this composition's outermost call site. */
   def mutualKnnClusters(corpus: DataFrame, idCol: String,
       vecCol: String, k: Int = 3, kCentroids: Int = 8, iters: Int = 2,
-      nprobe: Int = 2, trainSample: Option[String] = None): DataFrame = {
+      nprobe: Int = 2, trainSample: Option[String] = None,
+      reliable: Boolean = false): DataFrame = {
     val g = knnGraph(corpus, idCol, vecCol, k, kCentroids, iters,
       nprobe, trainSample).select(col("src"), col("dst"))
+    mutualClustersFromGraph(g,
+      corpus.select(col(idCol).cast(LongType).as("vec_id")), reliable)
+  }
+
+  /** [[mutualKnnClusters]] served from a persisted [[saveIvfIndex]]
+    * index: [[knnGraphFromIndex]] candidates (no training, no
+    * re-bucketing) → mutual filter → alternating-star CC. Same output
+    * contract as the per-call form on the indexed corpus (gated x94
+    * replays x92's oracle from a cold reload). */
+  def mutualKnnClustersFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      k: Int = 3, nprobe: Int = 2, reliable: Boolean = false)
+      : DataFrame = {
+    val g = knnGraphFromIndex(spark, path, k, nprobe)
+      .select(col("src"), col("dst"))
+    mutualClustersFromGraph(g,
+      spark.read.parquet(s"$path/corpus").select(col("vec_id")), reliable)
+  }
+
+  /** Shared tail of the two mutual-kNN-cluster forms: symmetrize the
+    * directed top-k edges (one keyed self-join on the 16-byte pair),
+    * run star-CC, and label every corpus id (singletons = themselves). */
+  private def mutualClustersFromGraph(g: DataFrame, ids: DataFrame,
+      reliable: Boolean): DataFrame = {
     val mutual = g.join(
       g.select(col("dst").as("src"), col("src").as("dst")),
       Seq("src", "dst"))
-    val labels = DedupOps.dedupClustersStar(mutual, "src", "dst")
-    corpus.select(col(idCol).cast(LongType).as("vec_id"))
-      .join(labels, col("vec_id") === col("id"), "left")
+    val labels = DedupOps.dedupClustersStar(mutual, "src", "dst",
+      reliable = reliable)
+    ids.join(labels, col("vec_id") === col("id"), "left")
       .select(col("vec_id"),
         coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
   }
@@ -285,13 +342,14 @@ object Similarity {
     * bit-for-bit (ExtSpec pins the equality; gated x71 replays x67's
     * oracle from a cold reload). */
   def saveIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      path: String, kCentroids: Int = 8, iters: Int = 2): Unit = {
+      path: String, kCentroids: Int = 8, iters: Int = 2,
+      trainSample: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
     graft.functions.VectorExprs.register(spark)
     import graft.functions.VectorExprs.dotF64
     import spark.implicits._
     val centroids = Clustering.kmeansCentroids(corpus, idCol, vecCol,
-      kCentroids, iters)
+      kCentroids, iters, trainSample)
     centroids.toDF("cluster_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     Clustering.assignTo(

@@ -1085,4 +1085,44 @@ class ExtSpec extends SparkSpec {
           s"cluster $label mixes home dims: ${members.map(_._1).toSeq}")
     }
   }
+
+  test("kNN graph from persisted index (x93/x94): cold save→load→serve " +
+      "equals the per-call forms; reliable threads through") {
+    val clustered = (0 until 200).map { id =>
+      val cl = id % 8
+      val v = (0 until 64).map(d =>
+        (if (d == cl * 8) 4.0 else 0.0) +
+          ((id * 31 + d * 7) % 11) * 0.02)
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-knnidx-").toString
+    Similarity.saveIvfIndex(clustered, "vec_id", "embedding", idx,
+      kCentroids = 8, iters = 2)
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst", "rank", "cos")
+        .as[(Long, Long, Long, Double)].collect().sortBy(e => (e._1, e._3))
+        .toSeq
+    assert(edges(Similarity.knnGraphFromIndex(spark, idx, k = 3)) ==
+      edges(Similarity.knnGraph(clustered, "vec_id", "embedding", k = 3)))
+    // the serve plan must be training-free: no Spark job beyond the
+    // k-row centroid reload touches the corpus before the probe join —
+    // pinned structurally: still no broadcast of the corpus-sized side
+    val g = Similarity.knnGraphFromIndex(spark, idx, k = 3)
+    assert(!g.queryExecution.analyzed.toString
+      .toLowerCase.contains("broadcast"))
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val fromIdx = labels(Similarity.mutualKnnClustersFromIndex(
+      spark, idx, k = 3))
+    assert(fromIdx == labels(Similarity.mutualKnnClusters(clustered,
+      "vec_id", "embedding", k = 3)))
+    // reliable passthrough: identical answer with checkpointed CC state
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-knncc-").toString)
+    assert(labels(Similarity.mutualKnnClustersFromIndex(spark, idx,
+      k = 3, reliable = true)) == fromIdx)
+    assert(labels(Similarity.mutualKnnClusters(clustered, "vec_id",
+      "embedding", k = 3, reliable = true)) == fromIdx)
+  }
 }
