@@ -29,10 +29,19 @@ object Graph {
     * close the graph (add reverse edges) as the gated x82 bipartite
     * construction does. Duplicate edges count once.
     *
-    * Fixed `iters` power rounds, NOT convergence-probed: a fixed
-    * iteration count is what makes the output a pure function of the
-    * edge list (the oracle unrolls the same rounds), and in practice
+    * Fixed `iters` power rounds by default, NOT convergence-probed: a
+    * fixed iteration count is what makes the output a pure function of
+    * the edge list (the oracle unrolls the same rounds), and in practice
     * rank ORDER stabilizes in a handful of rounds long before values do.
+    * `tol` adds an OPTIONAL early exit for long production runs: stop
+    * after the first round whose max |Δrank| (in scaled units) falls
+    * below `tol` — one cheap max-agg per round over the two node-keyed
+    * frames the loop already materializes. Because the arithmetic is
+    * exact fixed-point, Δ = 0 is a true fixed point: with `tol =
+    * Some(1)` the early exit returns BIT-IDENTICAL output to any larger
+    * fixed `iters` that reaches the same fixed point (GraphSpec pins
+    * it; gated x95). A 100 TB run sets `iters` as the hard budget and
+    * `tol` as the expected stop.
     *
     * Scale shape (the [[DedupOps.dedupClusters]] iterative discipline):
     * the edge list joined each round carries only (src, dst, outdeg) —
@@ -51,11 +60,12 @@ object Graph {
     * 64-bit wrap mid-iteration. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, damp: Long = 85L,
-      scale: Long = 1000000000L, reliable: Boolean = false): DataFrame = {
+      scale: Long = 1000000000L, reliable: Boolean = false,
+      tol: Option[Long] = None): DataFrame = {
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst")).distinct()
       .withColumn("w", lit(1L))
-    pageRankCore(e, iters, damp, scale, reliable)
+    pageRankCore(e, iters, damp, scale, reliable, tol)
   }
 
   /** Weighted-edge PageRank: each node distributes its rank
@@ -69,23 +79,26 @@ object Graph {
     * [[graft.ops.Audit]] when that must be an error, not a filter). */
   def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, iters: Int = 5, damp: Long = 85L,
-      scale: Long = 1000000000L, reliable: Boolean = false): DataFrame = {
+      scale: Long = 1000000000L, reliable: Boolean = false,
+      tol: Option[Long] = None): DataFrame = {
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"),
         col(weightCol).cast(LongType).as("w"))
       .filter(col("w") > 0L)
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-    pageRankCore(e, iters, damp, scale, reliable)
+    pageRankCore(e, iters, damp, scale, reliable, tol)
   }
 
   /** Shared power-iteration core over a prepared (src, dst, w) edge
     * frame (w > 0, parallel edges pre-merged). */
   private def pageRankCore(e: DataFrame, iters: Int, damp: Long,
-      scale: Long, reliable: Boolean): DataFrame = {
+      scale: Long, reliable: Boolean,
+      tol: Option[Long] = None): DataFrame = {
     def mat(df: DataFrame): DataFrame = Checkpoints.materialize(df, reliable)
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     require(damp >= 0L && damp <= 100L, s"damp must be in [0,100] (got $damp)")
     require(scale >= 1L, s"scale must be >= 1 (got $scale)")
+    tol.foreach(t => require(t >= 1L, s"tol must be >= 1 (got $t)"))
     val outw = e.groupBy("src").agg(sum(col("w")).as("outw"))
     // (src, dst, w, outw) partitioned on the per-round join key and
     // materialized once — rounds shuffle only the rank side
@@ -110,7 +123,9 @@ object Graph {
         s"max_weight($wmax) exceeds 2^62 — lower scale or rescale weights")
     val base = (100L - damp) * scale / 100L
     var ranks = mat(nodes.withColumn("rank", lit(scale)))
-    (1 to iters).foreach { _ =>
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
       val contribs = eo.join(ranks, eo("src") === ranks("id"))
         .select(col("dst"), expr("(rank * w) div outw").as("_c"))
         .groupBy("dst").agg(sum(col("_c")).as("_s"))
@@ -121,10 +136,21 @@ object Graph {
           // silently promotes to double — the determinism killer here)
           (lit(base) + expr(s"($damp * coalesce(_s, 0)) div 100"))
             .as("rank")))
+      // convergence probe BEFORE releasing the previous round: one
+      // node-keyed join of two materialized checkpoints + a 1-row max —
+      // cheap next to the round's edge join, and only when asked for
+      tol.foreach { t =>
+        val delta = next
+          .join(ranks.withColumnRenamed("rank", "_prev"), Seq("id"))
+          .agg(coalesce(max(abs(col("rank") - col("_prev"))), lit(0L)))
+          .head().getLong(0)
+        if (delta < t) converged = true
+      }
       // next is materialized (eager checkpoint) — the previous round's
       // blocks are dead; release them before they pile up round-on-round
       Checkpoints.release(ranks)
       ranks = next
+      round += 1
     }
     // the loop inputs are dead too: the returned frame is a standalone
     // checkpoint referencing neither

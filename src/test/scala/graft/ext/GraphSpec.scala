@@ -53,6 +53,41 @@ class GraphSpec extends SparkSpec {
     assert(werr.getMessage.contains("max_weight"))
   }
 
+  test("pageRank tol: early exit on a converged fixture equals the " +
+      "fixed-round output; the exit really stops the loop") {
+    // closed 2-regular square 1→2→3→4→1 plus reverse: uniform start is
+    // an exact fixed point (in-flow = 2·(scale div 2) = scale; both
+    // round divisions exact at scale=1e6) — Δ=0 after round 1
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val edges = (ring ++ ring.map(_.swap)).toDF("src", "dst")
+    val fixedPoint = Map(1L -> 1000000L, 2L -> 1000000L,
+      3L -> 1000000L, 4L -> 1000000L)
+    val early = Graph.pageRank(edges, "src", "dst", iters = 40,
+      scale = 1000000L, tol = Some(1L)).as[(Long, Long)].collect().toMap
+    assert(early == fixedPoint)
+    assert(Graph.pageRank(edges, "src", "dst", iters = 3,
+      scale = 1000000L).as[(Long, Long)].collect().toMap == fixedPoint)
+    // the exit path actually STOPS iteration: on a fixture whose
+    // rounds differ (the closed triad), an always-satisfied tol must
+    // reproduce iters=1, not the full budget
+    val triad = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+      .toDF("src", "dst")
+    def pr(iters: Int, tol: Option[Long]) =
+      Graph.pageRank(triad, "src", "dst", iters = iters,
+        scale = 1000000L, tol = tol).as[(Long, Long)].collect().toMap
+    val oneRound = pr(1, None)
+    assert(pr(3, None) != oneRound, "fixture must evolve past round 1")
+    assert(pr(3, Some(Long.MaxValue / 2)) == oneRound)
+    // weighted form threads tol too
+    val wring = (ring ++ ring.map(_.swap)).map(t => (t._1, t._2, 1L))
+      .toDF("src", "dst", "w")
+    assert(Graph.pageRankWeighted(wring, "src", "dst", "w", iters = 40,
+      scale = 1000000L, tol = Some(1L)).as[(Long, Long)].collect().toMap
+      == fixedPoint)
+    intercept[IllegalArgumentException](
+      Graph.pageRank(triad, "src", "dst", tol = Some(0L)))
+  }
+
   test("pageRankWeighted: proportional distribution hand-checked; " +
       "parallel edges merge; w=1 equals unweighted") {
     // 1→2 (w3), 1→3 (w1, as two parallel rows w2+w(-ignored)), closed
