@@ -575,4 +575,46 @@ object Corpus {
       .select(col(idCol), col("bucket"), col("n.neg_id").as("neg_id"),
         col("n.neg_rank").as("neg_rank"))
   }
+
+  /** Duplicate-span REMOVAL — the transform between detection
+    * ([[DedupOps.duplicateSpanOffsets]], x38's offsets) and training:
+    * drop every token whose position falls inside a duplicated span and
+    * re-join the survivors — line/boilerplate surgery at span
+    * granularity (Lee et al., ACL'22 remove the spans they detect;
+    * detection alone only SCORES the doc).
+    *
+    * `spans` is (doc_id, span_start, span_end) with half-open TOKEN
+    * ranges, non-overlapping within a doc (the offsets op guarantees
+    * it — overlap would double-exclude harmlessly anyway). Output: one
+    * row per input doc, (doc_id, clean_text); docs with no spans pass
+    * through. Text is whitespace-CANONICAL on output (tokens re-joined
+    * with single spaces) for every doc — the tokenizer's contract, and
+    * what makes the result deterministic regardless of source spacing.
+    *
+    * 100 TB shape: spans are tiny next to text (16 bytes per span);
+    * they aggregate per-doc (collect_list over ≤ total_tokens/w spans)
+    * and join doc-keyed, so raw text crosses exactly ONE shuffle
+    * boundary (the doc-id join) — no window function over text, no
+    * explode of tokens. The surgery itself is a native higher-order-
+    * function projection (transform/filter/exists/array_join), zero
+    * UDFs. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String,
+      textCol: String, spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(
+        col("span_start").cast(LongType).as("s"),
+        col("span_end").cast(LongType).as("e"))).as("_spans"))
+    val toks = graft.ext.TextAnalysis.tokens(col("_text"))
+    val indexed = transform(toks,
+      (t, i) => struct(t.as("t"), i.cast(LongType).as("i")))
+    val kept = filter(indexed, x =>
+      !exists(col("_spans"), s =>
+        x("i") >= s("s") && x("i") < s("e")))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .join(sp, Seq("doc_id"), "left")
+      .withColumn("_spans", coalesce(col("_spans"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+      .select(col("doc_id"),
+        array_join(transform(kept, x => x("t")), " ").as("clean_text"))
+  }
 }

@@ -710,25 +710,7 @@ object DedupOps {
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, minDocs: Int = 2): DataFrame = {
-    require(w >= 1, s"window width must be >= 1 (got $w)")
-    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
-    graft.functions.TextHashExprs.register(df.sparkSession)
-    val wins = df.select(col(idCol).as("doc_id"),
-        posexplode(graft.functions.TextHashExprs
-          .shingleWindowHashes(col(textCol), w)))
-      .toDF("doc_id", "pos", "h")
-    val shared = wins.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDocs).select("h")
-    val marked = wins.join(shared, Seq("h"), "left_semi")
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val spans = marked
-      .withColumn("st",
-        when(col("pos") - lag("pos", 1).over(byDoc) <= w, 0).otherwise(1))
-      .withColumn("island", sum("st").over(byDoc))
-      .groupBy("doc_id", "island")
-      .agg(min("pos").as("s"), (max("pos") + lit(w)).as("e"))
+    val spans = spanIslands(df, idCol, textCol, w, minDocs)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("dup_spans"),
         sum(col("e") - col("s")).cast(LongType).as("dup_tokens"))
@@ -743,6 +725,45 @@ object DedupOps {
           coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType),
           col("total_tokens").cast(DoubleType)), lit(0.0)), 6)
           .as("dup_fraction"))
+  }
+
+  /** The maximal duplicated spans behind [[duplicateSpans]]'s counts,
+    * as OFFSETS: one row per (doc, maximal span), half-open TOKEN range
+    * `[span_start, span_end)` — the input the removal transform
+    * ([[Corpus.removeDuplicateSpans]]) consumes. Same detection,
+    * merging, and 100 TB shape as [[duplicateSpans]] (one shared
+    * core); spans within a doc never overlap (islands merged on
+    * `gap ≤ w`). Docs with no duplicated span emit no row. */
+  def duplicateSpanOffsets(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, minDocs: Int = 2): DataFrame =
+    spanIslands(df, idCol, textCol, w, minDocs)
+      .select(col("doc_id"), col("s").cast(LongType).as("span_start"),
+        col("e").cast(LongType).as("span_end"))
+
+  /** Shared core of [[duplicateSpans]] / [[duplicateSpanOffsets]]:
+    * (doc_id, island, s, e) maximal merged duplicated-window islands,
+    * token-position half-open [s, e). */
+  private def spanIslands(df: DataFrame, idCol: String, textCol: String,
+      w: Int, minDocs: Int): DataFrame = {
+    require(w >= 1, s"window width must be >= 1 (got $w)")
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    graft.functions.TextHashExprs.register(df.sparkSession)
+    val wins = df.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextHashExprs
+          .shingleWindowHashes(col(textCol), w)))
+      .toDF("doc_id", "pos", "h")
+    val shared = wins.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs).select("h")
+    val marked = wins.join(shared, Seq("h"), "left_semi")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("st",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= w, 0).otherwise(1))
+      .withColumn("island", sum("st").over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), (max("pos") + lit(w)).as("e"))
   }
 
   /** Semantic (embedding-space) deduplication, SemDeDup-style (Abbas et

@@ -440,4 +440,28 @@ class CorpusSpec extends SparkSpec {
     assert(viaBloom == exact)
     assert(viaBloom == Set(101L, 102L, 103L))
   }
+
+  test("removeDuplicateSpans (x96): surgery on detected offsets; " +
+      "no-span docs pass through whitespace-canonical") {
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared keep1 keep2"),
+      (2L, s"lead $shared tail"),
+      (3L, "no    duplicated\ttext here")).toDF("doc_id", "text")
+    val spans = DedupOps.duplicateSpanOffsets(docs, "doc_id", "text",
+      w = 8, minDocs = 2)
+    // the shared window is one maximal span per doc at its position
+    assert(spans.as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 0L, 8L), (2L, 1L, 9L)))
+    val out = Corpus.removeDuplicateSpans(docs, "doc_id", "text", spans)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "keep1 keep2", 2L -> "lead tail",
+      3L -> "no duplicated text here"))
+    // a doc duplicated WHOLE goes to empty text, not a dropped row
+    val twins = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+    val tw = Corpus.removeDuplicateSpans(twins, "doc_id", "text",
+      DedupOps.duplicateSpanOffsets(twins, "doc_id", "text", 8, 2))
+      .as[(Long, String)].collect().toMap
+    assert(tw == Map(1L -> "", 2L -> ""))
+  }
 }
