@@ -1240,6 +1240,25 @@ object SparkEntry {
         .limit(25)
     },
 
+    // convergence-early-exit PageRank (x95): tol=1 on a 2-REGULAR graph
+    // (the nation-key cycle, closed both ways). Regularity makes the
+    // uniform start an EXACT fixed point of the integer update — every
+    // node's in-flow is 2·(scale div 2) = scale, so rank' = (15·scale)
+    // div 100 + (85·scale) div 100 = scale (both divisions exact at
+    // scale=10^9) — hence Δ=0 after round 1 and the early exit stops a
+    // 50-round budget there. The oracle is the PROVEN fixed point in
+    // closed form; a floor-loss or probe bug would drift values off it.
+    "x95_pagerank_converged" -> { (s, dir) =>
+      val n = T(s, dir, "nation")
+      val fwd = n.select(col("n_nationkey").cast("long").as("src"),
+        ((col("n_nationkey") + 1) % 25).cast("long").as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ext.Graph.pageRank(edges, "src", "dst", iters = 50,
+          tol = Some(1L))
+        .orderBy(col("id").asc)
+    },
+
     // leakage-safe splits (x81): whole near-dup clusters assigned to
     // one split by hashing the canonical member's text — near-copies
     // can never straddle train/test (x16 alone lets ~34% of pairs do).
@@ -1356,6 +1375,17 @@ object SparkEntry {
     "x38_dup_spans" -> ((s, dir) =>
       graft.ext.DedupOps.duplicateSpans(
         T(s, dir, "documents"), "doc_id", "text", w = 8, minDocs = 2)),
+
+    // duplicate-span REMOVAL (x96): the transform between x38's
+    // detection and training — drop every token inside a duplicated
+    // span, re-join the survivors (whitespace-canonical). The oracle
+    // reconstructs the residual text from x38's literal-text spans.
+    "x96_remove_dup_spans" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      graft.ext.Corpus.removeDuplicateSpans(docs, "doc_id", "text",
+        graft.ext.DedupOps.duplicateSpanOffsets(docs, "doc_id", "text",
+          w = 8, minDocs = 2))
+    },
 
     // symmetric int8 embedding quantization: the 4× storage cut for an
     // ANN corpus, with an exact-IEEE determinism contract (floor-based
@@ -1628,6 +1658,30 @@ object SparkEntry {
       s.read.parquet(base + "/table")
     },
 
+    // streaming BM25 index maintenance (x97): a base index + three
+    // streamed new-doc batches must serve exactly what a one-shot
+    // full-corpus build serves (same oracle as x80/x89) — the
+    // serving-side twin of x73's table loop, powered by the
+    // batchId-idempotent incremental append (exactly-once under
+    // micro-batch replay).
+    "x97_stream_bm25_maintain" -> { (s, dir) =>
+      val base = scratchDir("streambm25")
+      val docs = T(s, dir, "documents")
+      graft.ext.TextAnalysis.saveBm25Index(
+        docs.filter(col("doc_id") < 250), "doc_id", "text",
+        base + "/idx")
+      docs.filter(col("doc_id") >= 250)
+        .repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(base + "/newdocs")
+      val schema = s.read.parquet(base + "/newdocs").schema
+      val q = graft.streaming.StreamIndex.bm25AppendWriter(s,
+          base + "/newdocs", schema, base + "/idx", "doc_id", "text")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      graft.ext.TextAnalysis.queryBm25Index(s, base + "/idx",
+        Seq("hash", "join", "merge"), k = 10)
+    },
+
     // the FULL reference loop as an incremental stream (x73): raw
     // insight pulls staged as one file per date range, each replayed as
     // its own micro-batch through the COMPLETE E2 transform and
@@ -1761,6 +1815,31 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       graft.ext.Similarity.mutualKnnClusters(emb, "vec_id", "embedding",
         k = 3, kCentroids = 8, iters = 2, nprobe = 2)
+    },
+
+    // kNN graph served from the persisted IVF index (x93): x91's answer
+    // from a cold saveIvfIndex reload — no k-means training, no
+    // re-bucketing in the serve plan; the train-once/serve-many twin
+    // that retires the last rebuild-per-call path (x71/x89's pattern).
+    "x93_knn_graph_index_serve" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivf_index93")
+      graft.ext.Similarity.saveIvfIndex(emb, "vec_id", "embedding", idx,
+        kCentroids = 8, iters = 2)
+      graft.ext.Similarity.knnGraphFromIndex(s, idx, k = 3, nprobe = 2)
+    },
+
+    // embedding clustering served from the persisted IVF index (x94):
+    // x92's components with the candidate generation swapped to the
+    // index — per-call cost drops to probe joins + star-CC, training
+    // amortized across every serve.
+    "x94_mutual_knn_index_serve" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivf_index94")
+      graft.ext.Similarity.saveIvfIndex(emb, "vec_id", "embedding", idx,
+        kCentroids = 8, iters = 2)
+      graft.ext.Similarity.mutualKnnClustersFromIndex(s, idx,
+        k = 3, nprobe = 2)
     },
 
     // hybrid retrieval (x85): BM25 lexical list + exact-cosine + sign-
@@ -3784,6 +3863,16 @@ object SparkEntry {
             FROM r4
             ORDER BY rank DESC, kind ASC, key ASC LIMIT 25""",
 
+      // the PROVEN fixed point in closed form (see the x95 query's
+      // regularity argument): on the closed 2-regular nation cycle the
+      // uniform start never moves, so the converged answer is rank =
+      // scale for every node — no unrolled rounds needed, BECAUSE the
+      // fixture was chosen to make the fixed point provable
+      "x95_pagerank_converged" ->
+        """SELECT CAST(n_nationkey AS BIGINT) AS id,
+                  CAST(1000000000 AS BIGINT) AS rank
+           FROM nation ORDER BY id""",
+
       "x86_pagerank_weighted" ->
         s"""WITH fwd AS (SELECT l_suppkey*2 AS src, l_partkey*2+1 AS dst,
                            CAST(count(*) AS BIGINT) AS w
@@ -3974,6 +4063,47 @@ object SparkEntry {
                   round(coalesce(dup_tokens, 0) * 1.0 / total_tokens, 6)
                     AS dup_fraction
            FROM tot LEFT JOIN agg USING (doc_id)""",
+
+      // x38's span CTEs verbatim through `sp`, then the removal: keep
+      // token i iff no span covers it (0-based positions, half-open
+      // [s, e)), re-join with single spaces — the engine's
+      // whitespace-canonical output contract
+      "x96_remove_dup_spans" ->
+        """WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\s+') AS toks
+                      FROM documents),
+           w AS (SELECT doc_id,
+                   unnest([{'p': i,
+                            'g': array_to_string(toks[i+1:i+8], ' ')}
+                           for i in range(len(toks)-7)],
+                          recursive := true)
+                 FROM t),
+           sh AS (SELECT g FROM w
+                  GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+           mk AS (SELECT w.doc_id, w.p FROM w JOIN sh USING (g)),
+           isl AS (SELECT doc_id, p,
+                     CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                                ORDER BY p) <= 8
+                          THEN 0 ELSE 1 END AS st
+                   FROM mk),
+           gi AS (SELECT doc_id, p,
+                    sum(st) OVER (PARTITION BY doc_id ORDER BY p) AS island
+                  FROM isl),
+           sp AS (SELECT doc_id, island, min(p) AS s, max(p) + 8 AS e
+                  FROM gi GROUP BY 1, 2),
+           spl AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans
+                   FROM sp GROUP BY 1)
+           SELECT t.doc_id,
+                  -- array_to_string([]) is NULL in DuckDB but Spark's
+                  -- array_join is '': a wholly-duplicated doc must come
+                  -- out EMPTY, not NULL (NULL stays NULL-text only)
+                  CASE WHEN t.toks IS NULL THEN NULL
+                       ELSE coalesce(array_to_string(
+                         [t.toks[i+1] for i in range(len(t.toks))
+                          if len(list_filter(coalesce(spans, []),
+                               x -> i >= x.s AND i < x.e)) = 0], ' '),
+                         '') END AS clean_text
+           FROM t LEFT JOIN spl USING (doc_id)""",
 
       "x33_quantize_embeddings" ->
         """WITH v AS (SELECT vec_id,
@@ -4287,9 +4417,17 @@ object SparkEntry {
       "x88_ivfpq_sampled_train" -> ivfPqSampledOracle,
       "x91_knn_graph" -> knnGraphOracle,
       "x92_mutual_knn_clusters" -> mutualKnnOracle,
+      // identical oracles to x91/x92 BY DESIGN: serving from the
+      // persisted index is a lifecycle optimization, never a result
+      // change (the x71/x89 contract, completed for the graph family)
+      "x93_knn_graph_index_serve" -> knnGraphOracle,
+      "x94_mutual_knn_index_serve" -> mutualKnnOracle,
       "x85_hybrid_retrieval" -> hybridOracle,
       // persisted-index twins: lifecycle differs, the answer must not
       "x89_bm25_index_topk" -> x80Sql,
+      // streamed appends converge to the full build — same full-corpus
+      // BM25 answer as x80/x89, reached via N micro-batch merges
+      "x97_stream_bm25_maintain" -> x80Sql,
       "x90_hybrid_index_retrieval" -> hybridOracle,
 
       "x76_ivf_index_append" -> ivfAppendOracle,
