@@ -329,9 +329,14 @@ object Similarity {
     *
     *  - `path/centroids`: (cluster_id, centroid) — the k × dim driver
     *    payload, one small file;
-    *  - `path/corpus`: (vec_id, v, nrm) PARTITIONED BY `bucket` — every
-    *    vector in its nearest-centroid cell with its norm precomputed,
-    *    laid out so one cell = one directory.
+    *  - `path/corpus`: (vec_id, v, nrm) PARTITIONED BY (`batch`,
+    *    `bucket`) — every vector in its nearest-centroid cell with its
+    *    norm precomputed. The build writes `batch=base`; each
+    *    [[appendToIvfIndex]] call adds its own `batch=<batchId>` level,
+    *    which is what makes appends idempotent under retry (dynamic
+    *    partition overwrite replaces exactly that batch's
+    *    partitions). `bucket` stays a partition column, so cell
+    *    pruning is unaffected by the extra level.
     *
     * At serve time ([[queryIvfIndex]]) the probe joins a broadcast
     * query set against the PARTITION column, so Spark's dynamic
@@ -357,8 +362,8 @@ object Similarity {
           asDouble(col(vecCol)).as("_v")), centroids)
       .select(col("vec_id"), col("_v").as("v"),
         sqrt(dotF64(col("_v"), col("_v"))).as("nrm"),
-        col("cluster").as("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
+        lit("base").as("batch"), col("cluster").as("bucket"))
+      .write.mode("overwrite").partitionBy("batch", "bucket")
       .parquet(s"$path/corpus")
   }
 
@@ -374,19 +379,44 @@ object Similarity {
 
   /** Append new vectors to a persisted [[saveIvfIndex]] index WITHOUT
     * retraining: assign each against the existing centroids (k-row
-    * reload) and append to the bucket-partitioned corpus — only the
-    * touched cell directories grow. This is the daily-ingest half of
-    * the index lifecycle: train rarely, append often, serve always;
-    * the result is exactly an index whose centroids were trained on
-    * the ORIGINAL corpus but whose inverted file holds everything
-    * (ExtSpec pins that equivalence; gated x76). The accepted drift:
-    * appended vectors don't move the centroids, so cell balance decays
-    * as the distribution shifts — monitor (e.g. [[graft.ext
-    * .TextAnalysis.termDrift]]'s embedding-space analogue is cell-size
-    * skew) and retrain when probe cost degrades. */
+    * reload) and land them as this batch's own `batch=<batchId>`
+    * partition level of the corpus — only the touched cell directories
+    * grow. This is the daily-ingest half of the index lifecycle: train
+    * rarely, append often, serve always; the result is exactly an
+    * index whose centroids were trained on the ORIGINAL corpus but
+    * whose inverted file holds everything (ExtSpec pins that
+    * equivalence; gated x76).
+    *
+    * IDEMPOTENT RETRY, keyed on `batchId`: the write is a DYNAMIC
+    * partition overwrite scoped to `(batch=<batchId>, bucket=*)` — a
+    * crashed attempt's partial partitions are wholesale-replaced by
+    * the retry, and re-running an already-applied batch rewrites the
+    * identical deterministic content. That is what lets a streaming
+    * micro-batch relay drive the append exactly-once
+    * ([[graft.streaming.StreamIndex.ivfAppendWriter]], x98; same
+    * contract as the BM25 append's marker gating, achieved here purely
+    * by layout because there are no merged statistics tables).
+    *
+    * The accepted drift: appended vectors don't move the centroids, so
+    * cell balance decays as the distribution shifts — monitor (e.g.
+    * [[graft.ext.TextAnalysis.termDrift]]'s embedding-space analogue
+    * is cell-size skew) and retrain when probe cost degrades. Caller
+    * contract: ids disjoint from the indexed ids; `batchId` uniquely
+    * names this delta (never `"base"`). */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, idCol: String,
-      vecCol: String): Unit = {
+      vecCol: String, batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        batchId.forall(c =>
+          c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"batchId must be a filesystem-safe token != 'base' (got '$batchId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.TableSwap.recoverStranded(fs, s"$path/corpus")
+    // a compaction folded this batch into base and left its marker —
+    // a late retry must no-op, not re-add the vectors as a new batch
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/corpus/_applied_$batchId"))) return
     val centroids = loadIvfCentroids(spark, path)
     require(centroids.nonEmpty, s"appendToIvfIndex: empty index at $path")
     graft.functions.VectorExprs.register(spark)
@@ -396,9 +426,55 @@ object Similarity {
           asDouble(col(vecCol)).as("_v")), centroids)
       .select(col("vec_id"), col("_v").as("v"),
         sqrt(dotF64(col("_v"), col("_v"))).as("nrm"),
-        col("cluster").as("bucket"))
-      .write.mode("append").partitionBy("bucket")
+        lit(batchId).as("batch"), col("cluster").as("bucket"))
+      .write.mode("overwrite")
+      // per-write dynamic overwrite (NOT the session conf): replaces
+      // only this batch's partitions, never the corpus
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "bucket")
       .parquet(s"$path/corpus")
+  }
+
+  /** Compact a persisted [[saveIvfIndex]] index's corpus back to a
+    * single `batch=base` level — the maintenance step that closes the
+    * append lifecycle (train rarely → append often → COMPACT
+    * occasionally → serve always): every [[appendToIvfIndex]] /
+    * streamed batch leaves its own `batch=<id>` partition tree, and
+    * hundreds of small per-batch files per cell eventually dominate
+    * scan open-cost. Rewrites the corpus (values unchanged — gated
+    * x99 replays x76's oracle across a compaction) through the
+    * staged-swap, so a crash mid-compaction never loses the live
+    * corpus and a retry converges; cell (`bucket`) partitioning is
+    * preserved, so serve-time pruning is untouched. Each folded
+    * batch's applied record survives as an `_applied_<batchId>` marker
+    * in the compacted corpus dir ([[appendToIvfIndex]] checks it), so
+    * a late retry of a compacted-away batch still no-ops. Contract:
+    * not concurrent with an in-flight append. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val corpus = s"$path/corpus"
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.TableSwap.recoverStranded(fs, corpus)
+    val names = fs.listStatus(new Path(corpus))
+      .map(_.getPath.getName)
+    val carried = names.filter(_.startsWith("_applied_")) ++
+      names.filter(n => n.startsWith("batch=") && n != "batch=base")
+        .map(n => "_applied_" + n.stripPrefix("batch="))
+    val staging = graft.sinks.TableSwap.stagingPath(corpus)
+    spark.read.parquet(corpus)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        lit("base").as("batch"),
+        col("bucket").cast(LongType).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("batch", "bucket")
+      .parquet(staging.toString)
+    carried.distinct.foreach { m =>
+      fs.create(new Path(staging, m), true).close()
+    }
+    graft.sinks.TableSwap.swapStaged(fs, corpus)
   }
 
   /** Serve query batches from a persisted [[saveIvfIndex]] index: no

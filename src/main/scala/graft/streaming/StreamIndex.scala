@@ -43,4 +43,26 @@ object StreamIndex {
           batch, idCol, textCol, batchId = s"stream_$bid")
       }
       .trigger(Trigger.AvailableNow())
+
+  /** The vector-side twin of [[bm25AppendWriter]] (gated x98): new
+    * embedding files land, each micro-batch is assigned against the
+    * index's frozen centroids and dynamic-partition-overwritten into
+    * its own `batch=stream_<id>` level of the
+    * [[graft.ext.Similarity.saveIvfIndex]] corpus — replayed batches
+    * overwrite themselves, so the stream lands each delta exactly
+    * once. */
+  def ivfAppendWriter(spark: SparkSession, vecsDir: String,
+      schema: StructType, indexPath: String, idCol: String,
+      vecCol: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(vecsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ext.Similarity.appendToIvfIndex(batch.sparkSession,
+          indexPath, batch, idCol, vecCol, batchId = s"stream_$bid")
+      }
+      .trigger(Trigger.AvailableNow())
 }

@@ -239,10 +239,12 @@ class ExtSpec extends SparkSpec {
       .createTempDirectory("graft_ivf").resolve("idx").toString
     Similarity.saveIvfIndex(embs, "vec_id", "embedding", idx,
       kCentroids = 8, iters = 2)
-    // index layout: one small centroid file + bucket=<cell> directories
+    // index layout: one small centroid file + batch=base/bucket=<cell>
+    // directories (the batch level is what makes appends idempotent)
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val cells = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/corpus"))
+    val cells = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$idx/corpus/batch=base"))
       .map(_.getPath.getName).filter(_.startsWith("bucket="))
     assert(cells.nonEmpty && cells.length <= 8,
       s"expected <=8 cell directories, got ${cells.mkString(",")}")
@@ -618,7 +620,7 @@ class ExtSpec extends SparkSpec {
     Similarity.saveIvfIndex(subset, "vec_id", "embedding", idx,
       kCentroids = 8, iters = 2)
     Similarity.appendToIvfIndex(spark, idx,
-      embs.filter($"vec_id" >= 300), "vec_id", "embedding")
+      embs.filter($"vec_id" >= 300), "vec_id", "embedding", "b1")
     val queries = embs.filter($"vec_id" < 8)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "rank", "vec_id", "cos")
@@ -631,9 +633,63 @@ class ExtSpec extends SparkSpec {
       "vec_id", "embedding", k = 5, centroids, nprobe = 2))
     assert(served == direct)
     Similarity.appendToIvfIndex(spark, idx,
-      embs.filter($"vec_id" < 0), "vec_id", "embedding")
+      embs.filter($"vec_id" < 0), "vec_id", "embedding", "b2")
     assert(rows(Similarity.queryIvfIndex(spark, idx, queries,
       "vec_id", "embedding", k = 5, nprobe = 2)) == served)
+    // retry idempotency: re-running an applied batch overwrites its own
+    // partitions — no duplicate vectors, identical serve
+    val n = spark.read.parquet(s"$idx/corpus").count()
+    Similarity.appendToIvfIndex(spark, idx,
+      embs.filter($"vec_id" >= 300), "vec_id", "embedding", "b1")
+    assert(spark.read.parquet(s"$idx/corpus").count() == n)
+    assert(rows(Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) == served)
+    intercept[IllegalArgumentException](Similarity.appendToIvfIndex(
+      spark, idx, embs, "vec_id", "embedding", "base"))
+    // compaction (x99): batches fold into batch=base, serve unchanged,
+    // and a late retry of a folded batch still no-ops (carried marker)
+    Similarity.compactIvfIndex(spark, idx)
+    val hfs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val top = hfs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$idx/corpus"))
+      .map(_.getPath.getName)
+    assert(top.filter(_.startsWith("batch=")).toSeq == Seq("batch=base"),
+      s"expected only batch=base after compaction, got ${top.mkString(",")}")
+    assert(top.contains("_applied_b1"))
+    assert(spark.read.parquet(s"$idx/corpus").count() == n)
+    assert(rows(Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) == served)
+    Similarity.appendToIvfIndex(spark, idx,
+      embs.filter($"vec_id" >= 300), "vec_id", "embedding", "b1")
+    assert(spark.read.parquet(s"$idx/corpus").count() == n,
+      "late retry of a compacted-away batch must no-op")
+  }
+
+  test("streamed IVF appends converge to the one-shot append (x98)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stream").toString
+    val subset = embs.filter($"vec_id" < 300)
+    Similarity.saveIvfIndex(subset, "vec_id", "embedding", s"$base/idx",
+      kCentroids = 8, iters = 2)
+    embs.filter($"vec_id" >= 300)
+      .repartitionByRange(3, $"vec_id")
+      .write.mode("overwrite").parquet(s"$base/newvecs")
+    val schema = spark.read.parquet(s"$base/newvecs").schema
+    val q = graft.streaming.StreamIndex.ivfAppendWriter(spark,
+        s"$base/newvecs", schema, s"$base/idx", "vec_id", "embedding")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.awaitTermination()
+    val queries = embs.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "cos")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val centroids = Clustering.kmeansCentroids(subset, "vec_id",
+      "embedding", k = 8, iters = 2)
+    assert(rows(Similarity.queryIvfIndex(spark, s"$base/idx", queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) ==
+      rows(Similarity.ivfLearnedTopKWith(embs, queries, "vec_id",
+        "embedding", k = 5, centroids, nprobe = 2)))
   }
 
   test("semanticDedup: drops exactly the pair-list high sides") {
