@@ -1932,8 +1932,72 @@ object SparkEntry {
         emb.filter(col("vec_id") < 400), "vec_id", "embedding", idx,
         kCentroids = 8, iters = 2)
       graft.ext.Similarity.appendToIvfIndex(s, idx,
-        emb.filter(col("vec_id") >= 400), "vec_id", "embedding")
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding",
+        batchId = "b1")
       graft.ext.Similarity.queryIvfIndex(s, idx,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+    },
+
+    // IVF index compaction (x99): append lifecycle + COMPACT — the
+    // per-batch partition trees fold back into one batch=base level
+    // (staged swap; applied-batch markers survive so late retries of
+    // folded batches still no-op). Values must be untouched: same
+    // oracle as x76.
+    "x99_ivf_index_compact" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivf_compact")
+      graft.ext.Similarity.saveIvfIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", idx,
+        kCentroids = 8, iters = 2)
+      graft.ext.Similarity.appendToIvfIndex(s, idx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding",
+        batchId = "b1")
+      graft.ext.Similarity.compactIvfIndex(s, idx)
+      graft.ext.Similarity.queryIvfIndex(s, idx,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+    },
+
+    // BM25 index compaction (x100): the delta postings directories fold
+    // into one term-sorted file set, restoring single-row-group-per-
+    // term pruning; statistics untouched. Same full-corpus oracle as
+    // x80/x89/x97.
+    "x100_bm25_index_compact" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val idx = scratchDir("bm25_compact")
+      graft.ext.TextAnalysis.saveBm25Index(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", idx)
+      graft.ext.TextAnalysis.appendToBm25Index(s, idx,
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        batchId = "b1")
+      graft.ext.TextAnalysis.compactBm25Index(s, idx)
+      graft.ext.TextAnalysis.queryBm25Index(s, idx,
+        Seq("hash", "join", "merge"), k = 10)
+    },
+
+    // streaming IVF index maintenance (x98): x76's append lifecycle
+    // driven by a micro-batch stream — each batch dynamic-partition-
+    // overwrites its own batch=stream_<id> level of the corpus
+    // (idempotent under replay), and the served answer must equal the
+    // one-shot append's (same oracle as x76: subset-trained centroids,
+    // full-corpus inverted file).
+    "x98_stream_ivf_maintain" -> { (s, dir) =>
+      val base = scratchDir("streamivf")
+      val emb = T(s, dir, "embeddings")
+      graft.ext.Similarity.saveIvfIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding",
+        base + "/idx", kCentroids = 8, iters = 2)
+      emb.filter(col("vec_id") >= 400)
+        .repartitionByRange(3, col("vec_id"))
+        .write.mode("overwrite").parquet(base + "/newvecs")
+      val schema = s.read.parquet(base + "/newvecs").schema
+      val q = graft.streaming.StreamIndex.ivfAppendWriter(s,
+          base + "/newvecs", schema, base + "/idx", "vec_id",
+          "embedding")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      graft.ext.Similarity.queryIvfIndex(s, base + "/idx",
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         k = 5, nprobe = 2)
     },
@@ -4431,6 +4495,13 @@ object SparkEntry {
       "x90_hybrid_index_retrieval" -> hybridOracle,
 
       "x76_ivf_index_append" -> ivfAppendOracle,
+      // streamed appends land exactly the one-shot append's index —
+      // same subset-trained/full-serve oracle as x76
+      "x98_stream_ivf_maintain" -> ivfAppendOracle,
+      // compaction is a pure layout rewrite — x76's oracle verbatim
+      "x99_ivf_index_compact" -> ivfAppendOracle,
+      // compaction of the postings deltas — full-corpus BM25 oracle
+      "x100_bm25_index_compact" -> x80Sql,
 
       // add-one-smoothed rational odds ratio per union-vocab term,
       // symmetric via greatest(r, 1/r) computed as two independent

@@ -779,9 +779,14 @@ object TextAnalysis {
       spark.sessionState.newHadoopConf())
     graft.sinks.TableSwap.recoverStranded(fs, s"$path/termstats")
     graft.sinks.TableSwap.recoverStranded(fs, s"$path/stats")
-    val deltaDir = new Path(s"$path/postings/delta_$batchId")
-    if (fs.exists(deltaDir)) return // postings land last ⇒ fully applied
+    graft.sinks.TableSwap.recoverStranded(fs, s"$path/postings")
     val marker = s"_applied_$batchId"
+    val deltaDir = new Path(s"$path/postings/delta_$batchId")
+    // postings land last ⇒ either record means fully applied (the
+    // delta dir pre-compaction, the carried marker after a compaction
+    // folded the delta away)
+    if (fs.exists(deltaDir) ||
+      fs.exists(new Path(s"$path/postings/$marker"))) return
     val toks = tokens(lower(col(textCol)))
     val newBase = newDocs.select(
         col(idCol).cast(LongType).as("doc_id"),
@@ -837,6 +842,46 @@ object TextAnalysis {
       require(fs.rename(deltaStaging, deltaDir),
         s"delta rename failed: $deltaStaging -> $deltaDir")
     } finally newBase.unpersist(blocking = false)
+  }
+
+  /** Compact a persisted [[saveBm25Index]] index's inverted file back
+    * to one term-sorted layout — the maintenance step that closes the
+    * append lifecycle: every [[appendToBm25Index]] batch leaves a
+    * `delta_<batchId>/` subdirectory whose row-group term ranges
+    * overlap the base's, so a `term IN (...)` serve reads ~one row
+    * group PER DELTA per term; compaction folds them into one sorted
+    * file set and restores the single-row-group-per-term pruning.
+    * Statistics tables are untouched (the append already merged them);
+    * values are unchanged (gated x100 replays the full-corpus oracle
+    * across a compaction). Staged-swap: crash-safe, retry converges.
+    * Each folded delta's applied-batch record survives as an
+    * `_applied_<batchId>` marker in the compacted postings dir, so a
+    * late retry of a compacted-away batch still no-ops. Contract: do
+    * not run concurrently with an in-flight append (the swap and a
+    * delta rename can interleave). */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val postings = s"$path/postings"
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.TableSwap.recoverStranded(fs, postings)
+    // applied-batch record to carry: prior markers + the deltas this
+    // compaction folds away
+    val names = fs.listStatus(new Path(postings))
+      .map(_.getPath.getName)
+    val carried = names.filter(_.startsWith("_applied_")) ++
+      names.filter(_.startsWith("delta_"))
+        .map(d => "_applied_" + d.stripPrefix("delta_"))
+    val staging = graft.sinks.TableSwap.stagingPath(postings)
+    readPostings(spark, path)
+      .repartition(col("term")).sortWithinPartitions("term", "doc_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(staging.toString)
+    carried.distinct.foreach { m =>
+      fs.create(new Path(staging, m), true).close()
+    }
+    graft.sinks.TableSwap.swapStaged(fs, postings)
   }
 
   /** Copy the live table's `_applied_*` markers into the staged dir and

@@ -120,6 +120,34 @@ class Bm25IndexSpec extends SparkSpec {
       .head())
   }
 
+  test("compaction folds deltas, preserves answers and applied " +
+      "markers (x100)") {
+    val half = scratch()
+    val full = scratch()
+    TextAnalysis.saveBm25Index(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", half)
+    TextAnalysis.appendToBm25Index(spark, half,
+      docs.filter(col("doc_id") >= 250), "doc_id", "text", "b1")
+    TextAnalysis.compactBm25Index(spark, half)
+    TextAnalysis.saveBm25Index(docs, "doc_id", "text", full)
+    val fs = new org.apache.hadoop.fs.Path(half).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$half/postings"))
+      .map(_.getPath.getName)
+    assert(!names.exists(_.startsWith("delta_")),
+      s"deltas must fold away, got ${names.mkString(",")}")
+    assert(names.contains("_applied_b1"))
+    assert(rows(TextAnalysis.queryBm25Index(spark, half, terms, 10)) ==
+      rows(TextAnalysis.queryBm25Index(spark, full, terms, 10)))
+    // late retry of the folded batch no-ops (stats would double else)
+    val s0 = spark.read.parquet(s"$half/stats").as[(Long, Long)].head()
+    TextAnalysis.appendToBm25Index(spark, half,
+      docs.filter(col("doc_id") >= 250), "doc_id", "text", "b1")
+    assert(spark.read.parquet(s"$half/stats").as[(Long, Long)].head()
+      == s0)
+  }
+
   test("serve plan pushes the term filter to the postings scan") {
     val idx = scratch()
     TextAnalysis.saveBm25Index(docs, "doc_id", "text", idx)
