@@ -259,8 +259,12 @@ object Similarity {
       : DataFrame = {
     val g = knnGraphFromIndex(spark, path, k, nprobe)
       .select(col("src"), col("dst"))
+    // same LongType id contract as the per-call form — the saved index
+    // stores idCol as-is, so an int-id corpus must not change the
+    // output schema between the two forms
     mutualClustersFromGraph(g,
-      spark.read.parquet(s"$path/corpus").select(col("vec_id")), reliable)
+      spark.read.parquet(s"$path/corpus")
+        .select(col("vec_id").cast(LongType).as("vec_id")), reliable)
   }
 
   /** Shared tail of the two mutual-kNN-cluster forms: symmetrize the
@@ -413,10 +417,15 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     graft.sinks.TableSwap.recoverStranded(fs, s"$path/corpus")
-    // a compaction folded this batch into base and left its marker —
-    // a late retry must no-op, not re-add the vectors as a new batch
-    if (fs.exists(new org.apache.hadoop.fs.Path(
-        s"$path/corpus/_applied_$batchId"))) return
+    // the batch's commit record: written AFTER the partition write
+    // below succeeds. A batch whose marker exists is fully applied (a
+    // late retry must no-op — especially after a compaction folded the
+    // batch away); a batch directory WITHOUT a marker is a crashed
+    // partial commit, which the retry's dynamic overwrite replaces and
+    // [[compactIvfIndex]] refuses to fold.
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$path/corpus/_applied_$batchId")
+    if (fs.exists(marker)) return
     val centroids = loadIvfCentroids(spark, path)
     require(centroids.nonEmpty, s"appendToIvfIndex: empty index at $path")
     graft.functions.VectorExprs.register(spark)
@@ -433,6 +442,7 @@ object Similarity {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "bucket")
       .parquet(s"$path/corpus")
+    fs.create(marker, true).close()
   }
 
   /** Compact a persisted [[saveIvfIndex]] index's corpus back to a
@@ -445,11 +455,19 @@ object Similarity {
     * x99 replays x76's oracle across a compaction) through the
     * staged-swap, so a crash mid-compaction never loses the live
     * corpus and a retry converges; cell (`bucket`) partitioning is
-    * preserved, so serve-time pruning is untouched. Each folded
-    * batch's applied record survives as an `_applied_<batchId>` marker
-    * in the compacted corpus dir ([[appendToIvfIndex]] checks it), so
-    * a late retry of a compacted-away batch still no-ops. Contract:
-    * not concurrent with an in-flight append. */
+    * preserved, so serve-time pruning is untouched.
+    *
+    * Only batches whose `_applied_<batchId>` commit marker exists are
+    * folded: a batch directory without its marker is a crashed
+    * PARTIAL commit (the IVF append's multi-directory write is not
+    * atomic, unlike the BM25 delta rename), and blessing it would
+    * make the retry no-op on permanently-missing vectors. Unmarked
+    * partials are DROPPED by the swap instead — the batch's retry
+    * re-lands it in full. Folded batches' markers are carried into
+    * the compacted dir, so late retries still no-op; markers are only
+    * needed while a batch could still be retried (prunable out of
+    * band past the retry horizon). Contract: not concurrent with an
+    * in-flight append. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -457,24 +475,22 @@ object Similarity {
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     graft.sinks.TableSwap.recoverStranded(fs, corpus)
-    val names = fs.listStatus(new Path(corpus))
-      .map(_.getPath.getName)
-    val carried = names.filter(_.startsWith("_applied_")) ++
-      names.filter(n => n.startsWith("batch=") && n != "batch=base")
-        .map(n => "_applied_" + n.stripPrefix("batch="))
-    val staging = graft.sinks.TableSwap.stagingPath(corpus)
+    val carried = graft.sinks.TableSwap.listAppliedMarkers(fs, corpus)
+    val applied = carried.map(_.stripPrefix("_applied_"))
+    val committed =
+      if (applied.isEmpty) col("batch") === "base"
+      else col("batch") === "base" || col("batch").isin(applied: _*)
     spark.read.parquet(corpus)
+      // partition-pruned to base + COMMITTED batches (see scaladoc)
+      .filter(committed)
       .select(col("vec_id"), col("v"), col("nrm"),
         lit("base").as("batch"),
         col("bucket").cast(LongType).as("bucket"))
       .repartition(col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("batch", "bucket")
-      .parquet(staging.toString)
-    carried.distinct.foreach { m =>
-      fs.create(new Path(staging, m), true).close()
-    }
-    graft.sinks.TableSwap.swapStaged(fs, corpus)
+      .parquet(graft.sinks.TableSwap.stagingPath(corpus).toString)
+    graft.sinks.TableSwap.swapStagedWithMarkers(fs, corpus, carried)
   }
 
   /** Serve query batches from a persisted [[saveIvfIndex]] index: no

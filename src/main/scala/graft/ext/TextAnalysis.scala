@@ -809,8 +809,10 @@ object TextAnalysis {
           .repartition(col("term")).sortWithinPartitions("term")
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(staging.toString)
-        carryAppliedMarkers(fs, s"$path/termstats", staging, marker)
-        graft.sinks.TableSwap.swapStaged(fs, s"$path/termstats")
+        graft.sinks.TableSwap.swapStagedWithMarkers(fs,
+          s"$path/termstats",
+          graft.sinks.TableSwap.listAppliedMarkers(fs, s"$path/termstats")
+            :+ marker)
       }
       // corpus constants: tiny driver-side read + rewrite via staging
       if (!fs.exists(new Path(s"$path/stats/$marker"))) {
@@ -827,8 +829,9 @@ object TextAnalysis {
           .coalesce(1)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(staging.toString)
-        carryAppliedMarkers(fs, s"$path/stats", staging, marker)
-        graft.sinks.TableSwap.swapStaged(fs, s"$path/stats")
+        graft.sinks.TableSwap.swapStagedWithMarkers(fs, s"$path/stats",
+          graft.sinks.TableSwap.listAppliedMarkers(fs, s"$path/stats")
+            :+ marker)
       }
       // inverted-file delta last (see ordering contract above): staged
       // write OUTSIDE postings/ (readers never see a partial delta),
@@ -867,38 +870,28 @@ object TextAnalysis {
       spark.sessionState.newHadoopConf())
     graft.sinks.TableSwap.recoverStranded(fs, postings)
     // applied-batch record to carry: prior markers + the deltas this
-    // compaction folds away
+    // compaction folds away. Markers accumulate one zero-byte file per
+    // ingested batch for the index's lifetime — they are only needed
+    // while a batch could still be retried, so an operator may prune
+    // `_applied_*` older than the ingest retry horizon out of band.
     val names = fs.listStatus(new Path(postings))
       .map(_.getPath.getName)
     val carried = names.filter(_.startsWith("_applied_")) ++
       names.filter(_.startsWith("delta_"))
         .map(d => "_applied_" + d.stripPrefix("delta_"))
-    val staging = graft.sinks.TableSwap.stagingPath(postings)
     readPostings(spark, path)
       .repartition(col("term")).sortWithinPartitions("term", "doc_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(staging.toString)
-    carried.distinct.foreach { m =>
-      fs.create(new Path(staging, m), true).close()
-    }
-    graft.sinks.TableSwap.swapStaged(fs, postings)
+      .parquet(graft.sinks.TableSwap.stagingPath(postings).toString)
+    graft.sinks.TableSwap.swapStagedWithMarkers(fs, postings, carried)
+    // sweep orphaned append stagings (a crashed append that was never
+    // retried leaves postings__delta_<id>__staging beside the index;
+    // deleting is always safe — an un-applied batch's retry rewrites
+    // its staging from scratch, an applied batch never reads it)
+    fs.listStatus(new Path(path)).map(_.getPath)
+      .filter(p => p.getName.startsWith("postings__delta_") &&
+        p.getName.endsWith("__staging"))
+      .foreach(p => fs.delete(p, true))
   }
 
-  /** Copy the live table's `_applied_*` markers into the staged dir and
-    * add this batch's — underscore-prefixed files are invisible to
-    * parquet readers, and living inside the swapped directory makes the
-    * marker set change atomically with the table contents. */
-  private def carryAppliedMarkers(fs: org.apache.hadoop.fs.FileSystem,
-      live: String, staging: org.apache.hadoop.fs.Path,
-      newMarker: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val prior =
-      if (fs.exists(new Path(live)))
-        fs.listStatus(new Path(live)).map(_.getPath.getName)
-          .filter(_.startsWith("_applied_"))
-      else Array.empty[String]
-    (prior :+ newMarker).distinct.foreach { m =>
-      fs.create(new Path(staging, m), true).close()
-    }
-  }
 }

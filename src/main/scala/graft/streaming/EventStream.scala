@@ -50,11 +50,20 @@ object EventStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The sniff throws "Unable to infer schema" on an empty directory —
     // the common streaming pattern of starting the stream before the
-    // first file lands. Fall back to the historical nanos-long schema in
-    // that case (what every fixture generation before the NTZ switch
-    // shipped); a caller that knows better can pre-create a file first.
-    val tsType = scala.util.Try(spark.read.parquet(eventsDir).schema)
-      .toOption
+    // first file lands. Fall back to the historical nanos-long schema
+    // for EXACTLY that case (what every fixture generation before the
+    // NTZ switch shipped); any other failure — corrupt footer,
+    // permissions, transient FS error — propagates, because silently
+    // picking an encoding there would surface later as an opaque
+    // conversion error far from the real cause.
+    val sniffed =
+      try Some(spark.read.parquet(eventsDir).schema)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+              e.getMessage.contains("Unable to infer schema") => None
+      }
+    val tsType = sniffed
       .flatMap(_.find(_.name == "ts").map(_.dataType))
       .getOrElse(LongType)
     val raw = spark.readStream

@@ -666,6 +666,45 @@ class ExtSpec extends SparkSpec {
       "late retry of a compacted-away batch must no-op")
   }
 
+  test("compactIvfIndex drops an unmarked partial batch instead of " +
+      "blessing it; the batch retry then lands in full") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_partial").resolve("idx").toString
+    val subset = embs.filter($"vec_id" < 300)
+    Similarity.saveIvfIndex(subset, "vec_id", "embedding", idx,
+      kCentroids = 8, iters = 2)
+    Similarity.appendToIvfIndex(spark, idx,
+      embs.filter($"vec_id" >= 300), "vec_id", "embedding", "b1")
+    val total = spark.read.parquet(s"$idx/corpus").count()
+    // simulate a crashed mid-commit append: the commit marker never
+    // landed and one of the batch's cell directories is missing
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$idx/corpus/_applied_b1"), false))
+    val cells = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$idx/corpus/batch=b1"))
+      .filter(_.getPath.getName.startsWith("bucket="))
+    assert(fs.delete(cells.head.getPath, true))
+    Similarity.compactIvfIndex(spark, idx)
+    // the partial batch was dropped wholesale, not folded half-missing
+    assert(spark.read.parquet(s"$idx/corpus").count() == subset.count())
+    // the retry re-lands the batch in full (marker was never blessed)
+    Similarity.appendToIvfIndex(spark, idx,
+      embs.filter($"vec_id" >= 300), "vec_id", "embedding", "b1")
+    assert(spark.read.parquet(s"$idx/corpus").count() == total)
+    val queries = embs.filter($"vec_id" < 8)
+    val centroids = Clustering.kmeansCentroids(subset, "vec_id",
+      "embedding", k = 8, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "cos")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(rows(Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) ==
+      rows(Similarity.ivfLearnedTopKWith(embs, queries, "vec_id",
+        "embedding", k = 5, centroids, nprobe = 2)))
+  }
+
   test("streamed IVF appends converge to the one-shot append (x98)") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_ivf_stream").toString
