@@ -60,6 +60,10 @@ object Bench {
         System.err.println(s"[bench] hygiene held(shuffles,broadcasts): " +
           s"$before -> $after")
       }
+      // drain async listener delivery (SQL metrics, UI state) before
+      // the next measurement starts — a backlog from a many-job
+      // iterative query otherwise bleeds into the next query's window
+      org.apache.spark.graft.BenchHygiene.drainListenerBus(spark.sparkContext)
       // settle the heap OUTSIDE the measured window: without this an
       // occasional mid-query full GC charges one victim query 2-3x its
       // cost (observed as run-to-run outliers on the iterative queries)

@@ -90,7 +90,22 @@ object Graph {
   }
 
   /** Shared power-iteration core over a prepared (src, dst, w) edge
-    * frame (w > 0, parallel edges pre-merged). */
+    * frame (w > 0, parallel edges pre-merged).
+    *
+    * PLAN PIN — every join in the loop carries a SHUFFLE_HASH hint on
+    * its node-keyed side, so no round can plan a broadcast join. A
+    * broadcast here is wrong twice over: at 100 TB neither the edge
+    * list nor a node-keyed frame fits in a broadcast, and even at
+    * bench scale the planner's stats for a `localCheckpoint`ed
+    * LogicalRDD understate the edge frame enough that it flips the
+    * EDGE side into a driver-built broadcast — a single-threaded
+    * LongHashedRelation build + reserialize of every edge row that
+    * takes 10-50s (run-to-run, heap-dependent) while all executor
+    * threads idle (jstack: `broadcast-exchange` RUNNABLE in
+    * `LongToUnsafeRowMap.append`, 20 executors parked). Pinned, each
+    * round is the shape the scaladoc promises: edges stay put, only
+    * the (id, rank) side shuffles, and the hash build is per-partition
+    * parallel. GraphSpec pins the executed plan. */
   private def pageRankCore(e: DataFrame, iters: Int, damp: Long,
       scale: Long, reliable: Boolean,
       tol: Option[Long] = None): DataFrame = {
@@ -102,7 +117,8 @@ object Graph {
     val outw = e.groupBy("src").agg(sum(col("w")).as("outw"))
     // (src, dst, w, outw) partitioned on the per-round join key and
     // materialized once — rounds shuffle only the rank side
-    val eo = mat(e.join(outw, Seq("src")).repartition(col("src")))
+    val eo = mat(e.join(outw.hint("shuffle_hash"), Seq("src"))
+      .repartition(col("src")))
     val nodes = mat(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
     // overflow contract, ENFORCED: rank mass is bounded by the teleport
@@ -126,11 +142,13 @@ object Graph {
     var round = 0
     var converged = false
     while (round < iters && !converged) {
-      val contribs = eo.join(ranks, eo("src") === ranks("id"))
+      val rhint = ranks.hint("shuffle_hash")
+      val contribs = eo.join(rhint, eo("src") === rhint("id"))
         .select(col("dst"), expr("(rank * w) div outw").as("_c"))
         .groupBy("dst").agg(sum(col("_c")).as("_s"))
       val next = mat(nodes
-        .join(contribs, nodes("id") === contribs("dst"), "left")
+        .join(contribs.hint("shuffle_hash"),
+          nodes("id") === contribs("dst"), "left")
         .select(col("id"),
           // SQL div: exact 64-bit floor division (Column./ on longs
           // silently promotes to double — the determinism killer here)
@@ -141,7 +159,8 @@ object Graph {
       // cheap next to the round's edge join, and only when asked for
       tol.foreach { t =>
         val delta = next
-          .join(ranks.withColumnRenamed("rank", "_prev"), Seq("id"))
+          .join(ranks.withColumnRenamed("rank", "_prev")
+            .hint("shuffle_hash"), Seq("id"))
           .agg(coalesce(max(abs(col("rank") - col("_prev"))), lit(0L)))
           .head().getLong(0)
         if (delta < t) converged = true

@@ -37,6 +37,17 @@ object BenchHygiene extends Logging {
     (nShuffle, nBroadcast)
   }
 
+  /** Block until every queued listener-bus event has been delivered.
+    * Listener delivery (SQL metrics aggregation, QueryExecutionListener
+    * callbacks, UI state) is asynchronous; a measurement window that
+    * starts while the previous query's events are still draining
+    * charges their delivery cost to the wrong query, and a test that
+    * asserts on QueryExecutionListener captures races the bus. The
+    * method is private[spark]; surfacing it here keeps the same
+    * narrow-hygiene sanction as the rest of this object. */
+  def drainListenerBus(sc: SparkContext, timeoutMillis: Long = 60000L): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMillis)
+
   /** Release all registered shuffles (map-output state + shuffle files)
     * and all broadcast blocks. Only call between independent queries —
     * never while a job that reuses them is running.

@@ -88,6 +88,46 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(triad, "src", "dst", tol = Some(0L)))
   }
 
+  test("pageRank plan pin: no action in the loop plans a broadcast " +
+      "join — edges stay put, only the rank side shuffles") {
+    // At bench scale the planner's stats for a localCheckpointed
+    // LogicalRDD understate the edge frame enough that, unhinted, AQE
+    // flips the EDGE side into a driver-built broadcast (a single-
+    // threaded LongHashedRelation build of every edge row — 10-50s at
+    // sf0.1 while all executors idle). On this tiny fixture EVERY join
+    // would auto-broadcast, so the capture below distinguishes
+    // hint-present from hint-absent exactly.
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val edges = spark.range(0, 2000)
+        .selectExpr("id as src", "(id + 1) % 2000 as dst")
+      Graph.pageRank(edges, "src", "dst", iters = 2,
+        scale = 1000000L, tol = Some(1L)).collect()
+      org.apache.spark.graft.BenchHygiene
+        .drainListenerBus(spark.sparkContext)
+      val captured = plans.toArray(Array.empty[String])
+      assert(captured.exists(_.contains("ShuffledHashJoin")),
+        "expected the pinned shuffle-hash round joins to execute")
+      val broadcasts = captured.filter(p =>
+        p.contains("BroadcastHashJoin") ||
+          p.contains("BroadcastNestedLoopJoin"))
+      assert(broadcasts.isEmpty,
+        s"pageRank loop planned a broadcast join:\n" +
+          broadcasts.headOption.getOrElse(""))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("pageRankWeighted: proportional distribution hand-checked; " +
       "parallel edges merge; w=1 equals unweighted") {
     // 1→2 (w3), 1→3 (w1, as two parallel rows w2+w(-ignored)), closed
