@@ -1976,6 +1976,18 @@ object SparkEntry {
         Seq("hash", "join", "merge"), k = 10)
     },
 
+    // REAL image decode round-trip (x101): full PNG files encoded per
+    // doc_id (javax.imageio writer — zlib IDAT, CRCs), then decoded
+    // back through the real codec; width/height/Σ(R+G+B) must equal
+    // the closed form the oracle computes straight from doc_id. The
+    // x68 build∘parse identity, now through actual pixel decode
+    // instead of header parsing.
+    "x101_image_decode_roundtrip" -> { (s, dir) =>
+      graft.ext.Multimodal.imagePixelStats(s,
+        graft.ext.Multimodal.withPngPayload(s,
+          T(s, dir, "documents"), "doc_id"), "doc_id")
+    },
+
     // streaming IVF index maintenance (x98): x76's append lifecycle
     // driven by a micro-batch stream — each batch dynamic-partition-
     // overwrites its own batch=stream_<id> level of the corpus
@@ -4502,6 +4514,24 @@ object SparkEntry {
       "x99_ivf_index_compact" -> ivfAppendOracle,
       // compaction of the postings deltas — full-corpus BM25 oracle
       "x100_bm25_index_compact" -> x80Sql,
+
+      // the engine encodes REAL PNGs and decodes them back; the oracle
+      // recomputes every decoded value in closed form from doc_id
+      // (lossless round-trip ⇒ decode correctness, not just parsing)
+      "x101_image_decode_roundtrip" ->
+        """WITH xs AS (SELECT x FROM generate_series(0, 16) g(x)),
+                ys AS (SELECT y FROM generate_series(0, 9) g(y)),
+                p AS (
+                  SELECT d.doc_id, 4 + d.doc_id % 13 AS w,
+                         3 + d.doc_id % 7 AS h, xs.x, ys.y
+                  FROM documents d, xs, ys
+                  WHERE xs.x < 4 + d.doc_id % 13
+                    AND ys.y < 3 + d.doc_id % 7)
+           SELECT doc_id, CAST(MIN(w) AS INT) AS width,
+                  CAST(MIN(h) AS INT) AS height,
+                  CAST(SUM(((doc_id + x) % 256) + ((doc_id + y) % 256)
+                           + ((x + y) % 256)) AS BIGINT) AS pix_sum
+           FROM p GROUP BY doc_id""",
 
       // add-one-smoothed rational odds ratio per union-vocab term,
       // symmetric via greatest(r, 1/r) computed as two independent

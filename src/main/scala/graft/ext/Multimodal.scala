@@ -27,15 +27,55 @@ object Multimodal {
   final case class Frame(doc_id: Long, frame_idx: Long, feature: Array[Byte])
 
   object MediaCodec {
+    // javax.imageio needs no display, but insists on AWT init; pin
+    // headless so executors in server JVMs never probe for one. The
+    // ImageIO disk cache would stage every blob through /tmp — decode
+    // stays in-memory.
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** STUB decoder: deterministic fake "frames" — every `stride`-th byte
-      * window of the payload. A real implementation would decode the
-      * container format here. */
+      * window of the payload. The fallback for container formats the
+      * JDK cannot decode (video, audio); [[decodeImage]] is the real
+      * path for PNG/JPEG/GIF/BMP. */
     def decodeStub(docId: Long, payload: Array[Byte], stride: Int)
         : Iterator[Frame] = {
       if (payload == null || payload.isEmpty) Iterator.empty
       else payload.grouped(stride).zipWithIndex.map { case (chunk, i) =>
         Frame(docId, i.toLong, chunk)
       }
+    }
+
+    /** REAL image decode — pure-JDK `javax.imageio` (PNG/JPEG/GIF/BMP;
+      * no external codec). Returns None for payloads that are not a
+      * decodable image (unrecognized magic → ImageIO returns null;
+      * recognized-but-corrupt → decoder throws — both map to None so
+      * the caller's fallback keeps the dataflow total). Thread-safe:
+      * ImageIO.read constructs a fresh reader per call. */
+    def decodeImage(payload: Array[Byte])
+        : Option[java.awt.image.BufferedImage] =
+      if (payload == null || payload.isEmpty) None
+      else
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
+        catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Decoded pixels as packed row-major RGB bytes (3 bytes per pixel,
+      * alpha dropped) — the batch shape a feature extractor consumes. */
+    def packRgb(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = img.getWidth; val h = img.getHeight
+      // bulk getRGB: one array copy, not w*h accessor calls
+      val argb = img.getRGB(0, 0, w, h, null, 0, w)
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < argb.length) {
+        val p = argb(i)
+        out(i * 3) = ((p >> 16) & 0xff).toByte
+        out(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+        out(i * 3 + 2) = (p & 0xff).toByte
+        i += 1
+      }
+      out
     }
   }
 
@@ -110,16 +150,83 @@ object Multimodal {
   }
 
   /** Batched frame extraction (decode stage): `mapPartitions` so each task
-    * streams its blobs through the codec. The decode itself is the stub
-    * above. */
+    * streams its blobs through the codec. Payloads the JDK can decode as
+    * images ([[MediaCodec.decodeImage]]) yield ONE real frame of packed
+    * row-major RGB bytes; everything else (video/audio containers, text
+    * blobs, corrupt data) falls back to the deterministic stub so the
+    * stage is total and the x14 gate's stub-path oracle is unchanged. */
   def extractFrames(spark: SparkSession, df: DataFrame, idCol: String,
       stride: Int = 64): Dataset[Frame] = {
     import spark.implicits._
     df.select(col(idCol).cast(LongType), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        MediaCodec.decodeStub(id, payload, stride)
+        MediaCodec.decodeImage(payload) match {
+          case Some(img) =>
+            Iterator.single(Frame(id, 0L, MediaCodec.packRgb(img)))
+          case None => MediaCodec.decodeStub(id, payload, stride)
+        }
       })
+  }
+
+  /** Deterministic REAL PNG fixture: a full encoded image per row
+    * (`javax.imageio` PNG writer — zlib IDAT, CRCs, the works), pixel
+    * (x, y) = (R, G, B) = ((id+x)%256, (id+y)%256, (x+y)%256), sized
+    * width = 4 + id%13, height = 3 + id%7. Closed form in the id so an
+    * oracle can recompute every decoded value without touching bytes.
+    * Encode runs in `mapPartitions` — blobs are born inside the task
+    * and never shuffled. */
+  def withPngPayload(spark: SparkSession, df: DataFrame, idCol: String)
+      : DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4 + Math.floorMod(id, 13L)).toInt
+        val h = (3 + Math.floorMod(id, 7L)).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = Math.floorMod(id + x, 256L).toInt
+            val g = Math.floorMod(id + y, 256L).toInt
+            val b = (x + y) % 256
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }).toDF(idCol, "payload")
+  }
+
+  /** Pixel-level decode statistics through the REAL codec: width,
+    * height, and Σ(R+G+B) over every decoded pixel. On a
+    * [[withPngPayload]] fixture the PNG round-trip is lossless, so each
+    * value equals the closed form an oracle computes straight from the
+    * id — the x68 build∘parse identity, now through actual pixel
+    * decode (gated x101). Non-image payloads surface as NULL stats,
+    * never an error. */
+  def imagePixelStats(spark: SparkSession, df: DataFrame, idCol: String)
+      : DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        MediaCodec.decodeImage(payload) match {
+          case Some(img) =>
+            val rgb = MediaCodec.packRgb(img)
+            var s = 0L
+            var i = 0
+            while (i < rgb.length) { s += rgb(i) & 0xff; i += 1 }
+            (id, Some(img.getWidth), Some(img.getHeight), Some(s))
+          case None =>
+            (id, None: Option[Int], None: Option[Int], None: Option[Long])
+        }
+      }).toDF(idCol, "width", "height", "pix_sum")
   }
 
   /** Frame sampling: keep every `everyN`-th frame — the standard decimation

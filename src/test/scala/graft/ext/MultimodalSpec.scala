@@ -24,6 +24,67 @@ class MultimodalSpec extends SparkSpec {
       (3L, 0L, 64), (3L, 1L, 1)))
   }
 
+  test("real codec round-trip: encoded PNGs decode to one RGB frame " +
+      "with hand-computed pixel stats") {
+    val ids = Seq(0L, 1L, 5L, 12L, 255L, 256L).toDF("doc_id")
+    val png = Multimodal.withPngPayload(spark, ids, "doc_id")
+    // every payload is a REAL decodable PNG
+    val frames = Multimodal.extractFrames(spark, png, "doc_id")
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(frames.size == 6)
+    for ((id, f) <- frames) {
+      val w = (4 + Math.floorMod(id, 13L)).toInt
+      val h = (3 + Math.floorMod(id, 7L)).toInt
+      assert(f.frame_idx == 0L)
+      assert(f.feature.length == w * h * 3,
+        s"doc $id: expected ${w * h * 3} RGB bytes")
+    }
+    // hand-check pixels for doc 1 (w=5, h=4): pixel (2,3) = R=(1+2)%256,
+    // G=(1+3)%256, B=(2+3)%256 at offset (3*5+2)*3 — PNG is lossless
+    val f1 = frames(1L).feature
+    val off = (3 * 5 + 2) * 3
+    assert((f1(off) & 0xff, f1(off + 1) & 0xff, f1(off + 2) & 0xff)
+      == ((3, 4, 5)))
+    // imagePixelStats equals the closed form
+    val stats = Multimodal.imagePixelStats(spark, png, "doc_id")
+      .as[(Long, Option[Int], Option[Int], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    for (id <- Seq(0L, 1L, 5L, 12L, 255L, 256L)) {
+      val w = (4 + Math.floorMod(id, 13L)).toInt
+      val h = (3 + Math.floorMod(id, 7L)).toInt
+      var s = 0L
+      for (x <- 0 until w; y <- 0 until h)
+        s += Math.floorMod(id + x, 256L) + Math.floorMod(id + y, 256L) +
+          (x + y) % 256
+      assert(stats(id) == ((id, Some(w), Some(h), Some(s))))
+    }
+  }
+
+  test("malformed payloads: recognized-but-corrupt and unrecognized " +
+      "bytes fall back without error; empty yields nothing") {
+    // PNG magic followed by garbage: ImageIO recognizes the format then
+    // throws on the corrupt stream — must map to the stub, not an error
+    val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0d, 0x0a, 0x1a, 0x0a)
+    val corrupt = pngMagic ++ Array.fill[Byte](40)(0x42)
+    assert(Multimodal.MediaCodec.decodeImage(corrupt).isEmpty)
+    assert(Multimodal.MediaCodec.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.MediaCodec.decodeImage(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.MediaCodec.decodeImage(null).isEmpty)
+    // through the full stage: corrupt image payloads take the stub path
+    // (stride windows), empties vanish, and nothing throws
+    val mixed = Seq((10L, corrupt), (11L, Array.emptyByteArray))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.extractFrames(spark, mixed, "doc_id", stride = 16)
+      .collect()
+    assert(out.forall(_.doc_id == 10L))
+    assert(out.length == 3) // 48 corrupt bytes / stride 16
+    // and pixel stats surface NULLs, never an error
+    val st = Multimodal.imagePixelStats(spark, mixed, "doc_id")
+      .as[(Long, Option[Int], Option[Int], Option[Long])].collect().toSet
+    assert(st == Set((10L, None, None, None), (11L, None, None, None)))
+  }
+
   test("sampleFrames keeps every Nth frame; resize pads/truncates exactly") {
     val frames = Multimodal.extractFrames(spark,
       Multimodal.withPayload(docs, "doc_id", "text"), "doc_id", stride = 64)
