@@ -1989,11 +1989,11 @@ object SparkEntry {
     },
 
     // streaming IVF index maintenance (x98): x76's append lifecycle
-    // driven by a micro-batch stream — each batch dynamic-partition-
-    // overwrites its own batch=stream_<id> level of the corpus
-    // (idempotent under replay), and the served answer must equal the
-    // one-shot append's (same oracle as x76: subset-trained centroids,
-    // full-corpus inverted file).
+    // driven by a micro-batch stream — each batch lands as its own
+    // corpus segment under a content-derived id and the manifest's
+    // applied record makes replays no-ops, so the served answer must
+    // equal the one-shot append's (same oracle as x76: subset-trained
+    // centroids, full-corpus inverted file).
     "x98_stream_ivf_maintain" -> { (s, dir) =>
       val base = scratchDir("streamivf")
       val emb = T(s, dir, "embeddings")
@@ -2012,6 +2012,33 @@ object SparkEntry {
       graft.ext.Similarity.queryIvfIndex(s, base + "/idx",
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         k = 5, nprobe = 2)
+    },
+
+    // streaming maintenance WITH inline auto-compaction (x102): x97's
+    // loop, but any micro-batch that leaves more than compactEvery=2
+    // live segments triggers compact+vacuum on the stream's own
+    // thread — the segment count a serve pays is bounded by the
+    // threshold instead of growing with stream lifetime, and replayed
+    // appends of folded batches still no-op (StreamIndexSpec pins the
+    // bound; this gate pins the answer — same full-corpus oracle as
+    // x80/x89/x97/x100).
+    "x102_stream_bm25_autocompact" -> { (s, dir) =>
+      val base = scratchDir("streambm25ac")
+      val docs = T(s, dir, "documents")
+      graft.ext.TextAnalysis.saveBm25Index(
+        docs.filter(col("doc_id") < 250), "doc_id", "text",
+        base + "/idx")
+      docs.filter(col("doc_id") >= 250)
+        .repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(base + "/newdocs")
+      val schema = s.read.parquet(base + "/newdocs").schema
+      val q = graft.streaming.StreamIndex.bm25AppendWriter(s,
+          base + "/newdocs", schema, base + "/idx", "doc_id", "text",
+          compactEvery = 2)
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      graft.ext.TextAnalysis.queryBm25Index(s, base + "/idx",
+        Seq("hash", "join", "merge"), k = 10)
     },
 
     // bigram LM statistics: top-50 bigrams with P(w2|w1) — integer
@@ -4514,6 +4541,7 @@ object SparkEntry {
       "x99_ivf_index_compact" -> ivfAppendOracle,
       // compaction of the postings deltas — full-corpus BM25 oracle
       "x100_bm25_index_compact" -> x80Sql,
+      "x102_stream_bm25_autocompact" -> x80Sql,
 
       // the engine encodes REAL PNGs and decodes them back; the oracle
       // recomputes every decoded value in closed form from doc_id

@@ -210,10 +210,11 @@ object Similarity {
       path: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
     val centroids = loadIvfCentroids(spark, path)
     require(centroids.nonEmpty, s"knnGraphFromIndex: empty index at $path")
-    val c = spark.read.parquet(s"$path/corpus")
+    val snap = ivfSnapshot(spark, path)
+    val c = readIvfCorpus(spark, path, snap)
       .select(col("vec_id"), col("v"),
         col("bucket").cast(LongType).as("bucket"), col("nrm"))
-    val q = spark.read.parquet(s"$path/corpus")
+    val q = readIvfCorpus(spark, path, snap)
       .select(col("vec_id"), col("v"))
     serveBuckets(c, q, "vec_id", "v", k, centroids, nprobe,
       broadcastQueries = false)
@@ -263,7 +264,7 @@ object Similarity {
     // stores idCol as-is, so an int-id corpus must not change the
     // output schema between the two forms
     mutualClustersFromGraph(g,
-      spark.read.parquet(s"$path/corpus")
+      readIvfCorpus(spark, path, ivfSnapshot(spark, path))
         .select(col("vec_id").cast(LongType).as("vec_id")), reliable)
   }
 
@@ -328,19 +329,25 @@ object Similarity {
 
   /** Persist a trained learned-centroid IVF index — the train-once /
     * query-many lifecycle a production 100 TB index needs (x67 trains
-    * per call; this writes the training output once). Two parquet
-    * datasets under `path`:
+    * per call; this writes the training output once). Under `path`:
     *
     *  - `path/centroids`: (cluster_id, centroid) — the k × dim driver
     *    payload, one small file;
     *  - `path/corpus`: (vec_id, v, nrm) PARTITIONED BY (`batch`,
     *    `bucket`) — every vector in its nearest-centroid cell with its
-    *    norm precomputed. The build writes `batch=base`; each
-    *    [[appendToIvfIndex]] call adds its own `batch=<batchId>` level,
-    *    which is what makes appends idempotent under retry (dynamic
-    *    partition overwrite replaces exactly that batch's
-    *    partitions). `bucket` stays a partition column, so cell
-    *    pruning is unaffected by the extra level.
+    *    norm precomputed. `batch` is the SEGMENT level: the build
+    *    writes `batch=base`, each [[appendToIvfIndex]] call adds its
+    *    own `batch=<batchId>`, a compaction adds a folded
+    *    `batch=compact_v<N>_<id>`. `bucket` stays a partition column,
+    *    so cell pruning is unaffected by the extra level.
+    *  - `path/manifest_v<N>.json` ([[graft.sinks.IndexManifest]]): the
+    *    versioned commit record — which batch segments are live and
+    *    which append batchIds have been applied. Every reader resolves
+    *    ONE manifest and filters the corpus scan to its segment list
+    *    (a static partition-value filter, pruned at planning), so an
+    *    append or compaction landing mid-query can never mix
+    *    snapshots, and a crashed append's partial partitions are
+    *    invisible until its manifest commit.
     *
     * At serve time ([[queryIvfIndex]]) the probe joins a broadcast
     * query set against the PARTITION column, so Spark's dynamic
@@ -357,6 +364,9 @@ object Similarity {
     graft.functions.VectorExprs.register(spark)
     import graft.functions.VectorExprs.dotF64
     import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
     val centroids = Clustering.kmeansCentroids(corpus, idCol, vecCol,
       kCentroids, iters, trainSample)
     centroids.toDF("cluster_id", "centroid")
@@ -369,6 +379,30 @@ object Similarity {
         lit("base").as("batch"), col("cluster").as("bucket"))
       .write.mode("overwrite").partitionBy("batch", "bucket")
       .parquet(s"$path/corpus")
+    graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
+      graft.sinks.IndexSnapshot(0L, Map("corpus" -> Seq("base")),
+        Seq.empty))
+  }
+
+  /** Resolve the index's current snapshot (manifest required). */
+  private def ivfSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String): graft.sinks.IndexSnapshot = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no index manifest at $path (not a saveIvfIndex directory)"))
+  }
+
+  /** Read the corpus pinned to one snapshot's segments: a static
+    * `batch IN (...)` partition filter, pruned at planning — partial
+    * or post-snapshot batch directories are never read. */
+  private def readIvfCorpus(spark: org.apache.spark.sql.SparkSession,
+      path: String, snap: graft.sinks.IndexSnapshot): DataFrame = {
+    val segs = snap.segs("corpus")
+    require(segs.nonEmpty, s"index at $path has no corpus segments")
+    spark.read.parquet(s"$path/corpus")
+      .filter(col("batch").isin(segs: _*))
   }
 
   /** Reload the k-row centroid file of a [[saveIvfIndex]] index,
@@ -391,15 +425,16 @@ object Similarity {
     * whose inverted file holds everything (ExtSpec pins that
     * equivalence; gated x76).
     *
-    * IDEMPOTENT RETRY, keyed on `batchId`: the write is a DYNAMIC
-    * partition overwrite scoped to `(batch=<batchId>, bucket=*)` — a
-    * crashed attempt's partial partitions are wholesale-replaced by
-    * the retry, and re-running an already-applied batch rewrites the
-    * identical deterministic content. That is what lets a streaming
-    * micro-batch relay drive the append exactly-once
-    * ([[graft.streaming.StreamIndex.ivfAppendWriter]], x98; same
-    * contract as the BM25 append's marker gating, achieved here purely
-    * by layout because there are no merged statistics tables).
+    * IDEMPOTENT RETRY, keyed on `batchId` in the manifest's `applied`
+    * list: the batch's partitions are written first (invisible —
+    * readers filter the corpus to manifest-listed segments), then one
+    * manifest commit ([[graft.sinks.IndexManifest]]) makes them live
+    * and records the batchId. A crash before the commit leaves an
+    * unreferenced partial directory the retry overwrites; a retry of
+    * an applied id no-ops — even after a compaction folded the batch
+    * away (the `applied` record is carried). That is what lets a
+    * streaming micro-batch relay drive the append exactly-once
+    * ([[graft.streaming.StreamIndex.ivfAppendWriter]], x98).
     *
     * The accepted drift: appended vectors don't move the centroids, so
     * cell balance decays as the distribution shifts — monitor (e.g.
@@ -411,21 +446,16 @@ object Similarity {
       path: String, newVecs: DataFrame, idCol: String,
       vecCol: String, batchId: String): Unit = {
     require(batchId.nonEmpty && batchId != "base" &&
+        !batchId.startsWith("compact_v") &&
         batchId.forall(c =>
           c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"batchId must be a filesystem-safe token != 'base' (got '$batchId')")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
-    graft.sinks.TableSwap.recoverStranded(fs, s"$path/corpus")
-    // the batch's commit record: written AFTER the partition write
-    // below succeeds. A batch whose marker exists is fully applied (a
-    // late retry must no-op — especially after a compaction folded the
-    // batch away); a batch directory WITHOUT a marker is a crashed
-    // partial commit, which the retry's dynamic overwrite replaces and
-    // [[compactIvfIndex]] refuses to fold.
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$path/corpus/_applied_$batchId")
-    if (fs.exists(marker)) return
+    val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no index manifest at $path (not a saveIvfIndex directory)"))
+    if (snap.applied.contains(batchId)) return
     val centroids = loadIvfCentroids(spark, path)
     require(centroids.nonEmpty, s"appendToIvfIndex: empty index at $path")
     graft.functions.VectorExprs.register(spark)
@@ -435,62 +465,75 @@ object Similarity {
           asDouble(col(vecCol)).as("_v")), centroids)
       .select(col("vec_id"), col("_v").as("v"),
         sqrt(dotF64(col("_v"), col("_v"))).as("nrm"),
-        lit(batchId).as("batch"), col("cluster").as("bucket"))
-      .write.mode("overwrite")
-      // per-write dynamic overwrite (NOT the session conf): replaces
-      // only this batch's partitions, never the corpus
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch", "bucket")
-      .parquet(s"$path/corpus")
-    fs.create(marker, true).close()
+        col("cluster").as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      // the batch value is encoded in the target path, so the write is
+      // naturally scoped to this segment — never the corpus
+      .parquet(s"$path/corpus/batch=$batchId")
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(batchId)) c // concurrent duplicate: no-op
+      else c.copy(
+        tables = Map("corpus" ->
+          (c.segs("corpus").filterNot(_ == batchId) :+ batchId)),
+        applied = c.applied :+ batchId)
+    }
   }
 
   /** Compact a persisted [[saveIvfIndex]] index's corpus back to a
-    * single `batch=base` level — the maintenance step that closes the
-    * append lifecycle (train rarely → append often → COMPACT
-    * occasionally → serve always): every [[appendToIvfIndex]] /
-    * streamed batch leaves its own `batch=<id>` partition tree, and
-    * hundreds of small per-batch files per cell eventually dominate
-    * scan open-cost. Rewrites the corpus (values unchanged — gated
-    * x99 replays x76's oracle across a compaction) through the
-    * staged-swap, so a crash mid-compaction never loses the live
-    * corpus and a retry converges; cell (`bucket`) partitioning is
-    * preserved, so serve-time pruning is untouched.
-    *
-    * Only batches whose `_applied_<batchId>` commit marker exists are
-    * folded: a batch directory without its marker is a crashed
-    * PARTIAL commit (the IVF append's multi-directory write is not
-    * atomic, unlike the BM25 delta rename), and blessing it would
-    * make the retry no-op on permanently-missing vectors. Unmarked
-    * partials are DROPPED by the swap instead — the batch's retry
-    * re-lands it in full. Folded batches' markers are carried into
-    * the compacted dir, so late retries still no-op; markers are only
-    * needed while a batch could still be retried (prunable out of
-    * band past the retry horizon). Contract: not concurrent with an
-    * in-flight append. */
+    * single segment — the maintenance step that closes the append
+    * lifecycle (train rarely → append often → COMPACT occasionally →
+    * serve always): every [[appendToIvfIndex]] / streamed batch leaves
+    * its own `batch=<id>` partition tree, and hundreds of small
+    * per-batch files per cell eventually dominate scan open-cost.
+    * Folds the snapshot's segments into a NEW
+    * `batch=compact_v<version>_<id>` segment (values unchanged —
+    * gated x99 replays x76's oracle across a compaction; cell
+    * (`bucket`) partitioning preserved, so serve-time pruning is
+    * untouched) and commits through the manifest CAS: segments
+    * appended AFTER the compaction began are carried forward, never
+    * dropped, and in-flight readers keep their resolved snapshot (old
+    * segments stay until [[vacuumIvfIndex]]). Partial batch
+    * directories (crashed appends, never committed) are excluded by
+    * construction — the fold reads only manifest-listed segments. The
+    * `applied` record is carried, so late retries of folded batches
+    * still no-op. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val corpus = s"$path/corpus"
-    val fs = new Path(path).getFileSystem(
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
-    graft.sinks.TableSwap.recoverStranded(fs, corpus)
-    val carried = graft.sinks.TableSwap.listAppliedMarkers(fs, corpus)
-    val applied = carried.map(_.stripPrefix("_applied_"))
-    val committed =
-      if (applied.isEmpty) col("batch") === "base"
-      else col("batch") === "base" || col("batch").isin(applied: _*)
-    spark.read.parquet(corpus)
-      // partition-pruned to base + COMMITTED batches (see scaladoc)
-      .filter(committed)
+    val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no index manifest at $path (not a saveIvfIndex directory)"))
+    if (snap.segs("corpus").length <= 1) return
+    val seg = s"compact_v${snap.version}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    readIvfCorpus(spark, path, snap)
       .select(col("vec_id"), col("v"), col("nrm"),
-        lit("base").as("batch"),
         col("bucket").cast(LongType).as("bucket"))
       .repartition(col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("batch", "bucket")
-      .parquet(graft.sinks.TableSwap.stagingPath(corpus).toString)
-    graft.sinks.TableSwap.swapStagedWithMarkers(fs, corpus, carried)
+      .partitionBy("bucket")
+      .parquet(s"$path/corpus/batch=$seg")
+    val folded = snap.segs("corpus").toSet
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      c.copy(tables = Map("corpus" ->
+        (seg +: c.segs("corpus").filterNot(folded.contains))))
+    }
+  }
+
+  /** Reclaim corpus segments and manifests unreferenced by the newest
+    * `keepVersions` snapshots — the GC half of [[compactIvfIndex]]
+    * (which deletes nothing, so in-flight readers finish on their
+    * resolved snapshot). Same retention contract as
+    * [[graft.ext.TextAnalysis.vacuumBm25Index]]. */
+  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepVersions: Int = 2): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.IndexManifest.vacuum(fs, path, keepVersions,
+      Map("corpus" -> s"$path/corpus"), s => s"batch=$s")
   }
 
   /** Serve query batches from a persisted [[saveIvfIndex]] index: no
@@ -502,7 +545,7 @@ object Similarity {
       nprobe: Int = 2): DataFrame = {
     val centroids = loadIvfCentroids(spark, path)
     require(centroids.nonEmpty, s"queryIvfIndex: empty index at $path")
-    val c = spark.read.parquet(s"$path/corpus")
+    val c = readIvfCorpus(spark, path, ivfSnapshot(spark, path))
       .select(col("vec_id"), col("v"),
         col("bucket").cast(LongType).as("bucket"), col("nrm"))
     serveBuckets(c, queries, idCol, vecCol, k, centroids, nprobe)

@@ -638,18 +638,29 @@ object TextAnalysis {
     * [[bm25TopK]] deliberately skips (it tokenizes the corpus per call,
     * the right shape for a one-shot gate, the wrong one for a serving
     * path: at 100 TB every query would re-read every document). Three
-    * parquet datasets under `path`:
+    * SEGMENTED parquet tables under `path`, tied together by a
+    * versioned manifest ([[graft.sinks.IndexManifest]] — the commit
+    * point every reader resolves ONCE, so appends and compactions can
+    * land mid-query without mixing snapshots):
     *
-    *  - `path/postings`: (term, doc_id, tf, dl) — one row per distinct
-    *    (doc, term), REPARTITIONED BY term and sorted on it within
-    *    partitions, so a `term IN (...)` serve filter prunes by parquet
-    *    row-group min/max stats and reads ~|q| terms' postings, not the
-    *    corpus. This file layout IS the inverted file (the
+    *  - `path/postings/<seg>/`: (term, doc_id, tf, dl) — one row per
+    *    distinct (doc, term), REPARTITIONED BY term and sorted on it
+    *    within partitions, so a `term IN (...)` serve filter prunes by
+    *    parquet row-group min/max stats and reads ~|q| terms' postings,
+    *    not the corpus. This file layout IS the inverted file (the
     *    [[graft.ext.Similarity.saveIvfIndex]] analogue for text).
-    *  - `path/termstats`: (term, df_t) — vocabulary-sized, same
-    *    term-pruned layout.
-    *  - `path/stats`: one row (n_docs, total_len) — the corpus
-    *    constants N and Σdl.
+    *  - `path/termstats/<seg>/`: (term, df_t) ADDITIVE deltas — each
+    *    segment carries its own documents' df contribution; serve sums
+    *    across segments. Same term-pruned layout.
+    *  - `path/stats/<seg>/`: one additive row (n_docs, total_len) per
+    *    segment — the corpus constants N and Σdl as segment sums.
+    *
+    * The additive-segment design is what makes
+    * [[appendToBm25Index]]'s cost ∝ THE BATCH: an append writes only
+    * its own three segments and a manifest — it never reads, merges,
+    * or rewrites the indexed vocabulary (the LSM/Lucene-segment shape;
+    * pre-existing segment files are byte-identical across an append,
+    * pinned in Bm25IndexSpec).
     *
     * Determinism: tokenization, dl ([[tokenCount]] raw whitespace
     * count), and every statistic match [[bm25TopK]]'s exactly, so
@@ -658,23 +669,70 @@ object TextAnalysis {
     * equality). */
   def saveBm25Index(df: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new Path(path), true) // overwrite semantics
+    writeBm25Segment(df, idCol, textCol, path, "base")
+    graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
+      graft.sinks.IndexSnapshot(0L,
+        Bm25Tables.map(t => t -> Seq("base")).toMap, Seq.empty))
+  }
+
+  private val Bm25Tables = Seq("postings", "termstats", "stats")
+
+  /** Write one (postings, termstats, stats) segment triple for `df`'s
+    * documents — shared by the base build and every append. Overwrite
+    * mode so a crashed attempt's orphan (never referenced by a
+    * manifest, hence invisible) is simply re-landed by the retry. */
+  private def writeBm25Segment(df: DataFrame, idCol: String,
+      textCol: String, path: String, seg: String): Unit = {
     val toks = tokens(lower(col(textCol)))
     val base = df.select(col(idCol).cast(LongType).as("doc_id"),
         size(toks).cast(LongType).as("dl"), explode(toks).as("term"))
       .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-    base.repartition(col("term")).sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").parquet(s"$path/postings")
-    // df_t from the postings we just wrote — one index-sized pass, no
-    // second tokenize
-    val spark = df.sparkSession
-    readPostings(spark, path)
-      .groupBy("term").agg(count(lit(1)).as("df_t"))
-      .repartition(col("term")).sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$path/termstats")
-    df.select(col(idCol).cast(LongType).as("doc_id"),
-        tokenCount(col(textCol)).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      base.repartition(col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/postings/$seg")
+      // df_t from the postings rows — one pass, no second tokenize
+      base.groupBy("term").agg(count(lit(1)).as("df_t"))
+        .repartition(col("term")).sortWithinPartitions("term")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/termstats/$seg")
+      df.select(tokenCount(col(textCol)).as("dl"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("total_len"))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/stats/$seg")
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** Resolve the index's current snapshot and read one table as the
+    * union of its manifest-listed segments. The segment list is frozen
+    * at this call — concurrent appends/compactions commit new
+    * manifests and never touch referenced directories, so the read is
+    * a consistent snapshot end to end. */
+  private def readBm25Table(spark: org.apache.spark.sql.SparkSession,
+      path: String, snap: graft.sinks.IndexSnapshot, table: String)
+      : DataFrame = {
+    val segs = snap.segs(table)
+    require(segs.nonEmpty, s"index at $path has no '$table' segments")
+    segs.map(s => spark.read.parquet(s"$path/$table/$s"))
+      .reduce(_ unionByName _)
+  }
+
+  private def bm25Snapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String): graft.sinks.IndexSnapshot = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no index manifest at $path (not a saveBm25Index directory)"))
   }
 
   /** Serve a BM25 top-k from a persisted [[saveBm25Index]] index: the
@@ -693,12 +751,17 @@ object TextAnalysis {
       "queryTerms must be non-empty strings (empty/whitespace-only " +
         "docs post an '' token row)")
     val qset = queryTerms.map(_.toLowerCase)
-    val postings = readPostings(spark, path)
+    val snap = bm25Snapshot(spark, path)
+    val postings = readBm25Table(spark, path, snap, "postings")
       .filter(col("term").isin(qset: _*))
-    val termstats = spark.read.parquet(s"$path/termstats")
+    // per-segment df contributions sum to the corpus df_t; the filter
+    // pushes below the union into every segment scan
+    val termstats = readBm25Table(spark, path, snap, "termstats")
       .filter(col("term").isin(qset: _*))
-    val stats = spark.read.parquet(s"$path/stats")
-      .select(col("n_docs").as("_n"), col("total_len").as("_len"))
+      .groupBy("term").agg(sum(col("df_t")).as("df_t"))
+    val stats = readBm25Table(spark, path, snap, "stats")
+      .agg(sum(col("n_docs")).as("_n"),
+        sum(col("total_len")).as("_len"))
     val idf = (col("_n") - col("df_t") + lit(0.5)) /
       (col("df_t") + lit(0.5))
     val norm = lit(k1) * (lit(1.0) - lit(b) + lit(b) *
@@ -730,43 +793,32 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"), col("doc_id").as("vec_id"))
   }
 
-  /** Read the full postings dataset of a [[saveBm25Index]] index. The
-    * inverted file is the base build's flat part-files PLUS one
-    * `delta_<batchId>/` subdirectory per [[appendToBm25Index]] batch, so
-    * listing must recurse (`recursiveFileLookup` — plain file listing,
-    * row-group min/max pruning on the term-sorted files still applies). */
-  private def readPostings(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$path/postings")
-
   /** Append new documents to a persisted [[saveBm25Index]] index
-    * WITHOUT re-tokenizing the existing corpus — the daily-ingest half
-    * of the lifecycle (the [[graft.ext.Similarity.appendToIvfIndex]]
-    * analogue): new postings land as a per-batch `delta_<batchId>/`
-    * subdirectory of the inverted file, term df and the corpus
-    * constants merge incrementally (cost ∝ new docs + vocabulary,
-    * never the indexed corpus).
+    * WITHOUT touching the indexed corpus — the daily-ingest half of
+    * the lifecycle (the [[graft.ext.Similarity.appendToIvfIndex]]
+    * analogue). The batch lands as one new (postings, termstats,
+    * stats) segment triple plus a manifest commit; because the
+    * statistics tables are ADDITIVE segments, nothing reads or
+    * rewrites the existing vocabulary — append cost is ∝ the batch,
+    * never the index (the r11 fix: the previous layout re-merged full
+    * termstats per batch, ∝ vocabulary).
     *
-    * Crash-safety + IDEMPOTENT RETRY, keyed on `batchId`:
+    * Crash-safety + IDEMPOTENT RETRY, keyed on `batchId` in the
+    * manifest's `applied` list:
     *
-    *  - termstats/stats merges go through the staged-swap
-    *    ([[graft.sinks.TableSwap]]); each staged table carries an
-    *    `_applied_<batchId>` marker file INSIDE the directory, so the
-    *    marker becomes visible atomically with the swap. A retry skips
-    *    any table whose marker is already present — a crash after the
-    *    termstats swap but before the stats swap (or postings) can
-    *    never double-count the delta on re-run.
-    *  - delta postings are written to a staging sibling and renamed
-    *    into `postings/delta_<batchId>` LAST, so a crash before the
-    *    rename leaves stats counting docs whose postings are absent —
-    *    conservative (idf dips), never corrupt — and readers never see
-    *    a half-written delta. If the delta directory already exists the
-    *    whole batch was applied and the call is a no-op.
+    *  - segment writes are invisible until the manifest commit (the
+    *    single atomic step, [[graft.sinks.IndexManifest]]); a crash
+    *    before the commit leaves unreferenced orphan directories that
+    *    the retry overwrites and [[vacuumBm25Index]] sweeps.
+    *  - a retry of an applied batchId is a no-op — checked up front,
+    *    and re-checked inside the CAS merge so even a concurrent
+    *    duplicate append cannot double-count.
+    *  - a compaction folds segments but carries the `applied` list, so
+    *    a LATE retry of a folded batch still no-ops.
     *
     * Caller contract: `newDocs` ids must be disjoint from the indexed
     * ids (same as the IVF append), and `batchId` must uniquely name
-    * this delta (a stream's micro-batch id, an ingest date, ...) —
+    * this batch (a stream's content-derived id, an ingest date, ...) —
     * reusing an applied id skips the append. */
   def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String, newDocs: DataFrame, idCol: String, textCol: String,
@@ -775,123 +827,91 @@ object TextAnalysis {
     require(batchId.nonEmpty && batchId.forall(c =>
         c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"batchId must be a filesystem-safe token (got '$batchId')")
+    require(batchId != "base" && !batchId.startsWith("compact_v"),
+      s"batchId '$batchId' collides with reserved segment names")
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
-    graft.sinks.TableSwap.recoverStranded(fs, s"$path/termstats")
-    graft.sinks.TableSwap.recoverStranded(fs, s"$path/stats")
-    graft.sinks.TableSwap.recoverStranded(fs, s"$path/postings")
-    val marker = s"_applied_$batchId"
-    val deltaDir = new Path(s"$path/postings/delta_$batchId")
-    // postings land last ⇒ either record means fully applied (the
-    // delta dir pre-compaction, the carried marker after a compaction
-    // folded the delta away)
-    if (fs.exists(deltaDir) ||
-      fs.exists(new Path(s"$path/postings/$marker"))) return
-    val toks = tokens(lower(col(textCol)))
-    val newBase = newDocs.select(
-        col(idCol).cast(LongType).as("doc_id"),
-        size(toks).cast(LongType).as("dl"), explode(toks).as("term"))
-      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // termstats merge: old ⋈ delta full-outer, summed — writes to
-      // __staging (Overwrite: a crashed attempt's partial staging dir
-      // must not fail the retry), then swaps into place
-      if (!fs.exists(new Path(s"$path/termstats/$marker"))) {
-        val delta = newBase.groupBy("term").agg(count(lit(1)).as("_ddf"))
-        val staging =
-          graft.sinks.TableSwap.stagingPath(s"$path/termstats")
-        spark.read.parquet(s"$path/termstats")
-          .join(delta, Seq("term"), "full_outer")
-          .select(col("term"),
-            (coalesce(col("df_t"), lit(0L)) +
-              coalesce(col("_ddf"), lit(0L))).as("df_t"))
-          .repartition(col("term")).sortWithinPartitions("term")
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(staging.toString)
-        graft.sinks.TableSwap.swapStagedWithMarkers(fs,
-          s"$path/termstats",
-          graft.sinks.TableSwap.listAppliedMarkers(fs, s"$path/termstats")
-            :+ marker)
-      }
-      // corpus constants: tiny driver-side read + rewrite via staging
-      if (!fs.exists(new Path(s"$path/stats/$marker"))) {
-        val old = spark.read.parquet(s"$path/stats")
-          .select(col("n_docs"), col("total_len")).head()
-        val add = newDocs.select(
-            count(lit(1)).as("n"),
-            coalesce(sum(tokenCount(col(textCol))), lit(0L)).as("len"))
-          .head()
-        val staging = graft.sinks.TableSwap.stagingPath(s"$path/stats")
-        spark.range(1).select(
-            lit(old.getLong(0) + add.getLong(0)).as("n_docs"),
-            lit(old.getLong(1) + add.getLong(1)).as("total_len"))
-          .coalesce(1)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(staging.toString)
-        graft.sinks.TableSwap.swapStagedWithMarkers(fs, s"$path/stats",
-          graft.sinks.TableSwap.listAppliedMarkers(fs, s"$path/stats")
-            :+ marker)
-      }
-      // inverted-file delta last (see ordering contract above): staged
-      // write OUTSIDE postings/ (readers never see a partial delta),
-      // then one rename into place
-      val deltaStaging =
-        new Path(s"$path/postings__delta_${batchId}__staging")
-      newBase.repartition(col("term"))
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(deltaStaging.toString)
-      require(fs.rename(deltaStaging, deltaDir),
-        s"delta rename failed: $deltaStaging -> $deltaDir")
-    } finally newBase.unpersist(blocking = false)
+    val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no index manifest at $path (not a saveBm25Index directory)"))
+    if (snap.applied.contains(batchId)) return
+    val seg = s"delta_$batchId"
+    writeBm25Segment(newDocs, idCol, textCol, path, seg)
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(batchId)) c // concurrent duplicate: no-op
+      else c.copy(
+        tables = Bm25Tables.map(t =>
+          t -> (c.segs(t).filterNot(_ == seg) :+ seg)).toMap,
+        applied = c.applied :+ batchId)
+    }
   }
 
-  /** Compact a persisted [[saveBm25Index]] index's inverted file back
-    * to one term-sorted layout — the maintenance step that closes the
-    * append lifecycle: every [[appendToBm25Index]] batch leaves a
-    * `delta_<batchId>/` subdirectory whose row-group term ranges
-    * overlap the base's, so a `term IN (...)` serve reads ~one row
-    * group PER DELTA per term; compaction folds them into one sorted
-    * file set and restores the single-row-group-per-term pruning.
-    * Statistics tables are untouched (the append already merged them);
-    * values are unchanged (gated x100 replays the full-corpus oracle
-    * across a compaction). Staged-swap: crash-safe, retry converges.
-    * Each folded delta's applied-batch record survives as an
-    * `_applied_<batchId>` marker in the compacted postings dir, so a
-    * late retry of a compacted-away batch still no-ops. Contract: do
-    * not run concurrently with an in-flight append (the swap and a
-    * delta rename can interleave). */
+  /** Compact a persisted [[saveBm25Index]] index back to one segment
+    * per table — the maintenance step that closes the append
+    * lifecycle: every append adds a segment whose row-group term
+    * ranges overlap the others', so a `term IN (...)` serve reads ~one
+    * row group PER SEGMENT per term; compaction folds the snapshot
+    * into one term-sorted segment per table and restores
+    * single-row-group-per-term pruning. Values are unchanged (gated
+    * x100 replays the full-corpus oracle across a compaction).
+    *
+    * Concurrency: folded results land as NEW `compact_v<version>_<id>`
+    * segments and commit through the manifest CAS — the commit merges
+    * against whatever is newest, so segments appended AFTER this
+    * compaction began are carried forward, never dropped (the
+    * pre-manifest protocol's unguarded window; pinned in
+    * Bm25IndexSpec). In-flight readers keep their resolved snapshot —
+    * old segments stay on disk until [[vacuumBm25Index]]. The
+    * `applied` batch record is carried, so late retries of folded
+    * batches still no-op. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val postings = s"$path/postings"
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
-    graft.sinks.TableSwap.recoverStranded(fs, postings)
-    // applied-batch record to carry: prior markers + the deltas this
-    // compaction folds away. Markers accumulate one zero-byte file per
-    // ingested batch for the index's lifetime — they are only needed
-    // while a batch could still be retried, so an operator may prune
-    // `_applied_*` older than the ingest retry horizon out of band.
-    val names = fs.listStatus(new Path(postings))
-      .map(_.getPath.getName)
-    val carried = names.filter(_.startsWith("_applied_")) ++
-      names.filter(_.startsWith("delta_"))
-        .map(d => "_applied_" + d.stripPrefix("delta_"))
-    readPostings(spark, path)
+    val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no index manifest at $path (not a saveBm25Index directory)"))
+    if (Bm25Tables.forall(t => snap.segs(t).length <= 1)) return
+    val seg = s"compact_v${snap.version}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    readBm25Table(spark, path, snap, "postings")
       .repartition(col("term")).sortWithinPartitions("term", "doc_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(graft.sinks.TableSwap.stagingPath(postings).toString)
-    graft.sinks.TableSwap.swapStagedWithMarkers(fs, postings, carried)
-    // sweep orphaned append stagings (a crashed append that was never
-    // retried leaves postings__delta_<id>__staging beside the index;
-    // deleting is always safe — an un-applied batch's retry rewrites
-    // its staging from scratch, an applied batch never reads it)
-    fs.listStatus(new Path(path)).map(_.getPath)
-      .filter(p => p.getName.startsWith("postings__delta_") &&
-        p.getName.endsWith("__staging"))
-      .foreach(p => fs.delete(p, true))
+      .parquet(s"$path/postings/$seg")
+    readBm25Table(spark, path, snap, "termstats")
+      .groupBy("term").agg(sum(col("df_t")).as("df_t"))
+      .repartition(col("term")).sortWithinPartitions("term")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/termstats/$seg")
+    readBm25Table(spark, path, snap, "stats")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("total_len")), lit(0L)).as("total_len"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/stats/$seg")
+    val folded = Bm25Tables.map(t => t -> snap.segs(t).toSet).toMap
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      c.copy(tables = Bm25Tables.map(t =>
+        // (segments added since we started) survive; folded ones drop
+        t -> (seg +: c.segs(t).filterNot(folded(t).contains))).toMap)
+    }
+  }
+
+  /** Reclaim segments and manifests no longer referenced by the newest
+    * `keepVersions` snapshots — the GC half of compaction (which
+    * deliberately deletes nothing, so in-flight readers finish on
+    * their resolved snapshot). Retention contract: a reader still on a
+    * vacuumed snapshot loses files mid-read; size `keepVersions` (or
+    * the call cadence) to the longest-running serve query. */
+  def vacuumBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepVersions: Int = 2): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.IndexManifest.vacuum(fs, path, keepVersions,
+      Bm25Tables.map(t => t -> s"$path/$t").toMap)
   }
 
 }

@@ -1,0 +1,170 @@
+package graft.sinks
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
+
+/** One consistent snapshot of a persisted index: which segment
+  * directories compose each table, and which append batches have been
+  * applied. `tables` maps a table name (e.g. "postings", "corpus") to
+  * the ordered segment-directory names the snapshot reads; `applied`
+  * is the idempotency record — an append whose batchId is listed is a
+  * no-op on retry, even after a compaction folded its segment away. */
+case class IndexSnapshot(version: Long,
+    tables: Map[String, Seq[String]], applied: Seq[String]) {
+  def segs(table: String): Seq[String] =
+    tables.getOrElse(table, Seq.empty)
+}
+
+/** Versioned manifest commit protocol for the persisted retrieval
+  * indexes ([[graft.ext.TextAnalysis.saveBm25Index]],
+  * [[graft.ext.Similarity.saveIvfIndex]]) — the serve-while-ingest
+  * fix for the directory-listing race: readers resolve ONE manifest
+  * file (`manifest_v<N>.json`, newest parseable wins) into a frozen
+  * segment list, so an append or compaction that lands mid-query can
+  * never mix two snapshots into one read. Writers commit by
+  * CREATE-IF-ABSENT of the next version file — an optimistic CAS: two
+  * concurrent committers race for `v+1`, the loser re-reads, re-merges
+  * its change against the winner's snapshot, and retries
+  * ([[commitMerge]]). That merge step is what lets a compaction and an
+  * append overlap safely: the compaction's commit carries any segment
+  * the append added after the compaction began, instead of silently
+  * dropping it (the pre-manifest protocol's one unguarded window).
+  *
+  * Data-side contract that makes this sound: segment directories are
+  * IMMUTABLE once referenced by a manifest — maintenance writes NEW
+  * segments and commits a manifest that stops referencing old ones;
+  * nothing rewrites a live directory in place. Old segments and
+  * manifests stay on disk for in-flight readers until [[vacuum]]
+  * reclaims everything unreferenced by the newest `keepVersions`
+  * manifests (the Iceberg/Delta-style retention rule: a reader older
+  * than the retention window can lose files under it).
+  *
+  * Atomicity caveat (same class as [[TableSwap]]'s rename note):
+  * create-if-absent is atomic on HDFS; on local/object-store
+  * filesystems the exists-check races by a hair. A torn manifest WRITE
+  * is harmless either way — readers skip unparseable manifests and
+  * fall back one version. */
+private[graft] object IndexManifest {
+
+  private val Prefix = "manifest_v"
+
+  private def mapper = new ObjectMapper()
+
+  private def path(root: String, version: Long): Path =
+    new Path(root, f"$Prefix$version%012d.json")
+
+  private def render(s: IndexSnapshot): Array[Byte] = {
+    val m = mapper
+    val node = m.createObjectNode()
+    node.put("version", s.version)
+    val tables = node.putObject("tables")
+    s.tables.toSeq.sortBy(_._1).foreach { case (t, segs) =>
+      val arr = tables.putArray(t)
+      segs.foreach(arr.add)
+    }
+    val applied = node.putArray("applied")
+    s.applied.foreach(applied.add)
+    m.writerWithDefaultPrettyPrinter().writeValueAsBytes(node)
+  }
+
+  private def parse(bytes: Array[Byte]): IndexSnapshot = {
+    import scala.jdk.CollectionConverters._
+    val node = mapper.readTree(bytes)
+    val tables = node.get("tables").properties().asScala.map { e =>
+      e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+    }.toMap
+    val applied = node.get("applied").elements().asScala
+      .map(_.asText()).toSeq
+    IndexSnapshot(node.get("version").asLong(), tables, applied)
+  }
+
+  /** Manifest versions present under `root`, ascending. */
+  private def versions(fs: FileSystem, root: String): Seq[Long] = {
+    val r = new Path(root)
+    if (!fs.exists(r)) return Seq.empty
+    fs.listStatus(r).map(_.getPath.getName)
+      .filter(n => n.startsWith(Prefix) && n.endsWith(".json"))
+      .flatMap(n =>
+        n.stripPrefix(Prefix).stripSuffix(".json").toLongOption)
+      .sorted.toSeq
+  }
+
+  private def readVersion(fs: FileSystem, root: String, v: Long)
+      : Option[IndexSnapshot] =
+    try {
+      val in = fs.open(path(root, v))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        Some(parse(out.toByteArray))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The newest PARSEABLE snapshot (a torn concurrent write is skipped,
+    * falling back one version), or None for a directory with no
+    * manifest — not-an-index, or a pre-manifest layout. */
+  def latest(fs: FileSystem, root: String): Option[IndexSnapshot] =
+    versions(fs, root).reverse.iterator
+      .flatMap(readVersion(fs, root, _)).nextOption()
+
+  /** Commit `merge(latest)` as the next manifest version via the CAS
+    * loop: on a version collision the merge re-runs against the
+    * winner's snapshot, so concurrent committers compose instead of
+    * overwrite. Returns the committed snapshot. `merge` must be pure
+    * (it can run more than once) and must return the snapshot CONTENT
+    * (its `version` field is overwritten with the slot won). */
+  def commitMerge(fs: FileSystem, root: String)(
+      merge: Option[IndexSnapshot] => IndexSnapshot): IndexSnapshot = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 50,
+        s"manifest CAS did not converge after 50 attempts: $root")
+      val cur = latest(fs, root)
+      val next = merge(cur).copy(
+        version = cur.map(_.version).getOrElse(0L) + 1)
+      try {
+        val out = fs.create(path(root, next.version), false)
+        try out.write(render(next)) finally out.close()
+        return next
+      } catch {
+        case _: FileAlreadyExistsException => () // lost the slot; retry
+        case _: org.apache.hadoop.fs.PathExistsException => ()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Reclaim everything unreferenced by the newest `keepVersions`
+    * manifests: older manifest files, and any segment directory of the
+    * given tables that no kept manifest lists. `tableRoots` maps each
+    * table name to the directory its segments live under (for the IVF
+    * corpus the "segments" are `batch=<seg>` partition directories —
+    * the caller passes a decorate function to map seg name → dir
+    * name). Retention contract: readers older than the kept window may
+    * lose files mid-read; size `keepVersions` to the longest-running
+    * query. */
+  def vacuum(fs: FileSystem, root: String, keepVersions: Int,
+      tableRoots: Map[String, String],
+      segDirName: String => String = identity): Unit = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1")
+    val vs = versions(fs, root)
+    if (vs.isEmpty) return
+    val keep = vs.takeRight(keepVersions).toSet
+    val kept = vs.filter(keep.contains)
+      .flatMap(readVersion(fs, root, _))
+    val live: Map[String, Set[String]] = tableRoots.map { case (t, _) =>
+      t -> kept.flatMap(_.segs(t)).map(segDirName).toSet
+    }
+    // drop unreferenced segment dirs, then superseded manifests
+    tableRoots.foreach { case (t, dir) =>
+      val d = new Path(dir)
+      if (fs.exists(d)) fs.listStatus(d).map(_.getPath)
+        .filter(p => fs.getFileStatus(p).isDirectory &&
+          !live(t).contains(p.getName))
+        .foreach(p => fs.delete(p, true))
+    }
+    vs.filterNot(keep.contains).foreach(v => fs.delete(path(root, v),
+      false))
+  }
+}

@@ -34,27 +34,4 @@ private[graft] object TableSwap {
     require(fs.rename(staging, new Path(path)),
       s"swap rename failed: $staging -> $path")
   }
-
-  /** The applied-batch marker names present in a table directory.
-    * Underscore-prefixed zero-byte files are invisible to parquet
-    * readers, which is what lets the marker set ride inside the
-    * swapped directory and change atomically with the contents. */
-  def listAppliedMarkers(fs: FileSystem, path: String): Seq[String] =
-    if (fs.exists(new Path(path)))
-      fs.listStatus(new Path(path)).map(_.getPath.getName)
-        .filter(_.startsWith("_applied_")).toSeq
-    else Seq.empty
-
-  /** Create marker files inside the STAGED directory, then swap — the
-    * single-sourced "staged swap with carried applied-batch markers"
-    * protocol shared by the index appends and compactions (three call
-    * sites re-implementing it is how marker-protocol fixes diverge). */
-  def swapStagedWithMarkers(fs: FileSystem, path: String,
-      markers: Seq[String]): Unit = {
-    val staging = stagingPath(path)
-    markers.distinct.foreach { m =>
-      fs.create(new Path(staging, m), true).close()
-    }
-    swapStaged(fs, path)
-  }
 }

@@ -5,31 +5,41 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.ext.TextAnalysis
+import graft.ext.{Similarity, TextAnalysis}
+import graft.sinks.IndexManifest
 
 /** Streaming INDEX maintenance — the serving-side twin of the table
   * loops ([[EventStream.e2LoopWriter]] keeps a TABLE current;
   * this keeps a RETRIEVAL INDEX current): new-document files land, each
   * becomes one micro-batch (`maxFilesPerTrigger=1`), and the batch is
-  * merged into a persisted [[TextAnalysis.saveBm25Index]] postings index
-  * by the incremental append — cost ∝ batch + vocabulary, never the
+  * merged into a persisted [[TextAnalysis.saveBm25Index]] postings
+  * index by the incremental append — cost ∝ the batch, never the
   * indexed corpus, so the index stays minutes-fresh while serving.
   *
   * Exactly-once composition: the append batchId is CONTENT-DERIVED —
-  * `stream_<bid>_<count>_<two order-independent id hashes>` — and
-  * [[TextAnalysis.appendToBm25Index]] is idempotent per batchId
-  * (applied-marker gated), so Structured Streaming's replay-a-batch-
-  * after-failure semantics land each delta exactly once in the index,
-  * the same contract `foreachBatch` + keyed upsert gives tables. The
-  * content suffix is what makes the id safe ACROSS checkpoints: the
-  * per-checkpoint micro-batch counter restarts at 0 when a checkpoint
-  * is lost or a second stream targets the same index, and a purely
-  * counter-derived id would silently no-op (BM25) or overwrite (IVF)
-  * the other stream's batch 0. With content addressing, two batches
-  * share an id only when they carry the SAME ids — exactly the case
-  * where skipping is correct. Same stateless-stream design as the CDC
-  * relay ([[StreamCdc]]): no state store; durable state IS the index
-  * layout.
+  * `stream_c<count>_<two order-independent id hashes>` — and the
+  * appends are idempotent per batchId (manifest `applied`-gated), so
+  * Structured Streaming's replay-a-batch-after-failure semantics land
+  * each delta exactly once in the index, the same contract
+  * `foreachBatch` + keyed upsert gives tables. Content addressing is
+  * what makes the id safe ACROSS checkpoints — and deliberately
+  * carries NO micro-batch counter: the per-checkpoint counter restarts
+  * at 0 when a checkpoint is lost or a second stream targets the same
+  * index, so a counter-tagged id would re-append identical content
+  * under a fresh name. Two batches share an id exactly when they carry
+  * the SAME ids — the case where skipping is correct. Same
+  * stateless-stream design as the CDC relay ([[StreamCdc]]): no state
+  * store; durable state IS the index layout.
+  *
+  * MAINTENANCE IS PART OF THE LOOP: with `compactEvery = n`, any
+  * micro-batch that leaves more than `n` live segments triggers a
+  * compaction plus a retention-2 vacuum inline (gated x102) — the
+  * segment count a serve pays stays bounded by the threshold instead
+  * of growing with stream lifetime, and replayed appends of folded
+  * batches still no-op (the compaction carries the `applied` record).
+  * The vacuum keeps the previous snapshot for in-flight readers; the
+  * maintenance runs on the stream's own thread, so it never races its
+  * own appends.
   *
   * Caller contract: arriving docs carry ids disjoint from the indexed
   * ids (the append contract — ingest pipelines assign fresh ids).
@@ -38,64 +48,84 @@ import graft.ext.TextAnalysis
   * contract, now driven by the stream). */
 object StreamIndex {
 
-  /** Content-derived append batchId for micro-batch `bid`: the batch's
-    * row count plus two independent order-independent hash sums over
-    * the id column (sum-combined so partition order cannot change the
-    * id; two 64-bit hashes put an id collision between DIFFERENT
-    * batches at ~2^-96, while a replay of the SAME batch reproduces it
-    * exactly — the property the idempotent appends key on). One cheap
-    * aggregate over the batch, driver reads a single row. Addends are
-    * bounded (crc32 is 32-bit, xxhash64 taken mod a 30-bit prime) so
-    * the ANSI-mode long sum cannot overflow below ~2^31 rows per
+  /** Content-derived append batchId: the batch's row count plus two
+    * independent order-independent hash sums over the id column
+    * (sum-combined so partition order cannot change the id; two
+    * 64-bit hashes put an id collision between DIFFERENT batches at
+    * ~2^-96, while a replay of the SAME batch reproduces it exactly —
+    * the property the idempotent appends key on). One cheap aggregate
+    * over the batch, driver reads a single row. Addends are bounded
+    * (crc32 is 32-bit, xxhash64 taken mod a 30-bit prime) so the
+    * ANSI-mode long sum cannot overflow below ~2^31 rows per
     * micro-batch. */
-  private def contentBatchId(batch: DataFrame, idCol: String,
-      bid: Long): String = {
+  private def contentBatchId(batch: DataFrame, idCol: String): String = {
     val r = batch.agg(
       count(lit(1)),
       coalesce(sum(crc32(col(idCol).cast("string"))), lit(0L)),
       coalesce(sum(pmod(xxhash64(col(idCol).cast("string")),
         lit(1073741789L))), lit(0L))).head()
-    s"stream_${bid}_c${r.getLong(0)}_" +
+    s"stream_c${r.getLong(0)}_" +
       java.lang.Long.toHexString(r.getLong(1)) + "_" +
       java.lang.Long.toHexString(r.getLong(2))
   }
 
+  /** Live segment count of `table` in the index's newest snapshot. */
+  private def segCount(spark: SparkSession, indexPath: String,
+      table: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    IndexManifest.latest(fs, indexPath).map(_.segs(table).length)
+      .getOrElse(0)
+  }
+
   def bm25AppendWriter(spark: SparkSession, docsDir: String,
       schema: StructType, indexPath: String, idCol: String,
-      textCol: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      textCol: String, compactEvery: Int = 0)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(docsDir)
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
-        TextAnalysis.appendToBm25Index(batch.sparkSession, indexPath,
-          batch, idCol, textCol,
-          batchId = contentBatchId(batch, idCol, bid))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        TextAnalysis.appendToBm25Index(s, indexPath, batch, idCol,
+          textCol, batchId = contentBatchId(batch, idCol))
+        if (compactEvery > 0 &&
+          segCount(s, indexPath, "postings") > compactEvery) {
+          TextAnalysis.compactBm25Index(s, indexPath)
+          TextAnalysis.vacuumBm25Index(s, indexPath, keepVersions = 2)
+        }
       }
       .trigger(Trigger.AvailableNow())
 
   /** The vector-side twin of [[bm25AppendWriter]] (gated x98): new
     * embedding files land, each micro-batch is assigned against the
-    * index's frozen centroids and dynamic-partition-overwritten into
-    * its own `batch=stream_<id>` level of the
-    * [[graft.ext.Similarity.saveIvfIndex]] corpus — replayed batches
-    * overwrite themselves, so the stream lands each delta exactly
-    * once. */
+    * index's frozen centroids and landed as its own corpus segment of
+    * the [[graft.ext.Similarity.saveIvfIndex]] layout — replayed
+    * batches no-op on the manifest's `applied` record, so the stream
+    * lands each delta exactly once. Same content-derived batchId and
+    * same inline compact+vacuum maintenance contract. */
   def ivfAppendWriter(spark: SparkSession, vecsDir: String,
       schema: StructType, indexPath: String, idCol: String,
-      vecCol: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      vecCol: String, compactEvery: Int = 0)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(vecsDir)
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
-        graft.ext.Similarity.appendToIvfIndex(batch.sparkSession,
-          indexPath, batch, idCol, vecCol,
-          batchId = contentBatchId(batch, idCol, bid))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        Similarity.appendToIvfIndex(s, indexPath, batch, idCol, vecCol,
+          batchId = contentBatchId(batch, idCol))
+        if (compactEvery > 0 &&
+          segCount(s, indexPath, "corpus") > compactEvery) {
+          Similarity.compactIvfIndex(s, indexPath)
+          Similarity.vacuumIvfIndex(s, indexPath, keepVersions = 2)
+        }
       }
       .trigger(Trigger.AvailableNow())
 }

@@ -45,15 +45,17 @@ class PlanAuditSpec extends SparkSpec {
   // shape (the postings/termstats joins themselves are keyed hash
   // joins with the term filter pushed to the scan — Bm25IndexSpec
   // asserts the pushdown); x90's vector legs are x85's.
-  // x97/x100 ARE x89's serve plan (queryBm25Index over the stream-
-  // maintained / compacted index) — same sanctioned 1-row stats cross
-  // join.
+  // x97/x100/x102 ARE x89's serve plan (queryBm25Index over the
+  // stream-maintained / compacted index) — same sanctioned 1-row stats
+  // cross join (the stats table is a sum over the snapshot's additive
+  // segment rows, still provably 1 row post-aggregate).
   private val nestedLoopBaseline =
     Set("x05_cosine_topk", "x34_quantized_topk", "x69_lm_doc_score",
       "x74_pq_topk", "x75_term_drift", "x77_hard_negatives",
       "x78_rrf_fusion", "x80_bm25_topk", "x85_hybrid_retrieval",
       "x89_bm25_index_topk", "x90_hybrid_index_retrieval",
-      "x97_stream_bm25_maintain", "x100_bm25_index_compact")
+      "x97_stream_bm25_maintain", "x100_bm25_index_compact",
+      "x102_stream_bm25_autocompact")
 
   // x85's lexical leg ranks bm25TopK's ALREADY-LIMITED k-row list with
   // a per-query window whose query_id is a literal — Catalyst folds the

@@ -5,12 +5,16 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.sinks.IndexManifest
 import graft.sources.Tables
 
 /** Persisted BM25 postings index (x89/x90): build → serve must equal the
   * per-call [[TextAnalysis.bm25TopK]] bit-for-bit, the append lifecycle
-  * must converge to the full build, and the serve plan must read the
-  * query terms' postings via a pushed filter — never the corpus. */
+  * must converge to the full build with cost ∝ the batch (pre-existing
+  * segments byte-identical), the manifest must give every reader a
+  * consistent snapshot under concurrent maintenance, and the serve plan
+  * must read the query terms' postings via a pushed filter — never the
+  * corpus. */
 class Bm25IndexSpec extends SparkSpec {
   import spark.implicits._
 
@@ -20,9 +24,31 @@ class Bm25IndexSpec extends SparkSpec {
   private def scratch(): String =
     Files.createTempDirectory("graft-bm25idx-").toString
 
+  private def fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+    spark.sessionState.newHadoopConf())
+
+  private def snap(path: String) =
+    IndexManifest.latest(fs, path).get
+
   private def rows(df: org.apache.spark.sql.DataFrame) =
     df.select("doc_id", "n_terms", "score")
       .as[(Long, Long, Double)].collect().toSeq
+
+  /** Corpus-level statistics summed across the snapshot's segments. */
+  private def stats(path: String): (Long, Long) = {
+    val segs = snap(path).segs("stats")
+    segs.map(s => spark.read.parquet(s"$path/stats/$s"))
+      .reduce(_ unionByName _)
+      .agg(sum("n_docs"), sum("total_len")).as[(Long, Long)].head()
+  }
+
+  private def termstats(path: String): Seq[(String, Long)] = {
+    val segs = snap(path).segs("termstats")
+    segs.map(s => spark.read.parquet(s"$path/termstats/$s"))
+      .reduce(_ unionByName _)
+      .groupBy("term").agg(sum("df_t").as("df_t"))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+  }
 
   test("serve from index equals per-call bm25TopK exactly") {
     val idx = scratch()
@@ -52,16 +78,30 @@ class Bm25IndexSpec extends SparkSpec {
     assert(rows(TextAnalysis.queryBm25Index(spark, half, terms, 10)) ==
       rows(TextAnalysis.queryBm25Index(spark, full, terms, 10)))
     // merged statistics are exact, not just rank-preserving
-    val sHalf = spark.read.parquet(s"$half/stats")
-      .as[(Long, Long)].head()
-    val sFull = spark.read.parquet(s"$full/stats")
-      .as[(Long, Long)].head()
-    assert(sHalf == sFull)
-    val tHalf = spark.read.parquet(s"$half/termstats")
-      .as[(String, Long)].collect().sortBy(_._1).toSeq
-    val tFull = spark.read.parquet(s"$full/termstats")
-      .as[(String, Long)].collect().sortBy(_._1).toSeq
-    assert(tHalf == tFull)
+    assert(stats(half) == stats(full))
+    assert(termstats(half) == termstats(full))
+  }
+
+  test("append touches nothing pre-existing: base segment files are " +
+      "byte-identical (cost ∝ batch, never the vocabulary)") {
+    val idx = scratch()
+    TextAnalysis.saveBm25Index(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", idx)
+    def fileState(): Seq[(String, Long, Long)] =
+      Seq("postings", "termstats", "stats").flatMap { t =>
+        val d = new org.apache.hadoop.fs.Path(s"$idx/$t/base")
+        fs.listStatus(d).map(st => (st.getPath.toString, st.getLen,
+          st.getModificationTime)).toSeq
+      }.sortBy(_._1)
+    val before = fileState()
+    TextAnalysis.appendToBm25Index(spark, idx,
+      docs.filter(col("doc_id") >= 250), "doc_id", "text", "b1")
+    assert(fileState() == before,
+      "append must not rewrite pre-existing segment files")
+    // and the delta segment carries ONLY the batch's stats
+    assert(spark.read.parquet(s"$idx/stats/delta_b1")
+      .as[(Long, Long)].head()._1 ==
+      docs.filter(col("doc_id") >= 250).count())
   }
 
   test("append retry with the same batchId is idempotent") {
@@ -73,25 +113,21 @@ class Bm25IndexSpec extends SparkSpec {
     TextAnalysis.appendToBm25Index(spark, half, hi, "doc_id", "text",
       batchId = "b1")
     TextAnalysis.saveBm25Index(docs, "doc_id", "text", full)
-    def stats(p: String) =
-      spark.read.parquet(s"$p/stats").as[(Long, Long)].head()
-    def termstats(p: String) =
-      spark.read.parquet(s"$p/termstats").as[(String, Long)]
-        .collect().sortBy(_._1).toSeq
-    // full retry after success: delta dir exists ⇒ no-op
+    // full retry after success: batchId is in applied ⇒ no-op
+    val v0 = snap(half).version
     TextAnalysis.appendToBm25Index(spark, half, hi, "doc_id", "text",
       batchId = "b1")
+    assert(snap(half).version == v0, "retry must not commit")
     assert(stats(half) == stats(full))
-    // the r10-ADVICE crash window: stats/termstats swapped, postings
-    // delta not yet landed. Simulate by deleting the delta dir; the
-    // retry must re-land postings WITHOUT re-merging the statistics
-    // (the _applied_b1 markers gate the merges).
-    val fs = new org.apache.hadoop.fs.Path(half).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    assert(fs.delete(
-      new org.apache.hadoop.fs.Path(s"$half/postings/delta_b1"), true))
+    // crash window: segments written but the manifest commit never
+    // happened. Simulate by deleting the manifest that applied b1 —
+    // the retry must re-land the segments and commit exactly once.
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      f"$half/manifest_v${v0}%012d.json"), false))
+    assert(!snap(half).applied.contains("b1"))
     TextAnalysis.appendToBm25Index(spark, half, hi, "doc_id", "text",
       batchId = "b1")
+    assert(snap(half).applied == Seq("b1"))
     assert(stats(half) == stats(full))
     assert(termstats(half) == termstats(full))
     assert(rows(TextAnalysis.queryBm25Index(spark, half, terms, 10)) ==
@@ -115,13 +151,11 @@ class Bm25IndexSpec extends SparkSpec {
     assert(rows(TextAnalysis.queryBm25Index(spark, s"$base/idx", terms,
       10)) == rows(TextAnalysis.queryBm25Index(spark, full, terms, 10)))
     // statistics converge exactly, not just the served top-k
-    assert(spark.read.parquet(s"$base/idx/stats").as[(Long, Long)]
-      .head() == spark.read.parquet(s"$full/stats").as[(Long, Long)]
-      .head())
+    assert(stats(s"$base/idx") == stats(full))
   }
 
-  test("compaction folds deltas, preserves answers and applied " +
-      "markers (x100)") {
+  test("compaction folds segments, preserves answers and the applied " +
+      "record (x100)") {
     val half = scratch()
     val full = scratch()
     TextAnalysis.saveBm25Index(docs.filter(col("doc_id") < 250),
@@ -130,22 +164,72 @@ class Bm25IndexSpec extends SparkSpec {
       docs.filter(col("doc_id") >= 250), "doc_id", "text", "b1")
     TextAnalysis.compactBm25Index(spark, half)
     TextAnalysis.saveBm25Index(docs, "doc_id", "text", full)
-    val fs = new org.apache.hadoop.fs.Path(half).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    val names = fs.listStatus(
-        new org.apache.hadoop.fs.Path(s"$half/postings"))
-      .map(_.getPath.getName)
-    assert(!names.exists(_.startsWith("delta_")),
-      s"deltas must fold away, got ${names.mkString(",")}")
-    assert(names.contains("_applied_b1"))
+    val s = snap(half)
+    Seq("postings", "termstats", "stats").foreach { t =>
+      assert(s.segs(t).length == 1 &&
+        s.segs(t).head.startsWith("compact_v"),
+        s"expected one folded '$t' segment, got ${s.segs(t)}")
+    }
+    assert(s.applied == Seq("b1"), "applied record must survive")
     assert(rows(TextAnalysis.queryBm25Index(spark, half, terms, 10)) ==
       rows(TextAnalysis.queryBm25Index(spark, full, terms, 10)))
     // late retry of the folded batch no-ops (stats would double else)
-    val s0 = spark.read.parquet(s"$half/stats").as[(Long, Long)].head()
+    val s0 = stats(half)
     TextAnalysis.appendToBm25Index(spark, half,
       docs.filter(col("doc_id") >= 250), "doc_id", "text", "b1")
-    assert(spark.read.parquet(s"$half/stats").as[(Long, Long)].head()
-      == s0)
+    assert(stats(half) == s0)
+  }
+
+  test("a reader's snapshot survives a concurrent compaction + " +
+      "vacuum keeps the newest snapshots' segments") {
+    val idx = scratch()
+    TextAnalysis.saveBm25Index(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", idx)
+    TextAnalysis.appendToBm25Index(spark, idx,
+      docs.filter(col("doc_id") >= 250), "doc_id", "text", "b1")
+    // reader resolves its snapshot NOW (manifest + file listing are
+    // frozen at DataFrame construction)
+    val reader = TextAnalysis.queryBm25Index(spark, idx, terms, 10)
+    val expected = rows(TextAnalysis.queryBm25Index(spark, idx, terms,
+      10))
+    TextAnalysis.compactBm25Index(spark, idx)
+    // compaction deleted nothing: the pre-compaction reader still
+    // serves its full snapshot, and a fresh reader serves the same
+    // values from the folded layout
+    assert(rows(reader) == expected)
+    assert(rows(TextAnalysis.queryBm25Index(spark, idx, terms, 10)) ==
+      expected)
+    // vacuum(keep=1) reclaims the pre-compaction segments + manifests
+    TextAnalysis.vacuumBm25Index(spark, idx, keepVersions = 1)
+    val names = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$idx/postings"))
+      .map(_.getPath.getName).filter(!_.startsWith("_")).toSeq
+    assert(names.length == 1 && names.head.startsWith("compact_v"),
+      s"vacuum must drop unreferenced segments, got $names")
+    assert(rows(TextAnalysis.queryBm25Index(spark, idx, terms, 10)) ==
+      expected)
+  }
+
+  test("interleaved append/compact/append/compact converges to the " +
+      "one-shot build") {
+    val idx = scratch()
+    val full = scratch()
+    TextAnalysis.saveBm25Index(docs.filter(col("doc_id") < 200),
+      "doc_id", "text", idx)
+    TextAnalysis.appendToBm25Index(spark, idx,
+      docs.filter(col("doc_id") >= 200 && col("doc_id") < 350),
+      "doc_id", "text", "b1")
+    TextAnalysis.compactBm25Index(spark, idx)
+    TextAnalysis.appendToBm25Index(spark, idx,
+      docs.filter(col("doc_id") >= 350), "doc_id", "text", "b2")
+    // second compaction folds the post-compaction append too
+    TextAnalysis.compactBm25Index(spark, idx)
+    TextAnalysis.saveBm25Index(docs, "doc_id", "text", full)
+    assert(snap(idx).applied == Seq("b1", "b2"))
+    assert(stats(idx) == stats(full))
+    assert(termstats(idx) == termstats(full))
+    assert(rows(TextAnalysis.queryBm25Index(spark, idx, terms, 10)) ==
+      rows(TextAnalysis.queryBm25Index(spark, full, terms, 10)))
   }
 
   test("serve plan pushes the term filter to the postings scan") {

@@ -636,63 +636,98 @@ class ExtSpec extends SparkSpec {
       embs.filter($"vec_id" < 0), "vec_id", "embedding", "b2")
     assert(rows(Similarity.queryIvfIndex(spark, idx, queries,
       "vec_id", "embedding", k = 5, nprobe = 2)) == served)
-    // retry idempotency: re-running an applied batch overwrites its own
-    // partitions — no duplicate vectors, identical serve
-    val n = spark.read.parquet(s"$idx/corpus").count()
+    // retry idempotency: an applied batchId is a manifest no-op — no
+    // duplicate vectors, no new manifest version, identical serve
+    val hfs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def live(): org.apache.spark.sql.DataFrame = {
+      val segs = graft.sinks.IndexManifest.latest(hfs, idx).get
+        .segs("corpus")
+      spark.read.parquet(s"$idx/corpus")
+        .filter($"batch".isin(segs: _*))
+    }
+    val n = live().count()
+    val v0 = graft.sinks.IndexManifest.latest(hfs, idx).get.version
     Similarity.appendToIvfIndex(spark, idx,
       embs.filter($"vec_id" >= 300), "vec_id", "embedding", "b1")
-    assert(spark.read.parquet(s"$idx/corpus").count() == n)
+    assert(graft.sinks.IndexManifest.latest(hfs, idx).get.version == v0)
+    assert(live().count() == n)
     assert(rows(Similarity.queryIvfIndex(spark, idx, queries,
       "vec_id", "embedding", k = 5, nprobe = 2)) == served)
     intercept[IllegalArgumentException](Similarity.appendToIvfIndex(
       spark, idx, embs, "vec_id", "embedding", "base"))
-    // compaction (x99): batches fold into batch=base, serve unchanged,
-    // and a late retry of a folded batch still no-ops (carried marker)
+    // compaction (x99): segments fold into one compact_v* segment,
+    // serve unchanged, applied record carried so a late retry of a
+    // folded batch still no-ops
     Similarity.compactIvfIndex(spark, idx)
-    val hfs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    val top = hfs.listStatus(
-        new org.apache.hadoop.fs.Path(s"$idx/corpus"))
-      .map(_.getPath.getName)
-    assert(top.filter(_.startsWith("batch=")).toSeq == Seq("batch=base"),
-      s"expected only batch=base after compaction, got ${top.mkString(",")}")
-    assert(top.contains("_applied_b1"))
-    assert(spark.read.parquet(s"$idx/corpus").count() == n)
+    val snap = graft.sinks.IndexManifest.latest(hfs, idx).get
+    assert(snap.segs("corpus").length == 1 &&
+      snap.segs("corpus").head.startsWith("compact_v"),
+      s"expected one folded segment, got ${snap.segs("corpus")}")
+    assert(snap.applied.contains("b1"))
+    assert(live().count() == n)
     assert(rows(Similarity.queryIvfIndex(spark, idx, queries,
       "vec_id", "embedding", k = 5, nprobe = 2)) == served)
     Similarity.appendToIvfIndex(spark, idx,
       embs.filter($"vec_id" >= 300), "vec_id", "embedding", "b1")
-    assert(spark.read.parquet(s"$idx/corpus").count() == n,
+    assert(live().count() == n,
       "late retry of a compacted-away batch must no-op")
+    // vacuum reclaims the pre-compaction segment dirs; serve unchanged
+    Similarity.vacuumIvfIndex(spark, idx, keepVersions = 1)
+    val dirs = hfs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$idx/corpus"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    assert(dirs == Seq(s"batch=${snap.segs("corpus").head}"),
+      s"vacuum must drop unreferenced segments, got $dirs")
+    assert(rows(Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) == served)
   }
 
-  test("compactIvfIndex drops an unmarked partial batch instead of " +
-      "blessing it; the batch retry then lands in full") {
+  test("compactIvfIndex excludes an uncommitted partial batch " +
+      "instead of blessing it; the batch retry then lands in full") {
     val idx = java.nio.file.Files
       .createTempDirectory("graft_ivf_partial").resolve("idx").toString
     val subset = embs.filter($"vec_id" < 300)
     Similarity.saveIvfIndex(subset, "vec_id", "embedding", idx,
       kCentroids = 8, iters = 2)
     Similarity.appendToIvfIndex(spark, idx,
-      embs.filter($"vec_id" >= 300), "vec_id", "embedding", "b1")
-    val total = spark.read.parquet(s"$idx/corpus").count()
-    // simulate a crashed mid-commit append: the commit marker never
-    // landed and one of the batch's cell directories is missing
+      embs.filter($"vec_id" >= 300 && $"vec_id" < 400), "vec_id",
+      "embedding", "b0")
+    Similarity.appendToIvfIndex(spark, idx,
+      embs.filter($"vec_id" >= 400), "vec_id", "embedding", "b1")
     val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
       spark.sessionState.newHadoopConf())
-    assert(fs.delete(
-      new org.apache.hadoop.fs.Path(s"$idx/corpus/_applied_b1"), false))
+    def live(): org.apache.spark.sql.DataFrame = {
+      val segs = graft.sinks.IndexManifest.latest(fs, idx).get
+        .segs("corpus")
+      spark.read.parquet(s"$idx/corpus")
+        .filter($"batch".isin(segs: _*))
+    }
+    val total = live().count()
+    // simulate a crashed mid-write append: b1's manifest commit never
+    // happened and one of its cell directories is missing. Roll the
+    // manifest back to pre-b1 and break the segment.
+    val v = graft.sinks.IndexManifest.latest(fs, idx).get.version
+    assert(fs.delete(new org.apache.hadoop.fs.Path(idx,
+      f"manifest_v$v%012d.json"), false))
+    assert(!graft.sinks.IndexManifest.latest(fs, idx).get.applied
+      .contains("b1"))
     val cells = fs.listStatus(
         new org.apache.hadoop.fs.Path(s"$idx/corpus/batch=b1"))
       .filter(_.getPath.getName.startsWith("bucket="))
     assert(fs.delete(cells.head.getPath, true))
     Similarity.compactIvfIndex(spark, idx)
-    // the partial batch was dropped wholesale, not folded half-missing
-    assert(spark.read.parquet(s"$idx/corpus").count() == subset.count())
-    // the retry re-lands the batch in full (marker was never blessed)
+    // base+b0 folded; the partial batch is invisible — never folded
+    // half-missing
+    val snapC = graft.sinks.IndexManifest.latest(fs, idx).get
+    assert(snapC.segs("corpus").length == 1 &&
+      snapC.segs("corpus").head.startsWith("compact_v"))
+    assert(live().count() ==
+      embs.filter($"vec_id" < 400).count())
+    // the retry re-lands the batch in full (it was never applied)
     Similarity.appendToIvfIndex(spark, idx,
-      embs.filter($"vec_id" >= 300), "vec_id", "embedding", "b1")
-    assert(spark.read.parquet(s"$idx/corpus").count() == total)
+      embs.filter($"vec_id" >= 400), "vec_id", "embedding", "b1")
+    assert(live().count() == total)
     val queries = embs.filter($"vec_id" < 8)
     val centroids = Clustering.kmeansCentroids(subset, "vec_id",
       "embedding", k = 8, iters = 2)

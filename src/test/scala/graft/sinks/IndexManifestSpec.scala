@@ -1,0 +1,122 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** The versioned-manifest commit protocol: newest-parseable-wins reads,
+  * create-if-absent CAS commits that MERGE on conflict (the
+  * append-vs-compaction window), and retention-based vacuum. */
+class IndexManifestSpec extends SparkSpec {
+
+  private def fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+    spark.sessionState.newHadoopConf())
+
+  private def scratch(): String =
+    Files.createTempDirectory("graft-manifest-").toString
+
+  test("commitMerge assigns monotonic versions and latest wins") {
+    val root = scratch()
+    assert(IndexManifest.latest(fs, root).isEmpty)
+    val s1 = IndexManifest.commitMerge(fs, root)(_ =>
+      IndexSnapshot(0L, Map("t" -> Seq("base")), Seq.empty))
+    assert(s1.version == 1L)
+    val s2 = IndexManifest.commitMerge(fs, root) { cur =>
+      val c = cur.get
+      c.copy(tables = Map("t" -> (c.segs("t") :+ "delta_a")),
+        applied = c.applied :+ "a")
+    }
+    assert(s2.version == 2L)
+    assert(IndexManifest.latest(fs, root).get ==
+      IndexSnapshot(2L, Map("t" -> Seq("base", "delta_a")), Seq("a")))
+  }
+
+  test("a lost CAS slot re-runs the merge against the winner: a " +
+      "compaction commit carries a concurrently appended segment") {
+    val root = scratch()
+    IndexManifest.commitMerge(fs, root)(_ =>
+      IndexSnapshot(0L, Map("t" -> Seq("base", "delta_a")), Seq("a")))
+    // the compactor resolved THIS snapshot and folded base+delta_a...
+    val folded = Set("base", "delta_a")
+    // ...but an append lands first (winning version 2)
+    IndexManifest.commitMerge(fs, root) { cur =>
+      val c = cur.get
+      c.copy(tables = Map("t" -> (c.segs("t") :+ "delta_b")),
+        applied = c.applied :+ "b")
+    }
+    // simulate the compactor's raced commit: its FIRST merge attempt
+    // runs against a stale read (we steal its slot mid-flight by
+    // pre-creating version 3, forcing one conflict loop)
+    var attempts = 0
+    val committed = IndexManifest.commitMerge(fs, root) { cur =>
+      attempts += 1
+      if (attempts == 1) {
+        // steal the slot the first attempt will try (current + 1)
+        val v = cur.get.version + 1
+        val out = fs.create(new org.apache.hadoop.fs.Path(root,
+          f"manifest_v$v%012d.json"), false)
+        out.write(IndexManifest.latest(fs, root).get match {
+          case s => render(s.copy(version = v,
+            tables = Map("t" -> (s.segs("t") :+ "delta_c")),
+            applied = s.applied :+ "c"))
+        })
+        out.close()
+      }
+      val c = cur.get
+      c.copy(tables = Map("t" ->
+        ("compacted" +: c.segs("t").filterNot(folded.contains))))
+    }
+    assert(attempts == 2, "first slot must have been lost")
+    // the final snapshot holds the compacted segment AND every
+    // concurrently appended one, and the full applied record
+    assert(committed.segs("t").toSet == Set("compacted", "delta_b",
+      "delta_c"))
+    assert(committed.applied.toSet == Set("a", "b", "c"))
+  }
+
+  // re-render a snapshot the way the protocol does (private there) —
+  // good enough for the slot-stealing fake: field order irrelevant
+  private def render(s: IndexSnapshot): Array[Byte] = {
+    val tables = s.tables.toSeq.sortBy(_._1).map { case (t, segs) =>
+      s""""$t": [${segs.map(x => s""""$x"""").mkString(", ")}]"""
+    }.mkString(", ")
+    val applied = s.applied.map(x => s""""$x"""").mkString(", ")
+    s"""{"version": ${s.version}, "tables": {$tables},
+       | "applied": [$applied]}""".stripMargin.getBytes("UTF-8")
+  }
+
+  test("a torn newest manifest falls back one version") {
+    val root = scratch()
+    IndexManifest.commitMerge(fs, root)(_ =>
+      IndexSnapshot(0L, Map("t" -> Seq("base")), Seq.empty))
+    val torn = fs.create(new org.apache.hadoop.fs.Path(root,
+      "manifest_v000000000002.json"), false)
+    torn.write("""{"version": 2, "tab""".getBytes("UTF-8"))
+    torn.close()
+    assert(IndexManifest.latest(fs, root).get.version == 1L)
+  }
+
+  test("vacuum keeps segments referenced by the newest K manifests " +
+      "and drops the rest") {
+    val root = scratch()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/t/base"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/t/delta_a"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/t/compacted"))
+    IndexManifest.commitMerge(fs, root)(_ =>
+      IndexSnapshot(0L, Map("t" -> Seq("base")), Seq.empty))
+    IndexManifest.commitMerge(fs, root)(c => c.get.copy(
+      tables = Map("t" -> Seq("base", "delta_a")), applied = Seq("a")))
+    IndexManifest.commitMerge(fs, root)(c => c.get.copy(
+      tables = Map("t" -> Seq("compacted"))))
+    IndexManifest.vacuum(fs, root, keepVersions = 1,
+      Map("t" -> s"$root/t"))
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/t"))
+      .map(_.getPath.getName).toSet
+    assert(segs == Set("compacted"))
+    val manifests = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("manifest_")).toSeq
+    assert(manifests == Seq("manifest_v000000000003.json"))
+    assert(IndexManifest.latest(fs, root).get.segs("t") ==
+      Seq("compacted"))
+  }
+}
