@@ -1829,6 +1829,18 @@ object SparkEntry {
       graft.ext.Similarity.knnGraphFromIndex(s, idx, k = 3, nprobe = 2)
     },
 
+    // NN-descent refinement round (x103): x91's probe-bounded graph,
+    // expanded to undirected neighbors-of-neighbors and exact-cosine
+    // re-ranked — recall@k ≥ x91's by construction (candidate superset
+    // + exact re-rank; the ExtSpec property measures the lift on the
+    // boundary-vector fixture). One extra keyed shuffle round, degree-
+    // bounded candidates (≤N·(2k)²), corpus never broadcast.
+    "x103_knn_graph_refined" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      graft.ext.Similarity.knnGraphRefined(emb, "vec_id", "embedding",
+        k = 3, kCentroids = 8, iters = 2, nprobe = 2)
+    },
+
     // embedding clustering served from the persisted IVF index (x94):
     // x92's components with the candidate generation swapped to the
     // index — per-call cost drops to probe joins + star-CC, training
@@ -3414,6 +3426,27 @@ object SparkEntry {
       s"""WITH $kmeansCtes,
           $knnGraphCtes
           SELECT src, dst, CAST(rank AS BIGINT) AS rank, cos FROM knn"""
+    // x103: the knn CTE's edges undirected, closed one neighbor hop,
+    // and exact-cosine re-ranked per src — the same candidate-superset
+    // + exact-re-rank definition as the engine's refinement round.
+    val knnRefinedOracle: String =
+      s"""WITH $kmeansCtes,
+          $knnGraphCtes,
+          und AS (SELECT src, dst FROM knn
+                  UNION
+                  SELECT dst AS src, src AS dst FROM knn),
+          cand AS (SELECT src, dst FROM und
+                   UNION
+                   SELECT x.src, y.dst FROM und x
+                   JOIN und y ON x.dst = y.src
+                   WHERE y.dst <> x.src)
+          SELECT src, dst, CAST(rank AS BIGINT) AS rank, cos
+          FROM (SELECT c.src, c.dst, $cosPairExpr AS cos,
+                       row_number() OVER (PARTITION BY c.src
+                         ORDER BY $cosPairExpr DESC, c.dst ASC) AS rank
+                FROM cand c JOIN v a ON a.vec_id = c.src
+                     JOIN v b ON b.vec_id = c.dst)
+          WHERE rank <= 3"""
     val mutualKnnOracle: String =
       s"""WITH RECURSIVE $kmeansCtes,
           $knnGraphCtes,
@@ -4524,6 +4557,7 @@ object SparkEntry {
       // persisted index is a lifecycle optimization, never a result
       // change (the x71/x89 contract, completed for the graph family)
       "x93_knn_graph_index_serve" -> knnGraphOracle,
+      "x103_knn_graph_refined" -> knnRefinedOracle,
       "x94_mutual_knn_index_serve" -> mutualKnnOracle,
       "x85_hybrid_retrieval" -> hybridOracle,
       // persisted-index twins: lifecycle differs, the answer must not

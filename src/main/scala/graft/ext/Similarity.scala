@@ -222,6 +222,68 @@ object Similarity {
         col("rank"), col("cos"))
   }
 
+  /** One NN-descent refinement round over [[knnGraph]] (Dong et al.,
+    * WWW 2011: "a neighbor of a neighbor is likely a neighbor"): take
+    * the probe-bounded graph's edges, UNDIRECT them, expand to
+    * neighbors-of-neighbors, re-rank the candidate pool by exact
+    * cosine, and keep each node's top-k. Recall@k is ≥ the input
+    * graph's BY CONSTRUCTION — the candidate pool is a superset of the
+    * graph's own edges and the re-rank is exact — and the lift is
+    * real whenever a true neighbor sits in an unprobed cell but shares
+    * a neighbor with the query (the boundary-vector case that caps
+    * x91's recall at fixed nprobe). Gated x103; the recall property
+    * and the no-broadcast pin are in ExtSpec.
+    *
+    * Scale shape: the undirected edge list is ≤2Nk rows of 16-byte
+    * pairs; the neighbor join squares only the per-node DEGREE
+    * (≤N·(2k)² candidate rows, k small by design), never the corpus —
+    * this is the standard NN-descent trade: one extra keyed shuffle
+    * round for recall the quantizer alone cannot reach. All joins are
+    * keyed on vector ids (the corpus-sized sides are never broadcast);
+    * the final top-k is the per-node window every retriever here
+    * uses. */
+  def knnGraphRefined(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 3, kCentroids: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      trainSample: Option[String] = None): DataFrame = {
+    val g0 = knnGraph(corpus, idCol, vecCol, k, kCentroids, iters,
+      nprobe, trainSample).select(col("src"), col("dst"))
+    refineKnnGraph(
+      corpus.select(col(idCol).cast(LongType).as("vec_id"),
+        asDouble(col(vecCol)).as("v")), g0, k)
+  }
+
+  /** The refinement core: candidates = undirected edges ∪ their
+    * two-hop closure, exact-cosine re-rank, per-node top-k. `vecs` is
+    * (vec_id, v); `g0` is a directed (src, dst) edge list. */
+  private def refineKnnGraph(vecs: DataFrame, g0: DataFrame, k: Int)
+      : DataFrame = {
+    graft.functions.VectorExprs.register(vecs.sparkSession)
+    import graft.functions.VectorExprs.dotF64
+    val und = g0.select(col("src"), col("dst"))
+      .union(g0.select(col("dst").as("src"), col("src").as("dst")))
+    val twoHop = und.as("a")
+      .join(und.as("b"), col("a.dst") === col("b.src"))
+      .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val cand = und.union(twoHop).distinct()
+    val withV = vecs
+      .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
+    val scored = cand
+      .join(withV.select(col("vec_id").as("src"), col("v").as("av"),
+        col("nrm").as("anrm")), Seq("src"))
+      .join(withV.select(col("vec_id").as("dst"), col("v").as("bv"),
+        col("nrm").as("bnrm")), Seq("dst"))
+      .withColumn("cos", round(coalesce(
+        try_divide(dotF64(col("av"), col("bv")),
+          col("anrm") * col("bnrm")), lit(0.0)), 6))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"),
+        col("rank").cast(LongType).as("rank"), col("cos"))
+  }
+
   /** Embedding-space clusters = connected components of the MUTUAL
     * kNN graph (an edge iff each endpoint is in the other's top-k —
     * the standard symmetrization that keeps hub nodes from fusing

@@ -1216,6 +1216,44 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("kNN graph refinement (x103): recall@k ≥ the unrefined graph's " +
+      "against exact, k per node, no broadcast of the corpus") {
+    // same separated fixture as x91's test, but with a decisive
+    // boundary population: the additive jitter pushes some vectors
+    // toward a neighboring home dimension, exactly the vectors whose
+    // true neighbors sit one unprobed cell away
+    val clustered = (0 until 200).map { id =>
+      val cl = id % 8
+      val v = (0 until 64).map(d =>
+        (if (d == cl * 8) 4.0 else 0.0) +
+          ((id * 31 + d * 7) % 11) * 0.02)
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("src", "dst").as[(Long, Long)].collect().toSet
+    // exact kNN graph (brute force, every vector a query) = truth
+    val exact = edgeSet(Similarity.bruteForceTopK(clustered, clustered,
+      "vec_id", "embedding", k = 3)
+      .select($"query_id".as("src"), $"vec_id".as("dst")))
+    val g0 = Similarity.knnGraph(clustered, "vec_id", "embedding",
+      k = 3, kCentroids = 8, iters = 2, nprobe = 2)
+    val g1 = Similarity.knnGraphRefined(clustered, "vec_id",
+      "embedding", k = 3, kCentroids = 8, iters = 2, nprobe = 2)
+    // shape contract: k rows per node, same schema as knnGraph
+    val perNode = g1.groupBy("src").count().collect()
+    assert(perNode.length == 200 && perNode.forall(_.getLong(1) == 3L))
+    assert(g1.schema.fieldNames.toSeq ==
+      Seq("src", "dst", "rank", "cos"))
+    val r0 = (edgeSet(g0) & exact).size.toDouble / exact.size
+    val r1 = (edgeSet(g1) & exact).size.toDouble / exact.size
+    assert(r1 >= r0,
+      s"refinement must not lose recall: refined $r1 < unrefined $r0")
+    assert(r1 >= 0.9, s"refined recall@3: $r1")
+    // the corpus-sized sides are never broadcast (the x91 pin)
+    assert(!g1.queryExecution.analyzed.toString
+      .toLowerCase.contains("broadcast"))
+  }
+
   test("kNN graph from persisted index (x93/x94): cold save→load→serve " +
       "equals the per-call forms; reliable threads through") {
     val clustered = (0 until 200).map { id =>
