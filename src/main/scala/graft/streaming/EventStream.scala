@@ -45,17 +45,22 @@ object EventStream {
     * batch-schema read (metadata only — no data scan), then declare the
     * matching stream schema and normalize exactly as
     * [[graft.sources.Tables.normalizeTs]] does for batch: nanos-long →
-    * `div 1000` → micros; micros-NTZ → cast (UTC-pinned sessions). */
-  def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
+    * `div 1000` → micros; micros-NTZ → cast (UTC-pinned sessions).
+    *
+    * An EMPTY directory — the common pattern of starting the stream
+    * before the first file lands — has nothing to sniff, and both
+    * encodings exist in the fixture history, so GUESSING would either
+    * fail on the first NTZ file or silently divide micros by 1000
+    * (timestamps off by 1000×). The caller must pin the encoding via
+    * `emptyDirTs` (`LongType` for nanos-as-INT64 files,
+    * `TimestampNTZType` for micros-NTZ) for that case; without a pin,
+    * an empty start fails fast with that instruction. Any other sniff
+    * failure — corrupt footer, permissions, transient FS error —
+    * propagates, because picking an encoding there would surface later
+    * as an opaque conversion error far from the real cause. */
+  def readEvents(spark: SparkSession, eventsDir: String,
+      emptyDirTs: Option[DataType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The sniff throws "Unable to infer schema" on an empty directory —
-    // the common streaming pattern of starting the stream before the
-    // first file lands. Fall back to the historical nanos-long schema
-    // for EXACTLY that case (what every fixture generation before the
-    // NTZ switch shipped); any other failure — corrupt footer,
-    // permissions, transient FS error — propagates, because silently
-    // picking an encoding there would surface later as an opaque
-    // conversion error far from the real cause.
     val sniffed =
       try Some(spark.read.parquet(eventsDir).schema)
       catch {
@@ -65,7 +70,12 @@ object EventStream {
       }
     val tsType = sniffed
       .flatMap(_.find(_.name == "ts").map(_.dataType))
-      .getOrElse(LongType)
+      .orElse(emptyDirTs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no event files to sniff the ts encoding from at $eventsDir; " +
+          "pass emptyDirTs (LongType for nanos-as-INT64 fixtures, " +
+          "TimestampNTZType for micros-NTZ) to start a stream on an " +
+          "empty directory"))
     val raw = spark.readStream
       .schema(eventSchema(tsType))
       .parquet(eventsDir)

@@ -102,4 +102,35 @@ class TsEncodingSpec extends SparkSpec {
     assert(a == b)
     assert(a.map(_._2) == micros.sorted)
   }
+
+  test("readEvents on an empty directory fails fast without a pinned " +
+      "encoding and honors emptyDirTs when pinned") {
+    val dir = scratch("empty")
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    // both encodings exist in the fixture history — guessing would be
+    // off-by-1000x for one of them, so an unpinned empty start refuses
+    val e = intercept[IllegalArgumentException] {
+      EventStream.readEvents(spark, s"$dir/in")
+    }
+    assert(e.getMessage.contains("emptyDirTs"))
+    // pinned NTZ: the stream starts on the empty dir and correctly
+    // normalizes files that land AFTER the start
+    val pinned = EventStream.readEvents(spark, s"$dir/in",
+      emptyDirTs = Some(TimestampNTZType))
+    assert(pinned.schema("ts").dataType == TimestampType)
+    micros.toDF("us").select(lit(1L).as("event_id"),
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"),
+        lit(7L).as("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val q = pinned.select(unix_micros(col("ts")).as("us"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$dir/out").as[Long].collect().sorted
+      .toSeq == micros.sorted)
+  }
 }
