@@ -25,11 +25,15 @@ import org.apache.spark.sql.functions._
   * null-keyed R rows surface left-null-extended (anti). Equi-keys only.
   * Pinned against the built-in full_outer by `EngineProps`.
   *
-  * When to use: L is a raw scan or a narrow (shuffle-free) pipeline — the
-  * rewrite evaluates L twice (join + matchedKeys), which is two cheap
-  * scans instead of one full shuffle. If L is already the output of an
-  * aggregation, the built-in SMJ only shuffles the (already reduced) agg
-  * output and is the better plan — measured on E3 at sf0.1.
+  * When to use: L is a raw scan or a narrow (shuffle-free) pipeline AND
+  * the shuffle would spill or cross machines — the rewrite evaluates L
+  * twice (join + matchedKeys), two cheap columnar scans instead of one
+  * full network shuffle. Single-node (where a shuffle is a memcpy) the
+  * built-in SMJ wins both shapes, and on post-agg inputs it exchanges
+  * already-reduced rows — measured in [[graft.JoinCrossoverBench]],
+  * table in SCALE.md §Joins. The property that transfers to cluster
+  * scale is structural: this plan carries no Exchange of the fact side
+  * (pinned in JoinsSpec).
   */
 object Joins {
 

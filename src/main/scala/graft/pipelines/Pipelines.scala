@@ -15,7 +15,7 @@ import graft.sources.MetaFixtures
   */
 object Pipelines {
 
-  private val ActionTypes =
+  private[graft] val ActionTypes =
     Seq("lead", "purchase", "offsite_conversion.fb_pixel_lead")
 
   /** E1 — dimension (reference src/main.py:19-21 → src/transform.py:92-98):
