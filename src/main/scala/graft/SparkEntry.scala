@@ -1841,6 +1841,19 @@ object SparkEntry {
         k = 3, kCentroids = 8, iters = 2, nprobe = 2)
     },
 
+    // refined kNN graph served from the persisted IVF index (x104):
+    // x103's answer from a cold saveIvfIndex reload — seed graph AND
+    // re-rank vectors both come off the index, so refinement joins the
+    // train-once/serve-many family (x71/x89/x93's pattern).
+    "x104_knn_refined_index_serve" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivf_index104")
+      graft.ext.Similarity.saveIvfIndex(emb, "vec_id", "embedding", idx,
+        kCentroids = 8, iters = 2)
+      graft.ext.Similarity.knnGraphRefinedFromIndex(s, idx, k = 3,
+        nprobe = 2)
+    },
+
     // embedding clustering served from the persisted IVF index (x94):
     // x92's components with the candidate generation swapped to the
     // index — per-call cost drops to probe joins + star-CC, training
@@ -4558,6 +4571,7 @@ object SparkEntry {
       // change (the x71/x89 contract, completed for the graph family)
       "x93_knn_graph_index_serve" -> knnGraphOracle,
       "x103_knn_graph_refined" -> knnRefinedOracle,
+      "x104_knn_refined_index_serve" -> knnRefinedOracle,
       "x94_mutual_knn_index_serve" -> mutualKnnOracle,
       "x85_hybrid_retrieval" -> hybridOracle,
       // persisted-index twins: lifecycle differs, the answer must not

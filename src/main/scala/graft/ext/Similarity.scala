@@ -252,6 +252,24 @@ object Similarity {
         asDouble(col(vecCol)).as("v")), g0, k)
   }
 
+  /** [[knnGraphRefined]] served from a persisted [[saveIvfIndex]]
+    * index — the train-once/serve-many twin (x93's pattern): the seed
+    * graph comes from [[knnGraphFromIndex]] (no training, no
+    * re-bucketing) and the re-rank reads the index's own stored
+    * vectors, so the whole refinement runs off the cold index.
+    * Reproduces [[knnGraphRefined]] on the indexed corpus bit-for-bit
+    * when the index was trained with the same (kCentroids, iters)
+    * (gated x104 replays x103's oracle from a cold reload). */
+  def knnGraphRefinedFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val g0 = knnGraphFromIndex(spark, path, k, nprobe)
+      .select(col("src"), col("dst"))
+    refineKnnGraph(
+      readIvfCorpus(spark, path, ivfSnapshot(spark, path))
+        .select(col("vec_id").cast(LongType).as("vec_id"),
+          col("v")), g0, k)
+  }
+
   /** The refinement core: candidates = undirected edges ∪ their
     * two-hop closure, exact-cosine re-rank, per-node top-k. `vecs` is
     * (vec_id, v); `g0` is a directed (src, dst) edge list. */

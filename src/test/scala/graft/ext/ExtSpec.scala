@@ -1273,6 +1273,10 @@ class ExtSpec extends SparkSpec {
         .toSeq
     assert(edges(Similarity.knnGraphFromIndex(spark, idx, k = 3)) ==
       edges(Similarity.knnGraph(clustered, "vec_id", "embedding", k = 3)))
+    // the refined graph serves off the cold index identically too (x104)
+    assert(edges(Similarity.knnGraphRefinedFromIndex(spark, idx, k = 3))
+      == edges(Similarity.knnGraphRefined(clustered, "vec_id",
+        "embedding", k = 3)))
     // the serve plan must be training-free: no Spark job beyond the
     // k-row centroid reload touches the corpus before the probe join —
     // pinned structurally: still no broadcast of the corpus-sized side
