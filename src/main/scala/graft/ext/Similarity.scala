@@ -244,12 +244,13 @@ object Similarity {
     * uses. */
   def knnGraphRefined(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 3, kCentroids: Int = 8, iters: Int = 2, nprobe: Int = 2,
-      trainSample: Option[String] = None): DataFrame = {
+      trainSample: Option[String] = None, reliable: Boolean = false)
+      : DataFrame = {
     val g0 = knnGraph(corpus, idCol, vecCol, k, kCentroids, iters,
       nprobe, trainSample).select(col("src"), col("dst"))
     refineKnnGraph(
       corpus.select(col(idCol).cast(LongType).as("vec_id"),
-        asDouble(col(vecCol)).as("v")), g0, k)
+        asDouble(col(vecCol)).as("v")), g0, k, reliable)
   }
 
   /** [[knnGraphRefined]] served from a persisted [[saveIvfIndex]]
@@ -261,36 +262,52 @@ object Similarity {
     * when the index was trained with the same (kCentroids, iters)
     * (gated x104 replays x103's oracle from a cold reload). */
   def knnGraphRefinedFromIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
+      path: String, k: Int = 3, nprobe: Int = 2,
+      reliable: Boolean = false): DataFrame = {
     val g0 = knnGraphFromIndex(spark, path, k, nprobe)
       .select(col("src"), col("dst"))
     refineKnnGraph(
       readIvfCorpus(spark, path, ivfSnapshot(spark, path))
         .select(col("vec_id").cast(LongType).as("vec_id"),
-          col("v")), g0, k)
+          col("v")), g0, k, reliable)
   }
 
   /** The refinement core: candidates = undirected edges ∪ their
     * two-hop closure, exact-cosine re-rank, per-node top-k. `vecs` is
-    * (vec_id, v); `g0` is a directed (src, dst) edge list. */
-  private def refineKnnGraph(vecs: DataFrame, g0: DataFrame, k: Int)
-      : DataFrame = {
+    * (vec_id, v); `g0` is a directed (src, dst) edge list.
+    *
+    * The seed graph is MATERIALIZED once
+    * ([[Checkpoints.materialize]]): `g0` appears six times in the
+    * expansion DAG (twice per `und`, three `und` uses), and Catalyst
+    * does not dedupe the aliased subtrees — unmaterialized, the probe
+    * join + window would scan and shuffle the corpus six times. The
+    * checkpointed edge list is Nk 16-byte rows; `reliable` routes it
+    * to the fault-tolerant checkpoint dir for long 100 TB runs. Per
+    * the checkpoint-erases-stats lesson (SCALE.md round 12), every
+    * join that touches the checkpointed lineage is pinned
+    * SHUFFLE_HASH — the only shape that exists at scale, where
+    * neither the edge list nor the corpus can broadcast. */
+  private def refineKnnGraph(vecs: DataFrame, g0: DataFrame, k: Int,
+      reliable: Boolean): DataFrame = {
     graft.functions.VectorExprs.register(vecs.sparkSession)
     import graft.functions.VectorExprs.dotF64
-    val und = g0.select(col("src"), col("dst"))
-      .union(g0.select(col("dst").as("src"), col("src").as("dst")))
-    val twoHop = und.as("a")
-      .join(und.as("b"), col("a.dst") === col("b.src"))
+    val edges = Checkpoints.materialize(
+      g0.select(col("src"), col("dst")), reliable)
+    val und = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val twoHop = und.as("a").hint("SHUFFLE_HASH")
+      .join(und.as("b").hint("SHUFFLE_HASH"),
+        col("a.dst") === col("b.src"))
       .select(col("a.src").as("src"), col("b.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
     val cand = und.union(twoHop).distinct()
     val withV = vecs
       .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
-    val scored = cand
+    val scored = cand.hint("SHUFFLE_HASH")
       .join(withV.select(col("vec_id").as("src"), col("v").as("av"),
-        col("nrm").as("anrm")), Seq("src"))
+        col("nrm").as("anrm")).hint("SHUFFLE_HASH"), Seq("src"))
       .join(withV.select(col("vec_id").as("dst"), col("v").as("bv"),
-        col("nrm").as("bnrm")), Seq("dst"))
+        col("nrm").as("bnrm")).hint("SHUFFLE_HASH"), Seq("dst"))
       .withColumn("cos", round(coalesce(
         try_divide(dotF64(col("av"), col("bv")),
           col("anrm") * col("bnrm")), lit(0.0)), 6))
