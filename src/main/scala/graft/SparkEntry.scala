@@ -1841,6 +1841,23 @@ object SparkEntry {
         k = 3, kCentroids = 8, iters = 2, nprobe = 2)
     },
 
+    // IVF cell-occupancy monitoring (x105): the retrain trigger for
+    // the frozen-centroid append lifecycle — per-cell counts and
+    // fractions over the live snapshot (base + appended segments).
+    // Rising max(frac) = probe cost degrading = retrain. Oracle
+    // re-assigns the full corpus against the subset-trained centroids
+    // and counts per cell.
+    "x105_ivf_cell_stats" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivf_index105")
+      graft.ext.Similarity.saveIvfIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", idx,
+        kCentroids = 8, iters = 2)
+      graft.ext.Similarity.appendToIvfIndex(s, idx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding", "b1")
+      graft.ext.Similarity.ivfCellStats(s, idx)
+    },
+
     // refined kNN graph served from the persisted IVF index (x104):
     // x103's answer from a cold saveIvfIndex reload — seed graph AND
     // re-rank vectors both come off the index, so refinement joins the
@@ -4582,6 +4599,22 @@ object SparkEntry {
       "x90_hybrid_index_retrieval" -> hybridOracle,
 
       "x76_ivf_index_append" -> ivfAppendOracle,
+      // x105: same subset-training CTEs as x76, counts per cell over
+      // the full corpus's assignment
+      "x105_ivf_cell_stats" ->
+        s"""WITH v AS ($vecs),
+            tv AS (SELECT vec_id, e FROM v WHERE vec_id < 400),
+            ${lloydCtes("t", 64, 8, 2)},
+            allasg AS (
+              SELECT vec_id, cl FROM (
+                SELECT v.vec_id, c.cl, row_number() OVER (
+                  PARTITION BY v.vec_id ORDER BY $kmeansD2, c.cl) AS rn
+                FROM v v, tc2 c)
+              WHERE rn = 1)
+            SELECT cl AS bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   round(COUNT(*) / (SELECT COUNT(*) FROM v), 6)
+                     AS frac
+            FROM allasg GROUP BY cl ORDER BY bucket""",
       // streamed appends land exactly the one-shot append's index —
       // same subset-trained/full-serve oracle as x76
       "x98_stream_ivf_maintain" -> ivfAppendOracle,

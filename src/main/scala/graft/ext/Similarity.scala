@@ -620,6 +620,34 @@ object Similarity {
     }
   }
 
+  /** Per-cell occupancy of a persisted [[saveIvfIndex]] index — the
+    * monitoring hook behind the append lifecycle's accepted drift
+    * (appends assign against FROZEN centroids, so cell balance decays
+    * as the distribution shifts; [[appendToIvfIndex]] scaladoc):
+    * (bucket, n_vecs, frac) over the live snapshot, base and appended
+    * segments alike. Probe cost per query is ∝ the probed cells'
+    * occupancy, so a rising max(frac) IS the "probe cost degraded,
+    * retrain now" signal — the embedding-space analogue of
+    * [[graft.ext.TextAnalysis.termDrift]]. Gated x105 (subset-trained
+    * index + appended drift vs a full re-assignment oracle).
+    *
+    * Scale shape: one partial+final count keyed on the partition
+    * column (k rows cross the wire), plus the sanctioned provably-1-row
+    * broadcast total — never a corpus shuffle. */
+  def ivfCellStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val corpus = readIvfCorpus(spark, path, ivfSnapshot(spark, path))
+    val counts = corpus
+      .groupBy(col("bucket").cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val total = corpus.agg(count(lit(1)).as("_t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_vecs"),
+        round(col("n_vecs").cast(DoubleType) /
+          col("_t").cast(DoubleType), 6).as("frac"))
+      .orderBy(col("bucket"))
+  }
+
   /** Reclaim corpus segments and manifests unreferenced by the newest
     * `keepVersions` snapshots — the GC half of [[compactIvfIndex]]
     * (which deletes nothing, so in-flight readers finish on their

@@ -55,7 +55,10 @@ class PlanAuditSpec extends SparkSpec {
       "x78_rrf_fusion", "x80_bm25_topk", "x85_hybrid_retrieval",
       "x89_bm25_index_topk", "x90_hybrid_index_retrieval",
       "x97_stream_bm25_maintain", "x100_bm25_index_compact",
-      "x102_stream_bm25_autocompact")
+      "x102_stream_bm25_autocompact",
+      // x105 crossJoins its provably-1-row broadcast corpus total into
+      // k per-cell rows — the x69 shape
+      "x105_ivf_cell_stats")
 
   // x85's lexical leg ranks bm25TopK's ALREADY-LIMITED k-row list with
   // a per-query window whose query_id is a literal — Catalyst folds the

@@ -672,6 +672,12 @@ class ExtSpec extends SparkSpec {
       embs.filter($"vec_id" >= 300), "vec_id", "embedding", "b1")
     assert(live().count() == n,
       "late retry of a compacted-away batch must no-op")
+    // cell-occupancy monitoring (x105) covers the full live snapshot
+    val cs = Similarity.ivfCellStats(spark, idx)
+      .as[(Long, Long, Double)].collect()
+    assert(cs.map(_._2).sum == n, "cell counts must sum to the corpus")
+    assert(math.abs(cs.map(_._3).sum - 1.0) < 1e-4,
+      "cell fractions must sum to ~1")
     // vacuum reclaims the pre-compaction segment dirs; serve unchanged
     Similarity.vacuumIvfIndex(spark, idx, keepVersions = 1)
     val dirs = hfs.listStatus(
