@@ -1841,6 +1841,21 @@ object SparkEntry {
         k = 3, kCentroids = 8, iters = 2, nprobe = 2)
     },
 
+    // pre-ingest BM25 drift gate (x106): doc-frequency drift between a
+    // persisted index and an incoming batch, index side read straight
+    // from the additive termstats segments — no indexed-corpus
+    // re-tokenization; x75's smoothed likelihood-ratio on df. The
+    // "should this batch ingest" check that runs BEFORE the append.
+    "x106_bm25_append_drift" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val idx = scratchDir("bm25_drift106")
+      graft.ext.TextAnalysis.saveBm25Index(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", idx)
+      graft.ext.TextAnalysis.bm25AppendDrift(s, idx,
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        minCount = 3, topN = 30)
+    },
+
     // IVF cell-occupancy monitoring (x105): the retrain trigger for
     // the frozen-centroid append lifecycle — per-cell counts and
     // fractions over the live snapshot (base + appended segments).
@@ -4655,6 +4670,36 @@ object SparkEntry {
                 SELECT unnest(regexp_split_to_array(
                   trim(lower(text)), '\s+')) AS term
                 FROM documents WHERE doc_id % 2 = 1)
+              WHERE len(term) >= 1 GROUP BY term),
+           j AS (SELECT coalesce(ta.term, tb.term) AS term,
+                        coalesce(ca, CAST(0 AS BIGINT)) AS cnt_a,
+                        coalesce(cb, CAST(0 AS BIGINT)) AS cnt_b
+                 FROM ta FULL OUTER JOIN tb ON ta.term = tb.term),
+           tot AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb,
+                          count(*) AS v FROM j),
+           sc AS (SELECT term, cnt_a, cnt_b,
+                    greatest(
+                      (CAST(cnt_a+1 AS DOUBLE) * CAST(nb+v AS DOUBLE))
+                        / (CAST(cnt_b+1 AS DOUBLE) * CAST(na+v AS DOUBLE)),
+                      (CAST(cnt_b+1 AS DOUBLE) * CAST(na+v AS DOUBLE))
+                        / (CAST(cnt_a+1 AS DOUBLE) * CAST(nb+v AS DOUBLE))) AS d
+                  FROM j, tot
+                  WHERE cnt_a + cnt_b >= 3)
+           SELECT term, cnt_a, cnt_b, round(d, 6) AS drift
+           FROM sc ORDER BY d DESC, term ASC LIMIT 30""",
+
+      // x106: x75's smoothed ratio on DOC frequency (distinct doc per
+      // term) across the indexed/batch doc_id split
+      "x106_bm25_append_drift" ->
+        """WITH ta AS (SELECT term, CAST(count(*) AS BIGINT) AS ca FROM (
+                SELECT DISTINCT doc_id, unnest(regexp_split_to_array(
+                  trim(lower(text)), '\s+')) AS term
+                FROM documents WHERE doc_id < 250)
+              WHERE len(term) >= 1 GROUP BY term),
+           tb AS (SELECT term, CAST(count(*) AS BIGINT) AS cb FROM (
+                SELECT DISTINCT doc_id, unnest(regexp_split_to_array(
+                  trim(lower(text)), '\s+')) AS term
+                FROM documents WHERE doc_id >= 250)
               WHERE len(term) >= 1 GROUP BY term),
            j AS (SELECT coalesce(ta.term, tb.term) AS term,
                         coalesce(ca, CAST(0 AS BIGINT)) AS cnt_a,

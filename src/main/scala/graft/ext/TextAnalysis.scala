@@ -492,6 +492,14 @@ object TextAnalysis {
       .select(col("term"),
         coalesce(col("_ca"), lit(0L)).as("cnt_a"),
         coalesce(col("_cb"), lit(0L)).as("cnt_b"))
+    driftRank(j, minCount, topN)
+  }
+
+  /** Shared drift scorer over a (term, cnt_a, cnt_b) frame — the tail
+    * of [[termDrift]] and [[bm25AppendDrift]] (one definition, so a
+    * smoothing tweak cannot desynchronize the two gates). */
+  private def driftRank(j: DataFrame, minCount: Long, topN: Int)
+      : DataFrame = {
     // totals as a LAZY 1-row broadcast: V = |union vocab| = rows of j;
     // the always-true term guard keeps this branch column-identical to
     // the main branch (a pruned-away column silently breaks exchange
@@ -517,6 +525,35 @@ object TextAnalysis {
       .limit(topN)
       .select(col("term"), col("cnt_a"), col("cnt_b"),
         round(col("_drift"), 6).as("drift"))
+  }
+
+  /** Pre-ingest drift gate for a persisted [[saveBm25Index]] index:
+    * [[termDrift]]'s smoothed likelihood-ratio, but on DOC frequency,
+    * with the index side read straight from the additive `termstats`
+    * segments — no re-tokenization of the indexed corpus, cost ∝
+    * vocabulary + batch (the monitoring dividend of the segment
+    * design; the IVF-side analogue is [[Similarity.ivfCellStats]]).
+    * Answers "does this batch shift the term distribution?" BEFORE
+    * [[appendToBm25Index]] commits it. Gated x106 against a full
+    * re-tokenization oracle of both document sets. */
+  def bm25AppendDrift(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 3, topN: Int = 30): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1 (got $topN)")
+    val snap = bm25Snapshot(spark, path)
+    val idx = readBm25Table(spark, path, snap, "termstats")
+      .filter(length(col("term")) >= 1)
+      .groupBy("term").agg(sum(col("df_t")).as("_ca"))
+    val batch = newDocs
+      .select(explode(array_distinct(
+        tokens(lower(col(textCol))))).as("term"))
+      .filter(length(col("term")) >= 1)
+      .groupBy("term").agg(count(lit(1)).as("_cb"))
+    val j = idx.join(batch, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("_ca"), lit(0L)).as("cnt_a"),
+        coalesce(col("_cb"), lit(0L)).as("cnt_b"))
+    driftRank(j, minCount, topN)
   }
 
   /** BM25 ranked retrieval (Robertson & Zaragoza 2009, eq. 3.15) — the

@@ -58,7 +58,10 @@ class PlanAuditSpec extends SparkSpec {
       "x102_stream_bm25_autocompact",
       // x105 crossJoins its provably-1-row broadcast corpus total into
       // k per-cell rows — the x69 shape
-      "x105_ivf_cell_stats")
+      "x105_ivf_cell_stats",
+      // x106 is x75's drift scorer (1-row broadcast totals) on the
+      // index's termstats
+      "x106_bm25_append_drift")
 
   // x85's lexical leg ranks bm25TopK's ALREADY-LIMITED k-row list with
   // a per-query window whose query_id is a literal — Catalyst folds the
