@@ -2045,6 +2045,19 @@ object SparkEntry {
           T(s, dir, "documents"), "doc_id"), "doc_id")
     },
 
+    // REAL pixel resize round-trip (x107): decode the per-id PNG with
+    // the actual codec, nearest-neighbor downscale to 4x2 on the
+    // integer index map src=(dst*srcDim)/dstDim, and sum the sampled
+    // RGB — the x101 build∘decode identity extended through a real
+    // pixel transform; the oracle computes the sampled grid straight
+    // from doc_id without touching bytes.
+    "x107_image_resize_stats" -> { (s, dir) =>
+      graft.ext.Multimodal.imageResizeStats(s,
+        graft.ext.Multimodal.withPngPayload(s,
+          T(s, dir, "documents"), "doc_id"), "doc_id",
+        dstW = 4, dstH = 2)
+    },
+
     // streaming IVF index maintenance (x98): x76's append lifecycle
     // driven by a micro-batch stream — each batch lands as its own
     // corpus segment under a content-derived id and the manifest's
@@ -4655,6 +4668,23 @@ object SparkEntry {
                   CAST(MIN(h) AS INT) AS height,
                   CAST(SUM(((doc_id + x) % 256) + ((doc_id + y) % 256)
                            + ((x + y) % 256)) AS BIGINT) AS pix_sum
+           FROM p GROUP BY doc_id""",
+
+      // x107: the x101 closed form sampled on the 4x2 nearest-neighbor
+      // grid sx=(x*w)//4, sy=(y*h)//2
+      "x107_image_resize_stats" ->
+        """WITH g AS (
+                SELECT d.doc_id, 4 + d.doc_id % 13 AS w,
+                       3 + d.doc_id % 7 AS h, xs.x, ys.y
+                FROM documents d,
+                     generate_series(0, 3) xs(x),
+                     generate_series(0, 1) ys(y)),
+             p AS (SELECT doc_id, (x * w) // 4 AS sx,
+                          (y * h) // 2 AS sy FROM g)
+           SELECT doc_id, CAST(4 AS INT) AS width,
+                  CAST(2 AS INT) AS height,
+                  CAST(SUM(((doc_id + sx) % 256) + ((doc_id + sy) % 256)
+                           + ((sx + sy) % 256)) AS BIGINT) AS pix_sum
            FROM p GROUP BY doc_id""",
 
       // add-one-smoothed rational odds ratio per union-vocab term,

@@ -229,6 +229,52 @@ object Multimodal {
       }).toDF(idCol, "width", "height", "pix_sum")
   }
 
+  /** REAL nearest-neighbor resize through the decoded pixels: decode
+    * the payload with the actual codec ([[MediaCodec.decodeImage]]),
+    * sample the source on the integer grid `src = (dst · srcDim) /
+    * dstDim` (floor division — the standard nearest-neighbor index
+    * map, exactly replayable in SQL), and report (width, height,
+    * Σ(R+G+B)) of the resized image. On a [[withPngPayload]] fixture
+    * the sampled pixels are closed-form in the id, so the gate (x107)
+    * proves decode ∘ resize against an oracle that never touches the
+    * bytes — the x101 identity extended through a real pixel
+    * transform. Non-image payloads surface as NULL stats, never an
+    * error; `dstW`/`dstH` must not exceed a source's dimensions
+    * (downscale-only keeps every sampled index in range for any
+    * fixture id). Narrow mapPartitions stage, no shuffle — the same
+    * batch shape as [[extractFrames]]. */
+  def imageResizeStats(spark: SparkSession, df: DataFrame,
+      idCol: String, dstW: Int, dstH: Int): DataFrame = {
+    require(dstW >= 1 && dstH >= 1,
+      s"target dims must be >= 1 (got ${dstW}x$dstH)")
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        MediaCodec.decodeImage(payload) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var s = 0L
+            var y = 0
+            while (y < dstH) {
+              val sy = y * h / dstH
+              var x = 0
+              while (x < dstW) {
+                val sx = x * w / dstW
+                val rgb = img.getRGB(sx, sy)
+                s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                  (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            (id, Some(dstW), Some(dstH), Some(s))
+          case None =>
+            (id, None: Option[Int], None: Option[Int], None: Option[Long])
+        }
+      }).toDF(idCol, "width", "height", "pix_sum")
+  }
+
   /** Frame sampling: keep every `everyN`-th frame — the standard decimation
     * step before feature extraction (video at 30 fps → 1 fps). Narrow op,
     * no shuffle. */

@@ -85,6 +85,30 @@ class MultimodalSpec extends SparkSpec {
     assert(st == Set((10L, None, None, None), (11L, None, None, None)))
   }
 
+  test("imageResizeStats: hand-computed nearest-neighbor sample; " +
+      "NULL stats for non-image payloads; bad dims rejected") {
+    import spark.implicits._
+    // id=0: w=4, h=3; dst 2x2 → sx=(x*4)/2∈{0,2}, sy=(y*3)/2∈{0,1};
+    // pixel (sx,sy) = (sx%256) + (sy%256) + ((sx+sy)%256)
+    val expected = (for { y <- Seq(0, 1); x <- Seq(0, 2) } yield {
+      val (sx, sy) = (x, y)
+      (0L + sx) % 256 + (0L + sy) % 256 + (sx + sy) % 256
+    }).sum
+    val one = Multimodal.imageResizeStats(spark,
+      Multimodal.withPngPayload(spark, Seq(0L).toDF("doc_id"),
+        "doc_id"), "doc_id", dstW = 2, dstH = 2)
+      .as[(Long, Option[Int], Option[Int], Option[Long])].head()
+    assert(one == ((0L, Some(2), Some(2), Some(expected))))
+    // non-image payloads surface NULLs, never an error
+    val junk = Seq((9L, "not a png".getBytes))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.imageResizeStats(spark, junk, "doc_id", 2, 2)
+      .as[(Long, Option[Int], Option[Int], Option[Long])].head() ==
+      ((9L, None, None, None)))
+    intercept[IllegalArgumentException](
+      Multimodal.imageResizeStats(spark, junk, "doc_id", 0, 2))
+  }
+
   test("sampleFrames keeps every Nth frame; resize pads/truncates exactly") {
     val frames = Multimodal.extractFrames(spark,
       Multimodal.withPayload(docs, "doc_id", "text"), "doc_id", stride = 64)
