@@ -1856,6 +1856,27 @@ object SparkEntry {
         minCount = 3, topN = 30)
     },
 
+    // IVF retrain-in-place (x108): the action x105's signal calls for
+    // — subset-trained index + frozen-centroid append, then retrain on
+    // the LIVE corpus re-buckets everything under fresh centroids in
+    // one manifest commit (readers never mix generations). With the
+    // same (k, iters) the result serves exactly what full-corpus
+    // training serves — x67/x71's oracle verbatim.
+    "x108_ivf_retrain_serve" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivf_index108")
+      graft.ext.Similarity.saveIvfIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", idx,
+        kCentroids = 8, iters = 2)
+      graft.ext.Similarity.appendToIvfIndex(s, idx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding", "b1")
+      graft.ext.Similarity.retrainIvfIndex(s, idx, kCentroids = 8,
+        iters = 2)
+      graft.ext.Similarity.queryIvfIndex(s, idx,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+    },
+
     // IVF cell-occupancy monitoring (x105): the retrain trigger for
     // the frozen-centroid append lifecycle — per-cell counts and
     // fractions over the live snapshot (base + appended segments).
@@ -4627,6 +4648,8 @@ object SparkEntry {
       "x90_hybrid_index_retrieval" -> hybridOracle,
 
       "x76_ivf_index_append" -> ivfAppendOracle,
+      // x108: retrain with the same (k, iters) == full-corpus training
+      "x108_ivf_retrain_serve" -> ivfLearnedOracle,
       // x105: same subset-training CTEs as x76, counts per cell over
       // the full corpus's assignment
       "x105_ivf_cell_stats" ->

@@ -208,9 +208,9 @@ object Similarity {
     * oracle from a cold reload). */
   def knnGraphFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
-    val centroids = loadIvfCentroids(spark, path)
-    require(centroids.nonEmpty, s"knnGraphFromIndex: empty index at $path")
     val snap = ivfSnapshot(spark, path)
+    val centroids = loadCentroids(spark, path, snap)
+    require(centroids.nonEmpty, s"knnGraphFromIndex: empty index at $path")
     val c = readIvfCorpus(spark, path, snap)
       .select(col("vec_id"), col("v"),
         col("bucket").cast(LongType).as("bucket"), col("nrm"))
@@ -428,23 +428,26 @@ object Similarity {
     * query-many lifecycle a production 100 TB index needs (x67 trains
     * per call; this writes the training output once). Under `path`:
     *
-    *  - `path/centroids`: (cluster_id, centroid) — the k × dim driver
-    *    payload, one small file;
+    *  - `path/centroids/<seg>/`: (cluster_id, centroid) — the k × dim
+    *    driver payload, one small file per generation (the build
+    *    writes `base`; [[retrainIvfIndex]] adds a new generation);
     *  - `path/corpus`: (vec_id, v, nrm) PARTITIONED BY (`batch`,
     *    `bucket`) — every vector in its nearest-centroid cell with its
     *    norm precomputed. `batch` is the SEGMENT level: the build
     *    writes `batch=base`, each [[appendToIvfIndex]] call adds its
     *    own `batch=<batchId>`, a compaction adds a folded
-    *    `batch=compact_v<N>_<id>`. `bucket` stays a partition column,
+    *    `batch=compact_v<N>_<id>`, a retrain adds a re-bucketed
+    *    `batch=retrain_v<N>_<id>`. `bucket` stays a partition column,
     *    so cell pruning is unaffected by the extra level.
     *  - `path/manifest_v<N>.json` ([[graft.sinks.IndexManifest]]): the
-    *    versioned commit record — which batch segments are live and
-    *    which append batchIds have been applied. Every reader resolves
-    *    ONE manifest and filters the corpus scan to its segment list
-    *    (a static partition-value filter, pruned at planning), so an
-    *    append or compaction landing mid-query can never mix
-    *    snapshots, and a crashed append's partial partitions are
-    *    invisible until its manifest commit.
+    *    versioned commit record — which corpus segments and WHICH
+    *    CENTROID GENERATION are live, and which append batchIds have
+    *    been applied. Every reader resolves ONE manifest for both the
+    *    centroid reload and the corpus scan (a static partition-value
+    *    filter, pruned at planning), so an append, compaction, or
+    *    retrain landing mid-query can never pair one snapshot's
+    *    centroids with another's corpus, and a crashed write's partial
+    *    directories are invisible until their manifest commit.
     *
     * At serve time ([[queryIvfIndex]]) the probe joins a broadcast
     * query set against the PARTITION column, so Spark's dynamic
@@ -467,7 +470,8 @@ object Similarity {
     val centroids = Clustering.kmeansCentroids(corpus, idCol, vecCol,
       kCentroids, iters, trainSample)
     centroids.toDF("cluster_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids/base")
     Clustering.assignTo(
         corpus.select(col(idCol).as("vec_id"),
           asDouble(col(vecCol)).as("_v")), centroids)
@@ -477,7 +481,8 @@ object Similarity {
       .write.mode("overwrite").partitionBy("batch", "bucket")
       .parquet(s"$path/corpus")
     graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
-      graft.sinks.IndexSnapshot(0L, Map("corpus" -> Seq("base")),
+      graft.sinks.IndexSnapshot(0L,
+        Map("corpus" -> Seq("base"), "centroids" -> Seq("base")),
         Seq.empty))
   }
 
@@ -503,11 +508,23 @@ object Similarity {
   }
 
   /** Reload the k-row centroid file of a [[saveIvfIndex]] index,
-    * id-sorted (the [[ivfLearnedTopKWith]] tiebreak contract). */
+    * id-sorted (the [[ivfLearnedTopKWith]] tiebreak contract). Resolves
+    * the newest snapshot; the serve paths pass their already-resolved
+    * snapshot instead so centroids and corpus can never come from two
+    * different generations. */
   def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[(Long, Seq[Double])] = {
+      path: String): Seq[(Long, Seq[Double])] =
+    loadCentroids(spark, path, ivfSnapshot(spark, path))
+
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String, snap: graft.sinks.IndexSnapshot)
+      : Seq[(Long, Seq[Double])] = {
     import spark.implicits._
-    spark.read.parquet(s"$path/centroids")
+    val segs = snap.segs("centroids")
+    require(segs.length == 1,
+      s"index at $path must have exactly one centroid generation " +
+        s"(got $segs)")
+    spark.read.parquet(s"$path/centroids/${segs.head}")
       .select(col("cluster_id"), col("centroid"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
   }
@@ -553,7 +570,7 @@ object Similarity {
       throw new IllegalArgumentException(
         s"no index manifest at $path (not a saveIvfIndex directory)"))
     if (snap.applied.contains(batchId)) return
-    val centroids = loadIvfCentroids(spark, path)
+    val centroids = loadCentroids(spark, path, snap)
     require(centroids.nonEmpty, s"appendToIvfIndex: empty index at $path")
     graft.functions.VectorExprs.register(spark)
     import graft.functions.VectorExprs.dotF64
@@ -571,7 +588,7 @@ object Similarity {
       val c = cur.getOrElse(snap)
       if (c.applied.contains(batchId)) c // concurrent duplicate: no-op
       else c.copy(
-        tables = Map("corpus" ->
+        tables = c.tables + ("corpus" ->
           (c.segs("corpus").filterNot(_ == batchId) :+ batchId)),
         applied = c.applied :+ batchId)
     }
@@ -615,8 +632,65 @@ object Similarity {
     val folded = snap.segs("corpus").toSet
     graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
       val c = cur.getOrElse(snap)
-      c.copy(tables = Map("corpus" ->
+      c.copy(tables = c.tables + ("corpus" ->
         (seg +: c.segs("corpus").filterNot(folded.contains))))
+    }
+  }
+
+  /** RETRAIN a persisted [[saveIvfIndex]] index in place — the action
+    * the [[ivfCellStats]] monitoring signal calls for when frozen-
+    * centroid appends have skewed the cells: train fresh centroids on
+    * the LIVE corpus (every base + appended vector), re-bucket all of
+    * it into one new corpus segment, and commit both in a single
+    * manifest version — so a reader resolving any snapshot gets a
+    * centroid generation and a corpus bucketed BY that generation,
+    * never a mix, and in-flight readers finish on the old generation
+    * (old segments stay until [[vacuumIvfIndex]]). The `applied`
+    * record is carried: a late retry of an already-ingested batch
+    * still no-ops after the retrain.
+    *
+    * Result contract: with the same (kCentroids, iters) the retrained
+    * index serves exactly what [[ivfLearnedTopK]] trained on the live
+    * corpus serves (gated x108 replays x67's full-corpus oracle over a
+    * subset-trained + appended + retrained index). Concurrency
+    * contract: retrain must be serialized with APPENDS by the ingest
+    * pipeline (an append assigned against the old generation cannot be
+    * re-bucketed by a retrain that never saw it — the commit detects
+    * that race and aborts with a clear error; readers need no
+    * coordination). */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, kCentroids: Int = 8, iters: Int = 2,
+      trainSample: Option[String] = None): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = ivfSnapshot(spark, path)
+    val seg = s"retrain_v${snap.version}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val live = readIvfCorpus(spark, path, snap)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val centroids = Clustering.kmeansCentroids(live, "vec_id", "v",
+      kCentroids, iters, trainSample)
+    import spark.implicits._
+    centroids.toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/centroids/$seg")
+    Clustering.assignTo(
+        live.select(col("vec_id"), col("v").as("_v"), col("nrm")),
+        centroids)
+      .select(col("vec_id"), col("_v").as("v"), col("nrm"),
+        col("cluster").as("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"$path/corpus/batch=$seg")
+    val sawCorpus = snap.segs("corpus").toSet
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      require(c.segs("corpus").toSet == sawCorpus,
+        "append landed during retrain — the new batch was bucketed " +
+          "against the OLD centroids and this retrain never saw it; " +
+          "serialize retrain with appends and rerun")
+      c.copy(tables = c.tables +
+        ("corpus" -> Seq(seg)) + ("centroids" -> Seq(seg)))
     }
   }
 
@@ -658,7 +732,9 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     graft.sinks.IndexManifest.vacuum(fs, path, keepVersions,
-      Map("corpus" -> s"$path/corpus"), s => s"batch=$s")
+      Map("corpus" -> s"$path/corpus",
+        "centroids" -> s"$path/centroids"),
+      (t, s) => if (t == "corpus") s"batch=$s" else s)
   }
 
   /** Serve query batches from a persisted [[saveIvfIndex]] index: no
@@ -668,9 +744,10 @@ object Similarity {
   def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 2): DataFrame = {
-    val centroids = loadIvfCentroids(spark, path)
+    val snap = ivfSnapshot(spark, path)
+    val centroids = loadCentroids(spark, path, snap)
     require(centroids.nonEmpty, s"queryIvfIndex: empty index at $path")
-    val c = readIvfCorpus(spark, path, ivfSnapshot(spark, path))
+    val c = readIvfCorpus(spark, path, snap)
       .select(col("vec_id"), col("v"),
         col("bucket").cast(LongType).as("bucket"), col("nrm"))
     serveBuckets(c, queries, idCol, vecCol, k, centroids, nprobe)

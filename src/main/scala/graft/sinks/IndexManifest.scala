@@ -138,15 +138,15 @@ private[graft] object IndexManifest {
   /** Reclaim everything unreferenced by the newest `keepVersions`
     * manifests: older manifest files, and any segment directory of the
     * given tables that no kept manifest lists. `tableRoots` maps each
-    * table name to the directory its segments live under (for the IVF
-    * corpus the "segments" are `batch=<seg>` partition directories —
-    * the caller passes a decorate function to map seg name → dir
-    * name). Retention contract: readers older than the kept window may
-    * lose files mid-read; size `keepVersions` to the longest-running
-    * query. */
+    * table name to the directory its segments live under;
+    * `segDirName(table, seg)` maps a segment name to its directory
+    * name (the IVF corpus stores segments as `batch=<seg>` partition
+    * directories while its centroids use plain names). Retention
+    * contract: readers older than the kept window may lose files
+    * mid-read; size `keepVersions` to the longest-running query. */
   def vacuum(fs: FileSystem, root: String, keepVersions: Int,
       tableRoots: Map[String, String],
-      segDirName: String => String = identity): Unit = {
+      segDirName: (String, String) => String = (_, seg) => seg): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1")
     val vs = versions(fs, root)
     if (vs.isEmpty) return
@@ -154,7 +154,7 @@ private[graft] object IndexManifest {
     val kept = vs.filter(keep.contains)
       .flatMap(readVersion(fs, root, _))
     val live: Map[String, Set[String]] = tableRoots.map { case (t, _) =>
-      t -> kept.flatMap(_.segs(t)).map(segDirName).toSet
+      t -> kept.flatMap(_.segs(t)).map(segDirName(t, _)).toSet
     }
     // drop unreferenced segment dirs, then superseded manifests
     tableRoots.foreach { case (t, dir) =>

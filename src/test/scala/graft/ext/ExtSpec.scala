@@ -689,6 +689,56 @@ class ExtSpec extends SparkSpec {
       "vec_id", "embedding", k = 5, nprobe = 2)) == served)
   }
 
+  test("retrainIvfIndex (x108): re-buckets the live corpus under " +
+      "fresh centroids == full-corpus training; one-commit generation " +
+      "swap; applied record survives; vacuum reclaims the old " +
+      "generation") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_retrain").resolve("idx").toString
+    val queries = embs.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "cos")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    Similarity.saveIvfIndex(embs.filter($"vec_id" < 300), "vec_id",
+      "embedding", idx, kCentroids = 8, iters = 2)
+    Similarity.appendToIvfIndex(spark, idx,
+      embs.filter($"vec_id" >= 300), "vec_id", "embedding", "b1")
+    // a reader resolved BEFORE the retrain keeps the old generation
+    val oldReader = Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    val oldAnswer = rows(oldReader)
+    Similarity.retrainIvfIndex(spark, idx, kCentroids = 8, iters = 2)
+    assert(rows(oldReader) == oldAnswer,
+      "pre-retrain reader must finish on its own generation")
+    // retrained serve == per-call training on the full corpus
+    assert(rows(Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) ==
+      rows(Similarity.ivfLearnedTopK(embs, queries, "vec_id",
+        "embedding", k = 5, kCentroids = 8, iters = 2, nprobe = 2)))
+    // the applied record survives: a late retry of b1 still no-ops
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val segsAfter = graft.sinks.IndexManifest.latest(fs, idx).get
+      .segs("corpus")
+    assert(segsAfter.length == 1 &&
+      segsAfter.head.startsWith("retrain_v"))
+    Similarity.appendToIvfIndex(spark, idx,
+      embs.filter($"vec_id" >= 300), "vec_id", "embedding", "b1")
+    assert(graft.sinks.IndexManifest.latest(fs, idx).get
+      .segs("corpus") == segsAfter)
+    // vacuum sweeps the old centroid generation + corpus segments
+    Similarity.vacuumIvfIndex(spark, idx, keepVersions = 1)
+    val cgens = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$idx/centroids"))
+      .map(_.getPath.getName).filter(!_.startsWith("_")).toSeq
+    assert(cgens.length == 1 && cgens.head.startsWith("retrain_v"),
+      s"old centroid generation must be reclaimed, got $cgens")
+    assert(rows(Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) ==
+      rows(Similarity.ivfLearnedTopK(embs, queries, "vec_id",
+        "embedding", k = 5, kCentroids = 8, iters = 2, nprobe = 2)))
+  }
+
   test("compactIvfIndex excludes an uncommitted partial batch " +
       "instead of blessing it; the batch retry then lands in full") {
     val idx = java.nio.file.Files
