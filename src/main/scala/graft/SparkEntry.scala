@@ -1342,6 +1342,22 @@ object SparkEntry {
       graft.sinks.SortedWrite.layoutInvariants(s, base, "o_orderkey")
     },
 
+    // Z-order (Morton) multi-column data-skipping layout (x109):
+    // orders written range-sorted on the interleaved bits of
+    // (o_custkey, o_orderkey) — every file covers a small rectangle of
+    // BOTH dimensions, so min/max stats prune on either predicate
+    // (x44's discipline, extended to two columns). Gate emits the
+    // conservation invariants; ZOrderSpec pins the rectangle-tightness
+    // contrast vs a linear sort.
+    "x109_zorder_write" -> { (s, dir) =>
+      val base = scratchDir("zorder")
+      graft.sinks.ZOrder.writeZOrdered(
+        T(s, dir, "orders"), base, "o_custkey", "o_orderkey",
+        numFiles = 8)
+      graft.sinks.ZOrder.layoutInvariants(s, base, "o_custkey",
+        "o_orderkey")
+    },
+
     // exact Hamming-≤1 string pair join via position-masked hash
     // blocking (deletion-neighborhood); verify is the true byte distance.
     "x43_hamming_pairs" -> ((s, dir) =>
@@ -4176,6 +4192,12 @@ object SparkEntry {
       "x44_range_sorted_write" ->
         """SELECT CAST(count(*) AS BIGINT) AS total_rows,
                   CAST(0 AS BIGINT) AS overlapping_pairs,
+                  CAST(8 AS BIGINT) AS n_files
+           FROM orders""",
+      // x109: conservation invariants of the z-ordered layout
+      // (rectangle tightness is spec-pinned, not hash-gated)
+      "x109_zorder_write" ->
+        """SELECT CAST(count(*) AS BIGINT) AS total_rows,
                   CAST(8 AS BIGINT) AS n_files
            FROM orders""",
 
