@@ -1857,6 +1857,24 @@ object SparkEntry {
         k = 3, kCentroids = 8, iters = 2, nprobe = 2)
     },
 
+    // index time travel (x110): query a RETAINED older manifest
+    // version after an append — the as-of read serves exactly the
+    // pre-append index (the oracle scores only the pre-append document
+    // subset), because maintenance writes new segments and deletes
+    // nothing until vacuum. The MVCC payoff of the manifest protocol,
+    // made directly oracle-checkable.
+    "x110_bm25_time_travel" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val idx = scratchDir("bm25_tt110")
+      graft.ext.TextAnalysis.saveBm25Index(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", idx)
+      val v = graft.ext.TextAnalysis.bm25IndexVersion(s, idx)
+      graft.ext.TextAnalysis.appendToBm25Index(s, idx,
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", "b1")
+      graft.ext.TextAnalysis.queryBm25Index(s, idx,
+        Seq("hash", "join", "merge"), k = 10, asOfVersion = Some(v))
+    },
+
     // pre-ingest BM25 drift gate (x106): doc-frequency drift between a
     // persisted index and an incoming batch, index side read straight
     // from the additive termstats segments — no indexed-corpus
@@ -3224,13 +3242,16 @@ object SparkEntry {
           WHERE rank <= 5"""
     // x80 BM25 — a val (not a map literal) because the x85 hybrid
     // oracle re-ranks this exact list as its lexical leg
-    val x80Sql: String =
-      """WITH t AS (SELECT doc_id,
-                CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+    // BM25 scoring SQL over a parameterized document source — `src`
+    // is the table (x80/x89/...) or a filtered subquery (x110's
+    // time-travel gate scores the PRE-append document subset)
+    def bm25Sql(src: String): String =
+      s"""WITH t AS (SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
                   AS BIGINT) AS dl,
-                unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
                   AS term
-              FROM documents),
+              FROM $src),
            tf AS (SELECT doc_id, dl, term,
                     CAST(count(*) AS BIGINT) AS tf
                   FROM t WHERE term IN ('hash', 'join', 'merge')
@@ -3239,9 +3260,9 @@ object SparkEntry {
                      AS BIGINT) AS df_t FROM tf),
            st AS (SELECT CAST(count(*) AS BIGINT) AS n,
                     CAST(sum(CAST(
-                      len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                      len(regexp_split_to_array(trim(lower(text)), '\\s+'))
                         AS BIGINT)) AS BIGINT) AS total_len
-                  FROM documents),
+                  FROM $src),
            sc AS (SELECT doc_id,
                     CAST(((n - df_t + 0.5) / (df_t + 0.5))
                       * (tf * (1.2 + 1.0))
@@ -3255,6 +3276,7 @@ object SparkEntry {
                     AS score
            FROM sc GROUP BY 1
            ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    val x80Sql: String = bm25Sql("documents")
     // x85 hybrid retrieval: the BM25 lexical list (x80, re-ranked into
     // retriever-list form) fused with the exact-cosine (x05) and
     // sign-LSH (x07) vector lists for query 0 — a 3-way reciprocal-rank
@@ -4696,6 +4718,9 @@ object SparkEntry {
       // compaction of the postings deltas — full-corpus BM25 oracle
       "x100_bm25_index_compact" -> x80Sql,
       "x102_stream_bm25_autocompact" -> x80Sql,
+      // x110: the as-of read scores only the pre-append subset
+      "x110_bm25_time_travel" ->
+        bm25Sql("(SELECT * FROM documents WHERE doc_id < 250)"),
 
       // the engine encodes REAL PNGs and decodes them back; the oracle
       // recomputes every decoded value in closed form from doc_id

@@ -486,15 +486,28 @@ object Similarity {
         Seq.empty))
   }
 
-  /** Resolve the index's current snapshot (manifest required). */
+  /** Resolve the index's snapshot — newest, or a retained older
+    * version for time travel (manifest required). */
   private def ivfSnapshot(spark: org.apache.spark.sql.SparkSession,
-      path: String): graft.sinks.IndexSnapshot = {
+      path: String, asOfVersion: Option[Long] = None)
+      : graft.sinks.IndexSnapshot = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
-    graft.sinks.IndexManifest.latest(fs, path).getOrElse(
-      throw new IllegalArgumentException(
-        s"no index manifest at $path (not a saveIvfIndex directory)"))
+    asOfVersion match {
+      case Some(v) => graft.sinks.IndexManifest.at(fs, path, v)
+        .getOrElse(throw new IllegalArgumentException(
+          s"index version $v not found at $path (vacuumed past the " +
+            "retention window, or never committed)"))
+      case None => graft.sinks.IndexManifest.latest(fs, path)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no index manifest at $path (not a saveIvfIndex directory)"))
+    }
   }
+
+  /** The index's current manifest version — the handle
+    * [[queryIvfIndex]]'s `asOfVersion` time travel pins to. */
+  def ivfIndexVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = ivfSnapshot(spark, path).version
 
   /** Read the corpus pinned to one snapshot's segments: a static
     * `batch IN (...)` partition filter, pruned at planning — partial
@@ -743,8 +756,11 @@ object Similarity {
     * is exactly [[ivfLearnedTopK]] on the same (corpus, queries). */
   def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nprobe: Int = 2): DataFrame = {
-    val snap = ivfSnapshot(spark, path)
+      nprobe: Int = 2, asOfVersion: Option[Long] = None): DataFrame = {
+    // time travel: a retained older version serves its own centroid
+    // generation AND its own corpus — never a mix (one snapshot reads
+    // both)
+    val snap = ivfSnapshot(spark, path, asOfVersion)
     val centroids = loadCentroids(spark, path, snap)
     require(centroids.nonEmpty, s"queryIvfIndex: empty index at $path")
     val c = readIvfCorpus(spark, path, snap)

@@ -764,13 +764,25 @@ object TextAnalysis {
   }
 
   private def bm25Snapshot(spark: org.apache.spark.sql.SparkSession,
-      path: String): graft.sinks.IndexSnapshot = {
+      path: String, asOfVersion: Option[Long] = None)
+      : graft.sinks.IndexSnapshot = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
-    graft.sinks.IndexManifest.latest(fs, path).getOrElse(
-      throw new IllegalArgumentException(
-        s"no index manifest at $path (not a saveBm25Index directory)"))
+    asOfVersion match {
+      case Some(v) => graft.sinks.IndexManifest.at(fs, path, v)
+        .getOrElse(throw new IllegalArgumentException(
+          s"index version $v not found at $path (vacuumed past the " +
+            "retention window, or never committed)"))
+      case None => graft.sinks.IndexManifest.latest(fs, path)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no index manifest at $path (not a saveBm25Index directory)"))
+    }
   }
+
+  /** The index's current manifest version — the handle [[queryBm25Index]]'s
+    * `asOfVersion` time travel pins to. */
+  def bm25IndexVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = bm25Snapshot(spark, path).version
 
   /** Serve a BM25 top-k from a persisted [[saveBm25Index]] index: the
     * scan reads ONLY the query terms' postings (term `isin` pushed to
@@ -781,14 +793,17 @@ object TextAnalysis {
     * norm on raw-token dl, (score DESC, doc_id ASC) TakeOrdered. */
   def queryBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String, queryTerms: Seq[String], k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      asOfVersion: Option[Long] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.forall(_.nonEmpty),
       "queryTerms must be non-empty strings (empty/whitespace-only " +
         "docs post an '' token row)")
     val qset = queryTerms.map(_.toLowerCase)
-    val snap = bm25Snapshot(spark, path)
+    // time travel: any retained manifest version serves in full —
+    // maintenance writes new segments and deletes nothing until vacuum
+    val snap = bm25Snapshot(spark, path, asOfVersion)
     val postings = readBm25Table(spark, path, snap, "postings")
       .filter(col("term").isin(qset: _*))
     // per-segment df contributions sum to the corpus df_t; the filter

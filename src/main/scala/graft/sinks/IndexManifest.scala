@@ -107,6 +107,13 @@ private[graft] object IndexManifest {
     versions(fs, root).reverse.iterator
       .flatMap(readVersion(fs, root, _)).nextOption()
 
+  /** A SPECIFIC snapshot version — time travel: any version still
+    * inside the vacuum retention window is fully servable, because
+    * segments referenced by a retained manifest are never deleted.
+    * None if the version was vacuumed or never existed. */
+  def at(fs: FileSystem, root: String, version: Long)
+      : Option[IndexSnapshot] = readVersion(fs, root, version)
+
   /** Commit `merge(latest)` as the next manifest version via the CAS
     * loop: on a version collision the merge re-runs against the
     * winner's snapshot, so concurrent committers compose instead of

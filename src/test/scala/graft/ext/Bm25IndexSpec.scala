@@ -232,6 +232,36 @@ class Bm25IndexSpec extends SparkSpec {
       rows(TextAnalysis.queryBm25Index(spark, full, terms, 10)))
   }
 
+  test("time travel: an as-of read equals the index at that version, " +
+      "even across a later compaction; vacuumed versions error " +
+      "clearly (x110)") {
+    val idx = scratch()
+    val subset = scratch()
+    TextAnalysis.saveBm25Index(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", idx)
+    val v0 = TextAnalysis.bm25IndexVersion(spark, idx)
+    TextAnalysis.appendToBm25Index(spark, idx,
+      docs.filter(col("doc_id") >= 250), "doc_id", "text", "b1")
+    TextAnalysis.saveBm25Index(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", subset)
+    val atV0 = rows(TextAnalysis.queryBm25Index(spark, idx, terms, 10,
+      asOfVersion = Some(v0)))
+    assert(atV0 == rows(TextAnalysis.queryBm25Index(spark, subset,
+      terms, 10)))
+    // a compaction does not disturb retained-version reads
+    TextAnalysis.compactBm25Index(spark, idx)
+    assert(rows(TextAnalysis.queryBm25Index(spark, idx, terms, 10,
+      asOfVersion = Some(v0))) == atV0)
+    // vacuum(keep=1) retires v0: the as-of read fails with the
+    // retention message instead of serving a mixed or partial snapshot
+    TextAnalysis.vacuumBm25Index(spark, idx, keepVersions = 1)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.queryBm25Index(spark, idx, terms, 10,
+        asOfVersion = Some(v0))
+    }
+    assert(e.getMessage.contains("retention"))
+  }
+
   test("serve plan pushes the term filter to the postings scan") {
     val idx = scratch()
     TextAnalysis.saveBm25Index(docs, "doc_id", "text", idx)
