@@ -1342,6 +1342,22 @@ object SparkEntry {
       graft.sinks.SortedWrite.layoutInvariants(s, base, "o_orderkey")
     },
 
+    // exact triangle count with degree-ordered orientation (x111):
+    // the co-supply graph (suppliers sharing a part, from distinct
+    // lineitem (part, supp) pairs — bucketed pair generation, never
+    // all-pairs), counted via oriented wedge closure — out-degree
+    // under the orientation is O(sqrt E), so the wedge join stays
+    // E^1.5-bounded on power-law graphs.
+    "x111_triangle_count" -> { (s, dir) =>
+      val ps = T(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = ps.as("a").join(ps.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+      graft.ext.Graph.triangleCount(edges, "src", "dst")
+    },
+
     // Z-order (Morton) multi-column data-skipping layout (x109):
     // orders written range-sorted on the interleaved bits of
     // (o_custkey, o_orderkey) — every file covers a small rectangle of
@@ -4216,6 +4232,34 @@ object SparkEntry {
                   CAST(0 AS BIGINT) AS overlapping_pairs,
                   CAST(8 AS BIGINT) AS n_files
            FROM orders""",
+      // x111: same canonicalize → degree-orient → wedge-close logic,
+      // exact integer counts
+      "x111_triangle_count" ->
+        """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+                       FROM lineitem),
+             und AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+                     FROM ps a JOIN ps b
+                       ON a.pk = b.pk AND a.sk < b.sk),
+             deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+                       SELECT u AS id FROM und
+                       UNION ALL SELECT v FROM und)
+                     GROUP BY id),
+             e AS (SELECT CASE WHEN du.dg < dv.dg
+                            OR (du.dg = dv.dg AND und.u < und.v)
+                            THEN und.u ELSE und.v END AS a,
+                          CASE WHEN du.dg < dv.dg
+                            OR (du.dg = dv.dg AND und.u < und.v)
+                            THEN und.v ELSE und.u END AS b
+                   FROM und JOIN deg du ON du.id = und.u
+                        JOIN deg dv ON dv.id = und.v)
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+                  (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+                  (SELECT CAST(count(*) AS BIGINT)
+                   FROM e e1 JOIN e e2
+                     ON e1.a = e2.a AND e1.b <> e2.b
+                   JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+                    AS n_triangles""",
+
       // x109: conservation invariants of the z-ordered layout
       // (rectangle tightness is spec-pinned, not hash-gated)
       "x109_zorder_write" ->

@@ -56,6 +56,9 @@ class PlanAuditSpec extends SparkSpec {
       "x89_bm25_index_topk", "x90_hybrid_index_retrieval",
       "x97_stream_bm25_maintain", "x100_bm25_index_compact",
       "x102_stream_bm25_autocompact",
+      // x110 is the same queryBm25Index serve plan, read as-of an
+      // older manifest version
+      "x110_bm25_time_travel",
       // x105 crossJoins its provably-1-row broadcast corpus total into
       // k per-cell rows — the x69 shape
       "x105_ivf_cell_stats",

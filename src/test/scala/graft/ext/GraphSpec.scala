@@ -157,4 +157,28 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(uw == w1)
   }
+
+  test("triangleCount: hand-verified fixtures; canonicalization drops " +
+      "self-loops, duplicates, and reverse edges; orientation counts " +
+      "each triangle once") {
+    def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) =
+      Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long, Long)].head()
+    // K4: 4 nodes, 6 edges, 4 triangles
+    val k4 = for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b
+    } yield (a, b)
+    assert(tri(k4) == ((4L, 6L, 4L)))
+    // messy encoding of the same K4: reversed, duplicated, self-loops
+    val messy = k4 ++ k4.map(_.swap) ++ Seq((0L, 0L), (2L, 2L))
+    assert(tri(messy) == ((4L, 6L, 4L)))
+    // a 5-cycle has no triangles; adding one chord creates exactly one
+    val c5 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L))
+    assert(tri(c5) == ((5L, 5L, 0L)))
+    assert(tri(c5 :+ (0L, 2L)) == ((5L, 6L, 1L)))
+    // hub star: many wedges, zero closures — orientation must not
+    // inflate the count
+    val star = (1L to 20L).map(i => (0L, i))
+    assert(tri(star) == ((21L, 20L, 0L)))
+  }
 }
