@@ -367,17 +367,31 @@ object Similarity {
 
   /** Shared tail of the two mutual-kNN-cluster forms: symmetrize the
     * directed top-k edges (one keyed self-join on the 16-byte pair),
-    * run star-CC, and label every corpus id (singletons = themselves). */
+    * run star-CC, and label every corpus id (singletons = themselves).
+    * The graph is MATERIALIZED once first — it appears on both sides
+    * of the mutual join, and unmaterialized each side would recompute
+    * the full probe-join + window subtree ([[refineKnnGraph]]'s
+    * lesson); the mutual join over the checkpointed lineage is pinned
+    * SHUFFLE_HASH (checkpointing erases planner stats). */
   private def mutualClustersFromGraph(g: DataFrame, ids: DataFrame,
       reliable: Boolean): DataFrame = {
-    val mutual = g.join(
-      g.select(col("dst").as("src"), col("src").as("dst")),
+    val edges = Checkpoints.materialize(
+      g.select(col("src"), col("dst")), reliable)
+    val mutual = edges.hint("SHUFFLE_HASH").join(
+      edges.select(col("dst").as("src"), col("src").as("dst"))
+        .hint("SHUFFLE_HASH"),
       Seq("src", "dst"))
     val labels = DedupOps.dedupClustersStar(mutual, "src", "dst",
       reliable = reliable)
-    ids.join(labels, col("vec_id") === col("id"), "left")
+    val out = ids.join(labels, col("vec_id") === col("id"), "left")
       .select(col("vec_id"),
         coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+    // star-CC materializes its own state from `mutual`, so the edge
+    // checkpoint is only needed until labels exist; localCheckpoint
+    // the small label frame and release the edges
+    val done = Checkpoints.materialize(out, reliable)
+    Checkpoints.release(edges)
+    done
   }
 
   /** Serving core shared by [[ivfLearnedTopKWith]] (in-memory bucketing)
