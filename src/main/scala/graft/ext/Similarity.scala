@@ -207,8 +207,19 @@ object Similarity {
     * (kCentroids, iters) (ExtSpec pins it; gated x93 replays x91's
     * oracle from a cold reload). */
   def knnGraphFromIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
-    val snap = ivfSnapshot(spark, path)
+      path: String, k: Int = 3, nprobe: Int = 2): DataFrame =
+    knnGraphFromIndex(spark, path, ivfSnapshot(spark, path), k, nprobe)
+
+  /** Snapshot-taking overload: the composed serves
+    * ([[knnGraphRefinedFromIndex]], [[mutualKnnClustersFromIndex]])
+    * read the index TWICE (seed graph + re-rank/label vectors), and
+    * each read must pin the SAME snapshot — resolving the manifest per
+    * read would let a commit landing between the two pair one
+    * snapshot's graph with another's corpus (observable after a
+    * retrain + vacuum inside the window). */
+  private def knnGraphFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, snap: graft.sinks.IndexSnapshot, k: Int,
+      nprobe: Int): DataFrame = {
     val centroids = loadCentroids(spark, path, snap)
     require(centroids.nonEmpty, s"knnGraphFromIndex: empty index at $path")
     val c = readIvfCorpus(spark, path, snap)
@@ -264,10 +275,13 @@ object Similarity {
   def knnGraphRefinedFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, k: Int = 3, nprobe: Int = 2,
       reliable: Boolean = false): DataFrame = {
-    val g0 = knnGraphFromIndex(spark, path, k, nprobe)
+    // ONE manifest resolution for both index reads (seed graph +
+    // re-rank vectors) — the every-reader-resolves-one-snapshot rule
+    val snap = ivfSnapshot(spark, path)
+    val g0 = knnGraphFromIndex(spark, path, snap, k, nprobe)
       .select(col("src"), col("dst"))
     refineKnnGraph(
-      readIvfCorpus(spark, path, ivfSnapshot(spark, path))
+      readIvfCorpus(spark, path, snap)
         .select(col("vec_id").cast(LongType).as("vec_id"),
           col("v")), g0, k, reliable)
   }
@@ -355,13 +369,15 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       k: Int = 3, nprobe: Int = 2, reliable: Boolean = false)
       : DataFrame = {
-    val g = knnGraphFromIndex(spark, path, k, nprobe)
+    // ONE manifest resolution for both index reads (graph + labels)
+    val snap = ivfSnapshot(spark, path)
+    val g = knnGraphFromIndex(spark, path, snap, k, nprobe)
       .select(col("src"), col("dst"))
     // same LongType id contract as the per-call form — the saved index
     // stores idCol as-is, so an int-id corpus must not change the
     // output schema between the two forms
     mutualClustersFromGraph(g,
-      readIvfCorpus(spark, path, ivfSnapshot(spark, path))
+      readIvfCorpus(spark, path, snap)
         .select(col("vec_id").cast(LongType).as("vec_id")), reliable)
   }
 
@@ -588,9 +604,11 @@ object Similarity {
       vecCol: String, batchId: String): Unit = {
     require(batchId.nonEmpty && batchId != "base" &&
         !batchId.startsWith("compact_v") &&
+        !batchId.startsWith("retrain_v") &&
         batchId.forall(c =>
           c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
-      s"batchId must be a filesystem-safe token != 'base' (got '$batchId')")
+      "batchId must be a filesystem-safe token != 'base' and outside " +
+        s"the reserved 'compact_v'/'retrain_v' prefixes (got '$batchId')")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
@@ -611,13 +629,26 @@ object Similarity {
       // the batch value is encoded in the target path, so the write is
       // naturally scoped to this segment — never the corpus
       .parquet(s"$path/corpus/batch=$batchId")
+    val sawCentroids = snap.segs("centroids")
     graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
       val c = cur.getOrElse(snap)
       if (c.applied.contains(batchId)) c // concurrent duplicate: no-op
-      else c.copy(
-        tables = c.tables + ("corpus" ->
-          (c.segs("corpus").filterNot(_ == batchId) :+ batchId)),
-        applied = c.applied :+ batchId)
+      else {
+        // a retrain that committed between our snapshot and this
+        // commit changed the centroid generation: this batch was
+        // assigned against the OLD centroids, so publishing it would
+        // bucket its vectors against the wrong generation. Abort; the
+        // rerun re-assigns against the new centroids (the orphan
+        // directory is overwritten, or vacuumed if never retried).
+        require(c.segs("centroids") == sawCentroids,
+          s"retrain committed during append of batch '$batchId' — the " +
+            "batch was bucketed against the superseded centroid " +
+            "generation; rerun appendToIvfIndex to re-assign it")
+        c.copy(
+          tables = c.tables + ("corpus" ->
+            (c.segs("corpus").filterNot(_ == batchId) :+ batchId)),
+          applied = c.applied :+ batchId)
+      }
     }
   }
 
@@ -657,8 +688,26 @@ object Similarity {
       .partitionBy("bucket")
       .parquet(s"$path/corpus/batch=$seg")
     val folded = snap.segs("corpus").toSet
+    val sawCentroids = snap.segs("centroids")
     graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
       val c = cur.getOrElse(snap)
+      // Two concurrent-maintenance races this merge must NOT compose
+      // through (appends compose fine — they are carried forward):
+      // (a) a retrain won the slot: the corpus is now re-bucketed
+      //     against a NEW centroid generation, and prepending our
+      //     old-generation compacted copy would duplicate every vec_id
+      //     under stale buckets;
+      // (b) another compaction already folded (some of) the same
+      //     segments: their data lives in ITS compacted segment, and
+      //     prepending ours would duplicate the overlap.
+      require(c.segs("centroids") == sawCentroids,
+        "retrain committed during compaction — the compacted segment " +
+          "is bucketed against the superseded centroid generation; " +
+          "discard and rerun compactIvfIndex if still needed")
+      require(folded.subsetOf(c.segs("corpus").toSet),
+        "a concurrent compaction already folded segments this " +
+          "compaction read — committing both copies would duplicate " +
+          "vectors; rerun compactIvfIndex against the new snapshot")
       c.copy(tables = c.tables + ("corpus" ->
         (seg +: c.segs("corpus").filterNot(folded.contains))))
     }
@@ -680,11 +729,14 @@ object Similarity {
     * index serves exactly what [[ivfLearnedTopK]] trained on the live
     * corpus serves (gated x108 replays x67's full-corpus oracle over a
     * subset-trained + appended + retrained index). Concurrency
-    * contract: retrain must be serialized with APPENDS by the ingest
-    * pipeline (an append assigned against the old generation cannot be
-    * re-bucketed by a retrain that never saw it — the commit detects
-    * that race and aborts with a clear error; readers need no
-    * coordination). */
+    * contract: APPENDS COMPOSE — a batch committed while the retrain
+    * was training is detected at commit time, re-assigned against the
+    * NEW centroids, and carried into the retrained snapshot, so the
+    * result equals retrain-then-append (ExtSpec pins it); an append
+    * still in flight when the retrain commits aborts its own commit
+    * and re-assigns on rerun ([[appendToIvfIndex]]'s generation
+    * guard). Only other MAINTENANCE ops (compact, retrain) must be
+    * serialized with retrain; readers need no coordination. */
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, kCentroids: Int = 8, iters: Int = 2,
       trainSample: Option[String] = None): Unit = {
@@ -710,16 +762,64 @@ object Similarity {
       .partitionBy("bucket")
       .parquet(s"$path/corpus/batch=$seg")
     val sawCorpus = snap.segs("corpus").toSet
-    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
-      val c = cur.getOrElse(snap)
-      require(c.segs("corpus").toSet == sawCorpus,
-        "append landed during retrain — the new batch was bucketed " +
-          "against the OLD centroids and this retrain never saw it; " +
-          "serialize retrain with appends and rerun")
-      c.copy(tables = c.tables +
-        ("corpus" -> Seq(seg)) + ("centroids" -> Seq(seg)))
+    // Appends may land while the retrain trains and re-buckets (minutes
+    // of wall at corpus scale) — the commit loop CARRIES them instead
+    // of aborting: each corpus segment the snapshot didn't contain is
+    // re-read (bounded: one append batch, never the corpus),
+    // re-assigned against the NEW centroids into its own
+    // `<seg>_carry_<batch>` segment, and committed alongside, so the
+    // final snapshot equals retrain-then-append exactly (ExtSpec pins
+    // the convergence). Concurrent COMPACTIONS/RETRAINS still abort:
+    // their segments are full old-generation copies whose re-assignment
+    // would duplicate every vec_id — maintenance ops serialize, appends
+    // don't have to.
+    var carried = Map.empty[String, String] // unseen batch -> carry seg
+    var committed = false
+    while (!committed) {
+      val cur = graft.sinks.IndexManifest.latest(fs, path).getOrElse(snap)
+      val unseen = cur.segs("corpus")
+        .filterNot(s => sawCorpus.contains(s) || carried.contains(s))
+      unseen.foreach { b =>
+        require(!b.startsWith("compact_v") && !b.startsWith("retrain_v"),
+          s"concurrent maintenance committed segment '$b' during " +
+            "retrain — compaction/retrain must be serialized with " +
+            "retrain (appends compose); rerun retrainIvfIndex")
+        val carrySeg = s"${seg}_carry_$b"
+        Clustering.assignTo(
+            spark.read.parquet(s"$path/corpus/batch=$b")
+              .select(col("vec_id"), col("v").as("_v"), col("nrm")),
+            centroids)
+          .select(col("vec_id"), col("_v").as("v"), col("nrm"),
+            col("cluster").as("bucket"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("bucket")
+          .parquet(s"$path/corpus/batch=$carrySeg")
+        carried += (b -> carrySeg)
+      }
+      try {
+        graft.sinks.IndexManifest.commitMerge(fs, path) { c0 =>
+          val c = c0.getOrElse(snap)
+          // a still-newer append may have landed since `cur` was read;
+          // bounce out to re-bucket it rather than dropping it
+          if (c.segs("corpus").exists(s =>
+              !sawCorpus.contains(s) && !carried.contains(s)))
+            throw new RetrainCarryRetry
+          // carry order follows the winning snapshot's commit order
+          val carrySegs = c.segs("corpus").flatMap(carried.get)
+          c.copy(tables = c.tables +
+            ("corpus" -> (seg +: carrySegs)) +
+            ("centroids" -> Seq(seg)))
+        }
+        committed = true
+      } catch { case _: RetrainCarryRetry => () }
     }
   }
+
+  /** Control-flow sentinel for [[retrainIvfIndex]]'s carry loop: a new
+    * append landed inside the CAS window and must be re-bucketed before
+    * the retrain can commit. */
+  private final class RetrainCarryRetry
+    extends RuntimeException("retrain carry retry", null, false, false)
 
   /** Per-cell occupancy of a persisted [[saveIvfIndex]] index — the
     * monitoring hook behind the append lifecycle's accepted drift

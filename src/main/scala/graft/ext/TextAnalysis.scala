@@ -740,9 +740,14 @@ object TextAnalysis {
         .repartition(col("term")).sortWithinPartitions("term")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$path/termstats/$seg")
-      df.select(tokenCount(col(textCol)).as("dl"))
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("total_len"))
+      // stats from the SAME persisted base — never a second tokenize
+      // pass over the input (the x97 micro-batch cost): Σ tf over a
+      // doc's rows IS its dl (every token lands in exactly one
+      // (term, doc) group), so total_len = sum(tf) and
+      // n_docs = countDistinct(doc_id), bit-identical to aggregating
+      // tokenCount over the raw text (tokenCount == size(tokens)).
+      base.agg(countDistinct(col("doc_id")).as("n_docs"),
+          coalesce(sum(col("tf")), lit(0L)).as("total_len"))
         .coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$path/stats/$seg")
@@ -879,8 +884,10 @@ object TextAnalysis {
     require(batchId.nonEmpty && batchId.forall(c =>
         c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"batchId must be a filesystem-safe token (got '$batchId')")
-    require(batchId != "base" && !batchId.startsWith("compact_v"),
-      s"batchId '$batchId' collides with reserved segment names")
+    require(batchId != "base" && !batchId.startsWith("compact_v") &&
+        !batchId.startsWith("retrain_v"),
+      s"batchId '$batchId' collides with reserved segment names " +
+        "('base', 'compact_v*', 'retrain_v*')")
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
@@ -946,6 +953,14 @@ object TextAnalysis {
     val folded = Bm25Tables.map(t => t -> snap.segs(t).toSet).toMap
     graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
       val c = cur.getOrElse(snap)
+      // a concurrent compaction that already folded (some of) the same
+      // segments holds their rows in ITS compacted segment — committing
+      // ours too would double-count every folded posting/statistic
+      Bm25Tables.foreach(t => require(
+        folded(t).subsetOf(c.segs(t).toSet),
+        "a concurrent compaction already folded segments this " +
+          "compaction read — committing both copies would double-count; " +
+          "rerun compactBm25Index against the new snapshot"))
       c.copy(tables = Bm25Tables.map(t =>
         // (segments added since we started) survive; folded ones drop
         t -> (seg +: c.segs(t).filterNot(folded(t).contains))).toMap)

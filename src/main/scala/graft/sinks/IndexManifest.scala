@@ -158,8 +158,20 @@ private[graft] object IndexManifest {
     val vs = versions(fs, root)
     if (vs.isEmpty) return
     val keep = vs.takeRight(keepVersions).toSet
-    val kept = vs.filter(keep.contains)
-      .flatMap(readVersion(fs, root, _))
+    // A kept manifest that fails to read/parse must ABORT the vacuum,
+    // not be treated as referencing nothing: a torn in-flight commit or
+    // a transient FS error would otherwise make the segments referenced
+    // only by that snapshot look unreferenced — and vacuum would delete
+    // the data behind a live (possibly current) version. Only READERS
+    // may tolerate torn manifests (fall back one version); a deleter
+    // must fail hard and be retried once the window is clean.
+    val kept = vs.filter(keep.contains).map { v =>
+      readVersion(fs, root, v).getOrElse(throw new IllegalStateException(
+        s"vacuum aborted: kept manifest v$v under $root is unreadable " +
+          "(torn in-flight commit or transient FS error); deleting " +
+          "against a partial kept window could reclaim live segments — " +
+          "retry vacuum once the manifest is readable"))
+    }
     val live: Map[String, Set[String]] = tableRoots.map { case (t, _) =>
       t -> kept.flatMap(_.segs(t)).map(segDirName(t, _)).toSet
     }

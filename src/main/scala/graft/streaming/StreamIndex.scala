@@ -90,8 +90,14 @@ object StreamIndex {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        TextAnalysis.appendToBm25Index(s, indexPath, batch, idCol,
-          textCol, batchId = contentBatchId(batch, idCol))
+        // one file read feeds both the batchId aggregate and the
+        // segment build — the micro-batch is read-twice otherwise
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          TextAnalysis.appendToBm25Index(s, indexPath, b, idCol,
+            textCol, batchId = contentBatchId(b, idCol))
+        } finally b.unpersist(blocking = false)
         if (compactEvery > 0 &&
           segCount(s, indexPath, "postings") > compactEvery) {
           TextAnalysis.compactBm25Index(s, indexPath)
@@ -119,8 +125,12 @@ object StreamIndex {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        Similarity.appendToIvfIndex(s, indexPath, batch, idCol, vecCol,
-          batchId = contentBatchId(batch, idCol))
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          Similarity.appendToIvfIndex(s, indexPath, b, idCol, vecCol,
+            batchId = contentBatchId(b, idCol))
+        } finally b.unpersist(blocking = false)
         if (compactEvery > 0 &&
           segCount(s, indexPath, "corpus") > compactEvery) {
           Similarity.compactIvfIndex(s, indexPath)
