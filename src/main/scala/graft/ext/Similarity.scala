@@ -614,6 +614,20 @@ object Similarity {
     val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
       throw new IllegalArgumentException(
         s"no index manifest at $path (not a saveIvfIndex directory)"))
+    appendToIvfIndexFrom(spark, path, newVecs, idCol, vecCol, batchId,
+      snap)
+  }
+
+  /** Snapshot-taking core of [[appendToIvfIndex]] — `private[ext]` so
+    * the concurrency specs can deterministically replay the
+    * retrain-races-append window (resolve a snapshot, let a retrain
+    * commit, then drive this against the STALE snapshot). */
+  private[ext] def appendToIvfIndexFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newVecs: DataFrame, idCol: String, vecCol: String,
+      batchId: String, snap: graft.sinks.IndexSnapshot): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
     if (snap.applied.contains(batchId)) return
     val centroids = loadCentroids(spark, path, snap)
     require(centroids.nonEmpty, s"appendToIvfIndex: empty index at $path")
@@ -677,6 +691,17 @@ object Similarity {
     val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
       throw new IllegalArgumentException(
         s"no index manifest at $path (not a saveIvfIndex directory)"))
+    compactIvfIndexFrom(spark, path, snap)
+  }
+
+  /** Snapshot-taking core of [[compactIvfIndex]] — `private[ext]` for
+    * the concurrency specs (replay the compact-races-retrain and
+    * compact-races-compact windows against a stale snapshot). */
+  private[ext] def compactIvfIndexFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: graft.sinks.IndexSnapshot): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
     if (snap.segs("corpus").length <= 1) return
     val seg = s"compact_v${snap.version}_" +
       java.util.UUID.randomUUID().toString.take(8)
@@ -739,10 +764,21 @@ object Similarity {
     * serialized with retrain; readers need no coordination. */
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, kCentroids: Int = 8, iters: Int = 2,
-      trainSample: Option[String] = None): Unit = {
+      trainSample: Option[String] = None): Unit =
+    retrainIvfIndexFrom(spark, path, ivfSnapshot(spark, path),
+      kCentroids, iters, trainSample)
+
+  /** Snapshot-taking core of [[retrainIvfIndex]] — `private[ext]` so
+    * the concurrency specs can deterministically replay the
+    * append-lands-mid-retrain window (resolve a snapshot, commit an
+    * append, then drive the retrain from the STALE snapshot — the
+    * carry loop must fold the unseen batch in). */
+  private[ext] def retrainIvfIndexFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: graft.sinks.IndexSnapshot, kCentroids: Int = 8,
+      iters: Int = 2, trainSample: Option[String] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
-    val snap = ivfSnapshot(spark, path)
     val seg = s"retrain_v${snap.version}_" +
       java.util.UUID.randomUUID().toString.take(8)
     val live = readIvfCorpus(spark, path, snap)

@@ -739,6 +739,127 @@ class ExtSpec extends SparkSpec {
         "embedding", k = 5, kCentroids = 8, iters = 2, nprobe = 2)))
   }
 
+  test("IVF time travel (x112): an as-of read serves exactly the " +
+      "index at that version — across a later compaction — and " +
+      "vacuumed versions error clearly") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_tt").resolve("idx").toString
+    val subsetIdx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_tt_sub").resolve("idx").toString
+    val queries = embs.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "cos")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    Similarity.saveIvfIndex(embs.filter($"vec_id" < 300), "vec_id",
+      "embedding", idx, kCentroids = 8, iters = 2)
+    val v0 = Similarity.ivfIndexVersion(spark, idx)
+    Similarity.appendToIvfIndex(spark, idx,
+      embs.filter($"vec_id" >= 300), "vec_id", "embedding", "b1")
+    // twin index frozen at the pre-append state = the as-of oracle
+    Similarity.saveIvfIndex(embs.filter($"vec_id" < 300), "vec_id",
+      "embedding", subsetIdx, kCentroids = 8, iters = 2)
+    val atV0 = rows(Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2, asOfVersion = Some(v0)))
+    assert(atV0 == rows(Similarity.queryIvfIndex(spark, subsetIdx,
+      queries, "vec_id", "embedding", k = 5, nprobe = 2)),
+      "as-of(v0) must serve the pre-append index exactly")
+    assert(atV0 != rows(Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)),
+      "fixture must make the append visible at HEAD or the gate is vacuous")
+    // a compaction does not disturb retained-version reads
+    Similarity.compactIvfIndex(spark, idx)
+    assert(rows(Similarity.queryIvfIndex(spark, idx, queries, "vec_id",
+      "embedding", k = 5, nprobe = 2, asOfVersion = Some(v0))) == atV0)
+    // vacuum(keep=1) retires v0: the as-of read fails with the
+    // retention message instead of serving a mixed or partial snapshot
+    Similarity.vacuumIvfIndex(spark, idx, keepVersions = 1)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.queryIvfIndex(spark, idx, queries, "vec_id",
+        "embedding", k = 5, nprobe = 2, asOfVersion = Some(v0))
+    }
+    assert(e.getMessage.contains("retention"))
+  }
+
+  test("IVF maintenance races: retrain CARRIES a concurrent append " +
+      "(== retrain-then-append); compact/append abort cleanly when a " +
+      "retrain or compaction wins their CAS window") {
+    import graft.sinks.IndexManifest
+    def mkIdx(tag: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft_ivf_$tag").resolve("idx").toString
+    def hfs(p: String) = new org.apache.hadoop.fs.Path(p).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val queries = embs.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "cos")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val base = embs.filter($"vec_id" < 300)
+    val delta = embs.filter($"vec_id" >= 300)
+
+    // (1) append lands between the retrain's snapshot resolution and
+    // its commit: the carry loop re-assigns the unseen batch against
+    // the NEW centroids and folds it into the retrained snapshot
+    val a = mkIdx("race_carry")
+    Similarity.saveIvfIndex(base, "vec_id", "embedding", a,
+      kCentroids = 8, iters = 2)
+    val staleA = IndexManifest.latest(hfs(a), a).get
+    Similarity.appendToIvfIndex(spark, a, delta, "vec_id", "embedding",
+      "b1")
+    Similarity.retrainIvfIndexFrom(spark, a, staleA, kCentroids = 8,
+      iters = 2)
+    val snapA = IndexManifest.latest(hfs(a), a).get
+    assert(snapA.segs("corpus").exists(_.contains("_carry_b1")),
+      s"carried segment missing: ${snapA.segs("corpus")}")
+    assert(snapA.applied.contains("b1"),
+      "the carried batch's applied record must survive the retrain")
+    // convergence oracle: a SERIALIZED retrain-then-append on a twin
+    // index (same training data: the stale snapshot's base corpus)
+    val b = mkIdx("serialized")
+    Similarity.saveIvfIndex(base, "vec_id", "embedding", b,
+      kCentroids = 8, iters = 2)
+    Similarity.retrainIvfIndex(spark, b, kCentroids = 8, iters = 2)
+    Similarity.appendToIvfIndex(spark, b, delta, "vec_id", "embedding",
+      "b1")
+    assert(rows(Similarity.queryIvfIndex(spark, a, queries, "vec_id",
+      "embedding", k = 5, nprobe = 2)) ==
+      rows(Similarity.queryIvfIndex(spark, b, queries, "vec_id",
+        "embedding", k = 5, nprobe = 2)),
+      "raced retrain+append must serve exactly retrain-then-append")
+
+    // (2) a COMPACTION winning the retrain's window aborts the retrain
+    // (its segment is a full old-generation copy; re-assigning it
+    // would duplicate every vec_id) — maintenance ops serialize
+    val staleA2 = IndexManifest.latest(hfs(a), a).get
+    Similarity.compactIvfIndex(spark, a)
+    val exRetrain = intercept[IllegalArgumentException](
+      Similarity.retrainIvfIndexFrom(spark, a, staleA2, kCentroids = 8,
+        iters = 2))
+    assert(exRetrain.getMessage.contains("concurrent maintenance"))
+
+    // (3) a RETRAIN winning the append's window aborts the append
+    // (batch bucketed against the superseded generation); the rerun
+    // against the fresh snapshot lands it
+    val staleB = IndexManifest.latest(hfs(b), b).get
+    Similarity.retrainIvfIndex(spark, b, kCentroids = 8, iters = 2)
+    val d2 = delta.select(($"vec_id" + 10000L).as("vec_id"),
+      $"embedding")
+    val exAppend = intercept[IllegalArgumentException](
+      Similarity.appendToIvfIndexFrom(spark, b, d2, "vec_id",
+        "embedding", "b2", staleB))
+    assert(exAppend.getMessage.contains("retrain committed during"))
+    assert(!IndexManifest.latest(hfs(b), b).get.applied.contains("b2"))
+    Similarity.appendToIvfIndex(spark, b, d2, "vec_id", "embedding",
+      "b2")
+    assert(IndexManifest.latest(hfs(b), b).get.applied.contains("b2"))
+
+    // (4) a compaction that lost to ANOTHER compaction folding the
+    // same segments aborts instead of double-committing their rows
+    val staleB2 = IndexManifest.latest(hfs(b), b).get
+    Similarity.compactIvfIndex(spark, b)
+    val exCompact = intercept[IllegalArgumentException](
+      Similarity.compactIvfIndexFrom(spark, b, staleB2))
+    assert(exCompact.getMessage.contains("concurrent compaction"))
+  }
+
   test("compactIvfIndex excludes an uncommitted partial batch " +
       "instead of blessing it; the batch retry then lands in full") {
     val idx = java.nio.file.Files

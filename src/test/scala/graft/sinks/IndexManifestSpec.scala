@@ -119,4 +119,35 @@ class IndexManifestSpec extends SparkSpec {
     assert(IndexManifest.latest(fs, root).get.segs("t") ==
       Seq("compacted"))
   }
+
+  test("vacuum ABORTS when a kept manifest is unreadable — a torn " +
+      "in-flight commit must never make live segments look " +
+      "unreferenced") {
+    val root = scratch()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/t/base"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/t/delta_a"))
+    IndexManifest.commitMerge(fs, root)(_ =>
+      IndexSnapshot(0L, Map("t" -> Seq("base")), Seq.empty))
+    IndexManifest.commitMerge(fs, root)(c => c.get.copy(
+      tables = Map("t" -> Seq("base", "delta_a")), applied = Seq("a")))
+    // a torn newest manifest INSIDE the kept window (e.g. a concurrent
+    // commit mid-write): only delta_b would be referenced by it, but
+    // vacuum cannot know — it must refuse to delete anything
+    val torn = fs.create(new org.apache.hadoop.fs.Path(root,
+      "manifest_v000000000003.json"), false)
+    torn.write("""{"version": 3, "tab""".getBytes("UTF-8"))
+    torn.close()
+    intercept[IllegalStateException](IndexManifest.vacuum(fs, root,
+      keepVersions = 2, Map("t" -> s"$root/t")))
+    // nothing was deleted — segments AND superseded manifests intact
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/t"))
+      .map(_.getPath.getName).toSet
+    assert(segs == Set("base", "delta_a"))
+    val manifests = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("manifest_")).toSet
+    assert(manifests.size == 3)
+    // readers still fall back past the torn version (read-side
+    // tolerance is unchanged)
+    assert(IndexManifest.latest(fs, root).get.version == 2L)
+  }
 }
