@@ -6,8 +6,31 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, forcing full materialization through the noop sink
   * (count() would let Catalyst prune the projections we mean to measure).
   * Prints the full JSON line {"metric":...,"value":N,"unit":"sec",
-  * "queries":{...},"sf":...} followed by a compact total-only repeat of
-  * the same metric as the final stdout line (tail-capture safe).
+  * "queries":{...},"classes":{...},"subtotals":{...},"sf":...} followed
+  * by a compact total-only repeat of the same metric as the final stdout
+  * line (tail-capture safe).
+  *
+  * MEASUREMENT DISCIPLINE (SCALE.md §Bench): the bench host's page-cache
+  * state is the dominant noise source — a cold first pass lands 1.2×
+  * the steady-state total with individual heavy queries up to 3×
+  * (same-code totals ranged 234-423s across one r12 day). Two
+  * mitigations make one credible number exist per query:
+  *
+  *  1. WARM-TOUCH: every input file of the measured SF directory is
+  *     streamed once, unmeasured, before the measured loop — the first
+  *     measured read hits page cache like every later one.
+  *  2. MIN-OF-TWO: any query whose first measurement is >= 1 s runs a
+  *     second time and reports the MINIMUM — a mid-query GC pause, JIT
+  *     recompile, or ambient host stall charges one run, not the
+  *     artifact. Sub-second queries report the single run (their
+  *     absolute error is bounded by the noise floor either way).
+  *
+  * Each query also carries a CLASS tag so totals decompose:
+  * `serve` (pure read/compute), `lifecycle` (the gate builds or
+  * mutates persisted state — index build/append/compact/retrain, table
+  * writes — as the dominant measured cost), `stream` (drives a
+  * Structured Streaming query; trigger wall-clock included). A serve
+  * regression must not hide under lifecycle wall — read the subtotals.
   *
   * The full per-query JSON is ALSO written to SPARK_GRAFT_BENCH_OUT
   * (default ./BENCH_QUERIES.json): the stdout tail truncates at 120+
@@ -15,6 +38,54 @@ import org.apache.spark.sql.SparkSession
   * re-run.
   */
 object Bench {
+
+  /** Gates that drive a Structured Streaming query — trigger and
+    * micro-batch scheduling wall-clock is part of the measurement. */
+  private val StreamQueries: Set[String] = Set(
+    "q20_stream_tumbling", "x22_stream_dedup", "x25_stream_horizon_dedup",
+    "x39_stream_interval_join", "x42_stream_outer_join",
+    "x48_stream_enrich", "x62_stream_sessionize", "x73_stream_e2_loop",
+    "x79_stream_cdc_apply", "x97_stream_bm25_maintain",
+    "x98_stream_ivf_maintain", "x102_stream_bm25_autocompact")
+
+  /** Gates whose measured cost is dominated by building or mutating
+    * persisted state (index build + append + compact + retrain
+    * lifecycles, table writes) rather than serving a query. */
+  private val LifecycleQueries: Set[String] = Set(
+    "q19_upsert_merge", "q31_bucketed_join", "x29_jsonl_roundtrip",
+    "x44_range_sorted_write", "x60_length_trim", "x61_partition_pruning",
+    "x64_compact_files", "x71_ivf_index_serve", "x72_compact_partitioned",
+    "x76_ivf_index_append", "x85_hybrid_retrieval", "x89_bm25_index_topk",
+    "x90_hybrid_index_retrieval", "x92_mutual_knn_clusters",
+    "x93_knn_graph_index_serve", "x94_mutual_knn_index_serve",
+    "x99_ivf_index_compact", "x100_bm25_index_compact",
+    "x104_knn_refined_index_serve", "x105_ivf_cell_stats",
+    "x106_bm25_append_drift", "x108_ivf_retrain_serve",
+    "x109_zorder_write", "x110_bm25_time_travel", "x112_ivf_time_travel")
+
+  private def queryClass(name: String): String =
+    if (StreamQueries.contains(name)) "stream"
+    else if (LifecycleQueries.contains(name)) "lifecycle"
+    else "serve"
+
+  /** Stream every regular file under `dir` once so the measured loop
+    * starts from a warm page cache (harness-local IO, same sanction as
+    * the artifact write below). */
+  private def warmTouch(dir: String): Unit = {
+    val buf = new Array[Byte](1 << 20)
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(walk)
+      else if (f.isFile) {
+        val in = new java.io.FileInputStream(f)
+        try { while (in.read(buf) >= 0) () } finally in.close()
+      }
+    try walk(new java.io.File(dir))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-touch of $dir failed: " +
+        e.getMessage)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -78,7 +149,12 @@ object Bench {
       clearSessionState()
     }
 
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // warm the page cache over the measured SF's input files so the
+    // first measured query is not charged the suite's cold IO
+    warmTouch(sfDir)
+
+    def once(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -86,13 +162,37 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       clearSessionState()
-      name -> dt
+      dt
+    }
+    // min-of-two discipline: queries at or above this first-run cost
+    // re-run once and report the minimum (dev override: BENCH_ONCE
+    // skips all second runs for quick iteration)
+    val minOfTwoFloorSec = 1.0
+    val benchOnce = sys.env.contains("SPARK_GRAFT_BENCH_ONCE")
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val d1 = once(name, fn)
+      val d =
+        if (benchOnce || d1 < minOfTwoFloorSec) d1
+        else {
+          val d2 = once(name, fn)
+          if (benchDebug) System.err.println(
+            f"[bench] $name runs: $d1%.3f / $d2%.3f")
+          math.min(d1, d2)
+        }
+      name -> d
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val classes = results.map { case (k, _) =>
+      "\"" + k + "\":\"" + queryClass(k) + "\"" }.mkString("{", ",", "}")
+    val subtotals = results.groupBy { case (k, _) => queryClass(k) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    val subJson = Seq("serve", "lifecycle", "stream").map(c =>
+      "\"" + c + f"""\":${subtotals.getOrElse(c, 0.0)}%.3f""")
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"classes":$classes,"subtotals":$subJson,"sf":"$sfDir"}"""
     println(full)
     // durable per-query artifact (java.nio is fine here: Bench is a
     // harness-local main, not engine code — same sanction as Verify's

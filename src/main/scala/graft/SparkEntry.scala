@@ -1897,6 +1897,26 @@ object SparkEntry {
         Seq("hash", "join", "merge"), k = 10, asOfVersion = Some(v))
     },
 
+    // IVF time travel (x112): the vector-index half of x110 — pin the
+    // pre-append manifest version, append, then serve AS OF the
+    // pinned version. The as-of read pairs that snapshot's centroid
+    // generation with that snapshot's corpus (one manifest resolves
+    // both), so the appended vectors must be invisible and the answer
+    // is exactly the subset index's serve (x76's setup, pre-append).
+    "x112_ivf_time_travel" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivf_tt112")
+      graft.ext.Similarity.saveIvfIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", idx,
+        kCentroids = 8, iters = 2)
+      val v = graft.ext.Similarity.ivfIndexVersion(s, idx)
+      graft.ext.Similarity.appendToIvfIndex(s, idx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding", "b1")
+      graft.ext.Similarity.queryIvfIndex(s, idx,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 2, asOfVersion = Some(v))
+    },
+
     // pre-ingest BM25 drift gate (x106): doc-frequency drift between a
     // persisted index and an incoming batch, index side read straight
     // from the additive termstats segments — no indexed-corpus
@@ -2119,6 +2139,19 @@ object SparkEntry {
     "x101_image_decode_roundtrip" -> { (s, dir) =>
       graft.ext.Multimodal.imagePixelStats(s,
         graft.ext.Multimodal.withPngPayload(s,
+          T(s, dir, "documents"), "doc_id"), "doc_id")
+    },
+
+    // REAL multi-frame decode (x113): animated GIFs — the JDK sequence
+    // writer encodes 2-4 grayscale frames per doc, the frame-iterating
+    // reader decodes them back, and every (frame_idx, width, height,
+    // ΣRGB) row matches the doc_id closed form (x101's identity, per
+    // frame). This retires the "multi-frame containers are stubbed"
+    // gap for every container the JDK can read; video stays the
+    // documented stub.
+    "x113_gif_frames" -> { (s, dir) =>
+      graft.ext.Multimodal.frameStats(s,
+        graft.ext.Multimodal.withGifPayload(s,
           T(s, dir, "documents"), "doc_id"), "doc_id")
     },
 
@@ -3370,6 +3403,39 @@ object SparkEntry {
                      JOIN v a ON a.vec_id = p.query_id
                 WHERE b.vec_id <> p.query_id)
           WHERE rank <= 5"""
+    // x112 IVF as-of read: the pinned pre-append version serves the
+    // SUBSET index exactly — subset-trained centroids, subset corpus,
+    // subset assignment (the appended vectors are invisible to the
+    // retained snapshot). Same Lloyd CTEs as x76; every corpus-side
+    // reference restricted to tv.
+    val ivfAsOfOracle: String =
+      s"""WITH v AS ($vecs),
+          tv AS (SELECT vec_id, e FROM v WHERE vec_id < 400),
+          ${lloydCtes("t", 64, 8, 2)},
+          subasg AS (
+            SELECT vec_id, cl FROM (
+              SELECT v.vec_id, c.cl, row_number() OVER (
+                PARTITION BY v.vec_id ORDER BY $kmeansD2, c.cl) AS rn
+              FROM tv v, tc2 c)
+            WHERE rn = 1),
+          probes AS (
+            SELECT query_id, cl AS bucket FROM (
+              SELECT v.vec_id AS query_id, c.cl,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY $kmeansD2, c.cl) AS rn
+              FROM tv v, tc2 c
+              WHERE v.vec_id < 8)
+            WHERE rn <= 2)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+          FROM (SELECT p.query_id, b.vec_id, $cosPairExpr AS cos,
+                       row_number() OVER (PARTITION BY p.query_id
+                         ORDER BY $cosPairExpr DESC, b.vec_id ASC) AS rank
+                FROM probes p
+                     JOIN subasg s ON s.cl = p.bucket
+                     JOIN tv b ON b.vec_id = s.vec_id
+                     JOIN tv a ON a.vec_id = p.query_id
+                WHERE b.vec_id <> p.query_id)
+          WHERE rank <= 5"""
     // x74 product quantization: one INDEPENDENT Lloyd's per 16-dim
     // subspace (prefixes s0..s3 over sliced copies of v), then the
     // asymmetric distance d̂(q,x) = Σ_m ‖q_m − c_{m,code_m(x)}‖² —
@@ -4238,8 +4304,12 @@ object SparkEntry {
                   CAST(0 AS BIGINT) AS overlapping_pairs,
                   CAST(8 AS BIGINT) AS n_files
            FROM orders""",
-      // x111: same canonicalize → degree-orient → wedge-close logic,
-      // exact integer counts, over the same circulant edge list
+      // x111: DEFINITIONAL oracle — the vertex-ordered (a<b<c) triple
+      // join over canonical undirected edges, deliberately NOT the
+      // engine's canonicalize → degree-orient → wedge-close pipeline,
+      // so a shared algorithmic error in the orientation cannot agree
+      // with itself (cubic-shape join, fine at oracle scale on the
+      // sparse circulant fixture).
       "x111_triangle_count" ->
         """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n
                       FROM supplier),
@@ -4251,24 +4321,14 @@ object SparkEntry {
              und AS (SELECT DISTINCT least(src, dst) AS u,
                             greatest(src, dst) AS v
                      FROM raw WHERE src <> dst),
-             deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+             ids AS (SELECT DISTINCT id FROM (
                        SELECT u AS id FROM und
-                       UNION ALL SELECT v FROM und)
-                     GROUP BY id),
-             e AS (SELECT CASE WHEN du.dg < dv.dg
-                            OR (du.dg = dv.dg AND und.u < und.v)
-                            THEN und.u ELSE und.v END AS a,
-                          CASE WHEN du.dg < dv.dg
-                            OR (du.dg = dv.dg AND und.u < und.v)
-                            THEN und.v ELSE und.u END AS b
-                   FROM und JOIN deg du ON du.id = und.u
-                        JOIN deg dv ON dv.id = und.v)
-           SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+                       UNION ALL SELECT v FROM und))
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n_nodes,
                   (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
                   (SELECT CAST(count(*) AS BIGINT)
-                   FROM e e1 JOIN e e2
-                     ON e1.a = e2.a AND e1.b <> e2.b
-                   JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+                   FROM und e1 JOIN und e2 ON e2.u = e1.v
+                        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
                     AS n_triangles""",
 
       // x109: conservation invariants of the z-ordered layout
@@ -4776,6 +4836,8 @@ object SparkEntry {
       // x110: the as-of read scores only the pre-append subset
       "x110_bm25_time_travel" ->
         bm25Sql("(SELECT * FROM documents WHERE doc_id < 250)"),
+      // x112: the as-of read serves only the pre-append subset index
+      "x112_ivf_time_travel" -> ivfAsOfOracle,
 
       // the engine encodes REAL PNGs and decodes them back; the oracle
       // recomputes every decoded value in closed form from doc_id
@@ -4794,6 +4856,27 @@ object SparkEntry {
                   CAST(SUM(((doc_id + x) % 256) + ((doc_id + y) % 256)
                            + ((x + y) % 256)) AS BIGINT) AS pix_sum
            FROM p GROUP BY doc_id""",
+
+      // x113: the x101 closed form per GIF frame — frames = 2+id%3,
+      // frame f's gray level at (x,y) is (id+x+y+f)%256, so
+      // ΣRGB = Σ 3·gray over the frame's grid
+      "x113_gif_frames" ->
+        """WITH fs AS (SELECT f FROM generate_series(0, 3) g(f)),
+                xs AS (SELECT x FROM generate_series(0, 16) g(x)),
+                ys AS (SELECT y FROM generate_series(0, 9) g(y)),
+                p AS (
+                  SELECT d.doc_id, fs.f, 4 + d.doc_id % 13 AS w,
+                         3 + d.doc_id % 7 AS h, xs.x, ys.y
+                  FROM documents d, fs, xs, ys
+                  WHERE fs.f < 2 + d.doc_id % 3
+                    AND xs.x < 4 + d.doc_id % 13
+                    AND ys.y < 3 + d.doc_id % 7)
+           SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+                  CAST(MIN(w) AS BIGINT) AS width,
+                  CAST(MIN(h) AS BIGINT) AS height,
+                  CAST(SUM(3 * ((doc_id + x + y + f) % 256)) AS BIGINT)
+                    AS pix_sum
+           FROM p GROUP BY doc_id, f""",
 
       // x107: the x101 closed form sampled on the 4x2 nearest-neighbor
       // grid sx=(x*w)//4, sy=(y*h)//2

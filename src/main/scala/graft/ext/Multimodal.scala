@@ -9,10 +9,14 @@ import org.apache.spark.sql.types._
   * decode/feature-extract stage.
   *
   * The Spark-side plumbing — schema, partition sizing, batch iteration —
-  * is real and tested; the codec itself is STUBBED with a deterministic
-  * fake (this container has no image/audio libraries). Swap
-  * [[MediaCodec.decodeStub]] for a real decoder (JNI/FFI or `mapInPandas`
-  * from PySpark callers) without touching the surrounding dataflow.
+  * is real and tested. IMAGE decode is REAL and pure-JDK
+  * (`javax.imageio`): single images ([[MediaCodec.decodeImage]], x101)
+  * and multi-frame containers ([[MediaCodec.decodeFrames]] — animated
+  * GIF frame iteration, x113). Only containers the JDK has no reader
+  * for (video, audio) fall back to the deterministic
+  * [[MediaCodec.decodeStub]]; swap it for a real decoder (JNI/FFI or
+  * `mapInPandas` from PySpark callers) without touching the
+  * surrounding dataflow.
   *
   * 100 TB notes: payloads never enter a shuffle — metadata extraction is a
   * narrow projection, and frame extraction is `mapPartitions` so one task
@@ -59,6 +63,40 @@ object Multimodal {
         try Option(javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload)))
         catch { case scala.util.control.NonFatal(_) => None }
+
+    /** REAL multi-frame decode — pure-JDK `ImageReader` iteration over
+      * every image in the container (`getNumImages(allowSearch=true)`):
+      * animated GIFs yield one BufferedImage per frame; single-frame
+      * formats (PNG/JPEG/BMP) yield exactly one, so this strictly
+      * generalizes [[decodeImage]]. All-or-nothing on damage: a
+      * truncated container (a later frame unreadable) maps to None —
+      * partial frame lists would silently change a gate's row count
+      * under corruption, and the caller's fallback keeps the dataflow
+      * total either way (MultimodalSpec pins truncated/malformed). */
+    def decodeFrames(payload: Array[Byte])
+        : Option[Vector[java.awt.image.BufferedImage]] = {
+      if (payload == null || payload.isEmpty) return None
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, false, false)
+              val n = r.getNumImages(true)
+              val out = Vector.newBuilder[java.awt.image.BufferedImage]
+              var i = 0
+              while (i < n) { out += r.read(i); i += 1 }
+              val v = out.result()
+              if (v.isEmpty) None else Some(v)
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
     /** Decoded pixels as packed row-major RGB bytes (3 bytes per pixel,
       * alpha dropped) — the batch shape a feature extractor consumes. */
@@ -151,19 +189,22 @@ object Multimodal {
 
   /** Batched frame extraction (decode stage): `mapPartitions` so each task
     * streams its blobs through the codec. Payloads the JDK can decode as
-    * images ([[MediaCodec.decodeImage]]) yield ONE real frame of packed
-    * row-major RGB bytes; everything else (video/audio containers, text
+    * images ([[MediaCodec.decodeFrames]]) yield one packed-RGB frame PER
+    * CONTAINER IMAGE — an animated GIF decodes to its real frame
+    * sequence, a PNG/JPEG to a single frame 0 (so the x14/x101 oracles
+    * are unchanged); everything else (video/audio containers, text
     * blobs, corrupt data) falls back to the deterministic stub so the
-    * stage is total and the x14 gate's stub-path oracle is unchanged. */
+    * stage is total. */
   def extractFrames(spark: SparkSession, df: DataFrame, idCol: String,
       stride: Int = 64): Dataset[Frame] = {
     import spark.implicits._
     df.select(col(idCol).cast(LongType), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        MediaCodec.decodeImage(payload) match {
-          case Some(img) =>
-            Iterator.single(Frame(id, 0L, MediaCodec.packRgb(img)))
+        MediaCodec.decodeFrames(payload) match {
+          case Some(frames) => frames.iterator.zipWithIndex.map {
+            case (img, i) => Frame(id, i.toLong, MediaCodec.packRgb(img))
+          }
           case None => MediaCodec.decodeStub(id, payload, stride)
         }
       })
@@ -273,6 +314,102 @@ object Multimodal {
             (id, None: Option[Int], None: Option[Int], None: Option[Long])
         }
       }).toDF(idCol, "width", "height", "pix_sum")
+  }
+
+  /** Deterministic REAL animated-GIF fixture: a multi-frame container
+    * per row, written through the JDK GIF writer's sequence API
+    * (`prepareWriteSequence`/`writeToSequence` — real logical-screen
+    * descriptor, per-frame image descriptors, LZW payloads). Frames are
+    * TYPE_BYTE_INDEXED over an explicit 256-entry GRAYSCALE palette:
+    * GIF caps palettes at 256 colors, so index-mapped grayscale is the
+    * encoding that round-trips losslessly (arbitrary RGB would force
+    * the writer's quantizer and break the closed form). Per doc:
+    * frames = 2 + id%3, width = 4 + id%13, height = 3 + id%7, and
+    * frame f's pixel (x, y) has gray level (id + x + y + f) % 256 —
+    * all closed-form in the id, so an oracle recomputes every decoded
+    * value without touching bytes (the x101 identity, per frame).
+    * Encode runs in `mapPartitions`; blobs never shuffle. */
+  def withGifPayload(spark: SparkSession, df: DataFrame, idCol: String)
+      : DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        val gray = Array.tabulate[Byte](256)(i => i.toByte)
+        val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray,
+          gray)
+        it.map { id =>
+          val w = (4 + Math.floorMod(id, 13L)).toInt
+          val h = (3 + Math.floorMod(id, 7L)).toInt
+          val n = (2 + Math.floorMod(id, 3L)).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO
+            .getImageWritersBySuffix("gif").next()
+          // the JDK GIF writer's default (interlaced) mode mangles row
+          // order for heights < 5 — rows land on the wrong interlace
+          // pass and the bottom rows zero-fill (measured on JDK 17,
+          // h=3/h=4, single- AND multi-frame). Non-interlaced writing
+          // round-trips every size losslessly.
+          val param = writer.getDefaultWriteParam
+          param.setProgressiveMode(
+            javax.imageio.ImageWriteParam.MODE_DISABLED)
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < n) {
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+              val raster = img.getRaster
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  raster.setSample(x, y, 0,
+                    Math.floorMod(id + x + y + f, 256L).toInt)
+                  x += 1
+                }
+                y += 1
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), param)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally { ios.close(); writer.dispose() }
+          (id, bos.toByteArray)
+        }
+      }.toDF(idCol, "payload")
+  }
+
+  /** Per-frame decode statistics through the REAL multi-frame codec:
+    * one (doc, frame_idx, width, height, Σ(R+G+B)) row per decoded
+    * container image — [[imagePixelStats]] generalized over
+    * [[MediaCodec.decodeFrames]], so an animated GIF reports every
+    * frame (gated x113 proves the full sequence against the
+    * [[withGifPayload]] closed form). Non-decodable payloads surface
+    * as ONE all-NULL-stats row — never an error, and never a silently
+    * missing doc. Narrow mapPartitions stage, no shuffle. */
+  def frameStats(spark: SparkSession, df: DataFrame, idCol: String)
+      : DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        MediaCodec.decodeFrames(payload) match {
+          case Some(frames) => frames.iterator.zipWithIndex.map {
+            case (img, i) =>
+              val rgb = MediaCodec.packRgb(img)
+              var s = 0L
+              var j = 0
+              while (j < rgb.length) { s += rgb(j) & 0xff; j += 1 }
+              (id, Some(i.toLong), Some(img.getWidth.toLong),
+                Some(img.getHeight.toLong), Some(s))
+          }
+          case None => Iterator.single((id, None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Long]))
+        }
+      }).toDF(idCol, "frame_idx", "width", "height", "pix_sum")
   }
 
   /** Frame sampling: keep every `everyN`-th frame — the standard decimation

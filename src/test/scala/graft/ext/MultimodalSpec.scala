@@ -109,6 +109,59 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.imageResizeStats(spark, junk, "doc_id", 0, 2))
   }
 
+  test("animated GIF round-trip (x113): every frame decodes to the " +
+      "closed form; damaged containers stay total and never emit " +
+      "garbage frames") {
+    val idSeq = Seq(0L, 1L, 2L, 5L, 254L, 255L)
+    val gifs = Multimodal.withGifPayload(spark, idSeq.toDF("doc_id"),
+      "doc_id")
+    def closedForm(id: Long, f: Int)
+        : (Long, Option[Long], Option[Long], Option[Long], Option[Long]) = {
+      val w = (4 + Math.floorMod(id, 13L)).toInt
+      val h = (3 + Math.floorMod(id, 7L)).toInt
+      var s = 0L
+      for (x <- 0 until w; y <- 0 until h)
+        s += 3L * Math.floorMod(id + x + y + f, 256L)
+      (id, Some(f.toLong), Some(w.toLong), Some(h.toLong), Some(s))
+    }
+    val stats = Multimodal.frameStats(spark, gifs, "doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().toSet
+    val expected = (for {
+      id <- idSeq
+      f <- 0 until (2 + Math.floorMod(id, 3L)).toInt
+    } yield closedForm(id, f)).toSet
+    assert(stats == expected)
+    // extractFrames walks the same real frame sequence (id=2 → 4 frames)
+    val fr = Multimodal.extractFrames(spark,
+      gifs.filter($"doc_id" === 2L), "doc_id").collect()
+    assert(fr.map(_.frame_idx).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(fr.forall(_.feature.length == 6 * 5 * 3)) // w=6, h=5, RGB
+    // damaged container (byte-truncated mid-stream): the stage must
+    // stay TOTAL (no throw) and must never emit a frame that differs
+    // from the encoded closed form — acceptable outcomes are the
+    // one-NULL-row fallback or a valid decoded prefix of the sequence
+    val full = gifs.filter($"doc_id" === 5L).select("payload")
+      .as[Array[Byte]].head()
+    val trunc = java.util.Arrays.copyOf(full, full.length / 2)
+    val st = Multimodal.frameStats(spark,
+        Seq((9L, trunc)).toDF("doc_id", "payload"), "doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().toSet
+    val validPrefix = (0 until 4).map(f =>
+      closedForm(5L, f).copy(_1 = 9L)).toSet
+    assert(st == Set((9L, None, None, None, None)) ||
+      (st.nonEmpty && st.subsetOf(validPrefix)),
+      s"damaged GIF must fall back or decode a valid prefix, got $st")
+    // unrecognized bytes and empties: one NULL row, zero stub frames
+    // from the REAL-codec stats path
+    assert(Multimodal.frameStats(spark,
+        Seq((7L, "not a gif".getBytes)).toDF("doc_id", "payload"),
+        "doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().toSet == Set((7L, None, None, None, None)))
+  }
+
   test("sampleFrames keeps every Nth frame; resize pads/truncates exactly") {
     val frames = Multimodal.extractFrames(spark,
       Multimodal.withPayload(docs, "doc_id", "text"), "doc_id", stride = 64)
