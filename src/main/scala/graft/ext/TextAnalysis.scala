@@ -719,38 +719,85 @@ object TextAnalysis {
 
   private val Bm25Tables = Seq("postings", "termstats", "stats")
 
+  /** Batches at or under this row count take the single-partition
+    * segment build (see [[appendToBm25Index]]'s `knownRows`): well
+    * under one parquet row group of postings, so the shuffle the
+    * normal path pays buys nothing. */
+  val TinyAppendRows = 65536L
+
+  /** Daemon pool for overlapping a segment triple's three table
+    * writes: each is a small job over the SAME cached base, and on an
+    * append batch the fixed per-job overhead — not the data — is the
+    * cost, so running them serially triples the wall
+    * (micro-benchmarked on x97's micro-batches). Three threads is the
+    * natural width; Spark's scheduler interleaves the jobs' tasks. */
+  private lazy val segmentWritePool =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(3, r => {
+        val t = new Thread(r, "bm25-segment-write")
+        t.setDaemon(true)
+        t
+      }))
+
   /** Write one (postings, termstats, stats) segment triple for `df`'s
     * documents — shared by the base build and every append. Overwrite
     * mode so a crashed attempt's orphan (never referenced by a
-    * manifest, hence invisible) is simply re-landed by the retry. */
+    * manifest, hence invisible) is simply re-landed by the retry.
+    * The input is tokenized ONCE into the persisted `base`; all three
+    * tables derive from it (statistics via Σ tf and distinct doc_id —
+    * never a second tokenize pass), and the three writes run
+    * CONCURRENTLY: block-level cache locking makes the racing jobs
+    * compute each base partition once, and the wall cost of an append
+    * batch drops from the sum of three tiny jobs to their max. */
   private def writeBm25Segment(df: DataFrame, idCol: String,
-      textCol: String, path: String, seg: String): Unit = {
+      textCol: String, path: String, seg: String,
+      tiny: Boolean = false): Unit = {
     val toks = tokens(lower(col(textCol)))
-    val base = df.select(col(idCol).cast(LongType).as("doc_id"),
+    // TINY batches (a streaming micro-batch, a small manual append)
+    // must not inherit the session's shuffle fan-out: a 32-way
+    // repartition of a few hundred documents is pure task-scheduling
+    // overhead, and the segment lands as one row group regardless —
+    // term-range pruning cannot subdivide it. Collapse the whole build
+    // to one partition up front; every downstream agg/sort then runs
+    // single-task (AQE coalesces the agg exchanges to match).
+    val in = if (tiny) df.coalesce(1) else df
+    val base = in.select(col(idCol).cast(LongType).as("doc_id"),
         size(toks).cast(LongType).as("dl"), explode(toks).as("term"))
       .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      base.repartition(col("term"))
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/postings/$seg")
-      // df_t from the postings rows — one pass, no second tokenize
-      base.groupBy("term").agg(count(lit(1)).as("df_t"))
-        .repartition(col("term")).sortWithinPartitions("term")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/termstats/$seg")
-      // stats from the SAME persisted base — never a second tokenize
-      // pass over the input (the x97 micro-batch cost): Σ tf over a
-      // doc's rows IS its dl (every token lands in exactly one
-      // (term, doc) group), so total_len = sum(tf) and
-      // n_docs = countDistinct(doc_id), bit-identical to aggregating
-      // tokenCount over the raw text (tokenCount == size(tokens)).
-      base.agg(countDistinct(col("doc_id")).as("n_docs"),
-          coalesce(sum(col("tf")), lit(0L)).as("total_len"))
-        .coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/stats/$seg")
+      implicit val ec: scala.concurrent.ExecutionContext =
+        segmentWritePool
+      val writes = Seq(
+        scala.concurrent.Future {
+          (if (tiny) base.coalesce(1) else base.repartition(col("term")))
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$path/postings/$seg")
+        },
+        // df_t from the postings rows — one pass, no second tokenize
+        scala.concurrent.Future {
+          val ts = base.groupBy("term").agg(count(lit(1)).as("df_t"))
+          (if (tiny) ts.coalesce(1) else ts.repartition(col("term")))
+            .sortWithinPartitions("term")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$path/termstats/$seg")
+        },
+        // Σ tf over a doc's rows IS its dl (every token lands in
+        // exactly one (term, doc) group), so total_len = sum(tf) and
+        // n_docs = countDistinct(doc_id) — bit-identical to
+        // aggregating tokenCount over the raw text
+        // (tokenCount == size(tokens)).
+        scala.concurrent.Future {
+          base.agg(countDistinct(col("doc_id")).as("n_docs"),
+              coalesce(sum(col("tf")), lit(0L)).as("total_len"))
+            .coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$path/stats/$seg")
+        })
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(writes),
+        scala.concurrent.duration.Duration.Inf)
     } finally base.unpersist(blocking = false)
   }
 
@@ -877,9 +924,15 @@ object TextAnalysis {
     * ids (same as the IVF append), and `batchId` must uniquely name
     * this batch (a stream's content-derived id, an ingest date, ...) —
     * reusing an applied id skips the append. */
+  /** `knownRows`: a row count the caller already holds (the streaming
+    * relay computes one for its content-derived batchId) — batches at
+    * or under [[TinyAppendRows]] take the single-partition segment
+    * build, which is the right plan when per-job overhead, not data,
+    * is the cost. None (the default) never spends a count job; the
+    * standard fan-out path is correct at every size. */
   def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String, newDocs: DataFrame, idCol: String, textCol: String,
-      batchId: String): Unit = {
+      batchId: String, knownRows: Option[Long] = None): Unit = {
     import org.apache.hadoop.fs.Path
     require(batchId.nonEmpty && batchId.forall(c =>
         c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
@@ -895,7 +948,8 @@ object TextAnalysis {
         s"no index manifest at $path (not a saveBm25Index directory)"))
     if (snap.applied.contains(batchId)) return
     val seg = s"delta_$batchId"
-    writeBm25Segment(newDocs, idCol, textCol, path, seg)
+    writeBm25Segment(newDocs, idCol, textCol, path, seg,
+      tiny = knownRows.exists(_ <= TinyAppendRows))
     graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
       val c = cur.getOrElse(snap)
       if (c.applied.contains(batchId)) c // concurrent duplicate: no-op

@@ -58,15 +58,16 @@ object StreamIndex {
     * (crc32 is 32-bit, xxhash64 taken mod a 30-bit prime) so the
     * ANSI-mode long sum cannot overflow below ~2^31 rows per
     * micro-batch. */
-  private def contentBatchId(batch: DataFrame, idCol: String): String = {
+  private def contentBatchId(batch: DataFrame, idCol: String)
+      : (String, Long) = {
     val r = batch.agg(
       count(lit(1)),
       coalesce(sum(crc32(col(idCol).cast("string"))), lit(0L)),
       coalesce(sum(pmod(xxhash64(col(idCol).cast("string")),
         lit(1073741789L))), lit(0L))).head()
-    s"stream_c${r.getLong(0)}_" +
+    (s"stream_c${r.getLong(0)}_" +
       java.lang.Long.toHexString(r.getLong(1)) + "_" +
-      java.lang.Long.toHexString(r.getLong(2))
+      java.lang.Long.toHexString(r.getLong(2)), r.getLong(0))
   }
 
   /** Live segment count of `table` in the index's newest snapshot. */
@@ -95,8 +96,13 @@ object StreamIndex {
         val b = batch.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          val (bid, rows) = contentBatchId(b, idCol)
+          // the count is free here (the batchId aggregate already paid
+          // for it) — pass it so small micro-batches take the
+          // single-partition segment build instead of inheriting the
+          // session's shuffle fan-out
           TextAnalysis.appendToBm25Index(s, indexPath, b, idCol,
-            textCol, batchId = contentBatchId(b, idCol))
+            textCol, batchId = bid, knownRows = Some(rows))
         } finally b.unpersist(blocking = false)
         if (compactEvery > 0 &&
           segCount(s, indexPath, "postings") > compactEvery) {
@@ -129,7 +135,7 @@ object StreamIndex {
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           Similarity.appendToIvfIndex(s, indexPath, b, idCol, vecCol,
-            batchId = contentBatchId(b, idCol))
+            batchId = contentBatchId(b, idCol)._1)
         } finally b.unpersist(blocking = false)
         if (compactEvery > 0 &&
           segCount(s, indexPath, "corpus") > compactEvery) {
