@@ -1747,6 +1747,31 @@ object SparkEntry {
           col("total_successes"), col("cpc"), col("ctr"), col("cpl"))
     },
 
+    // the incremental pull loop with NO staged files (x114): the DSv2
+    // connector's /insights MicroBatchStream feeds the e2 transform
+    // directly — offset = day window, each micro-batch one window's
+    // pull, replay/restart resumes from the committed window
+    // (MetaSourceSpec pins offset replay + the grow-the-range rerun).
+    // The oracle replays the generator arithmetic + transform
+    // projection over range(days) x range(ads).
+    "x114_meta_stream_insights" -> { (s, dir) =>
+      val base = scratchDir("metastream114")
+      val stream = s.readStream.format("graft-meta")
+        .option("endpoint", "insights")
+        .option("days", 4).option("ads", 150)
+        .load()
+      val q = graft.streaming.EventStream
+        .e2LoopStreamWriter(stream, base + "/perf")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      s.read.parquet(base + "/perf")
+        .select(date_format(col("date_start"), "yyyy-MM-dd")
+            .as("date_start"), col("ad_id"), col("adset_id"),
+          col("campaign_id"), col("total_impressions"),
+          col("total_clicks"), col("total_spend"), col("total_leads"),
+          col("total_successes"), col("cpc"), col("ctr"), col("cpl"))
+    },
+
     // full single-edit fuzzy pair join (SymSpell deletion-variant
     // blocking + exact levenshtein verify) — substitutions AND
     // insertions/deletions, vs x43's equal-length Hamming family.
@@ -4749,6 +4774,35 @@ object SparkEntry {
 
       // the streamed loop must land EXACTLY the one-shot batch table
       "x73_stream_e2_loop" -> e2OracleSql,
+      // x114: the generator arithmetic + e2 transform projection over
+      // range(days) x range(ads) — spend parsed from the identical
+      // decimal string both engines see; ratios mirror e2's guards
+      "x114_meta_stream_insights" ->
+        """WITH g AS (
+             SELECT d, a,
+                    100 + (a*7 + d*13) % 900 AS imp,
+                    (a*3 + d*5) % 50 AS clk,
+                    (a*11 + d*17) % 10000 AS cents,
+                    (a + d) % 20 AS lead
+             FROM range(0, 4) t1(d), range(0, 150) t2(a)),
+           p AS (SELECT *,
+                   CAST(printf('%d.%02d', cents // 100, cents % 100)
+                     AS DOUBLE) AS sp
+                 FROM g)
+           SELECT strftime(DATE '2024-01-01' + CAST(d AS INTEGER),
+                    '%Y-%m-%d') AS date_start,
+                  'ad_'||a AS ad_id, 'as_'||(a % 7) AS adset_id,
+                  'c_'||(a % 3) AS campaign_id,
+                  imp AS total_impressions, clk AS total_clicks,
+                  sp AS total_spend, lead AS total_leads,
+                  CAST(0 AS BIGINT) AS total_successes,
+                  round(CASE WHEN clk = 0 THEN 0 ELSE sp / clk END, 6)
+                    AS cpc,
+                  round(CASE WHEN imp = 0 THEN 0
+                        ELSE clk * 1.0 / imp END, 6) AS ctr,
+                  round(CASE WHEN lead = 0 THEN 0 ELSE sp / lead END, 6)
+                    AS cpl
+           FROM p""",
 
       // incremental CDC replay must land the one-shot apply's table
       "x79_stream_cdc_apply" -> cdcOracleSql,

@@ -55,7 +55,9 @@ class MetaSource extends TableProvider
   override def shortName(): String = "graft-meta"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    MetaSource.AdsSchema
+    if ("insights".equalsIgnoreCase(options.getOrDefault("endpoint", "ads")))
+      MetaSource.InsightsSchema
+    else MetaSource.AdsSchema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -76,9 +78,15 @@ class MetaSource extends TableProvider
           s"graft-meta: live=true but credential option(s) missing: " +
             missing.mkString(", "))
     }
-    new MetaAdsTable(
-      opts.getOrElse("rows", "5000").toLong,
-      opts.getOrElse("pagesize", "1000").toInt)
+    if (opts.get("endpoint").exists("insights".equalsIgnoreCase))
+      new MetaInsightsTable(
+        opts.getOrElse("days", "3").toInt,
+        opts.getOrElse("ads", "150").toLong,
+        opts.getOrElse("dayspertrigger", "1").toInt)
+    else
+      new MetaAdsTable(
+        opts.getOrElse("rows", "5000").toLong,
+        opts.getOrElse("pagesize", "1000").toInt)
   }
 }
 
@@ -97,6 +105,26 @@ object MetaSource {
 
   val Statuses: Array[String] =
     Array("ACTIVE", "PAUSED", "PENDING_REVIEW", "DISAPPROVED")
+
+  private val ActionEntry = StructType(Seq(
+    StructField("action_type", StringType),
+    StructField("value", StringType)))
+
+  /** The /insights raw-pull record shape — exactly what the reference's
+    * incremental extractor hands the transform
+    * (src/extract.py:199-207 fields; string-typed metrics, the
+    * `actions`/`action_values` arrays), i.e.
+    * [[graft.sources.MetaFixtures.rawInsights]]'s schema. */
+  val InsightsSchema: StructType = StructType(Seq(
+    StructField("date_start", StringType),
+    StructField("ad_id", StringType),
+    StructField("adset_id", StringType),
+    StructField("campaign_id", StringType),
+    StructField("impressions", StringType),
+    StructField("clicks", StringType),
+    StructField("spend", StringType),
+    StructField("actions", ArrayType(ActionEntry)),
+    StructField("action_values", ArrayType(ActionEntry))))
 }
 
 class MetaAdsTable(rows: Long, pageSize: Int) extends Table
@@ -481,4 +509,169 @@ class MetaReaderFactory(required: StructType,
       override def get(): InternalRow = current
       override def close(): Unit = ()
     }
+}
+
+// ---------------------------------------------------------------------------
+// /insights endpoint: batch scan + MicroBatchStream (the streaming half of
+// the connector story)
+// ---------------------------------------------------------------------------
+
+/** The /insights table: `spark.read.format("graft-meta")
+  * .option("endpoint", "insights")` for a one-shot pull of the whole
+  * `days × ads` range, and `spark.readStream...` for the reference's
+  * INCREMENTAL re-pull loop (src/extract.py:34-47: every run re-pulls
+  * the trailing window and upserts) restated as a DSv2
+  * [[org.apache.spark.sql.connector.read.streaming.MicroBatchStream]]:
+  * the OFFSET IS THE TIME WINDOW — day index `d` means "windows
+  * [0, d) have been committed" — so each micro-batch is the next
+  * uncommitted day-window pull, a checkpoint restart resumes from the
+  * committed window (no re-pull, no gap), and raising `days` on a
+  * later run streams exactly the newly visible windows through the
+  * same checkpoint (the incremental daily-rerun contract,
+  * MetaSourceSpec pins it). Pages within a window are
+  * `InputPartition`s — executors fetch window pages concurrently, same
+  * as the batch ads scan.
+  *
+  * Like the ads table, the "remote API" is a deterministic generator
+  * (pure arithmetic on (day, ad) — no egress in this environment), so
+  * every pull is oracle-replayable; swap [[MetaInsightsPage.write]]'s
+  * arithmetic for an HTTP fetch of
+  * `/insights?time_range={since,until}&time_increment=1` to target the
+  * live endpoint. */
+class MetaInsightsTable(days: Int, ads: Long, daysPerTrigger: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_meta_insights(days=$days,ads=$ads)"
+  override def schema(): StructType = MetaSource.InsightsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan =
+      new MetaInsightsScan(days, ads, daysPerTrigger)
+  }
+}
+
+class MetaInsightsScan(days: Int, ads: Long, daysPerTrigger: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = MetaSource.InsightsSchema
+  override def description(): String =
+    s"graft-meta insights scan, days=$days, ads=$ads"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until days).map(d =>
+      MetaInsightsPage(d, 0L, ads): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MetaInsightsReaderFactory
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new MetaInsightsMicroBatchStream(days, ads, daysPerTrigger)
+}
+
+/** Offset = "day windows [0, day) committed". */
+case class MetaDayOffset(day: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = day.toString
+}
+
+class MetaInsightsMicroBatchStream(days: Int, ads: Long,
+    daysPerTrigger: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // Trigger.AvailableNow pins the catch-up target at stream start so
+  // the run processes a FIXED range even if the "server" grows
+  // mid-run, then stops — the incremental batch-job shape.
+  @volatile private var target: Int = days
+  override def prepareForTriggerAvailableNow(): Unit = { target = days }
+
+  override def initialOffset(): Offset = MetaDayOffset(0)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(Offset, ReadLimit)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // one day-window per trigger (the re-pull granularity); the
+    // AvailableNow wrapper keeps triggering until the target is reached
+    val s = start.asInstanceOf[MetaDayOffset].day
+    MetaDayOffset(math.min(s + daysPerTrigger, target))
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = MetaDayOffset(target)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[MetaDayOffset].day
+    val e = end.asInstanceOf[MetaDayOffset].day
+    (s until e).map(d => MetaInsightsPage(d, 0L, ads): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MetaInsightsReaderFactory
+  override def deserializeOffset(json: String): Offset =
+    MetaDayOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One day-window page: ads [adStart, adEnd) of day index `day`. */
+case class MetaInsightsPage(day: Int, adStart: Long, adEnd: Long)
+    extends InputPartition
+
+object MetaInsightsPage {
+  private val Epoch = java.time.LocalDate.of(2024, 1, 1)
+
+  /** Deterministic /insights record for (day d, ad a) — string-typed
+    * metrics and the actions array, exactly the raw-pull shape. All
+    * arithmetic is integer (SQL-replayable); spend is rendered from
+    * integer cents so both engines parse the identical decimal
+    * string. */
+  def write(d: Long, a: Long): InternalRow = {
+    val imp = 100 + (a * 7 + d * 13) % 900
+    val clk = (a * 3 + d * 5) % 50
+    val cents = (a * 11 + d * 17) % 10000
+    val lead = (a + d) % 20
+    val purchase = (a * 2 + d) % 10
+    val fb = (a + 2 * d) % 5
+    val entries = Seq("lead" -> lead, "purchase" -> purchase,
+        "offsite_conversion.fb_pixel_lead" -> fb)
+      .filter(_._2 != 0L)
+      .map { case (t, v) =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(t),
+          UTF8String.fromString(v.toString))): Any
+      }
+    val actions =
+      if (entries.isEmpty) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        entries.toArray)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(Epoch.plusDays(d).toString),
+      UTF8String.fromString(s"ad_$a"),
+      UTF8String.fromString(s"as_${a % 7}"),
+      UTF8String.fromString(s"c_${a % 3}"),
+      UTF8String.fromString(imp.toString),
+      UTF8String.fromString(clk.toString),
+      UTF8String.fromString(f"${cents / 100}%d.${cents % 100}%02d"),
+      actions,
+      actions))
+  }
+}
+
+class MetaInsightsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val page = partition.asInstanceOf[MetaInsightsPage]
+    new PartitionReader[InternalRow] {
+      private var a = page.adStart - 1
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        a += 1
+        if (a >= page.adEnd) false
+        else { current = MetaInsightsPage.write(page.day, a); true }
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }

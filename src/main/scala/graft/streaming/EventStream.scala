@@ -143,11 +143,24 @@ object EventStream {
   def e2LoopWriter(spark: SparkSession, pullsDir: String,
       schema: StructType, targetDir: String)
       : DataStreamWriter[org.apache.spark.sql.Row] =
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(pullsDir)
-      .writeStream
+    e2LoopStreamWriter(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pullsDir),
+      targetDir)
+
+  /** [[e2LoopWriter]] over an arbitrary raw-insights STREAM — the same
+    * per-batch transform+upsert body, fed by the DSv2 connector's
+    * MicroBatchStream instead of staged files:
+    * `spark.readStream.format("graft-meta").option("endpoint",
+    * "insights")` pulls each day window as its own micro-batch
+    * (offset = time window, [[graft.sources.v2.MetaInsightsTable]]),
+    * retiring the file-drop staging step from the incremental loop
+    * entirely (gated x114). */
+  def e2LoopStreamWriter(rawStream: DataFrame, targetDir: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    rawStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val out = graft.pipelines.Pipelines.performanceFromRaw(batch)

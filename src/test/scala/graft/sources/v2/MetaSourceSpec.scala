@@ -178,4 +178,73 @@ class MetaSourceSpec extends SparkSpec {
     assert(spark.read.format("graft-meta").option("live", "false")
       .option("rows", 10).load().count() == 10L)
   }
+
+  test("insights endpoint: batch scan covers days x ads with the " +
+      "raw-pull record shape") {
+    import spark.implicits._
+    val df = spark.read.format("graft-meta")
+      .option("endpoint", "insights")
+      .option("days", 3).option("ads", 20).load()
+    assert(df.count() == 60L)
+    // closed-form spot check: (d=0, a=3) — imp 100+(21%900), cents 33,
+    // lead (3)%20 in the actions array
+    val r = df.filter(col("ad_id") === "ad_3" &&
+        col("date_start") === "2024-01-01")
+      .select("impressions", "clicks", "spend", "actions").head()
+    assert(r.getString(0) == "121")
+    assert(r.getString(1) == "9")
+    assert(r.getString(2) == "0.33")
+    val acts = r.getSeq[org.apache.spark.sql.Row](3)
+      .map(a => a.getString(0) -> a.getString(1)).toMap
+    assert(acts("lead") == "3")
+  }
+
+  test("insights MicroBatchStream: offset = day window; a checkpoint " +
+      "replay pulls nothing; a grown range streams ONLY the new " +
+      "windows through the same checkpoint (incremental re-pull)") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_metastream").toString
+    def run(days: Int): Seq[Set[String]] = {
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+      val q = spark.readStream.format("graft-meta")
+        .option("endpoint", "insights").option("days", days)
+        .option("ads", 20).load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.synchronized {
+            batches += b.select("date_start").distinct()
+              .as[String].collect().toSet
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      batches.toSeq
+    }
+    // first run: one micro-batch per day window, in offset order
+    val r1 = run(3)
+    assert(r1.filter(_.nonEmpty) == Seq(Set("2024-01-01"),
+      Set("2024-01-02"), Set("2024-01-03")),
+      s"expected one window per micro-batch, got $r1")
+    // replay against the committed checkpoint: nothing to pull
+    assert(run(3).forall(_.isEmpty),
+      "a replay of committed windows must pull no rows")
+    // the server's range grows (the next daily run): the SAME
+    // checkpoint streams exactly the two new windows — never a re-pull
+    // of committed days, never a gap
+    val r3 = run(5)
+    assert(r3.filter(_.nonEmpty) == Seq(Set("2024-01-04"),
+      Set("2024-01-05")), s"expected only the new windows, got $r3")
+    // stream-vs-batch totality: the union of every streamed window
+    // equals the batch scan's day range
+    val streamedDays = (r1 ++ r3).flatten
+    assert(streamedDays.size == 5 && streamedDays.toSet.size == 5)
+    assert(spark.read.format("graft-meta").option("endpoint", "insights")
+      .option("days", 5).option("ads", 20).load()
+      .select("date_start").distinct().as[String].collect().toSet ==
+      streamedDays.toSet)
+  }
 }
