@@ -119,7 +119,16 @@ private[graft] object IndexManifest {
     * winner's snapshot, so concurrent committers compose instead of
     * overwrite. Returns the committed snapshot. `merge` must be pure
     * (it can run more than once) and must return the snapshot CONTENT
-    * (its `version` field is overwritten with the slot won). */
+    * (its `version` field is overwritten with the slot won).
+    *
+    * The slot claimed is one past the newest version FILE, parseable
+    * or not — a writer that crashed mid-write leaves a torn file
+    * occupying its slot forever, and computing the slot from the
+    * newest PARSEABLE version would collide with that corpse on every
+    * attempt, bricking the index for writers (readers are fine — they
+    * fall back past torn versions). Skipping the slot leaves version
+    * numbers sparse, which every consumer (latest, at, vacuum's
+    * newest-K window) already tolerates. */
   def commitMerge(fs: FileSystem, root: String)(
       merge: Option[IndexSnapshot] => IndexSnapshot): IndexSnapshot = {
     var attempts = 0
@@ -127,9 +136,12 @@ private[graft] object IndexManifest {
       attempts += 1
       require(attempts <= 50,
         s"manifest CAS did not converge after 50 attempts: $root")
+      // slot claimed BEFORE the merge runs: a commit landing while the
+      // merge computes collides on create and re-runs the loop against
+      // the winner, exactly like a commit landing before the read
+      val slot = versions(fs, root).lastOption.getOrElse(0L) + 1
       val cur = latest(fs, root)
-      val next = merge(cur).copy(
-        version = cur.map(_.version).getOrElse(0L) + 1)
+      val next = merge(cur).copy(version = slot)
       try {
         val out = fs.create(path(root, next.version), false)
         try out.write(render(next)) finally out.close()

@@ -54,16 +54,29 @@ object ZOrder {
 
   /** Write `df` to `dir` as `numFiles` files range-partitioned and
     * sorted on the Morton value of (`colA`, `colB`). Columns must be
-    * numeric (cast dates/timestamps to their epoch numbers first). */
+    * numeric (cast dates/timestamps to their epoch numbers first) and
+    * FULLY non-null: a NULL in either column would give the row a NULL
+    * Morton value, silently collapsing every such row into one range
+    * partition unsorted — degrading the layout and the per-file
+    * min/max rectangles with no error. The write refuses instead
+    * (checked in the same 1-row statistics aggregate, zero extra
+    * jobs); route NULLs to a sentinel value or a separate partition
+    * before calling. */
   def writeZOrdered(df: DataFrame, dir: String, colA: String,
       colB: String, numFiles: Int, bits: Int = 10): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1 (got $numFiles)")
     val r = df.agg(
       min(col(colA).cast(DoubleType)), max(col(colA).cast(DoubleType)),
-      min(col(colB).cast(DoubleType)), max(col(colB).cast(DoubleType)))
+      min(col(colB).cast(DoubleType)), max(col(colB).cast(DoubleType)),
+      count(lit(1)), count(col(colA)), count(col(colB)))
       .head()
     require(!r.isNullAt(0) && !r.isNullAt(2),
       s"z-order columns must be non-null numeric ($colA, $colB)")
+    require(r.getLong(5) == r.getLong(4) && r.getLong(6) == r.getLong(4),
+      s"z-order columns must be fully non-null: $colA has " +
+        s"${r.getLong(4) - r.getLong(5)} NULL row(s), $colB has " +
+        s"${r.getLong(4) - r.getLong(6)} — NULL rows would collapse " +
+        "into one unsorted partition; map them to a sentinel first")
     val z = mortonValue(
       normalize(col(colA), r.getDouble(0), r.getDouble(1), bits),
       normalize(col(colB), r.getDouble(2), r.getDouble(3), bits), bits)

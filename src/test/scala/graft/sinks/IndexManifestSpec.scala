@@ -120,6 +120,31 @@ class IndexManifestSpec extends SparkSpec {
       Seq("compacted"))
   }
 
+  test("a crashed writer's torn manifest does not brick later " +
+      "commits: the next commit claims the slot PAST the corpse") {
+    val root = scratch()
+    IndexManifest.commitMerge(fs, root)(_ =>
+      IndexSnapshot(0L, Map("t" -> Seq("base")), Seq.empty))
+    // a writer crashed mid-write of v2: the slot is occupied by an
+    // unparseable file forever
+    val torn = fs.create(new org.apache.hadoop.fs.Path(root,
+      "manifest_v000000000002.json"), false)
+    torn.write("""{"version": 2, "tab""".getBytes("UTF-8"))
+    torn.close()
+    // a latest-parseable+1 slot computation would collide with the
+    // corpse on every CAS attempt; the commit must land at v3
+    val s = IndexManifest.commitMerge(fs, root) { cur =>
+      val c = cur.get
+      c.copy(tables = Map("t" -> (c.segs("t") :+ "delta_a")),
+        applied = c.applied :+ "a")
+    }
+    assert(s.version == 3L)
+    assert(IndexManifest.latest(fs, root).get ==
+      IndexSnapshot(3L, Map("t" -> Seq("base", "delta_a")), Seq("a")))
+    // the torn slot stays torn: time travel to it errors as not-found
+    assert(IndexManifest.at(fs, root, 2L).isEmpty)
+  }
+
   test("vacuum ABORTS when a kept manifest is unreadable — a torn " +
       "in-flight commit must never make live segments look " +
       "unreferenced") {

@@ -84,5 +84,17 @@ class ZOrderSpec extends SparkSpec {
         orders.withColumn("n", lit(null).cast("double")), cdir, "n",
         "o_orderkey", numFiles = 4)
     }
+    // PARTIALLY-null columns refuse too (they would silently collapse
+    // the NULL rows into one unsorted range partition), and the error
+    // names the offending column with its NULL count
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.writeZOrdered(
+        orders.withColumn("m",
+          when(col("o_orderkey") % 10 === 0, lit(null).cast("double"))
+            .otherwise(col("o_orderkey").cast("double"))),
+        cdir, "m", "o_orderkey", numFiles = 4)
+    }
+    assert(e.getMessage.contains("fully non-null") &&
+      e.getMessage.contains("m has"))
   }
 }
