@@ -62,7 +62,8 @@ object Bench {
     "x99_ivf_index_compact", "x100_bm25_index_compact",
     "x104_knn_refined_index_serve", "x105_ivf_cell_stats",
     "x106_bm25_append_drift", "x108_ivf_retrain_serve",
-    "x109_zorder_write", "x110_bm25_time_travel", "x112_ivf_time_travel")
+    "x109_zorder_write", "x110_bm25_time_travel", "x112_ivf_time_travel",
+    "x115_ivfpq_index_serve")
 
   private def queryClass(name: String): String =
     if (StreamQueries.contains(name)) "stream"

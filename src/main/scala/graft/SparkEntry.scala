@@ -1832,6 +1832,23 @@ object SparkEntry {
         m = 4, ks = 8, pqIters = 2)
     },
 
+    // persisted IVFPQ lifecycle (x115): TRAIN coarse centroids + PQ
+    // codebooks once → SAVE (codes, not vectors — m small ints/row)
+    // → cold-RELOAD → serve. Must reproduce x84's answer exactly
+    // (same oracle); at scale a query reads ~nprobe cells of m-byte
+    // codes and never touches a raw vector — the billion-vector
+    // serving layout, now train-once/serve-many like IVF and BM25.
+    "x115_ivfpq_index_serve" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivfpq_index115")
+      graft.ext.Similarity.saveIvfPqIndex(emb, "vec_id", "embedding",
+        idx, kCentroids = 8, coarseIters = 2, m = 4, ks = 8,
+        pqIters = 2)
+      graft.ext.Similarity.queryIvfPqIndex(s, idx,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+    },
+
     // sampled-training IVF (x87): centroids from a deterministic md5
     // 50% sample of the corpus, serving (cell assignment + probes) over
     // EVERYTHING — the build-vs-serve split that makes Lloyd's viable
@@ -4841,6 +4858,8 @@ object SparkEntry {
 
       "x74_pq_topk" -> pqOracle,
       "x84_ivfpq_topk" -> ivfPqOracle,
+      // cold save->load->serve is value-identical to the per-call form
+      "x115_ivfpq_index_serve" -> ivfPqOracle,
       "x87_ivf_sampled_train" -> ivfSampledOracle,
       "x88_ivfpq_sampled_train" -> ivfPqSampledOracle,
       "x91_knn_graph" -> knnGraphOracle,

@@ -919,6 +919,187 @@ object Similarity {
     serveBuckets(c, queries, idCol, vecCol, k, centroids, nprobe)
   }
 
+  /** Persist an IVFPQ (IVFADC) index — [[ivfPqTopK]]'s train-once half
+    * joined to the [[saveIvfIndex]] lifecycle: coarse centroids, the m
+    * per-subspace PQ codebooks, and the corpus as (vec_id, bucket,
+    * codes) — m SMALL INTS per vector instead of dim floats, bucketed
+    * by coarse cell — all committed under ONE manifest version
+    * ([[graft.sinks.IndexManifest]]). This is the billion-vector
+    * serving layout (Jégou et al. IVFADC / the FAISS default): at
+    * serve time a query reads ~nprobe cells of m-byte codes and never
+    * touches a raw vector. Same snapshot-consistency contract as the
+    * IVF index: a reader resolves one manifest, so centroids,
+    * codebooks, and corpus can never mix generations. */
+  def saveIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, kCentroids: Int = 8, coarseIters: Int = 2,
+      m: Int = 4, ks: Int = 8, pqIters: Int = 2,
+      trainSample: Option[String] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val centroids = Clustering.kmeansCentroids(corpus, idCol, vecCol,
+      kCentroids, coarseIters, trainSample)
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ks, pqIters,
+      trainSample)
+    centroids.toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids/base")
+    cbs.zipWithIndex.flatMap { case (cb, i) =>
+        cb.map { case (id, v) => (i, id, v) }
+      }.toDF("subspace", "cluster_id", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/codebooks/base")
+    ivfPqEncode(corpus, idCol, vecCol, centroids, cbs)
+      .withColumn("batch", lit("base"))
+      .write.mode("overwrite").partitionBy("batch", "bucket")
+      .parquet(s"$path/corpus")
+    graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
+      graft.sinks.IndexSnapshot(0L,
+        Map("corpus" -> Seq("base"), "centroids" -> Seq("base"),
+          "codebooks" -> Seq("base")),
+        Seq.empty))
+  }
+
+  /** Reload a [[saveIvfPqIndex]] index's codebooks for one snapshot:
+    * m×ks sub-centroids, subspace-ordered, id-sorted within each
+    * (the [[pqCodebooks]] contract). */
+  private def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String, snap: graft.sinks.IndexSnapshot)
+      : Seq[Seq[(Long, Seq[Double])]] = {
+    import spark.implicits._
+    val segs = snap.segs("codebooks")
+    require(segs.length == 1,
+      s"index at $path must have exactly one codebook generation " +
+        s"(got $segs)")
+    spark.read.parquet(s"$path/codebooks/${segs.head}")
+      .select(col("subspace"), col("cluster_id"), col("centroid"))
+      .as[(Int, Long, Seq[Double])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(r => (r._2, r._3)).sortBy(_._1).toSeq)
+  }
+
+  /** Serve query batches from a persisted [[saveIvfPqIndex]] index —
+    * no training, no encoding: centroid + codebook reloads are k-row /
+    * m×ks-row, and the corpus scan reads only the probed cells' CODES.
+    * Result is exactly [[ivfPqTopK]] on the same (corpus, queries)
+    * with the same training params (ExtSpec pins it; gated x115
+    * replays x84's oracle from a cold reload). `asOfVersion` time
+    * travel serves any retained snapshot in full. */
+  def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 2, asOfVersion: Option[Long] = None)
+      : DataFrame = {
+    val snap = ivfSnapshot(spark, path, asOfVersion)
+    val centroids = loadCentroids(spark, path, snap)
+    val cbs = loadPqCodebooks(spark, path, snap)
+    require(centroids.nonEmpty, s"queryIvfPqIndex: empty index at $path")
+    val enc = readIvfCorpus(spark, path, snap)
+      .select(col("vec_id"),
+        col("bucket").cast(LongType).as("bucket"), col("codes"))
+    servePqBuckets(enc, queries, idCol, vecCol, k, centroids, cbs,
+      nprobe)
+  }
+
+  /** Append new vectors to a persisted [[saveIvfPqIndex]] index:
+    * assign + PQ-encode against the FROZEN centroids and codebooks
+    * (driver-held reloads) into one new `batch=<batchId>` corpus
+    * segment — [[appendToIvfIndex]]'s contract verbatim (idempotent
+    * per batchId via the manifest `applied` record; the commit aborts
+    * if a retrain changed either generation mid-append). Accepted
+    * drift: appended vectors move neither the cells nor the codebooks
+    * — monitor cell skew ([[ivfCellStats]] works unchanged on this
+    * layout) and rebuild when quantization error degrades. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVecs: DataFrame, idCol: String,
+      vecCol: String, batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        !batchId.startsWith("compact_v") &&
+        !batchId.startsWith("retrain_v") &&
+        batchId.forall(c =>
+          c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      "batchId must be a filesystem-safe token != 'base' and outside " +
+        s"the reserved 'compact_v'/'retrain_v' prefixes (got '$batchId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no index manifest at $path (not a saveIvfPqIndex directory)"))
+    if (snap.applied.contains(batchId)) return
+    val centroids = loadCentroids(spark, path, snap)
+    val cbs = loadPqCodebooks(spark, path, snap)
+    require(centroids.nonEmpty,
+      s"appendToIvfPqIndex: empty index at $path")
+    ivfPqEncode(newVecs, idCol, vecCol, centroids, cbs)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/corpus/batch=$batchId")
+    val sawGens = (snap.segs("centroids"), snap.segs("codebooks"))
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(batchId)) c // concurrent duplicate: no-op
+      else {
+        require((c.segs("centroids"), c.segs("codebooks")) == sawGens,
+          s"index generation changed during append of batch '$batchId'" +
+            " — the batch was encoded against superseded " +
+            "centroids/codebooks; rerun appendToIvfPqIndex")
+        c.copy(
+          tables = c.tables + ("corpus" ->
+            (c.segs("corpus").filterNot(_ == batchId) :+ batchId)),
+          applied = c.applied :+ batchId)
+      }
+    }
+  }
+
+  /** Compact a [[saveIvfPqIndex]] corpus back to one segment — same
+    * fold/CAS/guard contract as [[compactIvfIndex]] (codes instead of
+    * raw vectors; values provably unchanged). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no index manifest at $path (not a saveIvfPqIndex directory)"))
+    if (snap.segs("corpus").length <= 1) return
+    val seg = s"compact_v${snap.version}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    readIvfCorpus(spark, path, snap)
+      .select(col("vec_id"), col("codes"),
+        col("bucket").cast(LongType).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"$path/corpus/batch=$seg")
+    val folded = snap.segs("corpus").toSet
+    val sawGens = (snap.segs("centroids"), snap.segs("codebooks"))
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      require((c.segs("centroids"), c.segs("codebooks")) == sawGens,
+        "index generation changed during compaction — discard and " +
+          "rerun compactIvfPqIndex if still needed")
+      require(folded.subsetOf(c.segs("corpus").toSet),
+        "a concurrent compaction already folded segments this " +
+          "compaction read — rerun compactIvfPqIndex against the new " +
+          "snapshot")
+      c.copy(tables = c.tables + ("corpus" ->
+        (seg +: c.segs("corpus").filterNot(folded.contains))))
+    }
+  }
+
+  /** Retention GC for [[saveIvfPqIndex]] — [[vacuumIvfIndex]] with the
+    * codebooks table included. */
+  def vacuumIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepVersions: Int = 2): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.IndexManifest.vacuum(fs, path, keepVersions,
+      Map("corpus" -> s"$path/corpus",
+        "centroids" -> s"$path/centroids",
+        "codebooks" -> s"$path/codebooks"),
+      (t, s) => if (t == "corpus") s"batch=$s" else s)
+  }
+
   /** Reciprocal-rank fusion of two retriever result lists — the 2-list
     * form of [[rrfFuseN]] kept for the common exact+approximate pair. */
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60)
@@ -1177,16 +1358,26 @@ object Similarity {
       centroids: Seq[(Long, Seq[Double])],
       codebooks: Seq[Seq[(Long, Seq[Double])]], nprobe: Int)
       : DataFrame = {
-    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
     require(centroids.nonEmpty, "ivfPqTopKWith: no coarse centroids")
     require(codebooks.nonEmpty, "ivfPqTopKWith: no PQ codebooks")
+    servePqBuckets(
+      ivfPqEncode(corpus, idCol, vecCol, centroids, codebooks),
+      queries, idCol, vecCol, k, centroids, codebooks, nprobe)
+  }
+
+  /** Corpus side of IVFADC: (vec_id, bucket, codes ARRAY<INT>) — cell
+    * assignment + m code argmins against centroid/codebook literals in
+    * ONE scan projection (no join, no shuffle, whole-stage codegen).
+    * The `codes` array is the persisted storage shape of
+    * [[saveIvfPqIndex]]: m small ints per vector instead of dim
+    * floats. */
+  private def ivfPqEncode(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
     graft.functions.VectorExprs.register(corpus.sparkSession)
     import graft.functions.VectorExprs.sqDistF64
-    val m = codebooks.length
     val sub = codebooks.head.head._2.length
-    // corpus → (vec_id, bucket, code_0..code_{m-1}): one scan-side
-    // projection, centroid + codebook literals in codegen
-    val enc = codebooks.zipWithIndex.foldLeft(
+    codebooks.zipWithIndex.foldLeft(
       Clustering.assignTo(
           corpus.select(col(idCol).cast(LongType).as("vec_id"),
             asDouble(col(vecCol)).as("_v")), centroids)
@@ -1200,9 +1391,28 @@ object Similarity {
           array_position(col("_ds"), array_min(col("_ds")))
             .cast(IntegerType))
         .drop("_ds")
-    }.drop("_v")
-    // query → nprobe probe cells (exact centroid distance, id tiebreak
-    // — the serveBuckets rule) + one ADC lookup table per subspace
+    }
+      .select(col("vec_id"), col("bucket"),
+        array(codebooks.indices.map(i => col(s"code_$i")): _*)
+          .as("codes"))
+  }
+
+  /** Serving core shared by [[ivfPqTopKWith]] (in-memory encoding) and
+    * [[queryIvfPqIndex]] (codes persisted by [[saveIvfPqIndex]]):
+    * `enc` must carry (vec_id, bucket, codes). Query side computes
+    * nprobe probe cells (exact centroid distance, id tiebreak — the
+    * serveBuckets rule) + one ADC lookup table per subspace; the probe
+    * is a broadcast hash join on the cell id. */
+  private def servePqBuckets(enc: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Long, Seq[Double])]], nprobe: Int)
+      : DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    graft.functions.VectorExprs.register(queries.sparkSession)
+    import graft.functions.VectorExprs.sqDistF64
+    val m = codebooks.length
+    val sub = codebooks.head.head._2.length
     val probeList = slice(array_sort(array(centroids.map { case (id, v) =>
       struct(sqDistF64(col("_qv"), typedLit(v)).as("d"),
         lit(id).as("cl")) }: _*)), 1, nprobe)
@@ -1217,7 +1427,7 @@ object Similarity {
       .select(col("query_id") +: luts :+ explode(probeList).as("_pr"): _*)
       .select(col("query_id") +: luts :+ col("_pr.cl").as("bucket"): _*)
     val ad = (0 until m).map(i =>
-        element_at(col(s"_lut$i"), col(s"code_$i")))
+        element_at(col(s"_lut$i"), element_at(col("codes"), i + 1)))
       .reduceLeft(_ + _)
     val scored = enc.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -739,6 +739,75 @@ class ExtSpec extends SparkSpec {
         "embedding", k = 5, kCentroids = 8, iters = 2, nprobe = 2)))
   }
 
+  test("IVFPQ index (x115): cold save->load->serve equals the " +
+      "per-call form; frozen-codebook append, retry no-op, compaction " +
+      "invariance, as-of time travel, vacuum") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq").resolve("idx").toString
+    val queries = embs.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "adist")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    // cold save -> load -> serve == per-call ivfPqTopK, bit-for-bit
+    Similarity.saveIvfPqIndex(embs, "vec_id", "embedding", idx,
+      kCentroids = 8, coarseIters = 2, m = 4, ks = 8, pqIters = 2)
+    val perCall = rows(Similarity.ivfPqTopK(embs, queries, "vec_id",
+      "embedding", k = 5, kCentroids = 8, coarseIters = 2, nprobe = 2,
+      m = 4, ks = 8, pqIters = 2))
+    assert(rows(Similarity.queryIvfPqIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) == perCall)
+
+    // frozen-generation append: subset-trained index + appended rest
+    // == subset-trained centroids/codebooks served over the full corpus
+    val idx2 = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_app").resolve("idx").toString
+    val subset = embs.filter($"vec_id" < 400)
+    Similarity.saveIvfPqIndex(subset, "vec_id", "embedding", idx2,
+      kCentroids = 8, coarseIters = 2, m = 4, ks = 8, pqIters = 2)
+    val v0 = Similarity.ivfIndexVersion(spark, idx2)
+    Similarity.appendToIvfPqIndex(spark, idx2,
+      embs.filter($"vec_id" >= 400), "vec_id", "embedding", "b1")
+    val appended = rows(Similarity.queryIvfPqIndex(spark, idx2,
+      queries, "vec_id", "embedding", k = 5, nprobe = 2))
+    val coarse = Clustering.kmeansCentroids(subset, "vec_id",
+      "embedding", k = 8, iters = 2)
+    val cbs = Similarity.pqCodebooks(subset, "vec_id", "embedding",
+      m = 4, ks = 8, iters = 2)
+    assert(appended == rows(Similarity.ivfPqTopKWith(embs, queries,
+      "vec_id", "embedding", k = 5, coarse, cbs, nprobe = 2)))
+    // retry of an applied batch no-ops
+    val hfs = new org.apache.hadoop.fs.Path(idx2).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val vAfter = graft.sinks.IndexManifest.latest(hfs, idx2).get.version
+    Similarity.appendToIvfPqIndex(spark, idx2,
+      embs.filter($"vec_id" >= 400), "vec_id", "embedding", "b1")
+    assert(graft.sinks.IndexManifest.latest(hfs, idx2).get.version ==
+      vAfter)
+    // as-of the pre-append version serves the subset index exactly
+    assert(rows(Similarity.queryIvfPqIndex(spark, idx2, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2,
+      asOfVersion = Some(v0))) ==
+      rows(Similarity.ivfPqTopKWith(subset, queries, "vec_id",
+        "embedding", k = 5, coarse, cbs, nprobe = 2)))
+    // compaction folds to one segment, values unchanged
+    Similarity.compactIvfPqIndex(spark, idx2)
+    val snap = graft.sinks.IndexManifest.latest(hfs, idx2).get
+    assert(snap.segs("corpus").length == 1 &&
+      snap.segs("corpus").head.startsWith("compact_v"))
+    assert(rows(Similarity.queryIvfPqIndex(spark, idx2, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) == appended)
+    // vacuum reclaims unreferenced segments; serve unchanged
+    Similarity.vacuumIvfPqIndex(spark, idx2, keepVersions = 1)
+    val dirs = hfs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$idx2/corpus"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    assert(dirs == Seq(s"batch=${snap.segs("corpus").head}"))
+    assert(rows(Similarity.queryIvfPqIndex(spark, idx2, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) == appended)
+    intercept[IllegalArgumentException](Similarity.appendToIvfPqIndex(
+      spark, idx2, embs, "vec_id", "embedding", "compact_v1_x"))
+  }
+
   test("IVF time travel (x112): an as-of read serves exactly the " +
       "index at that version — across a later compaction — and " +
       "vacuumed versions error clearly") {
