@@ -47,7 +47,7 @@ object Bench {
     "x48_stream_enrich", "x62_stream_sessionize", "x73_stream_e2_loop",
     "x79_stream_cdc_apply", "x97_stream_bm25_maintain",
     "x98_stream_ivf_maintain", "x102_stream_bm25_autocompact",
-    "x114_meta_stream_insights")
+    "x114_meta_stream_insights", "x116_stream_ivfpq_maintain")
 
   /** Gates whose measured cost is dominated by building or mutating
     * persisted state (index build + append + compact + retrain
@@ -63,7 +63,7 @@ object Bench {
     "x104_knn_refined_index_serve", "x105_ivf_cell_stats",
     "x106_bm25_append_drift", "x108_ivf_retrain_serve",
     "x109_zorder_write", "x110_bm25_time_travel", "x112_ivf_time_travel",
-    "x115_ivfpq_index_serve")
+    "x115_ivfpq_index_serve", "x117_ivfpq_retrain_serve")
 
   private def queryClass(name: String): String =
     if (StreamQueries.contains(name)) "stream"

@@ -1849,6 +1849,53 @@ object SparkEntry {
         k = 5, nprobe = 2)
     },
 
+    // streaming IVFPQ maintenance (x116): new-embedding files stream
+    // through the frozen-generation encode+append — the result must
+    // equal subset-trained centroids/codebooks served over everything
+    // (x76's contract, codes edition).
+    "x116_stream_ivfpq_maintain" -> { (s, dir) =>
+      val base = scratchDir("streamivfpq116")
+      val emb = T(s, dir, "embeddings")
+      graft.ext.Similarity.saveIvfPqIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding",
+        base + "/idx", kCentroids = 8, coarseIters = 2, m = 4, ks = 8,
+        pqIters = 2)
+      emb.filter(col("vec_id") >= 400)
+        .repartitionByRange(3, col("vec_id"))
+        .write.mode("overwrite").parquet(base + "/newvecs")
+      val schema = s.read.parquet(base + "/newvecs").schema
+      val q = graft.streaming.StreamIndex.ivfPqAppendWriter(s,
+          base + "/newvecs", schema, base + "/idx", "vec_id",
+          "embedding")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      graft.ext.Similarity.queryIvfPqIndex(s, base + "/idx",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+    },
+
+    // IVFPQ retrain-in-place (x117): subset-trained index + frozen-
+    // generation append, then retrain on the live source corpus swaps
+    // centroids + codebooks + re-encoded corpus in one commit — with
+    // the same params the serve equals full-corpus training (x84's
+    // oracle verbatim). The corpus is a retrain PARAMETER: this index
+    // stores codes, so raw vectors cannot come from the index itself.
+    "x117_ivfpq_retrain_serve" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivfpq_retrain117")
+      graft.ext.Similarity.saveIvfPqIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", idx,
+        kCentroids = 8, coarseIters = 2, m = 4, ks = 8, pqIters = 2)
+      graft.ext.Similarity.appendToIvfPqIndex(s, idx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding", "b1")
+      graft.ext.Similarity.retrainIvfPqIndex(s, idx, emb, "vec_id",
+        "embedding", kCentroids = 8, coarseIters = 2, m = 4, ks = 8,
+        pqIters = 2)
+      graft.ext.Similarity.queryIvfPqIndex(s, idx,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+    },
+
     // sampled-training IVF (x87): centroids from a deterministic md5
     // 50% sample of the corpus, serving (cell assignment + probes) over
     // EVERYTHING — the build-vs-serve split that makes Lloyd's viable
@@ -3610,9 +3657,13 @@ object SparkEntry {
     val sampledEncJoins = (0 until pqM).map(mm =>
       s"""JOIN enc$mm e$mm ON e$mm.vec_id = x.vec_id
           JOIN ts${mm}c2 c${mm}x ON c${mm}x.cl = e$mm.cl""").mkString("\n")
-    val ivfPqSampledOracle: String =
+    // IVFPQ trained on ANY `tv` subset, served over the full corpus —
+    // shared by x88 (md5-sampled tv), x116 (prefix-subset tv): coarse
+    // + per-subspace Lloyd's over tv, fresh full-corpus assignment and
+    // encode against the tv-trained payloads.
+    def ivfPqTvOracle(tvCte: String): String =
       s"""WITH v AS ($vecs),
-          $sampledTv,
+          $tvCte,
           ${lloydCtes("t", 64, 8, 2)},
           $sampledPqSlices,
           $sampledPqLloyds,
@@ -3645,6 +3696,11 @@ object SparkEntry {
                       $sampledEncJoins
                       WHERE x.vec_id <> q.vec_id))
           WHERE rank <= 5"""
+    val ivfPqSampledOracle: String = ivfPqTvOracle(sampledTv)
+    // x116: streamed frozen-generation appends over a subset-trained
+    // IVFPQ index == subset-trained payloads served over everything
+    val ivfPqSubsetOracle: String = ivfPqTvOracle(
+      "tv AS (SELECT vec_id, e FROM v WHERE vec_id < 400)")
     // x91/x92: the x67 serving CTEs with EVERY vector as a query (no
     // vec_id filter in probes), k=3; x92 symmetrizes to mutual edges
     // and closes them with the x31-style recursive min-label closure,
@@ -4860,6 +4916,11 @@ object SparkEntry {
       "x84_ivfpq_topk" -> ivfPqOracle,
       // cold save->load->serve is value-identical to the per-call form
       "x115_ivfpq_index_serve" -> ivfPqOracle,
+      // streamed frozen-generation appends == subset-trained payloads
+      // served over the full corpus
+      "x116_stream_ivfpq_maintain" -> ivfPqSubsetOracle,
+      // retrain on the live corpus == full-corpus per-call training
+      "x117_ivfpq_retrain_serve" -> ivfPqOracle,
       "x87_ivf_sampled_train" -> ivfSampledOracle,
       "x88_ivfpq_sampled_train" -> ivfPqSampledOracle,
       "x91_knn_graph" -> knnGraphOracle,

@@ -1051,6 +1051,63 @@ object Similarity {
     }
   }
 
+  /** RETRAIN a persisted [[saveIvfPqIndex]] index in place: fresh
+    * coarse centroids AND codebooks trained on the CALLER-SUPPLIED
+    * corpus, the whole corpus re-assigned + re-encoded, and all three
+    * tables committed in ONE manifest version (readers never mix
+    * generations; in-flight readers finish on the old one).
+    *
+    * Why the corpus is a parameter here, unlike [[retrainIvfIndex]]:
+    * the IVFPQ index stores CODES, not vectors — raw vectors are gone
+    * by design (the m-bytes-per-vector trade), so neither retraining
+    * nor re-encoding is possible from the index alone. For the same
+    * reason the commit ABORTS if ANY segment committed concurrently
+    * (an unseen append's codes cannot be carried across a codebook
+    * generation): IVFPQ retrain must be serialized with appends,
+    * where the vector-storing IVF retrain composes with them. The
+    * `applied` record is carried, so late retries of ingested batches
+    * still no-op. Caller contract: `corpus` must be the live indexed
+    * id set (the source of truth the appends came from). */
+  def retrainIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, idCol: String, vecCol: String,
+      kCentroids: Int = 8, coarseIters: Int = 2, m: Int = 4,
+      ks: Int = 8, pqIters: Int = 2,
+      trainSample: Option[String] = None): Unit = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = ivfSnapshot(spark, path)
+    val seg = s"retrain_v${snap.version}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val centroids = Clustering.kmeansCentroids(corpus, idCol, vecCol,
+      kCentroids, coarseIters, trainSample)
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ks, pqIters,
+      trainSample)
+    centroids.toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/centroids/$seg")
+    cbs.zipWithIndex.flatMap { case (cb, i) =>
+        cb.map { case (id, v) => (i, id, v) }
+      }.toDF("subspace", "cluster_id", "centroid")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/codebooks/$seg")
+    ivfPqEncode(corpus, idCol, vecCol, centroids, cbs)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"$path/corpus/batch=$seg")
+    val sawCorpus = snap.segs("corpus").toSet
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      require(c.segs("corpus").toSet == sawCorpus,
+        "a segment committed during IVFPQ retrain — this index stores " +
+          "codes, so an unseen batch cannot be re-encoded against the " +
+          "new codebooks from the index alone; serialize appends and " +
+          "maintenance with retrainIvfPqIndex and rerun")
+      c.copy(tables = c.tables + ("corpus" -> Seq(seg)) +
+        ("centroids" -> Seq(seg)) + ("codebooks" -> Seq(seg)))
+    }
+  }
+
   /** Compact a [[saveIvfPqIndex]] corpus back to one segment — same
     * fold/CAS/guard contract as [[compactIvfIndex]] (codes instead of
     * raw vectors; values provably unchanged). */

@@ -119,6 +119,37 @@ object StreamIndex {
     * batches no-op on the manifest's `applied` record, so the stream
     * lands each delta exactly once. Same content-derived batchId and
     * same inline compact+vacuum maintenance contract. */
+  /** The IVFPQ twin of [[ivfAppendWriter]] (gated x116): arriving
+    * embedding files are assigned + PQ-encoded against the index's
+    * frozen centroid/codebook generations and landed as their own
+    * codes segments — same content-derived batchId exactly-once
+    * contract, same inline compact+vacuum maintenance. */
+  def ivfPqAppendWriter(spark: SparkSession, vecsDir: String,
+      schema: StructType, indexPath: String, idCol: String,
+      vecCol: String, compactEvery: Int = 0)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(vecsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          Similarity.appendToIvfPqIndex(s, indexPath, b, idCol, vecCol,
+            batchId = contentBatchId(b, idCol)._1)
+        } finally b.unpersist(blocking = false)
+        if (compactEvery > 0 &&
+          segCount(s, indexPath, "corpus") > compactEvery) {
+          Similarity.compactIvfPqIndex(s, indexPath)
+          Similarity.vacuumIvfPqIndex(s, indexPath, keepVersions = 2)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+
   def ivfAppendWriter(spark: SparkSession, vecsDir: String,
       schema: StructType, indexPath: String, idCol: String,
       vecCol: String, compactEvery: Int = 0)

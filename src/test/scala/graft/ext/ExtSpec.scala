@@ -806,6 +806,23 @@ class ExtSpec extends SparkSpec {
       "vec_id", "embedding", k = 5, nprobe = 2)) == appended)
     intercept[IllegalArgumentException](Similarity.appendToIvfPqIndex(
       spark, idx2, embs, "vec_id", "embedding", "compact_v1_x"))
+    // retrain on the live source corpus swaps all three generations in
+    // one commit == per-call full-corpus training; applied record
+    // survives so a late retry of b1 still no-ops
+    Similarity.retrainIvfPqIndex(spark, idx2, embs, "vec_id",
+      "embedding", kCentroids = 8, coarseIters = 2, m = 4, ks = 8,
+      pqIters = 2)
+    assert(rows(Similarity.queryIvfPqIndex(spark, idx2, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) == perCall)
+    val segsAfter = graft.sinks.IndexManifest.latest(hfs, idx2).get
+    assert(segsAfter.segs("corpus").length == 1 &&
+      segsAfter.segs("corpus").head.startsWith("retrain_v") &&
+      segsAfter.segs("codebooks") == segsAfter.segs("corpus"))
+    assert(segsAfter.applied.contains("b1"))
+    Similarity.appendToIvfPqIndex(spark, idx2,
+      embs.filter($"vec_id" >= 400), "vec_id", "embedding", "b1")
+    assert(graft.sinks.IndexManifest.latest(hfs, idx2).get
+      .segs("corpus") == segsAfter.segs("corpus"))
   }
 
   test("IVF time travel (x112): an as-of read serves exactly the " +
