@@ -63,7 +63,8 @@ object Bench {
     "x104_knn_refined_index_serve", "x105_ivf_cell_stats",
     "x106_bm25_append_drift", "x108_ivf_retrain_serve",
     "x109_zorder_write", "x110_bm25_time_travel", "x112_ivf_time_travel",
-    "x115_ivfpq_index_serve", "x117_ivfpq_retrain_serve")
+    "x115_ivfpq_index_serve", "x117_ivfpq_retrain_serve",
+    "x118_minhash_index_admit", "x119_minhash_index_append")
 
   private def queryClass(name: String): String =
     if (StreamQueries.contains(name)) "stream"

@@ -1061,6 +1061,39 @@ object SparkEntry {
 
     // incremental-load dedup: admit only docs whose text is unseen in the
     // existing corpus — anti-join on a 32-byte content digest.
+    // persisted MinHash-LSH index + incremental NEAR-dup admission
+    // (x118): the x15 admission contract at near-dup granularity — the
+    // incoming batch is checked against the corpus's banded signatures
+    // (24-byte keys + collision-bounded sig reads; indexed text never
+    // touched) and only documents with no verified near-duplicate
+    // admit. Short docs carry no signature and admit unconditionally.
+    "x118_minhash_index_admit" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val idx = scratchDir("mh_index118")
+      graft.ext.DedupOps.saveMinhashIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", idx)
+      graft.ext.DedupOps.minhashAdmit(s, idx,
+        docs.filter(col("doc_id") >= 250), "doc_id", "text")
+        .select(col("doc_id"))
+    },
+
+    // the admit → append lifecycle (x119): a second day's batch is
+    // admitted against base PLUS the appended first batch — the
+    // signature ledger grows additively (cost ∝ batch) and later
+    // admissions see everything ingested so far.
+    "x119_minhash_index_append" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val idx = scratchDir("mh_index119")
+      graft.ext.DedupOps.saveMinhashIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", idx)
+      graft.ext.DedupOps.appendToMinhashIndex(s, idx,
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 400),
+        "doc_id", "text", "b1")
+      graft.ext.DedupOps.minhashAdmit(s, idx,
+        docs.filter(col("doc_id") >= 400), "doc_id", "text")
+        .select(col("doc_id"))
+    },
+
     "x15_incremental_dedup" -> { (s, dir) =>
       val docs = T(s, dir, "documents")
       val corpus = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
@@ -3846,7 +3879,7 @@ object SparkEntry {
     // relation modulo hash collisions) and the exact est_jaccard
     // verify. Duplicate windows (the engine's ShingleHashes dedupes)
     // are harmless: permutation MINIMA ignore multiplicity.
-    val minhashOracle: String = {
+    val (minhashSigCtes, minhashOracle): (String, String) = {
       val fnvP = "1099511628211"
       val c0 = u64(0x9e3779b97f4a7c15L * 0x100000001b3L) // h0·prime
       val p61 = "2305843009213693951"
@@ -3859,7 +3892,8 @@ object SparkEntry {
       val lvl1 = splitmix(s"xor(CAST($c0 AS UBIGINT), th[i+1])")
       val lvl2 = splitmix(s"xor(${wrapmul("l1[i+1]", fnvP)}, th[i+2])")
       val lvl3 = splitmix(s"xor(${wrapmul("l2[i+1]", fnvP)}, th[i+3])")
-      s"""WITH ${tokenHashCtes(
+      val sigCtes =
+        s"""${tokenHashCtes(
             " WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3")},
           w1 AS (SELECT doc_id, th,
                    list_transform(range(len(th)-2), i -> $lvl1) AS l1
@@ -3872,7 +3906,9 @@ object SparkEntry {
                  FROM w2),
           sig AS (SELECT doc_id, [$sigElems] AS sig FROM w3),
           banded AS (SELECT doc_id, sig, b, sig[4*b+1:4*b+4] AS sl
-                     FROM sig, range(16) AS r(b)),
+                     FROM sig, range(16) AS r(b))"""
+      val pairs =
+        s"""WITH $sigCtes,
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                    FROM banded a JOIN banded b
                      ON a.b = b.b AND a.sl = b.sl
@@ -3884,7 +3920,25 @@ object SparkEntry {
                JOIN sig sb ON sb.doc_id = doc_b
           WHERE round(len(list_filter(list_zip(sa.sig, sb.sig),
                   p -> p[1] = p[2])) / 64.0, 6) >= 0.5"""
+      (sigCtes, pairs)
     }
+    // x118/x119 incremental near-dup admission: incoming (doc_id >=
+    // cut) is REJECTED iff a banded collision with the indexed corpus
+    // (doc_id < cut) verifies at est >= 0.5; short docs carry no sig
+    // and admit unconditionally (they are absent from the sig CTEs)
+    def minhashAdmitOracle(cut: Int): String =
+      s"""WITH $minhashSigCtes,
+          rej AS (SELECT DISTINCT b.doc_id
+                  FROM banded a JOIN banded b
+                    ON a.b = b.b AND a.sl = b.sl
+                   AND a.doc_id < $cut AND b.doc_id >= $cut
+                  JOIN sig sa ON sa.doc_id = a.doc_id
+                  JOIN sig sb ON sb.doc_id = b.doc_id
+                  WHERE round(len(list_filter(list_zip(sa.sig, sb.sig),
+                          p -> p[1] = p[2])) / 64.0, 6) >= 0.5)
+          SELECT d.doc_id FROM documents d
+          WHERE d.doc_id >= $cut
+            AND d.doc_id NOT IN (SELECT doc_id FROM rej)"""
     // rolling-hash fingerprint (must mirror TextAnalysis.fingerprint)
     val fp =
       """list_reduce(
@@ -3990,6 +4044,9 @@ object SparkEntry {
            WHERE round(shared*1.0/(x.z + y.z - shared), 6) >= 0.5""",
 
       "x03_minhash_pairs" -> minhashOracle,
+      "x118_minhash_index_admit" -> minhashAdmitOracle(250),
+      // after the append the corpus is everything below 400
+      "x119_minhash_index_append" -> minhashAdmitOracle(400),
 
       "x04_simhash_pairs" -> simhashOracle,
 

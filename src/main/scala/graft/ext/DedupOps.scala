@@ -225,6 +225,39 @@ object DedupOps {
     minhashFromHashes(
       transform(shingles(c, n), s => pmod(xxhash64(s), lit(MinhashP))), k)
 
+  /** (doc_id, sig) MinHash signatures — the shared definitional core of
+    * [[minhashPairs]] and the persisted index ([[saveMinhashIndex]] /
+    * [[minhashAdmit]]): ONE implementation so the stored and the
+    * query-side signatures can never drift.
+    *
+    * Native expressions: shingle-hash once per row, then the k
+    * permutation-minima in a primitive loop (see TextHashExprs scaladoc
+    * for the measured 50x over the higher-order-function formulation).
+    * Cheap tokenize-only pre-filter instead of filter(sig.isNotNull):
+    * a predicate on the projected signature pushes below the projection
+    * and re-evaluates the whole shingle+minhash pipeline per reference;
+    * sig is null exactly when there are no shingles, i.e. < n tokens. */
+  private def minhashSigFrame(df: DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int): DataFrame = {
+    graft.functions.TextHashExprs.register(df.sparkSession)
+    df.filter(size(split(trim(col(textCol)), "\\s+")) >= n)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextHashExprs.minhashSig(
+          graft.functions.TextHashExprs.shingleHashes(col(textCol), n), k)
+          .as("sig"))
+  }
+
+  /** Banded LSH keys over a [[minhashSigFrame]]: one row per (doc,
+    * band), bucket = hash of the band's signature slice. */
+  private def minhashBandedFrame(sig: DataFrame, bands: Int, rows: Int)
+      : DataFrame =
+    sig.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket",
+        xxhash64(col("band"),
+          slice(col("sig"), col("band") * rows + 1, lit(rows))
+            .cast(StringType)))
+
   /** MinHash+LSH near-dup candidate pairs, verified on signature overlap.
     * `bands` bands of `rows` rows (k = bands·rows): a pair collides if any
     * band signature matches; estimated Jaccard = matching positions / k.
@@ -233,26 +266,8 @@ object DedupOps {
       n: Int = 3, bands: Int = 16, rows: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val k = bands * rows
-    // Native expressions: shingle-hash once per row, then the k
-    // permutation-minima in a primitive loop (see TextHashExprs scaladoc
-    // for the measured 50x over the higher-order-function formulation).
-    graft.functions.TextHashExprs.register(df.sparkSession)
-    // Cheap tokenize-only pre-filter instead of filter(sig.isNotNull):
-    // a predicate on the projected signature pushes below the projection
-    // and re-evaluates the whole shingle+minhash pipeline per reference.
-    // sig is null exactly when there are no shingles, i.e. < n tokens.
-    val sig = df
-      .filter(size(split(trim(col(textCol)), "\\s+")) >= n)
-      .select(col(idCol).as("doc_id"),
-        graft.functions.TextHashExprs.minhashSig(
-          graft.functions.TextHashExprs.shingleHashes(col(textCol), n), k)
-          .as("sig"))
-    // band key = hash of the band's slice of the signature
-    val banded = sig.select(col("doc_id"), col("sig"),
-      explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bucket",
-        xxhash64(col("band"),
-          slice(col("sig"), col("band") * rows + 1, lit(rows)).cast(StringType)))
+    val sig = minhashSigFrame(df, idCol, textCol, n, k)
+    val banded = minhashBandedFrame(sig, bands, rows)
     // Distinct the candidate id pairs FIRST (hash aggregate over longs),
     // then re-attach signatures. Measured: carrying signature arrays
     // through the join + a first-matching-band filter (the dropDuplicates
@@ -831,5 +846,196 @@ object DedupOps {
         graft.functions.StringExprs.editDistLE1(col("s_a"), col("s_b"))
           .as("dist"))
       .filter(col("dist") <= 1L)
+  }
+
+  // ------------------------------------ persisted MinHash-LSH index
+
+  private val MinhashTables = Seq("sigs", "banded", "params")
+
+  /** Persist a MinHash-LSH signature index — the NEAR-dup twin of the
+    * exact digest ledger behind `Corpus.incrementalDedup` (x15): daily
+    * ingest checks each incoming batch against the CORPUS'S SIGNATURES
+    * (24-byte banded keys + 64-long sigs — never the indexed text) and
+    * admits only documents with no verified near-duplicate, then
+    * appends the admitted batch's signatures. Layout under the
+    * [[graft.sinks.IndexManifest]] protocol: additive `sigs` (doc_id,
+    * sig) and `banded` (doc_id, band, bucket) segments plus a 1-row
+    * `params` table — (n, bands, rows) are pinned at build time so the
+    * query side can never hash into a different LSH geometry than the
+    * stored corpus. `threshold` stays a SERVE-time choice. */
+  def saveMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 3, bands: Int = 16, rows: Int = 4): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Seq((n, bands, rows)).toDF("n", "bands", "rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params/base")
+    writeMinhashSegment(docs, idCol, textCol, path, "base", n, bands,
+      rows)
+    graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
+      graft.sinks.IndexSnapshot(0L,
+        MinhashTables.map(t => t -> Seq("base")).toMap, Seq.empty))
+  }
+
+  /** One (sigs, banded) segment pair — shared by the base build and
+    * every append; overwrite mode so a crashed attempt's orphan is
+    * re-landed by the retry (invisible until the manifest commit). */
+  private def writeMinhashSegment(docs: DataFrame, idCol: String,
+      textCol: String, path: String, seg: String, n: Int, bands: Int,
+      rows: Int): Unit = {
+    val sig = minhashSigFrame(docs, idCol, textCol, n, bands * rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sig.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/sigs/$seg")
+      minhashBandedFrame(sig, bands, rows)
+        .select(col("doc_id"), col("band"), col("bucket"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/banded/$seg")
+    } finally sig.unpersist(blocking = false)
+  }
+
+  private def minhashSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String): graft.sinks.IndexSnapshot = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no index manifest at $path (not a saveMinhashIndex directory)"))
+  }
+
+  private def readMinhashTable(spark: org.apache.spark.sql.SparkSession,
+      path: String, snap: graft.sinks.IndexSnapshot, table: String)
+      : DataFrame = {
+    val segs = snap.segs(table)
+    require(segs.nonEmpty, s"index at $path has no '$table' segments")
+    segs.map(s => spark.read.parquet(s"$path/$table/$s"))
+      .reduce(_ unionByName _)
+  }
+
+  /** Incremental near-dup ADMISSION against a persisted
+    * [[saveMinhashIndex]] index: returns the rows of `newDocs` that
+    * have NO verified near-duplicate (estimated Jaccard >= `threshold`)
+    * among the INDEXED documents — the x15 admission contract at
+    * near-dup rather than exact granularity. Signatures and banding
+    * come from the index's pinned params, so the decision is
+    * definitionally [[minhashPairs]]'s cross-side restriction (ExtSpec
+    * pins the equivalence). Documents too short to carry a signature
+    * (< n tokens) admit unconditionally — no shingles, no collision —
+    * matching [[minhashPairs]]'s domain. Within-batch near-dups are a
+    * separate concern (run [[minhashPairs]] on the batch);
+    * admit-then-append of the SAME batch makes a replayed batch
+    * self-reject (every sig-bearing doc matches itself at est = 1.0) —
+    * the decontamination property the spec pins.
+    *
+    * Scale shape: the corpus contributes (doc_id, bucket) pairs to the
+    * band join (16 fixed-width rows/doc) and full signatures only for
+    * the collision-bounded candidate set; indexed TEXT is never read
+    * or shuffled. */
+  def minhashAdmit(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val snap = minhashSnapshot(spark, path)
+    val p = readMinhashTable(spark, path, snap, "params").head()
+    val (n, bands, rows) =
+      (p.getAs[Int]("n"), p.getAs[Int]("bands"), p.getAs[Int]("rows"))
+    val k = bands * rows
+    val inSig = minhashSigFrame(newDocs, idCol, textCol, n, k)
+    val inBanded = minhashBandedFrame(inSig, bands, rows)
+    val corpusBanded = readMinhashTable(spark, path, snap, "banded")
+    val cand = inBanded.select(col("doc_id").as("in_doc"), col("bucket"))
+      .join(corpusBanded.select(col("doc_id").as("corpus_doc"),
+        col("bucket")), Seq("bucket"))
+      .select(col("in_doc"), col("corpus_doc")).distinct()
+    val corpusSigs = readMinhashTable(spark, path, snap, "sigs")
+    val rejected = cand
+      .join(inSig.select(col("doc_id").as("in_doc"),
+        col("sig").as("sig_a")), Seq("in_doc"))
+      .join(corpusSigs.select(col("doc_id").as("corpus_doc"),
+        col("sig").as("sig_b")), Seq("corpus_doc"))
+      .withColumn("est", round(
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast(DoubleType) /
+          lit(k.toDouble), 6))
+      .filter(col("est") >= threshold)
+      .select(col("in_doc").as(idCol)).distinct()
+    newDocs.join(rejected, Seq(idCol), "left_anti")
+  }
+
+  /** Append a (typically just-admitted) batch's signatures to a
+    * persisted [[saveMinhashIndex]] index — idempotent per `batchId`
+    * via the manifest `applied` record, same contract as every other
+    * index append (reserved segment prefixes, segments invisible until
+    * the commit, late retries of compacted-away batches no-op). */
+  def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, idCol: String, textCol: String,
+      batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        !batchId.startsWith("compact_v") &&
+        !batchId.startsWith("retrain_v") &&
+        batchId.forall(c =>
+          c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      "batchId must be a filesystem-safe token != 'base' and outside " +
+        s"the reserved 'compact_v'/'retrain_v' prefixes (got '$batchId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = minhashSnapshot(spark, path)
+    if (snap.applied.contains(batchId)) return
+    val p = readMinhashTable(spark, path, snap, "params").head()
+    val seg = s"delta_$batchId"
+    writeMinhashSegment(newDocs, idCol, textCol, path, seg,
+      p.getAs[Int]("n"), p.getAs[Int]("bands"), p.getAs[Int]("rows"))
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(batchId)) c // concurrent duplicate: no-op
+      else c.copy(
+        tables = c.tables ++ Seq("sigs", "banded").map(t =>
+          t -> (c.segs(t).filterNot(_ == seg) :+ seg)),
+        applied = c.applied :+ batchId)
+    }
+  }
+
+  /** Fold a [[saveMinhashIndex]] index's signature segments back to
+    * one per table — same CAS/guard contract as the other compactions
+    * (concurrent appends carried; a racing compaction aborts). */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = minhashSnapshot(spark, path)
+    if (Seq("sigs", "banded").forall(t => snap.segs(t).length <= 1))
+      return
+    val seg = s"compact_v${snap.version}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    readMinhashTable(spark, path, snap, "sigs")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/sigs/$seg")
+    readMinhashTable(spark, path, snap, "banded")
+      .repartition(col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/banded/$seg")
+    val folded = Seq("sigs", "banded").map(t =>
+      t -> snap.segs(t).toSet).toMap
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      Seq("sigs", "banded").foreach(t => require(
+        folded(t).subsetOf(c.segs(t).toSet),
+        "a concurrent compaction already folded segments this " +
+          "compaction read — rerun compactMinhashIndex against the " +
+          "new snapshot"))
+      c.copy(tables = c.tables ++ Seq("sigs", "banded").map(t =>
+        t -> (seg +: c.segs(t).filterNot(folded(t).contains))))
+    }
+  }
+
+  /** Retention GC for [[saveMinhashIndex]] — the shared vacuum. */
+  def vacuumMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepVersions: Int = 2): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.IndexManifest.vacuum(fs, path, keepVersions,
+      MinhashTables.map(t => t -> s"$path/$t").toMap)
   }
 }

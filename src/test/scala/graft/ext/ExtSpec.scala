@@ -739,6 +739,59 @@ class ExtSpec extends SparkSpec {
         "embedding", k = 5, kCentroids = 8, iters = 2, nprobe = 2)))
   }
 
+  test("minhash index (x118/x119): admission == minhashPairs' " +
+      "cross-side restriction; append grows the ledger; replayed " +
+      "batches self-reject; compaction/vacuum invariance") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mh_idx").resolve("idx").toString
+    val corpus = docs.filter($"doc_id" < 250)
+    val incoming = docs.filter($"doc_id" >= 250)
+    DedupOps.saveMinhashIndex(corpus, "doc_id", "text", idx)
+    val admitted = DedupOps.minhashAdmit(spark, idx, incoming,
+      "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    // oracle: the per-call pair op over the union, restricted to
+    // cross-side pairs — rejected incoming ids are exactly those with
+    // a verified near-dup in the corpus
+    val crossRejected = DedupOps.minhashPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        Seq(a, b).filter(x => x >= 250 &&
+          (if (x == a) b < 250 else a < 250))
+      }.toSet
+    val incomingIds = incoming.select("doc_id").as[Long].collect().toSet
+    assert(admitted == incomingIds -- crossRejected,
+      "admit must equal the cross-side minhashPairs restriction")
+    // append the admitted slice; a REPLAY of those docs now
+    // self-rejects (est = 1.0 against their own signatures) except
+    // docs too short to carry a signature, which admit forever
+    val admittedDf = incoming.filter($"doc_id".isin(
+      admitted.toSeq: _*))
+    DedupOps.appendToMinhashIndex(spark, idx, admittedDf, "doc_id",
+      "text", "b1")
+    val readmitted = DedupOps.minhashAdmit(spark, idx, admittedDf,
+      "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    val shortIds = admittedDf
+      .filter(size(split(trim($"text"), "\\s+")) < 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(readmitted == shortIds,
+      "replayed sig-bearing docs must self-reject after the append")
+    // append retry no-ops (manifest version unchanged)
+    val hfs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val v = graft.sinks.IndexManifest.latest(hfs, idx).get.version
+    DedupOps.appendToMinhashIndex(spark, idx, admittedDf, "doc_id",
+      "text", "b1")
+    assert(graft.sinks.IndexManifest.latest(hfs, idx).get.version == v)
+    // compaction + vacuum leave the admission decision unchanged
+    DedupOps.compactMinhashIndex(spark, idx)
+    DedupOps.vacuumMinhashIndex(spark, idx, keepVersions = 1)
+    assert(DedupOps.minhashAdmit(spark, idx, admittedDf, "doc_id",
+      "text").select("doc_id").as[Long].collect().toSet == shortIds)
+    assert(DedupOps.minhashAdmit(spark, idx, incoming, "doc_id",
+      "text").select("doc_id").as[Long].collect().toSet ==
+      (incomingIds -- crossRejected -- (admitted -- shortIds)))
+  }
+
   test("IVFPQ index (x115): cold save->load->serve equals the " +
       "per-call form; frozen-codebook append, retry no-op, compaction " +
       "invariance, as-of time travel, vacuum") {
