@@ -64,7 +64,8 @@ object Bench {
     "x106_bm25_append_drift", "x108_ivf_retrain_serve",
     "x109_zorder_write", "x110_bm25_time_travel", "x112_ivf_time_travel",
     "x115_ivfpq_index_serve", "x117_ivfpq_retrain_serve",
-    "x118_minhash_index_admit", "x119_minhash_index_append")
+    "x118_minhash_index_admit", "x119_minhash_index_append",
+    "x120_ivf_neardup_admit")
 
   private def queryClass(name: String): String =
     if (StreamQueries.contains(name)) "stream"

@@ -2019,6 +2019,23 @@ object SparkEntry {
         Seq("hash", "join", "merge"), k = 10, asOfVersion = Some(v))
     },
 
+    // embedding near-dup admission from the persisted IVF index
+    // (x120): the vector-modal member of the admission family (x15
+    // exact, x118 lexical) — incoming vectors are rejected iff a
+    // probed cell holds an indexed vector at cosine >= threshold;
+    // probe-bounded, never an all-pairs or full-corpus pass.
+    "x120_ivf_neardup_admit" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivf_admit120")
+      graft.ext.Similarity.saveIvfIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", idx,
+        kCentroids = 8, iters = 2)
+      graft.ext.Similarity.ivfNearDupAdmit(s, idx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding",
+        threshold = 0.35, nprobe = 2)
+        .select(col("vec_id"))
+    },
+
     // IVF time travel (x112): the vector-index half of x110 — pin the
     // pre-append manifest version, append, then serve AS OF the
     // pinned version. The as-of read pairs that snapshot's centroid
@@ -5029,6 +5046,35 @@ object SparkEntry {
         bm25Sql("(SELECT * FROM documents WHERE doc_id < 250)"),
       // x112: the as-of read serves only the pre-append subset index
       "x112_ivf_time_travel" -> ivfAsOfOracle,
+      // x120: incoming (>= 400) rejected iff a probed cell of the
+      // subset-trained index holds a vector at cosine >= 0.35
+      "x120_ivf_neardup_admit" ->
+        s"""WITH v AS ($vecs),
+            tv AS (SELECT vec_id, e FROM v WHERE vec_id < 400),
+            ${lloydCtes("t", 64, 8, 2)},
+            subasg AS (
+              SELECT vec_id, cl FROM (
+                SELECT v.vec_id, c.cl, row_number() OVER (
+                  PARTITION BY v.vec_id ORDER BY $kmeansD2, c.cl) AS rn
+                FROM tv v, tc2 c)
+              WHERE rn = 1),
+            probes AS (
+              SELECT query_id, cl AS bucket FROM (
+                SELECT v.vec_id AS query_id, c.cl,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY $kmeansD2, c.cl) AS rn
+                FROM v v, tc2 c
+                WHERE v.vec_id >= 400)
+              WHERE rn <= 2),
+            rej AS (SELECT DISTINCT p.query_id
+                    FROM probes p
+                         JOIN subasg s ON s.cl = p.bucket
+                         JOIN tv b ON b.vec_id = s.vec_id
+                         JOIN v a ON a.vec_id = p.query_id
+                    WHERE $cosPairExpr >= 0.35)
+            SELECT vec_id FROM v
+            WHERE vec_id >= 400
+              AND vec_id NOT IN (SELECT query_id FROM rej)""",
 
       // the engine encodes REAL PNGs and decodes them back; the oracle
       // recomputes every decoded value in closed form from doc_id

@@ -919,6 +919,52 @@ object Similarity {
     serveBuckets(c, queries, idCol, vecCol, k, centroids, nprobe)
   }
 
+  /** Incremental embedding NEAR-DUP ADMISSION against a persisted
+    * [[saveIvfIndex]] index — the vector-modal member of the admission
+    * family (exact digests: `Corpus.incrementalDedup` x15; lexical
+    * near-dup: [[DedupOps.minhashAdmit]] x118): returns the rows of
+    * `newVecs` whose cosine against EVERY indexed vector in their
+    * `nprobe` probed cells stays below `threshold` — i.e. the batch
+    * minus its semantic duplicates of the corpus (SemDeDup's admission
+    * half, served from the inverted file instead of a fresh
+    * clustering). Probe-bounded: each incoming vector compares against
+    * ~nprobe/kCentroids of the corpus, never all of it; the accepted
+    * approximation is exactly x07/x67's (a near-dup hiding in an
+    * unprobed cell is missed — raise nprobe to trade cost for recall).
+    * Caller contract: incoming ids disjoint from the indexed ids (the
+    * append contract), so no self-pair exclusion is needed. Compose
+    * with [[appendToIvfIndex]] to ingest the admitted batch — a
+    * replayed batch then self-rejects (cos = 1 against itself). */
+  def ivfNearDupAdmit(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    val snap = ivfSnapshot(spark, path)
+    val centroids = loadCentroids(spark, path, snap)
+    require(centroids.nonEmpty, s"ivfNearDupAdmit: empty index at $path")
+    graft.functions.VectorExprs.register(spark)
+    import graft.functions.VectorExprs.{dotF64, sqDistF64}
+    val c = readIvfCorpus(spark, path, snap)
+      .select(col("vec_id"), col("v"),
+        col("bucket").cast(LongType).as("bucket"), col("nrm"))
+    val probeList = slice(array_sort(array(centroids.map { case (id, v) =>
+      struct(sqDistF64(col("qv"), typedLit(v)).as("d"),
+        lit(id).as("cl")) }: _*)), 1, nprobe)
+    val q = newVecs.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnrm", sqrt(dotF64(col("qv"), col("qv"))))
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        explode(probeList).as("_pr"))
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        col("_pr.cl").as("bucket"))
+    val rejected = c.join(broadcast(q), Seq("bucket"))
+      .filter(round(coalesce(
+        try_divide(dotF64(col("qv"), col("v")),
+          col("qnrm") * col("nrm")), lit(0.0)), 6) >= threshold)
+      .select(col("query_id").as(idCol)).distinct()
+    newVecs.join(rejected, Seq(idCol), "left_anti")
+  }
+
   /** Persist an IVFPQ (IVFADC) index — [[ivfPqTopK]]'s train-once half
     * joined to the [[saveIvfIndex]] lifecycle: coarse centroids, the m
     * per-subspace PQ codebooks, and the corpus as (vec_id, bucket,

@@ -919,6 +919,36 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("retention"))
   }
 
+  test("ivfNearDupAdmit (x120): probe-bounded semantic admission; " +
+      "replayed batches self-reject after the append; a threshold " +
+      "above 1 admits everything") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_admit").resolve("idx").toString
+    val corpus = embs.filter($"vec_id" < 300)
+    val incoming = embs.filter($"vec_id" >= 300)
+    Similarity.saveIvfIndex(corpus, "vec_id", "embedding", idx,
+      kCentroids = 8, iters = 2)
+    val admitted = Similarity.ivfNearDupAdmit(spark, idx, incoming,
+      "vec_id", "embedding", threshold = 0.35, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val incomingIds = incoming.select("vec_id").as[Long].collect().toSet
+    assert(admitted.subsetOf(incomingIds) && admitted.nonEmpty)
+    assert(admitted != incomingIds,
+      "fixture must reject something or the gate is vacuous")
+    // cos <= 1 always, so a threshold above 1 admits the whole batch
+    assert(Similarity.ivfNearDupAdmit(spark, idx, incoming, "vec_id",
+      "embedding", threshold = 1.01, nprobe = 2).count() ==
+      incomingIds.size)
+    // ingest the admitted slice; a REPLAY self-rejects (each vector's
+    // own cell is always among its probes, and cos(v, v) = 1)
+    val admittedDf = incoming.filter($"vec_id".isin(admitted.toSeq: _*))
+    Similarity.appendToIvfIndex(spark, idx, admittedDf, "vec_id",
+      "embedding", "b1")
+    assert(Similarity.ivfNearDupAdmit(spark, idx, admittedDf, "vec_id",
+      "embedding", threshold = 0.35, nprobe = 2).count() == 0,
+      "replayed vectors must self-reject after the append")
+  }
+
   test("IVF maintenance races: retrain CARRIES a concurrent append " +
       "(== retrain-then-append); compact/append abort cleanly when a " +
       "retrain or compaction wins their CAS window") {
