@@ -65,7 +65,9 @@ object Bench {
     "x109_zorder_write", "x110_bm25_time_travel", "x112_ivf_time_travel",
     "x115_ivfpq_index_serve", "x117_ivfpq_retrain_serve",
     "x118_minhash_index_admit", "x119_minhash_index_append",
-    "x120_ivf_neardup_admit")
+    "x120_ivf_neardup_admit", "x121_bm25_index_delete",
+    "x122_bm25_reindex_docs", "x123_bm25_delete_compact",
+    "x124_ivf_index_delete", "x125_minhash_index_delete")
 
   private def queryClass(name: String): String =
     if (StreamQueries.contains(name)) "stream"

@@ -1094,6 +1094,24 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // ledger DELETE (x125): a takedown must stop BLOCKING admission —
+    // tombstoned docs leave the banded/sig join, so near-duplicates of
+    // removed documents are ingestible again. Admission is checked
+    // against the LIVE indexed corpus only (oracle bars the deleted
+    // ids from the collision side).
+    "x125_minhash_index_delete" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val idx = scratchDir("mh_del125")
+      graft.ext.DedupOps.saveMinhashIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", idx)
+      graft.ext.DedupOps.deleteFromMinhashIndex(s, idx,
+        docs.filter(col("doc_id") < 250 && col("doc_id") % 4 === 2)
+          .select(col("doc_id")), "doc_id", "d1")
+      graft.ext.DedupOps.minhashAdmit(s, idx,
+        docs.filter(col("doc_id") >= 250), "doc_id", "text")
+        .select(col("doc_id"))
+    },
+
     "x15_incremental_dedup" -> { (s, dir) =>
       val docs = T(s, dir, "documents")
       val corpus = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
@@ -2034,6 +2052,74 @@ object SparkEntry {
         emb.filter(col("vec_id") >= 400), "vec_id", "embedding",
         threshold = 0.35, nprobe = 2)
         .select(col("vec_id"))
+    },
+
+    // BM25 index DELETE (x121): tombstone + negative-correction
+    // deletion — served scores must be EXACT for the live corpus
+    // immediately (idf/n_docs/avgdl all net out the deleted docs),
+    // not merely exclude the deleted ids: the oracle scores the
+    // filtered corpus from scratch.
+    "x121_bm25_index_delete" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val idx = scratchDir("bm25_del121")
+      graft.ext.TextAnalysis.saveBm25Index(docs, "doc_id", "text", idx)
+      graft.ext.TextAnalysis.deleteFromBm25Index(s, idx,
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+        "doc_id", "d1")
+      graft.ext.TextAnalysis.queryBm25Index(s, idx,
+        Seq("hash", "join", "merge"), k = 10)
+    },
+
+    // BM25 index REINDEX/upsert (x122): the MERGE of the lifecycle —
+    // changed docs are tombstoned out of their old segments and
+    // re-appended as a fresh segment outside every tombstone's scope
+    // (the reason tombstones are (doc, segment)-scoped). The oracle
+    // scores the UPDATED corpus from scratch: old versions must be
+    // fully gone (stats included) and new versions fully live.
+    "x122_bm25_reindex_docs" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val idx = scratchDir("bm25_reidx122")
+      graft.ext.TextAnalysis.saveBm25Index(docs, "doc_id", "text", idx)
+      graft.ext.TextAnalysis.reindexBm25Docs(s, idx,
+        docs.filter(col("doc_id") % 5 === 2)
+          .withColumn("text", concat(col("text"), lit(" merge"))),
+        "doc_id", "text", "r1")
+      graft.ext.TextAnalysis.queryBm25Index(s, idx,
+        Seq("hash", "join", "merge"), k = 10)
+    },
+
+    // BM25 delete + COMPACT (x123): physical removal — the fold
+    // anti-joins the tombstones, nets the negative corrections into
+    // one termstats/stats segment, and drops the tombstone table;
+    // the answer must not move (x121's oracle verbatim).
+    "x123_bm25_delete_compact" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val idx = scratchDir("bm25_delc123")
+      graft.ext.TextAnalysis.saveBm25Index(docs, "doc_id", "text", idx)
+      graft.ext.TextAnalysis.deleteFromBm25Index(s, idx,
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+        "doc_id", "d1")
+      graft.ext.TextAnalysis.compactBm25Index(s, idx)
+      graft.ext.TextAnalysis.queryBm25Index(s, idx,
+        Seq("hash", "join", "merge"), k = 10)
+    },
+
+    // IVF index DELETE (x124): the vector half — tombstoned vectors
+    // vanish from every candidate set immediately (centroids stay the
+    // full-corpus generation; deletes never retrain). Oracle: x71's
+    // full-corpus-trained serve with deleted ids barred from the
+    // candidate join only.
+    "x124_ivf_index_delete" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivf_del124")
+      graft.ext.Similarity.saveIvfIndex(emb, "vec_id", "embedding",
+        idx, kCentroids = 8, iters = 2)
+      graft.ext.Similarity.deleteFromIvfIndex(s, idx,
+        emb.filter(col("vec_id") % 3 === 1).select(col("vec_id")),
+        "vec_id", "d1")
+      graft.ext.Similarity.queryIvfIndex(s, idx,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 2)
     },
 
     // IVF time travel (x112): the vector-index half of x110 — pin the
@@ -3943,12 +4029,15 @@ object SparkEntry {
     // cut) is REJECTED iff a banded collision with the indexed corpus
     // (doc_id < cut) verifies at est >= 0.5; short docs carry no sig
     // and admit unconditionally (they are absent from the sig CTEs)
-    def minhashAdmitOracle(cut: Int): String =
+    // `corpusExtra`: extra predicate on the INDEXED side (x125 bars
+    // tombstoned docs from blocking admission)
+    def minhashAdmitOracle(cut: Int, corpusExtra: String = ""): String =
       s"""WITH $minhashSigCtes,
           rej AS (SELECT DISTINCT b.doc_id
                   FROM banded a JOIN banded b
                     ON a.b = b.b AND a.sl = b.sl
-                   AND a.doc_id < $cut AND b.doc_id >= $cut
+                   AND a.doc_id < $cut $corpusExtra
+                   AND b.doc_id >= $cut
                   JOIN sig sa ON sa.doc_id = a.doc_id
                   JOIN sig sb ON sb.doc_id = b.doc_id
                   WHERE round(len(list_filter(list_zip(sa.sig, sb.sig),
@@ -4062,6 +4151,9 @@ object SparkEntry {
 
       "x03_minhash_pairs" -> minhashOracle,
       "x118_minhash_index_admit" -> minhashAdmitOracle(250),
+      // x125: deleted indexed docs cannot block admission
+      "x125_minhash_index_delete" ->
+        minhashAdmitOracle(250, "AND a.doc_id % 4 <> 2"),
       // after the append the corpus is everything below 400
       "x119_minhash_index_append" -> minhashAdmitOracle(400),
 
@@ -5046,6 +5138,45 @@ object SparkEntry {
         bm25Sql("(SELECT * FROM documents WHERE doc_id < 250)"),
       // x112: the as-of read serves only the pre-append subset index
       "x112_ivf_time_travel" -> ivfAsOfOracle,
+      // x121/x123: deletion must make served statistics EXACTLY the
+      // live corpus's — the oracle rebuilds BM25 from scratch over the
+      // filtered corpus (x123 adds a compaction; same answer)
+      "x121_bm25_index_delete" ->
+        bm25Sql("(SELECT * FROM documents WHERE doc_id % 7 <> 3)"),
+      "x123_bm25_delete_compact" ->
+        bm25Sql("(SELECT * FROM documents WHERE doc_id % 7 <> 3)"),
+      // x122: reindex = the updated corpus scored from scratch — old
+      // versions fully gone (stats included), new versions fully live
+      "x122_bm25_reindex_docs" -> bm25Sql(
+        """(SELECT doc_id,
+              CASE WHEN doc_id % 5 = 2 THEN text || ' merge'
+                   ELSE text END AS text
+            FROM documents)"""),
+      // x124: full-corpus-trained IVF serve (x71's Lloyd's verbatim)
+      // with deleted ids barred from the CANDIDATE join only —
+      // centroids and probe geometry are untouched by deletion
+      "x124_ivf_index_delete" ->
+        s"""WITH $kmeansCtes,
+            probes AS (
+              SELECT query_id, cl AS bucket FROM (
+                SELECT v.vec_id AS query_id, c.cl,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY $kmeansD2, c.cl) AS rn
+                FROM v, c2 c
+                WHERE v.vec_id < 8)
+              WHERE rn <= 2)
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+            FROM (SELECT p.query_id, b.vec_id, $cosPairExpr AS cos,
+                         row_number() OVER (PARTITION BY p.query_id
+                           ORDER BY $cosPairExpr DESC, b.vec_id ASC)
+                           AS rank
+                  FROM probes p
+                       JOIN a3 s ON s.cl = p.bucket
+                         AND s.vec_id % 3 <> 1
+                       JOIN v b ON b.vec_id = s.vec_id
+                       JOIN v a ON a.vec_id = p.query_id
+                  WHERE b.vec_id <> p.query_id)
+            WHERE rank <= 5""",
       // x120: incoming (>= 400) rejected iff a probed cell of the
       // subset-trained index holds a vector at cosine >= 0.35
       "x120_ivf_neardup_admit" ->

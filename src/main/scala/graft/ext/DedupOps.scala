@@ -915,6 +915,99 @@ object DedupOps {
       .reduce(_ unionByName _)
   }
 
+  /** The signature ledger's tombstone table: (doc_id, seg) rows — one
+    * scope covers BOTH parallel tables (`sigs`/`banded` segments share
+    * names; a doc's rows live in exactly one segment pair). */
+  private val MinhashDeletesTable = "deletes"
+
+  /** A `sigs`/`banded` read with tombstoned (doc_id, seg) rows
+    * anti-joined out — zero added plan nodes when no deletes exist. */
+  private def readMinhashTableLive(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: graft.sinks.IndexSnapshot, table: String): DataFrame = {
+    val del = snap.segs(MinhashDeletesTable)
+    if (del.isEmpty) readMinhashTable(spark, path, snap, table)
+    else {
+      val segs = snap.segs(table)
+      require(segs.nonEmpty, s"index at $path has no '$table' segments")
+      val tagged = segs.map(s =>
+        spark.read.parquet(s"$path/$table/$s")
+          .withColumn("_seg", lit(s))).reduce(_ unionByName _)
+      val tomb = del.map(s => spark.read.parquet(s"$path/deletes/$s"))
+        .reduce(_ unionByName _)
+      tagged.join(tomb.select(col("doc_id"), col("seg").as("_seg")),
+        Seq("doc_id", "_seg"), "left_anti").drop("_seg")
+    }
+  }
+
+  /** DELETE documents from a persisted [[saveMinhashIndex]] ledger —
+    * takedowns must stop BLOCKING admission, not just disappear: a
+    * tombstoned doc's signatures leave the admission join, so a
+    * near-duplicate of a removed document is ingestible again (and a
+    * replayed copy of a deleted doc re-admits — the ledger forgets).
+    * Same protocol as the other index deletes: (doc_id, seg)-scoped
+    * tombstones under one commit, no statistics to correct, physical
+    * removal at [[compactMinhashIndex]], idempotent retry on
+    * `delete_<deleteId>`; appends compose, compactions/deletes racing
+    * a fold abort via the CAS guards. Scope derivation reads only the
+    * fixed-width `banded` rows — never signatures or text. */
+  def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, docIds: DataFrame, idCol: String,
+      deleteId: String): Unit =
+    deleteFromMinhashIndexFrom(spark, path, docIds, idCol, deleteId,
+      minhashSnapshot(spark, path))
+
+  /** Snapshot-taking core of [[deleteFromMinhashIndex]] —
+    * `private[ext]` for the concurrency specs. */
+  private[ext] def deleteFromMinhashIndexFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      docIds: DataFrame, idCol: String, deleteId: String,
+      snap: graft.sinks.IndexSnapshot): Unit = {
+    require(deleteId.nonEmpty && deleteId.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"deleteId must be a filesystem-safe token (got '$deleteId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val marker = s"delete_$deleteId"
+    if (snap.applied.contains(marker)) return
+    val seg = s"del_$deleteId"
+    // (doc -> segment) scope from the banded keys (16 fixed-width
+    // rows/doc; docs shorter than n tokens have no rows and nothing to
+    // tombstone). Live read: re-deleting an already-tombstoned doc
+    // adds nothing.
+    val del = snap.segs(MinhashDeletesTable)
+    val tagged = snap.segs("banded").map(s =>
+        spark.read.parquet(s"$path/banded/$s")
+          .select(col("doc_id"), lit(s).as("seg")))
+      .reduce(_ unionByName _)
+    val live = if (del.isEmpty) tagged
+      else tagged.join(
+        del.map(s => spark.read.parquet(s"$path/deletes/$s"))
+          .reduce(_ unionByName _),
+        Seq("doc_id", "seg"), "left_anti")
+    live.join(docIds.select(col(idCol).cast(LongType).as("doc_id"))
+        .distinct(), Seq("doc_id"))
+      .select(col("doc_id"), col("seg")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/deletes/$seg")
+    val sawBanded = snap.segs("banded").toSet
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(marker)) c // concurrent duplicate: no-op
+      else {
+        require(sawBanded.subsetOf(c.segs("banded").toSet),
+          "a concurrent compaction folded segments this delete " +
+            "scanned — its tombstone scopes reference dropped " +
+            "segments; rerun deleteFromMinhashIndex against the new " +
+            "snapshot (appends compose; compactions serialize)")
+        c.copy(
+          tables = c.tables + (MinhashDeletesTable ->
+            (c.segs(MinhashDeletesTable).filterNot(_ == seg) :+ seg)),
+          applied = c.applied :+ marker)
+      }
+    }
+  }
+
   /** Incremental near-dup ADMISSION against a persisted
     * [[saveMinhashIndex]] index: returns the rows of `newDocs` that
     * have NO verified near-duplicate (estimated Jaccard >= `threshold`)
@@ -944,12 +1037,14 @@ object DedupOps {
     val k = bands * rows
     val inSig = minhashSigFrame(newDocs, idCol, textCol, n, k)
     val inBanded = minhashBandedFrame(inSig, bands, rows)
-    val corpusBanded = readMinhashTable(spark, path, snap, "banded")
+    // live reads: tombstoned docs neither collide nor verify, so a
+    // near-dup of a DELETED document admits again (the ledger forgets)
+    val corpusBanded = readMinhashTableLive(spark, path, snap, "banded")
     val cand = inBanded.select(col("doc_id").as("in_doc"), col("bucket"))
       .join(corpusBanded.select(col("doc_id").as("corpus_doc"),
         col("bucket")), Seq("bucket"))
       .select(col("in_doc"), col("corpus_doc")).distinct()
-    val corpusSigs = readMinhashTable(spark, path, snap, "sigs")
+    val corpusSigs = readMinhashTableLive(spark, path, snap, "sigs")
     val rejected = cand
       .join(inSig.select(col("doc_id").as("in_doc"),
         col("sig").as("sig_a")), Seq("in_doc"))
@@ -975,10 +1070,11 @@ object DedupOps {
     require(batchId.nonEmpty && batchId != "base" &&
         !batchId.startsWith("compact_v") &&
         !batchId.startsWith("retrain_v") &&
+        !batchId.startsWith("delete_") &&
         batchId.forall(c =>
           c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       "batchId must be a filesystem-safe token != 'base' and outside " +
-        s"the reserved 'compact_v'/'retrain_v' prefixes (got '$batchId')")
+        s"the reserved 'compact_v'/'retrain_v'/'delete_' prefixes (got '$batchId')")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val snap = minhashSnapshot(spark, path)
@@ -1002,22 +1098,33 @@ object DedupOps {
     * (concurrent appends carried; a racing compaction aborts). */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
+    compactMinhashIndexFrom(spark, path, minhashSnapshot(spark, path))
+  }
+
+  /** Snapshot-taking core of [[compactMinhashIndex]] —
+    * `private[ext]` for the concurrency specs. */
+  private[ext] def compactMinhashIndexFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: graft.sinks.IndexSnapshot): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
-    val snap = minhashSnapshot(spark, path)
-    if (Seq("sigs", "banded").forall(t => snap.segs(t).length <= 1))
+    if (Seq("sigs", "banded").forall(t => snap.segs(t).length <= 1) &&
+      snap.segs(MinhashDeletesTable).isEmpty)
       return
     val seg = s"compact_v${snap.version}_" +
       java.util.UUID.randomUUID().toString.take(8)
-    readMinhashTable(spark, path, snap, "sigs")
+    // live reads: the fold physically removes tombstoned docs; the
+    // tombstone table empties in the same commit
+    readMinhashTableLive(spark, path, snap, "sigs")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/sigs/$seg")
-    readMinhashTable(spark, path, snap, "banded")
+    readMinhashTableLive(spark, path, snap, "banded")
       .repartition(col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/banded/$seg")
     val folded = Seq("sigs", "banded").map(t =>
       t -> snap.segs(t).toSet).toMap
+    val sawDeletes = snap.segs(MinhashDeletesTable)
     graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
       val c = cur.getOrElse(snap)
       Seq("sigs", "banded").foreach(t => require(
@@ -1025,8 +1132,13 @@ object DedupOps {
         "a concurrent compaction already folded segments this " +
           "compaction read — rerun compactMinhashIndex against the " +
           "new snapshot"))
+      require(c.segs(MinhashDeletesTable) == sawDeletes,
+        "a concurrent delete committed during compaction — its " +
+          "tombstones are scoped to segments this fold dropped; rerun " +
+          "compactMinhashIndex against the new snapshot")
       c.copy(tables = c.tables ++ Seq("sigs", "banded").map(t =>
-        t -> (seg +: c.segs(t).filterNot(folded(t).contains))))
+        t -> (seg +: c.segs(t).filterNot(folded(t).contains)))
+        + (MinhashDeletesTable -> Seq.empty[String]))
     }
   }
 
@@ -1036,6 +1148,7 @@ object DedupOps {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     graft.sinks.IndexManifest.vacuum(fs, path, keepVersions,
-      MinhashTables.map(t => t -> s"$path/$t").toMap)
+      (MinhashTables :+ MinhashDeletesTable)
+        .map(t => t -> s"$path/$t").toMap)
   }
 }

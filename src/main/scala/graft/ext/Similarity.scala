@@ -546,8 +546,92 @@ object Similarity {
       path: String, snap: graft.sinks.IndexSnapshot): DataFrame = {
     val segs = snap.segs("corpus")
     require(segs.nonEmpty, s"index at $path has no corpus segments")
-    spark.read.parquet(s"$path/corpus")
+    val base = spark.read.parquet(s"$path/corpus")
       .filter(col("batch").isin(segs: _*))
+    // tombstone-aware: every index reader (serve, kNN, cell stats,
+    // admission, compaction fold, retrain training set) sees the live
+    // corpus. Tombstones are (vec_id, batch)-scoped — the corpus
+    // already carries its segment name as the `batch` partition
+    // column, so a later re-append of a deleted id lands in a batch no
+    // tombstone covers and serves normally (the reindex primitive).
+    val del = snap.segs(IvfDeletesTable)
+    if (del.isEmpty) base
+    else base.join(
+      del.map(s => spark.read.parquet(s"$path/deletes/$s"))
+        .reduce(_ unionByName _),
+      Seq("vec_id", "batch"), "left_anti")
+  }
+
+  /** The vector indexes' tombstone table: (vec_id, batch) rows scoping
+    * each deleted vector to the corpus segment that held it when the
+    * delete committed — shared by the IVF and IVFPQ layouts (both
+    * bucket their corpus under `batch=` segments). */
+  private val IvfDeletesTable = "deletes"
+
+  /** DELETE vectors from a persisted [[saveIvfIndex]] or
+    * [[saveIvfPqIndex]] index — the vector half of
+    * [[graft.ext.TextAnalysis.deleteFromBm25Index]]: ids land as a
+    * (vec_id, batch)-scoped tombstone segment under one manifest
+    * commit, every reader ([[queryIvfIndex]]/[[queryIvfPqIndex]],
+    * kNN-graph serves, [[ivfCellStats]], [[ivfNearDupAdmit]]) anti-
+    * joins them out immediately, and [[compactIvfIndex]] /
+    * [[retrainIvfIndex]] physically remove them. Time travel to a
+    * pre-delete version still serves the vectors. No statistics
+    * corrections are needed (the vector serves keep no corpus-global
+    * statistics), so overlapping delete sets are naturally idempotent
+    * and deletes need no mutual serialization.
+    *
+    * Cost: one corpus pass projecting (vec_id, batch) — two int-ish
+    * columns under column pruning — to locate each id's segment; ∝
+    * index like compaction, not ∝ batch like appends.
+    *
+    * Concurrency: composes with APPENDS (superset corpus check); a
+    * concurrent COMPACTION or RETRAIN aborts the commit — the scopes
+    * would reference folded/re-bucketed segments — and the rerun
+    * recomputes. Idempotent retry keyed on `delete_<deleteId>`. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String,
+      deleteId: String): Unit =
+    deleteFromIvfIndexFrom(spark, path, ids, idCol, deleteId,
+      ivfSnapshot(spark, path))
+
+  /** Snapshot-taking core of [[deleteFromIvfIndex]] — `private[ext]`
+    * for the concurrency specs (delete-races-compaction window). */
+  private[ext] def deleteFromIvfIndexFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String, deleteId: String,
+      snap: graft.sinks.IndexSnapshot): Unit = {
+    require(deleteId.nonEmpty && deleteId.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"deleteId must be a filesystem-safe token (got '$deleteId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val marker = s"delete_$deleteId"
+    if (snap.applied.contains(marker)) return
+    val seg = s"del_$deleteId"
+    readIvfCorpus(spark, path, snap)
+      .join(ids.select(col(idCol).cast(LongType).as("vec_id"))
+        .distinct(), Seq("vec_id"))
+      .select(col("vec_id"), col("batch").cast(StringType).as("batch"))
+      .distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/deletes/$seg")
+    val sawCorpus = snap.segs("corpus").toSet
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(marker)) c // concurrent duplicate: no-op
+      else {
+        require(sawCorpus.subsetOf(c.segs("corpus").toSet),
+          "a concurrent compaction/retrain replaced corpus segments " +
+            "this delete scanned — its tombstone scopes reference " +
+            "dropped segments; rerun deleteFromIvfIndex against the " +
+            "new snapshot (appends compose; maintenance serializes)")
+        c.copy(
+          tables = c.tables + (IvfDeletesTable ->
+            (c.segs(IvfDeletesTable).filterNot(_ == seg) :+ seg)),
+          applied = c.applied :+ marker)
+      }
+    }
   }
 
   /** Reload the k-row centroid file of a [[saveIvfIndex]] index,
@@ -605,10 +689,11 @@ object Similarity {
     require(batchId.nonEmpty && batchId != "base" &&
         !batchId.startsWith("compact_v") &&
         !batchId.startsWith("retrain_v") &&
+        !batchId.startsWith("delete_") &&
         batchId.forall(c =>
           c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       "batchId must be a filesystem-safe token != 'base' and outside " +
-        s"the reserved 'compact_v'/'retrain_v' prefixes (got '$batchId')")
+        s"the reserved 'compact_v'/'retrain_v'/'delete_' prefixes (got '$batchId')")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
@@ -702,9 +787,12 @@ object Similarity {
       snap: graft.sinks.IndexSnapshot): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
-    if (snap.segs("corpus").length <= 1) return
+    if (snap.segs("corpus").length <= 1 &&
+      snap.segs(IvfDeletesTable).isEmpty) return
     val seg = s"compact_v${snap.version}_" +
       java.util.UUID.randomUUID().toString.take(8)
+    // readIvfCorpus is tombstone-aware, so the fold physically removes
+    // deleted vectors; the tombstone table empties in the same commit
     readIvfCorpus(spark, path, snap)
       .select(col("vec_id"), col("v"), col("nrm"),
         col("bucket").cast(LongType).as("bucket"))
@@ -714,6 +802,7 @@ object Similarity {
       .parquet(s"$path/corpus/batch=$seg")
     val folded = snap.segs("corpus").toSet
     val sawCentroids = snap.segs("centroids")
+    val sawDeletes = snap.segs(IvfDeletesTable)
     graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
       val c = cur.getOrElse(snap)
       // Two concurrent-maintenance races this merge must NOT compose
@@ -733,8 +822,16 @@ object Similarity {
         "a concurrent compaction already folded segments this " +
           "compaction read — committing both copies would duplicate " +
           "vectors; rerun compactIvfIndex against the new snapshot")
+      // a delete committing mid-fold scoped its tombstones to batch
+      // names this fold drops — carrying them would dangle and
+      // resurrect the vectors
+      require(c.segs(IvfDeletesTable) == sawDeletes,
+        "a concurrent delete committed during compaction — its " +
+          "tombstones are scoped to segments this fold dropped; rerun " +
+          "compactIvfIndex against the new snapshot")
       c.copy(tables = c.tables + ("corpus" ->
-        (seg +: c.segs("corpus").filterNot(folded.contains))))
+        (seg +: c.segs("corpus").filterNot(folded.contains)))
+        + (IvfDeletesTable -> Seq.empty[String]))
     }
   }
 
@@ -840,11 +937,22 @@ object Similarity {
           if (c.segs("corpus").exists(s =>
               !sawCorpus.contains(s) && !carried.contains(s)))
             throw new RetrainCarryRetry
+          // a delete committing mid-retrain scoped its tombstones to
+          // batch names the retrain replaces — abort rather than
+          // resurrect (the rerun trains on the post-delete live corpus)
+          require(c.segs(IvfDeletesTable) ==
+              snap.segs(IvfDeletesTable),
+            "a delete committed during retrain — its tombstones are " +
+              "scoped to segments the retrain replaces; rerun " +
+              "retrainIvfIndex against the new snapshot")
           // carry order follows the winning snapshot's commit order
           val carrySegs = c.segs("corpus").flatMap(carried.get)
+          // tombstoned vectors were excluded from the retrained fold
+          // (readIvfCorpus), so the tombstones are baked in — drop them
           c.copy(tables = c.tables +
             ("corpus" -> (seg +: carrySegs)) +
-            ("centroids" -> Seq(seg)))
+            ("centroids" -> Seq(seg)) +
+            (IvfDeletesTable -> Seq.empty[String]))
         }
         committed = true
       } catch { case _: RetrainCarryRetry => () }
@@ -896,7 +1004,8 @@ object Similarity {
       spark.sessionState.newHadoopConf())
     graft.sinks.IndexManifest.vacuum(fs, path, keepVersions,
       Map("corpus" -> s"$path/corpus",
-        "centroids" -> s"$path/centroids"),
+        "centroids" -> s"$path/centroids",
+        IvfDeletesTable -> s"$path/deletes"),
       (t, s) => if (t == "corpus") s"batch=$s" else s)
   }
 
@@ -1063,10 +1172,11 @@ object Similarity {
     require(batchId.nonEmpty && batchId != "base" &&
         !batchId.startsWith("compact_v") &&
         !batchId.startsWith("retrain_v") &&
+        !batchId.startsWith("delete_") &&
         batchId.forall(c =>
           c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       "batchId must be a filesystem-safe token != 'base' and outside " +
-        s"the reserved 'compact_v'/'retrain_v' prefixes (got '$batchId')")
+        s"the reserved 'compact_v'/'retrain_v'/'delete_' prefixes (got '$batchId')")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
@@ -1149,8 +1259,15 @@ object Similarity {
           "codes, so an unseen batch cannot be re-encoded against the " +
           "new codebooks from the index alone; serialize appends and " +
           "maintenance with retrainIvfPqIndex and rerun")
+      require(c.segs(IvfDeletesTable) == snap.segs(IvfDeletesTable),
+        "a delete committed during IVFPQ retrain — rerun with a " +
+          "corpus that reflects it (the caller-supplied corpus is the " +
+          "source of truth; a stale one would resurrect deleted ids)")
+      // the retrained segment holds exactly the caller's (post-delete)
+      // corpus, so prior tombstones are baked in — drop them
       c.copy(tables = c.tables + ("corpus" -> Seq(seg)) +
-        ("centroids" -> Seq(seg)) + ("codebooks" -> Seq(seg)))
+        ("centroids" -> Seq(seg)) + ("codebooks" -> Seq(seg)) +
+        (IvfDeletesTable -> Seq.empty[String]))
     }
   }
 
@@ -1164,7 +1281,8 @@ object Similarity {
     val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
       throw new IllegalArgumentException(
         s"no index manifest at $path (not a saveIvfPqIndex directory)"))
-    if (snap.segs("corpus").length <= 1) return
+    if (snap.segs("corpus").length <= 1 &&
+      snap.segs(IvfDeletesTable).isEmpty) return
     val seg = s"compact_v${snap.version}_" +
       java.util.UUID.randomUUID().toString.take(8)
     readIvfCorpus(spark, path, snap)
@@ -1176,6 +1294,7 @@ object Similarity {
       .parquet(s"$path/corpus/batch=$seg")
     val folded = snap.segs("corpus").toSet
     val sawGens = (snap.segs("centroids"), snap.segs("codebooks"))
+    val sawDeletes = snap.segs(IvfDeletesTable)
     graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
       val c = cur.getOrElse(snap)
       require((c.segs("centroids"), c.segs("codebooks")) == sawGens,
@@ -1185,8 +1304,13 @@ object Similarity {
         "a concurrent compaction already folded segments this " +
           "compaction read — rerun compactIvfPqIndex against the new " +
           "snapshot")
+      require(c.segs(IvfDeletesTable) == sawDeletes,
+        "a concurrent delete committed during compaction — its " +
+          "tombstones are scoped to segments this fold dropped; rerun " +
+          "compactIvfPqIndex against the new snapshot")
       c.copy(tables = c.tables + ("corpus" ->
-        (seg +: c.segs("corpus").filterNot(folded.contains))))
+        (seg +: c.segs("corpus").filterNot(folded.contains)))
+        + (IvfDeletesTable -> Seq.empty[String]))
     }
   }
 
@@ -1199,7 +1323,8 @@ object Similarity {
     graft.sinks.IndexManifest.vacuum(fs, path, keepVersions,
       Map("corpus" -> s"$path/corpus",
         "centroids" -> s"$path/centroids",
-        "codebooks" -> s"$path/codebooks"),
+        "codebooks" -> s"$path/codebooks",
+        IvfDeletesTable -> s"$path/deletes"),
       (t, s) => if (t == "corpus") s"batch=$s" else s)
   }
 

@@ -719,6 +719,10 @@ object TextAnalysis {
 
   private val Bm25Tables = Seq("postings", "termstats", "stats")
 
+  /** The tombstone table: (doc_id, seg) rows scoping each deleted doc
+    * to the postings segment that held it when the delete committed. */
+  private val Bm25DeletesTable = "deletes"
+
   /** Batches at or under this row count take the single-partition
     * segment build (see [[appendToBm25Index]]'s `knownRows`): well
     * under one parquet row group of postings, so the shuffle the
@@ -815,6 +819,47 @@ object TextAnalysis {
       .reduce(_ unionByName _)
   }
 
+  /** The snapshot's tombstone set as one frame of (doc_id, seg) rows —
+    * None when the index has no deletes (the common case; every reader
+    * then skips the anti-join entirely). Tombstones are SCOPED to the
+    * postings segment that held the doc when the delete committed (the
+    * Lucene per-segment live-docs shape): a doc re-added by a LATER
+    * append lands in a segment no existing tombstone covers, which is
+    * what makes [[reindexBm25Docs]] (delete + re-add) well-defined. */
+  private def bm25Tombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, snap: graft.sinks.IndexSnapshot): Option[DataFrame] = {
+    val del = snap.segs(Bm25DeletesTable)
+    if (del.isEmpty) None
+    else Some(del.map(s => spark.read.parquet(s"$path/deletes/$s"))
+      .reduce(_ unionByName _))
+  }
+
+  /** The postings union with each segment tagged by its name — the
+    * shape the (doc_id, seg)-scoped tombstone anti-join keys on. */
+  private def taggedPostings(spark: org.apache.spark.sql.SparkSession,
+      path: String, snap: graft.sinks.IndexSnapshot): DataFrame = {
+    val segs = snap.segs("postings")
+    require(segs.nonEmpty, s"index at $path has no 'postings' segments")
+    segs.map(s => spark.read.parquet(s"$path/postings/$s")
+      .withColumn("_seg", lit(s))).reduce(_ unionByName _)
+  }
+
+  /** The snapshot's LIVE postings: the segment union minus tombstoned
+    * (doc_id, seg) rows. With no deletes this is exactly
+    * [[readBm25Table]]("postings") — zero added plan nodes; with
+    * deletes, one anti-join against the (small) tombstone table, which
+    * Catalyst pushes term filters through to the scans. */
+  private def livePostings(spark: org.apache.spark.sql.SparkSession,
+      path: String, snap: graft.sinks.IndexSnapshot): DataFrame =
+    bm25Tombstones(spark, path, snap) match {
+      case None => readBm25Table(spark, path, snap, "postings")
+      case Some(tomb) =>
+        taggedPostings(spark, path, snap)
+          .join(tomb.select(col("doc_id"), col("seg").as("_seg")),
+            Seq("doc_id", "_seg"), "left_anti")
+          .drop("_seg")
+    }
+
   private def bm25Snapshot(spark: org.apache.spark.sql.SparkSession,
       path: String, asOfVersion: Option[Long] = None)
       : graft.sinks.IndexSnapshot = {
@@ -856,7 +901,11 @@ object TextAnalysis {
     // time travel: any retained manifest version serves in full —
     // maintenance writes new segments and deletes nothing until vacuum
     val snap = bm25Snapshot(spark, path, asOfVersion)
-    val postings = readBm25Table(spark, path, snap, "postings")
+    // tombstone-aware: deleted docs never surface, and because every
+    // delete also landed NEGATIVE (termstats, stats) correction
+    // segments, the summed statistics below are the live corpus's —
+    // scores are exact immediately, not only after compaction
+    val postings = livePostings(spark, path, snap)
       .filter(col("term").isin(qset: _*))
     // per-segment df contributions sum to the corpus df_t; the filter
     // pushes below the union into every segment scan
@@ -938,9 +987,10 @@ object TextAnalysis {
         c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"batchId must be a filesystem-safe token (got '$batchId')")
     require(batchId != "base" && !batchId.startsWith("compact_v") &&
-        !batchId.startsWith("retrain_v"),
+        !batchId.startsWith("retrain_v") && !batchId.startsWith("delete_"),
       s"batchId '$batchId' collides with reserved segment names " +
-        "('base', 'compact_v*', 'retrain_v*')")
+        "('base', 'compact_v*', 'retrain_v*') or the delete-marker " +
+        "namespace ('delete_*' in the applied list)")
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
@@ -954,10 +1004,152 @@ object TextAnalysis {
       val c = cur.getOrElse(snap)
       if (c.applied.contains(batchId)) c // concurrent duplicate: no-op
       else c.copy(
-        tables = Bm25Tables.map(t =>
-          t -> (c.segs(t).filterNot(_ == seg) :+ seg)).toMap,
+        // ++ over c.tables: the merge must carry tables it doesn't
+        // touch (the tombstone table) — rebuilding the map from
+        // Bm25Tables alone would silently drop live deletes
+        tables = c.tables ++ Bm25Tables.map(t =>
+          t -> (c.segs(t).filterNot(_ == seg) :+ seg)),
         applied = c.applied :+ batchId)
     }
+  }
+
+  /** DELETE documents from a persisted [[saveBm25Index]] index — the
+    * tombstone half of the lifecycle (GDPR/right-to-be-forgotten,
+    * takedowns, corpus curation): the doc ids land as a
+    * (doc_id, seg)-scoped tombstone segment plus NEGATIVE (termstats,
+    * stats) correction segments, all under one manifest commit.
+    * Because the statistics tables are additive sums, the corrections
+    * make served scores EXACT immediately — idf, n_docs, and avgdl are
+    * the live corpus's from the next read, not only after a merge
+    * (stricter than Lucene, whose df counts deleted docs until segment
+    * merge). Physical removal happens at [[compactBm25Index]], which
+    * anti-joins the fold and drops the tombstones; time travel to a
+    * pre-delete version still serves the deleted docs (the tombstone
+    * is part of the snapshot, not the data).
+    *
+    * Scoped tombstones are what make RE-ADDS sound: a tombstone covers
+    * (doc, segment-at-delete-time) pairs, so a later append of the
+    * same doc id lands in a fresh segment no tombstone covers and
+    * serves normally — the primitive [[reindexBm25Docs]] composes.
+    *
+    * Cost: one pass over the snapshot's postings (term-projected scan
+    * + one semi-join) to locate the deleted docs' rows — ∝ index, the
+    * same class as compaction, NOT ∝ batch like appends; deletes are
+    * maintenance, batch them accordingly.
+    *
+    * Idempotent retry keyed on `delete_<deleteId>` in the manifest's
+    * `applied` list (namespaced apart from append batchIds — the
+    * append path reserves the prefix). Ids absent from the index
+    * no-op row-wise (the semi-join finds nothing) but still record
+    * the marker. Concurrency: composes with APPENDS (their segments
+    * are outside every scope this delete writes); a concurrent
+    * COMPACTION or overlapping DELETE aborts the commit — corrections
+    * computed against a superseded segment/tombstone set could
+    * double-count — and the rerun recomputes against the winner. */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, docIds: DataFrame, idCol: String,
+      deleteId: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no index manifest at $path (not a saveBm25Index directory)"))
+    deleteFromBm25IndexFrom(spark, path, docIds, idCol, deleteId, snap)
+  }
+
+  /** Snapshot-taking core of [[deleteFromBm25Index]] — `private[ext]`
+    * so the concurrency specs can deterministically replay the
+    * delete-races-compaction and delete-races-delete windows. */
+  private[ext] def deleteFromBm25IndexFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      docIds: DataFrame, idCol: String, deleteId: String,
+      snap: graft.sinks.IndexSnapshot): Unit = {
+    require(deleteId.nonEmpty && deleteId.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"deleteId must be a filesystem-safe token (got '$deleteId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val marker = s"delete_$deleteId"
+    if (snap.applied.contains(marker)) return
+    val seg = s"del_$deleteId"
+    val ids = docIds.select(col(idCol).cast(LongType).as("doc_id"))
+      .distinct()
+    // locate the doomed rows in the LIVE postings (already-tombstoned
+    // rows excluded, so overlapping delete sets can never double-count
+    // a correction); _seg rides through as the tombstone scope
+    val doomed = (bm25Tombstones(spark, path, snap) match {
+        case None => taggedPostings(spark, path, snap)
+        case Some(tomb) => taggedPostings(spark, path, snap)
+          .join(tomb.select(col("doc_id"), col("seg").as("_seg")),
+            Seq("doc_id", "_seg"), "left_anti")
+      }).join(ids, Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      doomed.select(col("doc_id"), col("_seg").as("seg")).distinct()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/deletes/$seg")
+      // negative corrections: every statistic the serve path sums nets
+      // to the live corpus's exact value
+      doomed.groupBy("term")
+        .agg((lit(0L) - count(lit(1))).as("df_t"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/termstats/$seg")
+      doomed.agg(
+          (lit(0L) - countDistinct(col("doc_id"))).as("n_docs"),
+          (lit(0L) - coalesce(sum(col("tf")), lit(0L))).as("total_len"))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/stats/$seg")
+    } finally doomed.unpersist(blocking = false)
+    val sawPostings = snap.segs("postings").toSet
+    val sawDeletes = snap.segs(Bm25DeletesTable)
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(marker)) c // concurrent duplicate: no-op
+      else {
+        require(sawPostings.subsetOf(c.segs("postings").toSet),
+          "a concurrent compaction folded postings segments this " +
+            "delete scanned — its tombstone scopes reference dropped " +
+            "segments; rerun deleteFromBm25Index against the new " +
+            "snapshot (appends compose; compactions serialize)")
+        require(c.segs(Bm25DeletesTable) == sawDeletes,
+          "a concurrent delete committed — corrections were computed " +
+            "against a superseded tombstone set and overlapping ids " +
+            "would double-count; rerun deleteFromBm25Index")
+        c.copy(
+          tables = c.tables +
+            ("termstats" ->
+              (c.segs("termstats").filterNot(_ == seg) :+ seg)) +
+            ("stats" -> (c.segs("stats").filterNot(_ == seg) :+ seg)) +
+            (Bm25DeletesTable ->
+              (c.segs(Bm25DeletesTable).filterNot(_ == seg) :+ seg)),
+          applied = c.applied :+ marker)
+      }
+    }
+  }
+
+  /** REINDEX (upsert) documents in a persisted [[saveBm25Index]] index
+    * — the MERGE of the index lifecycle, and the reason tombstones are
+    * segment-scoped: delete whatever the index currently holds under
+    * these doc ids, then append the new versions as a fresh segment
+    * (outside every tombstone's scope, so they serve immediately). Ids
+    * not currently indexed insert cleanly (the delete's semi-join
+    * finds nothing); statistics stay exact through both halves. This
+    * is CDC-into-the-index: feed it the changed-doc frames a
+    * [[graft.ops.Cdc]] apply emits and the index tracks the table.
+    *
+    * Idempotent retry: both halves key on `reidx_<reindexId>` markers
+    * — a crash between them resumes at the append (the applied delete
+    * no-ops). NOT atomic across the two commits: a reader between them
+    * sees the corpus minus the old versions (deleted-not-yet-re-added)
+    * — the same read-committed window a Lucene update exposes. */
+  def reindexBm25Docs(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, idCol: String, textCol: String,
+      reindexId: String, knownRows: Option[Long] = None): Unit = {
+    deleteFromBm25Index(spark, path, docs.select(col(idCol)), idCol,
+      s"reidx_$reindexId")
+    appendToBm25Index(spark, path, docs, idCol, textCol,
+      s"reidx_$reindexId", knownRows)
   }
 
   /** Compact a persisted [[saveBm25Index]] index back to one segment
@@ -980,21 +1172,37 @@ object TextAnalysis {
     * batches still no-op. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
       throw new IllegalArgumentException(
         s"no index manifest at $path (not a saveBm25Index directory)"))
-    if (Bm25Tables.forall(t => snap.segs(t).length <= 1)) return
+    compactBm25IndexFrom(spark, path, snap)
+  }
+
+  /** Snapshot-taking core of [[compactBm25Index]] — `private[ext]` so
+    * the concurrency specs can deterministically replay the
+    * compact-races-delete window against a stale snapshot. */
+  private[ext] def compactBm25IndexFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: graft.sinks.IndexSnapshot): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (Bm25Tables.forall(t => snap.segs(t).length <= 1) &&
+      snap.segs(Bm25DeletesTable).isEmpty) return
     val seg = s"compact_v${snap.version}_" +
       java.util.UUID.randomUUID().toString.take(8)
-    readBm25Table(spark, path, snap, "postings")
+    // physical removal of tombstoned docs happens HERE: the fold reads
+    // live postings only, the summed termstats net out the deletes'
+    // negative corrections (terms with no live postings drop), and the
+    // tombstone table empties in the same commit
+    livePostings(spark, path, snap)
       .repartition(col("term")).sortWithinPartitions("term", "doc_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/postings/$seg")
     readBm25Table(spark, path, snap, "termstats")
       .groupBy("term").agg(sum(col("df_t")).as("df_t"))
+      .filter(col("df_t") > 0)
       .repartition(col("term")).sortWithinPartitions("term")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/termstats/$seg")
@@ -1005,6 +1213,7 @@ object TextAnalysis {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/stats/$seg")
     val folded = Bm25Tables.map(t => t -> snap.segs(t).toSet).toMap
+    val sawDeletes = snap.segs(Bm25DeletesTable)
     graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
       val c = cur.getOrElse(snap)
       // a concurrent compaction that already folded (some of) the same
@@ -1015,9 +1224,17 @@ object TextAnalysis {
         "a concurrent compaction already folded segments this " +
           "compaction read — committing both copies would double-count; " +
           "rerun compactBm25Index against the new snapshot"))
-      c.copy(tables = Bm25Tables.map(t =>
+      // a delete that committed mid-fold scoped its tombstones to
+      // postings segments this compaction just dropped — carrying them
+      // would leave the tombstones dangling and the docs resurrected
+      require(c.segs(Bm25DeletesTable) == sawDeletes,
+        "a concurrent delete committed during compaction — its " +
+          "tombstones are scoped to segments this fold dropped; rerun " +
+          "compactBm25Index against the new snapshot")
+      c.copy(tables = c.tables ++ Bm25Tables.map(t =>
         // (segments added since we started) survive; folded ones drop
-        t -> (seg +: c.segs(t).filterNot(folded(t).contains))).toMap)
+        t -> (seg +: c.segs(t).filterNot(folded(t).contains)))
+        + (Bm25DeletesTable -> Seq.empty[String]))
     }
   }
 
@@ -1032,7 +1249,7 @@ object TextAnalysis {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     graft.sinks.IndexManifest.vacuum(fs, path, keepVersions,
-      Bm25Tables.map(t => t -> s"$path/$t").toMap)
+      (Bm25Tables :+ Bm25DeletesTable).map(t => t -> s"$path/$t").toMap)
   }
 
 }

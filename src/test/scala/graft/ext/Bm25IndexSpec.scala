@@ -282,4 +282,186 @@ class Bm25IndexSpec extends SparkSpec {
       TextAnalysis.queryBm25Index(spark, idx, Seq("hash", ""))
     }
   }
+
+  // ---- deletes / reindex (x121-x123) ----
+
+  private def delIds = docs.filter(col("doc_id") % 7 === 3)
+    .select(col("doc_id"))
+
+  /** termstats with zero-net rows dropped: a delete's negative
+    * correction can net a fully-deleted term to 0 where a from-scratch
+    * build of the live corpus has no row at all. */
+  private def liveTermstats(path: String): Seq[(String, Long)] =
+    termstats(path).filter(_._2 != 0L)
+
+  test("delete: results and EVERY statistic equal the filtered-corpus " +
+      "build immediately — before any compaction (x121)") {
+    val idx = scratch()
+    val filtered = scratch()
+    TextAnalysis.saveBm25Index(docs, "doc_id", "text", idx)
+    TextAnalysis.deleteFromBm25Index(spark, idx, delIds, "doc_id", "d1")
+    TextAnalysis.saveBm25Index(docs.filter(col("doc_id") % 7 =!= 3),
+      "doc_id", "text", filtered)
+    assert(rows(TextAnalysis.queryBm25Index(spark, idx, terms, 10)) ==
+      rows(TextAnalysis.queryBm25Index(spark, filtered, terms, 10)))
+    assert(stats(idx) == stats(filtered),
+      "negative corrections must net n_docs/total_len exactly")
+    assert(liveTermstats(idx) == termstats(filtered),
+      "negative corrections must net df_t exactly")
+  }
+
+  test("delete retry no-ops; deleting unindexed ids records only the " +
+      "marker; append batchIds may not squat the delete_ namespace") {
+    val idx = scratch()
+    TextAnalysis.saveBm25Index(docs, "doc_id", "text", idx)
+    TextAnalysis.deleteFromBm25Index(spark, idx, delIds, "doc_id", "d1")
+    val v0 = snap(idx).version
+    val s0 = stats(idx)
+    TextAnalysis.deleteFromBm25Index(spark, idx, delIds, "doc_id", "d1")
+    assert(snap(idx).version == v0, "retry must not commit")
+    TextAnalysis.deleteFromBm25Index(spark, idx,
+      Seq(999999L).toDF("doc_id"), "doc_id", "d2")
+    assert(stats(idx) == s0, "absent ids must not move statistics")
+    assert(snap(idx).applied.contains("delete_d2"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.appendToBm25Index(spark, idx, docs.limit(1),
+        "doc_id", "text", "delete_d3")
+    }
+  }
+
+  test("delete → compact physically removes rows, nets statistics " +
+      "into the fold, and empties the tombstone table (x123)") {
+    val idx = scratch()
+    val filtered = scratch()
+    TextAnalysis.saveBm25Index(docs, "doc_id", "text", idx)
+    TextAnalysis.deleteFromBm25Index(spark, idx, delIds, "doc_id", "d1")
+    TextAnalysis.compactBm25Index(spark, idx)
+    TextAnalysis.saveBm25Index(docs.filter(col("doc_id") % 7 =!= 3),
+      "doc_id", "text", filtered)
+    val s = snap(idx)
+    assert(s.segs("deletes").isEmpty, "tombstones must fold away")
+    // physical removal: the compacted postings hold no deleted doc
+    val seg = s.segs("postings").head
+    assert(spark.read.parquet(s"$idx/postings/$seg")
+      .filter(col("doc_id") % 7 === 3).count() == 0L)
+    assert(rows(TextAnalysis.queryBm25Index(spark, idx, terms, 10)) ==
+      rows(TextAnalysis.queryBm25Index(spark, filtered, terms, 10)))
+    assert(stats(idx) == stats(filtered))
+    // compaction drops zero-net rows: termstats now matches exactly
+    assert(termstats(idx) == termstats(filtered))
+  }
+
+  test("time travel: the pre-delete version still serves the deleted " +
+      "docs (tombstones are part of the snapshot, not the data)") {
+    val idx = scratch()
+    TextAnalysis.saveBm25Index(docs, "doc_id", "text", idx)
+    val before = rows(TextAnalysis.queryBm25Index(spark, idx, terms, 10))
+    val v0 = TextAnalysis.bm25IndexVersion(spark, idx)
+    TextAnalysis.deleteFromBm25Index(spark, idx, delIds, "doc_id", "d1")
+    assert(rows(TextAnalysis.queryBm25Index(spark, idx, terms, 10,
+      asOfVersion = Some(v0))) == before)
+  }
+
+  test("reindex: changed docs replace their old versions and unseen " +
+      "ids insert — equals the one-shot build of the updated corpus " +
+      "(x122)") {
+    val idx = scratch()
+    val expected = scratch()
+    // base: docs < 300; the reindex batch updates [250,300) and
+    // inserts [300,350) — both halves modified text
+    TextAnalysis.saveBm25Index(docs.filter(col("doc_id") < 300),
+      "doc_id", "text", idx)
+    val changed = docs
+      .filter(col("doc_id") >= 250 && col("doc_id") < 350)
+      .withColumn("text", concat(col("text"), lit(" merge")))
+    TextAnalysis.reindexBm25Docs(spark, idx, changed, "doc_id", "text",
+      "r1")
+    TextAnalysis.saveBm25Index(
+      docs.filter(col("doc_id") < 250).unionByName(changed),
+      "doc_id", "text", expected)
+    assert(rows(TextAnalysis.queryBm25Index(spark, idx, terms, 10)) ==
+      rows(TextAnalysis.queryBm25Index(spark, expected, terms, 10)))
+    assert(stats(idx) == stats(expected))
+    assert(liveTermstats(idx) == termstats(expected))
+    // and the lifecycle keeps composing: compaction preserves it all
+    TextAnalysis.compactBm25Index(spark, idx)
+    assert(stats(idx) == stats(expected))
+    assert(termstats(idx) == termstats(expected))
+    assert(rows(TextAnalysis.queryBm25Index(spark, idx, terms, 10)) ==
+      rows(TextAnalysis.queryBm25Index(spark, expected, terms, 10)))
+  }
+
+  test("delete races: a concurrent compaction or overlapping delete " +
+      "aborts the stale committer; appends compose") {
+    // compaction wins → the stale delete must abort (its tombstone
+    // scopes reference folded segments)
+    val a = scratch()
+    TextAnalysis.saveBm25Index(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", a)
+    TextAnalysis.appendToBm25Index(spark, a,
+      docs.filter(col("doc_id") >= 250), "doc_id", "text", "b1")
+    val staleA = snap(a)
+    TextAnalysis.compactBm25Index(spark, a)
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.deleteFromBm25IndexFrom(spark, a, delIds, "doc_id",
+        "d1", staleA)
+    }
+    assert(e1.getMessage.contains("compaction folded"))
+    // another delete wins → the stale delete must abort (its
+    // corrections could double-count overlapping ids)
+    val b = scratch()
+    TextAnalysis.saveBm25Index(docs, "doc_id", "text", b)
+    val staleB = snap(b)
+    TextAnalysis.deleteFromBm25Index(spark, b, delIds, "doc_id", "d1")
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.deleteFromBm25IndexFrom(spark, b,
+        docs.filter(col("doc_id") % 7 === 4).select(col("doc_id")),
+        "doc_id", "d2", staleB)
+    }
+    assert(e2.getMessage.contains("concurrent delete"))
+    // an append landing mid-delete composes: the delete commits and
+    // the result equals delete-then-append
+    val c = scratch()
+    val expected = scratch()
+    TextAnalysis.saveBm25Index(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", c)
+    val staleC = snap(c)
+    TextAnalysis.appendToBm25Index(spark, c,
+      docs.filter(col("doc_id") >= 250), "doc_id", "text", "b1")
+    TextAnalysis.deleteFromBm25IndexFrom(spark, c, delIds, "doc_id",
+      "d1", staleC)
+    // scope caveat: the stale delete only saw the base segment, so it
+    // tombstones base docs; the appended docs matching the predicate
+    // survive (they were not indexed when the delete resolved) —
+    // expected = (base minus deleted) + full appended batch
+    TextAnalysis.saveBm25Index(
+      docs.filter(col("doc_id") < 250 && col("doc_id") % 7 =!= 3)
+        .unionByName(docs.filter(col("doc_id") >= 250)),
+      "doc_id", "text", expected)
+    assert(rows(TextAnalysis.queryBm25Index(spark, c, terms, 10)) ==
+      rows(TextAnalysis.queryBm25Index(spark, expected, terms, 10)))
+    assert(stats(c) == stats(expected))
+  }
+
+  test("compact aborts when a delete lands mid-fold (dangling-scope " +
+      "guard)") {
+    val idx = scratch()
+    TextAnalysis.saveBm25Index(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", idx)
+    TextAnalysis.appendToBm25Index(spark, idx,
+      docs.filter(col("doc_id") >= 250), "doc_id", "text", "b1")
+    val stale = snap(idx)
+    TextAnalysis.deleteFromBm25Index(spark, idx, delIds, "doc_id", "d1")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.compactBm25IndexFrom(spark, idx, stale)
+    }
+    assert(e.getMessage.contains("delete committed during compaction"))
+    // the rerun (fresh snapshot) folds delete and append together
+    TextAnalysis.compactBm25Index(spark, idx)
+    val filtered = scratch()
+    TextAnalysis.saveBm25Index(docs.filter(col("doc_id") % 7 =!= 3),
+      "doc_id", "text", filtered)
+    assert(rows(TextAnalysis.queryBm25Index(spark, idx, terms, 10)) ==
+      rows(TextAnalysis.queryBm25Index(spark, filtered, terms, 10)))
+  }
 }

@@ -739,6 +739,269 @@ class ExtSpec extends SparkSpec {
         "embedding", k = 5, kCentroids = 8, iters = 2, nprobe = 2)))
   }
 
+  test("deleteFromIvfIndex (x124): tombstoned vectors vanish from " +
+      "every reader; compaction removes physically; re-adds serve; " +
+      "retrain bakes the deletion in; time travel predates it") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_del").resolve("idx").toString
+    val queries = embs.filter($"vec_id" < 8)
+    val live = embs.filter($"vec_id" % 3 =!= 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "cos")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    Similarity.saveIvfIndex(embs, "vec_id", "embedding", idx,
+      kCentroids = 8, iters = 2)
+    val before = rows(Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2))
+    val hfs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val v0 = graft.sinks.IndexManifest.latest(hfs, idx).get.version
+    Similarity.deleteFromIvfIndex(spark, idx,
+      embs.filter($"vec_id" % 3 === 1).select($"vec_id"), "vec_id",
+      "d1")
+    // serve == full-corpus-trained centroids over the live corpus only
+    val centroids = Clustering.kmeansCentroids(embs, "vec_id",
+      "embedding", k = 8, iters = 2)
+    val served = rows(Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2))
+    assert(served == rows(Similarity.ivfLearnedTopKWith(live, queries,
+      "vec_id", "embedding", k = 5, centroids, nprobe = 2)))
+    // monitoring sees the live corpus; time travel predates the delete
+    assert(Similarity.ivfCellStats(spark, idx)
+      .agg(sum($"n_vecs")).as[Long].head() == live.count())
+    assert(rows(Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2,
+      asOfVersion = Some(v0))) == before)
+    // retry no-ops
+    val v1 = graft.sinks.IndexManifest.latest(hfs, idx).get.version
+    Similarity.deleteFromIvfIndex(spark, idx,
+      embs.filter($"vec_id" % 3 === 1).select($"vec_id"), "vec_id",
+      "d1")
+    assert(graft.sinks.IndexManifest.latest(hfs, idx).get.version == v1)
+    // compaction: tombstones fold away, rows physically removed,
+    // answers unchanged
+    Similarity.compactIvfIndex(spark, idx)
+    val snap = graft.sinks.IndexManifest.latest(hfs, idx).get
+    assert(snap.segs("deletes").isEmpty)
+    assert(spark.read.parquet(s"$idx/corpus")
+      .filter($"batch".isin(snap.segs("corpus"): _*))
+      .filter($"vec_id" % 3 === 1).count() == 0L,
+      "compaction must remove tombstoned vectors physically")
+    assert(rows(Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) == served)
+    // re-add: a deleted id appended later lands outside every
+    // tombstone scope and serves again (the reindex primitive)
+    Similarity.appendToIvfIndex(spark, idx,
+      embs.filter($"vec_id" === 1), "vec_id", "embedding", "b2")
+    assert(rows(Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) ==
+      rows(Similarity.ivfLearnedTopKWith(
+        live.unionByName(embs.filter($"vec_id" === 1)), queries,
+        "vec_id", "embedding", k = 5, centroids, nprobe = 2)))
+    // retrain on the live corpus bakes the deletion in: equals
+    // per-call training on live-minus-deleted (plus the re-add)
+    Similarity.retrainIvfIndex(spark, idx, kCentroids = 8, iters = 2)
+    val liveNow = live.unionByName(embs.filter($"vec_id" === 1))
+    assert(rows(Similarity.queryIvfIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) ==
+      rows(Similarity.ivfLearnedTopK(liveNow, queries, "vec_id",
+        "embedding", k = 5, kCentroids = 8, iters = 2, nprobe = 2)))
+    assert(graft.sinks.IndexManifest.latest(hfs, idx).get
+      .segs("deletes").isEmpty, "retrain must drop baked-in tombstones")
+  }
+
+  test("IVF delete races: stale delete aborts after compaction; stale " +
+      "compaction/retrain abort after a delete; appends compose") {
+    import graft.sinks.IndexManifest
+    def hfs(p: String) = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val delIds = embs.filter($"vec_id" % 3 === 1).select($"vec_id")
+    // (a) compaction wins → the stale delete's scopes dangle → abort
+    val a = java.nio.file.Files
+      .createTempDirectory("graft_ivf_delrace").resolve("a").toString
+    Similarity.saveIvfIndex(embs.filter($"vec_id" < 300), "vec_id",
+      "embedding", a, kCentroids = 8, iters = 2)
+    Similarity.appendToIvfIndex(spark, a,
+      embs.filter($"vec_id" >= 300), "vec_id", "embedding", "b1")
+    val staleA = IndexManifest.latest(hfs(a), a).get
+    Similarity.compactIvfIndex(spark, a)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.deleteFromIvfIndexFrom(spark, a, delIds, "vec_id",
+        "d1", staleA)
+    }
+    assert(e1.getMessage.contains("compaction/retrain replaced"))
+    // (b) delete wins → the stale compaction would fold the scoped
+    // segments out from under the tombstones → abort; rerun folds both
+    // (a second append first, so the stale snapshot has segments to
+    // fold — a single-segment no-delete snapshot no-ops harmlessly)
+    Similarity.appendToIvfIndex(spark, a,
+      embs.filter($"vec_id" < 0), "vec_id", "embedding", "b2")
+    val staleB = IndexManifest.latest(hfs(a), a).get
+    Similarity.deleteFromIvfIndex(spark, a, delIds, "vec_id", "d1")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndexFrom(spark, a, staleB)
+    }
+    assert(e2.getMessage.contains("delete committed during compaction"))
+    Similarity.compactIvfIndex(spark, a)
+    assert(IndexManifest.latest(hfs(a), a).get.segs("deletes").isEmpty)
+    // (c) delete wins → the stale retrain would replace the scoped
+    // segments → abort
+    val c = java.nio.file.Files
+      .createTempDirectory("graft_ivf_delrace").resolve("c").toString
+    Similarity.saveIvfIndex(embs, "vec_id", "embedding", c,
+      kCentroids = 8, iters = 2)
+    val staleC = IndexManifest.latest(hfs(c), c).get
+    Similarity.deleteFromIvfIndex(spark, c, delIds, "vec_id", "d1")
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.retrainIvfIndexFrom(spark, c, staleC, kCentroids = 8,
+        iters = 2)
+    }
+    assert(e3.getMessage.contains("delete committed during retrain"))
+    // (d) append lands mid-delete → the delete composes (its scopes
+    // cover only segments it saw; the appended batch is untouched)
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_ivf_delrace").resolve("d").toString
+    Similarity.saveIvfIndex(embs.filter($"vec_id" < 300), "vec_id",
+      "embedding", d, kCentroids = 8, iters = 2)
+    val staleD = IndexManifest.latest(hfs(d), d).get
+    Similarity.appendToIvfIndex(spark, d,
+      embs.filter($"vec_id" >= 300), "vec_id", "embedding", "b1")
+    Similarity.deleteFromIvfIndexFrom(spark, d, delIds, "vec_id", "d1",
+      staleD)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "cos")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val queries = embs.filter($"vec_id" < 8)
+    val liveD = embs.filter($"vec_id" < 300 && $"vec_id" % 3 =!= 1)
+      .unionByName(embs.filter($"vec_id" >= 300))
+    val cD = Clustering.kmeansCentroids(embs.filter($"vec_id" < 300),
+      "vec_id", "embedding", k = 8, iters = 2)
+    assert(rows(Similarity.queryIvfIndex(spark, d, queries, "vec_id",
+      "embedding", k = 5, nprobe = 2)) ==
+      rows(Similarity.ivfLearnedTopKWith(liveD, queries, "vec_id",
+        "embedding", k = 5, cD, nprobe = 2)))
+  }
+
+  test("IVFPQ delete: tombstoned codes vanish from the ADC serve; " +
+      "compaction folds them away physically") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_del").resolve("idx").toString
+    val queries = embs.filter($"vec_id" < 8)
+    val live = embs.filter($"vec_id" % 3 =!= 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "adist")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    Similarity.saveIvfPqIndex(embs, "vec_id", "embedding", idx,
+      kCentroids = 8, coarseIters = 2, m = 4, ks = 8, pqIters = 2)
+    Similarity.deleteFromIvfIndex(spark, idx,
+      embs.filter($"vec_id" % 3 === 1).select($"vec_id"), "vec_id",
+      "d1")
+    val coarse = Clustering.kmeansCentroids(embs, "vec_id",
+      "embedding", k = 8, iters = 2)
+    val cbs = Similarity.pqCodebooks(embs, "vec_id", "embedding",
+      m = 4, ks = 8, iters = 2)
+    val expect = rows(Similarity.ivfPqTopKWith(live, queries, "vec_id",
+      "embedding", k = 5, coarse, cbs, nprobe = 2))
+    assert(rows(Similarity.queryIvfPqIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) == expect)
+    Similarity.compactIvfPqIndex(spark, idx)
+    val hfs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = graft.sinks.IndexManifest.latest(hfs, idx).get
+    assert(snap.segs("deletes").isEmpty)
+    assert(spark.read.parquet(s"$idx/corpus")
+      .filter($"batch".isin(snap.segs("corpus"): _*))
+      .filter($"vec_id" % 3 === 1).count() == 0L)
+    assert(rows(Similarity.queryIvfPqIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) == expect)
+  }
+
+  test("minhash ledger delete (x125): tombstoned docs stop blocking " +
+      "admission; re-append re-learns; compaction removes physically; " +
+      "stale committers abort") {
+    import graft.sinks.IndexManifest
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mh_del").resolve("idx").toString
+    val hfs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val base = docs.filter($"doc_id" < 250)
+    DedupOps.saveMinhashIndex(base, "doc_id", "text", idx)
+    // replayed copies of indexed docs (shifted ids) self-reject...
+    val replay = base.withColumn("doc_id", $"doc_id" + 10000)
+    val admittedBefore = DedupOps.minhashAdmit(spark, idx, replay,
+      "doc_id", "text").select($"doc_id").as[Long].collect().toSet
+    // ...except sig-less short docs (< n=3 tokens), which always admit
+    val sigless = replay
+      .filter(size(split(trim($"text"), "\\s+")) < 3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(admittedBefore == sigless,
+      "exactly the sig-less replays admit pre-delete")
+    // delete a quarter of the corpus: admission must equal the
+    // cross-side minhashPairs restriction against the LIVE corpus
+    // only (a deleted doc can no longer reject anything; a replay of
+    // a deleted doc still rejects iff it near-dups a LIVE doc)
+    DedupOps.deleteFromMinhashIndex(spark, idx,
+      base.filter($"doc_id" % 4 === 2).select($"doc_id"), "doc_id",
+      "d1")
+    val admittedAfter = DedupOps.minhashAdmit(spark, idx, replay,
+      "doc_id", "text").select($"doc_id").as[Long].collect().toSet
+    val liveUnion = base.filter($"doc_id" % 4 =!= 2).unionByName(replay)
+    val crossRejected = DedupOps.minhashPairs(liveUnion, "doc_id",
+        "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        Seq(a, b).filter(x => x >= 10000 &&
+          (if (x == a) b < 10000 else a < 10000))
+      }.toSet
+    val replayIds = replay.select($"doc_id").as[Long].collect().toSet
+    assert(admittedAfter == replayIds -- crossRejected,
+      "post-delete admission must equal the live-corpus cross-side " +
+        "minhashPairs restriction")
+    assert(admittedBefore.subsetOf(admittedAfter),
+      "deletion can only widen admission")
+    assert((admittedAfter -- admittedBefore).nonEmpty,
+      "non-vacuity: some replay of a deleted doc must now admit")
+    // re-append re-learns: the deleted docs' signatures return as a
+    // fresh segment outside the tombstone's scope
+    DedupOps.appendToMinhashIndex(spark, idx,
+      base.filter($"doc_id" % 4 === 2), "doc_id", "text", "b2")
+    assert(DedupOps.minhashAdmit(spark, idx, replay, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet == admittedBefore)
+    // compaction folds tombstones away physically, admission unchanged
+    DedupOps.compactMinhashIndex(spark, idx)
+    val snap = IndexManifest.latest(hfs, idx).get
+    assert(snap.segs("deletes").isEmpty)
+    assert(DedupOps.minhashAdmit(spark, idx, replay, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet == admittedBefore)
+    // races: a stale compaction after a delete aborts; a stale delete
+    // after a compaction aborts. (An extra append first, so the stale
+    // snapshot has segments to fold — single-segment no-delete
+    // snapshots no-op harmlessly.)
+    DedupOps.appendToMinhashIndex(spark, idx,
+      docs.filter($"doc_id" >= 250 && $"doc_id" < 270), "doc_id",
+      "text", "b2b")
+    val stale = IndexManifest.latest(hfs, idx).get
+    DedupOps.deleteFromMinhashIndex(spark, idx,
+      base.filter($"doc_id" % 4 === 0).select($"doc_id"), "doc_id",
+      "d2")
+    val e1 = intercept[IllegalArgumentException] {
+      DedupOps.compactMinhashIndexFrom(spark, idx, stale)
+    }
+    assert(e1.getMessage.contains("delete committed during compaction"))
+    DedupOps.compactMinhashIndex(spark, idx)
+    val stale2 = IndexManifest.latest(hfs, idx).get
+    DedupOps.appendToMinhashIndex(spark, idx,
+      docs.filter($"doc_id" >= 270 && $"doc_id" < 300), "doc_id",
+      "text", "b3")
+    DedupOps.compactMinhashIndex(spark, idx)
+    val e2 = intercept[IllegalArgumentException] {
+      DedupOps.deleteFromMinhashIndexFrom(spark, idx,
+        base.filter($"doc_id" % 4 === 1).select($"doc_id"), "doc_id",
+        "d3", stale2)
+    }
+    assert(e2.getMessage.contains("concurrent compaction folded"))
+  }
+
   test("minhash index (x118/x119): admission == minhashPairs' " +
       "cross-side restriction; append grows the ledger; replayed " +
       "batches self-reject; compaction/vacuum invariance") {
