@@ -67,7 +67,8 @@ object Bench {
     "x118_minhash_index_admit", "x119_minhash_index_append",
     "x120_ivf_neardup_admit", "x121_bm25_index_delete",
     "x122_bm25_reindex_docs", "x123_bm25_delete_compact",
-    "x124_ivf_index_delete", "x125_minhash_index_delete")
+    "x124_ivf_index_delete", "x125_minhash_index_delete",
+    "x126_zorder_pruned_scan")
 
   private def queryClass(name: String): String =
     if (StreamQueries.contains(name)) "stream"

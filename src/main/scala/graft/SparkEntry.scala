@@ -1431,6 +1431,25 @@ object SparkEntry {
         "o_orderkey")
     },
 
+    // z-order file-skipping SERVE (x126): the read half of x109 — a
+    // rectangle manifest written once at layout time lets a box
+    // predicate on EITHER curve column drop whole files at plan time
+    // (no listing, no footer reads); the box re-applies on survivors,
+    // so the answer equals the plain filtered scan. ZOrderSpec pins
+    // that files are actually skipped.
+    "x126_zorder_pruned_scan" -> { (s, dir) =>
+      val base = scratchDir("zorder126")
+      graft.sinks.ZOrder.writeZOrdered(
+        T(s, dir, "orders"), base, "o_custkey", "o_orderkey",
+        numFiles = 8)
+      graft.sinks.ZOrder.writeFileStats(s, base, "o_custkey",
+        "o_orderkey")
+      graft.sinks.ZOrder.readZOrderedPruned(s, base,
+        "o_custkey", 50, 120, "o_orderkey", 1000, 30000)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("o_orderkey")), lit(0L)).as("sum_key"))
+    },
+
     // exact Hamming-≤1 string pair join via position-masked hash
     // blocking (deletion-neighborhood); verify is the true byte distance.
     "x43_hamming_pairs" -> ((s, dir) =>
@@ -4601,6 +4620,15 @@ object SparkEntry {
         """SELECT CAST(count(*) AS BIGINT) AS total_rows,
                   CAST(8 AS BIGINT) AS n_files
            FROM orders""",
+
+      // x126: the pruned scan must equal the plain filtered scan —
+      // rectangles over-approximate, the re-applied box exacts
+      "x126_zorder_pruned_scan" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS sum_key
+           FROM orders
+           WHERE o_custkey BETWEEN 50 AND 120
+             AND o_orderkey BETWEEN 1000 AND 30000""",
 
       // brute-force n² here (fine at oracle scale); the engine must get
       // the same set from its position-masked blocking

@@ -97,6 +97,50 @@ object ZOrder {
         min(col(colB)).as("min_b"), max(col(colB)).as("max_b"),
         count(lit(1)).as("n_rows"))
 
+  /** Persist the layout's per-file (A, B) bounding rectangles to
+    * `dir/_stats` — the file-skipping manifest (the Iceberg/Delta
+    * trade: one footer-driven pass at WRITE time buys plan-time
+    * file-level pruning with zero per-file footer reads per query;
+    * parquet row-group stats still prune WITHIN the files the scan
+    * keeps). The underscore prefix keeps the sidecar invisible to
+    * plain `spark.read.parquet(dir)` readers. Call after
+    * [[writeZOrdered]]; rewrite together with the data. */
+  def writeFileStats(spark: SparkSession, dir: String, colA: String,
+      colB: String): Unit =
+    fileRectangles(spark, dir, colA, colB).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_stats")
+
+  /** Range scan with FILE-LEVEL skipping over a [[writeZOrdered]] +
+    * [[writeFileStats]] layout: plan-time work is one read of the
+    * (numFiles)-row rectangle manifest — files whose rectangle misses
+    * the query box are never listed, opened, or footer-read; the box
+    * predicate re-applies on the survivors (rectangles over-approximate)
+    * and pushes into their parquet scans. Because z-ordering gives
+    * every file a small rectangle of BOTH dimensions, a box on EITHER
+    * column prunes — the two-sided payoff the write bought. Driver
+    * cost is the manifest read (∝ file count, the same bound Iceberg
+    * manifest planning accepts). */
+  def readZOrderedPruned(spark: SparkSession, dir: String,
+      colA: String, loA: Long, hiA: Long,
+      colB: String, loB: Long, hiB: Long): DataFrame = {
+    require(loA <= hiA && loB <= hiB,
+      s"empty box: [$loA,$hiA] x [$loB,$hiB]")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_stats")),
+      s"no file-statistics manifest at $dir/_stats — run " +
+        "ZOrder.writeFileStats after writeZOrdered to enable pruning")
+    val keep = spark.read.parquet(s"$dir/_stats")
+      .filter(col("max_a") >= loA && col("min_a") <= hiA &&
+        col("max_b") >= loB && col("min_b") <= hiB)
+      .select(col("file"))
+      .collect().map(_.getString(0)).toSeq
+    val pred = col(colA).between(loA, hiA) &&
+      col(colB).between(loB, hiB)
+    if (keep.isEmpty) spark.read.parquet(dir).filter(pred).limit(0)
+    else spark.read.parquet(keep: _*).filter(pred)
+  }
+
   /** Layout invariants in [[SortedWrite.layoutInvariants]]'s shape:
     * row conservation and file count (rectangle tightness is a
     * distribution property, pinned in ZOrderSpec rather than

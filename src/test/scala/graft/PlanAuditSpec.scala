@@ -64,7 +64,12 @@ class PlanAuditSpec extends SparkSpec {
       "x105_ivf_cell_stats",
       // x106 is x75's drift scorer (1-row broadcast totals) on the
       // index's termstats
-      "x106_bm25_append_drift")
+      "x106_bm25_append_drift",
+      // x121/x122/x123 are x89's serve plan over a deleted/reindexed
+      // index — the same sanctioned 1-row stats cross join; the
+      // tombstone anti-join is a keyed hash join
+      "x121_bm25_index_delete", "x122_bm25_reindex_docs",
+      "x123_bm25_delete_compact")
 
   // x85's lexical leg ranks bm25TopK's ALREADY-LIMITED k-row list with
   // a per-query window whose query_id is a literal — Catalyst folds the

@@ -97,4 +97,46 @@ class ZOrderSpec extends SparkSpec {
     assert(e.getMessage.contains("fully non-null") &&
       e.getMessage.contains("m has"))
   }
+
+  test("pruned scan (x126): equals the plain filtered scan, actually " +
+      "skips files on boxes over EITHER dimension, and demands the " +
+      "stats manifest") {
+    val dir = Files.createTempDirectory("graft-zprune-").toString
+    ZOrder.writeZOrdered(orders, dir, "o_custkey", "o_orderkey",
+      numFiles = 16)
+    // no manifest yet: the pruned read refuses rather than full-scan
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.readZOrderedPruned(spark, dir, "o_custkey", 0, 10,
+        "o_orderkey", 0, 10)
+    }
+    assert(e.getMessage.contains("writeFileStats"))
+    ZOrder.writeFileStats(spark, dir, "o_custkey", "o_orderkey")
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(total == 16)
+    def full(loA: Long, hiA: Long, loB: Long, hiB: Long) =
+      spark.read.parquet(dir)
+        .filter(col("o_custkey").between(loA, hiA) &&
+          col("o_orderkey").between(loB, hiB))
+    def pruned(loA: Long, hiA: Long, loB: Long, hiB: Long) =
+      ZOrder.readZOrderedPruned(spark, dir, "o_custkey", loA, hiA,
+        "o_orderkey", loB, hiB)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey").as[Long].collect().sorted.toSeq
+    // a two-sided box, an A-only slice, and a B-only slice: all equal
+    // the plain scan AND all read strictly fewer files — the payoff a
+    // linear sort cannot give on its second dimension
+    val boxes = Seq((30L, 60L, 200L, 700L),
+      (30L, 60L, 0L, 1499L), (0L, 149L, 200L, 700L))
+    boxes.foreach { case (loA, hiA, loB, hiB) =>
+      val p = pruned(loA, hiA, loB, hiB)
+      assert(ids(p) == ids(full(loA, hiA, loB, hiB)),
+        s"box [$loA,$hiA]x[$loB,$hiB] must match the plain scan")
+      assert(ids(p).nonEmpty, "fixture box must be non-vacuous")
+      assert(p.inputFiles.length < total,
+        s"box [$loA,$hiA]x[$loB,$hiB] read ${p.inputFiles.length} " +
+          s"of $total files — nothing pruned")
+    }
+    // a box outside the data returns empty
+    assert(pruned(10000, 20000, 0, 10).count() == 0L)
+  }
 }
