@@ -47,7 +47,8 @@ object Bench {
     "x48_stream_enrich", "x62_stream_sessionize", "x73_stream_e2_loop",
     "x79_stream_cdc_apply", "x97_stream_bm25_maintain",
     "x98_stream_ivf_maintain", "x102_stream_bm25_autocompact",
-    "x114_meta_stream_insights", "x116_stream_ivfpq_maintain")
+    "x114_meta_stream_insights", "x116_stream_ivfpq_maintain",
+    "x127_stream_bm25_cdc")
 
   /** Gates whose measured cost is dominated by building or mutating
     * persisted state (index build + append + compact + retrain

@@ -63,6 +63,27 @@ object SparkEntry {
     p.toString
   }
 
+  /** Land each change frame as ONE parquet file with strictly
+    * increasing, pinned modification times — the file-source ordering
+    * cross-batch CDC correctness depends on (sequential writes nearly
+    * always order correctly by mtime; pinning removes the "nearly"). */
+  private def landOrdered(s: SparkSession,
+      frames: Seq[DataFrame], dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(s.sessionState.newHadoopConf())
+    fs.mkdirs(new Path(dir))
+    frames.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"${dir}_tmp$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp))
+        .map(_.getPath).filter(_.getName.startsWith("part-")).head
+      val dst = new Path(dir, f"b$i%03d.parquet")
+      fs.rename(part, dst)
+      fs.setTimes(dst, 1700000000000L + i * 60000L, -1)
+      fs.delete(new Path(tmp), true)
+    }
+  }
+
   /** Shared near-dup pair detection for the clustering gates (x31, x32,
     * x37) — these parameters must stay in lockstep with the pairClosure
     * oracle fragment, so they are defined ONCE; a tuning change cannot
@@ -1764,6 +1785,49 @@ object SparkEntry {
         .option("checkpointLocation", base + "/ckpt").start()
       q.awaitTermination()
       s.read.parquet(base + "/table")
+    },
+
+    // streaming CDC INTO the index (x127): inserts, updates, deletes,
+    // a delete of a previously-streamed insert, and a second update of
+    // an already-updated doc stream through the delete/reindex
+    // primitives — the final serve must equal a from-scratch build of
+    // the net table state (the x79 table contract, lifted to the
+    // retrieval index).
+    "x127_stream_bm25_cdc" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val base = scratchDir("streamcdc127")
+      graft.ext.TextAnalysis.saveBm25Index(
+        docs.filter(col("doc_id") < 300), "doc_id", "text",
+        base + "/idx")
+      val b1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+        .select(col("doc_id"), col("text"), lit("upsert").as("op"))
+      val b2 = docs
+        .filter(col("doc_id") % 9 === 4 &&
+          col("doc_id") >= 150 && col("doc_id") < 300)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit("delete").as("op"))
+        .unionByName(docs
+          .filter(col("doc_id") >= 100 && col("doc_id") < 150)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" merge")).as("text"),
+            lit("upsert").as("op")))
+      val b3 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 310)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit("delete").as("op"))
+        .unionByName(docs
+          .filter(col("doc_id") >= 100 && col("doc_id") < 120)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" join")).as("text"),
+            lit("upsert").as("op")))
+      landOrdered(s, Seq(b1, b2, b3), base + "/changes")
+      val schema = s.read.parquet(base + "/changes").schema
+      val q = graft.streaming.StreamIndex.bm25CdcWriter(s,
+          base + "/changes", schema, base + "/idx", "doc_id", "text",
+          "op")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      graft.ext.TextAnalysis.queryBm25Index(s, base + "/idx",
+        Seq("hash", "join", "merge"), k = 10)
     },
 
     // streaming BM25 index maintenance (x97): a base index + three
@@ -5173,6 +5237,21 @@ object SparkEntry {
         bm25Sql("(SELECT * FROM documents WHERE doc_id % 7 <> 3)"),
       "x123_bm25_delete_compact" ->
         bm25Sql("(SELECT * FROM documents WHERE doc_id % 7 <> 3)"),
+      // x127: the streamed CDC net state scored from scratch —
+      // inserts live, updates replaced (latest wins), deletes and
+      // delete-of-insert gone
+      "x127_stream_bm25_cdc" -> bm25Sql(
+        """(SELECT doc_id,
+              CASE WHEN doc_id >= 100 AND doc_id < 120
+                     THEN text || ' join'
+                   WHEN doc_id >= 120 AND doc_id < 150
+                     THEN text || ' merge'
+                   ELSE text END AS text
+            FROM documents
+            WHERE doc_id < 350
+              AND NOT (doc_id % 9 = 4
+                       AND doc_id >= 150 AND doc_id < 300)
+              AND NOT (doc_id >= 300 AND doc_id < 310))"""),
       // x122: reindex = the updated corpus scored from scratch — old
       // versions fully gone (stats included), new versions fully live
       "x122_bm25_reindex_docs" -> bm25Sql(

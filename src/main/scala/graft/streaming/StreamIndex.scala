@@ -112,6 +112,80 @@ object StreamIndex {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** CDC INTO THE INDEX (gated x127): change batches of
+    * (id, text, op ∈ upsert|delete) stream into a persisted
+    * [[TextAnalysis.saveBm25Index]] index through the delete/reindex
+    * primitives — the index TRACKS a mutating table instead of only
+    * growing ([[bm25AppendWriter]]'s append-only contract). Per
+    * micro-batch: deletes first (tombstones + exact negative stats
+    * corrections), then upserts via [[TextAnalysis.reindexBm25Docs]]
+    * (old versions tombstoned, new versions landed as a fresh
+    * segment), so a delete+upsert of the same doc in one batch nets to
+    * the upsert.
+    *
+    * Exactly-once: the content-derived batchId hashes (id, op, text) —
+    * not ids alone, because CDC legitimately re-ships an id with a new
+    * op or new text in a later batch and those must NOT collide with
+    * an applied id — and both halves key idempotent markers off it, so
+    * a Structured Streaming batch replay re-applies nothing (a crash
+    * BETWEEN the halves resumes at the upsert half; the window a
+    * reader can observe is read-committed, same as a Lucene update).
+    *
+    * Caller contract: at most one upsert row per id per micro-batch
+    * (net the change stream first — [[graft.ops.Cdc]]; two upserts of
+    * one id in one batch would land two live versions); op values
+    * outside upsert|delete fail the batch. Same inline compact+vacuum
+    * maintenance knob as the other writers — compaction also folds the
+    * accumulated tombstones away. */
+  def bm25CdcWriter(spark: SparkSession, changesDir: String,
+      schema: StructType, indexPath: String, idCol: String,
+      textCol: String, opCol: String, compactEvery: Int = 0)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(changesDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // one aggregate pays for the content id, both op counts, and
+          // the op-domain validation
+          val key = concat_ws("|", col(idCol).cast("string"),
+            col(opCol), coalesce(col(textCol).cast("string"), lit("")))
+          val r = b.agg(
+            count(lit(1)),
+            coalesce(sum(crc32(key)), lit(0L)),
+            coalesce(sum(pmod(xxhash64(key), lit(1073741789L))),
+              lit(0L)),
+            count(when(col(opCol) === "delete", 1)),
+            count(when(col(opCol) === "upsert", 1))).head()
+          require(r.getLong(3) + r.getLong(4) == r.getLong(0),
+            s"cdc batch carries ops outside upsert|delete " +
+              s"(${r.getLong(0) - r.getLong(3) - r.getLong(4)} row(s))")
+          val bid = s"cdc_c${r.getLong(0)}_" +
+            java.lang.Long.toHexString(r.getLong(1)) + "_" +
+            java.lang.Long.toHexString(r.getLong(2))
+          if (r.getLong(3) > 0)
+            TextAnalysis.deleteFromBm25Index(s, indexPath,
+              b.filter(col(opCol) === "delete").select(col(idCol)),
+              idCol, s"${bid}_d")
+          if (r.getLong(4) > 0)
+            TextAnalysis.reindexBm25Docs(s, indexPath,
+              b.filter(col(opCol) === "upsert"), idCol, textCol, bid,
+              knownRows = Some(r.getLong(4)))
+        } finally b.unpersist(blocking = false)
+        if (compactEvery > 0 &&
+          segCount(s, indexPath, "postings") > compactEvery) {
+          TextAnalysis.compactBm25Index(s, indexPath)
+          TextAnalysis.vacuumBm25Index(s, indexPath, keepVersions = 2)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** The vector-side twin of [[bm25AppendWriter]] (gated x98): new
     * embedding files land, each micro-batch is assigned against the
     * index's frozen centroids and landed as its own corpus segment of

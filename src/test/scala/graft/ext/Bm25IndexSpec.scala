@@ -391,6 +391,83 @@ class Bm25IndexSpec extends SparkSpec {
       rows(TextAnalysis.queryBm25Index(spark, expected, terms, 10)))
   }
 
+  private def landOrdered(frames: Seq[org.apache.spark.sql.DataFrame],
+      dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    fs.mkdirs(new Path(dir))
+    frames.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"${dir}_tmp$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp))
+        .map(_.getPath).filter(_.getName.startsWith("part-")).head
+      val dst = new Path(dir, f"b$i%03d.parquet")
+      fs.rename(part, dst)
+      fs.setTimes(dst, 1700000000000L + i * 60000L, -1)
+      fs.delete(new Path(tmp), true)
+    }
+  }
+
+  test("streaming CDC into the index (x127): net state lands; a full " +
+      "re-stream from a fresh checkpoint is a no-op; invalid ops fail") {
+    val base = scratch()
+    val expected = scratch()
+    TextAnalysis.saveBm25Index(docs.filter(col("doc_id") < 200),
+      "doc_id", "text", s"$base/idx")
+    val b1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 230)
+      .select(col("doc_id"), col("text"), lit("upsert").as("op"))
+    val b2 = docs.filter(col("doc_id") % 7 === 3 && col("doc_id") < 50)
+      .select(col("doc_id"), lit(null).cast("string").as("text"),
+        lit("delete").as("op"))
+      .unionByName(docs
+        .filter(col("doc_id") >= 50 && col("doc_id") < 80)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" merge")).as("text"),
+          lit("upsert").as("op")))
+    landOrdered(Seq(b1, b2), s"$base/changes")
+    val schema = spark.read.parquet(s"$base/changes").schema
+    def run(ckpt: String): Unit = {
+      val q = graft.streaming.StreamIndex.bm25CdcWriter(spark,
+          s"$base/changes", schema, s"$base/idx", "doc_id", "text",
+          "op")
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    run(s"$base/ckpt1")
+    TextAnalysis.saveBm25Index(
+      docs.filter(col("doc_id") < 200 &&
+          !(col("doc_id") % 7 === 3 && col("doc_id") < 50) &&
+          !(col("doc_id") >= 50 && col("doc_id") < 80))
+        .unionByName(docs
+          .filter(col("doc_id") >= 50 && col("doc_id") < 80)
+          .withColumn("text", concat(col("text"), lit(" merge"))))
+        .unionByName(
+          docs.filter(col("doc_id") >= 200 && col("doc_id") < 230)),
+      "doc_id", "text", expected)
+    assert(rows(TextAnalysis.queryBm25Index(spark, s"$base/idx", terms,
+      10)) == rows(TextAnalysis.queryBm25Index(spark, expected, terms,
+      10)))
+    assert(stats(s"$base/idx") == stats(expected))
+    assert(liveTermstats(s"$base/idx") == termstats(expected))
+    // a FULL re-stream from a fresh checkpoint replays every batch —
+    // the content-derived markers make all of it no-op
+    val v0 = snap(s"$base/idx").version
+    run(s"$base/ckpt2")
+    assert(snap(s"$base/idx").version == v0,
+      "replayed CDC batches must not commit")
+    // op outside upsert|delete fails the stream with a clear message
+    landOrdered(Seq(docs.limit(3)
+      .select(col("doc_id"), col("text"), lit("nope").as("op"))),
+      s"$base/bad")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = graft.streaming.StreamIndex.bm25CdcWriter(spark,
+          s"$base/bad", schema, s"$base/idx", "doc_id", "text", "op")
+        .option("checkpointLocation", s"$base/ckpt3").start()
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("upsert|delete"))
+    assert(snap(s"$base/idx").version == v0)
+  }
+
   test("delete races: a concurrent compaction or overlapping delete " +
       "aborts the stale committer; appends compose") {
     // compaction wins → the stale delete must abort (its tombstone
