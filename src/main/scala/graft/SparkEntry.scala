@@ -1830,6 +1830,55 @@ object SparkEntry {
         Seq("hash", "join", "merge"), k = 10)
     },
 
+    // streaming CDC into the VECTOR index (x128): the re-embedding
+    // loop — inserts, deletes, a re-embedded (negated) slice, a
+    // delete-of-an-insert, and a re-re-embedded (reversed) slice
+    // stream through delete/reindex; the serve must equal the frozen
+    // subset-trained centroids over the net corpus state.
+    "x128_stream_ivf_cdc" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val base = scratchDir("streamivfcdc128")
+      graft.ext.Similarity.saveIvfIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding",
+        base + "/idx", kCentroids = 8, iters = 2)
+      // one change-file schema: embeddings unify to array<double>
+      // (float→double widening is exact, so modified vectors stay
+      // bit-equal to the oracle's CAST-then-transform)
+      val asD = col("embedding").cast("array<double>")
+      val b1 = emb.filter(col("vec_id") >= 400)
+        .select(col("vec_id"), asD.as("embedding"),
+          lit("upsert").as("op"))
+      val b2 = emb.filter(col("vec_id") % 5 === 0 &&
+          col("vec_id") < 400)
+        .select(col("vec_id"),
+          lit(null).cast("array<double>").as("embedding"),
+          lit("delete").as("op"))
+        .unionByName(emb
+          .filter(col("vec_id") >= 100 && col("vec_id") < 150)
+          .select(col("vec_id"),
+            transform(asD, x => -x).as("embedding"),
+            lit("upsert").as("op")))
+      val b3 = emb.filter(col("vec_id") >= 400 && col("vec_id") < 420)
+        .select(col("vec_id"),
+          lit(null).cast("array<double>").as("embedding"),
+          lit("delete").as("op"))
+        .unionByName(emb
+          .filter(col("vec_id") >= 100 && col("vec_id") < 120)
+          .select(col("vec_id"),
+            reverse(asD).as("embedding"),
+            lit("upsert").as("op")))
+      landOrdered(s, Seq(b1, b2, b3), base + "/changes")
+      val schema = s.read.parquet(base + "/changes").schema
+      val q = graft.streaming.StreamIndex.ivfCdcWriter(s,
+          base + "/changes", schema, base + "/idx", "vec_id",
+          "embedding", "op")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      graft.ext.Similarity.queryIvfIndex(s, base + "/idx",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+    },
+
     // streaming BM25 index maintenance (x97): a base index + three
     // streamed new-doc batches must serve exactly what a one-shot
     // full-corpus build serves (same oracle as x80/x89) — the
@@ -5230,6 +5279,55 @@ object SparkEntry {
         bm25Sql("(SELECT * FROM documents WHERE doc_id < 250)"),
       // x112: the as-of read serves only the pre-append subset index
       "x112_ivf_time_travel" -> ivfAsOfOracle,
+      // x128: frozen subset-trained centroids (tv = original vectors
+      // < 400, the base build's training set) served over the NET
+      // corpus state — inserts live, [100,120) reversed (update-of-
+      // update, latest wins), [120,150) negated, deletes and
+      // delete-of-insert gone. The %5 delete set deliberately
+      // OVERLAPS the [100,150) upsert set: a delete+upsert of one id
+      // in one batch nets to the upsert (the writer's documented
+      // order), so those ids survive re-embedded. Queries probe with
+      // their ORIGINAL vectors (external query side).
+      "x128_stream_ivf_cdc" ->
+        s"""WITH v AS ($vecs),
+            tv AS (SELECT vec_id, e FROM v WHERE vec_id < 400),
+            ${lloydCtes("t", 64, 8, 2)},
+            nc AS (SELECT vec_id,
+                     CASE WHEN vec_id >= 100 AND vec_id < 120
+                            THEN list_reverse(e)
+                          WHEN vec_id >= 120 AND vec_id < 150
+                            THEN list_transform(e, x -> -x)
+                          ELSE e END AS e
+                   FROM v
+                   WHERE NOT (vec_id % 5 = 0 AND vec_id < 400
+                              AND NOT (vec_id >= 100 AND vec_id < 150))
+                     AND NOT (vec_id >= 400 AND vec_id < 420)),
+            allasg AS (
+              SELECT vec_id, cl FROM (
+                SELECT v.vec_id, c.cl, row_number() OVER (
+                  PARTITION BY v.vec_id ORDER BY $kmeansD2, c.cl) AS rn
+                FROM nc v, tc2 c)
+              WHERE rn = 1),
+            probes AS (
+              SELECT query_id, cl AS bucket FROM (
+                SELECT v.vec_id AS query_id, c.cl,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY $kmeansD2, c.cl) AS rn
+                FROM v v, tc2 c
+                WHERE v.vec_id < 8)
+              WHERE rn <= 2)
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+            FROM (SELECT p.query_id, b.vec_id, $cosPairExpr AS cos,
+                         row_number() OVER (PARTITION BY p.query_id
+                           ORDER BY $cosPairExpr DESC, b.vec_id ASC)
+                           AS rank
+                  FROM probes p
+                       JOIN allasg s ON s.cl = p.bucket
+                       JOIN nc b ON b.vec_id = s.vec_id
+                       JOIN v a ON a.vec_id = p.query_id
+                  WHERE b.vec_id <> p.query_id)
+            WHERE rank <= 5""",
+
       // x121/x123: deletion must make served statistics EXACTLY the
       // live corpus's — the oracle rebuilds BM25 from scratch over the
       // filtered corpus (x123 adds a compaction; same answer)

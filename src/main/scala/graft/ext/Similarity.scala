@@ -1074,6 +1074,25 @@ object Similarity {
     newVecs.join(rejected, Seq(idCol), "left_anti")
   }
 
+  /** REINDEX (upsert) vectors in a persisted [[saveIvfIndex]] index —
+    * [[graft.ext.TextAnalysis.reindexBm25Docs]]'s vector twin, and the
+    * re-embedding primitive: when a document's content changes, its
+    * NEW embedding replaces the old one (old version tombstoned via
+    * its (vec_id, batch) scope, new version assigned against the
+    * frozen centroids and landed as a fresh batch segment no tombstone
+    * covers). Ids not currently indexed insert cleanly. Both halves
+    * key idempotent `reidx_<reindexId>` markers; a crash between them
+    * resumes at the append, and the readable window between the two
+    * commits is read-committed (the Lucene-update semantics). */
+  def reindexIvfVecs(spark: org.apache.spark.sql.SparkSession,
+      path: String, vecs: DataFrame, idCol: String, vecCol: String,
+      reindexId: String): Unit = {
+    deleteFromIvfIndex(spark, path, vecs.select(col(idCol)), idCol,
+      s"reidx_$reindexId")
+    appendToIvfIndex(spark, path, vecs, idCol, vecCol,
+      s"reidx_$reindexId")
+  }
+
   /** Persist an IVFPQ (IVFADC) index — [[ivfPqTopK]]'s train-once half
     * joined to the [[saveIvfIndex]] lifecycle: coarse centroids, the m
     * per-subspace PQ codebooks, and the corpus as (vec_id, bucket,

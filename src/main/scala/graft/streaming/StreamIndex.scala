@@ -186,6 +186,64 @@ object StreamIndex {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** The vector twin of [[bm25CdcWriter]] (gated x128): change batches
+    * of (id, vector, op ∈ upsert|delete) maintained into a persisted
+    * [[Similarity.saveIvfIndex]] index — the RE-EMBEDDING loop: when a
+    * document's content changes, its fresh embedding replaces the old
+    * one ([[Similarity.reindexIvfVecs]]); takedowns tombstone.
+    * Deletes-before-upserts, a content batchId over (id, op, vector),
+    * and idempotent markers on both halves give the same
+    * full-re-stream-is-a-no-op exactly-once contract; centroids stay
+    * the frozen serving generation throughout (retrain remains a
+    * separate maintenance decision, signalled by
+    * [[Similarity.ivfCellStats]]). Same caller contract (at most one
+    * upsert per id per batch) and inline compact+vacuum knob. */
+  def ivfCdcWriter(spark: SparkSession, changesDir: String,
+      schema: StructType, indexPath: String, idCol: String,
+      vecCol: String, opCol: String, compactEvery: Int = 0)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(changesDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val key = concat_ws("|", col(idCol).cast("string"),
+            col(opCol), coalesce(col(vecCol).cast("string"), lit("")))
+          val r = b.agg(
+            count(lit(1)),
+            coalesce(sum(crc32(key)), lit(0L)),
+            coalesce(sum(pmod(xxhash64(key), lit(1073741789L))),
+              lit(0L)),
+            count(when(col(opCol) === "delete", 1)),
+            count(when(col(opCol) === "upsert", 1))).head()
+          require(r.getLong(3) + r.getLong(4) == r.getLong(0),
+            s"cdc batch carries ops outside upsert|delete " +
+              s"(${r.getLong(0) - r.getLong(3) - r.getLong(4)} row(s))")
+          val bid = s"cdc_c${r.getLong(0)}_" +
+            java.lang.Long.toHexString(r.getLong(1)) + "_" +
+            java.lang.Long.toHexString(r.getLong(2))
+          if (r.getLong(3) > 0)
+            Similarity.deleteFromIvfIndex(s, indexPath,
+              b.filter(col(opCol) === "delete").select(col(idCol)),
+              idCol, s"${bid}_d")
+          if (r.getLong(4) > 0)
+            Similarity.reindexIvfVecs(s, indexPath,
+              b.filter(col(opCol) === "upsert"), idCol, vecCol, bid)
+        } finally b.unpersist(blocking = false)
+        if (compactEvery > 0 &&
+          segCount(s, indexPath, "corpus") > compactEvery) {
+          Similarity.compactIvfIndex(s, indexPath)
+          Similarity.vacuumIvfIndex(s, indexPath, keepVersions = 2)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** The vector-side twin of [[bm25AppendWriter]] (gated x98): new
     * embedding files land, each micro-batch is assigned against the
     * index's frozen centroids and landed as its own corpus segment of

@@ -882,6 +882,80 @@ class ExtSpec extends SparkSpec {
         "embedding", k = 5, cD, nprobe = 2)))
   }
 
+  test("streaming CDC into the IVF index (x128): net state lands; a " +
+      "full re-stream from a fresh checkpoint is a no-op; " +
+      "reindexIvfVecs replaces in place") {
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivf_cdc").toString
+    val hfs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val queries = embs.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "cos")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    Similarity.saveIvfIndex(embs.filter($"vec_id" < 300), "vec_id",
+      "embedding", s"$base/idx", kCentroids = 8, iters = 2)
+    // reindexIvfVecs alone: re-embed [50,80) negated — serve equals
+    // frozen centroids over the edited corpus
+    val asD = $"embedding".cast("array<double>")
+    Similarity.reindexIvfVecs(spark, s"$base/idx",
+      embs.filter($"vec_id" >= 50 && $"vec_id" < 80)
+        .select($"vec_id", transform(asD, x => -x).as("embedding")),
+      "vec_id", "embedding", "r1")
+    val centroids = Clustering.kmeansCentroids(
+      embs.filter($"vec_id" < 300), "vec_id", "embedding", k = 8,
+      iters = 2)
+    val edited = embs.filter($"vec_id" < 300)
+      .select($"vec_id",
+        when($"vec_id" >= 50 && $"vec_id" < 80,
+          transform(asD, x => -x)).otherwise(asD).as("embedding"))
+    assert(rows(Similarity.queryIvfIndex(spark, s"$base/idx", queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)) ==
+      rows(Similarity.ivfLearnedTopKWith(edited, queries, "vec_id",
+        "embedding", k = 5, centroids, nprobe = 2)))
+    // the CDC writer: a delete batch + an insert batch stream in; a
+    // full re-stream from a fresh checkpoint must commit nothing
+    val b1 = embs.filter($"vec_id" % 4 === 1 && $"vec_id" < 300)
+      .select($"vec_id",
+        lit(null).cast("array<double>").as("embedding"),
+        lit("delete").as("op"))
+    val b2 = embs.filter($"vec_id" >= 300 && $"vec_id" < 330)
+      .select($"vec_id", asD.as("embedding"), lit("upsert").as("op"))
+    Seq(b1, b2).zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$base/tmp$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = hfs.listStatus(new Path(tmp))
+        .map(_.getPath).filter(_.getName.startsWith("part-")).head
+      hfs.mkdirs(new Path(s"$base/changes"))
+      val dst = new Path(s"$base/changes", f"b$i%03d.parquet")
+      hfs.rename(part, dst)
+      hfs.setTimes(dst, 1700000000000L + i * 60000L, -1)
+      hfs.delete(new Path(tmp), true)
+    }
+    val schema = spark.read.parquet(s"$base/changes").schema
+    def run(ckpt: String): Unit = {
+      val q = graft.streaming.StreamIndex.ivfCdcWriter(spark,
+          s"$base/changes", schema, s"$base/idx", "vec_id",
+          "embedding", "op")
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    run(s"$base/ckpt1")
+    val net = edited.filter(!($"vec_id" % 4 === 1))
+      .unionByName(embs.filter($"vec_id" >= 300 && $"vec_id" < 330)
+        .select($"vec_id", asD.as("embedding")))
+    val served = rows(Similarity.queryIvfIndex(spark, s"$base/idx",
+      queries, "vec_id", "embedding", k = 5, nprobe = 2))
+    assert(served == rows(Similarity.ivfLearnedTopKWith(net, queries,
+      "vec_id", "embedding", k = 5, centroids, nprobe = 2)))
+    val v0 = graft.sinks.IndexManifest.latest(hfs, s"$base/idx")
+      .get.version
+    run(s"$base/ckpt2")
+    assert(graft.sinks.IndexManifest.latest(hfs, s"$base/idx")
+      .get.version == v0, "replayed CDC batches must not commit")
+  }
+
   test("IVFPQ delete: tombstoned codes vanish from the ADC serve; " +
       "compaction folds them away physically") {
     val idx = java.nio.file.Files
