@@ -2254,6 +2254,29 @@ object SparkEntry {
         k = 5, nprobe = 2)
     },
 
+    // FILTERED vector search (x129): metadata columns live IN the
+    // index (saveIvfIndex(metaCols)), appends infer them from the
+    // stored schema, and the serve PRE-filters the probed cells — k
+    // 'en' survivors per query, never a post-filtered short list.
+    // Oracle: x76's appended-index serve with candidates restricted
+    // to the predicate's ids.
+    "x129_ivf_filtered_topk" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val withMeta = emb.withColumn("lang",
+        when(col("vec_id") % 3 === 0, "en")
+          .when(col("vec_id") % 3 === 1, "fr").otherwise("de"))
+      val idx = scratchDir("ivf_filt129")
+      graft.ext.Similarity.saveIvfIndex(
+        withMeta.filter(col("vec_id") < 400), "vec_id", "embedding",
+        idx, kCentroids = 8, iters = 2, metaCols = Seq("lang"))
+      graft.ext.Similarity.appendToIvfIndex(s, idx,
+        withMeta.filter(col("vec_id") >= 400), "vec_id", "embedding",
+        "b1")
+      graft.ext.Similarity.queryIvfIndexFiltered(s, idx,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+        predicate = col("lang") === "en", nprobe = 2)
+    },
+
     // IVF time travel (x112): the vector-index half of x110 — pin the
     // pre-append manifest version, append, then serve AS OF the
     // pinned version. The as-of read pairs that snapshot's centroid
@@ -5279,6 +5302,39 @@ object SparkEntry {
         bm25Sql("(SELECT * FROM documents WHERE doc_id < 250)"),
       // x112: the as-of read serves only the pre-append subset index
       "x112_ivf_time_travel" -> ivfAsOfOracle,
+      // x129: x76's appended-index serve with the metadata pre-filter
+      // on the CANDIDATE side only (lang = 'en' ⇔ vec_id % 3 = 0);
+      // probes and centroids untouched by the filter
+      "x129_ivf_filtered_topk" ->
+        s"""WITH v AS ($vecs),
+            tv AS (SELECT vec_id, e FROM v WHERE vec_id < 400),
+            ${lloydCtes("t", 64, 8, 2)},
+            allasg AS (
+              SELECT vec_id, cl FROM (
+                SELECT v.vec_id, c.cl, row_number() OVER (
+                  PARTITION BY v.vec_id ORDER BY $kmeansD2, c.cl) AS rn
+                FROM v v, tc2 c)
+              WHERE rn = 1),
+            probes AS (
+              SELECT query_id, cl AS bucket FROM (
+                SELECT v.vec_id AS query_id, c.cl,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY $kmeansD2, c.cl) AS rn
+                FROM v v, tc2 c
+                WHERE v.vec_id < 8)
+              WHERE rn <= 2)
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+            FROM (SELECT p.query_id, b.vec_id, $cosPairExpr AS cos,
+                         row_number() OVER (PARTITION BY p.query_id
+                           ORDER BY $cosPairExpr DESC, b.vec_id ASC)
+                           AS rank
+                  FROM probes p
+                       JOIN allasg s ON s.cl = p.bucket
+                         AND s.vec_id % 3 = 0
+                       JOIN v b ON b.vec_id = s.vec_id
+                       JOIN v a ON a.vec_id = p.query_id
+                  WHERE b.vec_id <> p.query_id)
+            WHERE rank <= 5""",
       // x128: frozen subset-trained centroids (tv = original vectors
       // < 400, the base build's training set) served over the NET
       // corpus state — inserts live, [100,120) reversed (update-of-

@@ -487,13 +487,26 @@ object Similarity {
     * RNG-free), so save → load → serve reproduces [[ivfLearnedTopK]]
     * bit-for-bit (ExtSpec pins the equality; gated x71 replays x67's
     * oracle from a cold reload). */
+  /** Corpus columns reserved by the IVF layout — metadata columns may
+    * not collide with them. */
+  private val IvfCoreCols = Set("vec_id", "v", "nrm", "batch", "bucket")
+
+  /** `metaCols`: additional per-vector METADATA columns persisted
+    * alongside the vectors (language, source, license, timestamp …) —
+    * the pre-filter surface [[queryIvfIndexFiltered]] serves. The
+    * layout is self-describing: appends infer the metadata schema from
+    * the stored corpus, and compaction/retrain carry the columns. */
   def saveIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, kCentroids: Int = 8, iters: Int = 2,
-      trainSample: Option[String] = None): Unit = {
+      trainSample: Option[String] = None,
+      metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     graft.functions.VectorExprs.register(spark)
     import graft.functions.VectorExprs.dotF64
     import spark.implicits._
+    require(metaCols.forall(c => !IvfCoreCols.contains(c)),
+      s"metaCols may not collide with the layout's core columns " +
+        s"($IvfCoreCols)")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
@@ -503,11 +516,13 @@ object Similarity {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$path/centroids/base")
     Clustering.assignTo(
-        corpus.select(col(idCol).as("vec_id"),
-          asDouble(col(vecCol)).as("_v")), centroids)
-      .select(col("vec_id"), col("_v").as("v"),
-        sqrt(dotF64(col("_v"), col("_v"))).as("nrm"),
-        lit("base").as("batch"), col("cluster").as("bucket"))
+        corpus.select(col(idCol).as("vec_id") +:
+          asDouble(col(vecCol)).as("_v") +:
+          metaCols.map(col): _*), centroids)
+      .select(col("vec_id") +: col("_v").as("v") +:
+        sqrt(dotF64(col("_v"), col("_v"))).as("nrm") +:
+        lit("base").as("batch") +: col("cluster").as("bucket") +:
+        metaCols.map(col): _*)
       .write.mode("overwrite").partitionBy("batch", "bucket")
       .parquet(s"$path/corpus")
     graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
@@ -561,6 +576,14 @@ object Similarity {
         .reduce(_ unionByName _),
       Seq("vec_id", "batch"), "left_anti")
   }
+
+  /** Metadata columns of a stored IVF corpus — its parquet schema
+    * minus the core layout columns; appends and maintenance derive the
+    * carry list from here, so the layout is self-describing. */
+  private def ivfMetaCols(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] =
+    spark.read.parquet(s"$path/corpus").schema.fieldNames.toSeq
+      .filterNot(IvfCoreCols.contains)
 
   /** The vector indexes' tombstone table: (vec_id, batch) rows scoping
     * each deleted vector to the corpus segment that held it when the
@@ -718,12 +741,16 @@ object Similarity {
     require(centroids.nonEmpty, s"appendToIvfIndex: empty index at $path")
     graft.functions.VectorExprs.register(spark)
     import graft.functions.VectorExprs.dotF64
+    // the layout is self-describing: metadata columns come from the
+    // stored corpus schema, and the batch must supply them
+    val meta = ivfMetaCols(spark, path)
     Clustering.assignTo(
-        newVecs.select(col(idCol).as("vec_id"),
-          asDouble(col(vecCol)).as("_v")), centroids)
-      .select(col("vec_id"), col("_v").as("v"),
-        sqrt(dotF64(col("_v"), col("_v"))).as("nrm"),
-        col("cluster").as("bucket"))
+        newVecs.select(col(idCol).as("vec_id") +:
+          asDouble(col(vecCol)).as("_v") +: meta.map(col): _*),
+        centroids)
+      .select(col("vec_id") +: col("_v").as("v") +:
+        sqrt(dotF64(col("_v"), col("_v"))).as("nrm") +:
+        col("cluster").as("bucket") +: meta.map(col): _*)
       .write.mode("overwrite").partitionBy("bucket")
       // the batch value is encoded in the target path, so the write is
       // naturally scoped to this segment — never the corpus
@@ -792,10 +819,13 @@ object Similarity {
     val seg = s"compact_v${snap.version}_" +
       java.util.UUID.randomUUID().toString.take(8)
     // readIvfCorpus is tombstone-aware, so the fold physically removes
-    // deleted vectors; the tombstone table empties in the same commit
+    // deleted vectors; the tombstone table empties in the same commit.
+    // Metadata columns are carried — folding must not strip the
+    // pre-filter surface.
     readIvfCorpus(spark, path, snap)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("bucket").cast(LongType).as("bucket"))
+      .select(col("vec_id") +: col("v") +: col("nrm") +:
+        col("bucket").cast(LongType).as("bucket") +:
+        ivfMetaCols(spark, path).map(col): _*)
       .repartition(col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket")
@@ -878,8 +908,10 @@ object Similarity {
       spark.sessionState.newHadoopConf())
     val seg = s"retrain_v${snap.version}_" +
       java.util.UUID.randomUUID().toString.take(8)
+    val meta = ivfMetaCols(spark, path)
     val live = readIvfCorpus(spark, path, snap)
-      .select(col("vec_id"), col("v"), col("nrm"))
+      .select(col("vec_id") +: col("v") +: col("nrm") +:
+        meta.map(col): _*)
     val centroids = Clustering.kmeansCentroids(live, "vec_id", "v",
       kCentroids, iters, trainSample)
     import spark.implicits._
@@ -887,10 +919,11 @@ object Similarity {
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/centroids/$seg")
     Clustering.assignTo(
-        live.select(col("vec_id"), col("v").as("_v"), col("nrm")),
+        live.select(col("vec_id") +: col("v").as("_v") +:
+          col("nrm") +: meta.map(col): _*),
         centroids)
-      .select(col("vec_id"), col("_v").as("v"), col("nrm"),
-        col("cluster").as("bucket"))
+      .select(col("vec_id") +: col("_v").as("v") +: col("nrm") +:
+        col("cluster").as("bucket") +: meta.map(col): _*)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(s"$path/corpus/batch=$seg")
@@ -920,10 +953,11 @@ object Similarity {
         val carrySeg = s"${seg}_carry_$b"
         Clustering.assignTo(
             spark.read.parquet(s"$path/corpus/batch=$b")
-              .select(col("vec_id"), col("v").as("_v"), col("nrm")),
+              .select(col("vec_id") +: col("v").as("_v") +:
+                col("nrm") +: meta.map(col): _*),
             centroids)
-          .select(col("vec_id"), col("_v").as("v"), col("nrm"),
-            col("cluster").as("bucket"))
+          .select(col("vec_id") +: col("_v").as("v") +: col("nrm") +:
+            col("cluster").as("bucket") +: meta.map(col): _*)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .partitionBy("bucket")
           .parquet(s"$path/corpus/batch=$carrySeg")
@@ -1023,6 +1057,37 @@ object Similarity {
     val centroids = loadCentroids(spark, path, snap)
     require(centroids.nonEmpty, s"queryIvfIndex: empty index at $path")
     val c = readIvfCorpus(spark, path, snap)
+      .select(col("vec_id"), col("v"),
+        col("bucket").cast(LongType).as("bucket"), col("nrm"))
+    serveBuckets(c, queries, idCol, vecCol, k, centroids, nprobe)
+  }
+
+  /** FILTERED vector search over a persisted [[saveIvfIndex]] index —
+    * top-k among only the vectors whose METADATA satisfies
+    * `predicate` (language, source, license, recency …): the
+    * vector-database "filtered search" feature, served as a
+    * PRE-filter. The predicate applies to the corpus read BEFORE
+    * candidate scoring, so the result is exactly
+    * [[ivfLearnedTopKWith]] on the filtered corpus — k survivors per
+    * query whenever the probed cells hold that many, never the
+    * post-filter failure mode (filter the top-k after scoring and a
+    * selective predicate leaves < k rows). Cost shape is unchanged:
+    * the scan stays bounded to the probed cells, with the metadata
+    * predicate pushed into those cells' parquet scans — filtering
+    * costs column-pruned predicate evaluation, not a wider scan.
+    * Metadata lives in the index (`saveIvfIndex(metaCols = …)`);
+    * appends supply it, compaction/retrain carry it, deletes and time
+    * travel compose. */
+  def queryIvfIndexFiltered(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, predicate: org.apache.spark.sql.Column, nprobe: Int = 2,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = ivfSnapshot(spark, path, asOfVersion)
+    val centroids = loadCentroids(spark, path, snap)
+    require(centroids.nonEmpty,
+      s"queryIvfIndexFiltered: empty index at $path")
+    val c = readIvfCorpus(spark, path, snap)
+      .filter(predicate)
       .select(col("vec_id"), col("v"),
         col("bucket").cast(LongType).as("bucket"), col("nrm"))
     serveBuckets(c, queries, idCol, vecCol, k, centroids, nprobe)

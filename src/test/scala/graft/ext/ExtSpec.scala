@@ -956,6 +956,60 @@ class ExtSpec extends SparkSpec {
       .get.version == v0, "replayed CDC batches must not commit")
   }
 
+  test("filtered vector search (x129): metadata rides the whole " +
+      "lifecycle — append infers it, compact and retrain carry it, " +
+      "deletes compose; pre-filter yields k survivors") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_filt").resolve("idx").toString
+    val queries = embs.filter($"vec_id" < 8)
+    val withMeta = embs.withColumn("lang",
+      when($"vec_id" % 3 === 0, "en")
+        .when($"vec_id" % 3 === 1, "fr").otherwise("de"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "cos")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    Similarity.saveIvfIndex(withMeta.filter($"vec_id" < 300),
+      "vec_id", "embedding", idx, kCentroids = 8, iters = 2,
+      metaCols = Seq("lang"))
+    // append WITHOUT naming metaCols — inferred from the stored schema
+    Similarity.appendToIvfIndex(spark, idx,
+      withMeta.filter($"vec_id" >= 300), "vec_id", "embedding", "b1")
+    val centroids = Clustering.kmeansCentroids(
+      embs.filter($"vec_id" < 300), "vec_id", "embedding", k = 8,
+      iters = 2)
+    val en = embs.filter($"vec_id" % 3 === 0)
+    val expect = rows(Similarity.ivfLearnedTopKWith(en, queries,
+      "vec_id", "embedding", k = 5, centroids, nprobe = 2))
+    def filtered() = rows(Similarity.queryIvfIndexFiltered(spark, idx,
+      queries, "vec_id", "embedding", k = 5,
+      predicate = $"lang" === "en", nprobe = 2))
+    assert(filtered() == expect)
+    // every query gets k survivors — the pre-filter property a
+    // post-filter of the unfiltered top-k cannot give
+    assert(Similarity.queryIvfIndexFiltered(spark, idx, queries,
+      "vec_id", "embedding", k = 5, predicate = $"lang" === "en",
+      nprobe = 2).groupBy($"query_id").count()
+      .select($"count").as[Long].collect().forall(_ == 5L))
+    // compaction carries the metadata
+    Similarity.compactIvfIndex(spark, idx)
+    assert(filtered() == expect)
+    // a delete composes with the filter
+    Similarity.deleteFromIvfIndex(spark, idx,
+      embs.filter($"vec_id" % 3 === 0 && $"vec_id" % 5 === 0)
+        .select($"vec_id"), "vec_id", "d1")
+    val enLive = en.filter(!($"vec_id" % 5 === 0))
+    assert(filtered() == rows(Similarity.ivfLearnedTopKWith(enLive,
+      queries, "vec_id", "embedding", k = 5, centroids, nprobe = 2)))
+    // retrain carries the metadata and bakes the delete in
+    Similarity.retrainIvfIndex(spark, idx, kCentroids = 8, iters = 2)
+    val liveAll = embs.filter(
+      !($"vec_id" % 3 === 0 && $"vec_id" % 5 === 0))
+    val retrained = Clustering.kmeansCentroids(liveAll, "vec_id",
+      "embedding", k = 8, iters = 2)
+    assert(filtered() == rows(Similarity.ivfLearnedTopKWith(enLive,
+      queries, "vec_id", "embedding", k = 5, retrained, nprobe = 2)))
+  }
+
   test("IVFPQ delete: tombstoned codes vanish from the ADC serve; " +
       "compaction folds them away physically") {
     val idx = java.nio.file.Files
