@@ -69,7 +69,8 @@ object Bench {
     "x120_ivf_neardup_admit", "x121_bm25_index_delete",
     "x122_bm25_reindex_docs", "x123_bm25_delete_compact",
     "x124_ivf_index_delete", "x125_minhash_index_delete",
-    "x126_zorder_pruned_scan", "x129_ivf_filtered_topk")
+    "x126_zorder_pruned_scan", "x129_ivf_filtered_topk",
+    "x130_bm25_filtered_topk", "x131_hybrid_filtered_retrieval")
 
   private def queryClass(name: String): String =
     if (StreamQueries.contains(name)) "stream"

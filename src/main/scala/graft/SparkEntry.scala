@@ -2186,6 +2186,21 @@ object SparkEntry {
         .select(col("vec_id"))
     },
 
+    // FILTERED BM25 (x130): the lexical half of filtered retrieval —
+    // top-k among lang='en' docs only, with Lucene filter semantics:
+    // idf/N/avgdl stay the FULL corpus's (scores are corpus
+    // properties; filters choose candidates), so the oracle filters
+    // at the scoring stage below corpus-wide statistics.
+    "x130_bm25_filtered_topk" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val idx = scratchDir("bm25_filt130")
+      graft.ext.TextAnalysis.saveBm25Index(docs, "doc_id", "text", idx)
+      graft.ext.TextAnalysis.queryBm25IndexFiltered(s, idx,
+        Seq("hash", "join", "merge"), k = 10,
+        allowedDocs = docs.filter(col("lang") === "en"),
+        idCol = "doc_id")
+    },
+
     // BM25 index DELETE (x121): tombstone + negative-correction
     // deletion — served scores must be EXACT for the live corpus
     // immediately (idf/n_docs/avgdl all net out the deleted docs),
@@ -2252,6 +2267,36 @@ object SparkEntry {
       graft.ext.Similarity.queryIvfIndex(s, idx,
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         k = 5, nprobe = 2)
+    },
+
+    // FILTERED hybrid retrieval (x131): both retriever legs restricted
+    // by the SAME metadata predicate (en ⇔ id % 3 = 0 — the x129
+    // mapping), then rank-fused: the filtered lexical list
+    // (corpus-wide stats, candidates restricted) + the filtered
+    // vector list (pre-filtered probed cells), RRF in fixed leg order.
+    "x131_hybrid_filtered_retrieval" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val q0 = emb.filter(col("vec_id") === 0)
+      val bidx = scratchDir("bm25_hf131")
+      val vidx = scratchDir("ivf_hf131")
+      graft.ext.TextAnalysis.saveBm25Index(docs, "doc_id", "text",
+        bidx)
+      graft.ext.Similarity.saveIvfIndex(
+        emb.withColumn("lang",
+          when(col("vec_id") % 3 === 0, "en")
+            .when(col("vec_id") % 3 === 1, "fr").otherwise("de")),
+        "vec_id", "embedding", vidx, kCentroids = 8, iters = 2,
+        metaCols = Seq("lang"))
+      graft.ext.Similarity.rrfFuseN(Seq(
+        graft.ext.TextAnalysis.bm25IndexRankedListFiltered(s, bidx,
+          Seq("hash", "join", "merge"), k = 10, queryId = 0L,
+          allowedDocs = docs.filter(col("doc_id") % 3 === 0),
+          idCol = "doc_id"),
+        graft.ext.Similarity.queryIvfIndexFiltered(s, vidx, q0,
+          "vec_id", "embedding", k = 5,
+          predicate = col("lang") === "en", nprobe = 2)),
+        k = 10)
     },
 
     // FILTERED vector search (x129): metadata columns live IN the
@@ -3680,7 +3725,11 @@ object SparkEntry {
     // BM25 scoring SQL over a parameterized document source — `src`
     // is the table (x80/x89/...) or a filtered subquery (x110's
     // time-travel gate scores the PRE-append document subset)
-    def bm25Sql(src: String): String =
+    // `scWhere`: candidate restriction applied at the SCORING stage
+    // only (x130's filtered retrieval) — df_t, N, and avgdl stay the
+    // full `src` corpus's, matching the engine's Lucene filter
+    // semantics (the tfd window and st aggregate sit ABOVE the filter)
+    def bm25Sql(src: String, scWhere: String = ""): String =
       s"""WITH t AS (SELECT doc_id,
                 CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
                   AS BIGINT) AS dl,
@@ -3705,7 +3754,7 @@ object SparkEntry {
                           (CAST(dl * n AS DOUBLE)
                             / CAST(total_len AS DOUBLE))))
                       AS DECIMAL(20,9)) AS s
-                  FROM tfd, st)
+                  FROM tfd, st $scWhere)
            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
                   round(CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE), 6)
                     AS score
@@ -5302,6 +5351,57 @@ object SparkEntry {
         bm25Sql("(SELECT * FROM documents WHERE doc_id < 250)"),
       // x112: the as-of read serves only the pre-append subset index
       "x112_ivf_time_travel" -> ivfAsOfOracle,
+      // x131: both legs restricted to en (id % 3 = 0), then the 2-leg
+      // RRF in the engine's fixed leg order (lex, then vector); lex
+      // keeps corpus-wide stats (x130's semantics), the vector leg is
+      // x71's full-trained serve with candidates restricted
+      "x131_hybrid_filtered_retrieval" ->
+        s"""WITH lex AS (
+              SELECT CAST(0 AS BIGINT) AS query_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS rank,
+                     doc_id AS vec_id
+              FROM (${bm25Sql("documents",
+                "WHERE tfd.doc_id % 3 = 0")})),
+            fv AS (SELECT query_id, rank, vec_id
+                   FROM (WITH $kmeansCtes,
+                     probes AS (
+                       SELECT query_id, cl AS bucket FROM (
+                         SELECT v.vec_id AS query_id, c.cl,
+                                row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY $kmeansD2, c.cl) AS rn
+                         FROM v, c2 c
+                         WHERE v.vec_id = 0)
+                       WHERE rn <= 2)
+                     SELECT p.query_id, b.vec_id,
+                            row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY $cosPairExpr DESC, b.vec_id ASC)
+                              AS rank
+                     FROM probes p
+                          JOIN a3 s ON s.cl = p.bucket
+                            AND s.vec_id % 3 = 0
+                          JOIN v b ON b.vec_id = s.vec_id
+                          JOIN v a ON a.vec_id = p.query_id
+                     WHERE b.vec_id <> p.query_id)
+                   WHERE rank <= 5),
+            j AS (SELECT
+                    coalesce(l.query_id, f.query_id) AS query_id,
+                    coalesce(l.vec_id, f.vec_id) AS vec_id,
+                    coalesce(CAST(1 AS DOUBLE)
+                        / CAST(l.rank + 60 AS DOUBLE), 0)
+                      + coalesce(CAST(1 AS DOUBLE)
+                        / CAST(f.rank + 60 AS DOUBLE), 0) AS rrf
+                  FROM lex l
+                  FULL OUTER JOIN fv f
+                    ON f.query_id = l.query_id
+                   AND f.vec_id = l.vec_id)
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+                   round(rrf, 6) AS rrf
+            FROM (SELECT query_id, vec_id, rrf, row_number() OVER
+                    (PARTITION BY query_id ORDER BY rrf DESC,
+                      vec_id ASC) AS rank
+                  FROM j)
+            WHERE rank <= 10""",
       // x129: x76's appended-index serve with the metadata pre-filter
       // on the CANDIDATE side only (lang = 'en' ⇔ vec_id % 3 = 0);
       // probes and centroids untouched by the filter
@@ -5384,6 +5484,11 @@ object SparkEntry {
                   WHERE b.vec_id <> p.query_id)
             WHERE rank <= 5""",
 
+      // x130: candidate restriction at the scoring stage; statistics
+      // corpus-wide (Lucene filter semantics)
+      "x130_bm25_filtered_topk" -> bm25Sql("documents",
+        """WHERE doc_id IN
+             (SELECT doc_id FROM documents WHERE lang = 'en')"""),
       // x121/x123: deletion must make served statistics EXACTLY the
       // live corpus's — the oracle rebuilds BM25 from scratch over the
       // filtered corpus (x123 adds a compaction; same answer)

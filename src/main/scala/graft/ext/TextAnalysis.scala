@@ -891,7 +891,36 @@ object TextAnalysis {
   def queryBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String, queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
-      asOfVersion: Option[Long] = None): DataFrame = {
+      asOfVersion: Option[Long] = None): DataFrame =
+    queryBm25IndexImpl(spark, path, queryTerms, k, k1, b, asOfVersion,
+      None)
+
+  /** FILTERED BM25 — top-k among only the docs in `allowedDocs` (the
+    * id side of a metadata predicate on the caller's document table):
+    * the lexical half of filtered retrieval
+    * ([[graft.ext.Similarity.queryIvfIndexFiltered]] is the vector
+    * half). Lucene filter-query semantics: the restriction applies to
+    * the CANDIDATE set only — idf, N, and avgdl stay the full
+    * corpus's, so a document's score is identical inside and outside
+    * any filter (scores are properties of the corpus, filters choose
+    * candidates; re-deriving statistics per filter would make the
+    * same doc score differently per query). Pre-filter shape: the
+    * semi-join restricts the already-term-pruned postings rows before
+    * scoring, so every query yields k surviving docs whenever the
+    * filter holds that many matches. */
+  def queryBm25IndexFiltered(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryTerms: Seq[String], k: Int,
+      allowedDocs: DataFrame, idCol: String, k1: Double = 1.2,
+      b: Double = 0.75, asOfVersion: Option[Long] = None): DataFrame =
+    queryBm25IndexImpl(spark, path, queryTerms, k, k1, b, asOfVersion,
+      Some(allowedDocs.select(col(idCol).cast(LongType).as("doc_id"))
+        .distinct()))
+
+  private def queryBm25IndexImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, queryTerms: Seq[String], k: Int,
+      k1: Double, b: Double, asOfVersion: Option[Long],
+      allowed: Option[DataFrame]): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.forall(_.nonEmpty),
@@ -905,8 +934,14 @@ object TextAnalysis {
     // delete also landed NEGATIVE (termstats, stats) correction
     // segments, the summed statistics below are the live corpus's —
     // scores are exact immediately, not only after compaction
-    val postings = livePostings(spark, path, snap)
+    val termPruned = livePostings(spark, path, snap)
       .filter(col("term").isin(qset: _*))
+    // the candidate filter restricts the already-term-pruned rows;
+    // statistics below stay corpus-wide (Lucene filter semantics)
+    val postings = allowed match {
+      case Some(a) => termPruned.join(a, Seq("doc_id"), "left_semi")
+      case None => termPruned
+    }
     // per-segment df contributions sum to the corpus df_t; the filter
     // pushes below the union into every segment scan
     val termstats = readBm25Table(spark, path, snap, "termstats")
@@ -941,6 +976,24 @@ object TextAnalysis {
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     queryBm25Index(spark, path, queryTerms, k)
+      .withColumn("query_id", lit(queryId))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .select(col("query_id"), col("rank"), col("doc_id").as("vec_id"))
+  }
+
+  /** [[queryBm25IndexFiltered]] as a retriever list — the lexical leg
+    * of FILTERED hybrid retrieval (gated x131: fuse with
+    * [[graft.ext.Similarity.queryIvfIndexFiltered]] under the same
+    * metadata predicate). */
+  def bm25IndexRankedListFiltered(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queryTerms: Seq[String], k: Int, queryId: Long,
+      allowedDocs: DataFrame, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    queryBm25IndexFiltered(spark, path, queryTerms, k, allowedDocs,
+      idCol)
       .withColumn("query_id", lit(queryId))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .select(col("query_id"), col("rank"), col("doc_id").as("vec_id"))

@@ -69,7 +69,13 @@ class PlanAuditSpec extends SparkSpec {
       // index — the same sanctioned 1-row stats cross join; the
       // tombstone anti-join is a keyed hash join
       "x121_bm25_index_delete", "x122_bm25_reindex_docs",
-      "x123_bm25_delete_compact")
+      "x123_bm25_delete_compact",
+      // x127's final read is the same queryBm25Index serve plan over
+      // the CDC-maintained index
+      "x127_stream_bm25_cdc",
+      // x130 is the same serve plan with a candidate semi-join;
+      // x131's lexical leg is that plan inside the hybrid fusion
+      "x130_bm25_filtered_topk", "x131_hybrid_filtered_retrieval")
 
   // x85's lexical leg ranks bm25TopK's ALREADY-LIMITED k-row list with
   // a per-query window whose query_id is a literal — Catalyst folds the
@@ -78,7 +84,9 @@ class PlanAuditSpec extends SparkSpec {
   // limit), so the single task sorts a bounded list, never the corpus.
   // x90's lexical leg is the same wrapper over the index serve path.
   private val boundedGlobalWindowBaseline =
-    Set("x85_hybrid_retrieval", "x90_hybrid_index_retrieval")
+    Set("x85_hybrid_retrieval", "x90_hybrid_index_retrieval",
+      // x131's lexical leg is the same wrapper over the filtered serve
+      "x131_hybrid_filtered_retrieval")
 
   // conservative per-literal size estimate: exact for the classes that
   // can actually get big (binary sketches, strings, array literals)

@@ -468,6 +468,27 @@ class Bm25IndexSpec extends SparkSpec {
     assert(snap(s"$base/idx").version == v0)
   }
 
+  test("filtered serve (x130): Lucene filter semantics — scores are " +
+      "corpus properties, filters choose candidates") {
+    val idx = scratch()
+    TextAnalysis.saveBm25Index(docs, "doc_id", "text", idx)
+    val allowed = docs.filter(col("lang") === "en")
+    val got = rows(TextAnalysis.queryBm25IndexFiltered(spark, idx,
+      terms, k = 10, allowedDocs = allowed, idCol = "doc_id"))
+    val allowedIds = allowed.select("doc_id").as[Long].collect().toSet
+    assert(got.forall(r => allowedIds.contains(r._1)),
+      "every result must satisfy the filter")
+    // definitional: a DEEP unfiltered list post-filtered to the
+    // allowed set equals the pre-filter serve (corpus-wide stats make
+    // per-doc scores filter-independent)
+    val deep = rows(TextAnalysis.queryBm25Index(spark, idx, terms,
+      k = docs.count().toInt))
+    assert(got == deep.filter(r => allowedIds.contains(r._1)).take(10))
+    // and each returned doc's score matches its unfiltered score
+    val unfScores = deep.map(r => r._1 -> r._3).toMap
+    assert(got.forall(r => unfScores(r._1) == r._3))
+  }
+
   test("delete races: a concurrent compaction or overlapping delete " +
       "aborts the stale committer; appends compose") {
     // compaction wins → the stale delete must abort (its tombstone
