@@ -70,7 +70,8 @@ object Bench {
     "x122_bm25_reindex_docs", "x123_bm25_delete_compact",
     "x124_ivf_index_delete", "x125_minhash_index_delete",
     "x126_zorder_pruned_scan", "x129_ivf_filtered_topk",
-    "x130_bm25_filtered_topk", "x131_hybrid_filtered_retrieval")
+    "x130_bm25_filtered_topk", "x131_hybrid_filtered_retrieval",
+    "x132_bm25_index_batch")
 
   private def queryClass(name: String): String =
     if (StreamQueries.contains(name)) "stream"

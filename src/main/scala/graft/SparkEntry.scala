@@ -2186,6 +2186,25 @@ object SparkEntry {
         .select(col("vec_id"))
     },
 
+    // BATCHED BM25 serve (x132): three queries (one carrying a term
+    // absent from the vocabulary) answered from ONE pass over the
+    // union of their terms' postings — per-query top-k via a window
+    // PARTITIONED by query_id, scores bit-identical to the
+    // single-query serve.
+    "x132_bm25_index_batch" -> { (s, dir) =>
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val idx = scratchDir("bm25_batch132")
+      graft.ext.TextAnalysis.saveBm25Index(docs, "doc_id", "text", idx)
+      val qdf = Seq(
+        (0L, Seq("hash", "join", "merge")),
+        (1L, Seq("sort", "stream", "spill")),
+        (2L, Seq("filter", "scan", "join")))
+        .toDF("query_id", "terms")
+      graft.ext.TextAnalysis.queryBm25IndexBatch(s, idx, qdf,
+        "query_id", "terms", k = 10)
+    },
+
     // FILTERED BM25 (x130): the lexical half of filtered retrieval —
     // top-k among lang='en' docs only, with Lucene filter semantics:
     // idf/N/avgdl stay the FULL corpus's (scores are corpus
@@ -5484,6 +5503,51 @@ object SparkEntry {
                   WHERE b.vec_id <> p.query_id)
             WHERE rank <= 5""",
 
+      // x132: the batch pipeline — per-term df over the corpus, each
+      // posting row scored once per query containing its term,
+      // per-query ranking ('spill' matches nothing and contributes
+      // nothing)
+      "x132_bm25_index_batch" ->
+        s"""WITH q(query_id, term) AS (VALUES
+              (0,'hash'),(0,'join'),(0,'merge'),
+              (1,'sort'),(1,'stream'),(1,'spill'),
+              (2,'filter'),(2,'scan'),(2,'join')),
+            t AS (SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(lower(text)),
+                  '\\s+')) AS BIGINT) AS dl,
+                unnest(regexp_split_to_array(trim(lower(text)),
+                  '\\s+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, dl, term,
+                     CAST(count(*) AS BIGINT) AS tf
+                   FROM t WHERE term IN (SELECT term FROM q)
+                   GROUP BY 1, 2, 3),
+            tfd AS (SELECT *, CAST(count(*) OVER (PARTITION BY term)
+                      AS BIGINT) AS df_t FROM tf),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(len(regexp_split_to_array(
+                       trim(lower(text)), '\\s+')) AS BIGINT))
+                       AS BIGINT) AS total_len
+                   FROM documents),
+            sc AS (SELECT q.query_id, tfd.doc_id,
+                     CAST(((n - df_t + 0.5) / (df_t + 0.5))
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                           (CAST(dl * n AS DOUBLE)
+                             / CAST(total_len AS DOUBLE))))
+                       AS DECIMAL(20,9)) AS s
+                   FROM tfd JOIN q USING (term), st),
+            agg AS (SELECT query_id, doc_id,
+                      CAST(count(*) AS BIGINT) AS n_terms,
+                      round(CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE), 6)
+                        AS score
+                    FROM sc GROUP BY 1, 2)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(rank AS BIGINT) AS rank, doc_id, n_terms, score
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, doc_id ASC) AS rank
+                  FROM agg)
+            WHERE rank <= 10""",
       // x130: candidate restriction at the scoring stage; statistics
       // corpus-wide (Lucene filter semantics)
       "x130_bm25_filtered_topk" -> bm25Sql("documents",

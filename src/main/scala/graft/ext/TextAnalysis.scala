@@ -981,6 +981,72 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"), col("doc_id").as("vec_id"))
   }
 
+  /** BATCHED BM25 serve — a whole frame of queries answered from ONE
+    * pass over the union of their terms' postings (the production
+    * serving shape: per-query cost amortizes the scan, where looping
+    * [[queryBm25Index]] re-opens the index per query). `queries` is
+    * (queryIdCol, termsCol: ARRAY<STRING>); scoring is bit-identical
+    * to the single-query serve (same DECIMAL(20,9) quantized sums,
+    * same rational idf over the corpus-wide stats), and the per-query
+    * top-k is a window PARTITIONED by query_id — parallel across
+    * queries, never a global sort. Output: (query_id, rank, doc_id,
+    * n_terms, score), ranked (score DESC, doc_id ASC) within each
+    * query; a term matching nothing contributes nothing, a query
+    * whose terms all miss yields no rows.
+    *
+    * Driver contract: the batch's DISTINCT TERM UNION is collected to
+    * build the pushed `term IN (...)` scan filter (the same
+    * driver-bounded class as the k-row centroid reloads) — queries ×
+    * terms is serving-request metadata, never corpus-sized. */
+  def queryBm25IndexBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, queryIdCol: String,
+      termsCol: String, k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75, asOfVersion: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val q = queries.select(
+        col(queryIdCol).cast(LongType).as("query_id"),
+        explode(array_distinct(
+          transform(col(termsCol), t => lower(t)))).as("term"))
+    val termList = q.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(termList.nonEmpty, "queries must carry at least one term")
+    require(termList.forall(_.nonEmpty),
+      "query terms must be non-empty strings (empty/whitespace-only " +
+        "docs post an '' token row)")
+    val snap = bm25Snapshot(spark, path, asOfVersion)
+    val postings = livePostings(spark, path, snap)
+      .filter(col("term").isin(termList: _*))
+    val termstats = readBm25Table(spark, path, snap, "termstats")
+      .filter(col("term").isin(termList: _*))
+      .groupBy("term").agg(sum(col("df_t")).as("df_t"))
+    val stats = readBm25Table(spark, path, snap, "stats")
+      .agg(sum(col("n_docs")).as("_n"),
+        sum(col("total_len")).as("_len"))
+    val idf = (col("_n") - col("df_t") + lit(0.5)) /
+      (col("df_t") + lit(0.5))
+    val norm = lit(k1) * (lit(1.0) - lit(b) + lit(b) *
+      ((col("dl") * col("_n")).cast(DoubleType) /
+        col("_len").cast(DoubleType)))
+    val tscore = idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + norm)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    postings.join(termstats, Seq("term"))
+      // the query fan-out: each posting row scores once per query
+      // containing its term (|q| rows, broadcast — request metadata)
+      .join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_s", graft.ops.Metrics.decQuantize(tscore, 9))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("_s")).cast(DoubleType), 6).as("score"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_terms"), col("score"))
+  }
+
   /** [[queryBm25IndexFiltered]] as a retriever list — the lexical leg
     * of FILTERED hybrid retrieval (gated x131: fuse with
     * [[graft.ext.Similarity.queryIvfIndexFiltered]] under the same

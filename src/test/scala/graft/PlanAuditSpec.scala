@@ -74,8 +74,10 @@ class PlanAuditSpec extends SparkSpec {
       // the CDC-maintained index
       "x127_stream_bm25_cdc",
       // x130 is the same serve plan with a candidate semi-join;
-      // x131's lexical leg is that plan inside the hybrid fusion
-      "x130_bm25_filtered_topk", "x131_hybrid_filtered_retrieval")
+      // x131's lexical leg is that plan inside the hybrid fusion;
+      // x132 is the batch form — same 1-row stats cross join
+      "x130_bm25_filtered_topk", "x131_hybrid_filtered_retrieval",
+      "x132_bm25_index_batch")
 
   // x85's lexical leg ranks bm25TopK's ALREADY-LIMITED k-row list with
   // a per-query window whose query_id is a literal — Catalyst folds the

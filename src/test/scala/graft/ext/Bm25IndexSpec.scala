@@ -468,6 +468,34 @@ class Bm25IndexSpec extends SparkSpec {
     assert(snap(s"$base/idx").version == v0)
   }
 
+  test("batched serve (x132): each query's slice equals its " +
+      "single-query serve bit-for-bit; no-match queries vanish") {
+    val idx = scratch()
+    TextAnalysis.saveBm25Index(docs, "doc_id", "text", idx)
+    val qsets = Map(0L -> Seq("hash", "join", "merge"),
+      1L -> Seq("sort", "stream"), 2L -> Seq("zzznope"))
+    val qdf = qsets.toSeq.toDF("query_id", "terms")
+    val batch = TextAnalysis.queryBm25IndexBatch(spark, idx, qdf,
+      "query_id", "terms", k = 10)
+      .select("query_id", "doc_id", "n_terms", "score")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4))
+        .toSeq).toMap
+    qsets.foreach { case (qid, ts) =>
+      val single = rows(TextAnalysis.queryBm25Index(spark, idx, ts,
+        k = 10))
+      assert(batch.getOrElse(qid, Seq.empty).sortBy(r =>
+        (-r._3, r._1)) == single,
+        s"query $qid batch slice must equal its single serve")
+    }
+    assert(!batch.contains(2L), "an all-miss query yields no rows")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.queryBm25IndexBatch(spark, idx,
+        Seq((0L, Seq("hash", ""))).toDF("query_id", "terms"),
+        "query_id", "terms")
+    }
+  }
+
   test("filtered serve (x130): Lucene filter semantics — scores are " +
       "corpus properties, filters choose candidates") {
     val idx = scratch()
