@@ -71,7 +71,8 @@ object Bench {
     "x124_ivf_index_delete", "x125_minhash_index_delete",
     "x126_zorder_pruned_scan", "x129_ivf_filtered_topk",
     "x130_bm25_filtered_topk", "x131_hybrid_filtered_retrieval",
-    "x132_bm25_index_batch")
+    "x132_bm25_index_batch", "x133_bm25_index_clone",
+    "x134_ivf_index_clone")
 
   private def queryClass(name: String): String =
     if (StreamQueries.contains(name)) "stream"

@@ -2341,6 +2341,42 @@ object SparkEntry {
         predicate = col("lang") === "en", nprobe = 2)
     },
 
+    // index CLONE / backup-restore (x133): deep-copy the pinned
+    // pre-append snapshot to a fresh location — the clone must serve
+    // exactly that snapshot (x110's as-of oracle) while being fully
+    // independent of the source's later life.
+    "x133_bm25_index_clone" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val idx = scratchDir("bm25_cl133")
+      val dst = scratchDir("bm25_cl133_dst") + "/clone"
+      graft.ext.TextAnalysis.saveBm25Index(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", idx)
+      val v = graft.ext.TextAnalysis.bm25IndexVersion(s, idx)
+      graft.ext.TextAnalysis.appendToBm25Index(s, idx,
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", "b1")
+      graft.ext.TextAnalysis.cloneBm25Index(s, idx, dst, Some(v))
+      graft.ext.TextAnalysis.queryBm25Index(s, dst,
+        Seq("hash", "join", "merge"), k = 10)
+    },
+
+    // the vector-index clone (x134): x112's pinned snapshot, restored
+    // at a fresh path and served from there.
+    "x134_ivf_index_clone" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivf_cl134")
+      val dst = scratchDir("ivf_cl134_dst") + "/clone"
+      graft.ext.Similarity.saveIvfIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", idx,
+        kCentroids = 8, iters = 2)
+      val v = graft.ext.Similarity.ivfIndexVersion(s, idx)
+      graft.ext.Similarity.appendToIvfIndex(s, idx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding", "b1")
+      graft.ext.Similarity.cloneIvfIndex(s, idx, dst, Some(v))
+      graft.ext.Similarity.queryIvfIndex(s, dst,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+    },
+
     // IVF time travel (x112): the vector-index half of x110 — pin the
     // pre-append manifest version, append, then serve AS OF the
     // pinned version. The as-of read pairs that snapshot's centroid
@@ -5370,6 +5406,11 @@ object SparkEntry {
         bm25Sql("(SELECT * FROM documents WHERE doc_id < 250)"),
       // x112: the as-of read serves only the pre-append subset index
       "x112_ivf_time_travel" -> ivfAsOfOracle,
+      // x133/x134: a clone of the pinned snapshot serves exactly the
+      // as-of read (x110/x112's oracles, from the restored path)
+      "x133_bm25_index_clone" ->
+        bm25Sql("(SELECT * FROM documents WHERE doc_id < 250)"),
+      "x134_ivf_index_clone" -> ivfAsOfOracle,
       // x131: both legs restricted to en (id % 3 = 0), then the 2-leg
       // RRF in the engine's fixed leg order (lex, then vector); lex
       // keeps corpus-wide stats (x130's semantics), the vector leg is

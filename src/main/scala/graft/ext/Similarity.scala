@@ -1032,6 +1032,25 @@ object Similarity {
     * (which deletes nothing, so in-flight readers finish on their
     * resolved snapshot). Same retention contract as
     * [[graft.ext.TextAnalysis.vacuumBm25Index]]. */
+  /** Clone ONE snapshot of a persisted [[saveIvfIndex]] (or
+    * [[saveIvfPqIndex]] — `extraTables` = Seq("codebooks")) index to
+    * `dstPath` — backup/restore, promotion, or branching. The clone
+    * serves exactly the source's as-of read and is fully independent
+    * thereafter; the carried `applied` record keeps idempotent-append
+    * retries consistent. */
+  def cloneIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, dstPath: String,
+      asOfVersion: Option[Long] = None,
+      extraTables: Seq[String] = Nil): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.IndexManifest.cloneSnapshot(fs,
+      ivfSnapshot(spark, path, asOfVersion), dstPath,
+      (Seq("corpus", "centroids", IvfDeletesTable) ++ extraTables)
+        .map(t => t -> (s"$path/$t", s"$dstPath/$t")).toMap,
+      (t, s) => if (t == "corpus") s"batch=$s" else s)
+  }
+
   def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, keepVersions: Int = 2): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(

@@ -1363,6 +1363,25 @@ object TextAnalysis {
     * their resolved snapshot). Retention contract: a reader still on a
     * vacuumed snapshot loses files mid-read; size `keepVersions` (or
     * the call cadence) to the longest-running serve query. */
+  /** Clone ONE snapshot of a persisted [[saveBm25Index]] index to
+    * `dstPath` — backup/restore, promotion, or branching: the clone
+    * serves exactly the source's as-of read
+    * ([[queryBm25Index]]`(asOfVersion)`) but is a fully independent
+    * index — maintenance on either side (appends, deletes,
+    * compaction, vacuum) never touches the other, and the carried
+    * `applied` record keeps idempotent-append retries consistent.
+    * Defaults to the newest snapshot. */
+  def cloneBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, dstPath: String,
+      asOfVersion: Option[Long] = None): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.IndexManifest.cloneSnapshot(fs,
+      bm25Snapshot(spark, path, asOfVersion), dstPath,
+      (Bm25Tables :+ Bm25DeletesTable)
+        .map(t => t -> (s"$path/$t", s"$dstPath/$t")).toMap)
+  }
+
   def vacuumBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String, keepVersions: Int = 2): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(

@@ -154,6 +154,42 @@ private[graft] object IndexManifest {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Deep-copy ONE snapshot of an index to `dstRoot` — backup/restore,
+    * environment promotion, or branching a serving index for an
+    * experiment. Copies exactly the segment directories the snapshot
+    * references (orphans, superseded segments, and other versions stay
+    * behind) and commits a fresh manifest v0 carrying the snapshot's
+    * tables AND its `applied` record, so idempotent-append retries
+    * behave identically against the clone. The clone is a fully
+    * independent index: maintenance on either side never touches the
+    * other. `tableRoots` maps table -> (srcDir, dstDir); `segDirName`
+    * as in [[vacuum]]. Fails if `dstRoot` already exists (no silent
+    * overwrite of an index). */
+  def cloneSnapshot(fs: FileSystem, snap: IndexSnapshot,
+      dstRoot: String, tableRoots: Map[String, (String, String)],
+      segDirName: (String, String) => String = (_, seg) => seg)
+      : Unit = {
+    val dst = new Path(dstRoot)
+    require(!fs.exists(dst),
+      s"clone destination $dstRoot already exists — refusing to " +
+        "overwrite an index; delete it first or pick a fresh path")
+    fs.mkdirs(dst)
+    val conf = fs.getConf
+    snap.tables.foreach { case (t, segs) =>
+      val (srcDir, dstDir) = tableRoots.getOrElse(t,
+        throw new IllegalArgumentException(
+          s"snapshot references table '$t' with no configured root"))
+      segs.foreach { seg =>
+        val d = segDirName(t, seg)
+        require(org.apache.hadoop.fs.FileUtil.copy(
+          fs, new Path(srcDir, d), fs, new Path(dstDir, d),
+          false, conf), s"copy failed for $srcDir/$d")
+      }
+    }
+    commitMerge(fs, dstRoot)(_ =>
+      snap.copy(version = 0L))
+  }
+
   /** Reclaim everything unreferenced by the newest `keepVersions`
     * manifests: older manifest files, and any segment directory of the
     * given tables that no kept manifest lists. `tableRoots` maps each

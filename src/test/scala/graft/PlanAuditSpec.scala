@@ -77,7 +77,9 @@ class PlanAuditSpec extends SparkSpec {
       // x131's lexical leg is that plan inside the hybrid fusion;
       // x132 is the batch form — same 1-row stats cross join
       "x130_bm25_filtered_topk", "x131_hybrid_filtered_retrieval",
-      "x132_bm25_index_batch")
+      "x132_bm25_index_batch",
+      // x133 serves queryBm25Index from the restored clone
+      "x133_bm25_index_clone")
 
   // x85's lexical leg ranks bm25TopK's ALREADY-LIMITED k-row list with
   // a per-query window whose query_id is a literal — Catalyst folds the

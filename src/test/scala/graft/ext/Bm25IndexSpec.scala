@@ -496,6 +496,48 @@ class Bm25IndexSpec extends SparkSpec {
     }
   }
 
+  test("clone (x133): serves the pinned snapshot, fully independent " +
+      "of the source afterwards; refuses existing destinations") {
+    val idx = scratch()
+    val dst = scratch() + "/clone"
+    TextAnalysis.saveBm25Index(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", idx)
+    val v0 = TextAnalysis.bm25IndexVersion(spark, idx)
+    TextAnalysis.appendToBm25Index(spark, idx,
+      docs.filter(col("doc_id") >= 250), "doc_id", "text", "b1")
+    TextAnalysis.cloneBm25Index(spark, idx, dst, Some(v0))
+    val expected = rows(TextAnalysis.queryBm25Index(spark, idx, terms,
+      10, asOfVersion = Some(v0)))
+    assert(rows(TextAnalysis.queryBm25Index(spark, dst, terms, 10)) ==
+      expected)
+    // the carried applied record: a retry of b1 against the CLONE
+    // appends (the clone predates b1... no — v0 predates b1, so b1 is
+    // NOT in the clone's applied record and lands fresh), while a
+    // DIFFERENT id no-ops after application — exercise both
+    TextAnalysis.appendToBm25Index(spark, dst,
+      docs.filter(col("doc_id") >= 250), "doc_id", "text", "b1")
+    assert(rows(TextAnalysis.queryBm25Index(spark, dst, terms, 10)) ==
+      rows(TextAnalysis.queryBm25Index(spark, idx, terms, 10)))
+    // independence: delete + compact + vacuum(keep=1) on the SOURCE
+    // reclaims the source's old segments — the clone's files are its
+    // own, so its serve must not move a bit
+    val cloneServed = rows(TextAnalysis.queryBm25Index(spark, dst,
+      terms, 10))
+    TextAnalysis.deleteFromBm25Index(spark, idx,
+      docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+      "doc_id", "d1")
+    TextAnalysis.compactBm25Index(spark, idx)
+    TextAnalysis.vacuumBm25Index(spark, idx, keepVersions = 1)
+    assert(rows(TextAnalysis.queryBm25Index(spark, dst, terms, 10)) ==
+      cloneServed,
+      "source maintenance must never move the clone's serve")
+    // refuses to overwrite an existing path
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.cloneBm25Index(spark, idx, dst)
+    }
+    assert(e.getMessage.contains("refusing"))
+  }
+
   test("filtered serve (x130): Lucene filter semantics — scores are " +
       "corpus properties, filters choose candidates") {
     val idx = scratch()
