@@ -2341,6 +2341,24 @@ object SparkEntry {
         predicate = col("lang") === "en", nprobe = 2)
     },
 
+    // index observability (x135): one metadata-cost row over the live
+    // snapshot after a save + append + delete — statistics net the
+    // corrections (live corpus numbers), vocab counts net-live terms,
+    // n_segments is the serve fan-out, n_tombstones the compact-soon
+    // signal. version/segment counts are protocol literals.
+    "x135_bm25_index_stats" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val idx = scratchDir("bm25_stats135")
+      graft.ext.TextAnalysis.saveBm25Index(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", idx)
+      graft.ext.TextAnalysis.appendToBm25Index(s, idx,
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", "b1")
+      graft.ext.TextAnalysis.deleteFromBm25Index(s, idx,
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+        "doc_id", "d1")
+      graft.ext.TextAnalysis.bm25IndexStats(s, idx)
+    },
+
     // index CLONE / backup-restore (x133): deep-copy the pinned
     // pre-append snapshot to a fresh location — the clone must serve
     // exactly that snapshot (x110's as-of oracle) while being fully
@@ -5406,6 +5424,26 @@ object SparkEntry {
         bm25Sql("(SELECT * FROM documents WHERE doc_id < 250)"),
       // x112: the as-of read serves only the pre-append subset index
       "x112_ivf_time_travel" -> ivfAsOfOracle,
+      // x135: live-corpus numbers (deletes netted), vocabulary of the
+      // live corpus, protocol literals for version/segments (save=v1,
+      // append=v2, delete=v3; postings segments: base + delta)
+      "x135_bm25_index_stats" ->
+        """WITH live AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
+            t AS (SELECT
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  AS term
+              FROM live)
+            SELECT CAST(3 AS BIGINT) AS version,
+                   (SELECT CAST(count(*) AS BIGINT) FROM live)
+                     AS n_docs,
+                   (SELECT CAST(sum(CAST(len(regexp_split_to_array(
+                      trim(lower(text)), '\s+')) AS BIGINT))
+                      AS BIGINT) FROM live) AS total_len,
+                   (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM t)
+                     AS vocab_size,
+                   CAST(2 AS BIGINT) AS n_segments,
+                   (SELECT CAST(count(*) AS BIGINT) FROM documents
+                    WHERE doc_id % 7 = 3) AS n_tombstones""",
       // x133/x134: a clone of the pinned snapshot serves exactly the
       // as-of read (x110/x112's oracles, from the restored path)
       "x133_bm25_index_clone" ->

@@ -1363,6 +1363,39 @@ object TextAnalysis {
     * their resolved snapshot). Retention contract: a reader still on a
     * vacuumed snapshot loses files mid-read; size `keepVersions` (or
     * the call cadence) to the longest-running serve query. */
+  /** Observability summary of a persisted [[saveBm25Index]] index —
+    * ONE row: (version, n_docs, total_len, vocab_size, n_segments,
+    * n_tombstones). The corpus-shaped numbers are LIVE (statistics
+    * sums net the delete corrections; vocab counts terms with net
+    * df_t > 0 — exactly the distinct terms of the live corpus);
+    * n_segments counts postings segments (the serve's per-term
+    * row-group fan-out — the compaction trigger) and n_tombstones the
+    * docs awaiting physical removal (the "compact soon" signal).
+    * Cost ∝ index METADATA: stats is rows-per-segment, termstats is
+    * ∝ vocabulary, tombstones ∝ deletes — never the corpus text. */
+  def bm25IndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val snap = bm25Snapshot(spark, path)
+    val st = readBm25Table(spark, path, snap, "stats")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("total_len")), lit(0L)).as("total_len"))
+    val vocab = readBm25Table(spark, path, snap, "termstats")
+      .groupBy("term").agg(sum(col("df_t")).as("_d"))
+      .filter(col("_d") > 0)
+      .agg(count(lit(1)).as("vocab_size"))
+    val tomb = bm25Tombstones(spark, path, snap) match {
+      case Some(t) => t.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_tombstones"))
+      case None => spark.range(1)
+        .select(lit(0L).as("n_tombstones"))
+    }
+    st.crossJoin(broadcast(vocab)).crossJoin(broadcast(tomb))
+      .select(lit(snap.version).as("version"), col("n_docs"),
+        col("total_len"), col("vocab_size"),
+        lit(snap.segs("postings").length.toLong).as("n_segments"),
+        col("n_tombstones"))
+  }
+
   /** Clone ONE snapshot of a persisted [[saveBm25Index]] index to
     * `dstPath` — backup/restore, promotion, or branching: the clone
     * serves exactly the source's as-of read

@@ -79,7 +79,10 @@ class PlanAuditSpec extends SparkSpec {
       "x130_bm25_filtered_topk", "x131_hybrid_filtered_retrieval",
       "x132_bm25_index_batch",
       // x133 serves queryBm25Index from the restored clone
-      "x133_bm25_index_clone")
+      "x133_bm25_index_clone",
+      // x135 crossJoins three provably-1-row broadcast aggregates —
+      // the x69 shape, over index metadata only
+      "x135_bm25_index_stats")
 
   // x85's lexical leg ranks bm25TopK's ALREADY-LIMITED k-row list with
   // a per-query window whose query_id is a literal — Catalyst folds the
