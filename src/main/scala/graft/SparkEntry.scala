@@ -66,8 +66,11 @@ object SparkEntry {
   /** Land each change frame as ONE parquet file with strictly
     * increasing, pinned modification times — the file-source ordering
     * cross-batch CDC correctness depends on (sequential writes nearly
-    * always order correctly by mtime; pinning removes the "nearly"). */
-  private def landOrdered(s: SparkSession,
+    * always order correctly by mtime; pinning removes the "nearly").
+    * `private[graft]`: the CDC specs land their fixtures through the
+    * SAME helper so the ordering trick cannot drift between gate and
+    * spec. */
+  private[graft] def landOrdered(s: SparkSession,
       frames: Seq[DataFrame], dir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(s.sessionState.newHadoopConf())

@@ -920,25 +920,34 @@ object DedupOps {
     * names; a doc's rows live in exactly one segment pair). */
   private val MinhashDeletesTable = "deletes"
 
+  /** A `sigs`/`banded` read, LIVE and tagged with each row's `_seg` —
+    * shared by the serve reads (which drop the tag) and the delete
+    * path (which scopes new tombstones by it). */
+  private def taggedLiveMinhash(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: graft.sinks.IndexSnapshot, table: String): DataFrame = {
+    val segs = snap.segs(table)
+    require(segs.nonEmpty, s"index at $path has no '$table' segments")
+    val tagged = segs.map(s =>
+      spark.read.parquet(s"$path/$table/$s")
+        .withColumn("_seg", lit(s))).reduce(_ unionByName _)
+    val del = snap.segs(MinhashDeletesTable)
+    if (del.isEmpty) tagged
+    else tagged.join(
+      del.map(s => spark.read.parquet(s"$path/deletes/$s"))
+        .reduce(_ unionByName _)
+        .select(col("doc_id"), col("seg").as("_seg")),
+      Seq("doc_id", "_seg"), "left_anti")
+  }
+
   /** A `sigs`/`banded` read with tombstoned (doc_id, seg) rows
     * anti-joined out — zero added plan nodes when no deletes exist. */
   private def readMinhashTableLive(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      snap: graft.sinks.IndexSnapshot, table: String): DataFrame = {
-    val del = snap.segs(MinhashDeletesTable)
-    if (del.isEmpty) readMinhashTable(spark, path, snap, table)
-    else {
-      val segs = snap.segs(table)
-      require(segs.nonEmpty, s"index at $path has no '$table' segments")
-      val tagged = segs.map(s =>
-        spark.read.parquet(s"$path/$table/$s")
-          .withColumn("_seg", lit(s))).reduce(_ unionByName _)
-      val tomb = del.map(s => spark.read.parquet(s"$path/deletes/$s"))
-        .reduce(_ unionByName _)
-      tagged.join(tomb.select(col("doc_id"), col("seg").as("_seg")),
-        Seq("doc_id", "_seg"), "left_anti").drop("_seg")
-    }
-  }
+      snap: graft.sinks.IndexSnapshot, table: String): DataFrame =
+    if (snap.segs(MinhashDeletesTable).isEmpty)
+      readMinhashTable(spark, path, snap, table)
+    else taggedLiveMinhash(spark, path, snap, table).drop("_seg")
 
   /** DELETE documents from a persisted [[saveMinhashIndex]] ledger —
     * takedowns must stop BLOCKING admission, not just disappear: a
@@ -975,19 +984,10 @@ object DedupOps {
     // rows/doc; docs shorter than n tokens have no rows and nothing to
     // tombstone). Live read: re-deleting an already-tombstoned doc
     // adds nothing.
-    val del = snap.segs(MinhashDeletesTable)
-    val tagged = snap.segs("banded").map(s =>
-        spark.read.parquet(s"$path/banded/$s")
-          .select(col("doc_id"), lit(s).as("seg")))
-      .reduce(_ unionByName _)
-    val live = if (del.isEmpty) tagged
-      else tagged.join(
-        del.map(s => spark.read.parquet(s"$path/deletes/$s"))
-          .reduce(_ unionByName _),
-        Seq("doc_id", "seg"), "left_anti")
-    live.join(docIds.select(col(idCol).cast(LongType).as("doc_id"))
+    taggedLiveMinhash(spark, path, snap, "banded")
+      .join(docIds.select(col(idCol).cast(LongType).as("doc_id"))
         .distinct(), Seq("doc_id"))
-      .select(col("doc_id"), col("seg")).distinct()
+      .select(col("doc_id"), col("_seg").as("seg")).distinct()
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/deletes/$seg")
     val sawBanded = snap.segs("banded").toSet

@@ -611,7 +611,10 @@ object TextAnalysis {
     require(queryTerms.forall(_.nonEmpty),
       "queryTerms must be non-empty strings (the empty string is the " +
         "no-match sentinel)")
-    val qset = queryTerms.map(_.toLowerCase)
+    // Locale.ROOT: the corpus side lowercases with Spark's locale-
+    // insensitive lower(); a default-locale toLowerCase would break
+    // the match under e.g. a Turkish JVM locale (I -> dotless ı)
+    val qset = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT))
     val toks = tokens(lower(col(textCol)))
     // the ONE tokenize: per-doc (doc_id, dl, term, tf) over query terms
     // only, with every doc retained — a no-match doc carries one ''
@@ -844,6 +847,20 @@ object TextAnalysis {
       .withColumn("_seg", lit(s))).reduce(_ unionByName _)
   }
 
+  /** LIVE postings WITH their `_seg` tag — the shape both the serve
+    * path (which drops the tag) and the delete path (which scopes new
+    * tombstones by it) share. */
+  private def taggedLivePostings(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: graft.sinks.IndexSnapshot): DataFrame =
+    bm25Tombstones(spark, path, snap) match {
+      case None => taggedPostings(spark, path, snap)
+      case Some(tomb) =>
+        taggedPostings(spark, path, snap)
+          .join(tomb.select(col("doc_id"), col("seg").as("_seg")),
+            Seq("doc_id", "_seg"), "left_anti")
+    }
+
   /** The snapshot's LIVE postings: the segment union minus tombstoned
     * (doc_id, seg) rows. With no deletes this is exactly
     * [[readBm25Table]]("postings") — zero added plan nodes; with
@@ -851,14 +868,9 @@ object TextAnalysis {
     * Catalyst pushes term filters through to the scans. */
   private def livePostings(spark: org.apache.spark.sql.SparkSession,
       path: String, snap: graft.sinks.IndexSnapshot): DataFrame =
-    bm25Tombstones(spark, path, snap) match {
-      case None => readBm25Table(spark, path, snap, "postings")
-      case Some(tomb) =>
-        taggedPostings(spark, path, snap)
-          .join(tomb.select(col("doc_id"), col("seg").as("_seg")),
-            Seq("doc_id", "_seg"), "left_anti")
-          .drop("_seg")
-    }
+    if (snap.segs(Bm25DeletesTable).isEmpty)
+      readBm25Table(spark, path, snap, "postings")
+    else taggedLivePostings(spark, path, snap).drop("_seg")
 
   private def bm25Snapshot(spark: org.apache.spark.sql.SparkSession,
       path: String, asOfVersion: Option[Long] = None)
@@ -926,7 +938,10 @@ object TextAnalysis {
     require(queryTerms.forall(_.nonEmpty),
       "queryTerms must be non-empty strings (empty/whitespace-only " +
         "docs post an '' token row)")
-    val qset = queryTerms.map(_.toLowerCase)
+    // Locale.ROOT: the corpus side lowercases with Spark's locale-
+    // insensitive lower(); a default-locale toLowerCase would break
+    // the match under e.g. a Turkish JVM locale (I -> dotless ı)
+    val qset = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT))
     // time travel: any retained manifest version serves in full —
     // maintenance writes new segments and deletes nothing until vacuum
     val snap = bm25Snapshot(spark, path, asOfVersion)
@@ -1010,9 +1025,9 @@ object TextAnalysis {
     val termList = q.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
     require(termList.nonEmpty, "queries must carry at least one term")
-    require(termList.forall(_.nonEmpty),
-      "query terms must be non-empty strings (empty/whitespace-only " +
-        "docs post an '' token row)")
+    require(termList.forall(t => t != null && t.nonEmpty),
+      "query terms must be non-null, non-empty strings " +
+        "(empty/whitespace-only docs post an '' token row)")
     val snap = bm25Snapshot(spark, path, asOfVersion)
     val postings = livePostings(spark, path, snap)
       .filter(col("term").isin(termList: _*))
@@ -1196,12 +1211,8 @@ object TextAnalysis {
     // locate the doomed rows in the LIVE postings (already-tombstoned
     // rows excluded, so overlapping delete sets can never double-count
     // a correction); _seg rides through as the tombstone scope
-    val doomed = (bm25Tombstones(spark, path, snap) match {
-        case None => taggedPostings(spark, path, snap)
-        case Some(tomb) => taggedPostings(spark, path, snap)
-          .join(tomb.select(col("doc_id"), col("seg").as("_seg")),
-            Seq("doc_id", "_seg"), "left_anti")
-      }).join(ids, Seq("doc_id"))
+    val doomed = taggedLivePostings(spark, path, snap)
+      .join(ids, Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       doomed.select(col("doc_id"), col("_seg").as("seg")).distinct()

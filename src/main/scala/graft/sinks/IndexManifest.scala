@@ -170,10 +170,14 @@ private[graft] object IndexManifest {
       segDirName: (String, String) => String = (_, seg) => seg)
       : Unit = {
     val dst = new Path(dstRoot)
-    require(!fs.exists(dst),
+    // the destination may live on a DIFFERENT filesystem (backup to
+    // object storage, promotion across stores) — resolve its own FS
+    // instead of assuming the source's
+    val dstFs = dst.getFileSystem(fs.getConf)
+    require(!dstFs.exists(dst),
       s"clone destination $dstRoot already exists — refusing to " +
         "overwrite an index; delete it first or pick a fresh path")
-    fs.mkdirs(dst)
+    dstFs.mkdirs(dst)
     val conf = fs.getConf
     snap.tables.foreach { case (t, segs) =>
       val (srcDir, dstDir) = tableRoots.getOrElse(t,
@@ -182,11 +186,11 @@ private[graft] object IndexManifest {
       segs.foreach { seg =>
         val d = segDirName(t, seg)
         require(org.apache.hadoop.fs.FileUtil.copy(
-          fs, new Path(srcDir, d), fs, new Path(dstDir, d),
+          fs, new Path(srcDir, d), dstFs, new Path(dstDir, d),
           false, conf), s"copy failed for $srcDir/$d")
       }
     }
-    commitMerge(fs, dstRoot)(_ =>
+    commitMerge(dstFs, dstRoot)(_ =>
       snap.copy(version = 0L))
   }
 

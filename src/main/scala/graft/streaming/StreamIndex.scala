@@ -123,13 +123,18 @@ object StreamIndex {
     * segment), so a delete+upsert of the same doc in one batch nets to
     * the upsert.
     *
-    * Exactly-once: the content-derived batchId hashes (id, op, text) —
-    * not ids alone, because CDC legitimately re-ships an id with a new
-    * op or new text in a later batch and those must NOT collide with
-    * an applied id — and both halves key idempotent markers off it, so
-    * a Structured Streaming batch replay re-applies nothing (a crash
-    * BETWEEN the halves resumes at the upsert half; the window a
-    * reader can observe is read-committed, same as a Lucene update).
+    * Exactly-once: the batchId hashes the micro-batch EPOCH plus the
+    * content triple (id, op, text), and both halves key idempotent
+    * markers off it. The epoch makes the id collision-free over the
+    * stream's history — a mutating stream legitimately REVISITS a
+    * state (upsert x → delete x → re-upsert the original x), so two
+    * content-identical batches at different epochs carry different
+    * intent and must both apply (content alone would skip the second
+    * and diverge from the table); the content half keeps a fresh-
+    * checkpoint full re-stream a no-op (epochs restart at 0 over the
+    * same files, reproducing every id). A crash BETWEEN the halves
+    * resumes at the upsert half on the epoch's replay; the window a
+    * reader can observe is read-committed, same as a Lucene update.
     *
     * Caller contract: at most one upsert row per id per micro-batch
     * (net the change stream first — [[graft.ops.Cdc]]; two upserts of
@@ -147,36 +152,21 @@ object StreamIndex {
       .parquet(changesDir)
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val s = batch.sparkSession
         val b = batch.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          // one aggregate pays for the content id, both op counts, and
-          // the op-domain validation
-          val key = concat_ws("|", col(idCol).cast("string"),
-            col(opCol), coalesce(col(textCol).cast("string"), lit("")))
-          val r = b.agg(
-            count(lit(1)),
-            coalesce(sum(crc32(key)), lit(0L)),
-            coalesce(sum(pmod(xxhash64(key), lit(1073741789L))),
-              lit(0L)),
-            count(when(col(opCol) === "delete", 1)),
-            count(when(col(opCol) === "upsert", 1))).head()
-          require(r.getLong(3) + r.getLong(4) == r.getLong(0),
-            s"cdc batch carries ops outside upsert|delete " +
-              s"(${r.getLong(0) - r.getLong(3) - r.getLong(4)} row(s))")
-          val bid = s"cdc_c${r.getLong(0)}_" +
-            java.lang.Long.toHexString(r.getLong(1)) + "_" +
-            java.lang.Long.toHexString(r.getLong(2))
-          if (r.getLong(3) > 0)
+          val (bid, nDel, nUp) = cdcBatchId(b, epoch, idCol, opCol,
+            textCol)
+          if (nDel > 0)
             TextAnalysis.deleteFromBm25Index(s, indexPath,
               b.filter(col(opCol) === "delete").select(col(idCol)),
               idCol, s"${bid}_d")
-          if (r.getLong(4) > 0)
+          if (nUp > 0)
             TextAnalysis.reindexBm25Docs(s, indexPath,
               b.filter(col(opCol) === "upsert"), idCol, textCol, bid,
-              knownRows = Some(r.getLong(4)))
+              knownRows = Some(nUp))
         } finally b.unpersist(blocking = false)
         if (compactEvery > 0 &&
           segCount(s, indexPath, "postings") > compactEvery) {
@@ -186,13 +176,38 @@ object StreamIndex {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Shared CDC micro-batch identity + validation: ONE aggregate pays
+    * for the epoch-and-content batchId, both op counts, and the
+    * op-domain check. `valueCol` is the payload column (text for the
+    * lexical index, the vector for the IVF index). See
+    * [[bm25CdcWriter]] for why the EPOCH is part of the id. */
+  private def cdcBatchId(batch: DataFrame, epoch: Long, idCol: String,
+      opCol: String, valueCol: String): (String, Long, Long) = {
+    val key = concat_ws("|", col(idCol).cast("string"),
+      col(opCol), coalesce(col(valueCol).cast("string"), lit("")))
+    val r = batch.agg(
+      count(lit(1)),
+      coalesce(sum(crc32(key)), lit(0L)),
+      coalesce(sum(pmod(xxhash64(key), lit(1073741789L))), lit(0L)),
+      count(when(col(opCol) === "delete", 1)),
+      count(when(col(opCol) === "upsert", 1))).head()
+    require(r.getLong(3) + r.getLong(4) == r.getLong(0),
+      s"cdc batch carries ops outside upsert|delete " +
+        s"(${r.getLong(0) - r.getLong(3) - r.getLong(4)} row(s))")
+    (s"cdc_e${epoch}_c${r.getLong(0)}_" +
+      java.lang.Long.toHexString(r.getLong(1)) + "_" +
+      java.lang.Long.toHexString(r.getLong(2)),
+      r.getLong(3), r.getLong(4))
+  }
+
   /** The vector twin of [[bm25CdcWriter]] (gated x128): change batches
     * of (id, vector, op ∈ upsert|delete) maintained into a persisted
     * [[Similarity.saveIvfIndex]] index — the RE-EMBEDDING loop: when a
     * document's content changes, its fresh embedding replaces the old
     * one ([[Similarity.reindexIvfVecs]]); takedowns tombstone.
-    * Deletes-before-upserts, a content batchId over (id, op, vector),
-    * and idempotent markers on both halves give the same
+    * Deletes-before-upserts, the epoch-and-content batchId (see
+    * [[bm25CdcWriter]] for why the epoch matters on a MUTATING
+    * stream), and idempotent markers on both halves give the same
     * full-re-stream-is-a-no-op exactly-once contract; centroids stay
     * the frozen serving generation throughout (retrain remains a
     * separate maintenance decision, signalled by
@@ -208,31 +223,18 @@ object StreamIndex {
       .parquet(changesDir)
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val s = batch.sparkSession
         val b = batch.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val key = concat_ws("|", col(idCol).cast("string"),
-            col(opCol), coalesce(col(vecCol).cast("string"), lit("")))
-          val r = b.agg(
-            count(lit(1)),
-            coalesce(sum(crc32(key)), lit(0L)),
-            coalesce(sum(pmod(xxhash64(key), lit(1073741789L))),
-              lit(0L)),
-            count(when(col(opCol) === "delete", 1)),
-            count(when(col(opCol) === "upsert", 1))).head()
-          require(r.getLong(3) + r.getLong(4) == r.getLong(0),
-            s"cdc batch carries ops outside upsert|delete " +
-              s"(${r.getLong(0) - r.getLong(3) - r.getLong(4)} row(s))")
-          val bid = s"cdc_c${r.getLong(0)}_" +
-            java.lang.Long.toHexString(r.getLong(1)) + "_" +
-            java.lang.Long.toHexString(r.getLong(2))
-          if (r.getLong(3) > 0)
+          val (bid, nDel, nUp) = cdcBatchId(b, epoch, idCol, opCol,
+            vecCol)
+          if (nDel > 0)
             Similarity.deleteFromIvfIndex(s, indexPath,
               b.filter(col(opCol) === "delete").select(col(idCol)),
               idCol, s"${bid}_d")
-          if (r.getLong(4) > 0)
+          if (nUp > 0)
             Similarity.reindexIvfVecs(s, indexPath,
               b.filter(col(opCol) === "upsert"), idCol, vecCol, bid)
         } finally b.unpersist(blocking = false)

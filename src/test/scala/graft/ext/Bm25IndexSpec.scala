@@ -392,20 +392,8 @@ class Bm25IndexSpec extends SparkSpec {
   }
 
   private def landOrdered(frames: Seq[org.apache.spark.sql.DataFrame],
-      dir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    fs.mkdirs(new Path(dir))
-    frames.zipWithIndex.foreach { case (df, i) =>
-      val tmp = s"${dir}_tmp$i"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = fs.listStatus(new Path(tmp))
-        .map(_.getPath).filter(_.getName.startsWith("part-")).head
-      val dst = new Path(dir, f"b$i%03d.parquet")
-      fs.rename(part, dst)
-      fs.setTimes(dst, 1700000000000L + i * 60000L, -1)
-      fs.delete(new Path(tmp), true)
-    }
-  }
+      dir: String): Unit =
+    graft.SparkEntry.landOrdered(spark, frames, dir)
 
   test("streaming CDC into the index (x127): net state lands; a full " +
       "re-stream from a fresh checkpoint is a no-op; invalid ops fail") {
@@ -454,6 +442,28 @@ class Bm25IndexSpec extends SparkSpec {
     run(s"$base/ckpt2")
     assert(snap(s"$base/idx").version == v0,
       "replayed CDC batches must not commit")
+    // a mutating stream REVISITS states: upsert → delete → re-upsert
+    // of the IDENTICAL content must end with the doc live (a purely
+    // content-derived batchId would collide the re-upsert with the
+    // first upsert, skip it, and leave n_docs one short — the epoch
+    // half of the id prevents the collision)
+    val statsBefore = stats(s"$base/idx")
+    val doc9 = docs.filter(col("doc_id") === 9)
+      .select(col("doc_id"), col("text"), lit("upsert").as("op"))
+    landOrdered(Seq(doc9,
+      docs.filter(col("doc_id") === 9)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit("delete").as("op")),
+      doc9), s"$base/revisit")
+    val q2 = graft.streaming.StreamIndex.bm25CdcWriter(spark,
+        s"$base/revisit", schema, s"$base/idx", "doc_id", "text",
+        "op")
+      .option("checkpointLocation", s"$base/ckptR").start()
+    q2.awaitTermination()
+    assert(stats(s"$base/idx") == statsBefore,
+      "upsert→delete→re-upsert of identical content must round-trip " +
+        "the live statistics (the re-upsert must not be skipped)")
+    val vAfter = snap(s"$base/idx").version
     // op outside upsert|delete fails the stream with a clear message
     landOrdered(Seq(docs.limit(3)
       .select(col("doc_id"), col("text"), lit("nope").as("op"))),
@@ -465,7 +475,7 @@ class Bm25IndexSpec extends SparkSpec {
       q.awaitTermination()
     }
     assert(e.getMessage.contains("upsert|delete"))
-    assert(snap(s"$base/idx").version == v0)
+    assert(snap(s"$base/idx").version == vAfter)
   }
 
   test("batched serve (x132): each query's slice equals its " +

@@ -922,17 +922,7 @@ class ExtSpec extends SparkSpec {
         lit("delete").as("op"))
     val b2 = embs.filter($"vec_id" >= 300 && $"vec_id" < 330)
       .select($"vec_id", asD.as("embedding"), lit("upsert").as("op"))
-    Seq(b1, b2).zipWithIndex.foreach { case (df, i) =>
-      val tmp = s"$base/tmp$i"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = hfs.listStatus(new Path(tmp))
-        .map(_.getPath).filter(_.getName.startsWith("part-")).head
-      hfs.mkdirs(new Path(s"$base/changes"))
-      val dst = new Path(s"$base/changes", f"b$i%03d.parquet")
-      hfs.rename(part, dst)
-      hfs.setTimes(dst, 1700000000000L + i * 60000L, -1)
-      hfs.delete(new Path(tmp), true)
-    }
+    graft.SparkEntry.landOrdered(spark, Seq(b1, b2), s"$base/changes")
     val schema = spark.read.parquet(s"$base/changes").schema
     def run(ckpt: String): Unit = {
       val q = graft.streaming.StreamIndex.ivfCdcWriter(spark,
