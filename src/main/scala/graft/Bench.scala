@@ -72,7 +72,8 @@ object Bench {
     "x126_zorder_pruned_scan", "x129_ivf_filtered_topk",
     "x130_bm25_filtered_topk", "x131_hybrid_filtered_retrieval",
     "x132_bm25_index_batch", "x133_bm25_index_clone",
-    "x134_ivf_index_clone", "x135_bm25_index_stats")
+    "x134_ivf_index_clone", "x135_bm25_index_stats",
+    "x136_bm25_search_after")
 
   private def queryClass(name: String): String =
     if (StreamQueries.contains(name)) "stream"

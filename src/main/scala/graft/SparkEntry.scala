@@ -2189,6 +2189,25 @@ object SparkEntry {
         .select(col("vec_id"))
     },
 
+    // search_after pagination (x136): page 2 fetched via the
+    // (score, doc_id) CURSOR of page 1's last row — not an offset, so
+    // page N costs page 1 (the cursor filter drops the prefix before
+    // the top-k heap). Exact tiling is possible because scores are
+    // engine-stable; the oracle is the rank-11..20 window of the full
+    // ranking.
+    "x136_bm25_search_after" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val idx = scratchDir("bm25_page136")
+      graft.ext.TextAnalysis.saveBm25Index(docs, "doc_id", "text", idx)
+      val page1 = graft.ext.TextAnalysis.queryBm25Index(s, idx,
+        Seq("hash", "join", "merge"), k = 10).collect()
+      val last = page1.last
+      graft.ext.TextAnalysis.queryBm25IndexAfter(s, idx,
+        Seq("hash", "join", "merge"), k = 10,
+        afterScore = last.getAs[Double]("score"),
+        afterDocId = last.getAs[Long]("doc_id"))
+    },
+
     // BATCHED BM25 serve (x132): three queries (one carrying a term
     // absent from the vocabulary) answered from ONE pass over the
     // union of their terms' postings — per-query top-k via a window
@@ -5585,6 +5604,43 @@ object SparkEntry {
                   WHERE b.vec_id <> p.query_id)
             WHERE rank <= 5""",
 
+      // x136: the second page IS ranks 11..20 of the full ranking —
+      // same scoring pipeline as x80, rank-windowed instead of LIMIT
+      "x136_bm25_search_after" ->
+        s"""WITH t AS (SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(lower(text)),
+                  '\\s+')) AS BIGINT) AS dl,
+                unnest(regexp_split_to_array(trim(lower(text)),
+                  '\\s+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, dl, term,
+                     CAST(count(*) AS BIGINT) AS tf
+                   FROM t WHERE term IN ('hash', 'join', 'merge')
+                   GROUP BY 1, 2, 3),
+            tfd AS (SELECT *, CAST(count(*) OVER (PARTITION BY term)
+                      AS BIGINT) AS df_t FROM tf),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(len(regexp_split_to_array(
+                       trim(lower(text)), '\\s+')) AS BIGINT))
+                       AS BIGINT) AS total_len
+                   FROM documents),
+            sc AS (SELECT doc_id,
+                     CAST(((n - df_t + 0.5) / (df_t + 0.5))
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                           (CAST(dl * n AS DOUBLE)
+                             / CAST(total_len AS DOUBLE))))
+                       AS DECIMAL(20,9)) AS s
+                   FROM tfd, st),
+            agg AS (SELECT doc_id,
+                      CAST(count(*) AS BIGINT) AS n_terms,
+                      round(CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE), 6)
+                        AS score
+                    FROM sc GROUP BY 1)
+            SELECT doc_id, n_terms, score
+            FROM (SELECT *, row_number() OVER (ORDER BY score DESC,
+                    doc_id ASC) AS rank FROM agg)
+            WHERE rank BETWEEN 11 AND 20""",
       // x132: the batch pipeline — per-term df over the corpus, each
       // posting row scored once per query containing its term,
       // per-query ranking ('spill' matches nothing and contributes

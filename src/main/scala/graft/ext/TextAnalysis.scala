@@ -928,11 +928,30 @@ object TextAnalysis {
       Some(allowedDocs.select(col(idCol).cast(LongType).as("doc_id"))
         .distinct()))
 
+  /** PAGINATED BM25 — the page strictly AFTER a (score, doc_id)
+    * cursor in the serve's total order (score DESC, doc_id ASC): the
+    * search_after shape. Deep pagination via OFFSET forces every page
+    * to rank offset+k rows; the cursor filter instead drops the
+    * already-returned prefix BEFORE the top-k heap, so page N costs
+    * the same as page 1 at any depth. Page boundaries are exact
+    * because scores are engine-stable (DECIMAL-summed, rounded to 6):
+    * the cursor comparison is on the very doubles the previous page
+    * returned. Cursor = the LAST row of the previous page; pages
+    * tile the full ranking with no gaps or overlaps (gated x136
+    * against the rank-windowed oracle). */
+  def queryBm25IndexAfter(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryTerms: Seq[String], k: Int,
+      afterScore: Double, afterDocId: Long, k1: Double = 1.2,
+      b: Double = 0.75, asOfVersion: Option[Long] = None): DataFrame =
+    queryBm25IndexImpl(spark, path, queryTerms, k, k1, b, asOfVersion,
+      None, Some((afterScore, afterDocId)))
+
   private def queryBm25IndexImpl(
       spark: org.apache.spark.sql.SparkSession,
       path: String, queryTerms: Seq[String], k: Int,
       k1: Double, b: Double, asOfVersion: Option[Long],
-      allowed: Option[DataFrame]): DataFrame = {
+      allowed: Option[DataFrame],
+      after: Option[(Double, Long)] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.forall(_.nonEmpty),
@@ -972,12 +991,20 @@ object TextAnalysis {
         col("_len").cast(DoubleType)))
     val tscore = idf * (col("tf") * (lit(k1) + lit(1.0))) /
       (col("tf") + norm)
-    postings.join(termstats, Seq("term"))
+    val scored = postings.join(termstats, Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("_s", graft.ops.Metrics.decQuantize(tscore, 9))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
         round(sum(col("_s")).cast(DoubleType), 6).as("score"))
+    // search_after: drop everything at or before the cursor in the
+    // total order BEFORE the top-k heap — page N costs page 1
+    val paged = after match {
+      case Some((s, d)) => scored.filter(col("score") < s ||
+        (col("score") === s && col("doc_id") > d))
+      case None => scored
+    }
+    paged
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }

@@ -82,7 +82,10 @@ class PlanAuditSpec extends SparkSpec {
       "x133_bm25_index_clone",
       // x135 crossJoins three provably-1-row broadcast aggregates —
       // the x69 shape, over index metadata only
-      "x135_bm25_index_stats")
+      "x135_bm25_index_stats",
+      // x136 is the queryBm25Index serve plan twice (page 1 + cursor
+      // page), same sanctioned 1-row stats cross join
+      "x136_bm25_search_after")
 
   // x85's lexical leg ranks bm25TopK's ALREADY-LIMITED k-row list with
   // a per-query window whose query_id is a literal — Catalyst folds the

@@ -478,6 +478,29 @@ class Bm25IndexSpec extends SparkSpec {
     assert(snap(s"$base/idx").version == vAfter)
   }
 
+  test("search_after (x136): cursor pages tile the full ranking with " +
+      "no gaps or overlaps; an exhausted cursor yields nothing") {
+    val idx = scratch()
+    TextAnalysis.saveBm25Index(docs, "doc_id", "text", idx)
+    val deep = rows(TextAnalysis.queryBm25Index(spark, idx, terms,
+      k = 30))
+    def page(after: Option[(Double, Long)]) = after match {
+      case None => rows(TextAnalysis.queryBm25Index(spark, idx, terms,
+        k = 10))
+      case Some((s, d)) => rows(TextAnalysis.queryBm25IndexAfter(
+        spark, idx, terms, k = 10, afterScore = s, afterDocId = d))
+    }
+    def cursor(p: Seq[(Long, Long, Double)]) = Some((p.last._3,
+      p.last._1))
+    val p1 = page(None)
+    val p2 = page(cursor(p1))
+    val p3 = page(cursor(p2))
+    assert(p1 ++ p2 ++ p3 == deep,
+      "three cursor pages must tile the deep top-30 exactly")
+    // paging past the end: a cursor below every score yields nothing
+    assert(page(Some((-1.0, Long.MaxValue))).isEmpty)
+  }
+
   test("batched serve (x132): each query's slice equals its " +
       "single-query serve bit-for-bit; no-match queries vanish") {
     val idx = scratch()
