@@ -73,7 +73,9 @@ object Bench {
     "x130_bm25_filtered_topk", "x131_hybrid_filtered_retrieval",
     "x132_bm25_index_batch", "x133_bm25_index_clone",
     "x134_ivf_index_clone", "x135_bm25_index_stats",
-    "x136_bm25_search_after")
+    "x136_bm25_search_after", "x137_ivfpq_index_delete",
+    "x140_csv_roundtrip", "x141_orc_roundtrip",
+    "x142_retention_delete")
 
   private def queryClass(name: String): String =
     if (StreamQueries.contains(name)) "stream"

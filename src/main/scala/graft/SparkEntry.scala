@@ -2195,6 +2195,121 @@ object SparkEntry {
     // the top-k heap). Exact tiling is possible because scores are
     // engine-stable; the oracle is the rank-11..20 window of the full
     // ranking.
+    // IVFPQ deletes (x137): the codes-only index shares the vector
+    // tombstone machinery verbatim — (vec_id, batch)-scoped rows under
+    // one manifest commit, anti-joined out of the ADC serve, folded by
+    // compaction. Closes the delete story across all four persisted
+    // index layouts (BM25 x121, IVF x124, MinHash x125, IVFPQ here).
+    // Oracle: x84's unrolled IVFPQ serve with the deleted ids barred
+    // from the CANDIDATE join only — cells and codebooks are untouched
+    // by deletion, exactly like x124's geometry.
+    "x137_ivfpq_index_delete" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivfpq_del137")
+      graft.ext.Similarity.saveIvfPqIndex(emb, "vec_id", "embedding",
+        idx, kCentroids = 8, coarseIters = 2, m = 4, ks = 8,
+        pqIters = 2)
+      graft.ext.Similarity.deleteFromIvfIndex(s, idx,
+        emb.filter(col("vec_id") % 3 === 1).select(col("vec_id")),
+        "vec_id", "d1")
+      graft.ext.Similarity.queryIvfPqIndex(s, idx,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+    },
+
+    // retrieval-quality evaluation (x138): per-query recall@5 and
+    // top-1 reciprocal rank of the learned-IVF serve (x67's exact
+    // configuration) against the exact scan (x05) — the scorecard that
+    // decides every ANN knob (nprobe, kCentroids, PQ bits, sampling).
+    // Both lists are |Q|·k rows, so the eval join is driver-trivial at
+    // any corpus size; at 100 TB you run it over a deterministic query
+    // sample and recall converges like any proportion.
+    "x138_ann_recall" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      graft.ext.Similarity.recallAtK(
+        graft.ext.Similarity.bruteForceTopK(emb, q, "vec_id",
+          "embedding", k = 5),
+        graft.ext.Similarity.ivfLearnedTopK(emb, q, "vec_id",
+          "embedding", k = 5, kCentroids = 8, iters = 2, nprobe = 2),
+        "query_id", "vec_id", k = 5)
+    },
+
+    // clustering-quality scorecard (x139): per-cluster population,
+    // inertia, and mean simplified silhouette for the x53/x67 training
+    // configuration — the "should I retrain?" geometric-fit number
+    // next to x105's occupancy drift. One scan + one k-row aggregate;
+    // the runner-up centroid distance is an array_sort away from the
+    // distances the assignment already computes.
+    "x139_cluster_quality" -> ((s, dir) =>
+      graft.ext.Clustering.clusterQuality(
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)),
+
+    // CSV boundary round-trip (x140): schema-on-read, splittability
+    // guarded (embedded newlines refused at the write), types pinned
+    // through the text round-trip — proven by aggregating AFTER the
+    // round-trip against the oracle's aggregate over the parquet
+    // original (a dropped row, a shifted quote, or a reparsed type
+    // moves some group's sum).
+    "x140_csv_roundtrip" -> { (s, dir) =>
+      val base = scratchDir("csv140")
+      graft.sources.CsvTable.write(
+        T(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_returnflag", "l_quantity", "l_extendedprice",
+          "l_shipdate"),
+        base + "/li")
+      graft.sources.CsvTable.read(s, base + "/li", StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("l_returnflag", StringType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_extendedprice", DoubleType),
+        StructField("l_shipdate", TimestampType))))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd")
+            .as("max_ship"))
+    },
+
+    // ORC round-trip (x141): the other columnar format, same scan
+    // disciplines (pruning, pushdown — FormatsSpec asserts the ORC
+    // PushedFilters); the post-roundtrip filtered aggregate must match
+    // the oracle's over parquet.
+    "x141_orc_roundtrip" -> { (s, dir) =>
+      val base = scratchDir("orc141")
+      graft.sources.OrcTable.write(T(s, dir, "events"), base + "/ev")
+      graft.sources.OrcTable.read(s, base + "/ev")
+        .filter(col("event_type") === "click")
+        .groupBy((col("user_id") % 100).as("user_mod"))
+        .agg(count(lit(1)).as("n"),
+          round(coalesce(graft.ops.Metrics.moneySum(col("value")),
+            lit(0.0)), 2).as("total_value"))
+    },
+
+    // partition-retention enforcement (x142): expire-by-time as a
+    // directory DROP on the date-partitioned layout — O(expired
+    // partitions) metadata work, zero data IO, the only retention
+    // shape that survives 100 TB (row-level expiry predicates rewrite
+    // the table). The post-sweep read must equal the oracle's
+    // date-filtered aggregate over the original events.
+    "x142_retention_delete" -> { (s, dir) =>
+      val base = scratchDir("retention142")
+      graft.sinks.PartitionedWrite.write(
+        T(s, dir, "events").withColumn("event_date", to_date(col("ts"))),
+        base + "/ev", Seq("event_date"))
+      graft.sinks.Retention.dropPartitionsBefore(s, base + "/ev",
+        "event_date", "2024-01-11")
+      graft.sinks.PartitionedWrite.read(s, base + "/ev")
+        .groupBy(date_format(col("event_date"), "yyyy-MM-dd")
+          .as("event_date"))
+        .agg(count(lit(1)).as("n_events"),
+          round(coalesce(graft.ops.Metrics.moneySum(col("value")),
+            lit(0.0)), 2).as("total_value"))
+    },
+
     "x136_bm25_search_after" -> { (s, dir) =>
       val docs = T(s, dir, "documents")
       val idx = scratchDir("bm25_page136")
@@ -4006,7 +4121,10 @@ object SparkEntry {
     // cells (a3) and final centroids (c2); the PQ CTEs (x74's) give
     // codes; probes = 2 nearest final centroids per query (x67's CTE
     // verbatim); ADC pairing restricted to probed cells via JOIN a3.
-    val ivfPqOracle: String =
+    // parameterized over a candidate-join bar so x137's delete oracle
+    // (deleted ids barred from candidates, geometry untouched — the
+    // x124 pattern on the codes layout) shares every other CTE
+    def ivfPqCandOracle(candBar: String): String =
       s"""WITH $kmeansCtes,
           $pqSlices,
           $pqLloyds,
@@ -4026,12 +4144,13 @@ object SparkEntry {
                 FROM (SELECT q.vec_id AS query_id, x.vec_id,
                              $pqAdSum AS ad
                       FROM probes p
-                           JOIN a3 s ON s.cl = p.bucket
+                           JOIN a3 s ON s.cl = p.bucket$candBar
                            JOIN v x ON x.vec_id = s.vec_id
                            JOIN q ON q.vec_id = p.query_id
                       $pqEncJoins
                       WHERE x.vec_id <> q.vec_id))
           WHERE rank <= 5"""
+    val ivfPqOracle: String = ivfPqCandOracle("")
     // x87/x88 sampled training: tv = the engine's deterministicSample
     // (md5 prefix of the id, threshold 8000 = 50%); training CTEs run
     // over tv, every serving CTE (cell assignment, probes, PQ encode)
@@ -5641,6 +5760,78 @@ object SparkEntry {
             FROM (SELECT *, row_number() OVER (ORDER BY score DESC,
                     doc_id ASC) AS rank FROM agg)
             WHERE rank BETWEEN 11 AND 20""",
+      // x137: x84's full IVFPQ serve with the deleted ids
+      // (vec_id % 3 = 1) barred from the CANDIDATE join only —
+      // centroids, codebooks, and probe geometry are untouched by
+      // deletion (the x124 pattern on the codes layout)
+      "x137_ivfpq_index_delete" ->
+        ivfPqCandOracle(" AND s.vec_id % 3 <> 1"),
+      // x138: the exact list (x05) LEFT-joined to the learned-IVF
+      // list (x67) on (query, id) — hits per query, recall@5, and the
+      // reciprocal approx-rank of the exact #1 (0 when missed)
+      "x138_ann_recall" ->
+        s"""SELECT query_id, hits, round(hits / 5.0, 6) AS recall,
+                   round(coalesce(rr1, 0), 6) AS top1_rr
+            FROM (SELECT e.query_id, count(a.vec_id) AS hits,
+                         max(CASE WHEN e.rank = 1
+                             THEN 1.0 / a.rank END) AS rr1
+                  FROM ($x05Sql) e
+                  LEFT JOIN ($ivfLearnedOracle) a
+                    ON a.query_id = e.query_id
+                       AND a.vec_id = e.vec_id
+                  GROUP BY e.query_id)""",
+      // x139: the x53 Lloyd's CTEs + a rank<=2 distance window —
+      // rn=1 is the own-centroid distance (a), rn=2 the runner-up
+      // (b); simplified silhouette (b−a)/max(a,b) on sqrt distances
+      "x139_cluster_quality" ->
+        s"""WITH $kmeansCtes,
+            dd AS (SELECT v.vec_id, c.cl, $kmeansD2 AS d,
+                          row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY $kmeansD2, c.cl) AS rn
+                   FROM v, c2 c),
+            own AS (SELECT vec_id, cl, d FROM dd WHERE rn = 1),
+            nxt AS (SELECT vec_id, d AS dn FROM dd WHERE rn = 2)
+            SELECT own.cl AS cluster, count(*) AS n,
+                   round(sum(own.d), 6) AS inertia,
+                   round(avg(CASE
+                     WHEN greatest(sqrt(own.d), sqrt(nxt.dn)) = 0
+                     THEN 0
+                     ELSE (sqrt(nxt.dn) - sqrt(own.d))
+                          / greatest(sqrt(own.d), sqrt(nxt.dn)) END),
+                     6) AS silhouette
+            FROM own JOIN nxt USING (vec_id)
+            GROUP BY own.cl""",
+      // x140: the same aggregate over the parquet original — any
+      // dropped row, shifted quote, or reparsed type in the CSV
+      // round-trip moves a group's sum (q01's exact decimal-sum hop)
+      "x140_csv_roundtrip" ->
+        """SELECT l_returnflag, count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(20,4)))
+                    AS DOUBLE) AS sum_qty,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)))
+                    AS DOUBLE) AS sum_price,
+                  strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
+           FROM lineitem
+           GROUP BY l_returnflag""",
+      // x141: filtered aggregate over the parquet original (the ORC
+      // round-trip must be invisible to it)
+      "x141_orc_roundtrip" ->
+        """SELECT user_id % 100 AS user_mod, count(*) AS n,
+                  round(coalesce(CAST(sum(CAST(value AS DECIMAL(20,6)))
+                    AS DOUBLE), 0), 2) AS total_value
+           FROM events
+           WHERE event_type = 'click'
+           GROUP BY 1""",
+      // x142: the date-filtered aggregate — partitions before the
+      // cutoff are gone, everything on/after survives byte-identical
+      "x142_retention_delete" ->
+        """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+                  count(*) AS n_events,
+                  round(coalesce(CAST(sum(CAST(value AS DECIMAL(20,6)))
+                    AS DOUBLE), 0), 2) AS total_value
+           FROM events
+           WHERE CAST(ts AS DATE) >= DATE '2024-01-11'
+           GROUP BY 1""",
       // x132: the batch pipeline — per-term df over the corpus, each
       // posting row scored once per query containing its term,
       // per-query ranking ('spill' matches nothing and contributes

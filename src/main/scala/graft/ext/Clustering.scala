@@ -52,7 +52,8 @@ object Clustering {
     * silently truncated distance, and never a NULL-distance row whose
     * cross-engine ordering is undefined. */
   private[ext] def assignTo(vecs: DataFrame,
-      centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+      centroids: Seq[(Long, Seq[Double])],
+      keepDists: Boolean = false): DataFrame = {
     graft.functions.VectorExprs.register(vecs.sparkSession)
     val dim = centroids.head._2.length
     // squared L2 to one centroid literal: native one-loop expression —
@@ -63,13 +64,13 @@ object Clustering {
     val ds = array(centroids.map(c =>
       graft.functions.VectorExprs.sqDistF64(col("_v"), typedLit(c._2))): _*)
     val ids = typedLit(centroids.map(_._1))
-    vecs.filter(size(col("_v")) === lit(dim))
+    val assigned = vecs.filter(size(col("_v")) === lit(dim))
       .withColumn("_d", ds)
       .withColumn("dist", array_min(col("_d")))
       .withColumn("cluster",
         element_at(ids, array_position(col("_d"), col("dist"))
           .cast(IntegerType)))
-      .drop("_d")
+    if (keepDists) assigned else assigned.drop("_d")
   }
 
   /** Train and return the final centroids after `iters` Lloyd updates:
@@ -154,5 +155,55 @@ object Clustering {
     assignTo(project(df, idCol, vecCol), centroids)
       .select(col(idCol), col("cluster"),
         round(col("dist"), 6).as("dist"))
+  }
+
+  /** Clustering-quality evaluation: one row per surviving cluster with
+    * the three numbers that decide whether a trained partitioning is
+    * any good — the evaluation half of the k-means story, the same way
+    * `Similarity.recallAtK` is the evaluation half of the ANN serving
+    * story. The IVF indexes freeze these centroids and live with them
+    * through appends; this is the "should I retrain?" scorecard
+    * (`Similarity.ivfCellStats` watches occupancy drift; this op
+    * scores geometric fit).
+    *
+    *  - `n`          — cluster population
+    *  - `inertia`    — Σ squared-L2 to the own centroid (the k-means
+    *    objective; compare across k to elbow-pick)
+    *  - `silhouette` — mean simplified silhouette (Kaufman &
+    *    Rousseeuw's s(i) with CENTROID distances standing in for mean
+    *    pairwise distances): (b−a)/max(a,b) per point, a = distance to
+    *    own centroid, b = distance to the nearest OTHER centroid; 0
+    *    when both are 0. In [−1, 1], higher = better separated.
+    *
+    * Why simplified: the full silhouette is an all-pairs O(n²)
+    * computation — a non-starter at corpus scale. The centroid proxy
+    * is O(n·k) and rides the SAME one-pass assignment projection as
+    * [[kmeansAssign]] (distances to all k centroids are already in
+    * hand; the runner-up distance is one `array_sort` away), so the
+    * whole scorecard costs one scan + one k-row aggregate — no join,
+    * no extra shuffle beyond the k-group agg, corpus-size-invariant
+    * driver state. Deterministic: same seeds/tie-breaks as
+    * [[kmeansAssign]]; only the per-cluster sums carry the usual
+    * summation-order ulp, absorbed by round-6. */
+  def clusterQuality(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, trainSample: Option[String] = None)
+      : DataFrame = {
+    require(k >= 2, s"clusterQuality: silhouette needs k >= 2 (got $k)")
+    val centroids =
+      kmeansCentroids(df, idCol, vecCol, k, iters, trainSample)
+    require(centroids.length >= 2,
+      "clusterQuality: fewer than 2 clusters survived training — " +
+        "silhouette is undefined; lower k or check the input")
+    val a = sqrt(col("dist"))
+    val b = sqrt(element_at(array_sort(col("_d")), 2))
+    assignTo(project(df, idCol, vecCol), centroids, keepDists = true)
+      .withColumn("_sil",
+        when(greatest(a, b) === lit(0.0), lit(0.0))
+          .otherwise((b - a) / greatest(a, b)))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("dist")), 6).as("inertia"),
+        round(avg(col("_sil")), 6).as("silhouette"))
   }
 }

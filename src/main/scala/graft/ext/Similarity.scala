@@ -1478,6 +1478,54 @@ object Similarity {
         col("vec_id"), round(col("_rrf"), 6).as("rrf"))
   }
 
+  /** Retrieval-quality evaluation: per-query recall@k (plus the
+    * reciprocal rank of the exact top-1) of an APPROXIMATE ranked list
+    * against the EXACT one — the number that decides every ANN
+    * trade-off in this file (nprobe, kCentroids, PQ bits, sampling
+    * rate). An index you can't score is an index you can't tune;
+    * "measure, don't guess" applies to retrieval quality exactly as it
+    * does to wall-clock.
+    *
+    * Inputs are two (query_id, rank, vec_id, …) lists as every
+    * retriever here emits ([[bruteForceTopK]] as the exact reference;
+    * [[ivfLearnedTopKWith]]/[[pqTopK]]/[[queryIvfIndex]]/… as the
+    * candidate under test). Both are truncated to `rank <= k` first,
+    * so passing deeper lists measures recall@k, not recall@whatever.
+    * Output, one row per EXACT-side query:
+    *
+    *  - `hits`    — |exact top-k ∩ approx top-k|
+    *  - `recall`  — hits / k (the standard recall@k; rounded 6)
+    *  - `top1_rr` — 1 / approx-rank of the exact #1 result, 0 when the
+    *    approximate list misses it entirely (the MRR contribution —
+    *    averages to MRR@k across queries; rounded 6)
+    *
+    * Scale shape: both sides are |Q|·k rows — vanishing next to the
+    * corpora that produced them — so the equi-join on (query, id) and
+    * the per-query aggregate are driver-trivial at any corpus size;
+    * the cost lives in the retrievers being compared. Deterministic:
+    * both input lists carry their own id tie-breaks, the intersection
+    * is exact set arithmetic, and the only division is one IEEE op per
+    * row. Run it on a deterministic query SAMPLE at 100 TB — recall
+    * estimates converge like any proportion (~1/√|Q|), so a few
+    * thousand queries score an arbitrarily large index. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, queryCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"recallAtK: k must be >= 1 (got $k)")
+    val e = exact.filter(col("rank") <= k)
+      .select(col(queryCol), col(idCol), col("rank").as("_erank"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col(queryCol), col(idCol), col("rank").as("_arank"))
+    e.join(a, Seq(queryCol, idCol), "left")
+      .groupBy(col(queryCol))
+      .agg(
+        count(col("_arank")).as("hits"),
+        round(count(col("_arank")) / lit(k.toDouble), 6).as("recall"),
+        round(coalesce(
+          max(when(col("_erank") === 1,
+            lit(1.0) / col("_arank").cast(DoubleType))),
+          lit(0.0)), 6).as("top1_rr"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the `k` MOST similar corpus vectors carrying a DIFFERENT
     * label — maximally confusable, maximally informative negatives

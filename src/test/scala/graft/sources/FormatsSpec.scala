@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class FormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_fmt_$tag").toString
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", DoubleType),
+    StructField("ts", TimestampType)))
+
+  // commas, RFC-4180 quote-doubling, unicode, nulls, and a
+  // microsecond-precision timestamp — the CSV landmines
+  private def fixture = Seq(
+    (1L, "plain", 1.5d, "2024-01-02 03:04:05.123456"),
+    (2L, "comma, inside", -2.25d, "2024-01-02 03:04:05"),
+    (3L, "quote \" and \"\"double\"\"", 0.0d, "2024-01-02 00:00:00"),
+    (4L, null.asInstanceOf[String], 3.5d, "2024-06-30 23:59:59.999999"),
+    (5L, "ünïcode £5", 1e-6d, "2024-01-01 00:00:00.000001"))
+    .toDF("id", "name", "score", "ts")
+    .withColumn("ts", col("ts").cast(TimestampType))
+
+  test("CsvTable: lossless round-trip through quotes, commas, " +
+      "unicode, nulls, and microsecond timestamps") {
+    val dir = tmp("csv") + "/t"
+    CsvTable.write(fixture, dir)
+    val back = CsvTable.read(spark, dir, schema)
+    val a = fixture.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a == b, s"round-trip drift:\n  wrote $a\n  read  $b")
+  }
+
+  test("CsvTable.write refuses embedded newlines (the multiLine / " +
+      "non-splittable trap) with a clear error") {
+    val bad = Seq((1L, "line1\nline2")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException](
+      CsvTable.write(bad, tmp("csvnl") + "/t"))
+    assert(e.getMessage.contains("newlines"))
+    val cr = Seq((1L, "line1\rline2")).toDF("id", "name")
+    intercept[IllegalArgumentException](
+      CsvTable.write(cr, tmp("csvcr") + "/t"))
+  }
+
+  test("CsvTable.read: malformed rows null out (PERMISSIVE), the " +
+      "scan survives") {
+    val dir = tmp("csvperm")
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.write(java.nio.file.Paths.get(s"$dir/part.csv"),
+      "id,name,score,ts\n1,ok,2.5,2024-01-01T00:00:00.000000\nnot_a_long,x,y,z\n"
+        .getBytes("UTF-8"))
+    val back = CsvTable.read(spark, dir, schema)
+    assert(back.count() == 2)
+    assert(back.filter(col("id").isNull).count() == 1)
+    assert(back.filter(col("id") === 1L).head().getString(1) == "ok")
+  }
+
+  test("OrcTable: round-trip identity and filter pushdown into the " +
+      "ORC scan") {
+    val dir = tmp("orc") + "/t"
+    val df = (1L to 100L).map(i => (i, s"n$i", i * 0.5d))
+      .toDF("id", "name", "score")
+    OrcTable.write(df, dir)
+    val back = OrcTable.read(spark, dir)
+    assert(back.collect().map(_.toSeq).toSet ==
+      df.collect().map(_.toSeq).toSet)
+    // the scan must carry the predicate as a pushed filter — ORC gets
+    // the same data-skipping discipline as parquet
+    val plan = back.filter(col("id") > 90L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s+", " ").contains("GreaterThan(id,90)"),
+      s"no pushed filter in ORC scan:\n$plan")
+    assert(back.filter(col("id") > 90L).count() == 10)
+  }
+}
