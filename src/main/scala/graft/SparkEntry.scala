@@ -2310,6 +2310,19 @@ object SparkEntry {
             lit(0.0)), 2).as("total_value"))
     },
 
+    // MMR diversified re-rank (x143): greedy λ·rel − (1−λ)·max-sim
+    // selection over the exact top-20 candidates — the de-duplicating
+    // re-ranker a RAG stack ends with (five relevant-AND-distinct
+    // results, not five near-identical ones). λ = 0.75 so both MMR
+    // constants are exact binary doubles; selection sequence replayed
+    // step-for-step by the unrolled-CTE oracle.
+    "x143_mmr_rerank" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.ext.Similarity.mmrRerank(emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, fetch = 20, lambda = 0.75)
+    }),
+
     "x136_bm25_search_after" -> { (s, dir) =>
       val docs = T(s, dir, "documents")
       val idx = scratchDir("bm25_page136")
@@ -3930,6 +3943,71 @@ object SparkEntry {
                      AND b.vec_id <> a.vec_id
                 WHERE a.vec_id < 8)
           WHERE rank <= 5"""
+    // x143 MMR: the x05 scan at fetch=20 as the candidate CTE,
+    // candidate-pair cosines, then the greedy selection unrolled to
+    // step CTEs (the lloydCtes pattern): each step bars the selected
+    // set, scores the remainder against it, and picks the argmax with
+    // the id tiebreak. λ = 0.75 ⇒ both constants are exact binary
+    // doubles, so the two engines compare identical IEEE scores.
+    val mmrOracle: String = {
+      val lam = 0.75
+      val om = 1.0 - lam
+      def step(t: Int) =
+        s"""sc$t AS (
+              SELECT c.query_id, c.vec_id, c.rel, max(p.sim) AS ms
+              FROM cand c
+              JOIN ps p ON p.query_id = c.query_id
+                AND p.ia = c.vec_id
+              JOIN sel${t - 1} s ON s.query_id = p.query_id
+                AND s.vec_id = p.ib
+              WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+                                WHERE x.query_id = c.query_id
+                                  AND x.vec_id = c.vec_id)
+              GROUP BY 1, 2, 3),
+            pick$t AS (
+              SELECT query_id, vec_id, rel, $lam*rel - $om*ms AS mmr
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY $lam*rel - $om*ms DESC, vec_id) AS rn
+                    FROM sc$t)
+              WHERE rn = 1),
+            sel$t AS (SELECT query_id, vec_id FROM sel${t - 1}
+                      UNION ALL
+                      SELECT query_id, vec_id FROM pick$t)"""
+      val steps = (2 to 5).map(step).mkString(",\n")
+      val unions = (2 to 5).map(t =>
+        s"SELECT query_id, $t AS rank, vec_id, mmr FROM pick$t")
+        .mkString("\n                UNION ALL\n                ")
+      s"""WITH v AS ($vecs),
+          cand AS (
+            SELECT query_id, vec_id, cos AS rel FROM (
+              SELECT a.vec_id AS query_id, b.vec_id, $cosPairExpr AS cos,
+                     row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY $cosPairExpr DESC, b.vec_id ASC) AS rn
+              FROM v a JOIN v b ON b.vec_id <> a.vec_id
+              WHERE a.vec_id < 8)
+            WHERE rn <= 20),
+          ps AS (
+            SELECT ca.query_id, ca.vec_id AS ia, cb.vec_id AS ib,
+                   $cosPairExpr AS sim
+            FROM cand ca
+                 JOIN cand cb ON cb.query_id = ca.query_id
+                   AND cb.vec_id <> ca.vec_id
+                 JOIN v a ON a.vec_id = ca.vec_id
+                 JOIN v b ON b.vec_id = cb.vec_id),
+          pick1 AS (
+            SELECT query_id, vec_id, rel, $lam*rel AS mmr FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, vec_id) AS rn
+              FROM cand)
+            WHERE rn = 1),
+          sel1 AS (SELECT query_id, vec_id FROM pick1),
+          $steps
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+                 round(mmr, 6) AS mmr
+          FROM (SELECT query_id, 1 AS rank, vec_id, mmr FROM pick1
+                UNION ALL
+                $unions)"""
+    }
     // x80 BM25 — a val (not a map literal) because the x85 hybrid
     // oracle re-ranks this exact list as its lexical leg
     // BM25 scoring SQL over a parameterized document source — `src`
@@ -5760,6 +5838,8 @@ object SparkEntry {
             FROM (SELECT *, row_number() OVER (ORDER BY score DESC,
                     doc_id ASC) AS rank FROM agg)
             WHERE rank BETWEEN 11 AND 20""",
+      // x143: the unrolled greedy MMR selection (builder above)
+      "x143_mmr_rerank" -> mmrOracle,
       // x137: x84's full IVFPQ serve with the deleted ids
       // (vec_id % 3 = 1) barred from the CANDIDATE join only —
       // centroids, codebooks, and probe geometry are untouched by

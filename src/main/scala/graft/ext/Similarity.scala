@@ -1526,6 +1526,106 @@ object Similarity {
           lit(0.0)), 6).as("top1_rr"))
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998): greedily build a k-list where each step picks the
+    * candidate maximizing `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` —
+    * relevance traded against redundancy with what's already selected.
+    * The de-duplicating re-ranker every retrieval stack ends with: a
+    * plain top-k hands a RAG prompt five near-identical passages; MMR
+    * hands it five RELEVANT-AND-DISTINCT ones. Step 1 has no selected
+    * set, so its score is `λ·rel` (the retriever's top-1 survives).
+    *
+    * Shape: candidates come from the exact scan ([[bruteForceTopK]],
+    * `fetch` per query — swap in an IVF/PQ list at scale, the re-rank
+    * is retriever-agnostic); candidate↔candidate cosines are ONE keyed
+    * |Q|·fetch² self-join computed up front with the native dot
+    * expression (never recomputed inside the loop); then k−1
+    * driver-paced rounds, each a handful of keyed joins + one
+    * `max_by` argmax per query over ≤ fetch rows — every round is
+    * all-queries-parallel, nothing ever collects. All loop inputs are
+    * `Checkpoints.materialize`d once (candidate lists are |Q|·fetch
+    * rows — re-running the retriever k times would dominate the cost
+    * otherwise), rounds checkpoint-and-release per the house loop
+    * discipline, and superseded blocks are freed before returning.
+    *
+    * Determinism: `rel` and `sim` are round-6 cosines, the MMR score
+    * is two IEEE ops on them with the SAME λ literals both engines
+    * parse, and every argmax breaks ties to the lowest id — the
+    * selection sequence is bit-reproducible (the unrolled-CTE oracle
+    * replays it step for step). Queries with fewer than k candidates
+    * return short lists. Output: (query_id, rank, vec_id, mmr). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, fetch: Int, lambda: Double = 0.7)
+      : DataFrame = {
+    require(k >= 1, s"mmrRerank: k must be >= 1 (got $k)")
+    require(fetch >= k,
+      s"mmrRerank: fetch must be >= k (got fetch=$fetch, k=$k)")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrRerank: lambda must be in [0, 1] (got $lambda)")
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    import graft.functions.VectorExprs.dotF64
+    val vecs = corpus.select(col(idCol).cast(LongType).as("vec_id"),
+        asDouble(col(vecCol)).as("_v"))
+      .withColumn("_nrm", sqrt(dotF64(col("_v"), col("_v"))))
+    // one retriever pass + vector attach, materialized ONCE — every
+    // loop round is a narrow projection of this block
+    val base = Checkpoints.materialize(
+      bruteForceTopK(corpus, queries, idCol, vecCol, fetch)
+        .join(vecs, Seq("vec_id")), reliable = false)
+    val cand = base.select(col("query_id"), col("vec_id"),
+      col("cos").as("rel"))
+    val ca = base.select(col("query_id"), col("vec_id").as("_ia"),
+      col("_v").as("_va"), col("_nrm").as("_na"))
+    val cb = base.select(col("query_id"), col("vec_id").as("_ib"),
+      col("_v").as("_vb"), col("_nrm").as("_nb"))
+    // candidate↔candidate cosines: keyed |Q|·fetch² self-join, round-6
+    // like every cosine in this file; materialized for the loop
+    val ps = Checkpoints.materialize(
+      ca.join(cb, Seq("query_id")).filter(col("_ia") =!= col("_ib"))
+        .withColumn("sim", round(coalesce(try_divide(
+          dotF64(col("_va"), col("_vb")), col("_na") * col("_nb")),
+          lit(0.0)), 6))
+        .select(col("query_id"), col("_ia"), col("_ib"), col("sim")),
+      reliable = false)
+    val lam = lit(lambda)
+    val om = lit(1.0 - lambda)
+    var all = Checkpoints.materialize(
+      cand.groupBy(col("query_id")).agg(
+          max_by(struct(col("vec_id"), col("rel")),
+            struct(col("rel"), -col("vec_id"))).as("_s"))
+        .select(col("query_id"), col("_s.vec_id").as("vec_id"),
+          col("_s.rel").as("rel"), (lam * col("_s.rel")).as("mmr"),
+          lit(1L).as("rank")), reliable = false)
+    for (t <- 2 to k) {
+      val ms = ps.join(
+          all.select(col("query_id"), col("vec_id").as("_ib")),
+          Seq("query_id", "_ib"))
+        .groupBy(col("query_id"), col("_ia"))
+        .agg(max(col("sim")).as("_ms"))
+        .withColumnRenamed("_ia", "vec_id")
+      val next = cand
+        .join(all.select("query_id", "vec_id"),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(ms, Seq("query_id", "vec_id"))
+        .withColumn("_mmr", lam * col("rel") - om * col("_ms"))
+        .groupBy(col("query_id")).agg(
+          max_by(struct(col("vec_id"), col("rel"), col("_mmr")),
+            struct(col("_mmr"), -col("vec_id"))).as("_s"))
+        .select(col("query_id"), col("_s.vec_id").as("vec_id"),
+          col("_s.rel").as("rel"), col("_s._mmr").as("mmr"),
+          lit(t.toLong).as("rank"))
+      val grown = Checkpoints.materialize(all.unionByName(next),
+        reliable = false)
+      Checkpoints.release(all)
+      all = grown
+    }
+    // the caller owns `all`; the loop inputs are superseded garbage
+    Checkpoints.release(base)
+    Checkpoints.release(ps)
+    all.select(col("query_id"), col("rank").cast(LongType).as("rank"),
+      col("vec_id"), round(col("mmr"), 6).as("mmr"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the `k` MOST similar corpus vectors carrying a DIFFERENT
     * label — maximally confusable, maximally informative negatives

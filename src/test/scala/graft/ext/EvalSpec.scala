@@ -62,6 +62,63 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  // 2-d fixture with a deliberate near-duplicate pair: the query (id
+  // 100) looks like [1, 0]; ids 1/2 are near-duplicates of each other
+  // at cos≈0.99 to the query; id 3 is relevant-but-distinct ON THE
+  // OTHER SIDE of the query (in 2d all same-side vectors order the
+  // same under MMR — diversity needs genuine angular separation from
+  // the selected item, hand-checked: λ=0.5 scores id 1 at
+  // 0.5·(0.990−0.999) ≈ −0.005 vs id 3 at 0.5·(0.707−0.633) ≈ +0.037).
+  private def mmrFixture = Seq(
+    (100L, Seq(1.0d, 0.0d)),
+    (1L, Seq(0.99d, 0.141d)),
+    (2L, Seq(0.995d, 0.1d)),
+    (3L, Seq(0.7071d, -0.7071d)))
+    .toDF("vec_id", "embedding")
+
+  test("mmrRerank: step 1 keeps the retriever's top-1; step 2 skips " +
+      "the near-duplicate for the relevant-but-distinct candidate") {
+    val got = Similarity.mmrRerank(mmrFixture,
+        mmrFixture.filter(col("vec_id") === 100L), "vec_id",
+        "embedding", k = 2, fetch = 3, lambda = 0.5)
+      .orderBy("rank")
+      .select("rank", "vec_id").as[(Long, Long)].collect()
+    // plain top-2 would be (2, 1); MMR diversifies to (2, 3)
+    assert(got.toSeq == Seq((1L, 2L), (2L, 3L)),
+      s"selection was ${got.toSeq}")
+  }
+
+  test("mmrRerank: lambda = 1 reduces to the plain top-k order") {
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val mmr = Similarity.mmrRerank(emb, q, "vec_id", "embedding",
+        k = 4, fetch = 8, lambda = 1.0)
+      .select("query_id", "rank", "vec_id").as[(Long, Long, Long)]
+      .collect().toSet
+    val topk = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        k = 4)
+      .select("query_id", "rank", "vec_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(mmr == topk, s"λ=1 must be rank-preserving:\n$mmr\nvs\n$topk")
+  }
+
+  test("mmrRerank: queries with fewer than k candidates return short " +
+      "lists; bad parameters are refused") {
+    val got = Similarity.mmrRerank(mmrFixture,
+        mmrFixture.filter(col("vec_id") === 100L), "vec_id",
+        "embedding", k = 3, fetch = 3, lambda = 0.5)
+    assert(got.count() == 3) // only 3 non-self candidates exist
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(mmrFixture, mmrFixture, "vec_id",
+        "embedding", k = 0, fetch = 5))
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(mmrFixture, mmrFixture, "vec_id",
+        "embedding", k = 5, fetch = 3))
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(mmrFixture, mmrFixture, "vec_id",
+        "embedding", k = 2, fetch = 3, lambda = 1.5))
+  }
+
   test("recallAtK on real retrievers: exact-vs-exact is all 1s; " +
       "exact-vs-IVF recall matches a hand count") {
     val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
