@@ -2323,6 +2323,29 @@ object SparkEntry {
         k = 5, fetch = 20, lambda = 0.75)
     }),
 
+    // personalized PageRank (x144): teleport mass pinned to a seed set
+    // (suppliers with suppkey % 10 = 0) on x82's closed supplier↔part
+    // graph — rank becomes proximity-to-seeds, the related-entities /
+    // graph-recommendation query. Same exact-integer rounds and plan
+    // pins as x82; only the per-node teleport term differs.
+    "x144_pagerank_personalized" -> { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+      val fwd = li.select((col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = li.filter(col("l_suppkey") % 10 === 0)
+        .select((col("l_suppkey") * 2).as("id")).distinct()
+      graft.ext.Graph.pageRankPersonalized(edges, "src", "dst",
+          seeds, "id", iters = 4)
+        .select(
+          when(col("id") % 2 === 0, lit("supplier"))
+            .otherwise(lit("part")).as("kind"),
+          expr("id div 2").as("key"), col("rank"))
+        .orderBy(col("rank").desc, col("kind").asc, col("key").asc)
+        .limit(25)
+    },
+
     "x136_bm25_search_after" -> { (s, dir) =>
       val docs = T(s, dir, "documents")
       val idx = scratchDir("bm25_page136")
@@ -4606,6 +4629,18 @@ object SparkEntry {
                      AS BIGINT) AS rank
                  FROM n LEFT JOIN c$i c ON n.id = c.id)"""
     }.mkString(",\n         ")
+    // x144's personalized rounds: prRounds with the per-node teleport
+    // base joined from nb (seeds get the conserved split, others 0)
+    val pprRounds = (1 to 4).map { i =>
+      s"""c$i AS (SELECT e.dst AS id, sum(r.rank // od.outdeg) AS s
+                 FROM e JOIN r${i - 1} r ON e.src = r.id
+                        JOIN od ON e.src = od.src
+                 GROUP BY 1),
+         r$i AS (SELECT n.id,
+                   CAST(n.base + (85 * coalesce(c.s, 0)) // 100
+                     AS BIGINT) AS rank
+                 FROM nb n LEFT JOIN c$i c ON n.id = c.id)"""
+    }.mkString(",\n         ")
     // x86's weighted rounds: contributions are (rank·w) // outw — the
     // proportional-distribution form of prRounds (same base/damp/CAST
     // discipline; integer products bounded by the engine's enforced
@@ -4958,6 +4993,37 @@ object SparkEntry {
             n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
             r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM n),
             $prRounds
+            SELECT CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'part' END
+                     AS kind,
+                   id // 2 AS key, rank
+            FROM r4
+            ORDER BY rank DESC, kind ASC, key ASC LIMIT 25""",
+
+      // x144: x82's rounds with the teleport base joined per node —
+      // seeds (suppkey % 10 = 0, all graph nodes by construction)
+      // split ((100−85)·scale·n) // (100·|S|), everyone else 0
+      "x144_pagerank_personalized" ->
+        s"""WITH e AS (SELECT DISTINCT l_suppkey*2 AS src,
+                         l_partkey*2+1 AS dst FROM lineitem
+                       UNION
+                       SELECT DISTINCT l_partkey*2+1 AS src,
+                         l_suppkey*2 AS dst FROM lineitem),
+            od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                   FROM e GROUP BY 1),
+            n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            sd AS (SELECT DISTINCT l_suppkey*2 AS id FROM lineitem
+                   WHERE l_suppkey % 10 = 0),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM n),
+            ns AS (SELECT CAST(count(*) AS BIGINT) AS m FROM sd),
+            nb AS (SELECT n.id,
+                     CASE WHEN sd.id IS NOT NULL
+                       THEN (CAST(15000000000 AS BIGINT) * nn.cnt)
+                            // (100 * ns.m)
+                       ELSE CAST(0 AS BIGINT) END AS base
+                   FROM n LEFT JOIN sd ON n.id = sd.id, nn, ns),
+            r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank
+                   FROM n),
+            $pprRounds
             SELECT CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'part' END
                      AS kind,
                    id // 2 AS key, rank

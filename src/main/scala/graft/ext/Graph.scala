@@ -89,6 +89,36 @@ object Graph {
     pageRankCore(e, iters, damp, scale, reliable, tol)
   }
 
+  /** Personalized PageRank (Haveliwala 2002): the teleport mass lands
+    * on a SEED set instead of uniformly — rank measures proximity to
+    * the seeds, which is the "related entities" / graph-recommendation
+    * query (seeds = a user's items → ranks = what their neighborhood
+    * endorses). Same exact-integer power iteration, plan pins,
+    * checkpoint discipline, and overflow contract as [[pageRank]]:
+    * the ONLY change is the per-node teleport term, `base(v) =
+    * ((100−damp)·scale·n) div (100·|S|)` for v ∈ S and 0 elsewhere —
+    * total teleport is conserved (÷-floor leak only shrinks it), so
+    * the rank-mass bound and both overflow requires hold verbatim,
+    * and seeding EVERY node reproduces [[pageRank]] bit-for-bit
+    * (GraphSpec pins the equivalence).
+    *
+    * Seeds are intersected with the graph's node set first (an absent
+    * seed has no edges to receive or spread mass — counting it would
+    * silently destroy teleport mass); an empty intersection is a
+    * clear error. The seed frame is assumed SMALL relative to the
+    * graph (it's a query, not a dataset) — it is read twice: one
+    * semi-join + one bounded count. */
+  def pageRankPersonalized(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      iters: Int = 5, damp: Long = 85L, scale: Long = 1000000000L,
+      reliable: Boolean = false, tol: Option[Long] = None): DataFrame = {
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst")).distinct()
+      .withColumn("w", lit(1L))
+    pageRankCore(e, iters, damp, scale, reliable, tol,
+      Some(seeds.select(col(seedCol).cast(LongType).as("id")).distinct()))
+  }
+
   /** Shared power-iteration core over a prepared (src, dst, w) edge
     * frame (w > 0, parallel edges pre-merged).
     *
@@ -108,7 +138,8 @@ object Graph {
     * parallel. GraphSpec pins the executed plan. */
   private def pageRankCore(e: DataFrame, iters: Int, damp: Long,
       scale: Long, reliable: Boolean,
-      tol: Option[Long] = None): DataFrame = {
+      tol: Option[Long] = None,
+      seeds: Option[DataFrame] = None): DataFrame = {
     def mat(df: DataFrame): DataFrame = Checkpoints.materialize(df, reliable)
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     require(damp >= 0L && damp <= 100L, s"damp must be in [0,100] (got $damp)")
@@ -138,6 +169,33 @@ object Graph {
       s"pageRank overflow contract: nodes($n) x scale($scale) x " +
         s"max_weight($wmax) exceeds 2^62 — lower scale or rescale weights")
     val base = (100L - damp) * scale / 100L
+    // the teleport side of each round: (id, base). Uniform PageRank is
+    // a narrow projection of the materialized node set; the
+    // personalized variant seeds get ((100−d)·scale·n) div (100·|S|)
+    // and everyone else 0 — total teleport conserved, so the overflow
+    // requires above cover both forms (the b product is ≤ 100·n·scale,
+    // inside the already-checked headroom; computed in BigInt).
+    val nb = seeds match {
+      case None => nodes.withColumn("base", lit(base))
+      case Some(s) =>
+        val present = mat(nodes.join(s.hint("shuffle_hash"),
+          Seq("id"), "left_semi"))
+        val m = present.count()
+        require(m > 0,
+          "personalized PageRank: no seed appears in the graph's " +
+            "node set (absent seeds can neither receive nor spread " +
+            "mass, so they are excluded before the teleport split)")
+        val b = ((BigInt(100L - damp) * scale * n) /
+          (BigInt(100) * m)).toLong
+        val tagged = mat(nodes.join(
+            present.withColumn("_seed", lit(1)).hint("shuffle_hash"),
+            Seq("id"), "left")
+          .select(col("id"),
+            when(col("_seed").isNotNull, lit(b)).otherwise(lit(0L))
+              .as("base")))
+        Checkpoints.release(present)
+        tagged
+    }
     var ranks = mat(nodes.withColumn("rank", lit(scale)))
     var round = 0
     var converged = false
@@ -146,13 +204,13 @@ object Graph {
       val contribs = eo.join(rhint, eo("src") === rhint("id"))
         .select(col("dst"), expr("(rank * w) div outw").as("_c"))
         .groupBy("dst").agg(sum(col("_c")).as("_s"))
-      val next = mat(nodes
+      val next = mat(nb
         .join(contribs.hint("shuffle_hash"),
-          nodes("id") === contribs("dst"), "left")
+          nb("id") === contribs("dst"), "left")
         .select(col("id"),
           // SQL div: exact 64-bit floor division (Column./ on longs
           // silently promotes to double — the determinism killer here)
-          (lit(base) + expr(s"($damp * coalesce(_s, 0)) div 100"))
+          (col("base") + expr(s"($damp * coalesce(_s, 0)) div 100"))
             .as("rank")))
       // convergence probe BEFORE releasing the previous round: one
       // node-keyed join of two materialized checkpoints + a 1-row max —
@@ -172,9 +230,11 @@ object Graph {
       round += 1
     }
     // the loop inputs are dead too: the returned frame is a standalone
-    // checkpoint referencing neither
+    // checkpoint referencing none of them (release on the uniform
+    // variant's nb — a projection, not a checkpoint — is a no-op)
     Checkpoints.release(eo)
     Checkpoints.release(nodes)
+    Checkpoints.release(nb)
     ranks
   }
 

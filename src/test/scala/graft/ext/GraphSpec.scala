@@ -38,6 +38,52 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRank(e, "src", "dst", scale = 0L))
   }
 
+  test("pageRankPersonalized: seeding EVERY node reproduces uniform " +
+      "pageRank bit-for-bit (the teleport split degenerates to the " +
+      "uniform base)") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+      .toDF("src", "dst")
+    val allNodes = Seq(1L, 2L, 3L).toDF("id")
+    val uni = Graph.pageRank(edges, "src", "dst", iters = 3,
+      scale = 1000000L).as[(Long, Long)].collect().toMap
+    val ppr = Graph.pageRankPersonalized(edges, "src", "dst",
+        allNodes, "id", iters = 3, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(ppr == uni)
+  }
+
+  test("pageRankPersonalized: hand-computed ranks on the closed " +
+      "triad with one seed; rank concentrates near the seed") {
+    // 1→{2,3}, 2→1, 3→1; seed {1}: n=3 ⇒ base(1) = 15%·1e6·3 = 450000,
+    // base(2)=base(3)=0; r0 = 1e6 each.
+    // r1: 1 → 450000 + 85%·2e6 = 2150000; 2,3 → 0 + 85%·5e5 = 425000
+    // r2: 1 → 450000 + 85%·850000 = 1172500; 2,3 → 85%·1075000 = 913750
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.pageRankPersonalized(edges, "src", "dst",
+        Seq(1L).toDF("id"), "id", iters = 2, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1172500L, 2L -> 913750L, 3L -> 913750L))
+    // the seed outranks the periphery, unlike the uniform stationary
+    // point where 2 and 3 jointly outweigh it
+    assert(got(1L) > got(2L))
+  }
+
+  test("pageRankPersonalized: seeds outside the graph are excluded; " +
+      "an all-absent seed set is a clear error") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    // seed 99 is not a node: the split goes entirely to seed 1
+    val got = Graph.pageRankPersonalized(edges, "src", "dst",
+        Seq(1L, 99L).toDF("id"), "id", iters = 1, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    // base(1) = 15%·1e6·2 = 300000 (|S∩V| = 1); r1(1) = 300000+850000
+    assert(got == Map(1L -> 1150000L, 2L -> 850000L))
+    val e = intercept[IllegalArgumentException](
+      Graph.pageRankPersonalized(edges, "src", "dst",
+        Seq(99L).toDF("id"), "id", iters = 1))
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("pageRank: overflow contract is a require at call time, not a " +
       "silent wrap — for scale and for edge weights") {
     val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
