@@ -4618,29 +4618,26 @@ object SparkEntry {
 
     // x82's unrolled integer power rounds (mirrors Graph.pageRank:
     // rank0 = scale, contrib = rank // outdeg, rank' = base + 85·Σ//100
-    // — all BIGINT, so the unroll is bit-exact, not approximate)
-    val prRounds = (1 to 4).map { i =>
-      s"""c$i AS (SELECT e.dst AS id, sum(r.rank // od.outdeg) AS s
+    // — all BIGINT, so the unroll is bit-exact, not approximate).
+    // Parameterized over the teleport term + node table so the x144
+    // personalized variant shares the ONE round definition (a round-
+    // shape fix cannot desynchronize the two oracles).
+    def prRoundsWith(baseExpr: String, nodeTable: String): String =
+      (1 to 4).map { i =>
+        s"""c$i AS (SELECT e.dst AS id, sum(r.rank // od.outdeg) AS s
                  FROM e JOIN r${i - 1} r ON e.src = r.id
                         JOIN od ON e.src = od.src
                  GROUP BY 1),
          r$i AS (SELECT n.id,
-                   CAST(150000000 + (85 * coalesce(c.s, 0)) // 100
+                   CAST($baseExpr + (85 * coalesce(c.s, 0)) // 100
                      AS BIGINT) AS rank
-                 FROM n LEFT JOIN c$i c ON n.id = c.id)"""
-    }.mkString(",\n         ")
-    // x144's personalized rounds: prRounds with the per-node teleport
-    // base joined from nb (seeds get the conserved split, others 0)
-    val pprRounds = (1 to 4).map { i =>
-      s"""c$i AS (SELECT e.dst AS id, sum(r.rank // od.outdeg) AS s
-                 FROM e JOIN r${i - 1} r ON e.src = r.id
-                        JOIN od ON e.src = od.src
-                 GROUP BY 1),
-         r$i AS (SELECT n.id,
-                   CAST(n.base + (85 * coalesce(c.s, 0)) // 100
-                     AS BIGINT) AS rank
-                 FROM nb n LEFT JOIN c$i c ON n.id = c.id)"""
-    }.mkString(",\n         ")
+                 FROM $nodeTable n LEFT JOIN c$i c ON n.id = c.id)"""
+      }.mkString(",\n         ")
+    val prRounds = prRoundsWith("150000000", "n")
+    // x144's personalized rounds: the SAME round definition with the
+    // per-node teleport base joined from nb (seeds get the conserved
+    // split, others 0)
+    val pprRounds = prRoundsWith("n.base", "nb")
     // x86's weighted rounds: contributions are (rank·w) // outw — the
     // proportional-distribution form of prRounds (same base/damp/CAST
     // discipline; integer products bounded by the engine's enforced

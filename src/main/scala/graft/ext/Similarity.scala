@@ -1511,10 +1511,18 @@ object Similarity {
   def recallAtK(exact: DataFrame, approx: DataFrame, queryCol: String,
       idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"recallAtK: k must be >= 1 (got $k)")
+    // defensive (query, id) dedup after truncation: a malformed list
+    // carrying one id at two ranks would fan the join out and push
+    // recall past 1.0 — the metric stays in [0, 1] for any input
+    // (lowest rank survives, preserving the top1_rr contribution)
     val e = exact.filter(col("rank") <= k)
       .select(col(queryCol), col(idCol), col("rank").as("_erank"))
+      .groupBy(col(queryCol), col(idCol))
+      .agg(min(col("_erank")).as("_erank"))
     val a = approx.filter(col("rank") <= k)
       .select(col(queryCol), col(idCol), col("rank").as("_arank"))
+      .groupBy(col(queryCol), col(idCol))
+      .agg(min(col("_arank")).as("_arank"))
     e.join(a, Seq(queryCol, idCol), "left")
       .groupBy(col(queryCol))
       .agg(

@@ -52,7 +52,18 @@ object Retention {
       s"cutoff '$cutoff' would drop ALL ${parts.length} partitions — " +
         "almost certainly a unit or format bug; delete the table " +
         "explicitly if that is really the intent")
-    expired.foreach(p => fs.delete(p, true))
+    expired.foreach { p =>
+      // fs.delete returns false WITHOUT throwing when the store
+      // declines; a partition reported dropped that still exists
+      // would make the returned audit list a lie. A false return for
+      // a path that vanished concurrently is fine (another sweep got
+      // it — same idempotence as the rerun case).
+      if (!fs.delete(p, true) && fs.exists(p))
+        throw new java.io.IOException(
+          s"retention sweep failed to delete partition $p " +
+            "(filesystem declined the recursive delete); rerun — " +
+            "already-dropped partitions are not re-deleted")
+    }
     expired.map(_.getName.stripPrefix(prefix))
   }
 }

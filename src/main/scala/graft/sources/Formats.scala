@@ -16,25 +16,32 @@ import org.apache.spark.sql.types.StructType
   *    Declaring the schema is both the single-scan path and the type
   *    pin. Timestamps parse via an explicit pattern, never locale
   *    luck.
-  *  - Quoting is the writer's default RFC-4180 shape (quote-on-demand,
-  *    `"` escaped by doubling); [[read]] mirrors it. Embedded
-  *    NEWLINES are refused at the write (see below) rather than
-  *    round-tripped: reading them back needs `multiLine`, which makes
-  *    files non-splittable — one reader per file, the scan's
-  *    parallelism gone. An engine should fail loudly at the boundary,
-  *    not quietly serialize the cluster.
+  *  - Quoting is pinned to RFC 4180 (quote-on-demand, `"` escaped by
+  *    DOUBLING — Spark's default escape is backslash, which Excel/
+  *    DuckDB/pandas misparse, so both sides set `escape` to `"`
+  *    explicitly). Embedded NEWLINES are refused at the write (see
+  *    below) rather than round-tripped: reading them back needs
+  *    `multiLine`, which makes files non-splittable — one reader per
+  *    file, the scan's parallelism gone. An engine should fail loudly
+  *    at the boundary, not quietly serialize the cluster. For the
+  *    same reason writes are UNCOMPRESSED by default: gzip would make
+  *    every file one-reader-per-file too, silently cancelling the
+  *    very property the newline guard protects (opt into a codec via
+  *    `compression` when the consumer, not this engine, re-reads).
   *  - PERMISSIVE parsing on read (malformed rows → nulls, scan
   *    survives), the [[JsonLines]] convention.
   */
 object CsvTable {
 
-  /** Write `df` as headered, gzip-compressed CSV under `path` (one
-    * file per partition). Refuses string columns containing newlines
-    * (`requireSplittable` — the multiLine trap above); pre-clean with
-    * `TextAnalysis.normalizeText` or strip them explicitly when the
-    * data may carry free text. Timestamps serialize as microsecond
-    * ISO-8601, matching [[read]]'s default pattern. */
-  def write(df: DataFrame, path: String): Unit = {
+  /** Write `df` as headered RFC-4180 CSV under `path` (one file per
+    * partition; uncompressed by default — see the splittability note
+    * above). Refuses string columns containing newlines (the
+    * multiLine trap); pre-clean with `TextAnalysis.normalizeText` or
+    * strip them explicitly when the data may carry free text.
+    * Timestamps serialize as microsecond ISO-8601, matching
+    * [[read]]'s pattern. */
+  def write(df: DataFrame, path: String,
+      compression: String = "none"): Unit = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.StringType
     // the splittability guard: one column-pruned pass over the string
@@ -54,17 +61,21 @@ object CsvTable {
     }
     df.write.mode("overwrite")
       .option("header", "true")
-      .option("compression", "gzip")
+      .option("compression", compression)
+      // RFC-4180 quote doubling, not Spark's backslash default
+      .option("escape", "\"")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
       .csv(path)
   }
 
   /** Read headered CSV with an explicit schema (no inference pass,
-    * single-line records → splittable scan). */
+    * single-line records → splittable scan; RFC-4180 quote doubling,
+    * mirroring [[write]]). */
   def read(spark: SparkSession, path: String, schema: StructType)
       : DataFrame =
     spark.read.schema(schema)
       .option("header", "true")
+      .option("escape", "\"")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
       .csv(path)
 }
@@ -81,10 +92,15 @@ object CsvTable {
   * not a data pass. */
 object OrcTable {
 
-  /** Write `df` as ORC under `path` (zlib, the ORC default codec —
-    * universally readable; zstd where the fleet's native libs allow). */
-  def write(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").orc(path)
+  /** Write `df` as ORC under `path`. zlib is set EXPLICITLY: it is
+    * the codec every ORC reader ships (Spark 4's session default is
+    * zstd, which older Hive/Trino fleets — the very consumers an ORC
+    * export targets — may not read); pass `compression = "zstd"`
+    * when the whole fleet is known-modern. */
+  def write(df: DataFrame, path: String,
+      compression: String = "zlib"): Unit =
+    df.write.mode("overwrite")
+      .option("compression", compression).orc(path)
 
   /** Read an ORC table; filters and projections push into the stripe
     * reader exactly as with parquet. */

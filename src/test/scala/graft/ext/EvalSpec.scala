@@ -55,6 +55,16 @@ class EvalSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1L, 1.0, 1.0), (1L, 0L, 0.0, 0.0)))
   }
 
+  test("recallAtK: duplicate (query, id) rows in a malformed approx " +
+      "list cannot push recall past 1.0") {
+    val e = list((0L, 1L, 10L), (0L, 2L, 11L))
+    // id 10 appears at two ranks — a buggy or fused retriever list
+    val a = list((0L, 1L, 10L), (0L, 2L, 10L))
+    val got = Similarity.recallAtK(e, a, "query_id", "vec_id", k = 2)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.toSeq == Seq((0L, 1L, 0.5, 1.0)))
+  }
+
   test("recallAtK: k must be positive") {
     val e = list((0L, 1L, 10L))
     intercept[IllegalArgumentException] {

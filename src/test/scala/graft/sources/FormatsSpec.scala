@@ -40,6 +40,24 @@ class FormatsSpec extends SparkSpec {
     assert(a == b, s"round-trip drift:\n  wrote $a\n  read  $b")
   }
 
+  test("CsvTable writes RFC-4180 quote DOUBLING (not Spark's " +
+      "backslash escape) in uncompressed, splittable files") {
+    val dir = tmp("csvrfc") + "/t"
+    CsvTable.write(Seq((1L, "say \"hi\", ok")).toDF("id", "name"), dir)
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).filter(p =>
+        p.substring(p.lastIndexOf('/') + 1).startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.endsWith(".csv")),
+      s"expected uncompressed .csv parts, got ${parts.toSeq}")
+    val text = parts.map(p => new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+      "UTF-8")).mkString
+    // the field must be quoted with internal quotes doubled — what
+    // Excel/DuckDB/pandas parse — and free of backslash escapes
+    assert(text.contains("\"say \"\"hi\"\", ok\""), s"got:\n$text")
+    assert(!text.contains("\\\""), s"backslash escape leaked:\n$text")
+  }
+
   test("CsvTable.write refuses embedded newlines (the multiLine / " +
       "non-splittable trap) with a clear error") {
     val bad = Seq((1L, "line1\nline2")).toDF("id", "name")
