@@ -2310,6 +2310,30 @@ object SparkEntry {
             lit(0.0)), 2).as("total_value"))
     },
 
+    // FILTERED vector search on the CODES layout (x145): x129's
+    // lifecycle on the IVFPQ index — metadata saved alongside the
+    // codes, appends infer it from the stored schema, and the ADC
+    // serve PRE-filters the probed cells (k 'en' survivors per
+    // query). Oracle: x116's subset-trained serve with candidates
+    // restricted to the predicate's ids.
+    "x145_ivfpq_filtered_topk" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val withMeta = emb.withColumn("lang",
+        when(col("vec_id") % 3 === 0, "en")
+          .when(col("vec_id") % 3 === 1, "fr").otherwise("de"))
+      val idx = scratchDir("ivfpq_filt145")
+      graft.ext.Similarity.saveIvfPqIndex(
+        withMeta.filter(col("vec_id") < 400), "vec_id", "embedding",
+        idx, kCentroids = 8, coarseIters = 2, m = 4, ks = 8,
+        pqIters = 2, metaCols = Seq("lang"))
+      graft.ext.Similarity.appendToIvfPqIndex(s, idx,
+        withMeta.filter(col("vec_id") >= 400), "vec_id", "embedding",
+        "b1")
+      graft.ext.Similarity.queryIvfPqIndexFiltered(s, idx,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+        predicate = col("lang") === "en", nprobe = 2)
+    },
+
     // MMR diversified re-rank (x143): greedy λ·rel − (1−λ)·max-sim
     // selection over the exact top-20 candidates — the de-duplicating
     // re-ranker a RAG stack ends with (five relevant-AND-distinct
@@ -4316,7 +4340,7 @@ object SparkEntry {
     // shared by x88 (md5-sampled tv), x116 (prefix-subset tv): coarse
     // + per-subspace Lloyd's over tv, fresh full-corpus assignment and
     // encode against the tv-trained payloads.
-    def ivfPqTvOracle(tvCte: String): String =
+    def ivfPqTvOracle(tvCte: String, candBar: String = ""): String =
       s"""WITH v AS ($vecs),
           $tvCte,
           ${lloydCtes("t", 64, 8, 2)},
@@ -4345,7 +4369,7 @@ object SparkEntry {
                 FROM (SELECT q.vec_id AS query_id, x.vec_id,
                              $pqAdSum AS ad
                       FROM probes p
-                           JOIN allasg s ON s.cl = p.bucket
+                           JOIN allasg s ON s.cl = p.bucket$candBar
                            JOIN v x ON x.vec_id = s.vec_id
                            JOIN q ON q.vec_id = p.query_id
                       $sampledEncJoins
@@ -5903,6 +5927,12 @@ object SparkEntry {
             WHERE rank BETWEEN 11 AND 20""",
       // x143: the unrolled greedy MMR selection (builder above)
       "x143_mmr_rerank" -> mmrOracle,
+      // x145: x116's subset-trained IVFPQ serve with the 'en'
+      // candidate bar (vec_id % 3 = 0 — the x129 lang mapping)
+      "x145_ivfpq_filtered_topk" -> ivfPqTvOracle(
+        "tv AS (SELECT vec_id, e FROM v WHERE vec_id < 400)",
+        """
+                             AND s.vec_id % 3 = 0"""),
       // x137: x84's full IVFPQ serve with the deleted ids
       // (vec_id % 3 = 1) barred from the CANDIDATE join only —
       // centroids, codebooks, and probe geometry are untouched by

@@ -489,7 +489,8 @@ object Similarity {
     * oracle from a cold reload). */
   /** Corpus columns reserved by the IVF layout — metadata columns may
     * not collide with them. */
-  private val IvfCoreCols = Set("vec_id", "v", "nrm", "batch", "bucket")
+  private val IvfCoreCols =
+    Set("vec_id", "v", "nrm", "batch", "bucket", "codes")
 
   /** `metaCols`: additional per-vector METADATA columns persisted
     * alongside the vectors (language, source, license, timestamp …) —
@@ -1191,9 +1192,13 @@ object Similarity {
   def saveIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, kCentroids: Int = 8, coarseIters: Int = 2,
       m: Int = 4, ks: Int = 8, pqIters: Int = 2,
-      trainSample: Option[String] = None): Unit = {
+      trainSample: Option[String] = None,
+      metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    require(metaCols.forall(c => !IvfCoreCols.contains(c)),
+      s"metaCols may not collide with the layout's core columns " +
+        s"($IvfCoreCols)")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
@@ -1209,7 +1214,8 @@ object Similarity {
       }.toDF("subspace", "cluster_id", "centroid")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$path/codebooks/base")
-    ivfPqEncode(corpus, idCol, vecCol, centroids, cbs)
+    attachMeta(ivfPqEncode(corpus, idCol, vecCol, centroids, cbs),
+        corpus, idCol, metaCols)
       .withColumn("batch", lit("base"))
       .write.mode("overwrite").partitionBy("batch", "bucket")
       .parquet(s"$path/corpus")
@@ -1260,6 +1266,33 @@ object Similarity {
       nprobe)
   }
 
+  /** FILTERED ADC serve from a persisted [[saveIvfPqIndex]] index —
+    * [[queryIvfIndexFiltered]] on the codes layout: the metadata
+    * predicate PRE-filters the probed cells' rows, so every query
+    * gets k SURVIVING candidates (never a post-filtered short list),
+    * and the predicate pushes into the probed cells' parquet scans.
+    * Requires the index to have been saved with `metaCols`; appends
+    * infer the columns from the stored schema, compaction and
+    * retrain carry them, deletes and time travel compose — the same
+    * self-describing-layout lifecycle the IVF side has (x129),
+    * gated x145. */
+  def queryIvfPqIndexFiltered(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, predicate: org.apache.spark.sql.Column, nprobe: Int = 2,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = ivfSnapshot(spark, path, asOfVersion)
+    val centroids = loadCentroids(spark, path, snap)
+    val cbs = loadPqCodebooks(spark, path, snap)
+    require(centroids.nonEmpty,
+      s"queryIvfPqIndexFiltered: empty index at $path")
+    val enc = readIvfCorpus(spark, path, snap)
+      .filter(predicate)
+      .select(col("vec_id"),
+        col("bucket").cast(LongType).as("bucket"), col("codes"))
+    servePqBuckets(enc, queries, idCol, vecCol, k, centroids, cbs,
+      nprobe)
+  }
+
   /** Append new vectors to a persisted [[saveIvfPqIndex]] index:
     * assign + PQ-encode against the FROZEN centroids and codebooks
     * (driver-held reloads) into one new `batch=<batchId>` corpus
@@ -1290,7 +1323,10 @@ object Similarity {
     val cbs = loadPqCodebooks(spark, path, snap)
     require(centroids.nonEmpty,
       s"appendToIvfPqIndex: empty index at $path")
-    ivfPqEncode(newVecs, idCol, vecCol, centroids, cbs)
+    // metadata columns are inferred from the stored schema (the
+    // self-describing-layout contract shared with appendToIvfIndex)
+    attachMeta(ivfPqEncode(newVecs, idCol, vecCol, centroids, cbs),
+        newVecs, idCol, ivfMetaCols(spark, path))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/corpus/batch=$batchId")
     val sawGens = (snap.segs("centroids"), snap.segs("codebooks"))
@@ -1338,6 +1374,13 @@ object Similarity {
     val snap = ivfSnapshot(spark, path)
     val seg = s"retrain_v${snap.version}_" +
       java.util.UUID.randomUUID().toString.take(8)
+    // the stored layout's metadata list, read BEFORE the new segment
+    // lands; the caller corpus (the source of truth) must supply it
+    val meta = ivfMetaCols(spark, path)
+    require(meta.forall(corpus.columns.contains),
+      s"retrainIvfPqIndex: the supplied corpus is missing the " +
+        s"index's metadata columns (${meta.mkString(",")}) — the " +
+        "caller corpus is the source of truth and must carry them")
     val centroids = Clustering.kmeansCentroids(corpus, idCol, vecCol,
       kCentroids, coarseIters, trainSample)
     val cbs = pqCodebooks(corpus, idCol, vecCol, m, ks, pqIters,
@@ -1350,7 +1393,8 @@ object Similarity {
       }.toDF("subspace", "cluster_id", "centroid")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/codebooks/$seg")
-    ivfPqEncode(corpus, idCol, vecCol, centroids, cbs)
+    attachMeta(ivfPqEncode(corpus, idCol, vecCol, centroids, cbs),
+        corpus, idCol, meta)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(s"$path/corpus/batch=$seg")
@@ -1388,9 +1432,12 @@ object Similarity {
       snap.segs(IvfDeletesTable).isEmpty) return
     val seg = s"compact_v${snap.version}_" +
       java.util.UUID.randomUUID().toString.take(8)
+    // metadata columns carried — folding must not strip the
+    // pre-filter surface (the compactIvfIndex rule, codes edition)
     readIvfCorpus(spark, path, snap)
-      .select(col("vec_id"), col("codes"),
-        col("bucket").cast(LongType).as("bucket"))
+      .select(col("vec_id") +: col("codes") +:
+        col("bucket").cast(LongType).as("bucket") +:
+        ivfMetaCols(spark, path).map(col): _*)
       .repartition(col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket")
@@ -1858,6 +1905,18 @@ object Similarity {
     * The `codes` array is the persisted storage shape of
     * [[saveIvfPqIndex]]: m small ints per vector instead of dim
     * floats. */
+  /** Join per-vector metadata back onto an encoded (vec_id, …) frame —
+    * one keyed join against the encode's source; the PQ layout's
+    * analogue of the IVF save carrying `metaCols` through
+    * `assignTo`. No-op for an empty list. */
+  private def attachMeta(enc: DataFrame, source: DataFrame,
+      idCol: String, metaCols: Seq[String]): DataFrame =
+    if (metaCols.isEmpty) enc
+    else enc.join(
+      source.select(col(idCol).cast(LongType).as("vec_id") +:
+        metaCols.map(col): _*),
+      Seq("vec_id"))
+
   private def ivfPqEncode(corpus: DataFrame, idCol: String,
       vecCol: String, centroids: Seq[(Long, Seq[Double])],
       codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {

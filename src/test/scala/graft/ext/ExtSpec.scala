@@ -1034,6 +1034,72 @@ class ExtSpec extends SparkSpec {
       "vec_id", "embedding", k = 5, nprobe = 2)) == expect)
   }
 
+  test("filtered vector search on the CODES layout (x145): metadata " +
+      "rides save → append → compact → retrain; deletes compose; " +
+      "pre-filter yields k survivors") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_filt").resolve("idx").toString
+    val queries = embs.filter($"vec_id" < 8)
+    val withMeta = embs.withColumn("lang",
+      when($"vec_id" % 3 === 0, "en")
+        .when($"vec_id" % 3 === 1, "fr").otherwise("de"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "adist")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    Similarity.saveIvfPqIndex(withMeta.filter($"vec_id" < 300),
+      "vec_id", "embedding", idx, kCentroids = 8, coarseIters = 2,
+      m = 4, ks = 8, pqIters = 2, metaCols = Seq("lang"))
+    // append WITHOUT naming metaCols — inferred from the stored schema
+    Similarity.appendToIvfPqIndex(spark, idx,
+      withMeta.filter($"vec_id" >= 300), "vec_id", "embedding", "b1")
+    val train = embs.filter($"vec_id" < 300)
+    val coarse = Clustering.kmeansCentroids(train, "vec_id",
+      "embedding", k = 8, iters = 2)
+    val cbs = Similarity.pqCodebooks(train, "vec_id", "embedding",
+      m = 4, ks = 8, iters = 2)
+    val en = embs.filter($"vec_id" % 3 === 0)
+    val expect = rows(Similarity.ivfPqTopKWith(en, queries, "vec_id",
+      "embedding", k = 5, coarse, cbs, nprobe = 2))
+    def filtered() = rows(Similarity.queryIvfPqIndexFiltered(spark,
+      idx, queries, "vec_id", "embedding", k = 5,
+      predicate = $"lang" === "en", nprobe = 2))
+    assert(filtered() == expect)
+    // every query gets k survivors — the pre-filter property
+    assert(Similarity.queryIvfPqIndexFiltered(spark, idx, queries,
+      "vec_id", "embedding", k = 5, predicate = $"lang" === "en",
+      nprobe = 2).groupBy($"query_id").count()
+      .select($"count").as[Long].collect().forall(_ == 5L))
+    // compaction carries the metadata
+    Similarity.compactIvfPqIndex(spark, idx)
+    assert(filtered() == expect)
+    // a delete composes with the filter
+    Similarity.deleteFromIvfIndex(spark, idx,
+      embs.filter($"vec_id" % 3 === 0 && $"vec_id" % 5 === 0)
+        .select($"vec_id"), "vec_id", "d1")
+    val enLive = en.filter(!($"vec_id" % 5 === 0))
+    assert(filtered() == rows(Similarity.ivfPqTopKWith(enLive,
+      queries, "vec_id", "embedding", k = 5, coarse, cbs, nprobe = 2)))
+    // retrain re-encodes the caller corpus (which must carry the
+    // metadata) and bakes the delete in
+    val liveAll = withMeta.filter(
+      !($"vec_id" % 3 === 0 && $"vec_id" % 5 === 0))
+    Similarity.retrainIvfPqIndex(spark, idx, liveAll, "vec_id",
+      "embedding", kCentroids = 8, coarseIters = 2, m = 4, ks = 8,
+      pqIters = 2)
+    val coarse2 = Clustering.kmeansCentroids(liveAll, "vec_id",
+      "embedding", k = 8, iters = 2)
+    val cbs2 = Similarity.pqCodebooks(liveAll, "vec_id", "embedding",
+      m = 4, ks = 8, iters = 2)
+    assert(filtered() == rows(Similarity.ivfPqTopKWith(enLive,
+      queries, "vec_id", "embedding", k = 5, coarse2, cbs2,
+      nprobe = 2)))
+    // a retrain from a corpus MISSING the metadata is a clear error
+    val e = intercept[IllegalArgumentException](
+      Similarity.retrainIvfPqIndex(spark, idx,
+        embs.filter($"vec_id" < 50), "vec_id", "embedding"))
+    assert(e.getMessage.contains("metadata"))
+  }
+
   test("minhash ledger delete (x125): tombstoned docs stop blocking " +
       "admission; re-append re-learns; compaction removes physically; " +
       "stale committers abort") {
