@@ -2310,6 +2310,22 @@ object SparkEntry {
             lit(0.0)), 2).as("total_value"))
     },
 
+    // rank-aware retrieval evaluation (x146): nDCG@5 of the learned-
+    // IVF serve against the exact scan — recall (x138) says whether
+    // the right set came back; nDCG says whether it came back in the
+    // right ORDER. Linear gains k+1−exact_rank, log₂ discounts as an
+    // identical ln-ratio expression tree on both engines.
+    "x146_ann_ndcg" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      graft.ext.Similarity.ndcgAtK(
+        graft.ext.Similarity.bruteForceTopK(emb, q, "vec_id",
+          "embedding", k = 5),
+        graft.ext.Similarity.ivfLearnedTopK(emb, q, "vec_id",
+          "embedding", k = 5, kCentroids = 8, iters = 2, nprobe = 2),
+        "query_id", "vec_id", k = 5)
+    },
+
     // FILTERED vector search on the CODES layout (x145): x129's
     // lifecycle on the IVFPQ index — metadata saved alongside the
     // codes, appends infer it from the stored schema, and the ADC
@@ -5953,6 +5969,28 @@ object SparkEntry {
                     ON a.query_id = e.query_id
                        AND a.vec_id = e.vec_id
                   GROUP BY e.query_id)""",
+      // x146: DCG over the approx list with gains 6−exact_rank (0 on
+      // a miss), IDCG over the exact list in its own order, both with
+      // the identical ln-ratio log₂ tree the engine uses
+      "x146_ann_ndcg" ->
+        s"""WITH el AS (SELECT query_id, vec_id, rank FROM ($x05Sql)),
+            al AS (SELECT query_id, vec_id, rank
+                   FROM ($ivfLearnedOracle)),
+            g AS (SELECT a.query_id,
+                    CAST(coalesce(6 - e.rank, 0) AS DOUBLE)
+                      / (ln(a.rank + 1.0) / ln(2.0)) AS gg
+                  FROM al a LEFT JOIN el e
+                    ON e.query_id = a.query_id
+                       AND e.vec_id = a.vec_id),
+            d AS (SELECT query_id, sum(gg) AS dcg FROM g GROUP BY 1),
+            i AS (SELECT query_id,
+                    sum(CAST(6 - rank AS DOUBLE)
+                      / (ln(rank + 1.0) / ln(2.0))) AS idcg
+                  FROM el GROUP BY 1)
+            SELECT i.query_id, round(coalesce(d.dcg, 0), 6) AS dcg,
+                   round(i.idcg, 6) AS idcg,
+                   round(coalesce(d.dcg, 0) / i.idcg, 6) AS ndcg
+            FROM i LEFT JOIN d ON d.query_id = i.query_id""",
       // x139: the x53 Lloyd's CTEs + a rank<=2 distance window —
       // rn=1 is the own-centroid distance (a), rn=2 the runner-up
       // (b); simplified silhouette (b−a)/max(a,b) on sqrt distances

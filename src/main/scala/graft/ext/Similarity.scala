@@ -1581,6 +1581,58 @@ object Similarity {
           lit(0.0)), 6).as("top1_rr"))
   }
 
+  /** Rank-aware retrieval evaluation: per-query nDCG@k of an
+    * approximate list against the exact one — the third leg of the
+    * eval triad next to [[recallAtK]]'s set overlap and top-1 RR.
+    * Recall treats rank 1 and rank k the same; nDCG discounts each
+    * hit by its position, so it distinguishes "found everything but
+    * shuffled" from "found everything in order" — the number that
+    * moves when an ANN index returns the right set in the wrong
+    * order (common once PQ distortion enters).
+    *
+    * Definitions (all deterministic): graded relevance of an approx
+    * item = `k + 1 − exact_rank` when it appears in the exact top-k,
+    * else 0 (linear gains — integer, engine-portable; exponential
+    * 2^rel gains explode for nothing at these depths);
+    * `DCG = Σ rel / log₂(rank + 1)` over the approx list;
+    * `IDCG` = the same sum over the exact list in its own order
+    * (gains decrease in exact rank, so the exact order IS the ideal
+    * ordering); `nDCG = DCG / IDCG ∈ [0, 1]`. log₂ is computed as
+    * `ln(x) / ln 2` with the identical expression tree on both
+    * engines; inputs are small integers, so the per-term doubles are
+    * bit-equal and only the k-term sum carries the usual order ulp —
+    * absorbed by round-6. Same |Q|·k scale shape, truncation, and
+    * malformed-input dedup as [[recallAtK]]; queries the approx side
+    * misses entirely score 0. Output: (query, dcg, idcg, ndcg). */
+  def ndcgAtK(exact: DataFrame, approx: DataFrame, queryCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"ndcgAtK: k must be >= 1 (got $k)")
+    val log2 = (c: org.apache.spark.sql.Column) =>
+      log(c.cast(DoubleType) + lit(1.0)) / log(lit(2.0))
+    val e = exact.filter(col("rank") <= k)
+      .select(col(queryCol), col(idCol), col("rank").as("_erank"))
+      .groupBy(col(queryCol), col(idCol))
+      .agg(min(col("_erank")).as("_erank"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col(queryCol), col(idCol), col("rank").as("_arank"))
+      .groupBy(col(queryCol), col(idCol))
+      .agg(min(col("_arank")).as("_arank"))
+    val dcg = a.join(e, Seq(queryCol, idCol), "left")
+      .withColumn("_g",
+        coalesce(lit(k + 1L) - col("_erank"), lit(0L))
+          .cast(DoubleType) / log2(col("_arank")))
+      .groupBy(col(queryCol)).agg(sum(col("_g")).as("_dcg"))
+    e.withColumn("_ig", (lit(k + 1L) - col("_erank"))
+        .cast(DoubleType) / log2(col("_erank")))
+      .groupBy(col(queryCol)).agg(sum(col("_ig")).as("_idcg"))
+      .join(dcg, Seq(queryCol), "left")
+      .select(col(queryCol),
+        round(coalesce(col("_dcg"), lit(0.0)), 6).as("dcg"),
+        round(col("_idcg"), 6).as("idcg"),
+        round(coalesce(col("_dcg"), lit(0.0)) / col("_idcg"), 6)
+          .as("ndcg"))
+  }
+
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR
     * 1998): greedily build a k-list where each step picks the
     * candidate maximizing `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` —

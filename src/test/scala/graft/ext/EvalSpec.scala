@@ -72,6 +72,52 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("ndcgAtK: identical lists score 1.0; disjoint lists score 0") {
+    val e = list((0L, 1L, 10L), (0L, 2L, 11L), (0L, 3L, 12L))
+    val same = Similarity.ndcgAtK(e, e, "query_id", "vec_id", k = 3)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(same.length == 1 && same.head._4 == 1.0 &&
+      same.head._2 == same.head._3)
+    val a = list((0L, 1L, 20L), (0L, 2L, 21L), (0L, 3L, 22L))
+    val none = Similarity.ndcgAtK(e, a, "query_id", "vec_id", k = 3)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(none.head._2 == 0.0 && none.head._4 == 0.0)
+  }
+
+  test("ndcgAtK: the right set in REVERSED order scores the " +
+      "hand-formula value strictly below 1 (recall@k would say 1.0)") {
+    val e = list((0L, 1L, 10L), (0L, 2L, 11L), (0L, 3L, 12L))
+    val a = list((0L, 1L, 12L), (0L, 2L, 11L), (0L, 3L, 10L))
+    val got = Similarity.ndcgAtK(e, a, "query_id", "vec_id", k = 3)
+      .as[(Long, Double, Double, Double)].collect().head
+    val l2 = (x: Double) => math.log(x) / math.log(2.0)
+    // approx list: rel(12)=1 at rank 1, rel(11)=2 at rank 2,
+    // rel(10)=3 at rank 3; ideal = 3,2,1 in exact order
+    val dcg = 1.0 / l2(2.0) + 2.0 / l2(3.0) + 3.0 / l2(4.0)
+    val idcg = 3.0 / l2(2.0) + 2.0 / l2(3.0) + 1.0 / l2(4.0)
+    assert(got == ((0L, r6(dcg), r6(idcg), r6(dcg / idcg))))
+    assert(got._4 < 1.0)
+    // the same lists score perfect recall — the two metrics are
+    // genuinely measuring different things
+    val rec = Similarity.recallAtK(e, a, "query_id", "vec_id", k = 3)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(rec._3 == 1.0)
+  }
+
+  test("ndcgAtK: a query the approx side misses entirely scores 0; " +
+      "k must be positive") {
+    val e = list((0L, 1L, 10L), (1L, 1L, 20L))
+    val a = list((0L, 1L, 10L))
+    val got = Similarity.ndcgAtK(e, a, "query_id", "vec_id", k = 1)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got(0)._4 == 1.0 && got(1)._4 == 0.0)
+    intercept[IllegalArgumentException](
+      Similarity.ndcgAtK(e, e, "query_id", "vec_id", k = 0))
+  }
+
   // 2-d fixture with a deliberate near-duplicate pair: the query (id
   // 100) looks like [1, 0]; ids 1/2 are near-duplicates of each other
   // at cos≈0.99 to the query; id 3 is relevant-but-distinct ON THE
