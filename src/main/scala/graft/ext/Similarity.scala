@@ -582,9 +582,26 @@ object Similarity {
     * minus the core layout columns; appends and maintenance derive the
     * carry list from here, so the layout is self-describing. */
   private def ivfMetaCols(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[String] =
-    spark.read.parquet(s"$path/corpus").schema.fieldNames.toSeq
-      .filterNot(IvfCoreCols.contains)
+      path: String, snap: graft.sinks.IndexSnapshot): Seq[String] = {
+    // snapshot-pinned: reading the whole corpus directory's schema
+    // would let a crashed writer's orphaned (never-committed) batch
+    // dir inject columns; one committed segment's footer is both the
+    // contract and the cheapest listing
+    val segs = snap.segs("corpus")
+    require(segs.nonEmpty, s"index at $path has no corpus segments")
+    spark.read.parquet(s"$path/corpus/batch=${segs.head}")
+      .schema.fieldNames.toSeq.filterNot(IvfCoreCols.contains)
+  }
+
+  /** A clear contract error when an append/retrain batch is missing
+    * the stored layout's metadata columns (the alternative is an
+    * unresolved-column AnalysisException deep in plan analysis). */
+  private def requireMeta(df: DataFrame, meta: Seq[String],
+      op: String): Unit =
+    require(meta.forall(df.columns.contains),
+      s"$op: the supplied frame is missing the index's metadata " +
+        s"columns (${meta.mkString(",")}) — the layout is " +
+        "self-describing and every ingested batch must carry them")
 
   /** The vector indexes' tombstone table: (vec_id, batch) rows scoping
     * each deleted vector to the corpus segment that held it when the
@@ -744,7 +761,8 @@ object Similarity {
     import graft.functions.VectorExprs.dotF64
     // the layout is self-describing: metadata columns come from the
     // stored corpus schema, and the batch must supply them
-    val meta = ivfMetaCols(spark, path)
+    val meta = ivfMetaCols(spark, path, snap)
+    requireMeta(newVecs, meta, "appendToIvfIndex")
     Clustering.assignTo(
         newVecs.select(col(idCol).as("vec_id") +:
           asDouble(col(vecCol)).as("_v") +: meta.map(col): _*),
@@ -826,7 +844,7 @@ object Similarity {
     readIvfCorpus(spark, path, snap)
       .select(col("vec_id") +: col("v") +: col("nrm") +:
         col("bucket").cast(LongType).as("bucket") +:
-        ivfMetaCols(spark, path).map(col): _*)
+        ivfMetaCols(spark, path, snap).map(col): _*)
       .repartition(col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket")
@@ -909,7 +927,7 @@ object Similarity {
       spark.sessionState.newHadoopConf())
     val seg = s"retrain_v${snap.version}_" +
       java.util.UUID.randomUUID().toString.take(8)
-    val meta = ivfMetaCols(spark, path)
+    val meta = ivfMetaCols(spark, path, snap)
     val live = readIvfCorpus(spark, path, snap)
       .select(col("vec_id") +: col("v") +: col("nrm") +:
         meta.map(col): _*)
@@ -1325,8 +1343,10 @@ object Similarity {
       s"appendToIvfPqIndex: empty index at $path")
     // metadata columns are inferred from the stored schema (the
     // self-describing-layout contract shared with appendToIvfIndex)
+    val meta = ivfMetaCols(spark, path, snap)
+    requireMeta(newVecs, meta, "appendToIvfPqIndex")
     attachMeta(ivfPqEncode(newVecs, idCol, vecCol, centroids, cbs),
-        newVecs, idCol, ivfMetaCols(spark, path))
+        newVecs, idCol, meta)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/corpus/batch=$batchId")
     val sawGens = (snap.segs("centroids"), snap.segs("codebooks"))
@@ -1376,11 +1396,8 @@ object Similarity {
       java.util.UUID.randomUUID().toString.take(8)
     // the stored layout's metadata list, read BEFORE the new segment
     // lands; the caller corpus (the source of truth) must supply it
-    val meta = ivfMetaCols(spark, path)
-    require(meta.forall(corpus.columns.contains),
-      s"retrainIvfPqIndex: the supplied corpus is missing the " +
-        s"index's metadata columns (${meta.mkString(",")}) — the " +
-        "caller corpus is the source of truth and must carry them")
+    val meta = ivfMetaCols(spark, path, snap)
+    requireMeta(corpus, meta, "retrainIvfPqIndex")
     val centroids = Clustering.kmeansCentroids(corpus, idCol, vecCol,
       kCentroids, coarseIters, trainSample)
     val cbs = pqCodebooks(corpus, idCol, vecCol, m, ks, pqIters,
@@ -1437,7 +1454,7 @@ object Similarity {
     readIvfCorpus(spark, path, snap)
       .select(col("vec_id") +: col("codes") +:
         col("bucket").cast(LongType).as("bucket") +:
-        ivfMetaCols(spark, path).map(col): _*)
+        ivfMetaCols(spark, path, snap).map(col): _*)
       .repartition(col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket")
@@ -1555,21 +1572,29 @@ object Similarity {
     * row. Run it on a deterministic query SAMPLE at 100 TB — recall
     * estimates converge like any proportion (~1/√|Q|), so a few
     * thousand queries score an arbitrarily large index. */
+  /** Truncate a ranked list to `rank <= k` and normalize malformed
+    * input to at most one row per (query, id) AND per (query, rank) —
+    * the defensive gate both eval metrics share. A well-formed
+    * retriever list passes through unchanged; a fused/buggy list with
+    * one id at two ranks keeps its lowest rank, and two ids at one
+    * rank keep the lowest id — deterministic, and it caps the rows at
+    * k per query, which is what keeps recall and nDCG in [0, 1] for
+    * ANY input (EvalSpec pins both). */
+  private def rankedTopK(list: DataFrame, queryCol: String,
+      idCol: String, k: Int, rankAlias: String): DataFrame =
+    list.filter(col("rank") <= k)
+      .select(col(queryCol), col(idCol), col("rank").as(rankAlias))
+      .groupBy(col(queryCol), col(idCol))
+      .agg(min(col(rankAlias)).as(rankAlias))
+      .groupBy(col(queryCol), col(rankAlias))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(queryCol), col(idCol), col(rankAlias))
+
   def recallAtK(exact: DataFrame, approx: DataFrame, queryCol: String,
       idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"recallAtK: k must be >= 1 (got $k)")
-    // defensive (query, id) dedup after truncation: a malformed list
-    // carrying one id at two ranks would fan the join out and push
-    // recall past 1.0 — the metric stays in [0, 1] for any input
-    // (lowest rank survives, preserving the top1_rr contribution)
-    val e = exact.filter(col("rank") <= k)
-      .select(col(queryCol), col(idCol), col("rank").as("_erank"))
-      .groupBy(col(queryCol), col(idCol))
-      .agg(min(col("_erank")).as("_erank"))
-    val a = approx.filter(col("rank") <= k)
-      .select(col(queryCol), col(idCol), col("rank").as("_arank"))
-      .groupBy(col(queryCol), col(idCol))
-      .agg(min(col("_arank")).as("_arank"))
+    val e = rankedTopK(exact, queryCol, idCol, k, "_erank")
+    val a = rankedTopK(approx, queryCol, idCol, k, "_arank")
     e.join(a, Seq(queryCol, idCol), "left")
       .groupBy(col(queryCol))
       .agg(
@@ -1609,14 +1634,8 @@ object Similarity {
     require(k >= 1, s"ndcgAtK: k must be >= 1 (got $k)")
     val log2 = (c: org.apache.spark.sql.Column) =>
       log(c.cast(DoubleType) + lit(1.0)) / log(lit(2.0))
-    val e = exact.filter(col("rank") <= k)
-      .select(col(queryCol), col(idCol), col("rank").as("_erank"))
-      .groupBy(col(queryCol), col(idCol))
-      .agg(min(col("_erank")).as("_erank"))
-    val a = approx.filter(col("rank") <= k)
-      .select(col(queryCol), col(idCol), col("rank").as("_arank"))
-      .groupBy(col(queryCol), col(idCol))
-      .agg(min(col("_arank")).as("_arank"))
+    val e = rankedTopK(exact, queryCol, idCol, k, "_erank")
+    val a = rankedTopK(approx, queryCol, idCol, k, "_arank")
     val dcg = a.join(e, Seq(queryCol, idCol), "left")
       .withColumn("_g",
         coalesce(lit(k + 1L) - col("_erank"), lit(0L))
@@ -1951,16 +1970,11 @@ object Similarity {
       queries, idCol, vecCol, k, centroids, codebooks, nprobe)
   }
 
-  /** Corpus side of IVFADC: (vec_id, bucket, codes ARRAY<INT>) — cell
-    * assignment + m code argmins against centroid/codebook literals in
-    * ONE scan projection (no join, no shuffle, whole-stage codegen).
-    * The `codes` array is the persisted storage shape of
-    * [[saveIvfPqIndex]]: m small ints per vector instead of dim
-    * floats. */
   /** Join per-vector metadata back onto an encoded (vec_id, …) frame —
     * one keyed join against the encode's source; the PQ layout's
     * analogue of the IVF save carrying `metaCols` through
-    * `assignTo`. No-op for an empty list. */
+    * `assignTo`. No-op for an empty list; the source must carry the
+    * columns (callers require it with a contract-naming error). */
   private def attachMeta(enc: DataFrame, source: DataFrame,
       idCol: String, metaCols: Seq[String]): DataFrame =
     if (metaCols.isEmpty) enc
@@ -1969,6 +1983,12 @@ object Similarity {
         metaCols.map(col): _*),
       Seq("vec_id"))
 
+  /** Corpus side of IVFADC: (vec_id, bucket, codes ARRAY<INT>) — cell
+    * assignment + m code argmins against centroid/codebook literals in
+    * ONE scan projection (no join, no shuffle, whole-stage codegen).
+    * The `codes` array is the persisted storage shape of
+    * [[saveIvfPqIndex]]: m small ints per vector instead of dim
+    * floats. */
   private def ivfPqEncode(corpus: DataFrame, idCol: String,
       vecCol: String, centroids: Seq[(Long, Seq[Double])],
       codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {

@@ -86,10 +86,10 @@ class PlanAuditSpec extends SparkSpec {
       // x136 is the queryBm25Index serve plan twice (page 1 + cursor
       // page), same sanctioned 1-row stats cross join
       "x136_bm25_search_after",
-      // x138's exact reference leg IS bruteForceTopK — the sanctioned
-      // scan×|Q| shape; the eval join itself is a keyed left join over
-      // two |Q|·k-row lists
-      "x138_ann_recall")
+      // x138/x146's exact reference leg IS bruteForceTopK — the
+      // sanctioned scan×|Q| shape; the eval joins themselves are
+      // keyed joins over two |Q|·k-row lists
+      "x138_ann_recall", "x146_ann_ndcg")
 
   // x85's lexical leg ranks bm25TopK's ALREADY-LIMITED k-row list with
   // a per-query window whose query_id is a literal — Catalyst folds the

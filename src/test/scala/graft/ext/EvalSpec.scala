@@ -107,6 +107,23 @@ class EvalSpec extends SparkSpec {
     assert(rec._3 == 1.0)
   }
 
+  test("ndcgAtK: two DIFFERENT ids at the same rank (malformed) " +
+      "normalize to the lowest id — nDCG stays in [0, 1]") {
+    val e = list((0L, 1L, 10L), (0L, 2L, 11L))
+    val a = list((0L, 1L, 10L), (0L, 1L, 11L))
+    val got = Similarity.ndcgAtK(e, a, "query_id", "vec_id", k = 2)
+      .as[(Long, Double, Double, Double)].collect().head
+    // only (10, rank 1) survives normalization: DCG = 2/log2(2) = 2,
+    // IDCG = 2/log2(2) + 1/log2(3)
+    val l2 = (x: Double) => math.log(x) / math.log(2.0)
+    assert(got._2 == 2.0 && got._3 == r6(2.0 + 1.0 / l2(3.0)))
+    assert(got._4 <= 1.0 && got._4 == r6(2.0 / (2.0 + 1.0 / l2(3.0))))
+    // the same malformed list keeps recall bounded too
+    val rec = Similarity.recallAtK(e, a, "query_id", "vec_id", k = 2)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(rec._3 <= 1.0 && rec._2 == 1L)
+  }
+
   test("ndcgAtK: a query the approx side misses entirely scores 0; " +
       "k must be positive") {
     val e = list((0L, 1L, 10L), (1L, 1L, 20L))

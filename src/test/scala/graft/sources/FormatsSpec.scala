@@ -44,8 +44,8 @@ class FormatsSpec extends SparkSpec {
       "backslash escape) in uncompressed, splittable files") {
     val dir = tmp("csvrfc") + "/t"
     CsvTable.write(Seq((1L, "say \"hi\", ok")).toDF("id", "name"), dir)
-    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .toArray.map(_.toString).filter(p =>
+    val parts = new java.io.File(dir).listFiles().map(_.toString)
+      .filter(p =>
         p.substring(p.lastIndexOf('/') + 1).startsWith("part-"))
     assert(parts.nonEmpty && parts.forall(_.endsWith(".csv")),
       s"expected uncompressed .csv parts, got ${parts.toSeq}")
