@@ -119,6 +119,27 @@ object Graph {
       Some(seeds.select(col(seedCol).cast(LongType).as("id")).distinct()))
   }
 
+  /** [[pageRankPersonalized]] over weighted edges — seeds pin the
+    * teleport, weights shape the propagation ([[pageRankWeighted]]'s
+    * proportional distribution). The full graph-recommendation form:
+    * seeds = a user's items, weights = interaction strength. Both
+    * parameter contracts compose unchanged (w ≡ 1 reproduces the
+    * unweighted personalized variant bit-for-bit — GraphSpec pins
+    * it). */
+  def pageRankWeightedPersonalized(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, seeds: DataFrame,
+      seedCol: String, iters: Int = 5, damp: Long = 85L,
+      scale: Long = 1000000000L, reliable: Boolean = false,
+      tol: Option[Long] = None): DataFrame = {
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"),
+        col(weightCol).cast(LongType).as("w"))
+      .filter(col("w") > 0L)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    pageRankCore(e, iters, damp, scale, reliable, tol,
+      Some(seeds.select(col(seedCol).cast(LongType).as("id")).distinct()))
+  }
+
   /** Shared power-iteration core over a prepared (src, dst, w) edge
     * frame (w > 0, parallel edges pre-merged).
     *

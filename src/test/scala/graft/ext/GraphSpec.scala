@@ -1,5 +1,7 @@
 package graft.ext
 
+import org.apache.spark.sql.functions.lit
+
 import graft.SparkSpec
 
 class GraphSpec extends SparkSpec {
@@ -67,6 +69,32 @@ class GraphSpec extends SparkSpec {
     // the seed outranks the periphery, unlike the uniform stationary
     // point where 2 and 3 jointly outweigh it
     assert(got(1L) > got(2L))
+  }
+
+  test("pageRankWeightedPersonalized: w ≡ 1 equals the unweighted " +
+      "personalized variant; weights shape propagation under a " +
+      "pinned teleport") {
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 1L, 1L),
+      (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    val unit = Graph.pageRankWeightedPersonalized(
+        edges.withColumn("w", lit(1L)), "src", "dst", "w", seeds,
+        "id", iters = 2, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    val plain = Graph.pageRankPersonalized(edges, "src", "dst", seeds,
+        "id", iters = 2, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(unit == plain)
+    // with 1:3 weights node 3 receives 3x node 2's share of node 1's
+    // rank each round — strictly outranks it; teleport still only
+    // lands on seed 1
+    val got = Graph.pageRankWeightedPersonalized(edges, "src", "dst",
+        "w", seeds, "id", iters = 2, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    // (the seed itself can transiently rank below a heavy receiver
+    // mid-iteration — rank oscillates before convergence, so only the
+    // weight ordering is asserted)
+    assert(got(3L) > got(2L))
   }
 
   test("pageRankPersonalized: seeds outside the graph are excluded; " +
