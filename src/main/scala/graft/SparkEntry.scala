@@ -5959,9 +5959,11 @@ object SparkEntry {
       // list (x67) on (query, id) — hits per query, recall@5, and the
       // reciprocal approx-rank of the exact #1 (0 when missed)
       "x138_ann_recall" ->
-        s"""SELECT query_id, hits, round(hits / 5.0, 6) AS recall,
+        s"""SELECT query_id, hits,
+                   round(hits / n_exact, 6) AS recall,
                    round(coalesce(rr1, 0), 6) AS top1_rr
             FROM (SELECT e.query_id, count(a.vec_id) AS hits,
+                         count(*) AS n_exact,
                          max(CASE WHEN e.rank = 1
                              THEN 1.0 / a.rank END) AS rr1
                   FROM ($x05Sql) e

@@ -1558,7 +1558,11 @@ object Similarity {
     * Output, one row per EXACT-side query:
     *
     *  - `hits`    — |exact top-k ∩ approx top-k|
-    *  - `recall`  — hits / k (the standard recall@k; rounded 6)
+    *  - `recall`  — hits / |exact top-k| (the standard |retrieved ∩
+    *    relevant| / |relevant|; the divisor is k whenever the exact
+    *    list is full, and the actual list size when the corpus gave
+    *    back fewer — a well-formed list always self-scores 1.0;
+    *    rounded 6)
     *  - `top1_rr` — 1 / approx-rank of the exact #1 result, 0 when the
     *    approximate list misses it entirely (the MRR contribution —
     *    averages to MRR@k across queries; rounded 6)
@@ -1579,10 +1583,13 @@ object Similarity {
     * one id at two ranks keeps its lowest rank, and two ids at one
     * rank keep the lowest id — deterministic, and it caps the rows at
     * k per query, which is what keeps recall and nDCG in [0, 1] for
-    * ANY input (EvalSpec pins both). */
+    * ANY input (EvalSpec pins both; EngineProps sweeps random
+    * malformed lists). Ranks below 1 are dropped too — a 1-based
+    * ranked list has no rank 0, and letting one through would put a
+    * log₂(1) = 0 in nDCG's discount denominator. */
   private def rankedTopK(list: DataFrame, queryCol: String,
       idCol: String, k: Int, rankAlias: String): DataFrame =
-    list.filter(col("rank") <= k)
+    list.filter(col("rank") >= 1 && col("rank") <= k)
       .select(col(queryCol), col(idCol), col("rank").as(rankAlias))
       .groupBy(col(queryCol), col(idCol))
       .agg(min(col(rankAlias)).as(rankAlias))
@@ -1599,7 +1606,13 @@ object Similarity {
       .groupBy(col(queryCol))
       .agg(
         count(col("_arank")).as("hits"),
-        round(count(col("_arank")) / lit(k.toDouble), 6).as("recall"),
+        // divide by the EXACT list's actual size, not k: the standard
+        // |retrieved ∩ relevant| / |relevant| — identical when the
+        // exact list is full (the normal case), and a well-formed
+        // list self-scores 1.0 even when shorter than k (the
+        // EngineProps-caught definition bug: hits/k scored a 1-item
+        // list's perfect self-eval 1/k)
+        round(count(col("_arank")) / count(lit(1)), 6).as("recall"),
         round(coalesce(
           max(when(col("_erank") === 1,
             lit(1.0) / col("_arank").cast(DoubleType))),

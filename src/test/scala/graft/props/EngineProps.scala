@@ -416,4 +416,52 @@ object EngineProps extends Properties("graft") {
       q != v && exact((q, v)) == cos // scoring within buckets is exact
     }
   }
+
+  // arbitrary — including malformed — ranked lists: duplicate ids,
+  // duplicate ranks, over-deep ranks, missing queries
+  private val genRankedList: Gen[List[(Long, Long, Long)]] =
+    Gen.listOfN(10, for {
+      q <- Gen.choose(0L, 2L)
+      r <- Gen.choose(1L, 6L)
+      id <- Gen.choose(10L, 16L)
+    } yield (q, r, id))
+
+  property("eval metrics bounded on ANY input: recall/top1_rr/ndcg " +
+      "in [0,1], self-eval of a well-formed list scores 1") =
+    forAll(genRankedList, genRankedList) { (el, al) =>
+      import spark.implicits._
+      {
+        val e = el.toDF("query_id", "rank", "vec_id")
+        val a = al.toDF("query_id", "rank", "vec_id")
+        val rec = graft.ext.Similarity.recallAtK(e, a,
+            "query_id", "vec_id", k = 4)
+          .as[(Long, Long, Double, Double)].collect()
+        val nd = graft.ext.Similarity.ndcgAtK(e, a,
+            "query_id", "vec_id", k = 4)
+          .as[(Long, Double, Double, Double)].collect()
+        rec.forall(r => r._3 >= 0.0 && r._3 <= 1.0 &&
+          r._4 >= 0.0 && r._4 <= 1.0 && r._2 >= 0L && r._2 <= 4L) &&
+        nd.forall(r => r._4 >= 0.0 && r._4 <= 1.0 &&
+          r._2 >= 0.0 && r._2 <= r._3) &&
+        // a well-formed list scored against itself is perfect — build
+        // one by normalizing el through the same truncation the
+        // metrics promise (dense re-rank of distinct (q,id))
+        {
+          val wf = el.distinctBy(t => (t._1, t._3))
+            .groupBy(_._1).toList.flatMap { case (q, rs) =>
+              rs.sortBy(t => (t._2, t._3)).take(4).zipWithIndex
+                .map { case (t, i) => (q, i + 1L, t._3) }
+            }
+          val w = wf.toDF("query_id", "rank", "vec_id")
+          graft.ext.Similarity.recallAtK(w, w, "query_id", "vec_id",
+              k = 4)
+            .as[(Long, Long, Double, Double)].collect()
+            .forall(r => r._3 == 1.0 && r._4 == 1.0) &&
+          graft.ext.Similarity.ndcgAtK(w, w, "query_id", "vec_id",
+              k = 4)
+            .as[(Long, Double, Double, Double)].collect()
+            .forall(_._4 == 1.0)
+        }
+      }
+    }
 }
