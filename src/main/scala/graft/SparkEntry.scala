@@ -5987,8 +5987,11 @@ object SparkEntry {
             d AS (SELECT query_id, sum(gg) AS dcg FROM g GROUP BY 1),
             i AS (SELECT query_id,
                     sum(CAST(6 - rank AS DOUBLE)
-                      / (ln(rank + 1.0) / ln(2.0))) AS idcg
-                  FROM el GROUP BY 1)
+                      / (ln(pos + 1.0) / ln(2.0))) AS idcg
+                  FROM (SELECT query_id, rank, row_number() OVER (
+                          PARTITION BY query_id ORDER BY rank) AS pos
+                        FROM el)
+                  GROUP BY 1)
             SELECT i.query_id, round(coalesce(d.dcg, 0), 6) AS dcg,
                    round(i.idcg, 6) AS idcg,
                    round(coalesce(d.dcg, 0) / i.idcg, 6) AS ndcg

@@ -1633,9 +1633,10 @@ object Similarity {
     * else 0 (linear gains — integer, engine-portable; exponential
     * 2^rel gains explode for nothing at these depths);
     * `DCG = Σ rel / log₂(rank + 1)` over the approx list;
-    * `IDCG` = the same sum over the exact list in its own order
-    * (gains decrease in exact rank, so the exact order IS the ideal
-    * ordering); `nDCG = DCG / IDCG ∈ [0, 1]`. log₂ is computed as
+    * `IDCG` = the gains at DENSE ideal positions 1..n (gains decrease
+    * in exact rank, so the exact order is the ideal ordering, and the
+    * discount uses the row's position, not its raw rank);
+    * `nDCG = DCG / IDCG ∈ [0, 1]`. log₂ is computed as
     * `ln(x) / ln 2` with the identical expression tree on both
     * engines; inputs are small integers, so the per-term doubles are
     * bit-equal and only the k-term sum carries the usual order ulp —
@@ -1654,8 +1655,17 @@ object Similarity {
         coalesce(lit(k + 1L) - col("_erank"), lit(0L))
           .cast(DoubleType) / log2(col("_arank")))
       .groupBy(col(queryCol)).agg(sum(col("_g")).as("_dcg"))
-    e.withColumn("_ig", (lit(k + 1L) - col("_erank"))
-        .cast(DoubleType) / log2(col("_erank")))
+    // IDCG places the gains at DENSE ideal positions 1..n (gains
+    // decrease in exact rank, so exact order = ideal order — but the
+    // POSITION is the row number, not the raw rank: a sparse exact
+    // list's rank-3-only item still ideally sits at position 1, else
+    // an approx list that finds it at position 1 would score
+    // nDCG > 1 — the third EngineProps catch)
+    val idealPos = Window.partitionBy(col(queryCol))
+      .orderBy(col("_erank"))
+    e.withColumn("_pos", row_number().over(idealPos).cast(LongType))
+      .withColumn("_ig", (lit(k + 1L) - col("_erank"))
+        .cast(DoubleType) / log2(col("_pos")))
       .groupBy(col(queryCol)).agg(sum(col("_ig")).as("_idcg"))
       .join(dcg, Seq(queryCol), "left")
       .select(col(queryCol),

@@ -124,6 +124,23 @@ class EvalSpec extends SparkSpec {
     assert(rec._3 <= 1.0 && rec._2 == 1L)
   }
 
+  test("ndcgAtK: a SPARSE exact list's gains sit at dense ideal " +
+      "positions — finding its only item at position 1 is a perfect " +
+      "1.0, not >1") {
+    // exact carries one item at raw rank 3; ideal position is 1
+    val e = list((0L, 3L, 15L))
+    val a = list((0L, 1L, 15L))
+    val got = Similarity.ndcgAtK(e, a, "query_id", "vec_id", k = 4)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(got == ((0L, 2.0, 2.0, 1.0)), s"got $got")
+    // and at the same sparse position as the exact list, the discount
+    // bites: DCG = 2/log2(4) = 1 against IDCG 2
+    val a2 = list((0L, 3L, 15L))
+    val got2 = Similarity.ndcgAtK(e, a2, "query_id", "vec_id", k = 4)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(got2 == ((0L, 1.0, 2.0, 0.5)), s"got $got2")
+  }
+
   test("ndcgAtK: a query the approx side misses entirely scores 0; " +
       "k must be positive") {
     val e = list((0L, 1L, 10L), (1L, 1L, 20L))
