@@ -2386,6 +2386,31 @@ object SparkEntry {
         .limit(25)
     },
 
+    // weighted personalized PageRank (x147): the full graph-
+    // recommendation form — x144's seed-pinned teleport composed with
+    // x86's proportional (rank·w) div outw propagation over the
+    // lineitem-count-weighted supplier↔part graph. Both parameter
+    // contracts compose unchanged (GraphSpec pins w≡1 ≡ x144's op and
+    // all-seeds ≡ x86's); the oracle composes the two CTE builders.
+    "x147_pagerank_weighted_personalized" -> { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+      val fwd = li.groupBy((col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seeds = li.filter(col("l_suppkey") % 10 === 0)
+        .select((col("l_suppkey") * 2).as("id")).distinct()
+      graft.ext.Graph.pageRankWeightedPersonalized(edges, "src", "dst",
+          "w", seeds, "id", iters = 4)
+        .select(
+          when(col("id") % 2 === 0, lit("supplier"))
+            .otherwise(lit("part")).as("kind"),
+          expr("id div 2").as("key"), col("rank"))
+        .orderBy(col("rank").desc, col("kind").asc, col("key").asc)
+        .limit(25)
+    },
+
     "x136_bm25_search_after" -> { (s, dir) =>
       val docs = T(s, dir, "documents")
       val idx = scratchDir("bm25_page136")
@@ -4681,17 +4706,23 @@ object SparkEntry {
     // x86's weighted rounds: contributions are (rank·w) // outw — the
     // proportional-distribution form of prRounds (same base/damp/CAST
     // discipline; integer products bounded by the engine's enforced
-    // overflow contract)
-    val prWRounds = (1 to 4).map { i =>
-      s"""c$i AS (SELECT e.dst AS id, sum((r.rank * e.w) // ow.outw) AS s
+    // overflow contract). Parameterized over the teleport term + node
+    // table exactly like prRoundsWith, so the x147 weighted-
+    // personalized variant shares the ONE weighted round definition.
+    def prWRoundsWith(baseExpr: String, nodeTable: String): String =
+      (1 to 4).map { i =>
+        s"""c$i AS (SELECT e.dst AS id, sum((r.rank * e.w) // ow.outw) AS s
                  FROM e JOIN r${i - 1} r ON e.src = r.id
                         JOIN ow ON e.src = ow.src
                  GROUP BY 1),
          r$i AS (SELECT n.id,
-                   CAST(150000000 + (85 * coalesce(c.s, 0)) // 100
+                   CAST($baseExpr + (85 * coalesce(c.s, 0)) // 100
                      AS BIGINT) AS rank
-                 FROM n LEFT JOIN c$i c ON n.id = c.id)"""
-    }.mkString(",\n         ")
+                 FROM $nodeTable n LEFT JOIN c$i c ON n.id = c.id)"""
+      }.mkString(",\n         ")
+    val prWRounds = prWRoundsWith("150000000", "n")
+    // x147's rounds: weighted propagation + the x144 per-node teleport
+    val pprWRounds = prWRoundsWith("n.base", "nb")
 
     Map(
       "x01_dedup_exact" ->
@@ -5089,6 +5120,38 @@ object SparkEntry {
             n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
             r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM n),
             $prWRounds
+            SELECT CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'part' END
+                     AS kind,
+                   id // 2 AS key, rank
+            FROM r4
+            ORDER BY rank DESC, kind ASC, key ASC LIMIT 25""",
+
+      // x147: x86's weighted edges/rounds + x144's per-node teleport —
+      // both parameterized CTE builders compose, so a round-shape fix
+      // in either dimension cannot desynchronize this oracle
+      "x147_pagerank_weighted_personalized" ->
+        s"""WITH fwd AS (SELECT l_suppkey*2 AS src, l_partkey*2+1 AS dst,
+                           CAST(count(*) AS BIGINT) AS w
+                         FROM lineitem GROUP BY 1, 2),
+            e AS (SELECT src, dst, w FROM fwd
+                  UNION ALL
+                  SELECT dst AS src, src AS dst, w FROM fwd),
+            ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw
+                   FROM e GROUP BY 1),
+            n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            sd AS (SELECT DISTINCT l_suppkey*2 AS id FROM lineitem
+                   WHERE l_suppkey % 10 = 0),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM n),
+            ns AS (SELECT CAST(count(*) AS BIGINT) AS m FROM sd),
+            nb AS (SELECT n.id,
+                     CASE WHEN sd.id IS NOT NULL
+                       THEN (CAST(15000000000 AS BIGINT) * nn.cnt)
+                            // (100 * ns.m)
+                       ELSE CAST(0 AS BIGINT) END AS base
+                   FROM n LEFT JOIN sd ON n.id = sd.id, nn, ns),
+            r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank
+                   FROM n),
+            $pprWRounds
             SELECT CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'part' END
                      AS kind,
                    id // 2 AS key, rank

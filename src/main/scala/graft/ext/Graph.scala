@@ -319,4 +319,81 @@ object Graph {
     Seq((nNodes, nEdges, triangles))
       .toDF("n_nodes", "n_edges", "n_triangles")
   }
+
+  /** k-core decomposition (Seidman 1983): the unique maximal subgraph
+    * in which every node has degree ≥ k, computed by bulk-synchronous
+    * peeling — each round drops every node whose CURRENT degree is
+    * below k (and the edges touching it), until a round removes
+    * nothing. The graph-cleanup op for corpus link graphs: the k-core
+    * is what survives when spam tendrils, orphan chains, and weakly
+    * attached satellites are peeled away (a node cannot ride in on one
+    * well-connected neighbor — its whole neighborhood must persist).
+    * Deterministic: the k-core is unique regardless of peel order, so
+    * bulk rounds and the oracle's unrolled rounds agree exactly.
+    *
+    * Input edges are canonicalized exactly as [[triangleCount]]:
+    * undirected simple graph, self-loops and duplicate/reverse edges
+    * dropped. Output: one row per surviving node — (id, core_deg),
+    * core_deg the node's degree WITHIN the k-core (≥ k by
+    * definition). An empty result is a valid answer (no k-core).
+    *
+    * Scale shape (the [[pageRankCore]] iterative discipline): the
+    * both-direction adjacency (16-byte rows) is materialized per round
+    * and its predecessor released, so lineage never grows; each round
+    * is one partial+final degree aggregate plus two semi-joins pinned
+    * SHUFFLE_HASH (checkpointed lineage has no stats — an unpinned
+    * plan would broadcast a graph-sized side, the SCALE.md r12
+    * lesson). Rounds-to-fixpoint is data-dependent (≤ the longest
+    * peel cascade); `maxRounds` is the hard budget and exceeding it
+    * is an ERROR, never a silent partial core — a truncated peel
+    * still contains sub-k nodes, which violates the operator's whole
+    * contract. Convergence is detected by comparing directed-edge
+    * counts (peeling only deletes rows), one bounded count per round
+    * over the just-materialized checkpoint. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 100, reliable: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
+    def mat(df: DataFrame): DataFrame = Checkpoints.materialize(df, reliable)
+    val s = col(srcCol).cast(LongType)
+    val d = col(dstCol).cast(LongType)
+    val und = edges
+      .select(least(s, d).as("u"), greatest(s, d).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    var adj = mat(und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst"))))
+    var nDirected = adj.count()
+    var round = 0
+    var fixed = nDirected == 0L
+    while (round < maxRounds && !fixed) {
+      // survivors this round: degree = directed out-rows per src (the
+      // both-direction layout makes degree a single partial+final agg)
+      val alive = mat(adj.groupBy("src").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select(col("src").as("id")))
+      val next = mat(adj
+        .join(alive.hint("shuffle_hash"),
+          adj("src") === alive("id"), "left_semi")
+        .join(alive.withColumnRenamed("id", "id2").hint("shuffle_hash"),
+          col("dst") === col("id2"), "left_semi"))
+      val nNext = next.count()
+      fixed = nNext == nDirected
+      Checkpoints.release(alive)
+      Checkpoints.release(adj)
+      adj = next
+      nDirected = nNext
+      round += 1
+      if (fixed || nDirected == 0L) fixed = true
+    }
+    require(fixed,
+      s"kCore: peel did not reach a fixpoint within maxRounds=" +
+        s"$maxRounds rounds — raise the budget (a truncated peel is " +
+        "not a k-core: sub-k nodes remain)")
+    val core = adj.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("core_deg"))
+    // the result must outlive the released checkpoint it reads
+    val out = Checkpoints.materialize(core, reliable)
+    Checkpoints.release(adj)
+    out
+  }
 }

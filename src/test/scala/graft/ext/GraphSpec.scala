@@ -95,6 +95,17 @@ class GraphSpec extends SparkSpec {
     // mid-iteration — rank oscillates before convergence, so only the
     // weight ordering is asserted)
     assert(got(3L) > got(2L))
+    // seeding EVERY node splits the teleport uniformly — must equal
+    // the plain weighted variant bit-for-bit (the second free
+    // regression pin: x147 degenerates to x86 on an all-node seed set)
+    val allSeeds = Seq(1L, 2L, 3L).toDF("id")
+    val allSeeded = Graph.pageRankWeightedPersonalized(edges, "src",
+        "dst", "w", allSeeds, "id", iters = 2, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    val weighted = Graph.pageRankWeighted(edges, "src", "dst", "w",
+        iters = 2, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(allSeeded == weighted)
   }
 
   test("pageRankPersonalized: seeds outside the graph are excluded; " +
