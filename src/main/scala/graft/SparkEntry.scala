@@ -2411,6 +2411,26 @@ object SparkEntry {
         .limit(25)
     },
 
+    // k-core decomposition (x148): peel the supplier↔part graph to its
+    // 20-core — the graph-cleanup op that drops weakly attached nodes
+    // (a node survives only if ≥20 of its NEIGHBORS survive too, not
+    // just if its raw degree is ≥20). At sf0.01 the peel removes the
+    // thin parts and keeps a 20-connected core; the unique-core
+    // property makes bulk rounds and the oracle's unrolled rounds
+    // agree exactly. GraphSpec covers the multi-round cascade and the
+    // exhausted-budget error on hand fixtures.
+    "x148_kcore" -> { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+      val edges = li.select((col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      graft.ext.Graph.kCore(edges, "src", "dst", k = 20)
+        .select(
+          when(col("id") % 2 === 0, lit("supplier"))
+            .otherwise(lit("part")).as("kind"),
+          expr("id div 2").as("key"), col("core_deg"))
+        .orderBy(col("kind").asc, col("key").asc)
+    },
+
     "x136_bm25_search_after" -> { (s, dir) =>
       val docs = T(s, dir, "documents")
       val idx = scratchDir("bm25_page136")
@@ -4723,6 +4743,19 @@ object SparkEntry {
     val prWRounds = prWRoundsWith("150000000", "n")
     // x147's rounds: weighted propagation + the x144 per-node teleport
     val pprWRounds = prWRoundsWith("n.base", "nb")
+    // x148's unrolled peel rounds over the both-direction adjacency
+    // e0: round i keeps edges whose BOTH endpoints still have degree
+    // ≥ k. The k-core is a fixpoint, so unrolling more rounds than the
+    // engine needs is a no-op (measured 2 rounds at sf0.01/sf0.1,
+    // 1 at sf0.001; 4 unrolled for margin).
+    def kcoreRounds(k: Int, rounds: Int): String =
+      (1 to rounds).map { i =>
+        s"""a$i AS (SELECT src FROM e${i - 1}
+                 GROUP BY src HAVING count(*) >= $k),
+         e$i AS (SELECT t.src, t.dst FROM e${i - 1} t
+                 JOIN a$i x ON t.src = x.src
+                 JOIN a$i y ON t.dst = y.src)"""
+      }.mkString(",\n         ")
 
     Map(
       "x01_dedup_exact" ->
@@ -5157,6 +5190,22 @@ object SparkEntry {
                    id // 2 AS key, rank
             FROM r4
             ORDER BY rank DESC, kind ASC, key ASC LIMIT 25""",
+
+      // x148: the same canonical both-direction adjacency the engine
+      // peels, with the rounds unrolled (see kcoreRounds)
+      "x148_kcore" ->
+        s"""WITH fwd AS (SELECT DISTINCT l_suppkey*2 AS u,
+                           l_partkey*2+1 AS v FROM lineitem),
+            e0 AS (SELECT u AS src, v AS dst FROM fwd
+                   UNION ALL
+                   SELECT v AS src, u AS dst FROM fwd),
+            ${kcoreRounds(20, 4)}
+            SELECT CASE WHEN src % 2 = 0 THEN 'supplier' ELSE 'part' END
+                     AS kind,
+                   src // 2 AS key,
+                   CAST(count(*) AS BIGINT) AS core_deg
+            FROM e4 GROUP BY 1, 2
+            ORDER BY kind ASC, key ASC""",
 
       // x31's closure + x16's split case applied to the CANONICAL
       // member's text (aliased AS text so the shared fp fragment binds)

@@ -266,4 +266,51 @@ class GraphSpec extends SparkSpec {
     val star = (1L to 20L).map(i => (0L, i))
     assert(tri(star) == ((21L, 20L, 0L)))
   }
+
+  test("kCore: multi-round peel cascade on hand fixtures; " +
+      "canonicalization; core_deg is the WITHIN-core degree") {
+    def core(edges: Seq[(Long, Long)], k: Int, maxRounds: Int = 100)
+        : Map[Long, Long] =
+      Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k, maxRounds)
+        .as[(Long, Long)].collect().toMap
+    // triangle + 2-hop tail: the tail peels over TWO rounds (5 first,
+    // then 4 — its degree only drops below 2 after 5 is gone)
+    val triTail = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(core(triTail, k = 2) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // no 3-core anywhere: empty is a valid answer
+    assert(core(triTail, k = 3) == Map.empty[Long, Long])
+    // messy encoding — reverse duplicates and self-loops — peels to
+    // the identical core
+    val messy = triTail ++ triTail.map(_.swap) ++ Seq((1L, 1L), (4L, 4L))
+    assert(core(messy, k = 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // core_deg counts only surviving neighbors: 1's raw degree is 3
+    // (triangle + the pendant 6) but its core degree is 2
+    assert(core(triTail :+ (1L, 6L), k = 2) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=1 drops nothing on a connected simple graph: every node keeps
+    // its full degree
+    assert(core(triTail, k = 1) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("kCore: an exhausted round budget is an error, never a " +
+      "truncated core") {
+    // 5-chain with k=2 peels to empty over 2 rounds (ends at both
+    // endpoints each round); maxRounds=1 must refuse, not return the
+    // half-peeled middle
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val err = intercept[IllegalArgumentException] {
+      Graph.kCore(chain.toDF("src", "dst"), "src", "dst", k = 2,
+        maxRounds = 1)
+    }
+    assert(err.getMessage.contains("fixpoint"))
+    // with budget it converges to empty
+    assert(Graph.kCore(chain.toDF("src", "dst"), "src", "dst", k = 2)
+      .count() == 0L)
+    // input validation
+    assert(intercept[IllegalArgumentException] {
+      Graph.kCore(chain.toDF("src", "dst"), "src", "dst", k = 0)
+    }.getMessage.contains("k must be"))
+  }
 }
