@@ -2673,6 +2673,25 @@ object SparkEntry {
         k = 5, nprobe = 2, asOfVersion = Some(v))
     },
 
+    // IVFPQ time travel (x149): x112 on the CODES layout — the as-of
+    // read pins the pre-append manifest, so it serves subset-trained
+    // centroids + codebooks over the subset corpus only (the appended
+    // codes are invisible to the retained snapshot). The version
+    // handle is the same manifest protocol every index shares.
+    "x149_ivfpq_time_travel" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivfpq_tt149")
+      graft.ext.Similarity.saveIvfPqIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", idx,
+        kCentroids = 8, coarseIters = 2, m = 4, ks = 8, pqIters = 2)
+      val v = graft.ext.Similarity.ivfIndexVersion(s, idx)
+      graft.ext.Similarity.appendToIvfPqIndex(s, idx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding", "b1")
+      graft.ext.Similarity.queryIvfPqIndex(s, idx,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 2, asOfVersion = Some(v))
+    },
+
     // pre-ingest BM25 drift gate (x106): doc-frequency drift between a
     // persisted index and an incoming batch, index side read straight
     // from the additive termstats segments — no indexed-corpus
@@ -6061,6 +6080,13 @@ object SparkEntry {
         "tv AS (SELECT vec_id, e FROM v WHERE vec_id < 400)",
         """
                              AND s.vec_id % 3 = 0"""),
+      // x149: the pre-append IVFPQ snapshot — subset-trained payloads
+      // (tv < 400) AND subset corpus (candidate bar < 400); the
+      // appended vectors are invisible to the retained version
+      "x149_ivfpq_time_travel" -> ivfPqTvOracle(
+        "tv AS (SELECT vec_id, e FROM v WHERE vec_id < 400)",
+        """
+                             AND s.vec_id < 400"""),
       // x137: x84's full IVFPQ serve with the deleted ids
       // (vec_id % 3 = 1) barred from the CANDIDATE join only —
       // centroids, codebooks, and probe geometry are untouched by

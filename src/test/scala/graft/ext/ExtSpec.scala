@@ -1366,6 +1366,48 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("retention"))
   }
 
+  test("IVFPQ time travel (x149): the as-of read serves the " +
+      "pre-append snapshot exactly — subset payloads AND subset " +
+      "codes — across a later compaction; vacuumed versions error") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_tt").resolve("idx").toString
+    val subsetIdx = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_tt_sub").resolve("idx").toString
+    val queries = embs.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "adist")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    def save(path: String): Unit =
+      Similarity.saveIvfPqIndex(embs.filter($"vec_id" < 400),
+        "vec_id", "embedding", path, kCentroids = 8, coarseIters = 2,
+        m = 4, ks = 8, pqIters = 2)
+    save(idx)
+    val v0 = Similarity.ivfIndexVersion(spark, idx)
+    Similarity.appendToIvfPqIndex(spark, idx,
+      embs.filter($"vec_id" >= 400), "vec_id", "embedding", "b1")
+    // twin index frozen at the pre-append state = the as-of oracle
+    save(subsetIdx)
+    val atV0 = rows(Similarity.queryIvfPqIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2, asOfVersion = Some(v0)))
+    assert(atV0 == rows(Similarity.queryIvfPqIndex(spark, subsetIdx,
+      queries, "vec_id", "embedding", k = 5, nprobe = 2)),
+      "as-of(v0) must serve the pre-append codes index exactly")
+    assert(atV0 != rows(Similarity.queryIvfPqIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)),
+      "fixture must make the append visible at HEAD or the pin is vacuous")
+    Similarity.compactIvfPqIndex(spark, idx)
+    assert(rows(Similarity.queryIvfPqIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2,
+      asOfVersion = Some(v0))) == atV0,
+      "compaction must not disturb retained-version reads")
+    Similarity.vacuumIvfPqIndex(spark, idx, keepVersions = 1)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.queryIvfPqIndex(spark, idx, queries, "vec_id",
+        "embedding", k = 5, nprobe = 2, asOfVersion = Some(v0))
+    }
+    assert(e.getMessage.contains("retention"))
+  }
+
   test("ivfNearDupAdmit (x120): probe-bounded semantic admission; " +
       "replayed batches self-reject after the append; a threshold " +
       "above 1 admits everything") {
