@@ -2431,6 +2431,20 @@ object SparkEntry {
         .orderBy(col("kind").asc, col("key").asc)
     },
 
+    // per-group quantile curation (x150): keep the top 25% of docs per
+    // language by quality score, thresholded via the histogram-quantile
+    // op (integer floor-buckets at precision 2 — never a per-group
+    // sort; the corpus crosses no shuffle). The relative-threshold
+    // quality filter every curation pipeline ends with.
+    "x150_quality_quantile_filter" -> { (s, dir) =>
+      val scored = graft.ext.TextAnalysis.qualityScore(
+        T(s, dir, "documents"), "text")
+      graft.ext.Corpus.topFractionByQuantile(scored, "lang",
+          col("quality_score"), frac = 0.25)
+        .select(col("lang"), col("doc_id"), col("quality_score"))
+        .orderBy(col("lang").asc, col("doc_id").asc)
+    },
+
     "x136_bm25_search_after" -> { (s, dir) =>
       val docs = T(s, dir, "documents")
       val idx = scratchDir("bm25_page136")
@@ -5209,6 +5223,31 @@ object SparkEntry {
                    id // 2 AS key, rank
             FROM r4
             ORDER BY rank DESC, kind ASC, key ASC LIMIT 25""",
+
+      // x150: the shared quality formula + the histogram-quantile
+      // threshold — floor-buckets at 100×, from-the-top cumulative
+      // counts, highest bucket reaching ceil(0.25·n) per lang (floor,
+      // not round: round-half tie semantics differ across engines)
+      "x150_quality_quantile_filter" ->
+        s"""WITH ${qualityCteSignals(", lang")},
+            q AS (SELECT doc_id, lang,
+                    $qualityScoreExpr AS quality_score
+                  FROM qr),
+            h AS (SELECT lang,
+                    CAST(floor(quality_score * 100) AS BIGINT) AS b,
+                    count(*) AS n
+                  FROM q GROUP BY 1, 2),
+            c AS (SELECT lang, b,
+                    sum(n) OVER (PARTITION BY lang
+                                 ORDER BY b DESC) AS cum,
+                    sum(n) OVER (PARTITION BY lang) AS tot
+                  FROM h),
+            thr AS (SELECT lang, max(b) AS t FROM c
+                    WHERE cum >= ceil(0.25 * tot) GROUP BY 1)
+            SELECT q.lang, q.doc_id, q.quality_score
+            FROM q JOIN thr ON q.lang = thr.lang
+            WHERE CAST(floor(q.quality_score * 100) AS BIGINT) >= thr.t
+            ORDER BY q.lang ASC, q.doc_id ASC""",
 
       // x148: the same canonical both-direction adjacency the engine
       // peels, with the rounds unrolled (see kcoreRounds)

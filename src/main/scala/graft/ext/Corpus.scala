@@ -617,4 +617,54 @@ object Corpus {
       .select(col("doc_id"),
         array_join(transform(kept, x => x("t")), " ").as("clean_text"))
   }
+
+  /** Per-group top-fraction curation filter via HISTOGRAM quantiles —
+    * "keep the best `frac` of documents per language/source by quality
+    * score", the relative-threshold form of [[TextAnalysis.qualityScore]]
+    * filtering (an absolute threshold drifts as the corpus mix shifts; a
+    * per-group fraction does not).
+    *
+    * An exact per-group order statistic needs a total order per group —
+    * a window sort funneling each group (and "en" is half the crawl)
+    * through one task. This op instead quantizes scores to integer
+    * buckets `floor(score·10^precision)` and picks, per group, the
+    * highest bucket whose from-the-top cumulative count reaches
+    * `ceil(frac·n)` — the classic quantile-by-histogram. At least
+    * `ceil(frac·n)` rows survive per group; the overshoot is bounded by
+    * one bucket's ties (callers trading exactness for granularity raise
+    * `precision`). `floor` on the product — not `round` — because
+    * round-half tie semantics differ across engines while floor of the
+    * same IEEE double cannot.
+    *
+    * Scale shape: one partial+final count aggregate onto a (groups ×
+    * buckets)-row histogram, two windows OVER THAT HISTOGRAM (thousands
+    * of rows, whatever the corpus size), and a broadcast join of the
+    * per-group thresholds back onto the data — the corpus itself is
+    * never shuffled or sorted. NULL scores and NULL groups are excluded
+    * (they have no place in a per-group ranking — pre-bucket them
+    * explicitly if they must survive). */
+  def topFractionByQuantile(df: DataFrame, groupCol: String,
+      scoreCol: Column, frac: Double, precision: Int = 2): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0,
+      s"frac must be in (0, 1] (got $frac)")
+    require(precision >= 0 && precision <= 9,
+      s"precision must be in [0, 9] (got $precision)")
+    val bucket = floor(scoreCol * math.pow(10.0, precision))
+      .cast(LongType)
+    val hist = df
+      .filter(col(groupCol).isNotNull && scoreCol.isNotNull)
+      .groupBy(col(groupCol), bucket.as("_bucket"))
+      .agg(count(lit(1)).as("_n"))
+    val fromTop = Window.partitionBy(groupCol)
+      .orderBy(col("_bucket").desc)
+    val whole = Window.partitionBy(groupCol)
+    val thresholds = hist
+      .withColumn("_cum", sum("_n").over(fromTop))
+      .withColumn("_tot", sum("_n").over(whole))
+      .filter(col("_cum") >= ceil(lit(frac) * col("_tot")))
+      .groupBy(col(groupCol)).agg(max(col("_bucket")).as("_thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(bucket >= col("_thr"))
+      .drop("_thr")
+  }
 }

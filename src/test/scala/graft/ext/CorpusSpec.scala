@@ -464,4 +464,47 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(tw == Map(1L -> "", 2L -> ""))
   }
+
+  test("topFractionByQuantile (x150): per-group histogram threshold " +
+      "keeps >= ceil(frac*n) with whole-bucket ties; nulls excluded; " +
+      "frac=1 keeps every scored row") {
+    // group A: 8 rows, distinct buckets 10..80 — top 25% = ceil(2) =
+    // rows scoring 0.8 and 0.7. group B: 4 rows with a TIE at the
+    // threshold bucket (0.5, 0.5, 0.5, 0.1) — ceil(0.25*4)=1 but the
+    // whole 50-bucket survives (3 rows): overshoot is bounded by ties,
+    // never a partial bucket.
+    val rows =
+      (1L to 8L).map(i => (i, "A", i.toDouble / 10.0)) ++
+      Seq((11L, "B", 0.5), (12L, "B", 0.5), (13L, "B", 0.5),
+        (14L, "B", 0.1)) ++
+      Seq((21L, null.asInstanceOf[String], 0.9),
+        (22L, "A", Double.NaN))
+    val df = rows.toDF("id", "grp", "score")
+      .withColumn("score",
+        when(col("id") === 22L, lit(null).cast("double"))
+          .otherwise(col("score")))
+    val kept = Corpus.topFractionByQuantile(df, "grp", col("score"),
+        frac = 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(7L, 8L, 11L, 12L, 13L))
+    // frac = 1 keeps every row that HAS a group and a score
+    val all = Corpus.topFractionByQuantile(df, "grp", col("score"),
+        frac = 1.0)
+      .select("id").as[Long].collect().toSet
+    assert(all == ((1L to 8L) ++ Seq(11L, 12L, 13L, 14L)).toSet)
+    // precision sharpens the threshold: at precision 0 group A's
+    // scores all floor to bucket 0 — one bucket, everything survives
+    val coarse = Corpus.topFractionByQuantile(df, "grp", col("score"),
+        frac = 0.25, precision = 0)
+      .filter(col("grp") === "A").select("id").as[Long].collect().toSet
+    assert(coarse == (1L to 8L).toSet)
+    // validation
+    assert(intercept[IllegalArgumentException] {
+      Corpus.topFractionByQuantile(df, "grp", col("score"), frac = 0.0)
+    }.getMessage.contains("frac"))
+    assert(intercept[IllegalArgumentException] {
+      Corpus.topFractionByQuantile(df, "grp", col("score"), frac = 0.5,
+        precision = 10)
+    }.getMessage.contains("precision"))
+  }
 }
