@@ -75,7 +75,8 @@ object Bench {
     "x134_ivf_index_clone", "x135_bm25_index_stats",
     "x136_bm25_search_after", "x137_ivfpq_index_delete",
     "x140_csv_roundtrip", "x141_orc_roundtrip",
-    "x142_retention_delete", "x145_ivfpq_filtered_topk")
+    "x142_retention_delete", "x145_ivfpq_filtered_topk",
+    "x149_ivfpq_time_travel")
 
   private def queryClass(name: String): String =
     if (StreamQueries.contains(name)) "stream"
