@@ -2411,21 +2411,22 @@ object SparkEntry {
         .limit(25)
     },
 
-    // k-core decomposition (x148): peel the supplier↔part graph to its
-    // 20-core — the graph-cleanup op that drops weakly attached nodes
-    // (a node survives only if ≥20 of its NEIGHBORS survive too, not
-    // just if its raw degree is ≥20). At sf0.01 the peel removes the
-    // thin parts and keeps a 20-connected core; the unique-core
-    // property makes bulk rounds and the oracle's unrolled rounds
-    // agree exactly. GraphSpec covers the multi-round cascade and the
-    // exhausted-budget error on hand fixtures.
+    // k-core decomposition (x148): peel the order↔part graph to its
+    // 4-core — the graph-cleanup op that drops weakly attached nodes
+    // (a node survives only if ≥4 of its NEIGHBORS survive too, not
+    // just if its raw degree is ≥4). Small orders peel first, parts
+    // that leaned on them follow — a 2-round cascade at every SF
+    // (non-empty core at sf0.001, where the denser supplier graph's
+    // core vanishes). The unique-core property makes bulk rounds and
+    // the oracle's unrolled rounds agree exactly; GraphSpec covers the
+    // deep-cascade and exhausted-budget paths on hand fixtures.
     "x148_kcore" -> { (s, dir) =>
       val li = T(s, dir, "lineitem")
-      val edges = li.select((col("l_suppkey") * 2).as("src"),
+      val edges = li.select((col("l_orderkey") * 2).as("src"),
         (col("l_partkey") * 2 + 1).as("dst"))
-      graft.ext.Graph.kCore(edges, "src", "dst", k = 20)
+      graft.ext.Graph.kCore(edges, "src", "dst", k = 4)
         .select(
-          when(col("id") % 2 === 0, lit("supplier"))
+          when(col("id") % 2 === 0, lit("order"))
             .otherwise(lit("part")).as("kind"),
           expr("id div 2").as("key"), col("core_deg"))
         .orderBy(col("kind").asc, col("key").asc)
@@ -2443,6 +2444,20 @@ object SparkEntry {
           col("quality_score"), frac = 0.25)
         .select(col("lang"), col("doc_id"), col("quality_score"))
         .orderBy(col("lang").asc, col("doc_id").asc)
+    },
+
+    // pseudo-relevance-feedback query expansion (x151): serve
+    // ("hash","join"), mine the 3 terms most characteristic of the
+    // top-5 results ((docs-containing, Σtf, term) order — original
+    // terms and the '' token never selected), re-serve the widened
+    // set. One manifest resolution drives all three reads; the
+    // expansion scan is doc_id-IN-pushed to the f feedback ids.
+    "x151_bm25_query_expansion" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val idx = scratchDir("bm25_qe151")
+      graft.ext.TextAnalysis.saveBm25Index(docs, "doc_id", "text", idx)
+      graft.ext.TextAnalysis.queryBm25IndexExpanded(s, idx,
+        Seq("hash", "join"), k = 10, feedbackDocs = 5, expandTerms = 3)
     },
 
     "x136_bm25_search_after" -> { (s, dir) =>
@@ -4158,7 +4173,9 @@ object SparkEntry {
     // only (x130's filtered retrieval) — df_t, N, and avgdl stay the
     // full `src` corpus's, matching the engine's Lucene filter
     // semantics (the tfd window and st aggregate sit ABOVE the filter)
-    def bm25Sql(src: String, scWhere: String = ""): String =
+    def bm25Sql(src: String, scWhere: String = "",
+        termsPred: String = "term IN ('hash', 'join', 'merge')",
+        k: Int = 10): String =
       s"""WITH t AS (SELECT doc_id,
                 CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
                   AS BIGINT) AS dl,
@@ -4167,7 +4184,7 @@ object SparkEntry {
               FROM $src),
            tf AS (SELECT doc_id, dl, term,
                     CAST(count(*) AS BIGINT) AS tf
-                  FROM t WHERE term IN ('hash', 'join', 'merge')
+                  FROM t WHERE $termsPred
                   GROUP BY 1, 2, 3),
            tfd AS (SELECT *, CAST(count(*) OVER (PARTITION BY term)
                      AS BIGINT) AS df_t FROM tf),
@@ -4188,7 +4205,7 @@ object SparkEntry {
                   round(CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE), 6)
                     AS score
            FROM sc GROUP BY 1
-           ORDER BY score DESC, doc_id ASC LIMIT 10"""
+           ORDER BY score DESC, doc_id ASC LIMIT $k"""
     val x80Sql: String = bm25Sql("documents")
     // x85 hybrid retrieval: the BM25 lexical list (x80, re-ranked into
     // retriever-list form) fused with the exact-cosine (x05) and
@@ -5252,13 +5269,13 @@ object SparkEntry {
       // x148: the same canonical both-direction adjacency the engine
       // peels, with the rounds unrolled (see kcoreRounds)
       "x148_kcore" ->
-        s"""WITH fwd AS (SELECT DISTINCT l_suppkey*2 AS u,
+        s"""WITH fwd AS (SELECT DISTINCT l_orderkey*2 AS u,
                            l_partkey*2+1 AS v FROM lineitem),
             e0 AS (SELECT u AS src, v AS dst FROM fwd
                    UNION ALL
                    SELECT v AS src, u AS dst FROM fwd),
-            ${kcoreRounds(20, 4)}
-            SELECT CASE WHEN src % 2 = 0 THEN 'supplier' ELSE 'part' END
+            ${kcoreRounds(4, 4)}
+            SELECT CASE WHEN src % 2 = 0 THEN 'order' ELSE 'part' END
                      AS kind,
                    src // 2 AS key,
                    CAST(count(*) AS BIGINT) AS core_deg
@@ -6076,6 +6093,34 @@ object SparkEntry {
 
       // x136: the second page IS ranks 11..20 of the full ranking —
       // same scoring pipeline as x80, rank-windowed instead of LIMIT
+      // x151: pass 1 (original terms, k=5 — the bm25Sql builder as a
+      // subquery), expansion mining over the tokenized feedback docs
+      // ((docs-containing, Σtf, term) order; originals and '' barred),
+      // pass 2 with the widened term set via the SAME builder's
+      // parameterized term predicate — a formula fix flows to both
+      // passes and every other BM25 oracle at once
+      "x151_bm25_query_expansion" ->
+        s"""WITH toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)),
+                  '\\s+')) AS term
+              FROM documents),
+            p1 AS (SELECT doc_id FROM (${bm25Sql("documents",
+                termsPred = "term IN ('hash', 'join')", k = 5)})),
+            fbtf AS (SELECT toks.term, toks.doc_id,
+                       CAST(count(*) AS BIGINT) AS tf
+                     FROM toks JOIN p1 ON toks.doc_id = p1.doc_id
+                     WHERE toks.term NOT IN ('hash', 'join')
+                       AND toks.term <> ''
+                     GROUP BY 1, 2),
+            exp AS (SELECT term FROM (
+                      SELECT term, count(*) AS nfb, sum(tf) AS ttf
+                      FROM fbtf GROUP BY 1)
+                    ORDER BY nfb DESC, ttf DESC, term ASC LIMIT 3),
+            qt AS (SELECT 'hash' AS term UNION ALL SELECT 'join'
+                   UNION ALL SELECT term FROM exp)
+            SELECT * FROM (${bm25Sql("documents",
+              termsPred = "term IN (SELECT term FROM qt)", k = 10)})""",
+
       "x136_bm25_search_after" ->
         s"""WITH t AS (SELECT doc_id,
                 CAST(len(regexp_split_to_array(trim(lower(text)),

@@ -946,10 +946,81 @@ object TextAnalysis {
     queryBm25IndexImpl(spark, path, queryTerms, k, k1, b, asOfVersion,
       None, Some((afterScore, afterDocId)))
 
+  /** Pseudo-relevance-feedback query EXPANSION (the RM3/Rocchio
+    * positive-feedback shape, Lavrenko & Croft 2001): serve the
+    * original terms, assume the top `feedbackDocs` results are
+    * relevant, mine the `expandTerms` terms most characteristic of
+    * them, and re-serve with the widened term set — the vocabulary-
+    * mismatch fix ("join" retrieves docs that say "merge" even when
+    * the query never did). Selection is deterministic: terms rank by
+    * (feedback docs containing DESC, summed tf DESC, term ASC);
+    * original terms and the empty-doc '' token are never selected.
+    * `expandTerms = 0` reproduces [[queryBm25Index]] exactly
+    * (Bm25IndexSpec pins it). Scoring semantics are unchanged —
+    * expansion widens the candidate/scoring term set, idf and length
+    * normalization stay the corpus's.
+    *
+    * Plan shape: ONE manifest resolution drives all three reads (a
+    * concurrent commit must never pair pass-1's ranking with
+    * pass-2's postings). The expansion scan reads postings with a
+    * driver-bounded `doc_id IN (f ids)` filter PUSHED to the segment
+    * scans — f is serving-request metadata (the queryBm25IndexBatch
+    * term-union class), never corpus-sized; the mined term list
+    * collected back is ≤ `expandTerms` rows. Both passes are the
+    * standard term-pruned serve. */
+  def queryBm25IndexExpanded(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryTerms: Seq[String], k: Int = 10,
+      feedbackDocs: Int = 5, expandTerms: Int = 3, k1: Double = 1.2,
+      b: Double = 0.75, asOfVersion: Option[Long] = None): DataFrame = {
+    require(feedbackDocs >= 1,
+      s"feedbackDocs must be >= 1 (got $feedbackDocs)")
+    require(expandTerms >= 0,
+      s"expandTerms must be >= 0 (got $expandTerms)")
+    val snap = bm25Snapshot(spark, path, asOfVersion)
+    val qset = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT))
+    if (expandTerms == 0)
+      return queryBm25IndexFromSnap(spark, path, snap, qset, k, k1, b,
+        None)
+    val fbIds = queryBm25IndexFromSnap(spark, path, snap, qset,
+        feedbackDocs, k1, b, None)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val mined =
+      if (fbIds.isEmpty) Array.empty[String]
+      else livePostings(spark, path, snap)
+        .filter(col("doc_id").isin(fbIds.toIndexedSeq: _*))
+        .filter(!col("term").isin(qset: _*) && col("term") =!= "")
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("_nfb"),
+          sum(col("tf")).as("_ttf"))
+        .orderBy(col("_nfb").desc, col("_ttf").desc, col("term").asc)
+        .limit(expandTerms)
+        .select(col("term")).collect().map(_.getString(0))
+    queryBm25IndexFromSnap(spark, path, snap, qset ++ mined, k, k1, b,
+      None)
+  }
+
   private def queryBm25IndexImpl(
       spark: org.apache.spark.sql.SparkSession,
       path: String, queryTerms: Seq[String], k: Int,
       k1: Double, b: Double, asOfVersion: Option[Long],
+      allowed: Option[DataFrame],
+      after: Option[(Double, Long)] = None): DataFrame =
+    // time travel: any retained manifest version serves in full —
+    // maintenance writes new segments and deletes nothing until vacuum
+    queryBm25IndexFromSnap(spark, path,
+      bm25Snapshot(spark, path, asOfVersion), queryTerms, k, k1, b,
+      allowed, after)
+
+  /** Snapshot-taking serve core: multi-read ops (query expansion's
+    * first pass + expansion scan + second pass) resolve ONE manifest
+    * at the top and drive every read from it — a commit landing
+    * between reads must never pair one snapshot's ranking with
+    * another's postings. */
+  private def queryBm25IndexFromSnap(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, snap: graft.sinks.IndexSnapshot,
+      queryTerms: Seq[String], k: Int,
+      k1: Double, b: Double,
       allowed: Option[DataFrame],
       after: Option[(Double, Long)] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
@@ -961,9 +1032,6 @@ object TextAnalysis {
     // insensitive lower(); a default-locale toLowerCase would break
     // the match under e.g. a Turkish JVM locale (I -> dotless ı)
     val qset = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT))
-    // time travel: any retained manifest version serves in full —
-    // maintenance writes new segments and deletes nothing until vacuum
-    val snap = bm25Snapshot(spark, path, asOfVersion)
     // tombstone-aware: deleted docs never surface, and because every
     // delete also landed NEGATIVE (termstats, stats) correction
     // segments, the summed statistics below are the live corpus's —

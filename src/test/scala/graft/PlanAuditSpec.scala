@@ -86,6 +86,9 @@ class PlanAuditSpec extends SparkSpec {
       // x136 is the queryBm25Index serve plan twice (page 1 + cursor
       // page), same sanctioned 1-row stats cross join
       "x136_bm25_search_after",
+      // x151's final read is the queryBm25Index serve plan with the
+      // widened term set — same sanctioned 1-row stats cross join
+      "x151_bm25_query_expansion",
       // x138/x146's exact reference leg IS bruteForceTopK — the
       // sanctioned scan×|Q| shape; the eval joins themselves are
       // keyed joins over two |Q|·k-row lists

@@ -665,4 +665,43 @@ class Bm25IndexSpec extends SparkSpec {
     assert(rows(TextAnalysis.queryBm25Index(spark, idx, terms, 10)) ==
       rows(TextAnalysis.queryBm25Index(spark, filtered, terms, 10)))
   }
+
+  test("query expansion (x151): mined terms retrieve docs the " +
+      "original query cannot; expandTerms=0 reproduces the plain " +
+      "serve; originals and '' are never mined") {
+    val idx = scratch()
+    val corpus = Seq(
+      (1L, "hash join hash"),
+      (2L, "hash merge probe"),
+      (3L, "merge probe scan"), // no query term — expansion-only reach
+      (4L, "entirely unrelated words"),
+      (5L, " ")                 // whitespace-only: posts the '' token
+    ).toDF("doc_id", "text")
+    TextAnalysis.saveBm25Index(corpus, "doc_id", "text", idx)
+    // pass 1 on "hash" ranks docs 1,2; mining (f=2, e=2) sees
+    // join/merge/probe all at (nfb=1, ttf=1) — term ASC selects
+    // join, merge; '' and "hash" are barred
+    val expanded = TextAnalysis.queryBm25IndexExpanded(spark, idx,
+      Seq("hash"), k = 10, feedbackDocs = 2, expandTerms = 2)
+    val gotIds = expanded.select("doc_id").as[Long].collect().toSet
+    assert(gotIds.contains(3L),
+      "expansion must retrieve the merge-only doc the original " +
+        "query cannot reach")
+    val plain = rows(TextAnalysis.queryBm25Index(spark, idx,
+      Seq("hash"), 10))
+    assert(!plain.exists(_._1 == 3L))
+    // e=0 is EXACTLY the plain serve
+    assert(rows(TextAnalysis.queryBm25IndexExpanded(spark, idx,
+      Seq("hash"), k = 10, feedbackDocs = 2, expandTerms = 0)) == plain)
+    // doc 5 ('' token only) must never surface via a mined '' term
+    assert(!gotIds.contains(5L))
+    // a query matching nothing expands to nothing and returns empty
+    assert(TextAnalysis.queryBm25IndexExpanded(spark, idx,
+      Seq("zzzmissing"), k = 10).count() == 0L)
+    // validation
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.queryBm25IndexExpanded(spark, idx, Seq("hash"),
+        feedbackDocs = 0)
+    }.getMessage.contains("feedbackDocs"))
+  }
 }
