@@ -2432,6 +2432,20 @@ object SparkEntry {
         .orderBy(col("kind").asc, col("key").asc)
     },
 
+    // split-leakage audit (x152): the contingency of near-dup pairs by
+    // the splits their members landed in — off-diagonal rows ARE the
+    // evaluation leak. x16's content-hash split is audited against
+    // x02's Jaccard pairs: the naive split leaves cross-split
+    // near-dups (x81's cluster-safe split exists to zero them; this
+    // op is the proof-as-a-query).
+    "x152_split_leakage_audit" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      graft.ext.Corpus.splitLeakage(
+          graft.ext.Corpus.assignSplit(docs, "text"), "doc_id", "split",
+          docNearDupPairs(docs))
+        .orderBy(col("split_a").asc, col("split_b").asc)
+    },
+
     // per-group quantile curation (x150): keep the top 25% of docs per
     // language by quality score, thresholded via the histogram-quantile
     // op (integer floor-buckets at precision 2 — never a per-group
@@ -5240,6 +5254,25 @@ object SparkEntry {
                    id // 2 AS key, rank
             FROM r4
             ORDER BY rank DESC, kind ASC, key ASC LIMIT 25""",
+
+      // x152: x02's Jaccard pair machinery ⋈ x16's split case — the
+      // per-(split,split) pair contingency, endpoints normalized
+      // lexicographically so each undirected pair counts once
+      "x152_split_leakage_audit" ->
+        s"""WITH $pairClosureBase,
+            pr AS (SELECT doc_a, doc_b
+                   FROM p JOIN sz x ON p.doc_a = x.doc_id
+                          JOIN sz y ON p.doc_b = y.doc_id
+                   WHERE round(shared*1.0/(x.z + y.z - shared), 6)
+                     >= 0.5),
+            sp AS (SELECT doc_id, $splitCase AS split FROM documents)
+            SELECT least(a.split, b.split) AS split_a,
+                   greatest(a.split, b.split) AS split_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pr JOIN sp a ON pr.doc_a = a.doc_id
+                    JOIN sp b ON pr.doc_b = b.doc_id
+            GROUP BY 1, 2
+            ORDER BY split_a ASC, split_b ASC""",
 
       // x150: the shared quality formula + the histogram-quantile
       // threshold — floor-buckets at 100×, from-the-top cumulative

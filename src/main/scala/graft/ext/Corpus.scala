@@ -618,6 +618,44 @@ object Corpus {
         array_join(transform(kept, x => x("t")), " ").as("clean_text"))
   }
 
+  /** Split-leakage audit: the contingency table of near-dup pairs by
+    * the splits their members landed in — the check that a train/test
+    * assignment did not place near-copies of the same document on both
+    * sides (memorized-leak evaluation inflation). Off-diagonal rows
+    * ARE the leak; [[assignSplit]] alone leaves plenty
+    * ([[clusterSafeSplit]] exists to zero them — auditing both is how
+    * you prove it, and this op is that proof as a query).
+    *
+    * Detector-agnostic: `pairs` is any (pairACol, pairBCol) near-dup
+    * pair frame — n-gram Jaccard, MinHash, SimHash, embedding cosine —
+    * so the audit composes with every dedup family in the library.
+    * Pair endpoints absent from `df` are ignored (they have no split
+    * to leak into). Output: (split_a, split_b, n_pairs) with split_a ≤
+    * split_b lexicographically — each undirected pair counted once.
+    *
+    * Scale shape: the corpus crosses as a NARROW (id, split)
+    * projection; two keyed hash joins land the pair endpoints'
+    * splits; the aggregate output is |splits|² rows. The pair frame —
+    * not the corpus — bounds the work, and LSH-family detectors
+    * already bound that. */
+  def splitLeakage(df: DataFrame, idCol: String, splitCol: String,
+      pairs: DataFrame, pairACol: String = "doc_a",
+      pairBCol: String = "doc_b"): DataFrame = {
+    val s = df.select(col(idCol).cast(LongType).as("_lk_id"),
+      col(splitCol).as("_lk_split"))
+    pairs
+      .select(col(pairACol).cast(LongType).as("_a"),
+        col(pairBCol).cast(LongType).as("_b"))
+      .join(s.select(col("_lk_id").as("_a"),
+        col("_lk_split").as("_sa")), Seq("_a"))
+      .join(s.select(col("_lk_id").as("_b"),
+        col("_lk_split").as("_sb")), Seq("_b"))
+      .select(least(col("_sa"), col("_sb")).as("split_a"),
+        greatest(col("_sa"), col("_sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Per-group top-fraction curation filter via HISTOGRAM quantiles —
     * "keep the best `frac` of documents per language/source by quality
     * score", the relative-threshold form of [[TextAnalysis.qualityScore]]

@@ -465,6 +465,23 @@ class CorpusSpec extends SparkSpec {
     assert(tw == Map(1L -> "", 2L -> ""))
   }
 
+  test("splitLeakage (x152): cross-split near-dup pairs land " +
+      "off-diagonal, same-split on it; endpoints normalized; " +
+      "pairs over unknown ids ignored") {
+    val docs = Seq((1L, "train"), (2L, "train"), (3L, "test"),
+      (4L, "train"), (5L, "val")).toDF("doc_id", "split")
+    val pairs = Seq((1L, 2L), // same split
+      (3L, 4L),               // cross, arrives (test, train) — already ordered
+      (4L, 5L),               // cross, normalizes to (train, val)
+      (5L, 3L),               // cross, normalizes to (test, val)
+      (1L, 99L)               // endpoint not in df: ignored
+    ).toDF("doc_a", "doc_b")
+    val got = Corpus.splitLeakage(docs, "doc_id", "split", pairs)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("train", "train", 1L), ("test", "train", 1L),
+      ("train", "val", 1L), ("test", "val", 1L)))
+  }
+
   test("topFractionByQuantile (x150): per-group histogram threshold " +
       "keeps >= ceil(frac*n) with whole-bucket ties; nulls excluded; " +
       "frac=1 keeps every scored row") {
