@@ -1136,6 +1136,29 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // MinHash index compaction (x153): the full ledger lifecycle —
+    // base + append + delete folded into one physical segment — must
+    // leave ADMISSION DECISIONS untouched (tombstoned rows removed
+    // physically, live rows preserved). Oracle: admission against the
+    // live sub-400 corpus with the deleted ids barred — x119's and
+    // x125's oracles composed.
+    "x153_minhash_index_compact" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val idx = scratchDir("mh_compact153")
+      graft.ext.DedupOps.saveMinhashIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", idx)
+      graft.ext.DedupOps.appendToMinhashIndex(s, idx,
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 400),
+        "doc_id", "text", "b1")
+      graft.ext.DedupOps.deleteFromMinhashIndex(s, idx,
+        docs.filter(col("doc_id") < 400 && col("doc_id") % 4 === 2)
+          .select(col("doc_id")), "doc_id", "d1")
+      graft.ext.DedupOps.compactMinhashIndex(s, idx)
+      graft.ext.DedupOps.minhashAdmit(s, idx,
+        docs.filter(col("doc_id") >= 400), "doc_id", "text")
+        .select(col("doc_id"))
+    },
+
     "x15_incremental_dedup" -> { (s, dir) =>
       val docs = T(s, dir, "documents")
       val corpus = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
@@ -2714,6 +2737,24 @@ object SparkEntry {
       graft.ext.Similarity.queryIvfIndex(s, idx,
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         k = 5, nprobe = 2, asOfVersion = Some(v))
+    },
+
+    // IVFPQ compaction (x154): subset-trained base + frozen-generation
+    // append folded into one codes segment — the ADC serve must equal
+    // the subset-trained payloads over everything (x116's oracle, the
+    // append-convergence contract surviving physical re-layout).
+    "x154_ivfpq_index_compact" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivfpq_compact154")
+      graft.ext.Similarity.saveIvfPqIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", idx,
+        kCentroids = 8, coarseIters = 2, m = 4, ks = 8, pqIters = 2)
+      graft.ext.Similarity.appendToIvfPqIndex(s, idx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding", "b1")
+      graft.ext.Similarity.compactIvfPqIndex(s, idx)
+      graft.ext.Similarity.queryIvfPqIndex(s, idx,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 2)
     },
 
     // IVFPQ time travel (x149): x112 on the CODES layout — the as-of
@@ -4852,6 +4893,10 @@ object SparkEntry {
         minhashAdmitOracle(250, "AND a.doc_id % 4 <> 2"),
       // after the append the corpus is everything below 400
       "x119_minhash_index_append" -> minhashAdmitOracle(400),
+      // x153: live sub-400 corpus (x119) minus the deleted ids (x125)
+      // — compaction must not move a single admission decision
+      "x153_minhash_index_compact" ->
+        minhashAdmitOracle(400, "AND a.doc_id % 4 <> 2"),
 
       "x04_simhash_pairs" -> simhashOracle,
 
@@ -5913,6 +5958,9 @@ object SparkEntry {
       // streamed frozen-generation appends == subset-trained payloads
       // served over the full corpus
       "x116_stream_ivfpq_maintain" -> ivfPqSubsetOracle,
+      // x154: the same subset-trained-payloads-over-everything answer,
+      // served from the compacted single-segment codes layout
+      "x154_ivfpq_index_compact" -> ivfPqSubsetOracle,
       // retrain on the live corpus == full-corpus per-call training
       "x117_ivfpq_retrain_serve" -> ivfPqOracle,
       "x87_ivf_sampled_train" -> ivfSampledOracle,
