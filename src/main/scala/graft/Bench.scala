@@ -77,7 +77,8 @@ object Bench {
     "x140_csv_roundtrip", "x141_orc_roundtrip",
     "x142_retention_delete", "x145_ivfpq_filtered_topk",
     "x149_ivfpq_time_travel", "x151_bm25_query_expansion",
-    "x153_minhash_index_compact", "x154_ivfpq_index_compact")
+    "x153_minhash_index_compact", "x154_ivfpq_index_compact",
+    "x155_minhash_time_travel")
 
   private def queryClass(name: String): String =
     if (StreamQueries.contains(name)) "stream"

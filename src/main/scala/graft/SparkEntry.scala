@@ -1159,6 +1159,28 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // MinHash ledger TIME TRAVEL (x155): record the version before an
+    // append, then replay an admission decision against that frozen
+    // snapshot — "what did we admit against, and why", the audit
+    // handle the other three index families already carry (x110 BM25,
+    // x112 IVF, x149 IVFPQ). The >=400 probe batch is judged by the
+    // sub-250 base corpus ONLY: the b1 append (250–399) is committed
+    // and live, but invisible at the pinned version.
+    "x155_minhash_time_travel" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val idx = scratchDir("mh_tt155")
+      graft.ext.DedupOps.saveMinhashIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", idx)
+      val v = graft.ext.DedupOps.minhashIndexVersion(s, idx)
+      graft.ext.DedupOps.appendToMinhashIndex(s, idx,
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 400),
+        "doc_id", "text", "b1")
+      graft.ext.DedupOps.minhashAdmit(s, idx,
+        docs.filter(col("doc_id") >= 400), "doc_id", "text",
+        asOfVersion = Some(v))
+        .select(col("doc_id"))
+    },
+
     "x15_incremental_dedup" -> { (s, dir) =>
       val docs = T(s, dir, "documents")
       val corpus = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
@@ -2453,6 +2475,74 @@ object SparkEntry {
             .otherwise(lit("part")).as("kind"),
           expr("id div 2").as("key"), col("core_deg"))
         .orderBy(col("kind").asc, col("key").asc)
+    },
+
+    // community detection by deterministic label propagation (x156):
+    // 3 synchronous min-label-tie-break rounds on x111's sparse
+    // stride-{1,2,3} circulant — every label is a pure function of the
+    // edge list (fixed rounds, total tie-break), so the oracle unrolls
+    // the identical vote-argmax rounds. GraphSpec shows the op's real
+    // payoff (two bridged cliques → two communities) on hand fixtures.
+    "x156_label_propagation" -> { (s, dir) =>
+      val sup = T(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("k"))
+      val n = sup.agg(count(lit(1))).head().getLong(0)
+      val edges = sup
+        .select(col("k"), explode(array(lit(1L), lit(2L), lit(3L)))
+          .as("stride"))
+        .select(col("k").as("src"),
+          (pmod(col("k") - 1 + col("stride"), lit(n)) + 1).as("dst"))
+      graft.ext.Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+        .select(col("id").as("suppkey"), col("lbl").as("community"))
+        .orderBy(col("suppkey").asc)
+    },
+
+    // per-document n-gram novelty (x157): fraction of each doc's
+    // distinct 5-gram shingles found in NO other document — the
+    // memorization-risk / boilerplate-saturation score (x18's
+    // corpus-wide boilerplate ranking resolved to a per-doc signal a
+    // curation filter thresholds on). Inverted-index shape: text never
+    // shuffles, hot shingles fan out nothing.
+    "x157_shingle_novelty" -> ((s, dir) =>
+      graft.ext.TextAnalysis.shingleNovelty(
+        T(s, dir, "documents"), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id").asc)),
+
+    // DSIR importance weights (x158): score the whole pool by hashed-
+    // unigram log-likelihood ratio against the English subset — the
+    // published data-selection recipe (Xie et al. 2023), exact-integer
+    // micro-nat scores so the ranking is reproducible across engines
+    // and partitionings. Selection = ORDER BY weight (the caller's
+    // top-k / resample choice).
+    "x158_dsir_weights" -> ((s, dir) =>
+      graft.ext.Corpus.dsirWeights(T(s, dir, "documents"), "doc_id",
+        "text", isTarget = col("lang") === "en", buckets = 256)
+        .orderBy(col("doc_id").asc)),
+
+    // best-matching passage (x159): the snippet/highlight stage after
+    // retrieval — per doc, the 10-token window with the most hits for
+    // x80's query terms, ties to the earliest span; exact integer
+    // counts, a per-doc sliding window (hash-partitioned by doc_id,
+    // never single-partition).
+    "x159_best_passage" -> ((s, dir) =>
+      graft.ext.TextAnalysis.bestPassage(T(s, dir, "documents"),
+        "doc_id", "text", Seq("hash", "join", "merge"), window = 10)
+        .orderBy(col("doc_id").asc)),
+
+    // bipartite co-clustering (x160): semi-synchronous LPA on the
+    // doc↔3-gram-shingle graph — docs sharing MANY shingles converge
+    // to one label (vote-weighted, where x31's components merge on any
+    // single shared shingle). Two rounds = 2 left-to-left hops.
+    "x160_bipartite_coclusters" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      graft.functions.TextHashExprs.register(s)
+      val edges = docs.select(col("doc_id"),
+        explode(graft.functions.TextHashExprs
+          .shingleHashes(col("text"), 3)).as("sh"))
+      graft.ext.Graph.labelPropagationBipartite(edges, "doc_id", "sh",
+          rounds = 2)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+        .orderBy(col("doc_id").asc)
     },
 
     // split-leakage audit (x152): the contingency of near-dup pairs by
@@ -4735,25 +4825,31 @@ object SparkEntry {
       (sigCtes, pairs)
     }
     // x118/x119 incremental near-dup admission: incoming (doc_id >=
-    // cut) is REJECTED iff a banded collision with the indexed corpus
-    // (doc_id < cut) verifies at est >= 0.5; short docs carry no sig
-    // and admit unconditionally (they are absent from the sig CTEs)
+    // probeCut, default = cut) is REJECTED iff a banded collision with
+    // the indexed corpus (doc_id < cut) verifies at est >= 0.5; short
+    // docs carry no sig and admit unconditionally (they are absent
+    // from the sig CTEs)
     // `corpusExtra`: extra predicate on the INDEXED side (x125 bars
-    // tombstoned docs from blocking admission)
-    def minhashAdmitOracle(cut: Int, corpusExtra: String = ""): String =
+    // tombstoned docs from blocking admission); `probeCut` decouples
+    // the probe batch from the corpus bound (x155's as-of replay
+    // admits the >=400 batch against the frozen <250 snapshot)
+    def minhashAdmitOracle(cut: Int, corpusExtra: String = "",
+        probeCut: Int = -1): String = {
+      val pc = if (probeCut < 0) cut else probeCut
       s"""WITH $minhashSigCtes,
           rej AS (SELECT DISTINCT b.doc_id
                   FROM banded a JOIN banded b
                     ON a.b = b.b AND a.sl = b.sl
                    AND a.doc_id < $cut $corpusExtra
-                   AND b.doc_id >= $cut
+                   AND b.doc_id >= $pc
                   JOIN sig sa ON sa.doc_id = a.doc_id
                   JOIN sig sb ON sb.doc_id = b.doc_id
                   WHERE round(len(list_filter(list_zip(sa.sig, sb.sig),
                           p -> p[1] = p[2])) / 64.0, 6) >= 0.5)
           SELECT d.doc_id FROM documents d
-          WHERE d.doc_id >= $cut
+          WHERE d.doc_id >= $pc
             AND d.doc_id NOT IN (SELECT doc_id FROM rej)"""
+    }
     // rolling-hash fingerprint (must mirror TextAnalysis.fingerprint)
     val fp =
       """list_reduce(
@@ -4861,6 +4957,43 @@ object SparkEntry {
                  JOIN a$i x ON t.src = x.src
                  JOIN a$i y ON t.dst = y.src)"""
       }.mkString(",\n         ")
+    // x160's unrolled SEMI-synchronous bipartite rounds over `ed`
+    // (l, r): right side adopts the left argmax, then left adopts the
+    // just-updated right — same (cnt DESC, lbl ASC) argmax as x156.
+    // Right ids stay UBIGINT (raw shingle hashes): they are only ever
+    // JOIN keys, and unsigned-vs-signed encoding is a bijection;
+    // every ordered/compared label is a left (doc) id.
+    def lpaBipRounds(rounds: Int): String =
+      (1 to rounds).map { i =>
+        s"""rv$i AS (SELECT ed.r AS id, l.lbl, count(*) AS cnt
+                 FROM ed JOIN d${i - 1} l ON ed.l = l.id GROUP BY 1, 2),
+         rs$i AS (SELECT id, lbl FROM (
+                   SELECT id, lbl, row_number() OVER (
+                     PARTITION BY id
+                     ORDER BY cnt DESC, lbl ASC) AS rn
+                   FROM rv$i) WHERE rn = 1),
+         lv$i AS (SELECT ed.l AS id, r.lbl, count(*) AS cnt
+                 FROM ed JOIN rs$i r ON ed.r = r.id GROUP BY 1, 2),
+         d$i AS (SELECT id, lbl FROM (
+                   SELECT id, lbl, row_number() OVER (
+                     PARTITION BY id
+                     ORDER BY cnt DESC, lbl ASC) AS rn
+                   FROM lv$i) WHERE rn = 1)"""
+      }.mkString(",\n         ")
+    // x156's unrolled synchronous LPA rounds over the both-direction
+    // `adj`: vote = neighbor-label count, argmax with the SMALLEST
+    // label on ties — the engine's max(struct(cnt, −lbl)) exactly
+    def lpaRounds(rounds: Int): String =
+      (1 to rounds).map { i =>
+        s"""v$i AS (SELECT a.src AS id, l.lbl, count(*) AS cnt
+                 FROM adj a JOIN l${i - 1} l ON a.dst = l.id
+                 GROUP BY 1, 2),
+         l$i AS (SELECT id, lbl FROM (
+                   SELECT id, lbl, row_number() OVER (
+                     PARTITION BY id
+                     ORDER BY cnt DESC, lbl ASC) AS rn
+                   FROM v$i) WHERE rn = 1)"""
+      }.mkString(",\n         ")
 
     Map(
       "x01_dedup_exact" ->
@@ -4897,6 +5030,11 @@ object SparkEntry {
       // — compaction must not move a single admission decision
       "x153_minhash_index_compact" ->
         minhashAdmitOracle(400, "AND a.doc_id % 4 <> 2"),
+      // x155: as-of replay — the >=400 probe judged by the sub-250
+      // BASE corpus only (the committed b1 append is invisible at the
+      // pinned pre-append version)
+      "x155_minhash_time_travel" ->
+        minhashAdmitOracle(250, probeCut = 400),
 
       "x04_simhash_pairs" -> simhashOracle,
 
@@ -5458,6 +5596,120 @@ object SparkEntry {
                    FROM und e1 JOIN und e2 ON e2.u = e1.v
                         JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
                     AS n_triangles""",
+
+      // x158: the x03 token-hash machinery at window size 1 — bucket =
+      // low 8 bits of the n=1 window hash (power-of-two mod, so the
+      // engine's signed pmod and this unsigned % agree bit-for-bit);
+      // per-bucket log-ratios floored to integer micro-nats, per-doc
+      // INTEGER sums (order-free)
+      "x158_dsir_weights" -> {
+        val c0 = u64(0x9e3779b97f4a7c15L * 0x100000001b3L)
+        val w1 = splitmix(s"xor(CAST($c0 AS UBIGINT), h)")
+        s"""WITH ${tokenHashCtes("")},
+            e AS (SELECT t2.doc_id, d.lang,
+                    CAST($w1 % 256 AS BIGINT) AS b
+                  FROM (SELECT doc_id, unnest(th) AS h FROM th) t2
+                  JOIN documents d ON d.doc_id = t2.doc_id),
+            hist AS (SELECT b, count(*) AS cr,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                         AS ct
+                     FROM e GROUP BY 1),
+            tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM hist),
+            lw AS (SELECT b,
+                     CAST(floor(ln(
+                       ((ct + 1) * (tr + 256))::DOUBLE /
+                       ((cr + 1) * (tt + 256))::DOUBLE) * 1000000.0)
+                       AS BIGINT) AS lw
+                   FROM hist, tot)
+            SELECT e.doc_id, CAST(sum(lw.lw) AS BIGINT) AS dsir_micros
+            FROM e JOIN lw ON e.b = lw.b
+            GROUP BY 1 ORDER BY doc_id ASC"""
+      },
+
+      // x159: dense token positions + a 10-row sliding integer sum,
+      // argmax (hits DESC, start ASC), slice the winning window
+      "x159_best_passage" ->
+        """WITH t AS (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+               FROM documents),
+           p AS (SELECT doc_id,
+                   unnest(range(len(toks))) AS pos,
+                   unnest(list_transform(range(len(toks)), i ->
+                     CASE WHEN toks[i+1] IN ('hash', 'join', 'merge')
+                          THEN 1 ELSE 0 END)) AS m
+                 FROM t),
+           w AS (SELECT doc_id, pos,
+                   sum(m) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS nm
+                 FROM p),
+           b AS (SELECT doc_id, pos, nm, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY nm DESC, pos ASC) AS rn
+                 FROM w)
+           SELECT b.doc_id, CAST(b.pos AS BIGINT) AS best_start,
+                  CAST(b.nm AS BIGINT) AS n_matched,
+                  array_to_string(t.toks[b.pos+1:b.pos+10], ' ')
+                    AS passage
+           FROM b JOIN t ON b.doc_id = t.doc_id
+           WHERE rn = 1 AND nm > 0
+           ORDER BY b.doc_id ASC""",
+
+      // x160: the x03 3-gram window-hash machinery builds the same
+      // doc↔shingle edge set the engine votes over (distinct per doc),
+      // then the semi-synchronous rounds unroll (see lpaBipRounds)
+      "x160_bipartite_coclusters" ->
+        s"""WITH $minhashSigCtes,
+            ed AS (SELECT DISTINCT doc_id AS l, s AS r
+                   FROM (SELECT doc_id, unnest(wh) AS s FROM w3)),
+            d0 AS (SELECT DISTINCT l AS id, l AS lbl FROM ed),
+            ${lpaBipRounds(2)}
+            SELECT id AS doc_id, lbl AS cluster FROM d2
+            ORDER BY doc_id ASC""",
+
+      // x157: x02's shingle CTEs + a document-frequency join — df by
+      // string equals the engine's df by hash modulo 64-bit collisions
+      // (the x02 concession); docs with < 5 tokens carry no shingles
+      // and no row
+      "x157_shingle_novelty" ->
+        """WITH t AS (SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM documents),
+           s AS (SELECT doc_id,
+                   list_distinct([array_to_string(toks[i+1:i+5], ' ')
+                                  for i in range(len(toks)-4)]) AS sh
+                 FROM t WHERE len(toks) >= 5),
+           e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+           dfq AS (SELECT s, count(*) AS df FROM e GROUP BY 1),
+           a AS (SELECT e.doc_id, count(*) AS n_sh,
+                   sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END)
+                     AS n_unique
+                 FROM e JOIN dfq ON e.s = dfq.s GROUP BY 1)
+           SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+                  CAST(n_unique AS BIGINT) AS n_unique,
+                  round(n_unique * 1.0 / n_sh, 6) AS novelty
+           FROM a ORDER BY doc_id ASC""",
+
+      // x156: x111's circulant canonicalized to the same both-direction
+      // adjacency the engine votes over, with the LPA rounds unrolled
+      // (see lpaRounds)
+      "x156_label_propagation" ->
+        s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n
+                       FROM supplier),
+            raw AS (SELECT CAST(s_suppkey AS BIGINT) AS src,
+                           ((CAST(s_suppkey AS BIGINT) - 1 + st.stride)
+                             % (SELECT n FROM n)) + 1 AS dst
+                    FROM supplier,
+                         (SELECT unnest([1, 2, 3]) AS stride) st),
+            und AS (SELECT DISTINCT least(src, dst) AS u,
+                           greatest(src, dst) AS v
+                    FROM raw WHERE src <> dst),
+            adj AS (SELECT u AS src, v AS dst FROM und
+                    UNION ALL
+                    SELECT v AS src, u AS dst FROM und),
+            l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM adj),
+            ${lpaRounds(3)}
+            SELECT id AS suppkey, lbl AS community FROM l3
+            ORDER BY suppkey ASC""",
 
       // x109: conservation invariants of the z-ordered layout
       // (rectangle tightness is spec-pinned, not hash-gated)

@@ -705,4 +705,71 @@ object Corpus {
       .filter(bucket >= col("_thr"))
       .drop("_thr")
   }
+
+  /** DSIR-style data selection weights (Xie, Santurkar, Ma & Liang
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document in a RAW pool by how much its
+    * hashed n-gram distribution looks like a TARGET subset's —
+    * `weight(d) = Σ_tokens ln(p̂_target(bucket) / p̂_raw(bucket))`, the
+    * log-likelihood ratio under two Laplace-smoothed hashed-feature
+    * bag-of-ngrams models (`p̂(b) = (count(b)+1) / (total+B)`). High
+    * weight = "reads like the target domain"; selection = keep the
+    * top-k (or resample proportionally — the caller's choice; the
+    * deterministic scoring IS the operator).
+    *
+    * Determinism at engine boundaries: each bucket's log-ratio is
+    * computed ONCE (B rows) as `floor(1e6 · ln((ct+1)(Tr+B) /
+    * ((cr+1)(Tt+B))))` — the ln argument is a single IEEE division of
+    * two exactly-representable integer products, and the per-document
+    * score is then an exact INTEGER sum of those micro-units, immune
+    * to summation order (the float formulation sums doubles in visit
+    * order — irreproducible across partitionings). `buckets` must be a
+    * power of two so the signed-vs-unsigned hash mod agrees across
+    * engines (low bits). Raw totals include the target rows (the
+    * target is a subset of the pool, the DSIR setting); a bucket never
+    * hit by the target still scores — smoothing keeps every ratio
+    * finite.
+    *
+    * Scale shape: one narrow projection (native
+    * [[graft.functions.TextHashExprs]] window hashes — positional,
+    * WITH multiplicity: n-gram counts are the model, unlike the
+    * dedup sketches' per-doc distinct), one partial+final count onto
+    * ≤ B buckets, a 2-long driver read for the totals (bounded), a
+    * BROADCAST of the B-row weight table back onto the token stream,
+    * and one per-doc sum. Text never shuffles; nothing data-sized
+    * reaches the driver. Output: (doc_id, dsir_micros) — micro-nat
+    * integer scores, one row per document. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256, n: Int = 1): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two >= 2 (got $buckets)")
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    graft.functions.TextHashExprs.register(df.sparkSession)
+    val ex = df.select(col(idCol).as("doc_id"),
+        coalesce(isTarget.cast(BooleanType), lit(false)).as("_tgt"),
+        graft.functions.TextHashExprs
+          .shingleWindowHashes(col(textCol), n).as("_wh"))
+      .select(col("doc_id"), col("_tgt"), explode(col("_wh")).as("_h"))
+      .select(col("doc_id"), col("_tgt"),
+        pmod(col("_h"), lit(buckets.toLong)).as("_b"))
+    val hist = ex.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_cr"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
+    // bounded driver read: two longs (the corpus/target token totals)
+    val tot = hist.agg(
+      coalesce(sum(col("_cr")), lit(0L)),
+      coalesce(sum(col("_ct")), lit(0L))).head()
+    val (tr, tt) = (tot.getLong(0), tot.getLong(1))
+    require(tt > 0L, "dsirWeights: the target subset has no tokens " +
+      "(isTarget matched nothing with text) — a log-ratio against an " +
+      "empty model is meaningless")
+    val lw = hist.select(col("_b"),
+      floor(log(
+        ((col("_ct") + 1L) * lit(tr + buckets)).cast(DoubleType) /
+          ((col("_cr") + 1L) * lit(tt + buckets)).cast(DoubleType))
+        * lit(1000000.0)).cast(LongType).as("_lw"))
+    ex.join(broadcast(lw), Seq("_b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_lw")).as("dsir_micros"))
+  }
 }

@@ -898,13 +898,28 @@ object DedupOps {
   }
 
   private def minhashSnapshot(spark: org.apache.spark.sql.SparkSession,
-      path: String): graft.sinks.IndexSnapshot = {
+      path: String, asOfVersion: Option[Long] = None)
+      : graft.sinks.IndexSnapshot = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
-    graft.sinks.IndexManifest.latest(fs, path).getOrElse(
-      throw new IllegalArgumentException(
-        s"no index manifest at $path (not a saveMinhashIndex directory)"))
+    asOfVersion match {
+      case Some(v) => graft.sinks.IndexManifest.at(fs, path, v)
+        .getOrElse(throw new IllegalArgumentException(
+          s"index version $v not found at $path (vacuumed past the " +
+            "retention window, or never committed)"))
+      case None => graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no index manifest at $path (not a saveMinhashIndex directory)"))
+    }
   }
+
+  /** The signature ledger's current manifest version — the handle
+    * [[minhashAdmit]]'s `asOfVersion` time travel pins to (same MVCC
+    * contract as [[graft.ext.Similarity.ivfIndexVersion]] and the BM25
+    * side): record it before an append and any retained snapshot's
+    * admission decisions stay replayable bit-for-bit. */
+  def minhashIndexVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = minhashSnapshot(spark, path).version
 
   private def readMinhashTable(spark: org.apache.spark.sql.SparkSession,
       path: String, snap: graft.sinks.IndexSnapshot, table: String)
@@ -1026,11 +1041,18 @@ object DedupOps {
     * Scale shape: the corpus contributes (doc_id, bucket) pairs to the
     * band join (16 fixed-width rows/doc) and full signatures only for
     * the collision-bounded candidate set; indexed TEXT is never read
-    * or shuffled. */
+    * or shuffled.
+    *
+    * `asOfVersion` replays the decision against a retained OLDER
+    * snapshot (time travel): record [[minhashIndexVersion]] before an
+    * append/delete and that version's admission verdicts stay
+    * reproducible until vacuumed — the audit handle every dedup ledger
+    * eventually needs ("what did we admit against, and why"). */
   def minhashAdmit(spark: org.apache.spark.sql.SparkSession,
       path: String, newDocs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5): DataFrame = {
-    val snap = minhashSnapshot(spark, path)
+      threshold: Double = 0.5, asOfVersion: Option[Long] = None)
+      : DataFrame = {
+    val snap = minhashSnapshot(spark, path, asOfVersion)
     val p = readMinhashTable(spark, path, snap, "params").head()
     val (n, bands, rows) =
       (p.getAs[Int]("n"), p.getAs[Int]("bands"), p.getAs[Int]("rows"))

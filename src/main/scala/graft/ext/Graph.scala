@@ -320,6 +320,134 @@ object Graph {
       .toDF("n_nodes", "n_edges", "n_triangles")
   }
 
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara 2007) made DETERMINISTIC: labels seed as each
+    * node's own id, and every round EVERY node simultaneously adopts
+    * the label most frequent among its neighbors, ties broken by the
+    * SMALLEST label. Classic LPA resolves ties randomly and stops "when
+    * labels stop changing" — both reproducibility killers; here the
+    * tie-break is total and the round count is FIXED, so the output is
+    * a pure function of the edge list (the oracle unrolls the same
+    * rounds) and identical across engines, partitionings, and runs.
+    * The community label that wins a region is its minimum seed id —
+    * the same canonical-representative convention as
+    * [[DedupOps.dedupClusters]]' min-label components.
+    *
+    * Input edges are canonicalized exactly as [[triangleCount]] /
+    * [[kCore]]: undirected simple graph (self-loops, duplicate and
+    * reverse edges dropped — a neighbor votes once). Output: one row
+    * per node with ≥ 1 edge — (id, label). Fixed synchronous rounds
+    * mean bipartite regions can oscillate with period 2 (the
+    * documented LPA caveat — Raghavan et al. §IV); a fixed round count
+    * keeps even that deterministic, and `rounds` is the propagation
+    * RADIUS: labels travel at most `rounds` hops, which is the real
+    * knob (community diameter), not a convergence guess.
+    *
+    * Scale shape (the [[pageRankCore]] iterative discipline): the
+    * both-direction adjacency (16-byte rows) is hash-partitioned ONCE
+    * on the per-round join key and materialized, so every round
+    * shuffles only the (id, label) side; the vote is one partial+final
+    * count on (node, label) followed by one max-of-struct argmax per
+    * node — no window, no sort, no per-group row explosion beyond the
+    * node's distinct neighbor labels. Joins over checkpointed lineage
+    * are pinned SHUFFLE_HASH (stats-erasure broadcasts, the SCALE.md
+    * r12 lesson); each round's checkpoint releases the last. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 3, reliable: Boolean = false): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    def mat(df: DataFrame): DataFrame = Checkpoints.materialize(df, reliable)
+    val s = col(srcCol).cast(LongType)
+    val d = col(dstCol).cast(LongType)
+    val und = edges
+      .select(least(s, d).as("u"), greatest(s, d).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val adj = mat(und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("dst")))
+    var labels = mat(adj.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")))
+    var round = 0
+    while (round < rounds) {
+      val lh = labels.hint("shuffle_hash")
+      val votes = adj.join(lh, adj("dst") === lh("id"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      // argmax by (count, then SMALLEST label): max of a (cnt, −lbl)
+      // struct is lexicographic and total — deterministic where
+      // max_by would tie-break arbitrarily
+      val next = mat(votes.groupBy("src")
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("src").as("id"),
+          (-col("m").getField("nl")).as("lbl")))
+      Checkpoints.release(labels)
+      labels = next
+      round += 1
+    }
+    Checkpoints.release(adj)
+    labels
+  }
+
+  /** SEMI-SYNCHRONOUS label propagation over a bipartite graph
+    * (Cordasco & Gargano 2010's coloring schedule — on a 2-colorable
+    * graph, alternating the two sides eliminates synchronous LPA's
+    * period-2 oscillation): left nodes seed with their own ids, each
+    * round the RIGHT side adopts the argmax label of its left
+    * neighbors and then the LEFT side adopts the argmax of the
+    * just-updated right side. The co-clustering form for
+    * document↔feature graphs (docs ↔ shingles, users ↔ items): left
+    * nodes sharing many features converge to one label — vote-weighted
+    * community structure, where [[DedupOps.dedupClusters]]' components
+    * merge on ANY single shared feature. Same determinism contract as
+    * [[labelPropagation]]: total (count DESC, smallest-label) argmax,
+    * FIXED rounds (a pure function of the edge list, oracle-unrollable;
+    * `rounds` = propagation radius in left-to-left hops).
+    *
+    * Input: an explicit bipartite edge frame (left id, right id) —
+    * the two id spaces are tracked separately, so they may overlap
+    * numerically. Duplicate edges vote once. Output: (id, lbl) for
+    * every left node with ≥ 1 edge.
+    *
+    * Scale shape: edges materialized once; each half-round is one
+    * partial+final (node, label) count plus one max-of-struct argmax;
+    * SHUFFLE_HASH pins on the checkpointed sides; per-round
+    * checkpoint-and-release. */
+  def labelPropagationBipartite(edges: DataFrame, leftCol: String,
+      rightCol: String, rounds: Int = 2, reliable: Boolean = false)
+      : DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    def mat(df: DataFrame): DataFrame = Checkpoints.materialize(df, reliable)
+    def argmax(votes: DataFrame, idC: String, lblC: String,
+        outId: String, outLbl: String): DataFrame =
+      votes.groupBy(col(idC), col(lblC))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col(idC))
+        .agg(max(struct(col("cnt"), (-col(lblC)).as("nl"))).as("m"))
+        .select(col(idC).as(outId),
+          (-col("m").getField("nl")).as(outLbl))
+    val e = mat(edges
+      .select(col(leftCol).cast(LongType).as("l"),
+        col(rightCol).cast(LongType).as("r"))
+      .filter(col("l").isNotNull && col("r").isNotNull)
+      .distinct())
+    var lbl = mat(e.select(col("l").as("id")).distinct()
+      .withColumn("lbl", col("id")))
+    var round = 0
+    while (round < rounds) {
+      val lh = lbl.hint("shuffle_hash")
+      val rlbl = argmax(e.join(lh, e("l") === lh("id"))
+        .select(col("r"), col("lbl")), "r", "lbl", "rid", "rlbl")
+      val rh = rlbl.hint("shuffle_hash")
+      val next = mat(argmax(e.join(rh, e("r") === rh("rid"))
+        .select(col("l"), col("rlbl")), "l", "rlbl", "id", "lbl"))
+      Checkpoints.release(lbl)
+      lbl = next
+      round += 1
+    }
+    Checkpoints.release(e)
+    lbl
+  }
+
   /** k-core decomposition (Seidman 1983): the unique maximal subgraph
     * in which every node has degree ≥ k, computed by bulk-synchronous
     * peeling — each round drops every node whose CURRENT degree is

@@ -187,6 +187,99 @@ object TextAnalysis {
       lit(0.0)), 6)
   }
 
+  /** Best-matching PASSAGE per document: the `window`-token span with
+    * the most query-term hits (ties → the EARLIEST span) — the
+    * snippet/highlight stage a retrieval result page ends with, and
+    * the passage-selection step of a RAG pipeline (retrieve documents,
+    * quote the span that actually matches). Matching is lowercase
+    * whole-token, the [[bm25TopK]] tokenization, so passages agree
+    * with what the retriever scored.
+    *
+    * Output, one row per document with ≥ 1 hit: (doc_id, best_start,
+    * n_matched, passage) — best_start the 0-based token offset,
+    * passage the space-joined window (truncated at the document's
+    * end). Deterministic: exact integer hit counts, a total
+    * (count DESC, start ASC) argmax, no floats anywhere.
+    *
+    * Scale shape: one narrow posexplode projection, one sliding
+    * integer sum over a per-document window (hash-partitioned by
+    * doc_id — thousands of tokens per group, never a single-partition
+    * window), one max-of-struct argmax, one join back for the slice.
+    * Query terms ride as a literal IN list; text shuffles once, as
+    * (doc_id, token-array) rows for the final slice. */
+  def bestPassage(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], window: Int = 10): DataFrame = {
+    require(window >= 1, s"window must be >= 1 (got $window)")
+    require(queryTerms.nonEmpty, "bestPassage: queryTerms is empty")
+    val qset = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT))
+      .distinct
+    val base = df.select(col(idCol).as("doc_id"),
+      tokens(lower(col(textCol))).as("_toks"))
+    val pos = base
+      .select(col("doc_id"),
+        posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+      .select(col("doc_id"), col("_pos"),
+        when(col("_tok").isin(qset: _*), 1L).otherwise(0L).as("_m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("_pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        window - 1)
+    val best = pos.withColumn("_nm", sum(col("_m")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("_nm"), (-col("_pos")).as("_np"))).as("_b"))
+      .select(col("doc_id"),
+        (-col("_b").getField("_np")).cast(LongType).as("best_start"),
+        col("_b").getField("_nm").as("n_matched"))
+      .filter(col("n_matched") > 0L)
+    best.join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("best_start"), col("n_matched"),
+        concat_ws(" ", slice(col("_toks"),
+          (col("best_start") + 1L).cast(IntegerType), lit(window)))
+          .as("passage"))
+  }
+
+  /** Per-document n-gram NOVELTY: the fraction of a document's
+    * distinct n-gram shingles that occur in NO other document — the
+    * memorization-risk / boilerplate-saturation score. A document of
+    * novelty 1.0 is all-original text; near 0.0 it is assembled
+    * entirely from corpus-shared n-grams (template pages, licence
+    * boilerplate, syndicated copy) — the complement of what
+    * [[graft.ext.Corpus.commonNgrams]] measures corpus-wide, resolved
+    * to a per-document signal a curation filter can threshold on.
+    *
+    * Output, one row per document with >= n tokens (shorter documents
+    * carry no shingles and no score — [[DedupOps.ngramJaccardPairs]]'
+    * domain): (doc_id, n_shingles, n_unique, novelty) with
+    * novelty = n_unique / n_shingles rounded to 6.
+    *
+    * Shape: the inverted-index discipline — per-document DISTINCT
+    * shingle hashes (native [[graft.functions.TextHashExprs]]
+    * expression, so per-doc distinctness makes count = document
+    * frequency), one partial+final count per shingle, one equi-join
+    * back (each exploded row meets exactly ONE df row — a hot
+    * boilerplate shingle fans out nothing), one per-doc aggregate.
+    * Text never shuffles; every shuffled row is (hash, id) or
+    * (hash, count). Novelty-by-hash equals novelty-by-string modulo
+    * 64-bit collisions, the x02 concession. */
+  def shingleNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    graft.functions.TextHashExprs.register(df.sparkSession)
+    val ex = df.select(col(idCol).as("doc_id"),
+        graft.functions.TextHashExprs.shingleHashes(col(textCol), n)
+          .as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    ex.join(dfreq, Seq("s"))
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("sz").cast(LongType).as("n_shingles"),
+        col("n_unique"),
+        round(col("n_unique").cast(DoubleType) /
+          col("sz").cast(DoubleType), 6).as("novelty"))
+  }
+
   /** Rolling polynomial fingerprint over whitespace tokens, mod 2^31-1.
     * Per-token hash uses only SQL-expressible primitives (first/last char
     * code points + length) so a DuckDB oracle can replay it exactly; the

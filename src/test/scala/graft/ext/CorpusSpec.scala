@@ -524,4 +524,54 @@ class CorpusSpec extends SparkSpec {
         precision = 10)
     }.getMessage.contains("precision"))
   }
+
+  test("dsirWeights (x158): equals an independent recomputation from " +
+      "the exposed hash buckets; all-target scores zero; " +
+      "partition-independent; validation") {
+    val d = Seq(
+      (1L, "en", "alpha alpha beta"),
+      (2L, "en", "alpha gamma"),
+      (3L, "xx", "beta beta delta"),
+      (4L, "xx", "alpha delta delta epsilon"))
+      .toDF("doc_id", "lang", "text")
+    val got = Corpus.dsirWeights(d, "doc_id", "text",
+      col("lang") === "en").as[(Long, Long)].collect().toMap
+    // independent recomputation: fetch the per-token buckets through
+    // the public expression, then apply the paper's smoothed log-ratio
+    // in plain Scala (same IEEE ops, same Math.log)
+    graft.functions.TextHashExprs.register(spark)
+    val toks = d.select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextHashExprs
+          .shingleWindowHashes(col("text"), 1)).as("h"))
+      .select(col("doc_id"), col("lang"), pmod(col("h"), lit(256L)).as("b"))
+      .as[(Long, String, Long)].collect()
+    val tr = toks.length.toLong
+    val tt = toks.count(_._2 == "en").toLong
+    val cr = toks.groupBy(_._3).map { case (b, v) => b -> v.length }
+    val ct = toks.filter(_._2 == "en").groupBy(_._3)
+      .map { case (b, v) => b -> v.length }
+    val lw = cr.keys.map { b =>
+      b -> math.floor(math.log(
+        ((ct.getOrElse(b, 0) + 1L) * (tr + 256L)).toDouble /
+          ((cr(b) + 1L) * (tt + 256L)).toDouble) * 1000000.0).toLong
+    }.toMap
+    val expect = toks.groupBy(_._1)
+      .map { case (id, v) => id -> v.map(t => lw(t._3)).sum }
+    assert(got == expect)
+    // target docs should (here) read more target-like than the rest
+    assert(got(1L) > got(3L) && got(2L) > got(3L))
+    // target == pool: every ratio is exactly 1, every score exactly 0
+    assert(Corpus.dsirWeights(d, "doc_id", "text", lit(true))
+      .as[(Long, Long)].collect().forall(_._2 == 0L))
+    // exact integer micro-nats: immune to physical layout
+    assert(Corpus.dsirWeights(d.repartition(5), "doc_id", "text",
+      col("lang") === "en").as[(Long, Long)].collect().toMap == got)
+    assert(intercept[IllegalArgumentException] {
+      Corpus.dsirWeights(d, "doc_id", "text", col("lang") === "en",
+        buckets = 100)
+    }.getMessage.contains("power of two"))
+    assert(intercept[IllegalArgumentException] {
+      Corpus.dsirWeights(d, "doc_id", "text", col("lang") === "zz")
+    }.getMessage.contains("no tokens"))
+  }
 }

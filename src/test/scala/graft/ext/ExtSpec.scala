@@ -1239,6 +1239,50 @@ class ExtSpec extends SparkSpec {
       (incomingIds -- crossRejected -- (admitted -- shortIds)))
   }
 
+  test("minhash ledger time travel (x155): as-of replays the frozen " +
+      "snapshot's admission; survives compaction; vacuumed versions " +
+      "error") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mh_tt").resolve("idx").toString
+    val base = docs.filter($"doc_id" < 250)
+    val appendBatch = docs.filter($"doc_id" >= 250 && $"doc_id" < 400)
+    val probe = docs.filter($"doc_id" >= 400)
+    def admitted(asOf: Option[Long]) =
+      DedupOps.minhashAdmit(spark, idx, probe, "doc_id", "text",
+        asOfVersion = asOf).select($"doc_id").as[Long].collect().toSet
+    DedupOps.saveMinhashIndex(base, "doc_id", "text", idx)
+    val v0 = DedupOps.minhashIndexVersion(spark, idx)
+    val againstBase = admitted(None)
+    DedupOps.appendToMinhashIndex(spark, idx, appendBatch, "doc_id",
+      "text", "b1")
+    assert(DedupOps.minhashIndexVersion(spark, idx) > v0,
+      "append must advance the manifest version")
+    // as-of the pre-append version == the base-only decision,
+    // bit-for-bit; the live decision is strictly narrower (the
+    // appended 250-399 slice rejects more of the probe batch)
+    assert(admitted(Some(v0)) == againstBase)
+    val live = admitted(None)
+    assert(live.subsetOf(againstBase) && live != againstBase,
+      "non-vacuity: the append must reject some probe doc the " +
+        "frozen snapshot admits")
+    // compaction folds segments under a NEW version; the pinned old
+    // version still reads its retained segments unchanged
+    DedupOps.appendToMinhashIndex(spark, idx,
+      docs.filter($"doc_id" >= 400 && $"doc_id" < 420), "doc_id",
+      "text", "b2")
+    DedupOps.compactMinhashIndex(spark, idx)
+    assert(admitted(Some(v0)) == againstBase,
+      "as-of must survive a compaction while retained")
+    val liveAfterB2 = admitted(None)
+    // vacuum to the newest version only: the old snapshot is gone and
+    // says so clearly; the LIVE decision is untouched by retention
+    DedupOps.vacuumMinhashIndex(spark, idx, keepVersions = 1)
+    val e = intercept[IllegalArgumentException](admitted(Some(v0)))
+    assert(e.getMessage.contains(s"version $v0 not found"))
+    assert(admitted(None) == liveAfterB2,
+      "vacuum must not move the live admission decision")
+  }
+
   test("IVFPQ index (x115): cold save->load->serve equals the " +
       "per-call form; frozen-codebook append, retry no-op, compaction " +
       "invariance, as-of time travel, vacuum") {
@@ -2131,5 +2175,57 @@ class ExtSpec extends SparkSpec {
       k = 3, reliable = true)) == fromIdx)
     assert(labels(Similarity.mutualKnnClusters(clustered, "vec_id",
       "embedding", k = 3, reliable = true)) == fromIdx)
+  }
+
+  test("bestPassage (x159): earliest max-hit window; case-insensitive " +
+      "whole-token match; end-truncated slice; zero-hit docs absent") {
+    val d = Seq(
+      (1L, "a b hash c join hash d"), // max-2 windows at 2,3,4 → 2
+      (2L, "nothing relevant here"),  // no hits: absent
+      (3L, "JOIN"),                   // case-folds; window truncates
+      (4L, "x hash y"))               // single hit mid-doc
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bestPassage(d, "doc_id", "text",
+        Seq("hash", "join"), window = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, "hash c join")),
+      3L -> ((0L, 1L, "join")),
+      // the pos-0 window already contains the hit — earliest wins
+      4L -> ((0L, 1L, "x hash y"))))
+    // partition-independence (integer counts, total argmax)
+    assert(TextAnalysis.bestPassage(d.repartition(5), "doc_id", "text",
+        Seq("hash", "join"), window = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap == got)
+    intercept[IllegalArgumentException](
+      TextAnalysis.bestPassage(d, "doc_id", "text", Seq.empty))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bestPassage(d, "doc_id", "text", Seq("a"),
+        window = 0))
+  }
+
+  test("shingleNovelty (x157): hand-computed df-1 fractions; per-doc " +
+      "distinct shingles; short docs carry no row") {
+    val d = Seq(
+      (1L, "a b c d e"),          // one shingle, shared with doc 2
+      (2L, "a b c d e f"),        // two shingles, one unique
+      (3L, "x y z"),              // < 5 tokens: no shingles, no row
+      (4L, "a a a a a a"))        // repeated shingle dedupes in-doc
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.shingleNovelty(d, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((1L, 0L, 0.0)),   // its only shingle also lives in doc 2
+      2L -> ((2L, 1L, 0.5)),   // "b c d e f" is corpus-unique
+      4L -> ((1L, 1L, 1.0))))  // in-doc repeats count once, df = 1
+    // partition-independence (exact integer counts + one IEEE divide)
+    assert(TextAnalysis.shingleNovelty(d.repartition(5), "doc_id",
+        "text").as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap == got)
+    intercept[IllegalArgumentException](
+      TextAnalysis.shingleNovelty(d, "doc_id", "text", n = 0))
   }
 }

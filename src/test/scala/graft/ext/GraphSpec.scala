@@ -313,4 +313,76 @@ class GraphSpec extends SparkSpec {
       Graph.kCore(chain.toDF("src", "dst"), "src", "dst", k = 0)
     }.getMessage.contains("k must be"))
   }
+
+  test("labelPropagation: two bridged cliques resolve to two " +
+      "communities; min-label tie-break; canonicalization; " +
+      "partition-independent") {
+    def lpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+      Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst",
+        rounds).as[(Long, Long)].collect().toMap
+    // two 4-cliques bridged at 4–10: hand-unrolled, round 2 already
+    // lands each clique on its minimum seed id and round 3 is stable —
+    // the bridge CANNOT drag one clique into the other (3 internal
+    // votes beat 1 external)
+    val cliqueA = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L))
+    val cliqueB = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+      (11L, 13L), (12L, 13L))
+    val bridged = cliqueA ++ cliqueB :+ (4L, 10L)
+    val two = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L)
+    assert(lpa(bridged, rounds = 2) == two)
+    assert(lpa(bridged, rounds = 3) == two,
+      "the two-community labeling must be a fixpoint")
+    // tie-break: a triangle's round-1 votes are all count-1 ties —
+    // each node takes its SMALLEST neighbor id (hand-unrolled)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(lpa(tri, rounds = 1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    assert(lpa(tri, rounds = 2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // canonicalization: reverse duplicates and self-loops change
+    // nothing (a neighbor votes once)
+    val messy = bridged ++ bridged.map(_.swap) ++ Seq((1L, 1L))
+    assert(lpa(messy, rounds = 2) == two)
+    // partition-independence: the argmax is a total order, so the
+    // labeling survives any physical layout
+    assert(Graph.labelPropagation(bridged.toDF("src", "dst")
+        .repartition(7), "src", "dst", rounds = 2)
+      .as[(Long, Long)].collect().toMap == two)
+    // input validation
+    assert(intercept[IllegalArgumentException] {
+      Graph.labelPropagation(tri.toDF("src", "dst"), "src", "dst",
+        rounds = 0)
+    }.getMessage.contains("rounds must be"))
+  }
+
+  test("labelPropagationBipartite: vote-weighted co-clusters on hand " +
+      "fixtures; duplicate edges vote once; stable fixpoint") {
+    def lpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+      Graph.labelPropagationBipartite(edges.toDF("l", "r"), "l", "r",
+        rounds).as[(Long, Long)].collect().toMap
+    // docs {1,2} share features {100,101}; docs {3,4} share {200};
+    // doc 5 leans 2-votes into group A and 1 into group B — the
+    // vote-weighted property: it lands in A, where a connectivity
+    // closure (x31) would merge EVERYTHING through it
+    val edges = Seq((1L, 100L), (1L, 101L), (2L, 100L), (2L, 101L),
+      (3L, 200L), (4L, 200L), (5L, 100L), (5L, 101L), (5L, 200L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 1L)
+    assert(lpa(edges, rounds = 1) == want)
+    assert(lpa(edges, rounds = 2) == want,
+      "the labeling must be a fixpoint of the semi-sync schedule")
+    // duplicate edges vote once
+    assert(lpa(edges ++ edges, rounds = 2) == want)
+    // id spaces may overlap numerically: rename features to 1..3 —
+    // right-side ids are join keys only, never labels
+    val overlapped = edges.map { case (l, r) => (l, r - 99L) }
+    assert(lpa(overlapped, rounds = 2) == want)
+    // partition-independence
+    assert(Graph.labelPropagationBipartite(edges.toDF("l", "r")
+        .repartition(7), "l", "r", rounds = 2)
+      .as[(Long, Long)].collect().toMap == want)
+    assert(intercept[IllegalArgumentException] {
+      Graph.labelPropagationBipartite(edges.toDF("l", "r"), "l", "r",
+        rounds = 0)
+    }.getMessage.contains("rounds must be"))
+  }
 }
