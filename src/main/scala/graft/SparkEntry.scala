@@ -2529,6 +2529,14 @@ object SparkEntry {
         "doc_id", "text", Seq("hash", "join", "merge"), window = 10)
         .orderBy(col("doc_id").asc)),
 
+    // temperature-scaled source mixture (x161): α=0.5 sampling shares
+    // per language — the multilingual-pretraining mixture design
+    // (up-weight the tail, damp the head); exact integer raw shares,
+    // correctly-rounded sqrt, order-pinned normalizer fold.
+    "x161_temperature_mix" -> ((s, dir) =>
+      graft.ext.Corpus.temperatureMix(T(s, dir, "documents"), "lang",
+        "text").orderBy(col("lang").asc)),
+
     // bipartite co-clustering (x160): semi-synchronous LPA on the
     // doc↔3-gram-shingle graph — docs sharing MANY shingles converge
     // to one label (vote-weighted, where x31's components merge on any
@@ -5625,6 +5633,27 @@ object SparkEntry {
             FROM e JOIN lw ON e.b = lw.b
             GROUP BY 1 ORDER BY doc_id ASC"""
       },
+
+      // x161: raw shares by integer floor-division; smoothed shares
+      // from correctly-rounded sqrt and a list_reduce fold in lang
+      // order (the engine folds the same values in the same order)
+      "x161_temperature_mix" ->
+        """WITH g AS (SELECT lang, count(*) AS n_docs,
+                 sum(len(regexp_split_to_array(trim(text), '\s+')))
+                   AS n_tokens
+               FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+           tot AS (SELECT sum(n_tokens) AS nt,
+                     list_reduce(
+                       list(sqrt(n_tokens::DOUBLE) ORDER BY lang),
+                       (a, b) -> a + b) AS t
+                   FROM g)
+           SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+                  CAST(n_tokens AS BIGINT) AS n_tokens,
+                  CAST((n_tokens * 1000000) // nt AS BIGINT)
+                    AS raw_share_micros,
+                  CAST(floor(1000000.0 * sqrt(n_tokens::DOUBLE) / t)
+                    AS BIGINT) AS mix_share_micros
+           FROM g, tot ORDER BY lang ASC""",
 
       // x159: dense token positions + a 10-row sliding integer sum,
       // argmax (hits DESC, start ASC), slice the winning window

@@ -706,6 +706,51 @@ object Corpus {
       .drop("_thr")
   }
 
+  /** Temperature-scaled source mixture shares (the exponentially
+    * smoothed sampling of multilingual pretraining — Devlin et al.
+    * 2019 mBERT, Conneau & Lample 2019 XLM, α usually 0.3–0.7):
+    * per-source sampling probability p_s ∝ n_s^α at α = 0.5, which
+    * up-weights small sources and damps the head so the long tail is
+    * seen at all. The mixture-DESIGN op that feeds
+    * [[tokenBudgetMix]]'s enforcement: this computes the shares, that
+    * one fills them.
+    *
+    * Fixed α = 0.5 because it keeps the whole op exactly reproducible:
+    * IEEE sqrt is CORRECTLY rounded (bit-equal in every engine, unlike
+    * pow/exp's libm ulp), raw shares are pure integer floor-division,
+    * and the smoothed normalizer Σ√n_s is a SEQUENTIAL fold in
+    * group-name order (a handful of doubles summed in a pinned order —
+    * the one float sum here, made order-free by ordering it).
+    *
+    * Output, one row per non-null source: (group, n_docs, n_tokens,
+    * raw_share_micros, mix_share_micros) — micro-shares in [0, 1e6],
+    * raw = exact `(n·1e6) div N`, mix = `floor(1e6·√n / Σ√n)`.
+    * Contract: `groupCol` is a SOURCE label of bounded cardinality
+    * (languages, domains — a mixture is designed over dozens, not
+    * millions), read once to the driver; group names should sort
+    * consistently across engines (ASCII labels). One partial+final
+    * aggregate over the corpus; text never shuffles. */
+  def temperatureMix(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val g = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol))).as("n_tokens"))
+    // bounded driver read: one (name, tokens) pair per SOURCE
+    val rows = g.select(col(groupCol).cast(StringType),
+        col("n_tokens")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(rows.nonEmpty,
+      "temperatureMix: no non-null groups — nothing to design")
+    val nTot = rows.map(_._2).sum
+    require(nTot > 0L, "temperatureMix: zero tokens across all groups")
+    val t = rows.map(r => math.sqrt(r._2.toDouble)).reduceLeft(_ + _)
+    g.select(col(groupCol), col("n_docs"), col("n_tokens"),
+      expr(s"(n_tokens * 1000000) div $nTot").as("raw_share_micros"),
+      floor(lit(1000000.0) * sqrt(col("n_tokens").cast(DoubleType)) /
+        lit(t)).cast(LongType).as("mix_share_micros"))
+  }
+
   /** DSIR-style data selection weights (Xie, Santurkar, Ma & Liang
     * 2023, "Data Selection for Language Models via Importance
     * Resampling"): score every document in a RAW pool by how much its

@@ -525,6 +525,35 @@ class CorpusSpec extends SparkSpec {
     }.getMessage.contains("precision"))
   }
 
+  test("temperatureMix (x161): hand-computed micro-shares; tail " +
+      "up-weighted, head damped; null groups dropped; validation") {
+    def words(k: Int): String = (1 to k).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (Some("a"), words(9)),            // √9  = 3
+      (Some("b"), words(16)),           // √16 = 4
+      (Some("c"), words(12)),           // c totals 25 tokens over 2
+      (Some("c"), words(13)),           //   docs — √25 = 5
+      (None: Option[String], words(99))) // null lang: excluded
+      .toDF("lang", "text")
+    val got = Corpus.temperatureMix(d, "lang", "text")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // N = 50, T = 3+4+5 = 12: raw = n·1e6 div 50, mix = ⌊1e6·√n/12⌋
+    assert(got == Map(
+      "a" -> ((1L, 9L, 180000L, 250000L)),
+      "b" -> ((1L, 16L, 320000L, 333333L)),
+      "c" -> ((2L, 25L, 500000L, 416666L))))
+    // α=0.5 semantics: the small source gains share, the head loses
+    assert(got("a")._4 > got("a")._3 && got("c")._4 < got("c")._3)
+    assert(Corpus.temperatureMix(d.repartition(5), "lang", "text")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap == got)
+    assert(intercept[IllegalArgumentException] {
+      Corpus.temperatureMix(d.filter(col("lang").isNull), "lang",
+        "text")
+    }.getMessage.contains("no non-null groups"))
+  }
+
   test("dsirWeights (x158): equals an independent recomputation from " +
       "the exposed hash buckets; all-target scores zero; " +
       "partition-independent; validation") {

@@ -250,6 +250,33 @@ object EngineProps extends Properties("graft") {
       }
     }
 
+  property("labelPropagation == in-memory synchronous reference on " +
+      "random graphs") =
+    forAll(genEdges, Gen.choose(1, 3)) { (edges, rounds) =>
+      // reference: canonical undirected simple graph, synchronous
+      // vote rounds, (count DESC, smallest-label) argmax — the exact
+      // published semantics the distributed op claims
+      val und = edges
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct
+      und.isEmpty || {
+        import spark.implicits._
+        val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+          .view.mapValues(_.map(_._2).distinct).toMap
+        var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+        for (_ <- 1 to rounds) {
+          lbl = adj.map { case (n, nbrs) =>
+            val votes = nbrs.groupBy(lbl).view.mapValues(_.size)
+            n -> votes.toSeq.map { case (l, c) => (-c, l) }.min._2
+          }
+        }
+        val got = graft.ext.Graph
+          .labelPropagation(edges.toDF("a", "b"), "a", "b", rounds)
+          .as[(Long, Long)].collect().toMap
+        got == lbl
+      }
+    }
+
   private val genCorpus: Gen[(List[(Long, String)], List[(Long, String)])] =
     for {
       // tiny vocabulary → guaranteed cross-set text collisions
