@@ -2529,6 +2529,92 @@ object SparkEntry {
         "doc_id", "text", Seq("hash", "join", "merge"), window = 10)
         .orderBy(col("doc_id").asc)),
 
+    // distributed BPE vocabulary learning (x165): 6 rounds of
+    // count-pairs → merge-everywhere over the vocabulary-bounded
+    // word-frequency table (Sennrich 2016), total-order tie-break, all
+    // merge rewrites as codegen'd array folds; driver traffic is ONE
+    // row per round. The oracle unrolls the same rounds with the
+    // leftmost-merge rule stated declaratively (run-parity windows).
+    "x165_bpe_learn" -> ((s, dir) =>
+      graft.ext.TextAnalysis.bpeLearn(T(s, dir, "documents"), "text",
+        merges = 6).orderBy(col("rank").asc)),
+
+    // BPE encode (x166): apply x165's learned merge list (rank order)
+    // to every document — the merge table is tokenizer-file metadata
+    // (6 rows collected), the encode itself is one narrow shuffle-free
+    // projection of 6 chained folds + a per-doc count aggregation.
+    "x166_bpe_encode" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val merges = graft.ext.TextAnalysis
+        .bpeLearn(docs, "text", merges = 6)
+        .orderBy(col("rank").asc).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ext.TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id").asc)
+    },
+
+    // event-transition matrix (x164): first-order Markov counts over
+    // per-user event sequences — lead() within (user, time) order, a
+    // per-user hash-partitioned window (never single-partition), then
+    // one partial+final count on (from, to); row-probabilities as exact
+    // floor-micros over a from-type-partitioned window on the already-
+    // tiny |types|² frame. The sequence-mining complement to q14's
+    // sessionize and q32's ordered funnel.
+    "x164_event_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val c = T(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+      c.withColumn("prob_micros",
+          expr("1000000 * n_transitions div " +
+            "sum(n_transitions) OVER (PARTITION BY from_type)")
+            .cast(LongType))
+        .orderBy(col("from_type").asc, col("to_type").asc)
+    },
+
+    // local clustering coefficient (x163): per-node triangle density
+    // (Watts-Strogatz) over an irregular sparse circulant+doubling
+    // graph — x111's degree-ordered wedge machinery, now emitting all
+    // three corners per closed wedge so one aggregation yields per-node
+    // counts. Coefficient as exact floor-micros (integer div). The
+    // oracle is DEFINITIONAL (n³ canonical-edge triple join), not the
+    // engine's orientation — independent algorithms must agree.
+    "x163_clustering_coefficient" -> { (s, dir) =>
+      val sup = T(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("k"))
+      val n = sup.agg(count(lit(1))).head().getLong(0)
+      val edges = sup
+        .select(col("k").as("src"), explode(array(
+          pmod(col("k"), lit(n)) + 1,
+          pmod(col("k") + 1, lit(n)) + 1,
+          pmod(col("k") * 2, lit(n)) + 1)).as("dst"))
+      graft.ext.Graph.clusteringCoefficient(edges, "src", "dst")
+        .orderBy(col("id").asc)
+    },
+
+    // bloom semi-join reduction (x162): the explicit runtime-filter
+    // star-join pattern — dim keys aggregate to ONE bloom sketch,
+    // broadcast once per executor, probed on the fact scan inside
+    // codegen so non-matching rows die before the exchange; the exact
+    // semi join then clears false positives. Result ≡ plain left_semi
+    // (EngineProps pin); at 100 TB the fact shuffle shrinks to the
+    // dim's selectivity + FP traffic.
+    "x162_bloom_semijoin" -> { (s, dir) =>
+      val urgent = T(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.ops.Joins.bloomSemiJoin(
+        T(s, dir, "lineitem"), urgent, "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+    },
+
     // temperature-scaled source mixture (x161): α=0.5 sampling shares
     // per language — the multilingual-pretraining mixture design
     // (up-weight the tail, damp the head); exact integer raw shares,
@@ -5002,6 +5088,60 @@ object SparkEntry {
                      ORDER BY cnt DESC, lbl ASC) AS rn
                    FROM v$i) WHERE rn = 1)"""
       }.mkString(",\n         ")
+    // x165's unrolled BPE training rounds over the w0 word-frequency
+    // table. Round i: p = adjacent-pair counts, b = the (f DESC, l, r)
+    // argmax, then the DECLARATIVE form of the engine's leftmost fold:
+    // mergeable positions (mg) → gaps-and-islands run grouping (grp,
+    // only l = r pairs can form runs > 1) → select odd positions within
+    // each run (sel) → rebuild (merged token at sel, drop the consumed
+    // right neighbor, keep the rest). w$i MATERIALIZED: each CTE is
+    // referenced twice per round — inlining would double the chain per
+    // level.
+    def bpeRounds(rounds: Int): String =
+      (1 to rounds).map { i =>
+        s"""p$i AS (SELECT syms[j] AS l, syms[j + 1] AS r,
+                   sum(freq) AS f
+                 FROM w${i - 1}, unnest(range(1, len(syms))) AS u(j)
+                 GROUP BY 1, 2),
+         b$i AS (SELECT l, r, f FROM p$i
+                 ORDER BY f DESC, l ASC, r ASC LIMIT 1),
+         t$i AS (SELECT w.word, w.freq, u.j, w.syms[u.j] AS s,
+                   w.syms[u.j + 1] AS nxt,
+                   coalesce(w.syms[u.j] = b.l
+                     AND w.syms[u.j + 1] = b.r, false) AS mg
+                 FROM w${i - 1} w, b$i b,
+                      unnest(range(1, len(w.syms) + 1)) AS u(j)),
+         g$i AS (SELECT word, freq, s, nxt, j, mg,
+                   CASE WHEN mg THEN j - row_number() OVER (
+                     PARTITION BY word, mg ORDER BY j) END AS grp
+                 FROM t$i),
+         s$i AS (SELECT word, freq, s, nxt, j,
+                   mg AND (row_number() OVER (
+                     PARTITION BY word, grp ORDER BY j) % 2 = 1)
+                     AS sel
+                 FROM g$i),
+         k$i AS (SELECT word, freq, j,
+                   CASE WHEN sel THEN s || nxt
+                        WHEN NOT coalesce(lag(sel) OVER (
+                          PARTITION BY word ORDER BY j), false) THEN s
+                   END AS tok
+                 FROM s$i),
+         w$i AS MATERIALIZED (
+                 SELECT word, min(freq) AS freq,
+                        list(tok ORDER BY j) AS syms
+                 FROM k$i WHERE tok IS NOT NULL GROUP BY word)"""
+      }.mkString(",\n         ")
+    // the x165 base table: lowercase letter-run words at character
+    // granularity (mirrors TextAnalysis.bpeWords; the len >= 2 filter
+    // is an engine-side optimization — 1-char words carry no pairs)
+    val bpeW0 =
+      """w0 AS MATERIALIZED (
+           SELECT word, count(*) AS freq,
+                  list_transform(range(1, len(word) + 1),
+                    i -> word[i:i]) AS syms
+           FROM (SELECT unnest(regexp_extract_all(lower(text),
+                   '[a-z]+')) AS word FROM documents)
+           GROUP BY word)"""
 
     Map(
       "x01_dedup_exact" ->
@@ -5633,6 +5773,95 @@ object SparkEntry {
             FROM e JOIN lw ON e.b = lw.b
             GROUP BY 1 ORDER BY doc_id ASC"""
       },
+
+      // x165: w0 + 6 unrolled training rounds; the merge table is the
+      // per-round argmax rows
+      "x165_bpe_learn" ->
+        s"""WITH $bpeW0,
+           ${bpeRounds(6)}
+           SELECT * FROM (
+             ${(1 to 6).map(i =>
+               s"SELECT CAST($i AS BIGINT) AS rank, l AS left_sym, " +
+               s"r AS right_sym, CAST(f AS BIGINT) AS pair_freq FROM b$i")
+               .mkString("\n             UNION ALL ")})
+           ORDER BY rank ASC""",
+
+      // x166: w6 already holds each word's fully-merged symbols — the
+      // per-doc encode is a join of doc word instances to it
+      "x166_bpe_encode" ->
+        s"""WITH $bpeW0,
+           ${bpeRounds(6)},
+           wd AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                      AS word
+                  FROM documents)
+           SELECT wd.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_words,
+                  CAST(sum(len(wd.word)) AS BIGINT) AS n_chars_alpha,
+                  CAST(sum(len(w6.syms)) AS BIGINT) AS n_bpe_tokens
+           FROM wd JOIN w6 USING (word)
+           GROUP BY 1 ORDER BY wd.doc_id ASC""",
+
+      // x164: same (ts, event_id) total order; integer floor-division
+      // row probabilities
+      "x164_event_transitions" ->
+        """WITH s AS (SELECT event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS to_type
+               FROM events),
+           c AS (SELECT event_type AS from_type, to_type,
+                   count(*) AS n_transitions
+                 FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+           SELECT from_type, to_type,
+                  CAST(n_transitions AS BIGINT) AS n_transitions,
+                  CAST((1000000 * n_transitions) //
+                    sum(n_transitions) OVER (PARTITION BY from_type)
+                    AS BIGINT) AS prob_micros
+           FROM c ORDER BY from_type ASC, to_type ASC""",
+
+      // x163: definitional oracle — canonical u<v edges, triangles by
+      // the x<y<z triple join, corners unnested; never the engine's
+      // degree-ordered orientation (independent-algorithm agreement)
+      "x163_clustering_coefficient" ->
+        """WITH k AS (SELECT CAST(s_suppkey AS BIGINT) AS k
+                      FROM supplier),
+           n AS (SELECT count(*) AS n FROM k),
+           raw AS (SELECT k, ((k % n) + 1) AS d FROM k, n
+                   UNION ALL
+                   SELECT k, (((k + 1) % n) + 1) FROM k, n
+                   UNION ALL
+                   SELECT k, (((2 * k) % n) + 1) FROM k, n),
+           e AS (SELECT DISTINCT least(k, d) AS u, greatest(k, d) AS v
+                 FROM raw WHERE k <> d),
+           deg AS (SELECT id, count(*) AS degree FROM (
+                     SELECT u AS id FROM e
+                     UNION ALL SELECT v FROM e) GROUP BY 1),
+           tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                   FROM e a JOIN e b ON b.u = a.v
+                          JOIN e c ON c.u = a.u AND c.v = b.v),
+           t AS (SELECT id, count(*) AS nt FROM (
+                   SELECT unnest([x, y, z]) AS id FROM tri) GROUP BY 1)
+           SELECT deg.id, CAST(degree AS BIGINT) AS degree,
+                  CAST(coalesce(nt, 0) AS BIGINT) AS n_triangles,
+                  CAST(CASE WHEN degree < 2 THEN 0
+                       ELSE (2000000 * coalesce(nt, 0))
+                            // (degree * (degree - 1)) END
+                    AS BIGINT) AS lcc_micros
+           FROM deg LEFT JOIN t ON deg.id = t.id
+           ORDER BY deg.id ASC""",
+
+      // x162: the oracle is the DEFINITION (plain semi join + agg) —
+      // the bloom prefilter must be invisible in the result
+      "x162_bloom_semijoin" ->
+        """SELECT l_returnflag, l_linestatus,
+                  count(*) AS n_lines,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)))
+                    AS DOUBLE) AS sum_price
+           FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+           GROUP BY 1, 2
+           ORDER BY l_returnflag ASC, l_linestatus ASC""",
 
       // x161: raw shares by integer floor-division; smoothed shares
       // from correctly-rounded sqrt and a list_reduce fold in lang

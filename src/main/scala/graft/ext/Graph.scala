@@ -320,6 +320,76 @@ object Graph {
       .toDF("n_nodes", "n_edges", "n_triangles")
   }
 
+  /** Per-node triangle counts and LOCAL CLUSTERING COEFFICIENT
+    * (Watts & Strogatz 1998): for node i with degree dᵢ and tᵢ
+    * triangles through it, cᵢ = 2tᵢ / (dᵢ(dᵢ−1)) — the fraction of a
+    * node's neighbor pairs that are themselves connected, the standard
+    * local-density / spam-farm signal on link graphs. Same
+    * degree-ordered wedge machinery as [[triangleCount]] (orientation
+    * bounds the join at O(E^1.5)), but each closed wedge now emits its
+    * THREE corners (center + both endpoints) so one count aggregation
+    * yields per-node tᵢ; a left join back to the degree table keeps
+    * triangle-free nodes with cᵢ = 0.
+    *
+    * The coefficient is emitted as exact floor-micros via 64-bit
+    * integer division — `lcc_micros = (2·10⁶·tᵢ) div (dᵢ(dᵢ−1))` —
+    * never a double (the repo's float-free ratio discipline; identical
+    * bit-for-bit in any engine). Degree-1 nodes have no neighbor pair:
+    * lcc_micros = 0 by convention.
+    *
+    * Output: (id, degree, n_triangles, lcc_micros), one row per node
+    * with ≥ 1 edge. Canonicalization as [[triangleCount]]: undirected
+    * simple graph, self-loops and duplicate/reverse edges dropped. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String, reliable: Boolean = false): DataFrame = {
+    val s = col(srcCol).cast(LongType)
+    val d = col(dstCol).cast(LongType)
+    val und = edges
+      .select(least(s, d).as("u"), greatest(s, d).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val deg = und.select(col("u").as("id"))
+      .unionByName(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val lower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = und
+      .join(deg.select(col("id").as("u"), col("degree").as("du")),
+        Seq("u"))
+      .join(deg.select(col("id").as("v"), col("degree").as("dv")),
+        Seq("v"))
+      .select(when(lower, col("u")).otherwise(col("v")).as("a"),
+        when(lower, col("v")).otherwise(col("u")).as("b"))
+    val e = Checkpoints.materialize(oriented, reliable)
+    // keep the wedge CENTER: a closed wedge (c→x, c→y) + edge (x,y)
+    // is one triangle with corners {c, x, y}
+    val wedges = e.select(col("a").as("c"), col("b").as("x")).as("e1")
+      .hint("SHUFFLE_HASH")
+      .join(e.select(col("a").as("c"), col("b").as("y")).as("e2")
+        .hint("SHUFFLE_HASH"), col("e1.c") === col("e2.c") &&
+          col("e1.x") =!= col("e2.y"))
+      .select(col("e1.c").as("c"), col("e1.x").as("x"),
+        col("e2.y").as("y"))
+    val triCorners = wedges.hint("SHUFFLE_HASH")
+      .join(e.select(col("a").as("x"), col("b").as("y"))
+        .hint("SHUFFLE_HASH"), Seq("x", "y"))
+      .select(explode(array(col("c"), col("x"), col("y"))).as("id"))
+    val perNode = triCorners.groupBy("id")
+      .agg(count(lit(1)).as("n_triangles"))
+    val out = deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") < 2, lit(0L)).otherwise(
+          expr("2000000 * coalesce(n_triangles, 0) div " +
+            "(degree * (degree - 1))")).as("lcc_micros"))
+    // the result is a per-node aggregate (small); materialize it before
+    // releasing the oriented edges its lineage replays over (the caller
+    // owns the final frame's blocks — the module's loop discipline)
+    val res = Checkpoints.materialize(out, reliable)
+    Checkpoints.release(e)
+    res
+  }
+
   /** Community detection by synchronous label propagation (Raghavan,
     * Albert & Kumara 2007) made DETERMINISTIC: labels seed as each
     * node's own id, and every round EVERY node simultaneously adopts

@@ -1622,4 +1622,128 @@ object TextAnalysis {
       (Bm25Tables :+ Bm25DeletesTable).map(t => t -> s"$path/$t").toMap)
   }
 
+  // ---- byte-pair-encoding vocabulary learning ------------------------
+
+  /** The word-frequency table BPE training iterates over: lowercase
+    * letter runs (the classic pre-tokenizer, [[bpeTokenCount]]'s letter
+    * branch), each word split to single-character symbols. This is the
+    * WHOLE corpus reduced to its vocabulary — at 100 TB of text the
+    * distinct-word table is ~10⁷ rows, so every subsequent training
+    * round runs over megabytes, not terabytes. */
+  private def bpeWords(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(length(col("word")) >= 2)
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+
+  /** One deterministic BPE merge applied to a symbol-array column:
+    * leftmost non-overlapping occurrences of adjacent pair (l, r)
+    * become the single symbol l||r. A left fold (`aggregate` HOF —
+    * codegen'd, no UDF): append each symbol unless the accumulator's
+    * last element is `l` and the incoming is `r`, in which case the
+    * last element is replaced by the merge. The fold IS leftmost
+    * semantics: a just-merged symbol (l||r ≠ l since r is non-empty)
+    * can never immediately left-merge again, exactly like the scanning
+    * definition — including `l = r` runs, where it pairs run positions
+    * 1-2, 3-4, … (the oracle's run-parity window states the same rule
+    * declaratively). */
+  private def bpeMergeOnce(syms: Column, l: String, r: String): Column =
+    aggregate(syms,
+      expr("cast(array() as array<string>)"),
+      (acc, s) =>
+        when(size(acc) === 0, array(s))
+          .when(element_at(acc, -1) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Distributed BPE vocabulary learning (Sennrich, Haddow & Birch
+    * 2016): `merges` rounds of count-all-adjacent-pairs → merge the
+    * most frequent pair everywhere. Ties break (freq DESC, left ASC,
+    * right ASC) — a TOTAL order, so the learned merge table is a pure
+    * function of the corpus, identical across engines, partitionings,
+    * and runs (reference BPE implementations tie-break on dict order —
+    * a reproducibility killer this operator refuses).
+    *
+    * Scale shape: the corpus collapses ONCE to the word-frequency table
+    * ([[bpeWords]] — one shuffle of (word, 1) pairs with map-side
+    * combine); each round is then (a) one partial+final pair-count
+    * aggregation over that vocabulary-bounded table, (b) a 1-ROW
+    * argmax collect (the only driver traffic: one (l, r, freq) triple
+    * per round), (c) a codegen'd fold rewrite of the symbol arrays.
+    * Rounds follow the [[graft.ext.Checkpoints]] loop discipline:
+    * materialize-and-release, `reliable` for fault-tolerant rounds.
+    * Driver state: `merges` rows. Nothing data-sized ever collects.
+    *
+    * Output: (rank, left_sym, right_sym, pair_freq) — rank 1..merges in
+    * learned order. Stops early (fewer rows) only if the corpus runs
+    * out of adjacent pairs, impossible at corpus scale. */
+  def bpeLearn(docs: DataFrame, textCol: String, merges: Int,
+      reliable: Boolean = false): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1 (got $merges)")
+    val spark = docs.sparkSession
+    var w = Checkpoints.materialize(
+      bpeWords(docs, textCol).select(col("freq"), col("syms")), reliable)
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var exhausted = false
+    var rank = 1
+    while (rank <= merges && !exhausted) {
+      val best = w.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) AS l, " +
+            "element_at(syms, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("f"))
+        .orderBy(col("f").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, f) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        learned += ((rank.toLong, l, r, f))
+        val next = Checkpoints.materialize(
+          w.withColumn("syms", bpeMergeOnce(col("syms"), l, r)),
+          reliable)
+        Checkpoints.release(w)
+        w = next
+        rank += 1
+      }
+    }
+    Checkpoints.release(w)
+    import spark.implicits._
+    learned.toSeq.toDF("rank", "left_sym", "right_sym", "pair_freq")
+  }
+
+  /** Apply a learned merge list ([[bpeLearn]] output rows as
+    * (left, right) in rank order) to a document frame: tokenize exactly
+    * as training did, split each word to characters, fold the merges in
+    * rank order, and emit per-document BPE statistics. The merge table
+    * is DRIVER-SIDE (it is vocabulary-sized metadata, like a tokenizer
+    * file — k merges = k chained codegen'd folds in ONE narrow
+    * projection, no join, no shuffle; the whole encode runs at scan
+    * speed next to the reader).
+    *
+    * Output: (idCol, n_words, n_chars_alpha, n_bpe_tokens) — BPE token
+    * count after all merges; n_chars_alpha is the pre-merge symbol
+    * count, so (n_chars_alpha − n_bpe_tokens) = merges applied. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      mergesInRankOrder: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"),
+        lit(0))).as("word"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    val encoded = mergesInRankOrder.foldLeft(words) { case (df, (l, r)) =>
+      df.withColumn("syms", bpeMergeOnce(col("syms"), l, r))
+    }
+    encoded
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars_alpha"),
+        sum(size(col("syms"))).cast(LongType).as("n_bpe_tokens"))
+  }
 }

@@ -58,4 +58,59 @@ object Joins {
 
     main.unionByName(unmatchedRight)
   }
+
+  /** Bloom-filter semi-join reduction — the explicit form of the
+    * "runtime filter" every warehouse engine applies to selective
+    * star joins: build a Bloom filter over the DIMENSION side's join
+    * keys (one mergeable-sketch aggregation, partial per partition),
+    * broadcast the bytes once per executor, and probe it ON THE FACT
+    * SCAN so non-matching rows die before the join's exchange. The
+    * probe has no false negatives, so dropping misses is lossless; the
+    * surviving (probable) rows still flow through an exact left-semi
+    * join that removes the false positives. Result ≡
+    * `fact.join(dim, key, "left_semi")` bit-for-bit (pinned in
+    * `EngineProps`).
+    *
+    * WHY not rely on Catalyst's own
+    * `spark.sql.optimizer.runtime.bloomFilter` rewrite: the built-in
+    * injects the filter as a plan-literal subquery (re-shipped per
+    * task, size-capped) and only fires on shuffle-join shapes its
+    * heuristics recognize. This operator uses the engine's broadcast
+    * probe ([[graft.functions.BloomExprs.mightContainBroadcast]] — the
+    * handle rides in the plan, bytes move once per executor), applies
+    * to any fact frame, and keeps the probe inside whole-stage codegen.
+    *
+    * At 100 TB: a 1%-selective dimension turns the fact exchange from
+    * 100 TB into ~1 TB + FP traffic (≤ ~1% at the default 8 bits/key).
+    * The dimension aggregates to ONE driver-held byte array — size it
+    * with `numBits` (bits ≈ 10× expected distinct keys for ~1% FP);
+    * for dimensions too big for one filter, shard as in
+    * [[graft.ext.Corpus.bloomDedupSharded]].
+    *
+    * Null fact keys hash to XXH64's seed — if the dimension holds a
+    * null key the probe may pass them, but the exact semi join never
+    * matches nulls, so they are dropped either way (SQL semi-join
+    * semantics). Empty dimension → no filter to build → empty result,
+    * short-circuited without scanning the fact side. */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, expectedItems: Long = 1000000L,
+      numBits: Long = 8388608L): DataFrame = {
+    import graft.functions.BloomExprs
+    val spark = fact.sparkSession
+    BloomExprs.register(spark)
+    val filterBytes = dim
+      .agg(BloomExprs.bloomAgg(xxhash64(col(dimKey)), expectedItems,
+        numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (filterBytes == null) fact.limit(0) // empty dim: semi join is empty
+    else {
+      val bc = spark.sparkContext.broadcast(filterBytes)
+      // broadcast lifetime: as bloomDedup — the returned frame is lazy
+      // and replayable, so the handle is never destroyed by the engine
+      val prefiltered = fact.filter(
+        BloomExprs.mightContainBroadcast(bc, xxhash64(col(factKey))))
+      prefiltered.join(dim.select(col(dimKey).as(factKey)).distinct(),
+        Seq(factKey), "left_semi")
+    }
+  }
 }

@@ -2228,4 +2228,52 @@ class ExtSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.shingleNovelty(d, "doc_id", "text", n = 0))
   }
+
+  test("bpeLearn (x165): hand-computed merges; leftmost run pairing " +
+      "for l = r; total-order tie-break; early exhaustion") {
+    def learn(texts: Seq[String], k: Int): Seq[(Long, String, String, Long)] =
+      TextAnalysis.bpeLearn(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), "text", merges = k)
+        .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    // aa×3 + ab×1: round 1 merges (a,a) at freq 3, round 2 (a,b) at 1
+    assert(learn(Seq("aa aa ab", "aa"), 2) ==
+      Seq((1L, "a", "a", 3L), (2L, "a", "b", 1L)))
+    // run parity: [a,a,a,a] merges positions 1-2 and 3-4 → [aa,aa],
+    // whose pair (aa,aa) is round 2; [a,a,a] → [aa,a] (odd tail)
+    assert(learn(Seq("aaaa"), 2) ==
+      Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+    assert(learn(Seq("aaa"), 2) ==
+      Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)))
+    // equal frequencies tie-break on (left, right) ascending
+    assert(learn(Seq("ba ca"), 1) == Seq((1L, "b", "a", 1L)))
+    // corpus runs dry before k rounds → fewer rows, no error
+    assert(learn(Seq("ab"), 5).map(t => (t._2, t._3)) ==
+      Seq(("a", "b")))
+    // case-folding + non-letter splitting happen before training
+    // ("a8ab" splits to "a" + "ab"; 1-char words carry no pairs)
+    assert(learn(Seq("AB a8ab"), 1) == Seq((1L, "a", "b", 2L)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeLearn(Seq((1L, "x")).toDF("doc_id", "text"),
+        "text", merges = 0))
+  }
+
+  test("bpeEncode (x166): merge folds apply in rank order; counts " +
+      "hand-verified; docs without letter runs are absent") {
+    val d = Seq((1L, "aaaa aaa b"), (2L, "ab aa"), (3L, "123 !!"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(d, "doc_id", "text",
+        Seq(("a", "a"), ("aa", "aa")))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // aaaa→[aaaa] 1 tok; aaa→[aa,a] 2; b→[b] 1; ab→[a,b] 2; aa→[aa] 1
+    assert(got == Map(
+      1L -> ((3L, 8L, 4L)),
+      2L -> ((2L, 4L, 3L))))
+    // empty merge list = character tokenization
+    val plain = TextAnalysis.bpeEncode(d, "doc_id", "text", Seq.empty)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(plain == Map(1L -> ((3L, 8L, 8L)), 2L -> ((2L, 4L, 4L))))
+  }
 }

@@ -267,6 +267,34 @@ class GraphSpec extends SparkSpec {
     assert(tri(star) == ((21L, 20L, 0L)))
   }
 
+  test("clusteringCoefficient: hand-verified fixtures; exact " +
+      "floor-micros; triangle-free and degree-1 nodes emit 0") {
+    def lcc(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+      Graph.clusteringCoefficient(edges.toDF("src", "dst"),
+          "src", "dst")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // K4: every node degree 3, 3 triangles through it, lcc = 1
+    val k4 = for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b
+    } yield (a, b)
+    assert(lcc(k4) ==
+      (0L to 3L).map(_ -> ((3L, 3L, 1000000L))).toMap)
+    // messy encoding (reverse/duplicate/self-loop) — same answer
+    assert(lcc(k4 ++ k4.map(_.swap) ++ Seq((1L, 1L))) == lcc(k4))
+    // triangle with a pendant tail at node 2:
+    //   0,1: deg 2, 1 tri, lcc 1; 2: deg 3, 1 tri, lcc 2/6 = 1/3;
+    //   3: deg 1, 0 tri, lcc 0 (no neighbor pair by convention)
+    val tail = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    assert(lcc(tail) == Map(
+      0L -> ((2L, 1L, 1000000L)), 1L -> ((2L, 1L, 1000000L)),
+      2L -> ((3L, 1L, 333333L)), 3L -> ((1L, 0L, 0L))))
+    // star: every neighbor pair open — all zeros, hub included
+    val star = (1L to 6L).map(i => (0L, i))
+    assert(lcc(star) == (Map(0L -> ((6L, 0L, 0L))) ++
+      (1L to 6L).map(_ -> ((1L, 0L, 0L))).toMap))
+  }
+
   test("kCore: multi-round peel cascade on hand fixtures; " +
       "canonicalization; core_deg is the WITHIN-core degree") {
     def core(edges: Seq[(Long, Long)], k: Int, maxRounds: Int = 100)

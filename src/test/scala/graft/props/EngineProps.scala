@@ -126,6 +126,25 @@ object EngineProps extends Properties("graft") {
       got == want
     }
 
+  property("bloomSemiJoin == built-in left_semi (incl null keys)") =
+    forAll(genSide, genSide) { (l, r) =>
+      import spark.implicits._
+      val fact = l.toDF("k", "lv")
+      val dim = r.toDF("k", "rv")
+      // tiny filter sizing on purpose: correctness must not depend on
+      // the FP rate — the exact semi join clears every false positive
+      val got = graft.ops.Joins.bloomSemiJoin(fact, dim, "k", "k",
+          expectedItems = 4L, numBits = 64L)
+        .select("k", "lv")
+        .collect().map(x => (Option(x.get(0)), Option(x.get(1))))
+        .toSeq.sortBy(_.toString)
+      val want = fact.join(dim.select("k"), Seq("k"), "left_semi")
+        .select("k", "lv")
+        .collect().map(x => (Option(x.get(0)), Option(x.get(1))))
+        .toSeq.sortBy(_.toString)
+      got == want
+    }
+
   // (key, id, tick) event lists for the time-join properties
   private val genEvents: Gen[List[(String, Long, Long)]] =
     Gen.listOfN(12, for {
