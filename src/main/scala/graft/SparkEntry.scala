@@ -2529,6 +2529,43 @@ object SparkEntry {
         "doc_id", "text", Seq("hash", "join", "merge"), window = 10)
         .orderBy(col("doc_id").asc)),
 
+    // k-anonymity / l-diversity audit (x168): the quasi-identifier
+    // groups too small (< k rows) or too uniform (< l distinct
+    // sensitive values) to release — privacy curation next to x27's
+    // PII redaction. One keyed partial+final aggregation; the output
+    // is the bounded risky tail, never the group space.
+    "x168_kanonymity_audit" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+        .withColumn("len_bucket", expr("n_chars div 200"))
+        .withColumn("sens", pmod(col("doc_id"), lit(7L)))
+      graft.ext.Corpus.kAnonymityAudit(d,
+          Seq("lang", "source", "len_bucket"), k = 5,
+          sensitiveCol = Some("sens"), l = 3)
+        .orderBy(col("lang").asc, col("source").asc,
+          col("len_bucket").asc)
+    },
+
+    // Zipf power-law fit (x169): OLS through the token-frequency
+    // SPECTRUM (ln c, ln m(c)) — the no-global-rank estimator; each ln
+    // floored once to milli-nats, all sums exact integers, the only
+    // division the final slope of two identically-computed longs.
+    "x169_zipf_fit" -> ((s, dir) =>
+      graft.ext.Corpus.zipfFit(T(s, dir, "documents"), "text")),
+
+    // REAL WAV/PCM audio decode (x167): the multimodal family's audio
+    // axis made real — a complete RIFF/WAVE container per doc written
+    // through the JDK's own encoder, decoded back through
+    // AudioSystem's actual RIFF parse; PCM16 is lossless so every
+    // decoded amplitude equals the id's closed form (the x101
+    // build∘decode identity on audio). Narrow mapPartitions codec
+    // stage, integer sums, no shuffle of blobs.
+    "x167_wav_pcm_stats" -> { (s, dir) =>
+      val wav = graft.ext.Multimodal.withWavPayload(s,
+        T(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ext.Multimodal.audioPcmStats(s, wav, "doc_id")
+        .orderBy(col("doc_id").asc)
+    },
+
     // distributed BPE vocabulary learning (x165): 6 rounds of
     // count-pairs → merge-everywhere over the vocabulary-bounded
     // word-frequency table (Sennrich 2016), total-order tie-break, all
@@ -5773,6 +5810,57 @@ object SparkEntry {
             FROM e JOIN lw ON e.b = lw.b
             GROUP BY 1 ORDER BY doc_id ASC"""
       },
+
+      // x168: GROUP BY + HAVING is the definition; both engines group
+      // NULL quasi-values together
+      "x168_kanonymity_audit" ->
+        """WITH g AS (SELECT lang, source,
+                 n_chars // 200 AS len_bucket, count(*) AS n_rows,
+                 count(DISTINCT doc_id % 7) AS n_sensitive
+               FROM documents GROUP BY 1, 2, 3)
+           SELECT lang, source, CAST(len_bucket AS BIGINT) AS len_bucket,
+                  CAST(n_rows AS BIGINT) AS n_rows,
+                  CAST(n_sensitive AS BIGINT) AS n_sensitive,
+                  n_rows < 5 AS k_violation,
+                  n_sensitive < 3 AS l_violation
+           FROM g WHERE n_rows < 5 OR n_sensitive < 3
+           ORDER BY lang ASC, source ASC, len_bucket ASC""",
+
+      // x169: same milli-nat floors, same exact integer sums, same
+      // final division
+      "x169_zipf_fit" ->
+        """WITH tf AS (SELECT t, count(*) AS c FROM (
+                 SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                   AS t FROM documents) GROUP BY 1),
+           sp AS (SELECT c, count(*) AS m FROM tf GROUP BY 1),
+           pts AS (SELECT CAST(floor(1000 * ln(c)) AS BIGINT) AS x,
+                     CAST(floor(1000 * ln(m)) AS BIGINT) AS y FROM sp),
+           agg AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
+           SELECT CAST((SELECT count(*) FROM tf) AS BIGINT) AS n_terms,
+                  CAST(n AS BIGINT) AS n_points,
+                  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+                  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+                  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                         CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                  END AS slope
+           FROM agg""",
+
+      // x167: PCM16 round-trips losslessly — the oracle recomputes
+      // every amplitude from the id, never touching bytes
+      "x167_wav_pcm_stats" ->
+        """WITH s AS (SELECT doc_id,
+                 unnest(range(0, 32 + doc_id % 64)) AS i
+               FROM documents),
+           v AS (SELECT doc_id,
+                   (doc_id * 31 + i * 17) % 65536 - 32768 AS amp
+                 FROM s)
+           SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+                  CAST(count(*) AS BIGINT) AS n_samples,
+                  CAST(sum(amp) AS BIGINT) AS sum_amp,
+                  CAST(max(abs(amp)) AS BIGINT) AS peak_amp
+           FROM v GROUP BY 1 ORDER BY doc_id ASC""",
 
       // x165: w0 + 6 unrolled training rounds; the merge table is the
       // per-round argmax rows

@@ -817,4 +817,83 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(sum(col("_lw")).as("dsir_micros"))
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * et al. 2007): every quasi-identifier combination whose group is
+    * re-identification-risky — fewer than `k` rows (k-anonymity), or,
+    * when a sensitive column is given, fewer than `l` distinct
+    * sensitive values (l-diversity: a uniform group leaks the
+    * attribute even at size ≥ k). The privacy gate a training-data
+    * release runs next to PII redaction (x27): redaction scrubs the
+    * DIRECT identifiers, this audits the indirect ones.
+    *
+    * Output: one row per VIOLATING combination — the quasi columns,
+    * `n_rows`, `n_sensitive` (null when no sensitive column), and the
+    * `k_violation`/`l_violation` flags. Violations-only on purpose:
+    * at 100 TB the group space is data-sized but the risky tail is
+    * the bounded, actionable artifact. Scale shape: one partial+final
+    * aggregation keyed on the quasi columns (the distinct-sensitive
+    * count rides the same shuffle); no windows, no joins. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Int,
+      sensitiveCol: Option[String] = None, l: Int = 1): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2 (got $k) — k=1 flags nothing")
+    require(l >= 1, s"l must be >= 1 (got $l)")
+    require(sensitiveCol.nonEmpty || l == 1,
+      "l > 1 needs a sensitive column to diversify")
+    val q = quasiCols.map(col)
+    val aggs = count(lit(1)).as("n_rows") +: sensitiveCol.map(s =>
+      countDistinct(col(s)).as("n_sensitive")).toSeq
+    val g = df.groupBy(q: _*).agg(aggs.head, aggs.tail: _*)
+    val withSens =
+      if (sensitiveCol.isDefined) g
+      else g.withColumn("n_sensitive", lit(null).cast(LongType))
+    withSens
+      .withColumn("k_violation", col("n_rows") < k)
+      .withColumn("l_violation",
+        if (sensitiveCol.isDefined) col("n_sensitive") < l
+        else lit(false))
+      .filter(col("k_violation") || col("l_violation"))
+  }
+
+  /** Power-law (Zipf) fit of the corpus token-frequency SPECTRUM: the
+    * OLS line through (ln c, ln m(c)) where m(c) = number of distinct
+    * terms occurring exactly c times — the frequency-of-frequencies
+    * estimator (Newman 2005 §3 form), which needs NO global rank: the
+    * classic rank-frequency plot needs a total ordering of the
+    * vocabulary (a single-partition sort at corpus scale), while the
+    * spectrum is two keyed aggregations. A healthy natural-language
+    * corpus shows slope ≈ −2; boilerplate floods or template spam bend
+    * it — the corpus-card diagnostic next to x59's summary stats.
+    *
+    * Float discipline (the [[dsirWeights]] rule): each ln is floored
+    * ONCE to integer milli-nats, all sums are exact 64-bit integer
+    * arithmetic (milli not micro keeps n·Σxy far inside long range),
+    * and the only division is the final slope = num/den of two exact
+    * integers both engines computed identically, rounded to 6.
+    * Output: one row — (n_terms, n_points, slope_num, slope_den,
+    * slope); slope null when the spectrum is degenerate (< 2 distinct
+    * frequencies → den = 0). */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val tf = df
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val spectrum = tf.groupBy("c").agg(count(lit(1)).as("m"))
+    val pts = spectrum.select(
+      floor(log(col("c").cast(DoubleType)) * 1000.0)
+        .cast(LongType).as("x"),
+      floor(log(col("m").cast(DoubleType)) * 1000.0)
+        .cast(LongType).as("y"))
+    val nTerms = tf.agg(count(lit(1))).head().getLong(0)
+    pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(lit(nTerms).as("n_terms"), col("n").as("n_points"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("slope",
+        when(col("slope_den") === 0L, lit(null).cast(DoubleType))
+          .otherwise(round(col("slope_num").cast(DoubleType) /
+            col("slope_den").cast(DoubleType), 6)))
+  }
 }

@@ -430,4 +430,103 @@ object Multimodal {
         targetBytes))
     })
   }
+
+  // ---- audio: REAL RIFF/WAVE decode through javax.sound.sampled -----
+
+  /** Deterministic REAL WAV fixture: a complete RIFF/WAVE container per
+    * row, written through the JDK audio system's own encoder
+    * (`AudioSystem.write` — real RIFF chunk layout, fmt and data
+    * chunks), PCM signed 16-bit little-endian mono at 8 kHz. Per doc:
+    * n = 32 + id%64 samples, sample i = (id·31 + i·17) % 65536 − 32768
+    * — the full int16 range, closed-form in the id, and PCM is
+    * lossless, so an oracle recomputes every decoded amplitude without
+    * touching bytes (the [[withPngPayload]] discipline on the audio
+    * axis). Encode runs in `mapPartitions`; blobs never shuffle. */
+  def withWavPayload(spark: SparkSession, df: DataFrame, idCol: String)
+      : DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (32 + Math.floorMod(id, 64L)).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = (Math.floorMod(id * 31 + i * 17, 65536L) - 32768L).toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, bos.toByteArray)
+      }).toDF(idCol, "payload")
+  }
+
+  /** Sample-exact PCM statistics through the REAL audio codec
+    * (`AudioSystem.getAudioInputStream` — actual RIFF parse, not a
+    * header peek): per doc the container's sample rate, total sample
+    * count (frames × channels), exact integer amplitude sum, and peak
+    * |amplitude|. Accepts any PCM_SIGNED 16-bit stream, either
+    * endianness, any channel count (samples of all channels
+    * aggregate); anything else — non-audio bytes, truncated
+    * containers, non-PCM encodings — surfaces as an all-NULL-stats
+    * row, never an error and never a missing doc
+    * ([[frameStats]]' totality contract). Narrow mapPartitions stage,
+    * no shuffle; integer sums make the output engine-exact. */
+  def audioPcmStats(spark: SparkSession, df: DataFrame, idCol: String)
+      : DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val none = (id, None: Option[Long], None: Option[Long],
+          None: Option[Long], None: Option[Long])
+        if (payload == null || payload.isEmpty) none
+        else try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val fmt = ais.getFormat
+            if (fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                fmt.getSampleSizeInBits != 16) none
+            else {
+              val bytes = ais.readAllBytes()
+              // a container whose data chunk delivers fewer bytes than
+              // its declared frame count (truncation) — or a ragged
+              // final frame — is damage: all-NULL, like decodeFrames'
+              // all-or-nothing rule, never a silently shorter stream
+              val declared = ais.getFrameLength
+              val frameSize = fmt.getFrameSize
+              if (bytes.length % 2 != 0 ||
+                  (declared != javax.sound.sampled.AudioSystem
+                    .NOT_SPECIFIED && frameSize > 0 &&
+                    bytes.length != declared * frameSize)) none
+              else {
+                val be = fmt.isBigEndian
+                var sum = 0L
+                var peak = 0L
+                var i = 0
+                while (i + 1 < bytes.length) {
+                  val lo = if (be) bytes(i + 1) else bytes(i)
+                  val hi = if (be) bytes(i) else bytes(i + 1)
+                  val v = ((hi << 8) | (lo & 0xff)).toShort.toLong
+                  sum += v
+                  val a = math.abs(v)
+                  if (a > peak) peak = a
+                  i += 2
+                }
+                (id, Some(fmt.getSampleRate.toLong),
+                  Some((bytes.length / 2).toLong), Some(sum), Some(peak))
+              }
+            }
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => none }
+      }).toDF(idCol, "sample_rate", "n_samples", "sum_amp", "peak_amp")
+  }
 }

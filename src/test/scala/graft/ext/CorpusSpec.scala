@@ -603,4 +603,64 @@ class CorpusSpec extends SparkSpec {
       Corpus.dsirWeights(d, "doc_id", "text", col("lang") === "zz")
     }.getMessage.contains("no tokens"))
   }
+
+  test("kAnonymityAudit (x168): violations-only output; k and l flags " +
+      "independent; null quasi-values group together; validation") {
+    // (lang, sens): en has 3 rows but sens uniform → l-violation only;
+    // fr has 1 row → both; de has 3 rows, 3 sens values → clean
+    val d = Seq(
+      ("en", 1L), ("en", 1L), ("en", 1L),
+      ("fr", 2L),
+      ("de", 1L), ("de", 2L), ("de", 3L),
+      (null.asInstanceOf[String], 1L), (null.asInstanceOf[String], 2L))
+      .toDF("lang", "sens")
+    val got = Corpus.kAnonymityAudit(d, Seq("lang"), k = 3,
+        sensitiveCol = Some("sens"), l = 2)
+      .as[(String, Long, Long, Boolean, Boolean)].collect()
+      .map(r => Option(r._1) -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      Some("en") -> ((3L, 1L, false, true)),
+      Some("fr") -> ((1L, 1L, true, true)),
+      None -> ((2L, 2L, true, false))))
+    // without a sensitive column: k flags only, n_sensitive null
+    val kOnly = Corpus.kAnonymityAudit(d, Seq("lang"), k = 3)
+      .as[(String, Long, Option[Long], Boolean, Boolean)].collect()
+      .map(r => Option(r._1) -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(kOnly == Map(
+      Some("fr") -> ((1L, None, true, false)),
+      None -> ((2L, None, true, false))))
+    intercept[IllegalArgumentException](
+      Corpus.kAnonymityAudit(d, Seq.empty, k = 3))
+    intercept[IllegalArgumentException](
+      Corpus.kAnonymityAudit(d, Seq("lang"), k = 1))
+    intercept[IllegalArgumentException](
+      Corpus.kAnonymityAudit(d, Seq("lang"), k = 3, None, l = 2))
+  }
+
+  test("zipfFit (x169): hand-built spectrum matches the exact integer " +
+      "OLS; degenerate spectrum yields null slope; layout-immune") {
+    // tf: a:4, b:2, c:2, d:1, e:1, f:1 → spectrum (4,1) (2,2) (1,3)
+    val d = Seq((1L, "a a b c d"), (2L, "a a b c e f")).toDF("doc_id", "text")
+    val got = Corpus.zipfFit(d, "text")
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    def mn(v: Long) = math.floor(math.log(v.toDouble) * 1000.0).toLong
+    val pts = Seq((4L, 1L), (2L, 2L), (1L, 3L))
+      .map { case (c, m) => (mn(c), mn(m)) }
+    val (n, sx, sy) = (pts.length.toLong, pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val (num, den) = (n * sxy - sx * sy, n * sxx - sx * sx)
+    assert(got == ((6L, 3L, num, den,
+      Some(BigDecimal(num.toDouble / den.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))))
+    // the fitted slope on this fixture is negative (Zipf-shaped)
+    assert(got._5.get < 0.0)
+    // one distinct frequency → den = 0 → null slope, not a crash
+    val degen = Corpus.zipfFit(Seq((1L, "x y z")).toDF("doc_id", "text"),
+      "text").as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(degen._1 == 3L && degen._4 == 0L && degen._5.isEmpty)
+    // integer sums: immune to physical layout
+    assert(Corpus.zipfFit(d.repartition(7), "text")
+      .as[(Long, Long, Long, Long, Option[Double])].head() == got)
+  }
 }

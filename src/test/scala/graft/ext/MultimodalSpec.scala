@@ -181,4 +181,37 @@ class MultimodalSpec extends SparkSpec {
     assert(tail.feature.take(2).toSeq == "aa".getBytes.toSeq)
     assert(tail.feature.drop(2).forall(_ == 0))
   }
+
+  test("WAV round-trip (x167): decoded PCM stats equal the id's " +
+      "closed form; malformed and truncated containers yield NULLs") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 5L, 63L, 64L, 100L)
+    val wav = Multimodal.withWavPayload(spark,
+      ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.audioPcmStats(spark, wav, "doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val want = ids.map { id =>
+      val n = 32 + Math.floorMod(id, 64L)
+      val amps = (0L until n).map(i =>
+        Math.floorMod(id * 31 + i * 17, 65536L) - 32768L)
+      id -> ((Some(8000L), Some(n), Some(amps.sum),
+        Some(amps.map(math.abs).max)))
+    }.toMap
+    assert(got == want)
+    // non-audio bytes, empty payloads, and a truncated container (a
+    // data chunk shorter than its declared frame count) all surface as
+    // one all-NULL row — the decodeFrames totality contract
+    val full = wav.filter(col("doc_id") === 5L)
+      .head().getAs[Array[Byte]]("payload")
+    val truncated = java.util.Arrays.copyOf(full, full.length - 6)
+    val bad = Seq((1L, "not audio".getBytes),
+      (2L, Array.empty[Byte]), (3L, truncated))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.audioPcmStats(spark, bad, "doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().toSet == Set(
+        (1L, None, None, None, None), (2L, None, None, None, None),
+        (3L, None, None, None, None)))
+  }
 }
