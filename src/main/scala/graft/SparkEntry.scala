@@ -2529,6 +2529,27 @@ object SparkEntry {
         "doc_id", "text", Seq("hash", "join", "merge"), window = 10)
         .orderBy(col("doc_id").asc)),
 
+    // BFS hop levels (x170): exact multi-seed unweighted shortest-path
+    // distances — frontier-only expansion (edges touched once per
+    // direction over the whole run, the textbook BFS bound), rounds
+    // materialize-and-release, SHUFFLE_HASH pins. The x163 irregular
+    // fixture's doubling edges keep the diameter logarithmic, so the
+    // round count stays bounded at every SF.
+    "x170_bfs_levels" -> { (s, dir) =>
+      val sup = T(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("k"))
+      val n = sup.agg(count(lit(1))).head().getLong(0)
+      val edges = sup
+        .select(col("k").as("src"), explode(array(
+          pmod(col("k"), lit(n)) + 1,
+          pmod(col("k") + 1, lit(n)) + 1,
+          pmod(col("k") * 2, lit(n)) + 1)).as("dst"))
+      import s.implicits._
+      graft.ext.Graph.bfsLevels(edges, "src", "dst",
+          Seq(1L).toDF("id"), "id", maxHops = 12)
+        .orderBy(col("id").asc)
+    },
+
     // k-anonymity / l-diversity audit (x168): the quasi-identifier
     // groups too small (< k rows) or too uniform (< l distinct
     // sensitive values) to release — privacy curation next to x27's
@@ -5168,6 +5189,22 @@ object SparkEntry {
                         list(tok ORDER BY j) AS syms
                  FROM k$i WHERE tok IS NOT NULL GROUP BY word)"""
       }.mkString(",\n         ")
+    // x170's unrolled BFS rounds over the both-direction `adj`:
+    // hop = min over rounds of first-reach round — a node reached at
+    // round i enters with hop i; re-reaches at later rounds lose the
+    // min. Unrolling past the fixture's diameter is a no-op at the
+    // fixpoint, exactly the kcoreRounds convention.
+    def bfsRounds(rounds: Int): String =
+      (1 to rounds).map { i =>
+        s"""l$i AS MATERIALIZED (
+                 SELECT id, min(hop) AS hop FROM (
+                   SELECT id, hop FROM l${i - 1}
+                   UNION ALL
+                   SELECT a.dst AS id, CAST($i AS BIGINT) AS hop
+                   FROM adj a JOIN l${i - 1} l ON a.src = l.id)
+                 GROUP BY id)"""
+      }.mkString(",\n         ")
+
     // the x165 base table: lowercase letter-run words at character
     // granularity (mirrors TextAnalysis.bpeWords; the len >= 2 filter
     // is an engine-side optimization — 1-char words carry no pairs)
@@ -5810,6 +5847,26 @@ object SparkEntry {
             FROM e JOIN lw ON e.b = lw.b
             GROUP BY 1 ORDER BY doc_id ASC"""
       },
+
+      // x170: x163's canonical edge set, both directions, 12 unrolled
+      // min-hop rounds from seed 1
+      "x170_bfs_levels" ->
+        s"""WITH k AS (SELECT CAST(s_suppkey AS BIGINT) AS k
+                       FROM supplier),
+           n AS (SELECT count(*) AS n FROM k),
+           raw AS (SELECT k, ((k % n) + 1) AS d FROM k, n
+                   UNION ALL
+                   SELECT k, (((k + 1) % n) + 1) FROM k, n
+                   UNION ALL
+                   SELECT k, (((2 * k) % n) + 1) FROM k, n),
+           e AS (SELECT DISTINCT least(k, d) AS u, greatest(k, d) AS v
+                 FROM raw WHERE k <> d),
+           adj AS (SELECT u AS src, v AS dst FROM e
+                   UNION ALL SELECT v, u FROM e),
+           l0 AS (SELECT CAST(1 AS BIGINT) AS id,
+                    CAST(0 AS BIGINT) AS hop),
+           ${bfsRounds(12)}
+           SELECT id, hop FROM l12 ORDER BY id ASC""",
 
       // x168: GROUP BY + HAVING is the definition; both engines group
       // NULL quasi-values together

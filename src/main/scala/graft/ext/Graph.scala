@@ -390,6 +390,77 @@ object Graph {
     res
   }
 
+  /** Unweighted single-source (multi-seed) shortest-path hops — BFS
+    * levels, the Pregel hello-world the family was missing: every node
+    * reachable from the seed set within `maxHops` gets its exact
+    * minimum hop distance (seeds = 0). Frontier-only expansion: round
+    * k joins ONLY the hop-(k−1) frontier against the adjacency, so
+    * total work is Σ|frontier|·deg — edges are touched once per
+    * direction over the whole run, not once per round (the textbook
+    * BFS work bound, which is what makes 20 hops over a 100 TB graph
+    * a bounded job instead of 20 full-graph joins).
+    *
+    * Canonicalization as [[triangleCount]]/[[kCore]]: undirected
+    * simple graph. Seeds not present in the edge set are still
+    * emitted at hop 0 (a seed is at distance 0 from itself by
+    * definition); `seeds` must be non-empty. Exact integer hops —
+    * deterministic, partition-independent, and the oracle unrolls the
+    * same rounds declaratively (hop = min over rounds). Output:
+    * (id, hop), one row per reached node.
+    *
+    * Scale shape: the both-direction adjacency is hash-partitioned
+    * once and materialized; each round shuffles one (id) frontier and
+    * one anti-join against the visited set (both SHUFFLE_HASH-pinned
+    * over checkpointed lineage — the SCALE.md r12 rule); rounds
+    * materialize-and-release ([[Checkpoints]] discipline). */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int,
+      reliable: Boolean = false): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0 (got $maxHops)")
+    def mat(df: DataFrame): DataFrame = Checkpoints.materialize(df, reliable)
+    val s = col(srcCol).cast(LongType)
+    val d = col(dstCol).cast(LongType)
+    val und = edges
+      .select(least(s, d).as("u"), greatest(s, d).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val adj = mat(und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src")))
+    val seed0 = seeds.select(col(seedCol).cast(LongType).as("id"))
+      .filter(col("id").isNotNull).distinct()
+    require(!seed0.isEmpty, "bfsLevels: the seed set is empty")
+    var visited = mat(seed0.withColumn("hop", lit(0L)))
+    var frontier = visited
+    var hop = 0L
+    var done = false
+    while (hop < maxHops && !done) {
+      hop += 1
+      val fh = frontier.hint("shuffle_hash")
+      val reached = adj.join(fh, adj("src") === fh("id"))
+        .select(col("dst").as("id")).distinct()
+      val next = mat(reached
+        .join(visited.hint("shuffle_hash"), Seq("id"), "left_anti")
+        .withColumn("hop", lit(hop)))
+      if (next.isEmpty) { Checkpoints.release(next); done = true }
+      else {
+        val nv = mat(visited.unionByName(next))
+        // nv is a materialized snapshot, so the superseded visited and
+        // the previous frontier are both dead weight now (at hop 1 the
+        // two are the same frame — release is an idempotent no-op)
+        Checkpoints.release(frontier)
+        Checkpoints.release(visited)
+        visited = nv
+        frontier = next
+      }
+    }
+    // the final frontier's blocks are not part of the returned union
+    // snapshot — only the caller-owned `visited` keeps its blocks
+    if (!(frontier eq visited)) Checkpoints.release(frontier)
+    Checkpoints.release(adj)
+    visited
+  }
+
   /** Community detection by synchronous label propagation (Raghavan,
     * Albert & Kumara 2007) made DETERMINISTIC: labels seed as each
     * node's own id, and every round EVERY node simultaneously adopts

@@ -267,6 +267,36 @@ class GraphSpec extends SparkSpec {
     assert(tri(star) == ((21L, 20L, 0L)))
   }
 
+  test("bfsLevels: exact hops on a path; maxHops truncates; multi-seed " +
+      "takes the min; absent seeds emit hop 0; empty seeds error") {
+    def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int)
+        : Map[Long, Long] =
+      Graph.bfsLevels(edges.toDF("src", "dst"), "src", "dst",
+          seeds.toDF("id"), "id", maxHops)
+        .as[(Long, Long)].collect().toMap
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    // full reach: the 8-9 component is never reached from 1
+    assert(bfs(path, Seq(1L), 10) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // budget truncation: only hops <= 2 surface
+    assert(bfs(path, Seq(1L), 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // maxHops = 0: seeds only
+    assert(bfs(path, Seq(1L), 0) == Map(1L -> 0L))
+    // two seeds: each node takes its nearer seed's distance
+    assert(bfs(path, Seq(1L, 5L), 10) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+    // a seed outside the edge set is at distance 0 from itself
+    assert(bfs(path, Seq(42L), 3) == Map(42L -> 0L))
+    // canonicalization: duplicate/reverse edges and self-loops drop
+    assert(bfs(path ++ path.map(_.swap) :+ ((2L, 2L)), Seq(1L), 10) ==
+      bfs(path, Seq(1L), 10))
+    intercept[IllegalArgumentException](
+      bfs(path, Seq.empty, 3))
+    intercept[IllegalArgumentException](
+      Graph.bfsLevels(path.toDF("src", "dst"), "src", "dst",
+        Seq(1L).toDF("id"), "id", maxHops = -1))
+  }
+
   test("clusteringCoefficient: hand-verified fixtures; exact " +
       "floor-micros; triangle-free and degree-1 nodes emit 0") {
     def lcc(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
