@@ -78,7 +78,7 @@ object Bench {
     "x142_retention_delete", "x145_ivfpq_filtered_topk",
     "x149_ivfpq_time_travel", "x151_bm25_query_expansion",
     "x153_minhash_index_compact", "x154_ivfpq_index_compact",
-    "x155_minhash_time_travel")
+    "x155_minhash_time_travel", "x171_binaryfile_ingest")
 
   private def queryClass(name: String): String =
     if (StreamQueries.contains(name)) "stream"

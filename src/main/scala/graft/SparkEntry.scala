@@ -2529,6 +2529,27 @@ object SparkEntry {
         "doc_id", "text", Seq("hash", "join", "merge"), window = 10)
         .orderBy(col("doc_id").asc)),
 
+    // binaryFile blob ingestion (x171): the boundary real blob corpora
+    // cross — one encoded PNG FILE per doc written through the Hadoop
+    // FS API, read back with Spark's binaryFile source (pathGlobFilter
+    // pruning, maxPartitionBytes sizing), id recovered from the path,
+    // pixels through the real decoder. Same closed-form oracle as
+    // x101: the file-system hop must be invisible.
+    "x171_binaryfile_ingest" -> { (s, dir) =>
+      val base = scratchDir("binfiles")
+      val sub = T(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200)
+      graft.ext.Multimodal.writeBlobFiles(s,
+        graft.ext.Multimodal.withPngPayload(s, sub, "doc_id"),
+        "doc_id", base, ".png")
+      val in = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(base)
+        .select(regexp_extract(col("path"), "([0-9]+)\\.png$", 1)
+          .cast("long").as("doc_id"), col("content").as("payload"))
+      graft.ext.Multimodal.imagePixelStats(s, in, "doc_id")
+        .orderBy(col("doc_id").asc)
+    },
+
     // BFS hop levels (x170): exact multi-seed unweighted shortest-path
     // distances — frontier-only expansion (edges touched once per
     // direction over the whole run, the textbook BFS bound), rounds
@@ -5847,6 +5868,24 @@ object SparkEntry {
             FROM e JOIN lw ON e.b = lw.b
             GROUP BY 1 ORDER BY doc_id ASC"""
       },
+
+      // x171: x101's closed form on the ingested subset — the
+      // write-files → binaryFile-read → decode chain is the identity
+      "x171_binaryfile_ingest" ->
+        """WITH xs AS (SELECT x FROM generate_series(0, 16) g(x)),
+                ys AS (SELECT y FROM generate_series(0, 9) g(y)),
+                p AS (
+                  SELECT d.doc_id, 4 + d.doc_id % 13 AS w,
+                         3 + d.doc_id % 7 AS h, xs.x, ys.y
+                  FROM documents d, xs, ys
+                  WHERE d.doc_id < 200
+                    AND xs.x < 4 + d.doc_id % 13
+                    AND ys.y < 3 + d.doc_id % 7)
+           SELECT doc_id, CAST(MIN(w) AS INT) AS width,
+                  CAST(MIN(h) AS INT) AS height,
+                  CAST(SUM(((doc_id + x) % 256) + ((doc_id + y) % 256)
+                           + ((x + y) % 256)) AS BIGINT) AS pix_sum
+           FROM p GROUP BY doc_id ORDER BY doc_id ASC""",
 
       // x170: x163's canonical edge set, both directions, 12 unrolled
       // min-hop rounds from seed 1

@@ -431,6 +431,34 @@ object Multimodal {
     })
   }
 
+  /** Write one blob FILE per row (`<id><suffix>` under `dir`) through
+    * the Hadoop FileSystem API — the same code path targets local
+    * disk, HDFS, or an object store. This is the fixture side of the
+    * `spark.read.format("binaryFile")` ingestion boundary (gated
+    * x171): real corpora land as files first, and the binaryFile
+    * source is how they enter the engine — with partition sizing via
+    * `spark.sql.files.maxPartitionBytes` and plan-time
+    * `pathGlobFilter` pruning. Each task writes its own partition's
+    * files; nothing funnels through the driver. (The small-file shape
+    * is for boundary tests — production blob corpora should pack into
+    * parquet binary columns or shard archives once ingested.) */
+  def writeBlobFiles(spark: SparkSession, df: DataFrame, idCol: String,
+      dir: String, suffix: String): Unit = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        it.foreach { case (id, payload) =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(base, s"$id$suffix"), true)
+          try out.write(payload) finally out.close()
+        }
+      }
+  }
+
   // ---- audio: REAL RIFF/WAVE decode through javax.sound.sampled -----
 
   /** Deterministic REAL WAV fixture: a complete RIFF/WAVE container per

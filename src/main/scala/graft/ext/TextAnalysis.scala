@@ -1650,7 +1650,7 @@ object TextAnalysis {
     * definition — including `l = r` runs, where it pairs run positions
     * 1-2, 3-4, … (the oracle's run-parity window states the same rule
     * declaratively). */
-  private def bpeMergeOnce(syms: Column, l: String, r: String): Column =
+  private[ext] def bpeMergeOnce(syms: Column, l: String, r: String): Column =
     aggregate(syms,
       expr("cast(array() as array<string>)"),
       (acc, s) =>

@@ -2258,6 +2258,40 @@ class ExtSpec extends SparkSpec {
         "text", merges = 0))
   }
 
+  test("bpeMergeOnce == reference leftmost non-overlapping merge, " +
+      "exhaustively over {a,b}-strings to length 6 and all 4 pairs") {
+    def ref(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val words: Seq[Vector[String]] = (1 to 6).flatMap { len =>
+      (0 until (1 << len)).map(bits => Vector.tabulate(len)(i =>
+        if ((bits >> i & 1) == 0) "a" else "b"))
+    }
+    val pairs = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "syms")
+    // one job: all four merges as parallel columns over all 126 words
+    val cols = pairs.zipWithIndex.map { case ((l, r), i) =>
+      TextAnalysis.bpeMergeOnce(col("syms"), l, r).as(s"m$i")
+    }
+    val got = df.select(col("id") +: cols: _*)
+      .as[(Long, Seq[String], Seq[String], Seq[String], Seq[String])]
+      .collect().sortBy(_._1)
+    got.foreach { case (id, m0, m1, m2, m3) =>
+      val w = words(id.toInt)
+      val expect = pairs.map { case (l, r) => ref(w, l, r) }
+      assert(Seq(m0, m1, m2, m3).map(_.toVector) == expect,
+        s"word $w: got ${Seq(m0, m1, m2, m3)} want $expect")
+    }
+  }
+
   test("bpeEncode (x166): merge folds apply in rank order; counts " +
       "hand-verified; docs without letter runs are absent") {
     val d = Seq((1L, "aaaa aaa b"), (2L, "ab aa"), (3L, "123 !!"))

@@ -182,6 +182,27 @@ class MultimodalSpec extends SparkSpec {
     assert(tail.feature.drop(2).forall(_ == 0))
   }
 
+  test("writeBlobFiles + binaryFile (x171): bytes round-trip exactly; " +
+      "pathGlobFilter prunes foreign files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_blob").toString
+    val payloads = Seq((1L, Array[Byte](1, 2, 3)),
+      (2L, Array[Byte](9)), (3L, "abc".getBytes))
+    Multimodal.writeBlobFiles(spark,
+      payloads.toDF("doc_id", "payload"), "doc_id", dir, ".png")
+    // a foreign file the glob must drop
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "stray.txt"), Array[Byte](7))
+    val got = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(regexp_extract(col("path"), "([0-9]+)\\.png$", 1)
+        .cast("long").as("doc_id"), col("content"))
+      .as[(Long, Array[Byte])].collect()
+      .map(r => r._1 -> r._2.toSeq).toMap
+    assert(got == payloads.map(p => p._1 -> p._2.toSeq).toMap)
+  }
+
   test("WAV round-trip (x167): decoded PCM stats equal the id's " +
       "closed form; malformed and truncated containers yield NULLs") {
     import spark.implicits._
