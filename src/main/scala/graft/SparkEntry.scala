@@ -2529,6 +2529,21 @@ object SparkEntry {
         "doc_id", "text", Seq("hash", "join", "merge"), window = 10)
         .orderBy(col("doc_id").asc)),
 
+    // late-interaction MaxSim retrieval (x172): ColBERT's scoring
+    // form — vectors as 4 contiguous token sub-vectors, score =
+    // Σ_qtoken max_dtoken dot; native fixed-order dot folds, an
+    // order-independent max, and a FIXED left-associated final sum
+    // (never a float groupBy-sum), so scores are engine-bit-identical.
+    // Corpus side broadcast-joins the query tokens; production feeds a
+    // first-stage candidate list, the operator is agnostic.
+    "x172_maxsim_topk" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      graft.ext.Similarity.maxSimTopK(emb,
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+          tokens = 4, k = 5)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    },
+
     // binaryFile blob ingestion (x171): the boundary real blob corpora
     // cross — one encoded PNG FILE per doc written through the Hadoop
     // FS API, read back with Spark's binaryFile source (pathGlobFilter
@@ -5868,6 +5883,34 @@ object SparkEntry {
             FROM e JOIN lw ON e.b = lw.b
             GROUP BY 1 ORDER BY doc_id ASC"""
       },
+
+      // x172: the same contiguous splits, the same fold dots, the
+      // same fixed-order 4-term sum, rounded once
+      "x172_maxsim_topk" ->
+        s"""WITH v AS ($vecs),
+           tok AS (SELECT vec_id, t,
+                     e[CAST(t * (len(e) // 4) + 1 AS INT) :
+                       CAST((t + 1) * (len(e) // 4) AS INT)] AS sub
+                   FROM v, unnest(range(0, 4)) u(t)),
+           mx AS (SELECT q.vec_id AS query_id, d.vec_id, q.t AS qt,
+                    max(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(list_zip(q.sub, d.sub),
+                        p -> p[1] * p[2])), (acc, x) -> acc + x)) AS m
+                  FROM tok q JOIN tok d ON d.vec_id <> q.vec_id
+                  WHERE q.vec_id < 4
+                  GROUP BY 1, 2, 3),
+           sc AS (SELECT query_id, vec_id,
+                    round(max(CASE WHEN qt = 0 THEN m END)
+                        + max(CASE WHEN qt = 1 THEN m END)
+                        + max(CASE WHEN qt = 2 THEN m END)
+                        + max(CASE WHEN qt = 3 THEN m END), 6) AS score
+                  FROM mx GROUP BY 1, 2)
+           SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+           FROM (SELECT query_id, vec_id, score, row_number() OVER
+                   (PARTITION BY query_id
+                    ORDER BY score DESC, vec_id ASC) AS rank FROM sc)
+           WHERE rank <= 5
+           ORDER BY query_id ASC, rank ASC""",
 
       // x171: x101's closed form on the ingested subset — the
       // write-files → binaryFile-read → decode chain is the identity

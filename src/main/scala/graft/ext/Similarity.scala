@@ -46,6 +46,61 @@ object Similarity {
         col("vec_id"), col("cos"))
   }
 
+  /** Late-interaction retrieval scoring (the ColBERT MaxSim form,
+    * Khattab & Zaharia 2020): each vector is treated as `tokens`
+    * contiguous sub-vectors ("token embeddings"), and
+    * score(q, d) = Σ_{query token} max_{doc token} ⟨q_t, d_s⟩ — finer
+    * than one pooled dot (a doc matching every query facet somewhere
+    * beats one matching a single facet strongly), cheaper than a
+    * cross-encoder. Determinism discipline: every ⟨·,·⟩ is the native
+    * fixed-order fold ([[graft.functions.VectorExprs.dotF64]]), the
+    * per-token max is order-independent, and the final sum is a FIXED
+    * left-associated expression over the `tokens` per-token maxima
+    * (never a float groupBy-sum whose partial order floats) — so the
+    * score is bit-identical across engines and partitionings, rounded
+    * once at the end.
+    *
+    * Scale shape: the corpus side explodes to `tokens` rows per
+    * vector and joins the BROADCAST query tokens — tokens² dot
+    * products per (query, doc), the known late-interaction cost. In
+    * production the corpus frame should be a first-stage candidate
+    * list (IVF/BM25 output), not the full corpus; the operator is
+    * agnostic. `size(vec) % tokens` must be 0 (contiguous equal
+    * splits). */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, tokens: Int, k: Int): DataFrame = {
+    require(tokens >= 1, s"tokens must be >= 1 (got $tokens)")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    import graft.functions.VectorExprs.dotF64
+    def toTokens(df: DataFrame, id: String, outId: String,
+        outVec: String): DataFrame =
+      df.select(col(id).as(outId), asDouble(col(vecCol)).as("_v"))
+        .select(col(outId), explode(expr(
+          s"transform(sequence(0, ${tokens - 1}), t -> " +
+            s"struct(t AS ti, slice(_v, t * (size(_v) div $tokens) + 1, " +
+            s"size(_v) div $tokens) AS tv))")).as("_t"))
+        .select(col(outId), col("_t.ti").as(s"${outVec}_idx"),
+          col("_t.tv").as(outVec))
+    val c = toTokens(corpus, idCol, "vec_id", "dv")
+    val q = toTokens(queries, idCol, "query_id", "qv")
+    val maxes = (0 until tokens).map(t =>
+      max(when(col("qv_idx") === t, dotF64(col("qv"), col("dv"))))
+        .as(s"_m$t"))
+    val grouped = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(maxes.head, maxes.tail: _*)
+    val score = round(
+      (0 until tokens).map(t => col(s"_m$t")).reduce(_ + _), 6)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    grouped.withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), col("score"))
+  }
+
   /** Coarse deterministic quantizer: sign bits of the leading dims. */
   def signBucket(vec: org.apache.spark.sql.Column, bits: Int)
       : org.apache.spark.sql.Column =

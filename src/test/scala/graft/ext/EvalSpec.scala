@@ -235,4 +235,39 @@ class EvalSpec extends SparkSpec {
       assert(recall == math.rint(expect / 5.0 * 1e6) / 1e6)
     }
   }
+
+  test("maxSimTopK (x172): hand-computed per-token maxima and fixed " +
+      "sum; ranks on score then id; queries never match themselves; " +
+      "validation") {
+    import org.apache.spark.sql.functions.col
+    val emb = Seq(
+      (1L, Array(1f, 1f)),   // the query
+      (2L, Array(2f, 0f)),   // qt0 max 2, qt1 max 2 -> 4.0
+      (3L, Array(1f, 1f)),   // 1 + 1 -> 2.0
+      (4L, Array(0f, 3f)))   // 3 + 3 -> 6.0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.maxSimTopK(emb,
+        emb.filter(col("vec_id") === 1L), "vec_id", "embedding",
+        tokens = 2, k = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((1L, 1L, 4L, 6.0), (1L, 2L, 2L, 4.0),
+      (1L, 3L, 3L, 2.0)))
+    // k truncates below the candidate count
+    assert(Similarity.maxSimTopK(emb,
+        emb.filter(col("vec_id") === 1L), "vec_id", "embedding",
+        tokens = 2, k = 1)
+      .as[(Long, Long, Long, Double)].collect().toSeq ==
+      Seq((1L, 1L, 4L, 6.0)))
+    // tokens = 1 degenerates to plain dot-product ranking
+    assert(Similarity.maxSimTopK(emb,
+        emb.filter(col("vec_id") === 1L), "vec_id", "embedding",
+        tokens = 1, k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._3 -> r._4).toMap ==
+      Map(4L -> 3.0, 2L -> 2.0, 3L -> 2.0))
+    intercept[IllegalArgumentException](Similarity.maxSimTopK(
+      emb, emb, "vec_id", "embedding", tokens = 0, k = 3))
+    intercept[IllegalArgumentException](Similarity.maxSimTopK(
+      emb, emb, "vec_id", "embedding", tokens = 2, k = 0))
+  }
 }
