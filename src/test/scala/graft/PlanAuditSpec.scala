@@ -65,6 +65,11 @@ class PlanAuditSpec extends SparkSpec {
       // x106 is x75's drift scorer (1-row broadcast totals) on the
       // index's termstats
       "x106_bm25_append_drift",
+      // x172 is x05's sanctioned scan×|Q| shape on token sub-vectors:
+      // the broadcast query-token set pairs with the corpus token scan
+      // under the self-match inequality (see Similarity.maxSimTopK
+      // scaladoc — production feeds a candidate list, not the corpus)
+      "x172_maxsim_topk",
       // x121/x122/x123 are x89's serve plan over a deleted/reindexed
       // index — the same sanctioned 1-row stats cross join; the
       // tombstone anti-join is a keyed hash join
