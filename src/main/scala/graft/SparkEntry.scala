@@ -2529,6 +2529,25 @@ object SparkEntry {
         "doc_id", "text", Seq("hash", "join", "merge"), window = 10)
         .orderBy(col("doc_id").asc)),
 
+    // matryoshka truncation eval (x173): recall@k of prefix-dim
+    // (first 32 of 64) brute-force retrieval against the full-dim
+    // exact list — the dimension-truncation tuning scorecard (how much
+    // recall does halving the vector budget cost?); pure composition
+    // of the audited bruteForceTopK scan and the |Q|·k-bounded
+    // recallAtK join.
+    "x173_matryoshka_recall" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      def half(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("embedding", expr("slice(embedding, 1, 32)"))
+      graft.ext.Similarity.recallAtK(
+        graft.ext.Similarity.bruteForceTopK(emb, q, "vec_id",
+          "embedding", k = 5),
+        graft.ext.Similarity.bruteForceTopK(half(emb), half(q),
+          "vec_id", "embedding", k = 5),
+        "query_id", "vec_id", k = 5)
+    },
+
     // late-interaction MaxSim retrieval (x172): ColBERT's scoring
     // form — vectors as 4 contiguous token sub-vectors, score =
     // Σ_qtoken max_dtoken dot; native fixed-order dot folds, an
@@ -4414,6 +4433,22 @@ object SparkEntry {
                   AS rank
                 FROM scored)
           WHERE rank <= 5"""
+    // x173's approximate leg: x05's exact scan on the FIRST 32 dims
+    // only (the matryoshka prefix), same rounding and tie-break
+    val x05HalfSql: String =
+      s"""WITH v AS (SELECT vec_id,
+                     [CAST(x AS DOUBLE) for x in embedding[1:32]] AS e
+                   FROM embeddings),
+          scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id, $cosPairExpr AS cos
+            FROM v a JOIN v b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < 8)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+          FROM (SELECT query_id, vec_id, cos, row_number() OVER
+                  (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+                  AS rank
+                FROM scored)
+          WHERE rank <= 5"""
     val x07Sql: String =
       s"""WITH v AS ($vecs),
           b AS (SELECT vec_id, e,
@@ -5883,6 +5918,22 @@ object SparkEntry {
             FROM e JOIN lw ON e.b = lw.b
             GROUP BY 1 ORDER BY doc_id ASC"""
       },
+
+      // x173: x138's intersection scorer over the full-dim exact list
+      // and the prefix-dim approximate list
+      "x173_matryoshka_recall" ->
+        s"""SELECT query_id, hits,
+                   round(hits / n_exact, 6) AS recall,
+                   round(coalesce(rr1, 0), 6) AS top1_rr
+            FROM (SELECT e.query_id, count(a.vec_id) AS hits,
+                         count(*) AS n_exact,
+                         max(CASE WHEN e.rank = 1
+                             THEN 1.0 / a.rank END) AS rr1
+                  FROM ($x05Sql) e
+                  LEFT JOIN ($x05HalfSql) a
+                    ON a.query_id = e.query_id
+                       AND a.vec_id = e.vec_id
+                  GROUP BY e.query_id)""",
 
       // x172: the same contiguous splits, the same fold dots, the
       // same fixed-order 4-term sum, rounded once

@@ -70,6 +70,10 @@ class PlanAuditSpec extends SparkSpec {
       // under the self-match inequality (see Similarity.maxSimTopK
       // scaladoc — production feeds a candidate list, not the corpus)
       "x172_maxsim_topk",
+      // x173's both legs ARE bruteForceTopK (full-dim and prefix-dim)
+      // — the sanctioned x05 scan; the eval join itself is keyed over
+      // |Q|·k rows
+      "x173_matryoshka_recall",
       // x121/x122/x123 are x89's serve plan over a deleted/reindexed
       // index — the same sanctioned 1-row stats cross join; the
       // tombstone anti-join is a keyed hash join
