@@ -2529,6 +2529,21 @@ object SparkEntry {
         "doc_id", "text", Seq("hash", "join", "merge"), window = 10)
         .orderBy(col("doc_id").asc)),
 
+    // rendezvous sharding (x174): highest-random-weight placement —
+    // growing 8 → 9 shards moves ONLY the docs the new shard wins
+    // (expected 1/9; modulo placement would reshuffle 8/9). md5
+    // weights (the x20 cross-engine hash), codegen'd literal-array
+    // argmax, one narrow projection.
+    "x174_rendezvous_shards" -> { (s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"))
+        .withColumn("shard_8",
+          graft.ext.Corpus.rendezvousShard(col("doc_id"), 8))
+        .withColumn("shard_9",
+          graft.ext.Corpus.rendezvousShard(col("doc_id"), 9))
+        .withColumn("moved", col("shard_8") =!= col("shard_9"))
+        .orderBy(col("doc_id").asc)
+    },
+
     // matryoshka truncation eval (x173): recall@k of prefix-dim
     // (first 32 of 64) brute-force retrieval against the full-dim
     // exact list — the dimension-truncation tuning scorecard (how much
@@ -5918,6 +5933,33 @@ object SparkEntry {
             FROM e JOIN lw ON e.b = lw.b
             GROUP BY 1 ORDER BY doc_id ASC"""
       },
+
+      // x174: the same md5("<id>:<shard>") weights, argmax stated as
+      // a (w DESC, s DESC) window — identical tie order to the
+      // engine's lexicographic struct max
+      "x174_rendezvous_shards" ->
+        """WITH a8 AS (SELECT doc_id, s,
+                 md5(CAST(doc_id AS VARCHAR) || ':' ||
+                     CAST(s AS VARCHAR)) AS w
+               FROM documents, unnest(range(0, 8)) u(s)),
+           r8 AS (SELECT doc_id, CAST(s AS BIGINT) AS shard_8
+                  FROM (SELECT doc_id, s, row_number() OVER
+                          (PARTITION BY doc_id
+                           ORDER BY w DESC, s DESC) AS rn
+                        FROM a8) WHERE rn = 1),
+           a9 AS (SELECT doc_id, s,
+                 md5(CAST(doc_id AS VARCHAR) || ':' ||
+                     CAST(s AS VARCHAR)) AS w
+               FROM documents, unnest(range(0, 9)) u(s)),
+           r9 AS (SELECT doc_id, CAST(s AS BIGINT) AS shard_9
+                  FROM (SELECT doc_id, s, row_number() OVER
+                          (PARTITION BY doc_id
+                           ORDER BY w DESC, s DESC) AS rn
+                        FROM a9) WHERE rn = 1)
+           SELECT r8.doc_id, shard_8, shard_9,
+                  shard_8 <> shard_9 AS moved
+           FROM r8 JOIN r9 ON r8.doc_id = r9.doc_id
+           ORDER BY r8.doc_id ASC""",
 
       // x173: x138's intersection scorer over the full-dim exact list
       // and the prefix-dim approximate list

@@ -856,6 +856,31 @@ object Corpus {
       .filter(col("k_violation") || col("l_violation"))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1998) — the minimal-movement data-placement rule:
+    * doc d lands on argmax over shards s of hash(d, s), so when the
+    * shard count grows n → n+1 the ONLY docs that move are those whose
+    * new shard wins — an expected 1/(n+1) of the corpus — where modulo
+    * placement reshuffles (n−1)/n of everything. The placement
+    * primitive behind consistent serving caches, shard-local indexes,
+    * and incremental re-partitioning of a 100 TB corpus.
+    *
+    * Deterministic and engine-portable: the weight is the md5 hex of
+    * `"<id>:<shard>"` (the x20 cross-engine hash discipline — never a
+    * JVM-private hash), the argmax a lexicographic max over a
+    * `shards`-element literal array inside codegen. One narrow
+    * projection; nothing shuffles. */
+  def rendezvousShard(idCol: Column, shards: Int): Column = {
+    require(shards >= 1, s"shards must be >= 1 (got $shards)")
+    array_max(transform(
+      sequence(lit(0), lit(shards - 1)),
+      s => struct(
+        md5(concat(idCol.cast(StringType), lit(":"),
+          s.cast(StringType))).as("w"),
+        s.cast(LongType).as("sid"))))
+      .getField("sid")
+  }
+
   /** Power-law (Zipf) fit of the corpus token-frequency SPECTRUM: the
     * OLS line through (ln c, ln m(c)) where m(c) = number of distinct
     * terms occurring exactly c times — the frequency-of-frequencies

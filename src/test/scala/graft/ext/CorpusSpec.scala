@@ -637,6 +637,40 @@ class CorpusSpec extends SparkSpec {
       Corpus.kAnonymityAudit(d, Seq("lang"), k = 3, None, l = 2))
   }
 
+  test("rendezvousShard (x174): matches an independent recomputation; " +
+      "growing n moves docs ONLY onto the new shard (minimal " +
+      "movement); content-stable under layout; validation") {
+    val ids = (0L until 512L).toSeq
+    val d = ids.toDF("id")
+    val got = d.select(col("id"),
+        Corpus.rendezvousShard(col("id"), 8).as("s8"),
+        Corpus.rendezvousShard(col("id"), 9).as("s9"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // independent recomputation with java's own MD5
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def ref(id: Long, n: Int): Long =
+      (0 until n).map(s => (md5hex(s"$id:$s"), s.toLong))
+        .max._2
+    got.foreach { case (id, s8, s9) =>
+      assert(s8 == ref(id, 8) && s9 == ref(id, 9), s"id $id")
+    }
+    // the rendezvous property: every doc that moved, moved TO the new
+    // shard (8); and roughly 1/9 of docs move (loose band)
+    val moved = got.filter(t => t._2 != t._3)
+    assert(moved.forall(_._3 == 8L))
+    assert(moved.length > 512 / 9 / 3 && moved.length < 512 / 9 * 3,
+      s"moved ${moved.length} of 512 — expected ~${512 / 9}")
+    // all shards populated, layout-immune
+    assert(got.map(_._2).distinct.sorted.toSeq == (0L until 8L))
+    assert(d.repartition(7).select(
+        Corpus.rendezvousShard(col("id"), 8).as("s")).as[Long]
+      .collect().sorted.toSeq == got.map(_._2).sorted.toSeq)
+    intercept[IllegalArgumentException](Corpus.rendezvousShard(col("id"), 0))
+  }
+
   test("zipfFit (x169): hand-built spectrum matches the exact integer " +
       "OLS; degenerate spectrum yields null slope; layout-immune") {
     // tf: a:4, b:2, c:2, d:1, e:1, f:1 → spectrum (4,1) (2,2) (1,3)
