@@ -891,11 +891,16 @@ object Corpus {
     * corpus shows slope ≈ −2; boilerplate floods or template spam bend
     * it — the corpus-card diagnostic next to x59's summary stats.
     *
-    * Float discipline (the [[dsirWeights]] rule): each ln is floored
-    * ONCE to integer milli-nats, all sums are exact 64-bit integer
-    * arithmetic (milli not micro keeps n·Σxy far inside long range),
-    * and the only division is the final slope = num/den of two exact
-    * integers both engines computed identically, rounded to 6.
+    * Float discipline (the [[dsirWeights]] rule): each ln is rounded
+    * to 6 guard digits and THEN floored ONCE to integer milli-nats —
+    * the pre-floor round absorbs the last-ulp wiggle libm
+    * implementations are allowed on `ln` (floor would amplify a 1-ulp
+    * difference at an exact integer boundary into an off-by-one grid
+    * point; round-then-floor keeps the milli-nat grid engine-stable).
+    * All sums are exact 64-bit integer arithmetic (milli not micro
+    * keeps n·Σxy far inside long range), and the only division is the
+    * final slope = num/den of two exact integers both engines computed
+    * identically, rounded to 6.
     * Output: one row — (n_terms, n_points, slope_num, slope_den,
     * slope); slope null when the spectrum is degenerate (< 2 distinct
     * frequencies → den = 0). */
@@ -905,9 +910,9 @@ object Corpus {
       .groupBy("term").agg(count(lit(1)).as("c"))
     val spectrum = tf.groupBy("c").agg(count(lit(1)).as("m"))
     val pts = spectrum.select(
-      floor(log(col("c").cast(DoubleType)) * 1000.0)
+      floor(round(log(col("c").cast(DoubleType)) * 1000.0, 6))
         .cast(LongType).as("x"),
-      floor(log(col("m").cast(DoubleType)) * 1000.0)
+      floor(round(log(col("m").cast(DoubleType)) * 1000.0, 6))
         .cast(LongType).as("y"))
     val nTerms = tf.agg(count(lit(1))).head().getLong(0)
     pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),

@@ -65,8 +65,11 @@ object Similarity {
     * products per (query, doc), the known late-interaction cost. In
     * production the corpus frame should be a first-stage candidate
     * list (IVF/BM25 output), not the full corpus; the operator is
-    * agnostic. `size(vec) % tokens` must be 0 (contiguous equal
-    * splits). */
+    * agnostic (see [[maxSimRerank]] for the composed two-stage form).
+    * `size(vec) % tokens` must be 0 (contiguous equal splits) —
+    * ENFORCED per row via `raise_error`, so a non-divisible dimension
+    * fails the job instead of silently truncating the trailing
+    * `size % tokens` dims to all-zero sub-scores. */
   def maxSimTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, tokens: Int, k: Int): DataFrame = {
     require(tokens >= 1, s"tokens must be >= 1 (got $tokens)")
@@ -75,7 +78,13 @@ object Similarity {
     import graft.functions.VectorExprs.dotF64
     def toTokens(df: DataFrame, id: String, outId: String,
         outVec: String): DataFrame =
-      df.select(col(id).as(outId), asDouble(col(vecCol)).as("_v"))
+      df.select(col(id).as(outId), asDouble(col(vecCol)).as("_v0"))
+        // the guard feeds the slice input, so Catalyst cannot prune it
+        .select(col(outId), expr(
+          s"""IF(size(_v0) >= $tokens AND size(_v0) % $tokens = 0, _v0,
+             raise_error(concat('maxSimTopK: size(vec)=', size(_v0),
+               ' is not a positive multiple of tokens=$tokens')))""")
+          .as("_v"))
         .select(col(outId), explode(expr(
           s"transform(sequence(0, ${tokens - 1}), t -> " +
             s"struct(t AS ti, slice(_v, t * (size(_v) div $tokens) + 1, " +
@@ -84,10 +93,23 @@ object Similarity {
           col("_t.tv").as(outVec))
     val c = toTokens(corpus, idCol, "vec_id", "dv")
     val q = toTokens(queries, idCol, "query_id", "qv")
+    val pairs = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    maxSimScoreRank(pairs, tokens, k)
+  }
+
+  /** Shared MaxSim score-and-rank tail: `pairs` carries one row per
+    * (query token, doc token) pair with columns (query_id, vec_id,
+    * qv_idx, qv, dv); emits the (query_id, rank, vec_id, score)
+    * top-k. The per-query-token max is order-independent and the
+    * final sum is the FIXED left-associated `tokens`-term expression
+    * (see [[maxSimTopK]]'s determinism note). */
+  private def maxSimScoreRank(pairs: DataFrame, tokens: Int, k: Int)
+      : DataFrame = {
+    import graft.functions.VectorExprs.dotF64
     val maxes = (0 until tokens).map(t =>
       max(when(col("qv_idx") === t, dotF64(col("qv"), col("dv"))))
         .as(s"_m$t"))
-    val grouped = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val grouped = pairs
       .groupBy(col("query_id"), col("vec_id"))
       .agg(maxes.head, maxes.tail: _*)
     val score = round(
@@ -99,6 +121,70 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),
         col("vec_id"), col("score"))
+  }
+
+  /** MaxSim RE-RANK of a bounded per-query candidate list — the
+    * production second stage [[maxSimTopK]]'s scaladoc promises: a
+    * first-stage retriever (IVF/IVFPQ/BM25) supplies `candidates` as
+    * (query_id, vec_id) pairs, and only those pairs pay the tokens²
+    * late-interaction cost. Scoring is bit-identical to a full-scan
+    * [[maxSimTopK]] restricted to the candidate set: same contiguous
+    * splits, same fixed-order dot folds, same left-associated final
+    * sum, rounded once.
+    *
+    * Scale shape: `candidates` is |Q|·fetchN rows — broadcast — so the
+    * corpus side is ONE narrow pass that keeps only candidate vectors
+    * (broadcast hash semi-restriction on vec_id via the pair join),
+    * then joins the broadcast query tokens on query_id. No shuffle
+    * carries more than |Q|·fetchN·tokens² scored rows; the full-scan
+    * NLJ disappears. */
+  def maxSimRerank(corpus: DataFrame, queries: DataFrame,
+      candidates: DataFrame, idCol: String, vecCol: String,
+      tokens: Int, k: Int): DataFrame = {
+    require(tokens >= 1, s"tokens must be >= 1 (got $tokens)")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    def toTokens(df: DataFrame, id: String, outId: String,
+        outVec: String): DataFrame =
+      df.select(col(id).as(outId), asDouble(col(vecCol)).as("_v0"))
+        .select(col(outId), expr(
+          s"""IF(size(_v0) >= $tokens AND size(_v0) % $tokens = 0, _v0,
+             raise_error(concat('maxSimRerank: size(vec)=', size(_v0),
+               ' is not a positive multiple of tokens=$tokens')))""")
+          .as("_v"))
+        .select(col(outId), explode(expr(
+          s"transform(sequence(0, ${tokens - 1}), t -> " +
+            s"struct(t AS ti, slice(_v, t * (size(_v) div $tokens) + 1, " +
+            s"size(_v) div $tokens) AS tv))")).as("_t"))
+        .select(col(outId), col("_t.ti").as(s"${outVec}_idx"),
+          col("_t.tv").as(outVec))
+    val cand = candidates.select(col("query_id"), col("vec_id"))
+    val c = toTokens(corpus, idCol, "vec_id", "dv")
+    val q = toTokens(queries, idCol, "query_id", "qv")
+    val pairs = c.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+    maxSimScoreRank(pairs, tokens, k)
+  }
+
+  /** Two-stage late-interaction retrieval — the composed production
+    * shape (retrieve-then-re-rank, the ColBERT serving pattern): stage
+    * one fetches `fetchN` pooled-cosine candidates per query through
+    * the sign-bucket multi-probe IVF ([[ivfTopK]] — banded, never
+    * all-pairs), stage two [[maxSimRerank]]s exactly those pairs. At
+    * 100 TB the corpus is touched by (a) one bucketed probe scan and
+    * (b) one candidate-restricted token pass — the tokens² cost is
+    * paid on |Q|·fetchN pairs instead of |Q|·N. Recall vs the
+    * full-scan [[maxSimTopK]] is bounded by stage one's recall (the
+    * `fetchN`/`bits` dial); `EvalSpec` pins the floor. */
+  def twoStageMaxSim(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, tokens: Int, fetchN: Int, k: Int,
+      bits: Int = 4): DataFrame = {
+    require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
+    val cand = ivfTopK(corpus, queries, idCol, vecCol, k = fetchN,
+        bits = bits)
+      .select(col("query_id"), col("vec_id"))
+    maxSimRerank(corpus, queries, cand, idCol, vecCol, tokens, k)
   }
 
   /** Coarse deterministic quantizer: sign bits of the leading dims. */

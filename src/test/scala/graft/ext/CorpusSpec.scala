@@ -677,7 +677,9 @@ class CorpusSpec extends SparkSpec {
     val d = Seq((1L, "a a b c d"), (2L, "a a b c e f")).toDF("doc_id", "text")
     val got = Corpus.zipfFit(d, "text")
       .as[(Long, Long, Long, Long, Option[Double])].head()
-    def mn(v: Long) = math.floor(math.log(v.toDouble) * 1000.0).toLong
+    // mirrors the engine's round-to-guard-digits-then-floor milli-nats
+    def mn(v: Long) = math.floor(BigDecimal(math.log(v.toDouble) * 1000.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
     val pts = Seq((4L, 1L), (2L, 2L), (1L, 3L))
       .map { case (c, m) => (mn(c), mn(m)) }
     val (n, sx, sy) = (pts.length.toLong, pts.map(_._1).sum, pts.map(_._2).sum)

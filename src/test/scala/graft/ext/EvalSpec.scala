@@ -270,4 +270,82 @@ class EvalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.maxSimTopK(
       emb, emb, "vec_id", "embedding", tokens = 2, k = 0))
   }
+
+  test("maxSimTopK: a dimension that is not a positive multiple of " +
+      "tokens fails the job instead of silently truncating") {
+    val emb = Seq((1L, Array(1f, 1f, 1f)), (2L, Array(2f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    // 3 dims, 2 tokens: pre-guard this silently dropped dim 3
+    val e = intercept[Exception](Similarity.maxSimTopK(emb,
+        emb.filter(col("vec_id") === 1L), "vec_id", "embedding",
+        tokens = 2, k = 1).collect())
+    assert(e.getMessage.contains("not a positive multiple"),
+      s"wrong failure: ${e.getMessage}")
+    // size < tokens (every sub-vector would be empty) also fails
+    val e2 = intercept[Exception](Similarity.maxSimTopK(emb,
+        emb.filter(col("vec_id") === 1L), "vec_id", "embedding",
+        tokens = 4, k = 1).collect())
+    assert(e2.getMessage.contains("not a positive multiple"))
+  }
+
+  test("maxSimRerank == full-scan maxSimTopK restricted to the " +
+      "candidate set; twoStageMaxSim recall floor vs the full scan") {
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 4)
+    // hand-restrict: rerank over candidates C must equal the full-scan
+    // MaxSim scores filtered to C (same splits, folds, fixed sum)
+    val cand = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        k = 20, bits = 4)
+      .select(col("query_id"), col("vec_id"))
+    val rerank = Similarity.maxSimRerank(emb, q, cand, "vec_id",
+        "embedding", tokens = 4, k = 5)
+      .select("query_id", "vec_id", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    val candSet = cand.as[(Long, Long)].collect().toSet
+    val n = emb.count().toInt
+    val fullOnCand = Similarity.maxSimTopK(emb, q, "vec_id",
+        "embedding", tokens = 4, k = n) // unranked full score table
+      .select("query_id", "vec_id", "score")
+      .as[(Long, Long, Double)].collect()
+      .filter(r => candSet((r._1, r._2)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5).toSeq }.toSet
+    assert(rerank == fullOnCand,
+      s"rerank diverged from restricted full scan:\n$rerank\nvs\n$fullOnCand")
+
+    // x138-style recall scorecard vs the full scan: hits must equal a
+    // hand count of the list intersection, and recall must be
+    // MONOTONE in fetchN (widening stage one can only add candidates
+    // — the documented fetchN recall dial). The absolute level is a
+    // fixture property (on these synthetic embeddings MaxSim winners
+    // are often outside the pooled-cosine probe set — exactly why the
+    // scorecard exists), so the spec pins the accounting and the
+    // dial's direction, not a fixture-dependent constant.
+    val full = Similarity.maxSimTopK(emb, q, "vec_id", "embedding",
+      tokens = 4, k = 5)
+    val fullSets = full.as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val hitsAt = Seq(20, 100).map { fetch =>
+      val two = Similarity.twoStageMaxSim(emb, q, "vec_id",
+        "embedding", tokens = 4, fetchN = fetch, k = 5)
+      val twoSets = two.as[(Long, Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+      val rec = Similarity.recallAtK(full, two, "query_id", "vec_id",
+          k = 5).as[(Long, Long, Double, Double)].collect()
+      assert(rec.length == 4)
+      rec.map { case (qid, hits, recall, _) =>
+        val expect = fullSets(qid)
+          .intersect(twoSets.getOrElse(qid, Set.empty[Long])).size
+        assert(hits == expect, s"query $qid: hits $hits != $expect")
+        assert(recall == math.rint(expect / 5.0 * 1e6) / 1e6)
+        qid -> hits
+      }.toMap
+    }
+    hitsAt.head.foreach { case (qid, h20) =>
+      assert(hitsAt(1)(qid) >= h20,
+        s"query $qid: recall must be monotone in fetchN " +
+          s"(fetch=100 ${hitsAt(1)(qid)} < fetch=20 $h20)") }
+    intercept[IllegalArgumentException](Similarity.twoStageMaxSim(
+      emb, q, "vec_id", "embedding", tokens = 4, fetchN = 3, k = 5))
+  }
 }
