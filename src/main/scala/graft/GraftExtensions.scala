@@ -48,6 +48,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "graft_edit_dist_le1" ->
       ("graft_edit_dist_le1(a, b) - byte edit distance if <= 1, else " +
         "MaxValue (O(len) two-pointer)"),
+    "graft_nfc_normalize" ->
+      "graft_nfc_normalize(s) - Unicode NFC canonical composition",
     "graft_topk_by_score" ->
       "graft_topk_by_score(score, id, k) - bounded-heap top-k aggregate",
     "graft_misra_gries" ->

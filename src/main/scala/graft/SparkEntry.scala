@@ -1303,6 +1303,27 @@ object SparkEntry {
         graft.ext.TextAnalysis.normalizeText(col("text"))
           .as("norm_text"))),
 
+    // Unicode NFC composition ahead of dedup (x178): the fixture text is
+    // pure ASCII (already NFC), so a deterministic decomposed suffix is
+    // injected on even doc_ids (combining acute/diaeresis/ring — the
+    // x27 injection trick); odd rows keep an ASCII tail so the
+    // isNormalized fast path is exercised too. The codepoint counts
+    // before/after prove composition actually collapsed the combining
+    // marks; norm_text proves NFC composes with the case/whitespace
+    // canonicalization (NFC FIRST — composition is case-sensitive).
+    "x178_nfc_normalize" -> ((s, dir) => {
+      graft.functions.StringExprs.register(s)
+      val raw = concat(col("text"),
+        when(pmod(col("doc_id"), lit(2L)) === 0L,
+          lit(" cafe\u0301 na\u0308ive A\u030Angstro\u0308m"))
+          .otherwise(lit(" plain ascii tail")))
+      T(s, dir, "documents").select(col("doc_id"),
+        graft.ext.TextAnalysis.normalizeText(raw).as("norm_text"),
+        length(raw).cast(LongType).as("n_cp_raw"),
+        length(graft.functions.StringExprs.nfcNormalize(raw))
+          .cast(LongType).as("n_cp_nfc"))
+    }),
+
     // PII redaction with engine-portable (RE2-safe) patterns. The
     // fixture text carries no PII, so each doc gets a deterministic
     // email/phone/IP suffix injected first — the redaction path is
@@ -2634,6 +2655,23 @@ object SparkEntry {
         .orderBy(col("query_id").asc, col("rank").asc)
     },
 
+    // two-stage MaxSim SERVED from the persisted IVF index (x177):
+    // x175's production completion — stage one fetches 20 candidates
+    // through the SAVED learned-centroid inverted file (the shared
+    // read-only fixture; nprobe=2 probed cells), stage two reranks
+    // against the index's own stored vectors, so serving touches only
+    // index segments. Oracle = x175's MaxSim tail with stage one
+    // rebuilt as x71's full-trained probe (the saved centroid
+    // generation replayed by the unrolled-Lloyd CTEs).
+    "x177_two_stage_index_serve" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val vidx = sharedIvfLangIndex(s, dir)
+      graft.ext.Similarity.twoStageMaxSimIndexServe(s, vidx,
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+          tokens = 4, fetchN = 20, k = 5, nprobe = 2)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    },
+
     // late-interaction MaxSim retrieval (x172): ColBERT's scoring
     // form — vectors as 4 contiguous token sub-vectors, score =
     // Σ_qtoken max_dtoken dot; native fixed-order dot folds, an
@@ -2726,6 +2764,19 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id")), "doc_id")
       graft.ext.Multimodal.audioPcmStats(s, wav, "doc_id")
         .orderBy(col("doc_id").asc)
+    },
+
+    // audio resample (x179): nearest-neighbor on the integer time grid
+    // — the x107 resize twin on the audio axis. 8 kHz → 3 kHz is
+    // deliberately non-divisible, so the rational index map
+    // src=(j*srcRate)/dstRate is genuinely exercised (not a stride);
+    // PCM16 is lossless, so the oracle recomputes every SELECTED
+    // amplitude from doc_id's closed form without touching bytes.
+    "x179_audio_resample_stats" -> { (s, dir) =>
+      val wav = graft.ext.Multimodal.withWavPayload(s,
+        T(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ext.Multimodal.audioResampleStats(s, wav, "doc_id",
+        dstRate = 3000).orderBy(col("doc_id").asc)
     },
 
     // distributed BPE vocabulary learning (x165): 6 rounds of
@@ -5590,9 +5641,25 @@ object SparkEntry {
 
       "x26_normalize_text" ->
         """SELECT doc_id,
-                  trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
-                    AS norm_text
+                  trim(regexp_replace(lower(nfc_normalize(text)),
+                    '\s+', ' ', 'g')) AS norm_text
            FROM documents""",
+
+      // x178: replay the decomposed-suffix injection (chr codepoints =
+      // the engine's \u escapes), then DuckDB's own nfc_normalize
+      "x178_nfc_normalize" ->
+        """WITH w AS (SELECT doc_id,
+                 text || CASE WHEN doc_id % 2 = 0
+                   THEN ' cafe' || chr(769) || ' na' || chr(776) ||
+                        'ive A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                   ELSE ' plain ascii tail' END AS raw
+               FROM documents)
+           SELECT doc_id,
+                  trim(regexp_replace(lower(nfc_normalize(raw)),
+                    '\s+', ' ', 'g')) AS norm_text,
+                  CAST(length(raw) AS BIGINT) AS n_cp_raw,
+                  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_cp_nfc
+           FROM w""",
 
       "x27_redact_pii" ->
         """SELECT doc_id,
@@ -6090,6 +6157,57 @@ object SparkEntry {
            WHERE rank <= 5
            ORDER BY query_id ASC, rank ASC""",
 
+      // x177: x175's MaxSim tail with stage one rebuilt as x71's
+      // full-trained learned-centroid probe (kmeansCtes = the saved
+      // centroid generation; fetch-20 candidates from the 2 probed
+      // cells), stage two restricted to exactly those pairs
+      "x177_two_stage_index_serve" ->
+        s"""WITH $kmeansCtes,
+           probes AS (
+             SELECT query_id, cl AS bucket FROM (
+               SELECT v.vec_id AS query_id, c.cl,
+                      row_number() OVER (PARTITION BY v.vec_id
+                        ORDER BY $kmeansD2, c.cl) AS rn
+               FROM v, c2 c
+               WHERE v.vec_id < 4)
+             WHERE rn <= 2),
+           cand AS (SELECT query_id, vec_id FROM (
+                 SELECT p.query_id, b.vec_id,
+                        row_number() OVER (PARTITION BY p.query_id
+                          ORDER BY $cosPairExpr DESC, b.vec_id ASC)
+                          AS rank
+                 FROM probes p
+                      JOIN a3 s ON s.cl = p.bucket
+                      JOIN v b ON b.vec_id = s.vec_id
+                      JOIN v a ON a.vec_id = p.query_id
+                 WHERE b.vec_id <> p.query_id)
+               WHERE rank <= 20),
+           tok AS (SELECT vec_id, t,
+                     e[CAST(t * (len(e) // 4) + 1 AS INT) :
+                       CAST((t + 1) * (len(e) // 4) AS INT)] AS sub
+                   FROM v, unnest(range(0, 4)) u(t)),
+           mx AS (SELECT q.vec_id AS query_id, d.vec_id, q.t AS qt,
+                    max(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(list_zip(q.sub, d.sub),
+                        p -> p[1] * p[2])), (acc, x) -> acc + x)) AS m
+                  FROM tok q
+                  JOIN cand c ON c.query_id = q.vec_id
+                  JOIN tok d ON d.vec_id = c.vec_id
+                  WHERE q.vec_id < 4
+                  GROUP BY 1, 2, 3),
+           sc AS (SELECT query_id, vec_id,
+                    round(max(CASE WHEN qt = 0 THEN m END)
+                        + max(CASE WHEN qt = 1 THEN m END)
+                        + max(CASE WHEN qt = 2 THEN m END)
+                        + max(CASE WHEN qt = 3 THEN m END), 6) AS score
+                  FROM mx GROUP BY 1, 2)
+           SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+           FROM (SELECT query_id, vec_id, score, row_number() OVER
+                   (PARTITION BY query_id
+                    ORDER BY score DESC, vec_id ASC) AS rank FROM sc)
+           WHERE rank <= 5
+           ORDER BY query_id ASC, rank ASC""",
+
       // x172: the same contiguous splits, the same fold dots, the
       // same fixed-order 4-term sum, rounded once
       "x172_maxsim_topk" ->
@@ -6209,15 +6327,37 @@ object SparkEntry {
                   CAST(max(abs(amp)) AS BIGINT) AS peak_amp
            FROM v GROUP BY 1 ORDER BY doc_id ASC""",
 
+      // x179: the engine's rational index map replayed in integer SQL —
+      // m = n*3000//8000 output frames, output j reads source frame
+      // j*8000//3000, amplitude from the same closed form as x167
+      "x179_audio_resample_stats" ->
+        """WITH s AS (SELECT doc_id, 32 + doc_id % 64 AS n
+               FROM documents),
+           o AS (SELECT doc_id, n, (n * 3000) // 8000 AS m FROM s),
+           j AS (SELECT doc_id, m, unnest(range(0, m)) AS j FROM o),
+           v AS (SELECT doc_id, m,
+                   (doc_id * 31 + ((j * 8000) // 3000) * 17) % 65536
+                     - 32768 AS amp
+                 FROM j)
+           SELECT doc_id, CAST(3000 AS BIGINT) AS sample_rate,
+                  CAST(count(*) AS BIGINT) AS n_samples,
+                  CAST(sum(amp) AS BIGINT) AS sum_amp,
+                  CAST(max(abs(amp)) AS BIGINT) AS peak_amp
+           FROM v GROUP BY 1 ORDER BY doc_id ASC""",
+
       // x165: w0 + 6 unrolled training rounds; the merge table is the
-      // per-round argmax rows
+      // per-round argmax rows. The dry-round all-NULL sentinel stays in
+      // b$i (t$i/w$i rely on the cross join never going empty) but is
+      // filtered out here: the engine's bpeLearn stops early and emits
+      // no merge row for a dry round, so the oracle must not either.
       "x165_bpe_learn" ->
         s"""WITH $bpeW0,
            ${bpeRounds(6)}
            SELECT * FROM (
              ${(1 to 6).map(i =>
                s"SELECT CAST($i AS BIGINT) AS rank, l AS left_sym, " +
-               s"r AS right_sym, CAST(f AS BIGINT) AS pair_freq FROM b$i")
+               s"r AS right_sym, CAST(f AS BIGINT) AS pair_freq FROM b$i " +
+               s"WHERE l IS NOT NULL")
                .mkString("\n             UNION ALL ")})
            ORDER BY rank ASC""",
 
@@ -6610,8 +6750,8 @@ object SparkEntry {
 
       "x35_corpus_pipeline" ->
         s"""WITH n AS (SELECT doc_id, lang,
-                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
-                           AS text
+                         trim(regexp_replace(lower(nfc_normalize(text)),
+                           '\\s+', ' ', 'g')) AS text
                        FROM documents),
             sg AS (SELECT doc_id, lang, $splitCase AS split,
                      CAST(len(regexp_split_to_array(trim(text), '\\s+'))

@@ -67,4 +67,23 @@ object Checkpoints {
           "spark.sparkContext.setCheckpointDir(<hdfs/s3 path>) first")
       df.checkpoint()
     }
+
+  /** [[materialize]] that also returns the frame's row count — for
+    * loops whose convergence probe IS a count (BFS frontier empty,
+    * k-core edge fixpoint): a LAZY localCheckpoint makes `count()` the
+    * materializing action itself, so the round costs ONE job instead of
+    * materialize + a second probe action. Reliable mode keeps the eager
+    * checkpoint (the reliable write must complete before anything reads
+    * the frame) and pays a bounded count over the just-written
+    * checkpoint files — the fast path is the default one. */
+  def materializeCount(df: DataFrame, reliable: Boolean)
+      : (DataFrame, Long) =
+    if (!reliable) {
+      val cp = df.localCheckpoint(eager = false)
+      val n = cp.count() // first action: computes, persists, and counts
+      (cp, n)
+    } else {
+      val cp = materialize(df, reliable = true)
+      (cp, cp.count())
+    }
 }

@@ -439,10 +439,12 @@ object Graph {
       val fh = frontier.hint("shuffle_hash")
       val reached = adj.join(fh, adj("src") === fh("id"))
         .select(col("dst").as("id")).distinct()
-      val next = mat(reached
+      // materializeCount folds the emptiness probe into the round's
+      // own materializing action — one job per round, not two
+      val (next, nNew) = Checkpoints.materializeCount(reached
         .join(visited.hint("shuffle_hash"), Seq("id"), "left_anti")
-        .withColumn("hop", lit(hop)))
-      if (next.isEmpty) { Checkpoints.release(next); done = true }
+        .withColumn("hop", lit(hop)), reliable)
+      if (nNew == 0L) { Checkpoints.release(next); done = true }
       else {
         val nv = mat(visited.unionByName(next))
         // nv is a materialized snapshot, so the superseded visited and
@@ -617,8 +619,9 @@ object Graph {
     * is an ERROR, never a silent partial core — a truncated peel
     * still contains sub-k nodes, which violates the operator's whole
     * contract. Convergence is detected by comparing directed-edge
-    * counts (peeling only deletes rows), one bounded count per round
-    * over the just-materialized checkpoint. */
+    * counts (peeling only deletes rows); the count IS the round's
+    * materializing action ([[Checkpoints.materializeCount]]), so the
+    * probe adds no extra job. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxRounds: Int = 100, reliable: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
@@ -630,9 +633,12 @@ object Graph {
       .select(least(s, d).as("u"), greatest(s, d).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull)
       .distinct()
-    var adj = mat(und.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(und.select(col("v").as("src"), col("u").as("dst"))))
-    var nDirected = adj.count()
+    // materializeCount folds the convergence count into each
+    // materializing action — one job per round, not two
+    var (adj, nDirected) = Checkpoints.materializeCount(
+      und.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(und.select(col("v").as("src"), col("u").as("dst"))),
+      reliable)
     var round = 0
     var fixed = nDirected == 0L
     while (round < maxRounds && !fixed) {
@@ -640,12 +646,11 @@ object Graph {
       // both-direction layout makes degree a single partial+final agg)
       val alive = mat(adj.groupBy("src").agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= k).select(col("src").as("id")))
-      val next = mat(adj
+      val (next, nNext) = Checkpoints.materializeCount(adj
         .join(alive.hint("shuffle_hash"),
           adj("src") === alive("id"), "left_semi")
         .join(alive.withColumnRenamed("id", "id2").hint("shuffle_hash"),
-          col("dst") === col("id2"), "left_semi"))
-      val nNext = next.count()
+          col("dst") === col("id2"), "left_semi"), reliable)
       fixed = nNext == nDirected
       Checkpoints.release(alive)
       Checkpoints.release(adj)

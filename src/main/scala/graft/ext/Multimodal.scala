@@ -512,49 +512,117 @@ object Multimodal {
     df.select(col(idCol).cast(LongType), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
-        val none = (id, None: Option[Long], None: Option[Long],
-          None: Option[Long], None: Option[Long])
-        if (payload == null || payload.isEmpty) none
-        else try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(payload))
-          try {
-            val fmt = ais.getFormat
-            if (fmt.getEncoding !=
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-                fmt.getSampleSizeInBits != 16) none
-            else {
-              val bytes = ais.readAllBytes()
-              // a container whose data chunk delivers fewer bytes than
-              // its declared frame count (truncation) — or a ragged
-              // final frame — is damage: all-NULL, like decodeFrames'
-              // all-or-nothing rule, never a silently shorter stream
-              val declared = ais.getFrameLength
-              val frameSize = fmt.getFrameSize
-              if (bytes.length % 2 != 0 ||
-                  (declared != javax.sound.sampled.AudioSystem
-                    .NOT_SPECIFIED && frameSize > 0 &&
-                    bytes.length != declared * frameSize)) none
-              else {
-                val be = fmt.isBigEndian
-                var sum = 0L
-                var peak = 0L
-                var i = 0
-                while (i + 1 < bytes.length) {
-                  val lo = if (be) bytes(i + 1) else bytes(i)
-                  val hi = if (be) bytes(i) else bytes(i + 1)
-                  val v = ((hi << 8) | (lo & 0xff)).toShort.toLong
-                  sum += v
-                  val a = math.abs(v)
-                  if (a > peak) peak = a
-                  i += 2
-                }
-                (id, Some(fmt.getSampleRate.toLong),
-                  Some((bytes.length / 2).toLong), Some(sum), Some(peak))
-              }
+        decodePcm16(payload) match {
+          case Some((rate, _, samples)) =>
+            var sum = 0L
+            var peak = 0L
+            var i = 0
+            while (i < samples.length) {
+              val v = samples(i).toLong
+              sum += v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              i += 1
             }
-          } finally ais.close()
-        } catch { case scala.util.control.NonFatal(_) => none }
+            (id, Some(rate), Some(samples.length.toLong), Some(sum),
+              Some(peak))
+          case None =>
+            (id, None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long])
+        }
+      }).toDF(idCol, "sample_rate", "n_samples", "sum_amp", "peak_amp")
+  }
+
+  /** Shared PCM16 decode behind [[audioPcmStats]]/[[audioResampleStats]]:
+    * real RIFF parse via `AudioSystem.getAudioInputStream`, returning
+    * `(sampleRate, channels, samples)` with every sample sign-extended
+    * to Short in stream order (channel-interleaved). Totality contract:
+    * non-audio bytes, truncated containers (data chunk shorter than the
+    * declared frame count, or a ragged final frame), and non-PCM16
+    * encodings all return None — damage is all-or-nothing, never a
+    * silently shorter stream. */
+  private def decodePcm16(payload: Array[Byte])
+      : Option[(Long, Int, Array[Short])] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = ais.readAllBytes()
+          val declared = ais.getFrameLength
+          val frameSize = fmt.getFrameSize
+          if (bytes.length % 2 != 0 ||
+              (declared != javax.sound.sampled.AudioSystem
+                .NOT_SPECIFIED && frameSize > 0 &&
+                bytes.length != declared * frameSize)) None
+          else {
+            val be = fmt.isBigEndian
+            val out = new Array[Short](bytes.length / 2)
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val lo = if (be) bytes(i + 1) else bytes(i)
+              val hi = if (be) bytes(i) else bytes(i + 1)
+              out(i / 2) = ((hi << 8) | (lo & 0xff)).toShort
+              i += 2
+            }
+            Some((fmt.getSampleRate.toLong, fmt.getChannels.max(1), out))
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Nearest-neighbor resample on the integer time grid — the audio
+    * twin of [[imageResizeStats]]'s `src=(dst*srcDim)/dstDim` map.
+    * Output frame j (of m = ⌊nFrames·dstRate/srcRate⌋) takes source
+    * frame i = ⌊j·srcRate/dstRate⌋ — exact rational arithmetic, no
+    * floats, so the oracle recomputes every selected amplitude straight
+    * from the id's closed form. Multi-channel streams resample on the
+    * FRAME index (all channels of a selected frame survive together —
+    * channel alignment is never broken). Stats of the resampled stream:
+    * target rate, sample count (frames × channels), exact integer sum,
+    * peak |amplitude|. Same totality contract as [[audioPcmStats]]:
+    * undecodable/truncated/non-PCM16 input → all-NULL stats row. Narrow
+    * mapPartitions codec stage, no shuffle of blobs; at 100 TB the
+    * resample rides the ingest scan like every other per-blob
+    * transform. */
+  def audioResampleStats(spark: SparkSession, df: DataFrame,
+      idCol: String, dstRate: Int): DataFrame = {
+    require(dstRate > 0, s"dstRate must be positive, got $dstRate")
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        decodePcm16(payload) match {
+          case Some((srcRate, channels, samples)) if srcRate > 0 =>
+            val nFrames = samples.length / channels
+            val m = (nFrames.toLong * dstRate / srcRate).toInt
+            var sum = 0L
+            var peak = 0L
+            var j = 0
+            while (j < m) {
+              val src = (j.toLong * srcRate / dstRate).toInt
+              var c = 0
+              while (c < channels) {
+                val v = samples(src * channels + c).toLong
+                sum += v
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                c += 1
+              }
+              j += 1
+            }
+            (id, Some(dstRate.toLong), Some(m.toLong * channels),
+              Some(sum), Some(peak))
+          case _ =>
+            (id, None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long])
+        }
       }).toDF(idCol, "sample_rate", "n_samples", "sum_amp", "peak_amp")
   }
 }

@@ -187,6 +187,36 @@ object Similarity {
     maxSimRerank(corpus, queries, cand, idCol, vecCol, tokens, k)
   }
 
+  /** [[twoStageMaxSim]] SERVED from a persisted [[saveIvfIndex]] index
+    * — late interaction joins the train-once/serve-many family: stage
+    * one fetches `fetchN` pooled-cosine candidates per query through
+    * [[queryIvfIndex]] (the saved learned-centroid inverted file,
+    * `nprobe` probed cells — never a per-call re-bucket of the
+    * corpus), and stage two [[maxSimRerank]]s exactly those pairs
+    * against the INDEX's own stored vectors — serving touches only
+    * index segments, no side copy of the corpus table, and an
+    * `asOfVersion` pin serves BOTH stages from the same snapshot (the
+    * candidate list and the reranked vectors can never mix two index
+    * generations). At 100 TB the corpus pays (a) the probed-cell scans
+    * and (b) one |Q|·fetchN broadcast-pair token pass; the tokens²
+    * cost never multiplies N. Recall vs the full-scan [[maxSimTopK]]
+    * is bounded by stage one's recall (the `fetchN`/`nprobe` dial). */
+  def twoStageMaxSimIndexServe(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      tokens: Int, fetchN: Int, k: Int, nprobe: Int = 2,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
+    val cand = queryIvfIndex(spark, path, queries, idCol, vecCol,
+        k = fetchN, nprobe = nprobe, asOfVersion = asOfVersion)
+      .select(col("query_id"), col("vec_id"))
+    // stage two reads the SAME snapshot's corpus segments (stored
+    // double vectors; asDouble in maxSimRerank is then the identity)
+    val snap = ivfSnapshot(spark, path, asOfVersion)
+    val indexed = readIvfCorpus(spark, path, snap)
+      .select(col("vec_id").as(idCol), col("v").as(vecCol))
+    maxSimRerank(indexed, queries, cand, idCol, vecCol, tokens, k)
+  }
+
   /** Coarse deterministic quantizer: sign bits of the leading dims. */
   def signBucket(vec: org.apache.spark.sql.Column, bits: Int)
       : org.apache.spark.sql.Column =

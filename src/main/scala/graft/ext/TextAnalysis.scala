@@ -124,12 +124,23 @@ object TextAnalysis {
   }
 
   /** Canonical text normalization ahead of dedup/fingerprinting:
-    * lowercase, collapse every whitespace run to one space, trim. A
-    * narrow codegen'd projection — at 100 TB it rides the parquet scan.
-    * Normalizing BEFORE exact/near dedup is what makes "same text modulo
-    * spacing/case" collapse to one digest (cf. [[Corpus.digest]]). */
-  def normalizeText(c: Column): Column =
-    trim(regexp_replace(lower(c), "\\s+", " "))
+    * Unicode NFC composition first (decomposed `e`+U+0301 and
+    * precomposed `é` become byte-identical — without it multilingual
+    * near-dup requires byte-identical codepoints), then lowercase,
+    * collapse every whitespace run to one space, trim. A narrow
+    * projection — at 100 TB it rides the parquet scan; the NFC pass is
+    * an allocation-free `isNormalized` scan on the (overwhelming)
+    * already-composed majority. Normalizing BEFORE exact/near dedup is
+    * what makes "same text modulo spacing/case/composition" collapse to
+    * one digest (cf. [[Corpus.digest]]). */
+  def normalizeText(c: Column): Column = {
+    // active-session fallback registration, same contract as
+    // DedupOps.shingles: operators holding the DataFrame register first
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.StringExprs.register)
+    trim(regexp_replace(
+      lower(graft.functions.StringExprs.nfcNormalize(c)), "\\s+", " "))
+  }
 
   /** PII pattern redaction: emails, North-American phone shapes, and
     * IPv4 literals replaced by stable placeholder tokens. Patterns stay

@@ -222,6 +222,31 @@ object StringExprs {
       copy(child = c)
   }
 
+  /** `nfc_normalize(s)` → string: Unicode canonical composition (NFC)
+    * via the pure-JDK `java.text.Normalizer` — decomposed sequences
+    * (`e` + U+0301) collapse to their precomposed forms (`é`), so
+    * byte-level dedup/fingerprinting treats canonically-equal text as
+    * equal. Fast path: `Normalizer.isNormalized` is a scan with no
+    * allocation, and real-world corpora are overwhelmingly already-NFC
+    * (all of ASCII is), so the common row costs one pass and returns
+    * the input UTF8String unchanged. Null-intolerant, deterministic,
+    * CodegenFallback (the JDK call dominates; codegen would only
+    * inline the dispatch). Matches DuckDB's `nfc_normalize`. */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any = {
+      val u = input.asInstanceOf[UTF8String]
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s,
+          java.text.Normalizer.Form.NFC)) u
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** name → builder, single source for both registration paths. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_masked_pos_hashes" -> ((es: Seq[Expression]) =>
@@ -233,7 +258,9 @@ object StringExprs {
     "graft_edit_dist_le1" -> ((es: Seq[Expression]) =>
       EditDistLE1(es.head, es(1))),
     "graft_char_entropy_stats" -> ((es: Seq[Expression]) =>
-      CharEntropyStats(es.head)))
+      CharEntropyStats(es.head)),
+    "graft_nfc_normalize" -> ((es: Seq[Expression]) =>
+      NfcNormalize(es.head)))
 
   /** Register in the session (idempotent); required before the Column
     * wrappers below. */
@@ -253,4 +280,6 @@ object StringExprs {
     call_function("graft_deletion_hashes", c)
   def editDistLE1(a: Column, b: Column): Column =
     call_function("graft_edit_dist_le1", a, b)
+  def nfcNormalize(c: Column): Column =
+    call_function("graft_nfc_normalize", c)
 }

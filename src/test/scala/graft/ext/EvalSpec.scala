@@ -348,4 +348,41 @@ class EvalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.twoStageMaxSim(
       emb, q, "vec_id", "embedding", tokens = 4, fetchN = 3, k = 5))
   }
+
+  test("twoStageMaxSimIndexServe (x177): cold index serve equals the " +
+      "source-table composition; asOfVersion pins both stages to one " +
+      "snapshot") {
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 4)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_twostage").resolve("idx").toString
+    Similarity.saveIvfIndex(emb, "vec_id", "embedding", idx,
+      kCentroids = 8, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "score")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val served = Similarity.twoStageMaxSimIndexServe(spark, idx, q,
+      "vec_id", "embedding", tokens = 4, fetchN = 20, k = 5)
+    // equality pin: index-served stage two (the index's stored
+    // vectors) == rerank against the SOURCE table over the same
+    // candidates — the stored vectors are faithful
+    val cand = Similarity.queryIvfIndex(spark, idx, q, "vec_id",
+        "embedding", k = 20, nprobe = 2)
+      .select(col("query_id"), col("vec_id"))
+    val composed = Similarity.maxSimRerank(emb, q, cand, "vec_id",
+      "embedding", tokens = 4, k = 5)
+    assert(rows(served) == rows(composed))
+    // snapshot pin: an append must not leak into a version-pinned
+    // serve — both stages resolve the SAME pre-append snapshot
+    val v1 = rows(served)
+    val extra = emb.filter(col("vec_id") >= 4 && col("vec_id") < 8)
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+    Similarity.appendToIvfIndex(spark, idx, extra, "vec_id",
+      "embedding", "b1")
+    val pinned = rows(Similarity.twoStageMaxSimIndexServe(spark, idx,
+      q, "vec_id", "embedding", tokens = 4, fetchN = 20, k = 5,
+      asOfVersion = Some(1L)))
+    assert(pinned == v1,
+      "asOfVersion serve diverged after an append landed")
+  }
 }

@@ -1763,6 +1763,26 @@ class ExtSpec extends SparkSpec {
     assert(out == Seq("a b c", "already clean"))
   }
 
+  test("normalizeText composes NFC: decomposed == precomposed") {
+    // decomposed (e + U+0301, A + U+030A) and precomposed spellings of
+    // the same words must normalize to byte-identical output — the
+    // property that makes multilingual near-dup collapse correctly
+    val out = Seq("Café  Ångström", "café ångström")
+      .toDF("text")
+      .select(TextAnalysis.normalizeText(col("text")).as("n"))
+      .as[String].collect().toSeq
+    assert(out.head == out(1))
+    assert(out.head == "café ångström")
+  }
+
+  test("nfcNormalize: composes combining marks, ASCII fast-path is " +
+      "identity, NULL propagates") {
+    val out = Seq(Some("näive"), Some("plain"), None).toDF("text")
+      .select(graft.functions.StringExprs.nfcNormalize(col("text")).as("n"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(out == Seq(Some("näive"), Some("plain"), None))
+  }
+
   test("redactPii replaces emails, phones, and IPv4 literals") {
     val out = Seq(
       "mail a@b.co or x.y-z@sub.domain.org call 555-123-4567 " +

@@ -235,4 +235,65 @@ class MultimodalSpec extends SparkSpec {
         (1L, None, None, None, None), (2L, None, None, None, None),
         (3L, None, None, None, None)))
   }
+
+  test("audio resample (x179): nearest-neighbor on the rational time " +
+      "grid matches the closed form; identity at equal rates; " +
+      "truncated/non-audio input yields NULLs") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 5L, 63L, 64L, 100L)
+    val wav = Multimodal.withWavPayload(spark, ids.toDF("doc_id"),
+      "doc_id")
+    def amps(id: Long): IndexedSeq[Long] = {
+      val n = 32 + Math.floorMod(id, 64L)
+      (0L until n).map(i =>
+        Math.floorMod(id * 31 + i * 17, 65536L) - 32768L)
+    }
+    // 8000 → 3000: m = n*3/8 frames, frame j reads source j*8//3
+    val got = Multimodal.audioResampleStats(spark, wav, "doc_id", 3000)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val want = ids.map { id =>
+      val a = amps(id)
+      val m = (a.length * 3000L / 8000L).toInt
+      val sel = (0 until m).map(j => a((j * 8000L / 3000L).toInt))
+      id -> ((Some(3000L), Some(m.toLong), Some(sel.sum),
+        Some(sel.map(math.abs).max)))
+    }.toMap
+    assert(got == want)
+    // equal rates: the index map is the identity — stats equal x167's
+    val same = Multimodal.audioResampleStats(spark, wav, "doc_id", 8000)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    val base = ids.map { id =>
+      val a = amps(id)
+      id -> ((Some(a.length.toLong), Some(a.sum),
+        Some(a.map(math.abs).max)))
+    }.toMap
+    assert(same == base)
+    // upsample 8000 → 12000: every source frame repeats ⌈3/2⌉-wise on
+    // the integer grid; count is exactly n*3/2 and sums stay integral
+    val up = Multimodal.audioResampleStats(spark, wav, "doc_id", 12000)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val upWant = ids.map { id =>
+      val a = amps(id)
+      val m = (a.length * 12000L / 8000L).toInt
+      val sel = (0 until m).map(j => a((j * 8000L / 12000L).toInt))
+      id -> ((Some(12000L), Some(m.toLong), Some(sel.sum),
+        Some(sel.map(math.abs).max)))
+    }.toMap
+    assert(up == upWant)
+    // totality: same all-NULL contract as audioPcmStats
+    val full = wav.filter(col("doc_id") === 5L)
+      .head().getAs[Array[Byte]]("payload")
+    val truncated = java.util.Arrays.copyOf(full, full.length - 6)
+    val bad = Seq((1L, "not audio".getBytes),
+      (2L, Array.empty[Byte]), (3L, truncated))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.audioResampleStats(spark, bad, "doc_id", 3000)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().toSet == Set(
+        (1L, None, None, None, None), (2L, None, None, None, None),
+        (3L, None, None, None, None)))
+  }
 }
