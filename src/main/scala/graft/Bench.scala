@@ -24,6 +24,12 @@ import org.apache.spark.sql.SparkSession
   *     recompile, or ambient host stall charges one run, not the
   *     artifact. Sub-second queries report the single run (their
   *     absolute error is bounded by the noise floor either way).
+  *  3. ISOLATED RE-CHECK: a query whose suite min-of-two still lands
+  *     >1.8x its prior-artifact number re-runs once AFTER the suite
+  *     (post-hygiene, no neighbor interference); the artifact records
+  *     {suite, isolated} under "isolated" and the headline takes the
+  *     minimum — suite pollution is adjudicated automatically instead
+  *     of by a manual protocol.
   *
   * Each query also carries a CLASS tag so totals decompose:
   * `serve` (pure read/compute), `lifecycle` (the gate builds or
@@ -77,7 +83,8 @@ object Bench {
     "x142_retention_delete", "x145_ivfpq_filtered_topk",
     "x149_ivfpq_time_travel",
     "x153_minhash_index_compact", "x154_ivfpq_index_compact",
-    "x155_minhash_time_travel", "x171_binaryfile_ingest")
+    "x155_minhash_time_travel", "x171_binaryfile_ingest",
+    "x176_hybrid_pinned_snapshot", "x181_ivfpq_asof_filtered")
   // x130/x131/x132/x136/x151 moved to `serve` in r14: they resolve the
   // session-scoped shared read-only fixtures (SparkEntry
   // .prewarmSharedFixtures builds them before the measured loop), so
@@ -195,7 +202,22 @@ object Bench {
     // skips all second runs for quick iteration)
     val minOfTwoFloorSec = 1.0
     val benchOnce = sys.env.contains("SPARK_GRAFT_BENCH_ONCE")
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // prior round's per-query numbers (the committed artifact, read
+    // BEFORE this run overwrites it) — the baseline the isolated
+    // re-check below adjudicates against
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", out)
+    val prior: Map[String, Double] =
+      try {
+        import scala.jdk.CollectionConverters._
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(priorPath))
+        val qsNode = node.get("queries")
+        if (qsNode == null) Map.empty
+        else qsNode.properties().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      } catch { case _: Throwable => Map.empty }
+    val suiteRuns = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val d1 = once(name, fn)
       val d =
         if (benchOnce || d1 < minOfTwoFloorSec) d1
@@ -207,8 +229,33 @@ object Bench {
         }
       name -> d
     }
+    // ISOLATED RE-CHECK (SCALE.md §Bench, automated from r15): a query
+    // whose suite min-of-two lands >1.8x its prior-artifact number is
+    // re-run once more here — after the whole suite, post-hygiene, no
+    // neighbor interference — and the artifact records BOTH numbers;
+    // the headline takes the minimum (the same best-credible-number
+    // rule as min-of-two). This is how a suite-pollution outlier stops
+    // masquerading as a regression without a manual adjudication run.
+    val isolationFactor = 1.8
+    val isolated = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double)]
+    val results = suiteRuns.map { case (name, suite) =>
+      val outlier = !benchOnce && suite >= minOfTwoFloorSec &&
+        prior.get(name).exists(p => p > 0 && suite > p * isolationFactor)
+      if (!outlier) name -> suite
+      else {
+        val iso = once(name, selected(name))
+        System.err.println(f"[bench] isolated re-check $name: " +
+          f"suite=$suite%.3f isolated=$iso%.3f (prior=${prior(name)}%.3f)")
+        isolated(name) = (suite, iso)
+        name -> math.min(suite, iso)
+      }
+    }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val isoJson = isolated.map { case (k, (s, i)) =>
+      "\"" + k + f"""\":{"suite":$s%.3f,"isolated":$i%.3f}"""
+    }.mkString("{", ",", "}")
     val classes = results.map { case (k, _) =>
       "\"" + k + "\":\"" + queryClass(k) + "\"" }.mkString("{", ",", "}")
     val subtotals = results.groupBy { case (k, _) => queryClass(k) }
@@ -217,13 +264,16 @@ object Bench {
       "\"" + c + f"""\":${subtotals.getOrElse(c, 0.0)}%.3f""")
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // bench_schema 2 (r15): adds the "isolated" adjudication object and
+    // records that x130/x131/x132/x136/x151 measure SERVE over shared
+    // prebuilt fixtures since r14 — cross-round comparisons of those
+    // gates and the serve/lifecycle subtotals start at schema 2.
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"classes":$classes,"subtotals":$subJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","bench_schema":2,"queries":$qs,"classes":$classes,"subtotals":$subJson,"isolated":$isoJson,"sf":"$sfDir"}"""
     println(full)
     // durable per-query artifact (java.nio is fine here: Bench is a
     // harness-local main, not engine code — same sanction as Verify's
     // output dir)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
     if (only.isEmpty) { // a filtered dev run must not clobber the artifact
       try java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (full + "\n").getBytes("UTF-8"))

@@ -3061,6 +3061,50 @@ object SparkEntry {
         k = 10)
     },
 
+    // COORDINATED cross-index snapshots (x176): the hybrid stack's two
+    // independently-versioned indexes served as one atomically-pinned
+    // pair. The gate takes a serve MID-dual-append — the lexical half
+    // of batch b1 has landed (its index is at v2), the vector half has
+    // not — and the pinned serve must return the FROZEN pre-append
+    // pair on BOTH legs (pin v1): a leg resolved independently would
+    // fuse the new corpus's BM25 stats with the old vector list. Then
+    // the dual append completes (the bm25 half replays as a no-op on
+    // its applied record), pin v2 lands, and the same serve returns
+    // the full-corpus pair. Both serves ship in one output, keyed by
+    // pin_version; the oracle rebuilds pin 1 from the <400 subset and
+    // pin 2 as x76's subset-trained/full-corpus append semantics.
+    "x176_hybrid_pinned_snapshot" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val q0 = emb.filter(col("vec_id") === 0)
+      val base = scratchDir("hybridpin176")
+      val bidx = base + "/bm25"
+      val vidx = base + "/ivf"
+      val pins = base + "/pins"
+      graft.ext.TextAnalysis.saveBm25Index(
+        docs.filter(col("doc_id") < 400), "doc_id", "text", bidx)
+      graft.ext.Similarity.saveIvfIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", vidx,
+        kCentroids = 8, iters = 2)
+      val pin1 = graft.ext.Hybrid.commitPin(s, pins, bidx, vidx)
+      // the torn window: lexical append lands first …
+      graft.ext.TextAnalysis.appendToBm25Index(s, bidx,
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", "b1")
+      val mid = graft.ext.Hybrid.servePinned(s, pins, bidx,
+        Seq("hash", "join", "merge"), 0L, vidx, q0, "vec_id",
+        "embedding", kLex = 10, kVec = 5, k = 10)
+      // … the dual applier completes the batch and pins the new pair
+      val pin2 = graft.ext.Hybrid.dualAppend(s, pins, bidx,
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", vidx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding", "b1")
+      val post = graft.ext.Hybrid.servePinned(s, pins, bidx,
+        Seq("hash", "join", "merge"), 0L, vidx, q0, "vec_id",
+        "embedding", kLex = 10, kVec = 5, k = 10,
+        pinVersion = Some(pin2.version))
+      mid.withColumn("pin_version", lit(pin1.version))
+        .unionByName(post.withColumn("pin_version", lit(pin2.version)))
+    },
+
     // FILTERED vector search (x129): metadata columns live IN the
     // index (saveIvfIndex(metaCols)), appends infer them from the
     // stored schema, and the serve PRE-filters the probed cells — k
@@ -3193,6 +3237,32 @@ object SparkEntry {
       graft.ext.Similarity.queryIvfPqIndex(s, idx,
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         k = 5, nprobe = 2, asOfVersion = Some(v))
+    },
+
+    // COMBINED as-of + filtered IVFPQ serve (x181): x149's manifest
+    // pin and x145's metadata pre-filter COMPOSED in one serve — the
+    // retained snapshot's corpus (appends invisible) intersected with
+    // the predicate's candidates (lang = 'en'), metadata carried by
+    // the pinned segments themselves. Oracle = the subset-trained PQ
+    // replay with BOTH candidate bars (vec_id < 400 AND % 3 = 0).
+    "x181_ivfpq_asof_filtered" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val withMeta = emb.withColumn("lang",
+        when(col("vec_id") % 3 === 0, "en")
+          .when(col("vec_id") % 3 === 1, "fr").otherwise("de"))
+      val idx = scratchDir("ivfpq_af181")
+      graft.ext.Similarity.saveIvfPqIndex(
+        withMeta.filter(col("vec_id") < 400), "vec_id", "embedding",
+        idx, kCentroids = 8, coarseIters = 2, m = 4, ks = 8,
+        pqIters = 2, metaCols = Seq("lang"))
+      val v = graft.ext.Similarity.ivfIndexVersion(s, idx)
+      graft.ext.Similarity.appendToIvfPqIndex(s, idx,
+        withMeta.filter(col("vec_id") >= 400), "vec_id", "embedding",
+        "b1")
+      graft.ext.Similarity.queryIvfPqIndexFiltered(s, idx,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+        predicate = col("lang") === "en", nprobe = 2,
+        asOfVersion = Some(v))
     },
 
     // pre-ingest BM25 drift gate (x106): doc-frequency drift between a
@@ -7124,6 +7194,110 @@ object SparkEntry {
       "x133_bm25_index_clone" ->
         bm25Sql("(SELECT * FROM documents WHERE doc_id < 250)"),
       "x134_ivf_index_clone" -> ivfAsOfOracle,
+      // x176: pin 1 = both legs rebuilt from the <400 subset (the
+      // frozen pre-append pair — the mid-dual-append serve must equal
+      // it on BOTH legs, lexical stats included); pin 2 = x76's
+      // subset-trained/full-corpus append semantics on the vector leg
+      // + the full-corpus BM25; 2-leg RRF in fixed (lex, vector) order
+      "x176_hybrid_pinned_snapshot" ->
+        s"""WITH v AS ($vecs),
+            tv AS (SELECT vec_id, e FROM v WHERE vec_id < 400),
+            ${lloydCtes("t", 64, 8, 2)},
+            subasg AS (
+              SELECT vec_id, cl FROM (
+                SELECT v.vec_id, c.cl, row_number() OVER (
+                  PARTITION BY v.vec_id ORDER BY $kmeansD2, c.cl) AS rn
+                FROM tv v, tc2 c)
+              WHERE rn = 1),
+            allasg AS (
+              SELECT vec_id, cl FROM (
+                SELECT v.vec_id, c.cl, row_number() OVER (
+                  PARTITION BY v.vec_id ORDER BY $kmeansD2, c.cl) AS rn
+                FROM v v, tc2 c)
+              WHERE rn = 1),
+            probes AS (
+              SELECT query_id, cl AS bucket FROM (
+                SELECT v.vec_id AS query_id, c.cl,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY $kmeansD2, c.cl) AS rn
+                FROM tv v, tc2 c
+                WHERE v.vec_id = 0)
+              WHERE rn <= 2),
+            lex1 AS (SELECT CAST(0 AS BIGINT) AS query_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS rank,
+                  doc_id AS vec_id
+                FROM (${bm25Sql(
+                  "(SELECT * FROM documents WHERE doc_id < 400)")})),
+            fv1 AS (SELECT query_id, rank, vec_id FROM (
+                  SELECT p.query_id, b.vec_id,
+                         row_number() OVER (PARTITION BY p.query_id
+                           ORDER BY $cosPairExpr DESC, b.vec_id ASC)
+                           AS rank
+                  FROM probes p
+                       JOIN subasg s ON s.cl = p.bucket
+                       JOIN tv b ON b.vec_id = s.vec_id
+                       JOIN v a ON a.vec_id = p.query_id
+                  WHERE b.vec_id <> p.query_id)
+                WHERE rank <= 5),
+            lex2 AS (SELECT CAST(0 AS BIGINT) AS query_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS rank,
+                  doc_id AS vec_id
+                FROM (${bm25Sql("documents")})),
+            fv2 AS (SELECT query_id, rank, vec_id FROM (
+                  SELECT p.query_id, b.vec_id,
+                         row_number() OVER (PARTITION BY p.query_id
+                           ORDER BY $cosPairExpr DESC, b.vec_id ASC)
+                           AS rank
+                  FROM probes p
+                       JOIN allasg s ON s.cl = p.bucket
+                       JOIN v b ON b.vec_id = s.vec_id
+                       JOIN v a ON a.vec_id = p.query_id
+                  WHERE b.vec_id <> p.query_id)
+                WHERE rank <= 5),
+            j1 AS (SELECT
+                    coalesce(l.query_id, f.query_id) AS query_id,
+                    coalesce(l.vec_id, f.vec_id) AS vec_id,
+                    coalesce(CAST(1 AS DOUBLE)
+                        / CAST(l.rank + 60 AS DOUBLE), 0)
+                      + coalesce(CAST(1 AS DOUBLE)
+                        / CAST(f.rank + 60 AS DOUBLE), 0) AS rrf
+                  FROM lex1 l
+                  FULL OUTER JOIN fv1 f
+                    ON f.query_id = l.query_id
+                   AND f.vec_id = l.vec_id),
+            j2 AS (SELECT
+                    coalesce(l.query_id, f.query_id) AS query_id,
+                    coalesce(l.vec_id, f.vec_id) AS vec_id,
+                    coalesce(CAST(1 AS DOUBLE)
+                        / CAST(l.rank + 60 AS DOUBLE), 0)
+                      + coalesce(CAST(1 AS DOUBLE)
+                        / CAST(f.rank + 60 AS DOUBLE), 0) AS rrf
+                  FROM lex2 l
+                  FULL OUTER JOIN fv2 f
+                    ON f.query_id = l.query_id
+                   AND f.vec_id = l.vec_id),
+            r1 AS (SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                    vec_id, round(rrf, 6) AS rrf
+                  FROM (SELECT query_id, vec_id, rrf, row_number() OVER
+                          (PARTITION BY query_id ORDER BY rrf DESC,
+                            vec_id ASC) AS rank
+                        FROM j1)
+                  WHERE rank <= 10),
+            r2 AS (SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                    vec_id, round(rrf, 6) AS rrf
+                  FROM (SELECT query_id, vec_id, rrf, row_number() OVER
+                          (PARTITION BY query_id ORDER BY rrf DESC,
+                            vec_id ASC) AS rank
+                        FROM j2)
+                  WHERE rank <= 10)
+            SELECT query_id, rank, vec_id, rrf,
+                   CAST(1 AS BIGINT) AS pin_version FROM r1
+            UNION ALL
+            SELECT query_id, rank, vec_id, rrf,
+                   CAST(2 AS BIGINT) AS pin_version FROM r2""",
+
       // x131: both legs restricted to en (id % 3 = 0), then the 2-leg
       // RRF in the engine's fixed leg order (lex, then vector); lex
       // keeps corpus-wide stats (x130's semantics), the vector leg is
@@ -7337,6 +7511,13 @@ object SparkEntry {
         "tv AS (SELECT vec_id, e FROM v WHERE vec_id < 400)",
         """
                              AND s.vec_id < 400"""),
+      // x181: x149 ∩ x145 — the snapshot bar AND the metadata bar
+      // compose on the candidate join; training/probes unchanged
+      "x181_ivfpq_asof_filtered" -> ivfPqTvOracle(
+        "tv AS (SELECT vec_id, e FROM v WHERE vec_id < 400)",
+        """
+                             AND s.vec_id < 400
+                             AND s.vec_id % 3 = 0"""),
       // x137: x84's full IVFPQ serve with the deleted ids
       // (vec_id % 3 = 1) barred from the CANDIDATE join only —
       // centroids, codebooks, and probe geometry are untouched by

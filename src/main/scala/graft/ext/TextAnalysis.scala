@@ -1184,12 +1184,12 @@ object TextAnalysis {
   /** [[queryBm25Index]] as a [[bm25RankedList]]-shaped retriever list —
     * the persisted lexical leg of hybrid fusion (gated x90). */
   def bm25IndexRankedList(spark: org.apache.spark.sql.SparkSession,
-      path: String, queryTerms: Seq[String], k: Int, queryId: Long)
-      : DataFrame = {
+      path: String, queryTerms: Seq[String], k: Int, queryId: Long,
+      asOfVersion: Option[Long] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    queryBm25Index(spark, path, queryTerms, k)
+    queryBm25Index(spark, path, queryTerms, k, asOfVersion = asOfVersion)
       .withColumn("query_id", lit(queryId))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .select(col("query_id"), col("rank"), col("doc_id").as("vec_id"))

@@ -175,4 +175,42 @@ class IndexManifestSpec extends SparkSpec {
     // tolerance is unchanged)
     assert(IndexManifest.latest(fs, root).get.version == 2L)
   }
+
+  test("PipelinePin: commits are whole pairs, a mid-dual-append read " +
+      "returns the previous coherent pair, and a torn pin fails " +
+      "loudly") {
+    val root = scratch()
+    assert(PipelinePin.latest(fs, root).isEmpty)
+    val p1 = PipelinePin.commit(fs, root, Map("bm25" -> 1L, "ivf" -> 1L))
+    assert(p1.version == 1L && p1("bm25") == 1L && p1("ivf") == 1L)
+    // the mid-dual-append window: the bm25 index has advanced to v2
+    // but no new pin is committed yet — a reader resolving the pin
+    // still gets the (1, 1) pair, never a (2, 1) mix
+    assert(PipelinePin.latest(fs, root).get == p1)
+    val p2 = PipelinePin.commit(fs, root, Map("bm25" -> 2L, "ivf" -> 2L))
+    assert(p2.version == 2L)
+    assert(PipelinePin.latest(fs, root).get.indexVersions ==
+      Map("bm25" -> 2L, "ivf" -> 2L))
+    // whole-pipeline time travel: pin 1 still resolves the old pair
+    assert(PipelinePin.at(fs, root, 1L).get.indexVersions ==
+      Map("bm25" -> 1L, "ivf" -> 1L))
+    // a missing leg is an error, not a default
+    intercept[IllegalArgumentException](p2("pq"))
+    // a torn pin FILE (crashed writer) is skipped by the reader —
+    // fall back to the newest parseable pair, IndexManifest semantics
+    val torn = fs.create(new org.apache.hadoop.fs.Path(root,
+      "manifest_v000000000003.json"), false)
+    torn.write("""{"version": 3, "tab""".getBytes("UTF-8"))
+    torn.close()
+    assert(PipelinePin.latest(fs, root).get.version == 2L)
+    // a PARSEABLE pin whose leg is not a single numeric version is
+    // torn content — serving a guessed pair is forbidden
+    val bad = fs.create(new org.apache.hadoop.fs.Path(root,
+      "manifest_v000000000004.json"), false)
+    bad.write(
+      """{"version": 4, "tables": {"bm25": ["1", "2"], "ivf": ["1"]},
+         "applied": []}""".getBytes("UTF-8"))
+    bad.close()
+    intercept[IllegalArgumentException](PipelinePin.latest(fs, root))
+  }
 }
