@@ -79,7 +79,7 @@ object Bench {
     "x133_bm25_index_clone",
     "x134_ivf_index_clone", "x135_bm25_index_stats",
     "x137_ivfpq_index_delete",
-    "x140_csv_roundtrip", "x141_orc_roundtrip",
+    "x140_csv_roundtrip", "x141_orc_roundtrip", "x180_avro_roundtrip",
     "x142_retention_delete", "x145_ivfpq_filtered_topk",
     "x149_ivfpq_time_travel",
     "x153_minhash_index_compact", "x154_ivfpq_index_compact",

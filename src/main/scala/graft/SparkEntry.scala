@@ -2395,6 +2395,28 @@ object SparkEntry {
             .as("max_ship"))
     },
 
+    // Avro boundary round-trip (x180): the typed row-interchange
+    // format (Kafka/schema-registry land), built on the public Avro
+    // container API — per-partition container files with snappy BLOCK
+    // compression (compression never costs splittability here), read
+    // back through AvroKeyInputFormat's sync-marker splits with
+    // fields matched by name. The post-roundtrip aggregate includes a
+    // microsecond-precision max(ts) so the timestamp-micros logical
+    // type is gated end-to-end, not just the numeric columns.
+    "x180_avro_roundtrip" -> { (s, dir) =>
+      val base = scratchDir("avro180")
+      val ev = T(s, dir, "events")
+      graft.sources.AvroTable.write(ev, base + "/ev")
+      graft.sources.AvroTable.read(s, base + "/ev", ev.schema)
+        .filter(col("event_type") === "click")
+        .groupBy((col("user_id") % 100).as("user_mod"))
+        .agg(count(lit(1)).as("n"),
+          round(coalesce(graft.ops.Metrics.moneySum(col("value")),
+            lit(0.0)), 2).as("total_value"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("max_ts"))
+    },
+
     // ORC round-trip (x141): the other columnar format, same scan
     // disciplines (pruning, pushdown — FormatsSpec asserts the ORC
     // PushedFilters); the post-roundtrip filtered aggregate must match
@@ -7598,6 +7620,16 @@ object SparkEntry {
                   strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
            FROM lineitem
            GROUP BY l_returnflag""",
+      // x180: filtered aggregate over the parquet original (the Avro
+      // round-trip must be invisible, timestamps to the microsecond)
+      "x180_avro_roundtrip" ->
+        """SELECT user_id % 100 AS user_mod, count(*) AS n,
+                  round(coalesce(CAST(sum(CAST(value AS DECIMAL(20,6)))
+                    AS DOUBLE), 0), 2) AS total_value,
+                  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+           FROM events
+           WHERE event_type = 'click'
+           GROUP BY 1""",
       // x141: filtered aggregate over the parquet original (the ORC
       // round-trip must be invisible to it)
       "x141_orc_roundtrip" ->

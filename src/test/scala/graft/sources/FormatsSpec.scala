@@ -100,4 +100,49 @@ class FormatsSpec extends SparkSpec {
       s"no pushed filter in ORC scan:\n$plan")
     assert(back.filter(col("id") > 90L).count() == 10)
   }
+
+  test("AvroTable: lossless round-trip through unicode, nulls, and " +
+      "microsecond timestamps; binary and boolean carry; fields " +
+      "match by NAME against the writer schema") {
+    val dir = tmp("avro")
+    val df = fixture
+      .withColumn("flag", col("id") % 2 === 0L)
+      .withColumn("blob",
+        when(col("id") =!= 4L, concat(lit("b"), col("id"))
+          .cast(BinaryType)))
+    AvroTable.write(df, dir)
+    val back = AvroTable.read(spark, dir, df.schema)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case v => v
+      }).toSet
+    assert(canon(back) == canon(df))
+    // by-name matching: a reordered + narrowed reader schema still
+    // reads the right columns; a field the writer lacks reads as null
+    val renarrowed = AvroTable.read(spark, dir, StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("id", LongType),
+      StructField("missing", StringType))))
+    assert(renarrowed.filter(col("missing").isNotNull).isEmpty)
+    assert(renarrowed.select("id", "ts").collect().map(_.toSeq).toSet ==
+      df.select("id", "ts").collect().map(_.toSeq).toSet)
+    // nested/unsupported types fail at write-plan time, loudly
+    intercept[IllegalArgumentException](AvroTable.write(
+      df.withColumn("arr", array(lit(1L))), tmp("avro_bad")))
+  }
+
+  test("AvroTable: one container file per non-empty partition; the " +
+      "read fans out across files") {
+    val dir = tmp("avro_split")
+    val df = spark.range(0, 1000, 1, 4).toDF("id")
+    AvroTable.write(df, dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length == 4, s"expected 4 part files, got ${files.length}")
+    val back = AvroTable.read(spark, dir, StructType(Seq(
+      StructField("id", LongType))))
+    assert(back.rdd.getNumPartitions >= 4)
+    assert(back.agg(sum("id")).head.getLong(0) == 499500L)
+  }
 }
