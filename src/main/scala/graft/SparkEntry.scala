@@ -70,12 +70,18 @@ object SparkEntry {
     * directory instead of each rebuilding it from scratch —
     * mutation/lifecycle gates (x121-x123, x133, x135, …) keep their
     * own private builds, because their builds ARE the measured
-    * semantics. The fixture is IMMUTABLE after build (serves only;
-    * no gate may append/delete/compact through a shared path), so
-    * sharing cannot change any gate's answer — only its wall-clock.
-    * [[Bench]] builds these OUTSIDE the measured window via
-    * [[prewarmSharedFixtures]]; under Verify the first user pays the
-    * one-time build (correctness-only, cost irrelevant). */
+    * semantics. The fixture is IMMUTABLE after build — ENFORCED, not
+    * conventional: the build drops [[graft.sinks.IndexManifest
+    * .ReadOnlyMarker]] into the index root, and every mutation path
+    * commits through `commitMerge`, which refuses frozen roots — so
+    * a future gate appending through a shared path fails loudly
+    * instead of silently mutating five serve gates' fixture. The
+    * cache key additionally carries the source table's mtime, so a
+    * table changing under the same dir within one JVM builds a fresh
+    * fixture instead of serving a stale one. [[Bench]] builds these
+    * OUTSIDE the measured window via [[prewarmSharedFixtures]]; under
+    * Verify the first user pays the one-time build (correctness-only,
+    * cost irrelevant). */
   private val sharedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -84,15 +90,25 @@ object SparkEntry {
     sharedFixtures.computeIfAbsent(key, { _ =>
       val p = scratchDir(tag)
       build(p)
+      graft.sinks.IndexManifest.markReadOnly(
+        new org.apache.hadoop.fs.Path(p).getFileSystem(
+          new org.apache.hadoop.conf.Configuration()), p)
       p
     })
 
   private def keyTag(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Staleness stamp for a shared fixture's source table: the backing
+    * parquet's mtime (0 for a missing file — the build will fail on
+    * its own terms). */
+  private def tableStamp(dir: String, table: String): Long =
+    new java.io.File(s"$dir/$table.parquet").lastModified()
+
   /** The full-`documents` BM25 index at default build params. */
   private def sharedBm25Index(s: SparkSession, dir: String): String =
-    sharedFixture(s"bm25|$dir", s"bm25_fixture_${keyTag(dir)}") { p =>
+    sharedFixture(s"bm25|$dir|${tableStamp(dir, "documents")}",
+      s"bm25_fixture_${keyTag(dir)}") { p =>
       graft.ext.TextAnalysis.saveBm25Index(T(s, dir, "documents"),
         "doc_id", "text", p)
     }
@@ -100,7 +116,8 @@ object SparkEntry {
   /** The full-`embeddings` IVF index carrying the x129 lang metadata
     * column (k=8, 2 Lloyd iters — the suite's standard recipe). */
   private def sharedIvfLangIndex(s: SparkSession, dir: String): String =
-    sharedFixture(s"ivf_lang|$dir", s"ivf_lang_fixture_${keyTag(dir)}") {
+    sharedFixture(s"ivf_lang|$dir|${tableStamp(dir, "embeddings")}",
+      s"ivf_lang_fixture_${keyTag(dir)}") {
       p =>
         graft.ext.Similarity.saveIvfIndex(
           T(s, dir, "embeddings").withColumn("lang",

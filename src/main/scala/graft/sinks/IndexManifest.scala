@@ -48,6 +48,22 @@ private[graft] object IndexManifest {
 
   private val Prefix = "manifest_v"
 
+  /** Marker file that FREEZES an index root: while present,
+    * [[commitMerge]] — the choke point every mutation (append, delete,
+    * compact, retrain, pin) commits through — refuses with a clear
+    * error, so a serve-only index (a shared read-only fixture, an
+    * archived snapshot, a promoted prod copy) cannot be mutated by a
+    * code path that mistakes it for a live one. Reads are unaffected.
+    * Drop the file to thaw. */
+  val ReadOnlyMarker = "_READONLY"
+
+  /** Freeze `root`: all future commits fail until the marker is
+    * removed. Idempotent. */
+  def markReadOnly(fs: FileSystem, root: String): Unit = {
+    val p = new Path(root, ReadOnlyMarker)
+    if (!fs.exists(p)) fs.create(p, false).close()
+  }
+
   private def mapper = new ObjectMapper()
 
   private def path(root: String, version: Long): Path =
@@ -131,6 +147,11 @@ private[graft] object IndexManifest {
     * newest-K window) already tolerates. */
   def commitMerge(fs: FileSystem, root: String)(
       merge: Option[IndexSnapshot] => IndexSnapshot): IndexSnapshot = {
+    if (fs.exists(new Path(root, ReadOnlyMarker)))
+      throw new IllegalStateException(
+        s"$root is frozen ($ReadOnlyMarker present): this index is " +
+          "serve-only — mutate a clone (cloneSnapshot) or remove the " +
+          "marker if the freeze is no longer intended")
     var attempts = 0
     while (true) {
       attempts += 1

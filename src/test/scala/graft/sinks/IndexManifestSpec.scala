@@ -213,4 +213,28 @@ class IndexManifestSpec extends SparkSpec {
     bad.close()
     intercept[IllegalArgumentException](PipelinePin.latest(fs, root))
   }
+
+  test("a frozen root (_READONLY) refuses every commit but keeps " +
+      "serving reads") {
+    val root = scratch()
+    IndexManifest.commitMerge(fs, root)(_ =>
+      IndexSnapshot(0L, Map("t" -> Seq("base")), Seq("base")))
+    IndexManifest.markReadOnly(fs, root)
+    IndexManifest.markReadOnly(fs, root) // idempotent
+    // every mutation path funnels through commitMerge — one refusal
+    // covers append/delete/compact/retrain/pin alike
+    val e = intercept[IllegalStateException](
+      IndexManifest.commitMerge(fs, root)(_ =>
+        IndexSnapshot(0L, Map("t" -> Seq("base", "delta_a")),
+          Seq("base", "a"))))
+    assert(e.getMessage.contains("_READONLY"))
+    // reads are unaffected
+    assert(IndexManifest.latest(fs, root).get.segs("t") == Seq("base"))
+    // thaw: removing the marker re-enables commits
+    fs.delete(new org.apache.hadoop.fs.Path(root,
+      IndexManifest.ReadOnlyMarker), false)
+    assert(IndexManifest.commitMerge(fs, root)(_ =>
+      IndexSnapshot(0L, Map("t" -> Seq("base", "delta_a")),
+        Seq("base", "a"))).version == 2L)
+  }
 }
