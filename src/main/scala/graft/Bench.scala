@@ -54,7 +54,8 @@ object Bench {
     "x79_stream_cdc_apply", "x97_stream_bm25_maintain",
     "x98_stream_ivf_maintain", "x102_stream_bm25_autocompact",
     "x114_meta_stream_insights", "x116_stream_ivfpq_maintain",
-    "x127_stream_bm25_cdc", "x128_stream_ivf_cdc")
+    "x127_stream_bm25_cdc", "x128_stream_ivf_cdc",
+    "x182_stream_dual_cdc")
 
   /** Gates whose measured cost is dominated by building or mutating
     * persisted state (index build + append + compact + retrain

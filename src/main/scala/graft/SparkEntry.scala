@@ -2020,6 +2020,55 @@ object SparkEntry {
         k = 5, nprobe = 2)
     },
 
+    // streaming DUAL CDC (x182): the production form of x176 — one
+    // change stream (id, text, embedding, op), the re-embedding loop's
+    // full shape, applied per micro-batch to BOTH retrieval indexes
+    // with ONE pipeline pin committed after both legs land (the
+    // pin-commits-LAST invariant x176 gates the read side of). Batch
+    // b1 appends docs 300-349 on both legs, b2 tombstones the
+    // doc_id%9=4 slice of [150,300) on both; the final pinned hybrid
+    // serve must equal the net-corpus twin (lex = BM25 over the
+    // surviving docs with exact-live stats, vec = subset-trained
+    // serve over the surviving vectors), RRF-fused in fixed order.
+    "x182_stream_dual_cdc" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val base = scratchDir("dualcdc182")
+      graft.ext.TextAnalysis.saveBm25Index(
+        docs.filter(col("doc_id") < 300), "doc_id", "text",
+        base + "/bm25")
+      graft.ext.Similarity.saveIvfIndex(
+        emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+        base + "/ivf", kCentroids = 8, iters = 2)
+      graft.ext.Hybrid.commitPin(s, base + "/pins", base + "/bm25",
+        base + "/ivf")
+      // change frames: doc and embedding travel TOGETHER (ids align
+      // across the two tables); embeddings widen to array<double>
+      // (exact, the x128 convention)
+      val j = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val b1 = j.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+        .withColumn("op", lit("upsert"))
+      val b2 = j
+        .filter(col("doc_id") % 9 === 4 &&
+          col("doc_id") >= 150 && col("doc_id") < 300)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit(null).cast("array<double>").as("embedding"),
+          lit("delete").as("op"))
+      landOrdered(s, Seq(b1, b2), base + "/changes")
+      val schema = s.read.parquet(base + "/changes").schema
+      val q = graft.streaming.StreamIndex.dualCdcWriter(s,
+          base + "/changes", schema, base + "/bm25", base + "/ivf",
+          base + "/pins", "doc_id", "text", "embedding", "op")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      graft.ext.Hybrid.servePinned(s, base + "/pins", base + "/bm25",
+        Seq("hash", "join", "merge"), 0L, base + "/ivf",
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        kLex = 10, kVec = 5, k = 10)
+    },
+
     // streaming BM25 index maintenance (x97): a base index + three
     // streamed new-doc batches must serve exactly what a one-shot
     // full-corpus build serves (same oracle as x80/x89) — the
@@ -7233,6 +7282,71 @@ object SparkEntry {
       "x133_bm25_index_clone" ->
         bm25Sql("(SELECT * FROM documents WHERE doc_id < 250)"),
       "x134_ivf_index_clone" -> ivfAsOfOracle,
+      // x182: the net-corpus twin of the dual-CDC final state — lex =
+      // BM25 over the surviving docs (appends live, tombstoned stats
+      // netted exactly), vec = subset-trained (<300) serve over the
+      // surviving vectors, fused in the engine's fixed leg order
+      "x182_stream_dual_cdc" ->
+        s"""WITH v AS ($vecs),
+            tv AS (SELECT vec_id, e FROM v WHERE vec_id < 300),
+            ${lloydCtes("t", 64, 8, 2)},
+            nc AS (SELECT vec_id, e FROM v
+                   WHERE vec_id < 350
+                     AND NOT (vec_id % 9 = 4
+                              AND vec_id >= 150 AND vec_id < 300)),
+            ncasg AS (
+              SELECT vec_id, cl FROM (
+                SELECT v.vec_id, c.cl, row_number() OVER (
+                  PARTITION BY v.vec_id ORDER BY $kmeansD2, c.cl) AS rn
+                FROM nc v, tc2 c)
+              WHERE rn = 1),
+            probes AS (
+              SELECT query_id, cl AS bucket FROM (
+                SELECT v.vec_id AS query_id, c.cl,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY $kmeansD2, c.cl) AS rn
+                FROM v v, tc2 c
+                WHERE v.vec_id = 0)
+              WHERE rn <= 2),
+            lex AS (SELECT CAST(0 AS BIGINT) AS query_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS rank,
+                  doc_id AS vec_id
+                FROM (${bm25Sql(
+                  """(SELECT doc_id, text FROM documents
+                      WHERE doc_id < 350
+                        AND NOT (doc_id % 9 = 4
+                                 AND doc_id >= 150 AND doc_id < 300))""")})),
+            fv AS (SELECT query_id, rank, vec_id FROM (
+                  SELECT p.query_id, b.vec_id,
+                         row_number() OVER (PARTITION BY p.query_id
+                           ORDER BY $cosPairExpr DESC, b.vec_id ASC)
+                           AS rank
+                  FROM probes p
+                       JOIN ncasg s ON s.cl = p.bucket
+                       JOIN nc b ON b.vec_id = s.vec_id
+                       JOIN v a ON a.vec_id = p.query_id
+                  WHERE b.vec_id <> p.query_id)
+                WHERE rank <= 5),
+            j AS (SELECT
+                    coalesce(l.query_id, f.query_id) AS query_id,
+                    coalesce(l.vec_id, f.vec_id) AS vec_id,
+                    coalesce(CAST(1 AS DOUBLE)
+                        / CAST(l.rank + 60 AS DOUBLE), 0)
+                      + coalesce(CAST(1 AS DOUBLE)
+                        / CAST(f.rank + 60 AS DOUBLE), 0) AS rrf
+                  FROM lex l
+                  FULL OUTER JOIN fv f
+                    ON f.query_id = l.query_id
+                   AND f.vec_id = l.vec_id)
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+                   round(rrf, 6) AS rrf
+            FROM (SELECT query_id, vec_id, rrf, row_number() OVER
+                    (PARTITION BY query_id ORDER BY rrf DESC,
+                      vec_id ASC) AS rank
+                  FROM j)
+            WHERE rank <= 10""",
+
       // x176: pin 1 = both legs rebuilt from the <400 subset (the
       // frozen pre-append pair — the mid-dual-append serve must equal
       // it on BOTH legs, lexical stats included); pin 2 = x76's

@@ -158,7 +158,7 @@ object StreamIndex {
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val (bid, nDel, nUp) = cdcBatchId(b, epoch, idCol, opCol,
-            textCol)
+            Seq(textCol))
           if (nDel > 0)
             TextAnalysis.deleteFromBm25Index(s, indexPath,
               b.filter(col(opCol) === "delete").select(col(idCol)),
@@ -178,13 +178,16 @@ object StreamIndex {
 
   /** Shared CDC micro-batch identity + validation: ONE aggregate pays
     * for the epoch-and-content batchId, both op counts, and the
-    * op-domain check. `valueCol` is the payload column (text for the
-    * lexical index, the vector for the IVF index). See
-    * [[bm25CdcWriter]] for why the EPOCH is part of the id. */
+    * op-domain check. `valueCols` are the payload columns (text for
+    * the lexical index, the vector for the IVF index, BOTH for the
+    * dual writer — the id must cover every payload a replay could
+    * diverge on). See [[bm25CdcWriter]] for why the EPOCH is part of
+    * the id. */
   private def cdcBatchId(batch: DataFrame, epoch: Long, idCol: String,
-      opCol: String, valueCol: String): (String, Long, Long) = {
-    val key = concat_ws("|", col(idCol).cast("string"),
-      col(opCol), coalesce(col(valueCol).cast("string"), lit("")))
+      opCol: String, valueCols: Seq[String]): (String, Long, Long) = {
+    val key = concat_ws("|",
+      (Seq(col(idCol).cast("string"), col(opCol)) ++
+        valueCols.map(c => coalesce(col(c).cast("string"), lit("")))): _*)
     val r = batch.agg(
       count(lit(1)),
       coalesce(sum(crc32(key)), lit(0L)),
@@ -229,7 +232,7 @@ object StreamIndex {
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val (bid, nDel, nUp) = cdcBatchId(b, epoch, idCol, opCol,
-            vecCol)
+            Seq(vecCol))
           if (nDel > 0)
             Similarity.deleteFromIvfIndex(s, indexPath,
               b.filter(col(opCol) === "delete").select(col(idCol)),
@@ -243,6 +246,63 @@ object StreamIndex {
           Similarity.compactIvfIndex(s, indexPath)
           Similarity.vacuumIvfIndex(s, indexPath, keepVersions = 2)
         }
+      }
+      .trigger(Trigger.AvailableNow())
+
+  /** The DUAL CDC applier (gated x182): one change stream of
+    * (id, text, vector, op ∈ upsert|delete) — the re-embedding loop's
+    * full shape, where a document edit ships its fresh text AND its
+    * fresh embedding together — maintained into BOTH retrieval
+    * indexes, with ONE [[graft.sinks.PipelinePin]] committed per
+    * micro-batch AFTER both legs have landed it. The pin-commits-LAST
+    * invariant is what [[graft.ext.Hybrid.servePinned]] relies on: a
+    * serve landing between the two leg mutations resolves the previous
+    * pin and gets the previous COHERENT pair, never a fresh lexical
+    * list fused with a stale vector list. Exactly-once composes
+    * per-leg: both legs share the SAME epoch-and-content batchId
+    * (derived over id|op|text|vector — every payload a replay could
+    * diverge on), each leg no-ops on its own `applied` record, and a
+    * replayed batch re-commits an identical pair — so a crash between
+    * the two appends, a checkpoint restart, or a full re-stream all
+    * converge to the same pinned state without a distributed
+    * transaction. */
+  def dualCdcWriter(spark: SparkSession, changesDir: String,
+      schema: StructType, bm25Path: String, ivfPath: String,
+      pinRoot: String, idCol: String, textCol: String, vecCol: String,
+      opCol: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(changesDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (bid, nDel, nUp) = cdcBatchId(b, epoch, idCol, opCol,
+            Seq(textCol, vecCol))
+          if (nDel > 0) {
+            val dels = b.filter(col(opCol) === "delete")
+              .select(col(idCol))
+            TextAnalysis.deleteFromBm25Index(s, bm25Path, dels, idCol,
+              s"${bid}_d")
+            Similarity.deleteFromIvfIndex(s, ivfPath, dels, idCol,
+              s"${bid}_d")
+          }
+          if (nUp > 0) {
+            val ups = b.filter(col(opCol) === "upsert")
+            TextAnalysis.reindexBm25Docs(s, bm25Path, ups, idCol,
+              textCol, bid, knownRows = Some(nUp))
+            Similarity.reindexIvfVecs(s, ivfPath, ups, idCol, vecCol,
+              bid)
+          }
+        } finally b.unpersist(blocking = false)
+        // the pin commits LAST: readers stay on the previous coherent
+        // pair until BOTH legs carry this batch
+        graft.ext.Hybrid.commitPin(s, pinRoot, bm25Path, ivfPath)
+        ()
       }
       .trigger(Trigger.AvailableNow())
 

@@ -98,6 +98,11 @@ class PlanAuditSpec extends SparkSpec {
       // x151's final read is the queryBm25Index serve plan with the
       // widened term set — same sanctioned 1-row stats cross join
       "x151_bm25_query_expansion",
+      // x176/x182's lexical legs ARE the queryBm25Index serve plan
+      // (pinned via asOfVersion) inside the hybrid fusion — the same
+      // sanctioned 1-row stats cross join as x131; the pin resolution
+      // itself is a driver-side file read, not a plan node
+      "x176_hybrid_pinned_snapshot", "x182_stream_dual_cdc",
       // x138/x146's exact reference leg IS bruteForceTopK — the
       // sanctioned scan×|Q| shape; the eval joins themselves are
       // keyed joins over two |Q|·k-row lists
@@ -112,7 +117,11 @@ class PlanAuditSpec extends SparkSpec {
   private val boundedGlobalWindowBaseline =
     Set("x85_hybrid_retrieval", "x90_hybrid_index_retrieval",
       // x131's lexical leg is the same wrapper over the filtered serve
-      "x131_hybrid_filtered_retrieval")
+      "x131_hybrid_filtered_retrieval",
+      // x176/x182's lexical legs are the same constant-query_id
+      // wrapper over the PINNED serve — the window input sits above
+      // the TakeOrdered k-row limit on both pins
+      "x176_hybrid_pinned_snapshot", "x182_stream_dual_cdc")
 
   // conservative per-literal size estimate: exact for the classes that
   // can actually get big (binary sketches, strings, array literals)
