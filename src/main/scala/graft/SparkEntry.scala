@@ -2760,6 +2760,21 @@ object SparkEntry {
         .orderBy(col("query_id").asc, col("rank").asc)
     },
 
+    // FILTERED late interaction (x183): x177's indexed two-stage
+    // serve with the metadata predicate as stage one's PRE-filter
+    // (x129's pre-filter semantics) — fetchN 'en' candidates per
+    // query, then the tokens² rerank pays only those pairs; stage two
+    // needs no second filter (the candidate join IS the restriction).
+    "x183_two_stage_filtered" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val vidx = sharedIvfLangIndex(s, dir)
+      graft.ext.Similarity.twoStageMaxSimIndexServe(s, vidx,
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+          tokens = 4, fetchN = 20, k = 5, nprobe = 2,
+          predicate = Some(col("lang") === "en"))
+        .orderBy(col("query_id").asc, col("rank").asc)
+    },
+
     // late-interaction MaxSim retrieval (x172): ColBERT's scoring
     // form — vectors as 4 contiguous token sub-vectors, score =
     // Σ_qtoken max_dtoken dot; native fixed-order dot folds, an
@@ -6336,6 +6351,57 @@ object SparkEntry {
                           AS rank
                  FROM probes p
                       JOIN a3 s ON s.cl = p.bucket
+                      JOIN v b ON b.vec_id = s.vec_id
+                      JOIN v a ON a.vec_id = p.query_id
+                 WHERE b.vec_id <> p.query_id)
+               WHERE rank <= 20),
+           tok AS (SELECT vec_id, t,
+                     e[CAST(t * (len(e) // 4) + 1 AS INT) :
+                       CAST((t + 1) * (len(e) // 4) AS INT)] AS sub
+                   FROM v, unnest(range(0, 4)) u(t)),
+           mx AS (SELECT q.vec_id AS query_id, d.vec_id, q.t AS qt,
+                    max(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(list_zip(q.sub, d.sub),
+                        p -> p[1] * p[2])), (acc, x) -> acc + x)) AS m
+                  FROM tok q
+                  JOIN cand c ON c.query_id = q.vec_id
+                  JOIN tok d ON d.vec_id = c.vec_id
+                  WHERE q.vec_id < 4
+                  GROUP BY 1, 2, 3),
+           sc AS (SELECT query_id, vec_id,
+                    round(max(CASE WHEN qt = 0 THEN m END)
+                        + max(CASE WHEN qt = 1 THEN m END)
+                        + max(CASE WHEN qt = 2 THEN m END)
+                        + max(CASE WHEN qt = 3 THEN m END), 6) AS score
+                  FROM mx GROUP BY 1, 2)
+           SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+           FROM (SELECT query_id, vec_id, score, row_number() OVER
+                   (PARTITION BY query_id
+                    ORDER BY score DESC, vec_id ASC) AS rank FROM sc)
+           WHERE rank <= 5
+           ORDER BY query_id ASC, rank ASC""",
+
+      // x183: x177's oracle with the metadata bar (en ⇔ id % 3 = 0)
+      // on the candidate join — the bar flows through cand into the
+      // MaxSim tail; probes and centroids untouched by the filter
+      "x183_two_stage_filtered" ->
+        s"""WITH $kmeansCtes,
+           probes AS (
+             SELECT query_id, cl AS bucket FROM (
+               SELECT v.vec_id AS query_id, c.cl,
+                      row_number() OVER (PARTITION BY v.vec_id
+                        ORDER BY $kmeansD2, c.cl) AS rn
+               FROM v, c2 c
+               WHERE v.vec_id < 4)
+             WHERE rn <= 2),
+           cand AS (SELECT query_id, vec_id FROM (
+                 SELECT p.query_id, b.vec_id,
+                        row_number() OVER (PARTITION BY p.query_id
+                          ORDER BY $cosPairExpr DESC, b.vec_id ASC)
+                          AS rank
+                 FROM probes p
+                      JOIN a3 s ON s.cl = p.bucket
+                        AND s.vec_id % 3 = 0
                       JOIN v b ON b.vec_id = s.vec_id
                       JOIN v a ON a.vec_id = p.query_id
                  WHERE b.vec_id <> p.query_id)

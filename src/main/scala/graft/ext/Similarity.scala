@@ -204,17 +204,31 @@ object Similarity {
   def twoStageMaxSimIndexServe(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, idCol: String, vecCol: String,
       tokens: Int, fetchN: Int, k: Int, nprobe: Int = 2,
-      asOfVersion: Option[Long] = None): DataFrame = {
+      asOfVersion: Option[Long] = None,
+      predicate: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
-    val cand = queryIvfIndex(spark, path, queries, idCol, vecCol,
+    // FILTERED late interaction: the metadata predicate applies as
+    // stage one's PRE-filter (x129's semantics — fetchN survivors per
+    // query whenever the probed cells hold that many, never a
+    // post-filtered short list); stage two needs no second filter —
+    // the candidate pairs already carry only predicate-satisfying ids,
+    // and the rerank's broadcast pair join is a semi-restriction.
+    val cand = predicate match {
+      case Some(p) => queryIvfIndexFiltered(spark, path, queries,
+        idCol, vecCol, k = fetchN, predicate = p, nprobe = nprobe,
+        asOfVersion = asOfVersion)
+      case None => queryIvfIndex(spark, path, queries, idCol, vecCol,
         k = fetchN, nprobe = nprobe, asOfVersion = asOfVersion)
-      .select(col("query_id"), col("vec_id"))
+    }
     // stage two reads the SAME snapshot's corpus segments (stored
     // double vectors; asDouble in maxSimRerank is then the identity)
     val snap = ivfSnapshot(spark, path, asOfVersion)
     val indexed = readIvfCorpus(spark, path, snap)
       .select(col("vec_id").as(idCol), col("v").as(vecCol))
-    maxSimRerank(indexed, queries, cand, idCol, vecCol, tokens, k)
+    maxSimRerank(indexed, queries,
+      cand.select(col("query_id"), col("vec_id")), idCol, vecCol,
+      tokens, k)
   }
 
   /** Coarse deterministic quantizer: sign bits of the leading dims. */

@@ -70,4 +70,12 @@ object PipelinePin {
   /** A specific pin version — whole-pipeline time travel. */
   def at(fs: FileSystem, root: String, version: Long): Option[Pin] =
     IndexManifest.at(fs, root, version).map(fromSnapshot)
+
+  /** Retention for the pin directory: drop all but the newest
+    * `keepVersions` pins (pure manifest files — a pin references no
+    * segment data of its own). Size it to match the member indexes'
+    * own retention: a pin older than a leg's vacuumed versions names
+    * an unservable pair anyway. */
+  def vacuum(fs: FileSystem, root: String, keepVersions: Int): Unit =
+    IndexManifest.vacuum(fs, root, keepVersions, Map.empty)
 }

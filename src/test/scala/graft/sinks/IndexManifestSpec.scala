@@ -214,6 +214,18 @@ class IndexManifestSpec extends SparkSpec {
     intercept[IllegalArgumentException](PipelinePin.latest(fs, root))
   }
 
+  test("PipelinePin.vacuum keeps the newest K pins; vacuumed versions " +
+      "stop resolving, the newest still serves") {
+    val root = scratch()
+    (1 to 3).foreach(i =>
+      PipelinePin.commit(fs, root, Map("bm25" -> i.toLong,
+        "ivf" -> i.toLong)))
+    PipelinePin.vacuum(fs, root, keepVersions = 2)
+    assert(PipelinePin.at(fs, root, 1L).isEmpty)
+    assert(PipelinePin.at(fs, root, 2L).get("bm25") == 2L)
+    assert(PipelinePin.latest(fs, root).get.version == 3L)
+  }
+
   test("a frozen root (_READONLY) refuses every commit but keeps " +
       "serving reads") {
     val root = scratch()

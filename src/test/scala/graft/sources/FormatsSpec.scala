@@ -145,4 +145,35 @@ class FormatsSpec extends SparkSpec {
     assert(back.rdd.getNumPartitions >= 4)
     assert(back.agg(sum("id")).head.getLong(0) == 499500L)
   }
+
+  test("AvroTable: ONE big container file splits at block sync " +
+      "markers — a huge file still fans out across tasks") {
+    val dir = tmp("avro_sync")
+    // one partition → one file; null codec + long text rows so the
+    // container spans many sync-marked blocks
+    val df = spark.range(0, 20000, 1, 1).toDF("id")
+      .withColumn("pad", concat_ws("",
+        (0 until 40).map(_ => conv(col("id"), 10, 16)): _*))
+    AvroTable.write(df, dir, codec = "null")
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length == 1)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val old = Option(hconf.get(key))
+    hconf.set(key, (64 * 1024).toString)
+    try {
+      val back = AvroTable.read(spark, dir, StructType(Seq(
+        StructField("id", LongType))))
+      assert(back.rdd.getNumPartitions > 1,
+        s"expected sync-marker splits, got " +
+          s"${back.rdd.getNumPartitions} partition(s) for " +
+          s"${files.head.length()} bytes")
+      assert(back.agg(sum("id")).head.getLong(0) ==
+        (0L until 20000L).sum)
+    } finally old match {
+      case Some(v) => hconf.set(key, v)
+      case None => hconf.unset(key)
+    }
+  }
 }
