@@ -2855,6 +2855,32 @@ object SparkEntry {
     "x169_zipf_fit" -> ((s, dir) =>
       graft.ext.Corpus.zipfFit(T(s, dir, "documents"), "text")),
 
+    // Count-Min frequency sketch (x184): md5-addressed d×w counters,
+    // estimate = min over rows of the probed cell — unlike the
+    // engine-seeded sketches (x13/x24, rows-only by driver design),
+    // the md5 addressing makes the ESTIMATES themselves
+    // oracle-checkable: DuckDB rebuilds the identical counter table.
+    // Probes include an ABSENT key (-1): its empty cell proves
+    // absence, estimate 0.
+    "x184_countmin_freq" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val probes = ev.filter(col("user_id") < 20)
+        .select(col("user_id")).distinct()
+        .unionByName(s.range(1).select(lit(-1L).as("user_id")))
+      graft.ext.Corpus.countMinEstimates(ev, col("user_id"), probes,
+        "user_id", depth = 4, width = 1024)
+    },
+
+    // HyperLogLog distinct estimate (x185): 256 md5-addressed
+    // registers, the harmonic-mean denominator carried as the EXACT
+    // integer Σ 2^(49-M_j) with one final division — the zipfFit
+    // float discipline applied to cardinality sketching, so the
+    // estimate (not just the row count) is oracle-exact. event_id is
+    // row-unique: true cardinality ≫ 2.5·m, the raw-estimator regime.
+    "x185_hll_distinct" -> ((s, dir) =>
+      graft.ext.Corpus.hllDistinct(T(s, dir, "events"),
+        col("event_id"))),
+
     // REAL WAV/PCM audio decode (x167): the multimodal family's audio
     // axis made real — a complete RIFF/WAVE container per doc written
     // through the JDK's own encoder, decoded back through
@@ -6497,6 +6523,60 @@ object SparkEntry {
                     CAST(0 AS BIGINT) AS hop),
            ${bfsRounds(12)}
            SELECT id, hop FROM l12 ORDER BY id ASC""",
+
+      // x184: the identical md5-addressed counter table (slot = first
+      // 8 md5 hex digits of "d:key" mod 1024), the identical min-over-
+      // rows estimates; the absent probe (-1) left-joins an empty cell
+      // → estimate 0
+      "x184_countmin_freq" ->
+        """WITH d AS (SELECT unnest(range(0, 4)) AS d),
+           cells AS (SELECT d.d,
+                 ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' ||
+                   CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 1024
+                   AS slot,
+                 count(*) AS c
+               FROM events e, d GROUP BY 1, 2),
+           p AS (SELECT DISTINCT user_id AS pk FROM events
+                 WHERE user_id < 20
+                 UNION ALL SELECT -1),
+           ps AS (SELECT pk, d.d,
+                 ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' ||
+                   CAST(pk AS VARCHAR)), 1, 8))::BIGINT % 1024 AS slot
+               FROM p, d)
+           SELECT pk AS user_id,
+                  CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
+           FROM ps LEFT JOIN cells USING (d, slot)
+           GROUP BY 1""",
+
+      // x185: identical registers (bucket = first md5 byte, rank =
+      // 49 − bitlength of the next 48 bits), the denominator as the
+      // exact integer Σ 2^(49-M_j), one final division — estimate
+      // matches to the rounded cent
+      "x185_hll_distinct" ->
+        """WITH h AS (SELECT md5(CAST(event_id AS VARCHAR)) AS hx
+               FROM events),
+           r AS (SELECT ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+                   CASE WHEN ('0x' || substr(hx, 3, 12))::BIGINT = 0
+                        THEN 49
+                        ELSE 49 - length(to_base(
+                          ('0x' || substr(hx, 3, 12))::BIGINT, 2))
+                   END AS rank
+                 FROM h),
+           regs AS (SELECT bucket, max(rank) AS m FROM r GROUP BY 1),
+           a AS (SELECT count(*) AS n_filled,
+                   sum(CAST(1 AS BIGINT) << CAST(49 - m AS INT))
+                     AS t_filled
+                 FROM regs)
+           SELECT CAST(256 AS BIGINT) AS n_buckets,
+                  CAST(256 - n_filled AS BIGINT) AS n_zero,
+                  CAST(t_filled + (256 - n_filled) *
+                    (CAST(1 AS BIGINT) << 49) AS BIGINT) AS t_sum,
+                  round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+                    562949953421312.0 /
+                    CAST(t_filled + (256 - n_filled) *
+                      (CAST(1 AS BIGINT) << 49) AS DOUBLE), 2)
+                    AS est_raw
+           FROM a""",
 
       // x168: GROUP BY + HAVING is the definition; both engines group
       // NULL quasi-values together

@@ -926,4 +926,95 @@ object Corpus {
           .otherwise(round(col("slope_num").cast(DoubleType) /
             col("slope_den").cast(DoubleType), 6)))
   }
+
+  /** md5-addressed hash slot (the x20 cross-engine discipline): the
+    * first `hexChars` hex digits of md5(salt:key) as a long, modulo
+    * `width`. Deterministic across engines, runs, and partitionings —
+    * which is what makes the sketches below ORACLE-CHECKABLE, unlike
+    * sketches seeded from engine-internal hashing. */
+  private def md5Slot(key: Column, salt: Column, hexChars: Int,
+      width: Int): Column =
+    pmod(conv(substring(md5(concat(salt.cast(StringType), lit(":"),
+      key.cast(StringType)).cast(BinaryType)), 1, hexChars), 16, 10)
+      .cast(LongType), lit(width.toLong))
+
+  /** Count-Min sketch frequency estimates (Cormode & Muthukrishnan
+    * 2005): `depth` hash rows × `width` counters, estimate = min over
+    * rows of the probed cell — always an OVERestimate (collisions only
+    * add), within εN with high probability at w = ⌈e/ε⌉. Keys absent
+    * from the data estimate 0 (an empty probed cell proves absence).
+    *
+    * The sketch is md5-addressed (see [[md5Slot]]), so a DuckDB oracle
+    * rebuilds the identical counter table and the identical estimates
+    * — point-queryable frequency sketching with an EXACT cross-engine
+    * gate, where engine-seeded sketches (x13/x24) can only be
+    * rows-only checked.
+    *
+    * Scale shape: the build is one narrow depth-fold explode + ONE
+    * (row, slot)-keyed partial+final count — d·w cells total
+    * (kilobytes), independent of N; estimates broadcast the cell table
+    * to the probe keys. The counter table is mergeable across corpus
+    * shards by cell-wise addition. */
+  def countMinEstimates(df: DataFrame, keyCol: Column,
+      probes: DataFrame, probeCol: String, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16,
+      s"depth must be in [1, 16] (got $depth)")
+    require(width >= 2, s"width must be >= 2 (got $width)")
+    val rows = explode(array((0 until depth).map(i => lit(i)): _*))
+    val counters = df.select(keyCol.as("_k"))
+      .select(col("_k"), rows.as("d"))
+      .select(col("d"), md5Slot(col("_k"), col("d"), 8, width)
+        .as("slot"))
+      .groupBy("d", "slot").agg(count(lit(1)).as("c"))
+    val p = probes.select(col(probeCol).as("_pk")).distinct()
+      .select(col("_pk"), rows.as("d"))
+      .select(col("_pk"), col("d"),
+        md5Slot(col("_pk"), col("d"), 8, width).as("slot"))
+    // left join: a probe whose cell nobody hashed to is PROVABLY
+    // absent — its estimate is 0, not "no row"
+    p.join(broadcast(counters), Seq("d", "slot"), "left")
+      .groupBy(col("_pk").as(probeCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+  }
+
+  /** HyperLogLog distinct-count estimate (Flajolet, Fusy, Gandouet &
+    * Meunier 2007) over m = 256 md5-addressed buckets: bucket = first
+    * md5 byte, rank = leading zeros of the next 48 bits + 1, register
+    * = per-bucket max rank. The estimate keeps the float discipline
+    * integer until one final division: the harmonic-mean denominator
+    * Σ 2^(-M_j) is carried as the exact INTEGER T = Σ 2^(49-M_j)
+    * (empty buckets contribute 2^49), and est = α·m²·2^49 / T — both
+    * engines compute identical longs and divide once, so the oracle
+    * matches exactly (the [[zipfFit]] convention). No small-range
+    * correction: this is the raw estimator, intended for
+    * cardinalities ≫ 2.5·m (the spec pins accuracy; callers below
+    * that range should count exactly — 640 keys need no sketch).
+    *
+    * Output (one row): n_buckets, n_zero (empty registers), t_sum
+    * (the exact integer denominator), est_raw (rounded to 2). Scale
+    * shape: one narrow projection + a 256-group aggregate; registers
+    * are mergeable across shards by bucket-wise max. */
+  def hllDistinct(df: DataFrame, keyCol: Column): DataFrame = {
+    val h = md5(keyCol.cast(StringType).cast(BinaryType))
+    val bucket = conv(substring(h, 1, 2), 16, 10).cast(LongType)
+    val v = conv(substring(h, 3, 12), 16, 10).cast(LongType)
+    val rank = when(v === 0L, lit(49L))
+      .otherwise(lit(49L) - length(conv(v, 10, 2)).cast(LongType))
+    val regs = df.select(bucket.as("bucket"), rank.as("rank"))
+      .groupBy("bucket").agg(max("rank").as("m"))
+    val two49 = 562949953421312L // 2^49
+    val agg = regs.agg(
+      count(lit(1)).as("n_filled"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m AS INT))"))
+        .as("t_filled"))
+    val t = col("t_filled") + (lit(256L) - col("n_filled")) * lit(two49)
+    agg.select(
+      lit(256L).as("n_buckets"),
+      (lit(256L) - col("n_filled")).as("n_zero"),
+      t.as("t_sum"),
+      round(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+        lit(65536.0) * lit(562949953421312.0) / t.cast(DoubleType), 2)
+        .as("est_raw"))
+  }
 }

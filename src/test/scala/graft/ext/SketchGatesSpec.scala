@@ -113,4 +113,52 @@ class SketchGatesSpec extends SparkSpec {
       }
     }
   }
+
+  test("x184 count-min: estimates OVERestimate exactly-computed truth, " +
+      "equal it on a collision-free fixture, and prove absence with 0") {
+    import spark.implicits._
+    val ev = Tables.load(spark, Sf001, "events")
+    val probes = ev.filter(col("user_id") < 20).select("user_id")
+      .distinct()
+      .unionByName(Seq(-1L).toDF("user_id"))
+    val est = Corpus.countMinEstimates(ev, col("user_id"), probes,
+        "user_id", depth = 4, width = 1024)
+      .as[(Long, Long)].collect().toMap
+    val truth = ev.filter(col("user_id") < 20)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    truth.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS underestimated key $k: ${est(k)} < $n")
+    }
+    assert(est(-1L) == 0L, "absent key must estimate 0")
+    // collision-free by construction: 3 keys into a wide sketch —
+    // every estimate EQUALS the truth (width 1<<20 ≫ 3 keys; a slot
+    // collision would need an md5 32-bit-prefix collision among 3)
+    val tiny = Seq("a", "a", "a", "b", "c", "c").toDF("k")
+    val tinyEst = Corpus.countMinEstimates(tiny, col("k"),
+        Seq("a", "b", "c", "zzz").toDF("k"), "k",
+        depth = 4, width = 1 << 20)
+      .as[(String, Long)].collect().toMap
+    assert(tinyEst == Map("a" -> 3L, "b" -> 1L, "c" -> 2L,
+      "zzz" -> 0L))
+  }
+
+  test("x185 HLL: raw estimate within 10% of the true cardinality at " +
+      "n >> 2.5m; duplicates do not move the registers") {
+    import spark.implicits._
+    val ev = Tables.load(spark, Sf001, "events")
+    val n = ev.select("event_id").distinct().count()
+    assert(n > 2560, s"fixture too small for the raw regime: $n")
+    val est = Corpus.hllDistinct(ev, col("event_id"))
+      .select("est_raw").as[Double].head()
+    val rtol = math.abs(est - n) / n
+    // m=256 → theoretical rse ≈ 1.04/√256 = 6.5%; pin a 10% ceiling
+    assert(rtol <= 0.10, s"HLL est=$est true=$n rtol=$rtol > 0.10")
+    // idempotence under duplication: registers are maxima, so a
+    // doubled stream yields the IDENTICAL one-row output
+    val doubled = Corpus.hllDistinct(ev.unionAll(ev), col("event_id"))
+      .collect().toSeq
+    assert(doubled == Corpus.hllDistinct(ev, col("event_id"))
+      .collect().toSeq)
+  }
 }
