@@ -2881,6 +2881,23 @@ object SparkEntry {
       graft.ext.Corpus.hllDistinct(T(s, dir, "events"),
         col("event_id"))),
 
+    // persisted mergeable HLL sketch (x186): registers as manifest-
+    // protocol segments, appends land 256-row register deltas, the
+    // serve merges by bucket-wise max — save+append must equal the
+    // one-shot estimate over the union EXACTLY (max is associative/
+    // commutative/idempotent), so the oracle is x185's verbatim. The
+    // incremental corpus-statistics shape: ingest contributes rows
+    // independent of N, the serve reads kilobytes, nothing rescans.
+    "x186_hll_sketch_merge" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val idx = scratchDir("hllsketch186")
+      graft.ext.Corpus.saveHllSketch(
+        ev.filter(col("event_id") % 3 =!= 0), col("event_id"), idx)
+      graft.ext.Corpus.appendToHllSketch(s, idx,
+        ev.filter(col("event_id") % 3 === 0), col("event_id"), "b1")
+      graft.ext.Corpus.queryHllSketch(s, idx)
+    },
+
     // REAL WAV/PCM audio decode (x167): the multimodal family's audio
     // axis made real — a complete RIFF/WAVE container per doc written
     // through the JDK's own encoder, decoded back through
@@ -4896,6 +4913,36 @@ object SparkEntry {
            FROM sc GROUP BY 1
            ORDER BY score DESC, doc_id ASC LIMIT $k"""
     val x80Sql: String = bm25Sql("documents")
+    // x185/x186 share the HLL oracle: identical registers (bucket =
+    // first md5 byte, rank = 49 − bitlength of the next 48 bits), the
+    // denominator as the exact integer Σ 2^(49-M_j), one final
+    // division. x186's merged save+append registers must equal the
+    // one-shot over the union exactly (bucket-wise max).
+    val hllOracle: String =
+      """WITH h AS (SELECT md5(CAST(event_id AS VARCHAR)) AS hx
+             FROM events),
+         r AS (SELECT ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+                 CASE WHEN ('0x' || substr(hx, 3, 12))::BIGINT = 0
+                      THEN 49
+                      ELSE 49 - length(to_base(
+                        ('0x' || substr(hx, 3, 12))::BIGINT, 2))
+                 END AS rank
+               FROM h),
+         regs AS (SELECT bucket, max(rank) AS m FROM r GROUP BY 1),
+         a AS (SELECT count(*) AS n_filled,
+                 sum(CAST(1 AS BIGINT) << CAST(49 - m AS INT))
+                   AS t_filled
+               FROM regs)
+         SELECT CAST(256 AS BIGINT) AS n_buckets,
+                CAST(256 - n_filled AS BIGINT) AS n_zero,
+                CAST(t_filled + (256 - n_filled) *
+                  (CAST(1 AS BIGINT) << 49) AS BIGINT) AS t_sum,
+                round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+                  562949953421312.0 /
+                  CAST(t_filled + (256 - n_filled) *
+                    (CAST(1 AS BIGINT) << 49) AS DOUBLE), 2)
+                  AS est_raw
+         FROM a"""
     // x85 hybrid retrieval: the BM25 lexical list (x80, re-ranked into
     // retriever-list form) fused with the exact-cosine (x05) and
     // sign-LSH (x07) vector lists for query 0 — a 3-way reciprocal-rank
@@ -6548,35 +6595,10 @@ object SparkEntry {
            FROM ps LEFT JOIN cells USING (d, slot)
            GROUP BY 1""",
 
-      // x185: identical registers (bucket = first md5 byte, rank =
-      // 49 − bitlength of the next 48 bits), the denominator as the
-      // exact integer Σ 2^(49-M_j), one final division — estimate
-      // matches to the rounded cent
-      "x185_hll_distinct" ->
-        """WITH h AS (SELECT md5(CAST(event_id AS VARCHAR)) AS hx
-               FROM events),
-           r AS (SELECT ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
-                   CASE WHEN ('0x' || substr(hx, 3, 12))::BIGINT = 0
-                        THEN 49
-                        ELSE 49 - length(to_base(
-                          ('0x' || substr(hx, 3, 12))::BIGINT, 2))
-                   END AS rank
-                 FROM h),
-           regs AS (SELECT bucket, max(rank) AS m FROM r GROUP BY 1),
-           a AS (SELECT count(*) AS n_filled,
-                   sum(CAST(1 AS BIGINT) << CAST(49 - m AS INT))
-                     AS t_filled
-                 FROM regs)
-           SELECT CAST(256 AS BIGINT) AS n_buckets,
-                  CAST(256 - n_filled AS BIGINT) AS n_zero,
-                  CAST(t_filled + (256 - n_filled) *
-                    (CAST(1 AS BIGINT) << 49) AS BIGINT) AS t_sum,
-                  round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
-                    562949953421312.0 /
-                    CAST(t_filled + (256 - n_filled) *
-                      (CAST(1 AS BIGINT) << 49) AS DOUBLE), 2)
-                    AS est_raw
-           FROM a""",
+      "x185_hll_distinct" -> hllOracle,
+      // x186: the merged persisted registers must land the one-shot
+      // estimate exactly — same oracle verbatim
+      "x186_hll_sketch_merge" -> hllOracle,
 
       // x168: GROUP BY + HAVING is the definition; both engines group
       // NULL quasi-values together

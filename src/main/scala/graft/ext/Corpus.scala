@@ -995,16 +995,28 @@ object Corpus {
     * (the exact integer denominator), est_raw (rounded to 2). Scale
     * shape: one narrow projection + a 256-group aggregate; registers
     * are mergeable across shards by bucket-wise max. */
-  def hllDistinct(df: DataFrame, keyCol: Column): DataFrame = {
+  def hllDistinct(df: DataFrame, keyCol: Column): DataFrame =
+    hllEstimate(hllRegisters(df, keyCol))
+
+  /** The register table behind [[hllDistinct]]: (bucket, m) with m the
+    * per-bucket max rank. Registers MERGE by bucket-wise max — the
+    * property the persisted sketch lifecycle below is built on. */
+  private[graft] def hllRegisters(df: DataFrame, keyCol: Column)
+      : DataFrame = {
     val h = md5(keyCol.cast(StringType).cast(BinaryType))
     val bucket = conv(substring(h, 1, 2), 16, 10).cast(LongType)
     val v = conv(substring(h, 3, 12), 16, 10).cast(LongType)
     val rank = when(v === 0L, lit(49L))
       .otherwise(lit(49L) - length(conv(v, 10, 2)).cast(LongType))
-    val regs = df.select(bucket.as("bucket"), rank.as("rank"))
+    df.select(bucket.as("bucket"), rank.as("rank"))
       .groupBy("bucket").agg(max("rank").as("m"))
+  }
+
+  /** The estimate tail over a (bucket, m) register table (registers
+    * from more than one segment merge inside the aggregate). */
+  private[graft] def hllEstimate(regs: DataFrame): DataFrame = {
     val two49 = 562949953421312L // 2^49
-    val agg = regs.agg(
+    val agg = regs.groupBy("bucket").agg(max("m").as("m")).agg(
       count(lit(1)).as("n_filled"),
       sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m AS INT))"))
         .as("t_filled"))
@@ -1016,5 +1028,72 @@ object Corpus {
       round(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
         lit(65536.0) * lit(562949953421312.0) / t.cast(DoubleType), 2)
         .as("est_raw"))
+  }
+
+  /** Persist an HLL sketch as a MERGEABLE index under the
+    * [[graft.sinks.IndexManifest]] protocol: segments are (bucket, m)
+    * register tables, appends land new batches' registers as their own
+    * segments (idempotent per batchId via the manifest `applied`
+    * record), and the serve merges segments by bucket-wise max — so
+    * the estimate over save+appends EQUALS the one-shot estimate over
+    * the union, exactly (max is associative, commutative, idempotent;
+    * x186's oracle is x185's on the full corpus). This is the
+    * incremental corpus-statistics shape at 100 TB: each ingest batch
+    * contributes 256 rows, the serve reads kilobytes, and nothing ever
+    * rescans the corpus. Time travel (`asOfVersion`) serves the
+    * estimate as of any retained ingest point. */
+  def saveHllSketch(df: DataFrame, keyCol: Column, path: String)
+      : Unit = {
+    hllRegisters(df, keyCol).coalesce(1).write.mode("errorifexists")
+      .parquet(s"$path/regs/base")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
+      graft.sinks.IndexSnapshot(0L, Map("regs" -> Seq("base")),
+        Seq("base")))
+  }
+
+  /** Append a batch's registers as a new segment; replays no-op. */
+  def appendToHllSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, keyCol: Column, batchId: String)
+      : Unit = {
+    require(batchId.nonEmpty && batchId != "base",
+      s"batchId must be a non-empty token != 'base' (got '$batchId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no sketch manifest at $path (not a saveHllSketch directory)"))
+    if (snap.applied.contains(batchId)) return
+    val seg = s"delta_$batchId"
+    hllRegisters(df, keyCol).coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/regs/$seg")
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(batchId)) c
+      else c.copy(
+        tables = c.tables + ("regs" ->
+          (c.segs("regs").filterNot(_ == seg) :+ seg)),
+        applied = c.applied :+ batchId)
+    }
+  }
+
+  /** Serve the estimate from one manifest snapshot's merged registers. */
+  def queryHllSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, asOfVersion: Option[Long] = None): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = asOfVersion
+      .map(v => graft.sinks.IndexManifest.at(fs, path, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"no sketch manifest v$v at $path (vacuumed or never " +
+            "existed)")))
+      .getOrElse(graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no sketch manifest at $path")))
+    val segs = snap.segs("regs")
+    require(segs.nonEmpty, s"snapshot v${snap.version} has no segments")
+    hllEstimate(spark.read.parquet(
+      segs.map(seg => s"$path/regs/$seg"): _*))
   }
 }

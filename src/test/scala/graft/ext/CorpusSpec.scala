@@ -699,4 +699,31 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.zipfFit(d.repartition(7), "text")
       .as[(Long, Long, Long, Long, Option[Double])].head() == got)
   }
+
+  test("persisted HLL sketch (x186): save+append == one-shot estimate " +
+      "exactly; replays no-op; time travel serves the pre-append " +
+      "estimate") {
+    import spark.implicits._
+    val ids = spark.range(0, 5000).toDF("id")
+    val a = ids.filter(col("id") % 3 =!= 0)
+    val b = ids.filter(col("id") % 3 === 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_hll").resolve("idx").toString
+    Corpus.saveHllSketch(a, col("id"), idx)
+    Corpus.appendToHllSketch(spark, idx, b, col("id"), "b1")
+    def row(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].head()
+    val merged = row(Corpus.queryHllSketch(spark, idx))
+    assert(merged == row(Corpus.hllDistinct(ids, col("id"))),
+      "merged registers diverged from the one-shot estimate")
+    // replay: the applied record makes the append a no-op
+    Corpus.appendToHllSketch(spark, idx, b, col("id"), "b1")
+    assert(row(Corpus.queryHllSketch(spark, idx)) == merged)
+    // time travel: version 1 is the save-only snapshot
+    assert(row(Corpus.queryHllSketch(spark, idx,
+        asOfVersion = Some(1L))) ==
+      row(Corpus.hllDistinct(a, col("id"))))
+    intercept[IllegalArgumentException](
+      Corpus.queryHllSketch(spark, idx, asOfVersion = Some(99L)))
+  }
 }
