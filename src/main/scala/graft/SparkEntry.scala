@@ -2881,6 +2881,16 @@ object SparkEntry {
       graft.ext.Corpus.hllDistinct(T(s, dir, "events"),
         col("event_id"))),
 
+    // per-group HLL distinct (x187): approx_count_distinct's grouped
+    // shape with the oracle-exact md5 registers — one 256-bucket
+    // sketch per event_type through a single (group, bucket)-keyed
+    // aggregate; per-group state bounded at 256 rows regardless of
+    // group size. event_id per type is ~N/|types| ≫ 640 — raw regime.
+    "x187_hll_by_group" -> ((s, dir) =>
+      graft.ext.Corpus.hllDistinctBy(T(s, dir, "events"),
+        col("event_id"), Seq("event_type"))
+        .orderBy(col("event_type").asc)),
+
     // persisted mergeable HLL sketch (x186): registers as manifest-
     // protocol segments, appends land 256-row register deltas, the
     // serve merges by bucket-wise max — save+append must equal the
@@ -6599,6 +6609,36 @@ object SparkEntry {
       // x186: the merged persisted registers must land the one-shot
       // estimate exactly — same oracle verbatim
       "x186_hll_sketch_merge" -> hllOracle,
+      // x187: the same registers and integer denominator, grouped
+      "x187_hll_by_group" ->
+        """WITH h AS (SELECT event_type,
+                 md5(CAST(event_id AS VARCHAR)) AS hx
+               FROM events),
+           r AS (SELECT event_type,
+                   ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+                   CASE WHEN ('0x' || substr(hx, 3, 12))::BIGINT = 0
+                        THEN 49
+                        ELSE 49 - length(to_base(
+                          ('0x' || substr(hx, 3, 12))::BIGINT, 2))
+                   END AS rank
+                 FROM h),
+           regs AS (SELECT event_type, bucket, max(rank) AS m
+                    FROM r GROUP BY 1, 2),
+           a AS (SELECT event_type, count(*) AS n_filled,
+                   sum(CAST(1 AS BIGINT) << CAST(49 - m AS INT))
+                     AS t_filled
+                 FROM regs GROUP BY 1)
+           SELECT event_type,
+                  CAST(256 AS BIGINT) AS n_buckets,
+                  CAST(256 - n_filled AS BIGINT) AS n_zero,
+                  CAST(t_filled + (256 - n_filled) *
+                    (CAST(1 AS BIGINT) << 49) AS BIGINT) AS t_sum,
+                  round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+                    562949953421312.0 /
+                    CAST(t_filled + (256 - n_filled) *
+                      (CAST(1 AS BIGINT) << 49) AS DOUBLE), 2)
+                    AS est_raw
+           FROM a ORDER BY event_type ASC""",
 
       // x168: GROUP BY + HAVING is the definition; both engines group
       // NULL quasi-values together

@@ -998,36 +998,65 @@ object Corpus {
   def hllDistinct(df: DataFrame, keyCol: Column): DataFrame =
     hllEstimate(hllRegisters(df, keyCol))
 
-  /** The register table behind [[hllDistinct]]: (bucket, m) with m the
-    * per-bucket max rank. Registers MERGE by bucket-wise max — the
-    * property the persisted sketch lifecycle below is built on. */
-  private[graft] def hllRegisters(df: DataFrame, keyCol: Column)
-      : DataFrame = {
+  /** Per-GROUP HLL distinct estimates — `approx_count_distinct`'s
+    * grouped shape with the oracle-exact md5 registers (one 256-bucket
+    * sketch per group, carried through a single (group, bucket)-keyed
+    * aggregate; per-group state is ≤ 256 rows regardless of group
+    * size). Same raw-regime caveat as [[hllDistinct]]: meaningful for
+    * per-group cardinalities ≫ 640. */
+  def hllDistinctBy(df: DataFrame, keyCol: Column,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (use hllDistinct for the global " +
+        "estimate)")
+    hllEstimate(hllRegisters(df, keyCol, groupCols), groupCols)
+  }
+
+  /** The register table behind [[hllDistinct]]: (group…, bucket, m)
+    * with m the per-bucket max rank. Registers MERGE by bucket-wise
+    * max — the property the persisted sketch lifecycle below is built
+    * on. */
+  private[graft] def hllRegisters(df: DataFrame, keyCol: Column,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
     val h = md5(keyCol.cast(StringType).cast(BinaryType))
     val bucket = conv(substring(h, 1, 2), 16, 10).cast(LongType)
     val v = conv(substring(h, 3, 12), 16, 10).cast(LongType)
     val rank = when(v === 0L, lit(49L))
       .otherwise(lit(49L) - length(conv(v, 10, 2)).cast(LongType))
-    df.select(bucket.as("bucket"), rank.as("rank"))
-      .groupBy("bucket").agg(max("rank").as("m"))
+    val keyed = df.select(
+      groupCols.map(col) :+ bucket.as("bucket") :+ rank.as("rank"): _*)
+    keyed.groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("rank").as("m"))
   }
 
-  /** The estimate tail over a (bucket, m) register table (registers
-    * from more than one segment merge inside the aggregate). */
-  private[graft] def hllEstimate(regs: DataFrame): DataFrame = {
+  /** The estimate tail over a (group…, bucket, m) register table
+    * (registers from more than one segment merge inside the
+    * aggregate). */
+  private[graft] def hllEstimate(regs: DataFrame,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
     val two49 = 562949953421312L // 2^49
-    val agg = regs.groupBy("bucket").agg(max("m").as("m")).agg(
-      count(lit(1)).as("n_filled"),
-      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m AS INT))"))
-        .as("t_filled"))
+    val merged = regs.groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("m").as("m"))
+    val agg =
+      if (groupCols.isEmpty)
+        merged.agg(
+          count(lit(1)).as("n_filled"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m AS INT))"))
+            .as("t_filled"))
+      else
+        merged.groupBy(groupCols.map(col): _*).agg(
+          count(lit(1)).as("n_filled"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m AS INT))"))
+            .as("t_filled"))
     val t = col("t_filled") + (lit(256L) - col("n_filled")) * lit(two49)
     agg.select(
-      lit(256L).as("n_buckets"),
-      (lit(256L) - col("n_filled")).as("n_zero"),
-      t.as("t_sum"),
-      round(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
-        lit(65536.0) * lit(562949953421312.0) / t.cast(DoubleType), 2)
-        .as("est_raw"))
+      groupCols.map(col) ++ Seq(
+        lit(256L).as("n_buckets"),
+        (lit(256L) - col("n_filled")).as("n_zero"),
+        t.as("t_sum"),
+        round(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+          lit(65536.0) * lit(562949953421312.0) / t.cast(DoubleType), 2)
+          .as("est_raw")): _*)
   }
 
   /** Persist an HLL sketch as a MERGEABLE index under the
