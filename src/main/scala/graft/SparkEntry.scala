@@ -2891,6 +2891,47 @@ object SparkEntry {
         col("event_id"), Seq("event_type"))
         .orderBy(col("event_type").asc)),
 
+    // persisted mergeable CMS sketch (x188): the addition-merged twin
+    // of x186 — counter segments sum at serve time, (depth, width)
+    // persist WITH the index so serves can never probe with
+    // mismatched hashing; save+append estimates equal the one-shot
+    // sketch exactly (x184's oracle verbatim).
+    "x188_cms_sketch_merge" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val idx = scratchDir("cmssketch188")
+      graft.ext.Corpus.saveCmsSketch(
+        ev.filter(col("event_id") % 3 =!= 0), col("user_id"), idx,
+        depth = 4, width = 1024)
+      graft.ext.Corpus.appendToCmsSketch(s, idx,
+        ev.filter(col("event_id") % 3 === 0), col("user_id"), "b1")
+      val probes = ev.filter(col("user_id") < 20)
+        .select(col("user_id")).distinct()
+        .unionByName(s.range(1).select(lit(-1L).as("user_id")))
+      graft.ext.Corpus.queryCmsSketch(s, idx, probes, "user_id")
+    },
+
+    // streamed sketch maintenance (x189): x186's register segments
+    // landed by a micro-batch stream — any arrival order and any
+    // batching must serve the identical estimate (bucket-wise max is
+    // order-free), exactly-once via the content-derived batchId.
+    "x189_stream_hll_sketch" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val base = scratchDir("streamhll189")
+      graft.ext.Corpus.saveHllSketch(
+        ev.filter(col("event_id") % 3 === 1), col("event_id"),
+        base + "/idx")
+      landOrdered(s, Seq(
+        ev.filter(col("event_id") % 3 === 2).select("event_id"),
+        ev.filter(col("event_id") % 3 === 0).select("event_id")),
+        base + "/keys")
+      val schema = s.read.parquet(base + "/keys").schema
+      val q = graft.streaming.StreamIndex.hllSketchAppendWriter(s,
+          base + "/keys", schema, base + "/idx", "event_id")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      graft.ext.Corpus.queryHllSketch(s, base + "/idx")
+    },
+
     // persisted mergeable HLL sketch (x186): registers as manifest-
     // protocol segments, appends land 256-row register deltas, the
     // serve merges by bucket-wise max — save+append must equal the
@@ -4928,6 +4969,27 @@ object SparkEntry {
     // denominator as the exact integer Σ 2^(49-M_j), one final
     // division. x186's merged save+append registers must equal the
     // one-shot over the union exactly (bucket-wise max).
+    // x184/x188 share the CMS oracle: the identical md5-addressed
+    // counter table and min-over-rows estimates
+    val cmsOracle: String =
+      """WITH d AS (SELECT unnest(range(0, 4)) AS d),
+         cells AS (SELECT d.d,
+               ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' ||
+                 CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 1024
+                 AS slot,
+               count(*) AS c
+             FROM events e, d GROUP BY 1, 2),
+         p AS (SELECT DISTINCT user_id AS pk FROM events
+               WHERE user_id < 20
+               UNION ALL SELECT -1),
+         ps AS (SELECT pk, d.d,
+               ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' ||
+                 CAST(pk AS VARCHAR)), 1, 8))::BIGINT % 1024 AS slot
+             FROM p, d)
+         SELECT pk AS user_id,
+                CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
+         FROM ps LEFT JOIN cells USING (d, slot)
+         GROUP BY 1"""
     val hllOracle: String =
       """WITH h AS (SELECT md5(CAST(event_id AS VARCHAR)) AS hx
              FROM events),
@@ -6584,31 +6646,17 @@ object SparkEntry {
       // x184: the identical md5-addressed counter table (slot = first
       // 8 md5 hex digits of "d:key" mod 1024), the identical min-over-
       // rows estimates; the absent probe (-1) left-joins an empty cell
-      // → estimate 0
-      "x184_countmin_freq" ->
-        """WITH d AS (SELECT unnest(range(0, 4)) AS d),
-           cells AS (SELECT d.d,
-                 ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' ||
-                   CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 1024
-                   AS slot,
-                 count(*) AS c
-               FROM events e, d GROUP BY 1, 2),
-           p AS (SELECT DISTINCT user_id AS pk FROM events
-                 WHERE user_id < 20
-                 UNION ALL SELECT -1),
-           ps AS (SELECT pk, d.d,
-                 ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' ||
-                   CAST(pk AS VARCHAR)), 1, 8))::BIGINT % 1024 AS slot
-               FROM p, d)
-           SELECT pk AS user_id,
-                  CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
-           FROM ps LEFT JOIN cells USING (d, slot)
-           GROUP BY 1""",
+      // → estimate 0. x188's summed persisted counter segments must
+      // land the identical estimates — same oracle verbatim.
+      "x184_countmin_freq" -> cmsOracle,
+      "x188_cms_sketch_merge" -> cmsOracle,
 
       "x185_hll_distinct" -> hllOracle,
       // x186: the merged persisted registers must land the one-shot
       // estimate exactly — same oracle verbatim
       "x186_hll_sketch_merge" -> hllOracle,
+      // x189: streamed register segments — same oracle verbatim again
+      "x189_stream_hll_sketch" -> hllOracle,
       // x187: the same registers and integer denominator, grouped
       "x187_hll_by_group" ->
         """WITH h AS (SELECT event_type,

@@ -957,25 +957,124 @@ object Corpus {
     * shards by cell-wise addition. */
   def countMinEstimates(df: DataFrame, keyCol: Column,
       probes: DataFrame, probeCol: String, depth: Int = 4,
-      width: Int = 1024): DataFrame = {
+      width: Int = 1024): DataFrame =
+    cmsEstimates(cmsCounters(df, keyCol, depth, width), probes,
+      probeCol, depth, width)
+
+  /** The (d, slot, c) counter table behind [[countMinEstimates]].
+    * Counters MERGE by cell-wise ADDITION — the property the persisted
+    * sketch lifecycle below is built on. */
+  private[graft] def cmsCounters(df: DataFrame, keyCol: Column,
+      depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && depth <= 16,
       s"depth must be in [1, 16] (got $depth)")
     require(width >= 2, s"width must be >= 2 (got $width)")
     val rows = explode(array((0 until depth).map(i => lit(i)): _*))
-    val counters = df.select(keyCol.as("_k"))
+    df.select(keyCol.as("_k"))
       .select(col("_k"), rows.as("d"))
       .select(col("d"), md5Slot(col("_k"), col("d"), 8, width)
         .as("slot"))
       .groupBy("d", "slot").agg(count(lit(1)).as("c"))
+  }
+
+  /** Estimate tail over a (d, slot, c) counter table (counters from
+    * more than one segment merge by summation inside the aggregate). */
+  private[graft] def cmsEstimates(counters: DataFrame,
+      probes: DataFrame, probeCol: String, depth: Int, width: Int)
+      : DataFrame = {
+    val rows = explode(array((0 until depth).map(i => lit(i)): _*))
+    val merged = counters.groupBy("d", "slot").agg(sum("c").as("c"))
     val p = probes.select(col(probeCol).as("_pk")).distinct()
       .select(col("_pk"), rows.as("d"))
       .select(col("_pk"), col("d"),
         md5Slot(col("_pk"), col("d"), 8, width).as("slot"))
     // left join: a probe whose cell nobody hashed to is PROVABLY
     // absent — its estimate is 0, not "no row"
-    p.join(broadcast(counters), Seq("d", "slot"), "left")
+    p.join(broadcast(merged), Seq("d", "slot"), "left")
       .groupBy(col("_pk").as(probeCol))
       .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+  }
+
+  /** Persist a Count-Min sketch as a MERGEABLE index (the
+    * [[saveHllSketch]] lifecycle on the addition-merged counter
+    * table): segments are (d, slot, c) tables, appends land batch
+    * counters as their own segments (idempotent per batchId), the
+    * serve sums cells across segments — estimates over save+appends
+    * EQUAL the one-shot sketch over the union exactly. The (depth,
+    * width) build parameters persist WITH the index (a `params`
+    * table), so serves can never probe with mismatched hashing. */
+  def saveCmsSketch(df: DataFrame, keyCol: Column, path: String,
+      depth: Int = 4, width: Int = 1024): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    cmsCounters(df, keyCol, depth, width).coalesce(1)
+      .write.mode("errorifexists").parquet(s"$path/regs/base")
+    Seq((depth, width)).toDF("depth", "width").coalesce(1)
+      .write.mode("errorifexists").parquet(s"$path/params/base")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
+      graft.sinks.IndexSnapshot(0L,
+        Map("regs" -> Seq("base"), "params" -> Seq("base")),
+        Seq("base")))
+  }
+
+  /** Append a batch's counters as a new segment; replays no-op. */
+  def appendToCmsSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, keyCol: Column, batchId: String)
+      : Unit = {
+    require(batchId.nonEmpty && batchId != "base",
+      s"batchId must be a non-empty token != 'base' (got '$batchId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no sketch manifest at $path (not a saveCmsSketch directory)"))
+    if (snap.applied.contains(batchId)) return
+    val (depth, width) = cmsParams(spark, path, snap)
+    val seg = s"delta_$batchId"
+    cmsCounters(df, keyCol, depth, width).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/regs/$seg")
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(batchId)) c
+      else c.copy(
+        tables = c.tables + ("regs" ->
+          (c.segs("regs").filterNot(_ == seg) :+ seg)),
+        applied = c.applied :+ batchId)
+    }
+  }
+
+  private def cmsParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, snap: graft.sinks.IndexSnapshot): (Int, Int) = {
+    val segs = snap.segs("params")
+    require(segs.nonEmpty, s"sketch at $path carries no params table")
+    val r = spark.read.parquet(
+      segs.map(seg => s"$path/params/$seg"): _*).head()
+    (r.getAs[Int]("depth"), r.getAs[Int]("width"))
+  }
+
+  /** Serve estimates from one manifest snapshot's summed counters,
+    * hashed with the PERSISTED (depth, width). */
+  def queryCmsSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, probes: DataFrame, probeCol: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = asOfVersion
+      .map(v => graft.sinks.IndexManifest.at(fs, path, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"no sketch manifest v$v at $path (vacuumed or never " +
+            "existed)")))
+      .getOrElse(graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no sketch manifest at $path")))
+    val (depth, width) = cmsParams(spark, path, snap)
+    val segs = snap.segs("regs")
+    require(segs.nonEmpty, s"snapshot v${snap.version} has no segments")
+    cmsEstimates(spark.read.parquet(
+        segs.map(seg => s"$path/regs/$seg"): _*),
+      probes, probeCol, depth, width)
   }
 
   /** HyperLogLog distinct-count estimate (Flajolet, Fusy, Gandouet &

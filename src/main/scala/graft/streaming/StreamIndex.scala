@@ -112,6 +112,36 @@ object StreamIndex {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streamed maintenance of a persisted MERGEABLE SKETCH (gated
+    * x189): arriving key files land each micro-batch's HLL registers
+    * as their own segment of a [[graft.ext.Corpus.saveHllSketch]]
+    * index — the cheapest member of the stream-maintained-index family
+    * (a batch contributes ≤ 256 register rows regardless of batch
+    * size, and the merge is bucket-wise max, so ANY arrival order and
+    * ANY batching land the identical estimate). Same content-derived
+    * batchId exactly-once contract as [[bm25AppendWriter]]: replayed
+    * batches no-op on the manifest's applied record. */
+  def hllSketchAppendWriter(spark: SparkSession, keysDir: String,
+      schema: StructType, sketchPath: String, keyCol: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(keysDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (bid, _) = contentBatchId(b, keyCol)
+          graft.ext.Corpus.appendToHllSketch(s, sketchPath, b,
+            col(keyCol), bid)
+        } finally b.unpersist(blocking = false)
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** CDC INTO THE INDEX (gated x127): change batches of
     * (id, text, op ∈ upsert|delete) stream into a persisted
     * [[TextAnalysis.saveBm25Index]] index through the delete/reindex

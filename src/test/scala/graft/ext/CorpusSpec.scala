@@ -726,4 +726,37 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Corpus.queryHllSketch(spark, idx, asOfVersion = Some(99L)))
   }
+
+  test("persisted CMS sketch (x188): save+append == one-shot " +
+      "estimates exactly; persisted (depth, width) drive the probe " +
+      "hashing; replays no-op") {
+    import spark.implicits._
+    val rows = spark.range(0, 3000).toDF("id")
+      .withColumn("k", col("id") % 50)
+    val a = rows.filter(col("id") % 3 =!= 0)
+    val b = rows.filter(col("id") % 3 === 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_cms").resolve("idx").toString
+    // non-default params: the query must pick them up from the index
+    Corpus.saveCmsSketch(a, col("k"), idx, depth = 3, width = 512)
+    Corpus.appendToCmsSketch(spark, idx, b, col("k"), "b1")
+    val probes = spark.range(0, 50).toDF("k")
+      .unionByName(Seq(-5L).toDF("k"))
+    def est(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val merged = est(Corpus.queryCmsSketch(spark, idx, probes, "k"))
+    val oneShot = est(Corpus.countMinEstimates(rows, col("k"), probes,
+      "k", depth = 3, width = 512))
+    assert(merged == oneShot,
+      "summed segments diverged from the one-shot sketch")
+    assert(merged(-5L) == 0L)
+    // replay no-op
+    Corpus.appendToCmsSketch(spark, idx, b, col("k"), "b1")
+    assert(est(Corpus.queryCmsSketch(spark, idx, probes, "k")) == merged)
+    // time travel: version 1 is the save-only snapshot
+    assert(est(Corpus.queryCmsSketch(spark, idx, probes, "k",
+        asOfVersion = Some(1L))) ==
+      est(Corpus.countMinEstimates(a, col("k"), probes, "k",
+        depth = 3, width = 512)))
+  }
 }
