@@ -84,7 +84,7 @@ object Bench {
     "x142_retention_delete", "x145_ivfpq_filtered_topk",
     "x149_ivfpq_time_travel",
     "x153_minhash_index_compact", "x154_ivfpq_index_compact",
-    "x186_hll_sketch_merge", "x188_cms_sketch_merge",
+    "x186_hll_sketch_merge", "x188_cms_sketch_merge", "x190_cms_sketch_delete",
     "x155_minhash_time_travel", "x171_binaryfile_ingest",
     "x176_hybrid_pinned_snapshot", "x181_ivfpq_asof_filtered")
   // x130/x131/x132/x136/x151 moved to `serve` in r14: they resolve the

@@ -2932,6 +2932,24 @@ object SparkEntry {
       graft.ext.Corpus.queryHllSketch(s, base + "/idx")
     },
 
+    // CMS sketch deletion (x190): the turnstile half a LINEAR sketch
+    // supports — deletions land as NEGATED counter segments (HLL's max
+    // registers have no inverse; deleting there means rebuilding).
+    // Estimates over ingest-minus-delete must equal the one-shot
+    // sketch over the net corpus exactly.
+    "x190_cms_sketch_delete" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val idx = scratchDir("cmssketch190")
+      graft.ext.Corpus.saveCmsSketch(ev, col("user_id"), idx,
+        depth = 4, width = 1024)
+      graft.ext.Corpus.removeFromCmsSketch(s, idx,
+        ev.filter(col("event_id") % 3 === 0), col("user_id"), "b1")
+      val probes = ev.filter(col("user_id") < 20)
+        .select(col("user_id")).distinct()
+        .unionByName(s.range(1).select(lit(-1L).as("user_id")))
+      graft.ext.Corpus.queryCmsSketch(s, idx, probes, "user_id")
+    },
+
     // persisted mergeable HLL sketch (x186): registers as manifest-
     // protocol segments, appends land 256-row register deltas, the
     // serve merges by bucket-wise max — save+append must equal the
@@ -4969,16 +4987,19 @@ object SparkEntry {
     // denominator as the exact integer Σ 2^(49-M_j), one final
     // division. x186's merged save+append registers must equal the
     // one-shot over the union exactly (bucket-wise max).
-    // x184/x188 share the CMS oracle: the identical md5-addressed
-    // counter table and min-over-rows estimates
-    val cmsOracle: String =
-      """WITH d AS (SELECT unnest(range(0, 4)) AS d),
+    // x184/x188/x190 share the CMS oracle: the identical md5-addressed
+    // counter table and min-over-rows estimates, over a parameterized
+    // (possibly net-of-deletions) corpus; probes always come from the
+    // FULL table
+    def cmsOracleFor(where: String): String =
+      s"""WITH d AS (SELECT unnest(range(0, 4)) AS d),
          cells AS (SELECT d.d,
                ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' ||
                  CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 1024
                  AS slot,
                count(*) AS c
-             FROM events e, d GROUP BY 1, 2),
+             FROM (SELECT user_id FROM events $where) e, d
+             GROUP BY 1, 2),
          p AS (SELECT DISTINCT user_id AS pk FROM events
                WHERE user_id < 20
                UNION ALL SELECT -1),
@@ -4990,6 +5011,7 @@ object SparkEntry {
                 CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
          FROM ps LEFT JOIN cells USING (d, slot)
          GROUP BY 1"""
+    val cmsOracle: String = cmsOracleFor("")
     val hllOracle: String =
       """WITH h AS (SELECT md5(CAST(event_id AS VARCHAR)) AS hx
              FROM events),
@@ -6650,6 +6672,10 @@ object SparkEntry {
       // land the identical estimates — same oracle verbatim.
       "x184_countmin_freq" -> cmsOracle,
       "x188_cms_sketch_merge" -> cmsOracle,
+      // x190: negated delete segments net out — the one-shot sketch
+      // over the surviving rows
+      "x190_cms_sketch_delete" ->
+        cmsOracleFor("WHERE event_id % 3 <> 0"),
 
       "x185_hll_distinct" -> hllOracle,
       // x186: the merged persisted registers must land the one-shot

@@ -1023,8 +1023,10 @@ object Corpus {
   def appendToCmsSketch(spark: org.apache.spark.sql.SparkSession,
       path: String, df: DataFrame, keyCol: Column, batchId: String)
       : Unit = {
-    require(batchId.nonEmpty && batchId != "base",
-      s"batchId must be a non-empty token != 'base' (got '$batchId')")
+    require(batchId.nonEmpty && batchId != "base" &&
+        !batchId.startsWith("delete_"),
+      s"batchId must be a non-empty token != 'base' and outside the " +
+        s"delete-marker namespace 'delete_*' (got '$batchId')")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
@@ -1042,6 +1044,42 @@ object Corpus {
         tables = c.tables + ("regs" ->
           (c.segs("regs").filterNot(_ == seg) :+ seg)),
         applied = c.applied :+ batchId)
+    }
+  }
+
+  /** DELETE rows from a persisted CMS sketch — the turnstile-model
+    * half Count-Min supports BECAUSE it is a linear sketch (counters
+    * are sums, so a deletion is a NEGATED counter segment; HLL's max
+    * registers have no inverse — deleting from an HLL sketch means
+    * rebuilding it). Estimates stay exact-replayable and stay
+    * OVERestimates of the net counts as long as every key's net count
+    * is non-negative (the caller contract: delete only rows that were
+    * ingested). Idempotent per batchId like every other lifecycle
+    * verb. */
+  def removeFromCmsSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, keyCol: Column, batchId: String)
+      : Unit = {
+    require(batchId.nonEmpty && batchId != "base",
+      s"batchId must be a non-empty token != 'base' (got '$batchId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no sketch manifest at $path (not a saveCmsSketch directory)"))
+    val marker = s"delete_$batchId"
+    if (snap.applied.contains(marker)) return
+    val (depth, width) = cmsParams(spark, path, snap)
+    val seg = s"delete_$batchId"
+    cmsCounters(df, keyCol, depth, width)
+      .select(col("d"), col("slot"), (-col("c")).as("c"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/regs/$seg")
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(marker)) c
+      else c.copy(
+        tables = c.tables + ("regs" ->
+          (c.segs("regs").filterNot(_ == seg) :+ seg)),
+        applied = c.applied :+ marker)
     }
   }
 

@@ -758,5 +758,17 @@ class CorpusSpec extends SparkSpec {
         asOfVersion = Some(1L))) ==
       est(Corpus.countMinEstimates(a, col("k"), probes, "k",
         depth = 3, width = 512)))
+    // turnstile delete (x190): a negated segment nets the removed
+    // rows out — estimates equal the one-shot sketch over survivors
+    Corpus.removeFromCmsSketch(spark, idx, b, col("k"), "d1")
+    val afterDel = est(Corpus.queryCmsSketch(spark, idx, probes, "k"))
+    assert(afterDel == est(Corpus.countMinEstimates(a, col("k"),
+      probes, "k", depth = 3, width = 512)))
+    // delete replay no-ops; append/delete marker namespaces disjoint
+    Corpus.removeFromCmsSketch(spark, idx, b, col("k"), "d1")
+    assert(est(Corpus.queryCmsSketch(spark, idx, probes, "k")) ==
+      afterDel)
+    intercept[IllegalArgumentException](Corpus.appendToCmsSketch(
+      spark, idx, b, col("k"), "delete_d1"))
   }
 }
