@@ -2950,6 +2950,80 @@ object SparkEntry {
       graft.ext.Corpus.queryCmsSketch(s, idx, probes, "user_id")
     },
 
+    // histogram quantile estimates (x191): the third member of the
+    // oracle-exact sketch family (CMS = frequency, HLL = distinct,
+    // this = distribution) — integer buckets over documents.n_chars,
+    // q-quantile = lowest bucket whose cumulative count reaches
+    // k = ceil(q·n), all micro-fraction integer arithmetic, so the
+    // ESTIMATES are oracle-checkable where engine-seeded
+    // approx_percentile (x24) is rows-only. Error bounded by one
+    // bucket width by construction.
+    "x191_hist_quantiles" -> ((s, dir) =>
+      graft.ext.Corpus.histQuantiles(T(s, dir, "documents"),
+          col("n_chars"), bucketWidth = 50L,
+          qMicros = Seq(100000L, 500000L, 900000L, 990000L))
+        .orderBy(col("q_micros").asc)),
+
+    // persisted mergeable histogram sketch (x192): counter segments
+    // sum at serve time, bucketWidth persists WITH the index so serves
+    // can never re-bucket with mismatched geometry; save+append
+    // estimates equal the one-shot sketch exactly (x191's oracle
+    // verbatim).
+    "x192_hist_sketch_merge" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val idx = scratchDir("histsketch192")
+      graft.ext.Corpus.saveHistSketch(
+        d.filter(col("doc_id") % 3 =!= 0), col("n_chars"), idx,
+        bucketWidth = 50L)
+      graft.ext.Corpus.appendToHistSketch(s, idx,
+        d.filter(col("doc_id") % 3 === 0), col("n_chars"), "b1")
+      graft.ext.Corpus.queryHistSketch(s, idx,
+        Seq(100000L, 500000L, 900000L, 990000L))
+        .orderBy(col("q_micros").asc)
+    },
+
+    // histogram sketch deletion (x193): the turnstile half — the
+    // histogram is a LINEAR sketch like CMS, so deletions land as
+    // NEGATED counter segments and estimates over ingest-minus-delete
+    // must equal the one-shot sketch over the net corpus exactly
+    // (netted-zero buckets shift no cumulative count).
+    "x193_hist_sketch_delete" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val idx = scratchDir("histsketch193")
+      graft.ext.Corpus.saveHistSketch(d, col("n_chars"), idx,
+        bucketWidth = 50L)
+      graft.ext.Corpus.removeFromHistSketch(s, idx,
+        d.filter(col("doc_id") % 3 === 0), col("n_chars"), "b1")
+      graft.ext.Corpus.queryHistSketch(s, idx,
+        Seq(100000L, 500000L, 900000L, 990000L))
+        .orderBy(col("q_micros").asc)
+    },
+
+    // streamed histogram-sketch maintenance (x194): x192's counter
+    // segments landed by a micro-batch stream — addition is order-free
+    // like the HLL max, so any arrival order and any batching must
+    // serve the identical estimates, exactly-once via the
+    // content-derived batchId.
+    "x194_stream_hist_sketch" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val base = scratchDir("streamhist194")
+      graft.ext.Corpus.saveHistSketch(
+        d.filter(col("doc_id") % 3 === 1), col("n_chars"),
+        base + "/idx", bucketWidth = 50L)
+      landOrdered(s, Seq(
+        d.filter(col("doc_id") % 3 === 2).select("doc_id", "n_chars"),
+        d.filter(col("doc_id") % 3 === 0).select("doc_id", "n_chars")),
+        base + "/vals")
+      val schema = s.read.parquet(base + "/vals").schema
+      val q = graft.streaming.StreamIndex.histSketchAppendWriter(s,
+          base + "/vals", schema, base + "/idx", "n_chars")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      graft.ext.Corpus.queryHistSketch(s, base + "/idx",
+        Seq(100000L, 500000L, 900000L, 990000L))
+        .orderBy(col("q_micros").asc)
+    },
+
     // persisted mergeable HLL sketch (x186): registers as manifest-
     // protocol segments, appends land 256-row register deltas, the
     // serve merges by bucket-wise max — save+append must equal the
@@ -2992,6 +3066,35 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id")), "doc_id")
       graft.ext.Multimodal.audioResampleStats(s, wav, "doc_id",
         dstRate = 3000).orderBy(col("doc_id").asc)
+    },
+
+    // perceptual image hash (x195): dHash over the REAL decoded pixels
+    // — 9×7 nearest-neighbor grayscale grid, 56 horizontal-gradient
+    // sign bits packed into one long. Every step is integer arithmetic
+    // on channel values the PNG round-trip preserves, so the hash
+    // itself is closed-form in the id (the x101 identity, through a
+    // real perceptual transform).
+    "x195_image_dhash" -> { (s, dir) =>
+      val png = graft.ext.Multimodal.withPngPayload(s,
+        T(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ext.Multimodal.imageDHash(s, png, "doc_id")
+        .orderBy(col("doc_id").asc)
+    },
+
+    // visual near-dup pairs (x196): x195's dHash sigs through the x04
+    // banded-LSH + exact-Hamming-verify pipeline UNCHANGED — the image
+    // axis of the near-dup family (text x04, embeddings x06, images
+    // here). The oracle brute-forces ALL Hamming<=7 pairs over the
+    // closed-form hashes; banding must find exactly those by the
+    // enforced recall contract.
+    "x196_dhash_neardup_pairs" -> { (s, dir) =>
+      val png = graft.ext.Multimodal.withPngPayload(s,
+        T(s, dir, "documents").select(col("doc_id")), "doc_id")
+      val sigs = graft.ext.Multimodal.imageDHash(s, png, "doc_id")
+        .select(col("doc_id"), col("dhash").as("sh"))
+      graft.ext.DedupOps.simhashPairsFromSigs(sigs, maxHamming = 7,
+          bands = 4, probeBits = 1)
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
     },
 
     // distributed BPE vocabulary learning (x165): 6 rounds of
@@ -5012,6 +5115,62 @@ object SparkEntry {
          FROM ps LEFT JOIN cells USING (d, slot)
          GROUP BY 1"""
     val cmsOracle: String = cmsOracleFor("")
+    // x191/x192/x193/x194 share the histogram-quantile oracle: the
+    // identical integer bucket table (n_chars div 50), from-the-bottom
+    // cumulative counts, k = ceil(q·n) in exact micro-fraction integer
+    // arithmetic, estimate = lowest bucket reaching k — over a
+    // parameterized (possibly net-of-deletions) corpus
+    def histOracleFor(extra: String): String =
+      s"""WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v
+               FROM documents
+               WHERE n_chars IS NOT NULL AND n_chars >= 0 $extra),
+         h AS (SELECT v // 50 AS bucket, count(*) AS c
+               FROM v GROUP BY 1),
+         cum AS (SELECT a.bucket, sum(b.c) AS cum
+                 FROM h a JOIN h b ON b.bucket <= a.bucket
+                 GROUP BY 1),
+         n AS (SELECT sum(c) AS n FROM h),
+         q AS (SELECT CAST(unnest([100000, 500000, 900000, 990000])
+                 AS BIGINT) AS q_micros),
+         sel AS (SELECT q.q_micros, n.n,
+                   (q.q_micros * n.n + 999999) // 1000000 AS k,
+                   min(cum.bucket) AS bucket
+                 FROM q, n, cum
+                 WHERE cum.cum >=
+                   (q.q_micros * n.n + 999999) // 1000000
+                 GROUP BY 1, 2, 3)
+         SELECT q_micros, CAST(n AS BIGINT) AS n,
+                CAST(k AS BIGINT) AS k,
+                CAST(bucket AS BIGINT) AS bucket,
+                CAST(bucket * 50 AS BIGINT) AS est_lo,
+                CAST((bucket + 1) * 50 - 1 AS BIGINT) AS est_hi
+         FROM sel ORDER BY q_micros ASC"""
+    val histOracle: String = histOracleFor("")
+    // x195/x196: grayscale grid + gradient-sign bits straight from
+    // x101's pixel closed form (w = 4+id%13, h = 3+id%7, channels
+    // (id+sx)%256 / (id+sy)%256 / (sx+sy)%256), sampled on the
+    // nearest-neighbor grid sx = x·w div 9, sy = y·h div 7 — the
+    // byte-free dHash twin of the x171 oracle
+    val dhashSigCte: String =
+      """g AS (SELECT d.doc_id, gy.y, gx.x,
+               ((d.doc_id + (gx.x * (4 + d.doc_id % 13)) // 9) % 256
+                + (d.doc_id + (gy.y * (3 + d.doc_id % 7)) // 7) % 256
+                + ((gx.x * (4 + d.doc_id % 13)) // 9
+                   + (gy.y * (3 + d.doc_id % 7)) // 7) % 256) // 3
+                 AS gray
+             FROM documents d,
+                  generate_series(0, 8) gx(x),
+                  generate_series(0, 6) gy(y)),
+         bits AS (SELECT a.doc_id, a.y, a.x,
+                    CASE WHEN n.gray > a.gray THEN 1 ELSE 0 END AS bit
+                  FROM g a JOIN g n
+                    ON n.doc_id = a.doc_id AND n.y = a.y
+                       AND n.x = a.x + 1
+                  WHERE a.x < 8),
+         sh AS (SELECT doc_id,
+                  CAST(sum(bit * (CAST(1 AS BIGINT) << (y * 8 + x)))
+                    AS BIGINT) AS dhash
+                FROM bits GROUP BY 1)"""
     val hllOracle: String =
       """WITH h AS (SELECT md5(CAST(event_id AS VARCHAR)) AS hx
              FROM events),
@@ -6677,6 +6836,20 @@ object SparkEntry {
       "x190_cms_sketch_delete" ->
         cmsOracleFor("WHERE event_id % 3 <> 0"),
 
+      // x191: the identical integer bucket table, cumulative counts,
+      // and lowest-qualifying-bucket selection — estimates themselves
+      // oracle-exact (one-bucket-width error bound is structural)
+      "x191_hist_quantiles" -> histOracle,
+      // x192: summed persisted counter segments must land the one-shot
+      // estimates — same oracle verbatim
+      "x192_hist_sketch_merge" -> histOracle,
+      // x194: streamed counter segments — same oracle verbatim again
+      "x194_stream_hist_sketch" -> histOracle,
+      // x193: negated delete segments net out — the one-shot sketch
+      // over the surviving rows
+      "x193_hist_sketch_delete" ->
+        histOracleFor("AND doc_id % 3 <> 0"),
+
       "x185_hll_distinct" -> hllOracle,
       // x186: the merged persisted registers must land the one-shot
       // estimate exactly — same oracle verbatim
@@ -6784,6 +6957,24 @@ object SparkEntry {
                   CAST(sum(amp) AS BIGINT) AS sum_amp,
                   CAST(max(abs(amp)) AS BIGINT) AS peak_amp
            FROM v GROUP BY 1 ORDER BY doc_id ASC""",
+
+      // x195/x196: the dHash recomputed entirely from x101's pixel
+      // closed form — 9×7 nearest-neighbor grayscale grid, gray =
+      // (R+G+B) div 3, bit set iff the right neighbor is brighter;
+      // x196 then brute-forces ALL Hamming<=7 pairs (equal to the
+      // engine's banded+verified output by the enforced recall
+      // contract, the x04 argument)
+      "x195_image_dhash" ->
+        s"""WITH $dhashSigCte
+           SELECT doc_id, dhash FROM sh ORDER BY doc_id ASC""",
+      "x196_dhash_neardup_pairs" ->
+        s"""WITH $dhashSigCte
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT)
+                    AS hamming
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+           ORDER BY doc_a ASC, doc_b ASC""",
 
       // x165: w0 + 6 unrolled training rounds; the merge table is the
       // per-round argmax rows. The dry-round all-NULL sentinel stays in

@@ -1262,4 +1262,204 @@ object Corpus {
     hllEstimate(spark.read.parquet(
       segs.map(seg => s"$path/regs/$seg"): _*))
   }
+
+  /** Histogram quantile estimates over a non-negative integer measure
+    * (lengths, token counts, byte sizes — the distributions a corpus
+    * dashboard tracks): bucket = `value div bucketWidth`, and the
+    * q-quantile estimate is the lowest bucket whose from-the-bottom
+    * cumulative count reaches k = ⌈q·n⌉ — the k-th smallest value
+    * provably lies inside [est_lo, est_hi], so the estimate error is
+    * bounded by ONE bucket width by construction (x150's
+    * quantile-by-histogram, packaged as a reusable point-query sketch).
+    *
+    * Everything is integer arithmetic: quantiles arrive as MICRO
+    * fractions (q_micros ∈ [1, 1e6]), k = `(q_micros·n + 999999) div
+    * 1e6` — both engines compute identical longs, so the estimates are
+    * oracle-exact (the [[countMinEstimates]] discipline; engine-seeded
+    * `approx_percentile` (x24) can only be rows-only checked).
+    *
+    * Scale shape: ONE partial+final count aggregate onto a histogram
+    * bounded by value-range/bucketWidth rows (hundreds, whatever the
+    * corpus size); the cumulative pass and the per-quantile selection
+    * run over that bounded table (a broadcast theta-join + a 1-row
+    * total cross join — never the corpus). Counters are LINEAR:
+    * merge = cell-wise addition, delete = negation — the same
+    * turnstile lifecycle as the CMS sketch.
+    *
+    * Output, one row per probe: (q_micros, n, k, bucket, est_lo,
+    * est_hi). NULL and negative values are excluded (pre-bucket them
+    * explicitly if they must count). Empty input → empty output. */
+  def histQuantiles(df: DataFrame, valueCol: Column, bucketWidth: Long,
+      qMicros: Seq[Long]): DataFrame =
+    histQuantileEstimates(histCounters(df, valueCol, bucketWidth),
+      bucketWidth, qMicros)
+
+  /** The (bucket, c) counter table behind [[histQuantiles]]. Counters
+    * MERGE by bucket-wise ADDITION — the property the persisted
+    * lifecycle below is built on. */
+  private[graft] def histCounters(df: DataFrame, valueCol: Column,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1L,
+      s"bucketWidth must be >= 1 (got $bucketWidth)")
+    df.select(valueCol.cast(LongType).as("_v"))
+      .filter(col("_v").isNotNull && col("_v") >= 0L)
+      .select(expr(s"_v div $bucketWidth").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** Estimate tail over a (bucket, c) counter table (counters from
+    * more than one segment — including NEGATED delete segments — merge
+    * by summation inside the aggregate; netted-zero buckets are
+    * harmless: they shift no cumulative count and can never be the
+    * minimum qualifying bucket). */
+  private[graft] def histQuantileEstimates(counters: DataFrame,
+      bucketWidth: Long, qMicros: Seq[Long]): DataFrame = {
+    require(qMicros.nonEmpty, "qMicros must be non-empty")
+    require(qMicros.forall(q => q >= 1L && q <= 1000000L),
+      s"every q_micros must be in [1, 1000000] (got $qMicros)")
+    val merged = counters.groupBy("bucket").agg(sum("c").as("c"))
+    // from-the-bottom cumulative counts via a theta self-join over the
+    // HISTOGRAM (bounded by value-range/bucketWidth rows, never the
+    // corpus — the same bounded-table sanction as the per-group
+    // windows in topFractionByQuantile)
+    val cum = merged.join(
+        broadcast(merged.select(col("bucket").as("_b2"),
+          col("c").as("_c2"))),
+        col("_b2") <= col("bucket"))
+      .groupBy("bucket").agg(sum("_c2").as("cum"))
+    val n = merged.agg(sum("c").as("n"))
+    // per-quantile selection: explode the literal probe list onto each
+    // histogram row (the cmsCounters depth-explode shape), keep rows
+    // reaching k, take the lowest qualifying bucket per probe
+    val qs = explode(array(qMicros.map(lit): _*)).as("q_micros")
+    cum.crossJoin(broadcast(n))
+      .select(col("bucket"), col("cum"), col("n"), qs)
+      .withColumn("k", expr("(q_micros * n + 999999) div 1000000"))
+      .filter(col("cum") >= col("k"))
+      .groupBy("q_micros", "n", "k")
+      .agg(min("bucket").as("bucket"))
+      .select(col("q_micros"), col("n"), col("k"), col("bucket"),
+        (col("bucket") * lit(bucketWidth)).as("est_lo"),
+        ((col("bucket") + lit(1L)) * lit(bucketWidth) - lit(1L))
+          .as("est_hi"))
+  }
+
+  /** Persist a histogram-quantile sketch as a MERGEABLE index (the
+    * [[saveCmsSketch]] lifecycle on the addition-merged (bucket, c)
+    * table): appends land batch counters as their own segments
+    * (idempotent per batchId), deletes land NEGATED segments (linear
+    * sketch — the turnstile half), the serve sums buckets across
+    * segments — estimates over save+appends−deletes EQUAL the one-shot
+    * sketch over the net corpus exactly. `bucketWidth` persists WITH
+    * the index (a `params` table) so serves can never re-bucket with
+    * mismatched geometry. The incremental distribution-monitoring
+    * shape at 100 TB: each ingest batch contributes rows bounded by
+    * its own value range, the serve reads kilobytes, nothing rescans
+    * the corpus. */
+  def saveHistSketch(df: DataFrame, valueCol: Column, path: String,
+      bucketWidth: Long): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    histCounters(df, valueCol, bucketWidth).coalesce(1)
+      .write.mode("errorifexists").parquet(s"$path/regs/base")
+    Seq(bucketWidth).toDF("bucket_width").coalesce(1)
+      .write.mode("errorifexists").parquet(s"$path/params/base")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
+      graft.sinks.IndexSnapshot(0L,
+        Map("regs" -> Seq("base"), "params" -> Seq("base")),
+        Seq("base")))
+  }
+
+  /** Append a batch's counters as a new segment; replays no-op. */
+  def appendToHistSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, valueCol: Column, batchId: String)
+      : Unit = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        !batchId.startsWith("delete_"),
+      s"batchId must be a non-empty token != 'base' and outside the " +
+        s"delete-marker namespace 'delete_*' (got '$batchId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no sketch manifest at $path (not a saveHistSketch directory)"))
+    if (snap.applied.contains(batchId)) return
+    val width = histParams(spark, path, snap)
+    val seg = s"delta_$batchId"
+    histCounters(df, valueCol, width).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/regs/$seg")
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(batchId)) c
+      else c.copy(
+        tables = c.tables + ("regs" ->
+          (c.segs("regs").filterNot(_ == seg) :+ seg)),
+        applied = c.applied :+ batchId)
+    }
+  }
+
+  /** DELETE rows from a persisted histogram sketch — negated counter
+    * segments, exactly [[removeFromCmsSketch]]'s turnstile model (the
+    * histogram is linear too). Estimates stay exact replays of the net
+    * corpus as long as every bucket's net count is non-negative (the
+    * caller contract: delete only rows that were ingested). Idempotent
+    * per batchId. */
+  def removeFromHistSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, valueCol: Column, batchId: String)
+      : Unit = {
+    require(batchId.nonEmpty && batchId != "base",
+      s"batchId must be a non-empty token != 'base' (got '$batchId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no sketch manifest at $path (not a saveHistSketch directory)"))
+    val marker = s"delete_$batchId"
+    if (snap.applied.contains(marker)) return
+    val width = histParams(spark, path, snap)
+    histCounters(df, valueCol, width)
+      .select(col("bucket"), (-col("c")).as("c"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/regs/$marker")
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(marker)) c
+      else c.copy(
+        tables = c.tables + ("regs" ->
+          (c.segs("regs").filterNot(_ == marker) :+ marker)),
+        applied = c.applied :+ marker)
+    }
+  }
+
+  private def histParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, snap: graft.sinks.IndexSnapshot): Long = {
+    val segs = snap.segs("params")
+    require(segs.nonEmpty, s"sketch at $path carries no params table")
+    spark.read.parquet(segs.map(seg => s"$path/params/$seg"): _*)
+      .head().getAs[Long]("bucket_width")
+  }
+
+  /** Serve quantile estimates from one manifest snapshot's summed
+    * counters, bucketed with the PERSISTED width. */
+  def queryHistSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, qMicros: Seq[Long],
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = asOfVersion
+      .map(v => graft.sinks.IndexManifest.at(fs, path, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"no sketch manifest v$v at $path (vacuumed or never " +
+            "existed)")))
+      .getOrElse(graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no sketch manifest at $path")))
+    val width = histParams(spark, path, snap)
+    val segs = snap.segs("regs")
+    require(segs.nonEmpty, s"snapshot v${snap.version} has no segments")
+    histQuantileEstimates(spark.read.parquet(
+      segs.map(seg => s"$path/regs/$seg"): _*), width, qMicros)
+  }
 }

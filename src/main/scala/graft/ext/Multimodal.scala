@@ -625,4 +625,64 @@ object Multimodal {
         }
       }).toDF(idCol, "sample_rate", "n_samples", "sum_amp", "peak_amp")
   }
+
+  /** Perceptual difference-hash (dHash — Krawetz's "Kind of Like
+    * That" gradient hash, the standard cheap image fingerprint) over
+    * the REAL decoded pixels: nearest-neighbor-sample the image to a
+    * (gridW+1)×gridH grayscale grid (the [[imageResizeStats]] integer
+    * index map `src = dst·srcDim/dstDim`), gray = (R+G+B) div 3, and
+    * bit (x, y) is set iff gray(x+1, y) > gray(x, y) — gridW·gridH
+    * bits of horizontal-gradient signs, packed little-endian into one
+    * long. Visually similar images (resizes, small edits, brightness
+    * shifts that preserve gradient signs) land at small Hamming
+    * distance, which makes the hash the IMAGE axis of the near-dup
+    * family: feed the (id, dhash) sigs to
+    * [[DedupOps.simhashPairsFromSigs]] and the banded LSH + exact
+    * verify pipeline works unchanged (gated x196).
+    *
+    * Every step is integer arithmetic on decoded channel values, so on
+    * a [[withPngPayload]] fixture the hash itself is closed-form in
+    * the id — oracle-exact (gated x195). The default 8×7 = 56 bits
+    * keeps the hash positive in a signed 64-bit lane in every engine;
+    * gridW·gridH is capped at 62 for the same reason. Non-image
+    * payloads surface as a NULL hash, never an error. Narrow
+    * mapPartitions codec stage — blobs never shuffle, the output is
+    * 16 bytes per image whatever the image size. */
+  def imageDHash(spark: SparkSession, df: DataFrame, idCol: String,
+      gridW: Int = 8, gridH: Int = 7): DataFrame = {
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 62,
+      s"gridW*gridH must be in [1, 62] to stay positive in a signed " +
+        s"64-bit hash (got ${gridW}x$gridH)")
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        MediaCodec.decodeImage(payload) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var bits = 0L
+            val g = new Array[Int](gridW + 1)
+            var y = 0
+            while (y < gridH) {
+              val sy = y * h / gridH
+              var x = 0
+              while (x <= gridW) {
+                val sx = x * w / (gridW + 1)
+                val rgb = img.getRGB(sx, sy)
+                g(x) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                  (rgb & 0xff)) / 3
+                x += 1
+              }
+              x = 0
+              while (x < gridW) {
+                if (g(x + 1) > g(x)) bits |= 1L << (y * gridW + x)
+                x += 1
+              }
+              y += 1
+            }
+            (id, Some(bits))
+          case None => (id, None: Option[Long])
+        }
+      }).toDF(idCol, "dhash")
+  }
 }

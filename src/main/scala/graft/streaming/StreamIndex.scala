@@ -142,6 +142,41 @@ object StreamIndex {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streamed maintenance of a persisted HISTOGRAM-QUANTILE sketch
+    * (gated x194): arriving value files land each micro-batch's
+    * (bucket, c) counters as their own segment of a
+    * [[graft.ext.Corpus.saveHistSketch]] index. Counters merge by
+    * ADDITION (order-free, like the HLL max), so any arrival order and
+    * any batching serve the identical quantile estimates; a batch
+    * contributes rows bounded by its own value range, never its size.
+    * Same content-derived batchId exactly-once contract as
+    * [[hllSketchAppendWriter]] — with the addition-specific caveat
+    * that contract inherits: this is an APPEND-ONLY ingest writer
+    * whose micro-batches are distinct-by-content (two genuinely
+    * different batches carrying byte-identical key sets would merge to
+    * one — a mutating stream that legitimately revisits a state needs
+    * the CDC writers' epoch-keyed ids instead). */
+  def histSketchAppendWriter(spark: SparkSession, valuesDir: String,
+      schema: StructType, sketchPath: String, valueCol: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(valuesDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (bid, _) = contentBatchId(b, valueCol)
+          graft.ext.Corpus.appendToHistSketch(s, sketchPath, b,
+            col(valueCol), bid)
+        } finally b.unpersist(blocking = false)
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** CDC INTO THE INDEX (gated x127): change batches of
     * (id, text, op ∈ upsert|delete) stream into a persisted
     * [[TextAnalysis.saveBm25Index]] index through the delete/reindex

@@ -106,7 +106,15 @@ class PlanAuditSpec extends SparkSpec {
       // x138/x146's exact reference leg IS bruteForceTopK — the
       // sanctioned scan×|Q| shape; the eval joins themselves are
       // keyed joins over two |Q|·k-row lists
-      "x138_ann_recall", "x146_ann_ndcg")
+      "x138_ann_recall", "x146_ann_ndcg",
+      // x191-x194's quantile selection runs entirely over the
+      // HISTOGRAM (bounded by value-range/bucketWidth rows, never the
+      // corpus): the cumulative pass is a broadcast theta self-join of
+      // that bounded table, and the total joins in as a PROVABLY
+      // 1-row broadcast aggregate cross join (the x69 shape) — see
+      // Corpus.histQuantileEstimates scaladoc
+      "x191_hist_quantiles", "x192_hist_sketch_merge",
+      "x193_hist_sketch_delete", "x194_stream_hist_sketch")
 
   // x85's lexical leg ranks bm25TopK's ALREADY-LIMITED k-row list with
   // a per-query window whose query_id is a literal — Catalyst folds the

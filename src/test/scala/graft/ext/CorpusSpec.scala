@@ -771,4 +771,89 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.appendToCmsSketch(
       spark, idx, b, col("k"), "delete_d1"))
   }
+
+  test("histQuantiles (x191): every estimate BRACKETS the exact order " +
+      "statistic (one-bucket-width error bound); hand-computed small " +
+      "fixture; nulls/negatives excluded; validation errors") {
+    import spark.implicits._
+    // hand fixture: values 0..99 (n=100), width 10. q=0.5 → k=50 →
+    // the 50th smallest is 49 → bucket 4 → [40, 49]. q=1.0 → k=100 →
+    // 99 → bucket 9 → [90, 99]. q=0.001 → k=1 → 0 → bucket 0.
+    val v = spark.range(0, 100).toDF("v")
+      .unionByName(Seq((null: Option[Long]), Some(-7L)).toDF("v"))
+    val got = Corpus.histQuantiles(v, col("v"), 10L,
+        Seq(1000L, 500000L, 1000000L))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1000L) == ((100L, 1L, 0L, 0L, 9L)))
+    assert(got(500000L) == ((100L, 50L, 4L, 40L, 49L)))
+    assert(got(1000000L) == ((100L, 100L, 9L, 90L, 99L)))
+    // bracket property on an irregular distribution: for every q the
+    // exact k-th smallest lies in [est_lo, est_hi]
+    val vals = (0 until 500).map(i => (i.toLong * i) % 997L)
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    val qs = Seq(100000L, 250000L, 500000L, 900000L, 990000L, 1000000L)
+    Corpus.histQuantiles(df, col("v"), 25L, qs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .foreach { case (q, n, k, _, lo, hi) =>
+        assert(n == 500L)
+        assert(k == (q * 500L + 999999L) / 1000000L)
+        val exact = sorted(k.toInt - 1)
+        assert(exact >= lo && exact <= hi,
+          s"q=$q: exact $exact outside [$lo, $hi]")
+      }
+    // empty input → empty output, not an error
+    assert(Corpus.histQuantiles(Seq.empty[Long].toDF("v"), col("v"),
+      10L, Seq(500000L)).count() == 0L)
+    intercept[IllegalArgumentException](
+      Corpus.histQuantiles(df, col("v"), 0L, Seq(500000L)))
+    intercept[IllegalArgumentException](
+      Corpus.histQuantiles(df, col("v"), 10L, Seq.empty))
+    intercept[IllegalArgumentException](
+      Corpus.histQuantiles(df, col("v"), 10L, Seq(0L)))
+    intercept[IllegalArgumentException](
+      Corpus.histQuantiles(df, col("v"), 10L, Seq(1000001L)))
+  }
+
+  test("persisted histogram sketch (x192/x193/x194): save+append == " +
+      "one-shot estimates exactly; persisted width drives the serve; " +
+      "replays no-op; time travel; turnstile delete nets out") {
+    import spark.implicits._
+    val rows = spark.range(0, 3000).toDF("id")
+      .withColumn("v", (col("id") * col("id")) % 613L)
+    val a = rows.filter(col("id") % 3 =!= 0)
+    val b = rows.filter(col("id") % 3 === 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_hist").resolve("idx").toString
+    val qs = Seq(100000L, 500000L, 900000L, 1000000L)
+    // non-default width: the serve must pick it up from the index
+    Corpus.saveHistSketch(a, col("v"), idx, bucketWidth = 17L)
+    Corpus.appendToHistSketch(spark, idx, b, col("v"), "b1")
+    def est(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+    val merged = est(Corpus.queryHistSketch(spark, idx, qs))
+    assert(merged == est(Corpus.histQuantiles(rows, col("v"), 17L, qs)),
+      "summed segments diverged from the one-shot sketch")
+    // replay no-op
+    Corpus.appendToHistSketch(spark, idx, b, col("v"), "b1")
+    assert(est(Corpus.queryHistSketch(spark, idx, qs)) == merged)
+    // time travel: version 1 is the save-only snapshot
+    assert(est(Corpus.queryHistSketch(spark, idx, qs,
+        asOfVersion = Some(1L))) ==
+      est(Corpus.histQuantiles(a, col("v"), 17L, qs)))
+    intercept[IllegalArgumentException](
+      Corpus.queryHistSketch(spark, idx, qs, asOfVersion = Some(99L)))
+    // turnstile delete (x193): a negated segment nets the removed
+    // rows out — estimates equal the one-shot sketch over survivors
+    Corpus.removeFromHistSketch(spark, idx, b, col("v"), "d1")
+    val afterDel = est(Corpus.queryHistSketch(spark, idx, qs))
+    assert(afterDel == est(Corpus.histQuantiles(a, col("v"), 17L, qs)))
+    // delete replay no-ops; append/delete marker namespaces disjoint
+    Corpus.removeFromHistSketch(spark, idx, b, col("v"), "d1")
+    assert(est(Corpus.queryHistSketch(spark, idx, qs)) == afterDel)
+    intercept[IllegalArgumentException](Corpus.appendToHistSketch(
+      spark, idx, b, col("v"), "delete_d1"))
+  }
 }

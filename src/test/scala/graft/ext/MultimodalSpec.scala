@@ -296,4 +296,58 @@ class MultimodalSpec extends SparkSpec {
         (1L, None, None, None, None), (2L, None, None, None, None),
         (3L, None, None, None, None)))
   }
+
+  /** The dHash closed form, computed independently of the engine (and
+    * of the oracle SQL): decode-free recomputation from the
+    * [[Multimodal.withPngPayload]] pixel formula. */
+  private def dhashClosedForm(id: Long): Long = {
+    val w = (4 + Math.floorMod(id, 13L)).toInt
+    val h = (3 + Math.floorMod(id, 7L)).toInt
+    var bits = 0L
+    for (y <- 0 until 7) {
+      val sy = y * h / 7
+      val g = (0 to 8).map { x =>
+        val sx = x * w / 9
+        (Math.floorMod(id + sx, 256L).toInt +
+          Math.floorMod(id + sy, 256L).toInt + (sx + sy) % 256) / 3
+      }
+      for (x <- 0 until 8)
+        if (g(x + 1) > g(x)) bits |= 1L << (y * 8 + x)
+    }
+    bits
+  }
+
+  test("imageDHash (x195): decode∘hash equals the pixel closed form; " +
+      "hashes are 56-bit positive; non-image payloads yield NULL; " +
+      "grid validation; visually-similar fixtures land at small " +
+      "Hamming distance") {
+    val ids = Seq(0L, 1L, 65L, 255L, 256L, 364L, 407L)
+    val png = Multimodal.withPngPayload(spark, ids.toDF("doc_id"),
+      "doc_id")
+    val got = Multimodal.imageDHash(spark, png, "doc_id")
+      .as[(Long, Option[Long])].collect().toMap
+    for (id <- ids) {
+      val want = dhashClosedForm(id)
+      assert(got(id).contains(want), s"doc $id: dhash mismatch")
+      assert(want >= 0L && want < (1L << 56), s"doc $id: out of range")
+    }
+    // same dims + content shifted by 4·lcm(13,7): every gradient sign
+    // survives the brightness shift — distance 0, the exact near-dup
+    // the x196 banding mines; (0, 65) is a genuine small-distance pair
+    assert((got(0L).get ^ got(364L).get) == 0L,
+      "ids 0 and 364 should hash identically under dHash")
+    assert(java.lang.Long.bitCount(got(0L).get ^ got(65L).get) <= 7,
+      "ids 0 and 65 should be near-duplicates under dHash")
+    // non-image payloads → NULL hash, never an error
+    val bad = Seq((1L, "not an image".getBytes),
+      (2L, Array.empty[Byte])).toDF("doc_id", "payload")
+    assert(Multimodal.imageDHash(spark, bad, "doc_id")
+      .as[(Long, Option[Long])].collect().toSet ==
+      Set((1L, None), (2L, None)))
+    intercept[IllegalArgumentException](
+      Multimodal.imageDHash(spark, png, "doc_id", gridW = 9,
+        gridH = 7))
+    intercept[IllegalArgumentException](
+      Multimodal.imageDHash(spark, png, "doc_id", gridW = 0))
+  }
 }
