@@ -3097,6 +3097,210 @@ object SparkEntry {
         .orderBy(col("doc_a").asc, col("doc_b").asc)
     },
 
+    // semantic decontamination (x197): the embedding-space twin of
+    // x19's n-gram overlap decontamination — corpus docs within cosine
+    // threshold of ANY eval embedding are flagged (paraphrase/
+    // translation leakage the token detector can't see). x06's
+    // sign-bucket LSH made cross-frame: the small eval side carries
+    // the multi-probe, the corpus is scanned once and never
+    // self-paired.
+    "x197_semantic_decontaminate" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      graft.ext.DedupOps.semanticDecontaminate(
+          emb.filter(pmod(col("vec_id"), lit(19)) =!= 0),
+          emb.filter(pmod(col("vec_id"), lit(19)) === 0),
+          "vec_id", "embedding", threshold = 0.35, signBits = 6)
+        .orderBy(col("vec_id").asc)
+    },
+
+    // per-group histogram quantiles (x198): x191's grouped shape (the
+    // x187-to-x185 relationship) — per-lang length distributions with
+    // every join keyed on the group, no group ever sorted; the
+    // per-group estimate error stays one bucket width.
+    "x198_hist_by_group" -> ((s, dir) =>
+      graft.ext.Corpus.histQuantilesBy(T(s, dir, "documents"),
+          col("n_chars"), Seq("lang"), bucketWidth = 50L,
+          qMicros = Seq(250000L, 500000L, 750000L))
+        .orderBy(col("lang").asc, col("q_micros").asc)),
+
+    // persisted dHash ledger admission (x199): incremental VISUAL
+    // dedup — x195's perceptual hashes in a persisted signature ledger
+    // (save + idempotent append), new images admitted only when no
+    // ledgered image sits within Hamming 7. The incoming batch carries
+    // the multi-probe; the pigeonhole recall contract makes the banded
+    // decision equal the brute-force one, which the oracle replays.
+    "x199_dhash_ledger_admit" -> { (s, dir) =>
+      def sigs(f: DataFrame) = graft.ext.Multimodal.imageDHash(s,
+          graft.ext.Multimodal.withPngPayload(s, f, "doc_id"), "doc_id")
+        .select(col("doc_id"), col("dhash").as("sh"))
+      val d = T(s, dir, "documents").select(col("doc_id"))
+      val ledger = scratchDir("dhashledger199")
+      graft.ext.DedupOps.saveSimhashLedger(
+        sigs(d.filter(pmod(col("doc_id"), lit(5)).isin(1, 2, 3))),
+        ledger)
+      graft.ext.DedupOps.appendToSimhashLedger(s, ledger,
+        sigs(d.filter(pmod(col("doc_id"), lit(5)) === 4)), "b1")
+      graft.ext.DedupOps.simhashLedgerAdmit(s, ledger,
+          sigs(d.filter(pmod(col("doc_id"), lit(5)) === 0)),
+          maxHamming = 7, probeBits = 1)
+        .orderBy(col("doc_id").asc)
+    },
+
+    // windowed audio silence detection (x200): the audio-curation gate
+    // — 16-frame windows over the REAL decoded PCM, a window is silent
+    // when its mean |amplitude| is under the bar, compared
+    // integer-exactly as sum < threshold·samples (the ragged tail
+    // compares against its own count). PCM16 round-trip is lossless,
+    // so every window sum is closed-form in the id.
+    "x200_audio_silence" -> { (s, dir) =>
+      val wav = graft.ext.Multimodal.withWavPayload(s,
+        T(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ext.Multimodal.audioSilenceStats(s, wav, "doc_id",
+          windowFrames = 16, meanAbsThreshold = 16000L)
+        .orderBy(col("doc_id").asc)
+    },
+
+    // PMI collocations (x201): Church-Hanks pointwise mutual
+    // information over adjacent-token pairs — frequency (x55) finds
+    // "of the", PMI finds "San Francisco". Each ln is floored to
+    // integer milli-nats INDEPENDENTLY before the sum (the dsirWeights
+    // convention), so the score and the top-k order are engine-exact
+    // integers.
+    "x201_pmi_collocations" -> ((s, dir) =>
+      graft.ext.TextAnalysis.pmiCollocations(T(s, dir, "documents"),
+        "text", k = 30, minCount = 2L)),
+
+    // streamed ledger admission (x202): the admit-then-append visual
+    // dedup loop as a STREAM — each micro-batch admits against the
+    // ledger's current state and appends its admissions, so later
+    // batches dedup against earlier ones; the content batchId gates
+    // both effects for exactly-once. The oracle replays the two
+    // batches sequentially (greedy earlier-batch-wins).
+    "x202_stream_dhash_admit" -> { (s, dir) =>
+      def sigs(f: DataFrame) = graft.ext.Multimodal.imageDHash(s,
+          graft.ext.Multimodal.withPngPayload(s, f, "doc_id"), "doc_id")
+        .select(col("doc_id"), col("dhash").as("sh"))
+      val d = T(s, dir, "documents").select(col("doc_id"))
+      val base = scratchDir("streamdhash202")
+      graft.ext.DedupOps.saveSimhashLedger(
+        sigs(d.filter(pmod(col("doc_id"), lit(5)).isin(1, 2, 3))),
+        base + "/ledger")
+      landOrdered(s, Seq(
+        sigs(d.filter(pmod(col("doc_id"), lit(5)) === 4)),
+        sigs(d.filter(pmod(col("doc_id"), lit(5)) === 0))),
+        base + "/in")
+      val schema = s.read.parquet(base + "/in").schema
+      val q = graft.streaming.StreamIndex.simhashAdmitWriter(s,
+          base + "/in", schema, base + "/ledger", base + "/out",
+          maxHamming = 7, probeBits = 1)
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      s.read.parquet(base + "/out").select("doc_id", "sh")
+        .orderBy(col("doc_id").asc)
+    },
+
+    // visual canonical selection (x203): x196's dHash pairs clustered
+    // by the O(log n) alternating-star components (x37's machinery on
+    // the image axis) — one keeper (min id, "first ingested wins":
+    // images carry no quality score) per visual cluster; singletons
+    // are their own keeper.
+    "x203_visual_canonical" -> { (s, dir) =>
+      val d = T(s, dir, "documents").select(col("doc_id"))
+      val sigs = graft.ext.Multimodal.imageDHash(s,
+          graft.ext.Multimodal.withPngPayload(s, d, "doc_id"), "doc_id")
+        .select(col("doc_id"), col("dhash").as("sh"))
+      val pairs = graft.ext.DedupOps.simhashPairsFromSigs(sigs,
+        maxHamming = 7, bands = 4, probeBits = 1)
+      val lbl = graft.ext.DedupOps.dedupClustersStar(pairs,
+        "doc_a", "doc_b")
+      d.join(lbl, d("doc_id") === lbl("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_members"))
+        .orderBy(col("cluster_id").asc)
+    },
+
+    // token-weighted length quantiles (x204): histQuantiles with each
+    // doc weighing its token count — "which length bucket holds the
+    // q-th corpus TOKEN", the budget-relevant quantile (training runs
+    // spend tokens, not documents). Same one-bucket error bound on the
+    // weighted distribution.
+    "x204_hist_weighted" -> ((s, dir) =>
+      graft.ext.Corpus.histQuantilesWeighted(T(s, dir, "documents"),
+          col("n_chars"),
+          graft.ext.TextAnalysis.tokenCount(col("text")),
+          bucketWidth = 50L,
+          qMicros = Seq(100000L, 500000L, 900000L, 990000L))
+        .orderBy(col("q_micros").asc)),
+
+    // robust per-type outlier audit (x205): Tukey fences on histogram
+    // quartiles over events.value — the heavy-tail-safe twin of q35's
+    // mean/stddev z-score (medians move only when half the data
+    // moves). floor(value) BEFORE the op: double→long CAST truncates
+    // in Spark but rounds in DuckDB, so the floor pins the integer
+    // both engines bucket.
+    "x205_robust_outliers" -> ((s, dir) =>
+      graft.ext.Corpus.robustOutliersByGroup(T(s, dir, "events"),
+          floor(col("value")), Seq("event_type"), bucketWidth = 5L)
+        .orderBy(col("event_type").asc)),
+
+    // histogram distribution drift (x206): exact-integer L1 distance
+    // between the en and fr length mixes — the ingest-monitoring gate
+    // ("did this batch shift the distribution"); cross-multiplied
+    // numerator, one final division (the zipfFit convention).
+    "x206_hist_drift" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      graft.ext.Corpus.histDrift(
+        d.filter(col("lang") === "en"), d.filter(col("lang") === "fr"),
+        col("n_chars"), bucketWidth = 50L)
+    },
+
+    // forward as-of with tolerance (x207): the next view WITHIN AN
+    // HOUR after each click — merge_asof(direction='forward',
+    // tolerance=1h) parity; q13's union/window shape, matches beyond
+    // the tolerance null out, equal-ts forward ties keep the lowest id
+    // (scan-first, mirroring backward's last).
+    "x207_asof_tolerance" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id"), col("ts"))
+      graft.ops.AsOf.asofJoinDirected(clicks, views, Seq("user_id"),
+          "ts", "ts",
+          Map("v_id" -> "next_view_id", "ts" -> "next_view_ts"),
+          direction = "forward", tolerance = Some(3600L),
+          tieBreak = Some("next_view_id"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("next_view_id"),
+          date_format(col("next_view_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("next_view_ts"))
+    },
+
+    // nearest as-of (x208): the view CLOSEST to each click within 30
+    // minutes either way, distance ties to BACKWARD (pandas' rule) —
+    // one exchange, both directional fills over it.
+    "x208_asof_nearest" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id"), col("ts"))
+      graft.ops.AsOf.asofJoinDirected(clicks, views, Seq("user_id"),
+          "ts", "ts",
+          Map("v_id" -> "near_view_id", "ts" -> "near_view_ts"),
+          direction = "nearest", tolerance = Some(1800L),
+          tieBreak = Some("near_view_id"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("near_view_id"),
+          date_format(col("near_view_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("near_view_ts"))
+    },
+
     // distributed BPE vocabulary learning (x165): 6 rounds of
     // count-pairs → merge-everywhere over the vocabulary-bounded
     // word-frequency table (Sennrich 2016), total-order tie-break, all
@@ -6000,6 +6204,29 @@ object SparkEntry {
              AND bit_count(xor(a.b0, b.b0)) <= 1
             WHERE $cosPairExpr >= 0.35""",
 
+      // x197: the same sign-bucket relation (bucket Hamming <= 1, the
+      // own-or-1-flip probe collision set) made cross-frame — corpus
+      // (vec_id % 19 <> 0) vs eval (vec_id % 19 = 0), then the exact
+      // cosine bar and a per-corpus-doc hit aggregate
+      "x197_semantic_decontaminate" ->
+        s"""WITH v AS ($vecs),
+            bk AS (SELECT vec_id, e,
+                    (CASE WHEN e[1]>=0 THEN 1 ELSE 0 END
+                   + CASE WHEN e[2]>=0 THEN 2 ELSE 0 END
+                   + CASE WHEN e[3]>=0 THEN 4 ELSE 0 END
+                   + CASE WHEN e[4]>=0 THEN 8 ELSE 0 END
+                   + CASE WHEN e[5]>=0 THEN 16 ELSE 0 END
+                   + CASE WHEN e[6]>=0 THEN 32 ELSE 0 END)::BIGINT AS b0
+                  FROM v),
+            hits AS (SELECT a.vec_id, $cosPairExpr AS cos
+                     FROM (SELECT * FROM bk WHERE vec_id % 19 <> 0) a
+                     JOIN (SELECT * FROM bk WHERE vec_id % 19 = 0) b
+                       ON bit_count(xor(a.b0, b.b0)) <= 1
+                     WHERE $cosPairExpr >= 0.35)
+            SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+                   max(cos) AS max_cos
+            FROM hits GROUP BY 1 ORDER BY vec_id ASC""",
+
       "x07_ivf_topk" -> x07Sql,
 
       // rank-based fusion of the two retrievers above: each list as a
@@ -6849,6 +7076,36 @@ object SparkEntry {
       // over the surviving rows
       "x193_hist_sketch_delete" ->
         histOracleFor("AND doc_id % 3 <> 0"),
+      // x198: the same bucket/cumulative/selection arithmetic, grouped
+      // per lang (every aggregate and join keyed on the group)
+      "x198_hist_by_group" ->
+        """WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS v
+               FROM documents
+               WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                 AND n_chars >= 0),
+           h AS (SELECT lang, v // 50 AS bucket, count(*) AS c
+                 FROM v GROUP BY 1, 2),
+           cum AS (SELECT a.lang, a.bucket, sum(b.c) AS cum
+                   FROM h a JOIN h b
+                     ON b.lang = a.lang AND b.bucket <= a.bucket
+                   GROUP BY 1, 2),
+           n AS (SELECT lang, sum(c) AS n FROM h GROUP BY 1),
+           q AS (SELECT CAST(unnest([250000, 500000, 750000])
+                   AS BIGINT) AS q_micros),
+           sel AS (SELECT cum.lang, q.q_micros, n.n,
+                     (q.q_micros * n.n + 999999) // 1000000 AS k,
+                     min(cum.bucket) AS bucket
+                   FROM q, n, cum
+                   WHERE cum.lang = n.lang
+                     AND cum.cum >=
+                       (q.q_micros * n.n + 999999) // 1000000
+                   GROUP BY 1, 2, 3, 4)
+           SELECT lang, q_micros, CAST(n AS BIGINT) AS n,
+                  CAST(k AS BIGINT) AS k,
+                  CAST(bucket AS BIGINT) AS bucket,
+                  CAST(bucket * 50 AS BIGINT) AS est_lo,
+                  CAST((bucket + 1) * 50 - 1 AS BIGINT) AS est_hi
+           FROM sel ORDER BY lang ASC, q_micros ASC""",
 
       "x185_hll_distinct" -> hllOracle,
       // x186: the merged persisted registers must land the one-shot
@@ -6975,6 +7232,261 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
            ORDER BY doc_a ASC, doc_b ASC""",
+
+      // x199: the brute-force admission decision — incoming docs
+      // (doc_id % 5 = 0) with NO indexed doc (doc_id % 5 <> 0, base +
+      // append) within Hamming 7; equal to the banded+verified ledger
+      // decision by the enforced recall contract
+      "x199_dhash_ledger_admit" ->
+        s"""WITH $dhashSigCte
+           SELECT i.doc_id, i.dhash AS sh
+           FROM (SELECT * FROM sh WHERE doc_id % 5 = 0) i
+           WHERE NOT EXISTS (
+             SELECT 1 FROM sh x
+             WHERE x.doc_id % 5 <> 0
+               AND bit_count(xor(x.dhash, i.dhash)) <= 7)
+           ORDER BY i.doc_id ASC""",
+
+      // x202: the two batches replayed sequentially — batch 1 admits
+      // against base (doc_id % 5 in 1,2,3), batch 2 against base plus
+      // batch 1's admissions (greedy earlier-batch-wins, exactly the
+      // stream's ledger-state semantics)
+      "x202_stream_dhash_admit" ->
+        s"""WITH $dhashSigCte,
+           base AS (SELECT doc_id, dhash FROM sh
+                    WHERE doc_id % 5 IN (1, 2, 3)),
+           b1 AS (SELECT doc_id, dhash FROM sh WHERE doc_id % 5 = 4),
+           a1 AS (SELECT * FROM b1 i WHERE NOT EXISTS (
+                    SELECT 1 FROM base x
+                    WHERE bit_count(xor(x.dhash, i.dhash)) <= 7)),
+           idx1 AS (SELECT * FROM base UNION ALL SELECT * FROM a1),
+           b2 AS (SELECT doc_id, dhash FROM sh WHERE doc_id % 5 = 0),
+           a2 AS (SELECT * FROM b2 i WHERE NOT EXISTS (
+                    SELECT 1 FROM idx1 x
+                    WHERE bit_count(xor(x.dhash, i.dhash)) <= 7))
+           SELECT doc_id, dhash AS sh
+           FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+           ORDER BY doc_id ASC""",
+
+      // x203: exact components via a recursive reachability closure
+      // over the brute-force Hamming<=7 pair set (x31's oracle shape
+      // on the dHash graph); keepers are component minima, singletons
+      // their own cluster
+      "x203_visual_canonical" ->
+        s"""WITH RECURSIVE $dhashSigCte,
+           pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.dhash, b.dhash)) <= 7),
+           ed AS (SELECT doc_a AS eu, doc_b AS ev FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+           reach(ru, rv) AS (
+             SELECT eu, ev FROM ed
+             UNION
+             SELECT r.ru, e2.ev FROM reach r JOIN ed e2 ON r.rv = e2.eu),
+           lbl AS (SELECT ru AS lid, least(ru, min(rv)) AS lcluster
+                   FROM reach GROUP BY ru),
+           cl AS (SELECT d.doc_id,
+                    coalesce(l.lcluster, d.doc_id) AS cluster_id
+                  FROM (SELECT doc_id FROM sh) d
+                  LEFT JOIN lbl l ON d.doc_id = l.lid)
+           SELECT cluster_id, CAST(min(doc_id) AS BIGINT) AS keep_id,
+                  CAST(count(*) AS BIGINT) AS n_members
+           FROM cl GROUP BY 1 ORDER BY cluster_id ASC""",
+
+      // x204: the histogram tail over token-weight sums — same bucket
+      // and selection arithmetic, counters are Σ tokens not row counts
+      "x204_hist_weighted" ->
+        """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                   AS BIGINT) AS w
+               FROM documents
+               WHERE n_chars IS NOT NULL AND n_chars >= 0
+                 AND text IS NOT NULL),
+           h AS (SELECT v // 50 AS bucket, sum(w) AS c
+                 FROM v GROUP BY 1),
+           cum AS (SELECT a.bucket, sum(b.c) AS cum
+                   FROM h a JOIN h b ON b.bucket <= a.bucket
+                   GROUP BY 1),
+           n AS (SELECT sum(c) AS n FROM h),
+           q AS (SELECT CAST(unnest([100000, 500000, 900000, 990000])
+                   AS BIGINT) AS q_micros),
+           sel AS (SELECT q.q_micros, n.n,
+                     (q.q_micros * n.n + 999999) // 1000000 AS k,
+                     min(cum.bucket) AS bucket
+                   FROM q, n, cum
+                   WHERE cum.cum >=
+                     (q.q_micros * n.n + 999999) // 1000000
+                   GROUP BY 1, 2, 3)
+           SELECT q_micros, CAST(n AS BIGINT) AS n,
+                  CAST(k AS BIGINT) AS k,
+                  CAST(bucket AS BIGINT) AS bucket,
+                  CAST(bucket * 50 AS BIGINT) AS est_lo,
+                  CAST((bucket + 1) * 50 - 1 AS BIGINT) AS est_hi
+           FROM sel ORDER BY q_micros ASC""",
+
+      // x207: q13's correlated-subquery shape with the direction
+      // reversed (earliest view >= click ts), the tolerance bar in
+      // epoch seconds, and the forward tie rule (lowest id)
+      "x207_asof_tolerance" ->
+        """WITH a AS (
+             SELECT c.event_id, c.user_id, c.ts,
+                    (SELECT v.event_id FROM events v
+                     WHERE v.user_id = c.user_id
+                       AND v.event_type = 'view'
+                       AND v.ts >= c.ts
+                       AND epoch(v.ts) - epoch(c.ts) <= 3600
+                     ORDER BY v.ts ASC, v.event_id ASC LIMIT 1)
+                      AS next_view_id
+             FROM events c WHERE c.event_type = 'click')
+           SELECT a.event_id, a.user_id,
+                  strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                  a.next_view_id,
+                  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS next_view_ts
+           FROM a LEFT JOIN events v ON v.event_id = a.next_view_id""",
+
+      // x208: global nearest within the tolerance — min |Δ| first,
+      // distance ties prefer the backward side, same-side same-ts ties
+      // keep backward's highest / forward's lowest id
+      "x208_asof_nearest" ->
+        """WITH a AS (
+             SELECT c.event_id, c.user_id, c.ts,
+                    (SELECT v.event_id FROM events v
+                     WHERE v.user_id = c.user_id
+                       AND v.event_type = 'view'
+                       AND abs(epoch(v.ts) - epoch(c.ts)) <= 1800
+                     ORDER BY abs(epoch(v.ts) - epoch(c.ts)) ASC,
+                       CASE WHEN v.ts <= c.ts THEN 0 ELSE 1 END ASC,
+                       CASE WHEN v.ts <= c.ts THEN -v.event_id
+                            ELSE v.event_id END ASC
+                     LIMIT 1) AS near_view_id
+             FROM events c WHERE c.event_type = 'click')
+           SELECT a.event_id, a.user_id,
+                  strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                  a.near_view_id,
+                  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS near_view_ts
+           FROM a LEFT JOIN events v ON v.event_id = a.near_view_id""",
+
+      // x205: the grouped histogram quartiles (upper bucket bounds),
+      // integer Tukey fences q1 ∓ (3·IQR) div 2, and per-type counts
+      // of rows outside the fences — all integer arithmetic
+      "x205_robust_outliers" ->
+        """WITH v AS (SELECT event_type AS g,
+                 CAST(floor(value) AS BIGINT) AS v
+               FROM events
+               WHERE event_type IS NOT NULL AND value IS NOT NULL
+                 AND floor(value) >= 0),
+           h AS (SELECT g, v // 5 AS bucket, count(*) AS c
+                 FROM v GROUP BY 1, 2),
+           cum AS (SELECT a.g, a.bucket, sum(b.c) AS cum
+                   FROM h a JOIN h b
+                     ON b.g = a.g AND b.bucket <= a.bucket
+                   GROUP BY 1, 2),
+           n AS (SELECT g, sum(c) AS n FROM h GROUP BY 1),
+           q AS (SELECT CAST(unnest([250000, 500000, 750000])
+                   AS BIGINT) AS q_micros),
+           sel AS (SELECT cum.g, q.q_micros, n.n,
+                     min(cum.bucket) AS bucket
+                   FROM q, n, cum
+                   WHERE cum.g = n.g
+                     AND cum.cum >=
+                       (q.q_micros * n.n + 999999) // 1000000
+                   GROUP BY 1, 2, 3),
+           f0 AS (SELECT g, max(n) AS n,
+                    max(CASE WHEN q_micros = 250000
+                        THEN (bucket + 1) * 5 - 1 END) AS q1,
+                    max(CASE WHEN q_micros = 500000
+                        THEN (bucket + 1) * 5 - 1 END) AS med,
+                    max(CASE WHEN q_micros = 750000
+                        THEN (bucket + 1) * 5 - 1 END) AS q3
+                  FROM sel GROUP BY 1),
+           f AS (SELECT g, n, q1, med, q3,
+                   q1 - (3 * (q3 - q1)) // 2 AS lo_bound,
+                   q3 + (3 * (q3 - q1)) // 2 AS hi_bound
+                 FROM f0)
+           SELECT v.g AS event_type, CAST(max(f.n) AS BIGINT) AS n,
+                  CAST(max(q1) AS BIGINT) AS q1,
+                  CAST(max(med) AS BIGINT) AS med,
+                  CAST(max(q3) AS BIGINT) AS q3,
+                  CAST(max(lo_bound) AS BIGINT) AS lo_bound,
+                  CAST(max(hi_bound) AS BIGINT) AS hi_bound,
+                  CAST(sum(CASE WHEN v.v < lo_bound THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low,
+                  CAST(sum(CASE WHEN v.v > hi_bound THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high
+           FROM v JOIN f ON v.g = f.g
+           GROUP BY 1 ORDER BY 1 ASC""",
+
+      // x206: bucket-wise full-outer histogram compare, numerator
+      // cross-multiplied to exact integers, one final division
+      "x206_hist_drift" ->
+        """WITH va AS (SELECT CAST(n_chars AS BIGINT) // 50 AS bucket
+               FROM documents
+               WHERE lang = 'en' AND n_chars IS NOT NULL
+                 AND n_chars >= 0),
+           vb AS (SELECT CAST(n_chars AS BIGINT) // 50 AS bucket
+               FROM documents
+               WHERE lang = 'fr' AND n_chars IS NOT NULL
+                 AND n_chars >= 0),
+           ha AS (SELECT bucket, count(*) AS c_a FROM va GROUP BY 1),
+           hb AS (SELECT bucket, count(*) AS c_b FROM vb GROUP BY 1),
+           j AS (SELECT coalesce(ha.c_a, 0) AS c_a,
+                        coalesce(hb.c_b, 0) AS c_b
+                 FROM ha FULL OUTER JOIN hb USING (bucket)),
+           t AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM j)
+           SELECT CAST(t.n_a AS BIGINT) AS n_a,
+                  CAST(t.n_b AS BIGINT) AS n_b,
+                  CAST(sum(abs(j.c_a * t.n_b - j.c_b * t.n_a))
+                    AS BIGINT) AS l1_num,
+                  round(sum(abs(j.c_a * t.n_b - j.c_b * t.n_a)) * 1.0 /
+                    (t.n_a * t.n_b), 6) AS drift
+           FROM j, t GROUP BY t.n_a, t.n_b""",
+
+      // x200: the x167 amplitude closed form grouped into 16-frame
+      // windows — silent iff sum|amp| < 16000 · window's own sample
+      // count (integer comparison, ragged tail included)
+      "x200_audio_silence" ->
+        """WITH s AS (SELECT doc_id, 32 + doc_id % 64 AS n
+               FROM documents),
+           j AS (SELECT doc_id, unnest(range(0, n)) AS j FROM s),
+           v AS (SELECT doc_id, j // 16 AS win,
+                   abs((doc_id * 31 + j * 17) % 65536 - 32768) AS a
+                 FROM j),
+           w AS (SELECT doc_id, win, sum(a) AS sabs, count(*) AS cnt
+                 FROM v GROUP BY 1, 2)
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                  CAST(sum(CASE WHEN sabs < 16000 * cnt THEN 1 ELSE 0
+                           END) AS BIGINT) AS n_silent,
+                  CAST(sum(sabs) AS BIGINT) AS sum_abs
+           FROM w GROUP BY 1 ORDER BY doc_id ASC""",
+
+      // x201: x55's bigram CTE with both margins, T from the same
+      // counts, each ln floored to milli-nats independently — the PMI
+      // score is a sum of four integers, the top-30 an integer sort
+      "x201_pmi_collocations" ->
+        """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+')
+                        AS toks FROM documents),
+           bg AS (SELECT unnest([{'w1': toks[i+1], 'w2': toks[i+2]}
+                                 for i in range(len(toks)-1)],
+                                recursive := true)
+                  FROM t),
+           c AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+           m AS (SELECT w1, w2, c12,
+                   CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT)
+                     AS c1,
+                   CAST(sum(c12) OVER (PARTITION BY w2) AS BIGINT)
+                     AS c2
+                 FROM c),
+           tt AS (SELECT CAST(sum(c12) AS BIGINT) AS t FROM c),
+           sc AS (SELECT w1, w2, c12, c1, c2,
+                    CAST(floor(round(ln(CAST(c12 AS DOUBLE)) * 1000, 6))
+                       + floor(round(ln(CAST(tt.t AS DOUBLE)) * 1000, 6))
+                       - floor(round(ln(CAST(c1 AS DOUBLE)) * 1000, 6))
+                       - floor(round(ln(CAST(c2 AS DOUBLE)) * 1000, 6))
+                      AS BIGINT) AS pmi_milli
+                  FROM m, tt
+                  WHERE c12 >= 2)
+           SELECT w1, w2, c12, c1, c2, pmi_milli
+           FROM sc ORDER BY pmi_milli DESC, w1 ASC, w2 ASC LIMIT 30""",
 
       // x165: w0 + 6 unrolled training rounds; the merge table is the
       // per-round argmax rows. The dry-round all-NULL sentinel stays in

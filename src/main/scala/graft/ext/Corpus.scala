@@ -1344,6 +1344,168 @@ object Corpus {
           .as("est_hi"))
   }
 
+  /** WEIGHTED histogram quantile estimates — [[histQuantiles]] with
+    * each row contributing `weightCol` units instead of 1: "which
+    * document-length bucket holds the median TOKEN" rather than the
+    * median document — the mixture-design question (token budgets are
+    * what training runs spend; doc counts are what naive quantiles
+    * answer). Same integer discipline: weights are non-negative longs,
+    * bucket counters are exact weight sums, k = ⌈q·W⌉ over the total
+    * weight W, estimate = lowest bucket whose cumulative weight
+    * reaches k, error ≤ one bucket width of the weighted
+    * distribution. NULL/negative values AND weights are excluded.
+    * Counters stay LINEAR (a weighted row merges by addition), so the
+    * persisted lifecycle would carry over unchanged if ever needed. */
+  def histQuantilesWeighted(df: DataFrame, valueCol: Column,
+      weightCol: Column, bucketWidth: Long, qMicros: Seq[Long])
+      : DataFrame = {
+    require(bucketWidth >= 1L,
+      s"bucketWidth must be >= 1 (got $bucketWidth)")
+    val counters = df
+      .select(valueCol.cast(LongType).as("_v"),
+        weightCol.cast(LongType).as("_w"))
+      .filter(col("_v").isNotNull && col("_v") >= 0L &&
+        col("_w").isNotNull && col("_w") >= 0L)
+      .select(expr(s"_v div $bucketWidth").as("bucket"), col("_w"))
+      .groupBy("bucket").agg(sum("_w").as("c"))
+    histQuantileEstimates(counters, bucketWidth, qMicros)
+  }
+
+  /** Per-GROUP histogram quantile estimates — [[histQuantiles]]'s
+    * grouped shape (the [[hllDistinctBy]] relationship): one
+    * range/width-bounded histogram per language/source, per-group
+    * k = ⌈q·n_group⌉, per-group lowest-qualifying-bucket selection —
+    * the per-group length/quality distribution dashboard without ever
+    * sorting a group (and "en" is half the crawl, so a per-group sort
+    * funnels half the corpus through one task — the exact failure
+    * x150's histogram trick exists to avoid).
+    *
+    * All joins here are keyed on the group columns (no cross join —
+    * the global form needs one only because it has no key), so the
+    * plan is hash joins over the groups×buckets histogram. NULL groups
+    * are excluded (the x150 contract: they have no place in a
+    * per-group statistic — pre-bucket them explicitly if they must
+    * count); NULL/negative values are excluded as in the global
+    * form. */
+  def histQuantilesBy(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String], bucketWidth: Long, qMicros: Seq[Long])
+      : DataFrame = {
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (use histQuantiles for the global " +
+        "estimate)")
+    require(bucketWidth >= 1L,
+      s"bucketWidth must be >= 1 (got $bucketWidth)")
+    require(qMicros.nonEmpty, "qMicros must be non-empty")
+    require(qMicros.forall(q => q >= 1L && q <= 1000000L),
+      s"every q_micros must be in [1, 1000000] (got $qMicros)")
+    val gc = groupCols.map(col)
+    val merged = df
+      .select(gc :+ valueCol.cast(LongType).as("_v"): _*)
+      .filter(gc.map(_.isNotNull).reduce(_ && _) &&
+        col("_v").isNotNull && col("_v") >= 0L)
+      .select(gc :+ expr(s"_v div $bucketWidth").as("bucket"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+    val cum = merged.join(
+        broadcast(merged.select(
+          groupCols.map(g => col(g)) ++
+            Seq(col("bucket").as("_b2"), col("c").as("_c2")): _*)),
+        groupCols).filter(col("_b2") <= col("bucket"))
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(sum("_c2").as("cum"))
+    val n = merged.groupBy(gc: _*).agg(sum("c").as("n"))
+    val qs = explode(array(qMicros.map(lit): _*)).as("q_micros")
+    cum.join(broadcast(n), groupCols)
+      .select(gc ++ Seq(col("bucket"), col("cum"), col("n"), qs): _*)
+      .withColumn("k", expr("(q_micros * n + 999999) div 1000000"))
+      .filter(col("cum") >= col("k"))
+      .groupBy((groupCols ++ Seq("q_micros", "n", "k")).map(col): _*)
+      .agg(min("bucket").as("bucket"))
+      .select(gc ++ Seq(col("q_micros"), col("n"), col("k"),
+        col("bucket"),
+        (col("bucket") * lit(bucketWidth)).as("est_lo"),
+        ((col("bucket") + lit(1L)) * lit(bucketWidth) - lit(1L))
+          .as("est_hi")): _*)
+  }
+
+  /** Per-group ROBUST outlier audit via Tukey fences on histogram
+    * quantiles — the heavy-tail-safe twin of the z-score filter (x35:
+    * mean/stddev, which one pathological document drags arbitrarily;
+    * median/IQR moves only when half the data moves). Per group the
+    * quartiles come from [[histQuantilesBy]]'s bucket machinery
+    * (upper bucket bounds, so fences are integers at bucket
+    * resolution), IQR = q3 − q1, fences = q1 − (3·IQR) div 2 and
+    * q3 + (3·IQR) div 2 (the classic 1.5·IQR kept integer-exact), and
+    * the output is one audit row per group: (group…, n, q1, med, q3,
+    * lo_bound, hi_bound, n_low, n_high). Rows land against broadcast
+    * per-group fences — the corpus is never sorted or self-joined.
+    * NULL groups/values excluded (the [[histQuantilesBy]] contract). */
+  def robustOutliersByGroup(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String], bucketWidth: Long): DataFrame = {
+    val q = histQuantilesBy(df, valueCol, groupCols, bucketWidth,
+      Seq(250000L, 500000L, 750000L))
+    def at(micros: Long) =
+      max(when(col("q_micros") === micros, col("est_hi")))
+    val fences = q.groupBy(groupCols.map(col): _*)
+      .agg(max(col("n")).as("n"), at(250000L).as("q1"),
+        at(500000L).as("med"), at(750000L).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo_bound",
+        col("q1") - expr("(3 * iqr) div 2"))
+      .withColumn("hi_bound",
+        col("q3") + expr("(3 * iqr) div 2"))
+    val gc = groupCols.map(col)
+    val vals = df
+      .select(gc :+ valueCol.cast(LongType).as("_v"): _*)
+      .filter(gc.map(_.isNotNull).reduce(_ && _) &&
+        col("_v").isNotNull && col("_v") >= 0L)
+    vals.join(broadcast(fences), groupCols)
+      .groupBy(gc: _*)
+      .agg(max(col("n")).as("n"), max(col("q1")).as("q1"),
+        max(col("med")).as("med"), max(col("q3")).as("q3"),
+        max(col("lo_bound")).as("lo_bound"),
+        max(col("hi_bound")).as("hi_bound"),
+        sum(when(col("_v") < col("lo_bound"), 1L).otherwise(0L))
+          .as("n_low"),
+        sum(when(col("_v") > col("hi_bound"), 1L).otherwise(0L))
+          .as("n_high"))
+  }
+
+  /** Distribution drift between two corpus snapshots as the exact L1
+    * distance of their value HISTOGRAMS — the ingest-monitoring gate
+    * ("did this week's crawl shift the length/quality mix"): buckets
+    * full-outer join (absent = 0), and Σ_b |p_a(b) − p_b(b)| is kept
+    * integer-exact by cross-multiplying — l1_num = Σ|c_a·n_b − c_b·n_a|
+    * over l1_den = n_a·n_b — with ONE final division rounded to 6 (the
+    * zipfFit convention; drift ∈ [0, 2], 0 = identical mixes, 2 =
+    * disjoint support). One bounded-histogram aggregate per side; the
+    * totals ride in-plan as a provably-1-row broadcast cross join.
+    * Output (one row): n_a, n_b, l1_num, drift. Empty sides error —
+    * a drift against nothing is a contract violation, not 2.0. */
+  def histDrift(a: DataFrame, b: DataFrame, valueCol: Column,
+      bucketWidth: Long): DataFrame = {
+    val ha = histCounters(a, valueCol, bucketWidth)
+      .withColumnRenamed("c", "c_a")
+    val hb = histCounters(b, valueCol, bucketWidth)
+      .withColumnRenamed("c", "c_b")
+    val joined = ha.join(hb, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val totals = joined.agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
+    joined.crossJoin(broadcast(totals))
+      .select(abs(col("c_a") * col("n_b") - col("c_b") * col("n_a"))
+        .as("d"), col("n_a"), col("n_b"))
+      .groupBy("n_a", "n_b")
+      .agg(sum("d").as("l1_num"))
+      .select(col("n_a"), col("n_b"), col("l1_num"),
+        when(col("n_a") === 0L || col("n_b") === 0L,
+          raise_error(lit("histDrift: empty snapshot side — both " +
+            "histograms must be non-empty")).cast(DoubleType))
+          .otherwise(round(col("l1_num").cast(DoubleType) /
+            (col("n_a") * col("n_b")).cast(DoubleType), 6))
+          .as("drift"))
+  }
+
   /** Persist a histogram-quantile sketch as a MERGEABLE index (the
     * [[saveCmsSketch]] lifecycle on the addition-merged (bucket, c)
     * table): appends land batch counters as their own segments

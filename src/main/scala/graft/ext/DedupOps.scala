@@ -362,23 +362,11 @@ object DedupOps {
         s"${bands * (probeBits + 1) - 1}")
     val bits = 64 / bands
     val mask = (1L << bits) - 1L
-    val banded = sig.select(col("doc_id"), col("sh"),
-      explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("chunk", call_function("shiftright", col("sh"),
-        col("band") * bits).bitwiseAND(lit(mask)))
+    val banded = shBands(sig, bands)
     // probe side: the chunk itself (flip = -1) plus each 1-bit variant;
     // a candidate at in-chunk Hamming 1 meets exactly one probe, so
     // within a band each pair matches at most once — no dedup shuffle
-    val probed =
-      if (probeBits == 0) banded
-      else banded
-        .select(col("doc_id"), col("sh"), col("band"), col("chunk"),
-          explode(array((lit(-1) +: (0 until bits).map(lit)): _*)).as("flip"))
-        .withColumn("chunk",
-          when(col("flip") === -1, col("chunk"))
-            .otherwise(col("chunk").bitwiseXOR(
-              call_function("shiftleft", lit(1L), col("flip")))))
-        .drop("flip")
+    val probed = shProbes(banded, bands, probeBits)
     // keep a multi-band collision only at its first qualifying band — a
     // pure long-arithmetic filter instead of a dropDuplicates shuffle.
     // Chained when() instead of transform/filter/array_min: higher-order
@@ -402,6 +390,183 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast(LongType)
         .as("hamming"))
+  }
+
+  /** Banded (doc_id, sh, band, chunk) rows of a 64-bit sig frame — the
+    * chunk layout [[simhashPairsFromSigs]] and the persisted ledger
+    * below both join on. */
+  private def shBands(sig: DataFrame, bands: Int): DataFrame = {
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1L
+    sig.select(col("doc_id"), col("sh"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("chunk", call_function("shiftright", col("sh"),
+        col("band") * bits).bitwiseAND(lit(mask)))
+  }
+
+  /** Own chunk (flip = -1) plus each 1-bit variant per band — the
+    * multi-probe side of the chunk multi-index. */
+  private def shProbes(banded: DataFrame, bands: Int, probeBits: Int)
+      : DataFrame = {
+    val bits = 64 / bands
+    if (probeBits == 0) banded
+    else banded
+      .select(col("doc_id"), col("sh"), col("band"), col("chunk"),
+        explode(array((lit(-1) +: (0 until bits).map(lit)): _*))
+          .as("flip"))
+      .withColumn("chunk",
+        when(col("flip") === -1, col("chunk"))
+          .otherwise(col("chunk").bitwiseXOR(
+            call_function("shiftleft", lit(1L), col("flip")))))
+      .drop("flip")
+  }
+
+  // ------------------------------- persisted 64-bit signature ledger
+
+  /** Persist a 64-bit near-dup signature ledger for INCREMENTAL
+    * admission — the [[minhashAdmit]] shape for Hamming-space
+    * signatures: SimHash text sigs (x04), perceptual image dHashes
+    * (x195, gated x199), any `(doc_id, sh)` frame
+    * [[simhashPairsFromSigs]] accepts. Segments are a 16-byte-per-doc
+    * `sigs` table plus the pre-banded `(doc_id, band, chunk)` table
+    * the admission join keys on (banding is cheap to recompute, but
+    * pre-banding keeps the admit read-only and lets a bucket-
+    * partitioned layout prune at scale); `bands` persists in a
+    * `params` table so every admission probes with the geometry the
+    * ledger was banded under. Manifest-protocol lifecycle: appends are
+    * idempotent per batchId, `asOfVersion` replays an admission
+    * decision against any retained snapshot (the audit handle the
+    * MinHash/BM25/IVF/IVFPQ ledgers share). */
+  def saveSimhashLedger(sigs: DataFrame, path: String, bands: Int = 4)
+      : Unit = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands)")
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    Seq(bands).toDF("bands").coalesce(1)
+      .write.mode("errorifexists").parquet(s"$path/params/base")
+    writeSimhashSegment(sigs, path, "base", bands)
+    graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
+      graft.sinks.IndexSnapshot(0L,
+        Map("sigs" -> Seq("base"), "banded" -> Seq("base"),
+          "params" -> Seq("base")), Seq("base")))
+  }
+
+  /** One (sigs, banded) segment pair — shared by the base build and
+    * every append; overwrite mode so a crashed attempt's orphan is
+    * re-landed by the retry (invisible until the manifest commit). */
+  private def writeSimhashSegment(sigs: DataFrame, path: String,
+      seg: String, bands: Int): Unit = {
+    val s = sigs.select(col("doc_id"), col("sh"))
+    s.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/sigs/$seg")
+    shBands(s, bands).select("doc_id", "band", "chunk")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/banded/$seg")
+  }
+
+  private def simhashLedgerSnapshot(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      asOfVersion: Option[Long] = None): graft.sinks.IndexSnapshot = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    asOfVersion match {
+      case Some(v) => graft.sinks.IndexManifest.at(fs, path, v)
+        .getOrElse(throw new IllegalArgumentException(
+          s"ledger version $v not found at $path (vacuumed past the " +
+            "retention window, or never committed)"))
+      case None => graft.sinks.IndexManifest.latest(fs, path)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no ledger manifest at $path (not a saveSimhashLedger " +
+            "directory)"))
+    }
+  }
+
+  private def readSimhashTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: graft.sinks.IndexSnapshot, table: String): DataFrame = {
+    val segs = snap.segs(table)
+    require(segs.nonEmpty,
+      s"ledger snapshot v${snap.version} has no '$table' segments")
+    spark.read.parquet(segs.map(seg => s"$path/$table/$seg"): _*)
+  }
+
+  /** The ledger's current manifest version — record it before an
+    * append and any retained snapshot's admission decisions stay
+    * replayable bit-for-bit. */
+  def simhashLedgerVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = simhashLedgerSnapshot(spark, path).version
+
+  /** Append a (typically just-admitted) batch's signatures; idempotent
+    * per batchId via the manifest applied record. */
+  def appendToSimhashLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String, sigs: DataFrame, batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        batchId.forall(c =>
+          c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"batchId must be a filesystem-safe token != 'base' " +
+        s"(got '$batchId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = simhashLedgerSnapshot(spark, path)
+    if (snap.applied.contains(batchId)) return
+    val bands = readSimhashTable(spark, path, snap, "params")
+      .head().getAs[Int]("bands")
+    val seg = s"delta_$batchId"
+    writeSimhashSegment(sigs, path, seg, bands)
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(batchId)) c
+      else c.copy(
+        tables = c.tables ++ Seq("sigs", "banded").map(t =>
+          t -> (c.segs(t).filterNot(_ == seg) :+ seg)),
+        applied = c.applied :+ batchId)
+    }
+  }
+
+  /** Admit the rows of `newSigs` with NO ledgered signature within
+    * Hamming `maxHamming` — incremental near-dup admission for images
+    * (and any other 64-bit sig modality): the candidate join keys the
+    * NEW side's multi-probed chunks against the ledger's stored
+    * banding (the small incoming batch carries the probe explosion,
+    * the ledger contributes one row per (doc, band)), exact
+    * `bit_count(xor)` verifies, rejected ids anti-join out. The
+    * pigeonhole recall contract is enforced exactly as in
+    * [[simhashPairsFromSigs]], so the admitted set equals the
+    * brute-force decision — which is what the x199 oracle replays. */
+  def simhashLedgerAdmit(spark: org.apache.spark.sql.SparkSession,
+      path: String, newSigs: DataFrame, maxHamming: Int,
+      probeBits: Int = 1, asOfVersion: Option[Long] = None)
+      : DataFrame = {
+    require(probeBits == 0 || probeBits == 1,
+      s"probeBits must be 0 (exact chunks) or 1 (1-bit multi-probe)")
+    val snap = simhashLedgerSnapshot(spark, path, asOfVersion)
+    val bands = readSimhashTable(spark, path, snap, "params")
+      .head().getAs[Int]("bands")
+    require(maxHamming >= 0 && maxHamming < bands * (probeBits + 1),
+      s"recall guarantee needs maxHamming < bands*(probeBits+1) " +
+        s"(got maxHamming=$maxHamming, bands=$bands, " +
+        s"probeBits=$probeBits)")
+    val in = newSigs.select(col("doc_id"), col("sh"))
+    val inProbed = shProbes(shBands(in, bands), bands, probeBits)
+      .select(col("doc_id").as("in_doc"), col("band"), col("chunk"))
+    val cand = inProbed
+      .join(readSimhashTable(spark, path, snap, "banded")
+        .select(col("doc_id").as("corpus_doc"), col("band"),
+          col("chunk")), Seq("band", "chunk"))
+      .select(col("in_doc"), col("corpus_doc")).distinct()
+    val rejected = cand
+      .join(in.select(col("doc_id").as("in_doc"), col("sh").as("sh_a")),
+        Seq("in_doc"))
+      .join(readSimhashTable(spark, path, snap, "sigs")
+        .select(col("doc_id").as("corpus_doc"), col("sh").as("sh_b")),
+        Seq("corpus_doc"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
+        <= maxHamming)
+      .select(col("in_doc").as("doc_id")).distinct()
+    newSigs.join(rejected, Seq("doc_id"), "left_anti")
   }
 
   // ------------------------------------------- embedding near-dup
@@ -470,6 +635,70 @@ object DedupOps {
           col("nrm_a") * col("nrm_b")), lit(0.0)), 6))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
+  }
+
+  /** Cross-corpus SEMANTIC decontamination: flag every corpus document
+    * whose embedding lands within cosine `threshold` of ANY eval-set
+    * embedding — the embedding-space twin of the n-gram overlap
+    * decontamination ([[Corpus.decontaminate]], x19): n-grams catch
+    * verbatim leakage, this catches paraphrased/translated leakage the
+    * token detector structurally cannot.
+    *
+    * Mechanics are [[cosineDupPairs]]'s sign-bucket LSH made
+    * CROSS-FRAME: both sides bucket on the leading-dim sign pattern,
+    * the EVAL side (the small one — benchmarks are thousands of rows,
+    * the corpus is the 100 TB party) carries the multi-probe
+    * explosion, candidates meet on bucket equality (own vs own-or-flip
+    * = bucket Hamming ≤ 1, the same recall relation x06's oracle
+    * replays), and exact cosine verifies. Per corpus doc the output
+    * aggregates its qualifying hits: (id, n_eval_hits, max_cos) —
+    * contaminated docs only; downstream anti-joins the ids out or
+    * routes them to the eval-dedup queue.
+    *
+    * Scale shape: the corpus is scanned once, never self-paired; the
+    * candidate join is keyed on bucket; eval-side probe rows are
+    * |eval|·(signBits+1) — request metadata, not corpus. Same
+    * `signBits` sizing contract as [[cosineDupPairs]]. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      signBits: Int = 6): DataFrame = {
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    import graft.functions.VectorExprs.dotF64
+    def prep(df: DataFrame): DataFrame = {
+      val vecd = df.select(col(idCol).as("vec_id"),
+          transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+        .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
+      val bucketOf = (0 until signBits).map { i =>
+        when(element_at(col("v"), i + 1) >= 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      vecd.withColumn("b0", bucketOf)
+    }
+    val c = prep(corpus)
+    val e = prep(evalSet)
+    // multi-probe on the EVAL side only: own bucket + each 1-bit flip
+    val eProbes = e.select(col("vec_id"), col("b0"),
+        explode(array((lit(-1) +: (0 until signBits).map(lit)): _*))
+          .as("flip"))
+      .withColumn("bucket",
+        when(col("flip") === -1, col("b0"))
+          .otherwise(col("b0").bitwiseXOR(call_function("shiftleft",
+            lit(1L), col("flip")))))
+      .select(col("vec_id").as("eval_id"), col("bucket"))
+    val cand = c.select(col("vec_id"), col("b0").as("bucket"))
+      .join(eProbes, Seq("bucket"))
+      .select(col("vec_id"), col("eval_id")).distinct()
+    val cSide = c.select(col("vec_id"), col("v").as("vc"),
+      col("nrm").as("nrm_c"))
+    val eSide = e.select(col("vec_id").as("eval_id"),
+      col("v").as("ve"), col("nrm").as("nrm_e"))
+    cand.join(cSide, "vec_id").join(broadcast(eSide), "eval_id")
+      .withColumn("cos", round(coalesce(
+        try_divide(dotF64(col("vc"), col("ve")),
+          col("nrm_c") * col("nrm_e")), lit(0.0)), 6))
+      .filter(col("cos") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max("cos").as("max_cos"))
   }
 
   // ------------------------------------------- cluster + canonicalize

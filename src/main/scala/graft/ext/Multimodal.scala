@@ -626,6 +626,57 @@ object Multimodal {
       }).toDF(idCol, "sample_rate", "n_samples", "sum_amp", "peak_amp")
   }
 
+  /** Windowed audio silence detection over the decoded PCM — the
+    * audio-curation gate (trim/flag silent or near-silent stretches
+    * before a clip enters a training corpus): frames are grouped into
+    * fixed windows of `windowFrames`, a window is SILENT when its mean
+    * |amplitude| is under `meanAbsThreshold`, and the comparison is
+    * kept integer-exact as `Σ|amp| < threshold · samplesInWindow` (no
+    * division — the ragged final window compares against its own
+    * sample count). Multi-channel windows pool all channels' samples.
+    * Output per doc: (n_windows, n_silent, sum_abs); the
+    * [[audioPcmStats]] all-NULL totality contract for undecodable
+    * payloads. Narrow mapPartitions codec stage, no shuffle. */
+  def audioSilenceStats(spark: SparkSession, df: DataFrame,
+      idCol: String, windowFrames: Int = 16,
+      meanAbsThreshold: Long = 16000L): DataFrame = {
+    require(windowFrames >= 1,
+      s"windowFrames must be >= 1 (got $windowFrames)")
+    require(meanAbsThreshold >= 0L,
+      s"meanAbsThreshold must be >= 0 (got $meanAbsThreshold)")
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        decodePcm16(payload) match {
+          case Some((_, channels, samples)) =>
+            val nFrames = samples.length / channels
+            var nWin = 0L
+            var nSilent = 0L
+            var totAbs = 0L
+            var f = 0
+            while (f < nFrames) {
+              val end = math.min(f + windowFrames, nFrames)
+              var sabs = 0L
+              var i = f * channels
+              while (i < end * channels) {
+                sabs += math.abs(samples(i).toLong)
+                i += 1
+              }
+              nWin += 1
+              if (sabs < meanAbsThreshold *
+                  ((end - f).toLong * channels)) nSilent += 1
+              totAbs += sabs
+              f = end
+            }
+            (id, Some(nWin), Some(nSilent), Some(totAbs))
+          case None =>
+            (id, None: Option[Long], None: Option[Long],
+              None: Option[Long])
+        }
+      }).toDF(idCol, "n_windows", "n_silent", "sum_abs")
+  }
+
   /** Perceptual difference-hash (dHash — Krawetz's "Kind of Like
     * That" gradient hash, the standard cheap image fingerprint) over
     * the REAL decoded pixels: nearest-neighbor-sample the image to a

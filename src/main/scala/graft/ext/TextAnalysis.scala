@@ -416,6 +416,59 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Top-k PMI collocations — the multiword-expression miner (Church &
+    * Hanks 1990 pointwise mutual information over adjacent-token
+    * pairs): PMI(w1, w2) = ln(c12·T / (c1·c2)) where c1/c2 are the
+    * pair's left/right margin counts over the bigram table and T the
+    * total bigram count. High-PMI pairs co-occur far above chance —
+    * named entities, idioms, domain terms — the vocabulary-design
+    * complement to [[bigramStats]]' raw frequencies (frequency finds
+    * "of the"; PMI finds "San Francisco").
+    *
+    * Engine-exact float discipline (the dsirWeights convention): each
+    * ln is taken of an exact integer count, floored to integer
+    * MILLI-NATS independently, and PMI is the SUM of four such
+    * integers — no cross-engine libm drift can survive the floor, and
+    * the top-k order is an integer sort. `minCount` drops
+    * singleton-pair noise (PMI's classic failure mode: c12 = 1 pairs
+    * of rare tokens score highest). Ties break (w1, w2) — a total
+    * order, so the limit is deterministic.
+    *
+    * Scale shape: tokenize once, ONE (w1, w2) count aggregate
+    * (vocabulary²-bounded, corpus-independent), margins as windows
+    * OVER THAT TABLE partitioned by w1/w2 (never the corpus), T
+    * in-plan as the provably-1-row broadcast aggregate cross join (the
+    * x69 shape), and a TakeOrdered k. */
+  def pmiCollocations(df: DataFrame, textCol: String, k: Int = 30,
+      minCount: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(minCount >= 1L, s"minCount must be >= 1 (got $minCount)")
+    val toks = tokens(col(textCol))
+    val pairs = df
+      .select(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))).as("bg"))
+      .select(explode(col("bg")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val byW1 = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    val byW2 = org.apache.spark.sql.expressions.Window.partitionBy("w2")
+    def lnMilli(c: Column): Column =
+      floor(round(log(c.cast(DoubleType)) * 1000.0, 6)).cast(LongType)
+    counts
+      .withColumn("c1", sum(col("c12")).over(byW1))
+      .withColumn("c2", sum(col("c12")).over(byW2))
+      .filter(col("c12") >= minCount)
+      .crossJoin(broadcast(counts.agg(sum("c12").as("t"))))
+      .withColumn("pmi_milli",
+        lnMilli(col("c12")) + lnMilli(col("t")) -
+          lnMilli(col("c1")) - lnMilli(col("c2")))
+      .orderBy(col("pmi_milli").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select("w1", "w2", "c12", "c1", "c2", "pmi_milli")
+  }
+
   /** Corpus-self bigram-LM document scoring — the perplexity-proxy
     * quality signal: train add-one-smoothed bigram probabilities on the
     * corpus itself ([[bigramStats]]' counting machinery), then score

@@ -55,6 +55,125 @@ object AsOf {
     filled.filter(col(tag) === 1).drop(ts, tag)
   }
 
+  /** As-of join with DIRECTION and TOLERANCE — the full point-in-time
+    * alignment surface (pandas `merge_asof` parity, the shape feature
+    * pipelines ask for): for every left row attach the payload of the
+    *
+    *  - `backward`: most recent right row with `rightTs <= leftTs`
+    *    (inclusive; [[asofJoin]]'s semantics — equal-ts ties keep the
+    *    HIGHEST `tieBreak`),
+    *  - `forward`: earliest right row with `rightTs >= leftTs`
+    *    (inclusive; equal-ts ties keep the LOWEST `tieBreak` — the
+    *    first row in scan order, mirroring backward's last),
+    *  - `nearest`: whichever of the two is closer in |Δts| seconds,
+    *    ties to BACKWARD (pandas' rule),
+    *
+    * and NULL the payload when no candidate exists within
+    * `tolerance` seconds of the left timestamp (timestamps compare at
+    * second resolution — the `cast long` epoch both engines agree on).
+    *
+    * Scale shape: the same union/window formulation as [[asofJoin]] —
+    * ONE hash partition by key; backward/forward are one sorted fill
+    * pass, nearest fills both directions over the same exchange (two
+    * window sorts, zero extra shuffles, no range-explosion join). */
+  def asofJoinDirected(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      rightCols: Map[String, String], direction: String = "backward",
+      tolerance: Option[Long] = None, tieBreak: Option[String] = None)
+      : DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest (got '$direction')")
+    require(tolerance.forall(_ >= 0L),
+      s"tolerance must be >= 0 seconds (got $tolerance)")
+    val ts = "_graft_ts"
+    val tag = "_graft_tag" // 0 = right, 1 = left
+    val mts = "_graft_mts" // the matched right row's own timestamp
+    val outs = rightCols.values.toSeq
+    val l = left.withColumn(ts, col(leftTs)).withColumn(tag, lit(1))
+    val lAligned = (outs :+ mts).foldLeft(l) { (d, out) =>
+      d.withColumn(out, lit(null))
+    }
+    val r0 = right.select(
+      (keys.map(col) ++ Seq(col(rightTs).as(ts), lit(0).as(tag),
+        col(rightTs).as(mts)) ++
+        rightCols.map { case (in, out) => col(in).as(out) })
+        .toIndexedSeq: _*)
+    val rAligned = lAligned.columns.foldLeft(r0) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
+    }.select(lAligned.columns.map(col).toIndexedSeq: _*)
+    val unioned = lAligned.unionByName(rAligned)
+
+    // backward pass: right rows BEFORE left on equal ts (inclusive),
+    // last-wins = highest tieBreak among equal-ts candidates
+    val backOrder = Seq(col(ts).asc, col(tag).asc) ++
+      tieBreak.map(c => col(c).asc_nulls_first)
+    val backW = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(backOrder.toIndexedSeq: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward pass: right rows AFTER left on equal ts (inclusive),
+    // first-wins = lowest tieBreak among equal-ts candidates
+    val fwdOrder = Seq(col(ts).asc, col(tag).desc) ++
+      tieBreak.map(c => col(c).asc_nulls_last)
+    val fwdW = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(fwdOrder.toIndexedSeq: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    def fillAll(df: DataFrame, w: org.apache.spark.sql.expressions
+        .WindowSpec, fill: Column => Column, suffix: String)
+        : DataFrame =
+      (outs :+ mts).foldLeft(df) { (d, out) =>
+        d.withColumn(out + suffix, fill(col(out)).over(w))
+      }
+
+    // a side's match survives only within tolerance of the LEFT ts
+    def okCol(mtsCol: Column): Column = {
+      val within = tolerance.map(t =>
+        abs(col(ts).cast("long") - mtsCol.cast("long")) <= t)
+        .getOrElse(lit(true))
+      mtsCol.isNotNull && within
+    }
+
+    val filled = direction match {
+      case "backward" =>
+        fillAll(unioned, backW, c => last(c, ignoreNulls = true), "_b")
+      case "forward" =>
+        fillAll(unioned, fwdW, c => first(c, ignoreNulls = true), "_f")
+      case "nearest" =>
+        fillAll(
+          fillAll(unioned, backW, c => last(c, ignoreNulls = true),
+            "_b"),
+          fwdW, c => first(c, ignoreNulls = true), "_f")
+    }
+    val chosen = direction match {
+      case "backward" =>
+        outs.foldLeft(filled) { (d, out) =>
+          d.withColumn(out,
+            when(okCol(col(mts + "_b")), col(out + "_b")))
+        }
+      case "forward" =>
+        outs.foldLeft(filled) { (d, out) =>
+          d.withColumn(out,
+            when(okCol(col(mts + "_f")), col(out + "_f")))
+        }
+      case "nearest" =>
+        val okB = okCol(col(mts + "_b"))
+        val okF = okCol(col(mts + "_f"))
+        // ties (equal distance) go backward — pandas' rule
+        val useBack = okB && (!okF ||
+          (col(ts).cast("long") - col(mts + "_b").cast("long")) <=
+            (col(mts + "_f").cast("long") - col(ts).cast("long")))
+        outs.foldLeft(filled) { (d, out) =>
+          d.withColumn(out,
+            when(useBack, col(out + "_b"))
+              .otherwise(when(okF, col(out + "_f"))))
+        }
+    }
+    val helper = Seq("_b", "_f").flatMap(s =>
+      (outs :+ mts).map(_ + s)).filter(chosen.columns.contains)
+    chosen.filter(col(tag) === 1)
+      .drop(helper :+ ts :+ tag :+ mts: _*)
+  }
+
   /** Sessionize: assign a session id per key from inactivity gaps — a new
     * session starts when the gap to the previous event exceeds
     * `gapSeconds`. Session id = (key, index of session within key),

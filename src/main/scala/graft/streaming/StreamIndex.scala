@@ -156,6 +156,62 @@ object StreamIndex {
     * different batches carrying byte-identical key sets would merge to
     * one — a mutating stream that legitimately revisits a state needs
     * the CDC writers' epoch-keyed ids instead). */
+  /** Streamed INCREMENTAL ADMISSION into a persisted 64-bit signature
+    * ledger (gated x202): each micro-batch of (doc_id, sh) sigs is
+    * admitted against the ledger's CURRENT state
+    * ([[graft.ext.DedupOps.simhashLedgerAdmit]] — no ledgered sig
+    * within `maxHamming`), the admitted rows land under
+    * `outDir/batch=<id>` AND append to the ledger — so every later
+    * batch is deduped against all earlier admissions: the streaming
+    * form of the admit-then-append visual-dedup loop.
+    *
+    * Exactly-once: the content-derived batchId gates BOTH effects —
+    * if the ledger already carries it the whole batch is a no-op
+    * (replaying the admission after its own append would reject
+    * every row against itself — the applied check, not recomputation,
+    * is what makes replays safe); otherwise admitted rows are written
+    * (same-path overwrite, idempotent under crash-before-append
+    * replays) BEFORE the ledger append commits. In-batch duplicates
+    * are NOT self-deduped — admission is against the ledger; run
+    * batches through [[graft.ext.DedupOps.simhashPairsFromSigs]]
+    * first when intra-batch dup matters. */
+  def simhashAdmitWriter(spark: SparkSession, sigsDir: String,
+      schema: StructType, ledgerPath: String, outDir: String,
+      maxHamming: Int, probeBits: Int = 1)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sigsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (bid, _) = contentBatchId(b, "doc_id")
+          val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          val applied = IndexManifest.latest(fs, ledgerPath)
+            .exists(_.applied.contains(bid))
+          if (!applied) {
+            val admitted = graft.ext.DedupOps.simhashLedgerAdmit(s,
+                ledgerPath, b, maxHamming, probeBits)
+              .persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              admitted.write
+                .mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(s"$outDir/batch=$bid")
+              graft.ext.DedupOps.appendToSimhashLedger(s, ledgerPath,
+                admitted, bid)
+            } finally admitted.unpersist(blocking = false)
+          }
+        } finally b.unpersist(blocking = false)
+      }
+      .trigger(Trigger.AvailableNow())
+
   def histSketchAppendWriter(spark: SparkSession, valuesDir: String,
       schema: StructType, sketchPath: String, valueCol: String)
       : DataStreamWriter[org.apache.spark.sql.Row] =

@@ -114,7 +114,18 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row broadcast aggregate cross join (the x69 shape) — see
       // Corpus.histQuantileEstimates scaladoc
       "x191_hist_quantiles", "x192_hist_sketch_merge",
-      "x193_hist_sketch_delete", "x194_stream_hist_sketch")
+      "x193_hist_sketch_delete", "x194_stream_hist_sketch",
+      // x201 folds the total bigram count in-plan the x69 way — a
+      // PROVABLY 1-row broadcast aggregate cross join over the
+      // vocabulary²-bounded bigram table
+      "x201_pmi_collocations",
+      // x204 is x191's quantile tail on weighted counters — the same
+      // histogram-bounded theta join + 1-row total cross join
+      "x204_hist_weighted",
+      // x206 folds the two snapshot totals in-plan — a PROVABLY 1-row
+      // broadcast aggregate cross join over the bounded joined
+      // histogram (the x69 shape)
+      "x206_hist_drift")
 
   // x85's lexical leg ranks bm25TopK's ALREADY-LIMITED k-row list with
   // a per-query window whose query_id is a literal — Catalyst folds the

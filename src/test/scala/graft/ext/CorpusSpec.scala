@@ -816,6 +816,144 @@ class CorpusSpec extends SparkSpec {
       Corpus.histQuantiles(df, col("v"), 10L, Seq(1000001L)))
   }
 
+  test("histQuantilesBy (x198): per-group estimates bracket the exact " +
+      "per-group order statistics; a single group equals the global " +
+      "form; null groups excluded; validation") {
+    import spark.implicits._
+    val rows = (0 until 300).map { i =>
+      (if (i % 3 == 0) "en" else "fr", (i.toLong * 7) % 211)
+    }
+    val df = rows.toDF("lang", "v")
+      .unionByName(Seq((null: String, 5L), ("de", -1L))
+        .toDF("lang", "v"))
+    val qs = Seq(250000L, 500000L, 750000L, 1000000L)
+    val got = Corpus.histQuantilesBy(df, col("v"), Seq("lang"), 20L, qs)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // null lang excluded entirely; "de"'s only value is negative →
+    // the group vanishes too
+    assert(got.map(_._1).toSet == Set("en", "fr"))
+    val byLang = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    got.foreach { case (lang, q, n, k, _, lo, hi) =>
+      val vals = byLang(lang)
+      assert(n == vals.length.toLong)
+      assert(k == (q * n + 999999L) / 1000000L)
+      val exact = vals(k.toInt - 1)
+      assert(exact >= lo && exact <= hi,
+        s"$lang q=$q: exact $exact outside [$lo, $hi]")
+    }
+    // one group ≡ the global form on that group's rows
+    val en = df.filter(col("lang") === "en")
+    val grouped = Corpus.histQuantilesBy(en, col("v"), Seq("lang"),
+        20L, qs)
+      .select("q_micros", "n", "k", "bucket", "est_lo", "est_hi")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val global = Corpus.histQuantiles(en, col("v"), 20L, qs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(grouped == global)
+    intercept[IllegalArgumentException](
+      Corpus.histQuantilesBy(df, col("v"), Seq.empty, 20L, qs))
+    intercept[IllegalArgumentException](
+      Corpus.histQuantilesBy(df, col("v"), Seq("lang"), 0L, qs))
+    intercept[IllegalArgumentException](
+      Corpus.histQuantilesBy(df, col("v"), Seq("lang"), 20L,
+        Seq(2000000L)))
+  }
+
+  test("histQuantilesWeighted (x204): weighted estimates bracket the " +
+      "exact weighted order statistic; weight 1 reduces to the " +
+      "unweighted form; zero weights contribute nothing; negative/" +
+      "null weights excluded") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i =>
+      ((i.toLong * 13) % 307, (i.toLong % 9) + 1))
+    val df = rows.toDF("v", "w")
+    val qs = Seq(100000L, 500000L, 900000L, 1000000L)
+    val got = Corpus.histQuantilesWeighted(df, col("v"), col("w"),
+        25L, qs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // exact weighted order statistic: expand each value w times
+    val expanded = rows.flatMap { case (v, w) =>
+      Seq.fill(w.toInt)(v)
+    }.sorted
+    val totalW = rows.map(_._2).sum
+    got.foreach { case (q, n, k, _, lo, hi) =>
+      assert(n == totalW)
+      assert(k == (q * n + 999999L) / 1000000L)
+      val exact = expanded(k.toInt - 1)
+      assert(exact >= lo && exact <= hi,
+        s"q=$q: weighted exact $exact outside [$lo, $hi]")
+    }
+    // weight 1 ≡ unweighted
+    val w1 = Corpus.histQuantilesWeighted(df, col("v"), lit(1L),
+        25L, qs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val unw = Corpus.histQuantiles(df, col("v"), 25L, qs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(w1 == unw)
+    // zero-weight rows contribute nothing; negative/null excluded
+    val mixed = Seq((1000L, 0L), (5L, 3L)).toDF("v", "w")
+      .unionByName(Seq((7L, Some(-2L)), (9L, None: Option[Long]))
+        .toDF("v", "w"))
+    val m = Corpus.histQuantilesWeighted(mixed, col("v"), col("w"),
+        10L, Seq(1000000L))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(m == ((1000000L, 3L, 3L, 0L, 0L, 9L)))
+  }
+
+  test("robustOutliersByGroup (x205): hand-computed fences and " +
+      "counts; a planted extreme value moves the MEAN-based flag but " +
+      "not the median fences; strict fence edges") {
+    import spark.implicits._
+    // group g: 96 values spread 0..95 (width 1 → est_hi = bucket), 4
+    // extremes at 1000 — k = 25/50/75 of n = 100 picks order
+    // statistics 24/49/74, iqr = 50, (3·50) div 2 = 75 → fences
+    // [-51, 149] → n_low = 0, n_high = 4
+    val vals = ((0 until 96).map(_.toLong) ++ Seq.fill(4)(1000L))
+      .map(("g", _))
+    val got = Corpus.robustOutliersByGroup(vals.toDF("g", "v"),
+        col("v"), Seq("g"), bucketWidth = 1L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .head()
+    assert(got == (("g", 100L, 24L, 49L, 74L, -51L, 149L, 0L, 4L)))
+    // robustness: the same data WITHOUT the extremes has the same
+    // median (the extremes never moved it)
+    val clean = Corpus.robustOutliersByGroup(
+        (0 until 96).map(("g", _)).toDF("g", "v"), col("v"), Seq("g"),
+        bucketWidth = 1L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .head()
+    assert(clean._4 == 48L || clean._4 == 47L) // med within a bucket
+    assert(clean._8 == 0L && clean._9 == 0L)
+    // strict edges: a value exactly AT a fence is not an outlier
+    val edge = (Seq.fill(4)(10L) :+ 10L).map(("e", _)) // iqr 0 → fences = med
+    val e = Corpus.robustOutliersByGroup(edge.toDF("g", "v"), col("v"),
+        Seq("g"), bucketWidth = 1L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .head()
+    assert(e._8 == 0L && e._9 == 0L)
+  }
+
+  test("histDrift (x206): hand-computed exact L1; identical mixes " +
+      "drift 0; disjoint supports drift 2; scale-invariant; empty " +
+      "side errors") {
+    import spark.implicits._
+    def df(vs: Long*) = vs.toDF("v")
+    def drift(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, w: Long) =
+      Corpus.histDrift(a, b, col("v"), w)
+        .as[(Long, Long, Long, Double)].head()
+    // a: buckets {0:2, 1:1}; b: buckets {0:1, 2:1} (w=10) →
+    // num = |2·2-1·3| + |1·2-0| + |0-1·3| = 1+2+3 = 6; den = 6 → 1.0
+    assert(drift(df(1, 2, 11), df(3, 25), 10L) == ((3L, 2L, 6L, 1.0)))
+    assert(drift(df(1, 2, 11), df(1, 2, 11), 10L)._4 == 0.0)
+    // doubling one side leaves the mix unchanged
+    assert(drift(df(1, 2, 11), df(1, 1, 2, 2, 11, 11), 10L)._4 == 0.0)
+    assert(drift(df(1), df(100), 10L)._4 == 2.0)
+    val err = intercept[Exception](drift(df(1), df(-5), 10L))
+    assert(err.getMessage.contains("empty snapshot side") ||
+      err.getCause != null)
+  }
+
   test("persisted histogram sketch (x192/x193/x194): save+append == " +
       "one-shot estimates exactly; persisted width drives the serve; " +
       "replays no-op; time travel; turnstile delete nets out") {

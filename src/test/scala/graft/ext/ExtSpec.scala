@@ -1658,6 +1658,155 @@ class ExtSpec extends SparkSpec {
     assert(survivors.contains(all.min))
   }
 
+  test("semanticDecontaminate (x197): hand fixture with exact cosines " +
+      "and hit counts; agrees with cosineDupPairs' cross-frame " +
+      "endpoints; empty eval flags nothing") {
+    // eval 100/101 share bucket 63 (all six leading dims positive);
+    // corpus 1 is a scaled copy of 100 (cos 1.0 / 6/sqrt(42) to 101),
+    // corpus 2 is bucket-distance-3 (never a candidate), corpus 3 is
+    // one sign flip away (candidate, cos 4/6 and 4/sqrt(42))
+    val ev = Seq(
+      (100L, Array(1f, 1f, 1f, 1f, 1f, 1f, 0f, 0f)),
+      (101L, Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cor = Seq(
+      (1L, Array(2f, 2f, 2f, 2f, 2f, 2f, 0f, 0f)),
+      (2L, Array(1f, -1f, 1f, -1f, 1f, -1f, 0f, 0f)),
+      (3L, Array(1f, 1f, 1f, 1f, 1f, -1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = DedupOps.semanticDecontaminate(cor, ev, "vec_id",
+        "embedding", threshold = 0.35, signBits = 6)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((2L, 1.0)), 3L -> ((2L, 0.666667))))
+    // consistency with the self-pair detector: on a mixed frame,
+    // cosineDupPairs' pairs with exactly one eval endpoint are the
+    // same (corpus doc, cos) hits this op aggregates
+    val evalSet = embs.filter(pmod($"vec_id", lit(19)) === 0)
+    val corpus = embs.filter(pmod($"vec_id", lit(19)) =!= 0)
+    val gotReal = DedupOps.semanticDecontaminate(corpus, evalSet,
+        "vec_id", "embedding", threshold = 0.35, signBits = 6)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val evIds = evalSet.select("vec_id").as[Long].collect().toSet
+    val cross = DedupOps.cosineDupPairs(embs, "vec_id", "embedding",
+        threshold = 0.35, signBits = 6)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, c) =>
+        if (evIds(a) && !evIds(b)) Some(b -> c)
+        else if (evIds(b) && !evIds(a)) Some(a -> c) else None }
+    val want = cross.groupBy(_._1).map { case (id, hs) =>
+      id -> ((hs.length.toLong, hs.map(_._2).max)) }
+    assert(gotReal == want,
+      "cross-frame hits diverged from cosineDupPairs' endpoints")
+    // empty eval set → nothing flagged
+    assert(DedupOps.semanticDecontaminate(cor,
+      ev.filter($"vec_id" < 0), "vec_id", "embedding", 0.35, 6)
+      .count() == 0L)
+  }
+
+  test("simhashLedgerAdmit (x199): admission equals the brute-force " +
+      "decision; appends are idempotent; as-of replays the pre-append " +
+      "decision; recall-contract and params validation") {
+    // seeded 64-bit sigs with planted near-dups: base 0-99, incoming
+    // 200-259 where even incoming ids are 1-3 bit flips of a base sig
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 100L).map(i => (i, rnd.nextLong()))
+    val incoming = (0 until 60).map { j =>
+      val id = 200L + j
+      if (j % 2 == 0) {
+        val src = base(j % 100)._2
+        val flips = 1 + j % 3
+        val flipped = (0 until flips).foldLeft(src)((s, k) =>
+          s ^ (1L << ((j * 7 + k * 13) % 64)))
+        (id, flipped)
+      } else (id, rnd.nextLong())
+    }
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_shledger").resolve("idx").toString
+    DedupOps.saveSimhashLedger(
+      base.take(70).toDF("doc_id", "sh"), ledgerDir)
+    val v0 = DedupOps.simhashLedgerVersion(spark, ledgerDir)
+    DedupOps.appendToSimhashLedger(spark, ledgerDir,
+      base.drop(70).toDF("doc_id", "sh"), "b1")
+    def admitted(asOf: Option[Long], indexed: Seq[(Long, Long)]) = {
+      val got = DedupOps.simhashLedgerAdmit(spark, ledgerDir,
+          incoming.toDF("doc_id", "sh"), maxHamming = 7,
+          probeBits = 1, asOfVersion = asOf)
+        .select("doc_id").as[Long].collect().toSet
+      val want = incoming.filter { case (_, sh) =>
+        !indexed.exists(b =>
+          java.lang.Long.bitCount(b._2 ^ sh) <= 7)
+      }.map(_._1).toSet
+      (got, want)
+    }
+    val (gotFull, wantFull) = admitted(None, base)
+    assert(gotFull == wantFull,
+      "banded admission diverged from the brute-force decision")
+    assert(gotFull.size < incoming.size && gotFull.nonEmpty,
+      "fixture should both admit and reject")
+    // append replay no-ops (same decisions after a duplicate append)
+    DedupOps.appendToSimhashLedger(spark, ledgerDir,
+      base.drop(70).toDF("doc_id", "sh"), "b1")
+    assert(admitted(None, base)._1 == gotFull)
+    // as-of: the pre-append snapshot only knows the first 70 sigs
+    val (gotOld, wantOld) = admitted(Some(v0), base.take(70))
+    assert(gotOld == wantOld)
+    assert(gotOld.size >= gotFull.size)
+    intercept[IllegalArgumentException](
+      DedupOps.simhashLedgerAdmit(spark, ledgerDir,
+        incoming.toDF("doc_id", "sh"), maxHamming = 8, probeBits = 1))
+    intercept[IllegalArgumentException](
+      DedupOps.simhashLedgerAdmit(spark, ledgerDir,
+        incoming.toDF("doc_id", "sh"), maxHamming = 3, probeBits = 2))
+    intercept[IllegalArgumentException](
+      DedupOps.saveSimhashLedger(
+        base.take(2).toDF("doc_id", "sh"), ledgerDir + "_bad",
+        bands = 5))
+    intercept[IllegalArgumentException](
+      DedupOps.simhashLedgerVersion(spark, ledgerDir + "_missing"))
+  }
+
+  test("pmiCollocations (x201): hand-computed margins and milli-nat " +
+      "scores; PMI ranks a rare-but-exclusive pair over a frequent " +
+      "promiscuous one; minCount bars singletons; validation") {
+    // corpus: "a b" ×4 in mixed company, "x y" ×2 exclusively.
+    // bigram table: (a,b)=4, (a,c)=2, (d,b)=2, (x,y)=2, (b,a)=1,
+    // (b,d)=1, (c,a)=1 … construct explicitly:
+    val docs = Seq("a b a b", "a c a c", "d b d b", "x y x y")
+      .toDF("text")
+    // bigrams per doc: (a,b),(b,a),(a,b) / (a,c),(c,a),(a,c) /
+    // (d,b),(b,d),(d,b) / (x,y),(y,x),(x,y) → T = 12
+    val got = TextAnalysis.pmiCollocations(docs, "text", k = 10,
+        minCount = 2L)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    def lnMilli(c: Long) =
+      math.floor(BigDecimal(math.log(c.toDouble) * 1000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+    val t = 12L
+    // margins: c1(a·)=4 [(a,b)×2,(a,c)×2], c2(·b)=4 [(a,b)×2,(d,b)×2],
+    // c1(x·)=2, c2(·y)=2
+    val want = Map(
+      ("a", "b") -> ((2L, 4L, 4L,
+        lnMilli(2) + lnMilli(t) - lnMilli(4) - lnMilli(4))),
+      ("a", "c") -> ((2L, 4L, 2L,
+        lnMilli(2) + lnMilli(t) - lnMilli(4) - lnMilli(2))),
+      ("d", "b") -> ((2L, 2L, 4L,
+        lnMilli(2) + lnMilli(t) - lnMilli(2) - lnMilli(4))),
+      ("x", "y") -> ((2L, 2L, 2L,
+        lnMilli(2) + lnMilli(t) - lnMilli(2) - lnMilli(2))))
+    assert(got.map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6)))
+      .toMap == want)
+    // exclusivity wins: (x,y) at c12=2 outranks (a,b) at c12=2 with
+    // fatter margins — and the singletons (b,a) etc. are barred
+    assert(got.head._1 == "x" && got.head._2 == "y")
+    assert(!got.exists(r => r._3 < 2L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.pmiCollocations(docs, "text", k = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.pmiCollocations(docs, "text", k = 5, minCount = 0L))
+  }
+
   test("bigramStats: hand-computed counts and conditionals") {
     val docs = Seq("a b a b c", "a b").toDF("text")
     // bigrams: (a,b)×3, (b,a)×1, (b,c)×1 → c1(a·)=3, c1(b·)=2

@@ -297,6 +297,58 @@ class MultimodalSpec extends SparkSpec {
         (3L, None, None, None, None)))
   }
 
+  test("audioSilenceStats (x200): hand-computed windows incl. ragged " +
+      "tail; threshold edges are strict; all-NULL totality; " +
+      "validation") {
+    // doc 5: n = 32 + 5 % 64 = 37 samples → windows of 16: [16, 16, 5]
+    val wav = Multimodal.withWavPayload(spark, Seq(5L).toDF("doc_id"),
+      "doc_id")
+    val amps = (0 until 37).map(j =>
+      math.abs((5L * 31 + j * 17) % 65536 - 32768))
+    val wins = amps.grouped(16).toSeq
+    val wantSilent = wins.count(w => w.sum < 16000L * w.length)
+    val got = Multimodal.audioSilenceStats(spark, wav, "doc_id",
+        windowFrames = 16, meanAbsThreshold = 16000L)
+      .as[(Long, Option[Long], Option[Long], Option[Long])].head()
+    assert(got == ((5L, Some(wins.length.toLong),
+      Some(wantSilent.toLong), Some(amps.sum))))
+    // strict inequality at the edge: a window whose mean |amp| EQUALS
+    // the bar is NOT silent (sum == threshold·count fails sum < ·)
+    val flat = {
+      // constant amplitude 100 → every window mean is exactly 100
+      val n = 8
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        pcm(2 * i) = 100.toByte; pcm(2 * i + 1) = 0.toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+        true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      Seq((9L, bos.toByteArray)).toDF("doc_id", "payload")
+    }
+    assert(Multimodal.audioSilenceStats(spark, flat, "doc_id", 4, 100L)
+      .as[(Long, Option[Long], Option[Long], Option[Long])].head() ==
+      ((9L, Some(2L), Some(0L), Some(800L))))
+    assert(Multimodal.audioSilenceStats(spark, flat, "doc_id", 4, 101L)
+      .as[(Long, Option[Long], Option[Long], Option[Long])].head() ==
+      ((9L, Some(2L), Some(2L), Some(800L))))
+    // totality: undecodable payloads → all-NULL row
+    val bad = Seq((1L, "not audio".getBytes)).toDF("doc_id", "payload")
+    assert(Multimodal.audioSilenceStats(spark, bad, "doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].head() ==
+      ((1L, None, None, None)))
+    intercept[IllegalArgumentException](
+      Multimodal.audioSilenceStats(spark, bad, "doc_id",
+        windowFrames = 0))
+    intercept[IllegalArgumentException](
+      Multimodal.audioSilenceStats(spark, bad, "doc_id",
+        meanAbsThreshold = -1L))
+  }
+
   /** The dHash closed form, computed independently of the engine (and
     * of the oracle SQL): decode-free recomputation from the
     * [[Multimodal.withPngPayload]] pixel formula. */

@@ -59,4 +59,52 @@ class StreamIndexSpec extends SparkSpec {
     assert(rows(TextAnalysis.queryBm25Index(spark, idx, terms, 10)) ==
       rows(TextAnalysis.queryBm25Index(spark, full, terms, 10)))
   }
+
+  test("simhashAdmitWriter (x202): sequential greedy admission — " +
+      "later batches dedup against earlier admissions; fresh-" +
+      "checkpoint replay is a full no-op on ledger AND output") {
+    import graft.ext.DedupOps
+    val base = Files.createTempDirectory("graft-shadmit-").toString
+    // sigs where batch 2 contains a near-dup OF A BATCH-1 ADMISSION
+    // (id 20 ~ id 10), a near-dup of the base (id 21 ~ id 0), and a
+    // novel sig (id 22)
+    val s0 = 0x0123456789abcdeL
+    val b1dup = s0 ^ 7L                 // Hamming 3 from s0 → rejected
+    val novel1 = 0x7edcba9876543210L    // far from s0
+    val b2dupOfNovel1 = novel1 ^ 3L     // Hamming 2 from novel1
+    val b2dupOfBase = s0 ^ 1L           // Hamming 1 from s0
+    val novel2 = 0x5a5a5a5a5a5a5aL
+    DedupOps.saveSimhashLedger(
+      Seq((0L, s0)).toDF("doc_id", "sh"), s"$base/ledger")
+    graft.SparkEntry.landOrdered(spark, Seq(
+      Seq((10L, novel1), (11L, b1dup)).toDF("doc_id", "sh"),
+      Seq((20L, b2dupOfNovel1), (21L, b2dupOfBase), (22L, novel2))
+        .toDF("doc_id", "sh")), s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    def run(ckpt: String): Unit = {
+      val q = StreamIndex.simhashAdmitWriter(spark, s"$base/in",
+          schema, s"$base/ledger", s"$base/out", maxHamming = 7,
+          probeBits = 1)
+        .option("checkpointLocation", s"$base/$ckpt").start()
+      q.awaitTermination()
+    }
+    run("ckpt1")
+    def admitted() = spark.read.parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().toSet
+    // 10 novel → in; 11 near s0 → out; 20 near ADMITTED 10 → out;
+    // 21 near base s0 → out; 22 novel → in
+    assert(admitted() == Set(10L, 22L))
+    val v1 = DedupOps.simhashLedgerVersion(spark, s"$base/ledger")
+    // fresh-checkpoint replay: content ids match the applied record —
+    // no new ledger version, no output change (and no empty overwrite
+    // of a batch's admissions)
+    run("ckpt2")
+    assert(admitted() == Set(10L, 22L))
+    assert(DedupOps.simhashLedgerVersion(spark, s"$base/ledger") == v1)
+    // the ledger now serves the post-stream state: a new near-dup of
+    // the streamed admission 22 is rejected at the batch API too
+    assert(DedupOps.simhashLedgerAdmit(spark, s"$base/ledger",
+        Seq((30L, novel2 ^ 2L)).toDF("doc_id", "sh"), maxHamming = 7)
+      .count() == 0L)
+  }
 }
