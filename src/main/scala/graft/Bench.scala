@@ -56,7 +56,8 @@ object Bench {
     "x114_meta_stream_insights", "x116_stream_ivfpq_maintain",
     "x127_stream_bm25_cdc", "x128_stream_ivf_cdc",
     "x182_stream_dual_cdc", "x189_stream_hll_sketch",
-    "x194_stream_hist_sketch", "x202_stream_dhash_admit")
+    "x194_stream_hist_sketch", "x202_stream_dhash_admit",
+    "x211_stream_drift_monitor")
 
   /** Gates whose measured cost is dominated by building or mutating
     * persisted state (index build + append + compact + retrain
@@ -87,7 +88,7 @@ object Bench {
     "x153_minhash_index_compact", "x154_ivfpq_index_compact",
     "x186_hll_sketch_merge", "x188_cms_sketch_merge", "x190_cms_sketch_delete",
     "x192_hist_sketch_merge", "x193_hist_sketch_delete",
-    "x199_dhash_ledger_admit",
+    "x199_dhash_ledger_admit", "x210_simhash_ledger_admit",
     "x155_minhash_time_travel", "x171_binaryfile_ingest",
     "x176_hybrid_pinned_snapshot", "x181_ivfpq_asof_filtered")
   // x130/x131/x132/x136/x151 moved to `serve` in r14: they resolve the

@@ -3257,6 +3257,61 @@ object SparkEntry {
         col("n_chars"), bucketWidth = 50L)
     },
 
+    // streamed drift monitor (x211): each arriving batch scored
+    // against the sketch's PRE-BATCH state (exact-integer histogram
+    // L1), then appended — the continuous "did this crawl shift the
+    // mix" alarm; n_b grows monotonically so ordering by it replays
+    // arrival order.
+    "x211_stream_drift_monitor" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val base = scratchDir("streamdrift211")
+      graft.ext.Corpus.saveHistSketch(
+        d.filter(col("doc_id") % 3 === 1), col("n_chars"),
+        base + "/idx", bucketWidth = 50L)
+      landOrdered(s, Seq(
+        d.filter(col("doc_id") % 3 === 2).select("doc_id", "n_chars"),
+        d.filter(col("doc_id") % 3 === 0).select("doc_id", "n_chars")),
+        base + "/vals")
+      val schema = s.read.parquet(base + "/vals").schema
+      val q = graft.streaming.StreamIndex.histDriftMonitorWriter(s,
+          base + "/vals", schema, base + "/idx", base + "/out",
+          "n_chars")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      s.read.parquet(base + "/out")
+        .select("n_a", "n_b", "l1_num", "drift")
+        .orderBy(col("n_b").asc)
+    },
+
+    // pairwise drift matrix (x209): x206 for every language pair at
+    // once — per-group histograms zero-filled onto the common bucket
+    // grid, pairs meet on a keyed bucket join, exact-integer L1 — the
+    // mixture-design diagnostic ("which source mixes actually
+    // differ").
+    "x209_drift_matrix" -> ((s, dir) =>
+      graft.ext.Corpus.histDriftMatrix(T(s, dir, "documents"),
+          col("n_chars"), "lang", bucketWidth = 50L)
+        .orderBy(col("g_a").asc, col("g_b").asc)),
+
+    // text-SimHash ledger admission (x210): the SAME persisted
+    // signature ledger as x199, fed x04's text SimHashes instead of
+    // image dHashes — one ledger design, every 64-bit Hamming sig
+    // modality; admission equals brute force by the recall contract.
+    "x210_simhash_ledger_admit" -> { (s, dir) =>
+      graft.functions.TextHashExprs.register(s)
+      val d = T(s, dir, "documents")
+      def sigs(f: DataFrame) = f.select(col("doc_id"),
+        graft.functions.TextHashExprs.simhash64(col("text")).as("sh"))
+      val ledger = scratchDir("shledger210")
+      graft.ext.DedupOps.saveSimhashLedger(
+        sigs(d.filter(pmod(col("doc_id"), lit(4)) =!= 0)), ledger)
+      graft.ext.DedupOps.simhashLedgerAdmit(s, ledger,
+          sigs(d.filter(pmod(col("doc_id"), lit(4)) === 0)),
+          maxHamming = 7, probeBits = 1)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id").asc)
+    },
+
     // forward as-of with tolerance (x207): the next view WITHIN AN
     // HOUR after each click — merge_asof(direction='forward',
     // tolerance=1h) parity; q13's union/window shape, matches beyond
@@ -5803,10 +5858,10 @@ object SparkEntry {
     // pairs — equal to the engine's banded+verified output BY THE
     // ENFORCED RECALL CONTRACT (maxHamming < bands*(probeBits+1)
     // rejects configs where banding could miss).
-    val simhashOracle: String = {
+    val simhashShCte: String = {
       val pows = (0 until 64).map(b =>
         s"CAST(${u64(1L << b)} AS UBIGINT)").mkString(", ")
-      s"""WITH ${tokenHashCtes("")},
+      s"""${tokenHashCtes("")},
           sh AS (SELECT doc_id,
                    CAST(list_sum(list_transform([$pows], p ->
                      CASE WHEN list_sum(list_transform(th, h ->
@@ -5814,12 +5869,14 @@ object SparkEntry {
                                  THEN 1 ELSE -1 END)) > 0
                           THEN p ELSE CAST(0 AS UBIGINT) END))
                      AS UBIGINT) AS sh
-                 FROM th)
+                 FROM th)"""
+    }
+    val simhashOracle: String =
+      s"""WITH $simhashShCte
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sh, b.sh)) <= 7"""
-    }
     // x03: full MinHash-LSH recomputation — 3-gram window hashes staged
     // LEVEL BY LEVEL (nesting the fold textually would duplicate each
     // level ~16x), the engine's 64 (a_i·h + b_i) mod (2^61-1)
@@ -7323,6 +7380,85 @@ object SparkEntry {
                   CAST(bucket * 50 AS BIGINT) AS est_lo,
                   CAST((bucket + 1) * 50 - 1 AS BIGINT) AS est_hi
            FROM sel ORDER BY q_micros ASC""",
+
+      // x211: both batches replayed sequentially — batch 1 scored
+      // against the base counters, batch 2 against base+batch1; the
+      // same exact-integer L1 as x206 per pair
+      "x211_stream_drift_monitor" -> {
+        def driftPair(i: Int, aTbl: String, bTbl: String): String =
+          s"""j$i AS (SELECT coalesce(a.c, 0) AS c_a,
+                        coalesce(b.c, 0) AS c_b
+                      FROM $aTbl a FULL OUTER JOIN $bTbl b
+                      USING (bucket)),
+             t$i AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM j$i),
+             d$i AS (SELECT CAST(t$i.n_a AS BIGINT) AS n_a,
+                       CAST(t$i.n_b AS BIGINT) AS n_b,
+                       CAST(sum(abs(j$i.c_a * t$i.n_b -
+                         j$i.c_b * t$i.n_a)) AS BIGINT) AS l1_num,
+                       round(sum(abs(j$i.c_a * t$i.n_b -
+                         j$i.c_b * t$i.n_a)) * 1.0 /
+                         (t$i.n_a * t$i.n_b), 6) AS drift
+                     FROM j$i, t$i GROUP BY t$i.n_a, t$i.n_b)"""
+        s"""WITH v AS (SELECT doc_id % 3 AS m,
+                 CAST(n_chars AS BIGINT) // 50 AS bucket
+               FROM documents
+               WHERE n_chars IS NOT NULL AND n_chars >= 0),
+           h AS (SELECT m, bucket, count(*) AS c FROM v GROUP BY 1, 2),
+           base AS (SELECT bucket, c FROM h WHERE m = 1),
+           b1 AS (SELECT bucket, c FROM h WHERE m = 2),
+           b2 AS (SELECT bucket, c FROM h WHERE m = 0),
+           st1 AS (SELECT bucket, sum(c) AS c FROM (
+                     SELECT * FROM base UNION ALL SELECT * FROM b1)
+                   GROUP BY 1),
+           ${driftPair(1, "b1", "base")},
+           ${driftPair(2, "b2", "st1")}
+           SELECT * FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+           ORDER BY n_b ASC"""
+      },
+
+      // x209: per-group histograms on the shared bucket grid, pairwise
+      // exact-integer L1 under g_a < g_b
+      "x209_drift_matrix" ->
+        """WITH v AS (SELECT lang AS g,
+                 CAST(n_chars AS BIGINT) // 50 AS bucket
+               FROM documents
+               WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                 AND n_chars >= 0),
+           h AS (SELECT g, bucket, count(*) AS c FROM v GROUP BY 1, 2),
+           n AS (SELECT g, sum(c) AS n FROM h GROUP BY 1),
+           grid AS (SELECT gb.g, gb.bucket, coalesce(h.c, 0) AS c
+                    FROM (SELECT n.g, b.bucket
+                          FROM n, (SELECT DISTINCT bucket FROM h) b) gb
+                    LEFT JOIN h
+                      ON h.g = gb.g AND h.bucket = gb.bucket),
+           pairs AS (SELECT a.g AS g_a, b2.g AS g_b, na.n AS rn_a,
+                       nb.n AS rn_b,
+                       sum(abs(a.c * nb.n - b2.c * na.n)) AS num
+                     FROM grid a
+                     JOIN grid b2
+                       ON a.bucket = b2.bucket AND a.g < b2.g
+                     JOIN n na ON na.g = a.g
+                     JOIN n nb ON nb.g = b2.g
+                     GROUP BY 1, 2, 3, 4)
+           SELECT g_a, g_b, CAST(rn_a AS BIGINT) AS n_a,
+                  CAST(rn_b AS BIGINT) AS n_b,
+                  CAST(num AS BIGINT) AS l1_num,
+                  round(num * 1.0 / (rn_a * rn_b), 6) AS drift
+           FROM pairs ORDER BY g_a ASC, g_b ASC""",
+
+      // x210: the full text-SimHash recomputation (x04's sh CTE), then
+      // the brute-force admission decision — incoming docs
+      // (doc_id % 4 = 0) with NO indexed doc within Hamming 7; equal
+      // to the banded ledger decision by the recall contract
+      "x210_simhash_ledger_admit" ->
+        s"""WITH $simhashShCte
+           SELECT i.doc_id
+           FROM (SELECT * FROM sh WHERE doc_id % 4 = 0) i
+           WHERE NOT EXISTS (
+             SELECT 1 FROM sh x
+             WHERE x.doc_id % 4 <> 0
+               AND bit_count(xor(x.sh, i.sh)) <= 7)
+           ORDER BY i.doc_id ASC""",
 
       // x207: q13's correlated-subquery shape with the direction
       // reversed (earliest view >= click ts), the tolerance bar in

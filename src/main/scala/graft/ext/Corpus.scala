@@ -1483,11 +1483,18 @@ object Corpus {
     * Output (one row): n_a, n_b, l1_num, drift. Empty sides error —
     * a drift against nothing is a contract violation, not 2.0. */
   def histDrift(a: DataFrame, b: DataFrame, valueCol: Column,
-      bucketWidth: Long): DataFrame = {
-    val ha = histCounters(a, valueCol, bucketWidth)
-      .withColumnRenamed("c", "c_a")
-    val hb = histCounters(b, valueCol, bucketWidth)
-      .withColumnRenamed("c", "c_b")
+      bucketWidth: Long): DataFrame =
+    histDriftFromCounters(histCounters(a, valueCol, bucketWidth),
+      histCounters(b, valueCol, bucketWidth))
+
+  /** [[histDrift]]'s tail over two pre-built (bucket, c) counter
+    * tables — split out so drift can also be measured against a
+    * PERSISTED sketch's merged counters (the streamed monitor,
+    * x211) without rescanning the corpus behind it. Counters from
+    * multiple segments merge inside the aggregate. */
+  def histDriftFromCounters(ca: DataFrame, cb: DataFrame): DataFrame = {
+    val ha = ca.groupBy("bucket").agg(sum("c").as("c_a"))
+    val hb = cb.groupBy("bucket").agg(sum("c").as("c_b"))
     val joined = ha.join(hb, Seq("bucket"), "full_outer")
       .select(col("bucket"), coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
@@ -1504,6 +1511,50 @@ object Corpus {
           .otherwise(round(col("l1_num").cast(DoubleType) /
             (col("n_a") * col("n_b")).cast(DoubleType), 6))
           .as("drift"))
+  }
+
+  /** Pairwise distribution-drift MATRIX across a bounded group column
+    * — [[histDrift]] for every (group, group) pair at once: "which
+    * language/source mixes actually differ, and by how much" (the
+    * mixture-design diagnostic next to [[temperatureMix]]). Per-group
+    * histograms are zero-filled onto the common bucket grid (groups ×
+    * observed buckets — bounded, a mixture has dozens of sources and
+    * the grid is histogram-sized), pairs meet on a keyed bucket join
+    * under g_a < g_b, and every number keeps [[histDrift]]'s
+    * exact-integer discipline. Output one row per unordered pair:
+    * (g_a, g_b, n_a, n_b, l1_num, drift). */
+  def histDriftMatrix(df: DataFrame, valueCol: Column,
+      groupCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1L,
+      s"bucketWidth must be >= 1 (got $bucketWidth)")
+    val h = df.select(col(groupCol).as("g"),
+        valueCol.cast(LongType).as("_v"))
+      .filter(col("g").isNotNull && col("_v").isNotNull &&
+        col("_v") >= 0L)
+      .select(col("g"), expr(s"_v div $bucketWidth").as("bucket"))
+      .groupBy("g", "bucket").agg(count(lit(1)).as("c"))
+    val n = h.groupBy("g").agg(sum("c").as("n"))
+    val grid = n.select("g")
+      .crossJoin(broadcast(h.select("bucket").distinct()))
+      .join(h, Seq("g", "bucket"), "left")
+      .select(col("g"), col("bucket"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val a = grid.select(col("g").as("g_a"), col("bucket"),
+        col("c").as("c_a"))
+      .join(broadcast(n.select(col("g").as("g_a"),
+        col("n").as("n_a"))), Seq("g_a"))
+    val b = grid.select(col("g").as("g_b"), col("bucket"),
+        col("c").as("c_b"))
+      .join(broadcast(n.select(col("g").as("g_b"),
+        col("n").as("n_b"))), Seq("g_b"))
+    a.join(b, Seq("bucket")).filter(col("g_a") < col("g_b"))
+      .groupBy("g_a", "g_b", "n_a", "n_b")
+      .agg(sum(abs(col("c_a") * col("n_b") - col("c_b") * col("n_a")))
+        .as("l1_num"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        col("l1_num"),
+        round(col("l1_num").cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType), 6).as("drift"))
   }
 
   /** Persist a histogram-quantile sketch as a MERGEABLE index (the
@@ -1603,11 +1654,15 @@ object Corpus {
       .head().getAs[Long]("bucket_width")
   }
 
-  /** Serve quantile estimates from one manifest snapshot's summed
-    * counters, bucketed with the PERSISTED width. */
-  def queryHistSketch(spark: org.apache.spark.sql.SparkSession,
-      path: String, qMicros: Seq[Long],
-      asOfVersion: Option[Long] = None): DataFrame = {
+  /** The raw (bucket, c) counter segments and persisted bucketWidth
+    * behind one sketch snapshot — the state the streamed drift
+    * monitor (x211) compares an arriving batch against. Counters from
+    * multiple segments are returned un-merged (every consumer's
+    * aggregate merges them — [[histQuantileEstimates]],
+    * [[histDriftFromCounters]]). */
+  def histSketchState(spark: org.apache.spark.sql.SparkSession,
+      path: String, asOfVersion: Option[Long] = None)
+      : (DataFrame, Long) = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val snap = asOfVersion
@@ -1621,7 +1676,16 @@ object Corpus {
     val width = histParams(spark, path, snap)
     val segs = snap.segs("regs")
     require(segs.nonEmpty, s"snapshot v${snap.version} has no segments")
-    histQuantileEstimates(spark.read.parquet(
-      segs.map(seg => s"$path/regs/$seg"): _*), width, qMicros)
+    (spark.read.parquet(segs.map(seg => s"$path/regs/$seg"): _*),
+      width)
+  }
+
+  /** Serve quantile estimates from one manifest snapshot's summed
+    * counters, bucketed with the PERSISTED width. */
+  def queryHistSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, qMicros: Seq[Long],
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val (counters, width) = histSketchState(spark, path, asOfVersion)
+    histQuantileEstimates(counters, width, qMicros)
   }
 }

@@ -212,6 +212,53 @@ object StreamIndex {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streamed DISTRIBUTION-DRIFT MONITOR (gated x211): each arriving
+    * micro-batch is scored against the sketch's PRE-BATCH state —
+    * drift = the exact-integer histogram L1
+    * ([[graft.ext.Corpus.histDriftFromCounters]], batch as side a,
+    * ledger as side b) — the drift row lands under `outDir/batch=<id>`
+    * and the batch's counters then append to the sketch, so every
+    * batch is measured against everything ingested before it: the
+    * continuous "did this crawl shift the mix" alarm. The ledger's
+    * n_b grows monotonically, so ordering drift rows by n_b replays
+    * arrival order. Same applied-record exactly-once discipline as
+    * [[simhashAdmitWriter]]: a replayed batch would otherwise score
+    * ~0 against a state that already contains it. */
+  def histDriftMonitorWriter(spark: SparkSession, valuesDir: String,
+      schema: StructType, sketchPath: String, outDir: String,
+      valueCol: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(valuesDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (bid, _) = contentBatchId(b, valueCol)
+          val fs = new org.apache.hadoop.fs.Path(sketchPath)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          val applied = IndexManifest.latest(fs, sketchPath)
+            .exists(_.applied.contains(bid))
+          if (!applied) {
+            val (state, width) =
+              graft.ext.Corpus.histSketchState(s, sketchPath)
+            graft.ext.Corpus.histDriftFromCounters(
+                graft.ext.Corpus.histCounters(b, col(valueCol), width),
+                state)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$outDir/batch=$bid")
+            graft.ext.Corpus.appendToHistSketch(s, sketchPath, b,
+              col(valueCol), bid)
+          }
+        } finally b.unpersist(blocking = false)
+      }
+      .trigger(Trigger.AvailableNow())
+
   def histSketchAppendWriter(spark: SparkSession, valuesDir: String,
       schema: StructType, sketchPath: String, valueCol: String)
       : DataStreamWriter[org.apache.spark.sql.Row] =

@@ -125,7 +125,12 @@ class PlanAuditSpec extends SparkSpec {
       // x206 folds the two snapshot totals in-plan — a PROVABLY 1-row
       // broadcast aggregate cross join over the bounded joined
       // histogram (the x69 shape)
-      "x206_hist_drift")
+      "x206_hist_drift",
+      // x209 zero-fills the groups × observed-buckets grid via a
+      // bounded broadcast cross join (a mixture has dozens of groups,
+      // the bucket list is histogram-sized); the pair join itself is
+      // keyed on bucket
+      "x209_drift_matrix")
 
   // x85's lexical leg ranks bm25TopK's ALREADY-LIMITED k-row list with
   // a per-query window whose query_id is a literal — Catalyst folds the

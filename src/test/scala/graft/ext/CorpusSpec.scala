@@ -954,6 +954,32 @@ class CorpusSpec extends SparkSpec {
       err.getCause != null)
   }
 
+  test("histDriftMatrix (x209): every pair row equals the two-frame " +
+      "histDrift; identical groups drift 0; ordering canonical") {
+    import spark.implicits._
+    val df = ((0 until 90).map(i => ("a", (i % 30).toLong)) ++
+      (0 until 60).map(i => ("b", (i % 30).toLong)) ++   // same mix as a
+      (0 until 50).map(i => ("c", (i % 7) * 40L)))        // different mix
+      .toDF("g", "v")
+    val m = Corpus.histDriftMatrix(df, col("v"), "g", 10L)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(m.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // a and b carry the SAME value mix at different sizes → drift 0
+    assert(m(("a", "b"))._4 == 0.0)
+    assert(m(("a", "c"))._4 > 0.0)
+    // each matrix row equals the dedicated two-frame op
+    for ((ga, gb) <- m.keySet) {
+      val two = Corpus.histDrift(df.filter(col("g") === ga),
+          df.filter(col("g") === gb), col("v"), 10L)
+        .as[(Long, Long, Long, Double)].head()
+      assert(m((ga, gb)) == ((two._1, two._2, two._3, two._4)),
+        s"pair ($ga,$gb) diverged from histDrift")
+    }
+    intercept[IllegalArgumentException](
+      Corpus.histDriftMatrix(df, col("v"), "g", 0L))
+  }
+
   test("persisted histogram sketch (x192/x193/x194): save+append == " +
       "one-shot estimates exactly; persisted width drives the serve; " +
       "replays no-op; time travel; turnstile delete nets out") {

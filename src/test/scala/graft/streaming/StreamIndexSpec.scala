@@ -107,4 +107,45 @@ class StreamIndexSpec extends SparkSpec {
         Seq((30L, novel2 ^ 2L)).toDF("doc_id", "sh"), maxHamming = 7)
       .count() == 0L)
   }
+
+  test("histDriftMonitorWriter (x211): each batch scores against the " +
+      "PRE-batch state (equals the two-frame histDrift replay); " +
+      "fresh-checkpoint replay is a full no-op") {
+    import graft.ext.Corpus
+    val base = Files.createTempDirectory("graft-driftmon-").toString
+    val baseVals = Seq(10L, 20L, 30L, 40L).toDF("v")
+    val batch1 = Seq(10L, 20L).toDF("v")            // same-ish mix
+    val batch2 = Seq(500L, 510L, 520L).toDF("v")    // shifted mix
+    Corpus.saveHistSketch(baseVals, col("v"), s"$base/idx",
+      bucketWidth = 10L)
+    graft.SparkEntry.landOrdered(spark, Seq(batch1, batch2),
+      s"$base/vals")
+    val schema = spark.read.parquet(s"$base/vals").schema
+    def run(ckpt: String): Unit = {
+      val q = StreamIndex.histDriftMonitorWriter(spark, s"$base/vals",
+          schema, s"$base/idx", s"$base/out", "v")
+        .option("checkpointLocation", s"$base/$ckpt").start()
+      q.awaitTermination()
+    }
+    run("ckpt1")
+    def rows() = spark.read.parquet(s"$base/out")
+      .select("n_a", "n_b", "l1_num", "drift")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = rows()
+    val want1 = Corpus.histDrift(batch1, baseVals, col("v"), 10L)
+      .as[(Long, Long, Long, Double)].head()
+    val want2 = Corpus.histDrift(batch2,
+        baseVals.unionByName(batch1), col("v"), 10L)
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == Set(want1, want2),
+      s"streamed drift rows diverged: got $got, want ($want1, $want2)")
+    // the shifted batch registers maximal drift (disjoint support)
+    assert(want2._4 == 2.0)
+    // replay from a fresh checkpoint: applied record no-ops both
+    // batches — same output rows, same sketch version
+    val v1 = spark.read.parquet(s"$base/idx/regs/*").count()
+    run("ckpt2")
+    assert(rows() == got)
+    assert(spark.read.parquet(s"$base/idx/regs/*").count() == v1)
+  }
 }
