@@ -89,6 +89,7 @@ object Bench {
     "x186_hll_sketch_merge", "x188_cms_sketch_merge", "x190_cms_sketch_delete",
     "x192_hist_sketch_merge", "x193_hist_sketch_delete",
     "x199_dhash_ledger_admit", "x210_simhash_ledger_admit",
+    "x212_sketch_version_drift",
     "x155_minhash_time_travel", "x171_binaryfile_ingest",
     "x176_hybrid_pinned_snapshot", "x181_ivfpq_asof_filtered")
   // x130/x131/x132/x136/x151 moved to `serve` in r14: they resolve the

@@ -3257,6 +3257,25 @@ object SparkEntry {
         col("n_chars"), bucketWidth = 50L)
     },
 
+    // sketch version drift (x212): how much did the ingest between
+    // two index versions move the distribution — measured from the
+    // sketch's retained snapshots ALONE (kilobytes, no corpus rescan):
+    // the MVCC handle composed with the exact-integer L1.
+    "x212_sketch_version_drift" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val idx = scratchDir("sketchdrift212")
+      graft.ext.Corpus.saveHistSketch(
+        d.filter(col("doc_id") % 3 =!= 0), col("n_chars"), idx,
+        bucketWidth = 50L)
+      val v0 = graft.ext.Corpus.histSketchVersion(s, idx)
+      graft.ext.Corpus.appendToHistSketch(s, idx,
+        d.filter(col("doc_id") % 3 === 0), col("n_chars"), "b1")
+      val (latest, _) = graft.ext.Corpus.histSketchState(s, idx)
+      val (base, _) = graft.ext.Corpus.histSketchState(s, idx,
+        asOfVersion = Some(v0))
+      graft.ext.Corpus.histDriftFromCounters(latest, base)
+    },
+
     // streamed drift monitor (x211): each arriving batch scored
     // against the sketch's PRE-BATCH state (exact-integer histogram
     // L1), then appended — the continuous "did this crawl shift the
@@ -7380,6 +7399,31 @@ object SparkEntry {
                   CAST(bucket * 50 AS BIGINT) AS est_lo,
                   CAST((bucket + 1) * 50 - 1 AS BIGINT) AS est_hi
            FROM sel ORDER BY q_micros ASC""",
+
+      // x212: the drift of (full corpus) vs (pre-append base) — x206's
+      // exact-integer L1 with side a = everything, side b = the base
+      // slice; the engine reads both from retained sketch snapshots
+      "x212_sketch_version_drift" ->
+        """WITH va AS (SELECT CAST(n_chars AS BIGINT) // 50 AS bucket
+               FROM documents
+               WHERE n_chars IS NOT NULL AND n_chars >= 0),
+           vb AS (SELECT CAST(n_chars AS BIGINT) // 50 AS bucket
+               FROM documents
+               WHERE doc_id % 3 <> 0 AND n_chars IS NOT NULL
+                 AND n_chars >= 0),
+           ha AS (SELECT bucket, count(*) AS c_a FROM va GROUP BY 1),
+           hb AS (SELECT bucket, count(*) AS c_b FROM vb GROUP BY 1),
+           j AS (SELECT coalesce(ha.c_a, 0) AS c_a,
+                        coalesce(hb.c_b, 0) AS c_b
+                 FROM ha FULL OUTER JOIN hb USING (bucket)),
+           t AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM j)
+           SELECT CAST(t.n_a AS BIGINT) AS n_a,
+                  CAST(t.n_b AS BIGINT) AS n_b,
+                  CAST(sum(abs(j.c_a * t.n_b - j.c_b * t.n_a))
+                    AS BIGINT) AS l1_num,
+                  round(sum(abs(j.c_a * t.n_b - j.c_b * t.n_a)) * 1.0 /
+                    (t.n_a * t.n_b), 6) AS drift
+           FROM j, t GROUP BY t.n_a, t.n_b""",
 
       // x211: both batches replayed sequentially — batch 1 scored
       // against the base counters, batch 2 against base+batch1; the

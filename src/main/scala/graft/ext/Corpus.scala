@@ -1688,4 +1688,19 @@ object Corpus {
     val (counters, width) = histSketchState(spark, path, asOfVersion)
     histQuantileEstimates(counters, width, qMicros)
   }
+
+  /** The sketch's current manifest version — record it before an
+    * append and [[histSketchState]]'s `asOfVersion` replays that
+    * snapshot (the MVCC handle every persisted index shares). With
+    * [[histDriftFromCounters]] this answers "how much did the ingest
+    * between two versions move the distribution" from the sketch's
+    * kilobytes alone — no corpus rescan (gated x212). */
+  def histSketchVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no sketch manifest at $path")).version
+  }
 }

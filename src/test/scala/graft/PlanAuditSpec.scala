@@ -130,7 +130,10 @@ class PlanAuditSpec extends SparkSpec {
       // bounded broadcast cross join (a mixture has dozens of groups,
       // the bucket list is histogram-sized); the pair join itself is
       // keyed on bucket
-      "x209_drift_matrix")
+      "x209_drift_matrix",
+      // x212 is histDriftFromCounters over two retained sketch
+      // snapshots — the same 1-row totals cross join as x206
+      "x212_sketch_version_drift")
 
   // x85's lexical leg ranks bm25TopK's ALREADY-LIMITED k-row list with
   // a per-query window whose query_id is a literal — Catalyst folds the

@@ -1019,5 +1019,16 @@ class CorpusSpec extends SparkSpec {
     assert(est(Corpus.queryHistSketch(spark, idx, qs)) == afterDel)
     intercept[IllegalArgumentException](Corpus.appendToHistSketch(
       spark, idx, b, col("v"), "delete_d1"))
+    // version drift (x212): drift between two retained snapshots
+    // equals the two-frame histDrift over the corresponding slices —
+    // v1 was save-only (a), v2 added b
+    val (s2, _) = Corpus.histSketchState(spark, idx,
+      asOfVersion = Some(2L))
+    val (s1, _) = Corpus.histSketchState(spark, idx,
+      asOfVersion = Some(1L))
+    assert(Corpus.histDriftFromCounters(s2, s1)
+        .as[(Long, Long, Long, Double)].head() ==
+      Corpus.histDrift(rows, a, col("v"), 17L)
+        .as[(Long, Long, Long, Double)].head())
   }
 }
