@@ -3276,6 +3276,137 @@ object SparkEntry {
       graft.ext.Corpus.histDriftFromCounters(latest, base)
     },
 
+    // adaptive KLL quantile sketch (x213): the UNKNOWN-RANGE member of
+    // the quantile family — the histogram (x191) needs an a-priori
+    // bucketWidth; KLL bounds RANK error with no range hint (Karnin-
+    // Lang-Liberty 2016). k=64 keeps compaction ACTIVE at sf0.01
+    // (n=500 > cap(0)), so estimates sit in an ε-band whose bound is
+    // pinned in SketchGatesSpec (rank error ≤ 2k⁻¹·n observed ≪ that)
+    // — rows-only here, like engine-seeded x13/x24; the exact regime
+    // is oracle-checked as x222. O(3k) aggregate state, rank
+    // selection over ≤3k surviving items, corpus never sorted.
+    "x213_kll_quantiles" -> ((s, dir) =>
+      graft.ext.Corpus.kllQuantiles(T(s, dir, "documents"),
+          col("n_chars"), k = 64,
+          qMicros = Seq(100000L, 500000L, 900000L, 990000L))
+        .orderBy(col("q_micros").asc)),
+
+    // persisted KLL sketch lifecycle (x220): save → append (replay
+    // no-ops) → COMPACT (segments fold back to one O(3k) item table,
+    // total weight conserved exactly) → serve. Item segments merge by
+    // CONCATENATION (a union of weighted samples is a weighted sample
+    // of the union) — no turnstile delete: KLL is not linear; that's
+    // the price of unknown-range support. n in the output is exact by
+    // weight conservation — the property the spec pins across the
+    // whole lifecycle.
+    "x220_kll_sketch_lifecycle" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val idx = scratchDir("kllsketch220")
+      graft.ext.Corpus.saveKllSketch(
+        d.filter(col("doc_id") % 3 =!= 0), col("n_chars"), idx, k = 64)
+      graft.ext.Corpus.appendToKllSketch(s, idx,
+        d.filter(col("doc_id") % 3 === 0), col("n_chars"), "b1")
+      graft.ext.Corpus.appendToKllSketch(s, idx,
+        d.filter(col("doc_id") % 3 === 0), col("n_chars"), "b1")
+      graft.ext.Corpus.compactKllSketch(s, idx)
+      graft.ext.Corpus.queryKllSketch(s, idx,
+        Seq(100000L, 500000L, 900000L, 990000L))
+        .orderBy(col("q_micros").asc)
+    },
+
+    // streamed KLL sketch maintenance (x221): arriving value files
+    // land per-micro-batch item segments (built with the PERSISTED k)
+    // under the same content-derived exactly-once contract as x194;
+    // the serve concatenates segments. x194's shape with rank-bounded
+    // items in place of linear counters.
+    "x221_stream_kll_sketch" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val base = scratchDir("streamkll221")
+      graft.ext.Corpus.saveKllSketch(
+        d.filter(col("doc_id") % 3 === 1), col("n_chars"),
+        base + "/idx", k = 64)
+      landOrdered(s, Seq(
+        d.filter(col("doc_id") % 3 === 2).select("doc_id", "n_chars"),
+        d.filter(col("doc_id") % 3 === 0).select("doc_id", "n_chars")),
+        base + "/vals")
+      val schema = s.read.parquet(base + "/vals").schema
+      val q = graft.streaming.StreamIndex.kllSketchAppendWriter(s,
+          base + "/vals", schema, base + "/idx", "n_chars")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      graft.ext.Corpus.queryKllSketch(s, base + "/idx",
+        Seq(100000L, 500000L, 900000L, 990000L))
+        .orderBy(col("q_micros").asc)
+    },
+
+    // KLL exact regime (x222): with k above the corpus size nothing
+    // ever compacts — the sketch holds every item at level 0 and the
+    // rank selection returns EXACT order statistics, deterministically
+    // — so THIS gate is oracle-checked value-for-value (est = the
+    // ⌈q·n⌉-th smallest n_chars as a double), pinning the estimator's
+    // arithmetic (⌈·⌉ rank rule, cumulative-weight selection) that the
+    // compaction-active gates then inherit.
+    "x222_kll_exact" -> ((s, dir) =>
+      graft.ext.Corpus.kllQuantiles(T(s, dir, "documents"),
+          col("n_chars"), k = 1024,
+          qMicros = Seq(100000L, 500000L, 900000L, 990000L))
+        .orderBy(col("q_micros").asc)),
+
+    // cross-corpus overlap scorecard (x214): |A∩B| and containment
+    // |A∩B|/|B| between two PERSISTED corpus snapshots by
+    // inclusion-exclusion over their HLL register segments — the
+    // sketch-level contamination complement to x19/x197's row-level
+    // decontamination. Two kilobyte register reads at serve time,
+    // zero corpus access; registers are deterministic md5, so every
+    // number is oracle-replicated in DuckDB (est(A∪B) from
+    // register-wise max — HLL's union property). Runs on events
+    // (x185's fixture): the raw-regime estimate needs n ≫ 2.5m and
+    // inclusion-exclusion amplifies per-sketch error, so a 500-key
+    // table would be all noise. A = event_id%3≠0, B = event_id%2≠0 →
+    // true containment 2/3.
+    "x214_corpus_overlap" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val root = scratchDir("overlap214")
+      graft.ext.Corpus.saveHllSketch(
+        ev.filter(col("event_id") % 3 =!= 0), col("event_id"),
+        root + "/a")
+      graft.ext.Corpus.saveHllSketch(
+        ev.filter(col("event_id") % 2 =!= 0), col("event_id"),
+        root + "/b")
+      graft.ext.Corpus.hllSketchOverlap(s, root + "/a", root + "/b")
+    },
+
+    // unigram-LM tokenizer training (x215): the OTHER tokenizer family
+    // real pipelines train (Kudo 2018; BPE = x165 is merge-greedy,
+    // unigram is likelihood-prune) — seed substrings → one hard-EM
+    // Viterbi pass → prune to budget, every score integer micronats
+    // and every tie a total order, so the learned vocabulary is a pure
+    // function of the corpus and the oracle unrolls the same pipeline
+    // (recursive-CTE segmentation enumeration against the engine's
+    // codegen'd DP — same answers by DP optimal substructure; the
+    // (cost, n_pieces, path) order is concatenation-stable because
+    // equal-(cost,n) paths to a node have equal length).
+    "x215_unigram_learn" -> ((s, dir) =>
+      graft.ext.TextAnalysis.unigramLearn(T(s, dir, "documents"),
+          "text")
+        .orderBy(col("piece").asc)),
+
+    // unigram encode (x216): the learned vocabulary applied as ONE
+    // narrow codegen'd Viterbi projection per word occurrence (no
+    // join, no shuffle before the per-doc rollup — the x166
+    // discipline); cost_sum = −1e6·log-likelihood, the corpus-quality
+    // scalar.
+    "x216_unigram_encode" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      // vocabulary-sized collect — the tokenizer file (x166's merge
+      // table sanction)
+      val vocab = graft.ext.TextAnalysis.unigramLearn(d, "text")
+        .orderBy(col("piece").asc).collect()
+        .map(r => (r.getString(0), r.getLong(2))).toSeq
+      graft.ext.TextAnalysis.unigramEncode(d, "doc_id", "text", vocab)
+        .orderBy(col("doc_id").asc)
+    },
+
     // streamed drift monitor (x211): each arriving batch scored
     // against the sketch's PRE-BATCH state (exact-integer histogram
     // L1), then appended — the continuous "did this crawl shift the
@@ -5474,6 +5605,135 @@ object SparkEntry {
                     (CAST(1 AS BIGINT) << 49) AS DOUBLE), 2)
                   AS est_raw
          FROM a"""
+    // x214: both slices' registers + their register-wise max (the
+    // union sketch), three est_raw estimates through the identical
+    // formula, inclusion-exclusion clamped at 0, containment vs B
+    def hllRegsSqlFor(where: String): String =
+      s"""SELECT bucket, max(rank) AS m FROM (
+           SELECT ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+                  CASE WHEN ('0x' || substr(hx, 3, 12))::BIGINT = 0
+                       THEN 49
+                       ELSE 49 - length(to_base(
+                         ('0x' || substr(hx, 3, 12))::BIGINT, 2))
+                  END AS rank
+           FROM (SELECT md5(CAST(event_id AS VARCHAR)) AS hx
+                 FROM events $where)) GROUP BY 1"""
+    val hllEstSql: String =
+      """SELECT round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+           562949953421312.0 /
+           CAST(t_filled + (256 - n_filled) *
+             (CAST(1 AS BIGINT) << 49) AS DOUBLE), 2) AS e
+         FROM (SELECT count(*) AS n_filled,
+                 sum(CAST(1 AS BIGINT) << CAST(49 - m AS INT))
+                   AS t_filled FROM %s)"""
+    val overlapOracle: String =
+      s"""WITH ra AS (${hllRegsSqlFor("WHERE event_id % 3 <> 0")}),
+         rb AS (${hllRegsSqlFor("WHERE event_id % 2 <> 0")}),
+         ru AS (SELECT bucket, max(m) AS m FROM
+                  (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+                GROUP BY 1),
+         ea AS (${hllEstSql.replace("%s", "ra")}),
+         eb AS (${hllEstSql.replace("%s", "rb")}),
+         eu AS (${hllEstSql.replace("%s", "ru")})
+         SELECT ea.e AS est_a, eb.e AS est_b, eu.e AS est_union,
+                greatest(round(ea.e + eb.e - eu.e, 2), 0.0)
+                  AS est_intersect,
+                round(greatest(round(ea.e + eb.e - eu.e, 2), 0.0)
+                  / eb.e, 6) AS containment_b
+         FROM ea, eb, eu"""
+    // x215/x216 share the unigram-LM core: seed substring counts →
+    // vocab0 (chars ∪ top-150 multi) → integer micronat costs →
+    // segmentation via recursive-CTE enumeration + (cost, n, path)
+    // argmin (= the engine's Viterbi DP) → usage → prune to vocab1
+    // (chars ∪ top-60 used multi, +1 smoothed) → final costs
+    val unigramCoreSql: String =
+      """words AS (
+           SELECT word, count(*) AS freq FROM (
+             SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+               AS word FROM documents)
+           WHERE len(word) <= 16 GROUP BY 1),
+         subs AS (
+           SELECT substr(word, CAST(s AS INT), CAST(l AS INT)) AS piece,
+                  sum(freq) AS cnt
+           FROM words, range(1, 17) t(s), range(1, 5) u(l)
+           WHERE s + l - 1 <= len(word)
+           GROUP BY 1),
+         chars0 AS (SELECT piece, cnt FROM subs WHERE len(piece) = 1),
+         multi0 AS (SELECT piece, cnt FROM subs WHERE len(piece) > 1
+                    ORDER BY cnt DESC, piece ASC LIMIT 150),
+         v0 AS (SELECT * FROM chars0 UNION ALL SELECT * FROM multi0),
+         t0 AS (SELECT sum(cnt) AS total FROM v0),
+         c0 AS (SELECT piece, len(piece) AS l,
+                  CAST(round(1000000.0 * ln(CAST(total AS DOUBLE) /
+                    CAST(cnt AS DOUBLE))) AS BIGINT) AS cost
+                FROM v0, t0),
+         paths AS (
+           SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS c, 0 AS n,
+                  '' AS p
+           FROM words
+           UNION ALL
+           SELECT x.word, x.pos + c0.l, x.c + c0.cost, x.n + 1,
+                  x.p || ' ' || c0.piece
+           FROM paths x JOIN c0
+             ON substr(x.word, x.pos + 1, CAST(c0.l AS INT)) = c0.piece
+           WHERE x.pos < len(x.word)),
+         best AS (
+           SELECT word, c, n, p FROM (
+             SELECT word, c, n, p, row_number() OVER (
+               PARTITION BY word ORDER BY c ASC, n ASC, p ASC) AS rn
+             FROM paths WHERE pos = len(word)) WHERE rn = 1),
+         usage AS (
+           SELECT piece, sum(freq) AS n1 FROM (
+             SELECT w.freq,
+               unnest(string_split(trim(b.p), ' ')) AS piece
+             FROM best b JOIN words w USING (word))
+           GROUP BY 1),
+         usedmulti AS (SELECT piece, n1 FROM usage
+                       WHERE len(piece) > 1
+                       ORDER BY n1 DESC, piece ASC LIMIT 60),
+         allchars AS (SELECT c.piece, coalesce(u.n1, 0) AS n1
+                      FROM (SELECT piece FROM chars0) c
+                      LEFT JOIN usage u USING (piece)),
+         v1 AS (SELECT piece, n1 + 1 AS cnt FROM allchars
+                UNION ALL SELECT piece, n1 + 1 FROM usedmulti),
+         t1 AS (SELECT sum(cnt) AS total FROM v1)"""
+    val unigramLearnOracle: String =
+      s"""WITH RECURSIVE $unigramCoreSql
+         SELECT piece, CAST(cnt AS BIGINT) AS n_uses,
+                CAST(round(1000000.0 * ln(CAST(total AS DOUBLE) /
+                  CAST(cnt AS DOUBLE))) AS BIGINT) AS cost_micronats
+         FROM v1, t1 ORDER BY piece ASC"""
+    val unigramEncodeOracle: String =
+      s"""WITH RECURSIVE $unigramCoreSql,
+         c1 AS (SELECT piece, len(piece) AS l,
+                  CAST(round(1000000.0 * ln(CAST(total AS DOUBLE) /
+                    CAST(cnt AS DOUBLE))) AS BIGINT) AS cost
+                FROM v1, t1),
+         paths2 AS (
+           SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS c, 0 AS n,
+                  '' AS p
+           FROM words
+           UNION ALL
+           SELECT x.word, x.pos + c1.l, x.c + c1.cost, x.n + 1,
+                  x.p || ' ' || c1.piece
+           FROM paths2 x JOIN c1
+             ON substr(x.word, x.pos + 1, CAST(c1.l AS INT)) = c1.piece
+           WHERE x.pos < len(x.word)),
+         best2 AS (
+           SELECT word, c, n FROM (
+             SELECT word, c, n, row_number() OVER (
+               PARTITION BY word ORDER BY c ASC, n ASC, p ASC) AS rn
+             FROM paths2 WHERE pos = len(word)) WHERE rn = 1),
+         occ AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           FROM documents)
+         SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(b.n) AS BIGINT) AS n_pieces,
+                CAST(sum(b.c) AS BIGINT) AS cost_sum
+         FROM (SELECT doc_id, word FROM occ WHERE len(word) <= 16) o
+         JOIN best2 b USING (word)
+         GROUP BY 1 ORDER BY o.doc_id ASC"""
     // x85 hybrid retrieval: the BM25 lexical list (x80, re-ranked into
     // retriever-list form) fused with the exact-cosine (x05) and
     // sign-LSH (x07) vector lists for query 0 — a 3-way reciprocal-rank
@@ -7148,6 +7408,23 @@ object SparkEntry {
       "x192_hist_sketch_merge" -> histOracle,
       // x194: streamed counter segments — same oracle verbatim again
       "x194_stream_hist_sketch" -> histOracle,
+      // x222: KLL in the exact regime (k > n at sf0.01, nothing ever
+      // compacts) — est IS the ⌈q·n⌉-th smallest value as a double;
+      // the same ⌈·⌉ micro-fraction rank rule as the histogram family
+      "x222_kll_exact" ->
+        """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v
+               FROM documents WHERE n_chars IS NOT NULL),
+           n AS (SELECT count(*) AS n FROM v),
+           r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn
+                 FROM v),
+           q AS (SELECT CAST(unnest([100000, 500000, 900000, 990000])
+                   AS BIGINT) AS q_micros),
+           sel AS (SELECT q.q_micros, n.n,
+                     (q.q_micros * n.n + 999999) // 1000000 AS k
+                   FROM q, n)
+           SELECT sel.q_micros, CAST(sel.n AS BIGINT) AS n,
+                  CAST(sel.k AS BIGINT) AS k, r.v AS est
+           FROM sel JOIN r ON r.rn = sel.k ORDER BY q_micros ASC""",
       // x193: negated delete segments net out — the one-shot sketch
       // over the surviving rows
       "x193_hist_sketch_delete" ->
@@ -7187,6 +7464,14 @@ object SparkEntry {
       // x186: the merged persisted registers must land the one-shot
       // estimate exactly — same oracle verbatim
       "x186_hll_sketch_merge" -> hllOracle,
+      // x214: inclusion-exclusion + containment over the two slices'
+      // deterministic registers — every number replicated
+      "x214_corpus_overlap" -> overlapOracle,
+      // x215/x216: the full unigram-LM pipeline unrolled declaratively
+      // — recursive-CTE segmentation enumeration against the engine's
+      // codegen'd Viterbi DP, integer micronat costs end to end
+      "x215_unigram_learn" -> unigramLearnOracle,
+      "x216_unigram_encode" -> unigramEncodeOracle,
       // x189: streamed register segments — same oracle verbatim again
       "x189_stream_hll_sketch" -> hllOracle,
       // x187: the same registers and integer denominator, grouped

@@ -1246,7 +1246,14 @@ object Corpus {
 
   /** Serve the estimate from one manifest snapshot's merged registers. */
   def queryHllSketch(spark: org.apache.spark.sql.SparkSession,
-      path: String, asOfVersion: Option[Long] = None): DataFrame = {
+      path: String, asOfVersion: Option[Long] = None): DataFrame =
+    hllEstimate(hllSketchRegisters(spark, path, asOfVersion))
+
+  /** One snapshot's raw (bucket, m) register segments, un-merged
+    * (every consumer's aggregate merges by max). */
+  private[graft] def hllSketchRegisters(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val snap = asOfVersion
@@ -1259,8 +1266,57 @@ object Corpus {
           s"no sketch manifest at $path")))
     val segs = snap.segs("regs")
     require(segs.nonEmpty, s"snapshot v${snap.version} has no segments")
-    hllEstimate(spark.read.parquet(
-      segs.map(seg => s"$path/regs/$seg"): _*))
+    spark.read.parquet(segs.map(seg => s"$path/regs/$seg"): _*)
+      .select(col("bucket"), col("m"))
+  }
+
+  /** Cross-corpus OVERLAP scorecard from HLL registers (x214): the
+    * sketch-level contamination complement to row-level
+    * decontamination (x19 exact n-gram, x197 semantic) — "how much of
+    * snapshot B is already inside snapshot A" WITHOUT rescanning
+    * either corpus. Inclusion–exclusion over the union of register
+    * sets: |A∩B| ≈ est(A) + est(B) − est(A∪B) (register-wise max IS
+    * the union sketch — HLL's defining property), clamped at 0;
+    * containment_b = |A∩B|/|B|, the fraction of B's distinct keys
+    * believed already present in A. Registers are deterministic
+    * (md5-addressed), so every number here is oracle-replicable —
+    * like x185, not like engine-seeded x13. Relative error compounds
+    * the three ±6.5% register estimates, so small overlaps disappear
+    * into noise: the spec pins accuracy on fixtures with ≥20%
+    * overlap, and the MinHash containment detector (x49) is the
+    * row-level cross-check when precision matters.
+    *
+    * Output (one row): est_a, est_b, est_union, est_intersect,
+    * containment_b. */
+  def hllOverlap(a: DataFrame, b: DataFrame, keyCol: Column)
+      : DataFrame =
+    hllOverlapFromRegisters(hllRegisters(a, keyCol),
+      hllRegisters(b, keyCol))
+
+  /** [[hllOverlap]] between two PERSISTED sketches' snapshots — the
+    * pure-composition serve: two kilobyte register reads, zero corpus
+    * access (pair with `asOf` versions to score overlap between any
+    * two retained ingest points of two different indexes). */
+  def hllSketchOverlap(spark: org.apache.spark.sql.SparkSession,
+      pathA: String, pathB: String, asOfA: Option[Long] = None,
+      asOfB: Option[Long] = None): DataFrame =
+    hllOverlapFromRegisters(hllSketchRegisters(spark, pathA, asOfA),
+      hllSketchRegisters(spark, pathB, asOfB))
+
+  private[graft] def hllOverlapFromRegisters(ra: DataFrame,
+      rb: DataFrame): DataFrame = {
+    val ea = hllEstimate(ra).select(col("est_raw").as("est_a"))
+    val eb = hllEstimate(rb).select(col("est_raw").as("est_b"))
+    val eu = hllEstimate(ra.unionByName(rb))
+      .select(col("est_raw").as("est_union"))
+    val inter = greatest(
+      round(col("est_a") + col("est_b") - col("est_union"), 2),
+      lit(0.0))
+    // three 1-row frames — the provably-1-row broadcast cross join
+    ea.crossJoin(broadcast(eb)).crossJoin(broadcast(eu))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        inter.as("est_intersect"),
+        round(inter / col("est_b"), 6).as("containment_b"))
   }
 
   /** Histogram quantile estimates over a non-negative integer measure
@@ -1499,19 +1555,41 @@ object Corpus {
       .select(col("bucket"), coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
     val totals = joined.agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
+    // Cross-multiplications in Decimal(38,0): c*n in Long silently
+    // overflows once a side passes ~3e9 rows (exactly the 100 TB
+    // regime) under non-ANSI eval. Long×Long products fit decimal(38)
+    // exactly; the public l1_num stays LongType via a guarded cast
+    // that RAISES when the true numerator exceeds Long range rather
+    // than wrapping.
     joined.crossJoin(broadcast(totals))
-      .select(abs(col("c_a") * col("n_b") - col("c_b") * col("n_a"))
-        .as("d"), col("n_a"), col("n_b"))
+      .select(abs(dec38(col("c_a")) * dec38(col("n_b")) -
+        dec38(col("c_b")) * dec38(col("n_a"))).as("d"),
+        col("n_a"), col("n_b"))
       .groupBy("n_a", "n_b")
-      .agg(sum("d").as("l1_num"))
+      .agg(sum("d").as("l1_dec"))
+      .select(col("n_a"), col("n_b"), longExact(col("l1_dec"),
+        "histDrift: l1 numerator exceeds Long range").as("l1_num"))
       .select(col("n_a"), col("n_b"), col("l1_num"),
         when(col("n_a") === 0L || col("n_b") === 0L,
           raise_error(lit("histDrift: empty snapshot side — both " +
             "histograms must be non-empty")).cast(DoubleType))
           .otherwise(round(col("l1_num").cast(DoubleType) /
-            (col("n_a") * col("n_b")).cast(DoubleType), 6))
+            (dec38(col("n_a")) * dec38(col("n_b"))).cast(DoubleType),
+            6))
           .as("drift"))
   }
+
+  /** Exact-integer helpers for sketch cross-products: Long values cast
+    * to Decimal(38,0) multiply without overflow (19+19 digits ≤ 38);
+    * [[longExact]] converts back, raising on values outside Long range
+    * instead of wrapping. */
+  private def dec38(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+  private def longExact(c: Column, msg: String): Column =
+    when(c > lit(Long.MaxValue).cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)),
+      raise_error(lit(msg)).cast(LongType))
+      .otherwise(c.cast(LongType))
 
   /** Pairwise distribution-drift MATRIX across a bounded group column
     * — [[histDrift]] for every (group, group) pair at once: "which
@@ -1549,12 +1627,17 @@ object Corpus {
         col("n").as("n_b"))), Seq("g_b"))
     a.join(b, Seq("bucket")).filter(col("g_a") < col("g_b"))
       .groupBy("g_a", "g_b", "n_a", "n_b")
-      .agg(sum(abs(col("c_a") * col("n_b") - col("c_b") * col("n_a")))
-        .as("l1_num"))
+      .agg(sum(abs(dec38(col("c_a")) * dec38(col("n_b")) -
+        dec38(col("c_b")) * dec38(col("n_a")))).as("l1_dec"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        longExact(col("l1_dec"),
+          "histDriftMatrix: l1 numerator exceeds Long range")
+          .as("l1_num"))
       .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
         col("l1_num"),
         round(col("l1_num").cast(DoubleType) /
-          (col("n_a") * col("n_b")).cast(DoubleType), 6).as("drift"))
+          (dec38(col("n_a")) * dec38(col("n_b"))).cast(DoubleType), 6)
+          .as("drift"))
   }
 
   /** Persist a histogram-quantile sketch as a MERGEABLE index (the
@@ -1590,9 +1673,11 @@ object Corpus {
       path: String, df: DataFrame, valueCol: Column, batchId: String)
       : Unit = {
     require(batchId.nonEmpty && batchId != "base" &&
-        !batchId.startsWith("delete_"),
-      s"batchId must be a non-empty token != 'base' and outside the " +
-        s"delete-marker namespace 'delete_*' (got '$batchId')")
+        !batchId.startsWith("delete_") &&
+        batchId.forall(c =>
+          c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"batchId must be a filesystem-safe token != 'base' and outside " +
+        s"the delete-marker namespace 'delete_*' (got '$batchId')")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
@@ -1622,8 +1707,11 @@ object Corpus {
   def removeFromHistSketch(spark: org.apache.spark.sql.SparkSession,
       path: String, df: DataFrame, valueCol: Column, batchId: String)
       : Unit = {
-    require(batchId.nonEmpty && batchId != "base",
-      s"batchId must be a non-empty token != 'base' (got '$batchId')")
+    require(batchId.nonEmpty && batchId != "base" &&
+        batchId.forall(c =>
+          c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"batchId must be a filesystem-safe token != 'base' " +
+        s"(got '$batchId')")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
@@ -1702,5 +1790,207 @@ object Corpus {
     graft.sinks.IndexManifest.latest(fs, path).getOrElse(
       throw new IllegalArgumentException(
         s"no sketch manifest at $path")).version
+  }
+
+  // ----------------------------------------- KLL quantile sketch (x213)
+
+  /** Rank-error-bounded quantile estimates over an UNKNOWN value range
+    * — the adaptive member of the quantile family. [[histQuantiles]]
+    * needs an a-priori `bucketWidth` (right for token counts, wrong
+    * for loss values / similarity scores / per-domain spend whose
+    * scale is not known up front); this one needs only a sketch size
+    * `k` and bounds RANK error: the returned `est` for probe q is an
+    * OBSERVED value whose true rank lies within ±ε·n of k = ⌈q·n⌉,
+    * ε shrinking as ~O(1/k) ([[graft.functions.KllAgg]], Karnin-Lang-
+    * Liberty 2016). `n` is exact (compaction conserves total weight).
+    *
+    * Scale shape: ONE partial+final typed aggregate whose buffer is
+    * O(3k) items regardless of corpus size (map-side partials combine
+    * by level-wise merge), then the weighted rank selection runs over
+    * the ≤3k surviving items — a broadcast theta-join + 1-row total
+    * cross join, never the corpus. When n ≤ k nothing ever compacts
+    * and the estimates are EXACT order statistics (the oracle-checked
+    * regime); once compaction is active two runs may emit different
+    * equally-valid values from the ε-band (partial-merge order is
+    * scheduler-dependent, like engine `approx_percentile`), so gates
+    * in that regime check rank error, not value equality.
+    *
+    * Output, one row per probe: (q_micros, n, k, est). NULLs are
+    * excluded; negatives are FINE (unlike the histogram — no
+    * non-negative bucket grid here). Empty input → empty output. */
+  def kllQuantiles(df: DataFrame, valueCol: Column, k: Int,
+      qMicros: Seq[Long]): DataFrame =
+    kllQuantileEstimates(kllItems(df, valueCol, k), qMicros)
+
+  /** The (level, v) surviving-item table behind [[kllQuantiles]] —
+    * weight = 2^level is implied. Item tables from more than one
+    * sketch MERGE BY CONCATENATION for serving (a union of weighted
+    * samples is a weighted sample of the union; total weight stays
+    * exact and per-segment rank errors add) — the property the
+    * persisted lifecycle below is built on. Bounded by ~3k rows per
+    * contributing sketch. */
+  private[graft] def kllItems(df: DataFrame, valueCol: Column, k: Int)
+      : DataFrame = {
+    graft.functions.KllAgg.register(df.sparkSession)
+    df.select(valueCol.cast(DoubleType).as("_v"))
+      .select(graft.functions.KllAgg.kllSketch(col("_v"), k).as("sk"))
+      .select(explode(col("sk")).as("it"))
+      .select(col("it.level").as("level"), col("it.v").as("v"))
+  }
+
+  /** Weighted rank selection over (level, v) item rows: per probe q,
+    * est = the smallest v whose cumulative weight reaches k = ⌈q·W⌉
+    * over total weight W (= exact n). Runs entirely on the bounded
+    * item table — theta self-join for cumulative weights, 1-row total
+    * broadcast, per-probe lowest-qualifying-value selection (the
+    * [[histQuantileEstimates]] shape with observed values in place of
+    * bucket ids). */
+  private[graft] def kllQuantileEstimates(items: DataFrame,
+      qMicros: Seq[Long]): DataFrame = {
+    require(qMicros.nonEmpty, "qMicros must be non-empty")
+    require(qMicros.forall(q => q >= 1L && q <= 1000000L),
+      s"every q_micros must be in [1, 1000000] (got $qMicros)")
+    val merged = items
+      .select(col("v"),
+        call_function("shiftleft", lit(1L), col("level")).as("w"))
+      .groupBy("v").agg(sum("w").as("w"))
+    val cum = merged.join(
+        broadcast(merged.select(col("v").as("_v2"), col("w").as("_w2"))),
+        col("_v2") <= col("v"))
+      .groupBy("v").agg(sum("_w2").as("cum"))
+    val n = merged.agg(sum("w").as("n"))
+    val qs = explode(array(qMicros.map(lit): _*)).as("q_micros")
+    cum.crossJoin(broadcast(n))
+      .select(col("v"), col("cum"), col("n"), qs)
+      .withColumn("k", expr("(q_micros * n + 999999) div 1000000"))
+      .filter(col("cum") >= col("k"))
+      .groupBy("q_micros", "n", "k")
+      .agg(min("v").as("est"))
+      .select(col("q_micros"), col("n"), col("k"), col("est"))
+  }
+
+  /** Persist a KLL sketch as a MERGEABLE index: the (level, v) item
+    * table under `items/base`, `k` under `params/base` (serves can
+    * never re-sketch with mismatched geometry), manifest versions for
+    * time travel. NOT linear — no turnstile delete lifecycle (KLL
+    * trades the histogram's linearity for unknown-range support;
+    * remove rows by re-ingesting survivors). */
+  def saveKllSketch(df: DataFrame, valueCol: Column, path: String,
+      k: Int): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    kllItems(df, valueCol, k).coalesce(1)
+      .write.mode("errorifexists").parquet(s"$path/items/base")
+    Seq(k).toDF("k").coalesce(1)
+      .write.mode("errorifexists").parquet(s"$path/params/base")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
+      graft.sinks.IndexSnapshot(0L,
+        Map("items" -> Seq("base"), "params" -> Seq("base")),
+        Seq("base")))
+  }
+
+  /** Append a batch as its own sketch segment (built with the
+    * PERSISTED k); serving concatenates segments. Replays no-op. */
+  def appendToKllSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, valueCol: Column, batchId: String)
+      : Unit = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        batchId.forall(c =>
+          c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"batchId must be a filesystem-safe token != 'base' " +
+        s"(got '$batchId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no sketch manifest at $path (not a saveKllSketch directory)"))
+    if (snap.applied.contains(batchId)) return
+    val k = kllParams(spark, path, snap)
+    val seg = s"delta_$batchId"
+    kllItems(df, valueCol, k).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/items/$seg")
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(batchId)) c
+      else c.copy(
+        tables = c.tables + ("items" ->
+          (c.segs("items").filterNot(_ == seg) :+ seg)),
+        applied = c.applied :+ batchId)
+    }
+  }
+
+  /** Fold all segments back into ONE — serve state is O(3k·segments)
+    * under pure concatenation, and compaction restores O(3k) while
+    * conserving total weight exactly. The fold is a true KLL merge
+    * (items re-enter their own levels, then capacity-driven
+    * compaction), done driver-side over the collected item table —
+    * sketch kilobytes, never the corpus (the bounded-reload sanction
+    * the IVF centroid/codebook lifecycle documents). Appends already
+    * applied stay recorded so their replays still no-op. */
+  def compactKllSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no sketch manifest at $path (not a saveKllSketch directory)"))
+    val k = kllParams(spark, path, snap)
+    val (items, _) = kllSketchState(spark, path)
+    val sk = new graft.functions.KllAgg.Sketch(k)
+    // bounded collect: ≤ 3k items per segment — sketch state, not data
+    items.select(col("level"), col("v"))
+      .collect().sortBy(r => (r.getInt(0), r.getDouble(1)))
+      .foreach(r => sk.pushWeighted(r.getInt(0), r.getDouble(1)))
+    sk.compactPass()
+    val compacted = sk.itemRows
+    import spark.implicits._
+    val seg = s"compact_v${snap.version + 1}"
+    compacted.toDF("level", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/items/$seg")
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      c.copy(tables = c.tables + ("items" -> Seq(seg)))
+    }
+  }
+
+  private def kllParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, snap: graft.sinks.IndexSnapshot): Int = {
+    val segs = snap.segs("params")
+    require(segs.nonEmpty, s"sketch at $path carries no params table")
+    spark.read.parquet(segs.map(seg => s"$path/params/$seg"): _*)
+      .head().getAs[Int]("k")
+  }
+
+  /** The raw (level, v) item segments and persisted k behind one
+    * sketch snapshot. Segments are returned un-merged (concatenation
+    * IS the serve-time merge). */
+  def kllSketchState(spark: org.apache.spark.sql.SparkSession,
+      path: String, asOfVersion: Option[Long] = None)
+      : (DataFrame, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = asOfVersion
+      .map(v => graft.sinks.IndexManifest.at(fs, path, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"no sketch manifest v$v at $path (vacuumed or never " +
+            "existed)")))
+      .getOrElse(graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no sketch manifest at $path")))
+    val k = kllParams(spark, path, snap)
+    val segs = snap.segs("items")
+    require(segs.nonEmpty, s"snapshot v${snap.version} has no segments")
+    (spark.read.parquet(segs.map(seg => s"$path/items/$seg"): _*), k)
+  }
+
+  /** Serve quantile estimates from one manifest snapshot's
+    * concatenated item segments. */
+  def queryKllSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, qMicros: Seq[Long],
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val (items, _) = kllSketchState(spark, path, asOfVersion)
+    kllQuantileEstimates(items, qMicros)
   }
 }

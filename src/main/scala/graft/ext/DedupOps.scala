@@ -699,6 +699,8 @@ object DedupOps {
       .filter(col("cos") >= threshold)
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_eval_hits"), max("cos").as("max_cos"))
+      .select(col("vec_id").as(idCol), col("n_eval_hits"),
+        col("max_cos"))
   }
 
   // ------------------------------------------- cluster + canonicalize

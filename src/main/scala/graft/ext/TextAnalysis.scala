@@ -1810,4 +1810,187 @@ object TextAnalysis {
         sum(length(col("word"))).as("n_chars_alpha"),
         sum(size(col("syms"))).cast(LongType).as("n_bpe_tokens"))
   }
+
+  // ---- unigram-LM tokenizer (SentencePiece-style) --------------------
+
+  /** Max word length admitted to unigram training/encoding — bounds the
+    * segmentation search in both engines (fixture letter-runs top out
+    * at 8; real corpora shed only pathological runs at 16). */
+  private[ext] val UnigramMaxWordLen = 16
+
+  /** Max piece length considered during seeding/segmentation. */
+  private[ext] val UnigramMaxPieceLen = 4
+
+  /** The (word, freq) table unigram training iterates over — the same
+    * lowercase letter-run pre-tokenizer as [[bpeWords]] (single-char
+    * words INCLUDED: they carry character statistics the seed needs),
+    * capped at [[UnigramMaxWordLen]]. Corpus collapses here once;
+    * everything after runs over the vocabulary-bounded table. */
+  private def unigramWords(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .filter(length(col("word")) <= UnigramMaxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Viterbi segmentation as ONE codegen'd expression (no UDF, no
+    * join): DP over word positions via the `aggregate` HOF. `costs` is
+    * a literal map piece → integer micronat cost (vocabulary-sized
+    * metadata, like [[bpeEncode]]'s merge list); dp[i] minimizes
+    * (cost, n_pieces, piece-path) — a TOTAL order, so the chosen
+    * segmentation is a pure function of (word, vocab), identical
+    * across engines and runs. Yields a struct (c, n, p) or NULL when
+    * the word cannot be segmented (a character outside the vocab). */
+  private[ext] def viterbiSeg(word: Column, costs: Column): Column = {
+    val init = array(struct(lit(0L).as("c"), lit(0).as("n"),
+      lit("").as("p")))
+    val dp = aggregate(
+      sequence(lit(1), length(word)),
+      init,
+      (acc, i) => {
+        val cands = (1 to UnigramMaxPieceLen).map { j =>
+          val piece = word.substr(i - lit(j) + 1, lit(j))
+          // greatest(…,1) keeps the index valid when i < j — the
+          // i >= j gate below discards the candidate anyway; try_*
+          // variants keep ANSI mode from erroring on missing pieces
+          val prev = try_element_at(acc,
+            greatest(i - lit(j) + 1, lit(1)).cast("int"))
+          val pc = try_element_at(costs, piece)
+          when(i >= j && pc.isNotNull && prev.isNotNull,
+            struct((prev.getField("c") + pc).as("c"),
+              (prev.getField("n") + 1).as("n"),
+              concat(prev.getField("p"), lit(" "), piece).as("p")))
+        }
+        concat(acc, array(least(cands: _*)))
+      })
+    element_at(dp, (length(word) + 1).cast("int"))
+  }
+
+  /** Integer micronat piece costs over a (piece, cnt) frame:
+    * cost = round(1e6 · ln(total/cnt)) — the only transcendental in
+    * the tokenizer, immediately rounded to a BIGINT both engines agree
+    * on (the round-to-6 float discipline, integer-hardened: every
+    * downstream comparison and sum is exact long arithmetic). */
+  private def withMicronatCosts(counted: DataFrame): DataFrame = {
+    val total = counted.agg(sum("cnt").as("_total"))
+    counted.crossJoin(broadcast(total))
+      .select(col("piece"), col("cnt"),
+        round(lit(1e6) * log(col("_total").cast(DoubleType) /
+          col("cnt").cast(DoubleType)), 0).cast(LongType)
+          .as("cost_micronats"))
+  }
+
+  /** Unigram-LM tokenizer TRAINING (Kudo 2018, SentencePiece's unigram
+    * model), the deterministic distributed variant beside [[bpeLearn]]:
+    *
+    *  1. SEED: every substring of length 1..4 of the word table,
+    *     frequency-weighted (all start positions); vocab₀ = ALL
+    *     single characters (coverage guarantee) ∪ top-`seedMulti`
+    *     multi-char pieces by (count DESC, piece ASC).
+    *  2. E-STEP (hard/Viterbi EM): segment every distinct word under
+    *     vocab₀'s micronat costs; usage n₁(piece) = Σ freq · uses.
+    *  3. PRUNE (M-step): vocab₁ = all single characters ∪
+    *     top-`vocabMulti` USED multi-char pieces by (n₁ DESC, piece
+    *     ASC); counts Laplace-smoothed (+1) so never-used characters
+    *     keep finite cost; final costs from the smoothed counts.
+    *
+    * Everything tie-breaks on a TOTAL order and every score is integer
+    * micronats, so the learned vocabulary is a pure function of the
+    * corpus — the oracle unrolls the same seed → segment → prune
+    * pipeline declaratively (enumerating segmentations with a
+    * recursive CTE where the engine runs codegen'd DP).
+    *
+    * Scale shape: corpus → word-frequency table once (one shuffle,
+    * map-side combine); seeding and usage counting are aggregations
+    * over that bounded table; the two driver collects are the
+    * vocabulary itself (seed ~O(seedMulti+chars) rows, final
+    * O(vocabMulti+chars) rows) — tokenizer-file-sized metadata, the
+    * [[bpeLearn]] sanction. Viterbi is a narrow projection.
+    *
+    * Output: (piece, n_uses, cost_micronats), the learned vocabulary
+    * with smoothed usage counts and final costs. */
+  def unigramLearn(docs: DataFrame, textCol: String,
+      seedMulti: Int = 150, vocabMulti: Int = 60): DataFrame = {
+    require(seedMulti >= 1 && vocabMulti >= 1,
+      s"vocab budgets must be >= 1 (got $seedMulti/$vocabMulti)")
+    val spark = docs.sparkSession
+    val w = Checkpoints.materialize(unigramWords(docs, textCol),
+      reliable = false)
+    try {
+      // 1. seed counts: all substrings len 1..UnigramMaxPieceLen
+      val subs = w.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), s ->
+            filter(transform(sequence(1, $UnigramMaxPieceLen), l ->
+              CASE WHEN s + l - 1 <= length(word)
+                   THEN substring(word, s, l) END),
+              x -> x IS NOT NULL)))""")).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+      val chars0 = subs.filter(length(col("piece")) === 1)
+      val multi0 = subs.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece").asc).limit(seedMulti)
+      val vocab0 = withMicronatCosts(chars0.unionByName(multi0))
+      // vocabulary-sized collect (seedMulti + alphabet rows)
+      val costs0 = vocab0.orderBy("piece")
+        .select("piece", "cost_micronats")
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      // 2. Viterbi E-step over the distinct-word table
+      val costMap0 = map(costs0.flatMap { case (p, c) =>
+        Seq(lit(p), lit(c)) }.toIndexedSeq: _*)
+      val usage = w
+        .withColumn("_seg", viterbiSeg(col("word"), costMap0))
+        .select(col("freq"),
+          explode(split(ltrim(col("_seg").getField("p")), " "))
+            .as("piece"))
+        .groupBy("piece").agg(sum("freq").as("n1"))
+      // 3. prune + smooth + rescore
+      val usedMulti = usage.filter(length(col("piece")) > 1)
+        .orderBy(col("n1").desc, col("piece").asc).limit(vocabMulti)
+      val allChars = chars0.select("piece")
+        .join(usage, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("n1"), lit(0L)).as("n1"))
+      val vocab1 = allChars.unionByName(usedMulti)
+        .select(col("piece"), (col("n1") + 1L).as("cnt"))
+      // the result IS the tokenizer file — vocabulary-sized; collect
+      // it before releasing the word-table checkpoint it derives from
+      // (returning the lazy plan would outlive the checkpoint)
+      val rows = withMicronatCosts(vocab1)
+        .select(col("piece"), col("cnt").as("n_uses"),
+          col("cost_micronats"))
+        .orderBy("piece")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      import spark.implicits._
+      rows.toDF("piece", "n_uses", "cost_micronats")
+    } finally Checkpoints.release(w)
+  }
+
+  /** Apply a learned unigram vocabulary ([[unigramLearn]] output rows
+    * as (piece, cost_micronats)) to a document frame: tokenize exactly
+    * as training did and Viterbi-segment each word occurrence under
+    * the learned costs — the whole encode is ONE narrow codegen'd
+    * projection next to the reader (no join, no shuffle before the
+    * final per-doc rollup), the [[bpeEncode]] discipline. Words the
+    * vocabulary cannot segment (a character never seen in training)
+    * are excluded from all three sums — the deterministic contract the
+    * oracle mirrors.
+    *
+    * Output: (idCol, n_words, n_pieces, cost_sum) — cost_sum in
+    * integer micronats is −1e6·log-likelihood under the unigram LM,
+    * the corpus-quality scalar the mixture dashboards track. */
+  def unigramEncode(docs: DataFrame, idCol: String, textCol: String,
+      vocabWithCosts: Seq[(String, Long)]): DataFrame = {
+    require(vocabWithCosts.nonEmpty, "vocabulary must be non-empty")
+    val costMap = map(vocabWithCosts.flatMap { case (p, c) =>
+      Seq(lit(p), lit(c)) }.toIndexedSeq: _*)
+    docs.select(col(idCol),
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"),
+          lit(0))).as("word"))
+      .filter(length(col("word")) <= UnigramMaxWordLen)
+      .withColumn("_seg", viterbiSeg(col("word"), costMap))
+      .filter(col("_seg").isNotNull)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("_seg").getField("n")).cast(LongType).as("n_pieces"),
+        sum(col("_seg").getField("c")).as("cost_sum"))
+  }
 }

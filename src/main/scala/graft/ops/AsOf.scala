@@ -20,8 +20,14 @@ object AsOf {
     * (inclusive). Nulls when no earlier right row exists.
     *
     * Implementation: tag and union both sides, sort by (key, ts, tag)
-    * with right rows first on ties, and carry the last non-null right
-    * payload forward with `last(ignoreNulls) over rowsBetween(-inf, 0)`.
+    * with right rows first on ties, and carry the last right row's
+    * payload forward as ONE struct with a single
+    * `last(ignoreNulls) over rowsBetween(-inf, 0)` — the struct is
+    * non-null exactly on right rows, so every attached payload column
+    * comes from the SAME matched right row even when some of its
+    * payload values are null (pandas merge_asof parity: a null in the
+    * matched row is attached as null, never substituted from an older
+    * row).
     *
     * @param rightCols right payload columns to attach (renamed as given)
     */
@@ -49,10 +55,16 @@ object AsOf {
     val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
       .orderBy(order.toIndexedSeq: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.values.foldLeft(lAligned.unionByName(rAligned)) {
-      (d, out) => d.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+    val outs = rightCols.values.toSeq
+    val pay = "_graft_pay"
+    val filled = lAligned.unionByName(rAligned)
+      .withColumn(pay,
+        when(col(tag) === 0, struct(outs.map(col).toIndexedSeq: _*)))
+      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+    val unpacked = outs.foldLeft(filled) { (d, out) =>
+      d.withColumn(out, col(pay).getField(out))
     }
-    filled.filter(col(tag) === 1).drop(ts, tag)
+    unpacked.filter(col(tag) === 1).drop(ts, tag, pay)
   }
 
   /** As-of join with DIRECTION and TOLERANCE — the full point-in-time
@@ -101,7 +113,16 @@ object AsOf {
     val rAligned = lAligned.columns.foldLeft(r0) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
     }.select(lAligned.columns.map(col).toIndexedSeq: _*)
+    // One struct per right row, null on left rows: the directional fill
+    // carries (matched ts, payload...) as a UNIT, so attached payload
+    // values always come from the same right row whose _graft_mts the
+    // tolerance check validates — a per-column fill could stitch values
+    // from different rows when payloads contain nulls.
+    val pay = "_graft_pay"
     val unioned = lAligned.unionByName(rAligned)
+      .withColumn(pay,
+        when(col(tag) === 0,
+          struct((mts +: outs).map(col).toIndexedSeq: _*)))
 
     // backward pass: right rows BEFORE left on equal ts (inclusive),
     // last-wins = highest tieBreak among equal-ts candidates
@@ -121,9 +142,7 @@ object AsOf {
     def fillAll(df: DataFrame, w: org.apache.spark.sql.expressions
         .WindowSpec, fill: Column => Column, suffix: String)
         : DataFrame =
-      (outs :+ mts).foldLeft(df) { (d, out) =>
-        d.withColumn(out + suffix, fill(col(out)).over(w))
-      }
+      df.withColumn(pay + suffix, fill(col(pay)).over(w))
 
     // a side's match survives only within tolerance of the LEFT ts
     def okCol(mtsCol: Column): Column = {
@@ -144,34 +163,35 @@ object AsOf {
             "_b"),
           fwdW, c => first(c, ignoreNulls = true), "_f")
     }
+    def mtsOf(suffix: String): Column = col(pay + suffix).getField(mts)
+    def payOf(suffix: String, out: String): Column =
+      col(pay + suffix).getField(out)
     val chosen = direction match {
       case "backward" =>
         outs.foldLeft(filled) { (d, out) =>
-          d.withColumn(out,
-            when(okCol(col(mts + "_b")), col(out + "_b")))
+          d.withColumn(out, when(okCol(mtsOf("_b")), payOf("_b", out)))
         }
       case "forward" =>
         outs.foldLeft(filled) { (d, out) =>
-          d.withColumn(out,
-            when(okCol(col(mts + "_f")), col(out + "_f")))
+          d.withColumn(out, when(okCol(mtsOf("_f")), payOf("_f", out)))
         }
       case "nearest" =>
-        val okB = okCol(col(mts + "_b"))
-        val okF = okCol(col(mts + "_f"))
+        val okB = okCol(mtsOf("_b"))
+        val okF = okCol(mtsOf("_f"))
         // ties (equal distance) go backward — pandas' rule
         val useBack = okB && (!okF ||
-          (col(ts).cast("long") - col(mts + "_b").cast("long")) <=
-            (col(mts + "_f").cast("long") - col(ts).cast("long")))
+          (col(ts).cast("long") - mtsOf("_b").cast("long")) <=
+            (mtsOf("_f").cast("long") - col(ts).cast("long")))
         outs.foldLeft(filled) { (d, out) =>
           d.withColumn(out,
-            when(useBack, col(out + "_b"))
-              .otherwise(when(okF, col(out + "_f"))))
+            when(useBack, payOf("_b", out))
+              .otherwise(when(okF, payOf("_f", out))))
         }
     }
-    val helper = Seq("_b", "_f").flatMap(s =>
-      (outs :+ mts).map(_ + s)).filter(chosen.columns.contains)
+    val helper = Seq("_b", "_f").map(pay + _)
+      .filter(chosen.columns.contains)
     chosen.filter(col(tag) === 1)
-      .drop(helper :+ ts :+ tag :+ mts: _*)
+      .drop(helper :+ ts :+ tag :+ mts :+ pay: _*)
   }
 
   /** Sessionize: assign a session id per key from inactivity gaps — a new

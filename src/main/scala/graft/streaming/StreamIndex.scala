@@ -142,20 +142,6 @@ object StreamIndex {
       }
       .trigger(Trigger.AvailableNow())
 
-  /** Streamed maintenance of a persisted HISTOGRAM-QUANTILE sketch
-    * (gated x194): arriving value files land each micro-batch's
-    * (bucket, c) counters as their own segment of a
-    * [[graft.ext.Corpus.saveHistSketch]] index. Counters merge by
-    * ADDITION (order-free, like the HLL max), so any arrival order and
-    * any batching serve the identical quantile estimates; a batch
-    * contributes rows bounded by its own value range, never its size.
-    * Same content-derived batchId exactly-once contract as
-    * [[hllSketchAppendWriter]] — with the addition-specific caveat
-    * that contract inherits: this is an APPEND-ONLY ingest writer
-    * whose micro-batches are distinct-by-content (two genuinely
-    * different batches carrying byte-identical key sets would merge to
-    * one — a mutating stream that legitimately revisits a state needs
-    * the CDC writers' epoch-keyed ids instead). */
   /** Streamed INCREMENTAL ADMISSION into a persisted 64-bit signature
     * ledger (gated x202): each micro-batch of (doc_id, sh) sigs is
     * admitted against the ledger's CURRENT state
@@ -259,6 +245,20 @@ object StreamIndex {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streamed maintenance of a persisted HISTOGRAM-QUANTILE sketch
+    * (gated x194): arriving value files land each micro-batch's
+    * (bucket, c) counters as their own segment of a
+    * [[graft.ext.Corpus.saveHistSketch]] index. Counters merge by
+    * ADDITION (order-free, like the HLL max), so any arrival order and
+    * any batching serve the identical quantile estimates; a batch
+    * contributes rows bounded by its own value range, never its size.
+    * Same content-derived batchId exactly-once contract as
+    * [[hllSketchAppendWriter]] — with the addition-specific caveat
+    * that contract inherits: this is an APPEND-ONLY ingest writer
+    * whose micro-batches are distinct-by-content (two genuinely
+    * different batches carrying byte-identical key sets would merge to
+    * one — a mutating stream that legitimately revisits a state needs
+    * the CDC writers' epoch-keyed ids instead). */
   def histSketchAppendWriter(spark: SparkSession, valuesDir: String,
       schema: StructType, sketchPath: String, valueCol: String)
       : DataStreamWriter[org.apache.spark.sql.Row] =
@@ -275,6 +275,37 @@ object StreamIndex {
         try {
           val (bid, _) = contentBatchId(b, valueCol)
           graft.ext.Corpus.appendToHistSketch(s, sketchPath, b,
+            col(valueCol), bid)
+        } finally b.unpersist(blocking = false)
+      }
+      .trigger(Trigger.AvailableNow())
+
+  /** Streamed maintenance of a persisted KLL quantile sketch (gated
+    * x221): each micro-batch is sketched with the index's PERSISTED k
+    * and lands as its own (level, v) item segment of a
+    * [[graft.ext.Corpus.saveKllSketch]] index. Serving concatenates
+    * segments (a union of weighted samples is a weighted sample of
+    * the union — total weight stays exact, per-segment rank errors
+    * add); [[graft.ext.Corpus.compactKllSketch]] folds the tail back
+    * to one O(3k) segment out of band. Same content-derived batchId
+    * exactly-once contract — and the same distinct-by-content caveat —
+    * as [[histSketchAppendWriter]]. */
+  def kllSketchAppendWriter(spark: SparkSession, valuesDir: String,
+      schema: StructType, sketchPath: String, valueCol: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(valuesDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (bid, _) = contentBatchId(b, valueCol)
+          graft.ext.Corpus.appendToKllSketch(s, sketchPath, b,
             col(valueCol), bid)
         } finally b.unpersist(blocking = false)
       }

@@ -1019,6 +1019,12 @@ class CorpusSpec extends SparkSpec {
     assert(est(Corpus.queryHistSketch(spark, idx, qs)) == afterDel)
     intercept[IllegalArgumentException](Corpus.appendToHistSketch(
       spark, idx, b, col("v"), "delete_d1"))
+    // batchIds must be filesystem-safe — '/' or spaces would nest or
+    // malform segment paths and manifest entries
+    intercept[IllegalArgumentException](Corpus.appendToHistSketch(
+      spark, idx, b, col("v"), "b2/evil"))
+    intercept[IllegalArgumentException](Corpus.removeFromHistSketch(
+      spark, idx, b, col("v"), "d2 evil"))
     // version drift (x212): drift between two retained snapshots
     // equals the two-frame histDrift over the corresponding slices —
     // v1 was save-only (a), v2 added b

@@ -1703,6 +1703,14 @@ class ExtSpec extends SparkSpec {
     assert(DedupOps.semanticDecontaminate(cor,
       ev.filter($"vec_id" < 0), "vec_id", "embedding", 0.35, 6)
       .count() == 0L)
+    // output id column carries the CALLER's idCol name, not a
+    // hardcoded vec_id
+    val renamed = DedupOps.semanticDecontaminate(
+      cor.withColumnRenamed("vec_id", "doc_id"),
+      ev.withColumnRenamed("vec_id", "doc_id"),
+      "doc_id", "embedding", 0.35, 6)
+    assert(renamed.columns.toSeq ==
+      Seq("doc_id", "n_eval_hits", "max_cos"))
   }
 
   test("simhashLedgerAdmit (x199): admission equals the brute-force " +
@@ -2478,5 +2486,92 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(plain == Map(1L -> ((3L, 8L, 8L)), 2L -> ((2L, 4L, 4L))))
+  }
+
+  test("viterbiSeg == exhaustive min-(cost, n_pieces, path) " +
+      "segmentation over all {a,b}-words to length 6; unsegmentable " +
+      "words yield null") {
+    val vocab: Seq[(String, Long)] = Seq("a" -> 700L, "b" -> 900L,
+      "aa" -> 1000L, "ab" -> 650L, "ba" -> 1300L, "bb" -> 2600L,
+      "aba" -> 1500L, "abab" -> 1600L)
+    val costOf = vocab.toMap
+    // reference: enumerate every segmentation, take the total-order min
+    def segs(word: String, pos: Int): Seq[(Long, Int, String)] =
+      if (pos == word.length) Seq((0L, 0, ""))
+      else (1 to 4).flatMap { l =>
+        if (pos + l > word.length) Nil
+        else costOf.get(word.substring(pos, pos + l)).toSeq.flatMap {
+          c =>
+            segs(word, pos + l).map { case (cc, n, p) =>
+              (cc + c, n + 1,
+                " " + word.substring(pos, pos + l) + p)
+            }
+        }
+      }
+    def refBest(word: String): Option[(Long, Int, String)] =
+      segs(word, 0) match { case Seq() => None; case xs => Some(xs.min) }
+    val words = (1 to 6).flatMap { len =>
+      (0 until (1 << len)).map(bits => String.valueOf(
+        Array.tabulate(len)(i => if ((bits >> i & 1) == 0) 'a' else 'b')))
+    } ++ Seq("abcab", "c") // 'c' not in vocab → unsegmentable
+    val costMap = map(vocab.flatMap { case (p, c) =>
+      Seq(lit(p), lit(c)) }: _*)
+    val got = words.toDF("word")
+      .withColumn("s", TextAnalysis.viterbiSeg(col("word"), costMap))
+      .select(col("word"), col("s.c"), col("s.n"), col("s.p"))
+      .as[(String, Option[Long], Option[Int], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    words.foreach { w =>
+      refBest(w) match {
+        case None =>
+          assert(got(w) == ((None, None, None)), s"$w should be null")
+        case Some((c, n, p)) =>
+          assert(got(w) == ((Some(c), Some(n), Some(p))),
+            s"$w: got ${got(w)} want ($c,$n,$p)")
+      }
+    }
+  }
+
+  test("unigramLearn (x215) hand fixture: seed → Viterbi → prune → " +
+      "smoothed micronat costs, every number closed-form; " +
+      "unigramEncode (x216) applies the learned vocabulary") {
+    // corpus = "abcd"×3: all pieces seed at count 3 (chars 4·3, pairs
+    // 3·3, triples 2·3, the word 1·3 → total0 = 30); equal costs make
+    // Viterbi pick the 1-piece segmentation, so only "abcd" is used →
+    // vocab1 = chars (smoothed 1) + abcd (3+1=4), total1 = 8:
+    // cost(abcd) = round(1e6·ln(2)) = 693147, chars = ln(8) → 2079442
+    val d = Seq((1L, "abcd abcd abcd")).toDF("doc_id", "text")
+    val learned = TextAnalysis.unigramLearn(d, "text")
+      .orderBy("piece").as[(String, Long, Long)].collect().toSeq
+    assert(learned == Seq(("a", 1L, 2079442L), ("abcd", 4L, 693147L),
+      ("b", 1L, 2079442L), ("c", 1L, 2079442L), ("d", 1L, 2079442L)))
+    val enc = TextAnalysis.unigramEncode(d, "doc_id", "text",
+        learned.map(t => (t._1, t._3)))
+      .as[(Long, Long, Long, Long)].head()
+    assert(enc == ((1L, 3L, 3L, 3L * 693147L)))
+    // coverage contract on the real fixture: every ≤16-char word
+    // encodes (chars are always in vocab), pieces never exceed chars
+    val docs = Tables.load(spark, Sf0001, "documents")
+    val learnedReal = TextAnalysis.unigramLearn(docs, "text")
+      .as[(String, Long, Long)].collect()
+    assert(learnedReal.count(_._1.length == 1) >= 20,
+      "alphabet must be covered")
+    assert(learnedReal.count(_._1.length > 1) <= 60)
+    val vocabReal = learnedReal.map(t => (t._1, t._3)).toSeq
+    val occ = docs.select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")) <= 16)
+    val nOcc = occ.count()
+    val encReal = TextAnalysis.unigramEncode(docs, "doc_id", "text",
+      vocabReal)
+    assert(encReal.agg(sum("n_words")).as[Long].head() == nOcc,
+      "every capped word must segment under full char coverage")
+    assert(encReal.filter(col("n_pieces") > col("n_words") * 16)
+      .count() == 0L)
+    // fewer pieces than characters: multi-char pieces actually fire
+    val chars = occ.agg(sum(length(col("w")))).as[Long].head()
+    val pieces = encReal.agg(sum("n_pieces")).as[Long].head()
+    assert(pieces < chars,
+      s"unigram must beat char tokenization ($pieces vs $chars)")
   }
 }

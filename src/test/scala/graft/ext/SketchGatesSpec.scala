@@ -161,4 +161,147 @@ class SketchGatesSpec extends SparkSpec {
     assert(doubled == Corpus.hllDistinct(ev, col("event_id"))
       .collect().toSeq)
   }
+
+  // ------------------------------------------------------- x214 overlap
+
+  for ((sfName, sfDir) <- scales) {
+    test(s"x214 @ $sfName: HLL inclusion-exclusion overlap tracks the " +
+        "exact intersection; identity → containment 1.0; disjoint " +
+        "slices → containment near 0") {
+      // events, not documents: the raw-regime estimate needs
+      // n ≫ 2.5m = 640 and inclusion-exclusion amplifies error
+      val ev = Tables.load(spark, sfDir, "events")
+      val a = ev.filter(col("event_id") % 3 =!= 0)
+      val b = ev.filter(col("event_id") % 2 =!= 0)
+      val exactI = a.select("event_id").intersect(b.select("event_id"))
+        .count().toDouble
+      val exactB = b.select("event_id").distinct().count().toDouble
+      val got = Corpus.hllOverlap(a, b, col("event_id"))
+        .as[(Double, Double, Double, Double, Double)].head()
+      val (_, _, _, estI, cont) = got
+      // three compounding ±6.5%-rse register estimates land on a
+      // denominator a third their size: pin the intersection at 30%
+      // rtol and containment at ±0.15 absolute
+      assert(math.abs(estI - exactI) / exactI <= 0.30,
+        s"est_intersect $estI vs exact $exactI")
+      assert(math.abs(cont - exactI / exactB) <= 0.15,
+        s"containment $cont vs exact ${exactI / exactB}")
+      // identity: A∪A = A register-exactly → intersect = est, ratio 1
+      val self = Corpus.hllOverlap(a, a, col("event_id"))
+        .as[(Double, Double, Double, Double, Double)].head()
+      assert(self._1 == self._4 && self._5 == 1.0,
+        s"self-overlap must be exact: $self")
+      // disjoint: clamped-at-0 intersect keeps containment near 0
+      val odd = ev.filter(col("event_id") % 2 === 1)
+      val even = ev.filter(col("event_id") % 2 === 0)
+      val dj = Corpus.hllOverlap(odd, even, col("event_id"))
+        .as[(Double, Double, Double, Double, Double)].head()
+      assert(dj._5 <= 0.15, s"disjoint containment ${dj._5} too high")
+    }
+  }
+
+  // ------------------------------------------------- x213/x220-x222 KLL
+
+  private val kllProbes = Seq(100000L, 500000L, 900000L, 990000L)
+
+  /** True-rank bound check: for each probe, the estimate's true rank
+    * span [#\{v<est\}+1, #\{v≤est\}] must come within ±eps·n of the
+    * target rank k = ⌈q·n⌉. */
+  private def assertRankError(got: Seq[(Long, Long, Long, Double)],
+      sorted: Array[Long], eps: Double, tag: String): Unit = {
+    val n = sorted.length.toLong
+    assert(got.size == kllProbes.size, s"$tag: wrong probe count")
+    got.foreach { case (q, gn, k, est) =>
+      assert(gn == n, s"$tag q=$q: n=$gn != exact $n (weight leak)")
+      assert(k == (q * n + 999999L) / 1000000L, s"$tag q=$q: bad k")
+      val below = sorted.count(_ < est).toLong
+      val atOrBelow = sorted.count(_ <= est).toLong
+      val tol = (eps * n).toLong
+      assert(below < k + tol && atOrBelow >= k - tol,
+        s"$tag q=$q est=$est: true-rank span (${below + 1}, " +
+          s"$atOrBelow] misses k=$k by > ±$tol")
+    }
+  }
+
+  for ((sfName, sfDir) <- scales) {
+    test(s"x213 KLL @ $sfName: exact n, exact rank arithmetic, rank " +
+        "error within 5% of n at k=64 with compaction active") {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val sorted = docs.select(col("n_chars")).as[Long].collect().sorted
+      val got = Corpus.kllQuantiles(docs, col("n_chars"), 64, kllProbes)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assertRankError(got, sorted, eps = 0.05, s"x213@$sfName")
+    }
+  }
+
+  test("x222 KLL exact regime: k above n → estimates ARE the ⌈q·n⌉-th " +
+      "order statistics, negatives included (no bucket grid)") {
+    val docs = Tables.load(spark, Sf001, "documents")
+    val sorted = docs.select(col("n_chars")).as[Long].collect().sorted
+    val n = sorted.length
+    val got = Corpus.kllQuantiles(docs, col("n_chars"), 1024, kllProbes)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    kllProbes.foreach { q =>
+      val k = ((q * n + 999999L) / 1000000L).toInt
+      assert(got(q) == sorted(k - 1).toDouble,
+        s"q=$q: est ${got(q)} != exact ${sorted(k - 1)}")
+    }
+    // unknown-range support: negatives are first-class (the histogram
+    // family rejects them — bucket grids need a non-negative floor)
+    val vals = Seq(-50L, -10L, -10L, 0L, 3L, 7L, 9L, 11L, 20L, 100L)
+    val neg = vals.toDF("v")
+    val got2 = Corpus.kllQuantiles(neg, col("v"), 64,
+        Seq(100000L, 500000L, 1000000L))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val s2 = vals.sorted
+    assert(got2 == Map(100000L -> s2(0).toDouble,
+      500000L -> s2(4).toDouble, 1000000L -> s2(9).toDouble))
+    // empty input → empty output (the histQuantiles contract)
+    assert(Corpus.kllQuantiles(neg.filter(col("v") > 1000L), col("v"),
+      64, Seq(500000L)).count() == 0L)
+  }
+
+  test("x220 KLL persisted lifecycle: save+append+compact conserves n " +
+      "exactly, serve rank error stays bounded, compact folds to one " +
+      "segment, replays no-op, time travel replays the old snapshot") {
+    val docs = Tables.load(spark, Sf001, "documents")
+    val sorted = docs.select(col("n_chars")).as[Long].collect().sorted
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_kll").resolve("idx").toString
+    Corpus.saveKllSketch(docs.filter(col("doc_id") % 3 =!= 0),
+      col("n_chars"), idx, k = 64)
+    val v1 = Corpus.histSketchVersion(spark, idx) // generic manifest
+    Corpus.appendToKllSketch(spark, idx,
+      docs.filter(col("doc_id") % 3 === 0), col("n_chars"), "b1")
+    // replay no-ops: identical serve before/after
+    val before = Corpus.queryKllSketch(spark, idx, kllProbes)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    Corpus.appendToKllSketch(spark, idx,
+      docs.filter(col("doc_id") % 3 === 0), col("n_chars"), "b1")
+    val after = Corpus.queryKllSketch(spark, idx, kllProbes)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(before == after, "append replay must no-op")
+    // segment-concatenation serve: errors add across 2 segments
+    assertRankError(after, sorted, eps = 0.10, "x220 pre-compact")
+    // compact: one segment, weight conserved, bound unchanged
+    Corpus.compactKllSketch(spark, idx)
+    val (items, k) = Corpus.kllSketchState(spark, idx)
+    assert(k == 64)
+    val compacted = Corpus.queryKllSketch(spark, idx, kllProbes)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assertRankError(compacted, sorted, eps = 0.10, "x220 post-compact")
+    assert(items.count() <= 3L * 64,
+      "compacted state must be O(3k) items")
+    // time travel: v1 serves the save-only slice (its own exact n)
+    val nV1 = docs.filter(col("doc_id") % 3 =!= 0).count()
+    val old = Corpus.queryKllSketch(spark, idx, Seq(500000L),
+        asOfVersion = Some(v1))
+      .as[(Long, Long, Long, Double)].head()
+    assert(old._2 == nV1, "time travel must replay the old snapshot")
+    // filesystem-unsafe batchIds rejected
+    intercept[IllegalArgumentException](Corpus.appendToKllSketch(
+      spark, idx, docs, col("n_chars"), "b2/evil"))
+  }
 }

@@ -34,6 +34,36 @@ class AsOfSpec extends SparkSpec {
     assert(out.contains(7L))
   }
 
+  test("null right payload attaches AS NULL from the matched row — " +
+      "never substituted from an older row, and tolerance validates " +
+      "the same row the payload came from (merge_asof parity)") {
+    val left = Seq((1L, "u", ts("2024-01-01 12:00:00")))
+      .toDF("id", "k", "t")
+    // older row has a value; the MATCHED (latest ≤ left) row is null
+    val right = Seq(
+      (Some(100L), Some("old"), "u", ts("2024-01-01 09:00:00")),
+      (Option.empty[Long], Some("new"), "u", ts("2024-01-01 11:00:00")))
+      .toDF("rv", "lbl", "k", "t")
+    val plain = AsOf.asofJoin(left, right, Seq("k"), "t", "t",
+      Map("rv" -> "attr", "lbl" -> "lbl"))
+      .select("attr", "lbl").as[(Option[Long], Option[String])].head()
+    // attr is null FROM the 11:00 row; lbl proves that row matched
+    assert(plain == (None, Some("new")))
+    // directed + tolerance: 11:00 row is within 2h of 12:00; its null
+    // payload must attach (not the out-of-tolerance 09:00 value)
+    val dir = AsOf.asofJoinDirected(left, right, Seq("k"), "t", "t",
+      Map("rv" -> "attr", "lbl" -> "lbl"), direction = "backward",
+      tolerance = Some(2L * 3600))
+      .select("attr", "lbl").as[(Option[Long], Option[String])].head()
+    assert(dir == (None, Some("new")))
+    // nearest with a null-payload nearer side: same coherence rule
+    val near = AsOf.asofJoinDirected(left, right, Seq("k"), "t", "t",
+      Map("rv" -> "attr", "lbl" -> "lbl"), direction = "nearest",
+      tolerance = Some(2L * 3600))
+      .select("attr", "lbl").as[(Option[Long], Option[String])].head()
+    assert(near == (None, Some("new")))
+  }
+
   test("asofJoin keys separate partitions") {
     val left = Seq((1L, "a", ts("2024-01-01 10:00:00")),
       (2L, "b", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
