@@ -3376,6 +3376,165 @@ object SparkEntry {
       graft.ext.Corpus.hllSketchOverlap(s, root + "/a", root + "/b")
     },
 
+    // per-group KLL quantiles (x225): x213's grouped shape (the
+    // x198-to-x191 relationship) — one keyed typed aggregate, every
+    // join keyed on the group, no group ever sorted; k=1024 puts
+    // sf0.01's groups in the exact regime so the per-group order
+    // statistics are oracle-checked (compaction-active grouped error
+    // is pinned in SketchGatesSpec).
+    "x225_kll_by_group" -> ((s, dir) =>
+      graft.ext.Corpus.kllQuantilesBy(T(s, dir, "documents"),
+          col("n_chars"), Seq("lang"), k = 1024,
+          qMicros = Seq(250000L, 500000L, 750000L))
+        .orderBy(col("lang").asc, col("q_micros").asc)),
+
+    // pin-aware vacuum (x224): retention composed with the pin
+    // history — each leg vacuums to keepVersions=1 (normally only the
+    // newest survives) but every version a LIVE pin names is kept, so
+    // pin v1's whole-pipeline time travel still serves after the
+    // sweep. Both pinned serves run POST-vacuum from what retention
+    // left behind; output = the same (subset pair, full pair) as
+    // x176/x218 — vacuum must change nothing a live pin can see.
+    "x224_pin_aware_vacuum" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val q0 = emb.filter(col("vec_id") === 0)
+      val base = scratchDir("pinvac224")
+      val bidx = base + "/bm25"
+      val vidx = base + "/ivf"
+      val pins = base + "/pins"
+      graft.ext.TextAnalysis.saveBm25Index(
+        docs.filter(col("doc_id") < 400), "doc_id", "text", bidx)
+      graft.ext.Similarity.saveIvfIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", vidx,
+        kCentroids = 8, iters = 2)
+      val pin1 = graft.ext.Hybrid.commitPin(s, pins, bidx, vidx)
+      val pin2 = graft.ext.Hybrid.dualAppend(s, pins, bidx,
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", vidx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding", "b1")
+      graft.ext.Hybrid.vacuumPinned(s, pins, bidx, vidx,
+        keepVersions = 1)
+      val old = graft.ext.Hybrid.servePinned(s, pins, bidx,
+        Seq("hash", "join", "merge"), 0L, vidx, q0, "vec_id",
+        "embedding", kLex = 10, kVec = 5, k = 10,
+        pinVersion = Some(pin1.version))
+      val cur = graft.ext.Hybrid.servePinned(s, pins, bidx,
+        Seq("hash", "join", "merge"), 0L, vidx, q0, "vec_id",
+        "embedding", kLex = 10, kVec = 5, k = 10,
+        pinVersion = Some(pin2.version))
+      old.withColumn("pin_version", lit(pin1.version))
+        .unionByName(cur.withColumn("pin_version", lit(pin2.version)))
+    },
+
+    // DCT perceptual hash (x219): the frequency-domain second
+    // perceptual axis — dHash (x195) reads local gradient signs and
+    // misses scale/crop variants that preserve global structure; the
+    // 32×32-grid DCT corner catches them. The cosine basis is
+    // quantized once to integer micro-units, so coefficients, median,
+    // and every bit decision are exact integer arithmetic — the hash
+    // is closed-form in the id on the PNG fixture (x195's discipline
+    // through a real frequency transform, no float thresholds).
+    "x219_image_phash" -> { (s, dir) =>
+      val png = graft.ext.Multimodal.withPngPayload(s,
+        T(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ext.Multimodal.imagePHash(s, png, "doc_id")
+        .orderBy(col("doc_id").asc)
+    },
+
+    // pHash near-dup pairs (x223): x219's signatures through the SAME
+    // banded-LSH + exact-Hamming-verify machinery as text SimHash
+    // (x04) and dHash (x196) — one pair pipeline, three signal axes.
+    // Oracle brute-forces all Hamming<=7 pairs over the closed-form
+    // hashes; banding must find exactly those (pigeonhole: ≤7 flips
+    // over 4 bands leaves a band within 1 bit — probeBits=1 covers
+    // it).
+    "x223_phash_neardup_pairs" -> { (s, dir) =>
+      val png = graft.ext.Multimodal.withPngPayload(s,
+        T(s, dir, "documents").select(col("doc_id")), "doc_id")
+      val sigs = graft.ext.Multimodal.imagePHash(s, png, "doc_id")
+        .select(col("doc_id"), col("phash").as("sh"))
+      graft.ext.DedupOps.simhashPairsFromSigs(sigs, maxHamming = 7,
+          bands = 4, probeBits = 1)
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+    },
+
+    // torn-pin crash recovery (x218): a dual-append writer dies AFTER
+    // both leg commits but BEFORE the pin commit — the worst torn
+    // window (both indexes are at v2, the pipeline still points at
+    // v1). The serve must keep returning pin v1's coherent pair
+    // (versions come from the PIN, not from "latest"), and a
+    // recovering writer replaying the same batch through dualAppend
+    // must complete the pair: both leg appends no-op on their applied
+    // records, then the pin commits — the ORDER invariant (pin last)
+    // makes replay the whole recovery protocol, no transaction log.
+    // Same oracle as x176: pin1 = subset pair, pin2 = full pair.
+    "x218_pin_crash_recovery" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val q0 = emb.filter(col("vec_id") === 0)
+      val base = scratchDir("pincrash218")
+      val bidx = base + "/bm25"
+      val vidx = base + "/ivf"
+      val pins = base + "/pins"
+      graft.ext.TextAnalysis.saveBm25Index(
+        docs.filter(col("doc_id") < 400), "doc_id", "text", bidx)
+      graft.ext.Similarity.saveIvfIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", vidx,
+        kCentroids = 8, iters = 2)
+      val pin1 = graft.ext.Hybrid.commitPin(s, pins, bidx, vidx)
+      // the crash: both legs land, the writer dies pre-pin
+      graft.ext.TextAnalysis.appendToBm25Index(s, bidx,
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", "b1")
+      graft.ext.Similarity.appendToIvfIndex(s, vidx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding", "b1")
+      val mid = graft.ext.Hybrid.servePinned(s, pins, bidx,
+        Seq("hash", "join", "merge"), 0L, vidx, q0, "vec_id",
+        "embedding", kLex = 10, kVec = 5, k = 10)
+      // recovery = replay: appends no-op, the pin completes the pair
+      val pin2 = graft.ext.Hybrid.dualAppend(s, pins, bidx,
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", vidx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding", "b1")
+      val post = graft.ext.Hybrid.servePinned(s, pins, bidx,
+        Seq("hash", "join", "merge"), 0L, vidx, q0, "vec_id",
+        "embedding", kLex = 10, kVec = 5, k = 10,
+        pinVersion = Some(pin2.version))
+      mid.withColumn("pin_version", lit(pin1.version))
+        .unionByName(post.withColumn("pin_version", lit(pin2.version)))
+    },
+
+    // recall under mutation (x217): x138's recall@k harness replayed
+    // against a persisted IVF index AFTER the full mutation lifecycle
+    // — append (x76) + turnstile delete (x124) + compact (x99) — the
+    // composition gate the x181 pattern fixed for as-of+filtered. The
+    // exact leg scans the SURVIVING corpus; the mutated serve keeps
+    // the save-time centroid generation (appends/deletes never
+    // retrain), so the oracle is the subset-trained serve with deleted
+    // ids barred from the candidate join, composed into x138's recall
+    // arithmetic. The spec pins the number that matters: recall after
+    // mutation tracks a fresh rebuild on the survivors.
+    "x217_ann_recall_mutated" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      val idx = scratchDir("ivf_mut217")
+      graft.ext.Similarity.saveIvfIndex(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", idx,
+        kCentroids = 8, iters = 2)
+      graft.ext.Similarity.appendToIvfIndex(s, idx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding",
+        batchId = "b1")
+      graft.ext.Similarity.deleteFromIvfIndex(s, idx,
+        emb.filter(col("vec_id") % 3 === 1).select(col("vec_id")),
+        "vec_id", "d1")
+      graft.ext.Similarity.compactIvfIndex(s, idx)
+      val q = emb.filter(col("vec_id") < 8)
+      graft.ext.Similarity.recallAtK(
+        graft.ext.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 3 =!= 1), q, "vec_id",
+          "embedding", k = 5),
+        graft.ext.Similarity.queryIvfIndex(s, idx, q, "vec_id",
+          "embedding", k = 5, nprobe = 2),
+        "query_id", "vec_id", k = 5)
+    },
+
     // unigram-LM tokenizer training (x215): the OTHER tokenizer family
     // real pipelines train (Kudo 2018; BPE = x165 is merge-greedy,
     // unigram is likelihood-prune) — seed substrings → one hard-EM
@@ -5580,6 +5739,47 @@ object SparkEntry {
                   CAST(sum(bit * (CAST(1 AS BIGINT) << (y * 8 + x)))
                     AS BIGINT) AS dhash
                 FROM bits GROUP BY 1)"""
+    // x219/x223: the pHash pipeline closed-form — 32×32 grid grayscale
+    // from the PNG pixel formula, integer-quantized cosine basis
+    // (identical round(1e6·cos) constants in both engines), separable
+    // integer DCT, 32nd-smallest median, 63 bit decisions — every
+    // number exact integer arithmetic after the basis constants
+    val phashSigCte: String =
+      """pg AS (SELECT d.doc_id, gy.y, gx.x,
+               ((d.doc_id + (gx.x * (4 + d.doc_id % 13)) // 32) % 256
+                + (d.doc_id + (gy.y * (3 + d.doc_id % 7)) // 32) % 256
+                + ((gx.x * (4 + d.doc_id % 13)) // 32
+                   + (gy.y * (3 + d.doc_id % 7)) // 32) % 256) // 3
+                 AS gray
+             FROM documents d,
+                  generate_series(0, 31) gx(x),
+                  generate_series(0, 31) gy(y)),
+         ct AS (SELECT k.k, m.m,
+                  CAST(round(1000000.0 *
+                    cos(pi() * (2 * m.m + 1) * k.k / 64.0)) AS BIGINT)
+                    AS c
+                FROM generate_series(0, 7) k(k),
+                     generate_series(0, 31) m(m)),
+         gm AS (SELECT p.doc_id, ct.k AS u, p.y,
+                  sum(ct.c * p.gray) AS s
+                FROM pg p JOIN ct ON ct.m = p.x
+                GROUP BY 1, 2, 3),
+         fm AS (SELECT g.doc_id, g.u, ct.k AS v, sum(ct.c * g.s) AS f
+                FROM gm g JOIN ct ON ct.m = g.y
+                GROUP BY 1, 2, 3),
+         cf AS (SELECT doc_id, v * 8 + u - 1 AS i, f
+                FROM fm WHERE NOT (u = 0 AND v = 0)),
+         pmed AS (SELECT doc_id, f AS med FROM (
+                   SELECT doc_id, f, row_number() OVER (
+                     PARTITION BY doc_id ORDER BY f ASC) AS rn
+                   FROM cf)
+                 WHERE rn = 32),
+         ph AS (SELECT c.doc_id,
+                  CAST(sum(CASE WHEN c.f > m.med
+                       THEN (CAST(1 AS BIGINT) << CAST(c.i AS INT))
+                       ELSE 0 END) AS BIGINT) AS phash
+                FROM cf c JOIN pmed m USING (doc_id)
+                GROUP BY 1)"""
     val hllOracle: String =
       """WITH h AS (SELECT md5(CAST(event_id AS VARCHAR)) AS hx
              FROM events),
@@ -5805,6 +6005,152 @@ object SparkEntry {
                      JOIN v a ON a.vec_id = p.query_id
                 WHERE b.vec_id <> p.query_id)
           WHERE rank <= 5"""
+    // x217: the mutated serve = x76's subset-trained (tv < 400)
+    // full-corpus assignment with the deleted ids (vec_id % 3 = 1)
+    // barred from the candidate join (x124's bar), composed into
+    // x138's recall arithmetic against the exact scan over SURVIVORS
+    val ivfMutatedServeOracle: String =
+      s"""WITH v AS ($vecs),
+          tv AS (SELECT vec_id, e FROM v WHERE vec_id < 400),
+          ${lloydCtes("t", 64, 8, 2)},
+          allasg AS (
+            SELECT vec_id, cl FROM (
+              SELECT v.vec_id, c.cl, row_number() OVER (
+                PARTITION BY v.vec_id ORDER BY $kmeansD2, c.cl) AS rn
+              FROM v v, tc2 c)
+            WHERE rn = 1),
+          probes AS (
+            SELECT query_id, cl AS bucket FROM (
+              SELECT v.vec_id AS query_id, c.cl,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY $kmeansD2, c.cl) AS rn
+              FROM v v, tc2 c
+              WHERE v.vec_id < 8)
+            WHERE rn <= 2)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+          FROM (SELECT p.query_id, b.vec_id, $cosPairExpr AS cos,
+                       row_number() OVER (PARTITION BY p.query_id
+                         ORDER BY $cosPairExpr DESC, b.vec_id ASC) AS rank
+                FROM probes p
+                     JOIN allasg s ON s.cl = p.bucket
+                     JOIN v b ON b.vec_id = s.vec_id
+                     JOIN v a ON a.vec_id = p.query_id
+                WHERE b.vec_id <> p.query_id
+                  AND s.vec_id % 3 <> 1)
+          WHERE rank <= 5"""
+    val x05SurvivorsSql: String =
+      s"""WITH v AS ($vecs),
+          scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id, $cosPairExpr AS cos
+            FROM v a JOIN v b
+              ON b.vec_id <> a.vec_id AND b.vec_id % 3 <> 1
+            WHERE a.vec_id < 8)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+          FROM (SELECT query_id, vec_id, cos, row_number() OVER
+                  (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+                  AS rank
+                FROM scored)
+          WHERE rank <= 5"""
+    // x176/x218 share the pinned-pair oracle: pin v1 = the subset
+    // (lex,vec) pair, pin v2 = the full pair, tagged by pin_version
+    val hybridPinnedOracle: String =
+      s"""WITH v AS ($vecs),
+            tv AS (SELECT vec_id, e FROM v WHERE vec_id < 400),
+            ${lloydCtes("t", 64, 8, 2)},
+            subasg AS (
+              SELECT vec_id, cl FROM (
+                SELECT v.vec_id, c.cl, row_number() OVER (
+                  PARTITION BY v.vec_id ORDER BY $kmeansD2, c.cl) AS rn
+                FROM tv v, tc2 c)
+              WHERE rn = 1),
+            allasg AS (
+              SELECT vec_id, cl FROM (
+                SELECT v.vec_id, c.cl, row_number() OVER (
+                  PARTITION BY v.vec_id ORDER BY $kmeansD2, c.cl) AS rn
+                FROM v v, tc2 c)
+              WHERE rn = 1),
+            probes AS (
+              SELECT query_id, cl AS bucket FROM (
+                SELECT v.vec_id AS query_id, c.cl,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY $kmeansD2, c.cl) AS rn
+                FROM tv v, tc2 c
+                WHERE v.vec_id = 0)
+              WHERE rn <= 2),
+            lex1 AS (SELECT CAST(0 AS BIGINT) AS query_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS rank,
+                  doc_id AS vec_id
+                FROM (${bm25Sql(
+                  "(SELECT * FROM documents WHERE doc_id < 400)")})),
+            fv1 AS (SELECT query_id, rank, vec_id FROM (
+                  SELECT p.query_id, b.vec_id,
+                         row_number() OVER (PARTITION BY p.query_id
+                           ORDER BY $cosPairExpr DESC, b.vec_id ASC)
+                           AS rank
+                  FROM probes p
+                       JOIN subasg s ON s.cl = p.bucket
+                       JOIN tv b ON b.vec_id = s.vec_id
+                       JOIN v a ON a.vec_id = p.query_id
+                  WHERE b.vec_id <> p.query_id)
+                WHERE rank <= 5),
+            lex2 AS (SELECT CAST(0 AS BIGINT) AS query_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS rank,
+                  doc_id AS vec_id
+                FROM (${bm25Sql("documents")})),
+            fv2 AS (SELECT query_id, rank, vec_id FROM (
+                  SELECT p.query_id, b.vec_id,
+                         row_number() OVER (PARTITION BY p.query_id
+                           ORDER BY $cosPairExpr DESC, b.vec_id ASC)
+                           AS rank
+                  FROM probes p
+                       JOIN allasg s ON s.cl = p.bucket
+                       JOIN v b ON b.vec_id = s.vec_id
+                       JOIN v a ON a.vec_id = p.query_id
+                  WHERE b.vec_id <> p.query_id)
+                WHERE rank <= 5),
+            j1 AS (SELECT
+                    coalesce(l.query_id, f.query_id) AS query_id,
+                    coalesce(l.vec_id, f.vec_id) AS vec_id,
+                    coalesce(CAST(1 AS DOUBLE)
+                        / CAST(l.rank + 60 AS DOUBLE), 0)
+                      + coalesce(CAST(1 AS DOUBLE)
+                        / CAST(f.rank + 60 AS DOUBLE), 0) AS rrf
+                  FROM lex1 l
+                  FULL OUTER JOIN fv1 f
+                    ON f.query_id = l.query_id
+                   AND f.vec_id = l.vec_id),
+            j2 AS (SELECT
+                    coalesce(l.query_id, f.query_id) AS query_id,
+                    coalesce(l.vec_id, f.vec_id) AS vec_id,
+                    coalesce(CAST(1 AS DOUBLE)
+                        / CAST(l.rank + 60 AS DOUBLE), 0)
+                      + coalesce(CAST(1 AS DOUBLE)
+                        / CAST(f.rank + 60 AS DOUBLE), 0) AS rrf
+                  FROM lex2 l
+                  FULL OUTER JOIN fv2 f
+                    ON f.query_id = l.query_id
+                   AND f.vec_id = l.vec_id),
+            r1 AS (SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                    vec_id, round(rrf, 6) AS rrf
+                  FROM (SELECT query_id, vec_id, rrf, row_number() OVER
+                          (PARTITION BY query_id ORDER BY rrf DESC,
+                            vec_id ASC) AS rank
+                        FROM j1)
+                  WHERE rank <= 10),
+            r2 AS (SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                    vec_id, round(rrf, 6) AS rrf
+                  FROM (SELECT query_id, vec_id, rrf, row_number() OVER
+                          (PARTITION BY query_id ORDER BY rrf DESC,
+                            vec_id ASC) AS rank
+                        FROM j2)
+                  WHERE rank <= 10)
+            SELECT query_id, rank, vec_id, rrf,
+                   CAST(1 AS BIGINT) AS pin_version FROM r1
+            UNION ALL
+            SELECT query_id, rank, vec_id, rrf,
+                   CAST(2 AS BIGINT) AS pin_version FROM r2"""
     // x112 IVF as-of read: the pinned pre-append version serves the
     // SUBSET index exactly — subset-trained centroids, subset corpus,
     // subset assignment (the appended vectors are invisible to the
@@ -7425,6 +7771,24 @@ object SparkEntry {
            SELECT sel.q_micros, CAST(sel.n AS BIGINT) AS n,
                   CAST(sel.k AS BIGINT) AS k, r.v AS est
            FROM sel JOIN r ON r.rn = sel.k ORDER BY q_micros ASC""",
+      // x225: the same exact-regime order statistics, grouped per lang
+      "x225_kll_by_group" ->
+        """WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v
+               FROM documents
+               WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+           n AS (SELECT lang, count(*) AS n FROM v GROUP BY 1),
+           r AS (SELECT lang, v, row_number() OVER (
+                   PARTITION BY lang ORDER BY v) AS rn FROM v),
+           q AS (SELECT CAST(unnest([250000, 500000, 750000])
+                   AS BIGINT) AS q_micros),
+           sel AS (SELECT n.lang, q.q_micros, n.n,
+                     (q.q_micros * n.n + 999999) // 1000000 AS k
+                   FROM q, n)
+           SELECT sel.lang AS lang, sel.q_micros,
+                  CAST(sel.n AS BIGINT) AS n,
+                  CAST(sel.k AS BIGINT) AS k, r.v AS est
+           FROM sel JOIN r ON r.lang = sel.lang AND r.rn = sel.k
+           ORDER BY sel.lang ASC, sel.q_micros ASC""",
       // x193: negated delete segments net out — the one-shot sketch
       // over the surviving rows
       "x193_hist_sketch_delete" ->
@@ -7585,6 +7949,17 @@ object SparkEntry {
       "x195_image_dhash" ->
         s"""WITH $dhashSigCte
            SELECT doc_id, dhash FROM sh ORDER BY doc_id ASC""",
+      "x219_image_phash" ->
+        s"""WITH $phashSigCte
+           SELECT doc_id, phash FROM ph ORDER BY doc_id ASC""",
+      "x223_phash_neardup_pairs" ->
+        s"""WITH $phashSigCte
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
+                    AS hamming
+           FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.phash, b.phash)) <= 7
+           ORDER BY doc_a ASC, doc_b ASC""",
       "x196_dhash_neardup_pairs" ->
         s"""WITH $dhashSigCte
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -8802,104 +9177,13 @@ object SparkEntry {
       // it on BOTH legs, lexical stats included); pin 2 = x76's
       // subset-trained/full-corpus append semantics on the vector leg
       // + the full-corpus BM25; 2-leg RRF in fixed (lex, vector) order
-      "x176_hybrid_pinned_snapshot" ->
-        s"""WITH v AS ($vecs),
-            tv AS (SELECT vec_id, e FROM v WHERE vec_id < 400),
-            ${lloydCtes("t", 64, 8, 2)},
-            subasg AS (
-              SELECT vec_id, cl FROM (
-                SELECT v.vec_id, c.cl, row_number() OVER (
-                  PARTITION BY v.vec_id ORDER BY $kmeansD2, c.cl) AS rn
-                FROM tv v, tc2 c)
-              WHERE rn = 1),
-            allasg AS (
-              SELECT vec_id, cl FROM (
-                SELECT v.vec_id, c.cl, row_number() OVER (
-                  PARTITION BY v.vec_id ORDER BY $kmeansD2, c.cl) AS rn
-                FROM v v, tc2 c)
-              WHERE rn = 1),
-            probes AS (
-              SELECT query_id, cl AS bucket FROM (
-                SELECT v.vec_id AS query_id, c.cl,
-                       row_number() OVER (PARTITION BY v.vec_id
-                         ORDER BY $kmeansD2, c.cl) AS rn
-                FROM tv v, tc2 c
-                WHERE v.vec_id = 0)
-              WHERE rn <= 2),
-            lex1 AS (SELECT CAST(0 AS BIGINT) AS query_id,
-                  row_number() OVER (ORDER BY score DESC, doc_id ASC)
-                    AS rank,
-                  doc_id AS vec_id
-                FROM (${bm25Sql(
-                  "(SELECT * FROM documents WHERE doc_id < 400)")})),
-            fv1 AS (SELECT query_id, rank, vec_id FROM (
-                  SELECT p.query_id, b.vec_id,
-                         row_number() OVER (PARTITION BY p.query_id
-                           ORDER BY $cosPairExpr DESC, b.vec_id ASC)
-                           AS rank
-                  FROM probes p
-                       JOIN subasg s ON s.cl = p.bucket
-                       JOIN tv b ON b.vec_id = s.vec_id
-                       JOIN v a ON a.vec_id = p.query_id
-                  WHERE b.vec_id <> p.query_id)
-                WHERE rank <= 5),
-            lex2 AS (SELECT CAST(0 AS BIGINT) AS query_id,
-                  row_number() OVER (ORDER BY score DESC, doc_id ASC)
-                    AS rank,
-                  doc_id AS vec_id
-                FROM (${bm25Sql("documents")})),
-            fv2 AS (SELECT query_id, rank, vec_id FROM (
-                  SELECT p.query_id, b.vec_id,
-                         row_number() OVER (PARTITION BY p.query_id
-                           ORDER BY $cosPairExpr DESC, b.vec_id ASC)
-                           AS rank
-                  FROM probes p
-                       JOIN allasg s ON s.cl = p.bucket
-                       JOIN v b ON b.vec_id = s.vec_id
-                       JOIN v a ON a.vec_id = p.query_id
-                  WHERE b.vec_id <> p.query_id)
-                WHERE rank <= 5),
-            j1 AS (SELECT
-                    coalesce(l.query_id, f.query_id) AS query_id,
-                    coalesce(l.vec_id, f.vec_id) AS vec_id,
-                    coalesce(CAST(1 AS DOUBLE)
-                        / CAST(l.rank + 60 AS DOUBLE), 0)
-                      + coalesce(CAST(1 AS DOUBLE)
-                        / CAST(f.rank + 60 AS DOUBLE), 0) AS rrf
-                  FROM lex1 l
-                  FULL OUTER JOIN fv1 f
-                    ON f.query_id = l.query_id
-                   AND f.vec_id = l.vec_id),
-            j2 AS (SELECT
-                    coalesce(l.query_id, f.query_id) AS query_id,
-                    coalesce(l.vec_id, f.vec_id) AS vec_id,
-                    coalesce(CAST(1 AS DOUBLE)
-                        / CAST(l.rank + 60 AS DOUBLE), 0)
-                      + coalesce(CAST(1 AS DOUBLE)
-                        / CAST(f.rank + 60 AS DOUBLE), 0) AS rrf
-                  FROM lex2 l
-                  FULL OUTER JOIN fv2 f
-                    ON f.query_id = l.query_id
-                   AND f.vec_id = l.vec_id),
-            r1 AS (SELECT query_id, CAST(rank AS BIGINT) AS rank,
-                    vec_id, round(rrf, 6) AS rrf
-                  FROM (SELECT query_id, vec_id, rrf, row_number() OVER
-                          (PARTITION BY query_id ORDER BY rrf DESC,
-                            vec_id ASC) AS rank
-                        FROM j1)
-                  WHERE rank <= 10),
-            r2 AS (SELECT query_id, CAST(rank AS BIGINT) AS rank,
-                    vec_id, round(rrf, 6) AS rrf
-                  FROM (SELECT query_id, vec_id, rrf, row_number() OVER
-                          (PARTITION BY query_id ORDER BY rrf DESC,
-                            vec_id ASC) AS rank
-                        FROM j2)
-                  WHERE rank <= 10)
-            SELECT query_id, rank, vec_id, rrf,
-                   CAST(1 AS BIGINT) AS pin_version FROM r1
-            UNION ALL
-            SELECT query_id, rank, vec_id, rrf,
-                   CAST(2 AS BIGINT) AS pin_version FROM r2""",
+      "x176_hybrid_pinned_snapshot" -> hybridPinnedOracle,
+      // x218: identical pinned pairs — the crash/recovery choreography
+      // changes WHEN versions land, never what a pin serves
+      "x218_pin_crash_recovery" -> hybridPinnedOracle,
+      // x224: identical pinned pairs again — vacuum must change
+      // nothing a live pin can see
+      "x224_pin_aware_vacuum" -> hybridPinnedOracle,
 
       // x131: both legs restricted to en (id % 3 = 0), then the 2-leg
       // RRF in the engine's fixed leg order (lex, then vector); lex
@@ -9140,6 +9424,22 @@ object SparkEntry {
                              THEN 1.0 / a.rank END) AS rr1
                   FROM ($x05Sql) e
                   LEFT JOIN ($ivfLearnedOracle) a
+                    ON a.query_id = e.query_id
+                       AND a.vec_id = e.vec_id
+                  GROUP BY e.query_id)""",
+      // x217: x138's recall arithmetic with the exact leg restricted
+      // to survivors and the approx leg the mutated (subset-trained,
+      // delete-barred) serve
+      "x217_ann_recall_mutated" ->
+        s"""SELECT query_id, hits,
+                   round(hits / n_exact, 6) AS recall,
+                   round(coalesce(rr1, 0), 6) AS top1_rr
+            FROM (SELECT e.query_id, count(a.vec_id) AS hits,
+                         count(*) AS n_exact,
+                         max(CASE WHEN e.rank = 1
+                             THEN 1.0 / a.rank END) AS rr1
+                  FROM ($x05SurvivorsSql) e
+                  LEFT JOIN ($ivfMutatedServeOracle) a
                     ON a.query_id = e.query_id
                        AND a.vec_id = e.vec_id
                   GROUP BY e.query_id)""",

@@ -1869,6 +1869,54 @@ object Corpus {
       .select(col("q_micros"), col("n"), col("k"), col("est"))
   }
 
+  /** Per-GROUP KLL quantile estimates — [[kllQuantiles]]'s grouped
+    * shape (the [[histQuantilesBy]] relationship): ONE typed aggregate
+    * keyed on the group columns (each group's sketch is O(3k) however
+    * large the group — "en" being half the crawl costs half the scan,
+    * never a per-group sort), then the weighted rank selection runs
+    * keyed on the group over the groups×3k item table. NULL groups
+    * are excluded (the x150/x198 contract); NULL values skipped by
+    * the aggregate. Output: (group…, q_micros, n, k, est). */
+  def kllQuantilesBy(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String], k: Int, qMicros: Seq[Long]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (use kllQuantiles for the global " +
+        "estimate)")
+    require(qMicros.nonEmpty, "qMicros must be non-empty")
+    require(qMicros.forall(q => q >= 1L && q <= 1000000L),
+      s"every q_micros must be in [1, 1000000] (got $qMicros)")
+    graft.functions.KllAgg.register(df.sparkSession)
+    val gc = groupCols.map(col)
+    val items = df
+      .select(gc :+ valueCol.cast(DoubleType).as("_v"): _*)
+      .filter(gc.map(_.isNotNull).reduce(_ && _))
+      .groupBy(gc: _*)
+      .agg(graft.functions.KllAgg.kllSketch(col("_v"), k).as("sk"))
+      .select(gc :+ explode(col("sk")).as("it"): _*)
+      .select(gc ++ Seq(col("it.level").as("level"),
+        col("it.v").as("v")): _*)
+    val merged = items
+      .select(gc ++ Seq(col("v"),
+        call_function("shiftleft", lit(1L), col("level")).as("w")): _*)
+      .groupBy((groupCols :+ "v").map(col): _*).agg(sum("w").as("w"))
+    val cum = merged.join(
+        broadcast(merged.select(
+          gc ++ Seq(col("v").as("_v2"), col("w").as("_w2")): _*)),
+        groupCols).filter(col("_v2") <= col("v"))
+      .groupBy((groupCols :+ "v").map(col): _*)
+      .agg(sum("_w2").as("cum"))
+    val n = merged.groupBy(gc: _*).agg(sum("w").as("n"))
+    val qs = explode(array(qMicros.map(lit): _*)).as("q_micros")
+    cum.join(broadcast(n), groupCols)
+      .select(gc ++ Seq(col("v"), col("cum"), col("n"), qs): _*)
+      .withColumn("k", expr("(q_micros * n + 999999) div 1000000"))
+      .filter(col("cum") >= col("k"))
+      .groupBy((groupCols ++ Seq("q_micros", "n", "k")).map(col): _*)
+      .agg(min("v").as("est"))
+      .select(gc ++ Seq(col("q_micros"), col("n"), col("k"),
+        col("est")): _*)
+  }
+
   /** Persist a KLL sketch as a MERGEABLE index: the (level, v) item
     * table under `items/base`, `k` under `params/base` (serves can
     * never re-sketch with mismatched geometry), manifest versions for

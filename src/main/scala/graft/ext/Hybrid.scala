@@ -88,4 +88,23 @@ object Hybrid {
         asOfVersion = Some(pin("ivf")))),
       k = k)
   }
+
+  /** PIN-AWARE retention across the stack (x224): vacuum each leg
+    * keeping its newest `keepVersions` PLUS every version any live
+    * pipeline pin still names — whole-pipeline time travel stays
+    * servable for exactly as long as its pin exists. Vacuum ORDER is
+    * the contract: vacuum pins first ([[PipelinePin.vacuum]], sized
+    * by how far back pinned serves must reach), then call this; a leg
+    * version outlives its last naming pin by one sweep, never the
+    * reverse (a live pin naming vacuumed data is an unservable
+    * snapshot — the failure this exists to prevent). */
+  def vacuumPinned(spark: SparkSession, pinRoot: String,
+      bm25Path: String, ivfPath: String, keepVersions: Int = 2)
+      : Unit = {
+    val pfs = fs(spark, pinRoot)
+    TextAnalysis.vacuumBm25Index(spark, bm25Path, keepVersions,
+      PipelinePin.liveLegVersions(pfs, pinRoot, "bm25"))
+    Similarity.vacuumIvfIndex(spark, ivfPath, keepVersions,
+      PipelinePin.liveLegVersions(pfs, pinRoot, "ivf"))
+  }
 }

@@ -699,6 +699,101 @@ object Multimodal {
     * payloads surface as a NULL hash, never an error. Narrow
     * mapPartitions codec stage — blobs never shuffle, the output is
     * 16 bytes per image whatever the image size. */
+  /** Perceptual DCT hash (pHash — the frequency-domain complement to
+    * [[imageDHash]]): nearest-neighbor-sample the image to a 32×32
+    * grayscale grid, take a 2-D DCT-II, keep the low-frequency 8×8
+    * corner, and set bit (u, v) ≠ DC iff that coefficient exceeds the
+    * median of the 63 — 63 bits packed little-endian (index
+    * v·8+u−1), always positive in a signed 64-bit lane. dHash reads
+    * local gradient signs and misses what survives them; the DCT
+    * corner captures global structure, so scale/crop variants that
+    * shift every local gradient still land at small Hamming distance —
+    * the second perceptual axis feeding the SAME banded signature
+    * machinery ([[graft.ext.DedupOps.simhashPairsFromSigs]], x223).
+    *
+    * Engine-stability: the cosine basis is quantized ONCE to integer
+    * micro-units (round(1e6·cos(π(2n+1)k/64)) — 8×32 constants both
+    * engines compute identically), so coefficients, median, and bit
+    * decisions are all EXACT integer arithmetic; on a
+    * [[withPngPayload]] fixture the whole hash is closed-form in the
+    * id (gated x219), with none of the float-boundary fragility a
+    * double DCT would smuggle into the bit threshold. Coefficient
+    * magnitude ≤ 1e12·255·1024 ≈ 2.7e17 — no Long overflow. Narrow
+    * mapPartitions codec stage; blobs never shuffle. */
+  def imagePHash(spark: SparkSession, df: DataFrame, idCol: String)
+      : DataFrame = {
+    import spark.implicits._
+    val n = 32
+    // c(k)(m) = round(1e6 · cos(π(2m+1)k/(2n))), k < 8 (kept corner)
+    val table = Array.tabulate(8, n)((k, m) =>
+      math.round(1e6 * math.cos(math.Pi * (2 * m + 1) * k / (2 * n))))
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        MediaCodec.decodeImage(payload) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val gray = Array.ofDim[Long](n, n)
+            var y = 0
+            while (y < n) {
+              val sy = y * h / n
+              var x = 0
+              while (x < n) {
+                val sx = x * w / n
+                val rgb = img.getRGB(sx, sy)
+                gray(y)(x) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+                  + (rgb & 0xff)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            // separable integer DCT: g(u)(y) = Σx c(u,x)·gray(y,x),
+            // f(v)(u) = Σy c(v,y)·g(u)(y)
+            val g = Array.ofDim[Long](8, n)
+            var u = 0
+            while (u < 8) {
+              y = 0
+              while (y < n) {
+                var s = 0L
+                var x = 0
+                while (x < n) { s += table(u)(x) * gray(y)(x); x += 1 }
+                g(u)(y) = s
+                y += 1
+              }
+              u += 1
+            }
+            val coefs = new Array[Long](63)
+            var v = 0
+            var i = 0
+            while (v < 8) {
+              u = 0
+              while (u < 8) {
+                if (v != 0 || u != 0) {
+                  var s = 0L
+                  y = 0
+                  while (y < n) { s += table(v)(y) * g(u)(y); y += 1 }
+                  coefs(i) = s
+                  i += 1
+                }
+                u += 1
+              }
+              v += 1
+            }
+            val sorted = coefs.clone()
+            java.util.Arrays.sort(sorted)
+            val med = sorted(31) // the 32nd smallest of 63
+            var bits = 0L
+            i = 0
+            while (i < 63) {
+              if (coefs(i) > med) bits |= 1L << i
+              i += 1
+            }
+            (id, Some(bits))
+          case None => (id, None: Option[Long])
+        }
+      }).toDF(idCol, "phash")
+  }
+
   def imageDHash(spark: SparkSession, df: DataFrame, idCol: String,
       gridW: Int = 8, gridH: Int = 7): DataFrame = {
     require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 62,

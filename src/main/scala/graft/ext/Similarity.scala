@@ -1256,14 +1256,16 @@ object Similarity {
   }
 
   def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, keepVersions: Int = 2): Unit = {
+      path: String, keepVersions: Int = 2,
+      pinnedVersions: Set[Long] = Set.empty): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     graft.sinks.IndexManifest.vacuum(fs, path, keepVersions,
       Map("corpus" -> s"$path/corpus",
         "centroids" -> s"$path/centroids",
         IvfDeletesTable -> s"$path/deletes"),
-      (t, s) => if (t == "corpus") s"batch=$s" else s)
+      (t, s) => if (t == "corpus") s"batch=$s" else s,
+      pinnedVersions)
   }
 
   /** Serve query batches from a persisted [[saveIvfIndex]] index: no

@@ -1679,11 +1679,13 @@ object TextAnalysis {
   }
 
   def vacuumBm25Index(spark: org.apache.spark.sql.SparkSession,
-      path: String, keepVersions: Int = 2): Unit = {
+      path: String, keepVersions: Int = 2,
+      pinnedVersions: Set[Long] = Set.empty): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     graft.sinks.IndexManifest.vacuum(fs, path, keepVersions,
-      (Bm25Tables :+ Bm25DeletesTable).map(t => t -> s"$path/$t").toMap)
+      (Bm25Tables :+ Bm25DeletesTable).map(t => t -> s"$path/$t").toMap,
+      pinnedVersions = pinnedVersions)
   }
 
   // ---- byte-pair-encoding vocabulary learning ------------------------

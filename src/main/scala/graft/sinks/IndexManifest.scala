@@ -226,11 +226,16 @@ private[graft] object IndexManifest {
     * mid-read; size `keepVersions` to the longest-running query. */
   def vacuum(fs: FileSystem, root: String, keepVersions: Int,
       tableRoots: Map[String, String],
-      segDirName: (String, String) => String = (_, seg) => seg): Unit = {
+      segDirName: (String, String) => String = (_, seg) => seg,
+      pinnedVersions: Set[Long] = Set.empty): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1")
     val vs = versions(fs, root)
     if (vs.isEmpty) return
-    val keep = vs.takeRight(keepVersions).toSet
+    // pinnedVersions (e.g. [[PipelinePin.liveLegVersions]]) extend the
+    // keep window: a version a live pipeline pin still names must stay
+    // servable until the pin itself is vacuumed, however old it is
+    val keep = (vs.takeRight(keepVersions) ++
+      vs.filter(pinnedVersions.contains)).toSet
     // A kept manifest that fails to read/parse must ABORT the vacuum,
     // not be treated as referencing nothing: a torn in-flight commit or
     // a transient FS error would otherwise make the segments referenced

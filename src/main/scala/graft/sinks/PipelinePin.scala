@@ -78,4 +78,22 @@ object PipelinePin {
     * an unservable pair anyway. */
   def vacuum(fs: FileSystem, root: String, keepVersions: Int): Unit =
     IndexManifest.vacuum(fs, root, keepVersions, Map.empty)
+
+  /** Every version of `leg` named by any RETAINED pin — the keep-set
+    * a pin-aware index vacuum must honor (x224): however old, a leg
+    * version a live pin still names must survive the leg's own
+    * retention until the PIN is vacuumed first (vacuum order: pins,
+    * then legs). A torn pin FILE names nothing (no reader can serve
+    * it — the commit never happened); a parseable pin with torn
+    * CONTENT throws, aborting the caller's vacuum rather than letting
+    * it reclaim a possibly-live version. */
+  def liveLegVersions(fs: FileSystem, root: String, leg: String)
+      : Set[Long] =
+    latest(fs, root) match {
+      case None => Set.empty
+      case Some(newest) =>
+        (1L to newest.version)
+          .flatMap(v => at(fs, root, v))
+          .flatMap(_.indexVersions.get(leg)).toSet
+    }
 }

@@ -133,7 +133,27 @@ class PlanAuditSpec extends SparkSpec {
       "x209_drift_matrix",
       // x212 is histDriftFromCounters over two retained sketch
       // snapshots — the same 1-row totals cross join as x206
-      "x212_sketch_version_drift")
+      "x212_sketch_version_drift",
+      // x213/x220/x221/x222/x225: the KLL rank selection runs entirely
+      // over the sketch's ≤3k·segments surviving items (O(k), never
+      // the corpus): the cumulative pass is a broadcast theta
+      // self-join of that bounded item table, the total a PROVABLY
+      // 1-row broadcast aggregate cross join — x191's sanction with
+      // observed values in place of buckets (see
+      // Corpus.kllQuantileEstimates scaladoc)
+      "x213_kll_quantiles", "x220_kll_sketch_lifecycle",
+      "x221_stream_kll_sketch", "x222_kll_exact", "x225_kll_by_group",
+      // x214 cross-joins three PROVABLY 1-row register-estimate
+      // aggregates (est_a, est_b, est_union) — the x69 shape over
+      // kilobyte register tables
+      "x214_corpus_overlap",
+      // x217's exact reference leg IS bruteForceTopK over the
+      // survivors — the sanctioned x05 scan×|Q| shape; the recall
+      // join itself is keyed over two |Q|·k-row lists
+      "x217_ann_recall_mutated",
+      // x218/x224 serve the same pinned hybrid pair as x176 — the
+      // lexical leg's sanctioned 1-row stats cross join
+      "x218_pin_crash_recovery", "x224_pin_aware_vacuum")
 
   // x85's lexical leg ranks bm25TopK's ALREADY-LIMITED k-row list with
   // a per-query window whose query_id is a literal — Catalyst folds the
@@ -148,7 +168,9 @@ class PlanAuditSpec extends SparkSpec {
       // x176/x182's lexical legs are the same constant-query_id
       // wrapper over the PINNED serve — the window input sits above
       // the TakeOrdered k-row limit on both pins
-      "x176_hybrid_pinned_snapshot", "x182_stream_dual_cdc")
+      "x176_hybrid_pinned_snapshot", "x182_stream_dual_cdc",
+      // x218/x224 are the same pinned hybrid serve as x176
+      "x218_pin_crash_recovery", "x224_pin_aware_vacuum")
 
   // conservative per-literal size estimate: exact for the classes that
   // can actually get big (binary sketches, strings, array literals)

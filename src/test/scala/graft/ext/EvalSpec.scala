@@ -385,4 +385,44 @@ class EvalSpec extends SparkSpec {
     assert(pinned == v1,
       "asOfVersion serve diverged after an append landed")
   }
+
+  test("x217: recall after append+delete+compact tracks a fresh " +
+      "rebuild on the surviving corpus") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.load(spark, Sf001, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+    val survivors = emb.filter(col("vec_id") % 3 =!= 1)
+    val exact = Similarity.bruteForceTopK(survivors, q, "vec_id",
+      "embedding", k = 5)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(exact, approx, "query_id", "vec_id", k = 5)
+        .agg(avg("recall")).as[Double].head()
+    // mutated lifecycle: save on a slice, append the rest, delete a
+    // third, compact — centroids stay the save-time generation
+    val mutIdx = java.nio.file.Files
+      .createTempDirectory("graft_mut217").resolve("idx").toString
+    Similarity.saveIvfIndex(emb.filter(col("vec_id") < 400), "vec_id",
+      "embedding", mutIdx, kCentroids = 8, iters = 2)
+    Similarity.appendToIvfIndex(spark, mutIdx,
+      emb.filter(col("vec_id") >= 400), "vec_id", "embedding", "b1")
+    Similarity.deleteFromIvfIndex(spark, mutIdx,
+      emb.filter(col("vec_id") % 3 === 1).select(col("vec_id")),
+      "vec_id", "d1")
+    Similarity.compactIvfIndex(spark, mutIdx)
+    val mut = meanRecall(Similarity.queryIvfIndex(spark, mutIdx, q,
+      "vec_id", "embedding", k = 5, nprobe = 2))
+    // fresh rebuild on the survivors: new centroid generation
+    val freshIdx = java.nio.file.Files
+      .createTempDirectory("graft_fresh217").resolve("idx").toString
+    Similarity.saveIvfIndex(survivors, "vec_id", "embedding", freshIdx,
+      kCentroids = 8, iters = 2)
+    val fresh = meanRecall(Similarity.queryIvfIndex(spark, freshIdx, q,
+      "vec_id", "embedding", k = 5, nprobe = 2))
+    // the mutation lifecycle must not quietly rot retrieval quality:
+    // stale centroids may cost a little recall vs a retrain, but the
+    // index must stay serviceable and within reach of the rebuild
+    assert(mut >= 0.5, s"mutated-index recall collapsed: $mut")
+    assert(mut >= fresh - 0.25,
+      s"mutated recall $mut trails fresh rebuild $fresh by > 0.25")
+  }
 }

@@ -234,6 +234,23 @@ class SketchGatesSpec extends SparkSpec {
     }
   }
 
+  test("x225 grouped KLL: per-group exact n, per-group rank error " +
+      "within 5% at k=64 with compaction active; NULL groups excluded") {
+    val docs = Tables.load(spark, Sf001, "documents")
+    val got = Corpus.kllQuantilesBy(docs, col("n_chars"), Seq("lang"),
+        64, kllProbes)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .groupBy(_._1)
+    val byLang = docs.select(col("lang"), col("n_chars"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    assert(got.keySet == byLang.keySet.filter(_ != null))
+    got.foreach { case (lang, rows) =>
+      val sorted = byLang(lang).map(_._2).sorted
+      assertRankError(rows.toSeq.map(r => (r._2, r._3, r._4, r._5)),
+        sorted, eps = 0.05, s"x225[$lang]")
+    }
+  }
+
   test("x222 KLL exact regime: k above n → estimates ARE the ⌈q·n⌉-th " +
       "order statistics, negatives included (no bucket grid)") {
     val docs = Tables.load(spark, Sf001, "documents")

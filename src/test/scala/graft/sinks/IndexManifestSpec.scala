@@ -120,6 +120,55 @@ class IndexManifestSpec extends SparkSpec {
       Seq("compacted"))
   }
 
+  test("pin-aware vacuum (x224): pinnedVersions extend the keep " +
+      "window; liveLegVersions reads the whole retained pin history; " +
+      "pins-then-legs vacuum order releases the version") {
+    val root = scratch()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/t/base"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/t/delta_a"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/t/compacted"))
+    IndexManifest.commitMerge(fs, root)(_ =>
+      IndexSnapshot(0L, Map("t" -> Seq("base")), Seq.empty))
+    IndexManifest.commitMerge(fs, root)(c => c.get.copy(
+      tables = Map("t" -> Seq("base", "delta_a")), applied = Seq("a")))
+    IndexManifest.commitMerge(fs, root)(c => c.get.copy(
+      tables = Map("t" -> Seq("compacted"))))
+    // a pin history naming v1 (old) and v3 (current) of this leg
+    val pinRoot = scratch()
+    PipelinePin.commit(fs, pinRoot, Map("t" -> 1L, "other" -> 1L))
+    PipelinePin.commit(fs, pinRoot, Map("t" -> 3L, "other" -> 2L))
+    assert(PipelinePin.liveLegVersions(fs, pinRoot, "t") ==
+      Set(1L, 3L))
+    assert(PipelinePin.liveLegVersions(fs, pinRoot, "other") ==
+      Set(1L, 2L))
+    assert(PipelinePin.liveLegVersions(fs, pinRoot, "absent").isEmpty)
+    // keepVersions=1 would drop v1/v2 — the pin on v1 keeps it (and
+    // its base segment); the unpinned v2 goes
+    IndexManifest.vacuum(fs, root, keepVersions = 1,
+      Map("t" -> s"$root/t"),
+      pinnedVersions =
+        PipelinePin.liveLegVersions(fs, pinRoot, "t"))
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/t"))
+      .map(_.getPath.getName).toSet
+    assert(segs == Set("base", "compacted"),
+      s"pinned v1's base segment must survive (got $segs)")
+    assert(IndexManifest.at(fs, root, 1L).isDefined,
+      "pinned manifest v1 must survive")
+    assert(IndexManifest.at(fs, root, 2L).isEmpty,
+      "unpinned v2 must be vacuumed")
+    // the order contract: vacuum pins first, THEN the leg releases v1
+    PipelinePin.vacuum(fs, pinRoot, keepVersions = 1)
+    assert(PipelinePin.liveLegVersions(fs, pinRoot, "t") == Set(3L))
+    IndexManifest.vacuum(fs, root, keepVersions = 1,
+      Map("t" -> s"$root/t"),
+      pinnedVersions =
+        PipelinePin.liveLegVersions(fs, pinRoot, "t"))
+    val segs2 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/t"))
+      .map(_.getPath.getName).toSet
+    assert(segs2 == Set("compacted"))
+    assert(IndexManifest.at(fs, root, 1L).isEmpty)
+  }
+
   test("a crashed writer's torn manifest does not brick later " +
       "commits: the next commit claims the slot PAST the corpse") {
     val root = scratch()
