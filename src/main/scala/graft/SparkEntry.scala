@@ -3376,6 +3376,122 @@ object SparkEntry {
       graft.ext.Corpus.hllSketchOverlap(s, root + "/a", root + "/b")
     },
 
+    // versioned tokenizer file (x230): the reproducibility contract
+    // real pipelines need — the tokenizer an old training run used
+    // must stay loadable AT ITS VERSION after retrains. Gen 1 learns
+    // on half the corpus, a retrain replaces it with the full-corpus
+    // generation (single-commit swap, x108's shape on a vocabulary
+    // artifact); both generations then encode the SAME documents,
+    // keyed by vocab_gen. Gen 1's vocabulary may lack characters the
+    // held-out half introduces — those words drop from its encode
+    // (the documented unsegmentable contract), which the oracle
+    // reproduces by enumerating only gen-1-reachable segmentations.
+    "x230_unigram_vocab_persist" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val idx = scratchDir("univocab230")
+      graft.ext.TextAnalysis.saveUnigramVocab(
+        graft.ext.TextAnalysis.unigramLearn(
+          d.filter(col("doc_id") % 2 === 0), "text"), idx)
+      val v1 = graft.ext.Corpus.histSketchVersion(s, idx)
+      graft.ext.TextAnalysis.retrainUnigramVocab(s, idx, d, "text")
+      val encOld = graft.ext.TextAnalysis.unigramEncode(d, "doc_id",
+        "text", graft.ext.TextAnalysis.loadUnigramVocab(s, idx,
+          Some(v1)))
+      val encNew = graft.ext.TextAnalysis.unigramEncode(d, "doc_id",
+        "text", graft.ext.TextAnalysis.loadUnigramVocab(s, idx))
+      encOld.withColumn("vocab_gen", lit(1L))
+        .unionByName(encNew.withColumn("vocab_gen", lit(2L)))
+        .orderBy(col("vocab_gen").asc, col("doc_id").asc)
+    },
+
+    // pHash ledger admission (x229): the persisted 64-bit Hamming
+    // ledger's THIRD modality — one ledger design admits text SimHash
+    // (x210), image dHash (x199), and DCT pHash signatures unchanged
+    // (the banded geometry persists with the ledger; pigeonhole recall
+    // makes the banded decision EQUAL brute force). Oracle: NOT-EXISTS
+    // within Hamming 7 over the closed-form pHashes.
+    "x229_phash_ledger_admit" -> { (s, dir) =>
+      val png = graft.ext.Multimodal.withPngPayload(s,
+        T(s, dir, "documents").select(col("doc_id")), "doc_id")
+      val sigs = graft.ext.Multimodal.imagePHash(s, png, "doc_id")
+        .select(col("doc_id"), col("phash").as("sh"))
+      val ledger = scratchDir("phledger229")
+      graft.ext.DedupOps.saveSimhashLedger(
+        sigs.filter(pmod(col("doc_id"), lit(4)) =!= 0), ledger)
+      graft.ext.DedupOps.simhashLedgerAdmit(s, ledger,
+          sigs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          maxHamming = 7, probeBits = 1)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // streamed CMS maintenance (x228): x188's counter segments landed
+    // by a micro-batch stream — completes the streamed-writer symmetry
+    // across the sketch family (HLL x189, histogram x194, KLL x221).
+    // Addition is order-free, so any batching serves the identical
+    // estimates; batch identity hashes event_id (unique per batch —
+    // the sketch key user_id legitimately repeats across batches).
+    // Same full-corpus oracle as x184/x188, verbatim.
+    "x228_stream_cms_sketch" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val base = scratchDir("streamcms228")
+      graft.ext.Corpus.saveCmsSketch(
+        ev.filter(col("event_id") % 3 === 1), col("user_id"),
+        base + "/idx", depth = 4, width = 1024)
+      landOrdered(s, Seq(
+        ev.filter(col("event_id") % 3 === 2)
+          .select("event_id", "user_id"),
+        ev.filter(col("event_id") % 3 === 0)
+          .select("event_id", "user_id")),
+        base + "/keys")
+      val schema = s.read.parquet(base + "/keys").schema
+      val q = graft.streaming.StreamIndex.cmsSketchAppendWriter(s,
+          base + "/keys", schema, base + "/idx", "user_id",
+          "event_id")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      val probes = ev.filter(col("user_id") < 20)
+        .select(col("user_id")).distinct()
+        .unionByName(s.range(1).select(lit(-1L).as("user_id")))
+      graft.ext.Corpus.queryCmsSketch(s, base + "/idx", probes,
+        "user_id")
+    },
+
+    // KS drift from KLL sketches (x226): the rank-space member of the
+    // drift family — histDrift's L1 needs the histogram's a-priori
+    // bucket grid; the two-sample Kolmogorov-Smirnov sup-distance
+    // between two KLL item tables needs no range hint. Exact-integer
+    // numerator max|cum_a·n_b − cum_b·n_a| over the union of observed
+    // values, one final division; k=1024 puts sf0.01 in the exact
+    // regime, so this IS the textbook two-sample KS, oracle-checked.
+    "x226_kll_ks_drift" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      graft.ext.Corpus.kllKsDrift(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1),
+        col("n_chars"), k = 1024)
+    },
+
+    // KLL sketch version drift (x227): x212's MVCC composition on the
+    // rank-space sketch — "how much did this ingest move the
+    // distribution" as a KS distance between two RETAINED snapshot
+    // versions of one persisted KLL index, read from the sketches'
+    // kilobytes alone, no corpus rescan.
+    "x227_kll_version_drift" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val idx = scratchDir("kllvdrift227")
+      graft.ext.Corpus.saveKllSketch(
+        d.filter(col("doc_id") % 3 =!= 0), col("n_chars"), idx,
+        k = 1024)
+      val v0 = graft.ext.Corpus.histSketchVersion(s, idx)
+      graft.ext.Corpus.appendToKllSketch(s, idx,
+        d.filter(col("doc_id") % 3 === 0), col("n_chars"), "b1")
+      val (latest, _) = graft.ext.Corpus.kllSketchState(s, idx)
+      val (base, _) = graft.ext.Corpus.kllSketchState(s, idx,
+        asOfVersion = Some(v0))
+      graft.ext.Corpus.kllKsDriftFromItems(latest, base)
+    },
+
     // per-group KLL quantiles (x225): x213's grouped shape (the
     // x198-to-x191 relationship) — one keyed typed aggregate, every
     // join keyed on the group, no group ever sorted; k=1024 puts
@@ -5841,99 +5957,159 @@ object SparkEntry {
                 round(greatest(round(ea.e + eb.e - eu.e, 2), 0.0)
                   / eb.e, 6) AS containment_b
          FROM ea, eb, eu"""
-    // x215/x216 share the unigram-LM core: seed substring counts →
-    // vocab0 (chars ∪ top-150 multi) → integer micronat costs →
+    // x215/x216/x230 share the unigram-LM core: seed substring counts
+    // → vocab0 (chars ∪ top-150 multi) → integer micronat costs →
     // segmentation via recursive-CTE enumeration + (cost, n, path)
     // argmin (= the engine's Viterbi DP) → usage → prune to vocab1
-    // (chars ∪ top-60 used multi, +1 smoothed) → final costs
-    val unigramCoreSql: String =
-      """words AS (
+    // (chars ∪ top-60 used multi, +1 smoothed) → final costs.
+    // Parameterized by a CTE-name prefix and the LEARN corpus filter
+    // so x230 can run two tokenizer generations in one query.
+    def unigramCoreSqlP(p: String, learnWhere: String): String =
+      s"""${p}words AS (
            SELECT word, count(*) AS freq FROM (
              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
-               AS word FROM documents)
+               AS word FROM documents WHERE 1=1 $learnWhere)
            WHERE len(word) <= 16 GROUP BY 1),
-         subs AS (
+         ${p}subs AS (
            SELECT substr(word, CAST(s AS INT), CAST(l AS INT)) AS piece,
                   sum(freq) AS cnt
-           FROM words, range(1, 17) t(s), range(1, 5) u(l)
+           FROM ${p}words, range(1, 17) t(s), range(1, 5) u(l)
            WHERE s + l - 1 <= len(word)
            GROUP BY 1),
-         chars0 AS (SELECT piece, cnt FROM subs WHERE len(piece) = 1),
-         multi0 AS (SELECT piece, cnt FROM subs WHERE len(piece) > 1
-                    ORDER BY cnt DESC, piece ASC LIMIT 150),
-         v0 AS (SELECT * FROM chars0 UNION ALL SELECT * FROM multi0),
-         t0 AS (SELECT sum(cnt) AS total FROM v0),
-         c0 AS (SELECT piece, len(piece) AS l,
+         ${p}chars0 AS (SELECT piece, cnt FROM ${p}subs
+                        WHERE len(piece) = 1),
+         ${p}multi0 AS (SELECT piece, cnt FROM ${p}subs
+                        WHERE len(piece) > 1
+                        ORDER BY cnt DESC, piece ASC LIMIT 150),
+         ${p}v0 AS (SELECT * FROM ${p}chars0
+                    UNION ALL SELECT * FROM ${p}multi0),
+         ${p}t0 AS (SELECT sum(cnt) AS total FROM ${p}v0),
+         ${p}c0 AS (SELECT piece, len(piece) AS l,
                   CAST(round(1000000.0 * ln(CAST(total AS DOUBLE) /
                     CAST(cnt AS DOUBLE))) AS BIGINT) AS cost
-                FROM v0, t0),
-         paths AS (
+                FROM ${p}v0, ${p}t0),
+         ${p}paths AS (
            SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS c, 0 AS n,
                   '' AS p
-           FROM words
+           FROM ${p}words
            UNION ALL
-           SELECT x.word, x.pos + c0.l, x.c + c0.cost, x.n + 1,
-                  x.p || ' ' || c0.piece
-           FROM paths x JOIN c0
-             ON substr(x.word, x.pos + 1, CAST(c0.l AS INT)) = c0.piece
+           SELECT x.word, x.pos + g.l, x.c + g.cost, x.n + 1,
+                  x.p || ' ' || g.piece
+           FROM ${p}paths x JOIN ${p}c0 g
+             ON substr(x.word, x.pos + 1, CAST(g.l AS INT)) = g.piece
            WHERE x.pos < len(x.word)),
-         best AS (
+         ${p}best AS (
            SELECT word, c, n, p FROM (
              SELECT word, c, n, p, row_number() OVER (
                PARTITION BY word ORDER BY c ASC, n ASC, p ASC) AS rn
-             FROM paths WHERE pos = len(word)) WHERE rn = 1),
-         usage AS (
+             FROM ${p}paths WHERE pos = len(word)) WHERE rn = 1),
+         ${p}usage AS (
            SELECT piece, sum(freq) AS n1 FROM (
              SELECT w.freq,
                unnest(string_split(trim(b.p), ' ')) AS piece
-             FROM best b JOIN words w USING (word))
+             FROM ${p}best b JOIN ${p}words w USING (word))
            GROUP BY 1),
-         usedmulti AS (SELECT piece, n1 FROM usage
+         ${p}usedmulti AS (SELECT piece, n1 FROM ${p}usage
                        WHERE len(piece) > 1
                        ORDER BY n1 DESC, piece ASC LIMIT 60),
-         allchars AS (SELECT c.piece, coalesce(u.n1, 0) AS n1
-                      FROM (SELECT piece FROM chars0) c
-                      LEFT JOIN usage u USING (piece)),
-         v1 AS (SELECT piece, n1 + 1 AS cnt FROM allchars
-                UNION ALL SELECT piece, n1 + 1 FROM usedmulti),
-         t1 AS (SELECT sum(cnt) AS total FROM v1)"""
+         ${p}allchars AS (SELECT c.piece, coalesce(u.n1, 0) AS n1
+                      FROM (SELECT piece FROM ${p}chars0) c
+                      LEFT JOIN ${p}usage u USING (piece)),
+         ${p}v1 AS (SELECT piece, n1 + 1 AS cnt FROM ${p}allchars
+                UNION ALL SELECT piece, n1 + 1 FROM ${p}usedmulti),
+         ${p}t1 AS (SELECT sum(cnt) AS total FROM ${p}v1)"""
+    // encode tail: final costs → best segmentation per ENCODE-corpus
+    // word (encwords — may exceed the learn corpus's words; words a
+    // generation cannot segment have no pos=len row and drop) →
+    // consumed by a per-doc rollup over `occ`
+    def unigramEncodeCtesP(p: String): String =
+      s"""${p}c1 AS (SELECT piece, len(piece) AS l,
+                  CAST(round(1000000.0 * ln(CAST(total AS DOUBLE) /
+                    CAST(cnt AS DOUBLE))) AS BIGINT) AS cost
+                FROM ${p}v1, ${p}t1),
+         ${p}paths2 AS (
+           SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS c, 0 AS n,
+                  '' AS p
+           FROM encwords
+           UNION ALL
+           SELECT x.word, x.pos + g.l, x.c + g.cost, x.n + 1,
+                  x.p || ' ' || g.piece
+           FROM ${p}paths2 x JOIN ${p}c1 g
+             ON substr(x.word, x.pos + 1, CAST(g.l AS INT)) = g.piece
+           WHERE x.pos < len(x.word)),
+         ${p}best2 AS (
+           SELECT word, c, n FROM (
+             SELECT word, c, n, row_number() OVER (
+               PARTITION BY word ORDER BY c ASC, n ASC, p ASC) AS rn
+             FROM ${p}paths2 WHERE pos = len(word)) WHERE rn = 1)"""
+    val unigramOccSql: String =
+      """occ AS (
+           SELECT doc_id, word FROM (
+             SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                 AS word
+             FROM documents)
+           WHERE len(word) <= 16),
+         encwords AS (SELECT DISTINCT word FROM occ)"""
+    def unigramEncodeSelectP(p: String): String =
+      s"""SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(b.n) AS BIGINT) AS n_pieces,
+                CAST(sum(b.c) AS BIGINT) AS cost_sum
+         FROM occ o JOIN ${p}best2 b USING (word)
+         GROUP BY 1"""
     val unigramLearnOracle: String =
-      s"""WITH RECURSIVE $unigramCoreSql
+      s"""WITH RECURSIVE ${unigramCoreSqlP("", "")}
          SELECT piece, CAST(cnt AS BIGINT) AS n_uses,
                 CAST(round(1000000.0 * ln(CAST(total AS DOUBLE) /
                   CAST(cnt AS DOUBLE))) AS BIGINT) AS cost_micronats
          FROM v1, t1 ORDER BY piece ASC"""
     val unigramEncodeOracle: String =
-      s"""WITH RECURSIVE $unigramCoreSql,
-         c1 AS (SELECT piece, len(piece) AS l,
-                  CAST(round(1000000.0 * ln(CAST(total AS DOUBLE) /
-                    CAST(cnt AS DOUBLE))) AS BIGINT) AS cost
-                FROM v1, t1),
-         paths2 AS (
-           SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS c, 0 AS n,
-                  '' AS p
-           FROM words
+      s"""WITH RECURSIVE $unigramOccSql,
+         ${unigramCoreSqlP("", "")},
+         ${unigramEncodeCtesP("")}
+         ${unigramEncodeSelectP("")} ORDER BY o.doc_id ASC"""
+    // x230: two complete generations in one query — gen 1 learns on
+    // the even half, gen 2 on the full corpus; both encode ALL docs
+    val unigramPersistOracle: String =
+      s"""WITH RECURSIVE $unigramOccSql,
+         ${unigramCoreSqlP("a", "AND doc_id % 2 = 0")},
+         ${unigramEncodeCtesP("a")},
+         ${unigramCoreSqlP("b", "")},
+         ${unigramEncodeCtesP("b")}
+         SELECT * FROM (
+           SELECT doc_id, n_words, n_pieces, cost_sum,
+                  CAST(1 AS BIGINT) AS vocab_gen
+           FROM (${unigramEncodeSelectP("a")})
            UNION ALL
-           SELECT x.word, x.pos + c1.l, x.c + c1.cost, x.n + 1,
-                  x.p || ' ' || c1.piece
-           FROM paths2 x JOIN c1
-             ON substr(x.word, x.pos + 1, CAST(c1.l AS INT)) = c1.piece
-           WHERE x.pos < len(x.word)),
-         best2 AS (
-           SELECT word, c, n FROM (
-             SELECT word, c, n, row_number() OVER (
-               PARTITION BY word ORDER BY c ASC, n ASC, p ASC) AS rn
-             FROM paths2 WHERE pos = len(word)) WHERE rn = 1),
-         occ AS (
-           SELECT doc_id,
-             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-           FROM documents)
-         SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
-                CAST(sum(b.n) AS BIGINT) AS n_pieces,
-                CAST(sum(b.c) AS BIGINT) AS cost_sum
-         FROM (SELECT doc_id, word FROM occ WHERE len(word) <= 16) o
-         JOIN best2 b USING (word)
-         GROUP BY 1 ORDER BY o.doc_id ASC"""
+           SELECT doc_id, n_words, n_pieces, cost_sum,
+                  CAST(2 AS BIGINT) AS vocab_gen
+           FROM (${unigramEncodeSelectP("b")}))
+         ORDER BY vocab_gen ASC, doc_id ASC"""
+    // x226/x227 share the two-sample KS oracle, parameterized by the
+    // two sides' WHERE clauses
+    def kllKsOracle(whereA: String, whereB: String): String =
+      s"""WITH va AS (SELECT CAST(n_chars AS DOUBLE) AS v
+               FROM documents $whereA),
+         vb AS (SELECT CAST(n_chars AS DOUBLE) AS v
+               FROM documents $whereB),
+         na AS (SELECT count(*) AS n_a FROM va),
+         nb AS (SELECT count(*) AS n_b FROM vb),
+         vals AS (SELECT DISTINCT v FROM
+           (SELECT v FROM va UNION ALL SELECT v FROM vb)),
+         ca AS (SELECT vals.v, count(va.v) AS cum_a
+                FROM vals LEFT JOIN va ON va.v <= vals.v GROUP BY 1),
+         cb AS (SELECT vals.v, count(vb.v) AS cum_b
+                FROM vals LEFT JOIN vb ON vb.v <= vals.v GROUP BY 1),
+         d AS (SELECT max(abs(ca.cum_a * nb.n_b - cb.cum_b * na.n_a))
+                 AS ks_num
+               FROM ca JOIN cb USING (v), na, nb)
+         SELECT CAST(na.n_a AS BIGINT) AS n_a,
+                CAST(nb.n_b AS BIGINT) AS n_b,
+                CAST(d.ks_num AS BIGINT) AS ks_num,
+                round(CAST(d.ks_num AS DOUBLE) /
+                  (CAST(na.n_a AS DOUBLE) * CAST(nb.n_b AS DOUBLE)), 6)
+                  AS ks
+         FROM d, na, nb"""
     // x85 hybrid retrieval: the BM25 lexical list (x80, re-ranked into
     // retriever-list form) fused with the exact-cosine (x05) and
     // sign-LSH (x07) vector lists for query 0 — a 3-way reciprocal-rank
@@ -7740,6 +7916,9 @@ object SparkEntry {
       // land the identical estimates — same oracle verbatim.
       "x184_countmin_freq" -> cmsOracle,
       "x188_cms_sketch_merge" -> cmsOracle,
+      // x228: streamed counter segments — same oracle verbatim (the
+      // x189/x194 relationship)
+      "x228_stream_cms_sketch" -> cmsOracle,
       // x190: negated delete segments net out — the one-shot sketch
       // over the surviving rows
       "x190_cms_sketch_delete" ->
@@ -7771,6 +7950,16 @@ object SparkEntry {
            SELECT sel.q_micros, CAST(sel.n AS BIGINT) AS n,
                   CAST(sel.k AS BIGINT) AS k, r.v AS est
            FROM sel JOIN r ON r.rn = sel.k ORDER BY q_micros ASC""",
+      // x226/x227: the textbook two-sample KS in the exact regime —
+      // cumulative counts per side over the union of values, integer
+      // cross-product numerator, one division (x227 compares A∪B
+      // against A — the save slice vs the post-append state)
+      "x226_kll_ks_drift" -> kllKsOracle(
+        "WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL",
+        "WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL"),
+      "x227_kll_version_drift" -> kllKsOracle(
+        "WHERE n_chars IS NOT NULL",
+        "WHERE doc_id % 3 <> 0 AND n_chars IS NOT NULL"),
       // x225: the same exact-regime order statistics, grouped per lang
       "x225_kll_by_group" ->
         """WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v
@@ -7836,6 +8025,9 @@ object SparkEntry {
       // codegen'd Viterbi DP, integer micronat costs end to end
       "x215_unigram_learn" -> unigramLearnOracle,
       "x216_unigram_encode" -> unigramEncodeOracle,
+      // x230: two tokenizer generations (half-corpus learn, full-corpus
+      // retrain) encoding the same documents, tagged by vocab_gen
+      "x230_unigram_vocab_persist" -> unigramPersistOracle,
       // x189: streamed register segments — same oracle verbatim again
       "x189_stream_hll_sketch" -> hllOracle,
       // x187: the same registers and integer denominator, grouped
@@ -7960,6 +8152,18 @@ object SparkEntry {
            FROM ph a JOIN ph b ON a.doc_id < b.doc_id
            WHERE bit_count(xor(a.phash, b.phash)) <= 7
            ORDER BY doc_a ASC, doc_b ASC""",
+      // x229: the brute-force admission decision over the closed-form
+      // pHashes — incoming (doc_id % 4 = 0) with NO ledgered doc
+      // within Hamming 7 (the x199/x210 shape on the third modality)
+      "x229_phash_ledger_admit" ->
+        s"""WITH $phashSigCte
+           SELECT i.doc_id
+           FROM (SELECT * FROM ph WHERE doc_id % 4 = 0) i
+           WHERE NOT EXISTS (
+             SELECT 1 FROM ph x
+             WHERE x.doc_id % 4 <> 0
+               AND bit_count(xor(x.phash, i.phash)) <= 7)
+           ORDER BY i.doc_id ASC""",
       "x196_dhash_neardup_pairs" ->
         s"""WITH $dhashSigCte
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1917,6 +1917,67 @@ object Corpus {
         col("est")): _*)
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift from KLL sketches (x226) —
+    * the rank-space member of the drift family: [[histDrift]]'s L1
+    * needs the histogram's a-priori bucket grid; KS from two KLL item
+    * tables needs no range hint and reads the classic sup-distance
+    * between the two empirical CDFs, D = max_v |F_a(v) − F_b(v)| ∈
+    * [0, 1]. Exact-integer discipline end to end: the numerator is
+    * max |cum_a·n_b − cum_b·n_a| over the union of observed item
+    * values (cross-products in Decimal(38,0), the [[histDrift]]
+    * overflow rule), ONE final division. In the exact regime (k above
+    * both sides) this IS the textbook two-sample KS statistic,
+    * oracle-checkable; under compaction the error is bounded by the
+    * two sketches' rank errors (≈ ε_a + ε_b), pinned in the spec.
+    *
+    * Scale shape: two O(3k) sketches, then every join runs over the
+    * ≤6k-value union table — broadcast theta joins, a 1-row totals
+    * cross join, never a corpus scan or sort. Empty sides error (the
+    * [[histDrift]] contract). */
+  def kllKsDrift(a: DataFrame, b: DataFrame, valueCol: Column, k: Int)
+      : DataFrame =
+    kllKsDriftFromItems(kllItems(a, valueCol, k),
+      kllItems(b, valueCol, k))
+
+  /** [[kllKsDrift]]'s tail over two (level, v) item tables — split out
+    * so drift can be measured between PERSISTED sketch snapshots
+    * ([[kllSketchState]], the x212 MVCC shape — x227) without
+    * rescanning the corpora behind them. */
+  def kllKsDriftFromItems(ia: DataFrame, ib: DataFrame): DataFrame = {
+    def weighted(items: DataFrame) = items
+      .select(col("v"),
+        call_function("shiftleft", lit(1L), col("level")).as("w"))
+      .groupBy("v").agg(sum("w").as("w"))
+    val ma = weighted(ia)
+    val mb = weighted(ib)
+    val vals = ma.select("v").unionByName(mb.select("v")).distinct()
+    def cum(m: DataFrame, out: String) = vals
+      .join(broadcast(m.select(col("v").as("_v2"), col("w"))),
+        col("_v2") <= col("v"), "left")
+      .groupBy("v").agg(coalesce(sum("w"), lit(0L)).as(out))
+    val joined = cum(ma, "cum_a").join(cum(mb, "cum_b"), "v")
+    val totals = ma.agg(coalesce(sum("w"), lit(0L)).as("n_a"))
+      .crossJoin(broadcast(
+        mb.agg(coalesce(sum("w"), lit(0L)).as("n_b"))))
+    joined.crossJoin(broadcast(totals))
+      .select(abs(dec38(col("cum_a")) * dec38(col("n_b")) -
+        dec38(col("cum_b")) * dec38(col("n_a"))).as("d"),
+        col("n_a"), col("n_b"))
+      .groupBy("n_a", "n_b")
+      .agg(max("d").as("ks_dec"))
+      .select(col("n_a"), col("n_b"),
+        longExact(col("ks_dec"),
+          "kllKsDrift: KS numerator exceeds Long range").as("ks_num"))
+      .select(col("n_a"), col("n_b"), col("ks_num"),
+        when(col("n_a") === 0L || col("n_b") === 0L,
+          raise_error(lit("kllKsDrift: empty snapshot side — both " +
+            "sketches must be non-empty")).cast(DoubleType))
+          .otherwise(round(col("ks_num").cast(DoubleType) /
+            (dec38(col("n_a")) * dec38(col("n_b"))).cast(DoubleType),
+            6))
+          .as("ks"))
+  }
+
   /** Persist a KLL sketch as a MERGEABLE index: the (level, v) item
     * table under `items/base`, `k` under `params/base` (serves can
     * never re-sketch with mismatched geometry), manifest versions for

@@ -1844,8 +1844,16 @@ object TextAnalysis {
     * across engines and runs. Yields a struct (c, n, p) or NULL when
     * the word cannot be segmented (a character outside the vocab). */
   private[ext] def viterbiSeg(word: Column, costs: Column): Column = {
+    // the explicit cast makes the DP array's element type NULLABLE —
+    // dead states (a character outside the vocab) are stored as null
+    // entries, and a non-nullable element type would NPE in codegen
+    // (a when(true,…) wrapper won't do: SimplifyConditionals folds it
+    // away and restores the non-nullable type)
+    val dpType = ArrayType(StructType(Seq(
+      StructField("c", LongType), StructField("n", IntegerType),
+      StructField("p", StringType))), containsNull = true)
     val init = array(struct(lit(0L).as("c"), lit(0).as("n"),
-      lit("").as("p")))
+      lit("").as("p"))).cast(dpType)
     val dp = aggregate(
       sequence(lit(1), length(word)),
       init,
@@ -1964,6 +1972,68 @@ object TextAnalysis {
       import spark.implicits._
       rows.toDF("piece", "n_uses", "cost_micronats")
     } finally Checkpoints.release(w)
+  }
+
+  /** Persist a learned unigram vocabulary as a VERSIONED tokenizer
+    * file under the [[graft.sinks.IndexManifest]] protocol (x230):
+    * training data changes but models must reproduce — the tokenizer
+    * an old run trained with must stay loadable AT ITS VERSION
+    * forever. One `vocab` table, full-replacement generations
+    * (tokenizers retrain, they never merge — the x108 retrain shape),
+    * time travel via `asOfVersion`. */
+  def saveUnigramVocab(vocab: DataFrame, path: String): Unit = {
+    vocab.select("piece", "n_uses", "cost_micronats").coalesce(1)
+      .write.mode("errorifexists").parquet(s"$path/vocab/base")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      vocab.sparkSession.sessionState.newHadoopConf())
+    graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
+      graft.sinks.IndexSnapshot(0L, Map("vocab" -> Seq("base")),
+        Seq("base")))
+  }
+
+  /** Retrain a persisted tokenizer on a new corpus: the new vocabulary
+    * lands as its own generation segment and REPLACES the old one in
+    * a single manifest commit (readers pinned to an older version keep
+    * the old generation — reproducibility is the point). */
+  def retrainUnigramVocab(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, textCol: String,
+      seedMulti: Int = 150, vocabMulti: Int = 60): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no tokenizer manifest at $path (not a saveUnigramVocab " +
+          "directory)"))
+    val seg = s"gen_v${snap.version + 1}"
+    unigramLearn(docs, textCol, seedMulti, vocabMulti).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/vocab/$seg")
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      c.copy(tables = c.tables + ("vocab" -> Seq(seg)))
+    }
+  }
+
+  /** Load one tokenizer generation as the (piece, cost) list
+    * [[unigramEncode]] consumes — a vocabulary-sized driver read (the
+    * tokenizer file), ordered by piece for determinism. */
+  def loadUnigramVocab(spark: org.apache.spark.sql.SparkSession,
+      path: String, asOfVersion: Option[Long] = None)
+      : Seq[(String, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = asOfVersion
+      .map(v => graft.sinks.IndexManifest.at(fs, path, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"no tokenizer manifest v$v at $path (vacuumed or never " +
+            "existed)")))
+      .getOrElse(graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no tokenizer manifest at $path")))
+    val segs = snap.segs("vocab")
+    require(segs.nonEmpty, s"snapshot v${snap.version} has no vocab")
+    spark.read.parquet(segs.map(seg => s"$path/vocab/$seg"): _*)
+      .select("piece", "cost_micronats").orderBy("piece")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
   }
 
   /** Apply a learned unigram vocabulary ([[unigramLearn]] output rows

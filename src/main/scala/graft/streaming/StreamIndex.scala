@@ -280,6 +280,39 @@ object StreamIndex {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streamed maintenance of a persisted COUNT-MIN sketch (gated
+    * x228, completing the streamed-writer symmetry across the sketch
+    * family: HLL x189, histogram x194, KLL x221, CMS here): arriving
+    * key files land each micro-batch's (d, slot, c) counters as their
+    * own [[graft.ext.Corpus.saveCmsSketch]] segment with the index's
+    * PERSISTED (depth, width). Counters merge by ADDITION (order-free),
+    * so any arrival order serves identical estimates. The batchId
+    * hashes `idCol` — a column unique per batch (an event id), NOT
+    * necessarily the sketch key (`keyCol` may legitimately repeat its
+    * multiset across batches; two different event batches from the
+    * same users must both count). Same append-only
+    * distinct-by-content contract as [[histSketchAppendWriter]]. */
+  def cmsSketchAppendWriter(spark: SparkSession, keysDir: String,
+      schema: StructType, sketchPath: String, keyCol: String,
+      idCol: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(keysDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (bid, _) = contentBatchId(b, idCol)
+          graft.ext.Corpus.appendToCmsSketch(s, sketchPath, b,
+            col(keyCol), bid)
+        } finally b.unpersist(blocking = false)
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** Streamed maintenance of a persisted KLL quantile sketch (gated
     * x221): each micro-batch is sketched with the index's PERSISTED k
     * and lands as its own (level, v) item segment of a

@@ -143,6 +143,10 @@ class PlanAuditSpec extends SparkSpec {
       // Corpus.kllQuantileEstimates scaladoc)
       "x213_kll_quantiles", "x220_kll_sketch_lifecycle",
       "x221_stream_kll_sketch", "x222_kll_exact", "x225_kll_by_group",
+      // x226/x227: the KS tail runs over the two sketches' ≤6k-value
+      // union — broadcast theta cumulative joins + a 1-row totals
+      // cross join, the same bounded sanction
+      "x226_kll_ks_drift", "x227_kll_version_drift",
       // x214 cross-joins three PROVABLY 1-row register-estimate
       // aggregates (est_a, est_b, est_union) — the x69 shape over
       // kilobyte register tables

@@ -2488,6 +2488,41 @@ class ExtSpec extends SparkSpec {
     assert(plain == Map(1L -> ((3L, 8L, 8L)), 2L -> ((2L, 4L, 4L))))
   }
 
+  test("x230 tokenizer persistence: save/load round-trips the " +
+      "vocabulary; retrain swaps generations in one commit; time " +
+      "travel replays the old generation; unsegmentable words drop") {
+    val d = Seq((1L, "abcd abcd abcd"), (2L, "zz zz")).toDF(
+      "doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_univocab").resolve("idx").toString
+    // gen 1 learns on doc 1 only — its alphabet has no 'z'
+    val gen1 = TextAnalysis.unigramLearn(
+      d.filter($"doc_id" === 1), "text")
+    TextAnalysis.saveUnigramVocab(gen1, idx)
+    val v1 = Corpus.histSketchVersion(spark, idx)
+    assert(TextAnalysis.loadUnigramVocab(spark, idx) ==
+      gen1.orderBy("piece").collect()
+        .map(r => (r.getString(0), r.getLong(2))).toSeq)
+    // gen-1 encode of the full frame: doc 2's words are
+    // unsegmentable ('z' unseen) and DROP — doc 2 emits no row
+    val encOld = TextAnalysis.unigramEncode(d, "doc_id", "text",
+        TextAnalysis.loadUnigramVocab(spark, idx))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(encOld.map(_._1).toSet == Set(1L))
+    // retrain on the full corpus — new generation covers 'z'
+    TextAnalysis.retrainUnigramVocab(spark, idx, d, "text")
+    val encNew = TextAnalysis.unigramEncode(d, "doc_id", "text",
+        TextAnalysis.loadUnigramVocab(spark, idx))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(encNew.map(_._1).toSet == Set(1L, 2L))
+    // time travel: the pinned old generation still serves byte-same
+    assert(TextAnalysis.loadUnigramVocab(spark, idx, Some(v1)) ==
+      gen1.orderBy("piece").collect()
+        .map(r => (r.getString(0), r.getLong(2))).toSeq)
+    intercept[IllegalArgumentException](
+      TextAnalysis.loadUnigramVocab(spark, idx, Some(99L)))
+  }
+
   test("viterbiSeg == exhaustive min-(cost, n_pieces, path) " +
       "segmentation over all {a,b}-words to length 6; unsegmentable " +
       "words yield null") {

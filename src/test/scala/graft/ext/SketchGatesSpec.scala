@@ -251,6 +251,50 @@ class SketchGatesSpec extends SparkSpec {
     }
   }
 
+  test("x226 KLL KS drift: exact regime equals the textbook " +
+      "two-sample KS; identity → 0; disjoint ranges → 1; compaction " +
+      "error bounded by the two sketches' rank errors") {
+    val docs = Tables.load(spark, Sf001, "documents")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    // reference KS over raw values
+    val va = a.select(col("n_chars")).as[Long].collect().sorted
+    val vb = b.select(col("n_chars")).as[Long].collect().sorted
+    def ksExact(xa: Array[Long], xb: Array[Long]): Double = {
+      val vals = (xa ++ xb).distinct.sorted
+      vals.map { v =>
+        math.abs(xa.count(_ <= v).toDouble / xa.length -
+          xb.count(_ <= v).toDouble / xb.length)
+      }.max
+    }
+    val want = ksExact(va, vb)
+    val exact = Corpus.kllKsDrift(a, b, col("n_chars"), k = 1024)
+      .as[(Long, Long, Long, Double)].head()
+    assert(exact._1 == va.length && exact._2 == vb.length)
+    assert(math.abs(exact._4 - want) < 1e-6,
+      s"exact-regime KS ${exact._4} != reference $want")
+    // identity → 0 (even under compaction: both sides build the SAME
+    // deterministic single-partition sketch)
+    val same = Corpus.kllKsDrift(a.repartition(1), a.repartition(1),
+        col("n_chars"), k = 64)
+      .as[(Long, Long, Long, Double)].head()
+    assert(same._3 == 0L && same._4 == 0.0)
+    // disjoint value ranges → 1.0 regardless of compaction
+    val lo = Seq.tabulate(200)(i => i.toLong).toDF("v")
+    val hi = Seq.tabulate(200)(i => 10000L + i).toDF("v")
+    val dj = Corpus.kllKsDrift(lo, hi, col("v"), k = 64)
+      .as[(Long, Long, Long, Double)].head()
+    assert(dj._4 == 1.0, s"disjoint KS must be 1.0 (got ${dj._4})")
+    // compaction-active accuracy: |ks_est − ks_exact| ≤ ε_a + ε_b
+    // (5% per side pinned by the x213 gate → 0.10 here)
+    val approx = Corpus.kllKsDrift(a, b, col("n_chars"), k = 64)
+      .as[(Long, Long, Long, Double)].head()
+    assert(approx._1 == va.length && approx._2 == vb.length,
+      "compaction must conserve both sides' exact n")
+    assert(math.abs(approx._4 - want) <= 0.10,
+      s"compacted KS ${approx._4} drifts > 0.10 from $want")
+  }
+
   test("x222 KLL exact regime: k above n → estimates ARE the ⌈q·n⌉-th " +
       "order statistics, negatives included (no bucket grid)") {
     val docs = Tables.load(spark, Sf001, "documents")
