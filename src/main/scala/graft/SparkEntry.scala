@@ -3457,6 +3457,39 @@ object SparkEntry {
         "user_id")
     },
 
+    // ingest novelty from HLL version overlap (x231): x214's
+    // inclusion-exclusion pointed at TWO VERSIONS OF ONE index — the
+    // x212 MVCC composition on the distinct-count axis. retention =
+    // |old∩new|/|new| (the share of today's distinct keys that
+    // predate the append), novelty = 1 − retention: the "is this
+    // crawl actually new data" scorecard, answered from two kilobyte
+    // register reads, no corpus rescan.
+    "x231_ingest_novelty" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val idx = scratchDir("novelty231")
+      graft.ext.Corpus.saveHllSketch(
+        ev.filter(col("event_id") % 3 =!= 0), col("event_id"), idx)
+      val v1 = graft.ext.Corpus.histSketchVersion(s, idx)
+      graft.ext.Corpus.appendToHllSketch(s, idx,
+        ev.filter(col("event_id") % 3 === 0), col("event_id"), "b1")
+      graft.ext.Corpus.hllSketchOverlap(s, idx, idx,
+          asOfA = Some(v1), asOfB = None)
+        .select(col("est_a").as("est_old"), col("est_b").as("est_new"),
+          col("est_intersect"),
+          col("containment_b").as("retention"),
+          round(lit(1.0) - col("containment_b"), 6).as("novelty"))
+    },
+
+    // CDF-at-threshold from the KLL sketch (x232): the inverse read of
+    // x213 — "what fraction of docs are under these length bars", the
+    // budget/threshold-planning question, with no bucket grid. Exact
+    // regime at sf0.01 (k=1024) → the empirical CDF, oracle-checked.
+    "x232_kll_cdf" -> ((s, dir) =>
+      graft.ext.Corpus.kllCdfAt(T(s, dir, "documents"),
+          col("n_chars"), k = 1024,
+          thresholds = Seq(100.0, 200.0, 400.0))
+        .orderBy(col("t").asc)),
+
     // KS drift from KLL sketches (x226): the rank-space member of the
     // drift family — histDrift's L1 needs the histogram's a-priori
     // bucket grid; the two-sample Kolmogorov-Smirnov sup-distance
@@ -8020,6 +8053,40 @@ object SparkEntry {
       // x214: inclusion-exclusion + containment over the two slices'
       // deterministic registers — every number replicated
       "x214_corpus_overlap" -> overlapOracle,
+      // x231: x214's register pipeline on two versions of one index —
+      // old slice vs full corpus, retention/novelty from the same
+      // rounded containment
+      "x231_ingest_novelty" ->
+        s"""WITH ra AS (${hllRegsSqlFor("WHERE event_id % 3 <> 0")}),
+           rb AS (${hllRegsSqlFor("")}),
+           ru AS (SELECT bucket, max(m) AS m FROM
+                    (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+                  GROUP BY 1),
+           ea AS (${hllEstSql.replace("%s", "ra")}),
+           eb AS (${hllEstSql.replace("%s", "rb")}),
+           eu AS (${hllEstSql.replace("%s", "ru")})
+           SELECT ea.e AS est_old, eb.e AS est_new,
+                  greatest(round(ea.e + eb.e - eu.e, 2), 0.0)
+                    AS est_intersect,
+                  round(greatest(round(ea.e + eb.e - eu.e, 2), 0.0)
+                    / eb.e, 6) AS retention,
+                  round(1.0 - round(greatest(round(ea.e + eb.e - eu.e,
+                    2), 0.0) / eb.e, 6), 6) AS novelty
+           FROM ea, eb, eu""",
+      // x232: the empirical CDF at each threshold — exact regime, so
+      // counts over the raw values
+      "x232_kll_cdf" ->
+        """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v
+               FROM documents WHERE n_chars IS NOT NULL),
+           n AS (SELECT count(*) AS n FROM v),
+           t AS (SELECT CAST(unnest([100.0, 200.0, 400.0]) AS DOUBLE)
+                   AS t)
+           SELECT t.t, CAST(n.n AS BIGINT) AS n,
+                  CAST((SELECT count(*) FROM v WHERE v.v <= t.t)
+                    AS BIGINT) AS le_w,
+                  round((SELECT count(*) FROM v WHERE v.v <= t.t)
+                    * 1.0 / n.n, 6) AS cdf
+           FROM t, n ORDER BY t.t ASC""",
       // x215/x216: the full unigram-LM pipeline unrolled declaratively
       // — recursive-CTE segmentation enumeration against the engine's
       // codegen'd Viterbi DP, integer micronat costs end to end

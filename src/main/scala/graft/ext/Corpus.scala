@@ -1978,6 +1978,42 @@ object Corpus {
           .as("ks"))
   }
 
+  /** Empirical-CDF estimates at caller-supplied thresholds from a KLL
+    * sketch (x232) — the inverse read of [[kllQuantiles]]: "what
+    * fraction of documents are under 512 tokens / what share of
+    * scores clear 0.8" (the budget/threshold-planning questions) with
+    * no bucket grid. cdf(t) = (Σ weight of items ≤ t) / n; in the
+    * exact regime this IS the empirical CDF (oracle-checked), under
+    * compaction the error is the sketch's rank error. One bounded
+    * broadcast theta join per read. Output, one row per threshold:
+    * (t, n, le_w, cdf). */
+  def kllCdfAt(df: DataFrame, valueCol: Column, k: Int,
+      thresholds: Seq[Double]): DataFrame =
+    kllCdfFromItems(kllItems(df, valueCol, k), thresholds)
+
+  /** [[kllCdfAt]]'s tail over a (level, v) item table (persisted
+    * snapshots via [[kllSketchState]]). */
+  def kllCdfFromItems(items: DataFrame, thresholds: Seq[Double])
+      : DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val merged = items
+      .select(col("v"),
+        call_function("shiftleft", lit(1L), col("level")).as("w"))
+      .groupBy("v").agg(sum("w").as("w"))
+    val n = merged.agg(coalesce(sum("w"), lit(0L)).as("n"))
+    val ts = explode(array(thresholds.map(lit): _*)).as("t")
+    n.select(ts, col("n"))
+      .join(broadcast(merged), col("v") <= col("t"), "left")
+      .groupBy("t", "n")
+      .agg(coalesce(sum("w"), lit(0L)).as("le_w"))
+      .select(col("t"), col("n"), col("le_w"),
+        when(col("n") === 0L,
+          raise_error(lit("kllCdfAt: empty sketch")).cast(DoubleType))
+          .otherwise(round(col("le_w").cast(DoubleType) /
+            col("n").cast(DoubleType), 6))
+          .as("cdf"))
+  }
+
   /** Persist a KLL sketch as a MERGEABLE index: the (level, v) item
     * table under `items/base`, `k` under `params/base` (serves can
     * never re-sketch with mismatched geometry), manifest versions for

@@ -147,6 +147,12 @@ class PlanAuditSpec extends SparkSpec {
       // union — broadcast theta cumulative joins + a 1-row totals
       // cross join, the same bounded sanction
       "x226_kll_ks_drift", "x227_kll_version_drift",
+      // x232: thresholds (a literal list off a 1-row total) theta-join
+      // the bounded item table — the same sketch-bounded sanction
+      "x232_kll_cdf",
+      // x231: x214's three 1-row register-estimate cross joins, read
+      // from two versions of one index
+      "x231_ingest_novelty",
       // x214 cross-joins three PROVABLY 1-row register-estimate
       // aggregates (est_a, est_b, est_union) — the x69 shape over
       // kilobyte register tables

@@ -251,6 +251,58 @@ class SketchGatesSpec extends SparkSpec {
     }
   }
 
+  test("x232 KLL CDF: exact regime equals the empirical CDF; " +
+      "compaction error stays within the rank bound; monotone in t") {
+    val docs = Tables.load(spark, Sf001, "documents")
+    val vals = docs.select(col("n_chars")).as[Long].collect()
+    val ts = Seq(100.0, 200.0, 400.0)
+    val exact = Corpus.kllCdfAt(docs, col("n_chars"), 1024, ts)
+      .as[(Double, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    ts.foreach { t =>
+      val want = vals.count(_ <= t).toDouble / vals.length
+      assert(math.abs(exact(t) - want) < 1e-6,
+        s"exact-regime cdf($t)=${exact(t)} != $want")
+    }
+    val approx = Corpus.kllCdfAt(docs, col("n_chars"), 64, ts)
+      .as[(Double, Long, Long, Double)].collect()
+      .sortBy(_._1)
+    approx.foreach { case (t, n, _, cdf) =>
+      assert(n == vals.length, "weight must be conserved")
+      val want = vals.count(_ <= t).toDouble / vals.length
+      assert(math.abs(cdf - want) <= 0.05,
+        s"compacted cdf($t)=$cdf drifts > 0.05 from $want")
+    }
+    assert(approx.map(_._4).sliding(2).forall(w =>
+      w.length < 2 || w(0) <= w(1)), "CDF must be monotone")
+    intercept[IllegalArgumentException](
+      Corpus.kllCdfAt(docs, col("n_chars"), 64, Seq.empty))
+  }
+
+  test("x231 ingest novelty: retention tracks |old|/|new| between two " +
+      "index versions; appending NOTHING new → novelty 0") {
+    val ev = Tables.load(spark, Sf001, "events")
+    val old = ev.filter(col("event_id") % 3 =!= 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_nov231").resolve("idx").toString
+    Corpus.saveHllSketch(old, col("event_id"), idx)
+    val v1 = Corpus.histSketchVersion(spark, idx)
+    Corpus.appendToHllSketch(spark, idx,
+      ev.filter(col("event_id") % 3 === 0), col("event_id"), "b1")
+    val got = Corpus.hllSketchOverlap(spark, idx, idx,
+        asOfA = Some(v1), asOfB = None)
+      .as[(Double, Double, Double, Double, Double)].head()
+    val trueRet = old.select("event_id").distinct().count().toDouble /
+      ev.select("event_id").distinct().count()
+    assert(math.abs(got._5 - trueRet) <= 0.15,
+      s"retention ${got._5} vs exact $trueRet")
+    // replaying the same batch (applied no-op) keeps versions stable;
+    // overlap of a version with itself is exact identity
+    val self = Corpus.hllSketchOverlap(spark, idx, idx)
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(self._5 == 1.0, "self-overlap retention must be exactly 1")
+  }
+
   test("x226 KLL KS drift: exact regime equals the textbook " +
       "two-sample KS; identity → 0; disjoint ranges → 1; compaction " +
       "error bounded by the two sketches' rank errors") {
