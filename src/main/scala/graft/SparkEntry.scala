@@ -3016,7 +3016,7 @@ object SparkEntry {
         base + "/vals")
       val schema = s.read.parquet(base + "/vals").schema
       val q = graft.streaming.StreamIndex.histSketchAppendWriter(s,
-          base + "/vals", schema, base + "/idx", "n_chars")
+          base + "/vals", schema, base + "/idx", "n_chars", "doc_id")
         .option("checkpointLocation", base + "/ckpt").start()
       q.awaitTermination()
       graft.ext.Corpus.queryHistSketch(s, base + "/idx",
@@ -3331,7 +3331,7 @@ object SparkEntry {
         base + "/vals")
       val schema = s.read.parquet(base + "/vals").schema
       val q = graft.streaming.StreamIndex.kllSketchAppendWriter(s,
-          base + "/vals", schema, base + "/idx", "n_chars")
+          base + "/vals", schema, base + "/idx", "n_chars", "doc_id")
         .option("checkpointLocation", base + "/ckpt").start()
       q.awaitTermination()
       graft.ext.Corpus.queryKllSketch(s, base + "/idx",

@@ -2081,8 +2081,22 @@ object Corpus {
     val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
       throw new IllegalArgumentException(
         s"no sketch manifest at $path (not a saveKllSketch directory)"))
+    compactKllSketchFrom(spark, path, snap)
+  }
+
+  private[ext] def compactKllSketchFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: graft.sinks.IndexSnapshot): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
     val k = kllParams(spark, path, snap)
-    val (items, _) = kllSketchState(spark, path)
+    // the fold reads exactly THIS snapshot's segments (not "latest"),
+    // so the commit below can name what it folded
+    val folded = snap.segs("items")
+    require(folded.nonEmpty,
+      s"snapshot v${snap.version} has no segments")
+    val items = spark.read.parquet(
+      folded.map(sg => s"$path/items/$sg"): _*)
     val sk = new graft.functions.KllAgg.Sketch(k)
     // bounded collect: ≤ 3k items per segment — sketch state, not data
     items.select(col("level"), col("v"))
@@ -2091,12 +2105,29 @@ object Corpus {
     sk.compactPass()
     val compacted = sk.itemRows
     import spark.implicits._
-    val seg = s"compact_v${snap.version + 1}"
+    // UUID suffix: a LOSING compaction must never overwrite the
+    // directory a winning one already committed (segments are
+    // immutable once referenced) — compactBm25IndexFrom's rule
+    val seg = s"compact_v${snap.version + 1}_" +
+      java.util.UUID.randomUUID().toString.take(8)
     compacted.toDF("level", "v").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/items/$seg")
+    val foldedSet = folded.toSet
     graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
       val c = cur.getOrElse(snap)
-      c.copy(tables = c.tables + ("items" -> Seq(seg)))
+      // an append that committed mid-fold added a segment this fold
+      // never read — carry it, or its items (whose batchId stays in
+      // `applied`, making replay a no-op) would be silently lost; a
+      // concurrent compaction that already folded our segments holds
+      // their items in ITS output — committing ours too would
+      // double-count, so fail hard (compactBm25IndexFrom's guard)
+      require(foldedSet.subsetOf(c.segs("items").toSet),
+        "a concurrent compaction already folded segments this " +
+          "compaction read — committing both copies would double-" +
+          "count every item; rerun compactKllSketch against the new " +
+          "snapshot")
+      c.copy(tables = c.tables + ("items" ->
+        (seg +: c.segs("items").filterNot(foldedSet))))
     }
   }
 

@@ -130,6 +130,13 @@ private[graft] object IndexManifest {
   def at(fs: FileSystem, root: String, version: Long)
       : Option[IndexSnapshot] = readVersion(fs, root, version)
 
+  /** Whether the manifest FILE for `version` is present — lets a
+    * deleter distinguish "vacuumed/never committed" (skip) from
+    * "exists but unreadable right now" (MUST abort: [[at]] returning
+    * None may be a transient read failure, not a torn commit). */
+  private[sinks] def versionFileExists(fs: FileSystem, root: String,
+      version: Long): Boolean = fs.exists(path(root, version))
+
   /** Commit `merge(latest)` as the next manifest version via the CAS
     * loop: on a version collision the merge re-runs against the
     * winner's snapshot, so concurrent committers compose instead of

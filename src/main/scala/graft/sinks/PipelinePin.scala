@@ -83,17 +83,32 @@ object PipelinePin {
     * a pin-aware index vacuum must honor (x224): however old, a leg
     * version a live pin still names must survive the leg's own
     * retention until the PIN is vacuumed first (vacuum order: pins,
-    * then legs). A torn pin FILE names nothing (no reader can serve
-    * it — the commit never happened); a parseable pin with torn
-    * CONTENT throws, aborting the caller's vacuum rather than letting
-    * it reclaim a possibly-live version. */
+    * then legs). This feeds a DELETER, so it fails hard on every
+    * ambiguous read: a pin version whose file is ABSENT was vacuumed
+    * (or its CAS slot was never won) and is safely skipped, but a pin
+    * file that EXISTS and doesn't parse — torn commit or transient FS
+    * read failure, indistinguishable from here — throws, aborting the
+    * caller's vacuum rather than letting it reclaim a version that
+    * pin may still name (the kept-manifest abort in
+    * [[IndexManifest.vacuum]]); likewise a parseable pin with torn
+    * CONTENT throws. */
   def liveLegVersions(fs: FileSystem, root: String, leg: String)
       : Set[Long] =
     latest(fs, root) match {
       case None => Set.empty
       case Some(newest) =>
-        (1L to newest.version)
-          .flatMap(v => at(fs, root, v))
-          .flatMap(_.indexVersions.get(leg)).toSet
+        (1L to newest.version).flatMap { v =>
+          at(fs, root, v) match {
+            case Some(pin) => pin.indexVersions.get(leg)
+            case None =>
+              if (IndexManifest.versionFileExists(fs, root, v))
+                throw new IllegalStateException(
+                  s"pin v$v at $root exists but cannot be read — " +
+                    "refusing to vacuum past it (it may still name " +
+                    "live leg versions); repair or vacuum the pin " +
+                    "directory first")
+              None
+          }
+        }.toSet
     }
 }

@@ -256,12 +256,17 @@ object StreamIndex {
     * [[hllSketchAppendWriter]] — with the addition-specific caveat
     * that contract inherits: this is an APPEND-ONLY ingest writer
     * whose micro-batches are distinct-by-content (two genuinely
-    * different batches carrying byte-identical key sets would merge to
+    * different batches carrying byte-identical id sets would merge to
     * one — a mutating stream that legitimately revisits a state needs
-    * the CDC writers' epoch-keyed ids instead). */
+    * the CDC writers' epoch-keyed ids instead). The batchId hashes
+    * `idCol` — a column unique per batch (an event/doc id), NOT the
+    * sketched value: a discretized metric's value MULTISET plausibly
+    * repeats across genuinely different batches (two days with
+    * identical length histograms), and hashing values would silently
+    * drop the second, breaking the sketch's exact-n contract. */
   def histSketchAppendWriter(spark: SparkSession, valuesDir: String,
-      schema: StructType, sketchPath: String, valueCol: String)
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+      schema: StructType, sketchPath: String, valueCol: String,
+      idCol: String): DataStreamWriter[org.apache.spark.sql.Row] =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -273,7 +278,7 @@ object StreamIndex {
         val b = batch.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val (bid, _) = contentBatchId(b, valueCol)
+          val (bid, _) = contentBatchId(b, idCol)
           graft.ext.Corpus.appendToHistSketch(s, sketchPath, b,
             col(valueCol), bid)
         } finally b.unpersist(blocking = false)
@@ -321,11 +326,13 @@ object StreamIndex {
     * the union — total weight stays exact, per-segment rank errors
     * add); [[graft.ext.Corpus.compactKllSketch]] folds the tail back
     * to one O(3k) segment out of band. Same content-derived batchId
-    * exactly-once contract — and the same distinct-by-content caveat —
-    * as [[histSketchAppendWriter]]. */
+    * exactly-once contract — and the same distinct-by-content caveat
+    * and `idCol`-not-`valueCol` batch-identity rule (KLL's "n is
+    * exact" contract is exactly what a value-multiset collision would
+    * silently break) — as [[histSketchAppendWriter]]. */
   def kllSketchAppendWriter(spark: SparkSession, valuesDir: String,
-      schema: StructType, sketchPath: String, valueCol: String)
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+      schema: StructType, sketchPath: String, valueCol: String,
+      idCol: String): DataStreamWriter[org.apache.spark.sql.Row] =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -337,7 +344,7 @@ object StreamIndex {
         val b = batch.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val (bid, _) = contentBatchId(b, valueCol)
+          val (bid, _) = contentBatchId(b, idCol)
           graft.ext.Corpus.appendToKllSketch(s, sketchPath, b,
             col(valueCol), bid)
         } finally b.unpersist(blocking = false)

@@ -417,4 +417,48 @@ class SketchGatesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.appendToKllSketch(
       spark, idx, docs, col("n_chars"), "b2/evil"))
   }
+
+  test("compactKllSketch races: a mid-fold append's segment is " +
+      "CARRIED (items survive, n stays exact, its replay still " +
+      "no-ops); a concurrent compaction folding the same segments " +
+      "aborts instead of double-counting") {
+    import graft.sinks.IndexManifest
+    val docs = Tables.load(spark, Sf001, "documents")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_kll_race").resolve("idx").toString
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    Corpus.saveKllSketch(docs.filter(col("doc_id") % 3 === 1),
+      col("n_chars"), idx, k = 64)
+    val stale = IndexManifest.latest(fs, idx).get
+    // the race: an append commits between the fold's snapshot
+    // resolution and its CAS commit
+    Corpus.appendToKllSketch(spark, idx,
+      docs.filter(col("doc_id") % 3 === 0), col("n_chars"), "b1")
+    Corpus.compactKllSketchFrom(spark, idx, stale)
+    val snap = IndexManifest.latest(fs, idx).get
+    assert(snap.segs("items").contains("delta_b1"),
+      s"mid-fold append segment must be carried: ${snap.segs("items")}")
+    assert(snap.segs("items").exists(_.startsWith("compact_v")) &&
+      !snap.segs("items").contains("base"),
+      s"the folded base must be replaced: ${snap.segs("items")}")
+    assert(snap.applied.contains("b1"))
+    val nWant = docs.filter(col("doc_id") % 3 =!= 2).count()
+    def servedN(): Long = Corpus.queryKllSketch(spark, idx,
+      Seq(500000L)).as[(Long, Long, Long, Double)].head()._2
+    assert(servedN() == nWant,
+      "carried append's items must survive the compaction (exact n)")
+    // and its applied record too: the replay still no-ops
+    Corpus.appendToKllSketch(spark, idx,
+      docs.filter(col("doc_id") % 3 === 0), col("n_chars"), "b1")
+    assert(servedN() == nWant, "replay after carry must no-op")
+    // a compaction losing its CAS window to ANOTHER compaction that
+    // folded the same segments must abort, not commit a second copy
+    val stale2 = IndexManifest.latest(fs, idx).get
+    Corpus.compactKllSketch(spark, idx)
+    val ex = intercept[IllegalArgumentException](
+      Corpus.compactKllSketchFrom(spark, idx, stale2))
+    assert(ex.getMessage.contains("concurrent compaction"))
+    assert(servedN() == nWant, "the aborted fold must change nothing")
+  }
 }

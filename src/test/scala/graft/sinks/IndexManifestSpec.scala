@@ -85,6 +85,29 @@ class IndexManifestSpec extends SparkSpec {
        | "applied": [$applied]}""".stripMargin.getBytes("UTF-8")
   }
 
+  test("liveLegVersions fails hard on an unreadable RETAINED pin " +
+      "(deleter semantics: absent = vacuumed, skip; exists-but-" +
+      "unreadable = may still name live versions, abort)") {
+    val pinRoot = scratch()
+    PipelinePin.commit(fs, pinRoot, Map("t" -> 1L))
+    PipelinePin.commit(fs, pinRoot, Map("t" -> 2L))
+    PipelinePin.commit(fs, pinRoot, Map("t" -> 3L))
+    // absent middle pin (vacuumed / CAS slot never won) → skipped
+    fs.delete(new org.apache.hadoop.fs.Path(pinRoot,
+      "manifest_v000000000002.json"), false)
+    assert(PipelinePin.liveLegVersions(fs, pinRoot, "t") ==
+      Set(1L, 3L))
+    // torn/unreadable middle pin → the vacuum that would consume this
+    // keep-set must abort, not reclaim versions the pin may name
+    val torn = fs.create(new org.apache.hadoop.fs.Path(pinRoot,
+      "manifest_v000000000002.json"), false)
+    torn.write("""{"version": 2, "tab""".getBytes("UTF-8"))
+    torn.close()
+    val ex = intercept[IllegalStateException](
+      PipelinePin.liveLegVersions(fs, pinRoot, "t"))
+    assert(ex.getMessage.contains("cannot be read"))
+  }
+
   test("a torn newest manifest falls back one version") {
     val root = scratch()
     IndexManifest.commitMerge(fs, root)(_ =>
