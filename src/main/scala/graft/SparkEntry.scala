@@ -1816,7 +1816,12 @@ object SparkEntry {
 
     // percentile length trimming: drop each language's shortest/longest
     // 5% by token count (percent_rank, partitioned by lang — exact
-    // rational ranks, engine-identical doubles).
+    // rational ranks, engine-identical doubles). This is the EXACT
+    // small-corpus form: the window sorts each whole language in one
+    // task, so at 100× a dominant language is a single-task sort —
+    // x233 is the scale-safe sketch twin (KLL thresholds broadcast
+    // back, corpus never sorts); keep this one for corpora that fit a
+    // task and need exact rational ranks in the output.
     "x60_length_trim" -> { (s, dir) =>
       val byLang = Window.partitionBy(col("lang"))
         .orderBy(col("n_tokens").asc)
@@ -1827,6 +1832,24 @@ object SparkEntry {
         .filter(col("pr") >= 0.05 && col("pr") <= 0.95)
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           round(col("pr"), 6).as("pr"))
+    },
+
+    // KLL-thresholded per-group trimming (x233): x60's curation op in
+    // the shape that survives 100× — per-language [Q(0.05), Q(0.95)]
+    // token-count bands read from the grouped KLL sketch (x225's
+    // keyed O(3k)-state aggregate) and broadcast back onto the scan:
+    // one narrow filter, no per-group sort anywhere in the plan
+    // (CorpusSpec pins the plan Window/Sort-free and the boundary/tie
+    // semantics). k=1024 puts sf0.01's groups in the exact regime, so
+    // the kept set is the ⌈q·n⌉-th-order-statistic band, oracle-green.
+    "x233_kll_length_trim" -> { (s, dir) =>
+      val t = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ext.Corpus.kllTrimByGroup(t, col("n_tokens"), Seq("lang"),
+          k = 1024, loMicros = 50000L, hiMicros = 950000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("lo"), col("hi"))
+        .orderBy(col("doc_id").asc)
     },
 
     // partition-pruned read: events staged date-partitioned, one day
@@ -9187,6 +9210,38 @@ object SparkEntry {
                  FROM t)
            SELECT doc_id, lang, n_tokens, round(pr, 6) AS pr
            FROM r WHERE pr >= 0.05 AND pr <= 0.95""",
+
+      // x233: x60's trim with sketch thresholds — exact regime, so the
+      // band ends are the per-lang ⌈q·n⌉-th order statistics (x225's
+      // rank rule) and the kept set is the inclusive band
+      "x233_kll_length_trim" ->
+        """WITH t AS (SELECT doc_id, lang,
+                CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                  AS BIGINT) AS n_tokens
+              FROM documents),
+           v AS (SELECT lang, CAST(n_tokens AS DOUBLE) AS v FROM t
+                 WHERE lang IS NOT NULL AND n_tokens IS NOT NULL),
+           n AS (SELECT lang, count(*) AS n FROM v GROUP BY 1),
+           r AS (SELECT lang, v, row_number() OVER (
+                   PARTITION BY lang ORDER BY v) AS rn FROM v),
+           q AS (SELECT CAST(unnest([50000, 950000]) AS BIGINT)
+                   AS q_micros),
+           sel AS (SELECT n.lang, q.q_micros,
+                     (q.q_micros * n.n + 999999) // 1000000 AS kk
+                   FROM q, n),
+           est AS (SELECT sel.lang, sel.q_micros, r.v AS est
+                   FROM sel JOIN r
+                     ON r.lang = sel.lang AND r.rn = sel.kk),
+           th AS (SELECT lang,
+                    min(CASE WHEN q_micros = 50000 THEN est END) AS lo,
+                    min(CASE WHEN q_micros = 950000 THEN est END)
+                      AS hi
+                  FROM est GROUP BY 1)
+           SELECT t.doc_id, t.lang, t.n_tokens, th.lo, th.hi
+           FROM t JOIN th ON th.lang = t.lang
+           WHERE CAST(t.n_tokens AS DOUBLE) >= th.lo
+             AND CAST(t.n_tokens AS DOUBLE) <= th.hi
+           ORDER BY t.doc_id ASC""",
 
       // x09's shared quality CTE (with source), then best-vs-worst per
       // source with the engine's id tie-breaks

@@ -1917,6 +1917,37 @@ object Corpus {
         col("est")): _*)
   }
 
+  /** Per-group quantile-band trim (x233): keep each group's rows whose
+    * value lies inside [Q(loMicros), Q(hiMicros)], with the per-group
+    * thresholds read from the KLL sketch ([[kllQuantilesBy]]) and
+    * BROADCAST back onto the scan — the scale-safe twin of the
+    * percent_rank window trim (x60), which puts every row of one group
+    * in ONE task's sort (at 100× a dominant language is a single-task
+    * sort of most of the corpus). Here the corpus is never sorted:
+    * pass 1 is a keyed O(3k)-state aggregate, pass 2 one narrow filter
+    * against a groups×2 broadcast table. In the exact regime (k above
+    * every group) the thresholds ARE the ⌈q·n⌉-th order statistics
+    * (oracle-checked); under compaction each threshold carries the
+    * sketch's rank error. Band ends are INCLUSIVE on the threshold
+    * values — ties with Q(lo)/Q(hi) survive (same boundary rule as the
+    * exact form's `pr >= lo && pr <= hi`). NULL groups and NULL values
+    * are dropped (the [[kllQuantilesBy]] contract). Output: the input
+    * rows that survive, plus the group's (lo, hi) thresholds. */
+  def kllTrimByGroup(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String], k: Int, loMicros: Long, hiMicros: Long)
+      : DataFrame = {
+    require(loMicros <= hiMicros,
+      s"loMicros must be <= hiMicros (got $loMicros > $hiMicros)")
+    val th = kllQuantilesBy(df, valueCol, groupCols, k,
+        Seq(loMicros, hiMicros).distinct)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        min(when(col("q_micros") === loMicros, col("est"))).as("lo"),
+        min(when(col("q_micros") === hiMicros, col("est"))).as("hi"))
+    df.join(broadcast(th), groupCols)
+      .filter(valueCol.cast(DoubleType).between(col("lo"), col("hi")))
+  }
+
   /** Two-sample Kolmogorov-Smirnov drift from KLL sketches (x226) —
     * the rank-space member of the drift family: [[histDrift]]'s L1
     * needs the histogram's a-priori bucket grid; KS from two KLL item

@@ -525,6 +525,58 @@ class CorpusSpec extends SparkSpec {
     }.getMessage.contains("precision"))
   }
 
+  test("kllTrimByGroup (x233): exact-regime band == inclusive " +
+      "order-statistic band, ties at the threshold survive, groups " +
+      "trim independently, null group/value dropped, and the plan " +
+      "carries no Window and no per-group Sort") {
+    // group A: 20 distinct values 1..20 → lo = Q(0.10) = ceil(2) = 2,
+    // hi = Q(0.90) = 18; kept = [2, 18]. group B: ties AT both band
+    // ends — surviving values (5,5,5,9,9,9) after 108's NULL drops:
+    // n=6, lo rank ceil(0.6)=1 → 5, hi rank ceil(5.4)=6 → 9; every
+    // tied 5 and 9 survives (inclusive band, the x60 boundary rule).
+    val rows =
+      (1L to 20L).map(i => (i, "A", i)) ++
+      Seq((105L, "B", 5L), (106L, "B", 5L), (107L, "B", 5L),
+        (108L, "B", 7L), (109L, "B", 9L), (110L, "B", 9L),
+        (111L, "B", 9L)) ++
+      Seq((200L, null.asInstanceOf[String], 10L))
+    val df = rows.toDF("id", "grp", "v")
+      .withColumn("v",
+        when(col("id") === 108L, lit(null).cast("long"))
+          .otherwise(col("v")))
+    val got = Corpus.kllTrimByGroup(df, col("v"), Seq("grp"),
+      k = 1024, loMicros = 100000L, hiMicros = 900000L)
+    val kept = got.select("id").as[Long].collect().toSet
+    assert(kept == ((2L to 18L).toSet ++
+      Set(105L, 106L, 107L, 109L, 110L, 111L)),
+      s"got $kept")
+    // thresholds ride along per group
+    assert(got.filter(col("grp") === "B")
+      .select("lo", "hi").distinct().as[(Double, Double)].collect()
+      .toSeq == Seq((5.0, 9.0)))
+    // the scale contract: no Window, no Sort anywhere in the plan —
+    // the corpus-side work is one keyed aggregate + one broadcast
+    // join + one filter. AQE resolves joins at execution, so audit
+    // the executed plan's final section (the ExtSpec x176 pattern).
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"), s"plan must carry no Window:\n$plan")
+    assert("(?m)\\bSort\\b|SortMergeJoin|SortAggregate".r
+      .findFirstIn(plan).isEmpty, s"plan must carry no Sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"thresholds must come back as a broadcast join:\n$plan")
+    // degenerate band: lo == hi keeps exactly the median ties
+    val med = Corpus.kllTrimByGroup(df.filter(col("grp") === "B"),
+      col("v"), Seq("grp"), k = 64, loMicros = 500000L,
+      hiMicros = 500000L).select("id").as[Long].collect().toSet
+    assert(med == Set(105L, 106L, 107L), s"got $med")
+    assert(intercept[IllegalArgumentException] {
+      Corpus.kllTrimByGroup(df, col("v"), Seq("grp"), k = 64,
+        loMicros = 900000L, hiMicros = 100000L)
+    }.getMessage.contains("loMicros"))
+  }
+
   test("temperatureMix (x161): hand-computed micro-shares; tail " +
       "up-weighted, head damped; null groups dropped; validation") {
     def words(k: Int): String = (1 to k).map(i => s"w$i").mkString(" ")
