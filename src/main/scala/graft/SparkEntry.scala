@@ -3448,6 +3448,57 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     },
 
+    // audio spectral fingerprint (x234): the FOURTH modality on the
+    // shared 64-bit signature machinery (text SimHash x04, image
+    // dHash x195, pHash x219) — real RIFF decode, channel-pooled
+    // frames nearest-neighbor-sampled onto a fixed 64-point time
+    // grid, 8 windows × 8-point integer DCT (pHash's quantize-once
+    // basis discipline), 63 time×band coefficients median-thresholded
+    // into bits. Closed-form in the id on the withWavPayload fixture.
+    "x234_audio_fingerprint" -> { (s, dir) =>
+      val wav = graft.ext.Multimodal.withWavPayload(s,
+        T(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ext.Multimodal.audioSpectralHash(s, wav, "doc_id")
+        .orderBy(col("doc_id").asc)
+    },
+
+    // audio near-dup pairs (x238): x234's signatures through the SAME
+    // banded-LSH + exact-Hamming-verify pipeline as SimHash (x04),
+    // dHash (x196), and pHash (x223) — one pair machinery, four
+    // signal axes. Oracle brute-forces all Hamming<=7 pairs over the
+    // closed-form hashes (pigeonhole: ≤7 flips over 4 bands leaves a
+    // band within 1 bit — probeBits=1 covers it).
+    "x238_audio_neardup_pairs" -> { (s, dir) =>
+      val wav = graft.ext.Multimodal.withWavPayload(s,
+        T(s, dir, "documents").select(col("doc_id")), "doc_id")
+      val sigs = graft.ext.Multimodal.audioSpectralHash(s, wav,
+          "doc_id")
+        .select(col("doc_id"), col("ahash").as("sh"))
+      graft.ext.DedupOps.simhashPairsFromSigs(sigs, maxHamming = 7,
+          bands = 4, probeBits = 1)
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+    },
+
+    // audio ledger admission (x239): the persisted 64-bit Hamming
+    // ledger's FOURTH modality (x210 text, x199 image dHash, x229
+    // pHash) — clips admitted iff no ledgered clip within Hamming 7,
+    // incremental and replay-safe under the same manifest protocol.
+    "x239_audio_ledger_admit" -> { (s, dir) =>
+      val wav = graft.ext.Multimodal.withWavPayload(s,
+        T(s, dir, "documents").select(col("doc_id")), "doc_id")
+      val sigs = graft.ext.Multimodal.audioSpectralHash(s, wav,
+          "doc_id")
+        .select(col("doc_id"), col("ahash").as("sh"))
+      val ledger = scratchDir("ahledger239")
+      graft.ext.DedupOps.saveSimhashLedger(
+        sigs.filter(pmod(col("doc_id"), lit(4)) =!= 0), ledger)
+      graft.ext.DedupOps.simhashLedgerAdmit(s, ledger,
+          sigs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          maxHamming = 7, probeBits = 1)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id").asc)
+    },
+
     // streamed CMS maintenance (x228): x188's counter segments landed
     // by a micro-batch stream — completes the streamed-writer symmetry
     // across the sketch family (HLL x189, histogram x194, KLL x221).
@@ -5952,6 +6003,38 @@ object SparkEntry {
                        ELSE 0 END) AS BIGINT) AS phash
                 FROM cf c JOIN pmed m USING (doc_id)
                 GROUP BY 1)"""
+    // x234/x238/x239: the audio spectral hash closed-form — x167's
+    // amplitude formula on the 64-point nearest-neighbor time grid,
+    // 8 windows × 8-point integer DCT (round(1e6·cos) basis, the
+    // pHash discipline), 32nd-smallest median, 63 bit decisions
+    val ahashSigCte: String =
+      """an AS (SELECT doc_id, 32 + doc_id % 64 AS n FROM documents),
+         ag AS (SELECT a.doc_id, g.j,
+                  (a.doc_id * 31 + ((g.j * a.n) // 64) * 17) % 65536
+                    - 32768 AS v
+                FROM an a, generate_series(0, 63) g(j)),
+         act AS (SELECT k.k, m.m,
+                  CAST(round(1000000.0 *
+                    cos(pi() * (2 * m.m + 1) * k.k / 16.0)) AS BIGINT)
+                    AS c
+                FROM generate_series(0, 7) k(k),
+                     generate_series(0, 7) m(m)),
+         acf AS (SELECT g.doc_id, (g.j // 8) * 8 + act.k - 1 AS i,
+                   sum(act.c * g.v) AS f
+                 FROM ag g JOIN act ON act.m = g.j % 8
+                 WHERE NOT (g.j // 8 = 0 AND act.k = 0)
+                 GROUP BY 1, 2),
+         amed AS (SELECT doc_id, f AS med FROM (
+                   SELECT doc_id, f, row_number() OVER (
+                     PARTITION BY doc_id ORDER BY f ASC) AS rn
+                   FROM acf)
+                 WHERE rn = 32),
+         ah AS (SELECT c.doc_id,
+                  CAST(sum(CASE WHEN c.f > m.med
+                       THEN (CAST(1 AS BIGINT) << CAST(c.i AS INT))
+                       ELSE 0 END) AS BIGINT) AS ahash
+                FROM acf c JOIN amed m USING (doc_id)
+                GROUP BY 1)"""
     val hllOracle: String =
       """WITH h AS (SELECT md5(CAST(event_id AS VARCHAR)) AS hx
              FROM events),
@@ -8253,6 +8336,28 @@ object SparkEntry {
              SELECT 1 FROM ph x
              WHERE x.doc_id % 4 <> 0
                AND bit_count(xor(x.phash, i.phash)) <= 7)
+           ORDER BY i.doc_id ASC""",
+      // x234/x238/x239: the audio-hash family over the closed-form
+      // spectral signatures — same shapes as x219/x223/x229
+      "x234_audio_fingerprint" ->
+        s"""WITH $ahashSigCte
+           SELECT doc_id, ahash FROM ah ORDER BY doc_id ASC""",
+      "x238_audio_neardup_pairs" ->
+        s"""WITH $ahashSigCte
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT)
+                    AS hamming
+           FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.ahash, b.ahash)) <= 7
+           ORDER BY doc_a ASC, doc_b ASC""",
+      "x239_audio_ledger_admit" ->
+        s"""WITH $ahashSigCte
+           SELECT i.doc_id
+           FROM (SELECT * FROM ah WHERE doc_id % 4 = 0) i
+           WHERE NOT EXISTS (
+             SELECT 1 FROM ah x
+             WHERE x.doc_id % 4 <> 0
+               AND bit_count(xor(x.ahash, i.ahash)) <= 7)
            ORDER BY i.doc_id ASC""",
       "x196_dhash_neardup_pairs" ->
         s"""WITH $dhashSigCte

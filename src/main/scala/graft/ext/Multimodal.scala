@@ -794,6 +794,91 @@ object Multimodal {
       }).toDF(idCol, "phash")
   }
 
+  /** Spectral band-energy fingerprint for audio (x234) — the audio
+    * member of the 64-bit perceptual-signature family (text SimHash
+    * x04, image dHash x195 / pHash x219): decode PCM16
+    * ([[audioPcmStats]]' real RIFF codec), pool channels per frame
+    * (integer sum — alignment-safe like [[audioResampleStats]]),
+    * nearest-neighbor-sample the frame sequence onto a fixed 64-point
+    * time grid (the same `src = (j·n) div 64` rational index map, so
+    * clips of different lengths land on one comparable grid), split
+    * into 8 time windows × 8 samples, take an 8-point integer DCT per
+    * window (round(1e6·cos(π(2m+1)k/16)) basis — [[imagePHash]]'s
+    * quantize-once discipline), and median-threshold the 63 non-(0,0)
+    * time×band coefficients into bits (index t·8+k−1) — always
+    * positive in a signed 64-bit lane. A time-frequency energy map
+    * thresholded at its own median is the classic band-energy
+    * fingerprint shape; the integer basis makes every coefficient,
+    * the median, and each bit decision exact, so on a
+    * [[withWavPayload]] fixture the hash is closed-form in the id.
+    *
+    * Undecodable / non-PCM16 / zero-frame payloads → NULL hash (the
+    * [[audioPcmStats]] totality contract). Output feeds the SAME
+    * banded machinery as every other signature:
+    * [[graft.ext.DedupOps.simhashPairsFromSigs]] for pairs and the
+    * persisted Hamming ledger for admission. Narrow mapPartitions
+    * codec stage — blobs never shuffle; 8 bytes per clip out. */
+  def audioSpectralHash(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    // c8(k)(m) = round(1e6 · cos(π(2m+1)k/16)), the 8-point DCT basis
+    val table = Array.tabulate(8, 8)((k, m) =>
+      math.round(1e6 * math.cos(math.Pi * (2 * m + 1) * k / 16)))
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        decodePcm16(payload) match {
+          case Some((_, channels, samples))
+              if samples.length / channels > 0 =>
+            val nFrames = samples.length / channels
+            val grid = new Array[Long](64)
+            var j = 0
+            while (j < 64) {
+              val src = (j.toLong * nFrames / 64).toInt
+              var s = 0L
+              var c = 0
+              while (c < channels) {
+                s += samples(src * channels + c).toLong
+                c += 1
+              }
+              grid(j) = s
+              j += 1
+            }
+            val coefs = new Array[Long](63)
+            var t = 0
+            var i = 0
+            while (t < 8) {
+              var k = 0
+              while (k < 8) {
+                if (t != 0 || k != 0) {
+                  var s = 0L
+                  var m = 0
+                  while (m < 8) {
+                    s += table(k)(m) * grid(t * 8 + m)
+                    m += 1
+                  }
+                  coefs(i) = s
+                  i += 1
+                }
+                k += 1
+              }
+              t += 1
+            }
+            val sorted = coefs.clone()
+            java.util.Arrays.sort(sorted)
+            val med = sorted(31) // the 32nd smallest of 63
+            var bits = 0L
+            i = 0
+            while (i < 63) {
+              if (coefs(i) > med) bits |= 1L << i
+              i += 1
+            }
+            (id, Some(bits))
+          case _ => (id, None: Option[Long])
+        }
+      }).toDF(idCol, "ahash")
+  }
+
   def imageDHash(spark: SparkSession, df: DataFrame, idCol: String,
       gridW: Int = 8, gridH: Int = 7): DataFrame = {
     require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 62,

@@ -402,4 +402,78 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Multimodal.imageDHash(spark, png, "doc_id", gridW = 0))
   }
+
+  // the x234 algorithm replayed in plain Scala over a pooled frame
+  // sequence — grid/DCT/median, the spec's independent recomputation
+  private def ahashFromFrames(frames: IndexedSeq[Long]): Long = {
+    val table = Array.tabulate(8, 8)((k, m) =>
+      math.round(1e6 * math.cos(math.Pi * (2 * m + 1) * k / 16)))
+    val n = frames.length
+    val grid = (0 until 64).map(j => frames((j * n / 64).toInt))
+    val coefs = for {
+      t <- 0 until 8; k <- 0 until 8; if t != 0 || k != 0
+    } yield (0 until 8).map(m => table(k)(m) * grid(t * 8 + m)).sum
+    val med = coefs.sorted.apply(31)
+    coefs.zipWithIndex.collect {
+      case (c, i) if c > med => 1L << i
+    }.foldLeft(0L)(_ | _)
+  }
+
+  test("audioSpectralHash (x234): decode∘hash equals the amplitude " +
+      "closed form; 63-bit positive; mod-64 twins hash identically " +
+      "(constant offset cancels in every k>0 band); stereo pools " +
+      "channels per frame; non-audio payloads yield NULL") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 5L, 63L, 64L, 100L, 257L)
+    val wav = Multimodal.withWavPayload(spark, ids.toDF("doc_id"),
+      "doc_id")
+    val got = Multimodal.audioSpectralHash(spark, wav, "doc_id")
+      .as[(Long, Option[Long])].collect().toMap
+    def amps(id: Long): IndexedSeq[Long] = {
+      val n = 32 + Math.floorMod(id, 64L)
+      (0L until n).map(i =>
+        Math.floorMod(id * 31 + i * 17, 65536L) - 32768L)
+    }
+    for (id <- ids) {
+      val want = ahashFromFrames(amps(id))
+      assert(got(id).contains(want), s"doc $id: ahash mismatch")
+      // 63 bits in a signed 64-bit lane: always non-negative
+      assert(want >= 0L, s"doc $id: out of range")
+    }
+    // ids 64 apart have equal n and a constant amplitude offset; the
+    // rounded DCT basis rows for k>0 sum to exactly 0 (paired negated
+    // constants), so only the 7 k=0 cells shift — and by the SAME
+    // amount, preserving the full coefficient order: identical hash.
+    // This is the exact-dup class the x238 banding mines.
+    assert(got(0L) == got(64L),
+      "mod-64 twins must hash identically")
+    // stereo: 2-channel frames pool by SUM — equal to the hash of the
+    // pooled mono frame sequence
+    val left = amps(5L)
+    val right = left.map(v => (v / 3) - 7L)
+    val pcm = new Array[Byte](left.length * 4)
+    for (i <- left.indices; (v, c) <- Seq((left(i), 0), (right(i), 1))) {
+      pcm(4 * i + 2 * c) = (v & 0xff).toByte
+      pcm(4 * i + 2 * c + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true,
+      false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, left.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val stereo = Seq((7L, bos.toByteArray)).toDF("doc_id", "payload")
+    val gotStereo = Multimodal.audioSpectralHash(spark, stereo,
+      "doc_id").as[(Long, Option[Long])].head()
+    val pooled = left.indices.map(i => left(i) + right(i))
+    assert(gotStereo == ((7L, Some(ahashFromFrames(pooled)))),
+      "stereo frames must pool by per-frame channel sum")
+    // non-audio / empty payloads → NULL hash, never an error
+    val bad = Seq((1L, "not audio".getBytes),
+      (2L, Array.empty[Byte])).toDF("doc_id", "payload")
+    assert(Multimodal.audioSpectralHash(spark, bad, "doc_id")
+      .as[(Long, Option[Long])].collect().toSet ==
+      Set((1L, None), (2L, None)))
+  }
 }
