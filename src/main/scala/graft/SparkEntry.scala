@@ -1517,6 +1517,27 @@ object SparkEntry {
       graft.ext.DedupOps.containmentPairs(
         T(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8)),
 
+    // containment-admission ledger (x235): x49's asymmetric
+    // subset/quotation measure as an INCREMENTAL admission path — the
+    // axis the MinHash ledger (x118) structurally misses (a small doc
+    // fully quoted in a large indexed one has Jaccard ~0, containment
+    // 1.0). Persisted shingle postings under the manifest protocol;
+    // admit iff no indexed doc at C >= 0.8. Oracle: x49's pair SQL
+    // restricted cross-side. Append/self-reject/as-of/compact-race
+    // pinned in ExtSpec.
+    "x235_containment_admit" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val ledger = scratchDir("ctledger235")
+      graft.ext.DedupOps.saveContainmentIndex(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        "doc_id", "text", ledger, n = 5)
+      graft.ext.DedupOps.containmentAdmit(s, ledger,
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          "doc_id", "text", threshold = 0.8)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id").asc)
+    },
+
     // exact heavy-hitter terms: Misra-Gries prunes the vocabulary to
     // ≤64 candidates, exact re-count keeps terms with freq·64 > N.
     "x47_heavy_terms" -> ((s, dir) =>
@@ -7697,6 +7718,33 @@ object SparkEntry {
            FROM p JOIN sz x ON p.doc_a = x.doc_id
                   JOIN sz y ON p.doc_b = y.doc_id
            WHERE round(shared*1.0/least(x.z, y.z), 6) >= 0.8""",
+
+      // x235: x49's containment verdict restricted cross-side —
+      // incoming (doc_id % 4 = 0) admitted iff no ledgered doc
+      // (doc_id % 4 <> 0) reaches C >= 0.8; shingle-less docs admit
+      "x235_containment_admit" ->
+        """WITH t AS (SELECT doc_id,
+                regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents),
+           s AS (SELECT doc_id,
+                   list_distinct([array_to_string(toks[i+1:i+5], ' ')
+                                  for i in range(len(toks)-4)]) AS sh
+                 FROM t WHERE len(toks) >= 5),
+           e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+           sz AS (SELECT doc_id, len(sh) AS z FROM s),
+           p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                        count(*) AS shared
+                 FROM e a JOIN e b ON a.s = b.s
+                 WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+                 GROUP BY 1, 2),
+           rej AS (SELECT DISTINCT da
+                   FROM p JOIN sz x ON p.da = x.doc_id
+                          JOIN sz y ON p.db = y.doc_id
+                   WHERE round(shared*1.0/least(x.z, y.z), 6) >= 0.8)
+           SELECT doc_id FROM documents
+           WHERE doc_id % 4 = 0
+             AND doc_id NOT IN (SELECT da FROM rej)
+           ORDER BY doc_id ASC""",
 
       // exact-by-construction: the engine's sketch only PRUNES; this
       // direct GROUP BY/HAVING is the definitional form

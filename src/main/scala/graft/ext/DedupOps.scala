@@ -1404,4 +1404,204 @@ object DedupOps {
       (MinhashTables :+ MinhashDeletesTable)
         .map(t => t -> s"$path/$t").toMap)
   }
+
+  // --------------------------- persisted containment-admission ledger
+
+  private val ContainmentTables = Seq("postings", "params")
+
+  /** Persist a CONTAINMENT-admission ledger (x235) — the
+    * subset/quotation axis the MinHash ledger structurally misses:
+    * [[minhashAdmit]] rejects on estimated symmetric Jaccard, so a
+    * 100-shingle doc fully quoted inside an indexed 10000-shingle doc
+    * (Jaccard 0.01, containment 1.0 — [[containmentPairs]]'
+    * motivation) sails through it. This ledger persists each doc's
+    * DISTINCT shingle-hash postings `(doc_id, s, sz)` — fixed 24-byte
+    * rows, text never persisted — and admits by the EXACT asymmetric
+    * measure: C = |A∩B| / min(|A|, |B|), definitionally
+    * [[containmentPairs]] restricted cross-side (the gate's oracle).
+    * Same manifest lifecycle as [[saveMinhashIndex]]: idempotent
+    * appends, version handle + as-of time travel, CAS-guarded
+    * compaction. No sampling or banding: containment has no
+    * signature-space estimator with the MinHash bound (the min-side
+    * normalization breaks permutation symmetry), so the honest form
+    * is the inverted shingle join — the same shuffle discipline as
+    * [[containmentPairs]] and the BM25 postings, keyed on 8-byte
+    * hashes, batch-shingles × collision cost, never all-pairs. The
+    * x49 boilerplate caveat carries over: hot shingles can't be
+    * capped without changing the measure — strip markup upstream. */
+  def saveContainmentIndex(docs: DataFrame, idCol: String,
+      textCol: String, path: String, n: Int = 5): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Seq(n).toDF("n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params/base")
+    writeContainmentSegment(docs, idCol, textCol, path, "base", n)
+    graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
+      graft.sinks.IndexSnapshot(0L,
+        ContainmentTables.map(t => t -> Seq("base")).toMap, Seq.empty))
+  }
+
+  /** One postings segment — shared by the base build and every append.
+    * Rows cluster by shingle hash so the admission join's corpus side
+    * scans collision-locally. */
+  private def writeContainmentSegment(docs: DataFrame, idCol: String,
+      textCol: String, path: String, seg: String, n: Int): Unit = {
+    graft.functions.TextHashExprs.register(docs.sparkSession)
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+        graft.functions.TextHashExprs.shingleHashes(col(textCol), n)
+          .as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("s"))
+      .repartition(col("s")).sortWithinPartitions("s")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/postings/$seg")
+  }
+
+  private def containmentSnapshot(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      asOfVersion: Option[Long] = None): graft.sinks.IndexSnapshot = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    asOfVersion match {
+      case Some(v) => graft.sinks.IndexManifest.at(fs, path, v)
+        .getOrElse(throw new IllegalArgumentException(
+          s"index version $v not found at $path (vacuumed past the " +
+            "retention window, or never committed)"))
+      case None => graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no index manifest at $path (not a saveContainmentIndex " +
+            "directory)"))
+    }
+  }
+
+  private def readContainmentTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: graft.sinks.IndexSnapshot, table: String): DataFrame = {
+    val segs = snap.segs(table)
+    require(segs.nonEmpty, s"index at $path has no '$table' segments")
+    spark.read.parquet(segs.map(s => s"$path/$table/$s"): _*)
+  }
+
+  /** The containment ledger's current manifest version — the as-of
+    * handle ([[minhashIndexVersion]]'s MVCC contract). */
+  def containmentIndexVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = containmentSnapshot(spark, path).version
+
+  /** Append a (typically just-admitted) batch's shingle postings —
+    * idempotent per `batchId` via the manifest `applied` record, same
+    * contract as [[appendToMinhashIndex]]. Caller contract: append
+    * each document ONCE (the BM25 one-live-version rule) — a doc id
+    * landed under two different batchIds carries its postings twice
+    * and double-counts `shared` in [[containmentAdmit]]. */
+  def appendToContainmentIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        !batchId.startsWith("compact_v") &&
+        batchId.forall(c =>
+          c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      "batchId must be a filesystem-safe token != 'base' and outside " +
+        s"the reserved 'compact_v' prefix (got '$batchId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = containmentSnapshot(spark, path)
+    if (snap.applied.contains(batchId)) return
+    val n = readContainmentTable(spark, path, snap, "params")
+      .head().getAs[Int]("n")
+    val seg = s"delta_$batchId"
+    writeContainmentSegment(newDocs, idCol, textCol, path, seg, n)
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(batchId)) c // concurrent duplicate: no-op
+      else c.copy(
+        tables = c.tables + ("postings" ->
+          (c.segs("postings").filterNot(_ == seg) :+ seg)),
+        applied = c.applied :+ batchId)
+    }
+  }
+
+  /** Incremental CONTAINMENT admission: the rows of `newDocs` with no
+    * indexed document at C(A,B) = |A∩B| / min(|A|,|B|) >= `threshold`
+    * — exactly [[containmentPairs]]' verdict restricted cross-side
+    * (ExtSpec pins the equivalence). Docs too short to shingle
+    * (< n tokens) admit unconditionally — no shingles, no
+    * containment, matching [[containmentPairs]]' domain. Within-batch
+    * containment is a separate concern (run [[containmentPairs]] on
+    * the batch); admit-then-append makes a replayed batch self-reject
+    * (every shingled doc contains itself at C = 1.0 — the spec-pinned
+    * decontamination property). `asOfVersion` replays an older
+    * retained snapshot's decisions bit-for-bit. */
+  def containmentAdmit(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, asOfVersion: Option[Long] = None)
+      : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1] (got $threshold)")
+    graft.functions.TextHashExprs.register(spark)
+    val snap = containmentSnapshot(spark, path, asOfVersion)
+    val n = readContainmentTable(spark, path, snap, "params")
+      .head().getAs[Int]("n")
+    val in = newDocs.select(col(idCol).cast(LongType).as("in_doc"),
+        graft.functions.TextHashExprs.shingleHashes(col(textCol), n)
+          .as("sh"))
+      .select(col("in_doc"), size(col("sh")).as("in_sz"),
+        explode(col("sh")).as("s"))
+    val corpus = readContainmentTable(spark, path, snap, "postings")
+    val rejected = in.join(corpus, Seq("s"))
+      .groupBy(col("in_doc"), col("doc_id"), col("in_sz"), col("sz"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(round(col("shared").cast(DoubleType) /
+        least(col("in_sz"), col("sz")).cast(DoubleType), 6)
+        >= threshold)
+      .select(col("in_doc")).distinct()
+    newDocs.join(
+      rejected.select(col("in_doc").cast(LongType).as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Fold the postings segments back to one — same CAS/guard contract
+    * as [[compactMinhashIndexFrom]] (a mid-fold append's segment is
+    * carried; a racing compaction aborts). */
+  def compactContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    compactContainmentIndexFrom(spark, path,
+      containmentSnapshot(spark, path))
+
+  private[ext] def compactContainmentIndexFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: graft.sinks.IndexSnapshot): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (snap.segs("postings").length <= 1) return
+    val seg = s"compact_v${snap.version}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    readContainmentTable(spark, path, snap, "postings")
+      .repartition(col("s")).sortWithinPartitions("s")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/postings/$seg")
+    val folded = snap.segs("postings").toSet
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      require(folded.subsetOf(c.segs("postings").toSet),
+        "a concurrent compaction already folded segments this " +
+          "compaction read — rerun compactContainmentIndex against " +
+          "the new snapshot")
+      c.copy(tables = c.tables + ("postings" ->
+        (seg +: c.segs("postings").filterNot(folded.contains))))
+    }
+  }
+
+  /** Retention GC for [[saveContainmentIndex]] — the shared vacuum. */
+  def vacuumContainmentIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      keepVersions: Int = 2): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.IndexManifest.vacuum(fs, path, keepVersions,
+      ContainmentTables.map(t => t -> s"$path/$t").toMap)
+  }
 }

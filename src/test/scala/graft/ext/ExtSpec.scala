@@ -1239,6 +1239,84 @@ class ExtSpec extends SparkSpec {
       (incomingIds -- crossRejected -- (admitted -- shortIds)))
   }
 
+  test("containment ledger (x235): admit == cross-side " +
+      "containmentPairs restriction; replayed batches self-reject; " +
+      "shingle-less docs admit forever; as-of replays the pre-append " +
+      "verdicts; append retry no-ops; compaction carries a mid-fold " +
+      "append and a stale fold aborts") {
+    import graft.sinks.IndexManifest
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ct_idx").resolve("idx").toString
+    val hfs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val corpus = docs.filter($"doc_id" < 250)
+    val incoming = docs.filter($"doc_id" >= 250)
+    DedupOps.saveContainmentIndex(corpus, "doc_id", "text", idx, n = 5)
+    val v0 = DedupOps.containmentIndexVersion(spark, idx)
+    val admitted = DedupOps.containmentAdmit(spark, idx, incoming,
+        "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    // oracle: the per-call pair op over the union, cross-side only
+    val crossRejected = DedupOps.containmentPairs(docs, "doc_id",
+        "text", n = 5, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        Seq(a, b).filter(x => x >= 250 &&
+          (if (x == a) b < 250 else a < 250))
+      }.toSet
+    val incomingIds = incoming.select("doc_id").as[Long].collect().toSet
+    assert(admitted == incomingIds -- crossRejected,
+      "admit must equal the cross-side containmentPairs restriction")
+    // self-reject after append (C = 1.0 against own postings), except
+    // shingle-less docs (< 5 tokens), which admit forever
+    val admittedDf = incoming.filter($"doc_id".isin(admitted.toSeq: _*))
+    DedupOps.appendToContainmentIndex(spark, idx, admittedDf, "doc_id",
+      "text", "b1")
+    val readmitted = DedupOps.containmentAdmit(spark, idx, admittedDf,
+        "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val shortIds = admittedDf
+      .filter(size(split(trim($"text"), "\\s+")) < 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(readmitted == shortIds,
+      "replayed shingled docs must self-reject after the append")
+    // as-of: v0 replays the pre-append admission bit-for-bit
+    assert(DedupOps.containmentAdmit(spark, idx, incoming, "doc_id",
+        "text", threshold = 0.8, asOfVersion = Some(v0))
+      .select("doc_id").as[Long].collect().toSet == admitted)
+    // append retry no-ops (manifest version unchanged)
+    val v1 = IndexManifest.latest(hfs, idx).get.version
+    DedupOps.appendToContainmentIndex(spark, idx, admittedDf, "doc_id",
+      "text", "b1")
+    assert(IndexManifest.latest(hfs, idx).get.version == v1)
+    // compaction race: a mid-fold append's segment is CARRIED
+    val stale = IndexManifest.latest(hfs, idx).get
+    val fresh = corpus.withColumn("doc_id", $"doc_id" + 20000)
+    DedupOps.appendToContainmentIndex(spark, idx, fresh, "doc_id",
+      "text", "b2")
+    DedupOps.compactContainmentIndexFrom(spark, idx, stale)
+    val snap = IndexManifest.latest(hfs, idx).get
+    assert(snap.segs("postings").contains("delta_b2"),
+      s"mid-fold append must be carried: ${snap.segs("postings")}")
+    assert(snap.segs("postings").exists(_.startsWith("compact_v")))
+    // the carried replays (corpus content under fresh ids) self-reject
+    assert(DedupOps.containmentAdmit(spark, idx,
+        fresh.filter(size(split(trim($"text"), "\\s+")) >= 5),
+        "doc_id", "text", threshold = 0.8).count() == 0L,
+      "carried postings must keep rejecting")
+    // a stale fold of already-folded segments aborts
+    val stale2 = IndexManifest.latest(hfs, idx).get
+    DedupOps.compactContainmentIndex(spark, idx)
+    val ex = intercept[IllegalArgumentException](
+      DedupOps.compactContainmentIndexFrom(spark, idx, stale2))
+    assert(ex.getMessage.contains("concurrent compaction"))
+    // vacuum keeps the newest snapshot servable
+    DedupOps.vacuumContainmentIndex(spark, idx, keepVersions = 1)
+    assert(DedupOps.containmentAdmit(spark, idx, admittedDf, "doc_id",
+        "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet == shortIds)
+  }
+
   test("minhash ledger time travel (x155): as-of replays the frozen " +
       "snapshot's admission; survives compaction; vacuumed versions " +
       "error") {
