@@ -3810,6 +3810,29 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     },
 
+    // tokenizer scorecard (x236): BPE (x165) vs unigram-LM (x215) at
+    // an EQUAL multi-symbol vocabulary budget (6 merges vs 6 retained
+    // multi pieces), scored per language on fertility (tokens/word),
+    // compression (chars/token), and OOV — the comparison a real
+    // pipeline picks its tokenizer with. Training runs inside the
+    // gate (measured semantics, the x166/x216 precedent); all counts
+    // integer-exact, both encodes replayed as oracle derived tables.
+    "x236_tokenizer_scorecard" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      // vocabulary-sized collects — the two tokenizer files
+      val merges = graft.ext.TextAnalysis
+        .bpeLearn(d, "text", merges = 6)
+        .orderBy(col("rank").asc).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = graft.ext.TextAnalysis
+        .unigramLearn(d, "text", seedMulti = 150, vocabMulti = 6)
+        .orderBy(col("piece").asc).collect()
+        .map(r => (r.getString(0), r.getLong(2))).toSeq
+      graft.ext.TextAnalysis.tokenizerScorecard(d, "text", "lang",
+          merges, vocab)
+        .orderBy(col("lang").asc, col("tokenizer").asc)
+    },
+
     // streamed drift monitor (x211): each arriving batch scored
     // against the sketch's PRE-BATCH state (exact-integer histogram
     // L1), then appended — the continuous "did this crawl shift the
@@ -6124,7 +6147,8 @@ object SparkEntry {
     // (chars ∪ top-60 used multi, +1 smoothed) → final costs.
     // Parameterized by a CTE-name prefix and the LEARN corpus filter
     // so x230 can run two tokenizer generations in one query.
-    def unigramCoreSqlP(p: String, learnWhere: String): String =
+    def unigramCoreSqlP(p: String, learnWhere: String,
+        vocabMulti: Int = 60): String =
       s"""${p}words AS (
            SELECT word, count(*) AS freq FROM (
              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
@@ -6171,7 +6195,7 @@ object SparkEntry {
            GROUP BY 1),
          ${p}usedmulti AS (SELECT piece, n1 FROM ${p}usage
                        WHERE len(piece) > 1
-                       ORDER BY n1 DESC, piece ASC LIMIT 60),
+                       ORDER BY n1 DESC, piece ASC LIMIT $vocabMulti),
          ${p}allchars AS (SELECT c.piece, coalesce(u.n1, 0) AS n1
                       FROM (SELECT piece FROM ${p}chars0) c
                       LEFT JOIN ${p}usage u USING (piece)),
@@ -8246,6 +8270,61 @@ object SparkEntry {
       // codegen'd Viterbi DP, integer micronat costs end to end
       "x215_unigram_learn" -> unigramLearnOracle,
       "x216_unigram_encode" -> unigramEncodeOracle,
+      // x236: both tokenizers replayed as derived tables — w6 holds
+      // each word's fully-merged BPE symbols, ubest2 the unigram
+      // Viterbi (vocabMulti=6, the equal budget); per-lang integer
+      // rollups, two rounded divisions
+      "x236_tokenizer_scorecard" ->
+        s"""WITH RECURSIVE $bpeW0,
+           ${bpeRounds(6)},
+           socc AS (SELECT lang, word FROM (
+                      SELECT lang, unnest(regexp_extract_all(
+                        lower(text), '[a-z]+')) AS word
+                      FROM documents)),
+           encwords AS (SELECT DISTINCT word FROM socc
+                        WHERE len(word) <= 16),
+           ${unigramCoreSqlP("u", "", 6)},
+           ${unigramEncodeCtesP("u")},
+           agg AS (SELECT s.lang,
+                     count(*) AS n_words,
+                     sum(len(s.word)) AS n_chars,
+                     sum(len(w6.syms)) AS bpe_tokens,
+                     count(b.n) AS uni_enc,
+                     coalesce(sum(CASE WHEN b.n IS NOT NULL
+                       THEN len(s.word) END), 0) AS uni_chars,
+                     coalesce(sum(b.n), 0) AS uni_tokens
+                   FROM socc s JOIN w6 USING (word)
+                   LEFT JOIN ubest2 b USING (word)
+                   GROUP BY 1)
+           SELECT * FROM (
+             SELECT lang, 'bpe' AS tokenizer,
+                    CAST(n_words AS BIGINT) AS n_words,
+                    CAST(n_words AS BIGINT) AS n_enc_words,
+                    CAST(0 AS BIGINT) AS n_oov_words,
+                    CAST(n_chars AS BIGINT) AS n_chars_enc,
+                    CAST(bpe_tokens AS BIGINT) AS n_tokens,
+                    CASE WHEN n_words > 0 THEN
+                      round(bpe_tokens*1.0/n_words, 6) END
+                      AS fertility,
+                    CASE WHEN bpe_tokens > 0 THEN
+                      round(n_chars*1.0/bpe_tokens, 6) END
+                      AS compression
+             FROM agg
+             UNION ALL
+             SELECT lang, 'unigram' AS tokenizer,
+                    CAST(n_words AS BIGINT) AS n_words,
+                    CAST(uni_enc AS BIGINT) AS n_enc_words,
+                    CAST(n_words - uni_enc AS BIGINT) AS n_oov_words,
+                    CAST(uni_chars AS BIGINT) AS n_chars_enc,
+                    CAST(uni_tokens AS BIGINT) AS n_tokens,
+                    CASE WHEN uni_enc > 0 THEN
+                      round(uni_tokens*1.0/uni_enc, 6) END
+                      AS fertility,
+                    CASE WHEN uni_tokens > 0 THEN
+                      round(uni_chars*1.0/uni_tokens, 6) END
+                      AS compression
+             FROM agg)
+           ORDER BY lang ASC, tokenizer ASC""",
       // x230: two tokenizer generations (half-corpus learn, full-corpus
       // retrain) encoding the same documents, tagged by vocab_gen
       "x230_unigram_vocab_persist" -> unigramPersistOracle,

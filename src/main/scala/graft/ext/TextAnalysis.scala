@@ -2072,6 +2072,79 @@ object TextAnalysis {
     * Output: (idCol, n_words, n_pieces, cost_sum) — cost_sum in
     * integer micronats is −1e6·log-likelihood under the unigram LM,
     * the corpus-quality scalar the mixture dashboards track. */
+  /** Tokenizer evaluation scorecard (x236) — the number a real
+    * pipeline picks its tokenizer with: per language, BPE
+    * ([[bpeLearn]]/[[bpeMergeOnce]]) vs unigram-LM ([[unigramLearn]]/
+    * Viterbi) at an equal multi-symbol vocabulary budget, scored on
+    * - **fertility** = tokens per encoded word (lower = fewer
+    *   sequence positions per word — the context-budget metric),
+    * - **compression** = characters per token (higher = denser),
+    * - **OOV** = word occurrences the tokenizer cannot encode (BPE is
+    *   structurally total on letter-runs — every char is a token;
+    *   unigram drops words over [[UnigramMaxWordLen]] or containing a
+    *   char the vocabulary never saw).
+    * All counts integer-exact; the two ratios are single rounded
+    * divisions, so the whole card is oracle-replayable with the
+    * tokenizers' encodes as derived tables.
+    *
+    * Scale shape: both encodes run once over the DISTINCT-word table
+    * (vocabulary-bounded, the [[unigramEncode]] sanction) and
+    * broadcast back onto the occurrence scan; the corpus contributes
+    * one narrow explode + one keyed aggregate per leg. Output: one
+    * row per (lang, tokenizer). */
+  def tokenizerScorecard(docs: DataFrame, textCol: String,
+      langCol: String, mergesInRankOrder: Seq[(String, String)],
+      vocabWithCosts: Seq[(String, Long)]): DataFrame = {
+    require(vocabWithCosts.nonEmpty, "vocabulary must be non-empty")
+    val costMap = map(vocabWithCosts.flatMap { case (p, c) =>
+      Seq(lit(p), lit(c)) }.toIndexedSeq: _*)
+    val occ = docs.select(col(langCol).as("lang"),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"),
+        lit(0))).as("word"))
+    val chars = expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    val folded = mergesInRankOrder.foldLeft(
+        occ.select("word").distinct().withColumn("syms", chars)) {
+      case (df, (l, r)) => df.withColumn("syms", bpeMergeOnce(
+        col("syms"), l, r))
+    }
+    val enc = folded
+      .withColumn("n_bpe", size(col("syms")).cast(LongType))
+      .withColumn("uni_n",
+        when(length(col("word")) <= UnigramMaxWordLen,
+          viterbiSeg(col("word"), costMap, withPath = false)
+            .getField("n").cast(LongType)))
+      .select("word", "n_bpe", "uni_n")
+    val perLang = occ.join(broadcast(enc), Seq("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast(LongType).as("n_chars"),
+        sum(col("n_bpe")).as("bpe_tokens"),
+        count(col("uni_n")).as("uni_enc"),
+        coalesce(sum(when(col("uni_n").isNotNull,
+          length(col("word")))), lit(0L)).cast(LongType)
+          .as("uni_chars"),
+        coalesce(sum(col("uni_n")), lit(0L)).as("uni_tokens"))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0L, round(num.cast(DoubleType) /
+        den.cast(DoubleType), 6))
+    val bpeRows = perLang.select(col("lang"),
+      lit("bpe").as("tokenizer"), col("n_words"),
+      col("n_words").as("n_enc_words"), lit(0L).as("n_oov_words"),
+      col("n_chars").as("n_chars_enc"), col("bpe_tokens").as("n_tokens"),
+      ratio(col("bpe_tokens"), col("n_words")).as("fertility"),
+      ratio(col("n_chars"), col("bpe_tokens")).as("compression"))
+    val uniRows = perLang.select(col("lang"),
+      lit("unigram").as("tokenizer"), col("n_words"),
+      col("uni_enc").as("n_enc_words"),
+      (col("n_words") - col("uni_enc")).as("n_oov_words"),
+      col("uni_chars").as("n_chars_enc"),
+      col("uni_tokens").as("n_tokens"),
+      ratio(col("uni_tokens"), col("uni_enc")).as("fertility"),
+      ratio(col("uni_chars"), col("uni_tokens")).as("compression"))
+    bpeRows.unionByName(uniRows)
+  }
+
   def unigramEncode(docs: DataFrame, idCol: String, textCol: String,
       vocabWithCosts: Seq[(String, Long)]): DataFrame = {
     require(vocabWithCosts.nonEmpty, "vocabulary must be non-empty")

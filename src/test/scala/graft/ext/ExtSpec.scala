@@ -2645,6 +2645,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("tokenizerScorecard (x236) hand fixture: per-lang integer " +
+      "counts, BPE total on letter-runs, unigram OOV = unseen-char " +
+      "and overlong words, ratios are single rounded divisions") {
+    // lang A: "abab" ×2 + "xy" (x,y not in vocab → unigram OOV) +
+    // an 17-char word (overlong → unigram OOV, BPE still encodes).
+    // lang B: "ab" alone. vocab = {a, b, ab}; merges = [(a, b)].
+    val long17 = "a" * 17
+    val d = Seq(
+      (1L, "A", s"abab abab xy $long17"),
+      (2L, "B", "ab")).toDF("doc_id", "lang", "text")
+    val vocab = Seq(("a", 100L), ("b", 100L), ("ab", 50L))
+    val got = TextAnalysis.tokenizerScorecard(d, "text", "lang",
+        Seq(("a", "b")), vocab)
+      .orderBy("lang", "tokenizer")
+      .as[(String, String, Long, Long, Long, Long, Long,
+        Option[Double], Option[Double])].collect().toSeq
+    // A/bpe: 4 words, chars 4+4+2+17=27; "abab"→[ab,ab]=2 tokens ×2,
+    //   "xy"→[x,y]=2, long17 → 17 (no "aa" merge) → 23 tokens
+    // A/unigram: enc words = 2 ("abab"→[ab,ab] cost-min), oov = 2;
+    //   enc chars 8, tokens 4
+    // B/bpe: 1 word "ab" → 1 token; B/unigram: [ab] → 1 piece
+    assert(got == Seq(
+      ("A", "bpe", 4L, 4L, 0L, 27L, 23L,
+        Some(5.75), Some(math.rint(27.0 / 23 * 1e6) / 1e6)),
+      ("A", "unigram", 4L, 2L, 2L, 8L, 4L, Some(2.0), Some(2.0)),
+      ("B", "bpe", 1L, 1L, 0L, 2L, 1L, Some(1.0), Some(2.0)),
+      ("B", "unigram", 1L, 1L, 0L, 2L, 1L, Some(1.0), Some(2.0))),
+      s"got $got")
+  }
+
   test("unigramLearn (x215) hand fixture: seed → Viterbi → prune → " +
       "smoothed micronat costs, every number closed-form; " +
       "unigramEncode (x216) applies the learned vocabulary") {
