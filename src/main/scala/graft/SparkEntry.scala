@@ -3632,6 +3632,52 @@ object SparkEntry {
           qMicros = Seq(250000L, 500000L, 750000L))
         .orderBy(col("lang").asc, col("q_micros").asc)),
 
+    // streamed per-group KLL maintenance (x237): x221's writer shape
+    // with the micro-batch sketched PER GROUP (persisted k AND group
+    // column) — each source's quantile state stays O(3k) and current
+    // as batches arrive, the per-source drift-alarm substrate. Exact
+    // regime at sf0.01, so the streamed segments must serve the
+    // one-shot grouped build (x225's oracle) exactly; replay no-op +
+    // distributed compaction pinned in SketchGatesSpec.
+    "x237_stream_kll_by_group" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val base = scratchDir("streamkllg237")
+      graft.ext.Corpus.saveGroupedKllSketch(
+        d.filter(col("doc_id") % 3 === 1), col("n_chars"), "lang",
+        base + "/idx", k = 1024)
+      landOrdered(s, Seq(
+        d.filter(col("doc_id") % 3 === 2)
+          .select("doc_id", "lang", "n_chars"),
+        d.filter(col("doc_id") % 3 === 0)
+          .select("doc_id", "lang", "n_chars")),
+        base + "/vals")
+      val schema = s.read.parquet(base + "/vals").schema
+      val q = graft.streaming.StreamIndex.kllByGroupSketchAppendWriter(
+          s, base + "/vals", schema, base + "/idx", "n_chars",
+          "doc_id")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      graft.ext.Corpus.queryGroupedKllSketch(s, base + "/idx",
+          Seq(250000L, 500000L, 750000L))
+        .orderBy(col("lang").asc, col("q_micros").asc)
+    },
+
+    // per-group KS drift (x240): the x226 statistic keyed on the
+    // group — the per-source drift alarm itself, one row per lang,
+    // exact-integer numerator over the grouped value union; exact
+    // regime at k=1024, so this IS each language's textbook
+    // two-sample KS, oracle-checked.
+    "x240_kll_group_drift" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      graft.ext.Corpus.kllKsDriftByGroup(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1),
+          col("n_chars"), "lang", k = 1024)
+        .select(col("g").as("lang"), col("n_a"), col("n_b"),
+          col("ks_num"), col("ks"))
+        .orderBy(col("lang").asc)
+    },
+
     // pin-aware vacuum (x224): retention composed with the pin
     // history — each leg vacuums to keepVersions=1 (normally only the
     // newest survives) but every version a LIVE pin names is kept, so
@@ -6269,6 +6315,25 @@ object SparkEntry {
                   CAST(2 AS BIGINT) AS vocab_gen
            FROM (${unigramEncodeSelectP("b")}))
          ORDER BY vocab_gen ASC, doc_id ASC"""
+    // x225/x237 share the exact-regime per-lang order-statistic oracle
+    // (x237's streamed segments must serve the one-shot build exactly)
+    val kllByLangOracle: String =
+      """WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v
+             FROM documents
+             WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         n AS (SELECT lang, count(*) AS n FROM v GROUP BY 1),
+         r AS (SELECT lang, v, row_number() OVER (
+                 PARTITION BY lang ORDER BY v) AS rn FROM v),
+         q AS (SELECT CAST(unnest([250000, 500000, 750000])
+                 AS BIGINT) AS q_micros),
+         sel AS (SELECT n.lang, q.q_micros, n.n,
+                   (q.q_micros * n.n + 999999) // 1000000 AS k
+                 FROM q, n)
+         SELECT sel.lang AS lang, sel.q_micros,
+                CAST(sel.n AS BIGINT) AS n,
+                CAST(sel.k AS BIGINT) AS k, r.v AS est
+         FROM sel JOIN r ON r.lang = sel.lang AND r.rn = sel.k
+         ORDER BY sel.lang ASC, sel.q_micros ASC"""
     // x226/x227 share the two-sample KS oracle, parameterized by the
     // two sides' WHERE clauses
     def kllKsOracle(whereA: String, whereB: String): String =
@@ -8172,23 +8237,48 @@ object SparkEntry {
         "WHERE n_chars IS NOT NULL",
         "WHERE doc_id % 3 <> 0 AND n_chars IS NOT NULL"),
       // x225: the same exact-regime order statistics, grouped per lang
-      "x225_kll_by_group" ->
-        """WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v
+      "x225_kll_by_group" -> kllByLangOracle,
+      // x237: the streamed grouped sketch must serve the one-shot
+      // grouped build exactly (exact regime — segments concatenate,
+      // weights conserve) — x225's oracle verbatim
+      "x237_stream_kll_by_group" -> kllByLangOracle,
+      // x240: per-lang textbook two-sample KS in the exact regime —
+      // x226's integer arithmetic keyed on the group
+      "x240_kll_group_drift" ->
+        """WITH va AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
                FROM documents
-               WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
-           n AS (SELECT lang, count(*) AS n FROM v GROUP BY 1),
-           r AS (SELECT lang, v, row_number() OVER (
-                   PARTITION BY lang ORDER BY v) AS rn FROM v),
-           q AS (SELECT CAST(unnest([250000, 500000, 750000])
-                   AS BIGINT) AS q_micros),
-           sel AS (SELECT n.lang, q.q_micros, n.n,
-                     (q.q_micros * n.n + 999999) // 1000000 AS k
-                   FROM q, n)
-           SELECT sel.lang AS lang, sel.q_micros,
-                  CAST(sel.n AS BIGINT) AS n,
-                  CAST(sel.k AS BIGINT) AS k, r.v AS est
-           FROM sel JOIN r ON r.lang = sel.lang AND r.rn = sel.k
-           ORDER BY sel.lang ASC, sel.q_micros ASC""",
+               WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+                 AND lang IS NOT NULL),
+           vb AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
+               FROM documents
+               WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+                 AND lang IS NOT NULL),
+           na AS (SELECT g, count(*) AS n_a FROM va GROUP BY 1),
+           nb AS (SELECT g, count(*) AS n_b FROM vb GROUP BY 1),
+           vals AS (SELECT DISTINCT g, v FROM
+             (SELECT * FROM va UNION ALL SELECT * FROM vb)),
+           ca AS (SELECT vals.g, vals.v, count(va.v) AS cum_a
+                  FROM vals LEFT JOIN va
+                    ON va.g = vals.g AND va.v <= vals.v
+                  GROUP BY 1, 2),
+           cb AS (SELECT vals.g, vals.v, count(vb.v) AS cum_b
+                  FROM vals LEFT JOIN vb
+                    ON vb.g = vals.g AND vb.v <= vals.v
+                  GROUP BY 1, 2),
+           d AS (SELECT ca.g,
+                   max(abs(ca.cum_a * nb.n_b - cb.cum_b * na.n_a))
+                     AS ks_num
+                 FROM ca JOIN cb ON ca.g = cb.g AND ca.v = cb.v
+                 JOIN na ON na.g = ca.g JOIN nb ON nb.g = ca.g
+                 GROUP BY 1)
+           SELECT d.g AS lang, CAST(na.n_a AS BIGINT) AS n_a,
+                  CAST(nb.n_b AS BIGINT) AS n_b,
+                  CAST(d.ks_num AS BIGINT) AS ks_num,
+                  round(CAST(d.ks_num AS DOUBLE) /
+                    (CAST(na.n_a AS DOUBLE) * CAST(nb.n_b AS DOUBLE)),
+                    6) AS ks
+           FROM d JOIN na ON na.g = d.g JOIN nb ON nb.g = d.g
+           ORDER BY lang ASC""",
       // x193: negated delete segments net out — the one-shot sketch
       // over the surviving rows
       "x193_hist_sketch_delete" ->

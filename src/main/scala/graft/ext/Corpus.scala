@@ -2200,4 +2200,256 @@ object Corpus {
     val (items, _) = kllSketchState(spark, path, asOfVersion)
     kllQuantileEstimates(items, qMicros)
   }
+
+  // ------------------------------------- grouped persisted KLL sketch
+
+  /** Grouped (g, level, v) item rows — [[kllItems]] keyed on one
+    * group column (cast to string for a persistence-stable schema).
+    * NULL groups excluded, NULL values skipped by the aggregate. */
+  private[graft] def kllItemsBy(df: DataFrame, valueCol: Column,
+      groupCol: String, k: Int): DataFrame = {
+    graft.functions.KllAgg.register(df.sparkSession)
+    df.select(col(groupCol).cast(StringType).as("g"),
+        valueCol.cast(DoubleType).as("_v"))
+      .filter(col("g").isNotNull)
+      .groupBy("g")
+      .agg(graft.functions.KllAgg.kllSketch(col("_v"), k).as("sk"))
+      .select(col("g"), explode(col("sk")).as("it"))
+      .select(col("g"), col("it.level").as("level"),
+        col("it.v").as("v"))
+  }
+
+  /** [[kllQuantileEstimates]]' grouped tail over (g, level, v) rows —
+    * every join keyed on the group, the bounded item table never the
+    * corpus. Output: (groupOut, q_micros, n, k, est). */
+  private[graft] def kllQuantileEstimatesBy(items: DataFrame,
+      groupOut: String, qMicros: Seq[Long]): DataFrame = {
+    require(qMicros.nonEmpty, "qMicros must be non-empty")
+    require(qMicros.forall(q => q >= 1L && q <= 1000000L),
+      s"every q_micros must be in [1, 1000000] (got $qMicros)")
+    val merged = items
+      .select(col("g"), col("v"),
+        call_function("shiftleft", lit(1L), col("level")).as("w"))
+      .groupBy("g", "v").agg(sum("w").as("w"))
+    val cum = merged.join(
+        broadcast(merged.select(col("g").as("_g2"),
+          col("v").as("_v2"), col("w").as("_w2"))),
+        col("_g2") === col("g") && col("_v2") <= col("v"))
+      .groupBy("g", "v").agg(sum("_w2").as("cum"))
+    val n = merged.groupBy("g").agg(sum("w").as("n"))
+    val qs = explode(array(qMicros.map(lit): _*)).as("q_micros")
+    cum.join(broadcast(n), "g")
+      .select(col("g"), col("v"), col("cum"), col("n"), qs)
+      .withColumn("k", expr("(q_micros * n + 999999) div 1000000"))
+      .filter(col("cum") >= col("k"))
+      .groupBy("g", "q_micros", "n", "k").agg(min("v").as("est"))
+      .select(col("g").as(groupOut), col("q_micros"), col("n"),
+        col("k"), col("est"))
+  }
+
+  /** Persist a PER-GROUP KLL sketch (x237) — [[saveKllSketch]]'s
+    * lifecycle with the items keyed on one group column (per-source,
+    * per-language): the shape a per-source drift alarm or per-group
+    * threshold read ([[kllTrimByGroup]]) maintains incrementally. Each
+    * group's state is O(3k) however large the group; `k` and the group
+    * column name persist in `params` so appends and serves can never
+    * mix geometries. Same manifest protocol: idempotent appends,
+    * snapshot time travel, CAS-guarded compaction. */
+  def saveGroupedKllSketch(df: DataFrame, valueCol: Column,
+      groupCol: String, path: String, k: Int): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    kllItemsBy(df, valueCol, groupCol, k).coalesce(1)
+      .write.mode("errorifexists").parquet(s"$path/items/base")
+    Seq((k, groupCol)).toDF("k", "group_col").coalesce(1)
+      .write.mode("errorifexists").parquet(s"$path/params/base")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
+      graft.sinks.IndexSnapshot(0L,
+        Map("items" -> Seq("base"), "params" -> Seq("base")),
+        Seq("base")))
+  }
+
+  private def groupedKllParams(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: graft.sinks.IndexSnapshot): (Int, String) = {
+    val segs = snap.segs("params")
+    require(segs.nonEmpty, s"sketch at $path carries no params table")
+    val r = spark.read
+      .parquet(segs.map(seg => s"$path/params/$seg"): _*).head()
+    (r.getAs[Int]("k"), r.getAs[String]("group_col"))
+  }
+
+  /** Append a batch as its own per-group item segment (built with the
+    * PERSISTED k and group column); replays no-op. */
+  def appendToGroupedKllSketch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, valueCol: Column, batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        batchId.forall(c =>
+          c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"batchId must be a filesystem-safe token != 'base' " +
+        s"(got '$batchId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no sketch manifest at $path (not a saveGroupedKllSketch " +
+          "directory)"))
+    if (snap.applied.contains(batchId)) return
+    val (k, groupCol) = groupedKllParams(spark, path, snap)
+    val seg = s"delta_$batchId"
+    kllItemsBy(df, valueCol, groupCol, k).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/items/$seg")
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(batchId)) c
+      else c.copy(
+        tables = c.tables + ("items" ->
+          (c.segs("items").filterNot(_ == seg) :+ seg)),
+        applied = c.applied :+ batchId)
+    }
+  }
+
+  /** The raw grouped (g, level, v) segments behind one snapshot. */
+  def groupedKllSketchState(spark: org.apache.spark.sql.SparkSession,
+      path: String, asOfVersion: Option[Long] = None)
+      : (DataFrame, Int, String) = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = asOfVersion
+      .map(v => graft.sinks.IndexManifest.at(fs, path, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"no sketch manifest v$v at $path (vacuumed or never " +
+            "existed)")))
+      .getOrElse(graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no sketch manifest at $path")))
+    val (k, groupCol) = groupedKllParams(spark, path, snap)
+    val segs = snap.segs("items")
+    require(segs.nonEmpty, s"snapshot v${snap.version} has no segments")
+    (spark.read.parquet(segs.map(seg => s"$path/items/$seg"): _*),
+      k, groupCol)
+  }
+
+  /** Serve per-group quantile estimates from one snapshot — output
+    * keyed by the PERSISTED group column name, the [[kllQuantilesBy]]
+    * shape read from sketch kilobytes instead of the corpus. */
+  def queryGroupedKllSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, qMicros: Seq[Long],
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val (items, _, groupCol) =
+      groupedKllSketchState(spark, path, asOfVersion)
+    kllQuantileEstimatesBy(items, groupCol, qMicros)
+  }
+
+  /** Fold every group's segments back to one — DISTRIBUTED, unlike
+    * [[compactKllSketch]]'s driver-side fold: groups are independent,
+    * so the fold runs as one `groupByKey.mapGroups` pass (each task
+    * holds ONE group's ≤3k·segments items plus an O(3k) sketch — the
+    * executor-memory contract holds however many groups exist, which
+    * is exactly when a driver collect would not). Items are sorted
+    * before re-entry so the fold is partitioning-independent. Same
+    * CAS guards as [[compactKllSketchFrom]]: a mid-fold append is
+    * carried, a racing compaction aborts. */
+  def compactGroupedKllSketch(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = graft.sinks.IndexManifest.latest(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no sketch manifest at $path (not a saveGroupedKllSketch " +
+          "directory)"))
+    compactGroupedKllSketchFrom(spark, path, snap)
+  }
+
+  private[ext] def compactGroupedKllSketchFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: graft.sinks.IndexSnapshot): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val (k, _) = groupedKllParams(spark, path, snap)
+    val folded = snap.segs("items")
+    require(folded.nonEmpty,
+      s"snapshot v${snap.version} has no segments")
+    if (folded.length <= 1) return
+    val items = spark.read.parquet(
+      folded.map(sg => s"$path/items/$sg"): _*)
+    import spark.implicits._
+    val compacted = items.select(col("g"), col("level"), col("v"))
+      .as[(String, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, rows) =>
+        val sk = new graft.functions.KllAgg.Sketch(k)
+        rows.map(r => (r._2, r._3)).toArray.sorted
+          .foreach { case (l, v) => sk.pushWeighted(l, v) }
+        sk.compactPass()
+        sk.itemRows.iterator.map { case (l, v) => (g, l, v) }
+      }
+      .toDF("g", "level", "v")
+    val seg = s"compact_v${snap.version + 1}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    compacted.coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/items/$seg")
+    val foldedSet = folded.toSet
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      require(foldedSet.subsetOf(c.segs("items").toSet),
+        "a concurrent compaction already folded segments this " +
+          "compaction read — committing both copies would double-" +
+          "count every item; rerun compactGroupedKllSketch against " +
+          "the new snapshot")
+      c.copy(tables = c.tables + ("items" ->
+        (seg +: c.segs("items").filterNot(foldedSet))))
+    }
+  }
+
+  /** Per-group two-sample KS drift (the x226 statistic keyed on the
+    * group) between two grouped item tables — the PER-SOURCE drift
+    * alarm: one row per group present on BOTH sides, D = sup_v
+    * |F_a(v) − F_b(v)| in exact-integer arithmetic, one final
+    * division. Groups on one side only are omitted (no two-sample
+    * statistic exists); the caller's alarm treats absence as its own
+    * signal. Every join keyed on (g, v) over sketch-bounded tables. */
+  def kllKsDriftByGroupFromItems(ia: DataFrame, ib: DataFrame)
+      : DataFrame = {
+    def weighted(items: DataFrame) = items
+      .select(col("g"), col("v"),
+        call_function("shiftleft", lit(1L), col("level")).as("w"))
+      .groupBy("g", "v").agg(sum("w").as("w"))
+    val ma = weighted(ia)
+    val mb = weighted(ib)
+    val vals = ma.select("g", "v").unionByName(mb.select("g", "v"))
+      .distinct()
+    def cum(m: DataFrame, out: String) = vals
+      .join(broadcast(m.select(col("g").as("_g2"),
+        col("v").as("_v2"), col("w"))),
+        col("_g2") === col("g") && col("_v2") <= col("v"), "left")
+      .groupBy("g", "v").agg(coalesce(sum("w"), lit(0L)).as(out))
+    val joined = cum(ma, "cum_a").join(cum(mb, "cum_b"), Seq("g", "v"))
+    val totals = ma.groupBy("g").agg(sum("w").as("n_a"))
+      .join(mb.groupBy("g").agg(sum("w").as("n_b")), Seq("g"))
+    joined.join(broadcast(totals), Seq("g"))
+      .select(col("g"),
+        abs(dec38(col("cum_a")) * dec38(col("n_b")) -
+          dec38(col("cum_b")) * dec38(col("n_a"))).as("d"),
+        col("n_a"), col("n_b"))
+      .groupBy("g", "n_a", "n_b")
+      .agg(max("d").as("ks_dec"))
+      .select(col("g"), col("n_a"), col("n_b"),
+        longExact(col("ks_dec"),
+          "kllKsDriftByGroup: KS numerator exceeds Long range")
+          .as("ks_num"))
+      .select(col("g"), col("n_a"), col("n_b"), col("ks_num"),
+        round(col("ks_num").cast(DoubleType) /
+          (dec38(col("n_a")) * dec38(col("n_b"))).cast(DoubleType), 6)
+          .as("ks"))
+  }
+
+  /** [[kllKsDriftByGroupFromItems]] straight from two corpora. */
+  def kllKsDriftByGroup(a: DataFrame, b: DataFrame, valueCol: Column,
+      groupCol: String, k: Int): DataFrame =
+    kllKsDriftByGroupFromItems(kllItemsBy(a, valueCol, groupCol, k),
+      kllItemsBy(b, valueCol, groupCol, k))
 }

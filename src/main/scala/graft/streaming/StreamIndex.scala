@@ -351,6 +351,37 @@ object StreamIndex {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streamed maintenance of a persisted PER-GROUP KLL sketch (gated
+    * x237): [[kllSketchAppendWriter]]'s contract with the micro-batch
+    * sketched per group (the index's persisted k AND group column) —
+    * the per-source drift-alarm shape: each source's quantile state
+    * stays O(3k) and current as batches arrive, and
+    * [[graft.ext.Corpus.kllKsDriftByGroupFromItems]] reads alarms off
+    * two snapshots without rescanning anything. Same content-derived
+    * exactly-once contract, same idCol-not-valueCol batch-identity
+    * rule. */
+  def kllByGroupSketchAppendWriter(spark: SparkSession,
+      valuesDir: String, schema: StructType, sketchPath: String,
+      valueCol: String, idCol: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(valuesDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (bid, _) = contentBatchId(b, idCol)
+          graft.ext.Corpus.appendToGroupedKllSketch(s, sketchPath, b,
+            col(valueCol), bid)
+        } finally b.unpersist(blocking = false)
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** CDC INTO THE INDEX (gated x127): change batches of
     * (id, text, op ∈ upsert|delete) stream into a persisted
     * [[TextAnalysis.saveBm25Index]] index through the delete/reindex

@@ -418,6 +418,73 @@ class SketchGatesSpec extends SparkSpec {
       spark, idx, docs, col("n_chars"), "b2/evil"))
   }
 
+  test("grouped KLL sketch (x237): save+append == one-shot grouped " +
+      "build in the exact regime; replay no-ops; DISTRIBUTED compact " +
+      "folds to one segment conserving every group's exact n; " +
+      "mid-fold append carried; time travel replays") {
+    import graft.sinks.IndexManifest
+    val docs = Tables.load(spark, Sf001, "documents")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_kll_grp").resolve("idx").toString
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val probes = Seq(250000L, 500000L, 750000L)
+    Corpus.saveGroupedKllSketch(docs.filter(col("doc_id") % 3 =!= 0),
+      col("n_chars"), "lang", idx, k = 1024)
+    val v1 = IndexManifest.latest(fs, idx).get.version
+    Corpus.appendToGroupedKllSketch(spark, idx,
+      docs.filter(col("doc_id") % 3 === 0), col("n_chars"), "b1")
+    def serve() = Corpus.queryGroupedKllSketch(spark, idx, probes)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq.sorted
+    val after = serve()
+    // exact regime: streamed/appended segments == one-shot grouped
+    val oneShot = Corpus.kllQuantilesBy(docs, col("n_chars"),
+        Seq("lang"), k = 1024, qMicros = probes)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(after == oneShot,
+      "appended grouped sketch must serve the one-shot build")
+    // replay no-ops
+    Corpus.appendToGroupedKllSketch(spark, idx,
+      docs.filter(col("doc_id") % 3 === 0), col("n_chars"), "b1")
+    assert(serve() == after, "append replay must no-op")
+    // distributed compaction: mid-fold append carried, n conserved
+    val stale = IndexManifest.latest(fs, idx).get
+    Corpus.appendToGroupedKllSketch(spark, idx,
+      docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", col("n_chars") + 1L),
+      col("n_chars"), "b2")
+    Corpus.compactGroupedKllSketchFrom(spark, idx, stale)
+    val snap = IndexManifest.latest(fs, idx).get
+    assert(snap.segs("items").contains("delta_b2"),
+      s"mid-fold append must be carried: ${snap.segs("items")}")
+    assert(snap.segs("items").exists(_.startsWith("compact_v")))
+    val nPerLang = Corpus.queryGroupedKllSketch(spark, idx,
+        Seq(500000L))
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val wantN = docs.unionByName(docs.filter(col("doc_id") % 3 === 0))
+      .filter(col("lang").isNotNull)
+      .groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(nPerLang == wantN,
+      "compaction + carry must conserve every group's exact n")
+    // the racing stale fold aborts
+    val stale2 = IndexManifest.latest(fs, idx).get
+    Corpus.compactGroupedKllSketch(spark, idx)
+    val ex = intercept[IllegalArgumentException](
+      Corpus.compactGroupedKllSketchFrom(spark, idx, stale2))
+    assert(ex.getMessage.contains("concurrent compaction"))
+    // time travel: v1 serves the save-only slice
+    val old = Corpus.queryGroupedKllSketch(spark, idx, probes,
+        asOfVersion = Some(v1))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq.sorted
+    val oneShotV1 = Corpus.kllQuantilesBy(
+        docs.filter(col("doc_id") % 3 =!= 0), col("n_chars"),
+        Seq("lang"), k = 1024, qMicros = probes)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(old == oneShotV1, "time travel must replay the old snapshot")
+  }
+
   test("compactKllSketch races: a mid-fold append's segment is " +
       "CARRIED (items survive, n stays exact, its replay still " +
       "no-ops); a concurrent compaction folding the same segments " +
