@@ -1538,6 +1538,28 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     },
 
+    // containment ledger takedown (x242): deleted docs stop BLOCKING
+    // admission — tombstoned postings leave the join, so a quote of a
+    // removed document is ingestible again (x125's contract on the
+    // containment axis). Oracle: x235's cross-side SQL against the
+    // SURVIVING ledger only.
+    "x242_containment_delete" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val ledger = scratchDir("ctledger242")
+      graft.ext.DedupOps.saveContainmentIndex(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        "doc_id", "text", ledger, n = 5)
+      graft.ext.DedupOps.deleteFromContainmentIndex(s, ledger,
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0 &&
+            pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id")), "doc_id", "d1")
+      graft.ext.DedupOps.containmentAdmit(s, ledger,
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          "doc_id", "text", threshold = 0.8)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id").asc)
+    },
+
     // exact heavy-hitter terms: Misra-Gries prunes the vocabulary to
     // ≤64 candidates, exact re-count keeps terms with freq·64 > N.
     "x47_heavy_terms" -> ((s, dir) =>
@@ -1868,6 +1890,29 @@ object SparkEntry {
         graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       graft.ext.Corpus.kllTrimByGroup(t, col("n_tokens"), Seq("lang"),
           k = 1024, loMicros = 50000L, hiMicros = 950000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("lo"), col("hi"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // sketch-threshold trim from PERSISTED state (x241): x233's trim
+    // with the per-language bands read off the x237 grouped-sketch
+    // snapshot (save + append here; a stream maintains the same
+    // state) — threshold freshness is the sketch's, the corpus is
+    // scanned once for the filter and NEVER for the thresholds, and
+    // asOfVersion can pin a trim to an audited snapshot. Exact regime
+    // covering the full corpus → x233's oracle verbatim.
+    "x241_sketch_threshold_trim" -> { (s, dir) =>
+      val t = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val idx = scratchDir("kllgtrim241")
+      graft.ext.Corpus.saveGroupedKllSketch(
+        t.filter(col("doc_id") % 3 =!= 0), col("n_tokens"), "lang",
+        idx, k = 1024)
+      graft.ext.Corpus.appendToGroupedKllSketch(s, idx,
+        t.filter(col("doc_id") % 3 === 0), col("n_tokens"), "b1")
+      graft.ext.Corpus.kllTrimByGroupFromSketch(s, idx, t,
+          col("n_tokens"), loMicros = 50000L, hiMicros = 950000L)
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("lo"), col("hi"))
         .orderBy(col("doc_id").asc)
@@ -6315,6 +6360,36 @@ object SparkEntry {
                   CAST(2 AS BIGINT) AS vocab_gen
            FROM (${unigramEncodeSelectP("b")}))
          ORDER BY vocab_gen ASC, doc_id ASC"""
+    // x233/x241 share the per-lang order-statistic trim oracle (x241
+    // reads identical thresholds off the persisted grouped sketch)
+    val kllTrimOracle: String =
+      """WITH t AS (SELECT doc_id, lang,
+                CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                  AS BIGINT) AS n_tokens
+              FROM documents),
+           v AS (SELECT lang, CAST(n_tokens AS DOUBLE) AS v FROM t
+                 WHERE lang IS NOT NULL AND n_tokens IS NOT NULL),
+           n AS (SELECT lang, count(*) AS n FROM v GROUP BY 1),
+           r AS (SELECT lang, v, row_number() OVER (
+                   PARTITION BY lang ORDER BY v) AS rn FROM v),
+           q AS (SELECT CAST(unnest([50000, 950000]) AS BIGINT)
+                   AS q_micros),
+           sel AS (SELECT n.lang, q.q_micros,
+                     (q.q_micros * n.n + 999999) // 1000000 AS kk
+                   FROM q, n),
+           est AS (SELECT sel.lang, sel.q_micros, r.v AS est
+                   FROM sel JOIN r
+                     ON r.lang = sel.lang AND r.rn = sel.kk),
+           th AS (SELECT lang,
+                    min(CASE WHEN q_micros = 50000 THEN est END) AS lo,
+                    min(CASE WHEN q_micros = 950000 THEN est END)
+                      AS hi
+                  FROM est GROUP BY 1)
+           SELECT t.doc_id, t.lang, t.n_tokens, th.lo, th.hi
+           FROM t JOIN th ON th.lang = t.lang
+           WHERE CAST(t.n_tokens AS DOUBLE) >= th.lo
+             AND CAST(t.n_tokens AS DOUBLE) <= th.hi
+           ORDER BY t.doc_id ASC"""
     // x225/x237 share the exact-regime per-lang order-statistic oracle
     // (x237's streamed segments must serve the one-shot build exactly)
     val kllByLangOracle: String =
@@ -7825,6 +7900,33 @@ object SparkEntry {
                         count(*) AS shared
                  FROM e a JOIN e b ON a.s = b.s
                  WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+                 GROUP BY 1, 2),
+           rej AS (SELECT DISTINCT da
+                   FROM p JOIN sz x ON p.da = x.doc_id
+                          JOIN sz y ON p.db = y.doc_id
+                   WHERE round(shared*1.0/least(x.z, y.z), 6) >= 0.8)
+           SELECT doc_id FROM documents
+           WHERE doc_id % 4 = 0
+             AND doc_id NOT IN (SELECT da FROM rej)
+           ORDER BY doc_id ASC""",
+
+      // x242: x235 with the tombstoned docs (doc_id % 5 = 0) removed
+      // from the blocking side — deletion widens admission
+      "x242_containment_delete" ->
+        """WITH t AS (SELECT doc_id,
+                regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents),
+           s AS (SELECT doc_id,
+                   list_distinct([array_to_string(toks[i+1:i+5], ' ')
+                                  for i in range(len(toks)-4)]) AS sh
+                 FROM t WHERE len(toks) >= 5),
+           e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+           sz AS (SELECT doc_id, len(sh) AS z FROM s),
+           p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                        count(*) AS shared
+                 FROM e a JOIN e b ON a.s = b.s
+                 WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+                   AND b.doc_id % 5 <> 0
                  GROUP BY 1, 2),
            rej AS (SELECT DISTINCT da
                    FROM p JOIN sz x ON p.da = x.doc_id
@@ -9535,35 +9637,12 @@ object SparkEntry {
 
       // x233: x60's trim with sketch thresholds — exact regime, so the
       // band ends are the per-lang ⌈q·n⌉-th order statistics (x225's
-      // rank rule) and the kept set is the inclusive band
-      "x233_kll_length_trim" ->
-        """WITH t AS (SELECT doc_id, lang,
-                CAST(len(regexp_split_to_array(trim(text), '\s+'))
-                  AS BIGINT) AS n_tokens
-              FROM documents),
-           v AS (SELECT lang, CAST(n_tokens AS DOUBLE) AS v FROM t
-                 WHERE lang IS NOT NULL AND n_tokens IS NOT NULL),
-           n AS (SELECT lang, count(*) AS n FROM v GROUP BY 1),
-           r AS (SELECT lang, v, row_number() OVER (
-                   PARTITION BY lang ORDER BY v) AS rn FROM v),
-           q AS (SELECT CAST(unnest([50000, 950000]) AS BIGINT)
-                   AS q_micros),
-           sel AS (SELECT n.lang, q.q_micros,
-                     (q.q_micros * n.n + 999999) // 1000000 AS kk
-                   FROM q, n),
-           est AS (SELECT sel.lang, sel.q_micros, r.v AS est
-                   FROM sel JOIN r
-                     ON r.lang = sel.lang AND r.rn = sel.kk),
-           th AS (SELECT lang,
-                    min(CASE WHEN q_micros = 50000 THEN est END) AS lo,
-                    min(CASE WHEN q_micros = 950000 THEN est END)
-                      AS hi
-                  FROM est GROUP BY 1)
-           SELECT t.doc_id, t.lang, t.n_tokens, th.lo, th.hi
-           FROM t JOIN th ON th.lang = t.lang
-           WHERE CAST(t.n_tokens AS DOUBLE) >= th.lo
-             AND CAST(t.n_tokens AS DOUBLE) <= th.hi
-           ORDER BY t.doc_id ASC""",
+      // rank rule) and the kept set is the inclusive band.
+      // x241 reads the same thresholds off the persisted grouped
+      // sketch (save+append covering the full corpus, exact regime) —
+      // same oracle verbatim.
+      "x241_sketch_threshold_trim" -> kllTrimOracle,
+      "x233_kll_length_trim" -> kllTrimOracle,
 
       // x09's shared quality CTE (with source), then best-vs-worst per
       // source with the engine's id tie-breaks

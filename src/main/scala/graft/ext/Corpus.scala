@@ -2405,6 +2405,33 @@ object Corpus {
     }
   }
 
+  /** [[kllTrimByGroup]] with the thresholds read from a PERSISTED
+    * grouped sketch (x241) — the production composition: a stream
+    * maintains the sketch ([[kllByGroupSketchAppendWriter]]'s x237
+    * state), and the trim reads its per-group [Q(lo), Q(hi)] bands
+    * from sketch KILOBYTES — the corpus is scanned once for the
+    * filter itself and never for the thresholds (x233 recomputes them
+    * from the corpus; here threshold freshness is the sketch's, and
+    * `asOfVersion` pins a trim to an audited snapshot). Same inclusive
+    * band, same broadcast-filter plan shape. */
+  def kllTrimByGroupFromSketch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, valueCol: Column, loMicros: Long, hiMicros: Long,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    require(loMicros <= hiMicros,
+      s"loMicros must be <= hiMicros (got $loMicros > $hiMicros)")
+    val (items, _, groupCol) =
+      groupedKllSketchState(spark, path, asOfVersion)
+    val th = kllQuantileEstimatesBy(items, groupCol,
+        Seq(loMicros, hiMicros).distinct)
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(col("q_micros") === loMicros, col("est"))).as("lo"),
+        min(when(col("q_micros") === hiMicros, col("est"))).as("hi"))
+    df.join(broadcast(th), Seq(groupCol))
+      .filter(valueCol.cast(DoubleType).between(col("lo"), col("hi")))
+  }
+
   /** Per-group two-sample KS drift (the x226 statistic keyed on the
     * group) between two grouped item tables — the PER-SOURCE drift
     * alarm: one row per group present on BOTH sides, D = sup_v

@@ -1485,6 +1485,91 @@ object DedupOps {
     spark.read.parquet(segs.map(s => s"$path/$table/$s"): _*)
   }
 
+  /** The containment ledger's tombstone table: (doc_id, seg) rows —
+    * the [[MinhashDeletesTable]] scope rule (a doc's postings live in
+    * exactly one segment). */
+  private val ContainmentDeletesTable = "deletes"
+
+  /** Postings tagged with each row's `_seg`, tombstoned rows
+    * anti-joined out — shared by the serve read and the delete-scope
+    * derivation ([[taggedLiveMinhash]]'s shape). */
+  private def taggedLiveContainment(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: graft.sinks.IndexSnapshot): DataFrame = {
+    val segs = snap.segs("postings")
+    require(segs.nonEmpty, s"index at $path has no 'postings' segments")
+    val tagged = segs.map(s =>
+      spark.read.parquet(s"$path/postings/$s")
+        .withColumn("_seg", lit(s))).reduce(_ unionByName _)
+    val del = snap.segs(ContainmentDeletesTable)
+    if (del.isEmpty) tagged
+    else tagged.join(
+      del.map(s => spark.read.parquet(s"$path/deletes/$s"))
+        .reduce(_ unionByName _)
+        .select(col("doc_id"), col("seg").as("_seg")),
+      Seq("doc_id", "_seg"), "left_anti")
+  }
+
+  /** LIVE postings — zero added plan nodes when no deletes exist. */
+  private def readContainmentLive(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: graft.sinks.IndexSnapshot): DataFrame =
+    if (snap.segs(ContainmentDeletesTable).isEmpty)
+      readContainmentTable(spark, path, snap, "postings")
+    else taggedLiveContainment(spark, path, snap).drop("_seg")
+
+  /** DELETE documents from the containment ledger (x242) — the
+    * takedown path: a tombstoned doc's postings leave the admission
+    * join, so a quote of a removed document is ingestible again (and
+    * a replay of the deleted doc itself re-admits — the ledger
+    * forgets). Same protocol as [[deleteFromMinhashIndex]]:
+    * (doc_id, seg)-scoped tombstones, idempotent on
+    * `delete_<deleteId>`, physical removal at compaction, CAS guards
+    * against racing folds. Scope derivation reads only the postings'
+    * fixed-width columns. */
+  def deleteFromContainmentIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      docIds: DataFrame, idCol: String, deleteId: String): Unit =
+    deleteFromContainmentIndexFrom(spark, path, docIds, idCol,
+      deleteId, containmentSnapshot(spark, path))
+
+  private[ext] def deleteFromContainmentIndexFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      docIds: DataFrame, idCol: String, deleteId: String,
+      snap: graft.sinks.IndexSnapshot): Unit = {
+    require(deleteId.nonEmpty && deleteId.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"deleteId must be a filesystem-safe token (got '$deleteId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val marker = s"delete_$deleteId"
+    if (snap.applied.contains(marker)) return
+    val seg = s"del_$deleteId"
+    taggedLiveContainment(spark, path, snap)
+      .join(docIds.select(col(idCol).cast(LongType).as("doc_id"))
+        .distinct(), Seq("doc_id"))
+      .select(col("doc_id"), col("_seg").as("seg")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/deletes/$seg")
+    val sawPostings = snap.segs("postings").toSet
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(marker)) c // concurrent duplicate: no-op
+      else {
+        require(sawPostings.subsetOf(c.segs("postings").toSet),
+          "a concurrent compaction folded segments this delete " +
+            "scanned — its tombstone scopes reference dropped " +
+            "segments; rerun deleteFromContainmentIndex against the " +
+            "new snapshot (appends compose; compactions serialize)")
+        c.copy(
+          tables = c.tables + (ContainmentDeletesTable ->
+            (c.segs(ContainmentDeletesTable).filterNot(_ == seg)
+              :+ seg)),
+          applied = c.applied :+ marker)
+      }
+    }
+  }
+
   /** The containment ledger's current manifest version — the as-of
     * handle ([[minhashIndexVersion]]'s MVCC contract). */
   def containmentIndexVersion(spark: org.apache.spark.sql.SparkSession,
@@ -1502,10 +1587,11 @@ object DedupOps {
       batchId: String): Unit = {
     require(batchId.nonEmpty && batchId != "base" &&
         !batchId.startsWith("compact_v") &&
+        !batchId.startsWith("delete_") &&
         batchId.forall(c =>
           c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       "batchId must be a filesystem-safe token != 'base' and outside " +
-        s"the reserved 'compact_v' prefix (got '$batchId')")
+        s"the reserved 'compact_v'/'delete_' prefixes (got '$batchId')")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val snap = containmentSnapshot(spark, path)
@@ -1550,7 +1636,9 @@ object DedupOps {
           .as("sh"))
       .select(col("in_doc"), size(col("sh")).as("in_sz"),
         explode(col("sh")).as("s"))
-    val corpus = readContainmentTable(spark, path, snap, "postings")
+    // live read: a tombstoned doc neither collides nor verifies, so a
+    // quote of a DELETED document admits again (the ledger forgets)
+    val corpus = readContainmentLive(spark, path, snap)
     val rejected = in.join(corpus, Seq("s"))
       .groupBy(col("in_doc"), col("doc_id"), col("in_sz"), col("sz"))
       .agg(count(lit(1)).as("shared"))
@@ -1576,22 +1664,31 @@ object DedupOps {
       snap: graft.sinks.IndexSnapshot): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
-    if (snap.segs("postings").length <= 1) return
+    if (snap.segs("postings").length <= 1 &&
+      snap.segs(ContainmentDeletesTable).isEmpty) return
     val seg = s"compact_v${snap.version}_" +
       java.util.UUID.randomUUID().toString.take(8)
-    readContainmentTable(spark, path, snap, "postings")
+    // live read: the fold physically removes tombstoned docs; the
+    // tombstone table empties in the same commit
+    readContainmentLive(spark, path, snap)
       .repartition(col("s")).sortWithinPartitions("s")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/postings/$seg")
     val folded = snap.segs("postings").toSet
+    val sawDeletes = snap.segs(ContainmentDeletesTable)
     graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
       val c = cur.getOrElse(snap)
       require(folded.subsetOf(c.segs("postings").toSet),
         "a concurrent compaction already folded segments this " +
           "compaction read — rerun compactContainmentIndex against " +
           "the new snapshot")
+      require(c.segs(ContainmentDeletesTable) == sawDeletes,
+        "a concurrent delete committed during compaction — its " +
+          "tombstones are scoped to segments this fold dropped; " +
+          "rerun compactContainmentIndex against the new snapshot")
       c.copy(tables = c.tables + ("postings" ->
-        (seg +: c.segs("postings").filterNot(folded.contains))))
+        (seg +: c.segs("postings").filterNot(folded.contains)))
+        + (ContainmentDeletesTable -> Seq.empty[String]))
     }
   }
 
@@ -1602,6 +1699,7 @@ object DedupOps {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     graft.sinks.IndexManifest.vacuum(fs, path, keepVersions,
-      ContainmentTables.map(t => t -> s"$path/$t").toMap)
+      (ContainmentTables :+ ContainmentDeletesTable)
+        .map(t => t -> s"$path/$t").toMap)
   }
 }

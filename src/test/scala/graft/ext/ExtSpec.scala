@@ -1317,6 +1317,89 @@ class ExtSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == shortIds)
   }
 
+  test("containment ledger delete (x242): tombstoned docs stop " +
+      "blocking admission; re-append re-learns; compaction removes " +
+      "physically; stale delete/fold committers abort") {
+    import graft.sinks.IndexManifest
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ct_del").resolve("idx").toString
+    val hfs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val corpus = docs.filter($"doc_id" < 250)
+    DedupOps.saveContainmentIndex(corpus, "doc_id", "text", idx, n = 5)
+    def admit(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      DedupOps.containmentAdmit(spark, idx, df, "doc_id", "text",
+        threshold = 0.8).select("doc_id").as[Long].collect().toSet
+    // replayed copies of indexed docs (shifted ids) self-reject,
+    // except shingle-less (< 5 token) docs
+    val replay = corpus.withColumn("doc_id", $"doc_id" + 10000)
+    val replayIds = replay.select("doc_id").as[Long].collect().toSet
+    val before = admit(replay)
+    val sigless = replay
+      .filter(size(split(trim($"text"), "\\s+")) < 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(before == sigless,
+      "exactly the shingle-less replays admit pre-delete")
+    // delete a quarter: admission must equal the cross-side
+    // containmentPairs restriction against the LIVE corpus only
+    DedupOps.deleteFromContainmentIndex(spark, idx,
+      corpus.filter($"doc_id" % 4 === 2).select($"doc_id"), "doc_id",
+      "d1")
+    val after = admit(replay)
+    val liveUnion = corpus.filter($"doc_id" % 4 =!= 2)
+      .unionByName(replay)
+    val crossRejected = DedupOps.containmentPairs(liveUnion, "doc_id",
+        "text", n = 5, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        Seq(a, b).filter(x => x >= 10000 &&
+          (if (x == a) b < 10000 else a < 10000))
+      }.toSet
+    assert(after == replayIds -- crossRejected,
+      "post-delete admission must equal the live-corpus cross-side " +
+        "containmentPairs restriction")
+    assert(before.subsetOf(after), "deletion can only widen admission")
+    assert((after -- before).nonEmpty,
+      "non-vacuity: some replay of a deleted doc must now admit")
+    // delete retry no-ops
+    val vd = IndexManifest.latest(hfs, idx).get.version
+    DedupOps.deleteFromContainmentIndex(spark, idx,
+      corpus.filter($"doc_id" % 4 === 2).select($"doc_id"), "doc_id",
+      "d1")
+    assert(IndexManifest.latest(hfs, idx).get.version == vd)
+    // re-append re-learns: the deleted docs' postings return as a
+    // fresh segment outside the tombstone's (doc_id, seg) scope
+    DedupOps.appendToContainmentIndex(spark, idx,
+      corpus.filter($"doc_id" % 4 === 2), "doc_id", "text", "b2")
+    assert(admit(replay) == before)
+    // compaction folds tombstones away physically, admission unchanged
+    DedupOps.compactContainmentIndex(spark, idx)
+    assert(IndexManifest.latest(hfs, idx).get.segs("deletes").isEmpty)
+    assert(admit(replay) == before)
+    // races: an append gives the stale snapshot something to fold,
+    // then a delete that commits mid-fold aborts the fold...
+    DedupOps.appendToContainmentIndex(spark, idx,
+      docs.filter($"doc_id" >= 250 && $"doc_id" < 270)
+        .withColumn("doc_id", $"doc_id" + 30000),
+      "doc_id", "text", "b3")
+    val stale = IndexManifest.latest(hfs, idx).get
+    DedupOps.deleteFromContainmentIndex(spark, idx,
+      corpus.filter($"doc_id" % 4 === 0).select($"doc_id"), "doc_id",
+      "d2")
+    val e1 = intercept[IllegalArgumentException](
+      DedupOps.compactContainmentIndexFrom(spark, idx, stale))
+    assert(e1.getMessage.contains("concurrent delete"))
+    // ...and a delete scoped against segments a compaction already
+    // folded aborts instead of landing dangling tombstones
+    val stale2 = IndexManifest.latest(hfs, idx).get
+    DedupOps.compactContainmentIndex(spark, idx)
+    val e2 = intercept[IllegalArgumentException](
+      DedupOps.deleteFromContainmentIndexFrom(spark, idx,
+        corpus.filter($"doc_id" % 4 === 1).select($"doc_id"),
+        "doc_id", "d3", stale2))
+    assert(e2.getMessage.contains("concurrent compaction"))
+  }
+
   test("minhash ledger time travel (x155): as-of replays the frozen " +
       "snapshot's admission; survives compaction; vacuumed versions " +
       "error") {
