@@ -3288,6 +3288,34 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     },
 
+    // streamed containment admission (x245): x202's greedy
+    // earlier-batch-wins stream on the subset/quotation axis — each
+    // arriving batch admits against the ledger (x235) and its
+    // admitted slice appends before the next batch admits, so a doc
+    // quoted inside an EARLIER admission is rejected. Oracle: the two
+    // batches replayed sequentially in SQL.
+    "x245_stream_containment_admit" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val base = scratchDir("streamct245")
+      graft.ext.DedupOps.saveContainmentIndex(
+        d.filter(pmod(col("doc_id"), lit(5)).isin(1, 2, 3)),
+        "doc_id", "text", base + "/ledger", n = 5)
+      landOrdered(s, Seq(
+        d.filter(pmod(col("doc_id"), lit(5)) === 4)
+          .select("doc_id", "text"),
+        d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select("doc_id", "text")),
+        base + "/in")
+      val schema = s.read.parquet(base + "/in").schema
+      val q = graft.streaming.StreamIndex.containmentAdmitWriter(s,
+          base + "/in", schema, base + "/ledger", base + "/out",
+          "doc_id", "text", threshold = 0.8)
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      s.read.parquet(base + "/out").select("doc_id")
+        .orderBy(col("doc_id").asc)
+    },
+
     // visual canonical selection (x203): x196's dHash pairs clustered
     // by the O(log n) alternating-star components (x37's machinery on
     // the image axis) — one keeper (min id, "first ingested wins":
@@ -3705,6 +3733,49 @@ object SparkEntry {
       graft.ext.Corpus.queryGroupedKllSketch(s, base + "/idx",
           Seq(250000L, 500000L, 750000L))
         .orderBy(col("lang").asc, col("q_micros").asc)
+    },
+
+    // per-group CDF read (x243): x232's threshold-planning inverse
+    // read keyed on the group and served off the PERSISTED grouped
+    // sketch (save + append here; the x237 stream maintains the same
+    // state) — "what share of EACH language clears these length
+    // bars", from sketch kilobytes. Exact regime → per-lang empirical
+    // CDF, oracle-checked.
+    "x243_kll_group_cdf" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val idx = scratchDir("kllgcdf243")
+      graft.ext.Corpus.saveGroupedKllSketch(
+        d.filter(col("doc_id") % 3 =!= 0), col("n_chars"), "lang",
+        idx, k = 1024)
+      graft.ext.Corpus.appendToGroupedKllSketch(s, idx,
+        d.filter(col("doc_id") % 3 === 0), col("n_chars"), "b1")
+      graft.ext.Corpus.queryGroupedKllCdf(s, idx,
+          Seq(100.0, 200.0, 400.0))
+        .orderBy(col("lang").asc, col("t").asc)
+    },
+
+    // audio canonicalization (x244): x203's keep-one-per-cluster on
+    // the audio axis — connected components (alternating star rounds)
+    // over the x238 near-dup pairs, keeper = component minimum,
+    // singletons their own cluster. One cluster machinery, every
+    // signature modality.
+    "x244_audio_canonical" -> { (s, dir) =>
+      val d = T(s, dir, "documents").select(col("doc_id"))
+      val sigs = graft.ext.Multimodal.audioSpectralHash(s,
+          graft.ext.Multimodal.withWavPayload(s, d, "doc_id"),
+          "doc_id")
+        .select(col("doc_id"), col("ahash").as("sh"))
+      val pairs = graft.ext.DedupOps.simhashPairsFromSigs(sigs,
+        maxHamming = 7, bands = 4, probeBits = 1)
+      val lbl = graft.ext.DedupOps.dedupClustersStar(pairs,
+        "doc_a", "doc_b")
+      d.join(lbl, d("doc_id") === lbl("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_members"))
+        .orderBy(col("cluster_id").asc)
     },
 
     // per-group KS drift (x240): the x226 statistic keyed on the
@@ -7910,6 +7981,52 @@ object SparkEntry {
              AND doc_id NOT IN (SELECT da FROM rej)
            ORDER BY doc_id ASC""",
 
+      // x245: the two batches replayed sequentially — batch 1 (%5=4)
+      // admits against the base ledger (%5 in 1,2,3), batch 2 (%5=0)
+      // against base plus batch 1's admissions (greedy
+      // earlier-batch-wins — the x202 oracle shape on containment)
+      "x245_stream_containment_admit" ->
+        """WITH t AS (SELECT doc_id,
+                regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents),
+           s AS (SELECT doc_id,
+                   list_distinct([array_to_string(toks[i+1:i+5], ' ')
+                                  for i in range(len(toks)-4)]) AS sh
+                 FROM t WHERE len(toks) >= 5),
+           e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+           sz AS (SELECT doc_id, len(sh) AS z FROM s),
+           p1 AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                         count(*) AS shared
+                  FROM e a JOIN e b ON a.s = b.s
+                  WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 IN (1, 2, 3)
+                  GROUP BY 1, 2),
+           r1 AS (SELECT DISTINCT da
+                  FROM p1 JOIN sz x ON p1.da = x.doc_id
+                         JOIN sz y ON p1.db = y.doc_id
+                  WHERE round(shared*1.0/least(x.z, y.z), 6) >= 0.8),
+           a1 AS (SELECT doc_id FROM documents
+                  WHERE doc_id % 5 = 4
+                    AND doc_id NOT IN (SELECT da FROM r1)),
+           idx1 AS (SELECT doc_id FROM documents
+                    WHERE doc_id % 5 IN (1, 2, 3)
+                    UNION ALL SELECT doc_id FROM a1),
+           p2 AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                         count(*) AS shared
+                  FROM e a JOIN e b ON a.s = b.s
+                  WHERE a.doc_id % 5 = 0
+                    AND b.doc_id IN (SELECT doc_id FROM idx1)
+                  GROUP BY 1, 2),
+           r2 AS (SELECT DISTINCT da
+                  FROM p2 JOIN sz x ON p2.da = x.doc_id
+                         JOIN sz y ON p2.db = y.doc_id
+                  WHERE round(shared*1.0/least(x.z, y.z), 6) >= 0.8),
+           a2 AS (SELECT doc_id FROM documents
+                  WHERE doc_id % 5 = 0
+                    AND doc_id NOT IN (SELECT da FROM r2))
+           SELECT doc_id FROM
+             (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+           ORDER BY doc_id ASC""",
+
       // x242: x235 with the tombstoned docs (doc_id % 5 = 0) removed
       // from the blocking side — deletion widens admission
       "x242_containment_delete" ->
@@ -8678,6 +8795,46 @@ object SparkEntry {
              WHERE x.doc_id % 4 <> 0
                AND bit_count(xor(x.ahash, i.ahash)) <= 7)
            ORDER BY i.doc_id ASC""",
+      // x244: exact components via the recursive reachability closure
+      // over the brute-force audio-hash pair set (x203's shape on the
+      // fourth modality)
+      "x244_audio_canonical" ->
+        s"""WITH RECURSIVE $ahashSigCte,
+           pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.ahash, b.ahash)) <= 7),
+           ed AS (SELECT doc_a AS eu, doc_b AS ev FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+           reach(ru, rv) AS (
+             SELECT eu, ev FROM ed
+             UNION
+             SELECT r.ru, e2.ev FROM reach r JOIN ed e2 ON r.rv = e2.eu),
+           lbl AS (SELECT ru AS lid, least(ru, min(rv)) AS lcluster
+                   FROM reach GROUP BY ru),
+           cl AS (SELECT d.doc_id,
+                    coalesce(l.lcluster, d.doc_id) AS cluster_id
+                  FROM (SELECT doc_id FROM documents) d
+                  LEFT JOIN lbl l ON d.doc_id = l.lid)
+           SELECT cluster_id, CAST(min(doc_id) AS BIGINT) AS keep_id,
+                  CAST(count(*) AS BIGINT) AS n_members
+           FROM cl GROUP BY 1 ORDER BY cluster_id ASC""",
+      // x243: per-lang empirical CDF at each threshold — exact
+      // regime, counts over the raw values keyed on the group
+      "x243_kll_group_cdf" ->
+        """WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v
+               FROM documents
+               WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+           n AS (SELECT lang, count(*) AS n FROM v GROUP BY 1),
+           t AS (SELECT CAST(unnest([100.0, 200.0, 400.0]) AS DOUBLE)
+                   AS t),
+           le AS (SELECT n.lang, t.t, n.n,
+                    (SELECT count(*) FROM v
+                     WHERE v.lang = n.lang AND v.v <= t.t) AS le_w
+                  FROM n, t)
+           SELECT lang, t, CAST(n AS BIGINT) AS n,
+                  CAST(le_w AS BIGINT) AS le_w,
+                  round(le_w * 1.0 / n, 6) AS cdf
+           FROM le ORDER BY lang ASC, t ASC""",
       "x196_dhash_neardup_pairs" ->
         s"""WITH $dhashSigCte
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

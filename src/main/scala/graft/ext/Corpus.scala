@@ -2479,4 +2479,46 @@ object Corpus {
       groupCol: String, k: Int): DataFrame =
     kllKsDriftByGroupFromItems(kllItemsBy(a, valueCol, groupCol, k),
       kllItemsBy(b, valueCol, groupCol, k))
+
+  /** [[kllCdfFromItems]] keyed on the group (x243) — per-group
+    * empirical-CDF estimates at caller thresholds: "what share of
+    * EACH language clears 512 tokens", the per-source budget/
+    * threshold-planning read. Groups with an empty sketch cannot
+    * appear (no items); output one row per (group, threshold). */
+  def kllCdfByGroupFromItems(items: DataFrame, groupOut: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val merged = items
+      .select(col("g"), col("v"),
+        call_function("shiftleft", lit(1L), col("level")).as("w"))
+      .groupBy("g", "v").agg(sum("w").as("w"))
+    val n = merged.groupBy("g").agg(sum("w").as("n"))
+    val ts = explode(array(thresholds.map(lit): _*)).as("t")
+    n.select(col("g"), ts, col("n"))
+      .join(broadcast(merged.select(col("g").as("_g2"), col("v"),
+        col("w"))),
+        col("_g2") === col("g") && col("v") <= col("t"), "left")
+      .groupBy("g", "t", "n")
+      .agg(coalesce(sum("w"), lit(0L)).as("le_w"))
+      .select(col("g").as(groupOut), col("t"), col("n"), col("le_w"),
+        round(col("le_w").cast(DoubleType) /
+          col("n").cast(DoubleType), 6).as("cdf"))
+  }
+
+  /** [[kllCdfByGroupFromItems]] straight from a corpus. */
+  def kllCdfByGroup(df: DataFrame, valueCol: Column, groupCol: String,
+      k: Int, thresholds: Seq[Double]): DataFrame =
+    kllCdfByGroupFromItems(kllItemsBy(df, valueCol, groupCol, k),
+      groupCol, thresholds)
+
+  /** Per-group CDF read off a PERSISTED grouped sketch snapshot —
+    * composes with the x237 stream-maintained state like
+    * [[kllTrimByGroupFromSketch]]. */
+  def queryGroupedKllCdf(spark: org.apache.spark.sql.SparkSession,
+      path: String, thresholds: Seq[Double],
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val (items, _, groupCol) =
+      groupedKllSketchState(spark, path, asOfVersion)
+    kllCdfByGroupFromItems(items, groupCol, thresholds)
+  }
 }

@@ -198,6 +198,55 @@ object StreamIndex {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streamed CONTAINMENT admission (gated x245): arriving document
+    * files admit against the persisted containment ledger
+    * ([[graft.ext.DedupOps.containmentAdmit]]) — the admitted slice
+    * lands under `outDir/batch=<id>` AND appends its postings in the
+    * same batch, so every later batch admits against everything
+    * admitted before it (greedy earlier-batch-wins, the
+    * [[simhashAdmitWriter]] semantics on the subset/quotation axis:
+    * a doc quoted inside an earlier admission is rejected; within-
+    * batch quotes are the caller's [[graft.ext.DedupOps
+    * .containmentPairs]] concern). Applied-record exactly-once on the
+    * id-hashed batchId: a replayed batch would otherwise self-reject
+    * against its own postings. */
+  def containmentAdmitWriter(spark: SparkSession, docsDir: String,
+      schema: StructType, ledgerPath: String, outDir: String,
+      idCol: String, textCol: String, threshold: Double)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (bid, _) = contentBatchId(b, idCol)
+          val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          val applied = IndexManifest.latest(fs, ledgerPath)
+            .exists(_.applied.contains(bid))
+          if (!applied) {
+            val admitted = graft.ext.DedupOps.containmentAdmit(s,
+                ledgerPath, b, idCol, textCol, threshold)
+              .persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              admitted.write
+                .mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(s"$outDir/batch=$bid")
+              graft.ext.DedupOps.appendToContainmentIndex(s,
+                ledgerPath, admitted, idCol, textCol, bid)
+            } finally admitted.unpersist(blocking = false)
+          }
+        } finally b.unpersist(blocking = false)
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** Streamed DISTRIBUTION-DRIFT MONITOR (gated x211): each arriving
     * micro-batch is scored against the sketch's PRE-BATCH state —
     * drift = the exact-integer histogram L1
