@@ -3735,6 +3735,36 @@ object SparkEntry {
         .orderBy(col("lang").asc, col("q_micros").asc)
     },
 
+    // streamed per-group drift monitor (x246): the per-source alarm
+    // loop closed — each arriving batch KS-scored PER LANGUAGE
+    // against the grouped sketch's pre-batch state (x240's statistic,
+    // x211's monitor shape in rank space), drift rows landed, batch
+    // appended; every batch measured against everything before it,
+    // per source, no range hint. (lang, n_b) replays arrival order.
+    "x246_stream_group_drift" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val base = scratchDir("streamgdrift246")
+      graft.ext.Corpus.saveGroupedKllSketch(
+        d.filter(col("doc_id") % 3 === 1), col("n_chars"), "lang",
+        base + "/idx", k = 1024)
+      landOrdered(s, Seq(
+        d.filter(col("doc_id") % 3 === 2)
+          .select("doc_id", "lang", "n_chars"),
+        d.filter(col("doc_id") % 3 === 0)
+          .select("doc_id", "lang", "n_chars")),
+        base + "/vals")
+      val schema = s.read.parquet(base + "/vals").schema
+      val q = graft.streaming.StreamIndex.kllGroupDriftMonitorWriter(
+          s, base + "/vals", schema, base + "/idx", base + "/out",
+          "n_chars", "doc_id")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      s.read.parquet(base + "/out")
+        .select(col("g").as("lang"), col("n_a"), col("n_b"),
+          col("ks_num"), col("ks"))
+        .orderBy(col("lang").asc, col("n_b").asc)
+    },
+
     // per-group CDF read (x243): x232's threshold-planning inverse
     // read keyed on the group and served off the PERSISTED grouped
     // sketch (save + append here; the x237 stream maintains the same
@@ -6480,6 +6510,43 @@ object SparkEntry {
                 CAST(sel.k AS BIGINT) AS k, r.v AS est
          FROM sel JOIN r ON r.lang = sel.lang AND r.rn = sel.k
          ORDER BY sel.lang ASC, sel.q_micros ASC"""
+    // x240/x246 share the per-lang two-sample KS rows, parameterized
+    // by the two sides' doc_id predicates (batch = side a, ledger =
+    // side b); no ORDER BY — callers compose and sort
+    def kllGroupKsSql(whereA: String, whereB: String): String =
+      s"""WITH va AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
+               FROM documents
+               WHERE $whereA AND n_chars IS NOT NULL
+                 AND lang IS NOT NULL),
+           vb AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
+               FROM documents
+               WHERE $whereB AND n_chars IS NOT NULL
+                 AND lang IS NOT NULL),
+           na AS (SELECT g, count(*) AS n_a FROM va GROUP BY 1),
+           nb AS (SELECT g, count(*) AS n_b FROM vb GROUP BY 1),
+           vals AS (SELECT DISTINCT g, v FROM
+             (SELECT * FROM va UNION ALL SELECT * FROM vb)),
+           ca AS (SELECT vals.g, vals.v, count(va.v) AS cum_a
+                  FROM vals LEFT JOIN va
+                    ON va.g = vals.g AND va.v <= vals.v
+                  GROUP BY 1, 2),
+           cb AS (SELECT vals.g, vals.v, count(vb.v) AS cum_b
+                  FROM vals LEFT JOIN vb
+                    ON vb.g = vals.g AND vb.v <= vals.v
+                  GROUP BY 1, 2),
+           d AS (SELECT ca.g,
+                   max(abs(ca.cum_a * nb.n_b - cb.cum_b * na.n_a))
+                     AS ks_num
+                 FROM ca JOIN cb ON ca.g = cb.g AND ca.v = cb.v
+                 JOIN na ON na.g = ca.g JOIN nb ON nb.g = ca.g
+                 GROUP BY 1)
+           SELECT d.g AS lang, CAST(na.n_a AS BIGINT) AS n_a,
+                  CAST(nb.n_b AS BIGINT) AS n_b,
+                  CAST(d.ks_num AS BIGINT) AS ks_num,
+                  round(CAST(d.ks_num AS DOUBLE) /
+                    (CAST(na.n_a AS DOUBLE) * CAST(nb.n_b AS DOUBLE)),
+                    6) AS ks
+           FROM d JOIN na ON na.g = d.g JOIN nb ON nb.g = d.g"""
     // x226/x227 share the two-sample KS oracle, parameterized by the
     // two sides' WHERE clauses
     def kllKsOracle(whereA: String, whereB: String): String =
@@ -8464,40 +8531,19 @@ object SparkEntry {
       // x240: per-lang textbook two-sample KS in the exact regime —
       // x226's integer arithmetic keyed on the group
       "x240_kll_group_drift" ->
-        """WITH va AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
-               FROM documents
-               WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
-                 AND lang IS NOT NULL),
-           vb AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
-               FROM documents
-               WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
-                 AND lang IS NOT NULL),
-           na AS (SELECT g, count(*) AS n_a FROM va GROUP BY 1),
-           nb AS (SELECT g, count(*) AS n_b FROM vb GROUP BY 1),
-           vals AS (SELECT DISTINCT g, v FROM
-             (SELECT * FROM va UNION ALL SELECT * FROM vb)),
-           ca AS (SELECT vals.g, vals.v, count(va.v) AS cum_a
-                  FROM vals LEFT JOIN va
-                    ON va.g = vals.g AND va.v <= vals.v
-                  GROUP BY 1, 2),
-           cb AS (SELECT vals.g, vals.v, count(vb.v) AS cum_b
-                  FROM vals LEFT JOIN vb
-                    ON vb.g = vals.g AND vb.v <= vals.v
-                  GROUP BY 1, 2),
-           d AS (SELECT ca.g,
-                   max(abs(ca.cum_a * nb.n_b - cb.cum_b * na.n_a))
-                     AS ks_num
-                 FROM ca JOIN cb ON ca.g = cb.g AND ca.v = cb.v
-                 JOIN na ON na.g = ca.g JOIN nb ON nb.g = ca.g
-                 GROUP BY 1)
-           SELECT d.g AS lang, CAST(na.n_a AS BIGINT) AS n_a,
-                  CAST(nb.n_b AS BIGINT) AS n_b,
-                  CAST(d.ks_num AS BIGINT) AS ks_num,
-                  round(CAST(d.ks_num AS DOUBLE) /
-                    (CAST(na.n_a AS DOUBLE) * CAST(nb.n_b AS DOUBLE)),
-                    6) AS ks
-           FROM d JOIN na ON na.g = d.g JOIN nb ON nb.g = d.g
+        s"""SELECT * FROM (${kllGroupKsSql(
+          "doc_id % 2 = 0", "doc_id % 2 = 1")})
            ORDER BY lang ASC""",
+      // x246: the streamed per-group monitor replayed — batch 1
+      // (%3=2) scored against the base ledger (%3=1), batch 2 (%3=0)
+      // against base+batch1 (%3 in 1,2); (lang, n_b) replays arrival
+      "x246_stream_group_drift" ->
+        s"""SELECT * FROM (
+             (${kllGroupKsSql("doc_id % 3 = 2", "doc_id % 3 = 1")})
+             UNION ALL
+             (${kllGroupKsSql("doc_id % 3 = 0",
+               "doc_id % 3 IN (1, 2)")}))
+           ORDER BY lang ASC, n_b ASC""",
       // x193: negated delete segments net out — the one-shot sketch
       // over the surviving rows
       "x193_hist_sketch_delete" ->

@@ -294,6 +294,55 @@ object StreamIndex {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streamed PER-GROUP drift monitor (gated x246) — the per-source
+    * alarm loop closed: each arriving micro-batch is KS-scored PER
+    * GROUP against the grouped KLL sketch's PRE-BATCH state
+    * ([[graft.ext.Corpus.kllKsDriftByGroupFromItems]], batch as side
+    * a, ledger as side b — [[histDriftMonitorWriter]]'s shape in rank
+    * space, keyed on the source), the per-group drift rows land under
+    * `outDir/batch=<id>`, and the batch then appends — every batch is
+    * measured against everything ingested before it, per source, with
+    * no range hint. Groups absent from one side carry no row (no
+    * two-sample statistic exists); each group's n_b grows
+    * monotonically, so ordering by (g, n_b) replays arrival order.
+    * Same applied-record exactly-once discipline, same
+    * idCol-not-valueCol batch identity as the other KLL writers. */
+  def kllGroupDriftMonitorWriter(spark: SparkSession,
+      valuesDir: String, schema: StructType, sketchPath: String,
+      outDir: String, valueCol: String, idCol: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(valuesDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (bid, _) = contentBatchId(b, idCol)
+          val fs = new org.apache.hadoop.fs.Path(sketchPath)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          val applied = IndexManifest.latest(fs, sketchPath)
+            .exists(_.applied.contains(bid))
+          if (!applied) {
+            val (state, k, groupCol) =
+              graft.ext.Corpus.groupedKllSketchState(s, sketchPath)
+            graft.ext.Corpus.kllKsDriftByGroupFromItems(
+                graft.ext.Corpus.kllItemsBy(b, col(valueCol),
+                  groupCol, k),
+                state)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$outDir/batch=$bid")
+            graft.ext.Corpus.appendToGroupedKllSketch(s, sketchPath,
+              b, col(valueCol), bid)
+          }
+        } finally b.unpersist(blocking = false)
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** Streamed maintenance of a persisted HISTOGRAM-QUANTILE sketch
     * (gated x194): arriving value files land each micro-batch's
     * (bucket, c) counters as their own segment of a
