@@ -3316,6 +3316,34 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     },
 
+    // streamed minhash admission (x247): the x245 greedy loop on the
+    // near-dup Jaccard axis — batches admit against the persisted
+    // MinHash ledger (signatures/banding from pinned params) and the
+    // admitted slice appends before the next batch admits. Oracle:
+    // the full 64-permutation signature pipeline replayed in SQL,
+    // two batches sequentially.
+    "x247_stream_minhash_admit" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val base = scratchDir("streammh247")
+      graft.ext.DedupOps.saveMinhashIndex(
+        d.filter(pmod(col("doc_id"), lit(5)).isin(1, 2, 3)),
+        "doc_id", "text", base + "/ledger")
+      landOrdered(s, Seq(
+        d.filter(pmod(col("doc_id"), lit(5)) === 4)
+          .select("doc_id", "text"),
+        d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select("doc_id", "text")),
+        base + "/in")
+      val schema = s.read.parquet(base + "/in").schema
+      val q = graft.streaming.StreamIndex.minhashAdmitWriter(s,
+          base + "/in", schema, base + "/ledger", base + "/out",
+          "doc_id", "text", threshold = 0.5)
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      s.read.parquet(base + "/out").select("doc_id")
+        .orderBy(col("doc_id").asc)
+    },
+
     // visual canonical selection (x203): x196's dHash pairs clustered
     // by the O(log n) alternating-star components (x37's machinery on
     // the image axis) — one keeper (min id, "first ingested wins":
@@ -7468,6 +7496,39 @@ object SparkEntry {
 
       "x03_minhash_pairs" -> minhashOracle,
       "x118_minhash_index_admit" -> minhashAdmitOracle(250),
+      // x247: two batches replayed sequentially over the full
+      // replicated signature pipeline — batch 1 (%5=4) admits against
+      // the base ledger (%5 in 1,2,3), batch 2 (%5=0) against base
+      // plus batch 1's admissions
+      "x247_stream_minhash_admit" ->
+        s"""WITH $minhashSigCtes,
+          r1 AS (SELECT DISTINCT b.doc_id
+                 FROM banded a JOIN banded b
+                   ON a.b = b.b AND a.sl = b.sl
+                  AND a.doc_id % 5 IN (1, 2, 3) AND b.doc_id % 5 = 4
+                 JOIN sig sa ON sa.doc_id = a.doc_id
+                 JOIN sig sb ON sb.doc_id = b.doc_id
+                 WHERE round(len(list_filter(list_zip(sa.sig, sb.sig),
+                         p -> p[1] = p[2])) / 64.0, 6) >= 0.5),
+          a1 AS (SELECT d.doc_id FROM documents d
+                 WHERE d.doc_id % 5 = 4
+                   AND d.doc_id NOT IN (SELECT doc_id FROM r1)),
+          r2 AS (SELECT DISTINCT b.doc_id
+                 FROM banded a JOIN banded b
+                   ON a.b = b.b AND a.sl = b.sl
+                  AND (a.doc_id % 5 IN (1, 2, 3)
+                       OR a.doc_id IN (SELECT doc_id FROM a1))
+                  AND b.doc_id % 5 = 0
+                 JOIN sig sa ON sa.doc_id = a.doc_id
+                 JOIN sig sb ON sb.doc_id = b.doc_id
+                 WHERE round(len(list_filter(list_zip(sa.sig, sb.sig),
+                         p -> p[1] = p[2])) / 64.0, 6) >= 0.5),
+          a2 AS (SELECT d.doc_id FROM documents d
+                 WHERE d.doc_id % 5 = 0
+                   AND d.doc_id NOT IN (SELECT doc_id FROM r2))
+          SELECT doc_id FROM
+            (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+          ORDER BY doc_id ASC""",
       // x125: deleted indexed docs cannot block admission
       "x125_minhash_index_delete" ->
         minhashAdmitOracle(250, "AND a.doc_id % 4 <> 2"),

@@ -294,6 +294,52 @@ object StreamIndex {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streamed MINHASH admission (gated x247): [[containmentAdmitWriter]]'s
+    * greedy earlier-batch-wins loop on the near-dup Jaccard axis —
+    * arriving document batches admit against the persisted MinHash
+    * ledger ([[graft.ext.DedupOps.minhashAdmit]], signatures and
+    * banding from the index's pinned params) and the admitted slice
+    * appends before the next batch admits. Completes the streamed-
+    * admission symmetry: SimHash/dHash sigs (x202), containment
+    * (x245), MinHash here. Same applied-record exactly-once contract:
+    * a replayed batch would otherwise self-reject at est = 1.0. */
+  def minhashAdmitWriter(spark: SparkSession, docsDir: String,
+      schema: StructType, ledgerPath: String, outDir: String,
+      idCol: String, textCol: String, threshold: Double)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (bid, _) = contentBatchId(b, idCol)
+          val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          val applied = IndexManifest.latest(fs, ledgerPath)
+            .exists(_.applied.contains(bid))
+          if (!applied) {
+            val admitted = graft.ext.DedupOps.minhashAdmit(s,
+                ledgerPath, b, idCol, textCol, threshold)
+              .persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              admitted.write
+                .mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(s"$outDir/batch=$bid")
+              graft.ext.DedupOps.appendToMinhashIndex(s, ledgerPath,
+                admitted, idCol, textCol, bid)
+            } finally admitted.unpersist(blocking = false)
+          }
+        } finally b.unpersist(blocking = false)
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** Streamed PER-GROUP drift monitor (gated x246) — the per-source
     * alarm loop closed: each arriving micro-batch is KS-scored PER
     * GROUP against the grouped KLL sketch's PRE-BATCH state
