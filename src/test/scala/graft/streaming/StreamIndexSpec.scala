@@ -108,6 +108,112 @@ class StreamIndexSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("containmentAdmitWriter (x245): greedy admission on the " +
+      "quotation axis — a quote of an earlier ADMISSION rejects; " +
+      "fresh-checkpoint replay is a full no-op") {
+    import graft.ext.DedupOps
+    val base = Files.createTempDirectory("graft-ctadmit-").toString
+    DedupOps.saveContainmentIndex(
+      Seq((0L, "a b c d e f g h")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/ledger", n = 5)
+    // batch 1: novel doc 10 + doc 11 quoting the base; batch 2: doc
+    // 20 quoting batch-1 ADMISSION 10, doc 21 quoting the base, novel
+    // doc 22
+    graft.SparkEntry.landOrdered(spark, Seq(
+      Seq((10L, "p q r s t u v w"), (11L, "a b c d e f"))
+        .toDF("doc_id", "text"),
+      Seq((20L, "p q r s t u"), (21L, "b c d e f g"),
+        (22L, "m1 m2 m3 m4 m5 m6 m7")).toDF("doc_id", "text")),
+      s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    def run(ckpt: String): Unit = {
+      val q = StreamIndex.containmentAdmitWriter(spark, s"$base/in",
+          schema, s"$base/ledger", s"$base/out", "doc_id", "text",
+          threshold = 0.8)
+        .option("checkpointLocation", s"$base/$ckpt").start()
+      q.awaitTermination()
+    }
+    run("ckpt1")
+    def admitted() = spark.read.parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted() == Set(10L, 22L))
+    val v1 = DedupOps.containmentIndexVersion(spark, s"$base/ledger")
+    run("ckpt2")
+    assert(admitted() == Set(10L, 22L))
+    assert(DedupOps.containmentIndexVersion(spark, s"$base/ledger")
+      == v1)
+    // the ledger serves the post-stream state at the batch API too
+    assert(DedupOps.containmentAdmit(spark, s"$base/ledger",
+        Seq((30L, "m1 m2 m3 m4 m5")).toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.8).count() == 0L)
+  }
+
+  test("minhashAdmitWriter (x247): greedy admission on the Jaccard " +
+      "axis; fresh-checkpoint replay is a full no-op") {
+    import graft.ext.DedupOps
+    val base = Files.createTempDirectory("graft-mhadmit-").toString
+    DedupOps.saveMinhashIndex(
+      Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/ledger")
+    // batch 1: novel 10 + exact copy 11 of the base; batch 2: exact
+    // copy 20 of batch-1 ADMISSION 10, novel 22
+    graft.SparkEntry.landOrdered(spark, Seq(
+      Seq((10L, "epsilon zeta eta theta"),
+        (11L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      Seq((20L, "epsilon zeta eta theta"),
+        (22L, "iota kappa lambda mu")).toDF("doc_id", "text")),
+      s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    def run(ckpt: String): Unit = {
+      val q = StreamIndex.minhashAdmitWriter(spark, s"$base/in",
+          schema, s"$base/ledger", s"$base/out", "doc_id", "text",
+          threshold = 0.5)
+        .option("checkpointLocation", s"$base/$ckpt").start()
+      q.awaitTermination()
+    }
+    run("ckpt1")
+    def admitted() = spark.read.parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted() == Set(10L, 22L))
+    val v1 = DedupOps.minhashIndexVersion(spark, s"$base/ledger")
+    run("ckpt2")
+    assert(admitted() == Set(10L, 22L))
+    assert(DedupOps.minhashIndexVersion(spark, s"$base/ledger") == v1)
+  }
+
+  test("kllGroupDriftMonitorWriter (x246): per-group KS vs pre-batch " +
+      "state; fresh-checkpoint replay is a full no-op") {
+    import graft.ext.Corpus
+    val base = Files.createTempDirectory("graft-gdrift-").toString
+    Corpus.saveGroupedKllSketch(
+      Seq(("en", 1L, 10L), ("en", 2L, 20L), ("fr", 3L, 30L))
+        .toDF("lang", "id", "v"),
+      col("v"), "lang", s"$base/idx", k = 64)
+    graft.SparkEntry.landOrdered(spark, Seq(
+      Seq(("en", 10L, 12L), ("fr", 11L, 31L)).toDF("lang", "id", "v"),
+      Seq(("en", 20L, 100L)).toDF("lang", "id", "v")), s"$base/vals")
+    val schema = spark.read.parquet(s"$base/vals").schema
+    def run(ckpt: String): Unit = {
+      val q = StreamIndex.kllGroupDriftMonitorWriter(spark,
+          s"$base/vals", schema, s"$base/idx", s"$base/out", "v", "id")
+        .option("checkpointLocation", s"$base/$ckpt").start()
+      q.awaitTermination()
+    }
+    run("ckpt1")
+    def rows() = spark.read.parquet(s"$base/out")
+      .select("g", "n_a", "n_b", "ks")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val got = rows()
+    // batch 1: en {12} vs {10,20} → sup|F_a−F_b| at v=12: |1·2−1·1|/2
+    // = 0.5; fr {31} vs {30} → 0 at 31... sup at 30: |0−1|=1 → 1.0.
+    // batch 2: en {100} vs pre-batch {10,20,12} → sup = 1.0 (at 20
+    // cum_a 0 vs 3). fr absent from batch 2 → no row.
+    assert(got == Set(("en", 1L, 2L, 0.5), ("fr", 1L, 1L, 1.0),
+      ("en", 1L, 3L, 1.0)), s"got $got")
+    run("ckpt2")
+    assert(rows() == got, "replay must not re-score or re-append")
+  }
+
   test("histDriftMonitorWriter (x211): each batch scores against the " +
       "PRE-batch state (equals the two-frame histDrift replay); " +
       "fresh-checkpoint replay is a full no-op") {
