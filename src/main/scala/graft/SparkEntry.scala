@@ -774,7 +774,10 @@ object SparkEntry {
 
     // windowed quantile binning: ntile quartiles per nation over account
     // balance — partitioned window (parallelism = nations), decimal-
-    // exact per-bin sums.
+    // exact per-bin sums. EXACT small-corpus form (one task sorts a
+    // whole nation; positional tie-splitting needs the sort) — x248
+    // is the scale-safe sketch twin (value-defined bins from grouped-
+    // KLL edges, no per-group sort).
     "q38_ntile_quartiles" -> { (s, dir) =>
       val byNation = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
@@ -3761,6 +3764,29 @@ object SparkEntry {
       graft.ext.Corpus.queryGroupedKllSketch(s, base + "/idx",
           Seq(250000L, 500000L, 750000L))
         .orderBy(col("lang").asc, col("q_micros").asc)
+    },
+
+    // KLL quartile binning (x248): q38's per-nation quartile stats in
+    // the shape that survives 100× — ntile(4) sorts each whole nation
+    // in ONE task; here the three bin edges come from the grouped
+    // sketch (x225) and broadcast back, bins are VALUE-defined (ties
+    // land together — reproducible, unlike ntile's positional split),
+    // and the corpus never sorts. k=4096 keeps even sf0.1's nations
+    // in the exact regime → order-statistic edges, oracle-checked.
+    "x248_kll_quartile_bins" -> { (s, dir) =>
+      val c = T(s, dir, "customer").select(col("c_nationkey"),
+        col("c_custkey"), col("c_acctbal"),
+        graft.ops.Metrics.decQuantize(col("c_acctbal"), 2)
+          .as("_bal_dec"))
+      graft.ext.Corpus.kllBinByGroup(c, col("c_acctbal"),
+          Seq("c_nationkey"), k = 4096,
+          qMicros = Seq(250000L, 500000L, 750000L))
+        .groupBy(col("c_nationkey"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          sum(col("_bal_dec")).cast(DoubleType).as("sum_bal"))
+        .orderBy(col("c_nationkey").asc, col("bin").asc)
     },
 
     // streamed per-group drift monitor (x246): the per-source alarm
@@ -8925,6 +8951,49 @@ object SparkEntry {
            SELECT cluster_id, CAST(min(doc_id) AS BIGINT) AS keep_id,
                   CAST(count(*) AS BIGINT) AS n_members
            FROM cl GROUP BY 1 ORDER BY cluster_id ASC""",
+      // x248: value-defined quartile bins from the per-nation
+      // ⌈q·n⌉-th order statistics (exact regime) — q38's stats shape
+      // with sketch-broadcast edges instead of the ntile window
+      "x248_kll_quartile_bins" ->
+        """WITH v AS (SELECT c_nationkey AS g,
+                CAST(c_acctbal AS DOUBLE) AS v
+              FROM customer WHERE c_acctbal IS NOT NULL),
+           n AS (SELECT g, count(*) AS n FROM v GROUP BY 1),
+           r AS (SELECT g, v, row_number() OVER (
+                   PARTITION BY g ORDER BY v) AS rn FROM v),
+           q AS (SELECT CAST(unnest([250000, 500000, 750000])
+                   AS BIGINT) AS q_micros),
+           sel AS (SELECT n.g, q.q_micros,
+                     (q.q_micros * n.n + 999999) // 1000000 AS kk
+                   FROM q, n),
+           est AS (SELECT sel.g, sel.q_micros, r.v AS est
+                   FROM sel JOIN r
+                     ON r.g = sel.g AND r.rn = sel.kk),
+           th AS (SELECT g,
+                    min(CASE WHEN q_micros = 250000 THEN est END)
+                      AS t1,
+                    min(CASE WHEN q_micros = 500000 THEN est END)
+                      AS t2,
+                    min(CASE WHEN q_micros = 750000 THEN est END)
+                      AS t3
+                  FROM est GROUP BY 1),
+           b AS (SELECT c.c_nationkey, c.c_acctbal,
+                   CAST(c.c_acctbal AS DECIMAL(20,2)) AS bal_dec,
+                   1 + CAST(CAST(c.c_acctbal AS DOUBLE) > th.t1
+                         AS INT)
+                     + CAST(CAST(c.c_acctbal AS DOUBLE) > th.t2
+                         AS INT)
+                     + CAST(CAST(c.c_acctbal AS DOUBLE) > th.t3
+                         AS INT) AS bin
+                 FROM customer c JOIN th ON th.g = c.c_nationkey
+                 WHERE c.c_acctbal IS NOT NULL)
+           SELECT c_nationkey, CAST(bin AS BIGINT) AS bin,
+                  count(*) AS n, min(c_acctbal) AS min_bal,
+                  max(c_acctbal) AS max_bal,
+                  CAST(sum(bal_dec) AS DOUBLE) AS sum_bal
+           FROM b GROUP BY 1, 2
+           ORDER BY c_nationkey ASC, bin ASC""",
+
       // x243: per-lang empirical CDF at each threshold — exact
       // regime, counts over the raw values keyed on the group
       "x243_kll_group_cdf" ->

@@ -1948,6 +1948,33 @@ object Corpus {
       .filter(valueCol.cast(DoubleType).between(col("lo"), col("hi")))
   }
 
+  /** Per-group quantile BINNING from KLL thresholds (x248) — the
+    * scale-safe twin of `ntile(k)` over a per-group window (q38's
+    * shape), which sorts each whole group in one task. Thresholds
+    * Q(q₁) < … < Q(qₘ) come from the grouped sketch and broadcast
+    * back; bin(v) = 1 + |{qᵢ : v > Q(qᵢ)}| — bins are VALUE-defined,
+    * so ties land in ONE bin (reproducible under re-partitioning),
+    * where ntile splits tied values positionally across bins — the
+    * price of the exact window form this twin refuses. Exact regime
+    * → order-statistic bin edges, oracle-checkable; NULL groups/
+    * values drop ([[kllQuantilesBy]]'s domain). Output: the input
+    * rows plus `bin` (1..m+1). */
+  def kllBinByGroup(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String], k: Int, qMicros: Seq[Long]): DataFrame = {
+    require(qMicros.nonEmpty && qMicros == qMicros.sorted &&
+        qMicros.distinct == qMicros,
+      s"qMicros must be strictly ascending (got $qMicros)")
+    val th = kllQuantilesBy(df, valueCol, groupCols, k, qMicros)
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr("transform(sort_array(collect_list(" +
+        "struct(q_micros, est))), s -> s.est)").as("_ths"))
+    df.join(broadcast(th), groupCols)
+      .filter(valueCol.isNotNull)
+      .withColumn("bin", (lit(1) + size(filter(col("_ths"),
+        t => valueCol.cast(DoubleType) > t))).cast(LongType))
+      .drop("_ths")
+  }
+
   /** Two-sample Kolmogorov-Smirnov drift from KLL sketches (x226) —
     * the rank-space member of the drift family: [[histDrift]]'s L1
     * needs the histogram's a-priori bucket grid; KS from two KLL item

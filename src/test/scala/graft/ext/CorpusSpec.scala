@@ -577,6 +577,34 @@ class CorpusSpec extends SparkSpec {
     }.getMessage.contains("loMicros"))
   }
 
+  test("kllBinByGroup (x248): exact-regime bins are order-statistic " +
+      "edges; ties land in ONE bin (value-defined, not ntile's " +
+      "positional split); validation") {
+    // group A 1..8: edges Q(.25)=2, Q(.5)=4, Q(.75)=6 → bins
+    // {1,2}→1, {3,4}→2, {5,6}→3, {7,8}→4. group B all-ties (5×4):
+    // every edge is 5, every row lands in bin 1 — ntile(4) would
+    // split them 1/2/3/4 positionally.
+    val rows = (1L to 8L).map(v => ("A", v)) ++
+      (101L to 104L).map(_ => ("B", 5L))
+    val df = rows.toDF("grp", "v")
+    val got = Corpus.kllBinByGroup(df, col("v"), Seq("grp"), k = 64,
+        qMicros = Seq(250000L, 500000L, 750000L))
+      .select("grp", "v", "bin").as[(String, Long, Long)]
+      .collect().toSet
+    val want = Set(("A",1L,1L), ("A",2L,1L), ("A",3L,2L), ("A",4L,2L),
+      ("A",5L,3L), ("A",6L,3L), ("A",7L,4L), ("A",8L,4L),
+      ("B",5L,1L))
+    assert(got == want, s"got $got")
+    assert(Corpus.kllBinByGroup(df, col("v"), Seq("grp"), k = 64,
+        qMicros = Seq(250000L, 500000L, 750000L))
+      .filter(col("grp") === "B").count() == 4L,
+      "all four tied B rows survive, all in bin 1")
+    assert(intercept[IllegalArgumentException] {
+      Corpus.kllBinByGroup(df, col("v"), Seq("grp"), k = 64,
+        qMicros = Seq(500000L, 250000L))
+    }.getMessage.contains("ascending"))
+  }
+
   test("temperatureMix (x161): hand-computed micro-shares; tail " +
       "up-weighted, head damped; null groups dropped; validation") {
     def words(k: Int): String = (1 to k).map(i => s"w$i").mkString(" ")
