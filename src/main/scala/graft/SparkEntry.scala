@@ -1563,6 +1563,31 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     },
 
+    // containment ledger as-of admission (x249): x155's MVCC shape on
+    // the containment axis — the ledger starts without the %5=0 docs,
+    // v0 is recorded, they arrive as an append, and the admission
+    // replays PINNED TO v0: the appended docs are invisible, so the
+    // verdicts equal x242's surviving-ledger restriction exactly
+    // (time travel before an append == the append never happened).
+    "x249_containment_asof_admit" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val ledger = scratchDir("ctledger249")
+      graft.ext.DedupOps.saveContainmentIndex(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0 &&
+          pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", ledger, n = 5)
+      val v0 = graft.ext.DedupOps.containmentIndexVersion(s, ledger)
+      graft.ext.DedupOps.appendToContainmentIndex(s, ledger,
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0 &&
+          pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", "b1")
+      graft.ext.DedupOps.containmentAdmit(s, ledger,
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          "doc_id", "text", threshold = 0.8, asOfVersion = Some(v0))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id").asc)
+    },
+
     // exact heavy-hitter terms: Misra-Gries prunes the vocabulary to
     // ≤64 candidates, exact re-count keeps terms with freq·64 > N.
     "x47_heavy_terms" -> ((s, dir) =>
@@ -6515,6 +6540,34 @@ object SparkEntry {
                   CAST(2 AS BIGINT) AS vocab_gen
            FROM (${unigramEncodeSelectP("b")}))
          ORDER BY vocab_gen ASC, doc_id ASC"""
+    // x242/x249 share the surviving-ledger containment oracle:
+    // blockers are the ledgered docs with doc_id % 5 <> 0 — reached by
+    // DELETING the %5=0 docs (x242) or by admitting AS-OF the version
+    // before they were appended (x249)
+    val containmentSurvivorOracle: String =
+      """WITH t AS (SELECT doc_id,
+                regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents),
+           s AS (SELECT doc_id,
+                   list_distinct([array_to_string(toks[i+1:i+5], ' ')
+                                  for i in range(len(toks)-4)]) AS sh
+                 FROM t WHERE len(toks) >= 5),
+           e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+           sz AS (SELECT doc_id, len(sh) AS z FROM s),
+           p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                        count(*) AS shared
+                 FROM e a JOIN e b ON a.s = b.s
+                 WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+                   AND b.doc_id % 5 <> 0
+                 GROUP BY 1, 2),
+           rej AS (SELECT DISTINCT da
+                   FROM p JOIN sz x ON p.da = x.doc_id
+                          JOIN sz y ON p.db = y.doc_id
+                   WHERE round(shared*1.0/least(x.z, y.z), 6) >= 0.8)
+           SELECT doc_id FROM documents
+           WHERE doc_id % 4 = 0
+             AND doc_id NOT IN (SELECT da FROM rej)
+           ORDER BY doc_id ASC"""
     // x233/x241 share the per-lang order-statistic trim oracle (x241
     // reads identical thresholds off the persisted grouped sketch)
     val kllTrimOracle: String =
@@ -8183,30 +8236,12 @@ object SparkEntry {
 
       // x242: x235 with the tombstoned docs (doc_id % 5 = 0) removed
       // from the blocking side — deletion widens admission
-      "x242_containment_delete" ->
-        """WITH t AS (SELECT doc_id,
-                regexp_split_to_array(trim(text), '\s+') AS toks
-              FROM documents),
-           s AS (SELECT doc_id,
-                   list_distinct([array_to_string(toks[i+1:i+5], ' ')
-                                  for i in range(len(toks)-4)]) AS sh
-                 FROM t WHERE len(toks) >= 5),
-           e AS (SELECT doc_id, unnest(sh) AS s FROM s),
-           sz AS (SELECT doc_id, len(sh) AS z FROM s),
-           p AS (SELECT a.doc_id AS da, b.doc_id AS db,
-                        count(*) AS shared
-                 FROM e a JOIN e b ON a.s = b.s
-                 WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
-                   AND b.doc_id % 5 <> 0
-                 GROUP BY 1, 2),
-           rej AS (SELECT DISTINCT da
-                   FROM p JOIN sz x ON p.da = x.doc_id
-                          JOIN sz y ON p.db = y.doc_id
-                   WHERE round(shared*1.0/least(x.z, y.z), 6) >= 0.8)
-           SELECT doc_id FROM documents
-           WHERE doc_id % 4 = 0
-             AND doc_id NOT IN (SELECT da FROM rej)
-           ORDER BY doc_id ASC""",
+      "x242_containment_delete" -> containmentSurvivorOracle,
+      // x249: as-of admission pinned to the PRE-append snapshot — the
+      // %5=0 docs are invisible at v0, so the verdicts equal x242's
+      // surviving-ledger restriction (MVCC: time travel before an
+      // append == the append never happened)
+      "x249_containment_asof_admit" -> containmentSurvivorOracle,
 
       // exact-by-construction: the engine's sketch only PRUNES; this
       // direct GROUP BY/HAVING is the definitional form
