@@ -2288,7 +2288,13 @@ object Corpus {
     import spark.implicits._
     kllItemsBy(df, valueCol, groupCol, k).coalesce(1)
       .write.mode("errorifexists").parquet(s"$path/items/base")
-    Seq((k, groupCol)).toDF("k", "group_col").coalesce(1)
+    // the group's ORIGINAL dataType persists alongside its name: items
+    // key groups as strings (persistence-stable schema), and the serve
+    // reads cast back, so a numeric-grouped sketch serves numeric
+    // groups and kllTrimByGroupFromSketch's join is type-exact
+    val groupType = df.select(col(groupCol)).schema.head.dataType.sql
+    Seq((k, groupCol, groupType)).toDF("k", "group_col", "group_type")
+      .coalesce(1)
       .write.mode("errorifexists").parquet(s"$path/params/base")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -2300,12 +2306,20 @@ object Corpus {
 
   private def groupedKllParams(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      snap: graft.sinks.IndexSnapshot): (Int, String) = {
+      snap: graft.sinks.IndexSnapshot)
+      : (Int, String, org.apache.spark.sql.types.DataType) = {
     val segs = snap.segs("params")
     require(segs.nonEmpty, s"sketch at $path carries no params table")
     val r = spark.read
       .parquet(segs.map(seg => s"$path/params/$seg"): _*).head()
-    (r.getAs[Int]("k"), r.getAs[String]("group_col"))
+    // pre-group_type sketches (none persist across runs, but be
+    // explicit) served string groups — keep that as the fallback
+    val gt =
+      if (r.schema.fieldNames.contains("group_type"))
+        org.apache.spark.sql.types.DataType.fromDDL(
+          r.getAs[String]("group_type"))
+      else StringType
+    (r.getAs[Int]("k"), r.getAs[String]("group_col"), gt)
   }
 
   /** Append a batch as its own per-group item segment (built with the
@@ -2325,7 +2339,7 @@ object Corpus {
         s"no sketch manifest at $path (not a saveGroupedKllSketch " +
           "directory)"))
     if (snap.applied.contains(batchId)) return
-    val (k, groupCol) = groupedKllParams(spark, path, snap)
+    val (k, groupCol, _) = groupedKllParams(spark, path, snap)
     val seg = s"delta_$batchId"
     kllItemsBy(df, valueCol, groupCol, k).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/items/$seg")
@@ -2343,6 +2357,19 @@ object Corpus {
   def groupedKllSketchState(spark: org.apache.spark.sql.SparkSession,
       path: String, asOfVersion: Option[Long] = None)
       : (DataFrame, Int, String) = {
+    val (items, k, groupCol, _) =
+      groupedKllSketchStateTyped(spark, path, asOfVersion)
+    (items, k, groupCol)
+  }
+
+  /** [[groupedKllSketchState]] plus the group column's PERSISTED
+    * dataType — the serve reads cast the string-keyed items' group
+    * back to it, so grouped serves and [[kllTrimByGroupFromSketch]]'s
+    * join are type-exact with their [[kllQuantilesBy]] twins. */
+  private def groupedKllSketchStateTyped(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      asOfVersion: Option[Long] = None)
+      : (DataFrame, Int, String, org.apache.spark.sql.types.DataType) = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
     val snap = asOfVersion
@@ -2353,22 +2380,24 @@ object Corpus {
       .getOrElse(graft.sinks.IndexManifest.latest(fs, path).getOrElse(
         throw new IllegalArgumentException(
           s"no sketch manifest at $path")))
-    val (k, groupCol) = groupedKllParams(spark, path, snap)
+    val (k, groupCol, groupType) = groupedKllParams(spark, path, snap)
     val segs = snap.segs("items")
     require(segs.nonEmpty, s"snapshot v${snap.version} has no segments")
     (spark.read.parquet(segs.map(seg => s"$path/items/$seg"): _*),
-      k, groupCol)
+      k, groupCol, groupType)
   }
 
   /** Serve per-group quantile estimates from one snapshot — output
-    * keyed by the PERSISTED group column name, the [[kllQuantilesBy]]
-    * shape read from sketch kilobytes instead of the corpus. */
+    * keyed by the PERSISTED group column name AND type, the
+    * [[kllQuantilesBy]] shape read from sketch kilobytes instead of
+    * the corpus. */
   def queryGroupedKllSketch(spark: org.apache.spark.sql.SparkSession,
       path: String, qMicros: Seq[Long],
       asOfVersion: Option[Long] = None): DataFrame = {
-    val (items, _, groupCol) =
-      groupedKllSketchState(spark, path, asOfVersion)
+    val (items, _, groupCol, gt) =
+      groupedKllSketchStateTyped(spark, path, asOfVersion)
     kllQuantileEstimatesBy(items, groupCol, qMicros)
+      .withColumn(groupCol, col(groupCol).cast(gt))
   }
 
   /** Fold every group's segments back to one — DISTRIBUTED, unlike
@@ -2396,7 +2425,7 @@ object Corpus {
       snap: graft.sinks.IndexSnapshot): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
-    val (k, _) = groupedKllParams(spark, path, snap)
+    val (k, _, _) = groupedKllParams(spark, path, snap)
     val folded = snap.segs("items")
     require(folded.nonEmpty,
       s"snapshot v${snap.version} has no segments")
@@ -2447,10 +2476,14 @@ object Corpus {
       asOfVersion: Option[Long] = None): DataFrame = {
     require(loMicros <= hiMicros,
       s"loMicros must be <= hiMicros (got $loMicros > $hiMicros)")
-    val (items, _, groupCol) =
-      groupedKllSketchState(spark, path, asOfVersion)
+    val (items, _, groupCol, gt) =
+      groupedKllSketchStateTyped(spark, path, asOfVersion)
     val th = kllQuantileEstimatesBy(items, groupCol,
         Seq(loMicros, hiMicros).distinct)
+      // join key cast back to the group's persisted type — a numeric
+      // group (e.g. c_nationkey) joins type-exactly, no implicit
+      // string/numeric coercion on the corpus side
+      .withColumn(groupCol, col(groupCol).cast(gt))
       .groupBy(col(groupCol))
       .agg(
         min(when(col("q_micros") === loMicros, col("est"))).as("lo"),
@@ -2544,8 +2577,9 @@ object Corpus {
   def queryGroupedKllCdf(spark: org.apache.spark.sql.SparkSession,
       path: String, thresholds: Seq[Double],
       asOfVersion: Option[Long] = None): DataFrame = {
-    val (items, _, groupCol) =
-      groupedKllSketchState(spark, path, asOfVersion)
+    val (items, _, groupCol, gt) =
+      groupedKllSketchStateTyped(spark, path, asOfVersion)
     kllCdfByGroupFromItems(items, groupCol, thresholds)
+      .withColumn(groupCol, col(groupCol).cast(gt))
   }
 }

@@ -1364,7 +1364,7 @@ object DedupOps {
     if (Seq("sigs", "banded").forall(t => snap.segs(t).length <= 1) &&
       snap.segs(MinhashDeletesTable).isEmpty)
       return
-    val seg = s"compact_v${snap.version}_" +
+    val seg = s"compact_v${snap.version + 1}_" +
       java.util.UUID.randomUUID().toString.take(8)
     // live reads: the fold physically removes tombstoned docs; the
     // tombstone table empties in the same commit
@@ -1666,7 +1666,10 @@ object DedupOps {
       spark.sessionState.newHadoopConf())
     if (snap.segs("postings").length <= 1 &&
       snap.segs(ContainmentDeletesTable).isEmpty) return
-    val seg = s"compact_v${snap.version}_" +
+    // named for the version the fold CREATES (snap.version + 1) — the
+    // compactKllSketchFrom convention, so cross-index forensics read
+    // "which snapshot produced this fold" uniformly
+    val seg = s"compact_v${snap.version + 1}_" +
       java.util.UUID.randomUUID().toString.take(8)
     // live read: the fold physically removes tombstoned docs; the
     // tombstone table empties in the same commit

@@ -1020,7 +1020,7 @@ object Similarity {
       spark.sessionState.newHadoopConf())
     if (snap.segs("corpus").length <= 1 &&
       snap.segs(IvfDeletesTable).isEmpty) return
-    val seg = s"compact_v${snap.version}_" +
+    val seg = s"compact_v${snap.version + 1}_" +
       java.util.UUID.randomUUID().toString.take(8)
     // readIvfCorpus is tombstone-aware, so the fold physically removes
     // deleted vectors; the tombstone table empties in the same commit.
@@ -1634,7 +1634,7 @@ object Similarity {
         s"no index manifest at $path (not a saveIvfPqIndex directory)"))
     if (snap.segs("corpus").length <= 1 &&
       snap.segs(IvfDeletesTable).isEmpty) return
-    val seg = s"compact_v${snap.version}_" +
+    val seg = s"compact_v${snap.version + 1}_" +
       java.util.UUID.randomUUID().toString.take(8)
     // metadata columns carried — folding must not strip the
     // pre-filter surface (the compactIvfIndex rule, codes edition)

@@ -1572,7 +1572,7 @@ object TextAnalysis {
       spark.sessionState.newHadoopConf())
     if (Bm25Tables.forall(t => snap.segs(t).length <= 1) &&
       snap.segs(Bm25DeletesTable).isEmpty) return
-    val seg = s"compact_v${snap.version}_" +
+    val seg = s"compact_v${snap.version + 1}_" +
       java.util.UUID.randomUUID().toString.take(8)
     // physical removal of tombstoned docs happens HERE: the fold reads
     // live postings only, the summed termstats net out the deletes'

@@ -137,6 +137,14 @@ private[graft] object IndexManifest {
   private[sinks] def versionFileExists(fs: FileSystem, root: String,
       version: Long): Boolean = fs.exists(path(root, version))
 
+  /** The newest manifest version FILE present, parseable or not — the
+    * upper bound a DELETER must scan to ([[commitMerge]]'s slot rule):
+    * bounding by [[latest]] (newest PARSEABLE) would silently exclude
+    * an unreadable newest manifest from the scan, and anything only it
+    * references from the keep-set. */
+  private[sinks] def newestVersionFile(fs: FileSystem, root: String)
+      : Option[Long] = versions(fs, root).lastOption
+
   /** Commit `merge(latest)` as the next manifest version via the CAS
     * loop: on a version collision the merge re-runs against the
     * winner's snapshot, so concurrent committers compose instead of

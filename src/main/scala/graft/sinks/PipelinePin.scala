@@ -91,13 +91,22 @@ object PipelinePin {
     * caller's vacuum rather than letting it reclaim a version that
     * pin may still name (the kept-manifest abort in
     * [[IndexManifest.vacuum]]); likewise a parseable pin with torn
-    * CONTENT throws. */
+    * CONTENT throws.
+    *
+    * The scan's upper bound is the newest version FILE present
+    * ([[IndexManifest.newestVersionFile]] — commitMerge's slot rule),
+    * NOT the newest parseable pin: `latest` silently skips an
+    * unreadable newest manifest and falls back one version, so a torn
+    * write (or transient read failure) of the NEWEST pin — the one
+    * most likely to name live leg versions — would silently shrink the
+    * keep-set. Bounding by the file makes that pin hit the same
+    * exists-but-unreadable abort as any other. */
   def liveLegVersions(fs: FileSystem, root: String, leg: String)
       : Set[Long] =
-    latest(fs, root) match {
+    IndexManifest.newestVersionFile(fs, root) match {
       case None => Set.empty
-      case Some(newest) =>
-        (1L to newest.version).flatMap { v =>
+      case Some(newestFile) =>
+        (1L to newestFile).flatMap { v =>
           at(fs, root, v) match {
             case Some(pin) => pin.indexVersions.get(leg)
             case None =>

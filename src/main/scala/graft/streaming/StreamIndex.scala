@@ -57,7 +57,17 @@ object StreamIndex {
     * over the batch, driver reads a single row. Addends are bounded
     * (crc32 is 32-bit, xxhash64 taken mod a 30-bit prime) so the
     * ANSI-mode long sum cannot overflow below ~2^31 rows per
-    * micro-batch. */
+    * micro-batch.
+    *
+    * IDENTITY IS THE ID SET, not the payload: two batches carrying the
+    * same ids with DIFFERENT values/text collide on batchId — by
+    * design for the sketch writers (the idCol-not-valueCol rule: the
+    * value column legitimately repeats across batches) and a CALLER
+    * CONTRACT for the admit writers (see their docs — re-landing
+    * corrected documents under already-seen ids would silently skip,
+    * never admit, never land). Ingest pipelines assign fresh ids per
+    * landed batch; a corrected document is a NEW id plus a ledger
+    * delete of the old one. */
   private def contentBatchId(batch: DataFrame, idCol: String)
       : (String, Long) = {
     val r = batch.agg(
@@ -160,7 +170,15 @@ object StreamIndex {
     * replays) BEFORE the ledger append commits. In-batch duplicates
     * are NOT self-deduped — admission is against the ledger; run
     * batches through [[graft.ext.DedupOps.simhashPairsFromSigs]]
-    * first when intra-batch dup matters. */
+    * first when intra-batch dup matters.
+    *
+    * CALLER CONTRACT — id sets must be distinct across batches: batch
+    * identity hashes `doc_id` only (the [[contentBatchId]] rule), so a
+    * later batch re-landing the SAME id set with different signatures
+    * collides with the earlier batchId and is silently skipped — never
+    * admitted, never landed under `outDir`. Corrected content re-lands
+    * under fresh ids (plus a ledger delete of the old ones), exactly
+    * like the batch-side append contract. */
   def simhashAdmitWriter(spark: SparkSession, sigsDir: String,
       schema: StructType, ledgerPath: String, outDir: String,
       maxHamming: Int, probeBits: Int = 1)
@@ -209,7 +227,11 @@ object StreamIndex {
     * batch quotes are the caller's [[graft.ext.DedupOps
     * .containmentPairs]] concern). Applied-record exactly-once on the
     * id-hashed batchId: a replayed batch would otherwise self-reject
-    * against its own postings. */
+    * against its own postings. [[simhashAdmitWriter]]'s caller
+    * contract applies verbatim: id sets must be DISTINCT across
+    * batches — identity hashes `idCol` only, so re-landing a seen id
+    * set with corrected text silently skips (fresh ids + a ledger
+    * delete is the correction path). */
   def containmentAdmitWriter(spark: SparkSession, docsDir: String,
       schema: StructType, ledgerPath: String, outDir: String,
       idCol: String, textCol: String, threshold: Double)
@@ -302,7 +324,10 @@ object StreamIndex {
     * appends before the next batch admits. Completes the streamed-
     * admission symmetry: SimHash/dHash sigs (x202), containment
     * (x245), MinHash here. Same applied-record exactly-once contract:
-    * a replayed batch would otherwise self-reject at est = 1.0. */
+    * a replayed batch would otherwise self-reject at est = 1.0; same
+    * [[simhashAdmitWriter]] caller contract: id sets distinct across
+    * batches (identity hashes `idCol` only — a seen id set with
+    * corrected text silently skips). */
   def minhashAdmitWriter(spark: SparkSession, docsDir: String,
       schema: StructType, ledgerPath: String, outDir: String,
       idCol: String, textCol: String, threshold: Double)

@@ -485,6 +485,35 @@ class SketchGatesSpec extends SparkSpec {
     assert(old == oneShotV1, "time travel must replay the old snapshot")
   }
 
+  test("grouped KLL sketch persists the group's dataType: a sketch " +
+      "grouped on a NUMERIC column serves numeric groups (not the " +
+      "string-keyed persistence form), and kllTrimByGroupFromSketch " +
+      "joins the corpus type-exactly") {
+    val cust = Tables.load(spark, Sf001, "customer")
+    val gType = cust.schema("c_nationkey").dataType
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_kll_grp_typed").resolve("idx")
+      .toString
+    Corpus.saveGroupedKllSketch(cust, col("c_acctbal"), "c_nationkey",
+      idx, k = 1024)
+    val served = Corpus.queryGroupedKllSketch(spark, idx, Seq(500000L))
+    assert(served.schema("c_nationkey").dataType == gType,
+      s"served group type must be the save-time type $gType " +
+        s"(got ${served.schema("c_nationkey").dataType})")
+    val cdf = Corpus.queryGroupedKllCdf(spark, idx, Seq(0.0))
+    assert(cdf.schema("c_nationkey").dataType == gType)
+    // trim from the persisted sketch == corpus-direct trim (exact
+    // regime), through a typed join on the numeric group key
+    val got = Corpus.kllTrimByGroupFromSketch(spark, idx, cust,
+        col("c_acctbal"), 250000L, 750000L)
+      .select("c_custkey").as[Long].collect().toSet
+    val want = Corpus.kllTrimByGroup(cust, col("c_acctbal"),
+        Seq("c_nationkey"), k = 1024, 250000L, 750000L)
+      .select("c_custkey").as[Long].collect().toSet
+    assert(got.nonEmpty && got == want,
+      "typed-key trim must equal the corpus-direct trim")
+  }
+
   test("compactKllSketch races: a mid-fold append's segment is " +
       "CARRIED (items survive, n stays exact, its replay still " +
       "no-ops); a concurrent compaction folding the same segments " +

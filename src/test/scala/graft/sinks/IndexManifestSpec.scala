@@ -108,6 +108,24 @@ class IndexManifestSpec extends SparkSpec {
     assert(ex.getMessage.contains("cannot be read"))
   }
 
+  test("liveLegVersions fails hard on an unreadable NEWEST pin — the " +
+      "scan bound is the newest version FILE, not the newest " +
+      "parseable pin (latest() silently falls back past a torn " +
+      "newest manifest, which would shrink the keep-set on the pin " +
+      "most likely to name live versions)") {
+    val pinRoot = scratch()
+    PipelinePin.commit(fs, pinRoot, Map("t" -> 1L))
+    PipelinePin.commit(fs, pinRoot, Map("t" -> 2L))
+    val torn = fs.create(new org.apache.hadoop.fs.Path(pinRoot,
+      "manifest_v000000000003.json"), false)
+    torn.write("""{"version": 3, "tab""".getBytes("UTF-8"))
+    torn.close()
+    val ex = intercept[IllegalStateException](
+      PipelinePin.liveLegVersions(fs, pinRoot, "t"))
+    assert(ex.getMessage.contains("pin v3"),
+      s"the torn NEWEST pin must abort the scan (got: ${ex.getMessage})")
+  }
+
   test("a torn newest manifest falls back one version") {
     val root = scratch()
     IndexManifest.commitMerge(fs, root)(_ =>

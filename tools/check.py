@@ -60,7 +60,10 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
         got = canon(pd.read_parquet(d))
         if name not in oracle:
             print(f"  ~ {name}: no oracle (rows-only) rows={len(got)}")
-            record(name, len(got) > 0, None, None, len(got), None,
+            # rows_match=None (like schema/hash): absence-of-check must be
+            # distinguishable from a failed check in the committed evidence
+            # — a legitimately-empty no-oracle output is not a failure.
+            record(name, None, None, None, len(got), None,
                    "no_oracle: rows-only check")
             continue
         try:
