@@ -1074,6 +1074,26 @@ object SparkEntry {
         T(s, dir, "documents"), "doc_id", "text",
         maxHamming = 7, bands = 4, probeBits = 1)),
 
+    // identical-signature collapse under boilerplate (x250): a 500-doc
+    // BYTE-IDENTICAL block (the templated-boilerplate norm in web
+    // corpora) through the x04 pipeline — the banded join sees one
+    // representative per distinct signature (ExtSpec pins the
+    // candidate cardinality at O(distinct²)), the output still carries
+    // every one of the block's 124,750 mutual pairs at Hamming 0 plus
+    // the cross pairs. Oracle: x04's brute-force pair SQL over the
+    // same fixture.
+    "x250_sig_collapse_pairs" -> { (s, dir) =>
+      val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val donor = d.filter(col("doc_id") === 7).select(col("text"))
+      val block = s.range(500)
+        .select((col("id") + 1000000L).as("doc_id"))
+        .crossJoin(broadcast(donor)) // 1-row broadcast: the template
+      graft.ext.DedupOps.simhashPairs(
+          d.filter(col("doc_id") < 40).unionByName(block),
+          "doc_id", "text", maxHamming = 7, bands = 4, probeBits = 1)
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+    },
+
     "x05_cosine_topk" -> { (s, dir) =>
       val emb = T(s, dir, "embeddings")
       graft.ext.Similarity.bruteForceTopK(
@@ -7214,24 +7234,27 @@ object SparkEntry {
             $bytesExpr), (acc, b) -> ${wrapmul("xor(acc, b)", "1099511628211")})"""
       splitmix(fnv)
     }
-    // token-hash array per doc (shared CTE body for x03/x04)
-    def tokenHashCtes(filter: String) =
+    // token-hash array per doc (shared CTE body for x03/x04; `src` lets
+    // a gate swap the scanned relation for a fixture CTE — x250)
+    def tokenHashCtesFrom(src: String, filter: String) =
       s"""t AS (SELECT doc_id,
                 regexp_split_to_array(trim(text), '\\s+') AS toks
-              FROM documents$filter),
+              FROM $src$filter),
           th AS (SELECT doc_id,
                    list_transform(list_transform(toks,
                        tok -> hex(encode(tok))),
                      hx -> $hashFromHex) AS th
                  FROM t)"""
+    def tokenHashCtes(filter: String) =
+      tokenHashCtesFrom("documents", filter)
     // x04: full SimHash recomputation, then brute-force ALL Hamming<=7
     // pairs — equal to the engine's banded+verified output BY THE
     // ENFORCED RECALL CONTRACT (maxHamming < bands*(probeBits+1)
     // rejects configs where banding could miss).
-    val simhashShCte: String = {
+    def simhashShCteFrom(src: String): String = {
       val pows = (0 until 64).map(b =>
         s"CAST(${u64(1L << b)} AS UBIGINT)").mkString(", ")
-      s"""${tokenHashCtes("")},
+      s"""${tokenHashCtesFrom(src, "")},
           sh AS (SELECT doc_id,
                    CAST(list_sum(list_transform([$pows], p ->
                      CASE WHEN list_sum(list_transform(th, h ->
@@ -7241,6 +7264,7 @@ object SparkEntry {
                      AS UBIGINT) AS sh
                  FROM th)"""
     }
+    val simhashShCte: String = simhashShCteFrom("documents")
     val simhashOracle: String =
       s"""WITH $simhashShCte
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -7624,6 +7648,26 @@ object SparkEntry {
         minhashAdmitOracle(250, probeCut = 400),
 
       "x04_simhash_pairs" -> simhashOracle,
+      // x250: x04's brute-force pair SQL over the boilerplate fixture
+      // (docs < 40 plus 500 byte-identical copies of doc 7's text
+      // under ids 1000000+i)
+      "x250_sig_collapse_pairs" -> {
+        val fixture =
+          """fixture AS (
+               SELECT doc_id, text FROM documents WHERE doc_id < 40
+               UNION ALL
+               SELECT 1000000 + i AS doc_id,
+                      (SELECT text FROM documents WHERE doc_id = 7)
+                        AS text
+               FROM range(500) r(i))"""
+        s"""WITH $fixture,
+            ${simhashShCteFrom("fixture")}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 7
+            ORDER BY doc_a ASC, doc_b ASC"""
+      },
 
       "x05_cosine_topk" -> x05Sql,
 

@@ -261,13 +261,27 @@ object DedupOps {
   /** MinHash+LSH near-dup candidate pairs, verified on signature overlap.
     * `bands` bands of `rows` rows (k = bands·rows): a pair collides if any
     * band signature matches; estimated Jaccard = matching positions / k.
-    * The only shuffle is the band-bucket join. */
+    * Shuffles: one identical-signature collapse (by the sig array) plus
+    * the band-bucket join over distinct signatures. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 16, rows: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val k = bands * rows
     val sig = minhashSigFrame(df, idCol, textCol, n, k)
-    val banded = minhashBandedFrame(sig, bands, rows)
+    // IDENTICAL-SIGNATURE COLLAPSE — [[simhashPairsFromSigs]]'s
+    // boilerplate-quadratic guard on the Jaccard axis: byte-identical
+    // signature arrays (k identical min-permutations — exact template
+    // copies) collide in EVERY band; collapse to a min-id rep per
+    // distinct signature so the band join candidates scale with
+    // distinct signatures, re-expand members afterwards. Identical
+    // sigs estimate Jaccard exactly 1.0, so in-group pairs qualify at
+    // any threshold <= 1 without re-verification.
+    val withRep = sig.withColumn("rep",
+      min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))))
+    val reps = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("sig"))
+    val banded = minhashBandedFrame(reps, bands, rows)
     // Distinct the candidate id pairs FIRST (hash aggregate over longs),
     // then re-attach signatures. Measured: carrying signature arrays
     // through the join + a first-matching-band filter (the dropDuplicates
@@ -279,16 +293,31 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(sig.withColumnsRenamed(Map("doc_id" -> "doc_a", "sig" -> "sig_a")),
+    val repPairs = cand
+      .join(reps.withColumnsRenamed(Map("doc_id" -> "doc_a", "sig" -> "sig_a")),
         "doc_a")
-      .join(sig.withColumnsRenamed(Map("doc_id" -> "doc_b", "sig" -> "sig_b")),
+      .join(reps.withColumnsRenamed(Map("doc_id" -> "doc_b", "sig" -> "sig_b")),
         "doc_b")
       .withColumn("est_jaccard", round(
         size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), b => b)).cast(DoubleType) / lit(k.toDouble), 6))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
+    val m = withRep.select(col("rep"), col("doc_id").as("m"))
+    val expanded = repPairs
+      .join(m.withColumnsRenamed(Map("rep" -> "doc_a", "m" -> "m_a")),
+        "doc_a")
+      .join(m.withColumnsRenamed(Map("rep" -> "doc_b", "m" -> "m_b")),
+        "doc_b")
+      .select(least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"), col("est_jaccard"))
+    val inGroup = withRep.as("a").join(withRep.as("b"),
+        col("a.rep") === col("b.rep") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(1.0).as("est_jaccard"))
+      .filter(lit(1.0) >= threshold)
+    expanded.unionByName(inGroup)
   }
 
   // ----------------------------------------------------------- SimHash
@@ -348,8 +377,61 @@ object DedupOps {
 
   /** Banding + verification over pre-computed signatures `(doc_id, sh)` —
     * split out so the recall property is testable at exact, seeded
-    * Hamming distances (ExtSpec) independent of text hashing. */
+    * Hamming distances (ExtSpec) independent of text hashing.
+    *
+    * IDENTICAL-SIGNATURE COLLAPSE (the boilerplate-quadratic guard the
+    * n-gram path carries as its sampled heavy-hitter cap, lossless
+    * here): a block of k byte-identical signatures — templated
+    * boilerplate, the NORM in web corpora — collides in EVERY band, so
+    * feeding raw docs to the banded join puts k²/2 candidates through
+    * bands·(1+chunkBits) probe rows each. hamming(a, a) = 0 means
+    * same-sig docs are mutual duplicates BY CONSTRUCTION, so the join
+    * only ever needs one representative per distinct signature:
+    * collapse to the min-id rep (one shuffle of 16-byte rows), band-
+    * join representatives — candidates are O(distinct-sig²/buckets),
+    * never O(doc²) — then re-expand members. In-group pairs come from
+    * one equality self-join on the 8-byte signature: the pair CONTRACT
+    * is quadratic in group size (all pairs are emitted, same output as
+    * before), but that quadratic is now output rows only, not
+    * probe-amplified shuffle + verify traffic. Null signatures (e.g.
+    * undecodable images) pair with nothing, as before. */
   def simhashPairsFromSigs(sig: DataFrame, maxHamming: Int,
+      bands: Int = 4, probeBits: Int = 1): DataFrame = {
+    val s = sig.select(col("doc_id"), col("sh"))
+      .filter(col("sh").isNotNull)
+    val withRep = s.withColumn("rep",
+      min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+    val repPairs = simhashRepPairs(
+      withRep.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("sh")),
+      maxHamming, bands, probeBits)
+    // cross-group expansion: identical-sig members inherit their rep's
+    // verified hamming (sh_a == rep_a's sh, sh_b == rep_b's sh)
+    val m = withRep.select(col("rep"), col("doc_id").as("m"))
+    val expanded = repPairs
+      .join(m.withColumnsRenamed(Map("rep" -> "doc_a", "m" -> "m_a")),
+        "doc_a")
+      .join(m.withColumnsRenamed(Map("rep" -> "doc_b", "m" -> "m_b")),
+        "doc_b")
+      .select(least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"), col("hamming"))
+    // in-group pairs: byte-identical signatures, Hamming 0 by
+    // construction (maxHamming >= 0 always admits them)
+    val inGroup = withRep.as("a").join(withRep.as("b"),
+        col("a.rep") === col("b.rep") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    expanded.unionByName(inGroup)
+  }
+
+  /** Banded candidate generation + exact-Hamming verify over DISTINCT-
+    * signature representatives — `private[ext]` so the collapse's
+    * cardinality contract (candidates scale with distinct signatures,
+    * never documents — x250) is directly assertable. Caller contract:
+    * one row per distinct `sh`. */
+  private[ext] def simhashRepPairs(sig: DataFrame, maxHamming: Int,
       bands: Int = 4, probeBits: Int = 1): DataFrame = {
     require(bands >= 2 && 64 % bands == 0,
       s"bands must divide 64 (got $bands)")

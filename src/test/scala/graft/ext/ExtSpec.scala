@@ -103,6 +103,60 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("identical-signature collapse (x250): a byte-identical block " +
+      "pairs in full at Hamming 0, but the banded join only ever sees " +
+      "one representative per DISTINCT signature — candidates are " +
+      "O(distinct²), never O(doc²); null signatures pair with nothing") {
+    val blockSig = 0x0123456789ABCDEFL
+    val block = (0L until 500L).map(i => (1000L + i, blockSig))
+    val others = Seq(
+      (1L, 0xFFL), // hamming 1 from (2L, 0xFE)
+      (2L, 0xFEL),
+      (3L, 0xAAAAAAAAAAAAAAAAL), // far from everything
+      (4L, blockSig ^ 1L)) // hamming 1 from the whole block
+    val sig = (block ++ others).toDF("doc_id", "sh")
+    val pairs = DedupOps.simhashPairsFromSigs(sig, maxHamming = 7)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+    val inBlock = 500L * 499L / 2L
+    // 124,750 in-block pairs at 0 + doc 4 vs every block member at 1
+    // + (1,2) at 1
+    assert(pairs.length.toLong == inBlock + 500L + 1L,
+      s"got ${pairs.length} pairs")
+    assert(pairs.count(_._3 == 0L).toLong == inBlock)
+    assert(pairs.count(_._3 == 1L) == 501)
+    // no pair lost or re-ordered: every pair is (min, max)
+    assert(pairs.forall(p => p._1 < p._2))
+    // the cardinality contract: the rep-level banded join runs over
+    // DISTINCT signatures only — 5 here, so at most C(5,2) = 10 rep
+    // pairs stand behind the 125,251 member pairs
+    val reps = sig.groupBy("sh").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "sh")
+    val repPairs = DedupOps.simhashRepPairs(reps, maxHamming = 7)
+    assert(repPairs.count() <= 10L,
+      "rep-level candidates must scale with distinct signatures")
+    // null sigs (undecodable payloads) are dropped, never grouped
+    val withNull = sig.unionByName(
+      Seq((9000L, Option.empty[Long]), (9001L, Option.empty[Long]))
+        .toDF("doc_id", "sh"))
+    assert(DedupOps.simhashPairsFromSigs(withNull, maxHamming = 7)
+      .count() == pairs.length.toLong)
+  }
+
+  test("minhashPairs identical-signature collapse: a duplicated-text " +
+      "block pairs in full at est 1.0 through the distinct-sig join") {
+    val tpl = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = ((0L until 60L).map(i => (100L + i, tpl)) ++
+      Seq((1L, "one two three four five six seven eight"),
+        (2L, "totally different words entirely here now ok fine")))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minhashPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length.toLong == 60L * 59L / 2L, s"got ${pairs.length}")
+    assert(pairs.forall(p => p._3 == 1.0 && p._1 < p._2))
+  }
+
   test("ngramJaccard maxShingleDF: boilerplate shingle stops pairing docs") {
     // 20 docs share ONE boilerplate 3-gram but are otherwise disjoint:
     // uncapped → 190 candidate pairs, capped at DF 5 → none survive
