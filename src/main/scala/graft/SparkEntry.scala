@@ -1094,6 +1094,43 @@ object SparkEntry {
         .orderBy(col("doc_a").asc, col("doc_b").asc)
     },
 
+    // URL canonicalization + URL-keyed dedup (x251): the web-corpus
+    // ingest front door — the same page under scheme-case /
+    // default-port / trailing-slash / query-param-order / fragment
+    // variants collapses to ONE canonical URL before any content
+    // fetch. The fixture derives every variant closed-form from
+    // doc_id, so the oracle replays the exact string pipeline.
+    "x251_url_canonical_dedup" -> { (s, dir) =>
+      val id = col("doc_id")
+      val scheme = when(pmod(id, lit(2)) === 0, lit("HTTP"))
+        .otherwise(lit("https"))
+      val host = when(pmod(id, lit(3)) === 0, lit("Example.COM"))
+        .when(pmod(id, lit(3)) === 1, lit("example.com"))
+        .otherwise(lit("News.Example.com"))
+      val defPort = when(pmod(id, lit(2)) === 0, lit(":80"))
+        .otherwise(lit(":443"))
+      val port = when(pmod(id, lit(4)) === 0, defPort)
+        .when(pmod(id, lit(4)) === 1, lit(":8080"))
+        .otherwise(lit(""))
+      val path = concat(lit("/a/"),
+        pmod(id, lit(7)).cast(StringType),
+        when(pmod(id, lit(5)) === 0, lit("/")).otherwise(lit("")))
+      val query = when(pmod(id, lit(6)) === 0, lit("?b=2&a=1"))
+        .when(pmod(id, lit(6)) === 1, lit("?a=1&b=2"))
+        .when(pmod(id, lit(6)) === 2, lit(""))
+        .otherwise(concat(lit("?x="),
+          pmod(id, lit(11)).cast(StringType)))
+      val frag = when(pmod(id, lit(8)) === 0, lit("#frag"))
+        .otherwise(lit(""))
+      graft.ext.DedupOps.urlDedup(
+          T(s, dir, "documents").select(col("doc_id"))
+            .withColumn("url",
+              concat(scheme, lit("://"), host, port, path, query,
+                frag)),
+          "doc_id", "url")
+        .orderBy(col("canonical_url").asc)
+    },
+
     "x05_cosine_topk" -> { (s, dir) =>
       val emb = T(s, dir, "embeddings")
       graft.ext.Similarity.bruteForceTopK(
@@ -7668,6 +7705,66 @@ object SparkEntry {
             WHERE bit_count(xor(a.sh, b.sh)) <= 7
             ORDER BY doc_a ASC, doc_b ASC"""
       },
+      // x251: the URL fixture and every canonicalization rule replayed
+      // as staged string CTEs — strip fragment, lowercase scheme +
+      // authority, drop default port, trim trailing slashes, sort
+      // query params — then the exact group-by dedup
+      "x251_url_canonical_dedup" ->
+        """WITH u AS (SELECT doc_id,
+               (CASE doc_id % 2 WHEN 0 THEN 'HTTP' ELSE 'https' END)
+               || '://' ||
+               (CASE doc_id % 3 WHEN 0 THEN 'Example.COM'
+                     WHEN 1 THEN 'example.com'
+                     ELSE 'News.Example.com' END) ||
+               (CASE doc_id % 4
+                     WHEN 0 THEN (CASE doc_id % 2 WHEN 0 THEN ':80'
+                                       ELSE ':443' END)
+                     WHEN 1 THEN ':8080' ELSE '' END) ||
+               '/a/' || (doc_id % 7) ||
+               (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+               (CASE doc_id % 6 WHEN 0 THEN '?b=2&a=1'
+                     WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN ''
+                     ELSE '?x=' || (doc_id % 11) END) ||
+               (CASE WHEN doc_id % 8 = 0 THEN '#frag' ELSE '' END)
+                 AS url
+             FROM documents),
+           v1 AS (SELECT doc_id,
+                    regexp_replace(url, '#.*$', '') AS nf
+                  FROM u),
+           v2 AS (SELECT doc_id,
+                    lower(regexp_extract(nf,
+                      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+                    regexp_replace(nf,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+                  FROM v1),
+           v3 AS (SELECT doc_id, sch,
+                    lower(regexp_extract(rest, '^([^/?]*)', 1))
+                      AS auth,
+                    regexp_replace(rest, '^[^/?]*', '') AS pq
+                  FROM v2),
+           v4 AS (SELECT doc_id, sch,
+                    regexp_extract(auth, '^([^:]*)', 1) AS hst,
+                    regexp_extract(auth, ':([0-9]+)$', 1) AS prt,
+                    regexp_replace(regexp_extract(pq, '^([^?]*)', 1),
+                      '/+$', '') AS pth,
+                    coalesce(array_to_string(list_sort(list_filter(
+                      string_split(regexp_extract(pq, '\?(.*)$', 1),
+                        '&'), p -> p <> '')), '&'), '') AS qsort
+                  FROM v3),
+           c AS (SELECT doc_id, sch || '://' || hst ||
+                   (CASE WHEN prt = '' OR (sch = 'http' AND prt = '80')
+                         OR (sch = 'https' AND prt = '443') THEN ''
+                         ELSE ':' || prt END) || pth ||
+                   (CASE WHEN qsort = '' THEN ''
+                         ELSE '?' || qsort END) AS canonical_url
+                 FROM v4 WHERE sch <> '' AND hst <> '')
+           SELECT regexp_extract(canonical_url,
+                    '^[a-z][a-z0-9+.-]*://([^/:?]*)', 1) AS host,
+                  canonical_url,
+                  CAST(min(doc_id) AS BIGINT) AS keep_id,
+                  CAST(count(*) AS BIGINT) AS n_copies
+           FROM c GROUP BY canonical_url
+           ORDER BY canonical_url ASC""",
 
       "x05_cosine_topk" -> x05Sql,
 

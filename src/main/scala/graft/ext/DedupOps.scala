@@ -36,6 +36,30 @@ object DedupOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** URL-keyed exact dedup (x251): canonicalize
+    * ([[TextAnalysis.canonicalizeUrl]]) then the [[exactDedupHashed]]
+    * shape keyed on the canonical form — the first dedup pass of a
+    * web-corpus ingest (the same page under scheme-case/default-port/
+    * trailing-slash/param-order variants collapses BEFORE any content
+    * fetch or near-dup sketch runs). Rows whose URL does not
+    * canonicalize (no scheme/host) are dropped — route them to a
+    * quarantine path upstream if they matter. Output one row per
+    * canonical URL: (host, canonical_url, keep_id, n_copies); the
+    * shuffle carries the canonical string + 8-byte hash, never
+    * document bodies. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String)
+      : DataFrame =
+    df.select(col(idCol),
+        TextAnalysis.canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .filter(col("canonical_url").isNotNull)
+      .withColumn("_h", xxhash64(col("canonical_url")))
+      .groupBy(col("_h"), col("canonical_url"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(
+        regexp_extract(col("canonical_url"),
+          "^[a-z][a-z0-9+.-]*://([^/:?]*)", 1).as("host"),
+        col("canonical_url"), col("keep_id"), col("n_copies"))
+
   // ------------------------------------------------- n-gram Jaccard
 
   /** Distinct word n-gram shingles of a text column (first-occurrence

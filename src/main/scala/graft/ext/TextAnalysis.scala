@@ -142,6 +142,55 @@ object TextAnalysis {
       lower(graft.functions.StringExprs.nfcNormalize(c)), "\\s+", " "))
   }
 
+  /** URL canonicalization (x251) — the standard web-corpus ingest
+    * normalization BEFORE URL-keyed dedup: the same page arrives as
+    * `HTTP://Example.COM:80/a/3/?b=2&a=1#frag` and
+    * `http://example.com/a/3?a=1&b=2` across crawls, and exact dedup
+    * on the raw string misses the rejoin. Rules (each one a pure
+    * string op, replayable in any engine):
+    *
+    *  1. strip the fragment (`#...` — client-side only),
+    *  2. lowercase the scheme and the authority (host names are
+    *     case-insensitive; the PATH is not touched — case-significant
+    *     on most servers),
+    *  3. drop the default port (`:80` for http, `:443` for https;
+    *     other ports kept),
+    *  4. strip trailing slashes from the path (`/a/3/` == `/a/3`,
+    *     root collapses to none),
+    *  5. sort query parameters byte-lexicographically and drop empty
+    *     ones (`?b=2&a=1` == `?a=1&b=2`); percent-encoding is NOT
+    *     decoded (two encodings of one byte are rare and decoding
+    *     engine-portably is not worth the ambiguity).
+    *
+    * Non-URLs (no scheme or no host) canonicalize to NULL — the
+    * caller's filter, not an error. Narrow projection, RE2-safe
+    * patterns ([[redactPii]]'s portability rule), no shuffle. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val auth = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val host = regexp_extract(auth, "^([^:]*)", 1)
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val keptPort = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val pathQ = regexp_replace(rest, "^[^/?]*", "")
+    val path = regexp_replace(
+      regexp_extract(pathQ, "^([^?]*)", 1), "/+$", "")
+    val qSorted = array_join(array_sort(filter(
+      split(regexp_extract(pathQ, "\\?(.*)$", 1), "&"),
+      p => p =!= "")), "&")
+    val query = when(qSorted === "", lit(""))
+      .otherwise(concat(lit("?"), qSorted))
+    when(scheme === "" || host === "", lit(null).cast(StringType))
+      .otherwise(concat(scheme, lit("://"), host, keptPort, path,
+        query))
+  }
+
   /** PII pattern redaction: emails, North-American phone shapes, and
     * IPv4 literals replaced by stable placeholder tokens. Patterns stay
     * in the RE2-compatible subset (no lookarounds) so the same regexes

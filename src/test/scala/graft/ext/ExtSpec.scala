@@ -2135,6 +2135,38 @@ class ExtSpec extends SparkSpec {
     assert(out == Seq("a b c", "already clean"))
   }
 
+  test("canonicalizeUrl (x251): every rule hand-verified; non-URLs " +
+      "canonicalize to NULL; paths stay case-significant") {
+    val cases = Seq(
+      // scheme/host case + default port + trailing slash + param sort
+      // + fragment all collapse
+      "HTTP://Example.COM:80/a/3/?b=2&a=1#frag" ->
+        Some("http://example.com/a/3?a=1&b=2"),
+      "http://example.com/a/3?a=1&b=2" ->
+        Some("http://example.com/a/3?a=1&b=2"),
+      // https default port dropped, non-default kept
+      "HTTPS://h.io:443/x" -> Some("https://h.io/x"),
+      "https://h.io:8443/x" -> Some("https://h.io:8443/x"),
+      // http on 443 is NOT default — kept
+      "http://h.io:443/x" -> Some("http://h.io:443/x"),
+      // root path collapses; empty query/params dropped
+      "https://h.io/" -> Some("https://h.io"),
+      "https://h.io/?&&" -> Some("https://h.io"),
+      // path case preserved (case-significant on most servers)
+      "https://h.io/CaseSensitive" -> Some("https://h.io/CaseSensitive"),
+      // query before any path
+      "https://h.io?b=2&a=1" -> Some("https://h.io?a=1&b=2"),
+      // non-URLs → NULL
+      "no scheme here" -> None,
+      "http://" -> None)
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .as[Option[String]].collect().toSeq
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"canonicalizeUrl($in) = $g, want $want")
+    }
+  }
+
   test("normalizeText composes NFC: decomposed == precomposed") {
     // decomposed (e + U+0301, A + U+030A) and precomposed spellings of
     // the same words must normalize to byte-identical output — the
