@@ -1131,6 +1131,32 @@ object SparkEntry {
         .orderBy(col("canonical_url").asc)
     },
 
+    // frame-level video near-dup (x252): multi-frame containers
+    // (x113's real GIF decode) → per-frame dHash (x195's pixel loop,
+    // one hash per frame) → doc-level DISTINCT frame-hash sets →
+    // containment admission: a clip whose frames are mostly inside an
+    // already-ingested container is rejected (C = |A∩B|/min >= 0.5),
+    // covering trims/re-encodes/embeds the way x244's whole-clip hash
+    // covers audio. Ledger %4 != 0, incoming %4 == 0 (x235's split);
+    // the oracle recomputes every frame hash closed-form from the id.
+    "x252_video_frame_neardup" -> { (s, dir) =>
+      val d = T(s, dir, "documents").select(col("doc_id"))
+      def sets(f: DataFrame) = graft.ext.Multimodal.frameDHash(s,
+          graft.ext.Multimodal.withGifPayload(s, f, "doc_id"),
+          "doc_id")
+        .groupBy("doc_id")
+        .agg(collect_set(col("dhash")).as("fset"))
+      val ledger = scratchDir("framect252")
+      graft.ext.DedupOps.saveContainmentSetIndex(
+        sets(d.filter(pmod(col("doc_id"), lit(4)) =!= 0)),
+        "doc_id", "fset", ledger)
+      graft.ext.DedupOps.containmentSetAdmit(s, ledger,
+          sets(d.filter(pmod(col("doc_id"), lit(4)) === 0)),
+          "doc_id", "fset", threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id").asc)
+    },
+
     "x05_cosine_topk" -> { (s, dir) =>
       val emb = T(s, dir, "embeddings")
       graft.ext.Similarity.bruteForceTopK(
@@ -7765,6 +7791,43 @@ object SparkEntry {
                   CAST(count(*) AS BIGINT) AS n_copies
            FROM c GROUP BY canonical_url
            ORDER BY canonical_url ASC""",
+      // x252: per-frame dHash recomputed closed-form from the GIF
+      // fixture (frame f pixel (x,y) gray = (id+x+y+f)%256, dims
+      // w=4+id%13 h=3+id%7, frames 2+id%3; grid sample sx=gx*w//9,
+      // sy=gy*h//7, bit gy*8+gx set iff right neighbor brighter),
+      // then set containment C = |A∩B|/min >= 0.5 cross-side
+      "x252_video_frame_neardup" ->
+        """WITH fr AS (SELECT doc_id,
+               4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+               unnest(range(0, 2 + doc_id % 3)) AS f
+             FROM documents),
+           dh AS (SELECT doc_id, f,
+               CAST(list_sum([
+                 CASE WHEN (doc_id + ((((i % 8) + 1) * w) // 9)
+                            + (((i // 8) * h) // 7) + f) % 256
+                         > (doc_id + (((i % 8) * w) // 9)
+                            + (((i // 8) * h) // 7) + f) % 256
+                      THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                 for i in range(56)]) AS BIGINT) AS dhash
+             FROM fr),
+           st AS (SELECT doc_id, list_distinct(list(dhash)) AS s
+                  FROM dh GROUP BY doc_id),
+           e AS (SELECT doc_id, unnest(s) AS v FROM st),
+           sz AS (SELECT doc_id, len(s) AS z FROM st),
+           p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                        count(*) AS shared
+                 FROM e a JOIN e b ON a.v = b.v
+                 WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+                 GROUP BY 1, 2),
+           rej AS (SELECT DISTINCT da
+                   FROM p JOIN sz x ON p.da = x.doc_id
+                          JOIN sz y ON p.db = y.doc_id
+                   WHERE round(shared * 1.0 / least(x.z, y.z), 6)
+                         >= 0.5)
+           SELECT doc_id FROM documents
+           WHERE doc_id % 4 = 0
+             AND doc_id NOT IN (SELECT da FROM rej)
+           ORDER BY doc_id ASC""",
 
       "x05_cosine_topk" -> x05Sql,
 

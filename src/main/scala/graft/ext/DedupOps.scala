@@ -1704,6 +1704,8 @@ object DedupOps {
     if (snap.applied.contains(batchId)) return
     val n = readContainmentTable(spark, path, snap, "params")
       .head().getAs[Int]("n")
+    require(n >= 1, s"ledger at $path is a signature-SET containment " +
+      "index — use appendToContainmentSetIndex")
     val seg = s"delta_$batchId"
     writeContainmentSegment(newDocs, idCol, textCol, path, seg, n)
     graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
@@ -1737,6 +1739,8 @@ object DedupOps {
     val snap = containmentSnapshot(spark, path, asOfVersion)
     val n = readContainmentTable(spark, path, snap, "params")
       .head().getAs[Int]("n")
+    require(n >= 1, s"ledger at $path is a signature-SET containment " +
+      "index — use containmentSetAdmit")
     val in = newDocs.select(col(idCol).cast(LongType).as("in_doc"),
         graft.functions.TextHashExprs.shingleHashes(col(textCol), n)
           .as("sh"))
@@ -1810,5 +1814,120 @@ object DedupOps {
     graft.sinks.IndexManifest.vacuum(fs, path, keepVersions,
       (ContainmentTables :+ ContainmentDeletesTable)
         .map(t => t -> s"$path/$t").toMap)
+  }
+
+  // -------------- precomputed signature-SET containment ledger (x252)
+
+  /** One postings segment from PRECOMPUTED signature sets — the
+    * [[writeContainmentSegment]] shape with the caller supplying each
+    * doc's hash set (e.g. per-frame dHashes,
+    * [[Multimodal.frameDHash]]) instead of text shingles. Sets are
+    * distinct-ed defensively; null/empty sets carry no postings
+    * (their docs admit unconditionally, the < n-token rule's twin). */
+  private def writeContainmentSetSegment(docs: DataFrame,
+      idCol: String, setCol: String, path: String, seg: String): Unit =
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+        array_distinct(col(setCol)).as("sh"))
+      .filter(col("sh").isNotNull && size(col("sh")) >= 1)
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("s"))
+      .repartition(col("s")).sortWithinPartitions("s")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/postings/$seg")
+
+  /** Persist a containment-admission ledger over PRECOMPUTED signature
+    * SETS (x252) — the multi-frame/video axis: a container is its
+    * distinct per-frame hash set, and "this clip is (mostly) inside an
+    * already-ingested reel" is exactly the containment measure
+    * C = |A∩B| / min(|A|,|B|) over frame hashes. Same manifest
+    * lifecycle, deletes ([[deleteFromContainmentIndex]]), compaction
+    * ([[compactContainmentIndex]]) and vacuum as the text ledger —
+    * those operate on postings generically. `params.n = 0` marks the
+    * set geometry: the text-shingle admit refuses to serve this
+    * ledger and vice versa (a mixed read would compare incomparable
+    * postings). */
+  def saveContainmentSetIndex(docs: DataFrame, idCol: String,
+      setCol: String, path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Seq(0).toDF("n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params/base")
+    writeContainmentSetSegment(docs, idCol, setCol, path, "base")
+    graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
+      graft.sinks.IndexSnapshot(0L,
+        ContainmentTables.map(t => t -> Seq("base")).toMap, Seq.empty))
+  }
+
+  /** Append a batch's signature sets — [[appendToContainmentIndex]]'s
+    * idempotency contract on the set geometry (each doc appended
+    * ONCE). */
+  def appendToContainmentSetIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, setCol: String,
+      batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        !batchId.startsWith("compact_v") &&
+        !batchId.startsWith("delete_") &&
+        batchId.forall(c =>
+          c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      "batchId must be a filesystem-safe token != 'base' and outside " +
+        s"the reserved 'compact_v'/'delete_' prefixes (got '$batchId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = containmentSnapshot(spark, path)
+    if (snap.applied.contains(batchId)) return
+    require(readContainmentTable(spark, path, snap, "params")
+        .head().getAs[Int]("n") == 0,
+      s"ledger at $path is a text-shingle containment index — use " +
+        "appendToContainmentIndex")
+    val seg = s"delta_$batchId"
+    writeContainmentSetSegment(newDocs, idCol, setCol, path, seg)
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(batchId)) c // concurrent duplicate: no-op
+      else c.copy(
+        tables = c.tables + ("postings" ->
+          (c.segs("postings").filterNot(_ == seg) :+ seg)),
+        applied = c.applied :+ batchId)
+    }
+  }
+
+  /** Incremental containment admission over signature SETS: the rows
+    * of `newDocs` with no ledgered doc at C(A,B) = |A∩B| / min(|A|,|B|)
+    * >= `threshold` over the precomputed hash sets — the
+    * [[containmentAdmit]] verdict with frames (or any caller-chosen
+    * signatures) as the shingles. Docs with a null/empty set admit
+    * unconditionally. `asOfVersion` replays retained snapshots
+    * ([[containmentIndexVersion]]'s MVCC handle). */
+  def containmentSetAdmit(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, idCol: String, setCol: String,
+      threshold: Double = 0.5, asOfVersion: Option[Long] = None)
+      : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1] (got $threshold)")
+    val snap = containmentSnapshot(spark, path, asOfVersion)
+    require(readContainmentTable(spark, path, snap, "params")
+        .head().getAs[Int]("n") == 0,
+      s"ledger at $path is a text-shingle containment index — use " +
+        "containmentAdmit")
+    val in = newDocs.select(col(idCol).cast(LongType).as("in_doc"),
+        array_distinct(col(setCol)).as("sh"))
+      .filter(col("sh").isNotNull && size(col("sh")) >= 1)
+      .select(col("in_doc"), size(col("sh")).as("in_sz"),
+        explode(col("sh")).as("s"))
+    val corpus = readContainmentLive(spark, path, snap)
+    val rejected = in.join(corpus, Seq("s"))
+      .groupBy(col("in_doc"), col("doc_id"), col("in_sz"), col("sz"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(round(col("shared").cast(DoubleType) /
+        least(col("in_sz"), col("sz")).cast(DoubleType), 6)
+        >= threshold)
+      .select(col("in_doc")).distinct()
+    newDocs.join(
+      rejected.select(col("in_doc").cast(LongType).as(idCol)),
+      Seq(idCol), "left_anti")
   }
 }

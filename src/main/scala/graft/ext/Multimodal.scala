@@ -889,31 +889,70 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         MediaCodec.decodeImage(payload) match {
-          case Some(img) =>
-            val (w, h) = (img.getWidth, img.getHeight)
-            var bits = 0L
-            val g = new Array[Int](gridW + 1)
-            var y = 0
-            while (y < gridH) {
-              val sy = y * h / gridH
-              var x = 0
-              while (x <= gridW) {
-                val sx = x * w / (gridW + 1)
-                val rgb = img.getRGB(sx, sy)
-                g(x) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-                  (rgb & 0xff)) / 3
-                x += 1
-              }
-              x = 0
-              while (x < gridW) {
-                if (g(x + 1) > g(x)) bits |= 1L << (y * gridW + x)
-                x += 1
-              }
-              y += 1
-            }
-            (id, Some(bits))
+          case Some(img) => (id, Some(dhashOf(img, gridW, gridH)))
           case None => (id, None: Option[Long])
         }
       }).toDF(idCol, "dhash")
+  }
+
+  /** The dHash pixel loop over one decoded image — shared by
+    * [[imageDHash]] (container = one hash) and [[frameDHash]]
+    * (one hash PER frame). */
+  private def dhashOf(img: java.awt.image.BufferedImage, gridW: Int,
+      gridH: Int): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var bits = 0L
+    val g = new Array[Int](gridW + 1)
+    var y = 0
+    while (y < gridH) {
+      val sy = y * h / gridH
+      var x = 0
+      while (x <= gridW) {
+        val sx = x * w / (gridW + 1)
+        val rgb = img.getRGB(sx, sy)
+        g(x) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+          (rgb & 0xff)) / 3
+        x += 1
+      }
+      x = 0
+      while (x < gridW) {
+        if (g(x + 1) > g(x)) bits |= 1L << (y * gridW + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Per-FRAME perceptual dHash (x252) — the video/animation axis of
+    * the near-dup family: decode every frame in the container
+    * ([[MediaCodec.decodeFrames]] — an animated GIF yields its real
+    * frame sequence, a PNG/JPEG its single frame) and emit one
+    * [[imageDHash]]-identical hash per frame. A multi-frame container
+    * is then represented by its DISTINCT frame-hash SET, and near-dup
+    * detection becomes signature-set CONTAINMENT (a clip re-encoded,
+    * trimmed, or embedded inside a longer reel shares most of its
+    * frame hashes — the [[graft.ext.DedupOps.containmentSetAdmit]]
+    * measure), exactly how x244 covers audio with one whole-clip hash.
+    * Undecodable payloads yield NO rows (the frame table's domain is
+    * decodable containers — route the rest through [[extractFrames]]'
+    * stub path if they must stay in flow). Narrow mapPartitions codec
+    * stage; blobs never shuffle, output is 24 bytes per frame. */
+  def frameDHash(spark: SparkSession, df: DataFrame, idCol: String,
+      gridW: Int = 8, gridH: Int = 7): DataFrame = {
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 62,
+      s"gridW*gridH must be in [1, 62] to stay positive in a signed " +
+        s"64-bit hash (got ${gridW}x$gridH)")
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        MediaCodec.decodeFrames(payload) match {
+          case Some(frames) => frames.iterator.zipWithIndex.map {
+            case (img, i) => (id, i.toLong, dhashOf(img, gridW, gridH))
+          }
+          case None => Iterator.empty
+        }
+      }).toDF(idCol, "frame_idx", "dhash")
   }
 }

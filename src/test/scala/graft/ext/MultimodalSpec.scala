@@ -403,6 +403,50 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.imageDHash(spark, png, "doc_id", gridW = 0))
   }
 
+  test("frameDHash (x252): one hash per decoded frame, closed-form on " +
+      "the GIF fixture; a single-frame PNG equals imageDHash; " +
+      "undecodable payloads yield no rows") {
+    val ids = Seq(0L, 5L, 91L, 250L)
+    val gifs = Multimodal.withGifPayload(spark, ids.toDF("doc_id"),
+      "doc_id")
+    val got = Multimodal.frameDHash(spark, gifs, "doc_id")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for (id <- ids) {
+      val (w, h, n) = ((4 + id % 13).toInt, (3 + id % 7).toInt,
+        (2 + id % 3).toInt)
+      assert(got.keys.count(_._1 == id) == n,
+        s"doc $id: expected $n frame hashes")
+      for (f <- 0 until n) {
+        // gray(x, y) = (id + x + y + f) % 256; grid sx = gx*w/9,
+        // sy = gy*h/7; bit gy*8+gx iff right neighbor brighter
+        var want = 0L
+        for (gy <- 0 until 7; gx <- 0 until 8) {
+          val sy = gy * h / 7
+          def g(x: Int) =
+            Math.floorMod(id + (x * w / 9) + sy + f, 256L)
+          if (g(gx + 1) > g(gx)) want |= 1L << (gy * 8 + gx)
+        }
+        assert(got((id, f.toLong)) == want,
+          s"doc $id frame $f: dhash mismatch")
+      }
+    }
+    // single-frame identity: frameDHash(PNG) == imageDHash(PNG)
+    val png = Multimodal.withPngPayload(spark, ids.toDF("doc_id"),
+      "doc_id")
+    val single = Multimodal.frameDHash(spark, png, "doc_id")
+      .as[(Long, Long, Long)].collect()
+    val whole = Multimodal.imageDHash(spark, png, "doc_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(single.length == ids.length &&
+      single.forall { case (id, f, dh) =>
+        f == 0L && whole(id).contains(dh) })
+    // undecodable → zero rows (the frame table's domain)
+    val bad = Seq((1L, "not an image".getBytes)).toDF("doc_id",
+      "payload")
+    assert(Multimodal.frameDHash(spark, bad, "doc_id").count() == 0L)
+  }
+
   // the x234 algorithm replayed in plain Scala over a pooled frame
   // sequence — grid/DCT/median, the spec's independent recomputation
   private def ahashFromFrames(frames: IndexedSeq[Long]): Long = {
