@@ -1671,6 +1671,39 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     },
 
+    // containment compaction preserves time travel (x254): x249's
+    // MVCC admission driven THROUGH a delete + compaction — v0 is
+    // recorded before the %5=0 append, a delete then tombstones a
+    // slice, a compaction folds the postings (physically removing the
+    // tombstoned docs), and the admission STILL replays pinned to v0:
+    // compaction writes NEW segments and a NEW manifest, never
+    // touching files a retained version references (the x155/x110
+    // time-travel rule, now pinned on the containment axis). Oracle:
+    // x249's surviving-ledger restriction verbatim.
+    "x254_containment_compact_travel" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val ledger = scratchDir("ctledger254")
+      graft.ext.DedupOps.saveContainmentIndex(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0 &&
+          pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", ledger, n = 5)
+      val v0 = graft.ext.DedupOps.containmentIndexVersion(s, ledger)
+      graft.ext.DedupOps.appendToContainmentIndex(s, ledger,
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0 &&
+          pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", "b1")
+      graft.ext.DedupOps.deleteFromContainmentIndex(s, ledger,
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0 &&
+            pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id")), "doc_id", "d1")
+      graft.ext.DedupOps.compactContainmentIndex(s, ledger)
+      graft.ext.DedupOps.containmentAdmit(s, ledger,
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          "doc_id", "text", threshold = 0.8, asOfVersion = Some(v0))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id").asc)
+    },
+
     // exact heavy-hitter terms: Misra-Gries prunes the vocabulary to
     // ≤64 candidates, exact re-count keeps terms with freq·64 > N.
     "x47_heavy_terms" -> ((s, dir) =>
@@ -3452,6 +3485,45 @@ object SparkEntry {
         .option("checkpointLocation", base + "/ckpt").start()
       q.awaitTermination()
       s.read.parquet(base + "/out").select("doc_id")
+        .orderBy(col("doc_id").asc)
+    },
+
+    // streamed audio admission (x253): the x202 greedy admit-then-
+    // append loop on the audio spectral axis — arriving clips admit
+    // against the persisted 64-bit Hamming ledger (x239's state) and
+    // the admitted slice appends before the next batch admits, closing
+    // the stream/batch symmetry the text (x202) and image (x199/x202)
+    // axes already have. Same simhashAdmitWriter, so the replay-no-op
+    // pin (StreamIndexSpec x202 test) covers this axis verbatim.
+    // Split: a SMALL base ledger (doc_id < 25) keeps the admission
+    // non-degenerate — spectral hashes are coarse (59 distinct values
+    // over 500 sf0.01 clips), so a large ledger covers every Hamming-7
+    // ball and admits nothing; here batch 1 admits ~40 clips and
+    // batch 2's rejections are caused by BATCH-1 ADMISSIONS (the
+    // greedy property, live in the data). Oracle: the two batches
+    // replayed sequentially over the closed-form spectral hashes.
+    "x253_stream_audio_admit" -> { (s, dir) =>
+      def sigs(f: DataFrame) = graft.ext.Multimodal.audioSpectralHash(
+          s, graft.ext.Multimodal.withWavPayload(s, f, "doc_id"),
+          "doc_id")
+        .select(col("doc_id"), col("ahash").as("sh"))
+      val d = T(s, dir, "documents").select(col("doc_id"))
+      val base = scratchDir("streamahash253")
+      graft.ext.DedupOps.saveSimhashLedger(
+        sigs(d.filter(col("doc_id") < 25)), base + "/ledger")
+      landOrdered(s, Seq(
+        sigs(d.filter(col("doc_id") >= 50 &&
+          pmod(col("doc_id"), lit(5)) === 4)),
+        sigs(d.filter(col("doc_id") >= 50 &&
+          pmod(col("doc_id"), lit(5)) === 0))),
+        base + "/in")
+      val schema = s.read.parquet(base + "/in").schema
+      val q = graft.streaming.StreamIndex.simhashAdmitWriter(s,
+          base + "/in", schema, base + "/ledger", base + "/out",
+          maxHamming = 7, probeBits = 1)
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      s.read.parquet(base + "/out").select("doc_id", "sh")
         .orderBy(col("doc_id").asc)
     },
 
@@ -8446,6 +8518,10 @@ object SparkEntry {
       // surviving-ledger restriction (MVCC: time travel before an
       // append == the append never happened)
       "x249_containment_asof_admit" -> containmentSurvivorOracle,
+      // x254: as-of v0 through a later delete + compaction — the
+      // pinned snapshot must still serve the pre-append ledger, so
+      // the verdicts stay x242's surviving-ledger restriction
+      "x254_containment_compact_travel" -> containmentSurvivorOracle,
 
       // exact-by-construction: the engine's sketch only PRUNES; this
       // direct GROUP BY/HAVING is the definitional form
@@ -9167,6 +9243,25 @@ object SparkEntry {
              WHERE x.doc_id % 4 <> 0
                AND bit_count(xor(x.ahash, i.ahash)) <= 7)
            ORDER BY i.doc_id ASC""",
+      // x253: the two stream batches replayed sequentially (greedy
+      // earlier-batch-wins — the x202 oracle shape on the audio axis)
+      "x253_stream_audio_admit" ->
+        s"""WITH $ahashSigCte,
+           base AS (SELECT doc_id, ahash FROM ah WHERE doc_id < 25),
+           b1 AS (SELECT doc_id, ahash FROM ah
+                  WHERE doc_id >= 50 AND doc_id % 5 = 4),
+           a1 AS (SELECT * FROM b1 i WHERE NOT EXISTS (
+                    SELECT 1 FROM base x
+                    WHERE bit_count(xor(x.ahash, i.ahash)) <= 7)),
+           idx1 AS (SELECT * FROM base UNION ALL SELECT * FROM a1),
+           b2 AS (SELECT doc_id, ahash FROM ah
+                  WHERE doc_id >= 50 AND doc_id % 5 = 0),
+           a2 AS (SELECT * FROM b2 i WHERE NOT EXISTS (
+                    SELECT 1 FROM idx1 x
+                    WHERE bit_count(xor(x.ahash, i.ahash)) <= 7))
+           SELECT doc_id, ahash AS sh
+           FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+           ORDER BY doc_id ASC""",
       // x244: exact components via the recursive reachability closure
       // over the brute-force audio-hash pair set (x203's shape on the
       // fourth modality)
