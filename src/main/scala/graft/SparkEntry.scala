@@ -63,6 +63,55 @@ object SparkEntry {
     p.toString
   }
 
+  /** The x251/x255 URL fixture: every canonicalization-rule variant
+    * (scheme case, default/non-default port, trailing slash, query
+    * param order, fragment) derived closed-form from the id, so the
+    * oracle rebuilds the identical raw string. */
+  private def urlFixture(id: Column): Column = {
+    val scheme = when(pmod(id, lit(2)) === 0, lit("HTTP"))
+      .otherwise(lit("https"))
+    val host = when(pmod(id, lit(3)) === 0, lit("Example.COM"))
+      .when(pmod(id, lit(3)) === 1, lit("example.com"))
+      .otherwise(lit("News.Example.com"))
+    val defPort = when(pmod(id, lit(2)) === 0, lit(":80"))
+      .otherwise(lit(":443"))
+    val port = when(pmod(id, lit(4)) === 0, defPort)
+      .when(pmod(id, lit(4)) === 1, lit(":8080"))
+      .otherwise(lit(""))
+    val path = concat(lit("/a/"), pmod(id, lit(7)).cast(StringType),
+      when(pmod(id, lit(5)) === 0, lit("/")).otherwise(lit("")))
+    val query = when(pmod(id, lit(6)) === 0, lit("?b=2&a=1"))
+      .when(pmod(id, lit(6)) === 1, lit("?a=1&b=2"))
+      .when(pmod(id, lit(6)) === 2, lit(""))
+      .otherwise(concat(lit("?x="), pmod(id, lit(11)).cast(StringType)))
+    val frag = when(pmod(id, lit(8)) === 0, lit("#frag"))
+      .otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, path, query, frag)
+  }
+
+  /** The x258/x259/x261 HOST fixture: 17 hosts (doc_id % 17) behind
+    * mixed-case/port/trailing-slash noise, so the per-host gates run
+    * downstream of real canonicalization. Canonical form (closed-form,
+    * the rules x251 validates against the full regex replay):
+    * `http(s)://h{id%17}.example.com[:8080 iff id%5=0]/p/{id%7}`. */
+  private def urlHostFixture(id: Column): Column =
+    concat(
+      when(pmod(id, lit(2)) === 0, lit("HTTP")).otherwise(lit("https")),
+      lit("://H"), pmod(id, lit(17)).cast(StringType),
+      lit(".Example.com"),
+      when(pmod(id, lit(5)) === 0, lit(":8080")).otherwise(lit("")),
+      lit("/p/"), pmod(id, lit(7)).cast(StringType),
+      when(pmod(id, lit(3)) === 0, lit("/")).otherwise(lit("")))
+
+  /** doc_id → canonical host/url via the PRODUCT canonicalizer over
+    * the host fixture — the shared head of x258/x259/x261. */
+  private def hostFixtureCanonical(df: DataFrame): DataFrame =
+    df.withColumn("canonical_url",
+        graft.ext.TextAnalysis.canonicalizeUrl(
+          urlHostFixture(col("doc_id"))))
+      .withColumn("host", regexp_extract(col("canonical_url"),
+        "^[a-z][a-z0-9+.-]*://([^/:?]*)", 1))
+
   /** Session-scoped SHARED read-only index fixtures, keyed by
     * (sfDir, build recipe): the engine's own doctrine is
     * train-once/serve-many, so the READ-ONLY serve gates (x130/x131/
@@ -1101,34 +1150,38 @@ object SparkEntry {
     // fetch. The fixture derives every variant closed-form from
     // doc_id, so the oracle replays the exact string pipeline.
     "x251_url_canonical_dedup" -> { (s, dir) =>
-      val id = col("doc_id")
-      val scheme = when(pmod(id, lit(2)) === 0, lit("HTTP"))
-        .otherwise(lit("https"))
-      val host = when(pmod(id, lit(3)) === 0, lit("Example.COM"))
-        .when(pmod(id, lit(3)) === 1, lit("example.com"))
-        .otherwise(lit("News.Example.com"))
-      val defPort = when(pmod(id, lit(2)) === 0, lit(":80"))
-        .otherwise(lit(":443"))
-      val port = when(pmod(id, lit(4)) === 0, defPort)
-        .when(pmod(id, lit(4)) === 1, lit(":8080"))
-        .otherwise(lit(""))
-      val path = concat(lit("/a/"),
-        pmod(id, lit(7)).cast(StringType),
-        when(pmod(id, lit(5)) === 0, lit("/")).otherwise(lit("")))
-      val query = when(pmod(id, lit(6)) === 0, lit("?b=2&a=1"))
-        .when(pmod(id, lit(6)) === 1, lit("?a=1&b=2"))
-        .when(pmod(id, lit(6)) === 2, lit(""))
-        .otherwise(concat(lit("?x="),
-          pmod(id, lit(11)).cast(StringType)))
-      val frag = when(pmod(id, lit(8)) === 0, lit("#frag"))
-        .otherwise(lit(""))
       graft.ext.DedupOps.urlDedup(
           T(s, dir, "documents").select(col("doc_id"))
-            .withColumn("url",
-              concat(scheme, lit("://"), host, port, path, query,
-                frag)),
+            .withColumn("url", urlFixture(col("doc_id"))),
           "doc_id", "url")
         .orderBy(col("canonical_url").asc)
+    },
+
+    // URL-keyed admission ledger (x255): "have we crawled this URL
+    // already" — canonical URLs (x251's rules) hashed to 64 bits and
+    // admitted through the persisted Hamming ledger at radius 0 with
+    // exact-chunk probes: admission == exact canonical-URL-hash
+    // equality against everything ledgered, incremental, idempotent,
+    // and time-travelable under the shared manifest protocol (a hash
+    // collision admits wrongly at 2^-64 per pair — the x03
+    // modulo-hash-collision argument). Ledger %4 != 0, incoming
+    // %4 == 0; the oracle compares canonical STRINGS.
+    "x255_url_ledger_admit" -> { (s, dir) =>
+      def sigs(f: DataFrame) = f
+        .withColumn("_cu",
+          graft.ext.TextAnalysis.canonicalizeUrl(col("url")))
+        .filter(col("_cu").isNotNull)
+        .select(col("doc_id"), xxhash64(col("_cu")).as("sh"))
+      val d = T(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", urlFixture(col("doc_id")))
+      val ledger = scratchDir("urlledger255")
+      graft.ext.DedupOps.saveSimhashLedger(
+        sigs(d.filter(pmod(col("doc_id"), lit(4)) =!= 0)), ledger)
+      graft.ext.DedupOps.simhashLedgerAdmit(s, ledger,
+          sigs(d.filter(pmod(col("doc_id"), lit(4)) === 0)),
+          maxHamming = 0, probeBits = 0)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id").asc)
     },
 
     // frame-level video near-dup (x252): multi-frame containers
@@ -1154,6 +1207,143 @@ object SparkEntry {
           sets(d.filter(pmod(col("doc_id"), lit(4)) === 0)),
           "doc_id", "fset", threshold = 0.5)
         .select(col("doc_id"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // streamed video-set admission (x256): x245's greedy admit-then-
+    // append loop on the frame-hash containment axis — micro-batches
+    // of (doc, frame-hash set) rows admit against the x252 set ledger
+    // and the admitted slice appends before the next batch admits. A
+    // TINY base ledger (doc_id < 2) keeps the gate non-degenerate:
+    // the fixture's frame-hash space is coarse (45 distinct hashes at
+    // sf0.01), so batch 1 admits ~42 reels and every batch-2
+    // rejection is caused by a BATCH-1 ADMISSION — the greedy
+    // property, live in the data. Oracle: the two batches replayed
+    // sequentially.
+    "x256_stream_video_admit" -> { (s, dir) =>
+      val d = T(s, dir, "documents").select(col("doc_id"))
+      def sets(f: DataFrame) = graft.ext.Multimodal.frameDHash(s,
+          graft.ext.Multimodal.withGifPayload(s, f, "doc_id"),
+          "doc_id")
+        .groupBy("doc_id").agg(collect_set(col("dhash")).as("fset"))
+      val base = scratchDir("streamvid256")
+      graft.ext.DedupOps.saveContainmentSetIndex(
+        sets(d.filter(col("doc_id") < 2)), "doc_id", "fset",
+        base + "/ledger")
+      landOrdered(s, Seq(
+        sets(d.filter(col("doc_id") >= 10 && col("doc_id") < 60)),
+        sets(d.filter(col("doc_id") >= 60 && col("doc_id") < 110))),
+        base + "/in")
+      val schema = s.read.parquet(base + "/in").schema
+      val q = graft.streaming.StreamIndex.containmentSetAdmitWriter(
+          s, base + "/in", schema, base + "/ledger", base + "/out",
+          "doc_id", "fset", threshold = 0.5)
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      s.read.parquet(base + "/out").select("doc_id")
+        .orderBy(col("doc_id").asc)
+    },
+
+    // video canonical selection (x257): x203 on the multi-frame axis
+    // — x252's frame-hash sets paired by set containment (C >= 0.5,
+    // identical-set collapse inside containmentSetPairs), clustered
+    // by the O(log n) alternating-star components, one keeper (min
+    // id, first-ingested-wins) per visual reel cluster; singletons
+    // are their own keeper.
+    "x257_video_canonical" -> { (s, dir) =>
+      val d = T(s, dir, "documents").select(col("doc_id"))
+      val sets = graft.ext.Multimodal.frameDHash(s,
+          graft.ext.Multimodal.withGifPayload(s, d, "doc_id"),
+          "doc_id")
+        .groupBy("doc_id").agg(collect_set(col("dhash")).as("fset"))
+      val pairs = graft.ext.DedupOps.containmentSetPairs(sets,
+        "doc_id", "fset", threshold = 0.5)
+      val lbl = graft.ext.DedupOps.dedupClustersStar(pairs,
+        "doc_a", "doc_b")
+      d.join(lbl, d("doc_id") === lbl("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_members"))
+        .orderBy(col("cluster_id").asc)
+    },
+
+    // per-host corpus health (x258): the curation dashboard every
+    // web-scale ingest watches — doc counts, mean quality, token
+    // volume, distinct canonical URLs per host, downstream of the
+    // x251 canonicalizer. Mean quality sums DECIMAL(18,6) (exact,
+    // order-independent) before the one double divide.
+    "x258_host_quality_stats" -> { (s, dir) =>
+      graft.ext.TextAnalysis.qualityScore(
+          hostFixtureCanonical(T(s, dir, "documents")), "text")
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("quality_score").cast(DecimalType(18, 6)))
+            .cast(DoubleType) / count(lit(1)), 6).as("mean_quality"),
+          sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("canonical_url")).as("n_urls"))
+        .orderBy(col("host").asc)
+    },
+
+    // per-host crawl-budget admission, batch form (x259): docs with
+    // id % 10 == 0 are pre-ledgered ("already crawled"), the rest
+    // arrive as one batch against cap 5 — admitted iff the host's
+    // prior count plus the doc's ascending-id rank within the batch
+    // fits the budget. Gates hostBudgetAdmit end-to-end (ledger scan
+    // → per-host count → batch-bounded rank).
+    "x259_host_budget_cap" -> { (s, dir) =>
+      val d = hostFixtureCanonical(
+        T(s, dir, "documents").select(col("doc_id")))
+      val ledger = scratchDir("hostbudget259")
+      graft.ext.DedupOps.saveHostBudgetLedger(
+        d.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "host", ledger, cap = 5)
+      graft.ext.DedupOps.hostBudgetAdmit(s, ledger,
+          d.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          "doc_id", "host")
+        .select(col("doc_id"), col("host"))
+        .orderBy(col("doc_id").asc)
+    },
+
+    // paragraph-level exact dedup + reassembly (x260): CCNet's
+    // line-dedup shape — consecutive 2-word chunks (the fixture's
+    // ~50-word docs over a ~40-word vocabulary make 2-word windows
+    // the realistic boilerplate granularity), first occurrence by
+    // (doc_id, idx) wins corpus-wide, docs rebuilt from surviving
+    // chunks. Chunk text never shuffles: the first-occurrence groupBy
+    // moves 24-byte (hash, doc, idx) rows.
+    "x260_paragraph_dedup" -> { (s, dir) =>
+      graft.ext.DedupOps.chunkDedup(
+          T(s, dir, "documents"), "doc_id", "text", chunkWords = 2)
+        .orderBy(col("doc_id").asc)
+    },
+
+    // streamed per-host budget admission (x261): the crawl-frontier
+    // loop — two micro-batches admit against the x259 ledger
+    // machinery (base: id < 5, cap 4) and each admitted slice appends
+    // before the next batch admits, so hosts filled by batch 1
+    // (ids 5-39) reject batch 2 (ids 40-109) arrivals greedily.
+    // Oracle: the two batches replayed sequentially.
+    "x261_stream_host_budget" -> { (s, dir) =>
+      val d = hostFixtureCanonical(
+          T(s, dir, "documents").select(col("doc_id")))
+        .select(col("doc_id"), col("host"))
+      val base = scratchDir("streamhost261")
+      graft.ext.DedupOps.saveHostBudgetLedger(
+        d.filter(col("doc_id") < 5), "doc_id", "host",
+        base + "/ledger", cap = 4)
+      landOrdered(s, Seq(
+        d.filter(col("doc_id") >= 5 && col("doc_id") < 40),
+        d.filter(col("doc_id") >= 40 && col("doc_id") < 110)),
+        base + "/in")
+      val schema = s.read.parquet(base + "/in").schema
+      val q = graft.streaming.StreamIndex.hostBudgetAdmitWriter(
+          s, base + "/in", schema, base + "/ledger", base + "/out",
+          "doc_id", "host")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      s.read.parquet(base + "/out").select("doc_id", "host")
         .orderBy(col("doc_id").asc)
     },
 
@@ -7400,6 +7590,90 @@ object SparkEntry {
                  FROM th)"""
     }
     val simhashShCte: String = simhashShCteFrom("documents")
+    // x251/x255: the URL fixture + every canonicalization rule as
+    // staged string CTEs → c(doc_id, canonical_url)
+    val urlCanonicalCtes: String =
+      """u AS (SELECT doc_id,
+               (CASE doc_id % 2 WHEN 0 THEN 'HTTP' ELSE 'https' END)
+               || '://' ||
+               (CASE doc_id % 3 WHEN 0 THEN 'Example.COM'
+                     WHEN 1 THEN 'example.com'
+                     ELSE 'News.Example.com' END) ||
+               (CASE doc_id % 4
+                     WHEN 0 THEN (CASE doc_id % 2 WHEN 0 THEN ':80'
+                                       ELSE ':443' END)
+                     WHEN 1 THEN ':8080' ELSE '' END) ||
+               '/a/' || (doc_id % 7) ||
+               (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+               (CASE doc_id % 6 WHEN 0 THEN '?b=2&a=1'
+                     WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN ''
+                     ELSE '?x=' || (doc_id % 11) END) ||
+               (CASE WHEN doc_id % 8 = 0 THEN '#frag' ELSE '' END)
+                 AS url
+             FROM documents),
+           v1 AS (SELECT doc_id,
+                    regexp_replace(url, '#.*$', '') AS nf
+                  FROM u),
+           v2 AS (SELECT doc_id,
+                    lower(regexp_extract(nf,
+                      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+                    regexp_replace(nf,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+                  FROM v1),
+           v3 AS (SELECT doc_id, sch,
+                    lower(regexp_extract(rest, '^([^/?]*)', 1))
+                      AS auth,
+                    regexp_replace(rest, '^[^/?]*', '') AS pq
+                  FROM v2),
+           v4 AS (SELECT doc_id, sch,
+                    regexp_extract(auth, '^([^:]*)', 1) AS hst,
+                    regexp_extract(auth, ':([0-9]+)$', 1) AS prt,
+                    regexp_replace(regexp_extract(pq, '^([^?]*)', 1),
+                      '/+$', '') AS pth,
+                    coalesce(array_to_string(list_sort(list_filter(
+                      string_split(regexp_extract(pq, '\?(.*)$', 1),
+                        '&'), p -> p <> '')), '&'), '') AS qsort
+                  FROM v3),
+           c AS (SELECT doc_id, sch || '://' || hst ||
+                   (CASE WHEN prt = '' OR (sch = 'http' AND prt = '80')
+                         OR (sch = 'https' AND prt = '443') THEN ''
+                         ELSE ':' || prt END) || pth ||
+                   (CASE WHEN qsort = '' THEN ''
+                         ELSE '?' || qsort END) AS canonical_url
+                 FROM v4 WHERE sch <> '' AND hst <> '')"""
+    // x252/x256/x257: the GIF fixture's per-frame dHash, doc-level
+    // distinct hash sets, and the exploded/size views every
+    // containment read shares
+    val frameHashCtes: String =
+      """fr AS (SELECT doc_id,
+               4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+               unnest(range(0, 2 + doc_id % 3)) AS f
+             FROM documents),
+           dh AS (SELECT doc_id, f,
+               CAST(list_sum([
+                 CASE WHEN (doc_id + ((((i % 8) + 1) * w) // 9)
+                            + (((i // 8) * h) // 7) + f) % 256
+                         > (doc_id + (((i % 8) * w) // 9)
+                            + (((i // 8) * h) // 7) + f) % 256
+                      THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                 for i in range(56)]) AS BIGINT) AS dhash
+             FROM fr),
+           st AS (SELECT doc_id, list_distinct(list(dhash)) AS s
+                  FROM dh GROUP BY doc_id),
+           e AS (SELECT doc_id, unnest(s) AS v FROM st),
+           sz AS (SELECT doc_id, len(s) AS z FROM st)"""
+    // x258/x259/x261: the host fixture's canonical form, closed-form
+    // (the canonicalization rules x251 validates against the full
+    // regex replay: lowered scheme/host, non-default port kept,
+    // trailing slash trimmed)
+    val hostCte: String =
+      """hu AS (SELECT doc_id,
+               'h' || (doc_id % 17) || '.example.com' AS host,
+               (CASE doc_id % 2 WHEN 0 THEN 'http' ELSE 'https' END)
+               || '://h' || (doc_id % 17) || '.example.com' ||
+               (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
+               '/p/' || (doc_id % 7) AS canonical_url
+             FROM documents)"""
     val simhashOracle: String =
       s"""WITH $simhashShCte
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -7808,54 +8082,7 @@ object SparkEntry {
       // authority, drop default port, trim trailing slashes, sort
       // query params — then the exact group-by dedup
       "x251_url_canonical_dedup" ->
-        """WITH u AS (SELECT doc_id,
-               (CASE doc_id % 2 WHEN 0 THEN 'HTTP' ELSE 'https' END)
-               || '://' ||
-               (CASE doc_id % 3 WHEN 0 THEN 'Example.COM'
-                     WHEN 1 THEN 'example.com'
-                     ELSE 'News.Example.com' END) ||
-               (CASE doc_id % 4
-                     WHEN 0 THEN (CASE doc_id % 2 WHEN 0 THEN ':80'
-                                       ELSE ':443' END)
-                     WHEN 1 THEN ':8080' ELSE '' END) ||
-               '/a/' || (doc_id % 7) ||
-               (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
-               (CASE doc_id % 6 WHEN 0 THEN '?b=2&a=1'
-                     WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN ''
-                     ELSE '?x=' || (doc_id % 11) END) ||
-               (CASE WHEN doc_id % 8 = 0 THEN '#frag' ELSE '' END)
-                 AS url
-             FROM documents),
-           v1 AS (SELECT doc_id,
-                    regexp_replace(url, '#.*$', '') AS nf
-                  FROM u),
-           v2 AS (SELECT doc_id,
-                    lower(regexp_extract(nf,
-                      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
-                    regexp_replace(nf,
-                      '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-                  FROM v1),
-           v3 AS (SELECT doc_id, sch,
-                    lower(regexp_extract(rest, '^([^/?]*)', 1))
-                      AS auth,
-                    regexp_replace(rest, '^[^/?]*', '') AS pq
-                  FROM v2),
-           v4 AS (SELECT doc_id, sch,
-                    regexp_extract(auth, '^([^:]*)', 1) AS hst,
-                    regexp_extract(auth, ':([0-9]+)$', 1) AS prt,
-                    regexp_replace(regexp_extract(pq, '^([^?]*)', 1),
-                      '/+$', '') AS pth,
-                    coalesce(array_to_string(list_sort(list_filter(
-                      string_split(regexp_extract(pq, '\?(.*)$', 1),
-                        '&'), p -> p <> '')), '&'), '') AS qsort
-                  FROM v3),
-           c AS (SELECT doc_id, sch || '://' || hst ||
-                   (CASE WHEN prt = '' OR (sch = 'http' AND prt = '80')
-                         OR (sch = 'https' AND prt = '443') THEN ''
-                         ELSE ':' || prt END) || pth ||
-                   (CASE WHEN qsort = '' THEN ''
-                         ELSE '?' || qsort END) AS canonical_url
-                 FROM v4 WHERE sch <> '' AND hst <> '')
+        s"""WITH $urlCanonicalCtes
            SELECT regexp_extract(canonical_url,
                     '^[a-z][a-z0-9+.-]*://([^/:?]*)', 1) AS host,
                   canonical_url,
@@ -7863,29 +8090,25 @@ object SparkEntry {
                   CAST(count(*) AS BIGINT) AS n_copies
            FROM c GROUP BY canonical_url
            ORDER BY canonical_url ASC""",
-      // x252: per-frame dHash recomputed closed-form from the GIF
-      // fixture (frame f pixel (x,y) gray = (id+x+y+f)%256, dims
-      // w=4+id%13 h=3+id%7, frames 2+id%3; grid sample sx=gx*w//9,
-      // sy=gy*h//7, bit gy*8+gx set iff right neighbor brighter),
-      // then set containment C = |A∩B|/min >= 0.5 cross-side
+      // x255: the brute-force admission decision over canonical URL
+      // STRINGS — incoming (%4=0) admitted iff no ledgered doc
+      // (%4<>0) shares its canonical URL; equal to the engine's
+      // radius-0 hash-ledger decision modulo 64-bit hash collisions
+      "x255_url_ledger_admit" ->
+        s"""WITH $urlCanonicalCtes
+           SELECT i.doc_id FROM c i
+           WHERE i.doc_id % 4 = 0 AND NOT EXISTS (
+             SELECT 1 FROM c x
+             WHERE x.doc_id % 4 <> 0
+               AND x.canonical_url = i.canonical_url)
+           ORDER BY i.doc_id ASC""",
+      // x252/x256/x257: per-frame dHash recomputed closed-form from
+      // the GIF fixture (frame f pixel (x,y) gray = (id+x+y+f)%256,
+      // dims w=4+id%13 h=3+id%7, frames 2+id%3; grid sample
+      // sx=gx*w//9, sy=gy*h//7, bit gy*8+gx set iff right neighbor
+      // brighter), then set containment C = |A∩B|/min cross-side
       "x252_video_frame_neardup" ->
-        """WITH fr AS (SELECT doc_id,
-               4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
-               unnest(range(0, 2 + doc_id % 3)) AS f
-             FROM documents),
-           dh AS (SELECT doc_id, f,
-               CAST(list_sum([
-                 CASE WHEN (doc_id + ((((i % 8) + 1) * w) // 9)
-                            + (((i // 8) * h) // 7) + f) % 256
-                         > (doc_id + (((i % 8) * w) // 9)
-                            + (((i // 8) * h) // 7) + f) % 256
-                      THEN (1::BIGINT << i) ELSE 0::BIGINT END
-                 for i in range(56)]) AS BIGINT) AS dhash
-             FROM fr),
-           st AS (SELECT doc_id, list_distinct(list(dhash)) AS s
-                  FROM dh GROUP BY doc_id),
-           e AS (SELECT doc_id, unnest(s) AS v FROM st),
-           sz AS (SELECT doc_id, len(s) AS z FROM st),
+        s"""WITH $frameHashCtes,
            p AS (SELECT a.doc_id AS da, b.doc_id AS db,
                         count(*) AS shared
                  FROM e a JOIN e b ON a.v = b.v
@@ -7899,6 +8122,164 @@ object SparkEntry {
            SELECT doc_id FROM documents
            WHERE doc_id % 4 = 0
              AND doc_id NOT IN (SELECT da FROM rej)
+           ORDER BY doc_id ASC""",
+      // x256: the two stream batches replayed sequentially over the
+      // frame-hash sets (greedy earlier-batch-wins on containment)
+      "x256_stream_video_admit" ->
+        s"""WITH $frameHashCtes,
+           led AS (SELECT doc_id FROM st WHERE doc_id < 2),
+           p1 AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                         count(*) AS shared
+                  FROM e a JOIN e b ON a.v = b.v
+                  WHERE a.doc_id >= 10 AND a.doc_id < 60
+                    AND b.doc_id IN (SELECT doc_id FROM led)
+                  GROUP BY 1, 2),
+           r1 AS (SELECT DISTINCT da FROM p1
+                  JOIN sz x ON p1.da = x.doc_id
+                  JOIN sz y ON p1.db = y.doc_id
+                  WHERE round(shared * 1.0 / least(x.z, y.z), 6)
+                        >= 0.5),
+           a1 AS (SELECT doc_id FROM st
+                  WHERE doc_id >= 10 AND doc_id < 60
+                    AND doc_id NOT IN (SELECT da FROM r1)),
+           idx1 AS (SELECT doc_id FROM led
+                    UNION ALL SELECT doc_id FROM a1),
+           p2 AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                         count(*) AS shared
+                  FROM e a JOIN e b ON a.v = b.v
+                  WHERE a.doc_id >= 60 AND a.doc_id < 110
+                    AND b.doc_id IN (SELECT doc_id FROM idx1)
+                  GROUP BY 1, 2),
+           r2 AS (SELECT DISTINCT da FROM p2
+                  JOIN sz x ON p2.da = x.doc_id
+                  JOIN sz y ON p2.db = y.doc_id
+                  WHERE round(shared * 1.0 / least(x.z, y.z), 6)
+                        >= 0.5),
+           a2 AS (SELECT doc_id FROM st
+                  WHERE doc_id >= 60 AND doc_id < 110
+                    AND doc_id NOT IN (SELECT da FROM r2))
+           SELECT doc_id FROM
+             (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+           ORDER BY doc_id ASC""",
+      // x257: exact components via the recursive reachability closure
+      // over the brute-force set-containment pair set (the x203 shape
+      // on the frame-hash axis)
+      "x257_video_canonical" ->
+        s"""WITH RECURSIVE $frameHashCtes,
+           pp AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                         count(*) AS shared
+                  FROM e a JOIN e b
+                    ON a.v = b.v AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+           pr AS (SELECT da AS doc_a, db AS doc_b FROM pp
+                  JOIN sz x ON pp.da = x.doc_id
+                  JOIN sz y ON pp.db = y.doc_id
+                  WHERE round(shared * 1.0 / least(x.z, y.z), 6)
+                        >= 0.5),
+           ed AS (SELECT doc_a AS eu, doc_b AS ev FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+           reach(ru, rv) AS (
+             SELECT eu, ev FROM ed
+             UNION
+             SELECT r.ru, e2.ev FROM reach r JOIN ed e2
+               ON r.rv = e2.eu),
+           lbl AS (SELECT ru AS lid, least(ru, min(rv)) AS lcluster
+                   FROM reach GROUP BY ru),
+           cl AS (SELECT d.doc_id,
+                    coalesce(l.lcluster, d.doc_id) AS cluster_id
+                  FROM (SELECT doc_id FROM documents) d
+                  LEFT JOIN lbl l ON d.doc_id = l.lid)
+           SELECT cluster_id, CAST(min(doc_id) AS BIGINT) AS keep_id,
+                  CAST(count(*) AS BIGINT) AS n_members
+           FROM cl GROUP BY 1 ORDER BY cluster_id ASC""",
+      // x258: per-host rollup of the quality signals over canonical
+      // hosts; the DECIMAL sum mirrors the engine's exact-sum-then-
+      // one-divide mean
+      "x258_host_quality_stats" ->
+        s"""WITH $hostCte, $qualityCte
+           SELECT hu.host,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  round(CAST(sum(CAST(q.quality_score
+                      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+                    AS mean_quality,
+                  CAST(sum(qr.n_tokens) AS BIGINT) AS n_tokens,
+                  CAST(count(DISTINCT hu.canonical_url) AS BIGINT)
+                    AS n_urls
+           FROM hu JOIN qr ON hu.doc_id = qr.doc_id
+                   JOIN q ON hu.doc_id = q.doc_id
+           GROUP BY hu.host ORDER BY hu.host ASC""",
+      // x259: the budget decision replayed brute-force — prior counts
+      // from the pre-ledgered slice, ascending-id rank within the
+      // batch, admit iff prior + rank <= cap
+      "x259_host_budget_cap" ->
+        s"""WITH $hostCte,
+           pri AS (SELECT host, count(*) AS np FROM hu
+                   WHERE doc_id % 10 = 0 GROUP BY host),
+           r AS (SELECT doc_id, host,
+                   row_number() OVER (PARTITION BY host
+                     ORDER BY doc_id ASC) AS rn
+                 FROM hu WHERE doc_id % 10 <> 0)
+           SELECT r.doc_id, r.host
+           FROM r LEFT JOIN pri ON r.host = pri.host
+           WHERE COALESCE(pri.np, 0) + r.rn <= 5
+           ORDER BY r.doc_id ASC""",
+      // x260: 2-word chunks, first occurrence by the total order
+      // doc_id*2^32 + idx (== lexicographic (doc_id, idx)), docs
+      // rebuilt from their surviving chunk indexes
+      "x260_paragraph_dedup" ->
+        """WITH t AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+             FROM documents),
+           n AS (SELECT doc_id, toks,
+                   CAST(ceil(len(toks) / 2.0) AS BIGINT) AS n_chunks
+                 FROM t),
+           ck AS (SELECT doc_id, unnest(range(0, n_chunks)) AS idx,
+                    toks
+                  FROM n),
+           c2 AS (SELECT doc_id, idx,
+                    array_to_string(toks[idx*2+1:idx*2+2], ' ')
+                      AS chunk
+                  FROM ck),
+           fst AS (SELECT chunk, min(doc_id * 4294967296 + idx) AS k
+                   FROM c2 GROUP BY chunk),
+           kp AS (SELECT k // 4294967296 AS doc_id,
+                    k % 4294967296 AS idx
+                  FROM fst),
+           kl AS (SELECT doc_id, list_sort(list(idx)) AS kept
+                  FROM kp GROUP BY doc_id)
+           SELECT n.doc_id, n.n_chunks,
+             CAST(COALESCE(len(kl.kept), 0) AS BIGINT) AS n_kept,
+             COALESCE(array_to_string(
+               [array_to_string(n.toks[i*2+1:i*2+2], ' ')
+                for i in kl.kept], ' '), '') AS dedup_text
+           FROM n LEFT JOIN kl ON n.doc_id = kl.doc_id
+           ORDER BY n.doc_id ASC""",
+      // x261: the two stream batches replayed sequentially against
+      // the base ledger (greedy earlier-batch-wins on the budget)
+      "x261_stream_host_budget" ->
+        s"""WITH $hostCte,
+           pri AS (SELECT host, count(*) AS np FROM hu
+                   WHERE doc_id < 5 GROUP BY host),
+           b1 AS (SELECT doc_id, host,
+                    row_number() OVER (PARTITION BY host
+                      ORDER BY doc_id ASC) AS rn
+                  FROM hu WHERE doc_id >= 5 AND doc_id < 40),
+           a1 AS (SELECT b1.doc_id, b1.host
+                  FROM b1 LEFT JOIN pri ON b1.host = pri.host
+                  WHERE COALESCE(pri.np, 0) + b1.rn <= 4),
+           cnt1 AS (SELECT host, count(*) AS n1 FROM
+                      (SELECT host FROM hu WHERE doc_id < 5
+                       UNION ALL SELECT host FROM a1)
+                    GROUP BY host),
+           b2 AS (SELECT doc_id, host,
+                    row_number() OVER (PARTITION BY host
+                      ORDER BY doc_id ASC) AS rn
+                  FROM hu WHERE doc_id >= 40 AND doc_id < 110),
+           a2 AS (SELECT b2.doc_id, b2.host
+                  FROM b2 LEFT JOIN cnt1 ON b2.host = cnt1.host
+                  WHERE COALESCE(cnt1.n1, 0) + b2.rn <= 4)
+           SELECT doc_id, host FROM
+             (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
            ORDER BY doc_id ASC""",
 
       "x05_cosine_topk" -> x05Sql,

@@ -1895,6 +1895,60 @@ object DedupOps {
     }
   }
 
+  /** Within-corpus containment pairs over PRECOMPUTED signature sets
+    * (x257) — [[containmentPairs]] with the caller's hash sets (e.g.
+    * per-frame dHashes) as the shingles: every pair at
+    * C = |A∩B| / min(|A|,|B|) >= `threshold`. Carries the x250
+    * IDENTICAL-SET COLLAPSE: byte-identical hash sets (exact re-posts
+    * of the same clip — the norm in scraped video) are mutual
+    * duplicates at C = 1.0 by construction, so the inverted self-join
+    * runs over one min-id representative per DISTINCT (sorted) set and
+    * members re-expand afterwards — in-collision candidates scale with
+    * distinct sets, never documents. Null/empty-set docs pair with
+    * nothing. */
+  def containmentSetPairs(df: DataFrame, idCol: String,
+      setCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1] (got $threshold)")
+    // sort for a canonical set key: collect_set order is partition-
+    // dependent and must not split identical sets across reps
+    val s = df.select(col(idCol).cast(LongType).as("doc_id"),
+        array_sort(array_distinct(col(setCol))).as("sh"))
+      .filter(col("sh").isNotNull && size(col("sh")) >= 1)
+    val withRep = s.withColumn("rep",
+      min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+    val e = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("s"))
+    val repPairs = e.as("a").join(e.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment",
+        round(col("shared").cast(DoubleType) /
+          least(col("sz_a"), col("sz_b")).cast(DoubleType), 6))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+    val m = withRep.select(col("rep"), col("doc_id").as("m"))
+    val expanded = repPairs
+      .join(m.withColumnsRenamed(Map("rep" -> "doc_a", "m" -> "m_a")),
+        "doc_a")
+      .join(m.withColumnsRenamed(Map("rep" -> "doc_b", "m" -> "m_b")),
+        "doc_b")
+      .select(least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"),
+        col("containment"))
+    // identical sets: C = 1.0 >= any threshold in (0, 1]
+    val inGroup = withRep.as("a").join(withRep.as("b"),
+        col("a.rep") === col("b.rep") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(1.0).as("containment"))
+    expanded.unionByName(inGroup)
+  }
+
   /** Incremental containment admission over signature SETS: the rows
     * of `newDocs` with no ledgered doc at C(A,B) = |A∩B| / min(|A|,|B|)
     * >= `threshold` over the precomputed hash sets — the
@@ -1929,5 +1983,158 @@ object DedupOps {
     newDocs.join(
       rejected.select(col("in_doc").cast(LongType).as(idCol)),
       Seq(idCol), "left_anti")
+  }
+
+  // ------------- paragraph/chunk-level exact dedup + reassembly (x260)
+
+  /** PARAGRAPH-LEVEL exact dedup with document reassembly (the CCNet
+    * line-dedup shape, the one dedup granularity the doc-level family
+    * misses: boilerplate headers/footers/navigation repeated across
+    * distinct pages): split each doc into consecutive
+    * `chunkWords`-word chunks, keep only each distinct chunk's FIRST
+    * occurrence corpus-wide — ordered by (doc_id, chunk index),
+    * first-ingested-wins — and reassemble every doc from its
+    * surviving chunks in order. Returns one row per input doc:
+    * (doc_id, n_chunks, n_kept, dedup_text); a doc whose every chunk
+    * was seen earlier survives with n_kept = 0 and empty text (the
+    * caller's length filter drops it).
+    *
+    * Shapes for 100 TB: the first-occurrence groupBy shuffles
+    * (xxhash64(chunk), doc_id, idx) triples — 24-byte rows, chunk
+    * TEXT never enters an exchange (the [[exactDedupHashed]] 2^-64
+    * collision argument); the winner set is re-derived from the doc's
+    * own token array on a single doc-keyed join (kept-index arrays,
+    * doc-bounded), so reassembly costs one shuffle of the corpus by
+    * id — the irreducible cost of rewriting documents in place. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1 (got $chunkWords)")
+    val cw = chunkWords
+    val base = df.select(col(idCol).cast(LongType).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("n_chunks",
+        floor((size(col("toks")) + lit(cw - 1)) / lit(cw)))
+    val ex = base.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), col("n_chunks").cast(IntegerType) - 1),
+        i => xxhash64(array_join(
+          slice(col("toks"), i * cw + 1, lit(cw)), " "))))
+        .as(Seq("idx", "h")))
+    val first = ex.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    val keptIdx = first
+      .select(col("f.doc_id").as("doc_id"), col("f.idx").as("idx"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("kept"))
+    base.join(keptIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(size(col("kept")), lit(0)).cast(LongType).as("n_kept"),
+        coalesce(array_join(transform(col("kept"),
+          i => array_join(slice(col("toks"), i * cw + 1, lit(cw)),
+            " ")), " "), lit("")).as("dedup_text"))
+  }
+
+  // -------------- per-host crawl-budget admission ledger (x261)
+
+  private val HostBudgetTables = Seq("admitted", "params")
+
+  private def writeHostBudgetSegment(docs: DataFrame, idCol: String,
+      hostCol: String, path: String, seg: String): Unit =
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+        col(hostCol).cast(StringType).as("host"))
+      .filter(col("host").isNotNull)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/admitted/$seg")
+
+  /** Persist a PER-HOST CRAWL-BUDGET ledger (x261): the frontier-side
+    * admission control every large-scale web ingest runs ahead of
+    * content dedup — "at most `cap` documents per host", so one
+    * boilerplate-heavy domain cannot dominate the corpus (the
+    * host-level twin of the per-group quality trims). State is the
+    * admitted (doc_id, host) rows themselves — counts are derived at
+    * admit time by a host-keyed count over the ledger scan, so the
+    * ledger needs no read-modify-write counter and appends stay
+    * blind/idempotent under the shared manifest protocol ([[
+    * saveMinhashIndex]] lifecycle: version handle, as-of time travel,
+    * CAS commits). Base rows are ledgered AS-IS ("already crawled"),
+    * even where a host already exceeds `cap` — the admit then simply
+    * never admits more for that host. */
+  def saveHostBudgetLedger(docs: DataFrame, idCol: String,
+      hostCol: String, path: String, cap: Int): Unit = {
+    require(cap >= 1, s"cap must be >= 1 (got $cap)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Seq(cap).toDF("cap")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params/base")
+    writeHostBudgetSegment(docs, idCol, hostCol, path, "base")
+    graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
+      graft.sinks.IndexSnapshot(0L,
+        HostBudgetTables.map(t => t -> Seq("base")).toMap, Seq.empty))
+  }
+
+  /** Append an ADMITTED batch — [[appendToContainmentSetIndex]]'s
+    * idempotency contract (a replayed `batchId` is a no-op; callers
+    * pass [[hostBudgetAdmit]]'s output, never raw incoming rows). */
+  def appendToHostBudgetLedger(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      admitted: DataFrame, idCol: String, hostCol: String,
+      batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        batchId.forall(c =>
+          c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"batchId must be a filesystem-safe token != 'base' " +
+        s"(got '$batchId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = containmentSnapshot(spark, path)
+    if (snap.applied.contains(batchId)) return
+    require(readContainmentTable(spark, path, snap, "params")
+        .schema.fieldNames.contains("cap"),
+      s"ledger at $path is not a saveHostBudgetLedger directory")
+    val seg = s"delta_$batchId"
+    writeHostBudgetSegment(admitted, idCol, hostCol, path, seg)
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(batchId)) c
+      else c.copy(
+        tables = c.tables + ("admitted" ->
+          (c.segs("admitted").filterNot(_ == seg) :+ seg)),
+        applied = c.applied :+ batchId)
+    }
+  }
+
+  /** Admit the rows of `batch` that fit their host's remaining budget:
+    * rank the batch per host by ascending id (the deterministic
+    * first-crawled-wins order), and admit rank `r` iff
+    * `ledgered(host) + r <= cap`. Null-host rows are never admitted
+    * (no frontier without a host). Shapes for 100 TB: the ledger scan
+    * reduces to (host, count) — host-cardinality rows, shuffled once
+    * on `host`; the per-host rank windows over the BATCH only (batch-
+    * bounded sort); document text never enters the plan. Returns the
+    * admitted `batch` rows with their original columns. */
+  def hostBudgetAdmit(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, hostCol: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = containmentSnapshot(spark, path, asOfVersion)
+    val params = readContainmentTable(spark, path, snap, "params")
+    require(params.schema.fieldNames.contains("cap"),
+      s"ledger at $path is not a saveHostBudgetLedger directory")
+    val cap = params.head().getAs[Int]("cap")
+    val prior = readContainmentTable(spark, path, snap, "admitted")
+      .groupBy(col("host")).agg(count(lit(1)).as("n_prior"))
+    val in = batch.select(col(idCol).cast(LongType).as("in_doc"),
+        col(hostCol).cast(StringType).as("host"))
+      .filter(col("host").isNotNull)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("host"))
+          .orderBy(col("in_doc").asc)))
+    val admitted = in.join(prior, Seq("host"), "left")
+      .filter(coalesce(col("n_prior"), lit(0L)) + col("rn") <= cap)
+      .select(col("in_doc"))
+    batch.join(admitted.select(col("in_doc").cast(LongType).as(idCol)),
+      Seq(idCol), "left_semi")
   }
 }

@@ -269,6 +269,99 @@ object StreamIndex {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streamed signature-SET containment admission (gated x256) —
+    * [[containmentAdmitWriter]] on the multi-frame/video axis: each
+    * micro-batch of (doc_id, hash-set) rows (e.g. per-frame dHashes,
+    * [[graft.ext.Multimodal.frameDHash]] grouped per doc) admits
+    * against the persisted set ledger
+    * ([[graft.ext.DedupOps.containmentSetAdmit]]) and the admitted
+    * slice appends before the next batch admits — a clip mostly inside
+    * an EARLIER admitted reel is rejected. Same applied-record
+    * exactly-once and id-set-distinct caller contract as the other
+    * admit writers. */
+  def containmentSetAdmitWriter(spark: SparkSession, docsDir: String,
+      schema: StructType, ledgerPath: String, outDir: String,
+      idCol: String, setCol: String, threshold: Double)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (bid, _) = contentBatchId(b, idCol)
+          val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          val applied = IndexManifest.latest(fs, ledgerPath)
+            .exists(_.applied.contains(bid))
+          if (!applied) {
+            val admitted = graft.ext.DedupOps.containmentSetAdmit(s,
+                ledgerPath, b, idCol, setCol, threshold)
+              .persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              admitted.write
+                .mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(s"$outDir/batch=$bid")
+              graft.ext.DedupOps.appendToContainmentSetIndex(s,
+                ledgerPath, admitted, idCol, setCol, bid)
+            } finally admitted.unpersist(blocking = false)
+          }
+        } finally b.unpersist(blocking = false)
+      }
+      .trigger(Trigger.AvailableNow())
+
+  /** Streamed PER-HOST CRAWL-BUDGET admission (gated x261) — the
+    * frontier loop: each micro-batch of (doc_id, host) rows admits
+    * against the persisted budget ledger
+    * ([[graft.ext.DedupOps.hostBudgetAdmit]]) and the admitted slice
+    * appends before the next batch admits, so a host filled by an
+    * EARLIER batch rejects everything later — greedy first-crawled-
+    * wins, exactly the sequential-replay oracle. Same applied-record
+    * exactly-once and id-set-distinct caller contract as the dedup
+    * admit writers. */
+  def hostBudgetAdmitWriter(spark: SparkSession, docsDir: String,
+      schema: StructType, ledgerPath: String, outDir: String,
+      idCol: String, hostCol: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (bid, _) = contentBatchId(b, idCol)
+          val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          val applied = IndexManifest.latest(fs, ledgerPath)
+            .exists(_.applied.contains(bid))
+          if (!applied) {
+            val admitted = graft.ext.DedupOps.hostBudgetAdmit(s,
+                ledgerPath, b, idCol, hostCol)
+              .persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              admitted.write
+                .mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(s"$outDir/batch=$bid")
+              graft.ext.DedupOps.appendToHostBudgetLedger(s,
+                ledgerPath, admitted, idCol, hostCol, bid)
+            } finally admitted.unpersist(blocking = false)
+          }
+        } finally b.unpersist(blocking = false)
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** Streamed DISTRIBUTION-DRIFT MONITOR (gated x211): each arriving
     * micro-batch is scored against the sketch's PRE-BATCH state —
     * drift = the exact-integer histogram L1

@@ -62,6 +62,10 @@ class PlanAuditSpec extends SparkSpec {
       // x105 crossJoins its provably-1-row broadcast corpus total into
       // k per-cell rows — the x69 shape
       "x105_ivf_cell_stats",
+      // x250's FIXTURE crossJoins the provably-1-row broadcast donor
+      // text into the 500-id range (the boilerplate block); the pair
+      // pipeline under audit carries no NLJ
+      "x250_sig_collapse_pairs",
       // x106 is x75's drift scorer (1-row broadcast totals) on the
       // index's termstats
       "x106_bm25_append_drift",

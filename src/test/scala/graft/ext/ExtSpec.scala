@@ -143,6 +143,111 @@ class ExtSpec extends SparkSpec {
       .count() == pairs.length.toLong)
   }
 
+  test("containmentSetPairs/containmentSetAdmit (x252/x257): hand-" +
+      "verified set containment incl. the identical-set collapse; " +
+      "empty sets admit unconditionally; the n=0 geometry guard " +
+      "refuses text/set ledger mixing both ways") {
+    val rows = Seq(
+      (1L, Seq(10L, 20L, 30L, 40L)), // superset
+      (2L, Seq(10L, 20L)),           // inside 1 and 5 → C = 1.0
+      (3L, Seq(20L, 30L, 99L)),      // shares 2 of 3 with 1/5 → 2/3
+      (4L, Seq(77L)),                // disjoint
+      (5L, Seq(40L, 30L, 20L, 10L))) // identical SET to 1 (reordered)
+      .toDF("doc_id", "fset")
+    val pairs = DedupOps.containmentSetPairs(rows, "doc_id", "fset",
+        threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set(
+      (1L, 2L, 1.0), (1L, 3L, 0.666667), (1L, 5L, 1.0),
+      (2L, 5L, 1.0), (3L, 5L, 0.666667)),
+      s"got $pairs")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ct_sets").resolve("idx").toString
+    DedupOps.saveContainmentSetIndex(
+      rows.filter(col("doc_id").isin(1L, 4L)), "doc_id", "fset", idx)
+    val incoming = Seq(
+      (2L, Seq(10L, 20L)),      // C = 1.0 vs doc 1 → reject
+      (3L, Seq(20L, 30L, 99L)), // C = 2/3 >= 0.6 → reject
+      (6L, Seq.empty[Long]),    // no signatures → admit
+      (7L, Seq(500L)))          // novel → admit
+      .toDF("doc_id", "fset")
+    val admitted = DedupOps.containmentSetAdmit(spark, idx, incoming,
+        "doc_id", "fset", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(6L, 7L), s"got $admitted")
+    // a SET ledger refuses the text-shingle paths...
+    intercept[IllegalArgumentException](DedupOps.containmentAdmit(
+      spark, idx, incoming.withColumn("text", lit("a b c d e")),
+      "doc_id", "text"))
+    intercept[IllegalArgumentException](
+      DedupOps.appendToContainmentIndex(spark, idx,
+        incoming.withColumn("text", lit("a b c d e")), "doc_id",
+        "text", "bX"))
+    // ...and a TEXT ledger refuses the set paths
+    val tIdx = java.nio.file.Files
+      .createTempDirectory("graft_ct_text").resolve("idx").toString
+    DedupOps.saveContainmentIndex(
+      Seq((1L, "one two three four five six")).toDF("doc_id", "text"),
+      "doc_id", "text", tIdx, n = 5)
+    intercept[IllegalArgumentException](DedupOps.containmentSetAdmit(
+      spark, tIdx, incoming, "doc_id", "fset"))
+    intercept[IllegalArgumentException](
+      DedupOps.appendToContainmentSetIndex(spark, tIdx, incoming,
+        "doc_id", "fset", "bY"))
+  }
+
+  test("chunkDedup (x260): first occurrence by (doc_id, idx) wins " +
+      "corpus-wide incl. within-doc repeats; a fully-shadowed doc " +
+      "survives with n_kept = 0 and empty text") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // all three chunks novel
+      (2L, "c d e f g"),     // "c d","e f" seen in doc 1 → keeps "g"
+      (3L, "a b a b x y"),   // "a b" twice (both shadowed) → "x y"
+      (4L, "c d"))           // single shadowed chunk → empty
+      .toDF("doc_id", "text")
+    val out = DedupOps.chunkDedup(docs, "doc_id", "text", 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      1L -> ((3L, 3L, "a b c d e f")),
+      2L -> ((3L, 1L, "g")),
+      3L -> ((3L, 1L, "x y")),
+      4L -> ((1L, 0L, ""))), s"got $out")
+  }
+
+  test("hostBudgetAdmit (x259/x261): prior + batch-rank vs cap, " +
+      "null hosts never admitted, appends idempotent by batchId") {
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_hostbudget").resolve("l").toString
+    DedupOps.saveHostBudgetLedger(
+      Seq((1L, "h1"), (2L, "h1")).toDF("doc_id", "host"),
+      "doc_id", "host", ledger, cap = 3)
+    val batch = Seq((10L, "h1"), (11L, "h1"), (12L, "h2"),
+        (13L, "h2"), (14L, "h2"), (15L, "h2"),
+        (16L, null.asInstanceOf[String]))
+      .toDF("doc_id", "host")
+    val admitted = DedupOps.hostBudgetAdmit(spark, ledger, batch,
+      "doc_id", "host")
+    // h1: prior 2 → one slot (10); h2: prior 0 → 12,13,14; 15 over
+    // cap; 16 has no host
+    assert(admitted.select("doc_id").as[Long].collect().toSet ==
+      Set(10L, 12L, 13L, 14L))
+    DedupOps.appendToHostBudgetLedger(spark, ledger, admitted,
+      "doc_id", "host", "b1")
+    // both hosts now full: nothing further admits
+    assert(DedupOps.hostBudgetAdmit(spark, ledger,
+        Seq((20L, "h1"), (21L, "h2")).toDF("doc_id", "host"),
+        "doc_id", "host").count() == 0L)
+    // replayed batchId: no-op (version advances once for b1 only)
+    val fs = new org.apache.hadoop.fs.Path(ledger).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val v = graft.sinks.IndexManifest.latest(fs, ledger).get.version
+    DedupOps.appendToHostBudgetLedger(spark, ledger, admitted,
+      "doc_id", "host", "b1")
+    assert(graft.sinks.IndexManifest.latest(fs, ledger)
+      .get.version == v)
+  }
+
   test("minhashPairs identical-signature collapse: a duplicated-text " +
       "block pairs in full at est 1.0 through the distinct-sig join") {
     val tpl = "alpha beta gamma delta epsilon zeta eta theta"

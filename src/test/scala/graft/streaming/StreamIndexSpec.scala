@@ -181,6 +181,46 @@ class StreamIndexSpec extends SparkSpec {
     assert(DedupOps.minhashIndexVersion(spark, s"$base/ledger") == v1)
   }
 
+  test("hostBudgetAdmitWriter (x261): greedy per-host budget — a " +
+      "host filled by batch 1 rejects batch 2; fresh-checkpoint " +
+      "replay is a full no-op") {
+    import graft.ext.DedupOps
+    val base = Files.createTempDirectory("graft-hbadmit-").toString
+    DedupOps.saveHostBudgetLedger(
+      Seq((0L, "h1")).toDF("doc_id", "host"), "doc_id", "host",
+      s"$base/ledger", cap = 2)
+    // batch 1 fills h1 (10; 11 over cap) and starts h2 (12); batch 2:
+    // 20 hits the FULL h1, 21 takes h2's last slot, 22 is over it,
+    // 23 has no host
+    graft.SparkEntry.landOrdered(spark, Seq(
+      Seq((10L, "h1"), (11L, "h1"), (12L, "h2"))
+        .toDF("doc_id", "host"),
+      Seq((20L, "h1"), (21L, "h2"), (22L, "h2"),
+        (23L, null.asInstanceOf[String])).toDF("doc_id", "host")),
+      s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    def run(ckpt: String): Unit = {
+      val q = StreamIndex.hostBudgetAdmitWriter(spark, s"$base/in",
+          schema, s"$base/ledger", s"$base/out", "doc_id", "host")
+        .option("checkpointLocation", s"$base/$ckpt").start()
+      q.awaitTermination()
+    }
+    run("ckpt1")
+    def admitted() = spark.read.parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted() == Set(10L, 12L, 21L))
+    val fs = new org.apache.hadoop.fs.Path(s"$base/ledger")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val v1 = IndexManifest.latest(fs, s"$base/ledger").get.version
+    run("ckpt2")
+    assert(admitted() == Set(10L, 12L, 21L))
+    assert(IndexManifest.latest(fs, s"$base/ledger").get.version == v1)
+    // the ledger serves the post-stream state at the batch API too
+    assert(DedupOps.hostBudgetAdmit(spark, s"$base/ledger",
+        Seq((30L, "h2")).toDF("doc_id", "host"), "doc_id", "host")
+      .count() == 0L)
+  }
+
   test("kllGroupDriftMonitorWriter (x246): per-group KS vs pre-batch " +
       "state; fresh-checkpoint replay is a full no-op") {
     import graft.ext.Corpus
