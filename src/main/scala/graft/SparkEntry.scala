@@ -1347,6 +1347,128 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     },
 
+    // host-budget time travel (x262): the x155/x249 MVCC axis on the
+    // frontier ledger — batch 2 admitted as-of v0 sees only the base
+    // counts (b1's admissions invisible), while the latest read sees
+    // hosts b1 filled. Both decisions from ONE ledger directory.
+    "x262_host_budget_travel" -> { (s, dir) =>
+      val d = hostFixtureCanonical(
+          T(s, dir, "documents").select(col("doc_id")))
+        .select(col("doc_id"), col("host"))
+      val ledger = scratchDir("hosttravel262")
+      graft.ext.DedupOps.saveHostBudgetLedger(
+        d.filter(col("doc_id") < 5), "doc_id", "host", ledger,
+        cap = 3)
+      val v0 = graft.ext.DedupOps.hostBudgetLedgerVersion(s, ledger)
+      val adm1 = graft.ext.DedupOps.hostBudgetAdmit(s, ledger,
+        d.filter(col("doc_id") >= 5 && col("doc_id") < 40),
+        "doc_id", "host")
+      graft.ext.DedupOps.appendToHostBudgetLedger(s, ledger, adm1,
+        "doc_id", "host", "b1")
+      val b2 = d.filter(col("doc_id") >= 40 && col("doc_id") < 110)
+      graft.ext.DedupOps.hostBudgetAdmit(s, ledger, b2,
+          "doc_id", "host", asOfVersion = Some(v0))
+        .select(col("doc_id")).withColumn("as_of", lit("v0"))
+        .unionByName(
+          graft.ext.DedupOps.hostBudgetAdmit(s, ledger, b2,
+              "doc_id", "host")
+            .select(col("doc_id"))
+            .withColumn("as_of", lit("latest")))
+        .orderBy(col("as_of").asc, col("doc_id").asc)
+    },
+
+    // streamed paragraph dedup (x263): x260 as a maintained pipeline
+    // — each micro-batch rewrites against every chunk hash EVER seen
+    // and appends its own before the next batch rewrites. Because the
+    // batches arrive in id order, the sequential loop equals the
+    // one-shot x260 over the cumulative corpus — which is the oracle.
+    "x263_stream_paragraph_dedup" -> { (s, dir) =>
+      val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = scratchDir("streamchunk263")
+      graft.ext.DedupOps.saveChunkLedger(
+        d.filter(col("doc_id") < 50), "doc_id", "text",
+        base + "/ledger", chunkWords = 2)
+      landOrdered(s, Seq(
+        d.filter(col("doc_id") >= 50 && col("doc_id") < 150),
+        d.filter(col("doc_id") >= 150 && col("doc_id") < 250)),
+        base + "/in")
+      val schema = s.read.parquet(base + "/in").schema
+      val q = graft.streaming.StreamIndex.chunkDedupWriter(
+          s, base + "/in", schema, base + "/ledger", base + "/out",
+          "doc_id", "text")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      s.read.parquet(base + "/out")
+        .select("doc_id", "n_chunks", "n_kept", "dedup_text")
+        .orderBy(col("doc_id").asc)
+    },
+
+    // chunk-ledger compaction under time travel (x264): appends land
+    // blind (duplicate hashes across segments), compaction DISTINCTs
+    // the fold — and must change no answer: the latest rewrite after
+    // the fold equals the pre-fold semantics, and an as-of read of
+    // the pre-append version still serves only the base hashes
+    // (the x155/x254 MVCC contract on the chunk axis).
+    "x264_chunk_compact_travel" -> { (s, dir) =>
+      val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ledger = scratchDir("chunkcompact264")
+      graft.ext.DedupOps.saveChunkLedger(
+        d.filter(col("doc_id") < 50), "doc_id", "text", ledger,
+        chunkWords = 2)
+      val v1 = graft.ext.DedupOps.chunkLedgerVersion(s, ledger)
+      graft.ext.DedupOps.appendToChunkLedger(s, ledger,
+        d.filter(col("doc_id") >= 50 && col("doc_id") < 150),
+        "doc_id", "text", "b1")
+      graft.ext.DedupOps.compactChunkLedger(s, ledger)
+      val b2 = d.filter(col("doc_id") >= 150 && col("doc_id") < 250)
+      graft.ext.DedupOps.chunkDedupIncremental(s, ledger, b2,
+          "doc_id", "text", asOfVersion = Some(v1))
+        .withColumn("as_of", lit("v1"))
+        .unionByName(
+          graft.ext.DedupOps.chunkDedupIncremental(s, ledger, b2,
+              "doc_id", "text")
+            .withColumn("as_of", lit("latest")))
+        .select(col("as_of"), col("doc_id"), col("n_chunks"),
+          col("n_kept"), col("dedup_text"))
+        .orderBy(col("as_of").asc, col("doc_id").asc)
+    },
+
+    // the ingest FRONT DOOR (x265): the three admission axes composed
+    // as one pipeline, the order a production crawler runs them —
+    // (1) exact canonical-URL dedup against the URL ledger (cheapest
+    // first), (2) content near-dup via the simhash ledger (Hamming
+    // <= 7, banding's exact-recall regime), (3) per-host crawl budget
+    // ranked over the SURVIVORS (budget slots never burn on docs a
+    // dedup stage already killed). Ledgered corpus: id % 3 == 0.
+    "x265_ingest_front_door" -> { (s, dir) =>
+      graft.functions.TextHashExprs.register(s)
+      val all = hostFixtureCanonical(
+        T(s, dir, "documents").select(col("doc_id"), col("text")))
+      val led = all.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val inc = all.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val base = scratchDir("frontdoor265")
+      def urlSigs(f: DataFrame) = f.select(col("doc_id"),
+        xxhash64(col("canonical_url")).as("sh"))
+      def txtSigs(f: DataFrame) = f.select(col("doc_id"),
+        graft.functions.TextHashExprs.simhash64(col("text")).as("sh"))
+      graft.ext.DedupOps.saveSimhashLedger(urlSigs(led), base + "/url")
+      graft.ext.DedupOps.saveSimhashLedger(txtSigs(led), base + "/sig")
+      graft.ext.DedupOps.saveHostBudgetLedger(led, "doc_id", "host",
+        base + "/host", cap = 12)
+      val urlOk = graft.ext.DedupOps.simhashLedgerAdmit(s,
+          base + "/url", urlSigs(inc), maxHamming = 0, probeBits = 0)
+        .select(col("doc_id"))
+      val sigOk = graft.ext.DedupOps.simhashLedgerAdmit(s,
+          base + "/sig", txtSigs(inc), maxHamming = 7, probeBits = 1)
+        .select(col("doc_id"))
+      val surv = inc.join(urlOk, Seq("doc_id"), "left_semi")
+        .join(sigOk, Seq("doc_id"), "left_semi")
+      graft.ext.DedupOps.hostBudgetAdmit(s, base + "/host", surv,
+          "doc_id", "host")
+        .select(col("doc_id"), col("host"))
+        .orderBy(col("doc_id").asc)
+    },
+
     "x05_cosine_topk" -> { (s, dir) =>
       val emb = T(s, dir, "embeddings")
       graft.ext.Similarity.bruteForceTopK(
@@ -7674,6 +7796,38 @@ object SparkEntry {
                (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
                '/p/' || (doc_id % 7) AS canonical_url
              FROM documents)"""
+    // x264: one chunk-dedup pipeline instance over `corpus`, reported
+    // for docs >= 150, CTEs prefix-parameterized so two instances
+    // (as-of vs latest) compose in one UNION (each side parenthesized
+    // — the DuckDB CTE-in-subquery rule)
+    def chunkAsOfSql(p: String, corpus: String, label: String): String =
+      s"""(WITH ${p}t AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents WHERE $corpus),
+         ${p}n AS (SELECT doc_id, toks,
+             CAST(ceil(len(toks) / 2.0) AS BIGINT) AS n_chunks
+           FROM ${p}t),
+         ${p}ck AS (SELECT doc_id, unnest(range(0, n_chunks)) AS idx,
+             toks
+           FROM ${p}n),
+         ${p}c2 AS (SELECT doc_id, idx,
+             array_to_string(toks[idx*2+1:idx*2+2], ' ') AS chunk
+           FROM ${p}ck),
+         ${p}fst AS (SELECT chunk,
+             min(doc_id * 4294967296 + idx) AS k
+           FROM ${p}c2 GROUP BY chunk),
+         ${p}kp AS (SELECT k // 4294967296 AS doc_id,
+             k % 4294967296 AS idx
+           FROM ${p}fst),
+         ${p}kl AS (SELECT doc_id, list_sort(list(idx)) AS kept
+           FROM ${p}kp GROUP BY doc_id)
+         SELECT '$label' AS as_of, n.doc_id, n.n_chunks,
+           CAST(COALESCE(len(kl.kept), 0) AS BIGINT) AS n_kept,
+           COALESCE(array_to_string(
+             [array_to_string(n.toks[i*2+1:i*2+2], ' ')
+              for i in kl.kept], ' '), '') AS dedup_text
+         FROM ${p}n n LEFT JOIN ${p}kl kl ON n.doc_id = kl.doc_id
+         WHERE n.doc_id >= 150)"""
     val simhashOracle: String =
       s"""WITH $simhashShCte
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -8281,6 +8435,108 @@ object SparkEntry {
            SELECT doc_id, host FROM
              (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
            ORDER BY doc_id ASC""",
+      // x262: both admission decisions replayed — v0 against the base
+      // counts only, latest against base + batch-1 admissions (cap 3)
+      "x262_host_budget_travel" ->
+        s"""WITH $hostCte,
+           pri AS (SELECT host, count(*) AS np FROM hu
+                   WHERE doc_id < 5 GROUP BY host),
+           b1 AS (SELECT doc_id, host,
+                    row_number() OVER (PARTITION BY host
+                      ORDER BY doc_id ASC) AS rn
+                  FROM hu WHERE doc_id >= 5 AND doc_id < 40),
+           a1 AS (SELECT b1.doc_id, b1.host
+                  FROM b1 LEFT JOIN pri ON b1.host = pri.host
+                  WHERE COALESCE(pri.np, 0) + b1.rn <= 3),
+           cnt1 AS (SELECT host, count(*) AS n1 FROM
+                      (SELECT host FROM hu WHERE doc_id < 5
+                       UNION ALL SELECT host FROM a1)
+                    GROUP BY host),
+           b2 AS (SELECT doc_id, host,
+                    row_number() OVER (PARTITION BY host
+                      ORDER BY doc_id ASC) AS rn
+                  FROM hu WHERE doc_id >= 40 AND doc_id < 110),
+           v0 AS (SELECT b2.doc_id
+                  FROM b2 LEFT JOIN pri ON b2.host = pri.host
+                  WHERE COALESCE(pri.np, 0) + b2.rn <= 3),
+           lat AS (SELECT b2.doc_id
+                   FROM b2 LEFT JOIN cnt1 ON b2.host = cnt1.host
+                   WHERE COALESCE(cnt1.n1, 0) + b2.rn <= 3)
+           SELECT doc_id, as_of FROM
+             (SELECT doc_id, 'v0' AS as_of FROM v0
+              UNION ALL SELECT doc_id, 'latest' FROM lat)
+           ORDER BY as_of ASC, doc_id ASC""",
+      // x263: the in-id-order stream equals the one-shot chunk dedup
+      // over the cumulative corpus (docs < 250), reported for the
+      // streamed slice
+      "x263_stream_paragraph_dedup" ->
+        """WITH t AS (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+             FROM documents WHERE doc_id < 250),
+           n AS (SELECT doc_id, toks,
+                   CAST(ceil(len(toks) / 2.0) AS BIGINT) AS n_chunks
+                 FROM t),
+           ck AS (SELECT doc_id, unnest(range(0, n_chunks)) AS idx,
+                    toks
+                  FROM n),
+           c2 AS (SELECT doc_id, idx,
+                    array_to_string(toks[idx*2+1:idx*2+2], ' ')
+                      AS chunk
+                  FROM ck),
+           fst AS (SELECT chunk, min(doc_id * 4294967296 + idx) AS k
+                   FROM c2 GROUP BY chunk),
+           kp AS (SELECT k // 4294967296 AS doc_id,
+                    k % 4294967296 AS idx
+                  FROM fst),
+           kl AS (SELECT doc_id, list_sort(list(idx)) AS kept
+                  FROM kp GROUP BY doc_id)
+           SELECT n.doc_id, n.n_chunks,
+             CAST(COALESCE(len(kl.kept), 0) AS BIGINT) AS n_kept,
+             COALESCE(array_to_string(
+               [array_to_string(n.toks[i*2+1:i*2+2], ' ')
+                for i in kl.kept], ' '), '') AS dedup_text
+           FROM n LEFT JOIN kl ON n.doc_id = kl.doc_id
+           WHERE n.doc_id >= 50
+           ORDER BY n.doc_id ASC""",
+      // x264: both rewrites replayed as one-shot chunk dedups over
+      // their visible corpora — latest sees docs < 250, the as-of-v1
+      // read sees only base (< 50) + the incoming batch
+      "x264_chunk_compact_travel" ->
+        s"""SELECT * FROM (
+             ${chunkAsOfSql("la", "doc_id < 250", "latest")}
+             UNION ALL
+             ${chunkAsOfSql("va",
+                "doc_id < 50 OR (doc_id >= 150 AND doc_id < 250)",
+                "v1")})
+           ORDER BY as_of ASC, doc_id ASC""",
+      // x265: all three decisions replayed brute-force — URL equality
+      // on canonical STRINGS (the engine's 64-bit hash, 2^-64), exact
+      // Hamming vs every ledgered simhash (banding is exact-recall at
+      // <= 7), then the budget rank over the survivors
+      "x265_ingest_front_door" ->
+        s"""WITH $hostCte, $simhashShCte,
+           u_rej AS (SELECT DISTINCT i.doc_id FROM hu i JOIN hu x
+                     ON x.doc_id % 3 = 0
+                        AND x.canonical_url = i.canonical_url
+                     WHERE i.doc_id % 3 <> 0),
+           s_rej AS (SELECT DISTINCT a.doc_id FROM sh a JOIN sh b
+                     ON b.doc_id % 3 = 0
+                        AND bit_count(xor(a.sh, b.sh)) <= 7
+                     WHERE a.doc_id % 3 <> 0),
+           surv AS (SELECT doc_id, host FROM hu
+                    WHERE doc_id % 3 <> 0
+                      AND doc_id NOT IN (SELECT doc_id FROM u_rej)
+                      AND doc_id NOT IN (SELECT doc_id FROM s_rej)),
+           pri AS (SELECT host, count(*) AS np FROM hu
+                   WHERE doc_id % 3 = 0 GROUP BY host),
+           r AS (SELECT doc_id, host,
+                   row_number() OVER (PARTITION BY host
+                     ORDER BY doc_id ASC) AS rn
+                 FROM surv)
+           SELECT r.doc_id, r.host
+           FROM r LEFT JOIN pri ON r.host = pri.host
+           WHERE COALESCE(pri.np, 0) + r.rn <= 12
+           ORDER BY r.doc_id ASC""",
 
       "x05_cosine_topk" -> x05Sql,
 

@@ -2006,32 +2006,181 @@ object DedupOps {
     * own token array on a single doc-keyed join (kept-index arrays,
     * doc-bounded), so reassembly costs one shuffle of the corpus by
     * id — the irreducible cost of rewriting documents in place. */
-  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
-      chunkWords: Int): DataFrame = {
-    require(chunkWords >= 1, s"chunkWords must be >= 1 (got $chunkWords)")
-    val cw = chunkWords
-    val base = df.select(col(idCol).cast(LongType).as("doc_id"),
+  /** (doc_id, toks, n_chunks) — the shared head of the chunk family. */
+  private def chunkBase(df: DataFrame, idCol: String, textCol: String,
+      cw: Int): DataFrame =
+    df.select(col(idCol).cast(LongType).as("doc_id"),
         split(trim(col(textCol)), "\\s+").as("toks"))
       .withColumn("n_chunks",
         floor((size(col("toks")) + lit(cw - 1)) / lit(cw)))
-    val ex = base.select(col("doc_id"),
+
+  /** One (doc_id, idx, h) row per chunk instance — 24 bytes, the only
+    * shape the first-occurrence shuffle ever moves. */
+  private def chunkHashes(base: DataFrame, cw: Int): DataFrame =
+    base.select(col("doc_id"),
       posexplode(transform(
         sequence(lit(0), col("n_chunks").cast(IntegerType) - 1),
         i => xxhash64(array_join(
           slice(col("toks"), i * cw + 1, lit(cw)), " "))))
         .as(Seq("idx", "h")))
-    val first = ex.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
-    val keptIdx = first
-      .select(col("f.doc_id").as("doc_id"), col("f.idx").as("idx"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("idx"))).as("kept"))
+
+  /** Rebuild each doc from its kept chunk indexes (doc-bounded
+    * arrays); a doc with no surviving chunk gets n_kept 0, "". */
+  private def chunkReassemble(base: DataFrame, keptIdx: DataFrame,
+      cw: Int): DataFrame =
     base.join(keptIdx, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(size(col("kept")), lit(0)).cast(LongType).as("n_kept"),
         coalesce(array_join(transform(col("kept"),
           i => array_join(slice(col("toks"), i * cw + 1, lit(cw)),
             " ")), " "), lit("")).as("dedup_text"))
+
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1 (got $chunkWords)")
+    val cw = chunkWords
+    val base = chunkBase(df, idCol, textCol, cw)
+    val first = chunkHashes(base, cw).groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    val keptIdx = first
+      .select(col("f.doc_id").as("doc_id"), col("f.idx").as("idx"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("kept"))
+    chunkReassemble(base, keptIdx, cw)
+  }
+
+  // ---------- persisted chunk-hash ledger: streamed paragraph dedup
+
+  /** Persist a CHUNK-HASH ledger (x263) — [[chunkDedup]]'s streaming
+    * form: state is the set of every chunk hash ever seen (8-byte
+    * rows, append-only under the shared manifest protocol), so
+    * arriving documents are rewritten against ALL history, not just
+    * their own batch. Appends land each batch's distinct hashes
+    * blindly (duplicate hashes across segments are harmless — the
+    * serve side anti-joins); `chunkWords` is pinned in params so
+    * every batch chunks identically. */
+  def saveChunkLedger(docs: DataFrame, idCol: String, textCol: String,
+      path: String, chunkWords: Int): Unit = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1 (got $chunkWords)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Seq(chunkWords).toDF("chunk_words")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params/base")
+    writeChunkSegment(docs, idCol, textCol, path, "base", chunkWords)
+    graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
+      graft.sinks.IndexSnapshot(0L,
+        Map("hashes" -> Seq("base"), "params" -> Seq("base")),
+        Seq.empty))
+  }
+
+  private def writeChunkSegment(docs: DataFrame, idCol: String,
+      textCol: String, path: String, seg: String, cw: Int): Unit =
+    chunkHashes(chunkBase(docs, idCol, textCol, cw), cw)
+      .select(col("h")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/hashes/$seg")
+
+  private def chunkLedgerParams(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: graft.sinks.IndexSnapshot): Int = {
+    val p = readContainmentTable(spark, path, snap, "params")
+    require(p.schema.fieldNames.contains("chunk_words"),
+      s"ledger at $path is not a saveChunkLedger directory")
+    p.head().getAs[Int]("chunk_words")
+  }
+
+  /** Append a processed batch's distinct chunk hashes — idempotent by
+    * `batchId` ([[appendToContainmentSetIndex]]'s contract). ALL of
+    * the batch's hashes append, kept or shadowed: after the batch
+    * lands, every chunk it carried has been seen. */
+  def appendToChunkLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        !batchId.startsWith("compact_v") &&
+        batchId.forall(c =>
+          c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      "batchId must be a filesystem-safe token != 'base' and outside " +
+        s"the reserved 'compact_v' prefix (got '$batchId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = containmentSnapshot(spark, path)
+    if (snap.applied.contains(batchId)) return
+    val cw = chunkLedgerParams(spark, path, snap)
+    val seg = s"delta_$batchId"
+    writeChunkSegment(batch, idCol, textCol, path, seg, cw)
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(batchId)) c
+      else c.copy(
+        tables = c.tables + ("hashes" ->
+          (c.segs("hashes").filterNot(_ == seg) :+ seg)),
+        applied = c.applied :+ batchId)
+    }
+  }
+
+  /** The chunk ledger's current version handle — capture before an
+    * append for an as-of rewrite replay. */
+  def chunkLedgerVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = containmentSnapshot(spark, path).version
+
+  /** Fold the hash segments to one, DISTINCT-ed across segments —
+    * appends land blind (duplicate hashes across batches), so the
+    * fold is where the ledger's physical size re-converges to the
+    * true seen-set. Same CAS/guard contract as
+    * [[compactContainmentIndexFrom]]: a mid-fold append's segment is
+    * carried, a racing compaction aborts; retained older manifests
+    * keep serving their delta segments (as-of reads survive the
+    * fold until vacuum). */
+  def compactChunkLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = containmentSnapshot(spark, path)
+    if (snap.segs("hashes").length <= 1) return
+    val seg = s"compact_v${snap.version + 1}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    readContainmentTable(spark, path, snap, "hashes").distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/hashes/$seg")
+    val folded = snap.segs("hashes").toSet
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      require(folded.subsetOf(c.segs("hashes").toSet),
+        "a concurrent compaction already folded segments this " +
+          "compaction read — rerun compactChunkLedger against the " +
+          "new snapshot")
+      c.copy(tables = c.tables + ("hashes" ->
+        (seg +: c.segs("hashes").filterNot(folded.contains))))
+    }
+  }
+
+  /** Rewrite a batch against the ledger: a chunk survives iff it is
+    * its batch's first occurrence (by (doc_id, idx)) AND its hash was
+    * never ledgered. Because batches replay in id order at the gate,
+    * this sequential loop equals [[chunkDedup]] over the cumulative
+    * corpus — the oracle's form. Shapes: ledger scan is 8-byte hash
+    * rows; the anti-join keys 8-byte hashes; reassembly as in
+    * [[chunkDedup]]. */
+  def chunkDedupIncremental(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = containmentSnapshot(spark, path, asOfVersion)
+    val cw = chunkLedgerParams(spark, path, snap)
+    val base = chunkBase(batch, idCol, textCol, cw)
+    val first = chunkHashes(base, cw).groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    val novel = first.join(
+      readContainmentTable(spark, path, snap, "hashes"),
+      Seq("h"), "left_anti")
+    val keptIdx = novel
+      .select(col("f.doc_id").as("doc_id"), col("f.idx").as("idx"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("kept"))
+    chunkReassemble(base, keptIdx, cw)
   }
 
   // -------------- per-host crawl-budget admission ledger (x261)
@@ -2105,6 +2254,11 @@ object DedupOps {
         applied = c.applied :+ batchId)
     }
   }
+
+  /** The ledger's current version handle — capture before an append
+    * for an as-of admission replay. */
+  def hostBudgetLedgerVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = containmentSnapshot(spark, path).version
 
   /** Admit the rows of `batch` that fit their host's remaining budget:
     * rank the batch per host by ascending id (the deterministic

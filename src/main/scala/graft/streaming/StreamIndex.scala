@@ -316,6 +316,47 @@ object StreamIndex {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streamed PARAGRAPH-LEVEL dedup (gated x263) — [[graft.ext
+    * .DedupOps.chunkDedup]] as a maintained pipeline: each micro-batch
+    * of documents is rewritten against every chunk hash EVER seen
+    * ([[graft.ext.DedupOps.chunkDedupIncremental]]), the rewritten
+    * docs land under outDir, and the batch's hashes append to the
+    * ledger before the next batch rewrites — so boilerplate introduced
+    * by an earlier batch strips from all later ones. Same
+    * applied-record exactly-once and id-set-distinct caller contract
+    * as the admit writers. */
+  def chunkDedupWriter(spark: SparkSession, docsDir: String,
+      schema: StructType, ledgerPath: String, outDir: String,
+      idCol: String, textCol: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (bid, _) = contentBatchId(b, idCol)
+          val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          val applied = IndexManifest.latest(fs, ledgerPath)
+            .exists(_.applied.contains(bid))
+          if (!applied) {
+            graft.ext.DedupOps.chunkDedupIncremental(s, ledgerPath,
+                b, idCol, textCol)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$outDir/batch=$bid")
+            graft.ext.DedupOps.appendToChunkLedger(s, ledgerPath, b,
+              idCol, textCol, bid)
+          }
+        } finally b.unpersist(blocking = false)
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** Streamed PER-HOST CRAWL-BUDGET admission (gated x261) — the
     * frontier loop: each micro-batch of (doc_id, host) rows admits
     * against the persisted budget ledger

@@ -215,6 +215,37 @@ class ExtSpec extends SparkSpec {
       4L -> ((1L, 0L, ""))), s"got $out")
   }
 
+  test("chunkLedger (x263): incremental rewrite anti-joins every " +
+      "ledgered hash, within-batch first occurrence still wins, and " +
+      "an as-of read serves the pre-append decision") {
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_chunkledger").resolve("l").toString
+    DedupOps.saveChunkLedger(
+      Seq((0L, "a b c d")).toDF("doc_id", "text"),
+      "doc_id", "text", ledger, chunkWords = 2)
+    val b1 = Seq((10L, "a b x y"), (11L, "x y z w"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // "a b" ledgered; "x y" first at (10, 1) shadows doc 11's copy
+    assert(rows(DedupOps.chunkDedupIncremental(spark, ledger, b1,
+      "doc_id", "text")) == Map(
+        10L -> ((2L, 1L, "x y")), 11L -> ((2L, 1L, "z w"))))
+    val v0 = DedupOps.chunkLedgerVersion(spark, ledger)
+    DedupOps.appendToChunkLedger(spark, ledger, b1, "doc_id", "text",
+      "b1")
+    val b2 = Seq((20L, "x y q r")).toDF("doc_id", "text")
+    // latest: "x y" ledgered by b1 → only "q r" survives
+    assert(rows(DedupOps.chunkDedupIncremental(spark, ledger, b2,
+      "doc_id", "text")) == Map(20L -> ((2L, 1L, "q r"))))
+    // as-of the pre-append version: b1's hashes invisible → "x y"
+    // survives too
+    assert(rows(DedupOps.chunkDedupIncremental(spark, ledger, b2,
+      "doc_id", "text", asOfVersion = Some(v0))) ==
+      Map(20L -> ((2L, 2L, "x y q r"))))
+  }
+
   test("hostBudgetAdmit (x259/x261): prior + batch-rank vs cap, " +
       "null hosts never admitted, appends idempotent by batchId") {
     val ledger = java.nio.file.Files

@@ -181,6 +181,40 @@ class StreamIndexSpec extends SparkSpec {
     assert(DedupOps.minhashIndexVersion(spark, s"$base/ledger") == v1)
   }
 
+  test("chunkDedupWriter (x263): each batch rewrites against all " +
+      "earlier batches' chunks; fresh-checkpoint replay is a full " +
+      "no-op") {
+    import graft.ext.DedupOps
+    val base = Files.createTempDirectory("graft-ckdedup-").toString
+    DedupOps.saveChunkLedger(
+      Seq((0L, "a b c d")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/ledger", chunkWords = 2)
+    // batch 1: doc 10 repeats the base's "a b"; batch 2: doc 20
+    // repeats batch 1's "x y" AND the base's "c d"
+    graft.SparkEntry.landOrdered(spark, Seq(
+      Seq((10L, "a b x y")).toDF("doc_id", "text"),
+      Seq((20L, "x y c d q r")).toDF("doc_id", "text")),
+      s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    def run(ckpt: String): Unit = {
+      val q = StreamIndex.chunkDedupWriter(spark, s"$base/in",
+          schema, s"$base/ledger", s"$base/out", "doc_id", "text")
+        .option("checkpointLocation", s"$base/$ckpt").start()
+      q.awaitTermination()
+    }
+    run("ckpt1")
+    def out() = spark.read.parquet(s"$base/out")
+      .select("doc_id", "n_kept", "dedup_text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(out() == Set((10L, 1L, "x y"), (20L, 1L, "q r")))
+    val fs = new org.apache.hadoop.fs.Path(s"$base/ledger")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val v1 = IndexManifest.latest(fs, s"$base/ledger").get.version
+    run("ckpt2")
+    assert(out() == Set((10L, 1L, "x y"), (20L, 1L, "q r")))
+    assert(IndexManifest.latest(fs, s"$base/ledger").get.version == v1)
+  }
+
   test("hostBudgetAdmitWriter (x261): greedy per-host budget — a " +
       "host filled by batch 1 rejects batch 2; fresh-checkpoint " +
       "replay is a full no-op") {
