@@ -1469,6 +1469,144 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     },
 
+    // SemDeDup (x266): k-means cells bucket the corpus, exact cosine
+    // verifies within cells only, components keep their min id — the
+    // learned-partition end of the bucket-join dedup family (x06's
+    // sign-LSH is the random-projection end). k=8/iters=2 rides the
+    // same Lloyd's machinery the x53/x67 oracles replay.
+    "x266_semdedup" -> ((s, dir) =>
+      graft.ext.DedupOps.semDedupClusters(
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        kClusters = 8, iters = 2, threshold = 0.35)
+        .orderBy(col("vec_id").asc)),
+
+    // trained NB quality classifier (x267): per-token log-likelihood
+    // ratios estimated against a curated seed (sources src1-src3 play
+    // the wiki-like corpus), every doc scored by mean llr — the
+    // GPT-3/CCNet classifier filter with the model as a
+    // vocabulary-sized broadcast table, not fixed weights (x58).
+    "x267_nb_quality" -> ((s, dir) =>
+      graft.ext.TextAnalysis.nbQualityScore(
+        T(s, dir, "documents"), "doc_id", "text",
+        col("source").isin("src1", "src2", "src3"))
+        .orderBy(col("doc_id").asc)),
+
+    // Pareto-threshold admission (x268): the GPT-3 Appendix-A keep
+    // rule — admit iff pareto(u) > 1 - score at alpha=9 — over the
+    // shared x09 quality score, derandomized via the md5 uniform so
+    // the stochastic filter is replayable bit-for-bit.
+    "x268_pareto_admit" -> { (s, dir) =>
+      val scored = graft.ext.TextAnalysis.qualityScore(
+        T(s, dir, "documents"), "text")
+      graft.ext.Corpus.paretoAdmit(scored, "doc_id",
+          col("quality_score"), alpha = 9.0, salt = "pareto268")
+        .orderBy(col("doc_id").asc)
+    },
+
+    // content-defined chunking (x269): the LBFS boundary rule at word
+    // granularity — a chunk ends after any word whose md5 slot % 8 is
+    // 0, so boundaries anchor to content and an edit re-chunks one
+    // chunk, not every chunk after it (x23/x260's fixed grids do).
+    "x269_cdc_chunks" -> ((s, dir) =>
+      graft.ext.DedupOps.cdcChunks(
+        T(s, dir, "documents").filter(col("doc_id") < 120),
+        "doc_id", "text", avgWords = 8, salt = "cdc269")
+        .orderBy(col("doc_id").asc, col("chunk_idx").asc)),
+
+    // shift-resistant chunk dedup (x270): docs plus prefix-shifted
+    // copies; CDC boundaries re-synchronize right after the inserted
+    // banner, so the copies dedup almost entirely — the case a fixed
+    // grid structurally misses (every downstream chunk hash moves).
+    "x270_cdc_shift_dedup" -> { (s, dir) =>
+      val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 60)
+      val shifted = d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 1000).as("doc_id"),
+          concat(lit("boilerplate banner inserted "), col("text"))
+            .as("text"))
+      graft.ext.DedupOps.cdcDedup(d.unionByName(shifted),
+          "doc_id", "text", avgWords = 8, salt = "cdc269")
+        .orderBy(col("doc_id").asc)
+    },
+
+    // the QUALITY front door (x271): trained classifier -> logistic
+    // probability -> Pareto-threshold admission — x267's model feeding
+    // x268's keep rule, the exact two-stage filter the GPT-3 pipeline
+    // ran (classifier score, then stochastic Pareto keep).
+    "x271_quality_admission" -> { (s, dir) =>
+      val scored = graft.ext.TextAnalysis.nbQualityScore(
+        T(s, dir, "documents"), "doc_id", "text",
+        col("source").isin("src1", "src2", "src3"))
+        .withColumn("prob",
+          round(lit(1.0) / (lit(1.0) + exp(-col("nb_llr"))), 6))
+      graft.ext.Corpus.paretoAdmit(scored, "doc_id", col("prob"),
+          alpha = 9.0, salt = "quality271")
+        .orderBy(col("doc_id").asc)
+    },
+
+    // SemDeDup with the PAPER's keep policy (x272): within each
+    // semantic component keep the member FARTHEST from its k-means
+    // centroid (low-similarity-to-centroid = diversity-preserving),
+    // round-6 distance, id tiebreak.
+    "x272_semdedup_diverse" -> ((s, dir) =>
+      graft.ext.DedupOps.semDedupDiverse(
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        kClusters = 8, iters = 2, threshold = 0.35)
+        .orderBy(col("vec_id").asc)),
+
+    // CDC chunk-hash ledger under compaction + time travel (x273):
+    // the x264 MVCC contract on content-defined boundaries — appends
+    // land blind, compaction folds, and an as-of read of the
+    // pre-append version serves only the base hashes.
+    "x273_cdc_ledger_travel" -> { (s, dir) =>
+      val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ledger = scratchDir("cdcledger273")
+      graft.ext.DedupOps.saveCdcChunkLedger(
+        d.filter(col("doc_id") < 50), "doc_id", "text", ledger,
+        avgWords = 8, salt = "cdc269")
+      val v1 = graft.ext.DedupOps.cdcChunkLedgerVersion(s, ledger)
+      graft.ext.DedupOps.appendToCdcChunkLedger(s, ledger,
+        d.filter(col("doc_id") >= 50 && col("doc_id") < 150),
+        "doc_id", "text", "b1")
+      graft.ext.DedupOps.compactChunkLedger(s, ledger)
+      val b2 = d.filter(col("doc_id") >= 150 && col("doc_id") < 250)
+      graft.ext.DedupOps.cdcDedupIncremental(s, ledger, b2,
+          "doc_id", "text", asOfVersion = Some(v1))
+        .withColumn("as_of", lit("v1"))
+        .unionByName(
+          graft.ext.DedupOps.cdcDedupIncremental(s, ledger, b2,
+              "doc_id", "text")
+            .withColumn("as_of", lit("latest")))
+        .select(col("as_of"), col("doc_id"), col("n_chunks"),
+          col("n_kept"), col("dedup_text"))
+        .orderBy(col("as_of").asc, col("doc_id").asc)
+    },
+
+    // streamed shift-resistant paragraph dedup (x274): x263's
+    // maintained rewrite loop on CDC boundaries — batches arrive in
+    // id order, so the sequential loop equals one-shot cdcDedup over
+    // the cumulative corpus, which is the oracle.
+    "x274_stream_cdc_dedup" -> { (s, dir) =>
+      val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = scratchDir("streamcdc274")
+      graft.ext.DedupOps.saveCdcChunkLedger(
+        d.filter(col("doc_id") < 50), "doc_id", "text",
+        base + "/ledger", avgWords = 8, salt = "cdc269")
+      landOrdered(s, Seq(
+        d.filter(col("doc_id") >= 50 && col("doc_id") < 150),
+        d.filter(col("doc_id") >= 150 && col("doc_id") < 250)),
+        base + "/in")
+      val schema = s.read.parquet(base + "/in").schema
+      val q = graft.streaming.StreamIndex.cdcChunkDedupWriter(
+          s, base + "/in", schema, base + "/ledger", base + "/out",
+          "doc_id", "text")
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+      s.read.parquet(base + "/out")
+        .select("doc_id", "n_chunks", "n_kept", "dedup_text")
+        .orderBy(col("doc_id").asc)
+    },
+
     "x05_cosine_topk" -> { (s, dir) =>
       val emb = T(s, dir, "embeddings")
       graft.ext.Similarity.bruteForceTopK(
@@ -7638,6 +7776,56 @@ object SparkEntry {
                   FROM reach GROUP BY ru)
           SELECT v.vec_id, coalesce(l.lcluster, v.vec_id) AS cluster_id
           FROM v LEFT JOIN lbl l ON v.vec_id = l.lid"""
+    // x266/x272 share the SemDeDup closure: exact in-cell cosine
+    // pairs >= 0.35 over the final Lloyd's assignment, then the
+    // recursive min-label component closure (the mutualKnn shape) —
+    // defined once so a threshold tweak cannot desynchronize the two
+    // keep policies
+    val semClosureCtes: String =
+      s"""pr AS (SELECT sa.vec_id AS eu, sb.vec_id AS ev
+                 FROM a3 sa JOIN a3 sb
+                   ON sa.cl = sb.cl AND sa.vec_id < sb.vec_id
+                 JOIN v a ON a.vec_id = sa.vec_id
+                 JOIN v b ON b.vec_id = sb.vec_id
+                 WHERE $cosPairExpr >= 0.35),
+          ed AS (SELECT eu, ev FROM pr
+                 UNION SELECT ev, eu FROM pr),
+          reach(ru, rv) AS (
+            SELECT eu, ev FROM ed
+            UNION
+            SELECT r.ru, e2.ev FROM reach r JOIN ed e2 ON r.rv = e2.eu),
+          lbl AS (SELECT ru AS lid, least(ru, min(rv)) AS lcluster
+                  FROM reach GROUP BY ru)"""
+    // x267/x271 share the NB classifier derivation: one (doc, pos, w)
+    // count CTE feeds class totals, vocab, the per-token llr table,
+    // and the per-doc count-weighted mean — the model definition
+    // cannot desynchronize the score gate from the admission gate
+    val nbLlrCtes: String =
+      """tk AS (SELECT doc_id,
+               (source IN ('src1','src2','src3')) AS pos,
+               unnest(regexp_split_to_array(lower(trim(text)),
+                 '\s+')) AS w
+             FROM documents),
+         tw AS (SELECT doc_id, pos, w, count(*) AS cnt
+                FROM tk WHERE w <> '' GROUP BY 1, 2, 3),
+         tot AS (SELECT
+                   sum(CASE WHEN pos THEN cnt ELSE 0 END) AS n_pos,
+                   sum(CASE WHEN NOT pos THEN cnt ELSE 0 END) AS n_neg,
+                   count(DISTINCT w) AS v
+                 FROM tw),
+         wl AS (SELECT w,
+                  ln((sum(CASE WHEN pos THEN cnt ELSE 0 END) + 1.0)
+                     / (t.n_pos + t.v))
+                - ln((sum(CASE WHEN NOT pos THEN cnt ELSE 0 END) + 1.0)
+                     / (t.n_neg + t.v)) AS llr
+                FROM tw, tot t
+                GROUP BY w, t.n_pos, t.n_neg, t.v),
+         nb AS (SELECT tw.doc_id,
+                  CAST(sum(tw.cnt) AS BIGINT) AS n_tokens,
+                  round(sum(tw.cnt * wl.llr) / sum(tw.cnt), 6)
+                    AS nb_llr
+                FROM tw JOIN wl USING (w)
+                GROUP BY tw.doc_id)"""
     // --- Wrapping 64-bit arithmetic in DuckDB, for the FNV-1a +
     // splitmix64 token hashing behind x03/x04 (TextHashExprs.hashToken).
     // DuckDB's checked BIGINT refuses overflow, so values live as
@@ -7828,6 +8016,51 @@ object SparkEntry {
               for i in kl.kept], ' '), '') AS dedup_text
          FROM ${p}n n LEFT JOIN ${p}kl kl ON n.doc_id = kl.doc_id
          WHERE n.doc_id >= 150)"""
+    // x273/x274: the CDC (content-defined) twin of chunkAsOfSql —
+    // md5-slot boundaries (% 8, salt cdc269), running-sum chunk ids,
+    // global first-occurrence over the cumulative `corpus`, rewritten
+    // docs served for doc_id >= serveFrom. Prefix-parameterized so
+    // as-of and latest instances compose in one UNION.
+    def cdcAsOfSql(p: String, corpus: String, label: String,
+        serveFrom: Int): String =
+      s"""(WITH ${p}t AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents WHERE $corpus),
+         ${p}wp AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+             toks
+           FROM ${p}t),
+         ${p}f AS (SELECT doc_id, pos, toks[pos+1] AS w,
+             CASE WHEN ('0x' || substr(md5('cdc269:'
+                 || toks[pos+1]), 1, 8))::BIGINT % 8 = 0
+             THEN 1 ELSE 0 END AS b
+           FROM ${p}wp),
+         ${p}c AS (SELECT doc_id, pos, w,
+             CAST(coalesce(sum(b) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS cidx
+           FROM ${p}f),
+         ${p}ch AS (SELECT doc_id, cidx,
+             string_agg(w, ' ' ORDER BY pos) AS chunk
+           FROM ${p}c GROUP BY doc_id, cidx),
+         ${p}fst AS (SELECT chunk,
+             min(doc_id * 4294967296 + cidx) AS k
+           FROM ${p}ch GROUP BY chunk),
+         ${p}kp AS (SELECT k // 4294967296 AS doc_id,
+             k % 4294967296 AS cidx
+           FROM ${p}fst),
+         ${p}kt AS (SELECT ch.doc_id, count(*) AS n_kept,
+             string_agg(ch.chunk, ' ' ORDER BY ch.cidx) AS dedup_text
+           FROM ${p}ch ch JOIN ${p}kp kp ON ch.doc_id = kp.doc_id
+                  AND ch.cidx = kp.cidx
+           GROUP BY ch.doc_id),
+         ${p}nc AS (SELECT doc_id, count(*) AS n_chunks FROM ${p}ch
+           GROUP BY doc_id)
+         SELECT '$label' AS as_of, nc.doc_id,
+           CAST(nc.n_chunks AS BIGINT) AS n_chunks,
+           CAST(coalesce(kt.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(kt.dedup_text, '') AS dedup_text
+         FROM ${p}nc nc LEFT JOIN ${p}kt kt ON nc.doc_id = kt.doc_id
+         WHERE nc.doc_id >= $serveFrom)"""
     val simhashOracle: String =
       s"""WITH $simhashShCte
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -8537,6 +8770,180 @@ object SparkEntry {
            FROM r LEFT JOIN pri ON r.host = pri.host
            WHERE COALESCE(pri.np, 0) + r.rn <= 12
            ORDER BY r.doc_id ASC""",
+
+      // x266: the shared Lloyd's CTEs assign cells, exact in-cell
+      // cosine pairs >= 0.35 connect, the recursive min-closure labels
+      // components (the mutualKnn/x31 closure shape), keep = is-own-min
+      "x266_semdedup" ->
+        s"""WITH RECURSIVE $kmeansCtes,
+            $semClosureCtes
+            SELECT s.vec_id, s.cl AS cluster,
+                   coalesce(l.lcluster, s.vec_id) AS sem_cluster_id,
+                   CAST(CASE WHEN coalesce(l.lcluster, s.vec_id)
+                               = s.vec_id
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM a3 s LEFT JOIN lbl l ON s.vec_id = l.lid
+            ORDER BY s.vec_id ASC""",
+
+      // x272: same closure, the paper's keep policy — per component
+      // the max round-6 centroid distance wins, id tiebreak
+      "x272_semdedup_diverse" ->
+        s"""WITH RECURSIVE $kmeansCtes,
+            $semClosureCtes,
+            m AS (SELECT s.vec_id, s.cl, round(s.d, 6) AS dist,
+                    coalesce(l.lcluster, s.vec_id) AS sem
+                  FROM a3 s LEFT JOIN lbl l ON s.vec_id = l.lid)
+            SELECT vec_id, cl AS cluster, dist,
+                   sem AS sem_cluster_id,
+                   CAST(CASE WHEN row_number() OVER (PARTITION BY sem
+                          ORDER BY dist DESC, vec_id ASC) = 1
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM m ORDER BY vec_id ASC""",
+
+      // x267: Laplace-smoothed NB token llr table from the seed split,
+      // docs scored by count-weighted mean llr — one (doc, pos, w)
+      // count CTE feeds class totals, vocab, and the doc join
+      "x267_nb_quality" ->
+        s"""WITH $nbLlrCtes
+           SELECT doc_id, n_tokens, nb_llr FROM nb
+           ORDER BY doc_id ASC""",
+
+      // x271: the trained model's logistic probability through the
+      // Pareto keep rule — x267's nb CTE + x268's admission pattern
+      "x271_quality_admission" ->
+        s"""WITH $nbLlrCtes,
+            q AS (SELECT doc_id,
+                    round(1.0 / (1.0 + exp(-nb_llr)), 6) AS prob
+                  FROM nb),
+            p AS (SELECT doc_id,
+                    round(prob, 6) AS score,
+                    round(power(1.0 -
+                        ((('0x' || substr(md5('quality271:'
+                            || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % 1048576 + 0.5) / 1048576.0),
+                        ${-1.0 / 9.0}) - 1.0, 6) AS pareto_draw
+                  FROM q)
+            SELECT doc_id, score, pareto_draw,
+                   CAST(CASE WHEN pareto_draw > round(1.0 - score, 6)
+                        THEN 1 ELSE 0 END AS BIGINT) AS admitted
+            FROM p ORDER BY doc_id ASC""",
+
+      // x268: the shared x09 score + the md5-slot uniform (1048576
+      // slots) through the Pareto inverse CDF; the admit compare runs
+      // on round-6 values so pow's last ulp cannot flip a decision
+      "x268_pareto_admit" ->
+        s"""WITH ${qualityCteSignals("")},
+            q AS (SELECT doc_id, $qualityScoreExpr AS quality_score
+                  FROM qr),
+            p AS (SELECT doc_id,
+                    round(quality_score, 6) AS score,
+                    round(power(1.0 -
+                        ((('0x' || substr(md5('pareto268:'
+                            || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % 1048576 + 0.5) / 1048576.0),
+                        ${-1.0 / 9.0}) - 1.0, 6) AS pareto_draw
+                  FROM q)
+            SELECT doc_id, score, pareto_draw,
+                   CAST(CASE WHEN pareto_draw > round(1.0 - score, 6)
+                        THEN 1 ELSE 0 END AS BIGINT) AS admitted
+            FROM p ORDER BY doc_id ASC""",
+
+      // x269: md5-slot boundary flags, doc-bounded running sum to
+      // chunk ids, ordered string_agg reassembly + sha256 — the
+      // boundary hash is the x20 cross-engine md5 discipline
+      "x269_cdc_chunks" ->
+        """WITH t AS (SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM documents WHERE doc_id < 120),
+           wp AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+                    toks
+                  FROM t),
+           f AS (SELECT doc_id, pos, toks[pos+1] AS w,
+                   CASE WHEN ('0x' || substr(md5('cdc269:'
+                       || toks[pos+1]), 1, 8))::BIGINT % 8 = 0
+                   THEN 1 ELSE 0 END AS b
+                 FROM wp),
+           c AS (SELECT doc_id, pos, w,
+                   CAST(coalesce(sum(b) OVER (PARTITION BY doc_id
+                     ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
+                 FROM f)
+           SELECT doc_id, chunk_idx,
+                  CAST(count(*) AS BIGINT) AS n_words,
+                  string_agg(w, ' ' ORDER BY pos) AS chunk_text,
+                  sha256(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+           FROM c GROUP BY doc_id, chunk_idx
+           ORDER BY doc_id ASC, chunk_idx ASC""",
+
+      // x270: x269's chunk CTEs over originals + prefixed copies,
+      // first occurrence by the doc_id*2^32+idx total order (the x260
+      // rule), docs rebuilt from surviving chunks in chunk order
+      "x270_cdc_shift_dedup" ->
+        """WITH d0 AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id < 60),
+           sh0 AS (SELECT doc_id + 1000 AS doc_id,
+                     'boilerplate banner inserted ' || text AS text
+                   FROM d0 WHERE doc_id < 25),
+           u AS (SELECT * FROM d0 UNION ALL SELECT * FROM sh0),
+           t AS (SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS toks
+                 FROM u),
+           wp AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+                    toks
+                  FROM t),
+           f AS (SELECT doc_id, pos, toks[pos+1] AS w,
+                   CASE WHEN ('0x' || substr(md5('cdc269:'
+                       || toks[pos+1]), 1, 8))::BIGINT % 8 = 0
+                   THEN 1 ELSE 0 END AS b
+                 FROM wp),
+           c AS (SELECT doc_id, pos, w,
+                   CAST(coalesce(sum(b) OVER (PARTITION BY doc_id
+                     ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS cidx
+                 FROM f),
+           ch AS (SELECT doc_id, cidx,
+                    string_agg(w, ' ' ORDER BY pos) AS chunk
+                  FROM c GROUP BY doc_id, cidx),
+           fst AS (SELECT chunk,
+                     min(doc_id * 4294967296 + cidx) AS k
+                   FROM ch GROUP BY chunk),
+           kp AS (SELECT k // 4294967296 AS doc_id,
+                    k % 4294967296 AS cidx
+                  FROM fst),
+           kt AS (SELECT ch.doc_id, count(*) AS n_kept,
+                    string_agg(ch.chunk, ' ' ORDER BY ch.cidx)
+                      AS dedup_text
+                  FROM ch JOIN kp ON ch.doc_id = kp.doc_id
+                         AND ch.cidx = kp.cidx
+                  GROUP BY ch.doc_id),
+           nc AS (SELECT doc_id, count(*) AS n_chunks FROM ch
+                  GROUP BY doc_id)
+           SELECT nc.doc_id, CAST(nc.n_chunks AS BIGINT) AS n_chunks,
+                  CAST(coalesce(kt.n_kept, 0) AS BIGINT) AS n_kept,
+                  coalesce(kt.dedup_text, '') AS dedup_text
+           FROM nc LEFT JOIN kt ON nc.doc_id = kt.doc_id
+           ORDER BY nc.doc_id ASC""",
+
+      // x273: both rewrite decisions replayed — latest against the
+      // cumulative base+b1 corpus, as-of v1 against base only (the
+      // x264 MVCC contract on CDC boundaries; compaction changes no
+      // answer on either side)
+      "x273_cdc_ledger_travel" ->
+        s"""SELECT * FROM (
+             ${cdcAsOfSql("la", "doc_id < 250", "latest", 150)}
+             UNION ALL
+             ${cdcAsOfSql("va",
+                "doc_id < 50 OR (doc_id >= 150 AND doc_id < 250)",
+                "v1", 150)})
+           ORDER BY as_of ASC, doc_id ASC""",
+
+      // x274: the two stream batches replayed sequentially = one-shot
+      // CDC dedup over the cumulative corpus, served for the streamed
+      // ids (the x263 equivalence on content-defined boundaries)
+      "x274_stream_cdc_dedup" ->
+        s"""SELECT doc_id, n_chunks, n_kept, dedup_text
+           FROM ${cdcAsOfSql("st", "doc_id < 250", "x", 50)}
+           ORDER BY doc_id ASC""",
 
       "x05_cosine_topk" -> x05Sql,
 

@@ -374,6 +374,39 @@ object Corpus {
     * Scale shape: narrow projection + TakeOrderedAndProject (per-partition
     * k-heaps, driver merges k rows) — no shuffle of the data, no RNG
     * state, no total sort. Rows with non-positive weight are excluded. */
+  /** Pareto-threshold stochastic admission — the GPT-3 document-
+    * filtering rule (Brown et al. 2020, Appendix A): a document with
+    * classifier score s is KEPT iff a Pareto(α) draw exceeds 1 − s, so
+    * high-scoring documents almost always survive while low-scoring
+    * ones still get in with small probability — preserving tail
+    * diversity instead of hard-thresholding (the paper uses α = 9).
+    *
+    * The "draw" is derandomized the [[weightedSample]] way: u =
+    * (md5Slot(id)+0.5)/slots is a deterministic uniform in (0,1), and
+    * the Pareto (Lomax) draw is its inverse CDF, (1−u)^(−1/α) − 1 —
+    * same id ⇒ same decision, across runs, partitionings, and engines
+    * (numpy's `random.pareto` draws from the identical Lomax form).
+    * The admit comparison runs on the round-6 values so a last-ulp
+    * `pow` divergence between engines cannot flip a decision.
+    *
+    * Keeps every row, flagged: (id, score, pareto_draw, admitted
+    * 0/1) — the caller filters; the flag column is what audits and
+    * oracles replay. Pure narrow projection: no shuffle, no RNG
+    * state, rides the scan at any scale. */
+  def paretoAdmit(df: DataFrame, idCol: String, scoreCol: Column,
+      alpha: Double, salt: String, slots: Int = 1 << 20): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive (got $alpha)")
+    require(slots >= 2, s"slots must be >= 2 (got $slots)")
+    val u = (md5Slot(col(idCol), lit(salt), 8, slots)
+      .cast(DoubleType) + lit(0.5)) / lit(slots.toDouble)
+    val draw = round(pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0), 6)
+    df.select(col(idCol), round(scoreCol, 6).as("score"))
+      .withColumn("pareto_draw", draw)
+      .withColumn("admitted",
+        when(col("pareto_draw") > round(lit(1.0) - col("score"), 6),
+          lit(1L)).otherwise(lit(0L)))
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive (got $k)")
@@ -932,7 +965,7 @@ object Corpus {
     * `width`. Deterministic across engines, runs, and partitionings —
     * which is what makes the sketches below ORACLE-CHECKABLE, unlike
     * sketches seeded from engine-internal hashing. */
-  private def md5Slot(key: Column, salt: Column, hexChars: Int,
+  private[ext] def md5Slot(key: Column, salt: Column, hexChars: Int,
       width: Int): Column =
     pmod(conv(substring(md5(concat(salt.cast(StringType), lit(":"),
       key.cast(StringType)).cast(BinaryType)), 1, hexChars), 16, 10)

@@ -974,6 +974,106 @@ object DedupOps {
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by k-means cluster bucketing — embeddings are
+    * partitioned into `kClusters` cells
+    * ([[Clustering.kmeansAssign]], deterministic lowest-id seeding),
+    * exact pairwise cosine runs WITHIN each cell only, pairs at or
+    * above `threshold` connect into components
+    * ([[dedupClustersStar]]), and the minimum id per component is the
+    * kept representative. Output: one row per input vector —
+    * (`vec_id`, `cluster` = k-means cell, `sem_cluster_id` =
+    * component min or own id for singletons, `keep` = 1 iff the row
+    * is its component's representative).
+    *
+    * Scale shape (the paper's own design point): candidate cost is
+    * Σ n_c² over CELLS, not N² over the corpus — k grows with the
+    * corpus so the mean cell stays fixed (the paper uses ~0.1% of N)
+    * and the in-cell join is bucket-bounded exactly like the LSH
+    * paths. Only (id, cluster) pairs shuffle in the candidate join;
+    * vectors attach once per side afterwards; document text never
+    * enters. Cell-occupancy skew is observable via
+    * [[Clustering.clusterQuality]] / `Similarity.ivfCellStats` —
+    * re-train k upward before a cell grows quadratic, the same
+    * discipline as cosineDupPairs' signBits sizing (SCALE.md "LSH
+    * knob sizing").
+    *
+    * WHY this beside [[cosineDupPairs]]: sign-LSH buckets guarantee
+    * recall only for pairs agreeing on the leading sign bits, while
+    * SemDeDup's learned cells adapt to the data's density — dense
+    * semantic neighborhoods land in one cell no matter which side of
+    * a coordinate hyperplane they fall on. The two are the
+    * random-projection vs learned-partition ends of the same
+    * bucket-join family. */
+  def semDedupClusters(corpus: DataFrame, idCol: String, vecCol: String,
+      kClusters: Int, iters: Int, threshold: Double): DataFrame =
+    semComponents(corpus, idCol, vecCol, kClusters, iters, threshold)
+      .select(col("vec_id"), col("cluster"), col("sem_cluster_id"),
+        when(col("sem_cluster_id") === col("vec_id"), lit(1L))
+          .otherwise(lit(0L)).as("keep"))
+
+  /** [[semDedupClusters]] with the PAPER's keep policy: within each
+    * semantic component, keep the member FARTHEST from its k-means
+    * centroid (SemDeDup §3 keeps low-similarity-to-centroid examples
+    * — the component's most atypical member — because pruning toward
+    * cluster centers preserves diversity better than keeping the
+    * prototype). Deterministic: ties on the round-6 distance break to
+    * the lower id. Output adds the `dist` column the decision ranks
+    * on. The per-component window partitions by `sem_cluster_id` —
+    * components are near-clique dup groups, orders of magnitude
+    * smaller than cells, so the window never sees a corpus-sized
+    * partition. */
+  def semDedupDiverse(corpus: DataFrame, idCol: String, vecCol: String,
+      kClusters: Int, iters: Int, threshold: Double): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("sem_cluster_id")
+      .orderBy(col("dist").desc, col("vec_id").asc)
+    semComponents(corpus, idCol, vecCol, kClusters, iters, threshold)
+      .withColumn("_rn", row_number().over(win))
+      .select(col("vec_id"), col("cluster"), col("dist"),
+        col("sem_cluster_id"),
+        when(col("_rn") === 1, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
+  /** Shared SemDeDup core: cell assignment, in-cell exact-cosine
+    * pairs, component labels. Returns one row per input vector:
+    * (vec_id, cluster, dist, sem_cluster_id). */
+  private def semComponents(corpus: DataFrame, idCol: String,
+      vecCol: String, kClusters: Int, iters: Int, threshold: Double)
+      : DataFrame = {
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    import graft.functions.VectorExprs.dotF64
+    val asg = Clustering.kmeansAssign(corpus, idCol, vecCol,
+        kClusters, iters)
+      .select(col(idCol).cast(LongType).as("vec_id"), col("cluster"),
+        col("dist"))
+    val vecd = corpus.select(col(idCol).cast(LongType).as("vec_id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+      .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
+    // in-cell ordered id pairs first (longs only), vectors re-attach
+    // for the exact-cosine verify — the cosineDupPairs shape with the
+    // learned cell standing in for the sign bucket
+    val cand = asg.as("a").join(asg.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val pairs = cand
+      .join(vecd.withColumnsRenamed(
+        Map("vec_id" -> "vec_a", "v" -> "va", "nrm" -> "nrm_a")), "vec_a")
+      .join(vecd.withColumnsRenamed(
+        Map("vec_id" -> "vec_b", "v" -> "vb", "nrm" -> "nrm_b")), "vec_b")
+      .withColumn("cos", round(coalesce(
+        try_divide(dotF64(col("va"), col("vb")),
+          col("nrm_a") * col("nrm_b")), lit(0.0)), 6))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b")
+    val comp = dedupClustersStar(pairs, "vec_a", "vec_b")
+      .select(col("id").as("vec_id"), col("cluster_id").as("_sem"))
+    asg.join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dist"),
+        coalesce(col("_sem"), col("vec_id")).as("sem_cluster_id"))
+  }
+
   // -------------------------------------------------- string similarity
 
   /** Exact Hamming-distance-≤1 pair join (record linkage / fuzzy key
@@ -2047,6 +2147,201 @@ object DedupOps {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("idx"))).as("kept"))
     chunkReassemble(base, keptIdx, cw)
+  }
+
+  // ---------------- content-defined chunking (shift-resistant form)
+
+  /** Content-defined chunking — the LBFS boundary rule (Muthitacharoen
+    * et al., SOSP 2001) at word granularity: a chunk ends AFTER any
+    * word whose md5 slot modulo `avgWords` is 0, so boundaries anchor
+    * to CONTENT, not offsets. Inserting or deleting words re-chunks
+    * only the chunk containing the edit — every later chunk
+    * re-synchronizes on the same boundary words — which is what lets
+    * chunk-hash dedup survive the prefix/boilerplate shifts that break
+    * [[chunkDedup]]'s fixed grid (one inserted word moves the grid and
+    * every downstream chunk hash changes).
+    *
+    * Expected chunk length is `avgWords` (geometric boundary process).
+    * The boundary hash is the md5-slot cross-engine discipline
+    * ([[Corpus.md5Slot]], the x20 rule), so an oracle re-derives
+    * identical boundaries; `chunk_hash` is sha256 of the chunk text —
+    * exact in both engines.
+    *
+    * Scale shape: one posexplode over words, one DOC-BOUNDED running
+    * sum (window partitioned by doc — no global ordering), one
+    * (doc, chunk) aggregate; every shuffle carries (doc_id, pos, word)
+    * rows, nothing quadratic, no driver state. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      avgWords: Int, salt: String): DataFrame = {
+    require(avgWords >= 2, s"avgWords must be >= 2 (got $avgWords)")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    df.select(col(idCol).cast(LongType).as("doc_id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+      .withColumn("_b",
+        when(Corpus.md5Slot(col("w"), lit(salt), 8, avgWords) === 0L,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("chunk_idx",
+        coalesce(sum(col("_b")).over(win), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_words"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ").as("chunk_text"))
+      .withColumn("chunk_hash", sha2(col("chunk_text"), 256))
+  }
+
+  /** First-occurrence chunk dedup over CONTENT-DEFINED chunks — the
+    * [[chunkDedup]] decision on [[cdcChunks]] boundaries: each distinct
+    * chunk text survives at its lexicographically first (doc, idx)
+    * occurrence, every later instance is dropped, and docs are rebuilt
+    * from their surviving chunks in order. Same output contract as
+    * [[chunkDedup]]: (doc_id, n_chunks, n_kept, dedup_text).
+    *
+    * The pair x270 pins: a copy of a document behind an inserted
+    * prefix re-synchronizes after at most one chunk, so nearly all of
+    * its chunks dedup away — under the fixed grid the same copy keeps
+    * everything, because every chunk hash shifted. */
+  def cdcDedup(df: DataFrame, idCol: String, textCol: String,
+      avgWords: Int, salt: String): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol, avgWords, salt)
+    val first = chunks.groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"),
+        col("f.chunk_idx").as("chunk_idx"))
+    val keptTexts = chunks
+      .join(first, Seq("doc_id", "chunk_idx"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"),
+            col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("dedup_text"))
+    chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+      .join(keptTexts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
+  // ------------- persisted CDC chunk-hash ledger (shift-resistant)
+
+  /** [[saveChunkLedger]]'s content-defined twin: the persisted state
+    * is the set of every sha256 CDC chunk hash ever seen, with the
+    * boundary parameters (`avg_words`, `salt`) pinned in params so
+    * every batch chunks identically — the property the whole ledger
+    * rests on (a salt change would re-boundary history). Same
+    * manifest MVCC lifecycle as the fixed-grid ledger; compaction is
+    * [[compactChunkLedger]] verbatim (it folds the hash table and
+    * never reads params). At 100 TB the state is
+    * ~|distinct chunks| × 32-byte hashes; the serve-side anti-join
+    * keys those hashes and document text never shuffles. */
+  def saveCdcChunkLedger(docs: DataFrame, idCol: String,
+      textCol: String, path: String, avgWords: Int,
+      salt: String): Unit = {
+    require(avgWords >= 2, s"avgWords must be >= 2 (got $avgWords)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Seq((avgWords, salt)).toDF("avg_words", "salt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params/base")
+    writeCdcChunkSegment(docs, idCol, textCol, path, "base",
+      avgWords, salt)
+    graft.sinks.IndexManifest.commitMerge(fs, path)(_ =>
+      graft.sinks.IndexSnapshot(0L,
+        Map("hashes" -> Seq("base"), "params" -> Seq("base")),
+        Seq.empty))
+  }
+
+  private def writeCdcChunkSegment(docs: DataFrame, idCol: String,
+      textCol: String, path: String, seg: String, aw: Int,
+      salt: String): Unit =
+    cdcChunks(docs, idCol, textCol, aw, salt)
+      .select(col("chunk_hash").as("h")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/hashes/$seg")
+
+  private def cdcLedgerParams(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      snap: graft.sinks.IndexSnapshot): (Int, String) = {
+    val r = readContainmentTable(spark, path, snap, "params").head()
+    (r.getAs[Int]("avg_words"), r.getAs[String]("salt"))
+  }
+
+  /** Append a batch's distinct CDC chunk hashes; idempotent per
+    * batchId via the manifest applied record (same contract as
+    * [[appendToChunkLedger]] — blind appends, serve-side anti-join
+    * tolerates cross-segment duplicates, compaction folds them). */
+  def appendToCdcChunkLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        !batchId.startsWith("compact_v") &&
+        batchId.forall(c =>
+          c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      "batchId must be a filesystem-safe token != 'base' and outside " +
+        s"the reserved 'compact_v' prefix (got '$batchId')")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snap = containmentSnapshot(spark, path)
+    if (snap.applied.contains(batchId)) return
+    val (aw, salt) = cdcLedgerParams(spark, path, snap)
+    val seg = s"delta_$batchId"
+    writeCdcChunkSegment(batch, idCol, textCol, path, seg, aw, salt)
+    graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
+      val c = cur.getOrElse(snap)
+      if (c.applied.contains(batchId)) c
+      else c.copy(
+        tables = c.tables + ("hashes" ->
+          (c.segs("hashes").filterNot(_ == seg) :+ seg)),
+        applied = c.applied :+ batchId)
+    }
+  }
+
+  /** The CDC ledger's current version handle — capture before an
+    * append for an as-of rewrite replay. */
+  def cdcChunkLedgerVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = containmentSnapshot(spark, path).version
+
+  /** Rewrite a batch against the CDC ledger: a chunk survives iff it
+    * is its batch's first occurrence (by (doc_id, chunk_idx)) AND its
+    * hash was never ledgered. Batches replayed in id order equal
+    * [[cdcDedup]] over the cumulative corpus — the oracle's form.
+    * Output contract matches [[chunkDedupIncremental]]:
+    * (doc_id, n_chunks, n_kept, dedup_text). */
+  def cdcDedupIncremental(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = containmentSnapshot(spark, path, asOfVersion)
+    val (aw, salt) = cdcLedgerParams(spark, path, snap)
+    val chunks = cdcChunks(batch, idCol, textCol, aw, salt)
+    val first = chunks.groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+    val novel = first.join(
+      readContainmentTable(spark, path, snap, "hashes")
+        .withColumnRenamed("h", "chunk_hash"),
+      Seq("chunk_hash"), "left_anti")
+      .select(col("f.doc_id").as("doc_id"),
+        col("f.chunk_idx").as("chunk_idx"))
+    val keptTexts = chunks
+      .join(novel, Seq("doc_id", "chunk_idx"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"),
+            col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("dedup_text"))
+    chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+      .join(keptTexts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 
   // ---------- persisted chunk-hash ledger: streamed paragraph dedup

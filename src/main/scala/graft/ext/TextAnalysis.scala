@@ -123,6 +123,60 @@ object TextAnalysis {
         round(lit(1.0d) / (lit(1.0d) + exp(-z)), 6))
   }
 
+  /** TRAINED classifier-based quality scoring — the GPT-3 / CCNet
+    * recipe (Brown et al. 2020 Appendix A; Wenzek et al. 2020): fit a
+    * multinomial Naive-Bayes token model on a labeled seed — rows
+    * where `positive` holds are the curated class (the pipelines use
+    * a wiki-like corpus; here any Column predicate), everything else
+    * the raw class — then score EVERY document by its mean token
+    * log-likelihood ratio. Positive scores read "looks like the
+    * curated seed". Unlike [[qualityLogit]]'s fixed illustrative
+    * weights, the per-token weights here are ESTIMATED from the data:
+    * llr(w) = ln((c₊(w)+1)/(N₊+V)) − ln((c₋(w)+1)/(N₋+V)) (Laplace
+    * smoothing, V = corpus vocabulary), score(d) = Σ c_d(w)·llr(w) / |d|.
+    *
+    * Scale shape: ONE (doc, token) count aggregate feeds everything —
+    * class totals re-aggregate it, the per-token llr table is
+    * vocabulary-sized (not corpus-sized) and joins back against the
+    * same doc-count aggregate; document text is tokenized once and
+    * never shuffled again. The llr table is the "model": persist it
+    * and scoring new corpora is one broadcast-shaped join, the same
+    * serve pattern as the fastText classifiers these pipelines
+    * actually deploy. Docs with zero tokens have no token rows and
+    * drop out — same contract as [[lmDocScore]]. */
+  def nbQualityScore(df: DataFrame, idCol: String, textCol: String,
+      positive: Column): DataFrame = {
+    val docCounts = df
+      .select(col(idCol).as("doc_id"), positive.as("_pos"),
+        explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("_pos"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val tok = docCounts.groupBy(col("w"))
+      .agg(sum(when(col("_pos"), col("cnt")).otherwise(lit(0L)))
+          .as("c_pos"),
+        sum(when(!col("_pos"), col("cnt")).otherwise(lit(0L)))
+          .as("c_neg"))
+    // class totals + vocab as a single-row LAZY aggregate, broadcast-
+    // cross-joined in-plan (the lmDocScore discipline — no eager
+    // statistic job, the token aggregate executes once per action)
+    val totals = tok.agg(sum(col("c_pos")).as("n_pos"),
+      sum(col("c_neg")).as("n_neg"), count(lit(1)).as("v"))
+    val llr = tok.crossJoin(broadcast(totals))
+      .withColumn("llr",
+        log((col("c_pos") + lit(1)).cast(DoubleType) /
+          (col("n_pos") + col("v")).cast(DoubleType)) -
+        log((col("c_neg") + lit(1)).cast(DoubleType) /
+          (col("n_neg") + col("v")).cast(DoubleType)))
+      .select(col("w"), col("llr"))
+    docCounts
+      .join(llr, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        round(sum(col("cnt").cast(DoubleType) * col("llr")) /
+          sum(col("cnt")).cast(DoubleType), 6).as("nb_llr"))
+  }
+
   /** Canonical text normalization ahead of dedup/fingerprinting:
     * Unicode NFC composition first (decomposed `e`+U+0301 and
     * precomposed `é` become byte-identical — without it multilingual

@@ -357,6 +357,48 @@ object StreamIndex {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streamed SHIFT-RESISTANT paragraph dedup (gated x274) —
+    * [[chunkDedupWriter]] on content-defined boundaries: each
+    * micro-batch rewrites against every CDC chunk hash ever seen
+    * ([[graft.ext.DedupOps.cdcDedupIncremental]]) and appends its own
+    * hashes before the next batch rewrites. Because boundaries anchor
+    * to content, boilerplate that arrives SHIFTED in later batches
+    * (ads, banners, templating drift) still strips — the fixed-grid
+    * writer only catches grid-aligned repeats. Same applied-record
+    * exactly-once and id-set-distinct caller contract as the other
+    * writers. */
+  def cdcChunkDedupWriter(spark: SparkSession, docsDir: String,
+      schema: StructType, ledgerPath: String, outDir: String,
+      idCol: String, textCol: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (bid, _) = contentBatchId(b, idCol)
+          val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          val applied = IndexManifest.latest(fs, ledgerPath)
+            .exists(_.applied.contains(bid))
+          if (!applied) {
+            graft.ext.DedupOps.cdcDedupIncremental(s, ledgerPath,
+                b, idCol, textCol)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$outDir/batch=$bid")
+            graft.ext.DedupOps.appendToCdcChunkLedger(s, ledgerPath, b,
+              idCol, textCol, bid)
+          }
+        } finally b.unpersist(blocking = false)
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** Streamed PER-HOST CRAWL-BUDGET admission (gated x261) — the
     * frontier loop: each micro-batch of (doc_id, host) rows admits
     * against the persisted budget ledger
