@@ -1607,6 +1607,35 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     },
 
+    // C4 line-level cleaning (x275): the Raffel et al. §2.2 rules on
+    // a deterministically line-ified fixture (' sort ' -> sentence
+    // break, ' spark ' -> 'javascript' so the mention rule fires) —
+    // terminal-punct lines with >= 3 words survive, pages need 5.
+    "x275_c4_line_filter" -> ((s, dir) =>
+      graft.ext.TextAnalysis.c4LineFilter(
+        T(s, dir, "documents").select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), " spark ", " javascript "),
+            " sort ", ".\n").as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id").asc)),
+
+    // blocklist filtering (x276): the C4 bad-words stage — broadcast
+    // (term, category) table, per-doc hit counts, kept = zero hits.
+    "x276_blocklist_filter" -> ((s, dir) =>
+      graft.ext.TextAnalysis.blocklistFilter(
+        T(s, dir, "documents"), "doc_id", "text",
+        Seq(("data", "sensitive"), ("customer", "pii"),
+          ("vector", "ml"), ("stream", "ml")))
+        .orderBy(col("doc_id").asc)),
+
+    // Gopher quality rules (x277): the Rae et al. A1.1 battery with
+    // every threshold compared in integer cross-multiplication.
+    "x277_gopher_rules" -> ((s, dir) =>
+      graft.ext.TextAnalysis.gopherRules(
+        T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id").asc)),
+
     "x05_cosine_topk" -> { (s, dir) =>
       val emb = T(s, dir, "embeddings")
       graft.ext.Similarity.bruteForceTopK(
@@ -8944,6 +8973,125 @@ object SparkEntry {
         s"""SELECT doc_id, n_chunks, n_kept, dedup_text
            FROM ${cdcAsOfSql("st", "doc_id < 250", "x", 50)}
            ORDER BY doc_id ASC""",
+
+      // x275: the same two regex passes build the lines, then the C4
+      // rules — terminal punct, >= 3 words, no 'javascript' mention;
+      // page flag needs 5 survivors and no lorem-ipsum/brace
+      "x275_c4_line_filter" ->
+        """WITH d2 AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(text,
+                   ' spark ', ' javascript ', 'g'),
+                   ' sort ', '.' || chr(10), 'g') AS text
+               FROM documents),
+           l AS (SELECT doc_id, string_split(text, chr(10)) AS lines
+                 FROM d2),
+           k AS (SELECT doc_id, len(lines) AS n_lines,
+                   list_filter(lines, x ->
+                     regexp_matches(trim(x), '[.!?"'']$')
+                     AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+                     AND NOT contains(lower(x), 'javascript')) AS kept
+                 FROM l)
+           SELECT k.doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+                  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                  CAST(CASE WHEN NOT contains(lower(d2.text),
+                              'lorem ipsum')
+                         AND NOT contains(d2.text, '{')
+                         AND len(kept) >= 5
+                       THEN 1 ELSE 0 END AS BIGINT) AS doc_kept,
+                  coalesce(array_to_string(kept, chr(10)), '')
+                    AS clean_text
+           FROM k JOIN d2 ON k.doc_id = d2.doc_id
+           ORDER BY k.doc_id ASC""",
+
+      // x276: the blocklist as a VALUES table joined to the token
+      // unnest; kept = no hit row
+      "x276_blocklist_filter" ->
+        """WITH bl(w, category) AS (VALUES
+             ('data','sensitive'), ('customer','pii'),
+             ('vector','ml'), ('stream','ml')),
+           tk AS (SELECT doc_id,
+                    unnest(regexp_split_to_array(lower(trim(text)),
+                      '\s+')) AS w
+                  FROM documents),
+           h AS (SELECT doc_id, count(*) AS n_hits,
+                   count(DISTINCT tk.w) AS n_terms,
+                   array_to_string(list_sort(list(DISTINCT category)),
+                     ',') AS categories
+                 FROM tk JOIN bl ON tk.w = bl.w GROUP BY doc_id)
+           SELECT d.doc_id,
+                  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                  CAST(coalesce(h.n_terms, 0) AS BIGINT) AS n_terms,
+                  coalesce(h.categories, '') AS categories,
+                  CAST(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS kept
+           FROM (SELECT DISTINCT doc_id FROM documents) d
+                LEFT JOIN h ON d.doc_id = h.doc_id
+           ORDER BY d.doc_id ASC""",
+
+      // x277: every Gopher signal as an exact integer count, every
+      // threshold as integer cross-multiplication — bit-exact across
+      // engines; mean_word_len is audit-only (round-6, never compared)
+      "x277_gopher_rules" ->
+        """WITH t AS (SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\s+') AS toks,
+                 string_split(text, chr(10)) AS lines
+               FROM documents),
+           s AS (SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(list_reduce(list_prepend(0,
+                       list_transform(toks, x -> length(x))),
+                     (a, b) -> a + b) AS BIGINT) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(text,
+                     '[#…]', '', 'g')) AS BIGINT) AS n_sym,
+                   CAST(len(list_filter(toks, x ->
+                     regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                     AS n_alpha,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(lines, x ->
+                     regexp_matches(trim(x), '^[-•]'))) AS BIGINT)
+                     AS n_bullet,
+                   CAST(len(list_filter(lines, x ->
+                     regexp_matches(trim(x), '(\.\.\.|…)$')))
+                     AS BIGINT) AS n_ellipsis,
+                   CAST(len(list_intersect(
+                     list_transform(toks, x -> lower(x)),
+                     ['the','a','of','and','to','in','is','it']))
+                     AS BIGINT) AS n_stop
+                 FROM t)
+           SELECT doc_id, n_words, n_chars, n_sym, n_alpha, n_lines,
+                  n_bullet, n_ellipsis, n_stop,
+                  round(n_chars * 1.0 / n_words, 6) AS mean_word_len,
+                  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                       THEN 1 ELSE 0 END AS BIGINT) AS wc_ok,
+                  CAST(CASE WHEN n_chars >= 3 * n_words
+                         AND n_chars <= 10 * n_words
+                       THEN 1 ELSE 0 END AS BIGINT) AS mwl_ok,
+                  CAST(CASE WHEN 10 * n_sym < n_words
+                       THEN 1 ELSE 0 END AS BIGINT) AS sym_ok,
+                  CAST(CASE WHEN 10 * n_alpha > 7 * n_words
+                       THEN 1 ELSE 0 END AS BIGINT) AS alpha_ok,
+                  CAST(CASE WHEN 10 * n_bullet <= n_lines
+                       THEN 1 ELSE 0 END AS BIGINT) AS bullet_ok,
+                  CAST(CASE WHEN 10 * n_ellipsis <= 3 * n_lines
+                       THEN 1 ELSE 0 END AS BIGINT) AS ell_ok,
+                  CAST(CASE WHEN n_stop >= 2
+                       THEN 1 ELSE 0 END AS BIGINT) AS stop_ok,
+                  CAST((CASE WHEN n_words >= 50 AND n_words <= 100000
+                        THEN 1 ELSE 0 END)
+                     * (CASE WHEN n_chars >= 3 * n_words
+                          AND n_chars <= 10 * n_words
+                        THEN 1 ELSE 0 END)
+                     * (CASE WHEN 10 * n_sym < n_words
+                        THEN 1 ELSE 0 END)
+                     * (CASE WHEN 10 * n_alpha > 7 * n_words
+                        THEN 1 ELSE 0 END)
+                     * (CASE WHEN 10 * n_bullet <= n_lines
+                        THEN 1 ELSE 0 END)
+                     * (CASE WHEN 10 * n_ellipsis <= 3 * n_lines
+                        THEN 1 ELSE 0 END)
+                     * (CASE WHEN n_stop >= 2
+                        THEN 1 ELSE 0 END) AS BIGINT) AS keep
+           FROM s ORDER BY doc_id ASC""",
 
       "x05_cosine_topk" -> x05Sql,
 

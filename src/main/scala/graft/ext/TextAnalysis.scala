@@ -177,6 +177,145 @@ object TextAnalysis {
           sum(col("cnt")).cast(DoubleType), 6).as("nb_llr"))
   }
 
+  /** C4's line-level cleaning (Raffel et al. 2020, §2.2 — the public
+    * rules behind the most-used cleaned web corpus): a LINE survives
+    * iff it ends in a terminal punctuation mark, has at least 3
+    * words, and does not mention "javascript"; the DOCUMENT is
+    * flagged dropped iff it contains "lorem ipsum" or a curly brace,
+    * or fewer than 5 lines survive (the "at least five sentences"
+    * page rule). Rows are flagged, never dropped — the caller
+    * filters on `doc_kept`, audits read the counts.
+    *
+    * Output: (doc_id, n_lines, n_kept_lines, doc_kept 0/1,
+    * clean_text = surviving lines joined by newline).
+    *
+    * Scale shape: pure per-row projection over the line ARRAY
+    * (higher-order `filter`, no explode, no shuffle) — rides the
+    * scan at any corpus size. */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keptArr = filter(lines, l =>
+      trim(l).rlike("[.!?\"']$") &&
+        size(split(trim(l), "\\s+")) >= 3 &&
+        !lower(l).contains("javascript"))
+    df.select(col(idCol).as("doc_id"),
+        size(lines).cast(LongType).as("n_lines"),
+        size(keptArr).cast(LongType).as("n_kept_lines"),
+        array_join(keptArr, "\n").as("clean_text"),
+        lower(col(textCol)).contains("lorem ipsum").as("_lorem"),
+        col(textCol).contains("{").as("_brace"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+        when(!col("_lorem") && !col("_brace") &&
+          col("n_kept_lines") >= 5, lit(1L)).otherwise(lit(0L))
+          .as("doc_kept"),
+        col("clean_text"))
+  }
+
+  /** Blocklist document filtering — the C4 "bad words" stage (Raffel
+    * et al. 2020 discard any page with a word on the public
+    * List-of-Dirty-Naughty-... blocklist): tokens join a broadcast
+    * (term, category) table, documents aggregate hit counts, and
+    * `kept` = zero hits. Every document gets a row (hit or not).
+    *
+    * Output: (doc_id, n_hits, n_terms = distinct blocklisted terms
+    * present, categories = sorted distinct categories hit joined by
+    * ',', kept 0/1).
+    *
+    * Scale shape: the blocklist is a few hundred to a few thousand
+    * rows — broadcast to the exploded token scan; only HIT rows
+    * (rare) shuffle into the per-doc aggregate, and the final
+    * left-join back onto ids carries (doc_id, counts) pairs. Text
+    * never shuffles. */
+  def blocklistFilter(df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[(String, String)]): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bl = blocklist.toDF("w", "category")
+    val hits = df
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("w"))
+      .join(broadcast(bl), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("w")).as("n_terms"),
+        array_join(array_sort(collect_set(col("category"))), ",")
+          .as("categories"))
+    df.select(col(idCol).as("doc_id")).distinct()
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("categories"), lit("")).as("categories"),
+        when(col("n_hits").isNull, lit(1L)).otherwise(lit(0L))
+          .as("kept"))
+  }
+
+  /** Gopher document-quality rules (Rae et al. 2021, Appendix A1.1 —
+    * the published heuristic battery MassiveText shipped with): each
+    * rule emits a 0/1 flag and `keep` is their conjunction. Rules and
+    * the paper's thresholds:
+    *
+    *  - `wc_ok`:    50 ≤ word count ≤ 100,000
+    *  - `mwl_ok`:   3 ≤ mean word length ≤ 10
+    *  - `sym_ok`:   symbol-to-word ratio ('#' or '…') < 0.1
+    *  - `alpha_ok`: > 70% of words contain an alphabetic character
+    *  - `bullet_ok`: ≤ 10% of lines start with a bullet ('-' or '•')
+    *  - `ell_ok`:   ≤ 30% of lines end with an ellipsis ('…'/'...')
+    *  - `stop_ok`:  ≥ 2 DISTINCT stopwords present (the x09 list)
+    *
+    * Every threshold compare runs in INTEGER cross-multiplication
+    * (10·n_sym < n_words, not n_sym/n_words < 0.1) so the decision is
+    * bit-exact across engines; `mean_word_len` is emitted round-6 for
+    * audits but never compared as a float. Pure projection over the
+    * token/line arrays — no explode, no shuffle, scan-bounded. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = tokens(col(textCol))
+    val lns = split(col(textCol), "\n")
+    val stop = Array("the", "a", "of", "and", "to", "in", "is", "it")
+    def cnt(c: Column): Column = c.cast(LongType)
+    df.select(col(idCol).as("doc_id"),
+        cnt(size(toks)).as("n_words"),
+        cnt(aggregate(transform(toks, t => length(t)), lit(0),
+          (acc, x) => acc + x)).as("n_chars"),
+        cnt(length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[#…]", "")))
+          .as("n_sym"),
+        cnt(size(filter(toks, t => t.rlike("[A-Za-z]"))))
+          .as("n_alpha"),
+        cnt(size(lns)).as("n_lines"),
+        cnt(size(filter(lns, l =>
+          trim(l).rlike("^[-•]")))).as("n_bullet"),
+        cnt(size(filter(lns, l =>
+          trim(l).rlike("(\\.\\.\\.|…)$")))).as("n_ellipsis"),
+        cnt(size(array_intersect(
+          transform(toks, t => lower(t)),
+          lit(stop)))).as("n_stop"))
+      .withColumn("mean_word_len",
+        round(col("n_chars").cast(DoubleType) /
+          col("n_words").cast(DoubleType), 6))
+      .withColumn("wc_ok", when(col("n_words") >= 50 &&
+        col("n_words") <= 100000, lit(1L)).otherwise(lit(0L)))
+      .withColumn("mwl_ok", when(col("n_chars") >= lit(3) * col("n_words")
+        && col("n_chars") <= lit(10) * col("n_words"), lit(1L))
+        .otherwise(lit(0L)))
+      .withColumn("sym_ok", when(lit(10) * col("n_sym") < col("n_words"),
+        lit(1L)).otherwise(lit(0L)))
+      .withColumn("alpha_ok", when(lit(10) * col("n_alpha") >
+        lit(7) * col("n_words"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("bullet_ok", when(lit(10) * col("n_bullet") <=
+        col("n_lines"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("ell_ok", when(lit(10) * col("n_ellipsis") <=
+        lit(3) * col("n_lines"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("stop_ok", when(col("n_stop") >= 2, lit(1L))
+        .otherwise(lit(0L)))
+      .withColumn("keep", col("wc_ok") * col("mwl_ok") * col("sym_ok") *
+        col("alpha_ok") * col("bullet_ok") * col("ell_ok") *
+        col("stop_ok"))
+  }
+
   /** Canonical text normalization ahead of dedup/fingerprinting:
     * Unicode NFC composition first (decomposed `e`+U+0301 and
     * precomposed `é` become byte-identical — without it multilingual

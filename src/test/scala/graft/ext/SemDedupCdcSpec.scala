@@ -180,6 +180,76 @@ class SemDedupCdcSpec extends SparkSpec {
     assert(hi > n / 4, s"high-score admits $hi should be common")
   }
 
+  // ----------------------------------------- C4 / blocklist / Gopher
+
+  test("c4LineFilter: terminal-punct / 3-word / javascript line " +
+      "rules and the lorem-ipsum / brace / 5-line page rules") {
+    val five = (1 to 5).map(i => s"good line number $i.").mkString("\n")
+    val docs = Seq(
+      (1L, five),                                   // clean, 5 lines
+      (2L, five + "\nno terminal punct\nshort."     // rejected lines
+        + "\nthis one mentions javascript sadly."),
+      (3L, "lorem ipsum dolor sit amet." + "\n" + five), // page rule
+      (4L, five.replace("number 3.", "number { 3.")),    // brace rule
+      (5L, "only one good line here."))              // < 5 survivors
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept_lines", "doc_kept")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 5L, 5L, 1L),
+      // 'no terminal punct' fails rule 1, 'short.' fails the 3-word
+      // rule, the javascript mention fails rule 3
+      (2L, 8L, 5L, 1L),
+      (3L, 6L, 6L, 0L),
+      (4L, 5L, 5L, 0L),
+      (5L, 1L, 1L, 0L)))
+  }
+
+  test("blocklistFilter: hit counts, distinct terms, sorted " +
+      "categories, kept = zero hits") {
+    val docs = Seq(
+      (1L, "clean words only here"),
+      (2L, "bad bad apple"),
+      (3L, "Bad APPLE worse"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFilter(docs, "doc_id", "text",
+        Seq(("bad", "b"), ("apple", "a"), ("worse", "b")))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, 0L, "", 1L),
+      (2L, 3L, 2L, "a,b", 0L),
+      // case-insensitive via the lowercased token stream
+      (3L, 3L, 3L, "a,b", 0L)))
+  }
+
+  test("gopherRules: each rule flips on its hand-built violator") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ") +
+      " the of and"                         // 53 words, stopwords ok
+    val docs = Seq(
+      (1L, fifty),                          // all rules pass
+      (2L, "too short but the of"),         // wc_ok = 0
+      (3L, fifty.replace("word7", "#### ## ##### ### ## ## ###")),
+      (4L, fifty + "\n- bullet one\n- two\n- three\n- four\n- five" +
+        "\n- six\n- seven\n- eight\n- nine\n- ten\n- x\n- y"),
+      (5L, fifty.replaceAll("word(1[0-9])", "…$1…")), // sym spike
+      (6L, (1 to 60).map(_ => "zz").mkString(" ")))   // no stopwords
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "wc_ok", "sym_ok", "alpha_ok", "bullet_ok",
+        "stop_ok", "keep")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out(0) === ((1L, 1L, 1L, 1L, 1L, 1L, 1L)))
+    assert(out(1)._2 === 0L && out(1)._7 === 0L)     // word count
+    assert(out(2)._4 === 0L || out(2)._3 === 0L)     // symbols/alpha
+    assert(out(3)._5 === 0L && out(3)._7 === 0L)     // bullets
+    assert(out(4)._3 === 0L && out(4)._7 === 0L)     // symbol ratio
+    assert(out(5)._6 === 0L && out(5)._7 === 0L)     // stopwords
+  }
+
   // ------------------------------------------------------ cdcChunks
 
   lazy val fixtureDocs = Tables.load(spark, Sf0001, "documents")
