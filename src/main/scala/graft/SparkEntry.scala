@@ -1636,6 +1636,67 @@ object SparkEntry {
         T(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id").asc)),
 
+    // Gopher repetition rules (x278): duplicate lines / heaviest
+    // 2-gram / repeated 5-grams, on a fixture where every 4th doc is
+    // its own text twice (the machine-generated-boilerplate shape).
+    "x278_gopher_repetition" -> ((s, dir) =>
+      graft.ext.TextAnalysis.gopherRepetitionRules(
+        T(s, dir, "documents").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(col("text"), lit("\n"), col("text")))
+            .otherwise(col("text")).as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id").asc)),
+
+    // PII audit (x279): per-doc email/phone/IP counts over a fixture
+    // with deterministically planted identifiers — the measurement
+    // half of the x12 redaction pass.
+    "x279_pii_audit" -> ((s, dir) =>
+      graft.ext.TextAnalysis.piiAudit(
+        T(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(lit(" contact user"),
+                col("doc_id").cast("string"),
+                lit("@example.com"))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              lit(" call 555-123-4567")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              lit(" from 10.0.0.1")).otherwise(lit("")))
+            .as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id").asc)),
+
+    // release-audit card (x280): the one-row rollup a training-data
+    // release ships — doc/dup counts, Gopher + blocklist pass counts,
+    // classifier mean (DECIMAL-summed, engine-exact), Pareto admits.
+    "x280_release_audit" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val d = docs.agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(sha2(col("text"), 256)))
+          .as("exact_dup_docs"))
+      val g = graft.ext.TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .agg(sum("keep").as("gopher_pass"))
+      val b = graft.ext.TextAnalysis.blocklistFilter(docs, "doc_id",
+          "text", Seq(("data", "sensitive"), ("customer", "pii"),
+            ("vector", "ml"), ("stream", "ml")))
+        .agg(sum("kept").as("blocklist_pass"))
+      val nb = graft.ext.TextAnalysis.nbQualityScore(docs, "doc_id",
+          "text", col("source").isin("src1", "src2", "src3"))
+        .agg(round(
+          sum(col("nb_llr").cast(org.apache.spark.sql.types
+            .DataTypes.createDecimalType(18, 6))).cast("double") /
+            count(lit(1)), 6).as("mean_nb_llr"))
+      val pa = graft.ext.Corpus.paretoAdmit(
+          graft.ext.TextAnalysis.qualityScore(docs, "text"), "doc_id",
+          col("quality_score"), alpha = 9.0, salt = "pareto268")
+        .agg(sum("admitted").as("pareto_admits"))
+      d.crossJoin(broadcast(g)).crossJoin(broadcast(b))
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(pa))
+        .select("n_docs", "exact_dup_docs", "gopher_pass",
+          "blocklist_pass", "mean_nb_llr", "pareto_admits")
+    },
+
     "x05_cosine_topk" -> { (s, dir) =>
       val emb = T(s, dir, "embeddings")
       graft.ext.Similarity.bruteForceTopK(
@@ -7855,6 +7916,112 @@ object SparkEntry {
                     AS nb_llr
                 FROM tw JOIN wl USING (w)
                 GROUP BY tw.doc_id)"""
+    // hoisted full-query forms, shared with the x280 release-audit
+    // card (which sums their keep/kept/admitted columns as derived
+    // tables — one definition, two gates)
+    val x267NbSql: String =
+      s"""WITH $nbLlrCtes
+         SELECT doc_id, n_tokens, nb_llr FROM nb
+         ORDER BY doc_id ASC"""
+    val x268ParetoSql: String =
+      s"""WITH ${qualityCteSignals("")},
+          q AS (SELECT doc_id, $qualityScoreExpr AS quality_score
+                FROM qr),
+          p AS (SELECT doc_id,
+                  round(quality_score, 6) AS score,
+                  round(power(1.0 -
+                      ((('0x' || substr(md5('pareto268:'
+                          || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 1048576 + 0.5) / 1048576.0),
+                      ${-1.0 / 9.0}) - 1.0, 6) AS pareto_draw
+                FROM q)
+          SELECT doc_id, score, pareto_draw,
+                 CAST(CASE WHEN pareto_draw > round(1.0 - score, 6)
+                      THEN 1 ELSE 0 END AS BIGINT) AS admitted
+          FROM p ORDER BY doc_id ASC"""
+    val x276BlockSql: String =
+      """WITH bl(w, category) AS (VALUES
+           ('data','sensitive'), ('customer','pii'),
+           ('vector','ml'), ('stream','ml')),
+         tk AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)),
+                    '\s+')) AS w
+                FROM documents),
+         h AS (SELECT doc_id, count(*) AS n_hits,
+                 count(DISTINCT tk.w) AS n_terms,
+                 array_to_string(list_sort(list(DISTINCT category)),
+                   ',') AS categories
+               FROM tk JOIN bl ON tk.w = bl.w GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                CAST(coalesce(h.n_terms, 0) AS BIGINT) AS n_terms,
+                coalesce(h.categories, '') AS categories,
+                CAST(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END
+                  AS BIGINT) AS kept
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+              LEFT JOIN h ON d.doc_id = h.doc_id
+         ORDER BY d.doc_id ASC"""
+    val x277GopherSql: String =
+      """WITH t AS (SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\s+') AS toks,
+                 string_split(text, chr(10)) AS lines
+               FROM documents),
+           s AS (SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(list_reduce(list_prepend(0,
+                       list_transform(toks, x -> length(x))),
+                     (a, b) -> a + b) AS BIGINT) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(text,
+                     '[#…]', '', 'g')) AS BIGINT) AS n_sym,
+                   CAST(len(list_filter(toks, x ->
+                     regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                     AS n_alpha,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(lines, x ->
+                     regexp_matches(trim(x), '^[-•]'))) AS BIGINT)
+                     AS n_bullet,
+                   CAST(len(list_filter(lines, x ->
+                     regexp_matches(trim(x), '(\.\.\.|…)$')))
+                     AS BIGINT) AS n_ellipsis,
+                   CAST(len(list_intersect(
+                     list_transform(toks, x -> lower(x)),
+                     ['the','a','of','and','to','in','is','it']))
+                     AS BIGINT) AS n_stop
+                 FROM t)
+           SELECT doc_id, n_words, n_chars, n_sym, n_alpha, n_lines,
+                  n_bullet, n_ellipsis, n_stop,
+                  round(n_chars * 1.0 / n_words, 6) AS mean_word_len,
+                  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                       THEN 1 ELSE 0 END AS BIGINT) AS wc_ok,
+                  CAST(CASE WHEN n_chars >= 3 * n_words
+                         AND n_chars <= 10 * n_words
+                       THEN 1 ELSE 0 END AS BIGINT) AS mwl_ok,
+                  CAST(CASE WHEN 10 * n_sym < n_words
+                       THEN 1 ELSE 0 END AS BIGINT) AS sym_ok,
+                  CAST(CASE WHEN 10 * n_alpha > 7 * n_words
+                       THEN 1 ELSE 0 END AS BIGINT) AS alpha_ok,
+                  CAST(CASE WHEN 10 * n_bullet <= n_lines
+                       THEN 1 ELSE 0 END AS BIGINT) AS bullet_ok,
+                  CAST(CASE WHEN 10 * n_ellipsis <= 3 * n_lines
+                       THEN 1 ELSE 0 END AS BIGINT) AS ell_ok,
+                  CAST(CASE WHEN n_stop >= 2
+                       THEN 1 ELSE 0 END AS BIGINT) AS stop_ok,
+                  CAST((CASE WHEN n_words >= 50 AND n_words <= 100000
+                        THEN 1 ELSE 0 END)
+                     * (CASE WHEN n_chars >= 3 * n_words
+                          AND n_chars <= 10 * n_words
+                        THEN 1 ELSE 0 END)
+                     * (CASE WHEN 10 * n_sym < n_words
+                        THEN 1 ELSE 0 END)
+                     * (CASE WHEN 10 * n_alpha > 7 * n_words
+                        THEN 1 ELSE 0 END)
+                     * (CASE WHEN 10 * n_bullet <= n_lines
+                        THEN 1 ELSE 0 END)
+                     * (CASE WHEN 10 * n_ellipsis <= 3 * n_lines
+                        THEN 1 ELSE 0 END)
+                     * (CASE WHEN n_stop >= 2
+                        THEN 1 ELSE 0 END) AS BIGINT) AS keep
+           FROM s ORDER BY doc_id ASC"""
     // --- Wrapping 64-bit arithmetic in DuckDB, for the FNV-1a +
     // splitmix64 token hashing behind x03/x04 (TextHashExprs.hashToken).
     // DuckDB's checked BIGINT refuses overflow, so values live as
@@ -8832,10 +8999,7 @@ object SparkEntry {
       // x267: Laplace-smoothed NB token llr table from the seed split,
       // docs scored by count-weighted mean llr — one (doc, pos, w)
       // count CTE feeds class totals, vocab, and the doc join
-      "x267_nb_quality" ->
-        s"""WITH $nbLlrCtes
-           SELECT doc_id, n_tokens, nb_llr FROM nb
-           ORDER BY doc_id ASC""",
+      "x267_nb_quality" -> x267NbSql,
 
       // x271: the trained model's logistic probability through the
       // Pareto keep rule — x267's nb CTE + x268's admission pattern
@@ -8860,22 +9024,7 @@ object SparkEntry {
       // x268: the shared x09 score + the md5-slot uniform (1048576
       // slots) through the Pareto inverse CDF; the admit compare runs
       // on round-6 values so pow's last ulp cannot flip a decision
-      "x268_pareto_admit" ->
-        s"""WITH ${qualityCteSignals("")},
-            q AS (SELECT doc_id, $qualityScoreExpr AS quality_score
-                  FROM qr),
-            p AS (SELECT doc_id,
-                    round(quality_score, 6) AS score,
-                    round(power(1.0 -
-                        ((('0x' || substr(md5('pareto268:'
-                            || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                          % 1048576 + 0.5) / 1048576.0),
-                        ${-1.0 / 9.0}) - 1.0, 6) AS pareto_draw
-                  FROM q)
-            SELECT doc_id, score, pareto_draw,
-                   CAST(CASE WHEN pareto_draw > round(1.0 - score, 6)
-                        THEN 1 ELSE 0 END AS BIGINT) AS admitted
-            FROM p ORDER BY doc_id ASC""",
+      "x268_pareto_admit" -> x268ParetoSql,
 
       // x269: md5-slot boundary flags, doc-bounded running sum to
       // chunk ids, ordered string_agg reassembly + sha256 — the
@@ -9005,93 +9154,138 @@ object SparkEntry {
 
       // x276: the blocklist as a VALUES table joined to the token
       // unnest; kept = no hit row
-      "x276_blocklist_filter" ->
-        """WITH bl(w, category) AS (VALUES
-             ('data','sensitive'), ('customer','pii'),
-             ('vector','ml'), ('stream','ml')),
-           tk AS (SELECT doc_id,
-                    unnest(regexp_split_to_array(lower(trim(text)),
-                      '\s+')) AS w
-                  FROM documents),
-           h AS (SELECT doc_id, count(*) AS n_hits,
-                   count(DISTINCT tk.w) AS n_terms,
-                   array_to_string(list_sort(list(DISTINCT category)),
-                     ',') AS categories
-                 FROM tk JOIN bl ON tk.w = bl.w GROUP BY doc_id)
-           SELECT d.doc_id,
-                  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-                  CAST(coalesce(h.n_terms, 0) AS BIGINT) AS n_terms,
-                  coalesce(h.categories, '') AS categories,
-                  CAST(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END
-                    AS BIGINT) AS kept
-           FROM (SELECT DISTINCT doc_id FROM documents) d
-                LEFT JOIN h ON d.doc_id = h.doc_id
-           ORDER BY d.doc_id ASC""",
+      "x276_blocklist_filter" -> x276BlockSql,
 
       // x277: every Gopher signal as an exact integer count, every
       // threshold as integer cross-multiplication — bit-exact across
       // engines; mean_word_len is audit-only (round-6, never compared)
-      "x277_gopher_rules" ->
-        """WITH t AS (SELECT doc_id, text,
-                 regexp_split_to_array(trim(text), '\s+') AS toks,
-                 string_split(text, chr(10)) AS lines
+      "x277_gopher_rules" -> x277GopherSql,
+
+      // x278: line/2-gram/5-gram stats counted by TEXT equality (the
+      // engine counts by xxhash64 — identical up to 2^-64 collisions),
+      // thresholds in integer cross-multiplication
+      "x278_gopher_repetition" ->
+        """WITH d2 AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+                 THEN text || chr(10) || text ELSE text END AS text
                FROM documents),
-           s AS (SELECT doc_id,
-                   CAST(len(toks) AS BIGINT) AS n_words,
-                   CAST(list_reduce(list_prepend(0,
-                       list_transform(toks, x -> length(x))),
-                     (a, b) -> a + b) AS BIGINT) AS n_chars,
-                   CAST(length(text) - length(regexp_replace(text,
-                     '[#…]', '', 'g')) AS BIGINT) AS n_sym,
-                   CAST(len(list_filter(toks, x ->
-                     regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
-                     AS n_alpha,
-                   CAST(len(lines) AS BIGINT) AS n_lines,
-                   CAST(len(list_filter(lines, x ->
-                     regexp_matches(trim(x), '^[-•]'))) AS BIGINT)
-                     AS n_bullet,
-                   CAST(len(list_filter(lines, x ->
-                     regexp_matches(trim(x), '(\.\.\.|…)$')))
-                     AS BIGINT) AS n_ellipsis,
-                   CAST(len(list_intersect(
-                     list_transform(toks, x -> lower(x)),
-                     ['the','a','of','and','to','in','is','it']))
-                     AS BIGINT) AS n_stop
-                 FROM t)
-           SELECT doc_id, n_words, n_chars, n_sym, n_alpha, n_lines,
-                  n_bullet, n_ellipsis, n_stop,
-                  round(n_chars * 1.0 / n_words, 6) AS mean_word_len,
-                  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
-                       THEN 1 ELSE 0 END AS BIGINT) AS wc_ok,
-                  CAST(CASE WHEN n_chars >= 3 * n_words
-                         AND n_chars <= 10 * n_words
-                       THEN 1 ELSE 0 END AS BIGINT) AS mwl_ok,
-                  CAST(CASE WHEN 10 * n_sym < n_words
-                       THEN 1 ELSE 0 END AS BIGINT) AS sym_ok,
-                  CAST(CASE WHEN 10 * n_alpha > 7 * n_words
-                       THEN 1 ELSE 0 END AS BIGINT) AS alpha_ok,
-                  CAST(CASE WHEN 10 * n_bullet <= n_lines
-                       THEN 1 ELSE 0 END AS BIGINT) AS bullet_ok,
-                  CAST(CASE WHEN 10 * n_ellipsis <= 3 * n_lines
-                       THEN 1 ELSE 0 END AS BIGINT) AS ell_ok,
-                  CAST(CASE WHEN n_stop >= 2
-                       THEN 1 ELSE 0 END AS BIGINT) AS stop_ok,
-                  CAST((CASE WHEN n_words >= 50 AND n_words <= 100000
+           t AS (SELECT doc_id, text,
+                   regexp_split_to_array(trim(text), '\s+') AS toks
+                 FROM d2),
+           ls AS (SELECT doc_id, l, length(l) AS len, count(*) AS c
+                  FROM (SELECT doc_id,
+                          unnest(string_split(text, chr(10))) AS l
+                        FROM d2)
+                  GROUP BY doc_id, l),
+           la AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+                    CAST(sum(c - 1) AS BIGINT) AS dup_lines,
+                    CAST(sum(len * c) AS BIGINT) AS line_chars,
+                    CAST(sum(len * (c - 1)) AS BIGINT)
+                      AS dup_line_chars
+                  FROM ls GROUP BY doc_id),
+           g2 AS (SELECT doc_id, g, length(g) AS len, count(*) AS c
+                  FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                          THEN [array_to_string(toks[i+1:i+2], ' ')
+                                for i in range(len(toks)-1)]
+                          ELSE []::VARCHAR[] END) AS g
+                        FROM t)
+                  GROUP BY doc_id, g),
+           t2 AS (SELECT doc_id, CAST(max(c * len) AS BIGINT)
+                    AS top2_chars
+                  FROM g2 GROUP BY doc_id),
+           g5 AS (SELECT doc_id, g, length(g) AS len, count(*) AS c
+                  FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+                          THEN [array_to_string(toks[i+1:i+5], ' ')
+                                for i in range(len(toks)-4)]
+                          ELSE []::VARCHAR[] END) AS g
+                        FROM t)
+                  GROUP BY doc_id, g),
+           d5 AS (SELECT doc_id, CAST(sum(len * (c - 1)) AS BIGINT)
+                    AS dup5_chars
+                  FROM g5 GROUP BY doc_id),
+           nc AS (SELECT doc_id,
+                    CAST(length(array_to_string(toks, ' ')) AS BIGINT)
+                      AS norm_chars
+                  FROM t)
+           SELECT nc.doc_id, nc.norm_chars, la.n_lines, la.dup_lines,
+                  la.line_chars, la.dup_line_chars,
+                  CAST(coalesce(t2.top2_chars, 0) AS BIGINT)
+                    AS top2_chars,
+                  CAST(coalesce(d5.dup5_chars, 0) AS BIGINT)
+                    AS dup5_chars,
+                  CAST(CASE WHEN 10 * la.dup_lines <= 3 * la.n_lines
+                       THEN 1 ELSE 0 END AS BIGINT) AS dup_line_ok,
+                  CAST(CASE WHEN 5 * la.dup_line_chars <= la.line_chars
+                       THEN 1 ELSE 0 END AS BIGINT) AS dup_line_char_ok,
+                  CAST(CASE WHEN 5 * coalesce(t2.top2_chars, 0)
+                              <= nc.norm_chars
+                       THEN 1 ELSE 0 END AS BIGINT) AS top2_ok,
+                  CAST(CASE WHEN 20 * coalesce(d5.dup5_chars, 0)
+                              <= 3 * nc.norm_chars
+                       THEN 1 ELSE 0 END AS BIGINT) AS dup5_ok,
+                  CAST((CASE WHEN 10 * la.dup_lines <= 3 * la.n_lines
                         THEN 1 ELSE 0 END)
-                     * (CASE WHEN n_chars >= 3 * n_words
-                          AND n_chars <= 10 * n_words
+                     * (CASE WHEN 5 * la.dup_line_chars
+                               <= la.line_chars
                         THEN 1 ELSE 0 END)
-                     * (CASE WHEN 10 * n_sym < n_words
+                     * (CASE WHEN 5 * coalesce(t2.top2_chars, 0)
+                               <= nc.norm_chars
                         THEN 1 ELSE 0 END)
-                     * (CASE WHEN 10 * n_alpha > 7 * n_words
-                        THEN 1 ELSE 0 END)
-                     * (CASE WHEN 10 * n_bullet <= n_lines
-                        THEN 1 ELSE 0 END)
-                     * (CASE WHEN 10 * n_ellipsis <= 3 * n_lines
-                        THEN 1 ELSE 0 END)
-                     * (CASE WHEN n_stop >= 2
+                     * (CASE WHEN 20 * coalesce(d5.dup5_chars, 0)
+                               <= 3 * nc.norm_chars
                         THEN 1 ELSE 0 END) AS BIGINT) AS keep
-           FROM s ORDER BY doc_id ASC""",
+           FROM nc JOIN la USING (doc_id)
+                LEFT JOIN t2 USING (doc_id)
+                LEFT JOIN d5 USING (doc_id)
+           ORDER BY nc.doc_id ASC""",
+
+      // x279: the planted identifiers re-derived, counts via
+      // regexp_extract_all over the identical RE2-safe patterns
+      "x279_pii_audit" ->
+        """WITH d2 AS (SELECT doc_id, text
+                 || CASE WHEN doc_id % 5 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                    THEN ' call 555-123-4567' ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0
+                    THEN ' from 10.0.0.1' ELSE '' END AS text
+               FROM documents),
+           c AS (SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT)
+                     AS n_phones,
+                   CAST(len(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                     AS BIGINT) AS n_ips
+                 FROM d2)
+           SELECT doc_id, n_emails, n_phones, n_ips,
+                  n_emails + n_phones + n_ips AS n_pii,
+                  CAST(CASE WHEN n_emails + n_phones + n_ips > 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS has_pii
+           FROM c ORDER BY doc_id ASC""",
+
+      // x280: the shared full-query forms as derived tables — one
+      // definition per metric, summed; the classifier mean goes
+      // through a DECIMAL(18,6) sum so both engines add exactly
+      "x280_release_audit" ->
+        s"""SELECT d.n_docs, d.exact_dup_docs, g.gopher_pass,
+                  b.blocklist_pass, n.mean_nb_llr, p.pareto_admits
+           FROM (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) - count(DISTINCT sha256(text))
+                     AS BIGINT) AS exact_dup_docs
+                 FROM documents) d,
+                (SELECT CAST(sum(keep) AS BIGINT) AS gopher_pass
+                 FROM ($x277GopherSql)) g,
+                (SELECT CAST(sum(kept) AS BIGINT) AS blocklist_pass
+                 FROM ($x276BlockSql)) b,
+                (SELECT round(CAST(sum(CAST(nb_llr AS DECIMAL(18,6)))
+                     AS DOUBLE) / count(*), 6) AS mean_nb_llr
+                 FROM ($x267NbSql)) n,
+                (SELECT CAST(sum(admitted) AS BIGINT) AS pareto_admits
+                 FROM ($x268ParetoSql)) p""",
 
       "x05_cosine_topk" -> x05Sql,
 

@@ -316,6 +316,107 @@ object TextAnalysis {
         col("stop_ok"))
   }
 
+  /** Gopher's REPETITION filters (Rae et al. 2021, A1.1 — the other
+    * half of [[gopherRules]]'s battery): documents made of repeated
+    * lines/n-grams are machine-generated boilerplate. Signals, with
+    * the paper's thresholds, every compare in integer
+    * cross-multiplication:
+    *
+    *  - `dup_line_ok`:  ≤ 30% of lines are repeats of an earlier line
+    *    (occurrences beyond each line's first)
+    *  - `dup_line_char_ok`: ≤ 20% of line characters sit in those
+    *    repeated occurrences
+    *  - `top2_ok`: the heaviest 2-gram covers ≤ 20% of the
+    *    whitespace-normalized characters (coverage = count × gram
+    *    length; the count·len argmax is the deterministic form of
+    *    "chars in the most frequent n-gram" — no text tiebreak)
+    *  - `dup5_ok`: characters in repeated 5-gram occurrences (beyond
+    *    each gram's first; overlaps counted, as the paper does) ≤ 15%
+    *
+    * Scale shape: lines and n-grams are hashed ON THE MAP SIDE
+    * (xxhash64 + char length), so the three doc-keyed aggregates
+    * shuffle 24-byte (doc, hash, len) rows — text and grams never
+    * enter an exchange. An oracle counts by text equality — identical
+    * up to 2⁻⁶⁴ collisions, the bm25/minhash precedent. */
+  def gopherRepetitionRules(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    // guard: sequence(0, -k) would COUNT DOWN under ANSI — short docs
+    // contribute an empty gram list instead
+    def grams(n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - lit(n)),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array())
+    def gramStats(n: Int) = df
+      .select(col(idCol).as("doc_id"), explode(grams(n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"),
+        length(col("g")).cast(LongType).as("len"))
+      .groupBy(col("doc_id"), col("h"), col("len"))
+      .agg(count(lit(1)).as("c"))
+    val lineStats = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("l"))
+      .select(col("doc_id"), xxhash64(col("l")).as("h"),
+        length(col("l")).cast(LongType).as("len"))
+      .groupBy(col("doc_id"), col("h"), col("len"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_lines"),
+        sum(col("c") - 1).as("dup_lines"),
+        sum(col("len") * col("c")).as("line_chars"),
+        sum(col("len") * (col("c") - 1)).as("dup_line_chars"))
+    val top2 = gramStats(2).groupBy(col("doc_id"))
+      .agg(max(col("c") * col("len")).as("top2_chars"))
+    val dup5 = gramStats(5).groupBy(col("doc_id"))
+      .agg(sum(col("len") * (col("c") - 1)).as("dup5_chars"))
+    val base = df.select(col(idCol).as("doc_id"),
+      length(array_join(toks, " ")).cast(LongType).as("norm_chars"))
+    base.join(lineStats, Seq("doc_id"), "left")
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("norm_chars"), col("n_lines"),
+        col("dup_lines"), col("line_chars"), col("dup_line_chars"),
+        coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
+        coalesce(col("dup5_chars"), lit(0L)).as("dup5_chars"))
+      .withColumn("dup_line_ok",
+        when(lit(10) * col("dup_lines") <= lit(3) * col("n_lines"),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("dup_line_char_ok",
+        when(lit(5) * col("dup_line_chars") <= col("line_chars"),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("top2_ok",
+        when(lit(5) * col("top2_chars") <= col("norm_chars"),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("dup5_ok",
+        when(lit(20) * col("dup5_chars") <= lit(3) * col("norm_chars"),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("keep", col("dup_line_ok") * col("dup_line_char_ok")
+        * col("top2_ok") * col("dup5_ok"))
+  }
+
+  /** PII AUDIT — the measurement half of [[redactPii]]: per-document
+    * counts of email / phone / IPv4 matches (the same RE2-safe
+    * patterns the redactor rewrites), plus the total and a 0/1 flag.
+    * Run it before redaction to size the exposure, after to verify
+    * zero residue; the corpus rollup is one sum over this output.
+    * Pure projection (regexp_count per pattern), scan-bounded. */
+  def piiAudit(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    def cnt(p: String): Column =
+      regexp_count(col(textCol), lit(p)).cast(LongType)
+    df.select(col(idCol).as("doc_id"),
+        cnt(email).as("n_emails"), cnt(phone).as("n_phones"),
+        cnt(ipv4).as("n_ips"))
+      .withColumn("n_pii",
+        col("n_emails") + col("n_phones") + col("n_ips"))
+      .withColumn("has_pii",
+        when(col("n_pii") > 0, lit(1L)).otherwise(lit(0L)))
+  }
+
   /** Canonical text normalization ahead of dedup/fingerprinting:
     * Unicode NFC composition first (decomposed `e`+U+0301 and
     * precomposed `é` become byte-identical — without it multilingual

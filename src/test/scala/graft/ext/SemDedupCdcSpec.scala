@@ -250,6 +250,56 @@ class SemDedupCdcSpec extends SparkSpec {
     assert(out(5)._6 === 0L && out(5)._7 === 0L)     // stopwords
   }
 
+  test("gopherRepetitionRules: hand-computed line and n-gram " +
+      "repetition fractions") {
+    val docs = Seq(
+      // 3 lines, one duplicated: dup_lines=1, 10*1 > 3*3 -> flag 0
+      (1L, "aa bb cc dd ee\naa bb cc dd ee\nff gg hh ii jj"),
+      // heaviest 2-gram 'xy xy' style repeat: 'ab ab ab ab ab ab' ->
+      // 2-gram 'ab ab' count 5, len 5 -> 25 > norm 17 -> top2 flag 0
+      (2L, "ab ab ab ab ab ab"),
+      // clean: all distinct words, one line, long enough that one
+      // 2-gram occurrence stays under the 20% coverage bar
+      (3L, (1 to 12).map(i => f"k$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetitionRules(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "dup_lines", "dup_line_chars",
+        "top2_chars", "dup5_chars", "dup_line_ok", "top2_ok", "keep")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val d1 = out(0)
+    assert(d1._2 === 3L && d1._3 === 1L && d1._4 === 14L)
+    assert(d1._7 === 0L && d1._9 === 0L) // 10*1 > 3*3
+    val d2 = out(1)
+    // 'ab ab': count 5, len 5 -> 25; norm chars = 17
+    assert(d2._5 === 25L && d2._8 === 0L && d2._9 === 0L)
+    // dup 5-grams: 'ab ab ab ab ab' occurs twice -> len 14 * 1 = 14
+    assert(d2._6 === 14L)
+    val d3 = out(2)
+    // 12 x 3-char words: top 2-gram 'k01 k02' = 7 chars, count 1;
+    // norm chars 47; 5*7 <= 47 -> all clean
+    assert(d3 === ((3L, 1L, 0L, 0L, 7L, 0L, 1L, 1L, 1L)))
+  }
+
+  test("piiAudit: counts every planted identifier class; redacted " +
+      "text audits to zero") {
+    val docs = Seq(
+      (1L, "mail me at a.b@test.org or c@d.io, call 555-123-4567, " +
+        "host 10.0.0.1 and 192.168.1.1"),
+      (2L, "no identifiers at all here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiAudit(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L, 1L, 2L, 5L, 1L), (2L, 0L, 0L, 0L, 0L, 0L)))
+    val redacted = docs.select(col("doc_id"),
+      TextAnalysis.redactPii(col("text")).as("text"))
+    val zero = TextAnalysis.piiAudit(redacted, "doc_id", "text")
+      .agg(sum("n_pii")).as[Long].head()
+    assert(zero === 0L, "audit after redaction must be clean")
+  }
+
   // ------------------------------------------------------ cdcChunks
 
   lazy val fixtureDocs = Tables.load(spark, Sf0001, "documents")
