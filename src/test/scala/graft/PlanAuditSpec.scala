@@ -167,7 +167,18 @@ class PlanAuditSpec extends SparkSpec {
       "x217_ann_recall_mutated",
       // x218/x224 serve the same pinned hybrid pair as x176 — the
       // lexical leg's sanctioned 1-row stats cross join
-      "x218_pin_crash_recovery", "x224_pin_aware_vacuum")
+      "x218_pin_crash_recovery", "x224_pin_aware_vacuum",
+      // x267/x271 fold the NB class totals (n_pos, n_neg, V) in-plan
+      // the x69 way — a PROVABLY 1-row broadcast aggregate cross join
+      // onto the vocabulary-sized llr table (see
+      // TextAnalysis.nbQualityScore scaladoc); the doc-scoring join
+      // itself
+      // is a keyed hash join on the token
+      "x267_nb_quality", "x271_quality_admission",
+      // x280's release card assembles a handful of PROVABLY 1-row
+      // aggregates (corpus counts, dedup rate, classifier mean) via
+      // broadcast cross joins — the x69 shape over single-row tables
+      "x280_release_audit")
 
   // x85's lexical leg ranks bm25TopK's ALREADY-LIMITED k-row list with
   // a per-query window whose query_id is a literal — Catalyst folds the
