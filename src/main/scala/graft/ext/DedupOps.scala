@@ -291,7 +291,13 @@ object DedupOps {
       n: Int = 3, bands: Int = 16, rows: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val k = bands * rows
-    val sig = minhashSigFrame(df, idCol, textCol, n, k)
+    // materialized once: the shingle+minhash pipeline is referenced by
+    // the rep window, both banded join sides, the signature re-attach,
+    // both member expansions and both in-group sides — one tokenize
+    // pass instead of one per reference (the simhashPairsFromSigs
+    // discipline; the caller owns the checkpoint's lifetime)
+    val sig = Checkpoints.materialize(
+      minhashSigFrame(df, idCol, textCol, n, k), reliable = false)
     // IDENTICAL-SIGNATURE COLLAPSE — [[simhashPairsFromSigs]]'s
     // boilerplate-quadratic guard on the Jaccard axis: byte-identical
     // signature arrays (k identical min-permutations — exact template
@@ -421,8 +427,17 @@ object DedupOps {
     * undecodable images) pair with nothing, as before. */
   def simhashPairsFromSigs(sig: DataFrame, maxHamming: Int,
       bands: Int = 4, probeBits: Int = 1): DataFrame = {
-    val s = sig.select(col("doc_id"), col("sh"))
-      .filter(col("sh").isNotNull)
+    // Materialize the 16-byte (doc_id, sh) projection once: the plan
+    // below references it ~7 times (rep window, banded+probed join
+    // sides, two member expansions, two in-group sides), and the
+    // signature pipeline feeding it is typically a codec or tokenize
+    // scan (image dHash, audio spectral hash) that must run ONCE —
+    // re-deriving signatures per reference multiplied the decode cost
+    // by the fan-out (measured on x203/x244). The caller owns the
+    // checkpoint's lifetime, as with the pair frame it returns.
+    val s = Checkpoints.materialize(
+      sig.select(col("doc_id"), col("sh")).filter(col("sh").isNotNull),
+      reliable = false)
     val withRep = s.withColumn("rep",
       min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
@@ -844,10 +859,14 @@ object DedupOps {
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20, reliable: Boolean = false): DataFrame = {
     def mat(df: DataFrame): DataFrame = Checkpoints.materialize(df, reliable)
-    val fwd = pairs.select(col(aCol).cast(LongType).as("u"),
-      col(bCol).cast(LongType).as("v"))
+    // materialize the pair projection once: the self-union below
+    // otherwise evaluates the (often expensive) pair-generation plan
+    // twice — released as soon as the symmetrized edge set lands
+    val fwd = mat(pairs.select(col(aCol).cast(LongType).as("u"),
+      col(bCol).cast(LongType).as("v")))
     val edges = mat(fwd // materialized once, scanned each round
       .union(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
+    Checkpoints.release(fwd)
     var labels = mat(edges.select(col("u").as("id")).distinct()
       .withColumn("cluster_id", col("id")))
     var changed = 1L
@@ -900,9 +919,16 @@ object DedupOps {
   def dedupClustersStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 30, reliable: Boolean = false): DataFrame = {
     def mat(df: DataFrame): DataFrame = Checkpoints.materialize(df, reliable)
-    // canonical undirected form: (min, max), deduped, no self-loops
-    val raw = pairs.select(col(aCol).cast(LongType).as("u"),
-      col(bCol).cast(LongType).as("v"))
+    // Materialize the 16-byte edge projection ONCE: the pair-generation
+    // plan is referenced twice — the initial edge set here and the
+    // trailing self-loop-only node sweep the returned frame embeds —
+    // and it is typically the expensive part (banded LSH joins, codec
+    // scans). Without this the FINAL plan re-runs the entire pair
+    // pipeline when the caller executes it (measured: the x257 frame
+    // re-decoded every GIF ~12×). The checkpoint's lifetime belongs to
+    // the caller, like the returned labels frame's own blocks.
+    val raw = mat(pairs.select(col(aCol).cast(LongType).as("u"),
+      col(bCol).cast(LongType).as("v")))
     var edges = mat(raw
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
@@ -1043,10 +1069,14 @@ object DedupOps {
       : DataFrame = {
     graft.functions.VectorExprs.register(corpus.sparkSession)
     import graft.functions.VectorExprs.dotF64
-    val asg = Clustering.kmeansAssign(corpus, idCol, vecCol,
-        kClusters, iters)
-      .select(col(idCol).cast(LongType).as("vec_id"), col("cluster"),
-        col("dist"))
+    // materialized once: the assignment scan (k-means distance over
+    // every vector) is referenced by both candidate join sides and the
+    // final labeling join — 20-byte rows, never the vectors
+    val asg = Checkpoints.materialize(
+      Clustering.kmeansAssign(corpus, idCol, vecCol, kClusters, iters)
+        .select(col(idCol).cast(LongType).as("vec_id"), col("cluster"),
+          col("dist")),
+      reliable = false)
     val vecd = corpus.select(col(idCol).cast(LongType).as("vec_id"),
         transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
       .withColumn("nrm", sqrt(dotF64(col("v"), col("v"))))
@@ -2011,10 +2041,16 @@ object DedupOps {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1] (got $threshold)")
     // sort for a canonical set key: collect_set order is partition-
-    // dependent and must not split identical sets across reps
-    val s = df.select(col(idCol).cast(LongType).as("doc_id"),
-        array_sort(array_distinct(col(setCol))).as("sh"))
-      .filter(col("sh").isNotNull && size(col("sh")) >= 1)
+    // dependent and must not split identical sets across reps.
+    // Materialized once (the simhashPairsFromSigs discipline): the
+    // plan references this frame ~6 times, and the set pipeline above
+    // it is typically a frame-decode scan (x257's GIF codec) that
+    // must not re-run per reference.
+    val s = Checkpoints.materialize(
+      df.select(col(idCol).cast(LongType).as("doc_id"),
+          array_sort(array_distinct(col(setCol))).as("sh"))
+        .filter(col("sh").isNotNull && size(col("sh")) >= 1),
+      reliable = false)
     val withRep = s.withColumn("rep",
       min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))

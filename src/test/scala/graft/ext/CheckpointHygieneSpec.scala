@@ -54,15 +54,40 @@ class CheckpointHygieneSpec extends SparkSpec {
     assert(persistedCount == 0)
   }
 
-  test("dedupClustersStar retains only the converged edge set") {
+  test("dedupClustersStar retains the pair input and the converged " +
+      "edge set — nothing else") {
     clearAll()
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("a", "b")
     val labels = DedupOps.dedupClustersStar(pairs, "a", "b")
-    // the returned plan reads the converged checkpoint — exactly one
-    assert(persistedCount == 1,
-      s"expected 1 persisted RDD (converged edges), got $persistedCount")
+    // the returned plan reads two checkpoints: the materialized pair
+    // projection (the trailing self-loop-only node sweep needs it —
+    // without the checkpoint that sweep re-ran the whole pair-
+    // generation plan at every execution) and the converged edge set
+    assert(persistedCount == 2,
+      s"expected 2 persisted RDDs (pair input + converged edges), " +
+        s"got $persistedCount")
     assert(labels.count() == 6L)
+    clearAll()
+  }
+
+  test("dedupClustersStar evaluates the pair-generation plan exactly " +
+      "once — executing the returned labels never re-runs it") {
+    clearAll()
+    val evals = spark.sparkContext.longAccumulator("pair-evals")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+      .as[(Long, Long)]
+      .mapPartitions(_.map { p => evals.add(1L); p })
+      .toDF("a", "b")
+    val labels = DedupOps.dedupClustersStar(pairs, "a", "b")
+    val afterBuild = evals.value
+    assert(afterBuild == 3L,
+      s"pair input visited $afterBuild rows during the build — " +
+        "expected exactly one pass over the 3 pairs")
+    labels.count()
+    labels.count()
+    assert(evals.value == afterBuild,
+      "executing the returned labels re-ran the pair-generation plan")
     clearAll()
   }
 
