@@ -342,14 +342,21 @@ object TextAnalysis {
       textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     // guard: sequence(0, -k) would COUNT DOWN under ANSI — short docs
-    // contribute an empty gram list instead
-    def grams(n: Int): Column =
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - lit(n)),
-          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    // contribute an empty gram list instead.
+    // STAGED token array (the writeBm25Segment discipline): the gram
+    // lambda slices the token array PER WORD POSITION — with the
+    // split() inline it re-tokenized the document once per position
+    // (O(words²·chars) per doc, interpreted); over a pre-projected
+    // column each slice reads a bound attribute.
+    def gramsOf(tk: Column, n: Int): Column =
+      when(size(tk) >= n,
+        transform(sequence(lit(0), size(tk) - lit(n)),
+          i => array_join(slice(tk, i + 1, lit(n)), " ")))
         .otherwise(array())
     def gramStats(n: Int) = df
-      .select(col(idCol).as("doc_id"), explode(grams(n)).as("g"))
+      .select(col(idCol).as("doc_id"), toks.as("_toks"))
+      .select(col("doc_id"),
+        explode(gramsOf(col("_toks"), n)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"),
         length(col("g")).cast(LongType).as("len"))
       .groupBy(col("doc_id"), col("h"), col("len"))
@@ -1118,10 +1125,17 @@ object TextAnalysis {
     val toks = tokens(lower(col(textCol)))
     // the ONE tokenize: per-doc (doc_id, dl, term, tf) over query terms
     // only, with every doc retained — a no-match doc carries one ''
-    // sentinel row (explode_outer of its empty filtered array)
-    val base = df.select(col(idCol).as("doc_id"),
-        size(toks).cast(LongType).as("dl"),
-        explode_outer(filter(toks, t => t.isin(qset: _*))).as("_t0"))
+    // sentinel row (explode_outer of its empty filtered array).
+    // STAGED token array (the x02 shingle discipline): size() and the
+    // generator must consume a pre-projected column — referencing the
+    // split() inline put the dl projection ABOVE the Generate, where it
+    // re-tokenized the document once per EMITTED row (measured 17x on
+    // the index build's identical shape).
+    val base = df.select(col(idCol).as("doc_id"), toks.as("_toks"))
+      .select(col("doc_id"),
+        size(col("_toks")).cast(LongType).as("dl"),
+        explode_outer(filter(col("_toks"), t => t.isin(qset: _*)))
+          .as("_t0"))
       .select(col("doc_id"), col("dl"),
         coalesce(col("_t0"), lit("")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
@@ -1268,8 +1282,16 @@ object TextAnalysis {
     // to one partition up front; every downstream agg/sort then runs
     // single-task (AQE coalesces the agg exchanges to match).
     val in = if (tiny) df.coalesce(1) else df
-    val base = in.select(col(idCol).cast(LongType).as("doc_id"),
-        size(toks).cast(LongType).as("dl"), explode(toks).as("term"))
+    // STAGED token array (the x02 shingle discipline): computing
+    // size(toks) inline beside explode(toks) lands the dl projection
+    // ABOVE the Generate, where the split re-tokenizes the document
+    // once per EMITTED token row — measured 17x slower on this exact
+    // shape (5.7s -> 0.33s over sf0.1's documents).
+    val base = in
+      .select(col(idCol).cast(LongType).as("doc_id"), toks.as("_toks"))
+      .select(col("doc_id"),
+        size(col("_toks")).cast(LongType).as("dl"),
+        explode(col("_toks")).as("term"))
       .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1810,21 +1832,37 @@ object TextAnalysis {
       .join(ids, Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      doomed.select(col("doc_id"), col("_seg").as("seg")).distinct()
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/deletes/$seg")
-      // negative corrections: every statistic the serve path sums nets
-      // to the live corpus's exact value
-      doomed.groupBy("term")
-        .agg((lit(0L) - count(lit(1))).as("df_t"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/termstats/$seg")
-      doomed.agg(
-          (lit(0L) - countDistinct(col("doc_id"))).as("n_docs"),
-          (lit(0L) - coalesce(sum(col("tf")), lit(0L))).as("total_len"))
-        .coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/stats/$seg")
+      // the three writes run CONCURRENTLY over the shared cached
+      // `doomed` (the writeBm25Segment pool discipline): each is a
+      // small job whose fixed per-job overhead, not data, is the cost
+      implicit val ec: scala.concurrent.ExecutionContext =
+        segmentWritePool
+      val writes = Seq(
+        scala.concurrent.Future {
+          doomed.select(col("doc_id"), col("_seg").as("seg")).distinct()
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$path/deletes/$seg")
+        },
+        // negative corrections: every statistic the serve path sums
+        // nets to the live corpus's exact value
+        scala.concurrent.Future {
+          doomed.groupBy("term")
+            .agg((lit(0L) - count(lit(1))).as("df_t"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$path/termstats/$seg")
+        },
+        scala.concurrent.Future {
+          doomed.agg(
+              (lit(0L) - countDistinct(col("doc_id"))).as("n_docs"),
+              (lit(0L) - coalesce(sum(col("tf")), lit(0L)))
+                .as("total_len"))
+            .coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$path/stats/$seg")
+        })
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(writes),
+        scala.concurrent.duration.Duration.Inf)
     } finally doomed.unpersist(blocking = false)
     val sawPostings = snap.segs("postings").toSet
     val sawDeletes = snap.segs(Bm25DeletesTable)
@@ -1920,23 +1958,41 @@ object TextAnalysis {
     // physical removal of tombstoned docs happens HERE: the fold reads
     // live postings only, the summed termstats net out the deletes'
     // negative corrections (terms with no live postings drop), and the
-    // tombstone table empties in the same commit
-    livePostings(spark, path, snap)
-      .repartition(col("term")).sortWithinPartitions("term", "doc_id")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/postings/$seg")
-    readBm25Table(spark, path, snap, "termstats")
-      .groupBy("term").agg(sum(col("df_t")).as("df_t"))
-      .filter(col("df_t") > 0)
-      .repartition(col("term")).sortWithinPartitions("term")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/termstats/$seg")
-    readBm25Table(spark, path, snap, "stats")
-      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
-        coalesce(sum(col("total_len")), lit(0L)).as("total_len"))
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/stats/$seg")
+    // tombstone table empties in the same commit. The three table
+    // folds are independent reads — they run CONCURRENTLY (the
+    // writeBm25Segment pool discipline) so the fold's wall cost is
+    // the postings fold, not the sum of three jobs.
+    locally {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        segmentWritePool
+      val writes = Seq(
+        scala.concurrent.Future {
+          livePostings(spark, path, snap)
+            .repartition(col("term"))
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$path/postings/$seg")
+        },
+        scala.concurrent.Future {
+          readBm25Table(spark, path, snap, "termstats")
+            .groupBy("term").agg(sum(col("df_t")).as("df_t"))
+            .filter(col("df_t") > 0)
+            .repartition(col("term")).sortWithinPartitions("term")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$path/termstats/$seg")
+        },
+        scala.concurrent.Future {
+          readBm25Table(spark, path, snap, "stats")
+            .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+              coalesce(sum(col("total_len")), lit(0L)).as("total_len"))
+            .coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$path/stats/$seg")
+        })
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(writes),
+        scala.concurrent.duration.Duration.Inf)
+    }
     val folded = Bm25Tables.map(t => t -> snap.segs(t).toSet).toMap
     val sawDeletes = snap.segs(Bm25DeletesTable)
     graft.sinks.IndexManifest.commitMerge(fs, path) { cur =>
@@ -2149,8 +2205,14 @@ object TextAnalysis {
     val occ = docs.select(col(idCol),
       explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"),
         lit(0))).as("word"))
+    // materialized distinct-word table (the unigramEncode barrier):
+    // the broadcast build side otherwise re-scans the corpus for the
+    // distinct, and any predicate a caller adds on a derived column
+    // would push the merge fold below it onto the occurrence rows
+    val words = Checkpoints.materialize(
+      occ.select("word").distinct(), reliable = false)
     val folded = mergesInRankOrder.foldLeft(
-        occ.select("word").distinct().withColumn("syms", expr(
+        words.withColumn("syms", expr(
           "transform(sequence(1, length(word)), " +
             "i -> substring(word, i, 1))"))) {
       case (df, (l, r)) =>
@@ -2455,8 +2517,14 @@ object TextAnalysis {
         lit(0))).as("word"))
     val chars = expr(
       "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    // materialized distinct-word table (the unigramEncode barrier):
+    // both tokenizers' encode tables derive from it, and the uni_n
+    // Viterbi column must never be pushed below the distinct onto the
+    // occurrence rows
+    val words = Checkpoints.materialize(
+      occ.select("word").distinct(), reliable = false)
     val folded = mergesInRankOrder.foldLeft(
-        occ.select("word").distinct().withColumn("syms", chars)) {
+        words.withColumn("syms", chars)) {
       case (df, (l, r)) => df.withColumn("syms", bpeMergeOnce(
         col("syms"), l, r))
     }
@@ -2506,7 +2574,17 @@ object TextAnalysis {
         explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"),
           lit(0))).as("word"))
       .filter(length(col("word")) <= UnigramMaxWordLen)
-    val segs = occ.select("word").distinct()
+    // MATERIALIZED distinct-word table: without the checkpoint barrier
+    // Catalyst pushes the isnotnull(_seg) predicate below the distinct
+    // aggregate (it references only the grouping column), so the whole
+    // Viterbi DP ran once per OCCURRENCE row in the pushed filter —
+    // the very per-occurrence cost the distinct-word rewrite exists to
+    // avoid (measured 8.3s -> the occurrence scan's 0.3s at sf0.1).
+    // The checkpoint is the tokenizer's word domain: vocabulary-sized
+    // (~10⁷ rows at 100 TB), never the corpus.
+    val words = Checkpoints.materialize(
+      occ.select("word").distinct(), reliable = false)
+    val segs = words
       .withColumn("_seg",
         viterbiSeg(col("word"), costMap, withPath = false))
       .filter(col("_seg").isNotNull)
