@@ -670,7 +670,15 @@ object DedupOps {
       s"recall guarantee needs maxHamming < bands*(probeBits+1) " +
         s"(got maxHamming=$maxHamming, bands=$bands, " +
         s"probeBits=$probeBits)")
-    val in = newSigs.select(col("doc_id"), col("sh"))
+    // Materialize the incoming signature frame ONCE: it is referenced
+    // three times below (probe keys, the Hamming verify, the final
+    // anti-join), and ledger callers routinely feed it a codec scan
+    // (image dHash/pHash, audio spectral hash) that must not decode
+    // per reference. Batch-bounded rows; the stream writers release
+    // the blocks after each batch lands (Checkpoints.release on the
+    // admitted frame), batch gates via session hygiene.
+    val src = Checkpoints.materialize(newSigs, reliable = false)
+    val in = src.select(col("doc_id"), col("sh"))
     val inProbed = shProbes(shBands(in, bands), bands, probeBits)
       .select(col("doc_id").as("in_doc"), col("band"), col("chunk"))
     val cand = inProbed
@@ -687,7 +695,7 @@ object DedupOps {
       .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
         <= maxHamming)
       .select(col("in_doc").as("doc_id")).distinct()
-    newSigs.join(rejected, Seq("doc_id"), "left_anti")
+    src.join(rejected, Seq("doc_id"), "left_anti")
   }
 
   // ------------------------------------------- embedding near-dup
@@ -1524,7 +1532,11 @@ object DedupOps {
     val (n, bands, rows) =
       (p.getAs[Int]("n"), p.getAs[Int]("bands"), p.getAs[Int]("rows"))
     val k = bands * rows
-    val inSig = minhashSigFrame(newDocs, idCol, textCol, n, k)
+    // materialized once: the shingle+minhash pipeline is referenced by
+    // the band probe AND the signature verify — one tokenize pass over
+    // the batch instead of two (batch-bounded rows)
+    val inSig = Checkpoints.materialize(
+      minhashSigFrame(newDocs, idCol, textCol, n, k), reliable = false)
     val inBanded = minhashBandedFrame(inSig, bands, rows)
     // live reads: tombstoned docs neither collide nor verify, so a
     // near-dup of a DELETED document admits again (the ledger forgets)
@@ -2103,7 +2115,13 @@ object DedupOps {
         .head().getAs[Int]("n") == 0,
       s"ledger at $path is a text-shingle containment index — use " +
         "containmentAdmit")
-    val in = newDocs.select(col(idCol).cast(LongType).as("in_doc"),
+    // Materialize the incoming frame ONCE: it is referenced by the
+    // postings probe AND the final anti-join, and set callers feed it
+    // a frame-decode pipeline (x252's per-frame dHash sets) that must
+    // not re-decode per reference. Batch-bounded; stream writers
+    // release the blocks after each batch lands.
+    val src = Checkpoints.materialize(newDocs, reliable = false)
+    val in = src.select(col(idCol).cast(LongType).as("in_doc"),
         array_distinct(col(setCol)).as("sh"))
       .filter(col("sh").isNotNull && size(col("sh")) >= 1)
       .select(col("in_doc"), size(col("sh")).as("in_sz"),
@@ -2116,7 +2134,7 @@ object DedupOps {
         least(col("in_sz"), col("sz")).cast(DoubleType), 6)
         >= threshold)
       .select(col("in_doc")).distinct()
-    newDocs.join(
+    src.join(
       rejected.select(col("in_doc").cast(LongType).as(idCol)),
       Seq(idCol), "left_anti")
   }

@@ -210,7 +210,13 @@ object StreamIndex {
                 .parquet(s"$outDir/batch=$bid")
               graft.ext.DedupOps.appendToSimhashLedger(s, ledgerPath,
                 admitted, bid)
-            } finally admitted.unpersist(blocking = false)
+            } finally {
+              admitted.unpersist(blocking = false)
+              // the admit materializes the batch's signature frame
+              // (localCheckpoint) — release its blocks so a long
+              // stream does not accumulate one checkpoint per batch
+              graft.ext.Checkpoints.release(admitted)
+            }
           }
         } finally b.unpersist(blocking = false)
       }
@@ -310,7 +316,12 @@ object StreamIndex {
                 .parquet(s"$outDir/batch=$bid")
               graft.ext.DedupOps.appendToContainmentSetIndex(s,
                 ledgerPath, admitted, idCol, setCol, bid)
-            } finally admitted.unpersist(blocking = false)
+            } finally {
+              admitted.unpersist(blocking = false)
+              // release the admit's materialized input (see
+              // simhashAdmitWriter)
+              graft.ext.Checkpoints.release(admitted)
+            }
           }
         } finally b.unpersist(blocking = false)
       }
@@ -535,7 +546,12 @@ object StreamIndex {
                 .parquet(s"$outDir/batch=$bid")
               graft.ext.DedupOps.appendToMinhashIndex(s, ledgerPath,
                 admitted, idCol, textCol, bid)
-            } finally admitted.unpersist(blocking = false)
+            } finally {
+              admitted.unpersist(blocking = false)
+              // release the admit's materialized signature frame (see
+              // simhashAdmitWriter)
+              graft.ext.Checkpoints.release(admitted)
+            }
           }
         } finally b.unpersist(blocking = false)
       }
